@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.ops.Decode
+
+/** The three reference pipelines recomposed from graft.ops operators,
+  * source-agnostic: each stage is DataFrame→DataFrame and runs unchanged
+  * over a batch DataFrame, a Kafka stream, or a MemoryStream (tests).
+  *
+  * Semantics follow the reference jobs:
+  *  - risk-event parse:   /root/reference/sparkpyeventskafkastreamtoconsole.py:11-66
+  *  - customer decode:    /root/reference/sparkpyrediskafkastreamtoconsole.py:46-154
+  *  - join + serialize:   /root/reference/sparkpykafkajoin.py:184-213
+  *
+  * Scale: the parse/decode stages are stateless narrow projections (single
+  * codegen stage, no shuffle). The join hash-partitions both inputs on the
+  * key — in streaming it becomes StreamingSymmetricHashJoinExec with
+  * per-partition state stores; in batch, a shuffled hash/sort-merge join
+  * (or broadcast if one side is small).
+  */
+object Stedi {
+
+  /** Job C core: Kafka envelope → (customer, score).
+    * `value` may be binary or string; both cast identically. */
+  def parseRiskEvents(kafka: DataFrame): DataFrame =
+    Decode.parseAndExpand(kafka, Schemas.riskEvent)
+      .select(col("customer"), col("score"))
+
+  /** Job C, full rows (customer, score, riskDate) — used by the join. */
+  def parseRiskEventsFull(kafka: DataFrame): DataFrame =
+    Decode.parseAndExpand(kafka, Schemas.riskEvent)
+
+  /** Job B core: Kafka envelope of Redis change events →
+    * (email, birthYear) plus the full customer record columns.
+    *
+    * envelope → from_json(redisMessage) → zSetEntries[0].element
+    * → unbase64 → from_json(customerRecord) → filter non-null
+    * → birthYear = split(birthDay,'-')[0]
+    */
+  def decodeCustomers(kafka: DataFrame): DataFrame =
+    Decode.parseAndExpand(kafka, Schemas.redisMessage)
+      .select(Decode.firstArrayField(col("zSetEntries"), "element")
+        .as("encodedCustomer"))
+      .select(from_json(Decode.decodeBase64(col("encodedCustomer")),
+        Schemas.customerRecord).as("c"))
+      .select(col("c.*"))
+      .transform(Decode.requireNonNull(_, "email", "birthDay"))
+      .withColumn("birthYear", Decode.yearOf(col("birthDay")))
+
+  /** Job B console projection: (email, birthYear). */
+  def emailAndBirthYear(kafka: DataFrame): DataFrame =
+    decodeCustomers(kafka).select("email", "birthYear")
+
+  /** Job A core: inner equi-join risk events with decoded customers on
+    * customer = email. Written as an expression join exactly like the
+    * reference (`expr("customer = email")`); Catalyst recognizes the
+    * equality and plans an equi-join (streaming: symmetric hash join).
+    * Output columns match /root/reference/sparkpykafkajoin.py:190-199:
+    * (customer, score, email, birthYear).
+    */
+  def joinRisk(riskEvents: DataFrame, customers: DataFrame): DataFrame =
+    riskEvents.select("customer", "score")
+      .join(customers.select("email", "birthYear"), expr("customer = email"))
+
+  /** Job A sink projection: Kafka (key, value) with value =
+    * to_json(struct(*)) per the output contract
+    * {"customer":…,"score":"28.5","email":…,"birthYear":"1963"}. */
+  def riskScoreKafkaPayload(joined: DataFrame): DataFrame =
+    joined.select(
+      col("email").cast("string").as("key"),
+      to_json(struct(joined.columns.map(col).toIndexedSeq: _*)).as("value"))
+}
