@@ -9,8 +9,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.pipeline.StediFixtures.flagship(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.StediQueries.defs ++
+    graft.queries.RelationalQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.StediQueries.oracle ++
+    graft.queries.RelationalQueries.oracle
 }

@@ -68,8 +68,8 @@ object StediFixtures {
     Stedi.joinRisk(risks, customers)
       .groupBy(col("email"), col("birthYear"))
       .agg(
-        count(lit(1)).as("n_events"),
-        round(avg(col("score").cast("double")), 4).as("avg_score"))
+        count(lit(1)).cast("bigint").as("n_events"),
+        avg(col("score").cast("double")).cast("decimal(18,4)").as("avg_score"))
       .orderBy(col("email"), col("birthYear"), col("n_events"), col("avg_score"))
   }
 }

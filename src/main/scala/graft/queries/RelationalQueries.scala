@@ -1,0 +1,493 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Det.{big, dec4, ordered}
+
+/** Relational operator pack (SURVEY.md §2.4 OP-31..35, §2.5 OP-40..50).
+  *
+  * Each query is a deliberately plan-shaped exercise of one operator family
+  * over the TPC-H-ish fixtures, with a DuckDB oracle twin. Scale notes are
+  * on each query: which side shuffles, what broadcasts, what pushes down.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- joins
+
+  /** OP-31 inner equi-join chain with small-dim broadcasts: revenue per
+    * region/nation. customer⨝nation⨝region are broadcastable dims; the
+    * only shuffle is the final aggregate on (r_name, n_name) — at 100 TB
+    * orders is the fact side and never re-partitions for the dim joins. */
+  val op31JoinInner: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    ordered(
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(big(count(lit(1))).as("n_orders"),
+             dec4(sum(col("o_totalprice"))).as("revenue")),
+      "r_name", "n_name")
+  }
+
+  /** OP-31 left outer join: order counts per customer including
+    * zero-order customers (null-side preserved, coalesced). */
+  val op31JoinLeft: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    ordered(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(big(count(col("o_orderkey"))).as("n_orders"),
+             dec4(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total")),
+      "c_custkey")
+  }
+
+  /** OP-32 left-semi: customers having at least one big order (EXISTS). */
+  val op32SemiJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val big_orders = Tables.orders(s, d).filter(col("o_totalprice") > 50000)
+    ordered(
+      c.join(big_orders, c("c_custkey") === big_orders("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+      "c_custkey")
+  }
+
+  /** OP-32 left-anti: customers with no orders at all (NOT EXISTS). */
+  val op32AntiJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    ordered(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      "c_custkey")
+  }
+
+  /** OP-33 explicit broadcast-hint join: nation (25 rows, broadcast) into
+    * customer; no shuffle on the fact side at any scale. */
+  val op33BroadcastJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    ordered(
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(big(count(lit(1))).as("n_customers"),
+             dec4(avg(col("c_acctbal"))).as("avg_bal")),
+      "n_name")
+  }
+
+  /** OP-34 range (theta) join: bucket customers by acctbal into ranges
+    * derived from region keys. Non-equi predicate ⇒ BroadcastNestedLoopJoin
+    * with the 5-row bounds side broadcast — the right plan at any scale. */
+  val op34RangeJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val bounds = Tables.region(s, d).select(
+      col("r_regionkey").cast("bigint").as("bucket"),
+      (col("r_regionkey").cast("bigint") * 2000).cast("double").as("lo"),
+      ((col("r_regionkey").cast("bigint") + 1) * 2000).cast("double").as("hi"))
+    ordered(
+      c.join(broadcast(bounds),
+          c("c_acctbal") >= bounds("lo") && c("c_acctbal") < bounds("hi"))
+        .groupBy(col("bucket"))
+        .agg(big(count(lit(1))).as("n_customers")),
+      "bucket")
+  }
+
+  /** OP-35 cross join: small×small cartesian (5×25). */
+  val op35CrossJoin: Q = (s, d) => {
+    val r = Tables.region(s, d).select(col("r_name"))
+    val n = Tables.nation(s, d).select(col("n_name"))
+    ordered(r.crossJoin(n), "r_name", "n_name")
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** OP-40 hash aggregate, TPC-H Q1 shape: map-side partial aggregation on
+    * (returnflag, linestatus) — 6 groups, so the shuffle moves ~6 rows per
+    * input partition regardless of input size. Date filter pushes to the
+    * parquet scan. */
+  val op40Agg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1997-01-01").cast("timestamp_ntz"))
+    ordered(
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec4(sum(col("l_quantity"))).as("sum_qty"),
+          dec4(sum(col("l_extendedprice"))).as("sum_base_price"),
+          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge"),
+          dec4(avg(col("l_quantity"))).as("avg_qty"),
+          dec4(avg(col("l_discount"))).as("avg_disc"),
+          big(count(lit(1))).as("count_order")),
+      "l_returnflag", "l_linestatus")
+  }
+
+  /** OP-41 distinct + count-distinct per group. */
+  val op41Distinct: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    ordered(
+      c.groupBy(col("c_nationkey"))
+        .agg(big(countDistinct(col("c_mktsegment"))).as("n_segments"),
+             big(count(lit(1))).as("n_customers")),
+      "c_nationkey")
+  }
+
+  /** OP-42 approximate distinct (HLL sketch). No hash oracle — the driver
+    * records a rows-only check; exactness is bounded in the ScalaTest spec
+    * instead. Mergeable sketch ⇒ map-side partials, constant shuffle. */
+  val op42ApproxDistinct: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    ordered(
+      li.groupBy(col("l_returnflag"))
+        .agg(big(approx_count_distinct(col("l_partkey"), 0.02)).as("approx_parts"),
+             big(count(lit(1))).as("n_rows")),
+      "l_returnflag")
+  }
+
+  /** OP-43 rollup with grouping_id: subtotal lattice over
+    * (o_orderstatus, o_orderpriority); null lattice cells disambiguated by
+    * grouping_id and coalesced to 'ALL' so sort keys stay non-null. */
+  val op43Rollup: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    ordered(
+      o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(big(grouping_id()).as("gid"),
+             big(count(lit(1))).as("n_orders"),
+             dec4(sum(col("o_totalprice"))).as("total"))
+        .select(
+          col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total")),
+      "gid", "status", "priority")
+  }
+
+  // -------------------------------------------------------------- windows
+
+  /** OP-44 ranking window functions: top-5 customers by balance within
+    * each market segment; unique tiebreak on c_custkey keeps ranks
+    * deterministic. One shuffle on the partition key. */
+  val op44WindowRank: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    ordered(
+      c.select(col("c_mktsegment"), col("c_custkey"),
+          dec4(col("c_acctbal")).as("acctbal"),
+          big(row_number().over(w)).as("rn"),
+          big(rank().over(w)).as("rk"),
+          big(dense_rank().over(w)).as("drk"))
+        .filter(col("rn") <= 5),
+      "c_mktsegment", "rn")
+  }
+
+  /** OP-45 analytic window functions: per-customer order history with
+    * lag/lead and a running total (ROWS UNBOUNDED PRECEDING..CURRENT). */
+  val op45WindowAnalytic: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    ordered(
+      o.select(col("o_custkey"), col("o_orderkey"),
+          dec4(col("o_totalprice")).as("price"),
+          dec4(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
+          dec4(lead(col("o_totalprice"), 1).over(w)).as("next_price"),
+          dec4(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .as("running_total")),
+      "o_custkey", "o_orderkey")
+  }
+
+  /** OP-46 global top-k: ORDER BY … LIMIT k plans TakeOrderedAndProject —
+    * per-partition heaps + single-driver merge, no full sort at scale. */
+  val op46TopK: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.select(col("o_orderkey"), dec4(col("o_totalprice")).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** OP-47 set operations: nation-key sets of customers vs suppliers,
+    * tagged per set relation. */
+  val op47SetOps: Q = (s, d) => {
+    val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+    val both = cn.intersect(sn).withColumn("rel", lit("both"))
+    val custOnly = cn.except(sn).withColumn("rel", lit("customer_only"))
+    val supOnly = sn.except(cn).withColumn("rel", lit("supplier_only"))
+    ordered(both.unionAll(custOnly).unionAll(supOnly)
+      .select(col("rel"), col("nationkey")), "rel", "nationkey")
+  }
+
+  // ------------------------------------------------------- scalar packs
+
+  /** OP-48 string functions: lower/upper/substring/concat/LIKE/regexp/length. */
+  val op48String: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    ordered(
+      p.select(col("p_partkey"),
+          lower(col("p_name")).as("lo_name"),
+          upper(col("p_brand")).as("up_brand"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          col("p_name").like("%a%").as("has_a"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          big(length(col("p_name"))).as("name_len")),
+      "p_partkey")
+  }
+
+  /** OP-48 date/time functions: year/month/day/date_trunc/datediff. */
+  val op48Date: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    ordered(
+      o.select(col("o_orderkey"),
+          big(year(col("o_orderdate"))).as("yr"),
+          big(month(col("o_orderdate"))).as("mo"),
+          big(dayofmonth(col("o_orderdate"))).as("dom"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          big(datediff(lit("1998-01-01").cast("date"),
+            col("o_orderdate").cast("date"))).as("days_to_98")),
+      "o_orderkey")
+  }
+
+  /** OP-48 math functions: round/abs/floor/ceil/sqrt over quantities. */
+  val op48Math: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
+    ordered(
+      li.select(col("l_orderkey"),
+          // exact decimal arithmetic: price×discount of 2-decimal values
+          // ties exactly at the 3rd decimal, where double rounding is
+          // engine-dependent — decimals round identically everywhere
+          dec4(round(col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_discount").cast("decimal(18,2)"), 2)).as("disc_amt"),
+          dec4(abs(col("l_quantity") - 25)).as("qty_dev"),
+          big(floor(col("l_extendedprice"))).as("price_floor"),
+          big(ceil(col("l_discount") * 100)).as("disc_pct_ceil"),
+          dec4(sqrt(col("l_quantity"))).as("qty_sqrt")),
+      "l_orderkey")
+  }
+
+  /** OP-48 conditionals: CASE WHEN / coalesce / nullif. */
+  val op48Cond: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    ordered(
+      c.select(col("c_custkey"),
+          when(col("c_acctbal") < 0, lit("negative"))
+            .when(col("c_acctbal") < 5000, lit("mid"))
+            .otherwise(lit("high")).as("bal_band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(b)"))
+            .as("seg_masked")),
+      "c_custkey")
+  }
+
+  /** OP-49 JSON functions: path extraction over events.props
+    * (get_json_object + typed from_json). */
+  val op49Json: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    ordered(
+      e.select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          big(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")).as("k_int")),
+      "event_id")
+  }
+
+  /** OP-50 array functions: split/size/element access/contains. */
+  val op50Array: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    ordered(
+      doc.select(col("doc_id"),
+          big(size(toks)).as("n_tokens"),
+          get(toks, lit(0)).as("first_token"),
+          array_contains(toks, "spark").as("has_spark")),
+      "doc_id")
+  }
+
+  /** OP-50 explode (generator): global token frequencies — explode then
+    * hash-aggregate; partial aggregation bounds the shuffle by vocabulary
+    * size, not corpus size. */
+  val op50Explode: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    ordered(
+      doc.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(big(count(lit(1))).as("n")),
+      "token")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "op31_join_inner" -> op31JoinInner,
+    "op31_join_left" -> op31JoinLeft,
+    "op32_join_semi" -> op32SemiJoin,
+    "op32_join_anti" -> op32AntiJoin,
+    "op33_join_broadcast" -> op33BroadcastJoin,
+    "op34_join_range" -> op34RangeJoin,
+    "op35_join_cross" -> op35CrossJoin,
+    "op40_agg" -> op40Agg,
+    "op41_distinct" -> op41Distinct,
+    "op42_approx_distinct" -> op42ApproxDistinct,
+    "op43_rollup" -> op43Rollup,
+    "op44_window_rank" -> op44WindowRank,
+    "op45_window_analytic" -> op45WindowAnalytic,
+    "op46_topk" -> op46TopK,
+    "op47_setops" -> op47SetOps,
+    "op48_scalar_string" -> op48String,
+    "op48_scalar_date" -> op48Date,
+    "op48_scalar_math" -> op48Math,
+    "op48_scalar_cond" -> op48Cond,
+    "op49_json" -> op49Json,
+    "op50_array" -> op50Array,
+    "op50_explode" -> op50Explode,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "op31_join_inner" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(o_totalprice) AS DECIMAL(18,4)) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "op31_join_left" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(coalesce(sum(o_totalprice), 0) AS DECIMAL(18,4)) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "op32_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+        |ORDER BY c_custkey""".stripMargin,
+    "op32_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "op33_join_broadcast" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(avg(c_acctbal) AS DECIMAL(18,4)) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "op34_join_range" ->
+      """WITH bounds AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS bucket,
+        |         CAST(r_regionkey AS BIGINT) * 2000.0 AS lo,
+        |         (CAST(r_regionkey AS BIGINT) + 1) * 2000.0 AS hi
+        |  FROM region)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer JOIN bounds ON c_acctbal >= lo AND c_acctbal < hi
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "op35_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "op40_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(sum(l_extendedprice) AS DECIMAL(18,4)) AS sum_base_price,
+        |  CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(18,4)) AS sum_charge,
+        |  CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
+        |  CAST(avg(l_discount) AS DECIMAL(18,4)) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "op41_distinct" ->
+      """SELECT c_nationkey, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        |       CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "op43_rollup" ->
+      """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(o_totalprice) AS DECIMAL(18,4)) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    "op44_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(18,4)) AS acctbal,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+    "op45_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+        |  CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,4)) AS prev_price,
+        |  CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,4)) AS next_price,
+        |  CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "op46_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
+    "op47_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'both' AS rel, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'customer_only' AS rel, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'supplier_only' AS rel, nationkey FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+        |ORDER BY rel, nationkey""".stripMargin,
+    "op48_scalar_string" ->
+      """SELECT p_partkey, lower(p_name) AS lo_name, upper(p_brand) AS up_brand,
+        |  substring(p_type, 1, 5) AS type5,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  p_name LIKE '%a%' AS has_a,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "op48_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "op48_scalar_math" ->
+      """SELECT l_orderkey,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DECIMAL(18,4)) AS disc_amt,
+        |  CAST(abs(l_quantity - 25) AS DECIMAL(18,4)) AS qty_dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  CAST(sqrt(l_quantity) AS DECIMAL(18,4)) AS qty_sqrt
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+    "op48_scalar_cond" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(b)') AS seg_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "op49_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "op50_array" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  string_split(text, ' ')[1] AS first_token,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "op50_explode" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
+  )
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.ops.Decode
+import graft.pipeline.{Stedi, StediFixtures}
+import graft.sources.Tables
+import Det.{big, dec4, ordered}
+
+/** Oracle-checked batch twins of the reference's decode surface
+  * (SURVEY.md §2.2 OP-10..19, §2.3 OP-20/21, §2.4 OP-30).
+  *
+  * Every query is a pure projection chain (single codegen stage) except the
+  * flagship join; DuckDB twins replicate results, proving the Spark decode
+  * semantics (permissive JSON, base64, string splitting) byte-for-byte.
+  */
+object StediQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** OP-10: SQL-expression projection with CAST + rename. */
+  val op10Cast: Q = (s, d) =>
+    ordered(
+      Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .selectExpr("CAST(l_orderkey AS STRING) key",
+                    "CAST(l_partkey AS STRING) value"),
+      "key", "value")
+
+  /** OP-11/12/13: from_json against an explicit schema, then struct
+    * expansion — the core parse step of every reference job. */
+  val op11FromJson: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val parsed = e.select(col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+    ordered(parsed.select(col("event_id"), big(col("p.k")).as("k")), "event_id")
+  }
+
+  /** OP-14: array subscript + nested field access (null on missing). */
+  val op14ArrayAccess: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val entries = split(col("text"), " ")
+    ordered(
+      doc.select(col("doc_id"),
+        Decode.firstArrayField(
+          array(struct(get(entries, lit(0)).as("element"),
+                       lit("0.0").as("score"))), "element").as("element0")),
+      "doc_id")
+  }
+
+  /** OP-15: base64 round-trip — encode the document text, decode it back,
+    * emit an md5 witness of the decoded bytes. Proves unbase64 ∘ base64 = id
+    * against DuckDB's independent base64 implementation. */
+  val op15Base64: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val roundTrip = Decode.decodeBase64(Decode.encodeBase64(col("text")))
+    ordered(
+      doc.select(col("doc_id"),
+        md5(roundTrip.cast("binary")).as("text_md5"),
+        substring(Decode.encodeBase64(col("text")), 1, 24).as("b64_prefix")),
+      "doc_id")
+  }
+
+  /** OP-16: null-rejection filter after a nullable derivation. */
+  val op16NullFilter: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    ordered(
+      Decode.requireNonNull(
+        e.withColumn("et", nullif(col("event_type"), lit("error"))), "et")
+        .groupBy(col("et")).agg(big(count(lit(1))).as("n")),
+      "et")
+  }
+
+  /** OP-17: split + index — derive the year of a YYYY-MM-DD string. */
+  val op17SplitYear: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    ordered(
+      o.select(col("o_orderkey"),
+        Decode.yearOf(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("yr_str")),
+      "o_orderkey")
+  }
+
+  /** OP-18: column-pruning projection (2 of 6 columns survive to the scan). */
+  val op18Prune: Q = (s, d) =>
+    ordered(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+      "o_orderkey")
+
+  /** OP-19: to_json(struct(*)) row serialization. */
+  val op19ToJson: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment"))
+    ordered(
+      c.select(col("c_custkey"),
+        to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+          .as("js")),
+      "c_custkey")
+  }
+
+  /** OP-20/21: temp-view registration + spark.sql over the view — the
+    * reference's hybrid DataFrame/SQL style. */
+  val op21SqlView: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(c_acctbal) AS DECIMAL(18,4)) AS max_bal
+             FROM graft_customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  /** OP-30 flagship: the full STEDI decode→join→aggregate over synthesized
+    * wire frames (envelope JSON → base64 customer → join on email). */
+  val op30StediJoin: Q = (s, d) => StediFixtures.flagship(s, d)
+
+  /** OP-30 row-level twin: the raw join output contract
+    * (customer, score, email, birthYear) before aggregation, plus the
+    * OP-19 serialized value — row count equals matched risk events. */
+  val op30StediPayload: Q = (s, d) => {
+    val customers = Stedi.decodeCustomers(StediFixtures.redisFrames(s, d))
+    val risks = Stedi.parseRiskEventsFull(StediFixtures.riskFrames(s, d))
+    val joined = Stedi.joinRisk(risks, customers)
+    ordered(
+      Stedi.riskScoreKafkaPayload(joined).select(col("key"), col("value")),
+      "key", "value")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "op10_cast_project" -> op10Cast,
+    "op11_from_json" -> op11FromJson,
+    "op14_array_access" -> op14ArrayAccess,
+    "op15_base64_roundtrip" -> op15Base64,
+    "op16_null_filter" -> op16NullFilter,
+    "op17_split_year" -> op17SplitYear,
+    "op18_prune" -> op18Prune,
+    "op19_to_json" -> op19ToJson,
+    "op21_sql_view" -> op21SqlView,
+    "op30_stedi_flagship" -> op30StediJoin,
+    "op30_stedi_payload" -> op30StediPayload,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "op10_cast_project" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS key, CAST(l_partkey AS VARCHAR) AS value
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY key, value""".stripMargin,
+    "op11_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "op14_array_access" ->
+      """SELECT doc_id, string_split(text, ' ')[1] AS element0
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "op15_base64_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |       substring(to_base64(encode(text)), 1, 24) AS b64_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "op16_null_filter" ->
+      """SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY et""".stripMargin,
+    "op17_split_year" ->
+      """SELECT o_orderkey, string_split(strftime(o_orderdate, '%Y-%m-%d'), '-')[1] AS yr_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "op18_prune" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey",
+    "op19_to_json" ->
+      """SELECT c_custkey,
+        |  to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,
+        |                      c_mktsegment := c_mktsegment)) AS js
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "op21_sql_view" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(c_acctbal) AS DECIMAL(18,4)) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "op30_stedi_flagship" ->
+      """WITH cust AS (
+        |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
+        |         CAST(1930 + c_custkey % 70 AS VARCHAR) AS birthYear
+        |  FROM customer),
+        |risk AS (
+        |  SELECT 'customer' || CAST(user_id AS VARCHAR) || '@test.com' AS customer,
+        |         value AS score
+        |  FROM events)
+        |SELECT c.email, c.birthYear,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(avg(score) AS DECIMAL(18,4)) AS avg_score
+        |FROM risk r JOIN cust c ON r.customer = c.email
+        |GROUP BY c.email, c.birthYear
+        |ORDER BY c.email, c.birthYear, n_events, avg_score""".stripMargin,
+  )
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB over views of <sfDir>'s tables,
+and compares: columns sorted by name, rows in produced order, values exact
+(floats: exact after both sides' rounding; report max abs diff when unequal).
+
+Developer-side tool only — the shipped Scala library has no Python deps.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetch_arrow_table()
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        gcols, wcols = sorted(got.column_names), sorted(want.column_names)
+        if gcols != wcols:
+            print(f"FAIL {name}: columns spark={gcols} oracle={wcols}")
+            n_fail += 1
+            continue
+        if got.num_rows != want.num_rows:
+            print(f"FAIL {name}: rows spark={got.num_rows} oracle={want.num_rows}")
+            n_fail += 1
+            continue
+        g = [[norm(v) for v in got.column(c).to_pylist()] for c in gcols]
+        w = [[norm(v) for v in want.column(c).to_pylist()] for c in gcols]
+        bad = None
+        for ci, c in enumerate(gcols):
+            for ri in range(got.num_rows):
+                a, b = g[ci][ri], w[ci][ri]
+                if a != b and not (a is None and b is None):
+                    bad = (c, ri, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            c, ri, a, b = bad
+            print(f"FAIL {name}: first diff col={c} row={ri} spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({got.num_rows} rows, {len(gcols)} cols)")
+            n_pass += 1
+    extra = set(TABLES)  # placate linters
+    print(f"== {n_pass} pass / {n_fail} fail / {len(oracle)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
