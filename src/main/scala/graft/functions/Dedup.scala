@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is a hash aggregate on the content key — map-side partial
+  *    aggregation, one shuffle keyed by content hash (not raw text: group on
+  *    md5 to keep shuffle rows small at 100 TB — here text is the key for
+  *    oracle transparency, swap `keyCol` for md5(text) at scale);
+  *  - n-gram Jaccard uses an inverted shingle index: only documents sharing
+  *    a shingle are ever paired, so cost follows true collision volume, not
+  *    n². The shingle join shuffles on shingle; hot shingles (stopword runs)
+  *    should be dropped by a document-frequency cap before joining;
+  *  - MinHash compresses each doc to k 60-bit mins (one aggregate pass),
+  *    LSH bands turn candidate generation into an equi-join on band hashes —
+  *    the standard sub-quadratic path. All hashes are md5-derived and
+  *    cross-engine reproducible (no JVM-private hash functions).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical content value.
+    * Returns (keep_id, n_copies) per distinct content. */
+  def exactKeepMin(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).cast("bigint").as("keep_id"),
+           count(lit(1)).cast("bigint").as("n_copies"))
+
+  /** Distinct (doc, shingle) inverted-index table. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextOps.trigrams(col(textCol))).as("shingle"))
+      .distinct()
+
+  /** Shingle-count per document (distinct shingles). */
+  def shingleCounts(index: DataFrame): DataFrame =
+    index.groupBy(col("doc_id")).agg(count(lit(1)).cast("bigint").as("n_sh"))
+
+  /** Candidate pairs (a<b) with shingle-overlap counts, via self-join of
+    * the inverted index. `maxDocFreq` drops ubiquitous shingles first —
+    * without it, one hot shingle creates a quadratic blowup. */
+  def overlapPairs(index: DataFrame, maxDocFreq: Option[Long] = None): DataFrame = {
+    val idx = maxDocFreq match {
+      case Some(cap) =>
+        val keep = index.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+          .select(col("shingle"))
+        index.join(keep, "shingle")
+      case None => index
+    }
+    val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("overlap"))
+  }
+
+  /** Jaccard similarity in basis points (exact integer arithmetic):
+    * 10000*|A∩B| / (|A|+|B|-|A∩B|). Returns pairs ≥ `minBp`. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minBp: Long): DataFrame = {
+    val index = shingleIndex(df, idCol, textCol)
+    val counts = shingleCounts(index)
+    overlapPairs(index)
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard_bp",
+        (col("overlap") * 10000L / (col("n_a") + col("n_b") - col("overlap")))
+          .cast("bigint"))
+      .filter(col("jaccard_bp") >= minBp)
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"),
+        col("n_b"), col("jaccard_bp"))
+  }
+
+  /** Near-dup survivors: documents that are not the greater side of any
+    * pair at ≥ minBp (i.e. keep the smallest doc_id of each near-dup
+    * cluster edge). Anti-join — no state beyond the pair set. */
+  def survivors(df: DataFrame, idCol: String, textCol: String,
+      minBp: Long): DataFrame = {
+    val dupped = jaccardPairs(df, idCol, textCol, minBp)
+      .select(col("doc_b").as("drop_id")).distinct()
+    df.join(dupped, df(idCol) === dupped("drop_id"), "left_anti")
+  }
+
+  /** MinHash signature: k permutation-free min-hashes — sig_i =
+    * min over shingles of md5Hash60(i || ':' || shingle). One explode +
+    * one aggregate; k columns of BIGINT per doc. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val index = shingleIndex(df, idCol, textCol)
+    val aggs = (0 until k).map { i =>
+      min(TextOps.md5Hash60(concat(lit(i.toString), lit(":"), col("shingle"))))
+        .cast("bigint").as(f"sig_$i%02d")
+    }
+    index.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band values: bands of `r` consecutive signature components,
+    * hashed to one 60-bit value each → (doc_id, band_idx, band_hash). */
+  def lshBands(sig: DataFrame, k: Int, r: Int): DataFrame = {
+    require(k % r == 0, s"k=$k must be divisible by band width r=$r")
+    val bands = (0 until k / r).map { b =>
+      val cols = (b * r until (b + 1) * r)
+        .map(i => col(f"sig_$i%02d").cast("string"))
+      struct(lit(b).as("band_idx"),
+        TextOps.md5Hash60(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs from LSH band collisions (a<b, distinct). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, r: Int = 4): DataFrame = {
+    val bands = lshBands(minhashSignature(df, idCol, textCol, k), k, r)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** SimHash-60: weighted majority of per-token hash bits. Tokens hashed
+    * with md5Hash60; bit j of the fingerprint is 1 iff the count-weighted
+    * sum of (bit_j ? +w : -w) over distinct tokens is positive.
+    * Implemented as: token counts → per-token ±w bit vectors (builtin
+    * transform) → element-wise array sum per doc → bit assembly. */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h", TextOps.md5Hash60(col("token")))
+      // SQL >> accepts column shift amounts (the Scala shiftright doesn't)
+      .withColumn("bits", expr(
+        "transform(sequence(0, 59), j -> IF(((h >> j) & 1) = 1, w, -w))"))
+    val zeros = array((0 until 60).map(_ => lit(0L)): _*)
+    tok.groupBy(col("doc_id"))
+      .agg(aggregate(collect_list(col("bits")), zeros,
+        (acc, v) => zip_with(acc, v, (x, y) => x + y)).as("bitsum"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 59), 0L,
+                 (acc, j) -> acc + IF(element_at(bitsum, j + 1) > 0,
+                                      shiftleft(1L, j), 0L))""")
+          .as("simhash"))
+  }
+
+  /** Hamming distance between two 60-bit fingerprints (column form). */
+  def hamming60(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("bigint")
+
+  /** Hamming distance, driver-side form (tests / thresholds). */
+  def hammingDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (baseline) and
+  * sign-LSH bucketed ANN (scale path).
+  *
+  * Cross-engine determinism: floats are quantized once with
+  * floor(x·10⁶) → BIGINT (exact for identical IEEE inputs), dot products
+  * accumulate in integer (associative ⇒ partition-order independent), and
+  * any subsequent double math (sqrt, divide) is IEEE-deterministic given
+  * identical integer inputs. That makes cosine scores hash-comparable
+  * against DuckDB — something raw float accumulation can never guarantee.
+  *
+  * Scale design: brute force is a broadcast nested-loop of Q queries × N
+  * corpus rows — linear in N with Q-way fan-out, the right baseline for
+  * small Q. The LSH path buckets both sides by hyperplane sign bits and
+  * joins on bucket: expected cost N·Q/2^bits, trading recall for fan-out.
+  * For 100 TB corpora the buckets also partition storage (write bucketed
+  * parquet), so queries prune at scan time.
+  */
+object Similarity {
+
+  /** floor(x·10⁶) quantization of a float array → BIGINT array. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000000d).cast("bigint"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine in basis points from a precomputed integer dot
+    * and the two squared norms: floor(10⁴ · dot / (√Σa²·√Σb²)). Norms are
+    * computed once per row, not once per pair. */
+  def cosBpFrom(dot: Column, normSqA: Column, normSqB: Column): Column =
+    floor(dot.cast("double") /
+      (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double"))) * 10000d)
+      .cast("bigint")
+
+  /** Deterministic cosine in basis points of two quantized vectors. */
+  def cosBp(aQ: Column, bQ: Column): Column =
+    cosBpFrom(intDot(aQ, bQ), intDot(aQ, aQ), intDot(bQ, bQ))
+
+  /** Float cosine (double accumulation) — the natural production scorer,
+    * not oracle-hashable (float sums are order-sensitive), verified in
+    * ScalaTest against the quantized variant. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k nearest neighbors by deterministic cosine:
+    * queries (small, broadcast) × corpus (large) → per-query top-k.
+    * Excludes self-pairs; ties broken by vec_id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      quantize(col("embedding")).as("q_vec"))
+      .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosBpFrom(intDot(col("q_vec"), col("n_vec")), col("q_n2"), col("n_n2"))
+          .as("cos_bp"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: weight(table,b,i) derived
+    * from md5 so any engine (or a future re-run) regenerates identically.
+    * Returns nBits × dim doubles in [-1, 1). */
+  def hyperplanes(nBits: Int, dim: Int, table: Int = 0): Array[Array[Double]] = {
+    import java.security.MessageDigest
+    Array.tabulate(nBits, dim) { (b, i) =>
+      val md = MessageDigest.getInstance("MD5")
+        .digest(s"graft-lsh:$table:$b:$i".getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(
+        md.take(7).map(x => f"$x%02x").mkString, 16)
+      (v.toDouble / math.pow(2, 55)) - 1.0
+    }
+  }
+
+  /** Sign-LSH bucket id (0 .. 2^nBits-1) of an embedding column. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (w, b) =>
+      val wLit = array(w.map(lit): _*)
+      val dot = aggregate(sequence(lit(0), lit(w.length - 1)), lit(0d),
+        (acc, i) => acc + element_at(wLit, i + 1) *
+          element_at(vec, i + 1).cast("double"))
+      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("bigint")
+  }
+
+  /** Multi-table sign-LSH bucket assignments: one (table, bucket) row per
+    * input row per table. Collision probability per table for neighbors at
+    * angle θ is (1-θ/π)^nBits; L independent tables lift recall to
+    * 1-(1-p)^L, the standard recall/fan-out dial. */
+  def lshBucketsMulti(df: DataFrame, idCol: String, nBits: Int,
+      nTables: Int, dim: Int = 64): DataFrame = {
+    val buckets = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("embedding"), hyperplanes(nBits, dim, t)).as("bucket"))
+    }
+    df.select(col(idCol), col("embedding"),
+        explode(array(buckets: _*)).as("tb"))
+      .select(col(idCol), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k via multi-table sign-LSH: candidates are rows sharing any
+    * (table, bucket) with the query; scored once per distinct pair.
+    * Recall < 1 by design — measured against bruteForceTopK in the spec. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int = 4, nTables: Int = 8): DataFrame = {
+    val q = lshBucketsMulti(queries, "vec_id", nBits, nTables)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("tbl"), col("bucket"))
+    val c = lshBucketsMulti(corpus, "vec_id", nBits, nTables)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("tbl"), col("bucket"))
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("q_emb"), col("n_emb"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.select(col("q_id"), col("n_id"),
+      cosBp(quantize(col("q_emb")), quantize(col("n_emb"))).as("cos_bp"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) with cosine ≥ minBp.
+    * Brute-force pair generation — swap in LSH candidates beyond ~10⁵
+    * vectors (see minhashCandidates for the same pattern on text). */
+  def nearDupPairs(df: DataFrame, minBp: Long): DataFrame = {
+    val a = df.select(col("vec_id").as("a_id"),
+      quantize(col("embedding")).as("a_vec"))
+      .withColumn("a_n2", intDot(col("a_vec"), col("a_vec")))
+    val b = df.select(col("vec_id").as("b_id"),
+      quantize(col("embedding")).as("b_vec"))
+      .withColumn("b_n2", intDot(col("b_vec"), col("b_vec")))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosBpFrom(intDot(col("a_vec"), col("b_vec")), col("a_n2"), col("b_n2"))
+          .as("cos_bp"))
+      .filter(col("cos_bp") >= minBp)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure per-row Catalyst expression chain (builtin
+  * higher-order functions — codegen'd, no UDFs, no shuffles), so each
+  * operator scales embarrassingly with input partitions. Outputs that feed
+  * the oracle use exact integer arithmetic (basis points) rather than
+  * doubles, making results bit-stable across engines.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a space-separated document. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token 3-gram shingles (the dedup unit: with a tiny vocabulary,
+    * unigrams collide constantly; trigrams discriminate). */
+  def trigrams(text: Column): Column = {
+    val t = tokens(text)
+    // sequence(0, n) descends when n<0 — guard docs under 3 tokens
+    when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+          element_at(t, i + 3))))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish token count: alphabetic runs and single non-space symbols
+    * counted separately (a cheap proxy for subword tokenizer load). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("bigint")
+
+  /** Multiset count of tokens belonging to a marker set. */
+  def markerCount(text: Column, markers: Seq[String]): Column = {
+    val set = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t))).cast("bigint")
+  }
+
+  /** Language-ID heuristic: argmax of per-language marker-token counts with
+    * a deterministic tiebreak (first language in `profiles` wins ties).
+    * Real-world profiles would be char n-gram frequencies; the mechanism —
+    * a per-row score vector + argmax — is identical and shuffle-free.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = profiles.map { case (lang, markers) =>
+      (lang, markerCount(text, markers))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), els) =>
+      when(sc === best && sc > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Default marker profiles (stopwords) for the heuristic. */
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"))
+
+  /** Character count excluding spaces (exact, integer). */
+  def charCount(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("bigint")
+
+  /** Non-alphanumeric, non-space character count (punctuation proxy;
+    * explicit char class so Java and RE2 regex dialects agree). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+      .cast("bigint")
+
+  /** Stopword ratio in basis points: 10000 * stopword_tokens / tokens. */
+  def stopwordRatioBp(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCountWs(text)
+    when(n === 0, lit(0L))
+      .otherwise(markerCount(text, stopwords) * 10000L / n).cast("bigint")
+  }
+
+  /** Mean token length in basis points (10000 * chars / tokens). */
+  def meanTokenLenBp(text: Column): Column = {
+    val n = tokenCountWs(text)
+    when(n === 0, lit(0L)).otherwise(charCount(text) * 10000L / n).cast("bigint")
+  }
+
+  /** Quality score in basis points — a monotone combination of
+    * length, stopword ratio and mean token length, clamped to [0,10000].
+    * Integer arithmetic end-to-end: deterministic across engines.
+    */
+  def qualityScoreBp(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCountWs(text) * 100L, lit(2500L))
+    val stopScore = least(stopwordRatioBp(text, stopwords), lit(2500L))
+    val tokLen = meanTokenLenBp(text)
+    val tokScore = least(greatest(tokLen - 20000L, lit(0L)) / 4L, lit(2500L))
+    val base = lit(2500L)
+    (base + lenScore + stopScore + tokScore).cast("bigint")
+  }
+
+  /** 60-bit deterministic hash of a string: the first 15 hex digits of its
+    * md5, as a BIGINT. Identical in DuckDB as
+    * ('0x' || substring(md5(s),1,15))::BIGINT — the cross-engine base hash
+    * for minhash/simhash. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+  /** Polynomial rolling hash over the characters of a string:
+    * h = fold(chars, h0=0, h -> (h*31 + ascii(ch)) mod 1e9+7).
+    * Builtin `aggregate` higher-order fn — single codegen'd pass. */
+  def rollingHash(text: Column, mod: Long = 1000000007L): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % mod)
+}

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextOps}
+import graft.sources.Tables
+import Det.{big, ordered}
+
+/** Training-data pipeline pack: deduplication, similarity search, and text
+  * analysis over the `documents` / `embeddings` fixtures (north-star
+  * extensions; first-class operators alongside SURVEY.md §2).
+  *
+  * Oracle strategy: all scores are exact integers (basis points) or
+  * md5-derived hashes, so DuckDB reproduces them bit-for-bit; float-native
+  * variants (cosine with double accumulation, simhash) are covered by
+  * ScalaTest instead (rows-only driver check).
+  */
+object TrainQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val enStop = TextOps.defaultProfiles.head._2
+
+  /** Exact dedup: min-id per distinct text + multiplicity. */
+  val op60DedupExact: Q = (s, d) =>
+    ordered(
+      Dedup.exactKeepMin(Tables.documents(s, d), "text", "doc_id"),
+      "keep_id")
+
+  /** N-gram (trigram) Jaccard near-dup pairs at ≥ 70%. */
+  val op61DedupNgram: Q = (s, d) =>
+    ordered(
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 7000L),
+      "doc_a", "doc_b")
+
+  /** MinHash signatures (k=8) — the compressed dedup sketch. */
+  val op62MinhashSig: Q = (s, d) =>
+    ordered(
+      Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8),
+      "doc_id")
+
+  /** MinHash+LSH candidate pairs (k=16, bands of 4). Rows-only driver
+    * check (oracle SQL for 16 mins × band hashing is impractical); the
+    * spec validates candidates ⊇ true near-dups on planted data. */
+  val op63MinhashPairs: Q = (s, d) =>
+    ordered(
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text"),
+      "doc_a", "doc_b")
+
+  /** Near-dup survivors: corpus minus greater-id members of ≥80% pairs. */
+  val op64DedupSurvivors: Q = (s, d) =>
+    ordered(
+      Dedup.survivors(Tables.documents(s, d), "doc_id", "text", 8000L)
+        .select(col("doc_id"), col("lang"), col("source")),
+      "doc_id")
+
+  /** SimHash-60 fingerprints. Rows-only; property-tested in the spec. */
+  val op65Simhash: Q = (s, d) =>
+    ordered(
+      Dedup.simhash60(Tables.documents(s, d), "doc_id", "text"),
+      "doc_id")
+
+  /** Embedding near-duplicate pairs at cosine ≥ 0.95 (deterministic
+    * quantized scoring). */
+  val op66EmbedDup: Q = (s, d) =>
+    ordered(Similarity.nearDupPairs(Tables.embeddings(s, d), 9500L),
+      "a_id", "b_id")
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 8. */
+  val op67KnnBrute: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    ordered(
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 5),
+      "q_id", "rank")
+  }
+
+  /** ANN top-5 via sign-LSH buckets. Rows-only; recall vs brute force is
+    * asserted in the spec. */
+  val op68AnnLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    ordered(
+      Similarity.annTopK(emb.filter(col("vec_id") < 8), emb, 5),
+      "q_id", "rank")
+  }
+
+  /** Language-ID heuristic: marker-count argmax + the score vector. */
+  val op70LangId: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val scored = doc.select(col("doc_id"),
+      TextOps.langId(col("text"), TextOps.defaultProfiles).as("lang_pred"),
+      TextOps.markerCount(col("text"), TextOps.defaultProfiles(0)._2).as("s_en"),
+      TextOps.markerCount(col("text"), TextOps.defaultProfiles(1)._2).as("s_es"),
+      TextOps.markerCount(col("text"), TextOps.defaultProfiles(2)._2).as("s_de"))
+    ordered(scored, "doc_id")
+  }
+
+  /** Quality scoring: token counts (ws + BPE-ish), char/punct counts,
+    * stopword ratio, mean token length, composite score — all integer. */
+  val op71Quality: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    ordered(
+      doc.select(col("doc_id"),
+        TextOps.tokenCountWs(col("text")).as("n_tok_ws"),
+        TextOps.tokenCountBpe(col("text")).as("n_tok_bpe"),
+        TextOps.charCount(col("text")).as("n_chars_nosp"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.stopwordRatioBp(col("text"), enStop).as("stop_bp"),
+        TextOps.meanTokenLenBp(col("text")).as("tok_len_bp"),
+        TextOps.qualityScoreBp(col("text"), enStop).as("quality_bp")),
+      "doc_id")
+  }
+
+  /** Document fingerprints: polynomial rolling hash + md5. */
+  val op73Fingerprint: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    ordered(
+      doc.select(col("doc_id"),
+        TextOps.rollingHash(col("text")).as("roll_hash"),
+        md5(col("text").cast("binary")).as("md5_hash")),
+      "doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "op60_dedup_exact" -> op60DedupExact,
+    "op61_dedup_ngram" -> op61DedupNgram,
+    "op62_minhash_sig" -> op62MinhashSig,
+    "op63_minhash_pairs" -> op63MinhashPairs,
+    "op64_dedup_survivors" -> op64DedupSurvivors,
+    "op65_simhash" -> op65Simhash,
+    "op66_embed_dup" -> op66EmbedDup,
+    "op67_knn_brute" -> op67KnnBrute,
+    "op68_ann_lsh" -> op68AnnLsh,
+    "op70_langid" -> op70LangId,
+    "op71_quality" -> op71Quality,
+    "op73_fingerprint" -> op73Fingerprint,
+  )
+
+  private val trigramSql =
+    """SELECT doc_id, unnest([string_split(text,' ')[i+1] || ' ' ||
+      |       string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
+      |       FOR i IN range(greatest(len(string_split(text,' ')) - 2, 0))]) AS shingle
+      |FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "op60_dedup_exact" ->
+      """SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "op61_dedup_ngram" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(overlap AS BIGINT) AS overlap,
+        |       CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b,
+        |       CAST(overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) AS BIGINT) AS jaccard_bp
+        |FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
+        |        JOIN cnt cb ON ov.doc_b = cb.doc_id
+        |WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "op62_minhash_sig" -> {
+      val sigCols = (0 until 8).map(i =>
+        s"CAST(min(('0x' || substring(md5('$i:' || shingle), 1, 15))::BIGINT) AS BIGINT) AS sig_0$i")
+        .mkString(",\n|       ")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql))
+        |SELECT doc_id,
+        |       $sigCols
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "op64_dedup_survivors" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT doc_b AS drop_id
+        |          FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
+        |                  JOIN cnt cb ON ov.doc_b = cb.doc_id
+        |          WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 8000)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
+    "op66_embed_dup" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |          FOR i IN range(64)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
+        |      FROM q)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+        |              / (sqrt(a.n2) * sqrt(b.n2)) * 10000) AS BIGINT) AS cos_bp
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |WHERE cos_bp >= 9500 ORDER BY a_id, b_id""".stripMargin,
+    "op67_knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |          FOR i IN range(64)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
+        |      FROM q),
+        |scored AS (
+        |  SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
+        |         CAST(floor(CAST(list_sum([qs.v[i+1] * cs.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+        |              / (sqrt(qs.n2) * sqrt(cs.n2)) * 10000) AS BIGINT) AS cos_bp
+        |  FROM n qs, n cs WHERE qs.vec_id < 8 AND qs.vec_id <> cs.vec_id)
+        |SELECT q_id, n_id, cos_bp, rank FROM (
+        |  SELECT q_id, n_id, cos_bp,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "op70_langid" -> {
+      def cntSql(markers: Seq[String]) =
+        s"len(list_filter(string_split(text,' '), x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"
+      val en = cntSql(TextOps.defaultProfiles(0)._2)
+      val es = cntSql(TextOps.defaultProfiles(1)._2)
+      val de = cntSql(TextOps.defaultProfiles(2)._2)
+      s"""WITH s AS (SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang_pred,
+        |  CAST(s_en AS BIGINT) AS s_en, CAST(s_es AS BIGINT) AS s_es,
+        |  CAST(s_de AS BIGINT) AS s_de
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "op71_quality" -> {
+      val stop = enStop.map("'" + _ + "'").mkString(",")
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_ws,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok_bpe,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nosp,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$stop], x))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok_ws, n_tok_bpe, n_chars_nosp, n_punct,
+        |    CASE WHEN n_tok_ws = 0 THEN 0 ELSE n_stop * 10000 // n_tok_ws END AS stop_bp,
+        |    CASE WHEN n_tok_ws = 0 THEN 0 ELSE n_chars_nosp * 10000 // n_tok_ws END AS tok_len_bp
+        |  FROM b)
+        |SELECT doc_id, n_tok_ws, n_tok_bpe, n_chars_nosp, n_punct, stop_bp, tok_len_bp,
+        |  CAST(2500 + least(n_tok_ws * 100, 2500) + least(stop_bp, 2500)
+        |       + least(greatest(tok_len_bp - 20000, 0) // 4, 2500) AS BIGINT) AS quality_bp
+        |FROM r ORDER BY doc_id""".stripMargin
+    },
+    "op73_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), x -> ascii(x)::BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS roll_hash,
+        |  md5(text) AS md5_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextOps}
+
+/** Dedup semantics on planted duplicates (the fixture corpus has near-dups
+  * but no exact dups, so exact-dedup behavior needs planted data). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while spark shuffles data across partitions"
+  private val nearDup = base.replace("lazy", "sleepy") // 1-token edit
+  private val unrelated =
+    "completely different content about database engines and columnar storage formats here"
+
+  private def corpus = Seq(
+    (0L, base), (1L, base), // exact dup pair
+    (2L, nearDup),          // near dup of 0/1
+    (3L, unrelated),
+    (4L, base)              // another exact copy
+  ).toDF("doc_id", "text")
+
+  test("exactKeepMin keeps the smallest id per identical text") {
+    val out = Dedup.exactKeepMin(corpus, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 3L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("jaccardPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 5000L)
+      .select("doc_a", "doc_b", "jaccard_bp").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 1L)) == 10000L) // identical
+    assert(pairs((0L, 4L)) == 10000L)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) >= 5000L) // near dup
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash+LSH candidates cover all high-jaccard pairs (fixture corpus)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 8000L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture corpus should contain planted near-dups")
+    val missed = truth -- cand
+    assert(missed.isEmpty,
+      s"LSH (k=16,r=4) missed ${missed.size}/${truth.size} true pairs: $missed")
+  }
+
+  test("survivors drops the greater id of each ≥80% pair") {
+    val out = Dedup.survivors(corpus, "doc_id", "text", 8000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(0L, 2L, 3L)) // 1 and 4 are dups of 0; 2 survives at 80%
+  }
+
+  test("simhash: near-dups land within small hamming distance; unrelated far") {
+    val fp = Dedup.simhash60(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L)) // identical text, identical fingerprint
+    val near = Dedup.hammingDist(fp(0L), fp(2L))
+    val far = Dedup.hammingDist(fp(0L), fp(3L))
+    assert(near < far, s"near=$near should be < far=$far")
+    assert(near <= 12, s"near-dup hamming too large: $near")
+  }
+
+  test("trigram shingles: under-3-token docs yield empty, not errors") {
+    val tiny = Seq((0L, "one two"), (1L, "a"), (2L, "")).toDF("doc_id", "text")
+    val out = tiny.select(size(TextOps.trigrams(col("text"))).as("n"))
+      .as[Int].collect()
+    assert(out.forall(_ == 0))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Similarity-search semantics: float-vs-quantized scorer agreement,
+  * brute-force correctness, ANN recall, approx-distinct error bounds. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantized cosine agrees with float cosine within 2bp") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b"))
+    val both = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(
+        Similarity.cosBp(Similarity.quantize(col("a")),
+          Similarity.quantize(col("b"))).as("q_bp"),
+        (Similarity.cosine(col("a"), col("b")) * 10000d).as("f_bp"))
+    val maxErr = both.select(max(abs(col("q_bp") - col("f_bp")))).as[Double].first()
+    assert(maxErr <= 2.0, s"quantization error too large: $maxErr bp")
+  }
+
+  test("brute-force top-k matches a driver-side reference computation") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val xi = x.map(v => math.floor(v.toDouble * 1e6).toLong)
+      val yi = y.map(v => math.floor(v.toDouble * 1e6).toLong)
+      val dot = xi.zip(yi).map { case (p, q) => p * q }.sum.toDouble
+      dot / (math.sqrt(xi.map(v => v * v).sum.toDouble) *
+        math.sqrt(yi.map(v => v * v).sum.toDouble))
+    }
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 5)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (0L until 3L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (q, n, math.floor(cos(vecs(q), vecs(n)) * 10000).toLong))
+        .sortBy { case (_, n, bp) => (-bp, n) }
+        .take(5)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("ANN (multi-table sign-LSH) reaches ≥50% recall@5 vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 32)
+    val truth = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(queries, emb, 5, nBits = 4, nTables = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    // random embeddings are LSH's worst case (neighbors at cos≈0.5):
+    // p/table=(1-θ/π)^4≈0.2, 8 tables → expected recall ≈ 0.8
+    assert(recall >= 0.5, s"ANN recall@5 too low: $recall")
+  }
+
+  test("approx_count_distinct (op42) lands within 5% of exact") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].first()
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02))
+      .as[Long].first()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
