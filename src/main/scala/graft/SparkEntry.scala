@@ -12,11 +12,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.StediQueries.defs ++
     graft.queries.RelationalQueries.defs ++
-    graft.queries.TrainQueries.defs
+    graft.queries.TrainQueries.defs ++
+    graft.queries.StreamQueries.defs ++
+    graft.queries.MultimodalQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.StediQueries.oracle ++
     graft.queries.RelationalQueries.oracle ++
-    graft.queries.TrainQueries.oracle
+    graft.queries.TrainQueries.oracle ++
+    graft.queries.StreamQueries.oracle ++
+    graft.queries.MultimodalQueries.oracle
 }

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Multimodal
+import Det.{big, ordered}
+
+/** Multimodal plumbing surface: binary payload columns + typed metadata,
+  * batched stub decode, frame sampling. The oracles independently
+  * recompute the deterministic fake decode (byte histogram) in SQL,
+  * proving the partition-batched Scala path end-to-end. */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** OP-80: decode features (batched mapPartitions) → exact witnesses. */
+  val op80Features: Q = (s, d) =>
+    ordered(Multimodal.featureTable(s, d), "doc_id")
+
+  /** OP-81: frame sampling — per-frame byte counts (exact integers). */
+  val op81Frames: Q = (s, d) => {
+    import s.implicits._
+    ordered(
+      Multimodal.sampleFrames(Multimodal.synthesize(s, d), 4)
+        .toDF()
+        .select(col("doc_id"), big(col("frame_idx")).as("frame_idx"),
+          big(length(col("frame"))).as("frame_bytes")),
+      "doc_id", "frame_idx")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "op80_media_decode" -> op80Features,
+    "op81_media_frames" -> op81Frames,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "op80_media_decode" ->
+      """WITH bytes AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |hist AS (
+        |  SELECT doc_id, ascii(ch) % 32 AS bin, count(*) AS cnt
+        |  FROM bytes GROUP BY 1, 2),
+        |quant AS (
+        |  SELECT h.doc_id,
+        |         CAST(floor(CAST(CAST(h.cnt AS FLOAT) / CAST(length(d.text) AS FLOAT) AS DOUBLE)
+        |              * 1000000) AS BIGINT) AS q
+        |  FROM hist h JOIN documents d USING (doc_id))
+        |SELECT d.doc_id,
+        |       ['png', 'jpeg', 'wav'][CAST(d.doc_id % 3 AS INT) + 1] AS format,
+        |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |       CAST(coalesce(qs.s, 0) AS BIGINT) AS feat_sum_q
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, sum(q) AS s FROM quant GROUP BY doc_id) qs
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "op81_media_frames" ->
+      """SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |       CAST((k + 1) * length(text) // 4 - k * length(text) // 4 AS BIGINT) AS frame_bytes
+        |FROM documents, unnest([0, 1, 2, 3]) AS t(k)
+        |WHERE length(text) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.WindowOps
+import Det.ordered
+
+/** Event-time windowing queries (OP-51/52/53 batch-checkable surface).
+  * op51 executes through a genuine Structured Streaming query (file
+  * source → watermark → memory sink); the rest are the batch twins of the
+  * same operators. All oracles replicate window assignment arithmetic in
+  * DuckDB on epoch microseconds (exact integers).
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** OP-51: watermarked tumbling agg via a real streaming execution. */
+  val op51Streamed: Q = (s, d) =>
+    ordered(WindowOps.streamedTumbling(s, d), "w_start", "event_type")
+
+  /** OP-52: tumbling window (1 hour) — batch twin. */
+  val op52Tumbling: Q = (s, d) =>
+    ordered(WindowOps.tumblingCounts(Tables.events(s, d), "1 hour"),
+      "w_start", "event_type")
+
+  /** OP-52: sliding window (10 min width, 5 min slide) — each event lands
+    * in exactly two windows. */
+  val op52Sliding: Q = (s, d) =>
+    ordered(WindowOps.slidingCounts(Tables.events(s, d), "10 minutes", "5 minutes"),
+      "w_start", "event_type")
+
+  /** OP-53: session windows (30 min gap) per user — batch twin of the
+    * stateful sessionization. */
+  val op53Session: Q = (s, d) =>
+    ordered(WindowOps.sessionAgg(Tables.events(s, d), "30 minutes"),
+      "user_id", "session_start")
+
+  val defs: Map[String, Q] = Map(
+    "op51_stream_watermark" -> op51Streamed,
+    "op52_window_tumbling" -> op52Tumbling,
+    "op52_window_sliding" -> op52Sliding,
+    "op53_window_session" -> op53Session,
+  )
+
+  private val tumblingSql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+      |       event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value) AS DECIMAL(18,4)) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "op51_stream_watermark" -> tumblingSql,
+    "op52_window_tumbling" -> tumblingSql,
+    "op52_window_sliding" ->
+      """WITH shifted AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - (epoch_us(ts) % 300000000) - k * 300000000 AS w_us
+        |  FROM events, unnest([0, 1]) AS t(k))
+        |SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM shifted GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "op53_window_session" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(value) AS DECIMAL(18,4)) AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.pipeline.Stedi
+import graft.streaming.Sessionize
+
+/** Streaming semantics through MemoryStream → memory sink: the reference
+  * pipelines as actual streaming queries, watermark late-data dropping,
+  * stream-stream join, and custom stateful sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def redisFrame(name: String, email: String, birthDay: String): String =
+    s"""{"key":"Q3VzdG9tZXI=","existType":"NONE","Ch":false,"Incr":false,"zSetEntries":[{"element":"${b64(
+      s"""{"customerName":"$name","email":"$email","phone":"555","birthDay":"$birthDay"}""")}","score":0.0}]}"""
+
+  test("job B streaming: redis frames → (email, birthYear) through memory sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Stedi.emailAndBirthYear(in.toDF().withColumnRenamed("value", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jobb_out").start()
+    in.addData(redisFrame("Trevor Phillips", "trevor@test.com", "1939-05-01"))
+    q.processAllAvailable()
+    in.addData(redisFrame("Travis Mitra", "travis@test.com", "1965-09-12"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("jobb_out").as[(String, String)].collect().toSet
+    assert(out == Set(("trevor@test.com", "1939"), ("travis@test.com", "1965")))
+  }
+
+  test("job A streaming: stream-stream inner join emits only matched pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val customers = MemoryStream[String]
+    val risks = MemoryStream[String]
+    val joined = Stedi.joinRisk(
+      Stedi.parseRiskEventsFull(risks.toDF()),
+      Stedi.decodeCustomers(customers.toDF()))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("joba_out").start()
+    customers.addData(redisFrame("S F", "santosh@test.com", "1963-01-01"))
+    q.processAllAvailable()
+    // risk event arrives AFTER the customer: symmetric-hash state matches it
+    risks.addData("""{"customer":"santosh@test.com","score":"28.5","riskDate":"2020-09-15T00:00:00Z"}""")
+    risks.addData("""{"customer":"unknown@test.com","score":"1.0","riskDate":"2020-09-15T00:00:00Z"}""")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("joba_out")
+      .select("customer", "score", "email", "birthYear")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(out == Seq(("santosh@test.com", "28.5", "santosh@test.com", "1963")))
+  }
+
+  test("watermark drops late rows in append-mode windowed aggregation (OP-51)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val events = in.toDF().toDF("ts_str", "value")
+      .select(col("ts_str").cast("timestamp").as("ts"), col("value"))
+    val agg = events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "HH:mm").as("w_start"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    in.addData(("2024-01-01 10:01:00", 1.0), ("2024-01-01 10:02:00", 1.0))
+    q.processAllAvailable()
+    // advance watermark far beyond the 10:00 window: it finalizes
+    in.addData(("2024-01-01 11:00:00", 1.0))
+    q.processAllAvailable()
+    // this row is older than watermark (11:00 - 10min) → dropped
+    in.addData(("2024-01-01 10:03:00", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_out").as[(String, Long)].collect().toMap
+    assert(out("10:00") == 2L, s"late row must not be counted: $out")
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap (OP-53)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(in.toDS(), gapMs = 60000)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    in.addData(Sessionize.Event(1L, 0L, 1.0), Sessionize.Event(1L, 30000L, 2.0))
+    q.processAllAvailable()
+    // 5 minutes later: previous session closes, new one opens
+    in.addData(Sessionize.Event(1L, 330000L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").as[Sessionize.Session].collect().toSeq
+    assert(out == Seq(Sessionize.Session(1L, 0L, 30000L, 2L, 3.0)))
+  }
+
+  test("op51 streamed tumbling equals the batch twin on a full replay") {
+    val streamed = graft.streaming.WindowOps.streamedTumbling(spark, sfDir)
+      .orderBy("w_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.streaming.WindowOps
+      .tumblingCounts(graft.sources.Tables.events(spark, sfDir), "1 hour")
+      .orderBy("w_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+}
