@@ -29,10 +29,14 @@ object Dedup {
       .agg(min(col(idCol)).cast("bigint").as("keep_id"),
            count(lit(1)).cast("bigint").as("n_copies"))
 
-  /** Distinct (doc, shingle) inverted-index table. */
+  /** Distinct (doc, shingle) inverted-index table. Tokens are projected
+    * once below the explode so the trigram lambda reads a materialized
+    * array instead of re-splitting the text per element. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(TextOps.trigrams(col(textCol))).as("shingle"))
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.trigramsOfTokens(col("toks"))).as("shingle"))
       .distinct()
 
   /** Shingle-count per document (distinct shingles). */
@@ -63,7 +67,10 @@ object Dedup {
     * 10000*|A∩B| / (|A|+|B|-|A∩B|). Returns pairs ≥ `minBp`. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minBp: Long): DataFrame = {
-    val index = shingleIndex(df, idCol, textCol)
+    // the distinct index is small (≪ corpus: one row per distinct
+    // doc-shingle pair) and consumed 4× (self-join sides + two count
+    // joins) — materialize once instead of recomputing the explode chain
+    val index = shingleIndex(df, idCol, textCol).localCheckpoint()
     val counts = shingleCounts(index)
     overlapPairs(index)
       .join(counts.withColumnRenamed("doc_id", "doc_a")
@@ -119,7 +126,9 @@ object Dedup {
   /** Candidate pairs from LSH band collisions (a<b, distinct). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, r: Int = 4): DataFrame = {
+    // band table is tiny (docs × k/r rows) and self-joined — materialize
     val bands = lshBands(minhashSignature(df, idCol, textCol, k), k, r)
+      .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
     a.join(b, Seq("band_idx", "band_hash"))

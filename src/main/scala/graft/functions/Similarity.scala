@@ -27,9 +27,15 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000000d).cast("bigint"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — a custom
+    * codegen'd Catalyst expression (graft.expressions.LongArrayDot); the
+    * builtin aggregate(zip_with(...)) spelling interprets two lambdas and
+    * allocates per pair, which dominates all-pairs scans. */
+  def intDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.LongArrayDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Deterministic cosine in basis points from a precomputed integer dot
     * and the two squared norms: floor(10⁴ · dot / (√Σa²·√Σb²)). Norms are

@@ -19,14 +19,19 @@ object TextOps {
 
   /** Token 3-gram shingles (the dedup unit: with a tiny vocabulary,
     * unigrams collide constantly; trigrams discriminate). */
-  def trigrams(text: Column): Column = {
-    val t = tokens(text)
+  def trigrams(text: Column): Column = trigramsOfTokens(tokens(text))
+
+  /** Trigrams from a pre-split token array column. Callers on hot paths
+    * should project the token array FIRST and pass the attribute here —
+    * a lambda over `split(text)` re-runs the split on every element
+    * access (3 splits × ~n trigrams per doc), which dominated the dedup
+    * benchmark before this was hoisted. */
+  def trigramsOfTokens(t: Column): Column =
     // sequence(0, n) descends when n<0 — guard docs under 3 tokens
     when(size(t) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(t) - 3),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
           element_at(t, i + 3))))
-  }
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text)).cast("bigint")
