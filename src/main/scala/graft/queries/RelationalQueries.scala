@@ -171,6 +171,22 @@ object RelationalQueries {
       "gid", "status", "priority")
   }
 
+  /** OP-43 cube: the full grouping lattice (4 cells) over the same keys. */
+  val op43Cube: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    ordered(
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(big(grouping_id()).as("gid"),
+             big(count(lit(1))).as("n_orders"),
+             dec4(avg(col("o_totalprice"))).as("avg_price"))
+        .select(
+          col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("avg_price")),
+      "gid", "status", "priority")
+  }
+
   // -------------------------------------------------------------- windows
 
   /** OP-44 ranking window functions: top-5 customers by balance within
@@ -337,6 +353,7 @@ object RelationalQueries {
     "op41_distinct" -> op41Distinct,
     "op42_approx_distinct" -> op42ApproxDistinct,
     "op43_rollup" -> op43Rollup,
+    "op43_cube" -> op43Cube,
     "op44_window_rank" -> op44WindowRank,
     "op45_window_analytic" -> op45WindowAnalytic,
     "op46_topk" -> op46TopK,
@@ -414,6 +431,14 @@ object RelationalQueries {
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(o_totalprice) AS DECIMAL(18,4)) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    "op43_cube" ->
+      """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(avg(o_totalprice) AS DECIMAL(18,4)) AS avg_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
     "op44_window_rank" ->
       """SELECT * FROM (
