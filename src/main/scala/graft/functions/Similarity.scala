@@ -109,6 +109,29 @@ object Similarity {
     bits.reduce(_ + _).cast("bigint")
   }
 
+  /** Brute-force top-k via the bounded TopKAgg aggregate instead of a
+    * window: map-side partials trim to k, so the shuffle moves k rows per
+    * (query, partition) instead of every scored pair — the scale path for
+    * large corpora (see TopKAgg). Output is identical to bruteForceTopK. */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      quantize(col("embedding")).as("q_vec"))
+      .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosBpFrom(intDot(col("q_vec"), col("n_vec")), col("q_n2"), col("n_n2"))
+          .as("cos_bp"))
+    scored.groupBy(col("q_id"))
+      .agg(TopKAgg.topK(k)(col("cos_bp"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"),
+        col("t.score").as("cos_bp"), (col("pos") + 1).cast("bigint").as("rank"))
+  }
+
   /** Multi-table sign-LSH bucket assignments: one (table, bucket) row per
     * input row per table. Collision probability per table for neighbors at
     * angle θ is (1-θ/π)^nBits; L independent tables lift recall to

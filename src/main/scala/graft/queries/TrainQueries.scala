@@ -74,6 +74,15 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** Brute-force top-5 via the bounded TopKAgg custom aggregate — same
+    * result as op67, shuffle bounded by k per partition (scale path). */
+  val op67KnnTopKAgg: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    ordered(
+      Similarity.bruteForceTopKAgg(emb.filter(col("vec_id") < 8), emb, 5),
+      "q_id", "rank")
+  }
+
   /** ANN top-5 via sign-LSH buckets. Rows-only; recall vs brute force is
     * asserted in the spec. */
   val op68AnnLsh: Q = (s, d) => {
@@ -129,6 +138,7 @@ object TrainQueries {
     "op65_simhash" -> op65Simhash,
     "op66_embed_dup" -> op66EmbedDup,
     "op67_knn_brute" -> op67KnnBrute,
+    "op67_knn_topk_agg" -> op67KnnTopKAgg,
     "op68_ann_lsh" -> op68AnnLsh,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
@@ -140,6 +150,26 @@ object TrainQueries {
       |       string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
       |       FOR i IN range(greatest(len(string_split(text,' ')) - 2, 0))]) AS shingle
       |FROM documents""".stripMargin
+
+  private val knnBruteSql =
+    """WITH q AS (
+        |  SELECT vec_id,
+        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |          FOR i IN range(64)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
+        |      FROM q),
+        |scored AS (
+        |  SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
+        |         CAST(floor(CAST(list_sum([qs.v[i+1] * cs.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+        |              / (sqrt(qs.n2) * sqrt(cs.n2)) * 10000) AS BIGINT) AS cos_bp
+        |  FROM n qs, n cs WHERE qs.vec_id < 8 AND qs.vec_id <> cs.vec_id)
+        |SELECT q_id, n_id, cos_bp, rank FROM (
+        |  SELECT q_id, n_id, cos_bp,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "op60_dedup_exact" ->
@@ -196,25 +226,8 @@ object TrainQueries {
         |              / (sqrt(a.n2) * sqrt(b.n2)) * 10000) AS BIGINT) AS cos_bp
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |WHERE cos_bp >= 9500 ORDER BY a_id, b_id""".stripMargin,
-    "op67_knn_brute" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-        |          FOR i IN range(64)] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
-        |      FROM q),
-        |scored AS (
-        |  SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
-        |         CAST(floor(CAST(list_sum([qs.v[i+1] * cs.v[i+1] FOR i IN range(64)]) AS DOUBLE)
-        |              / (sqrt(qs.n2) * sqrt(cs.n2)) * 10000) AS BIGINT) AS cos_bp
-        |  FROM n qs, n cs WHERE qs.vec_id < 8 AND qs.vec_id <> cs.vec_id)
-        |SELECT q_id, n_id, cos_bp, rank FROM (
-        |  SELECT q_id, n_id, cos_bp,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "op67_knn_topk_agg" -> knnBruteSql,
+    "op67_knn_brute" -> knnBruteSql,
     "op70_langid" -> {
       def cntSql(markers: Seq[String]) =
         s"len(list_filter(string_split(text,' '), x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+import graft.ops.Decode
+import graft.sources.Tables
+
+/** Optimizer-rule and custom-aggregate semantics. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EliminateBase64RoundTrip removes the codec pair without changing results") {
+    // parquet-backed column: a literal LocalRelation would be constant-
+    // folded away before the rule could ever see the codec pair
+    val df = Tables.documents(spark, sfDir).limit(10).select(col("text").as("s"))
+    val roundTrip = df.select(col("s"),
+      Decode.decodeBase64(Decode.encodeBase64(col("s"))).as("r"))
+
+    val before = roundTrip.queryExecution.optimizedPlan.toString
+    assert(before.contains("unbase64"), s"expected codec pair in plan:\n$before")
+
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    castToImpl(spark).experimental.extraOptimizations =
+      Seq(graft.plans.EliminateBase64RoundTrip)
+    try {
+      val optimized = df.select(col("s"),
+        Decode.decodeBase64(Decode.encodeBase64(col("s"))).as("r"))
+      val after = optimized.queryExecution.optimizedPlan.toString
+      assert(!after.contains("unbase64"), s"codec pair should be gone:\n$after")
+      // results identical to the unoptimized run
+      assert(optimized.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        roundTrip.collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+    } finally {
+      castToImpl(spark).experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("TopKAgg brute-force equals the window-function spelling") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val viaWindow = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 5)
+      .select("q_id", "n_id", "cos_bp", "rank")
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val viaAgg = Similarity.bruteForceTopKAgg(emb.filter(col("vec_id") < 8), emb, 5)
+      .select("q_id", "n_id", "cos_bp", "rank")
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("TopKAgg handles ties, short groups, and k > group size") {
+    val df = Seq(
+      (1L, 100L, 7L), (1L, 100L, 3L), (1L, 90L, 1L), // tie on score → id asc
+      (2L, 5L, 9L))                                   // group smaller than k
+      .toDF("g", "score", "id")
+    val out = df.groupBy(col("g"))
+      .agg(graft.functions.TopKAgg.topK(3)(col("score"), col("id")).as("top"))
+      .select(col("g"), col("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    assert(out(1L) == Seq((100L, 3L), (100L, 7L), (90L, 1L)))
+    assert(out(2L) == Seq((5L, 9L)))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{Dedup, Similarity, TextOps}
+import graft.ops.Decode
+
+/** ScalaCheck property tests (SURVEY.md §5.2 item 4), run through the
+  * raw scalacheck runner (no scalatest bridge in the dependency set).
+  * Spark round-trips are checked in batched form: one DataFrame per
+  * property evaluation would be 100 Spark jobs, so each property gathers
+  * its samples and asserts on a single collect. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val asciiGen: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, Gen.asciiPrintableChar))
+  private val unicodeGen: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.stringOfN(n, Gen.asciiPrintableChar))
+      .map(_ + "π✓")
+
+  test("property: driver-side base64 semantics match Spark's (sampled batch)") {
+    // gather deterministic samples from the generators, evaluate in one job
+    val seed = org.scalacheck.rng.Seed(42L)
+    val samples = Iterator.iterate(seed)(_.next).take(100)
+      .flatMap(s => asciiGen.apply(Gen.Parameters.default, s))
+      .toSeq.distinct
+    val got = samples.toDF("s").select(col("s"),
+      Decode.decodeBase64(Decode.encodeBase64(col("s"))).as("r"),
+      Decode.encodeBase64(col("s")).as("enc")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      // Spark's base64 chunks at 76 chars (MIME style, \n separators);
+      // strip chunking before comparing with the JDK's RFC 4648 encoder.
+      // This is also why oracle SQL must never compare full base64 output
+      // against DuckDB's unchunked to_base64 (op15 compares a prefix).
+      val jdk = java.util.Base64.getEncoder
+        .encodeToString(r.getString(0).getBytes("UTF-8"))
+      assert(r.getString(2).replaceAll("[\\r\\n]", "") == jdk,
+        s"Spark base64 != JDK for ${r.getString(0)}")
+    }
+  }
+
+  test("property: rolling hash stays in [0, mod) and composes incrementally") {
+    check("rollingHash", Prop.forAll(asciiGen, asciiGen) { (a, b) =>
+      val mod = 1000000007L
+      def h(init: Long, t: String) =
+        t.foldLeft(init)((acc, c) => (acc * 31 + c.toInt) % mod)
+      val full = h(0L, a + b)
+      // rolling property: hash of the concatenation = resume from h(a)
+      full == h(h(0L, a), b) && full >= 0 && full < mod
+    })
+  }
+
+  test("property: jaccard_bp bounds and symmetry on generated token docs") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val seed = org.scalacheck.rng.Seed(7L)
+    val docs = Iterator.iterate(seed)(_.next).take(40)
+      .flatMap(s => docGen.apply(Gen.Parameters.default, s)).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val pairs = Dedup.jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 0L)
+      .collect()
+    pairs.foreach { r =>
+      val (a, b, overlap, na, nb, bp) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b)
+      assert(bp >= 0 && bp <= 10000)
+      assert(overlap <= math.min(na, nb))
+      assert(bp == overlap * 10000 / (na + nb - overlap))
+    }
+  }
+
+  test("property: quantized cosine is symmetric and bounded") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(30)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val both = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(
+        Similarity.cosBp(Similarity.quantize(col("ea")),
+          Similarity.quantize(col("eb"))).as("ab"),
+        Similarity.cosBp(Similarity.quantize(col("eb")),
+          Similarity.quantize(col("ea"))).as("ba"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "cosine must be symmetric")
+      assert(r.getLong(0) >= -10001 && r.getLong(0) <= 10000)
+    }
+  }
+
+  test("property: simhash of identical text is identical; tokens permuted ≠ guaranteed") {
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e f"), (2L, "f e d c b a"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash60(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    // bag-of-words model: permutation-invariant by design
+    assert(fp(0L) == fp(2L))
+  }
+}
