@@ -153,6 +153,33 @@ object RelationalQueries {
       "l_returnflag")
   }
 
+  /** OP-40 statistical aggregates: stddev/variance/correlation/covariance.
+    * Welford-style single-pass accumulators merge in partition order; the
+    * 4-decimal fixed-point output absorbs the ~1e-11 relative float drift. */
+  val op40Stats: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    ordered(
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          dec4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          dec4(var_samp(col("l_quantity"))).as("var_qty"),
+          dec4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          dec4(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qd"),
+          big(count(lit(1))).as("n")),
+      "l_returnflag")
+  }
+
+  /** OP-41 ordered string aggregation: deterministic listagg per group
+    * (sorted before concatenation on both engines). */
+  val op41StringAgg: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    ordered(
+      n.groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations")),
+      "n_regionkey")
+  }
+
   /** OP-43 rollup with grouping_id: subtotal lattice over
     * (o_orderstatus, o_orderpriority); null lattice cells disambiguated by
     * grouping_id and coalesced to 'ALL' so sort keys stay non-null. */
@@ -185,6 +212,33 @@ object RelationalQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n_orders"), col("avg_price")),
       "gid", "status", "priority")
+  }
+
+  /** OP-43 pivot: long→wide reshape with explicit pivot values (explicit
+    * values keep the plan static — no driver-side distinct scan). */
+  val op43Pivot: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val p = o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    ordered(
+      p.select(col("o_orderpriority"),
+        big(coalesce(col("F"), lit(0L))).as("n_f"),
+        big(coalesce(col("O"), lit(0L))).as("n_o"),
+        big(coalesce(col("P"), lit(0L))).as("n_p")),
+      "o_orderpriority")
+  }
+
+  /** OP-40 salted two-phase aggregation (skew path): identical result to
+    * the direct groupBy — checked against the plain-SQL oracle. */
+  val op40Salted: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    ordered(
+      graft.ops.Skew.saltedSumCount(li, "l_orderkey", 8,
+          Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"),
+          dec4(col("sum_l_quantity")).as("sum_qty"), col("n")),
+      "l_returnflag")
   }
 
   // -------------------------------------------------------------- windows
@@ -221,6 +275,34 @@ object RelationalQueries {
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .as("running_total")),
       "o_custkey", "o_orderkey")
+  }
+
+  /** OP-44 distribution window functions: ntile/percent_rank/cume_dist. */
+  val op44WindowDist: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    ordered(
+      c.select(col("c_mktsegment"), col("c_custkey"),
+          big(ntile(4).over(w)).as("quartile"),
+          dec4(percent_rank().over(w)).as("pct_rank"),
+          dec4(cume_dist().over(w)).as("cume")),
+      "c_mktsegment", "c_custkey")
+  }
+
+  /** OP-46 exact percentiles (linear interpolation on the sorted set) —
+    * quantile_cont semantics, identical interpolation arithmetic on both
+    * engines given identical sorted inputs. */
+  val op46Percentile: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    ordered(
+      o.groupBy(col("o_orderstatus"))
+        .agg(
+          dec4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+          dec4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+          dec4(expr("percentile(o_totalprice, 0.99)")).as("p99"),
+          big(count(lit(1))).as("n")),
+      "o_orderstatus")
   }
 
   /** OP-46 global top-k: ORDER BY … LIMIT k plans TakeOrderedAndProject —
@@ -350,6 +432,12 @@ object RelationalQueries {
     "op34_join_range" -> op34RangeJoin,
     "op35_join_cross" -> op35CrossJoin,
     "op40_agg" -> op40Agg,
+    "op40_stats" -> op40Stats,
+    "op40_salted" -> op40Salted,
+    "op41_stringagg" -> op41StringAgg,
+    "op43_pivot" -> op43Pivot,
+    "op44_window_dist" -> op44WindowDist,
+    "op46_percentile" -> op46Percentile,
     "op41_distinct" -> op41Distinct,
     "op42_approx_distinct" -> op42ApproxDistinct,
     "op43_rollup" -> op43Rollup,
@@ -420,6 +508,42 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "op40_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(stddev_samp(l_quantity) AS DECIMAL(18,4)) AS sd_qty,
+        |  CAST(var_samp(l_quantity) AS DECIMAL(18,4)) AS var_qty,
+        |  CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,4)) AS corr_qp,
+        |  CAST(covar_samp(l_quantity, l_discount) AS DECIMAL(18,4)) AS covar_qd,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "op40_salted" ->
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS DECIMAL(18,4)) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "op41_stringagg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "op43_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "op44_window_dist" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(percent_rank() OVER w AS DECIMAL(18,4)) AS pct_rank,
+        |  CAST(cume_dist() OVER w AS DECIMAL(18,4)) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "op46_percentile" ->
+      """SELECT o_orderstatus,
+        |  CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) AS p50,
+        |  CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,4)) AS p90,
+        |  CAST(quantile_cont(o_totalprice, 0.99) AS DECIMAL(18,4)) AS p99,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "op41_distinct" ->
       """SELECT c_nationkey, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
         |       CAST(count(*) AS BIGINT) AS n_customers
