@@ -14,6 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up scan + shuffle + codegen paths so the first timed query
+    // doesn't absorb JVM/session initialization
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -123,11 +123,31 @@ object Dedup {
         col("band.band_hash").as("band_hash"))
   }
 
+  /** MinHash signature via the Kirsch-Mitzenmacher construction: ONE md5
+    * per shingle yields two 30-bit halves (h1, h2); permutation i is the
+    * affine combination (h1·(2i+1) + h2) mod 2^31. Hashing cost per
+    * shingle is constant in k (the per-permutation-md5 spelling above
+    * costs k md5s per shingle — 16× the work at k=16). Same md5-derived
+    * reproducibility; used where no cross-engine SQL oracle is required.
+    */
+  def minhashSignatureFast(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val index = shingleIndex(df, idCol, textCol)
+      .withColumn("h", TextOps.md5Hash60(col("shingle")))
+      .withColumn("h1", (col("h") % 1073741824L).cast("bigint"))
+      .withColumn("h2", expr("(h div 1073741824) % 1073741824"))
+    val aggs = (0 until k).map { i =>
+      min((col("h1") * (2 * i + 1) + col("h2")) % 2147483648L)
+        .cast("bigint").as(f"sig_$i%02d")
+    }
+    index.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Candidate pairs from LSH band collisions (a<b, distinct). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, r: Int = 4): DataFrame = {
     // band table is tiny (docs × k/r rows) and self-joined — materialize
-    val bands = lshBands(minhashSignature(df, idCol, textCol, k), k, r)
+    val bands = lshBands(minhashSignatureFast(df, idCol, textCol, k), k, r)
       .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))

@@ -135,17 +135,17 @@ object Similarity {
   /** Multi-table sign-LSH bucket assignments: one (table, bucket) row per
     * input row per table. Collision probability per table for neighbors at
     * angle θ is (1-θ/π)^nBits; L independent tables lift recall to
-    * 1-(1-p)^L, the standard recall/fan-out dial. */
+    * 1-(1-p)^L, the standard recall/fan-out dial. All tables' buckets are
+    * computed in one pass by the SignLshBuckets expression. */
   def lshBucketsMulti(df: DataFrame, idCol: String, nBits: Int,
       nTables: Int, dim: Int = 64): DataFrame = {
-    val buckets = (0 until nTables).map { t =>
-      struct(lit(t).as("tbl"),
-        lshBucket(col("embedding"), hyperplanes(nBits, dim, t)).as("bucket"))
-    }
-    df.select(col(idCol), col("embedding"),
-        explode(array(buckets: _*)).as("tb"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val planes = Array.tabulate(nTables)(t => hyperplanes(nBits, dim, t))
+    val bucketsCol = ColumnBridge.column(graft.expressions.SignLshBuckets(
+      ColumnBridge.expression(col("embedding")), planes))
+    df.select(col(idCol), col("embedding"), bucketsCol.as("buckets"))
       .select(col(idCol), col("embedding"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
   }
 
   /** ANN top-k via multi-table sign-LSH: candidates are rows sharing any
