@@ -37,7 +37,26 @@ object StreamQueries {
     ordered(WindowOps.sessionAgg(Tables.events(s, d), "30 minutes"),
       "user_id", "session_start")
 
+  /** OP-36 as-of join: each purchase enriched with the user's most recent
+    * signup at-or-before it (point-in-time lookup; see ops/AsOf). Oracle:
+    * DuckDB's native ASOF JOIN. */
+  val op36AsOf: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value"))
+    val joined = graft.ops.AsOf.join(purchases, signups,
+      key = "user_id", time = "ts", payload = Seq("value"))
+    ordered(
+      joined.select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
+        col("asof_value").cast("decimal(18,4)").as("signup_value")),
+      "event_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op36_asof_join" -> op36AsOf,
     "op51_stream_watermark" -> op51Streamed,
     "op52_window_tumbling" -> op52Tumbling,
     "op52_window_sliding" -> op52Sliding,
@@ -51,6 +70,15 @@ object StreamQueries {
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "op36_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t,
+        |       CAST(s.value AS DECIMAL(18,4)) AS signup_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY event_id""".stripMargin,
     "op51_stream_watermark" -> tumblingSql,
     "op52_window_tumbling" -> tumblingSql,
     "op52_window_sliding" ->
