@@ -85,6 +85,62 @@ object Dedup {
         col("n_b"), col("jaccard_bp"))
   }
 
+  /** Exact Jaccard pairs via prefix filtering (ppjoin-style): under a
+    * global rarest-first shingle order, two sets with jaccard ≥ τ must
+    * share an element within their (n - ⌈τ·n⌉ + 1)-prefixes — so only
+    * prefix collisions generate candidates, and the full overlap is then
+    * computed for candidates only. Exactly equal to [[jaccardPairs]]
+    * (same oracle), but candidate volume follows the similar-pair count
+    * instead of the shared-shingle count: the scale path for large
+    * corpora where even the inverted-index join blows up.
+    *
+    * Measured crossover: at sf0.1 (5k docs, ~2.8M shared-shingle rows)
+    * the baseline is ~2× FASTER — the prefix machinery (doc-frequency
+    * join, per-doc window, candidate-restricted overlap) only pays once
+    * the shared-shingle join dominates. Pick per corpus statistics.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      minBp: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = shingleIndex(df, idCol, textCol).localCheckpoint()
+    val counts = shingleCounts(index)
+    val dfreq = index.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    // rarest-first global order; tiebreak on shingle for determinism
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = index
+      .join(dfreq, "shingle")
+      .join(counts, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      // t = ⌈τ·n⌉ in integer arithmetic; prefix keeps n - t + 1 shingles
+      .withColumn("t", expr(s"(n_sh * $minBp + 9999) div 10000"))
+      .filter(col("rn") <= col("n_sh") - col("t") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val pa = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+    val pb = prefix.select(col("doc_id").as("doc_b"), col("shingle"))
+    val cand = pa.join(pb, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact overlap, restricted to candidates
+    val ia = index.select(col("doc_id").as("doc_a"), col("shingle"))
+    val ib = index.select(col("doc_id").as("doc_b"), col("shingle"))
+    val overlap = cand.join(ia, "doc_a")
+      .join(ib, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("overlap"))
+    overlap
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard_bp",
+        (col("overlap") * 10000L / (col("n_a") + col("n_b") - col("overlap")))
+          .cast("bigint"))
+      .filter(col("jaccard_bp") >= minBp)
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"),
+        col("n_b"), col("jaccard_bp"))
+  }
+
   /** Near-dup survivors: documents that are not the greater side of any
     * pair at ≥ minBp (i.e. keep the smallest doc_id of each near-dup
     * cluster edge). Anti-join — no state beyond the pair set. */

@@ -27,10 +27,18 @@ object TrainQueries {
       Dedup.exactKeepMin(Tables.documents(s, d), "text", "doc_id"),
       "keep_id")
 
-  /** N-gram (trigram) Jaccard near-dup pairs at ≥ 70%. */
+  /** N-gram (trigram) Jaccard near-dup pairs at ≥ 70% — inverted-index
+    * all-pairs baseline. */
   val op61DedupNgram: Q = (s, d) =>
     ordered(
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 7000L),
+      "doc_a", "doc_b")
+
+  /** Same pairs via prefix filtering (ppjoin) — exact, sub-quadratic
+    * candidates; shares op61's oracle. */
+  val op61DedupNgramPrefix: Q = (s, d) =>
+    ordered(
+      Dedup.jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", 7000L),
       "doc_a", "doc_b")
 
   /** MinHash signatures (k=8) — the compressed dedup sketch. */
@@ -132,6 +140,7 @@ object TrainQueries {
   val defs: Map[String, Q] = Map(
     "op60_dedup_exact" -> op60DedupExact,
     "op61_dedup_ngram" -> op61DedupNgram,
+    "op61_dedup_ngram_prefix" -> op61DedupNgramPrefix,
     "op62_minhash_sig" -> op62MinhashSig,
     "op63_minhash_pairs" -> op63MinhashPairs,
     "op64_dedup_survivors" -> op64DedupSurvivors,
@@ -177,6 +186,19 @@ object TrainQueries {
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "op61_dedup_ngram" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(overlap AS BIGINT) AS overlap,
+        |       CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b,
+        |       CAST(overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) AS BIGINT) AS jaccard_bp
+        |FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
+        |        JOIN cnt cb ON ov.doc_b = cb.doc_id
+        |WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "op61_dedup_ngram_prefix" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap

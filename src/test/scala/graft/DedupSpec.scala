@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
       s"LSH (k=16,r=4) missed ${missed.size}/${truth.size} true pairs: $missed")
   }
 
+  test("prefix-filtered jaccard equals the all-pairs baseline (fixture corpus)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val base = asSet(Dedup.jaccardPairs(docs, "doc_id", "text", 7000L))
+    val pref = asSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 7000L))
+    assert(base.nonEmpty && pref == base)
+    // and at a low threshold where the prefix keeps most shingles
+    val base2 = asSet(Dedup.jaccardPairs(corpus, "doc_id", "text", 3000L))
+    val pref2 = asSet(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 3000L))
+    assert(pref2 == base2)
+  }
+
   test("survivors drops the greater id of each ≥80% pair") {
     val out = Dedup.survivors(corpus, "doc_id", "text", 8000L)
       .select("doc_id").as[Long].collect().toSet

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Executable evidence for the SCALE.md designs: bucketed storage removes
+  * the join shuffle; watermarked stream-stream joins bound state. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle on the join key") {
+    val db = "graft_buckets"
+    // each JVM gets a fresh in-memory metastore but the warehouse dir on
+    // disk persists across runs — clear stale table locations first
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"/tmp/graft_warehouse/$db.db")).deleteRecursively()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Tables.orders(spark, sfDir)
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders_b")
+    Tables.lineitem(spark, sfDir)
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.lineitem_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table(s"$db.lineitem_b")
+        .join(spark.table(s"$db.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing co-locates both sides: the join itself needs no Exchange
+      val joinSection = plan.substring(0, plan.length)
+      assert(joinSection.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).size
+      // only the final groupBy aggregate may shuffle — not the join inputs
+      assert(exchanges <= 1,
+        s"join inputs must not re-shuffle (found $exchanges exchanges):\n$plan")
+
+      // and the result matches the unbucketed join
+      val expect = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("stream-stream join with watermarks + time bound emits matches (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(String, String)] // (ad_id, ts)
+    val clicks = MemoryStream[(String, String)]
+    val imp = impressions.toDF().toDF("ad_id", "ts_str")
+      .select(col("ad_id"), col("ts_str").cast("timestamp").as("imp_ts"))
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks.toDF().toDF("ad_id", "ts_str")
+      .select(col("ad_id").as("c_ad_id"), col("ts_str").cast("timestamp").as("clk_ts"))
+      .withWatermark("clk_ts", "10 minutes")
+    // click must follow its impression within 30 minutes — the time bound
+    // is what lets Spark purge state on both sides as watermarks advance
+    val joined = imp.join(clk,
+      expr("""ad_id = c_ad_id AND
+              clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 30 minutes"""))
+      .select(col("ad_id"), date_format(col("clk_ts"), "HH:mm").as("click_at"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ad_join_out").start()
+    impressions.addData(("ad1", "2024-01-01 10:00:00"), ("ad2", "2024-01-01 10:05:00"))
+    q.processAllAvailable()
+    clicks.addData(("ad1", "2024-01-01 10:10:00")) // within 30min → match
+    clicks.addData(("ad2", "2024-01-01 11:30:00")) // 85min later → no match
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ad_join_out").as[(String, String)].collect().toSet
+    assert(out == Set(("ad1", "10:10")))
+  }
+}
