@@ -21,7 +21,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that localCheckpoint small reused tables leave persisted
+      // RDDs behind; drop them so later queries aren't memory-squeezed
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -50,6 +50,31 @@ object Stedi {
       .transform(Decode.requireNonNull(_, "email", "birthDay"))
       .withColumn("birthYear", Decode.yearOf(col("birthDay")))
 
+  /** Job B in the reference's exact hybrid style: temp views + spark.sql
+    * statements mirroring sparkpyrediskafkastreamtoconsole.py:90-133
+    * (view → SQL projection of zSetEntries[0].element → unbase64 →
+    * view → SQL null-filter → birthYear split). Semantically identical
+    * to [[decodeCustomers]]; kept to preserve the reference's API style
+    * on streaming DataFrames (views over streams are legal Spark).
+    */
+  def decodeCustomersSqlStyle(kafka: DataFrame): DataFrame = {
+    val spark = kafka.sparkSession
+    Decode.parseAndExpand(kafka, Schemas.redisMessage)
+      .createOrReplaceTempView("RedisSortedSet")
+    val encoded = spark.sql(
+      "SELECT get(zSetEntries, 0).element AS encodedCustomer FROM RedisSortedSet")
+    encoded
+      .withColumn("customer", from_json(
+        Decode.decodeBase64(col("encodedCustomer")), Schemas.customerRecord))
+      .select(col("customer.*"))
+      .createOrReplaceTempView("CustomerRecords")
+    spark.sql(
+      """SELECT customerName, email, phone, birthDay,
+             split(birthDay, '-')[0] AS birthYear
+         FROM CustomerRecords
+         WHERE email IS NOT NULL AND birthDay IS NOT NULL""")
+  }
+
   /** Job B console projection: (email, birthYear). */
   def emailAndBirthYear(kafka: DataFrame): DataFrame =
     decodeCustomers(kafka).select("email", "birthYear")

@@ -106,6 +106,21 @@ object StediQueries {
              FROM graft_customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
+  /** OP-21 + custom expression via SQL: the codegen'd graft_dot function
+    * registered into the session's function registry and invoked from SQL
+    * text over a temp view — proving the custom Catalyst surface is
+    * reachable from the reference's spark.sql(...) style. */
+  val op22SqlCustomFn: Q = (s, d) => {
+    graft.functions.Registry.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("graft_emb")
+    s.sql("""
+      SELECT vec_id,
+             graft_dot(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+                       transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS norm_sq
+      FROM graft_emb ORDER BY vec_id""")
+  }
+
   /** OP-30 flagship: the full STEDI decode→join→aggregate over synthesized
     * wire frames (envelope JSON → base64 customer → join on email). */
   val op30StediJoin: Q = (s, d) => StediFixtures.flagship(s, d)
@@ -132,6 +147,7 @@ object StediQueries {
     "op18_prune" -> op18Prune,
     "op19_to_json" -> op19ToJson,
     "op21_sql_view" -> op21SqlView,
+    "op22_sql_custom_fn" -> op22SqlCustomFn,
     "op30_stedi_flagship" -> op30StediJoin,
     "op30_stedi_payload" -> op30StediPayload,
   )
@@ -168,6 +184,12 @@ object StediQueries {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(max(c_acctbal) AS DECIMAL(18,4)) AS max_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "op22_sql_custom_fn" ->
+      """SELECT vec_id,
+        |  list_sum([CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |            * CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |            FOR i IN range(len(embedding))])::BIGINT AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "op30_stedi_flagship" ->
       """WITH cust AS (
         |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,

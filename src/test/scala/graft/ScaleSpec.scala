@@ -60,6 +60,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB state store runs the watermarked aggregation (100TB state config)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Double)]
+      val agg = in.toDF().toDF("ts_str", "value")
+        .select(col("ts_str").cast("timestamp").as("ts"), col("value"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "HH:mm").as("w_start"), col("n"))
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("rocks_out").start()
+      in.addData(("2024-01-01 10:01:00", 1.0), ("2024-01-01 10:12:00", 2.0),
+        ("2024-01-01 10:14:00", 3.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("rocks_out").as[(String, Long)].collect().toMap
+      assert(out == Map("10:00" -> 1L, "10:10" -> 2L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join with watermarks + time bound emits matches (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = MemoryStream[(String, String)] // (ad_id, ts)

@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("trevor@test.com", "1939"), ("travis@test.com", "1965")))
   }
 
+  test("job B SQL-style (views + spark.sql over a stream) equals the DataFrame chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val frames = Seq(
+      redisFrame("Trevor Phillips", "trevor@test.com", "1939-05-01"),
+      redisFrame("Travis Mitra", "travis@test.com", "1965-09-12"))
+    val batch = frames.toDF("value")
+    val api = Stedi.decodeCustomers(batch)
+      .select("customerName", "email", "phone", "birthDay", "birthYear")
+      .collect().map(_.toSeq).toSet
+    val sqlStyle = Stedi.decodeCustomersSqlStyle(batch)
+      .collect().map(_.toSeq).toSet
+    assert(sqlStyle == api && api.size == 2)
+
+    // and as an actual streaming query through the console-sink style path
+    val in = MemoryStream[String]
+    val q = Stedi.decodeCustomersSqlStyle(in.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jobb_sql_out").start()
+    in.addData(frames: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("jobb_sql_out").count() == 2)
+  }
+
   test("job A streaming: stream-stream inner join emits only matched pairs") {
     implicit val sqlCtx = spark.sqlContext
     val customers = MemoryStream[String]
