@@ -127,6 +127,28 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** TF-IDF (SURVEY §2.7 doc-frequency): per (doc, token) term frequency ×
+    * log(N/df), in deterministic integer basis points — tf and df are
+    * exact counts, ln on integer ratios is IEEE-deterministic, floor is
+    * exact. Two aggregations (tf per doc-token, df per token) + one
+    * broadcast-sized join on token. */
+  val op72Tfidf: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val n = doc.count() // corpus size: one driver-side count, constant result
+    val tokens = doc.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val df = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).cast("bigint").as("df"))
+    ordered(
+      tf.join(broadcast(df), "token")
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          floor(col("tf") * log(lit(n.toDouble) / col("df")) * 10000d)
+            .cast("bigint").as("tfidf_bp")),
+      "doc_id", "token")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -151,6 +173,7 @@ object TrainQueries {
     "op68_ann_lsh" -> op68AnnLsh,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
+    "op72_tfidf" -> op72Tfidf,
     "op73_fingerprint" -> op73Fingerprint,
   )
 
@@ -285,6 +308,18 @@ object TrainQueries {
         |       + least(greatest(tok_len_bp - 20000, 0) // 4, 2500) AS BIGINT) AS quality_bp
         |FROM r ORDER BY doc_id""".stripMargin
     },
+    "op72_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |       CAST(floor(tf.tf * ln(n.n / df.df) * 10000) AS BIGINT) AS tfidf_bp
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
     "op73_fingerprint" ->
       """SELECT doc_id,
         |  CAST(list_reduce(

@@ -121,6 +121,38 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(Sessionize.Session(1L, 0L, 30000L, 2L, 3.0)))
   }
 
+  test("console sink (OP-03) starts and drains a streaming decode query") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = graft.sources.KafkaIO
+      .toConsole(Stedi.emailAndBirthYear(in.toDF()))
+      .start()
+    in.addData(redisFrame("A B", "ab@test.com", "1950-01-01"))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty, s"console query failed: ${q.exception}")
+  }
+
+  test("foreachBatch sink receives micro-batches with batch ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = Stedi.emailAndBirthYear(in.toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[_], id: Long) =>
+        seen.put(id, batch.count()): Unit
+      }
+      .start()
+    in.addData(redisFrame("A B", "a@test.com", "1950-01-01"))
+    q.processAllAvailable()
+    in.addData(redisFrame("C D", "c@test.com", "1960-01-01"),
+      redisFrame("E F", "e@test.com", "1970-01-01"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.values.sum == 3, s"expected 3 rows across batches: $seen")
+    assert(seen.keySet.size >= 2, s"expected multiple micro-batches: $seen")
+  }
+
   test("op51 streamed tumbling equals the batch twin on a full replay") {
     val streamed = graft.streaming.WindowOps.streamedTumbling(spark, sfDir)
       .orderBy("w_start", "event_type")
