@@ -77,6 +77,12 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_vec"), col("n_vec")), col("q_n2"), col("n_n2"))
           .as("cos_bp"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Shared rank-and-trim: per-query top-k of a (q_id, n_id, cos_bp)
+    * scored set, ties broken by n_id; rank is BIGINT (oracle contract). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_bp").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -165,10 +171,7 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
     val scored = cand.select(col("q_id"), col("n_id"),
       cosBp(quantize(col("q_emb")), quantize(col("n_emb"))).as("cos_bp"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_bp").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** IVF-flat ANN: partition the corpus into `nCells` inverted lists by
@@ -190,32 +193,40 @@ object Similarity {
       .withColumn("cent_n2", intDot(col("cent_vec"), col("cent_vec")))
     val centB = broadcast(cents)
 
-    def rankedCells(df: DataFrame, idAs: String, keep: Int): DataFrame = {
+    def cellScored(df: DataFrame, idAs: String): DataFrame = {
       val q = df.select(col("vec_id").as(idAs),
         quantize(col("embedding")).as(s"${idAs}_vec"))
         .withColumn(s"${idAs}_n2", intDot(col(s"${idAs}_vec"), col(s"${idAs}_vec")))
-      val scored = q.crossJoin(centB)
+      q.crossJoin(centB)
         .select(col(idAs), col(s"${idAs}_vec"), col(s"${idAs}_n2"), col("cent_id"),
           cosBpFrom(intDot(col(s"${idAs}_vec"), col("cent_vec")),
             col(s"${idAs}_n2"), col("cent_n2")).as("cent_cos"))
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("cent_cos").desc, col("cent_id"))
-      scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= keep)
-        .drop("cent_cos", "cr")
     }
 
-    val corpusCells = rankedCells(corpus, "n_id", 1)   // each vector in 1 cell
-    val queryCells = rankedCells(queries, "q_id", nProbe)
+    // corpus→cell is an aggregation, not a window: max_by with a total
+    // tiebreak (best cos, then lowest cent_id) does map-side partials and
+    // shuffles N rows, not N×nCells; vec/n2 are constant per group
+    val corpusCells = cellScored(corpus, "n_id")
+      .groupBy(col("n_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
+          .as("cent_id"),
+        first(col("n_id_vec")).as("n_id_vec"),
+        first(col("n_id_n2")).as("n_id_n2"))
+    // queries keep their nProbe best cells (small side — window is fine)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val queryCells = cellScored(queries, "q_id")
+      .withColumn("cr", row_number().over(wq)).filter(col("cr") <= nProbe)
+      .drop("cent_cos", "cr")
+    // each corpus vector lives in exactly one cell and each query probes
+    // distinct cells, so (q_id, n_id) pairs are already unique
     val scored = corpusCells.join(broadcast(queryCells), "cent_id")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_id_vec"), col("n_id_vec")),
           col("q_id_n2"), col("n_id_n2")).as("cos_bp"))
-      .dropDuplicates("q_id", "n_id")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_bp").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-duplicate pairs: all (a<b) with cosine ≥ minBp.
