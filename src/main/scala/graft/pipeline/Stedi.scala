@@ -90,6 +90,30 @@ object Stedi {
     riskEvents.select("customer", "score")
       .join(customers.select("email", "birthYear"), expr("customer = email"))
 
+  /** Job A, production mode (SURVEY §7.4 hard part 1): the same inner
+    * join with BOUNDED state — watermarks on both sides plus a time-bound
+    * on the join condition, so each side's state expires once the
+    * watermark passes riskTime − maxAge. The faithful mode ([[joinRisk]])
+    * matches the reference exactly (state retained forever); this mode is
+    * what a 100 TB deployment runs. Inputs must carry event-time columns:
+    * risk events use riskDate (ISO-8601 string → timestamp), customers a
+    * `seenAt` ingestion time column.
+    */
+  def joinRiskBounded(riskEvents: DataFrame, customers: DataFrame,
+      delay: String = "10 minutes", maxAge: String = "1 hour"): DataFrame = {
+    val r = riskEvents
+      .withColumn("riskTime", to_timestamp(col("riskDate")))
+      .withWatermark("riskTime", delay)
+    val c = customers
+      .withWatermark("seenAt", delay)
+    r.select(col("customer"), col("score"), col("riskTime"))
+      .join(c.select(col("email"), col("birthYear"), col("seenAt")),
+        expr(s"""customer = email AND
+                 riskTime >= seenAt AND
+                 riskTime <= seenAt + interval $maxAge"""))
+      .select(col("customer"), col("score"), col("email"), col("birthYear"))
+  }
+
   /** Job A sink projection: Kafka (key, value) with value =
     * to_json(struct(*)) per the output contract
     * {"customer":…,"score":"28.5","email":…,"birthYear":"1963"}. */

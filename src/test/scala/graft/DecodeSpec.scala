@@ -104,6 +104,22 @@ class DecodeSpec extends SparkSpec {
     assert(back == recs.toSet)
   }
 
+  test("typed Dataset views: decode to case classes with identical semantics") {
+    val customerJson =
+      """{"customerName":"Sam Test","email":"sam.test@test.com","phone":"8015551212","birthDay":"2001-01-03"}"""
+    val frames = Seq(redisFrame(customerJson)).toDF("value")
+    val typedCustomers = graft.pipeline.StediTyped.customers(frames).collect()
+    assert(typedCustomers.toSeq == Seq(graft.model.Schemas.Customer(
+      "Sam Test", "sam.test@test.com", "8015551212", "2001-01-03")))
+
+    val risks = Seq(
+      """{"customer":"sam.test@test.com","score":"3.5","riskDate":"2020-09-14T00:00:00Z"}""")
+      .toDF("value")
+    val scores = graft.pipeline.StediTyped.riskScores(risks, frames).collect()
+    assert(scores.toSeq == Seq(graft.model.Schemas.RiskScore(
+      "sam.test@test.com", "3.5", "sam.test@test.com", "2001")))
+  }
+
   test("entry(): flagship runs on sf0.001 with rows > 0 (driver smoke twin)") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
