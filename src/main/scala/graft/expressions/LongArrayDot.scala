@@ -38,7 +38,13 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      // silent min-length truncation would return a plausible-but-wrong
+      // partial sum on mixed-dimension inputs; fail loudly instead
+      throw new IllegalArgumentException(
+        s"graft_dot: dimension mismatch ($n vs ${y.numElements()})")
+    }
     var i = 0
     var sum = 0L
     while (i < n) {
@@ -54,7 +60,11 @@ case class LongArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $sum = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += $a.getLong($i) * $b.getLong($i);

@@ -45,8 +45,11 @@ object Multimodal {
   }
 
   /** STUB decoder: a real implementation would decode `payload` with an
-    * image/audio codec; the deterministic fake emits a 32-bin byte
-    * histogram normalized to [0,1]. Batched per partition. */
+    * image/audio codec; the deterministic fake emits a 32-bin codepoint
+    * histogram of the UTF-8-decoded payload, normalized to [0,1].
+    * Codepoints (not raw bytes) so the SQL oracle — which sees characters
+    * — computes the identical histogram for non-ASCII content too.
+    * Batched per partition. */
   def decodeFeatures(media: Dataset[MediaRecord],
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
@@ -56,8 +59,9 @@ object Multimodal {
         // setup across the batch exactly here
         batch.iterator.map { r =>
           val hist = new Array[Float](FeatureDim)
-          r.payload.foreach(b => hist((b & 0xFF) % FeatureDim) += 1f)
-          val n = math.max(r.payload.length, 1).toFloat
+          val cps = new String(r.payload, "UTF-8").codePoints().toArray
+          cps.foreach(cp => hist(cp % FeatureDim) += 1f)
+          val n = math.max(cps.length, 1).toFloat
           MediaFeatures(r.doc_id, r.format, r.payload.length.toLong,
             hist.map(_ / n))
         }

@@ -39,11 +39,14 @@ object Similarity {
 
   /** Deterministic cosine in basis points from a precomputed integer dot
     * and the two squared norms: floor(10⁴ · dot / (√Σa²·√Σb²)). Norms are
-    * computed once per row, not once per pair. */
+    * computed once per row, not once per pair. Zero-norm vectors (all
+    * components < 1e-6, or empty) define cosine 0 — without the guard the
+    * division yields NaN and the bigint cast throws under ANSI mode. */
   def cosBpFrom(dot: Column, normSqA: Column, normSqB: Column): Column =
-    floor(dot.cast("double") /
-      (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double"))) * 10000d)
-      .cast("bigint")
+    when(normSqA === 0 || normSqB === 0, lit(0L))
+      .otherwise(floor(dot.cast("double") /
+        (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double"))) * 10000d)
+        .cast("bigint"))
 
   /** Deterministic cosine in basis points of two quantized vectors. */
   def cosBp(aQ: Column, bQ: Column): Column =
@@ -101,18 +104,6 @@ object Similarity {
         md.take(7).map(x => f"$x%02x").mkString, 16)
       (v.toDouble / math.pow(2, 55)) - 1.0
     }
-  }
-
-  /** Sign-LSH bucket id (0 .. 2^nBits-1) of an embedding column. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (w, b) =>
-      val wLit = array(w.map(lit): _*)
-      val dot = aggregate(sequence(lit(0), lit(w.length - 1)), lit(0d),
-        (acc, i) => acc + element_at(wLit, i + 1) *
-          element_at(vec, i + 1).cast("double"))
-      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _).cast("bigint")
   }
 
   /** Brute-force top-k via the bounded TopKAgg aggregate instead of a

@@ -27,26 +27,31 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // payloads travel inside ONE struct that is null exactly for left-side
+    // rows: last(ignoreNulls) then skips left rows but still honors a
+    // right row whose payload FIELDS are null (a bare-column carry would
+    // walk past it to an older non-null value — wrong asof semantics)
     val l = left
       .withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__side")) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType)
-          .as(s"__p_$p")): _*)
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(p =>
+          org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))))
+      .select(leftCols.map(col) :+ col("__side") :+ col("__r"): _*)
     val r = right
       .withColumn("__side", lit(0))
+      .withColumn("__r", struct(payload.map(col): _*))
       .select((leftCols.map(c =>
           if (c == key || c == time) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c))
-        :+ col("__side")) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+        :+ col("__side")) :+ col("__r"): _*)
     // right rows sort before left rows on equal timestamps → inclusive ≤
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(col("*") +: payload.map(p =>
-        last(col(s"__p_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*)
   }
 }

@@ -47,7 +47,7 @@ object MultimodalQueries {
         |  FROM hist h JOIN documents d USING (doc_id))
         |SELECT d.doc_id,
         |       ['png', 'jpeg', 'wav'][CAST(d.doc_id % 3 AS INT) + 1] AS format,
-        |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |       CAST(strlen(d.text) AS BIGINT) AS n_bytes,
         |       CAST(coalesce(qs.s, 0) AS BIGINT) AS feat_sum_q
         |FROM documents d
         |LEFT JOIN (SELECT doc_id, sum(q) AS s FROM quant GROUP BY doc_id) qs

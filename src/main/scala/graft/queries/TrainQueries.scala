@@ -204,8 +204,9 @@ object TrainQueries {
         |      FROM q),
         |scored AS (
         |  SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
-        |         CAST(floor(CAST(list_sum([qs.v[i+1] * cs.v[i+1] FOR i IN range(64)]) AS DOUBLE)
-        |              / (sqrt(qs.n2) * sqrt(cs.n2)) * 10000) AS BIGINT) AS cos_bp
+        |         CASE WHEN qs.n2 = 0 OR cs.n2 = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(floor(CAST(list_sum([qs.v[i+1] * cs.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+        |                   / (sqrt(qs.n2) * sqrt(cs.n2)) * 10000) AS BIGINT) END AS cos_bp
         |  FROM n qs, n cs WHERE qs.vec_id < 8 AND qs.vec_id <> cs.vec_id)
         |SELECT q_id, n_id, cos_bp, rank FROM (
         |  SELECT q_id, n_id, cos_bp,
@@ -277,8 +278,9 @@ object TrainQueries {
         |      FROM q)
         |SELECT * FROM (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |         CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
-        |              / (sqrt(a.n2) * sqrt(b.n2)) * 10000) AS BIGINT) AS cos_bp
+        |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+        |                   / (sqrt(a.n2) * sqrt(b.n2)) * 10000) AS BIGINT) END AS cos_bp
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |WHERE cos_bp >= 9500 ORDER BY a_id, b_id""".stripMargin,
     "op67_knn_topk_agg" -> knnBruteSql,

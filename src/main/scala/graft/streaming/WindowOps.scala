@@ -76,6 +76,15 @@ object WindowOps {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    // materialize the (small) result so the memory-sink table and the
+    // symlink dir can be cleaned up instead of leaking per invocation
+    val result = spark.table(name)
+    val rows = result.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), result.schema)
+    spark.catalog.dropTempView(name)
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+    out
   }
 }
