@@ -35,6 +35,35 @@ class AsOfSpec extends SparkSpec {
     assert(r.getString(3) == "b" && r.getDouble(4) == 2.5)
   }
 
+  test("asof: a most-recent right row with NULL payload yields NULL (not an older value)") {
+    val left = Seq((1L, 12L, 1L)).toDF("event_id", "t", "k")
+    val right = Seq(
+      (5L, 1L, Some("old")), (10L, 1L, None: Option[String]))
+      .toDF("t", "k", "tag")
+    val out = AsOf.join(left, right, "k", "t", Seq("tag")).collect()(0)
+    assert(out.isNullAt(3),
+      "asof must match the t=10 row and surface ITS null payload")
+  }
+
+  test("zero-norm vectors score cosine 0 instead of NaN/ANSI failure") {
+    import graft.functions.Similarity
+    val df = Seq(
+      (1L, Array(0f, 0f, 0f, 0f)), (2L, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairs(df, 0L).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 0L)
+  }
+
+  test("LongArrayDot raises on dimension mismatch instead of truncating") {
+    import graft.functions.Similarity
+    val df = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(Similarity.intDot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("streaming exact dedup: dropDuplicates drops replayed keys across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
