@@ -65,11 +65,19 @@ object StediFixtures {
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     val customers = Stedi.decodeCustomers(redisFrames(spark, dir))
     val risks = Stedi.parseRiskEventsFull(riskFrames(spark, dir))
+    // avg must be cross-engine exact: naive avg(double) accumulates in
+    // partition order and can cross a 4th-decimal rounding boundary at
+    // scale. Scores carry exactly 2 decimals → sum exact integer cents,
+    // then ONE double division of identical integers (IEEE-deterministic)
+    // before the decimal cast.
     Stedi.joinRisk(risks, customers)
       .groupBy(col("email"), col("birthYear"))
       .agg(
         count(lit(1)).cast("bigint").as("n_events"),
-        avg(col("score").cast("double")).cast("decimal(18,4)").as("avg_score"))
+        sum(round(col("score").cast("double") * 100).cast("long")).as("__cents"))
+      .select(col("email"), col("birthYear"), col("n_events"),
+        (col("__cents").cast("double") / (col("n_events") * 100).cast("double"))
+          .cast("decimal(18,4)").as("avg_score"))
       .orderBy(col("email"), col("birthYear"), col("n_events"), col("avg_score"))
   }
 }

@@ -33,7 +33,9 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(big(count(lit(1))).as("n_orders"),
-             dec4(sum(col("o_totalprice"))).as("revenue")),
+             // exact decimal sum: ~1e10 totals exceed double's 4th-decimal
+             // stability under partition-order-dependent accumulation
+             dec4(sum(col("o_totalprice").cast("decimal(18,2)"))).as("revenue")),
       "r_name", "n_name")
   }
 
@@ -46,7 +48,8 @@ object RelationalQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(big(count(col("o_orderkey"))).as("n_orders"),
-             dec4(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total")),
+             dec4(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+               lit(0))).as("total")),
       "c_custkey")
   }
 
@@ -116,15 +119,25 @@ object RelationalQueries {
   val op40Agg: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1997-01-01").cast("timestamp_ntz"))
+    // money sums reach ~1e9-1e10 at sf0.1+: double accumulation error
+    // (partition-order dependent) can exceed the 4th decimal there, so
+    // all price sums run in EXACT decimal arithmetic (inputs carry
+    // exactly 2 decimals); small-magnitude avgs stay double (error ≪ bp)
+    val pd = col("l_extendedprice").cast("decimal(18,2)")
+    val dd = col("l_discount").cast("decimal(18,2)")
+    val td = col("l_tax").cast("decimal(18,2)")
     ordered(
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec4(sum(col("l_quantity"))).as("sum_qty"),
-          dec4(sum(col("l_extendedprice"))).as("sum_base_price"),
-          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          dec4(sum(col("l_quantity").cast("decimal(18,2)"))).as("sum_qty"),
+          dec4(sum(pd)).as("sum_base_price"),
+          dec4(sum((pd * (lit(1) - dd)).cast("decimal(18,4)")))
             .as("sum_disc_price"),
-          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax")))).as("sum_charge"),
+          // explicit round before the downscale cast: DuckDB TRUNCATES on
+          // decimal->decimal downcasts (Spark rounds), so scale-6 sums
+          // must be rounded to 4 decimals as a decimal op on both engines
+          dec4(round(sum(((pd * (lit(1) - dd)).cast("decimal(18,4)")
+            * (lit(1) + td)).cast("decimal(18,6)")), 4)).as("sum_charge"),
           dec4(avg(col("l_quantity"))).as("avg_qty"),
           dec4(avg(col("l_discount"))).as("avg_disc"),
           big(count(lit(1))).as("count_order")),
@@ -189,7 +202,7 @@ object RelationalQueries {
       o.rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(big(grouping_id()).as("gid"),
              big(count(lit(1))).as("n_orders"),
-             dec4(sum(col("o_totalprice"))).as("total"))
+             dec4(sum(col("o_totalprice").cast("decimal(18,2)"))).as("total"))
         .select(
           col("gid"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -497,10 +510,10 @@ object RelationalQueries {
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "op40_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(sum(l_extendedprice) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(18,4)) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_charge,
         |  CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
         |  CAST(avg(l_discount) AS DECIMAL(18,4)) AS avg_disc,
         |  CAST(count(*) AS BIGINT) AS count_order
@@ -553,7 +566,7 @@ object RelationalQueries {
         |       coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(o_totalprice) AS DECIMAL(18,4)) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
     "op43_cube" ->

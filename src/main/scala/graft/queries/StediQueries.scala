@@ -201,7 +201,8 @@ object StediQueries {
         |  FROM events)
         |SELECT c.email, c.birthYear,
         |       CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(avg(score) AS DECIMAL(18,4)) AS avg_score
+        |       CAST(CAST(sum(CAST(round(score * 100) AS BIGINT)) AS DOUBLE)
+        |            / CAST(count(*) * 100 AS DOUBLE) AS DECIMAL(18,4)) AS avg_score
         |FROM risk r JOIN cust c ON r.customer = c.email
         |GROUP BY c.email, c.birthYear
         |ORDER BY c.email, c.birthYear, n_events, avg_score""".stripMargin,
