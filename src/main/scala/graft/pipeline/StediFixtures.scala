@@ -76,8 +76,9 @@ object StediFixtures {
         count(lit(1)).cast("bigint").as("n_events"),
         sum(round(col("score").cast("double") * 100).cast("long")).as("__cents"))
       .select(col("email"), col("birthYear"), col("n_events"),
-        (col("__cents").cast("double") / (col("n_events") * 100).cast("double"))
-          .cast("decimal(18,4)").as("avg_score"))
+        // basis-point output (no DECIMAL in the hash-checked contract)
+        graft.queries.Det.meanBpFromCents(col("__cents"), col("n_events"))
+          .as("avg_score"))
       .orderBy(col("email"), col("birthYear"), col("n_events"), col("avg_score"))
   }
 }

@@ -8,17 +8,38 @@ import org.apache.spark.sql.{Column, DataFrame}
   * SQL, sorting columns by name. Cross-engine rules used by every query:
   *  - derived integers (count, rank, length, floor, …) cast to BIGINT on
   *    both sides (Spark would otherwise emit INT where DuckDB emits BIGINT);
-  *  - floating-point outputs cast to DECIMAL(18,4) on both sides — the
-  *    decimal is exact, so comparison is bit-stable regardless of either
-  *    engine's float formatting/rounding internals;
+  *  - floating-point outputs are quantized to BIGINT basis points
+  *    (value × 10000, half-up) on both sides — NO DECIMAL column may reach
+  *    a hash-checked output: the driver's hash canonicalizes trailing-zero
+  *    decimals (X.XX00) asymmetrically between the Spark parquet read and
+  *    the DuckDB result, so equal decimal VALUES can still hash-mismatch.
+  *    Exact decimal arithmetic stays internal; only the final projection
+  *    scales it out to an integer;
   *  - every result ORDER BYs a non-null unique key (avoids the engines'
   *    NULLS FIRST/LAST default divergence);
   *  - timestamps leave the query as formatted strings or DATEs, never raw
   *    TIMESTAMP columns.
   */
 object Det {
-  /** Exact 4-decimal fixed-point for any floating-point output. */
+  /** Exact 4-decimal fixed-point — INTERNAL arithmetic only, never an
+    * output column (see bp4). */
   def dec4(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Basis-point output contract: quantize to 4 decimals (HALF_UP, the
+    * same boundary the previous DECIMAL(18,4) contract used) and emit the
+    * ×10000 integer. The decimal(29,4) product is integral, so the BIGINT
+    * cast is exact. Oracle twin:
+    * `CAST(CAST(x AS DECIMAL(18,4)) * 10000 AS BIGINT)`. */
+  def bp4(c: Column): Column =
+    (c.cast("decimal(18,4)") * 10000).cast("bigint")
+
+  /** Cross-engine exact mean in basis points from integer cents: one
+    * IEEE double division of identical integers (deterministic on both
+    * engines), then the bp4 quantization. Oracle twin:
+    * `CAST(CAST(CAST(<cents> AS DOUBLE) / CAST(<n> * 100 AS DOUBLE)
+    *  AS DECIMAL(18,4)) * 10000 AS BIGINT)`. */
+  def meanBpFromCents(cents: Column, n: Column): Column =
+    bp4(cents.cast("double") / (n * 100).cast("double"))
 
   /** Normalize derived integer width across engines. */
   def big(c: Column): Column = c.cast("bigint")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import Det.{big, dec4, ordered}
+import Det.{big, bp4, meanBpFromCents, ordered}
 
 /** Relational operator pack (SURVEY.md §2.4 OP-31..35, §2.5 OP-40..50).
   *
@@ -35,7 +35,7 @@ object RelationalQueries {
         .agg(big(count(lit(1))).as("n_orders"),
              // exact decimal sum: ~1e10 totals exceed double's 4th-decimal
              // stability under partition-order-dependent accumulation
-             dec4(sum(col("o_totalprice").cast("decimal(18,2)"))).as("revenue")),
+             bp4(sum(col("o_totalprice").cast("decimal(18,2)"))).as("revenue")),
       "r_name", "n_name")
   }
 
@@ -48,7 +48,7 @@ object RelationalQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(big(count(col("o_orderkey"))).as("n_orders"),
-             dec4(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+             bp4(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
                lit(0))).as("total")),
       "c_custkey")
   }
@@ -81,8 +81,13 @@ object RelationalQueries {
     ordered(
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
+        // cents-trick mean: avg(double) accumulates in partition order and
+        // can cross the bp quantization boundary at scale — sum exact
+        // integer cents, then one deterministic double division
         .agg(big(count(lit(1))).as("n_customers"),
-             dec4(avg(col("c_acctbal"))).as("avg_bal")),
+             sum(round(col("c_acctbal") * 100).cast("long")).as("__cents"))
+        .select(col("n_name"), col("n_customers"),
+          meanBpFromCents(col("__cents"), col("n_customers")).as("avg_bal")),
       "n_name")
   }
 
@@ -129,17 +134,17 @@ object RelationalQueries {
     ordered(
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec4(sum(col("l_quantity").cast("decimal(18,2)"))).as("sum_qty"),
-          dec4(sum(pd)).as("sum_base_price"),
-          dec4(sum((pd * (lit(1) - dd)).cast("decimal(18,4)")))
+          bp4(sum(col("l_quantity").cast("decimal(18,2)"))).as("sum_qty"),
+          bp4(sum(pd)).as("sum_base_price"),
+          bp4(sum((pd * (lit(1) - dd)).cast("decimal(18,4)")))
             .as("sum_disc_price"),
           // explicit round before the downscale cast: DuckDB TRUNCATES on
           // decimal->decimal downcasts (Spark rounds), so scale-6 sums
           // must be rounded to 4 decimals as a decimal op on both engines
-          dec4(round(sum(((pd * (lit(1) - dd)).cast("decimal(18,4)")
+          bp4(round(sum(((pd * (lit(1) - dd)).cast("decimal(18,4)")
             * (lit(1) + td)).cast("decimal(18,6)")), 4)).as("sum_charge"),
-          dec4(avg(col("l_quantity"))).as("avg_qty"),
-          dec4(avg(col("l_discount"))).as("avg_disc"),
+          bp4(avg(col("l_quantity"))).as("avg_qty"),
+          bp4(avg(col("l_discount"))).as("avg_disc"),
           big(count(lit(1))).as("count_order")),
       "l_returnflag", "l_linestatus")
   }
@@ -174,10 +179,10 @@ object RelationalQueries {
     ordered(
       li.groupBy(col("l_returnflag"))
         .agg(
-          dec4(stddev_samp(col("l_quantity"))).as("sd_qty"),
-          dec4(var_samp(col("l_quantity"))).as("var_qty"),
-          dec4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
-          dec4(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qd"),
+          bp4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          bp4(var_samp(col("l_quantity"))).as("var_qty"),
+          bp4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          bp4(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qd"),
           big(count(lit(1))).as("n")),
       "l_returnflag")
   }
@@ -202,7 +207,7 @@ object RelationalQueries {
       o.rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(big(grouping_id()).as("gid"),
              big(count(lit(1))).as("n_orders"),
-             dec4(sum(col("o_totalprice").cast("decimal(18,2)"))).as("total"))
+             bp4(sum(col("o_totalprice").cast("decimal(18,2)"))).as("total"))
         .select(
           col("gid"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -216,14 +221,16 @@ object RelationalQueries {
     val o = Tables.orders(s, d)
     ordered(
       o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        // cents-trick mean (see op33): exact integer cents, one division
         .agg(big(grouping_id()).as("gid"),
              big(count(lit(1))).as("n_orders"),
-             dec4(avg(col("o_totalprice"))).as("avg_price"))
+             sum(round(col("o_totalprice") * 100).cast("long")).as("__cents"))
         .select(
           col("gid"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n_orders"), col("avg_price")),
+          col("n_orders"),
+          meanBpFromCents(col("__cents"), col("n_orders")).as("avg_price")),
       "gid", "status", "priority")
   }
 
@@ -250,7 +257,7 @@ object RelationalQueries {
       graft.ops.Skew.saltedSumCount(li, "l_orderkey", 8,
           Seq("l_returnflag"), "l_quantity")
         .select(col("l_returnflag"),
-          dec4(col("sum_l_quantity")).as("sum_qty"), col("n")),
+          bp4(col("sum_l_quantity")).as("sum_qty"), col("n")),
       "l_returnflag")
   }
 
@@ -265,7 +272,7 @@ object RelationalQueries {
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     ordered(
       c.select(col("c_mktsegment"), col("c_custkey"),
-          dec4(col("c_acctbal")).as("acctbal"),
+          bp4(col("c_acctbal")).as("acctbal"),
           big(row_number().over(w)).as("rn"),
           big(rank().over(w)).as("rk"),
           big(dense_rank().over(w)).as("drk"))
@@ -281,12 +288,15 @@ object RelationalQueries {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     ordered(
       o.select(col("o_custkey"), col("o_orderkey"),
-          dec4(col("o_totalprice")).as("price"),
-          dec4(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
-          dec4(lead(col("o_totalprice"), 1).over(w)).as("next_price"),
-          dec4(sum(col("o_totalprice"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-            .as("running_total")),
+          bp4(col("o_totalprice")).as("price"),
+          bp4(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
+          bp4(lead(col("o_totalprice"), 1).over(w)).as("next_price"),
+          // running sum over exact integer cents: engines may accumulate
+          // window frames in different association orders (incremental vs
+          // segment tree) — integer sums are associative, doubles are not
+          (sum(round(col("o_totalprice") * 100).cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            * 100).cast("bigint").as("running_total")),
       "o_custkey", "o_orderkey")
   }
 
@@ -298,8 +308,8 @@ object RelationalQueries {
     ordered(
       c.select(col("c_mktsegment"), col("c_custkey"),
           big(ntile(4).over(w)).as("quartile"),
-          dec4(percent_rank().over(w)).as("pct_rank"),
-          dec4(cume_dist().over(w)).as("cume")),
+          bp4(percent_rank().over(w)).as("pct_rank"),
+          bp4(cume_dist().over(w)).as("cume")),
       "c_mktsegment", "c_custkey")
   }
 
@@ -311,9 +321,9 @@ object RelationalQueries {
     ordered(
       o.groupBy(col("o_orderstatus"))
         .agg(
-          dec4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
-          dec4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
-          dec4(expr("percentile(o_totalprice, 0.99)")).as("p99"),
+          bp4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+          bp4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+          bp4(expr("percentile(o_totalprice, 0.99)")).as("p99"),
           big(count(lit(1))).as("n")),
       "o_orderstatus")
   }
@@ -322,7 +332,7 @@ object RelationalQueries {
     * per-partition heaps + single-driver merge, no full sort at scale. */
   val op46TopK: Q = (s, d) => {
     val o = Tables.orders(s, d)
-    o.select(col("o_orderkey"), dec4(col("o_totalprice")).as("price"))
+    o.select(col("o_orderkey"), bp4(col("o_totalprice")).as("price"))
       .orderBy(col("price").desc, col("o_orderkey"))
       .limit(25)
   }
@@ -379,12 +389,12 @@ object RelationalQueries {
           // exact decimal arithmetic: price×discount of 2-decimal values
           // ties exactly at the 3rd decimal, where double rounding is
           // engine-dependent — decimals round identically everywhere
-          dec4(round(col("l_extendedprice").cast("decimal(18,2)")
+          bp4(round(col("l_extendedprice").cast("decimal(18,2)")
             * col("l_discount").cast("decimal(18,2)"), 2)).as("disc_amt"),
-          dec4(abs(col("l_quantity") - 25)).as("qty_dev"),
+          bp4(abs(col("l_quantity") - 25)).as("qty_dev"),
           big(floor(col("l_extendedprice"))).as("price_floor"),
           big(ceil(col("l_discount") * 100)).as("disc_pct_ceil"),
-          dec4(sqrt(col("l_quantity"))).as("qty_sqrt")),
+          bp4(sqrt(col("l_quantity"))).as("qty_sqrt")),
       "l_orderkey")
   }
 
@@ -471,7 +481,7 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "op31_join_inner" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(o_totalprice) AS DECIMAL(18,4)) AS revenue
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -480,7 +490,7 @@ object RelationalQueries {
         |ORDER BY r_name, n_name""".stripMargin,
     "op31_join_left" ->
       """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-        |       CAST(coalesce(sum(o_totalprice), 0) AS DECIMAL(18,4)) AS total
+        |       CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "op32_join_semi" ->
@@ -494,7 +504,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "op33_join_broadcast" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
-        |       CAST(avg(c_acctbal) AS DECIMAL(18,4)) AS avg_bal
+        |       CAST(CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |            / CAST(count(*) * 100 AS DOUBLE) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "op34_join_range" ->
@@ -510,12 +521,12 @@ object RelationalQueries {
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "op40_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_charge,
-        |  CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
-        |  CAST(avg(l_discount) AS DECIMAL(18,4)) AS avg_disc,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_disc_price,
+        |  CAST(CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))), 4) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_charge,
+        |  CAST(CAST(avg(l_quantity) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS avg_qty,
+        |  CAST(CAST(avg(l_discount) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS avg_disc,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1997-01-01 00:00:00'
@@ -523,14 +534,14 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "op40_stats" ->
       """SELECT l_returnflag,
-        |  CAST(stddev_samp(l_quantity) AS DECIMAL(18,4)) AS sd_qty,
-        |  CAST(var_samp(l_quantity) AS DECIMAL(18,4)) AS var_qty,
-        |  CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,4)) AS corr_qp,
-        |  CAST(covar_samp(l_quantity, l_discount) AS DECIMAL(18,4)) AS covar_qd,
+        |  CAST(CAST(stddev_samp(l_quantity) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sd_qty,
+        |  CAST(CAST(var_samp(l_quantity) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS var_qty,
+        |  CAST(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS corr_qp,
+        |  CAST(CAST(covar_samp(l_quantity, l_discount) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS covar_qd,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "op40_salted" ->
-      """SELECT l_returnflag, CAST(sum(l_quantity) AS DECIMAL(18,4)) AS sum_qty,
+      """SELECT l_returnflag, CAST(CAST(sum(l_quantity) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "op41_stringagg" ->
@@ -545,16 +556,16 @@ object RelationalQueries {
     "op44_window_dist" ->
       """SELECT c_mktsegment, c_custkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  CAST(percent_rank() OVER w AS DECIMAL(18,4)) AS pct_rank,
-        |  CAST(cume_dist() OVER w AS DECIMAL(18,4)) AS cume
+        |  CAST(CAST(percent_rank() OVER w AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pct_rank,
+        |  CAST(CAST(cume_dist() OVER w AS DECIMAL(18,4)) * 10000 AS BIGINT) AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "op46_percentile" ->
       """SELECT o_orderstatus,
-        |  CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) AS p50,
-        |  CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,4)) AS p90,
-        |  CAST(quantile_cont(o_totalprice, 0.99) AS DECIMAL(18,4)) AS p99,
+        |  CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p50,
+        |  CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p90,
+        |  CAST(CAST(quantile_cont(o_totalprice, 0.99) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p99,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "op41_distinct" ->
@@ -566,7 +577,7 @@ object RelationalQueries {
         |       coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS total
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
     "op43_cube" ->
@@ -574,12 +585,13 @@ object RelationalQueries {
         |       coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(avg(o_totalprice) AS DECIMAL(18,4)) AS avg_price
+        |       CAST(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |            / CAST(count(*) * 100 AS DOUBLE) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS avg_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
     "op44_window_rank" ->
       """SELECT * FROM (
-        |  SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(18,4)) AS acctbal,
+        |  SELECT c_mktsegment, c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) AS acctbal,
         |    CAST(row_number() OVER w AS BIGINT) AS rn,
         |    CAST(rank() OVER w AS BIGINT) AS rk,
         |    CAST(dense_rank() OVER w AS BIGINT) AS drk
@@ -587,16 +599,17 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
         |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
     "op45_window_analytic" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price,
-        |  CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,4)) AS prev_price,
-        |  CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,4)) AS next_price,
-        |  CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_total
+      """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price,
+        |  CAST(CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,4)) * 10000 AS BIGINT) AS prev_price,
+        |  CAST(CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,4)) * 10000 AS BIGINT) AS next_price,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "op46_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
     "op47_setops" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
@@ -625,11 +638,11 @@ object RelationalQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "op48_scalar_math" ->
       """SELECT l_orderkey,
-        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DECIMAL(18,4)) AS disc_amt,
-        |  CAST(abs(l_quantity - 25) AS DECIMAL(18,4)) AS qty_dev,
+        |  CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS disc_amt,
+        |  CAST(CAST(abs(l_quantity - 25) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qty_dev,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
         |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
-        |  CAST(sqrt(l_quantity) AS DECIMAL(18,4)) AS qty_sqrt
+        |  CAST(CAST(sqrt(l_quantity) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qty_sqrt
         |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
     "op48_scalar_cond" ->
       """SELECT c_custkey,

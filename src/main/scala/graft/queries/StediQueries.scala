@@ -7,7 +7,7 @@ import graft.model.Schemas
 import graft.ops.Decode
 import graft.pipeline.{Stedi, StediFixtures}
 import graft.sources.Tables
-import Det.{big, dec4, ordered}
+import Det.{big, ordered}
 
 /** Oracle-checked batch twins of the reference's decode surface
   * (SURVEY.md §2.2 OP-10..19, §2.3 OP-20/21, §2.4 OP-30).
@@ -102,7 +102,7 @@ object StediQueries {
   val op21SqlView: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer")
     s.sql("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-             CAST(max(c_acctbal) AS DECIMAL(18,4)) AS max_bal
+             CAST(CAST(max(c_acctbal) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS max_bal
              FROM graft_customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
@@ -182,7 +182,7 @@ object StediQueries {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "op21_sql_view" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(max(c_acctbal) AS DECIMAL(18,4)) AS max_bal
+        |       CAST(CAST(max(c_acctbal) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS max_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "op22_sql_custom_fn" ->
       """SELECT vec_id,
@@ -201,8 +201,8 @@ object StediQueries {
         |  FROM events)
         |SELECT c.email, c.birthYear,
         |       CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(CAST(sum(CAST(round(score * 100) AS BIGINT)) AS DOUBLE)
-        |            / CAST(count(*) * 100 AS DOUBLE) AS DECIMAL(18,4)) AS avg_score
+        |       CAST(CAST(CAST(sum(CAST(round(score * 100) AS BIGINT)) AS DOUBLE)
+        |            / CAST(count(*) * 100 AS DOUBLE) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS avg_score
         |FROM risk r JOIN cust c ON r.customer = c.email
         |GROUP BY c.email, c.birthYear
         |ORDER BY c.email, c.birthYear, n_events, avg_score""".stripMargin,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.streaming.WindowOps
-import Det.ordered
+import Det.{bp4, ordered}
 
 /** Event-time windowing queries (OP-51/52/53 batch-checkable surface).
   * op51 executes through a genuine Structured Streaming query (file
@@ -51,7 +51,7 @@ object StreamQueries {
     ordered(
       joined.select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
-        col("asof_value").cast("decimal(18,4)").as("signup_value")),
+        bp4(col("asof_value")).as("signup_value")),
       "event_id")
   }
 
@@ -66,14 +66,14 @@ object StreamQueries {
   private val tumblingSql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
       |       event_type, CAST(count(*) AS BIGINT) AS n,
-      |       CAST(sum(value) AS DECIMAL(18,4)) AS sum_value
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) * 100 AS BIGINT) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "op36_asof_join" ->
       """SELECT p.event_id, p.user_id,
         |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t,
-        |       CAST(s.value AS DECIMAL(18,4)) AS signup_value
+        |       CAST(CAST(s.value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS signup_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN
         |     (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
@@ -106,7 +106,7 @@ object StreamQueries {
         |SELECT user_id,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(sum(value) AS DECIMAL(18,4)) AS sum_value
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) * 100 AS BIGINT) AS sum_value
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
   )

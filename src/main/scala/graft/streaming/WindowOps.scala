@@ -17,12 +17,18 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object WindowOps {
 
+  /** Exact basis-point sum of a 2-decimal double column: integer cents
+    * accumulate associatively (partition-order independent, unlike double
+    * sums), ×100 lands on the ×10000 bp output contract. */
+  private def sumValueBp(c: org.apache.spark.sql.Column) =
+    (sum(round(c * 100).cast("long")) * 100).cast("bigint")
+
   /** Tumbling-window aggregate: (window_start, event_type) → count, sum. */
   def tumblingCounts(events: DataFrame, width: String): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("n"),
-           sum(col("value")).cast("decimal(18,4)").as("sum_value"))
+           sumValueBp(col("value")).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -39,7 +45,7 @@ object WindowOps {
     events
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).cast("bigint").as("n_events"),
-           sum(col("value")).cast("decimal(18,4)").as("sum_value"))
+           sumValueBp(col("value")).as("sum_value"))
       .select(col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
@@ -68,23 +74,28 @@ object WindowOps {
     val agg = raw.withWatermark("ts", delay)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("n"),
-           sum(col("value")).cast("decimal(18,4)").as("sum_value"))
+           sumValueBp(col("value")).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
     val name = s"graft_op51_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // materialize the (small) result so the memory-sink table and the
-    // symlink dir can be cleaned up instead of leaking per invocation
-    val result = spark.table(name)
-    val rows = result.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), result.schema)
-    spark.catalog.dropTempView(name)
+    // scope the state-store width to the stream only: the aggregate has
+    // hundreds of groups, so 32 stateful shuffle partitions are pure
+    // per-task/state-store overhead (the dominant cost of this query);
+    // batch reads of the memory table don't consult this conf
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // the on-heap memory-sink table IS the result — no driver collect /
+    // re-parallelize round-trip; the symlink dir can go immediately (the
+    // sink holds rows, not file references). The temp view stays
+    // registered (unique name) until the session drops it.
     java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
     java.nio.file.Files.deleteIfExists(streamDir)
-    out
+    spark.table(name)
   }
 }
