@@ -18,23 +18,38 @@ object Bench {
     // doesn't absorb JVM/session initialization
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries that localCheckpoint small reused tables leave persisted
-      // RDDs behind; drop them so later queries aren't memory-squeezed
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
-    }
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
+    // iteration aid); the driver sets nothing and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          // a broken query must not hide inside a normal-looking time
+          errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that localCheckpoint small reused tables leave persisted
+        // RDDs behind; drop them so later queries aren't memory-squeezed
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> dt
+      }
     // Locale.ROOT: default-locale formatting would emit comma decimal
     // separators (invalid JSON) on non-English JVMs
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      val t = if (errors.contains(k)) -v else v // negative = failed
+      s"\"" + k + "\":" + num(t)
+    }.mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,10 +49,12 @@ object Dedup {
   def overlapPairs(index: DataFrame, maxDocFreq: Option[Long] = None): DataFrame = {
     val idx = maxDocFreq match {
       case Some(cap) =>
-        val keep = index.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        // the HOT set (df > cap) is tiny by construction — broadcast
+        // anti-join it away instead of shuffle-joining the huge kept set
+        val hot = index.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
           .select(col("shingle"))
-        index.join(keep, "shingle")
+        index.join(broadcast(hot), Seq("shingle"), "left_anti")
       case None => index
     }
     val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -64,15 +66,24 @@ object Dedup {
   }
 
   /** Jaccard similarity in basis points (exact integer arithmetic):
-    * 10000*|A∩B| / (|A|+|B|-|A∩B|). Returns pairs ≥ `minBp`. */
+    * 10000*|A∩B| / (|A|+|B|-|A∩B|). Returns pairs ≥ `minBp`.
+    *
+    * `maxDocFreq` caps the shingles entering the pairing join (shingle
+    * counts per doc stay uncapped): a shingle in d documents produces
+    * O(d²) join rows, so ONE boilerplate shingle shared by 1% of a 10⁹-doc
+    * corpus is a 10¹⁴-row blowup. The cap bounds join fan-out by
+    * docs·cap·maxDocFreq — the difference between "scales" and "doesn't".
+    * Overlap (and thus jaccard) becomes a lower bound for pairs that
+    * shared a hot shingle; true near-dups share many rare shingles and
+    * keep their score. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      minBp: Long): DataFrame = {
+      minBp: Long, maxDocFreq: Option[Long] = None): DataFrame = {
     // the distinct index is small (≪ corpus: one row per distinct
     // doc-shingle pair) and consumed 4× (self-join sides + two count
     // joins) — materialize once instead of recomputing the explode chain
     val index = shingleIndex(df, idCol, textCol).localCheckpoint()
     val counts = shingleCounts(index)
-    overlapPairs(index)
+    overlapPairs(index, maxDocFreq)
       .join(counts.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b")
@@ -145,8 +156,8 @@ object Dedup {
     * pair at ≥ minBp (i.e. keep the smallest doc_id of each near-dup
     * cluster edge). Anti-join — no state beyond the pair set. */
   def survivors(df: DataFrame, idCol: String, textCol: String,
-      minBp: Long): DataFrame = {
-    val dupped = jaccardPairs(df, idCol, textCol, minBp)
+      minBp: Long, maxDocFreq: Option[Long] = None): DataFrame = {
+    val dupped = jaccardPairs(df, idCol, textCol, minBp, maxDocFreq)
       .select(col("doc_b").as("drop_id")).distinct()
     df.join(dupped, df(idCol) === dupped("drop_id"), "left_anti")
   }

@@ -63,7 +63,10 @@ object StediFixtures {
     * Exercises OP-10..19 + OP-30 (+ OP-40) end-to-end.
     */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
-    val customers = Stedi.decodeCustomers(redisFrames(spark, dir))
+    // customers is the dim side (one row per customer vs a risk-event
+    // stream): broadcast it so the fact side never shuffles for the join
+    // — the only remaining shuffle is the final (email, birthYear) agg
+    val customers = broadcast(Stedi.decodeCustomers(redisFrames(spark, dir)))
     val risks = Stedi.parseRiskEventsFull(riskFrames(spark, dir))
     // avg must be cross-engine exact: naive avg(double) accumulates in
     // partition order and can cross a 4th-decimal rounding boundary at

@@ -129,7 +129,8 @@ object StediQueries {
     * (customer, score, email, birthYear) before aggregation, plus the
     * OP-19 serialized value — row count equals matched risk events. */
   val op30StediPayload: Q = (s, d) => {
-    val customers = Stedi.decodeCustomers(StediFixtures.redisFrames(s, d))
+    // broadcast the dim side (see StediFixtures.flagship)
+    val customers = broadcast(Stedi.decodeCustomers(StediFixtures.redisFrames(s, d)))
     val risks = Stedi.parseRiskEventsFull(StediFixtures.riskFrames(s, d))
     val joined = Stedi.joinRisk(risks, customers)
     ordered(

@@ -27,11 +27,17 @@ object TrainQueries {
       Dedup.exactKeepMin(Tables.documents(s, d), "text", "doc_id"),
       "keep_id")
 
+  /** Shingles seen in more than this many docs are dropped before the
+    * pairing join (both engines) — the anti-quadratic-blowup cap. */
+  private val shingleDocFreqCap = 100L
+
   /** N-gram (trigram) Jaccard near-dup pairs at ≥ 70% — inverted-index
-    * all-pairs baseline. */
+    * join with the document-frequency cap active (the 100 TB shape: join
+    * fan-out bounded by docs·n_sh·cap, not by the hottest shingle²). */
   val op61DedupNgram: Q = (s, d) =>
     ordered(
-      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 7000L),
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 7000L,
+        Some(shingleDocFreqCap)),
       "doc_a", "doc_b")
 
   /** Same pairs via prefix filtering (ppjoin) — exact, sub-quadratic
@@ -41,10 +47,13 @@ object TrainQueries {
       Dedup.jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", 7000L),
       "doc_a", "doc_b")
 
-  /** MinHash signatures (k=8) — the compressed dedup sketch. */
+  /** MinHash signatures (k=8) via the Kirsch-Mitzenmacher construction:
+    * ONE md5 per shingle (vs k in the per-permutation spelling), the k
+    * permutations are affine combinations of its two 30-bit halves —
+    * pure integer arithmetic, so the DuckDB oracle replays it exactly. */
   val op62MinhashSig: Q = (s, d) =>
     ordered(
-      Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8),
+      Dedup.minhashSignatureFast(Tables.documents(s, d), "doc_id", "text", 8),
       "doc_id")
 
   /** MinHash+LSH candidate pairs (k=16, bands of 4). Rows-only driver
@@ -55,10 +64,12 @@ object TrainQueries {
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text"),
       "doc_a", "doc_b")
 
-  /** Near-dup survivors: corpus minus greater-id members of ≥80% pairs. */
+  /** Near-dup survivors: corpus minus greater-id members of ≥80% pairs
+    * (doc-frequency cap active, mirroring op61). */
   val op64DedupSurvivors: Q = (s, d) =>
     ordered(
-      Dedup.survivors(Tables.documents(s, d), "doc_id", "text", 8000L)
+      Dedup.survivors(Tables.documents(s, d), "doc_id", "text", 8000L,
+        Some(shingleDocFreqCap))
         .select(col("doc_id"), col("lang"), col("source")),
       "doc_id")
 
@@ -221,9 +232,11 @@ object TrainQueries {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "op61_dedup_ngram" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
-        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
         |       GROUP BY 1, 2)
         |SELECT doc_a, doc_b, CAST(overlap AS BIGINT) AS overlap,
         |       CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b,
@@ -246,19 +259,27 @@ object TrainQueries {
         |WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000
         |ORDER BY doc_a, doc_b""".stripMargin,
     "op62_minhash_sig" -> {
+      // Kirsch-Mitzenmacher: sig_i = min((h1·(2i+1) + h2) mod 2^31) where
+      // (h1, h2) are the 30-bit halves of the shared 60-bit md5 hash
       val sigCols = (0 until 8).map(i =>
-        s"CAST(min(('0x' || substring(md5('$i:' || shingle), 1, 15))::BIGINT) AS BIGINT) AS sig_0$i")
+        s"CAST(min((h1 * ${2 * i + 1} + h2) % 2147483648) AS BIGINT) AS sig_0$i")
         .mkString(",\n|       ")
-      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql))
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 1073741824 AS h1,
+        |        (('0x' || substring(md5(shingle), 1, 15))::BIGINT // 1073741824) % 1073741824 AS h2
+        |      FROM sh)
         |SELECT doc_id,
         |       $sigCols
-        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "op64_dedup_survivors" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
-        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
         |       GROUP BY 1, 2),
         |drops AS (SELECT DISTINCT doc_b AS drop_id
         |          FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id

@@ -66,6 +66,32 @@ class DedupSpec extends SparkSpec {
     assert(pref2 == base2)
   }
 
+  test("doc-frequency cap collapses a planted hot-shingle candidate blowup") {
+    // 40 docs share one boilerplate prefix (two hot trigrams, df=40);
+    // each is otherwise unique. One true dup pair with no hot shingles.
+    val hot = (0L until 40L).map(i =>
+      (i, s"standard legal boilerplate header unique$i token$i content$i"))
+    val dupText = "actual duplicated body text repeated verbatim across mirror sites"
+    val docs = (hot ++ Seq((100L, dupText), (101L, dupText)))
+      .toDF("doc_id", "text")
+    val index = Dedup.shingleIndex(docs, "doc_id", "text")
+    // uncapped: every boilerplate co-occurrence becomes a candidate pair
+    val uncapped = Dedup.overlapPairs(index).count()
+    assert(uncapped >= 40L * 39L / 2,
+      s"expected quadratic blowup without the cap, got $uncapped")
+    // capped: the hot shingles are dropped before pairing — only the
+    // true dup pair (whose shingles have df=2) survives as a candidate
+    val capped = Dedup.overlapPairs(index, Some(10L))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"capped candidates: $capped")
+    // and the end-to-end capped jaccard still scores the dup pair exactly
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 7000L, Some(10L))
+      .select("doc_a", "doc_b", "jaccard_bp").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs == Map((100L, 101L) -> 10000L), s"pairs: $pairs")
+  }
+
   test("survivors drops the greater id of each ≥80% pair") {
     val out = Dedup.survivors(corpus, "doc_id", "text", 8000L)
       .select("doc_id").as[Long].collect().toSet
