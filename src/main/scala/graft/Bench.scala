@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); set at construction so every
+      // read in the session types it identically (see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up scan + shuffle + codegen paths so the first timed query

@@ -18,9 +18,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   *
   * planes(t)(b)(i) = weight of dimension i for bit b of table t, generated
   * deterministically (md5-seeded) by Similarity.hyperplanes.
+  *
+  * planes is a Seq (value equality), not Array (reference equality): case
+  * class equals/hashCode drive expression canonicalization, and two
+  * semantically identical SignLshBuckets must compare equal for
+  * common-subexpression elimination to deduplicate them.
   */
-case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+case class SignLshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val planeArr: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -40,10 +48,10 @@ case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Double]]]
     val xs = new Array[Double](dim)
     var i = 0
     while (i < dim) { xs(i) = vec.getFloat(i).toDouble; i += 1 }
-    val out = new Array[Long](planes.length)
+    val out = new Array[Long](planeArr.length)
     var t = 0
-    while (t < planes.length) {
-      val table = planes(t)
+    while (t < planeArr.length) {
+      val table = planeArr(t)
       var bucket = 0L
       var b = 0
       while (b < table.length) {

@@ -137,7 +137,10 @@ object Similarity {
   def lshBucketsMulti(df: DataFrame, idCol: String, nBits: Int,
       nTables: Int, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val planes = Array.tabulate(nTables)(t => hyperplanes(nBits, dim, t))
+    // Seq-of-Seq (value equality) so identical expressions canonicalize
+    val planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      IndexedSeq.tabulate(nTables)(t =>
+        hyperplanes(nBits, dim, t).map(_.toIndexedSeq).toIndexedSeq)
     val bucketsCol = ColumnBridge.column(graft.expressions.SignLshBuckets(
       ColumnBridge.expression(col("embedding")), planes))
     df.select(col(idCol), col("embedding"), bucketsCol.as("buckets"))
@@ -220,9 +223,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Embedding near-duplicate pairs via sign-LSH candidates: only pairs
+    * sharing a (table, bucket) are ever scored, so pair volume follows
+    * bucket collisions (≈ N²·L/2^bits on random data, ≈ the true dup
+    * count on near-dup data) instead of N²/2 — the 100 TB path; buckets
+    * double as storage partition keys there. Recall per pair at angle θ
+    * is 1-(1-(1-θ/π)^bits)^L — ≥ 0.9998 at cos ≥ 0.95 with (4, 8);
+    * exact agreement with [[nearDupPairs]] on planted dups is spec'd. */
+  def nearDupPairsLsh(df: DataFrame, minBp: Long,
+      nBits: Int = 4, nTables: Int = 8): DataFrame = {
+    val b = lshBucketsMulti(df, "vec_id", nBits, nTables)
+    val l = b.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("tbl"), col("bucket"))
+    val r = b.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("tbl"), col("bucket"))
+    val cand = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+      .dropDuplicates("a_id", "b_id")
+    cand.select(col("a_id"), col("b_id"),
+        cosBp(quantize(col("a_emb")), quantize(col("b_emb"))).as("cos_bp"))
+      .filter(col("cos_bp") >= minBp)
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) with cosine ≥ minBp.
-    * Brute-force pair generation — swap in LSH candidates beyond ~10⁵
-    * vectors (see minhashCandidates for the same pattern on text). */
+    * Brute-force pair generation (exact recall baseline) — use
+    * [[nearDupPairsLsh]] beyond ~10⁵ vectors. */
   def nearDupPairs(df: DataFrame, minBp: Long): DataFrame = {
     val a = df.select(col("vec_id").as("a_id"),
       quantize(col("embedding")).as("a_vec"))

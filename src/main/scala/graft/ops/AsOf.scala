@@ -44,9 +44,13 @@ object AsOf {
           if (c == key || c == time) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("__side")) :+ col("__r"): _*)
-    // right rows sort before left rows on equal timestamps → inclusive ≤
+    // right rows sort before left rows on equal timestamps → inclusive ≤.
+    // __r as the final key totally orders right rows that tie on
+    // (key, time), so the carried payload is deterministic across runs
+    // (struct ordering requires orderable payload fields — true for the
+    // atomic/array types a lookup side carries; not maps)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"))
+      .orderBy(col(time), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

@@ -328,6 +328,23 @@ object RelationalQueries {
       "o_orderstatus")
   }
 
+  /** OP-46 approximate percentiles (KLL-style mergeable sketch): the
+    * 100 TB path — exact percentile materializes per-group value arrays,
+    * the sketch is constant-size and merges map-side. Rows-only driver
+    * check (sketch internals differ per engine); the spec bounds the
+    * rank error against the exact spelling. */
+  val op46PercentileApprox: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    ordered(
+      o.groupBy(col("o_orderstatus"))
+        .agg(
+          bp4(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("p50"),
+          bp4(expr("approx_percentile(o_totalprice, 0.9, 10000)")).as("p90"),
+          bp4(expr("approx_percentile(o_totalprice, 0.99, 10000)")).as("p99"),
+          big(count(lit(1))).as("n")),
+      "o_orderstatus")
+  }
+
   /** OP-46 global top-k: ORDER BY … LIMIT k plans TakeOrderedAndProject —
     * per-partition heaps + single-driver merge, no full sort at scale. */
   val op46TopK: Q = (s, d) => {
@@ -461,6 +478,7 @@ object RelationalQueries {
     "op43_pivot" -> op43Pivot,
     "op44_window_dist" -> op44WindowDist,
     "op46_percentile" -> op46Percentile,
+    "op46_percentile_approx" -> op46PercentileApprox,
     "op41_distinct" -> op41Distinct,
     "op42_approx_distinct" -> op42ApproxDistinct,
     "op43_rollup" -> op43Rollup,

@@ -79,10 +79,11 @@ object TrainQueries {
       Dedup.simhash60(Tables.documents(s, d), "doc_id", "text"),
       "doc_id")
 
-  /** Embedding near-duplicate pairs at cosine ≥ 0.95 (deterministic
-    * quantized scoring). */
+  /** Embedding near-duplicate pairs at cosine ≥ 0.95, through the sign-LSH
+    * candidate join (bucket-bounded pair volume — the scale path; exact
+    * equality with the brute-force spelling on planted dups is spec'd). */
   val op66EmbedDup: Q = (s, d) =>
-    ordered(Similarity.nearDupPairs(Tables.embeddings(s, d), 9500L),
+    ordered(Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 9500L),
       "a_id", "b_id")
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 8. */
@@ -154,7 +155,9 @@ object TrainQueries {
     * broadcast-sized join on token. */
   val op72Tfidf: Q = (s, d) => {
     val doc = Tables.documents(s, d)
-    val n = doc.count() // corpus size: one driver-side count, constant result
+    // corpus size N as a lazy 1-row aggregate (column-pruned scan),
+    // broadcast-cross-joined in — no eager driver-side count/extra action
+    val nDocs = broadcast(doc.agg(count(lit(1)).cast("double").as("__n")))
     val tokens = doc.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token"))
@@ -163,8 +166,9 @@ object TrainQueries {
       .groupBy(col("token")).agg(count(lit(1)).cast("bigint").as("df"))
     ordered(
       tf.join(broadcast(df), "token")
+        .crossJoin(nDocs)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
-          floor(col("tf") * log(lit(n.toDouble) / col("df")) * 10000d)
+          floor(col("tf") * log(col("__n") / col("df")) * 10000d)
             .cast("bigint").as("tfidf_bp")),
       "doc_id", "token")
   }

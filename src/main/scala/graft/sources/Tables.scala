@@ -28,7 +28,12 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events with `ts` as TIMESTAMP_NTZ (µs, floor-truncated from ns). */
+  /** events with `ts` as TIMESTAMP_NTZ (µs, floor-truncated from ns).
+    *
+    * Sessions should set `spark.sql.legacy.parquet.nanosAsLong=true` at
+    * CONSTRUCTION (all in-repo entry points do) so nanos parquet types
+    * uniformly across the session; the set below is a defensive fallback
+    * for foreign sessions — note it persists for the session's lifetime. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")

@@ -20,9 +20,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Sessionize {
   case class Event(user_id: Long, ts_ms: Long, value: Double)
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start_ms: Long, last_ms: Long, n: Long, sum: Double)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, sum_value: Double)
+
+  /** Shared per-batch fold: absorb this batch's (sorted) events into the
+    * open session, emitting sessions closed by a gap. */
+  private def foldBatch(user: Long, sorted: Seq[(Long, Double)], gapMs: Long,
+      open: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var cur = open
+    for ((t, v) <- sorted) {
+      cur match {
+        case Some(s) if t - s.last_ms > gapMs =>
+          closed += Session(user, s.start_ms, s.last_ms, s.n, s.sum)
+          cur = Some(SessionState(t, t, 1, v))
+        case Some(s) =>
+          cur = Some(SessionState(s.start_ms, t, s.n + 1, s.sum + v))
+        case None =>
+          cur = Some(SessionState(t, t, 1, v))
+      }
+    }
+    (closed.toSeq, cur)
+  }
 
   def sessions(events: Dataset[Event], gapMs: Long,
       outputMode: OutputMode = OutputMode.Append()): Dataset[Session] = {
@@ -32,23 +53,49 @@ object Sessionize {
       .flatMapGroupsWithState[SessionState, Session](
         outputMode, GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(_.ts_ms)
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var cur = state.getOption
-          for (e <- sorted) {
-            cur match {
-              case Some(s) if e.ts_ms - s.last_ms > gapMs =>
-                closed += Session(user, s.start_ms, s.last_ms, s.n, s.sum)
-                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
-              case Some(s) =>
-                cur = Some(SessionState(s.start_ms, e.ts_ms, s.n + 1,
-                  s.sum + e.value))
-              case None =>
-                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
-            }
-          }
+          val (closed, cur) = foldBatch(user,
+            batch.toSeq.sortBy(_.ts_ms).map(e => (e.ts_ms, e.value)),
+            gapMs, state.getOption)
           cur.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** Production mode: watermark + EventTimeTimeout. A session whose user
+    * never sends another event is flushed once the watermark passes
+    * last_event + gap, and its state is REMOVED — so state is bounded by
+    * sessions active within the watermark horizon, not by all users ever
+    * seen (the NoTimeout mode above retains open sessions forever, which
+    * matches the reference's semantics but cannot run indefinitely).
+    */
+  def sessionsEventTime(events: Dataset[TimedEvent], gapMs: Long,
+      delay: String = "10 seconds"): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: flush + drop
+            val closed = state.getOption.map(s =>
+              Session(user, s.start_ms, s.last_ms, s.n, s.sum))
+            state.remove()
+            closed.iterator
+          } else {
+            val (closed, cur) = foldBatch(user,
+              batch.toSeq.map(e => (e.ts.getTime, e.value)).sortBy(_._1),
+              gapMs, state.getOption)
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the watermark passes the session's close point;
+              // the timeout must sit strictly beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last_ms + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
       }
   }
 }

@@ -73,6 +73,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
   }
 
+  test("LSH near-dup pairs equal brute force on planted near-dups") {
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // plant exact dups: copies of vecs 0-4 under ids 1000-1004 (cos=1.0,
+    // identical bucket signature in every table → LSH must find them)
+    val planted = base.unionByName(base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cos_bp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = pairs(Similarity.nearDupPairs(planted, 9500L))
+    val lsh = pairs(Similarity.nearDupPairsLsh(planted, 9500L))
+    assert(brute.size >= 5, s"planted dups missing from brute force: $brute")
+    assert(lsh == brute, s"lsh=$lsh brute=$brute")
+  }
+
+  test("approx_percentile (op46 sketch path) matches exact within rank tolerance") {
+    val o = Tables.orders(spark, sfDir)
+    val rows = o.groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("ap99"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap50, p50) = (r.getDouble(1), r.getDouble(2))
+      val (ap99, p99) = (r.getDouble(3), r.getDouble(4))
+      // accuracy 10000 bounds rank error to ~n/10000 — generous value gate
+      assert(math.abs(ap50 - p50) / math.max(p50, 1.0) <= 0.05,
+        s"p50 approx=$ap50 exact=$p50")
+      assert(math.abs(ap99 - p99) / math.max(p99, 1.0) <= 0.05,
+        s"p99 approx=$ap99 exact=$p99")
+    }
+  }
+
   test("approx_count_distinct (op42) lands within 5% of exact") {
     val li = Tables.lineitem(spark, sfDir)
     val exact = li.select(countDistinct(col("l_partkey"))).as[Long].first()

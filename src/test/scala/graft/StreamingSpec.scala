@@ -121,6 +121,33 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(Sessionize.Session(1L, 0L, 30000L, 2L, 3.0)))
   }
 
+  test("EventTimeTimeout flushes an idle session once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, ms: Long, v: Double) =
+      Sessionize.TimedEvent(u, new java.sql.Timestamp(ms), v)
+    val in = MemoryStream[Sessionize.TimedEvent]
+    val sessions = Sessionize.sessionsEventTime(in.toDS(), gapMs = 60000,
+      delay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_timeout_out").start()
+    // start above epoch 0: a ts equal to the initial watermark (0) is
+    // filtered as late by the stateful operator
+    in.addData(ev(1L, 100000L, 1.0), ev(1L, 130000L, 2.0))
+    q.processAllAvailable()
+    // user 1 never returns; another user's far-future event advances the
+    // watermark past user 1's last+gap (190 s) → the timeout fires and the
+    // idle session flushes WITHOUT a closing event from user 1
+    in.addData(ev(2L, 700000L, 9.0))
+    q.processAllAvailable()
+    in.addData(ev(2L, 710000L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_timeout_out").as[Sessionize.Session]
+      .collect().toSeq
+    assert(out == Seq(Sessionize.Session(1L, 100000L, 130000L, 2L, 3.0)),
+      s"expected exactly the flushed idle session: $out")
+  }
+
   test("console sink (OP-03) starts and drains a streaming decode query") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]

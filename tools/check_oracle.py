@@ -11,6 +11,7 @@ and compares: columns sorted by name, rows in produced order, values exact
 Developer-side tool only — the shipped Scala library has no Python deps.
 """
 import json
+import math
 import sys
 
 import duckdb
@@ -25,6 +26,16 @@ def norm(v):
     if isinstance(v, bytes):
         return v.hex()
     return v
+
+
+def eq(a, b):
+    """Exact equality, except NaN == NaN (floats compare exact otherwise)."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float) \
+            and math.isnan(a) and math.isnan(b):
+        return True
+    return a == b
 
 
 def main(sf_dir, out_dir):
@@ -60,14 +71,22 @@ def main(sf_dir, out_dir):
         for ci, c in enumerate(gcols):
             for ri in range(got.num_rows):
                 a, b = g[ci][ri], w[ci][ri]
-                if a != b and not (a is None and b is None):
-                    bad = (c, ri, a, b)
+                if not eq(a, b):
+                    bad = (ci, c, ri, a, b)
                     break
             if bad:
                 break
         if bad:
-            c, ri, a, b = bad
-            print(f"FAIL {name}: first diff col={c} row={ri} spark={a!r} oracle={b!r}")
+            ci, c, ri, a, b = bad
+            extra = ""
+            if isinstance(a, float) or isinstance(b, float):
+                diffs = [abs(x - y) for x, y in zip(g[ci], w[ci])
+                         if isinstance(x, float) and isinstance(y, float)
+                         and not (math.isnan(x) or math.isnan(y))]
+                if diffs:
+                    extra = f" max_abs_diff={max(diffs):.6g}"
+            print(f"FAIL {name}: first diff col={c} row={ri} "
+                  f"spark={a!r} oracle={b!r}{extra}")
             n_fail += 1
         else:
             print(f"PASS {name} ({got.num_rows} rows, {len(gcols)} cols)")
