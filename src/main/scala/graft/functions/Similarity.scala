@@ -225,24 +225,39 @@ object Similarity {
 
   /** Embedding near-duplicate pairs via sign-LSH candidates: only pairs
     * sharing a (table, bucket) are ever scored, so pair volume follows
-    * bucket collisions (≈ N²·L/2^bits on random data, ≈ the true dup
-    * count on near-dup data) instead of N²/2 — the 100 TB path; buckets
-    * double as storage partition keys there. Recall per pair at angle θ
-    * is 1-(1-(1-θ/π)^bits)^L — ≥ 0.9998 at cos ≥ 0.95 with (4, 8);
-    * exact agreement with [[nearDupPairs]] on planted dups is spec'd. */
+    * bucket collisions — ≈ N²·L/2^bits on random data (≪ N²/2 once
+    * 2^bits ≫ L·N/partition), ≈ the true dup count on near-dup data —
+    * instead of N²/2. The 100 TB path; buckets double as storage
+    * partition keys there.
+    *
+    * Two deliberate plan choices: the candidate dedup shuffles BARE id
+    * pairs (vectors re-attach by join afterwards — carrying two 64-dim
+    * arrays per candidate through the dedup shuffle dominates runtime),
+    * and bits is sized for bucket selectivity (12 bits = 4096 buckets):
+    * recall per pair at angle θ is 1-(1-(1-θ/π)^bits)^L — 0.93 at
+    * cos = 0.95 with (12, 8), 1.0 for exact duplicates (θ = 0, identical
+    * signatures in every table). Exact agreement with [[nearDupPairs]]
+    * on planted exact dups is spec'd; sub-threshold recall is the
+    * documented ANN trade. */
   def nearDupPairsLsh(df: DataFrame, minBp: Long,
-      nBits: Int = 4, nTables: Int = 8): DataFrame = {
+      nBits: Int = 12, nTables: Int = 8): DataFrame = {
+    val vecs = df.select(col("vec_id"), quantize(col("embedding")).as("vec"))
+      .withColumn("n2", intDot(col("vec"), col("vec")))
     val b = lshBucketsMulti(df, "vec_id", nBits, nTables)
-    val l = b.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      col("tbl"), col("bucket"))
-    val r = b.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("tbl"), col("bucket"))
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val l = b.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
+    val r = b.select(col("vec_id").as("b_id"), col("tbl"), col("bucket"))
     val cand = l.join(r, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
-      .dropDuplicates("a_id", "b_id")
-    cand.select(col("a_id"), col("b_id"),
-        cosBp(quantize(col("a_emb")), quantize(col("b_emb"))).as("cos_bp"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val va = vecs.select(col("vec_id").as("a_id"), col("vec").as("a_vec"),
+      col("n2").as("a_n2"))
+    val vb = vecs.select(col("vec_id").as("b_id"), col("vec").as("b_vec"),
+      col("n2").as("b_n2"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosBpFrom(intDot(col("a_vec"), col("b_vec")),
+          col("a_n2"), col("b_n2")).as("cos_bp"))
       .filter(col("cos_bp") >= minBp)
   }
 
