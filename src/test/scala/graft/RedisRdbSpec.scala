@@ -1,0 +1,75 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.RedisRdb
+
+/** RDB snapshot loader: exact parse of a synthesized snapshot (both zset
+  * encodings, int-encoded strings, LZF), then the reference's actual
+  * dump.rdb end-to-end into the customer bootstrap shape. */
+class RedisRdbSpec extends SparkSpec {
+
+  /** Minimal RDB writer for fixtures (plain lengths only). */
+  private def buildRdb(parts: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("REDIS0009".getBytes("US-ASCII"))
+    parts.foreach(out.write)
+    out.write(0xFF)
+    out.write(new Array[Byte](8)) // CRC trailer (unchecked)
+    out.toByteArray
+  }
+
+  private def len(n: Int): Array[Byte] = {
+    require(n < 64); Array(n.toByte)
+  }
+  private def str(s: String): Array[Byte] = len(s.length) ++ s.getBytes("UTF-8")
+  private def doubleLe(d: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    (0 until 8).map(i => ((bits >> (8 * i)) & 0xFF).toByte).toArray
+  }
+
+  test("parses ZSET_2 (binary doubles), legacy ZSET scores, and int members") {
+    val zset2 = Array(5.toByte) ++ str("Customer") ++ len(2) ++
+      str("""{"email":"a@test.com"}""") ++ doubleLe(1.5) ++
+      Array(0xC1.toByte, 0x39.toByte, 0x05.toByte) ++ // INT16 LE member: 1337
+      doubleLe(-2.0)
+    val zsetLegacy = Array(1.toByte) ++ str("scores") ++ len(1) ++
+      str("m1") ++ Array(3.toByte) ++ "4.5".getBytes("US-ASCII")
+    val bytes = buildRdb(
+      Array(0xFE.toByte, 0.toByte), // SELECTDB 0
+      zset2,
+      Array(0xFE.toByte, 2.toByte), // SELECTDB 2
+      zsetLegacy)
+    val got = RedisRdb.parseZSets(bytes)
+    assert(got == Seq(
+      RedisRdb.ZSetEntry(0, "Customer", """{"email":"a@test.com"}""", 1.5),
+      RedisRdb.ZSetEntry(0, "Customer", "1337", -2.0),
+      RedisRdb.ZSetEntry(2, "scores", "m1", 4.5)))
+  }
+
+  test("LZF round-trip: decompress of a hand-built stream") {
+    // literal run "abc" + back-reference of 4 bytes at offset 3 ("abca")
+    val stream = Array[Byte](0x02, 'a', 'b', 'c', (2 << 5).toByte, 0x02)
+    assert(new String(RedisRdb.lzfDecompress(stream, 7), "US-ASCII") == "abcabca")
+  }
+
+  test("reference dump.rdb: Customer zset parses into the bootstrap shape") {
+    val path = "/root/reference/dump.rdb"
+    assume(new java.io.File(path).canRead, "reference snapshot not present")
+    val entries = RedisRdb.readZSets(spark, path)
+      .filter(col("key") === "Customer")
+    val n = entries.count()
+    assert(n > 0, "expected customer records in the snapshot")
+    // every member is a customer-record JSON the change-stream decoder
+    // also accepts: the bootstrap path must land in the same shape
+    val customers = RedisRdb.customers(spark, path)
+    assert(customers.count() == n,
+      "every zset member should decode to a non-null (email, birthDay) record")
+    val bad = customers
+      .filter(!col("email").contains("@") || length(col("birthYear")) =!= 4)
+      .count()
+    assert(bad == 0, s"$bad records decoded with malformed email/birthYear")
+  }
+}

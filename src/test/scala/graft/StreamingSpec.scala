@@ -148,6 +148,41 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the flushed idle session: $out")
   }
 
+  test("RocksDB state store runs the stateful session query (100 TB config)") {
+    // the provider SCALE.md prescribes for large state: verify the whole
+    // stateful path (flatMapGroupsWithState + watermark timeout) executes
+    // and produces identical results under RocksDB, not just the default
+    // HDFS-backed in-memory store
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(u: Long, ms: Long, v: Double) =
+        Sessionize.TimedEvent(u, new java.sql.Timestamp(ms), v)
+      val in = MemoryStream[Sessionize.TimedEvent]
+      val q = Sessionize.sessionsEventTime(in.toDS(), gapMs = 60000,
+          delay = "0 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_rocksdb_out").start()
+      in.addData(ev(1L, 100000L, 1.0), ev(1L, 130000L, 2.0))
+      q.processAllAvailable()
+      in.addData(ev(2L, 700000L, 9.0))
+      q.processAllAvailable()
+      in.addData(ev(2L, 710000L, 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("sess_rocksdb_out").as[Sessionize.Session]
+        .collect().toSeq
+      assert(out == Seq(Sessionize.Session(1L, 100000L, 130000L, 2L, 3.0)),
+        s"RocksDB-backed session result diverged: $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("console sink (OP-03) starts and drains a streaming decode query") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
