@@ -118,4 +118,48 @@ object TextOps {
   def rollingHash(text: Column, mod: Long = 1000000007L): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch)) % mod)
+
+  /** PII patterns shared by the scrubber and its oracle — restricted to
+    * syntax RE2 (DuckDB) and java.util.regex interpret identically
+    * (char classes, bounded quantifiers, \b anchors; no lookaround). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+
+  /** PII scrubbing: redact emails then phone numbers. Per-row codegen'd
+    * regexp_replace chain (Spark replaces ALL matches; the DuckDB twin
+    * needs the explicit 'g' flag). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of pattern matches in a string (BIGINT). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("bigint")
+
+  /** Sliding-window token chunking (context-window packing for training
+    * samples): windows of `width` tokens every `stride` tokens; the last
+    * window is the remainder (never empty for non-empty docs). Pure
+    * built-ins — sequence/transform/slice/posexplode — one narrow
+    * codegen'd generator stage, no shuffle: at 100 TB this is a map-only
+    * pass whose output is ~n/stride rows per doc. Returns one row per
+    * chunk: (chunk_idx, chunk, n_tokens). */
+  def tokenChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, width: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && width >= stride, "need width >= stride > 0")
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        expr(s"IF(n <= $width, 1, CAST((n - $width + $stride - 1) DIV $stride AS INT) + 1)"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"""transform(sequence(0, n_chunks - 1),
+             |  i -> struct(array_join(slice(toks, i * $stride + 1, $width), ' ')
+             |                AS chunk,
+             |              least($width, n - i * $stride) AS n_tokens))"""
+            .stripMargin)).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("c.chunk").as("chunk"),
+        col("c.n_tokens").cast("bigint").as("n_tokens"))
+  }
 }

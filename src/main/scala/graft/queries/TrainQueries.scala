@@ -173,6 +173,27 @@ object TrainQueries {
       "doc_id", "token")
   }
 
+  /** PII scrubbing: redact emails/phones + match counts (per-row regexp
+    * chain, narrow). The fixture corpus carries no PII, so the oracle
+    * proves the pipeline is a well-formed identity there; redaction
+    * behavior itself is spec'd on planted PII. */
+  val op74Scrub: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    ordered(
+      doc.select(col("doc_id"),
+        TextOps.scrubPii(col("text")).as("scrubbed"),
+        TextOps.matchCount(col("text"), TextOps.emailPattern).as("n_emails"),
+        TextOps.matchCount(col("text"), TextOps.phonePattern).as("n_phones")),
+      "doc_id")
+  }
+
+  /** Sliding-window token chunking: 32-token windows, stride 16 —
+    * context-window packing for training samples. */
+  val op75Chunks: Q = (s, d) =>
+    ordered(
+      TextOps.tokenChunks(Tables.documents(s, d), "doc_id", "text", 32, 16),
+      "doc_id", "chunk_idx")
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -200,6 +221,8 @@ object TrainQueries {
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
     "op73_fingerprint" -> op73Fingerprint,
+    "op74_scrub" -> op74Scrub,
+    "op75_chunks" -> op75Chunks,
   )
 
   private val trigramSql =
@@ -357,6 +380,32 @@ object TrainQueries {
         |       CAST(floor(tf.tf * ln(n.n / df.df) * 10000) AS BIGINT) AS tfidf_bp
         |FROM tf JOIN df USING (token) CROSS JOIN n
         |ORDER BY doc_id, token""".stripMargin,
+    "op74_scrub" -> {
+      // patterns contain no quotes; DuckDB standard strings keep
+      // backslashes literal, so they embed verbatim
+      val em = TextOps.emailPattern
+      val ph = TextOps.phonePattern
+      s"""SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+        |                 '$ph', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "op75_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |         unnest(range(CASE WHEN n <= 32 THEN 1
+        |                           ELSE (n - 32 + 15) // 16 + 1 END)) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk,
+        |       CAST(least(32, n - i*16) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "op73_fingerprint" ->
       """SELECT doc_id,
         |  CAST(list_reduce(

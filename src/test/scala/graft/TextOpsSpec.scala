@@ -63,4 +63,39 @@ class TextOpsSpec extends SparkSpec {
     assert(scores("plain") > scores("short") - 2500) // length term dominates tiny docs
     assert(scores.values.forall(s => s >= 0 && s <= 10000))
   }
+
+  test("PII scrub redacts planted emails and phones, counts match") {
+    val df = Seq(
+      "contact alice.b+spam@example.co.uk or call 555-123-4567 today",
+      "two mails x@y.io and z@w.dev, odd number 12-34 left alone",
+      "nothing sensitive here").toDF("text")
+    val out = df.select(
+      TextOps.scrubPii(col("text")).as("s"),
+      TextOps.matchCount(col("text"), TextOps.emailPattern).as("ne"),
+      TextOps.matchCount(col("text"), TextOps.phonePattern).as("np"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) == ("contact <EMAIL> or call <PHONE> today", 1L, 1L))
+    assert(out(1) == ("two mails <EMAIL> and <EMAIL>, odd number 12-34 left alone", 2L, 0L))
+    assert(out(2) == ("nothing sensitive here", 0L, 0L))
+  }
+
+  test("token chunking: full windows, remainder tail, tiny docs") {
+    val df = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
+      (2L, "a b c"),                                  // < width
+      (3L, (1 to 32).map(i => s"t$i").mkString(" "))  // exactly width
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenChunks(df, "doc_id", "text", 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: chunk 0 = tokens 1..32, chunk 1 = tokens 17..40 (remainder 24)
+    assert(out.count(_._1 == 1L) == 2)
+    assert(out(0)._3.startsWith("t1 t2 ") && out(0)._4 == 32L)
+    assert(out(1)._3.startsWith("t17 t18 ") && out(1)._3.endsWith(" t40")
+      && out(1)._4 == 24L)
+    // doc 2: one short chunk, all 3 tokens
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    // doc 3: exactly one full window
+    assert(out.count(_._1 == 3L) == 1 && out.last._4 == 32L)
+  }
 }
