@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // custom Catalyst rules (base64 round-trip elimination)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); set at construction so every
       // read in the session types it identically (see Tables.events)

@@ -12,6 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // custom Catalyst rules (base64 round-trip elimination)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // events.parquet is TIMESTAMP(NANOS); set at construction so every
       // read in the session types it identically (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -64,8 +64,16 @@ object EliminateBase64RoundTrip extends Rule[LogicalPlan] {
 }
 
 /** SparkSessionExtensions entry point:
-  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Injected rules join the operator-optimization FIXED-POINT batch, so
+  * they iterate together with Spark's SimplifyExtractValueOps /
+  * CollapseProject: the JSON collapse exposes a literal-struct extract,
+  * its simplification exposes a base64 pair, stripping that exposes the
+  * next JSON pair — the full decode chain folds in one batch. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EliminateBase64RoundTrip)
+    e.injectOptimizerRule(_ => CollapseJsonRoundTrip)
+  }
 }

@@ -36,6 +36,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("CollapseJsonRoundTrip folds from_json(to_json(struct)) and the full STEDI decode") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.types.StructType
+    val fixtures = "/root/testdata/sf0.001"
+    // baseline results with the stock optimizer
+    val plainResult = graft.pipeline.Stedi.decodeCustomers(
+        graft.pipeline.StediFixtures.redisFrames(spark, fixtures))
+      .orderBy("email").collect().map(_.toSeq).toSeq
+    // the GraftExtensions rule set (plus Spark's extract simplifier, which
+    // in an extension-registered session shares the fixed-point batch)
+    castToImpl(spark).experimental.extraOptimizations = Seq(
+      graft.plans.CollapseJsonRoundTrip,
+      org.apache.spark.sql.catalyst.optimizer.SimplifyExtractValueOps,
+      graft.plans.EliminateBase64RoundTrip)
+    try {
+      // direct pair: parse-of-serialize folds to the struct itself
+      val df = Tables.documents(spark, sfDir).limit(10)
+      val schema = StructType.fromDDL("a STRING, b STRING")
+      val pair = df.select(from_json(
+        to_json(struct(col("text").as("a"), col("lang").as("b"))), schema).as("s"))
+      val pairPlan = pair.queryExecution.optimizedPlan.toString
+      assert(!pairPlan.contains("from_json"), s"pair should fold:\n$pairPlan")
+
+      // full cascade: envelope JSON (pruned schema) → array/struct extract
+      // → base64 round-trip → customer JSON, all the way to plain columns
+      val decoded = graft.pipeline.Stedi.decodeCustomers(
+        graft.pipeline.StediFixtures.redisFrames(spark, fixtures))
+      val plan = decoded.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("from_json") && !plan.contains("unbase64"),
+        s"decode chain should fold completely:\n$plan")
+      // identical results to the unoptimized spelling
+      assert(decoded.orderBy("email").collect().map(_.toSeq).toSeq == plainResult)
+    } finally castToImpl(spark).experimental.extraOptimizations = Nil
+  }
+
   test("TopKAgg brute-force equals the window-function spelling") {
     val emb = Tables.embeddings(spark, sfDir)
     val viaWindow = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 5)
