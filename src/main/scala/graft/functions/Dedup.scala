@@ -39,6 +39,22 @@ object Dedup {
         explode(TextOps.trigramsOfTokens(col("toks"))).as("shingle"))
       .distinct()
 
+  /** Inverted index keyed by xxhash64(shingle) instead of the raw string:
+    * every downstream shuffle/join/aggregate moves 8-byte longs instead
+    * of ~30-byte text (the distinct itself included) — the difference is
+    * network bytes at cluster scale. xxhash64 (not md5): the key is
+    * INTERNAL (outputs carry doc ids and counts, so the oracle's
+    * raw-string joins still match), and the codegen'd xxhash64 is an
+    * order of magnitude cheaper than the md5-hex chain. Deterministic
+    * (fixed seed) across runs/partitionings; collisions ~2⁻⁶⁴ per pair. */
+  def shingleIndexHashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.trigramsOfTokens(col("toks"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
+      .distinct()
+
   /** Shingle-count per document (distinct shingles). */
   def shingleCounts(index: DataFrame): DataFrame =
     index.groupBy(col("doc_id")).agg(count(lit(1)).cast("bigint").as("n_sh"))
@@ -81,7 +97,7 @@ object Dedup {
     // the distinct index is small (≪ corpus: one row per distinct
     // doc-shingle pair) and consumed 4× (self-join sides + two count
     // joins) — materialize once instead of recomputing the explode chain
-    val index = shingleIndex(df, idCol, textCol).localCheckpoint()
+    val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
     val counts = shingleCounts(index)
     overlapPairs(index, maxDocFreq)
       .join(counts.withColumnRenamed("doc_id", "doc_a")
@@ -113,7 +129,7 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       minBp: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val index = shingleIndex(df, idCol, textCol).localCheckpoint()
+    val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
     val counts = shingleCounts(index)
     val dfreq = index.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -199,6 +215,8 @@ object Dedup {
     */
   def minhashSignatureFast(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // md5-60 base hash (NOT xxhash64): signature values are oracle-checked,
+    // so the hash must be replayable in SQL on the raw shingle strings
     val index = shingleIndex(df, idCol, textCol)
       .withColumn("h", TextOps.md5Hash60(col("shingle")))
       .withColumn("h1", (col("h") % 1073741824L).cast("bigint"))
