@@ -148,6 +148,53 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the flushed idle session: $out")
   }
 
+  test("stream-static join: risk stream against RDB-bootstrapped customers") {
+    // the snapshot-seed deployment shape: customers come from the Redis
+    // RDB bootstrap (static side, re-read per micro-batch, no join state),
+    // risk events stream in — complements the stream-stream mode above
+    implicit val sqlCtx = spark.sqlContext
+    val rdbPath = "/root/reference/dump.rdb"
+    assume(new java.io.File(rdbPath).canRead, "reference snapshot not present")
+    val customers = graft.sources.RedisRdb.customers(spark, rdbPath)
+      .select("email", "birthYear")
+    val email = customers.orderBy("email").limit(1)
+      .collect()(0).getString(0)
+    val risks = MemoryStream[String]
+    val joined = Stedi.joinRisk(Stedi.parseRiskEventsFull(risks.toDF()), customers)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("joba_static_out").start()
+    risks.addData(
+      s"""{"customer":"$email","score":"12.5","riskDate":"2020-09-15T00:00:00Z"}""",
+      """{"customer":"nobody@nowhere.test","score":"1.0","riskDate":"2020-09-15T00:00:00Z"}""")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("joba_static_out")
+      .select("customer", "score").as[(String, String)].collect().toSeq
+    assert(out == Seq((email, "12.5")),
+      s"only the bootstrapped customer should match: $out")
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark emits each key once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val events = in.toDF().toDF("ts_str", "k")
+      .select(col("ts_str").cast("timestamp").as("ts"), col("k"))
+    val deduped = events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm_out").start()
+    in.addData(("2024-01-01 10:01:00", "a"), ("2024-01-01 10:01:30", "a"),
+      ("2024-01-01 10:02:00", "b"))
+    q.processAllAvailable()
+    // a replayed duplicate inside the watermark window stays suppressed
+    in.addData(("2024-01-01 10:03:00", "a"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_wm_out").select("k").as[String]
+      .collect().toSeq.sorted
+    assert(out == Seq("a", "b"), s"expected one row per key: $out")
+  }
+
   test("RocksDB state store runs the stateful session query (100 TB config)") {
     // the provider SCALE.md prescribes for large state: verify the whole
     // stateful path (flatMapGroupsWithState + watermark timeout) executes
