@@ -194,6 +194,33 @@ object TrainQueries {
       TextOps.tokenChunks(Tables.documents(s, d), "doc_id", "text", 32, 16),
       "doc_id", "chunk_idx")
 
+  /** Repetition signals (the classic dataset-curation filters): fraction
+    * of duplicated trigrams and fraction of the single most frequent
+    * token, both in basis points. Trigram part is per-row array math
+    * (narrow); the top-token part is explode → two partial-aggregating
+    * groupBys → join back on doc_id — one shuffle keyed by doc at any
+    * scale. */
+  val op76Repetition: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val tri = doc.select(col("doc_id"),
+        TextOps.trigramsOfTokens(TextOps.tokens(col("text"))).as("tris"))
+      .select(col("doc_id"),
+        size(col("tris")).cast("bigint").as("n_tri"),
+        size(array_distinct(col("tris"))).cast("bigint").as("n_tri_distinct"))
+      .withColumn("dup_tri_bp",
+        when(col("n_tri") === 0, lit(0L))
+          .otherwise(expr("(n_tri - n_tri_distinct) * 10000 div n_tri"))
+          .cast("bigint"))
+    val tok = doc.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_tok"))
+      .select(col("doc_id"),
+        expr("max_c * 10000 div n_tok").cast("bigint").as("top_tok_bp"))
+    ordered(tri.join(tok, "doc_id"), "doc_id")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -223,6 +250,7 @@ object TrainQueries {
     "op73_fingerprint" -> op73Fingerprint,
     "op74_scrub" -> op74Scrub,
     "op75_chunks" -> op75Chunks,
+    "op76_repetition" -> op76Repetition,
   )
 
   private val trigramSql =
@@ -406,6 +434,28 @@ object TrainQueries {
         |       array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk,
         |       CAST(least(32, n - i*16) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "op76_repetition" ->
+      s"""WITH tri AS (
+        |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT shingle) AS n_d
+        |  FROM ($trigramSql) GROUP BY doc_id),
+        |tc AS (
+        |  SELECT doc_id, token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_tok
+        |       FROM tc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(coalesce(tri.n_d, 0) AS BIGINT) AS n_tri_distinct,
+        |  CAST(CASE WHEN coalesce(tri.n_tri, 0) = 0 THEN 0
+        |            ELSE (tri.n_tri - tri.n_d) * 10000 // tri.n_tri END AS BIGINT)
+        |    AS dup_tri_bp,
+        |  CAST(tt.max_c * 10000 // tt.n_tok AS BIGINT) AS top_tok_bp
+        |FROM documents d
+        |LEFT JOIN tri USING (doc_id)
+        |JOIN tt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "op73_fingerprint" ->
       """SELECT doc_id,
         |  CAST(list_reduce(

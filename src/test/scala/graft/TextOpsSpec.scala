@@ -79,6 +79,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == ("nothing sensitive here", 0L, 0L))
   }
 
+  test("repetition signals separate looping text from varied text") {
+    val varied = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val looping = Seq.fill(20)("buy cheap stuff now").mkString(" ")
+    val df = Seq((1L, varied), (2L, looping)).toDF("doc_id", "text")
+    val out = graft.queries.TrainQueries.defs("op76_repetition")(
+        spark, sfDir) // fixture run just proves shape; semantics below
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tri", "n_tri_distinct", "dup_tri_bp", "top_tok_bp"))
+    // direct semantics on planted docs via the same expressions
+    import graft.functions.TextOps
+    val tri = df.select(col("doc_id"),
+        TextOps.trigramsOfTokens(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"),
+        size(array_distinct(col("t"))).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val (nv, dv) = tri(1L); val (nl, dl) = tri(2L)
+    assert(nv == dv, "varied text has no duplicate trigrams")
+    assert(dl <= 4 && nl == 78, s"looping text collapses to few trigrams: $dl/$nl")
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
