@@ -93,11 +93,15 @@ object Dedup {
     * shared a hot shingle; true near-dups share many rare shingles and
     * keep their score. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      minBp: Long, maxDocFreq: Option[Long] = None): DataFrame = {
+      minBp: Long, maxDocFreq: Option[Long] = None): DataFrame =
     // the distinct index is small (≪ corpus: one row per distinct
     // doc-shingle pair) and consumed 4× (self-join sides + two count
     // joins) — materialize once instead of recomputing the explode chain
-    val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
+    jaccardFromIndex(shingleIndexHashed(df, idCol, textCol).localCheckpoint(),
+      minBp, maxDocFreq)
+
+  private def jaccardFromIndex(index: DataFrame, minBp: Long,
+      maxDocFreq: Option[Long]): DataFrame = {
     val counts = shingleCounts(index)
     overlapPairs(index, maxDocFreq)
       .join(counts.withColumnRenamed("doc_id", "doc_a")
@@ -127,9 +131,12 @@ object Dedup {
     * the shared-shingle join dominates. Pick per corpus statistics.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      minBp: Long): DataFrame = {
+      minBp: Long): DataFrame =
+    jaccardPrefixFromIndex(
+      shingleIndexHashed(df, idCol, textCol).localCheckpoint(), minBp)
+
+  private def jaccardPrefixFromIndex(index: DataFrame, minBp: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
     val counts = shingleCounts(index)
     val dfreq = index.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -166,6 +173,38 @@ object Dedup {
       .filter(col("jaccard_bp") >= minBp)
       .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"),
         col("n_b"), col("jaccard_bp"))
+  }
+
+  /** Cost-based choice between the two exact-jaccard spellings. The
+    * pairing join emits exactly Σ_s df(s)·(df(s)−1)/2 rows over the
+    * shingle document frequencies — computable from one tiny aggregate
+    * over the index BEFORE running either algorithm (the same statistic
+    * AQE-style planning would want, gathered for one extra scan of the
+    * materialized index). When that candidate volume stays within
+    * `ratio`× the index size, the plain inverted-index join wins (the
+    * prefix machinery — df join, per-doc window, candidate-restricted
+    * overlap — costs more than it saves); past it, prefix filtering's
+    * pruned candidates win. Returns true when prefix should run. */
+  private[graft] def preferPrefix(index: DataFrame, ratio: Double): Boolean = {
+    val row = index.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(expr("df * (df - 1) div 2")).as("pairs"),
+           sum(col("df")).as("rows"))
+      .collect()(0)
+    val pairs = Option(row.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val rows = Option(row.get(1)).fold(0L)(_.asInstanceOf[Long])
+    pairs > ratio * rows
+  }
+
+  /** Exact jaccard pairs with the spelling chosen from corpus statistics
+    * (both spellings are result-identical — spec'd): a planning-time
+    * driver decision from one scalar aggregate, the operator-selection
+    * analog of AQE's runtime statistics. */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+      minBp: Long, ratio: Double = 4.0): DataFrame = {
+    val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
+    if (preferPrefix(index, ratio)) jaccardPrefixFromIndex(index, minBp)
+    else jaccardFromIndex(index, minBp, None)
   }
 
   /** Near-dup survivors: documents that are not the greater side of any

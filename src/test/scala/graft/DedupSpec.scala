@@ -92,6 +92,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Map((100L, 101L) -> 10000L), s"pairs: $pairs")
   }
 
+  test("cost-based jaccard auto picks the cheap spelling per corpus") {
+    // fixture corpus: shared-shingle volume is small → inverted-index join
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val idxFixture = Dedup.shingleIndexHashed(docs, "doc_id", "text")
+    assert(!Dedup.preferPrefix(idxFixture, 4.0),
+      "fixture corpus should favor the plain inverted-index join")
+    // pathological corpus: 100 docs sharing nearly every shingle → the
+    // pairing join would emit ~shared·C(100,2) rows; prefix must win
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shared = (0L until 100L).map(i => (i, s"$base tail$i"))
+      .toDF("doc_id", "text")
+    val idxShared = Dedup.shingleIndexHashed(shared, "doc_id", "text")
+    assert(Dedup.preferPrefix(idxShared, 4.0),
+      "high-overlap corpus should favor prefix filtering")
+    // and the chosen spelling returns exactly the baseline's pairs
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard_bp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = asSet(Dedup.jaccardPairsAuto(shared, "doc_id", "text", 7000L))
+    val manual = asSet(Dedup.jaccardPairs(shared, "doc_id", "text", 7000L))
+    assert(auto.nonEmpty && auto == manual)
+  }
+
   test("survivors drops the greater id of each ≥80% pair") {
     val out = Dedup.survivors(corpus, "doc_id", "text", 8000L)
       .select("doc_id").as[Long].collect().toSet
