@@ -20,9 +20,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up scan + shuffle + codegen paths so the first timed query
-    // doesn't absorb JVM/session initialization
+    // doesn't absorb JVM/session initialization: a tiny aggregate, a
+    // tiny slice of the trigram-explode chain (dedup family JIT), and a
+    // quantized dot product (similarity family JIT)
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
+    graft.functions.Dedup.shingleIndexHashed(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(32),
+      "doc_id", "text").groupBy("shingle").count().count()
+    locally {
+      import org.apache.spark.sql.functions.col
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(32)
+        .select(col("vec_id"),
+          graft.functions.Similarity.quantize(col("embedding")).as("q"))
+      e.select(graft.functions.Similarity.intDot(col("q"), col("q"))).count(): Unit
+    }
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
     // iteration aid); the driver sets nothing and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
