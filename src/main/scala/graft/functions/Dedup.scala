@@ -280,6 +280,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Transitive near-dup clusters: connected components over the pair
+    * graph, labeling every document with the minimum doc_id reachable
+    * through near-dup edges (A~B, B~C ⇒ A,B,C share one representative —
+    * the pairwise `survivors` view under-merges exactly these chains).
+    *
+    * Algorithm: min-label propagation — labels start as doc_id; each
+    * round every vertex takes the min of its own and its neighbors'
+    * labels, iterating to fixpoint. Per round: one join + one aggregate,
+    * rounds = cluster diameter (near-dup clusters are shallow; hard cap
+    * keeps adversarial chains bounded). Labels are `localCheckpoint`ed
+    * per round to truncate lineage — mandatory for iterative DataFrame
+    * algorithms — and the fixpoint test is a driver-side count, the same
+    * driver-coordinated loop any BSP/Pregel-style computation runs.
+    * Singleton documents keep themselves as representative. */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+      minBp: Long, maxDocFreq: Option[Long] = None,
+      maxRounds: Int = 20): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, minBp, maxDocFreq)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = df.select(col(idCol).as("doc_id"))
+      .withColumn("cluster", col(idCol)).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("cluster").as("nb_cluster")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("nb_min"))
+      val next = labels
+        .join(nbMin.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** SimHash-60: weighted majority of per-token hash bits. Tokens hashed
     * with md5Hash60; bit j of the fingerprint is 1 iff the count-weighted
     * sum of (bit_j ? +w : -w) over distinct tokens is positive.

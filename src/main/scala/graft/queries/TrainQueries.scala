@@ -73,6 +73,15 @@ object TrainQueries {
         .select(col("doc_id"), col("lang"), col("source")),
       "doc_id")
 
+  /** Transitive near-dup clusters at ≥70%: every document labeled with
+    * the min doc_id reachable through near-dup edges (connected
+    * components via min-label propagation; recursive-CTE oracle). */
+  val op77DedupClusters: Q = (s, d) =>
+    ordered(
+      Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text", 7000L,
+        Some(shingleDocFreqCap)),
+      "doc_id")
+
   /** SimHash-60 fingerprints. Rows-only; property-tested in the spec. */
   val op65Simhash: Q = (s, d) =>
     ordered(
@@ -251,6 +260,7 @@ object TrainQueries {
     "op74_scrub" -> op74Scrub,
     "op75_chunks" -> op75Chunks,
     "op76_repetition" -> op76Repetition,
+    "op77_dedup_clusters" -> op77DedupClusters,
   )
 
   private val trigramSql =
@@ -434,6 +444,27 @@ object TrainQueries {
         |       array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk,
         |       CAST(least(32, n - i*16) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "op77_dedup_clusters" ->
+      s"""WITH RECURSIVE
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+        |       FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b
+        |      FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
+        |              JOIN cnt cb ON ov.doc_b = cb.doc_id
+        |      WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000),
+        |e AS (SELECT doc_a AS s, doc_b AS t FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(s, t) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t)
+        |SELECT s AS doc_id, CAST(min(t) AS BIGINT) AS cluster
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     "op76_repetition" ->
       s"""WITH tri AS (
         |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT shingle) AS n_d

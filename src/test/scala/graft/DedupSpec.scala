@@ -121,6 +121,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(0L, 2L, 3L)) // 1 and 4 are dups of 0; 2 survives at 80%
   }
 
+  test("dedupClusters merges transitive chains the pairwise view misses") {
+    // A~B and B~C at ≥50% but A and C differ more: a chain that pairwise
+    // dropping handles inconsistently, clustering must merge fully
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val b = (3 to 14).map(i => s"w$i").mkString(" ") // shares 1..12-ish with a
+    val c = (5 to 16).map(i => s"w$i").mkString(" ") // chains through b
+    val lone = "completely different words entirely here now okay then"
+    val docs = Seq((10L, a), (11L, b), (12L, c), (13L, lone))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupClusters(docs, "doc_id", "text", 4000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) == 10L && out(11L) == 10L && out(12L) == 10L,
+      s"chain should collapse to min id 10: $out")
+    assert(out(13L) == 13L, s"singleton keeps itself: $out")
+  }
+
   test("simhash: near-dups land within small hamming distance; unrelated far") {
     val fp = Dedup.simhash60(corpus, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
