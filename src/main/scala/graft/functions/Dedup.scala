@@ -65,12 +65,15 @@ object Dedup {
   def overlapPairs(index: DataFrame, maxDocFreq: Option[Long] = None): DataFrame = {
     val idx = maxDocFreq match {
       case Some(cap) =>
-        // the HOT set (df > cap) is tiny by construction — broadcast
-        // anti-join it away instead of shuffle-joining the huge kept set
+        // anti-join away the HOT set (df > cap) instead of inner-joining
+        // the huge kept set. No broadcast hint: the hot set is usually
+        // tiny (AQE broadcasts it from runtime stats) but is NOT bounded
+        // by construction — a corpus where many shingles exceed the cap
+        // must fall back to a shuffle anti-join, not OOM the driver
         val hot = index.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df")).filter(col("df") > cap)
           .select(col("shingle"))
-        index.join(broadcast(hot), Seq("shingle"), "left_anti")
+        index.join(hot, Seq("shingle"), "left_anti")
       case None => index
     }
     val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -249,8 +252,10 @@ object Dedup {
     * per shingle yields two 30-bit halves (h1, h2); permutation i is the
     * affine combination (h1·(2i+1) + h2) mod 2^31. Hashing cost per
     * shingle is constant in k (the per-permutation-md5 spelling above
-    * costs k md5s per shingle — 16× the work at k=16). Same md5-derived
-    * reproducibility; used where no cross-engine SQL oracle is required.
+    * costs k md5s per shingle — 16× the work at k=16). The affine formula
+    * is pure integer arithmetic on the md5-60 halves, so the DuckDB
+    * oracle replays the signatures exactly (op62) — which is also why the
+    * base hash must stay md5-60, never a JVM-private or xxhash64 hash.
     */
   def minhashSignatureFast(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -306,7 +311,7 @@ object Dedup {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = df.select(col(idCol).as("doc_id"))
-      .withColumn("cluster", col(idCol)).localCheckpoint()
+      .withColumn("cluster", col("doc_id")).localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

@@ -77,7 +77,7 @@ object StediFixtures {
       .groupBy(col("email"), col("birthYear"))
       .agg(
         count(lit(1)).cast("bigint").as("n_events"),
-        sum(round(col("score").cast("double") * 100).cast("long")).as("__cents"))
+        graft.queries.Det.centsSum(col("score").cast("double")).as("__cents"))
       .select(col("email"), col("birthYear"), col("n_events"),
         // basis-point output (no DECIMAL in the hash-checked contract)
         graft.queries.Det.meanBpFromCents(col("__cents"), col("n_events"))

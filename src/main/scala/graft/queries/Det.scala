@@ -27,11 +27,23 @@ object Det {
 
   /** Basis-point output contract: quantize to 4 decimals (HALF_UP, the
     * same boundary the previous DECIMAL(18,4) contract used) and emit the
-    * ×10000 integer. The decimal(29,4) product is integral, so the BIGINT
-    * cast is exact. Oracle twin:
-    * `CAST(CAST(x AS DECIMAL(18,4)) * 10000 AS BIGINT)`. */
+    * ×10000 integer. Width 27: large enough that no value a BIGINT bp can
+    * represent (≤ ~9.2×10¹⁴) overflows the intermediate — oracle twins
+    * widen their sums to DECIMAL(38,4) for the same reason — while
+    * 27+11 = 38 keeps Spark's product type exact (wider would exceed
+    * precision 38 and trigger scale-loss rounding). Values beyond the
+    * BIGINT bp range fail loudly on BOTH engines rather than diverging.
+    * Oracle twin: `CAST(CAST(x AS DECIMAL(38,4)) * 10000 AS BIGINT)`. */
   def bp4(c: Column): Column =
-    (c.cast("decimal(18,4)") * 10000).cast("bigint")
+    (c.cast("decimal(27,4)") * 10000).cast("bigint")
+
+  /** Exact integer cents of a 2-decimal double under any aggregation
+    * order — THE shared building block of every cross-engine exact sum /
+    * mean (sum in cents is associative; doubles are not). Oracle twin:
+    * `sum(CAST(round(x * 100) AS BIGINT))`. */
+  def centsSum(c: Column): Column =
+    org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.round(c * 100, 0).cast("long"))
 
   /** Cross-engine exact mean in basis points from integer cents: one
     * IEEE double division of identical integers (deterministic on both

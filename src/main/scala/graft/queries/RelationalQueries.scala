@@ -85,7 +85,7 @@ object RelationalQueries {
         // can cross the bp quantization boundary at scale — sum exact
         // integer cents, then one deterministic double division
         .agg(big(count(lit(1))).as("n_customers"),
-             sum(round(col("c_acctbal") * 100).cast("long")).as("__cents"))
+             Det.centsSum(col("c_acctbal")).as("__cents"))
         .select(col("n_name"), col("n_customers"),
           meanBpFromCents(col("__cents"), col("n_customers")).as("avg_bal")),
       "n_name")
@@ -224,7 +224,7 @@ object RelationalQueries {
         // cents-trick mean (see op33): exact integer cents, one division
         .agg(big(grouping_id()).as("gid"),
              big(count(lit(1))).as("n_orders"),
-             sum(round(col("o_totalprice") * 100).cast("long")).as("__cents"))
+             Det.centsSum(col("o_totalprice")).as("__cents"))
         .select(
           col("gid"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -294,7 +294,7 @@ object RelationalQueries {
           // running sum over exact integer cents: engines may accumulate
           // window frames in different association orders (incremental vs
           // segment tree) — integer sums are associative, doubles are not
-          (sum(round(col("o_totalprice") * 100).cast("long"))
+          (Det.centsSum(col("o_totalprice"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             * 100).cast("bigint").as("running_total")),
       "o_custkey", "o_orderkey")

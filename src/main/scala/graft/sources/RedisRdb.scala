@@ -46,7 +46,8 @@ object RedisRdb {
         case 0xFA => in.string(); in.string(): Unit // aux key/value
         case 0xFD => in.take(4): Unit // expiry (seconds) — applies to next record
         case 0xFC => in.take(8): Unit // expiry (millis)
-        case 0xF8 | 0xF9 => in.length(): Unit // idle / freq (LRU/LFU hints)
+        case 0xF8 => in.length(): Unit // IDLE (LRU hint) — length-encoded
+        case 0xF9 => in.take(1): Unit // FREQ (LFU counter) — ONE raw byte
         case t => readValue(t, in, db, out)
       }
     }

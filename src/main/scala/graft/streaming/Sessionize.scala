@@ -26,7 +26,13 @@ object Sessionize {
       n_events: Long, sum_value: Double)
 
   /** Shared per-batch fold: absorb this batch's (sorted) events into the
-    * open session, emitting sessions closed by a gap. */
+    * open session, emitting sessions closed by a FORWARD gap. An event
+    * that arrives out of order across micro-batches (older than the open
+    * session's last event, but not late enough for the watermark filter)
+    * MERGES into it — start/last move by min/max, so the session span can
+    * only grow and never inverts. This mirrors session_window's
+    * merge-on-overlap semantics; a gap only splits when the new event
+    * lies beyond last + gap. */
   private def foldBatch(user: Long, sorted: Seq[(Long, Double)], gapMs: Long,
       open: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
     val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
@@ -37,7 +43,8 @@ object Sessionize {
           closed += Session(user, s.start_ms, s.last_ms, s.n, s.sum)
           cur = Some(SessionState(t, t, 1, v))
         case Some(s) =>
-          cur = Some(SessionState(s.start_ms, t, s.n + 1, s.sum + v))
+          cur = Some(SessionState(math.min(s.start_ms, t),
+            math.max(s.last_ms, t), s.n + 1, s.sum + v))
         case None =>
           cur = Some(SessionState(t, t, 1, v))
       }

@@ -21,7 +21,7 @@ object WindowOps {
     * accumulate associatively (partition-order independent, unlike double
     * sums), ×100 lands on the ×10000 bp output contract. */
   private def sumValueBp(c: org.apache.spark.sql.Column) =
-    (sum(round(c * 100).cast("long")) * 100).cast("bigint")
+    (graft.queries.Det.centsSum(c) * 100).cast("bigint")
 
   /** Tumbling-window aggregate: (window_start, event_type) → count, sum. */
   def tumblingCounts(events: DataFrame, width: String): DataFrame =

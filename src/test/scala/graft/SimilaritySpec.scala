@@ -86,6 +86,15 @@ class SimilaritySpec extends SparkSpec {
     val lsh = pairs(Similarity.nearDupPairsLsh(planted, 9500L))
     assert(brute.size >= 5, s"planted dups missing from brute force: $brute")
     assert(lsh == brute, s"lsh=$lsh brute=$brute")
+    // and on the raw fixture: op66's driver oracle is the EXACT all-pairs
+    // SQL, so LSH must agree with brute force on whatever pairs the
+    // fixture holds — if a regenerated fixture ever plants a near-but-not
+    // -identical pair that LSH's 0.93 recall could miss, this fails here
+    // first instead of silently in the driver gate
+    val fixtureLsh = pairs(Similarity.nearDupPairsLsh(base, 9500L))
+    val fixtureBrute = pairs(Similarity.nearDupPairs(base, 9500L))
+    assert(fixtureLsh == fixtureBrute,
+      s"fixture divergence lsh=$fixtureLsh brute=$fixtureBrute")
   }
 
   test("approx_percentile (op46 sketch path) matches exact within rank tolerance") {

@@ -148,6 +148,32 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the flushed idle session: $out")
   }
 
+  test("out-of-order event within the watermark merges into the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, ms: Long, v: Double) =
+      Sessionize.TimedEvent(u, new java.sql.Timestamp(ms), v)
+    val in = MemoryStream[Sessionize.TimedEvent]
+    val q = Sessionize.sessionsEventTime(in.toDS(), gapMs = 60000,
+        delay = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_ooo_out").start()
+    in.addData(ev(1L, 100000L, 1.0))
+    q.processAllAvailable()
+    // watermark is now 90 s; this 95 s event is accepted but OLDER than
+    // the open session's last event — it must merge (span grows to
+    // [95s, 100s]), not regress last_ms / split the session
+    in.addData(ev(1L, 95000L, 2.0))
+    q.processAllAvailable()
+    in.addData(ev(2L, 700000L, 9.0))
+    q.processAllAvailable()
+    in.addData(ev(2L, 710000L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_ooo_out").as[Sessionize.Session].collect().toSeq
+    assert(out == Seq(Sessionize.Session(1L, 95000L, 100000L, 2L, 3.0)),
+      s"expected one merged session spanning both events: $out")
+  }
+
   test("stream-static join: risk stream against RDB-bootstrapped customers") {
     // the snapshot-seed deployment shape: customers come from the Redis
     // RDB bootstrap (static side, re-read per micro-batch, no join state),
