@@ -230,6 +230,55 @@ object TrainQueries {
     ordered(tri.join(tok, "doc_id"), "doc_id")
   }
 
+  /** Bigram language-model scoring (perplexity-style quality filter):
+    * score each document by its average add-one-smoothed bigram
+    * log-probability under a model trained on the corpus itself —
+    * avg over bigrams of ln((c(w1,w2)+1)/(c(w1)+V)).
+    *
+    * Determinism: each bigram's log-prob is floor-quantized to integer
+    * basis points BEFORE aggregation (ln of identical integer ratios is
+    * IEEE-identical on both engines; summing doubles would be
+    * partition-order dependent, summing quantized integers is
+    * associative). Scale: both count tables are vocabulary-bounded
+    * aggregates with map-side partials; the per-occurrence join shuffles
+    * on (w1, w2) and AQE broadcasts the count side when it fits. */
+  val op78LmScore: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val toks = doc.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val bigrams = toks.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, size(t) - 2),
+            |  i -> struct(element_at(t, i + 1) AS w1,
+            |              element_at(t, i + 2) AS w2))""".stripMargin))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val unigramCounts = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(
+      doc.select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("__v")))
+    ordered(
+      bigrams
+        .join(bigramCounts, Seq("w1", "w2"))
+        .join(unigramCounts, Seq("w1"))
+        .crossJoin(vocab)
+        .select(col("doc_id"),
+          floor(log((col("c2") + 1).cast("double") /
+            (col("c1") + col("__v")).cast("double")) * 10000d)
+            .cast("bigint").as("lp_bp"))
+        .groupBy(col("doc_id"))
+        .agg(big(count(lit(1))).as("n_bigrams"),
+             big(sum(col("lp_bp"))).as("sum_lp_bp"))
+        // sum_lp_bp is negative: integer division of negatives differs
+        // between engines, so divide the NEGATED (positive) sum and
+        // negate back — identical truncation everywhere
+        .withColumn("avg_lp_bp",
+          (-expr("(-sum_lp_bp) div n_bigrams")).cast("bigint")),
+      "doc_id")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -261,6 +310,7 @@ object TrainQueries {
     "op75_chunks" -> op75Chunks,
     "op76_repetition" -> op76Repetition,
     "op77_dedup_clusters" -> op77DedupClusters,
+    "op78_lm_score" -> op78LmScore,
   )
 
   private val trigramSql =
@@ -444,6 +494,28 @@ object TrainQueries {
         |       array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk,
         |       CAST(least(32, n - i*16) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "op78_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(n - 1)) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents)),
+        |lp AS (
+        |  SELECT bg.doc_id,
+        |         CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE)
+        |              / CAST(c1.c1 + v.v AS DOUBLE)) * 10000) AS BIGINT) AS lp_bp
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(lp_bp) AS BIGINT) AS sum_lp_bp,
+        |       CAST(-((-sum(lp_bp)) // count(*)) AS BIGINT) AS avg_lp_bp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "op77_dedup_clusters" ->
       s"""WITH RECURSIVE
         |sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
