@@ -279,6 +279,26 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** Deterministic stratified sampling: keep a document iff the salted
+    * md5 hash of its CONTENT falls under its stratum's rate — the
+    * reproducible sampling method for production pipelines (no RNG
+    * state: stable under re-partitioning, re-sharding, and re-runs, and
+    * identical copies sample identically). Per-source rates 25/50/75/100%
+    * derived from the stratum id. Pure per-row filter — narrow,
+    * shuffle-free, pushes to the scan at any scale. */
+  val op79SampleStratified: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val ratePct = ((expr("CAST(substring(source, 4) AS INT)") % 4 + 1) * 25)
+      .cast("bigint")
+    ordered(
+      doc.select(col("doc_id"), col("source"),
+          (TextOps.md5Hash60(concat(lit("sample:"), col("text"))) % 100)
+            .cast("bigint").as("h_bucket"),
+          ratePct.as("rate_pct"))
+        .filter(col("h_bucket") < col("rate_pct")),
+      "doc_id")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -311,6 +331,7 @@ object TrainQueries {
     "op76_repetition" -> op76Repetition,
     "op77_dedup_clusters" -> op77DedupClusters,
     "op78_lm_score" -> op78LmScore,
+    "op79_sample_stratified" -> op79SampleStratified,
   )
 
   private val trigramSql =
@@ -494,6 +515,14 @@ object TrainQueries {
         |       array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk,
         |       CAST(least(32, n - i*16) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "op79_sample_stratified" ->
+      """SELECT doc_id, source,
+        |  ('0x' || substring(md5('sample:' || text), 1, 15))::BIGINT % 100 AS h_bucket,
+        |  CAST((CAST(substring(source, 4) AS INT) % 4 + 1) * 25 AS BIGINT) AS rate_pct
+        |FROM documents
+        |WHERE ('0x' || substring(md5('sample:' || text), 1, 15))::BIGINT % 100
+        |      < (CAST(substring(source, 4) AS INT) % 4 + 1) * 25
+        |ORDER BY doc_id""".stripMargin,
     "op78_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
