@@ -26,8 +26,8 @@ object Bench {
     // best-effort: a dataset dir missing a table must not kill the bench
     // before any query is timed (per-query failures are reported below)
     def warm(f: => Unit): Unit =
-      try f catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+      try f catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup skipped: $e")
       }
     warm(spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count(): Unit)

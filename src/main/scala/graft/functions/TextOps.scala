@@ -33,6 +33,17 @@ object TextOps {
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
           element_at(t, i + 3))))
 
+  /** Adjacent token pairs from a pre-split token array column, as
+    * (w1, w2) structs. Same descending-sequence guard as
+    * [[trigramsOfTokens]]: docs under 2 tokens yield an empty array
+    * instead of an ANSI out-of-range error. */
+  def bigramsOfTokens(t: Column): Column =
+    when(size(t) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("w1"),
+          element_at(t, i + 2).as("w2"))))
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text)).cast("bigint")
 

@@ -246,18 +246,15 @@ object TrainQueries {
     val doc = Tables.documents(s, d)
     val toks = doc.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
     val bigrams = toks.select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, size(t) - 2),
-            |  i -> struct(element_at(t, i + 1) AS w1,
-            |              element_at(t, i + 2) AS w2))""".stripMargin))
-          .as("b"))
+        explode(TextOps.bigramsOfTokens(col("t"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
     val unigramCounts = bigrams.groupBy(col("w1"))
       .agg(count(lit(1)).as("c1"))
+    // vocabulary from the same token projection (no second tokenize scan)
     val vocab = broadcast(
-      doc.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      toks.select(explode(col("t")).as("tok"))
         .agg(countDistinct(col("tok")).as("__v")))
     ordered(
       bigrams

@@ -26,19 +26,26 @@ object Sessionize {
       n_events: Long, sum_value: Double)
 
   /** Shared per-batch fold: absorb this batch's (sorted) events into the
-    * open session, emitting sessions closed by a FORWARD gap. An event
-    * that arrives out of order across micro-batches (older than the open
+    * open session, emitting sessions closed by a gap. An event that
+    * arrives out of order across micro-batches (older than the open
     * session's last event, but not late enough for the watermark filter)
-    * MERGES into it — start/last move by min/max, so the session span can
-    * only grow and never inverts. This mirrors session_window's
-    * merge-on-overlap semantics; a gap only splits when the new event
-    * lies beyond last + gap. */
+    * MERGES via min/max when it lies within gap of the session span —
+    * the span only grows and never inverts. An event more than gap
+    * OLDER than the session start cannot belong to it and is emitted as
+    * its own (possibly fragmentary) session: exact retroactive merging
+    * would need a list of open sessions per key, which this single-state
+    * operator deliberately does not keep (bounded-disorder inputs — the
+    * watermark caps how far back an event can land). */
   private def foldBatch(user: Long, sorted: Seq[(Long, Double)], gapMs: Long,
       open: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
     val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
     var cur = open
     for ((t, v) <- sorted) {
       cur match {
+        case Some(s) if t < s.start_ms - gapMs =>
+          // stale straggler: precedes the open session by more than the
+          // gap — a distinct session; the open one stays untouched
+          closed += Session(user, t, t, 1, v)
         case Some(s) if t - s.last_ms > gapMs =>
           closed += Session(user, s.start_ms, s.last_ms, s.n, s.sum)
           cur = Some(SessionState(t, t, 1, v))

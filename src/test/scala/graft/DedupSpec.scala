@@ -152,5 +152,11 @@ class DedupSpec extends SparkSpec {
     val out = tiny.select(size(TextOps.trigrams(col("text"))).as("n"))
       .as[Int].collect()
     assert(out.forall(_ == 0))
+    // bigrams share the descending-sequence guard: 1 pair for 2 tokens,
+    // empty (not an ANSI index error) below that
+    val bi = tiny.select(
+        size(TextOps.bigramsOfTokens(TextOps.tokens(col("text")))).as("n"))
+      .as[Int].collect().toSeq
+    assert(bi == Seq(1, 0, 0), s"bigram counts: $bi")
   }
 }

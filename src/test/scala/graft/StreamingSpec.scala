@@ -174,6 +174,35 @@ class StreamingSpec extends SparkSpec {
       s"expected one merged session spanning both events: $out")
   }
 
+  test("straggler older than session start minus gap becomes its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, ms: Long, v: Double) =
+      Sessionize.TimedEvent(u, new java.sql.Timestamp(ms), v)
+    val in = MemoryStream[Sessionize.TimedEvent]
+    // gap (5 s) shorter than the watermark delay (10 s): an accepted
+    // event can precede the open session's start by MORE than the gap —
+    // merging would fabricate a session bridging a silence > gap
+    val q = Sessionize.sessionsEventTime(in.toDS(), gapMs = 5000,
+        delay = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_straggler_out").start()
+    in.addData(ev(1L, 100000L, 1.0))
+    q.processAllAvailable()
+    in.addData(ev(1L, 93000L, 2.0)) // watermark 90 s: accepted, 7 s < start
+    q.processAllAvailable()
+    in.addData(ev(2L, 700000L, 9.0))
+    q.processAllAvailable()
+    in.addData(ev(2L, 710000L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_straggler_out").as[Sessionize.Session]
+      .collect().toSeq.filter(_.user_id == 1L).sortBy(_.start_ms)
+    assert(out == Seq(
+      Sessionize.Session(1L, 93000L, 93000L, 1L, 2.0),
+      Sessionize.Session(1L, 100000L, 100000L, 1L, 1.0)),
+      s"straggler must not bridge a silence longer than the gap: $out")
+  }
+
   test("stream-static join: risk stream against RDB-bootstrapped customers") {
     // the snapshot-seed deployment shape: customers come from the Redis
     // RDB bootstrap (static side, re-read per micro-batch, no join state),
