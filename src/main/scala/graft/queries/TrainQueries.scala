@@ -296,6 +296,29 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** Benchmark decontamination: flag training documents sharing ≥ 8
+    * trigram shingles with any held-out benchmark document (mock
+    * benchmark = doc_id % 50 == 0). Train/test leakage detection — the
+    * step every training corpus runs before release. The benchmark side
+    * is bounded by benchmark size (tiny vs the corpus), so it broadcasts
+    * and the corpus-side index never shuffles for the probe. */
+  val op82Decontaminate: Q = (s, d) => {
+    val idx = Dedup.shingleIndexHashed(Tables.documents(s, d),
+      "doc_id", "text").localCheckpoint()
+    val bench = idx.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val train = idx.filter(col("doc_id") % 50 =!= 0)
+    ordered(
+      train.join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 8)
+        .groupBy(col("doc_id"))
+        .agg(big(max(col("overlap"))).as("max_overlap"),
+             big(countDistinct(col("bench_id"))).as("n_bench_hits")),
+      "doc_id")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -329,6 +352,7 @@ object TrainQueries {
     "op77_dedup_clusters" -> op77DedupClusters,
     "op78_lm_score" -> op78LmScore,
     "op79_sample_stratified" -> op79SampleStratified,
+    "op82_decontaminate" -> op82Decontaminate,
   )
 
   private val trigramSql =
@@ -512,6 +536,16 @@ object TrainQueries {
         |       array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk,
         |       CAST(least(32, n - i*16) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "op82_decontaminate" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+        |t AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        |ov AS (SELECT t.doc_id, b.bench_id, count(*) AS overlap
+        |       FROM t JOIN b USING (shingle)
+        |       GROUP BY 1, 2 HAVING count(*) >= 8)
+        |SELECT doc_id, CAST(max(overlap) AS BIGINT) AS max_overlap,
+        |       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_hits
+        |FROM ov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "op79_sample_stratified" ->
       """SELECT doc_id, source,
         |  ('0x' || substring(md5('sample:' || text), 1, 15))::BIGINT % 100 AS h_bucket,
