@@ -36,8 +36,9 @@ object Sessionize {
     * would need a list of open sessions per key, which this single-state
     * operator deliberately does not keep (bounded-disorder inputs — the
     * watermark caps how far back an event can land). */
-  private def foldBatch(user: Long, sorted: Seq[(Long, Double)], gapMs: Long,
-      open: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
+  private[graft] def foldBatch(user: Long, sorted: Seq[(Long, Double)],
+      gapMs: Long, open: Option[SessionState])
+      : (Seq[Session], Option[SessionState]) = {
     val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
     var cur = open
     for ((t, v) <- sorted) {

@@ -95,6 +95,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bp4 matches a BigDecimal HALF_UP reference (sampled batch)") {
+    val valGen = Gen.chooseNum(-1000000000L, 1000000000L)
+      .flatMap(i => Gen.chooseNum(0, 999999).map(f => i.toDouble + f / 1e6))
+    val seed = org.scalacheck.rng.Seed(13L)
+    val samples = (Iterator.iterate(seed)(_.next).take(200)
+      .flatMap(s => valGen.apply(Gen.Parameters.default, s)).toSeq
+      ++ Seq(0.0, 0.00005, -0.00005, 1.00005, 12345.678949999)).distinct
+    val got = samples.toDF("x")
+      .select(col("x"), graft.queries.Det.bp4(col("x")).as("bp"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    samples.foreach { x =>
+      // Spark casts double→decimal through the double's shortest decimal
+      // representation, then rounds HALF_UP at scale 4 — mirror exactly
+      val want = new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(4).longValueExact()
+      assert(got(x) == want, s"bp4($x) = ${got(x)}, want $want")
+    }
+  }
+
+  test("property: session fold conserves events and never inverts spans") {
+    import graft.streaming.Sessionize
+    val gap = 5000L
+    val evGen = for {
+      t <- Gen.chooseNum(0L, 100000L)
+      v <- Gen.chooseNum(1, 99).map(_ / 10.0)
+    } yield (t, v)
+    val batchesGen = Gen.chooseNum(1, 5).flatMap(nb =>
+      Gen.listOfN(nb, Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, evGen))))
+    check("sessionFold", Prop.forAll(batchesGen) { batches =>
+      // batches arrive in arbitrary order relative to each other; within
+      // a batch the operator sorts (as flatMapGroupsWithState does)
+      var open: Option[Sessionize.SessionState] = None
+      val closed = scala.collection.mutable.ArrayBuffer.empty[Sessionize.Session]
+      for (b <- batches) {
+        val (c, o) = Sessionize.foldBatch(1L, b.sortBy(_._1), gap, open)
+        closed ++= c
+        open = o
+      }
+      val fed = batches.map(_.size).sum
+      val emitted = closed.map(_.n_events).sum + open.map(_.n).getOrElse(0L)
+      val sumFed = batches.flatMap(_.map(_._2)).sum
+      val sumEmitted = closed.map(_.sum_value).sum + open.map(_.sum).getOrElse(0.0)
+      val spansOk = closed.forall(s => s.start_ms <= s.end_ms && s.n_events >= 1) &&
+        open.forall(s => s.start_ms <= s.last_ms && s.n >= 1)
+      val gapOk = closed.forall(s =>
+        s.n_events > 1 || s.end_ms == s.start_ms) // single-event spans are points
+      emitted == fed && math.abs(sumEmitted - sumFed) < 1e-6 && spansOk && gapOk
+    })
+  }
+
   test("property: simhash of identical text is identical; tokens permuted ≠ guaranteed") {
     val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e f"), (2L, "f e d c b a"))
       .toDF("doc_id", "text")
