@@ -245,9 +245,12 @@ object TrainQueries {
   val op78LmScore: Q = (s, d) => {
     val doc = Tables.documents(s, d)
     val toks = doc.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    // three consumers (occurrences, bigram counts, unigram counts) —
+    // materialize once instead of re-tokenizing the corpus per subtree
     val bigrams = toks.select(col("doc_id"),
         explode(TextOps.bigramsOfTokens(col("t"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
     val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
     val unigramCounts = bigrams.groupBy(col("w1"))
