@@ -31,22 +31,30 @@ class RedisRdbSpec extends SparkSpec {
   }
 
   test("parses ZSET_2 (binary doubles), legacy ZSET scores, and int members") {
-    val zset2 = Array(5.toByte) ++ str("Customer") ++ len(2) ++
+    val zset2 = Array(5.toByte) ++ str("Customer") ++ len(3) ++
       str("""{"email":"a@test.com"}""") ++ doubleLe(1.5) ++
       Array(0xC1.toByte, 0x39.toByte, 0x05.toByte) ++ // INT16 LE member: 1337
-      doubleLe(-2.0)
-    val zsetLegacy = Array(1.toByte) ++ str("scores") ++ len(1) ++
-      str("m1") ++ Array(3.toByte) ++ "4.5".getBytes("US-ASCII")
+      doubleLe(-2.0) ++
+      Array(0xC0.toByte, 0xF6.toByte) ++ // INT8 member: -10
+      doubleLe(0.25)
+    val zsetLegacy = Array(1.toByte) ++ str("scores") ++ len(2) ++
+      str("m1") ++ Array(3.toByte) ++ "4.5".getBytes("US-ASCII") ++
+      str("m2") ++ Array(254.toByte) // sentinel: +Inf score
     val bytes = buildRdb(
       Array(0xFE.toByte, 0.toByte), // SELECTDB 0
+      Array(0xFC.toByte) ++ new Array[Byte](8), // ms-expiry on next record
+      Array(0xF9.toByte, 0xC3.toByte), // FREQ: one RAW byte (even >= 0xC0)
       zset2,
       Array(0xFE.toByte, 2.toByte), // SELECTDB 2
+      Array(0xFD.toByte) ++ new Array[Byte](4), // s-expiry on next record
       zsetLegacy)
     val got = RedisRdb.parseZSets(bytes)
     assert(got == Seq(
       RedisRdb.ZSetEntry(0, "Customer", """{"email":"a@test.com"}""", 1.5),
       RedisRdb.ZSetEntry(0, "Customer", "1337", -2.0),
-      RedisRdb.ZSetEntry(2, "scores", "m1", 4.5)))
+      RedisRdb.ZSetEntry(0, "Customer", "-10", 0.25),
+      RedisRdb.ZSetEntry(2, "scores", "m1", 4.5),
+      RedisRdb.ZSetEntry(2, "scores", "m2", Double.PositiveInfinity)))
   }
 
   test("LZF round-trip: decompress of a hand-built stream") {
