@@ -47,13 +47,19 @@ object Dedup {
     * raw-string joins still match), and the codegen'd xxhash64 is an
     * order of magnitude cheaper than the md5-hex chain. Deterministic
     * (fixed seed) across runs/partitionings; collisions ~2⁻⁶⁴ per pair. */
-  def shingleIndexHashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        explode(TextOps.trigramsOfTokens(col("toks"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
+  def shingleIndexHashed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // fused trigram hashing (one per-row loop; bit-identical to
+    // xxhash64(trigramsOfTokens(...)), equality-spec'd) — avoids the
+    // per-element lambda interpretation + throwaway trigram strings of
+    // the builtin spelling. Measured neutral at sf0.1 (these queries are
+    // join/shuffle-dominated); the saving is allocation volume, which
+    // grows with corpus size while the fixture's ~2.8M trigrams don't
+    val hashes = ColumnBridge.column(graft.expressions.TrigramHash64(
+      ColumnBridge.expression(TextOps.tokens(col(textCol)))))
+    df.select(col(idCol).as("doc_id"), explode(hashes).as("shingle"))
       .distinct()
+  }
 
   /** Shingle-count per document (distinct shingles). */
   def shingleCounts(index: DataFrame): DataFrame =

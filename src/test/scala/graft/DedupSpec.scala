@@ -92,6 +92,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Map((100L, 101L) -> 10000L), s"pairs: $pairs")
   }
 
+  test("TrigramHash64 equals the builtin xxhash64-of-trigram spelling") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"), col("text"))
+      // edge shapes: short docs, empty text
+      .unionByName(Seq((9001L, "one two"), (9002L, ""), (9003L, "a b c"))
+        .toDF("doc_id", "text"))
+    val fused = ColumnBridge.column(graft.expressions.TrigramHash64(
+      ColumnBridge.expression(TextOps.tokens(col("text")))))
+    val builtin = transform(TextOps.trigramsOfTokens(TextOps.tokens(col("text"))),
+      s => xxhash64(s))
+    val diff = docs.select(fused.as("f"), builtin.as("b"))
+      .filter(col("f") =!= col("b")).count()
+    assert(diff == 0, s"$diff rows diverge between fused and builtin hashing")
+  }
+
   test("cost-based jaccard auto picks the cheap spelling per corpus") {
     // fixture corpus: shared-shingle volume is small → inverted-index join
     val docs = graft.sources.Tables.documents(spark, sfDir)
