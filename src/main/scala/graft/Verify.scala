@@ -20,7 +20,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (comma-separated names); driver leaves unset
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
+    selected.foreach { case (name, fn) =>
       // clear any previous output first: a query that now throws must not
       // leave a stale (passing) result behind for the oracle compare
       val target = new java.io.File(s"$outDir/$name")

@@ -75,11 +75,13 @@ object Dedup {
         // the huge kept set. No broadcast hint: the hot set is usually
         // tiny (AQE broadcasts it from runtime stats) but is NOT bounded
         // by construction — a corpus where many shingles exceed the cap
-        // must fall back to a shuffle anti-join, not OOM the driver
+        // must fall back to a shuffle anti-join, not OOM the driver.
+        // Materialized: the capped index feeds BOTH sides of the pairing
+        // self-join, so without it the df aggregate + anti-join run twice
         val hot = index.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df")).filter(col("df") > cap)
           .select(col("shingle"))
-        index.join(hot, Seq("shingle"), "left_anti")
+        index.join(hot, Seq("shingle"), "left_anti").localCheckpoint()
       case None => index
     }
     val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -111,6 +113,9 @@ object Dedup {
 
   private def jaccardFromIndex(index: DataFrame, minBp: Long,
       maxDocFreq: Option[Long]): DataFrame = {
+    // counts feeds two joins but is NOT checkpointed: the duplicated
+    // aggregate subtrees are identical, so ReuseExchange shares the
+    // shuffle (measured: an eager checkpoint here is neutral-to-worse)
     val counts = shingleCounts(index)
     overlapPairs(index, maxDocFreq)
       .join(counts.withColumnRenamed("doc_id", "doc_a")
@@ -354,26 +359,28 @@ object Dedup {
   /** SimHash-60: weighted majority of per-token hash bits. Tokens hashed
     * with md5Hash60; bit j of the fingerprint is 1 iff the count-weighted
     * sum of (bit_j ? +w : -w) over distinct tokens is positive.
-    * Implemented as: token counts → per-token ±w bit vectors (builtin
-    * transform) → element-wise array sum per doc → bit assembly. */
+    *
+    * Bit-sliced spelling: 60 codegen'd `sum(if(bit_j, w, -w))` columns in
+    * ONE hash aggregate — bounded state (60 longs per doc), map-side
+    * partial-aggregatable, no arrays. (The previous collect_list +
+    * aggregate/zip_with fold ran interpreted per element and per-doc
+    * state grew with token count.) Pure integer arithmetic on the shared
+    * 60-bit md5 hash, so the DuckDB oracle replays it exactly. */
   def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("w"))
       .withColumn("h", TextOps.md5Hash60(col("token")))
-      // SQL >> accepts column shift amounts (the Scala shiftright doesn't)
-      .withColumn("bits", expr(
-        "transform(sequence(0, 59), j -> IF(((h >> j) & 1) = 1, w, -w))"))
-    val zeros = array((0 until 60).map(_ => lit(0L)): _*)
-    tok.groupBy(col("doc_id"))
-      .agg(aggregate(collect_list(col("bits")), zeros,
-        (acc, v) => zip_with(acc, v, (x, y) => x + y)).as("bitsum"))
-      .select(col("doc_id"),
-        expr("""aggregate(sequence(0, 59), 0L,
-                 (acc, j) -> acc + IF(element_at(bitsum, j + 1) > 0,
-                                      shiftleft(1L, j), 0L))""")
-          .as("simhash"))
+    val slices = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("w"))
+        .otherwise(-col("w"))).as(s"s$j")
+    }
+    val fingerprint = (0 until 60).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(slices.head, slices.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /** Hamming distance between two 60-bit fingerprints (column form). */

@@ -241,10 +241,15 @@ object Similarity {
     * documented ANN trade. */
   def nearDupPairsLsh(df: DataFrame, minBp: Long,
       nBits: Int = 12, nTables: Int = 8): DataFrame = {
+    // both tables feed a self-join — materialize so SignLshBuckets and
+    // quantize/norm each evaluate ONCE (mirrors Dedup.minhashCandidates);
+    // without this the bucket expression runs on both sides of the join
     val vecs = df.select(col("vec_id"), quantize(col("embedding")).as("vec"))
       .withColumn("n2", intDot(col("vec"), col("vec")))
+      .localCheckpoint()
     val b = lshBucketsMulti(df, "vec_id", nBits, nTables)
       .select(col("vec_id"), col("tbl"), col("bucket"))
+      .localCheckpoint()
     val l = b.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
     val r = b.select(col("vec_id").as("b_id"), col("tbl"), col("bucket"))
     val cand = l.join(r, Seq("tbl", "bucket"))

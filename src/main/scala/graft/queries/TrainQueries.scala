@@ -82,7 +82,8 @@ object TrainQueries {
         Some(shingleDocFreqCap)),
       "doc_id")
 
-  /** SimHash-60 fingerprints. Rows-only; property-tested in the spec. */
+  /** SimHash-60 fingerprints — bit-sliced integer aggregation, hash-checked
+    * against a DuckDB replay of the same md5-bridge arithmetic. */
   val op65Simhash: Q = (s, d) =>
     ordered(
       Dedup.simhash60(Tables.documents(s, d), "doc_id", "text"),
@@ -448,6 +449,28 @@ object TrainQueries {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
         |ORDER BY doc_id""".stripMargin,
+    "op65_simhash" -> {
+      // bit-sliced weighted majority over the shared 60-bit md5 hash —
+      // pure integer arithmetic, replayed exactly (see Dedup.simhash60)
+      val sliceCols = (0 until 60).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN w ELSE -w END) AS s$j")
+        .mkString(",\n|         ")
+      val fpExpr = (0 until 60).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" +\n|         ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tw AS (SELECT doc_id, token, count(*) AS w FROM tok GROUP BY 1, 2),
+        |h AS (SELECT doc_id, w,
+        |        ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+        |      FROM tw),
+        |s AS (SELECT doc_id,
+        |         $sliceCols
+        |      FROM h GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CAST($fpExpr AS BIGINT) AS simhash
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
     "op66_embed_dup" ->
       """WITH q AS (
         |  SELECT vec_id,
