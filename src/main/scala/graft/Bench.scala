@@ -45,22 +45,32 @@ object Bench {
     // iteration aid); the driver sets nothing and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // per-query median over `reps` in-process repetitions: single-shot
+    // times carry ±2× machine-load noise, which swamps round-over-round
+    // deltas; the median of 3 is stable enough to compare
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          // a broken query must not hide inside a normal-looking time
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        while (times.size < reps && !failed) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            // a broken query must not hide inside a normal-looking time
+            failed = true
+            errors += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          times += (System.nanoTime() - t0) / 1e9
+          // queries that localCheckpoint small reused tables leave
+          // persisted RDDs behind; drop them so later queries (and later
+          // reps) aren't memory-squeezed
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // queries that localCheckpoint small reused tables leave persisted
-        // RDDs behind; drop them so later queries aren't memory-squeezed
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        name -> dt
+        name -> times.sorted.apply(times.size / 2)
       }
     // Locale.ROOT: default-locale formatting would emit comma decimal
     // separators (invalid JSON) on non-English JVMs

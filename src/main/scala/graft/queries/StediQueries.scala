@@ -207,5 +207,23 @@ object StediQueries {
         |FROM risk r JOIN cust c ON r.customer = c.email
         |GROUP BY c.email, c.birthYear
         |ORDER BY c.email, c.birthYear, n_events, avg_score""".stripMargin,
+    // The exact Kafka sink contract (sparkpykafkajoin.py:202-213): key =
+    // email, value = to_json over (customer, score, email, birthYear) —
+    // all-string fields, so DuckDB's compact to_json(struct_pack(...))
+    // is byte-identical to Spark's to_json(struct(...)).
+    "op30_stedi_payload" ->
+      """WITH cust AS (
+        |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
+        |         CAST(1930 + c_custkey % 70 AS VARCHAR) AS birthYear
+        |  FROM customer),
+        |risk AS (
+        |  SELECT 'customer' || CAST(user_id AS VARCHAR) || '@test.com' AS customer,
+        |         CAST(value AS VARCHAR) AS score
+        |  FROM events)
+        |SELECT c.email AS key,
+        |       to_json(struct_pack(customer := r.customer, score := r.score,
+        |                           email := c.email, birthYear := c.birthYear)) AS value
+        |FROM risk r JOIN cust c ON r.customer = c.email
+        |ORDER BY key, value""".stripMargin,
   )
 }

@@ -30,12 +30,18 @@ object Tables {
 
   /** events with `ts` as TIMESTAMP_NTZ (µs, floor-truncated from ns).
     *
-    * Sessions should set `spark.sql.legacy.parquet.nanosAsLong=true` at
+    * Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true` at
     * CONSTRUCTION (all in-repo entry points do) so nanos parquet types
-    * uniformly across the session; the set below is a defensive fallback
-    * for foreign sessions — note it persists for the session's lifetime. */
+    * uniformly across the session. Fail fast instead of mutating the
+    * session conf here: a mid-session set would silently change how any
+    * LATER nanos-parquet read in the same foreign session is typed. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet uses TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
+        "SparkSession (before any parquet read)")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn(

@@ -91,7 +91,6 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({got.num_rows} rows, {len(gcols)} cols)")
             n_pass += 1
-    extra = set(TABLES)  # placate linters
     print(f"== {n_pass} pass / {n_fail} fail / {len(oracle)} total")
     return 1 if n_fail else 0
 
