@@ -168,23 +168,71 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Deterministic Lloyd refinement of IVF centroids, entirely in the
+    * quantized-integer domain: seed with the lowest-vec_id vectors, then
+    * repeat (assign each vector to its max-cosine centroid → replace the
+    * centroid with the element-wise integer MEAN of its members). Long
+    * sums are associative, so unlike float k-means the result is
+    * identical across runs and partitionings. Empty cells keep their
+    * previous centroid. Each iteration is one broadcast-assign pass plus
+    * one (64·N)-row positional aggregate — linear in the corpus. */
+  def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val vecs = corpus.select(col("vec_id"),
+        quantize(col("embedding")).as("vec"))
+      .withColumn("n2", intDot(col("vec"), col("vec")))
+      .localCheckpoint()
+    var cents = vecs.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cent_vec"),
+        col("n2").as("cent_n2"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("vec"), col("cent_id"),
+          cosBpFrom(intDot(col("vec"), col("cent_vec")),
+            col("n2"), col("cent_n2")).as("cent_cos"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
+            .as("cent_id"),
+          first(col("vec")).as("vec"))
+      // element-wise integer mean per cell: positional explode → one
+      // hash aggregate (map-side partials) → reassemble in position order
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("v")) / count(lit(1))).cast("bigint").as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cent_vec"))
+        .withColumn("cent_n2", intDot(col("cent_vec"), col("cent_vec")))
+      // empty cells vanish from `means`; retain their previous centroid
+      cents = means
+        .unionByName(cents.join(means.select(col("cent_id")),
+          Seq("cent_id"), "left_anti"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF-flat ANN: partition the corpus into `nCells` inverted lists by
     * nearest centroid; a query scans only its `nProbe` closest cells.
     *
-    * Centroids are deterministic — the lowest-vec_id corpus vectors (an
-    * IVF-flat index with data-sampled centroids; a production build runs
-    * a few Lloyd iterations, which changes recall, not mechanics). Cell
+    * Centroids are deterministic — the lowest-vec_id corpus vectors,
+    * optionally refined by `lloydIters` integer-domain Lloyd passes
+    * ([[lloydCentroids]] — tighter cells, same mechanics). Cell
     * assignment maximizes the deterministic quantized cosine, ties to the
     * lower centroid id. Cost: corpus×nCells assignment (one pass, linear)
     * + query-side nProbe/nCells fraction of the corpus scanned. At 100 TB
     * the cell id becomes a storage partition key → scan-time pruning.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cent_id"),
-        quantize(col("embedding")).as("cent_vec"))
-      .withColumn("cent_n2", intDot(col("cent_vec"), col("cent_vec")))
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
+    val cents =
+      if (lloydIters > 0) lloydCentroids(corpus, nCells, lloydIters)
+      else corpus.orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").as("cent_id"),
+          quantize(col("embedding")).as("cent_vec"))
+        .withColumn("cent_n2", intDot(col("cent_vec"), col("cent_vec")))
     val centB = broadcast(cents)
 
     def cellScored(df: DataFrame, idAs: String): DataFrame = {

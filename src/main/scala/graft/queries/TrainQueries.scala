@@ -127,7 +127,7 @@ object TrainQueries {
   val op69AnnIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     ordered(
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 5),
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 5, lloydIters = 2),
       "q_id", "rank")
   }
 
