@@ -176,7 +176,8 @@ object Similarity {
     * identical across runs and partitionings. Empty cells keep their
     * previous centroid. Each iteration is one broadcast-assign pass plus
     * one (64·N)-row positional aggregate — linear in the corpus. */
-  def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int): DataFrame = {
+  def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+      dim: Int = 64): DataFrame = {
     val vecs = corpus.select(col("vec_id"),
         quantize(col("embedding")).as("vec"))
       .withColumn("n2", intDot(col("vec"), col("vec")))
@@ -195,15 +196,17 @@ object Similarity {
           max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
             .as("cent_id"),
           first(col("vec")).as("vec"))
-      // element-wise integer mean per cell: positional explode → one
-      // hash aggregate (map-side partials) → reassemble in position order
+      // element-wise integer mean in ONE hash aggregate: 64 per-position
+      // sums as plain columns (bounded state, map-side partials) instead
+      // of posexplode + positional groupBy + array reassembly
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("vec"), i + 1)).as(s"m$i"))
+      val meanVec = array((0 until dim).map(i =>
+        (col(s"m$i").cast("double") / col("n")).cast("bigint")): _*)
       val means = assigned
-        .select(col("cent_id"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg((sum(col("v")) / count(lit(1))).cast("bigint").as("m"))
         .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cent_vec"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cent_id"), meanVec.as("cent_vec"))
         .withColumn("cent_n2", intDot(col("cent_vec"), col("cent_vec")))
       // empty cells vanish from `means`; retain their previous centroid
       cents = means
@@ -268,6 +271,155 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_id_vec"), col("n_id_vec")),
           col("q_id_n2"), col("n_id_n2")).as("cos_bp"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Unit-normalize in the quantized-integer domain: floor(v·10⁶/‖v‖)
+    * from the already-quantized components, so identical inputs produce
+    * identical normalized vectors on any engine/partitioning (norms are
+    * doubles derived from identical integer sums — IEEE-deterministic).
+    * Zero-norm vectors pass through unchanged. */
+  private def normalizedVec(df: DataFrame): DataFrame = {
+    val q = df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n2", intDot(col("qv"), col("qv")))
+    q.select(col("vec_id"),
+      when(col("n2") === 0, col("qv"))
+        .otherwise(transform(col("qv"), v =>
+          floor(v.cast("double") * 1000000d / sqrt(col("n2").cast("double")))
+            .cast("bigint")))
+        .as("vec"))
+  }
+
+  /** (vec_id, sub_j, svec): the m disjoint subDim-wide slices of `vec`. */
+  private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs.select(col("vec_id"), posexplode(
+        array((0 until m).map(j => slice(col("vec"), j * subDim + 1, subDim)): _*))
+      .as(Seq("sub_j", "svec")))
+
+  /** Product-quantization codebook: per subspace, `nCents` centroids
+    * trained with the same deterministic integer-domain Lloyd iteration
+    * as [[lloydCentroids]] (seeded from the lowest-vec_id subvectors;
+    * assignment by integer L2², s·s − 2s·c + c·c). All m subspaces train
+    * in ONE DataFrame pass per iteration — the per-subspace grouping is
+    * just extra keys on the same aggregates. Returns
+    * (sub_j, code, cent_vec, cent_n2). */
+  def pqCodebook(corpus: DataFrame, m: Int = 8, nCents: Int = 16,
+      iters: Int = 2, dim: Int = 64): DataFrame =
+    pqCodebookFromSub(
+      subVectorTable(corpus, m, dim / m).localCheckpoint(),
+      corpus, m, nCents, iters, dim)
+
+  /** (vec_id, sub_j, svec, s2) for the whole input — the shared index
+    * both training and encoding consume (callers materialize it once). */
+  private def subVectorTable(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    subVectors(normalizedVec(df), m, subDim)
+      .withColumn("s2", intDot(col("svec"), col("svec")))
+
+  private def pqCodebookFromSub(sv: DataFrame, corpus: DataFrame, m: Int,
+      nCents: Int, iters: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    // seed from the nCents lowest-vec_id vectors: slice AFTER the limit,
+    // so the seed plan touches nCents rows, not a window over the whole
+    // subvector table
+    val seedVecs = corpus.orderBy(col("vec_id")).limit(nCents)
+    val wseed = Window.partitionBy(col("sub_j")).orderBy(col("vec_id"))
+    var cents = subVectorTable(seedVecs, m, subDim)
+      .withColumn("rn", row_number().over(wseed))
+      .select(col("sub_j"), (col("rn") - 1).cast("bigint").as("code"),
+        col("svec").as("cent_vec"), col("s2").as("cent_n2"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = sv.join(broadcast(cents), "sub_j")
+        .withColumn("d2", col("s2") -
+          lit(2L) * intDot(col("svec"), col("cent_vec")) + col("cent_n2"))
+        .groupBy(col("vec_id"), col("sub_j"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+          first(col("svec")).as("svec"))
+      // element-wise integer mean in ONE hash aggregate: subDim per-
+      // position sums as plain columns (bounded state, map-side partials)
+      // instead of posexplode + positional groupBy + array reassembly
+      val sums = (0 until subDim).map(i =>
+        sum(element_at(col("svec"), i + 1)).as(s"m$i"))
+      val meanVec = array((0 until subDim).map(i =>
+        (col(s"m$i").cast("double") / col("n")).cast("bigint")): _*)
+      val means = assigned
+        .groupBy(col("sub_j"), col("code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("sub_j"), col("code"), meanVec.as("cent_vec"))
+        .withColumn("cent_n2", intDot(col("cent_vec"), col("cent_vec")))
+      cents = means.unionByName(
+          cents.join(means.select(col("sub_j"), col("code")),
+            Seq("sub_j", "code"), "left_anti"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ-encode: each vector → m small codes (nearest sub-centroid by
+    * integer L2², ties to the lower code). (vec_id, sub_j, code) — at
+    * m=8, nCents=16 that is 8×4 bits = 4 BYTES per vector, vs 256 bytes
+    * of float32: the reason PQ is the 100 TB in-memory ANN path. */
+  def pqEncode(corpus: DataFrame, cents: DataFrame, m: Int = 8,
+      dim: Int = 64): DataFrame =
+    pqEncodeFromSub(subVectorTable(corpus, m, dim / m), cents)
+
+  private def pqEncodeFromSub(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), "sub_j")
+      .withColumn("d2", col("s2") -
+        lit(2L) * intDot(col("svec"), col("cent_vec")) + col("cent_n2"))
+      .groupBy(col("vec_id"), col("sub_j"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** Product-quantization ANN top-k (asymmetric distance computation):
+    * corpus vectors are m 4-bit codes; a query precomputes its partial
+    * squared distance to every (subspace, code) cell — an m×nCents table,
+    * broadcast — and each candidate's approximate distance is the sum of
+    * m table lookups, reached here by one bounded join on (sub_j, code)
+    * and a (q_id, vec_id) sum. On unit vectors L2² = 2 − 2cos, so the
+    * approximate distance converts back to a cosine estimate in bp.
+    *
+    * Scale shape: the corpus never moves — codes (4 bytes/vector) join a
+    * broadcast table and shuffle m small rows per (query, vector); no
+    * full-width embedding crosses the wire after encoding. Recall is
+    * bounded by quantization distortion — measured against brute force
+    * in the spec, like the LSH and IVF paths. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+      nCents: Int = 16, lloydIters: Int = 1, dim: Int = 64,
+      shortlist: Int = 50): DataFrame = {
+    val subDim = dim / m
+    // ONE materialized subvector table feeds training and encoding
+    val sv = subVectorTable(corpus, m, subDim).localCheckpoint()
+    val cents = pqCodebookFromSub(sv, corpus, m, nCents, lloydIters, dim)
+    val codes = pqEncodeFromSub(sv, cents)
+    val qsub = subVectorTable(queries, m, subDim)
+      .select(col("vec_id").as("q_id"), col("sub_j"), col("svec"), col("s2"))
+    val adc = qsub.join(broadcast(cents), "sub_j")
+      .select(col("q_id"), col("sub_j"), col("code"),
+        (col("s2") - lit(2L) * intDot(col("svec"), col("cent_vec")) +
+          col("cent_n2")).as("pd2"))
+    val approx = codes.join(broadcast(adc), Seq("sub_j", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("d2"))
+      .filter(col("q_id") =!= col("vec_id"))
+    // PQ distances rank a SHORTLIST (distortion-cheap); the final order
+    // comes from an exact rerank that touches only shortlist×Q full
+    // vectors — the standard ADC + rerank shape, and the reason the
+    // full-width corpus still never shuffles
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val short = approx.withColumn("sr", row_number().over(ws))
+      .filter(col("sr") <= shortlist)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+        quantize(col("embedding")).as("q_vec"))
+      .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
+    val nv = corpus.select(col("vec_id").as("n_id"),
+        quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+    val scored = short.join(broadcast(qv), "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosBpFrom(intDot(col("q_vec"), col("n_vec")),
+          col("q_n2"), col("n_n2")).as("cos_bp"))
     topKPerQuery(scored, k)
   }
 

@@ -131,6 +131,15 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** ANN top-5 via product quantization (8 subspaces × 16 codes, ADC).
+    * Rows-only; recall vs brute force asserted in the spec. */
+  val op83PqAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    ordered(
+      Similarity.pqTopK(emb.filter(col("vec_id") < 8), emb, 5),
+      "q_id", "rank")
+  }
+
   /** Language-ID heuristic: marker-count argmax + the score vector. */
   val op70LangId: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -346,6 +355,7 @@ object TrainQueries {
     "op67_knn_topk_agg" -> op67KnnTopKAgg,
     "op68_ann_lsh" -> op68AnnLsh,
     "op69_ann_ivf" -> op69AnnIvf,
+    "op83_pq_ann" -> op83PqAnn,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
