@@ -48,7 +48,8 @@ object Bench {
     // per-query median over `reps` in-process repetitions: single-shot
     // times carry ±2× machine-load noise, which swamps round-over-round
     // deltas; the median of 3 is stable enough to compare
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val reps =
+      math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -303,19 +303,13 @@ object Similarity {
     * in ONE DataFrame pass per iteration — the per-subspace grouping is
     * just extra keys on the same aggregates. Returns
     * (sub_j, code, cent_vec, cent_n2). */
-  def pqCodebook(corpus: DataFrame, m: Int = 8, nCents: Int = 16,
-      iters: Int = 2, dim: Int = 64): DataFrame =
-    pqCodebookFromSub(
-      subVectorTable(corpus, m, dim / m).localCheckpoint(),
-      corpus, m, nCents, iters, dim)
-
   /** (vec_id, sub_j, svec, s2) for the whole input — the shared index
     * both training and encoding consume (callers materialize it once). */
   private def subVectorTable(df: DataFrame, m: Int, subDim: Int): DataFrame =
     subVectors(normalizedVec(df), m, subDim)
       .withColumn("s2", intDot(col("svec"), col("svec")))
 
-  private def pqCodebookFromSub(sv: DataFrame, corpus: DataFrame, m: Int,
+  private def pqCodebook(sv: DataFrame, corpus: DataFrame, m: Int,
       nCents: Int, iters: Int, dim: Int): DataFrame = {
     val subDim = dim / m
     // seed from the nCents lowest-vec_id vectors: slice AFTER the limit,
@@ -359,11 +353,7 @@ object Similarity {
     * integer L2², ties to the lower code). (vec_id, sub_j, code) — at
     * m=8, nCents=16 that is 8×4 bits = 4 BYTES per vector, vs 256 bytes
     * of float32: the reason PQ is the 100 TB in-memory ANN path. */
-  def pqEncode(corpus: DataFrame, cents: DataFrame, m: Int = 8,
-      dim: Int = 64): DataFrame =
-    pqEncodeFromSub(subVectorTable(corpus, m, dim / m), cents)
-
-  private def pqEncodeFromSub(sv: DataFrame, cents: DataFrame): DataFrame =
+  private def pqEncode(sv: DataFrame, cents: DataFrame): DataFrame =
     sv.join(broadcast(cents), "sub_j")
       .withColumn("d2", col("s2") -
         lit(2L) * intDot(col("svec"), col("cent_vec")) + col("cent_n2"))
@@ -389,8 +379,8 @@ object Similarity {
     val subDim = dim / m
     // ONE materialized subvector table feeds training and encoding
     val sv = subVectorTable(corpus, m, subDim).localCheckpoint()
-    val cents = pqCodebookFromSub(sv, corpus, m, nCents, lloydIters, dim)
-    val codes = pqEncodeFromSub(sv, cents)
+    val cents = pqCodebook(sv, corpus, m, nCents, lloydIters, dim)
+    val codes = pqEncode(sv, cents)
     val qsub = subVectorTable(queries, m, subDim)
       .select(col("vec_id").as("q_id"), col("sub_j"), col("svec"), col("s2"))
     val adc = qsub.join(broadcast(cents), "sub_j")

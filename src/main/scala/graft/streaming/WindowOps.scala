@@ -58,7 +58,14 @@ object WindowOps {
     * late-data dropping with a multi-batch MemoryStream. */
   def streamedTumbling(spark: SparkSession, dir: String,
       width: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same session-construction invariant as Tables.events (fail fast
+    // rather than mutating a foreign session's conf mid-flight)
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet uses TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
+        "SparkSession (before any parquet read)")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source lists a directory; expose the single
     // fixture file through a temp dir of symlinks

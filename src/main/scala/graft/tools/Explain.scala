@@ -17,6 +17,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       // custom Catalyst rules (base64 round-trip elimination)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // events.parquet is TIMESTAMP(NANOS); Tables.events fails fast
+      // unless this is set at construction
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
