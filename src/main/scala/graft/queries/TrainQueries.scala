@@ -444,6 +444,35 @@ object TrainQueries {
         |       $sigCols
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "op63_minhash_pairs" -> {
+      // exact replay of the banded LSH join: 16 KM minhashes (as op62),
+      // band hash = 15-hex-char md5 prefix of the comma-joined 4-sig
+      // band (the same md5 bridge Dedup.lshBands uses via md5Hash60 —
+      // joining on the truncated prefix, not the full md5, keeps even
+      // prefix-collision pairs identical between engines)
+      val sigCols = (0 until 16).map(i =>
+        s"CAST(min((h1 * ${2 * i + 1} + h2) % 2147483648) AS BIGINT) AS s$i")
+        .mkString(",\n|         ")
+      val bandSelects = (0 until 4).map { b =>
+        val parts = (b * 4 until b * 4 + 4)
+          .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, substring(md5(concat_ws(',', $parts)), 1, 15) AS bh FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 1073741824 AS h1,
+        |        (('0x' || substring(md5(shingle), 1, 15))::BIGINT // 1073741824) % 1073741824 AS h2
+        |      FROM sh),
+        |sig AS (SELECT doc_id,
+        |         $sigCols
+        |      FROM h GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "op64_dedup_survivors" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
         |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
