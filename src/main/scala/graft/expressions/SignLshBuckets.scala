@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * planes(t)(b)(i) = weight of dimension i for bit b of table t, generated
   * deterministically (md5-seeded) by Similarity.hyperplanes.
   *
+  * Arithmetic is EXACT INTEGER: both the vector components and the plane
+  * weights quantize to floor(x·10⁶) longs, and the sign comes from the
+  * long dot product. Integer sums are associative and engine-independent,
+  * so the bucket of a vector is reproducible anywhere — including the
+  * DuckDB oracle, which replays the same quantized planes as literals
+  * (a float dot could flip a near-zero sign between engines). Magnitudes:
+  * |w|,|x| ≤ ~10⁷ ⇒ |dot| ≤ 64·10¹⁴ ≪ 2⁶³.
+  *
   * planes is a Seq (value equality), not Array (reference equality): case
   * class equals/hashCode drive expression canonicalization, and two
   * semantically identical SignLshBuckets must compare equal for
@@ -27,8 +35,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class SignLshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with CodegenFallback {
 
-  @transient private lazy val planeArr: Array[Array[Array[Double]]] =
-    planes.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val planeArr: Array[Array[Array[Long]]] =
+    planes.map(_.map(_.map(w =>
+      math.floor(w * 1000000d).toLong).toArray).toArray).toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -45,9 +54,12 @@ case class SignLshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val dim = vec.numElements()
-    val xs = new Array[Double](dim)
+    val xs = new Array[Long](dim)
     var i = 0
-    while (i < dim) { xs(i) = vec.getFloat(i).toDouble; i += 1 }
+    while (i < dim) {
+      xs(i) = math.floor(vec.getFloat(i).toDouble * 1000000d).toLong
+      i += 1
+    }
     val out = new Array[Long](planeArr.length)
     var t = 0
     while (t < planeArr.length) {
@@ -57,7 +69,7 @@ case class SignLshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
       while (b < table.length) {
         val w = table(b)
         val n = math.min(dim, w.length)
-        var dot = 0.0
+        var dot = 0L
         var j = 0
         while (j < n) { dot += w(j) * xs(j); j += 1 }
         if (dot >= 0) bucket |= (1L << b)

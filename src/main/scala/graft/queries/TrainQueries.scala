@@ -444,6 +444,50 @@ object TrainQueries {
         |       $sigCols
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "op68_ann_lsh" -> {
+      // exact replay of the multi-table sign-LSH join: the md5-seeded
+      // hyperplanes quantize to floor(w·1e6) longs — inlined here as
+      // literals — and bucket bits come from LONG dot products, the same
+      // integer arithmetic SignLshBuckets runs (associative, so the
+      // bucket of a vector is identical on both engines)
+      val tables = (0 until 8).map { t =>
+        val planes = graft.functions.Similarity.hyperplanes(4, 64, t)
+          .map(_.map(w => math.floor(w * 1000000d).toLong))
+        val bits = planes.zipWithIndex.map { case (w, b) =>
+          val lst = w.mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum([v[i+1] * ($lst)[i+1] FOR i IN range(64)]) >= 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString("\n|      + ")
+        s"""SELECT vec_id, $t AS tbl,
+          |      $bits AS bucket
+          |    FROM qv""".stripMargin
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH qv AS (
+        |  SELECT vec_id,
+        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |          FOR i IN range(64)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
+        |      FROM qv),
+        |bk AS (
+        |  $tables),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+        |                   / (sqrt(a.n2) * sqrt(b.n2)) * 10000) AS BIGINT) END AS cos_bp
+        |  FROM cand JOIN n a ON cand.q_id = a.vec_id
+        |            JOIN n b ON cand.n_id = b.vec_id)
+        |SELECT q_id, n_id, cos_bp, rank FROM (
+        |  SELECT q_id, n_id, cos_bp,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
     "op63_minhash_pairs" -> {
       // exact replay of the banded LSH join: 16 KM minhashes (as op62),
       // band hash = 15-hex-char md5 prefix of the comma-joined 4-sig
