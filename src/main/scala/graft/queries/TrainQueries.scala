@@ -444,6 +444,173 @@ object TrainQueries {
         |       $sigCols
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "op83_pq_ann" -> {
+      // exact replay of PQ + ADC + rerank: unit-normalize in integers
+      // (floor(v·1e6/‖v‖) from identical integer sums — IEEE-exact),
+      // slice 8 subspaces, one unrolled Lloyd pass per subspace
+      // (argmin of integer L2², trunc-division means), ADC partial
+      // distances, 50-wide shortlist, exact rerank on the RAW quantized
+      // vectors. Integer arithmetic end-to-end except the IEEE-identical
+      // sqrt/divide steps.
+      val dot8 = (a: String, b: String) =>
+        s"CAST(list_sum([$a[i+1] * $b[i+1] FOR i IN range(8)]) AS BIGINT)"
+      val subSelects = (0 until 8).map { j =>
+        s"SELECT vec_id, $j AS sub_j, nv[${j * 8 + 1}:${j * 8 + 8}] AS svec FROM norm"
+      }.mkString("\n|  UNION ALL ")
+      val sumCols8 = (0 until 8).map(i => s"sum(svec[${i + 1}]) AS s$i")
+        .mkString(", ")
+      val meanList8 = (0 until 8).map(i =>
+        s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
+      val cosRaw =
+        s"""CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+          |     / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) * 10000) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH q0 AS (
+        |  SELECT vec_id,
+        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |          FOR i IN range(64)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
+        |      FROM q0),
+        |norm AS (
+        |  SELECT vec_id,
+        |         CASE WHEN n2 = 0 THEN v
+        |              ELSE [CAST(floor(CAST(v[i+1] AS DOUBLE) * 1000000
+        |                         / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)
+        |                    FOR i IN range(64)] END AS nv
+        |  FROM n),
+        |sub0 AS (
+        |  $subSelects),
+        |sub AS (SELECT vec_id, sub_j, svec,
+        |          CAST(list_sum([svec[i+1] * svec[i+1] FOR i IN range(8)]) AS BIGINT) AS s2
+        |        FROM sub0),
+        |c0 AS (
+        |  SELECT sub_j,
+        |         CAST(row_number() OVER (PARTITION BY sub_j ORDER BY vec_id) - 1 AS BIGINT) AS code,
+        |         svec AS cent_vec, s2 AS cent_n2
+        |  FROM sub
+        |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |a1 AS (
+        |  SELECT vec_id, sub_j, svec, code FROM (
+        |    SELECT s.vec_id, s.sub_j, s.svec, ct.code,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
+        |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
+        |             ct.code) AS rn
+        |    FROM sub s JOIN c0 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
+        |m1 AS (SELECT sub_j, code, count(*) AS cnt, $sumCols8 FROM a1 GROUP BY sub_j, code),
+        |mm1 AS (SELECT sub_j, code, $meanList8 AS cent_vec FROM m1),
+        |c1 AS (
+        |  SELECT sub_j, code, cent_vec,
+        |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(8)]) AS BIGINT) AS cent_n2
+        |  FROM mm1
+        |  UNION ALL
+        |  SELECT c0.sub_j, c0.code, c0.cent_vec, c0.cent_n2 FROM c0
+        |  WHERE NOT EXISTS (SELECT 1 FROM mm1
+        |                    WHERE mm1.sub_j = c0.sub_j AND mm1.code = c0.code)),
+        |codes AS (
+        |  SELECT vec_id, sub_j, code FROM (
+        |    SELECT s.vec_id, s.sub_j, ct.code,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
+        |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
+        |             ct.code) AS rn
+        |    FROM sub s JOIN c1 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
+        |adc AS (
+        |  SELECT s.vec_id AS q_id, s.sub_j, ct.code,
+        |         s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2 AS pd2
+        |  FROM sub s JOIN c1 ct ON s.sub_j = ct.sub_j
+        |  WHERE s.vec_id < 8),
+        |approx AS (
+        |  SELECT adc.q_id, codes.vec_id, CAST(sum(adc.pd2) AS BIGINT) AS d2
+        |  FROM codes JOIN adc ON codes.sub_j = adc.sub_j AND codes.code = adc.code
+        |  WHERE adc.q_id <> codes.vec_id
+        |  GROUP BY adc.q_id, codes.vec_id),
+        |short AS (
+        |  SELECT q_id, vec_id AS n_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS sr
+        |    FROM approx) WHERE sr <= 50),
+        |scored AS (
+        |  SELECT short.q_id, short.n_id, $cosRaw AS cos_bp
+        |  FROM short JOIN n a ON short.q_id = a.vec_id
+        |             JOIN n b ON short.n_id = b.vec_id)
+        |SELECT q_id, n_id, cos_bp, rank FROM (
+        |  SELECT q_id, n_id, cos_bp,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+    "op69_ann_ivf" -> {
+      // exact replay of IVF-flat with the two Lloyd passes UNROLLED:
+      // assignment = argmax of the FLOORED bigint cosine (matching
+      // Spark's max_by on cosBpFrom output — comparing unfloored doubles
+      // would break ties differently), means = per-position trunc-
+      // toward-zero division (DuckDB CAST(double AS BIGINT) rounds;
+      // Spark's cast truncates — trunc() bridges), empty cells keep
+      // their previous centroid.
+      val cosTo = (vecA: String, n2A: String, vecB: String, n2B: String) =>
+        s"""CASE WHEN $n2A = 0 OR $n2B = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(CAST(list_sum([$vecA[i+1] * $vecB[i+1] FOR i IN range(64)]) AS DOUBLE)
+          |     / (sqrt(CAST($n2A AS DOUBLE)) * sqrt(CAST($n2B AS DOUBLE))) * 10000) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")
+      val sumCols = (0 until 64).map(i => s"sum(v[${i + 1}]) AS s$i")
+        .mkString(", ")
+      val meanList = (0 until 64).map(i =>
+        s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
+      def lloydIter(prev: String, cur: String) =
+        s"""a$cur AS (
+          |  SELECT vec_id, v, cent_id FROM (
+          |    SELECT nn.vec_id, nn.v, ct.cent_id,
+          |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+          |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+          |             ct.cent_id) AS rn
+          |    FROM n nn, $prev ct) WHERE rn = 1),
+          |m$cur AS (SELECT cent_id, count(*) AS cnt, $sumCols FROM a$cur GROUP BY cent_id),
+          |mm$cur AS (SELECT cent_id, $meanList AS cent_vec FROM m$cur),
+          |$cur AS (
+          |  SELECT cent_id, cent_vec,
+          |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(64)]) AS BIGINT) AS cent_n2
+          |  FROM mm$cur
+          |  UNION ALL
+          |  SELECT cent_id, cent_vec, cent_n2 FROM $prev
+          |  WHERE cent_id NOT IN (SELECT cent_id FROM mm$cur))""".stripMargin
+      s"""WITH q0 AS (
+        |  SELECT vec_id,
+        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |          FOR i IN range(64)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
+        |      FROM q0),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cent_vec, n2 AS cent_n2
+        |       FROM n ORDER BY vec_id LIMIT 16),
+        |${lloydIter("c0", "c1")},
+        |${lloydIter("c1", "c2")},
+        |cc AS (
+        |  SELECT vec_id AS n_id, v AS n_vec, n2 AS n_n2, cent_id FROM (
+        |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
+        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+        |             ct.cent_id) AS rn
+        |    FROM n nn, c2 ct) WHERE rn = 1),
+        |qc AS (
+        |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
+        |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
+        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+        |             ct.cent_id) AS rn
+        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT qc.q_id, cc.n_id,
+        |         ${cosTo("qc.q_vec", "qc.q_n2", "cc.n_vec", "cc.n_n2")} AS cos_bp
+        |  FROM cc JOIN qc ON cc.cent_id = qc.cent_id AND qc.q_id <> cc.n_id)
+        |SELECT q_id, n_id, cos_bp, rank FROM (
+        |  SELECT q_id, n_id, cos_bp,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
     "op68_ann_lsh" -> {
       // exact replay of the multi-table sign-LSH join: the md5-seeded
       // hyperplanes quantize to floor(w·1e6) longs — inlined here as
