@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig}
 
 /** OP-53: custom stateful sessionization via flatMapGroupsWithState —
   * the escape hatch for session semantics session_window can't express
@@ -83,6 +85,66 @@ object Sessionize {
     * seen (the NoTimeout mode above retains open sessions forever, which
     * matches the reference's semantics but cannot run indefinitely).
     */
+  /** The same event-time sessionization on Spark 4's transformWithState —
+    * the successor API to flatMapGroupsWithState: typed state handles
+    * (ValueState) instead of one opaque state object, and EXPLICIT timers
+    * instead of a single per-key timeout. Semantics mirror
+    * [[sessionsEventTime]]: absorb each batch through [[foldBatch]],
+    * re-register a timer at the session's close point on every update,
+    * and flush+clear when a timer fires past last+gap (stale timers from
+    * superseded registrations are ignored — the latest registration
+    * always exists). Requires the RocksDB state store provider, which is
+    * also the 100 TB recommendation (state spills off-heap, snapshot +
+    * changelog checkpointing). */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, Session] {
+    @transient private var open: ValueStateT = _
+    private type ValueStateT =
+      org.apache.spark.sql.streaming.ValueState[SessionState]
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[Session] = {
+      val (closed, cur) = foldBatch(user,
+        rows.toSeq.map(e => (e.ts.getTime, e.value)).sortBy(_._1),
+        gapMs, if (open.exists()) Some(open.get()) else None)
+      cur.foreach { s =>
+        open.update(s)
+        // timer strictly beyond the current watermark, at the close point
+        getHandle.registerTimer(
+          math.max(s.last_ms + gapMs, timerValues.getCurrentWatermarkInMs() + 1))
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        // a stale timer (session was extended after it was registered)
+        // fires before last+gap — ignore it; the extension registered a
+        // later timer that will flush the session
+        if (timerValues.getCurrentWatermarkInMs() >= s.last_ms + gapMs) {
+          open.clear()
+          Iterator.single(Session(user, s.start_ms, s.last_ms, s.n, s.sum))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  def sessionsTws(events: Dataset[TimedEvent], gapMs: Long,
+      delay: String = "10 seconds"): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def sessionsEventTime(events: Dataset[TimedEvent], gapMs: Long,
       delay: String = "10 seconds"): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]

@@ -285,6 +285,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionization matches the fMGWS spelling") {
+    // Spark 4's successor API (typed ValueState + explicit timers):
+    // same fixture as the EventTimeTimeout test — the idle session must
+    // flush via the registered timer, and ONLY that session must emit.
+    // transformWithState requires the RocksDB state store provider.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(u: Long, ms: Long, v: Double) =
+        Sessionize.TimedEvent(u, new java.sql.Timestamp(ms), v)
+      val in = MemoryStream[Sessionize.TimedEvent]
+      val q = Sessionize.sessionsTws(in.toDS(), gapMs = 60000,
+          delay = "0 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_tws_out").start()
+      in.addData(ev(1L, 100000L, 1.0), ev(1L, 130000L, 2.0))
+      q.processAllAvailable()
+      // extend user 1's session before it expires: the ORIGINAL timer
+      // (190 s) becomes stale and must be ignored when it fires
+      in.addData(ev(1L, 150000L, 5.0))
+      q.processAllAvailable()
+      in.addData(ev(2L, 700000L, 9.0))
+      q.processAllAvailable()
+      in.addData(ev(2L, 710000L, 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("sess_tws_out").as[Sessionize.Session]
+        .collect().toSeq
+      assert(out == Seq(Sessionize.Session(1L, 100000L, 150000L, 3L, 8.0)),
+        s"transformWithState session result diverged: $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("console sink (OP-03) starts and drains a streaming decode query") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
