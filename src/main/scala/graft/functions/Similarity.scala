@@ -296,6 +296,12 @@ object Similarity {
         array((0 until m).map(j => slice(col("vec"), j * subDim + 1, subDim)): _*))
       .as(Seq("sub_j", "svec")))
 
+  /** (vec_id, sub_j, svec, s2) for the whole input — the shared index
+    * both training and encoding consume (callers materialize it once). */
+  private def subVectorTable(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    subVectors(normalizedVec(df), m, subDim)
+      .withColumn("s2", intDot(col("svec"), col("svec")))
+
   /** Product-quantization codebook: per subspace, `nCents` centroids
     * trained with the same deterministic integer-domain Lloyd iteration
     * as [[lloydCentroids]] (seeded from the lowest-vec_id subvectors;
@@ -303,12 +309,6 @@ object Similarity {
     * in ONE DataFrame pass per iteration — the per-subspace grouping is
     * just extra keys on the same aggregates. Returns
     * (sub_j, code, cent_vec, cent_n2). */
-  /** (vec_id, sub_j, svec, s2) for the whole input — the shared index
-    * both training and encoding consume (callers materialize it once). */
-  private def subVectorTable(df: DataFrame, m: Int, subDim: Int): DataFrame =
-    subVectors(normalizedVec(df), m, subDim)
-      .withColumn("s2", intDot(col("svec"), col("svec")))
-
   private def pqCodebook(sv: DataFrame, corpus: DataFrame, m: Int,
       nCents: Int, iters: Int, dim: Int): DataFrame = {
     val subDim = dim / m

@@ -56,9 +56,9 @@ object TrainQueries {
       Dedup.minhashSignatureFast(Tables.documents(s, d), "doc_id", "text", 8),
       "doc_id")
 
-  /** MinHash+LSH candidate pairs (k=16, bands of 4). Rows-only driver
-    * check (oracle SQL for 16 mins × band hashing is impractical); the
-    * spec validates candidates ⊇ true near-dups on planted data. */
+  /** MinHash+LSH candidate pairs (k=16, bands of 4) — hash-checked: the
+    * oracle replays the banded join (16 KM sigs + md5-prefix band hash);
+    * the spec additionally validates candidates ⊇ true near-dups. */
   val op63MinhashPairs: Q = (s, d) =>
     ordered(
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text"),
@@ -113,8 +113,9 @@ object TrainQueries {
       "q_id", "rank")
   }
 
-  /** ANN top-5 via sign-LSH buckets. Rows-only; recall vs brute force is
-    * asserted in the spec. */
+  /** ANN top-5 via sign-LSH buckets — hash-checked: integer bucket
+    * arithmetic lets the oracle replay the banded join with the quantized
+    * planes inlined; recall vs brute force asserted in the spec. */
   val op68AnnLsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     ordered(
@@ -122,8 +123,9 @@ object TrainQueries {
       "q_id", "rank")
   }
 
-  /** ANN top-5 via IVF-flat cells (nProbe=4 of 16). Rows-only; recall vs
-    * brute force asserted in the spec. */
+  /** ANN top-5 via IVF-flat cells (nProbe=4 of 16) — hash-checked: the
+    * oracle unrolls both integer-Lloyd passes; recall vs brute force
+    * asserted in the spec. */
   val op69AnnIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     ordered(
@@ -132,7 +134,8 @@ object TrainQueries {
   }
 
   /** ANN top-5 via product quantization (8 subspaces × 16 codes, ADC).
-    * Rows-only; recall vs brute force asserted in the spec. */
+    * Hash-checked: the oracle replays normalize + subspace Lloyd + ADC +
+    * rerank; recall vs brute force asserted in the spec. */
   val op83PqAnn: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     ordered(

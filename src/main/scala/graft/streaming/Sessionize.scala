@@ -78,13 +78,6 @@ object Sessionize {
       }
   }
 
-  /** Production mode: watermark + EventTimeTimeout. A session whose user
-    * never sends another event is flushed once the watermark passes
-    * last_event + gap, and its state is REMOVED — so state is bounded by
-    * sessions active within the watermark horizon, not by all users ever
-    * seen (the NoTimeout mode above retains open sessions forever, which
-    * matches the reference's semantics but cannot run indefinitely).
-    */
   /** The same event-time sessionization on Spark 4's transformWithState —
     * the successor API to flatMapGroupsWithState: typed state handles
     * (ValueState) instead of one opaque state object, and EXPLICIT timers
@@ -99,12 +92,17 @@ object Sessionize {
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, TimedEvent, Session] {
     @transient private var open: ValueStateT = _
+    @transient private var timerAt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
     private type ValueStateT =
       org.apache.spark.sql.streaming.ValueState[SessionState]
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       open = getHandle.getValueState[SessionState]("open",
         Encoders.product[SessionState], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(user: Long, rows: Iterator[TimedEvent],
         timerValues: TimerValues): Iterator[Session] = {
@@ -113,25 +111,39 @@ object Sessionize {
         gapMs, if (open.exists()) Some(open.get()) else None)
       cur.foreach { s =>
         open.update(s)
-        // timer strictly beyond the current watermark, at the close point
-        getHandle.registerTimer(
-          math.max(s.last_ms + gapMs, timerValues.getCurrentWatermarkInMs() + 1))
+        // timer strictly beyond the current watermark, at the close
+        // point; the superseded registration is DELETED so timer state
+        // stays O(active keys), not O(events in the watermark horizon)
+        val at =
+          math.max(s.last_ms + gapMs, timerValues.getCurrentWatermarkInMs() + 1)
+        if (timerAt.exists() && timerAt.get() != at)
+          getHandle.deleteTimer(timerAt.get())
+        if (!timerAt.exists() || timerAt.get() != at) {
+          getHandle.registerTimer(at)
+          timerAt.update(at)
+        }
       }
       closed.iterator
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      timerAt.clear()
       if (!open.exists()) Iterator.empty
       else {
         val s = open.get()
-        // a stale timer (session was extended after it was registered)
-        // fires before last+gap — ignore it; the extension registered a
-        // later timer that will flush the session
+        // a timer raced a same-batch extension: not yet past last+gap —
+        // re-register for the true close point instead of flushing early
         if (timerValues.getCurrentWatermarkInMs() >= s.last_ms + gapMs) {
           open.clear()
           Iterator.single(Session(user, s.start_ms, s.last_ms, s.n, s.sum))
-        } else Iterator.empty
+        } else {
+          val at = math.max(s.last_ms + gapMs,
+            timerValues.getCurrentWatermarkInMs() + 1)
+          getHandle.registerTimer(at)
+          timerAt.update(at)
+          Iterator.empty
+        }
       }
     }
   }
@@ -145,6 +157,13 @@ object Sessionize {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Production mode: watermark + EventTimeTimeout. A session whose user
+    * never sends another event is flushed once the watermark passes
+    * last_event + gap, and its state is REMOVED — so state is bounded by
+    * sessions active within the watermark horizon, not by all users ever
+    * seen (the NoTimeout mode above retains open sessions forever, which
+    * matches the reference's semantics but cannot run indefinitely).
+    */
   def sessionsEventTime(events: Dataset[TimedEvent], gapMs: Long,
       delay: String = "10 seconds"): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
