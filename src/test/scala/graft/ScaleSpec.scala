@@ -60,6 +60,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("LSH-bucket-partitioned storage prunes non-probed buckets at scan time") {
+    // SCALE.md's ANN storage claim, executed: write the corpus
+    // partitioned by its (deterministic, integer-exact) sign-LSH bucket,
+    // then probe one bucket — the scan must read ONLY that partition
+    // (partition pruning), which at 100 TB turns an ANN probe into a
+    // ~2^-bits fraction of the corpus read.
+    import graft.functions.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_store_")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      val bucketed = Similarity.lshBucketsMulti(emb, "vec_id", nBits = 4,
+          nTables = 1)
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      bucketed.write.mode("overwrite").partitionBy("bucket")
+        .parquet(dir.toString)
+
+      val probe = spark.read.parquet(dir.toString)
+        .filter(col("bucket") === 3)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the bucket predicate must land in PartitionFilters, not a
+      // post-scan Filter over all partitions
+      assert(plan.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+        s"bucket filter did not become a partition filter:\n$plan")
+      // and the pruned read equals the unpruned filter
+      val expect = bucketed.filter(col("bucket") === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(probe.select("vec_id").collect().map(_.getLong(0)).toSet
+        == expect)
+      assert(expect.nonEmpty, "fixture produced an empty probe bucket")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("RocksDB state store runs the watermarked aggregation (100TB state config)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
