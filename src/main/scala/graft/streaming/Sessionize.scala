@@ -83,10 +83,12 @@ object Sessionize {
     * (ValueState) instead of one opaque state object, and EXPLICIT timers
     * instead of a single per-key timeout. Semantics mirror
     * [[sessionsEventTime]]: absorb each batch through [[foldBatch]],
-    * re-register a timer at the session's close point on every update,
-    * and flush+clear when a timer fires past last+gap (stale timers from
-    * superseded registrations are ignored — the latest registration
-    * always exists). Requires the RocksDB state store provider, which is
+    * re-register a timer at the session's close point on every update
+    * (deleting the superseded registration — ONE live timer per key, so
+    * timer state is O(active keys)), and flush+clear when a timer fires
+    * past last+gap; a timer that races a same-batch extension fires
+    * early and re-registers for the true close point instead of
+    * flushing. Requires the RocksDB state store provider, which is
     * also the 100 TB recommendation (state spills off-heap, snapshot +
     * changelog checkpointing). */
   class SessionProcessor(gapMs: Long)
@@ -116,9 +118,10 @@ object Sessionize {
         // stays O(active keys), not O(events in the watermark horizon)
         val at =
           math.max(s.last_ms + gapMs, timerValues.getCurrentWatermarkInMs() + 1)
-        if (timerAt.exists() && timerAt.get() != at)
-          getHandle.deleteTimer(timerAt.get())
-        if (!timerAt.exists() || timerAt.get() != at) {
+        // one state read per key per batch (RocksDB lookup at scale)
+        val prev = if (timerAt.exists()) Some(timerAt.get()) else None
+        if (!prev.contains(at)) {
+          prev.foreach(getHandle.deleteTimer)
           getHandle.registerTimer(at)
           timerAt.update(at)
         }

@@ -81,8 +81,7 @@ class ScaleSpec extends SparkSpec {
       val plan = probe.queryExecution.executedPlan.toString
       // the bucket predicate must land in PartitionFilters, not a
       // post-scan Filter over all partitions
-      assert(plan.contains("PartitionFilters") &&
-        "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
         s"bucket filter did not become a partition filter:\n$plan")
       // and the pruned read equals the unpruned filter
       val expect = bucketed.filter(col("bucket") === 3)
