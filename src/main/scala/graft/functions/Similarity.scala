@@ -150,21 +150,33 @@ object Similarity {
 
   /** ANN top-k via multi-table sign-LSH: candidates are rows sharing any
     * (table, bucket) with the query; scored once per distinct pair.
-    * Recall < 1 by design — measured against bruteForceTopK in the spec. */
+    * Recall < 1 by design — measured against bruteForceTopK in the spec.
+    *
+    * Plan shape (mirrors [[nearDupPairsLsh]]): the candidate dedup
+    * shuffles BARE (q_id, n_id) pairs — a row is 16 bytes, not two
+    * 64-dim arrays — and the quantized vectors with precomputed norms
+    * re-attach by join afterwards, so each norm is computed once per
+    * VECTOR instead of twice per candidate pair. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nBits: Int = 4, nTables: Int = 8): DataFrame = {
     val q = lshBucketsMulti(queries, "vec_id", nBits, nTables)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("tbl"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val c = lshBucketsMulti(corpus, "vec_id", nBits, nTables)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("tbl"), col("bucket"))
+      .select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), col("q_emb"), col("n_emb"))
+      .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
-    val scored = cand.select(col("q_id"), col("n_id"),
-      cosBp(quantize(col("q_emb")), quantize(col("n_emb"))).as("cos_bp"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+        quantize(col("embedding")).as("q_vec"))
+      .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
+    val nv = corpus.select(col("vec_id").as("n_id"),
+        quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+    val scored = cand.join(broadcast(qv), "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosBpFrom(intDot(col("q_vec"), col("n_vec")),
+          col("q_n2"), col("n_n2")).as("cos_bp"))
     topKPerQuery(scored, k)
   }
 

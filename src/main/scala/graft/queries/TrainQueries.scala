@@ -319,8 +319,14 @@ object TrainQueries {
     * is bounded by benchmark size (tiny vs the corpus), so it broadcasts
     * and the corpus-side index never shuffles for the probe. */
   val op82Decontaminate: Q = (s, d) => {
+    // no materialization: each side is a one-pass consumer, and the
+    // doc_id filters push below the shingle explode, so the bench side
+    // shingles only the 2% benchmark slice and the train side the rest —
+    // one full shingle pass total. (Eagerly localCheckpoint-ing the whole
+    // index here cost more than the recompute it saved — the pattern pays
+    // in op64 where the capped index feeds BOTH sides of a self-join.)
     val idx = Dedup.shingleIndexHashed(Tables.documents(s, d),
-      "doc_id", "text").localCheckpoint()
+      "doc_id", "text")
     val bench = idx.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     val train = idx.filter(col("doc_id") % 50 =!= 0)
