@@ -242,48 +242,94 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
+    val (cents, cells) = ivfIndexFrames(corpus, nCells, lloydIters)
+    ivfProbeFrames(queries, cents, cells, k, nProbe)
+  }
+
+  /** Score every row of `df` against every broadcast centroid —
+    * (id, vec, n2, cent_id, cent_cos), one row per (vector, centroid). */
+  private def cellScored(df: DataFrame, idAs: String,
+      centB: DataFrame): DataFrame = {
+    val q = df.select(col("vec_id").as(idAs),
+      quantize(col("embedding")).as(s"${idAs}_vec"))
+      .withColumn(s"${idAs}_n2", intDot(col(s"${idAs}_vec"), col(s"${idAs}_vec")))
+    q.crossJoin(centB)
+      .select(col(idAs), col(s"${idAs}_vec"), col(s"${idAs}_n2"), col("cent_id"),
+        cosBpFrom(intDot(col(s"${idAs}_vec"), col("cent_vec")),
+          col(s"${idAs}_n2"), col("cent_n2")).as("cent_cos"))
+  }
+
+  /** IVF index as lazy frames: (centroids, cell-assigned corpus). */
+  private def ivfIndexFrames(corpus: DataFrame, nCells: Int,
+      lloydIters: Int): (DataFrame, DataFrame) = {
     val cents =
       if (lloydIters > 0) lloydCentroids(corpus, nCells, lloydIters)
       else corpus.orderBy(col("vec_id")).limit(nCells)
         .select(col("vec_id").as("cent_id"),
           quantize(col("embedding")).as("cent_vec"))
         .withColumn("cent_n2", intDot(col("cent_vec"), col("cent_vec")))
-    val centB = broadcast(cents)
-
-    def cellScored(df: DataFrame, idAs: String): DataFrame = {
-      val q = df.select(col("vec_id").as(idAs),
-        quantize(col("embedding")).as(s"${idAs}_vec"))
-        .withColumn(s"${idAs}_n2", intDot(col(s"${idAs}_vec"), col(s"${idAs}_vec")))
-      q.crossJoin(centB)
-        .select(col(idAs), col(s"${idAs}_vec"), col(s"${idAs}_n2"), col("cent_id"),
-          cosBpFrom(intDot(col(s"${idAs}_vec"), col("cent_vec")),
-            col(s"${idAs}_n2"), col("cent_n2")).as("cent_cos"))
-    }
-
     // corpus→cell is an aggregation, not a window: max_by with a total
     // tiebreak (best cos, then lowest cent_id) does map-side partials and
     // shuffles N rows, not N×nCells; vec/n2 are constant per group
-    val corpusCells = cellScored(corpus, "n_id")
+    val cells = cellScored(corpus, "n_id", broadcast(cents))
       .groupBy(col("n_id"))
       .agg(
         max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
           .as("cent_id"),
         first(col("n_id_vec")).as("n_id_vec"),
         first(col("n_id_n2")).as("n_id_n2"))
+    (cents, cells)
+  }
+
+  /** Probe a (centroids, cells) IVF index: nProbe best cells per query,
+    * exact rescoring within them. Identical output to [[ivfTopK]]. */
+  private def ivfProbeFrames(queries: DataFrame, cents: DataFrame,
+      cells: DataFrame, k: Int, nProbe: Int): DataFrame = {
     // queries keep their nProbe best cells (small side — window is fine)
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    val queryCells = cellScored(queries, "q_id")
+    val queryCells = cellScored(queries, "q_id", broadcast(cents))
       .withColumn("cr", row_number().over(wq)).filter(col("cr") <= nProbe)
       .drop("cent_cos", "cr")
     // each corpus vector lives in exactly one cell and each query probes
     // distinct cells, so (q_id, n_id) pairs are already unique
-    val scored = corpusCells.join(broadcast(queryCells), "cent_id")
+    val scored = cells.join(broadcast(queryCells), "cent_id")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_id_vec"), col("n_id_vec")),
           col("q_id_n2"), col("n_id_n2")).as("cos_bp"))
     topKPerQuery(scored, k)
+  }
+
+  /** Build the IVF index ONCE and persist it: `dir/centroids` (nCells
+    * rows) and `dir/cells` — the cell-assigned corpus with quantized
+    * vectors and precomputed norms, PARTITIONED BY cent_id so a probe
+    * reading its nProbe cells prunes the rest at scan time (the 100 TB
+    * layout SCALE.md describes; the PartitionFilter is proven in
+    * ScaleSpec). A real engine builds an index once and probes it many
+    * times — this is that split: training (Lloyd) + the corpus assignment
+    * pass amortize over every later query batch, and [[ivfProbe]] is
+    * pure probe cost. All stored values are bigint/bigint-array, so the
+    * parquet round-trip is bit-exact and probe(prebuilt) ≡ ivfTopK. */
+  def ivfIndexWrite(corpus: DataFrame, dir: String, nCells: Int = 16,
+      lloydIters: Int = 0): Unit = {
+    val (cents, cells) = ivfIndexFrames(corpus, nCells, lloydIters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cells.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$dir/cells")
+  }
+
+  /** Probe a persisted IVF index ([[ivfIndexWrite]]): same results as
+    * the end-to-end [[ivfTopK]] with matching parameters, but the only
+    * corpus-sized work is the pruned cells scan. */
+  def ivfProbe(queries: DataFrame, dir: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    // cent_id is a partition directory on disk; restore its bigint type
+    val cells = spark.read.parquet(s"$dir/cells")
+      .withColumn("cent_id", col("cent_id").cast("bigint"))
+    ivfProbeFrames(queries, cents, cells, k, nProbe)
   }
 
   /** Unit-normalize in the quantized-integer domain: floor(v·10⁶/‖v‖)
@@ -388,11 +434,31 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
       nCents: Int = 16, lloydIters: Int = 1, dim: Int = 64,
       shortlist: Int = 50): DataFrame = {
+    val (cents, codes, nv) = pqIndexFrames(corpus, m, nCents, lloydIters, dim)
+    pqProbeFrames(queries, cents, codes, nv, k, m, dim, shortlist)
+  }
+
+  /** PQ index as lazy frames: (codebook, codes, rerank vector store). */
+  private def pqIndexFrames(corpus: DataFrame, m: Int, nCents: Int,
+      lloydIters: Int, dim: Int): (DataFrame, DataFrame, DataFrame) = {
     val subDim = dim / m
     // ONE materialized subvector table feeds training and encoding
     val sv = subVectorTable(corpus, m, subDim).localCheckpoint()
     val cents = pqCodebook(sv, corpus, m, nCents, lloydIters, dim)
     val codes = pqEncode(sv, cents)
+    val nv = corpus.select(col("vec_id").as("n_id"),
+        quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+    (cents, codes, nv)
+  }
+
+  /** Probe a (codebook, codes, vectors) PQ index: ADC over the codes,
+    * exact rerank of the shortlist against the vector store. Identical
+    * output to [[pqTopK]]. */
+  private def pqProbeFrames(queries: DataFrame, cents: DataFrame,
+      codes: DataFrame, nv: DataFrame, k: Int, m: Int, dim: Int,
+      shortlist: Int): DataFrame = {
+    val subDim = dim / m
     val qsub = subVectorTable(queries, m, subDim)
       .select(col("vec_id").as("q_id"), col("sub_j"), col("svec"), col("s2"))
     val adc = qsub.join(broadcast(cents), "sub_j")
@@ -415,14 +481,39 @@ object Similarity {
     val qv = queries.select(col("vec_id").as("q_id"),
         quantize(col("embedding")).as("q_vec"))
       .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
-    val nv = corpus.select(col("vec_id").as("n_id"),
-        quantize(col("embedding")).as("n_vec"))
-      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
     val scored = short.join(broadcast(qv), "q_id").join(nv, "n_id")
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_vec"), col("n_vec")),
           col("q_n2"), col("n_n2")).as("cos_bp"))
     topKPerQuery(scored, k)
+  }
+
+  /** Build the PQ index ONCE and persist it: `dir/codebook` (m×nCents
+    * sub-centroids), `dir/codes` (m small codes per vector — the 4-byte
+    * representation PQ exists for), and `dir/vectors` (the quantized
+    * full-width vectors + norms the exact rerank reads). Codebook
+    * training and corpus encoding amortize over every later probe; all
+    * stored values are bigint/bigint-array, so the parquet round-trip is
+    * bit-exact and probe(prebuilt) ≡ pqTopK. */
+  def pqIndexWrite(corpus: DataFrame, dir: String, m: Int = 8,
+      nCents: Int = 16, lloydIters: Int = 1, dim: Int = 64): Unit = {
+    val (cents, codes, nv) = pqIndexFrames(corpus, m, nCents, lloydIters, dim)
+    cents.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    nv.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Probe a persisted PQ index ([[pqIndexWrite]]): same results as the
+    * end-to-end [[pqTopK]] with matching parameters — no training, no
+    * encoding, just ADC + rerank against the stored tables. */
+  def pqProbe(queries: DataFrame, dir: String, k: Int, m: Int = 8,
+      dim: Int = 64, shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    pqProbeFrames(queries,
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/vectors"),
+      k, m, dim, shortlist)
   }
 
   /** Embedding near-duplicate pairs via sign-LSH candidates: only pairs

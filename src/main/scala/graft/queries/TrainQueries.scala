@@ -143,6 +143,48 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** Prebuilt-index root for a dataset dir: versioned (a format change
+    * bumps v and orphans stale indexes) and keyed by the dataset's
+    * basename so sf0.01 and sf0.1 never share an index. Lives under the
+    * build's target dir — scratch space, not source. */
+  private def indexRoot(d: String, kind: String): String =
+    s"/root/repo/target/graft_index/v1/${new java.io.File(d).getName}/$kind"
+
+  /** An index written by ivfIndexWrite/pqIndexWrite is complete iff its
+    * LAST-written table committed (parquet `_SUCCESS` marker). */
+  private def indexReady(dir: String, lastTable: String): Boolean =
+    new java.io.File(s"$dir/$lastTable/_SUCCESS").isFile
+
+  /** IVF probe against a PREBUILT persisted index — the build-once/
+    * probe-many split op69 cannot show (it trains per run). Same
+    * parameters as op69 (16 cells, 2 Lloyd passes, nProbe 4), so the
+    * results — and the DuckDB oracle — are identical; the first call per
+    * dataset builds the index (cells partitioned by cent_id → scan-time
+    * pruning, see ScaleSpec), every later call is probe-only cost. */
+  val op84IvfProbe: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "ivf_c16_l2")
+    if (!indexReady(dir, "cells"))
+      Similarity.ivfIndexWrite(emb, dir, nCells = 16, lloydIters = 2)
+    ordered(
+      Similarity.ivfProbe(emb.filter(col("vec_id") < 8), dir, 5, nProbe = 4),
+      "q_id", "rank")
+  }
+
+  /** PQ probe against a PREBUILT persisted index (codebook + 4-byte
+    * codes + rerank vector store) — same parameters as op83, identical
+    * results and oracle; first call per dataset trains and encodes,
+    * every later call is pure ADC + rerank. */
+  val op85PqProbe: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "pq_m8_c16_l1")
+    if (!indexReady(dir, "vectors"))
+      Similarity.pqIndexWrite(emb, dir, m = 8, nCents = 16, lloydIters = 1)
+    ordered(
+      Similarity.pqProbe(emb.filter(col("vec_id") < 8), dir, 5),
+      "q_id", "rank")
+  }
+
   /** Language-ID heuristic: marker-count argmax + the score vector. */
   val op70LangId: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -365,6 +407,8 @@ object TrainQueries {
     "op68_ann_lsh" -> op68AnnLsh,
     "op69_ann_ivf" -> op69AnnIvf,
     "op83_pq_ann" -> op83PqAnn,
+    "op84_ivf_probe" -> op84IvfProbe,
+    "op85_pq_probe" -> op85PqProbe,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -405,7 +449,7 @@ object TrainQueries {
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "op60_dedup_exact" ->
       """SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
@@ -912,5 +956,14 @@ object TrainQueries {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS roll_hash,
         |  md5(text) AS md5_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+
+  /** The probe queries run the SAME parameters against a prebuilt
+    * persisted index — bit-exact storage (bigint everywhere) makes the
+    * results, and therefore the oracles, identical to their end-to-end
+    * build-per-run twins. */
+  val oracle: Map[String, String] = baseOracle ++ Map(
+    "op84_ivf_probe" -> baseOracle("op69_ann_ivf"),
+    "op85_pq_probe" -> baseOracle("op83_pq_ann"),
   )
 }

@@ -122,6 +122,32 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == pq, "PQ results differ between identical runs")
   }
 
+  test("prebuilt persisted IVF/PQ indexes probe to the exact end-to-end results") {
+    // the build-once/probe-many contract: ivfProbe/pqProbe over an index
+    // written to parquet must reproduce ivfTopK/pqTopK bit-for-bit (all
+    // stored values are bigint, so the storage round-trip is exact)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_index_eq_")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+        df.orderBy("q_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      Similarity.ivfIndexWrite(emb, s"$dir/ivf", nCells = 16, lloydIters = 2)
+      assert(rows(Similarity.ivfProbe(queries, s"$dir/ivf", 5, nProbe = 4)) ==
+        rows(Similarity.ivfTopK(queries, emb, 5, nCells = 16, nProbe = 4,
+          lloydIters = 2)),
+        "IVF probe over the persisted index diverged from the end-to-end build")
+      Similarity.pqIndexWrite(emb, s"$dir/pq")
+      assert(rows(Similarity.pqProbe(queries, s"$dir/pq", 5)) ==
+        rows(Similarity.pqTopK(queries, emb, 5)),
+        "PQ probe over the persisted index diverged from the end-to-end build")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("LSH near-dup pairs equal brute force on planted near-dups") {
     val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     // plant exact dups: copies of vecs 0-4 under ids 1000-1004 (cos=1.0,
