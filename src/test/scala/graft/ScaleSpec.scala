@@ -95,6 +95,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("IVF index storage (cells partitioned by cent_id) prunes non-probed cells at scan time") {
+    // SCALE.md's IVF claim ("cell id becomes a storage partition key"),
+    // executed: ivfIndexWrite persists the cell-assigned corpus
+    // partitioned by cent_id, so a probe touching nProbe cells reads
+    // nProbe/nCells of the corpus — partition pruning, same mechanics
+    // the LSH layout proves above.
+    import graft.functions.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_store_")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.ivfIndexWrite(emb, dir.toString, nCells = 16)
+      val cells = spark.read.parquet(s"$dir/cells")
+      val probeCells = cells.filter(col("cent_id").isin(0, 3))
+      val plan = probeCells.queryExecution.executedPlan.toString
+      // the cell predicate must land in PartitionFilters, not a
+      // post-scan Filter over all 16 partitions
+      assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
+        s"cent_id filter did not become a partition filter:\n$plan")
+      // and the pruned read equals the unpruned filter
+      val all = cells.select("n_id", "cent_id").collect()
+        .map(r => r.getLong(0) -> r.get(1).toString.toLong)
+      val expect = all.filter(p => p._2 == 0 || p._2 == 3).map(_._1).toSet
+      assert(probeCells.select("n_id").collect().map(_.getLong(0)).toSet
+        == expect)
+      assert(expect.nonEmpty && expect.size < all.length,
+        "fixture probe must hit a strict, non-empty subset of cells")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("RocksDB state store runs the watermarked aggregation (100TB state config)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -122,6 +122,32 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == pq, "PQ results differ between identical runs")
   }
 
+  test("hyperplane generation matches golden values (shared root of every LSH bucket)") {
+    // the md5-seeded planes are the one shared root of op66/op68
+    // correctness AND of any LSH-bucketed storage layout already written
+    // to disk — a refactor that silently shifts them would re-bucket the
+    // world. Golden values derived INDEPENDENTLY (python hashlib md5,
+    // first 7 bytes as a 56-bit int, /2^55 − 1) pin the contract:
+    // exact doubles, and the floor(w·10⁶) longs the DuckDB oracle inlines.
+    val t0 = Similarity.hyperplanes(4, 64, 0)
+    val t1 = Similarity.hyperplanes(4, 64, 1)
+    val t7 = Similarity.hyperplanes(4, 64, 7)
+    assert(t0.length == 4 && t0.forall(_.length == 64))
+    assert(t0(0)(0) == 0.15183136609002257)
+    assert(t0(0)(1) == 0.8803614282343124)
+    assert(t0(0)(2) == -0.6083317291318546)
+    assert(t0(1)(0) == 0.5766064140887326)
+    assert(t0(3)(63) == -0.6224825249867076)
+    assert(t1(0)(0) == -0.9789437615554732)
+    assert(t7(3)(63) == -0.35235795829967376)
+    // the quantized-long view the oracle SQL embeds as literals
+    assert(math.floor(t0(0)(0) * 1000000d).toLong == 151831L)
+    assert(math.floor(t0(0)(2) * 1000000d).toLong == -608332L)
+    assert(math.floor(t7(3)(63) * 1000000d).toLong == -352358L)
+    // range contract: every weight in [-1, 1)
+    assert((t0 ++ t1 ++ t7).flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
   test("prebuilt persisted IVF/PQ indexes probe to the exact end-to-end results") {
     // the build-once/probe-many contract: ivfProbe/pqProbe over an index
     // written to parquet must reproduce ivfTopK/pqTopK bit-for-bit (all
