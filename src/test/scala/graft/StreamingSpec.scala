@@ -356,6 +356,44 @@ class StreamingSpec extends SparkSpec {
     assert(seen.keySet.size >= 2, s"expected multiple micro-batches: $seen")
   }
 
+  test("streaming ANN probe over the prebuilt IVF index equals the batch probe") {
+    // online-serving half of the similarity story: query vectors arrive
+    // as a stream and probe the static persisted index (stream-static
+    // join on cent_id + bounded TopKAgg) — results must equal the batch
+    // ivfProbe for the same queries and parameters
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ann_")
+    try {
+      Similarity.ivfIndexWrite(emb, s"$dir/ivf", nCells = 16)
+      val queries = emb.filter(col("vec_id") < 8)
+      val in = MemoryStream[(Long, Seq[Float])]
+      val stream = StreamingAnn.ivfProbeStream(
+        in.toDF().toDF("vec_id", "embedding"), s"$dir/ivf", 5, nProbe = 4)
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName("ann_probe_out").start()
+      in.addData(queries.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val got = StreamingAnn.explodeTopK(spark.table("ann_probe_out"))
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val want = Similarity.ivfProbe(queries, s"$dir/ivf", 5, nProbe = 4)
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got.nonEmpty, "streaming probe emitted no rows")
+      assert(got == want,
+        "streaming ANN probe diverged from the batch probe over the same index")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("op51 streamed tumbling equals the batch twin on a full replay") {
     val streamed = graft.streaming.WindowOps.streamedTumbling(spark, sfDir)
       .orderBy("w_start", "event_type")
