@@ -159,25 +159,69 @@ object Similarity {
     * VECTOR instead of twice per candidate pair. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nBits: Int = 4, nTables: Int = 8): DataFrame = {
-    val q = lshBucketsMulti(queries, "vec_id", nBits, nTables)
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val c = lshBucketsMulti(corpus, "vec_id", nBits, nTables)
       .select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val nv = corpus.select(col("vec_id").as("n_id"),
+        quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+    annProbeFrames(queries, c, nv, k, nBits, nTables)
+  }
+
+  /** Probe a (bucket table, vector store) LSH index: bucket the queries
+    * with the same planes, join candidates on (tbl, bucket), dedup bare
+    * id pairs, re-attach stored vectors, rank. Identical output to
+    * [[annTopK]]. */
+  private def annProbeFrames(queries: DataFrame, cBuckets: DataFrame,
+      nv: DataFrame, k: Int, nBits: Int, nTables: Int): DataFrame = {
+    val q = lshBucketsMulti(queries, "vec_id", nBits, nTables)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val cand = cBuckets.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
     val qv = queries.select(col("vec_id").as("q_id"),
         quantize(col("embedding")).as("q_vec"))
       .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
-    val nv = corpus.select(col("vec_id").as("n_id"),
-        quantize(col("embedding")).as("n_vec"))
-      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
     val scored = cand.join(broadcast(qv), "q_id").join(nv, "n_id")
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_vec"), col("n_vec")),
           col("q_n2"), col("n_n2")).as("cos_bp"))
     topKPerQuery(scored, k)
+  }
+
+  /** Build the multi-table LSH index ONCE and persist it: `dir/buckets`
+    * — one (vec_id, tbl, bucket) row per table, PARTITIONED BY
+    * (tbl, bucket) so a probe reads only its L colliding buckets
+    * (~L·2^-bits of the corpus; the layout ScaleSpec proves prunes at
+    * scan time) — and `dir/vectors`, the quantized vectors with
+    * precomputed norms that candidate scoring re-attaches. The planes
+    * are md5-derived from (table, bit, dim) alone (golden-pinned in the
+    * spec), so any later session regenerates the query-side buckets
+    * identically — nothing about the planes needs storing. */
+  def lshIndexWrite(corpus: DataFrame, dir: String, nBits: Int = 4,
+      nTables: Int = 8): Unit = {
+    lshBucketsMulti(corpus, "vec_id", nBits, nTables)
+      .select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
+      .write.mode("overwrite").partitionBy("tbl", "bucket")
+      .parquet(s"$dir/buckets")
+    corpus.select(col("vec_id").as("n_id"),
+        quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Probe a persisted LSH index ([[lshIndexWrite]]): same results as
+    * the end-to-end [[annTopK]] with matching parameters — bucketing and
+    * quantization of the corpus never recur. */
+  def lshProbe(queries: DataFrame, dir: String, k: Int, nBits: Int = 4,
+      nTables: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    // tbl/bucket are partition directories on disk; restore their types
+    val cBuckets = spark.read.parquet(s"$dir/buckets")
+      .select(col("n_id"), col("tbl").cast("int").as("tbl"),
+        col("bucket").cast("bigint").as("bucket"))
+    val nv = spark.read.parquet(s"$dir/vectors")
+    annProbeFrames(queries, cBuckets, nv, k, nBits, nTables)
   }
 
   /** Deterministic Lloyd refinement of IVF centroids, entirely in the
@@ -317,6 +361,30 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     cells.write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dir/cells")
+  }
+
+  /** Append new vectors to a persisted IVF index WITHOUT retraining:
+    * one linear pass assigns each new vector to its nearest EXISTING
+    * centroid (same deterministic max-cos / lowest-cent_id rule as the
+    * build) and appends to `dir/cells` — only the touched cent_id
+    * partitions gain files. This is the 100 TB ingest path: increments
+    * assign-and-append; centroid drift is handled by occasional offline
+    * rebuilds, never per-batch retraining. Caller contract: `newVecs`
+    * ids are disjoint from what the index already holds (appends are
+    * raw file adds — nothing dedups). Full-probe equivalence (an index
+    * probed with nProbe = nCells IS brute force over everything
+    * appended) is spec'd. */
+  def ivfIndexAppend(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    cellScored(newVecs, "n_id", cents)
+      .groupBy(col("n_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
+          .as("cent_id"),
+        first(col("n_id_vec")).as("n_id_vec"),
+        first(col("n_id_n2")).as("n_id_n2"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
   }
 
   /** Probe a persisted IVF index ([[ivfIndexWrite]]): same results as

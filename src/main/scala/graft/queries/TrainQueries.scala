@@ -185,6 +185,20 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** LSH probe against a PREBUILT persisted index (bucket table
+    * partitioned by (tbl, bucket) + vector store) — same parameters as
+    * op68, identical results and oracle; corpus bucketing and
+    * quantization never recur after the first call per dataset. */
+  val op86LshProbe: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "lsh_b4_t8")
+    if (!indexReady(dir, "vectors"))
+      Similarity.lshIndexWrite(emb, dir, nBits = 4, nTables = 8)
+    ordered(
+      Similarity.lshProbe(emb.filter(col("vec_id") < 8), dir, 5),
+      "q_id", "rank")
+  }
+
   /** Language-ID heuristic: marker-count argmax + the score vector. */
   val op70LangId: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -409,6 +423,7 @@ object TrainQueries {
     "op83_pq_ann" -> op83PqAnn,
     "op84_ivf_probe" -> op84IvfProbe,
     "op85_pq_probe" -> op85PqProbe,
+    "op86_lsh_probe" -> op86LshProbe,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -965,5 +980,6 @@ object TrainQueries {
   val oracle: Map[String, String] = baseOracle ++ Map(
     "op84_ivf_probe" -> baseOracle("op69_ann_ivf"),
     "op85_pq_probe" -> baseOracle("op83_pq_ann"),
+    "op86_lsh_probe" -> baseOracle("op68_ann_lsh"),
   )
 }

@@ -168,6 +168,39 @@ class SimilaritySpec extends SparkSpec {
       assert(rows(Similarity.pqProbe(queries, s"$dir/pq", 5)) ==
         rows(Similarity.pqTopK(queries, emb, 5)),
         "PQ probe over the persisted index diverged from the end-to-end build")
+      Similarity.lshIndexWrite(emb, s"$dir/lsh", nBits = 4, nTables = 8)
+      assert(rows(Similarity.lshProbe(queries, s"$dir/lsh", 5)) ==
+        rows(Similarity.annTopK(queries, emb, 5)),
+        "LSH probe over the persisted index diverged from the end-to-end build")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
+  test("ivfIndexAppend ingests increments without retraining (full probe = brute force)") {
+    // the incremental-ingest contract: build the index on half the
+    // corpus, append the other half (assigned to the EXISTING centroids,
+    // no retraining), and verify the appended index is complete — an IVF
+    // index probed with nProbe = nCells scans every cell, so its results
+    // must equal brute force over the FULL corpus, which fails if any
+    // appended vector went missing or any stored value drifted
+    val emb = Tables.embeddings(spark, sfDir)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val queries = emb.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append_")
+    try {
+      Similarity.ivfIndexWrite(half, s"$dir/ivf", nCells = 16)
+      Similarity.ivfIndexAppend(rest, s"$dir/ivf")
+      val total = spark.read.parquet(s"$dir/ivf/cells").count()
+      assert(total == emb.count(), s"appended cells hold $total rows")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+        df.orderBy("q_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows(Similarity.ivfProbe(queries, s"$dir/ivf", 5, nProbe = 16)) ==
+        rows(Similarity.bruteForceTopK(queries, emb, 5)),
+        "full-probe of the appended index diverged from brute force")
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit
