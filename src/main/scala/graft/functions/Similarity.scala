@@ -210,6 +210,25 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Append new vectors to a persisted LSH index: bucket them with the
+    * same md5-derived planes (parameters must match the build — the
+    * planes are a pure function of (nBits, nTables), golden-pinned in
+    * the spec) and append their bucket rows and vectors. Appending to an
+    * LSH index is exactly equivalent to having built it on the union —
+    * bucketing is per-row, nothing is trained — and the spec asserts
+    * probe(write(A) + append(B)) ≡ annTopK over A∪B. */
+  def lshIndexAppend(newVecs: DataFrame, dir: String, nBits: Int = 4,
+      nTables: Int = 8): Unit = {
+    lshBucketsMulti(newVecs, "vec_id", nBits, nTables)
+      .select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
+      .write.mode("append").partitionBy("tbl", "bucket")
+      .parquet(s"$dir/buckets")
+    newVecs.select(col("vec_id").as("n_id"),
+        quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+      .write.mode("append").parquet(s"$dir/vectors")
+  }
+
   /** Probe a persisted LSH index ([[lshIndexWrite]]): same results as
     * the end-to-end [[annTopK]] with matching parameters — bucketing and
     * quantization of the corpus never recur. */
@@ -569,6 +588,31 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$dir/codebook")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
     nv.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Append new vectors to a persisted PQ index WITHOUT retraining:
+    * encode them against the EXISTING codebook (m and subDim are read
+    * from the stored codebook itself) and append their codes and rerank
+    * vectors. Same ingest contract as [[ivfIndexAppend]]: ids must be
+    * disjoint from what the index holds; codebook drift is an offline
+    * rebuild, never a per-batch retrain. The completeness check is
+    * spec'd via the shortlist=|corpus| probe, which makes PQ exact
+    * (every candidate reranked) and must equal brute force. */
+  def pqIndexAppend(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$dir/codebook")
+    // index geometry from the stored codebook: m subspaces × subDim dims
+    val geo = cents.agg(max(col("sub_j")).as("mj"),
+      max(size(col("cent_vec"))).as("sd")).head()
+    val m = geo.getInt(0) + 1
+    val subDim = geo.getInt(1)
+    val sv = subVectorTable(newVecs, m, subDim)
+    pqEncode(sv, cents)
+      .write.mode("append").parquet(s"$dir/codes")
+    newVecs.select(col("vec_id").as("n_id"),
+        quantize(col("embedding")).as("n_vec"))
+      .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
+      .write.mode("append").parquet(s"$dir/vectors")
   }
 
   /** Probe a persisted PQ index ([[pqIndexWrite]]): same results as the

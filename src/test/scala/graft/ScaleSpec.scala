@@ -121,6 +121,17 @@ class ScaleSpec extends SparkSpec {
         == expect)
       assert(expect.nonEmpty && expect.size < all.length,
         "fixture probe must hit a strict, non-empty subset of cells")
+      // stronger: the REAL probe path needs no static predicate at all —
+      // ivfProbe joins cells against the broadcast query-cell list, and
+      // Spark's dynamic partition pruning turns that join into a
+      // runtime PartitionFilter on the cells scan (reads nProbe/nCells
+      // of the corpus with zero manual plumbing)
+      val probePlan = Similarity.ivfProbe(
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8),
+          dir.toString, 5, nProbe = 4)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.toLowerCase.contains("dynamicpruning"),
+        s"ivfProbe cells scan is not dynamically partition-pruned:\n$probePlan")
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit

@@ -178,29 +178,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("ivfIndexAppend ingests increments without retraining (full probe = brute force)") {
-    // the incremental-ingest contract: build the index on half the
-    // corpus, append the other half (assigned to the EXISTING centroids,
-    // no retraining), and verify the appended index is complete — an IVF
-    // index probed with nProbe = nCells scans every cell, so its results
-    // must equal brute force over the FULL corpus, which fails if any
-    // appended vector went missing or any stored value drifted
+  test("index appends ingest increments without retraining (IVF/PQ exhaustive-probe = brute force; LSH append = union build)") {
+    // the incremental-ingest contract: build each index on half the
+    // corpus, append the other half against the EXISTING trained state
+    // (centroids / codebook / planes — no retraining), and verify the
+    // appended index is complete:
+    //  - IVF probed with nProbe = nCells scans every cell ⇒ must equal
+    //    brute force over the FULL corpus
+    //  - PQ probed with shortlist = |corpus| reranks every candidate
+    //    exactly ⇒ must equal brute force over the FULL corpus
+    //  - LSH has nothing trained, so append ≡ union build ⇒ the probe
+    //    must equal the end-to-end annTopK over the FULL corpus
+    // each fails if any appended vector goes missing or any stored
+    // value drifts through the storage round-trip
     val emb = Tables.embeddings(spark, sfDir)
     val half = emb.filter(col("vec_id") % 2 === 0)
     val rest = emb.filter(col("vec_id") % 2 =!= 0)
     val queries = emb.filter(col("vec_id") < 16)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append_")
+    val n = emb.count().toInt
+    val dir = java.nio.file.Files.createTempDirectory("graft_index_append_")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     try {
+      val brute = rows(Similarity.bruteForceTopK(queries, emb, 5))
+
       Similarity.ivfIndexWrite(half, s"$dir/ivf", nCells = 16)
       Similarity.ivfIndexAppend(rest, s"$dir/ivf")
       val total = spark.read.parquet(s"$dir/ivf/cells").count()
-      assert(total == emb.count(), s"appended cells hold $total rows")
-      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
-        df.orderBy("q_id", "rank").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-      assert(rows(Similarity.ivfProbe(queries, s"$dir/ivf", 5, nProbe = 16)) ==
-        rows(Similarity.bruteForceTopK(queries, emb, 5)),
-        "full-probe of the appended index diverged from brute force")
+      assert(total == n.toLong, s"appended IVF cells hold $total rows")
+      assert(rows(Similarity.ivfProbe(queries, s"$dir/ivf", 5, nProbe = 16))
+        == brute, "full-probe of the appended IVF index diverged from brute force")
+
+      Similarity.pqIndexWrite(half, s"$dir/pq")
+      Similarity.pqIndexAppend(rest, s"$dir/pq")
+      assert(rows(Similarity.pqProbe(queries, s"$dir/pq", 5, shortlist = n))
+        == brute, "exhaustive-shortlist probe of the appended PQ index diverged from brute force")
+
+      Similarity.lshIndexWrite(half, s"$dir/lsh")
+      Similarity.lshIndexAppend(rest, s"$dir/lsh")
+      assert(rows(Similarity.lshProbe(queries, s"$dir/lsh", 5)) ==
+        rows(Similarity.annTopK(queries, emb, 5)),
+        "probe of the appended LSH index diverged from the union build")
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit
