@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Similarity, TextOps}
@@ -397,6 +398,42 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** Deterministic sequence packing — concatenate-and-cut context-window
+    * packing, the standard LLM training-batch prep: per source,
+    * documents concatenate in doc_id order and the token stream is cut
+    * every 64 tokens; a document spans packs
+    * (tok_off div 64)..((tok_off+n_tok−1) div 64) and contributes the
+    * token range [start_in_doc, end_in_doc) to each. Entirely integer
+    * arithmetic (cumulative sums + div), so DuckDB replays it exactly.
+    *
+    * Scale: one shuffle keyed by the pack partition (source here; at
+    * 100 TB a (source, shard) key sized so each shard's token stream
+    * fits a task) + an in-partition sort — the cumsum never needs a
+    * global order. Packs are balanced by construction: every pack except
+    * each stream's last holds exactly 64 tokens (spec'd). */
+  val op87PackSequences: Q = (s, d) => {
+    val C = 64L
+    val doc = Tables.documents(s, d)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = doc.select(col("doc_id"), col("source"),
+        TextOps.tokenCountWs(col("text")).as("n_tok"))
+      .withColumn("tok_off",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)).cast("bigint"))
+      .filter(col("n_tok") > 0)
+    ordered(
+      t.select(col("doc_id"), col("source"), col("n_tok"), col("tok_off"),
+          explode(sequence(expr(s"tok_off div $C"),
+            expr(s"(tok_off + n_tok - 1) div $C"))).as("pack_id"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("tok_off"),
+          col("pack_id").cast("bigint").as("pack_id"),
+          greatest(col("pack_id") * C - col("tok_off"), lit(0L))
+            .cast("bigint").as("start_in_doc"),
+          least((col("pack_id") + 1) * C - col("tok_off"), col("n_tok"))
+            .cast("bigint").as("end_in_doc")),
+      "doc_id", "pack_id")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -424,6 +461,7 @@ object TrainQueries {
     "op84_ivf_probe" -> op84IvfProbe,
     "op85_pq_probe" -> op85PqProbe,
     "op86_lsh_probe" -> op86LshProbe,
+    "op87_pack_sequences" -> op87PackSequences,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -963,6 +1001,26 @@ object TrainQueries {
         |LEFT JOIN tri USING (doc_id)
         |JOIN tt USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "op87_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS tok_off
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, source, n_tok, tok_off,
+        |    unnest(range(tok_off // 64, (tok_off + n_tok - 1) // 64 + 1)) AS pack_id
+        |  FROM o WHERE n_tok > 0)
+        |SELECT doc_id, source, n_tok, tok_off,
+        |  CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(greatest(pack_id * 64 - tok_off, 0) AS BIGINT) AS start_in_doc,
+        |  CAST(least((pack_id + 1) * 64 - tok_off, n_tok) AS BIGINT) AS end_in_doc
+        |FROM p ORDER BY doc_id, pack_id""".stripMargin,
     "op73_fingerprint" ->
       """SELECT doc_id,
         |  CAST(list_reduce(

@@ -99,6 +99,37 @@ class TextOpsSpec extends SparkSpec {
     assert(dl <= 4 && nl == 78, s"looping text collapses to few trigrams: $dl/$nl")
   }
 
+  test("sequence packing: packs hold exactly 64 tokens except stream tails, docs reassemble") {
+    // invariants of op87's concatenate-and-cut packing that the oracle
+    // hash can't state directly: (1) within each source every pack but
+    // the last holds exactly 64 tokens; (2) each document's per-pack
+    // ranges are contiguous, disjoint, and reassemble [0, n_tok)
+    val packed = graft.queries.TrainQueries.op87PackSequences(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6))) // (doc, source, n_tok, pack, start, end)
+    assert(packed.nonEmpty)
+    packed.groupBy(_._2).foreach { case (source, rows) =>
+      val lastPack = rows.map(_._4).max
+      rows.groupBy(_._4).foreach { case (pack, prs) =>
+        val tokens = prs.map(p => p._6 - p._5).sum
+        if (pack != lastPack)
+          assert(tokens == 64L, s"$source pack $pack holds $tokens tokens")
+        else assert(tokens >= 1L && tokens <= 64L)
+      }
+    }
+    packed.groupBy(_._1).foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._4)
+      // consecutive pack ids, ranges chain start=prev.end, cover [0, n)
+      assert(sorted.map(_._4).toSeq == (sorted.head._4 to sorted.last._4).toSeq)
+      assert(sorted.head._5 == 0L && sorted.last._6 == sorted.head._3,
+        s"doc $doc ranges do not cover [0, n_tok)")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(0)._6 == pair(1)._5, s"doc $doc ranges not contiguous")
+      }
+    }
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
