@@ -394,6 +394,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation pipeline (quality gate + langid + scrub) equals the batch twin") {
+    // documents arriving as a stream pass through the curation chain —
+    // quality score, language ID, PII scrub, token count — and a
+    // quality-gate filter; every op is per-row (narrow), so the chain
+    // runs in plain append mode with no state, and a full replay must
+    // equal the batch spelling over the same rows
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextOps
+    import graft.sources.Tables
+    val enStop = TextOps.defaultProfiles.head._2
+    def curate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+          TextOps.qualityScoreBp(col("text"), enStop).as("quality_bp"),
+          TextOps.langId(col("text"), TextOps.defaultProfiles).as("lang_pred"),
+          TextOps.scrubPii(col("text")).as("scrubbed"),
+          TextOps.tokenCountWs(col("text")).as("n_tok"))
+        .filter(col("quality_bp") >= 8000)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .limit(300).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = curate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curate_out").start()
+    in.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curate_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    val want = curate(
+        spark.createDataFrame(docs).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got.nonEmpty && got == want,
+      "streamed curation diverged from the batch twin")
+    assert(got.size < docs.size, "quality gate filtered nothing — fixture too easy")
+  }
+
   test("op51 streamed tumbling equals the batch twin on a full replay") {
     val streamed = graft.streaming.WindowOps.streamedTumbling(spark, sfDir)
       .orderBy("w_start", "event_type")
