@@ -146,10 +146,21 @@ object TrainQueries {
 
   /** Prebuilt-index root for a dataset dir: versioned (a format change
     * bumps v and orphans stale indexes) and keyed by the dataset's
-    * basename so sf0.01 and sf0.1 never share an index. Lives under the
-    * build's target dir — scratch space, not source. */
-  private def indexRoot(d: String, kind: String): String =
-    s"/root/repo/target/graft_index/v1/${new java.io.File(d).getName}/$kind"
+    * basename PLUS a fingerprint of the embeddings file (size + mtime),
+    * so sf0.01 and sf0.1 never share an index AND a regenerated dataset
+    * at the same path can never be served from a stale index (the probe
+    * must stay oracle-identical to the end-to-end build over the CURRENT
+    * data). Lives under the build's target dir — scratch, not source. */
+  private def indexRoot(d: String, kind: String): String = {
+    def stamp(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(stamp).mkString(",")
+      else s"${f.length()}:${f.lastModified()}"
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val fp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(stamp(src)).toLong & 0xffffffffL)
+    s"/root/repo/target/graft_index/v1/${new java.io.File(d).getName}-$fp/$kind"
+  }
 
   /** An index written by ivfIndexWrite/pqIndexWrite is complete iff its
     * LAST-written table committed (parquet `_SUCCESS` marker). */
