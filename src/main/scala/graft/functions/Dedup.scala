@@ -327,8 +327,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = df.select(col(idCol).as("doc_id"))
-      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    // propagate over the EDGE-VERTEX SUBGRAPH only: a document with no
+    // qualifying pair can never change label, so it stays out of every
+    // per-round join and is appended as its own singleton cluster at the
+    // end — the iteration scales with the duplicate subgraph, not the
+    // corpus (at 100 TB those differ by orders of magnitude)
+    val verts = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = verts.withColumn("cluster", col("doc_id")).localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -336,9 +341,16 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"),
           col("cluster").as("nb_cluster")), "doc_b")
         .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("nb_min"))
+      // carry the pre-round label through as `prev`: convergence becomes
+      // a scan of the already-materialized result instead of an extra
+      // full join-and-compare action per round
+      // NOT checkpointed: the pointer-jump self-join reads it twice, but
+      // over the dup subgraph the recompute is two cheap small-frame
+      // joins — an extra eager materialization per round costs more in
+      // job overhead than it saves (measured)
       val merged = labels
         .join(nbMin.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
             .as("cluster"))
       // pointer jump: cluster ← cluster's own cluster (labels only ever
@@ -346,14 +358,17 @@ object Dedup {
       val next = merged
         .join(merged.select(col("doc_id").as("cluster"),
           col("cluster").as("cc")), "cluster")
-        .select(col("doc_id"), col("cc").as("cluster"))
+        .select(col("doc_id"), col("prev"), col("cc").as("cluster"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("cluster"))
       round += 1
     }
-    labels
+    // singletons (no qualifying pair) keep themselves as representative
+    labels.unionByName(
+      df.select(col(idCol).as("doc_id"))
+        .join(verts, Seq("doc_id"), "left_anti")
+        .withColumn("cluster", col("doc_id")))
   }
 
   /** SimHash-60: weighted majority of per-token hash bits. Tokens hashed
