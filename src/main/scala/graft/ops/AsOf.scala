@@ -26,7 +26,7 @@ object AsOf {
     */
   def join(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String]): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     // payloads travel inside ONE struct that is null exactly for left-side
     // rows: last(ignoreNulls) then skips left rows but still honors a
     // right row whose payload FIELDS are null (a bare-column carry would

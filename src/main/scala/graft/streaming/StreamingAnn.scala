@@ -48,7 +48,7 @@ object StreamingAnn {
       .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
     // per-row nProbe cell choice: struct(−cos, cent_id) sorts ascending
     // to (cos desc, cent_id asc) — the batch probe's exact tiebreak
-    val cellRank = array(cents.map { case (id, vec, n2) =>
+    val cellRank = array(cents.toIndexedSeq.map { case (id, vec, n2) =>
       struct(
         (-Similarity.cosBpFrom(
           Similarity.intDot(col("q_vec"), typedlit(vec.toSeq)),
