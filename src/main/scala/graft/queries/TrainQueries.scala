@@ -445,6 +445,41 @@ object TrainQueries {
       "doc_id", "pack_id")
   }
 
+  /** Dataset mixture construction — resample a multi-source corpus to
+    * TARGET mixture weights (the "data mixing" step of training-set
+    * assembly): per-source weight w = stratum%4+1; the largest feasible
+    * no-upsampling scale is K = min over sources of (n div w), giving
+    * each source an exact quota of w·K docs; the quota is filled by the
+    * docs with the smallest content hash (rank by (h, doc_id) — a
+    * deterministic reservoir, stable under resharding/reruns). Output
+    * proportions match the weights exactly regardless of input skew
+    * (spec'd).
+    *
+    * Scale: one bounded counts aggregate (map-side partials), a 1-row K
+    * broadcast, and a per-source window. The exact-rank window is the
+    * oracle-checkable spelling; at 100 TB replace it with a per-source
+    * hash CUTOFF from approx quantiles of h — the filter becomes
+    * scan-pushable and the quota approximate, the standard trade. */
+  val op88Mixture: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val w = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("bigint")
+    val t = doc.select(col("doc_id"), col("source"),
+      TextOps.md5Hash60(concat(lit("mix:"), col("text"))).as("h"), w.as("w"))
+    val counts = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), first(col("w")).as("w"))
+    val k = broadcast(counts.agg(min(expr("n div w")).as("__k")))
+    val quota = counts.crossJoin(k)
+      .select(col("source"), (col("w") * col("__k")).as("quota"))
+    val wnd = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    ordered(
+      t.withColumn("mix_rank", row_number().over(wnd).cast("bigint"))
+        .join(broadcast(quota), "source")
+        .filter(col("mix_rank") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("h").as("mix_hash"),
+          col("mix_rank"), col("quota").cast("bigint").as("quota")),
+      "doc_id")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -473,6 +508,7 @@ object TrainQueries {
     "op85_pq_probe" -> op85PqProbe,
     "op86_lsh_probe" -> op86LshProbe,
     "op87_pack_sequences" -> op87PackSequences,
+    "op88_mixture" -> op88Mixture,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -939,6 +975,21 @@ object TrainQueries {
         |SELECT doc_id, CAST(max(overlap) AS BIGINT) AS max_overlap,
         |       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_hits
         |FROM ov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "op88_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5('mix:' || text), 1, 15))::BIGINT AS h,
+        |    CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n, min(w) AS w FROM t GROUP BY source),
+        |k AS (SELECT min(n // w) AS k FROM c),
+        |q AS (SELECT source, w * (SELECT k FROM k) AS quota FROM c),
+        |r AS (SELECT t.*, row_number() OVER (PARTITION BY source
+        |        ORDER BY h, doc_id) AS mix_rank FROM t)
+        |SELECT r.doc_id, r.source, r.h AS mix_hash,
+        |  CAST(r.mix_rank AS BIGINT) AS mix_rank, CAST(q.quota AS BIGINT) AS quota
+        |FROM r JOIN q USING (source) WHERE r.mix_rank <= q.quota
+        |ORDER BY doc_id""".stripMargin,
     "op79_sample_stratified" ->
       """SELECT doc_id, source,
         |  ('0x' || substring(md5('sample:' || text), 1, 15))::BIGINT % 100 AS h_bucket,

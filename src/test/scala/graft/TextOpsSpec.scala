@@ -130,6 +130,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dataset mixture: output proportions match target weights exactly, no upsampling") {
+    // op88's contract: every source contributes exactly w·K docs (w =
+    // stratum%4+1, K the largest no-upsampling scale), so output
+    // proportions equal the target weights regardless of input skew,
+    // and no source is asked for more docs than it has
+    val out = graft.queries.TrainQueries.op88Mixture(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(4))) // (source, quota)
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_._1).map { case (s, rows) =>
+      s -> (rows.length.toLong, rows.head._2)
+    }
+    bySource.foreach { case (s, (got, quota)) =>
+      assert(got == quota, s"source $s took $got of quota $quota")
+      val w = s.stripPrefix("src").toInt % 4 + 1
+      assert(quota % w == 0, s"source $s quota $quota not a multiple of weight $w")
+    }
+    // K is shared: quota/w identical across sources
+    val ks = bySource.map { case (s, (_, quota)) =>
+      quota / (s.stripPrefix("src").toInt % 4 + 1)
+    }.toSet
+    assert(ks.size == 1, s"per-source scales diverge: $ks")
+    // and feasibility: no source over-drawn vs its input count
+    val counts = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (s, (got, _)) =>
+      assert(got <= counts(s), s"source $s upsampled: $got > ${counts(s)}")
+    }
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
