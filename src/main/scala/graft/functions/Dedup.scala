@@ -331,9 +331,12 @@ object Dedup {
     // qualifying pair can never change label, so it stays out of every
     // per-round join and is appended as its own singleton cluster at the
     // end — the iteration scales with the duplicate subgraph, not the
-    // corpus (at 100 TB those differ by orders of magnitude)
+    // corpus (at 100 TB those differ by orders of magnitude; at fixture
+    // scale the restriction is overhead-neutral — kept for the scale
+    // contract, measured within noise of the full-corpus iteration)
     val verts = edges.select(col("doc_a").as("doc_id")).distinct()
-    var labels = verts.withColumn("cluster", col("doc_id")).localCheckpoint()
+      .localCheckpoint()
+    var labels = verts.withColumn("cluster", col("doc_id"))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
