@@ -100,12 +100,25 @@ object Bench {
         re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     }
-    val regJson = results.flatMap { case (name, t) =>
-      prev.get(name).collect {
-        case p if p > 0 && t >= 2 * p && t - p >= 0.3 =>
-          s"""{"query":"$name","prev":${num(p)},"now":${num(t)}}"""
+    // normalize out machine-speed drift: if THIS box is uniformly 1.5×
+    // slower than the previous round's, every query's ratio shifts by
+    // 1.5× and a raw 2× gate flags half the suite as noise — so gate on
+    // the ratio RELATIVE to the suite's median ratio (a real regression
+    // is a query that got slower relative to its peers)
+    val regJson = {
+      val ratios = results.flatMap { case (name, t) =>
+        prev.get(name).collect { case p if p > 0 => name -> (t / p) }
       }
-    }.mkString("[", ",", "]")
+      val medRatio =
+        if (ratios.isEmpty) 1.0
+        else ratios.map(_._2).sorted.apply(ratios.size / 2)
+      results.flatMap { case (name, t) =>
+        prev.get(name).collect {
+          case p if p > 0 && t / p >= 2 * medRatio && t - p >= 0.3 =>
+            s"""{"query":"$name","prev":${num(p)},"now":${num(t)},"ratio":${num(t / p)},"suite_median_ratio":${num(medRatio)}}"""
+        }
+      }.mkString("[", ",", "]")
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()

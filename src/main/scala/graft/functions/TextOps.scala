@@ -173,4 +173,39 @@ object TextOps {
         col("c.chunk").as("chunk"),
         col("c.n_tokens").cast("bigint").as("n_tokens"))
   }
+
+  /** Concatenate-and-cut sequence packing (op87's engine): per
+    * `streamCol` stream, documents concatenate in `idCol` order and the
+    * token stream is cut every `capacity` tokens; a document spans packs
+    * (tok_off div capacity)..((tok_off+n_tok−1) div capacity) and
+    * contributes the token range [start_in_doc, end_in_doc) to each.
+    * Entirely integer arithmetic (window cumsum + div). One shuffle
+    * keyed by the pack stream; no global order needed — at 100 TB key by
+    * (source, shard) with shards sized so a stream fits a task. Returns
+    * (doc_id, source, n_tok, tok_off, pack_id, start_in_doc, end_in_doc).
+    * Invariants (spec'd, fixture + generated inputs): every pack except
+    * each stream's last holds exactly `capacity` tokens; a doc's ranges
+    * are contiguous, consecutive-pack, and cover [0, n_tok). */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      streamCol: String, textCol: String,
+      capacity: Long): org.apache.spark.sql.DataFrame = {
+    require(capacity > 0, "need capacity > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"), col(streamCol).as("source"),
+        tokenCountWs(col(textCol)).as("n_tok"))
+      .withColumn("tok_off",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)).cast("bigint"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_off"),
+        explode(sequence(expr(s"tok_off div $capacity"),
+          expr(s"(tok_off + n_tok - 1) div $capacity"))).as("pack_id"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_off"),
+        col("pack_id").cast("bigint").as("pack_id"),
+        greatest(col("pack_id") * capacity - col("tok_off"), lit(0L))
+          .cast("bigint").as("start_in_doc"),
+        least((col("pack_id") + 1) * capacity - col("tok_off"), col("n_tok"))
+          .cast("bigint").as("end_in_doc"))
+  }
 }

@@ -422,28 +422,11 @@ object TrainQueries {
     * fits a task) + an in-partition sort — the cumsum never needs a
     * global order. Packs are balanced by construction: every pack except
     * each stream's last holds exactly 64 tokens (spec'd). */
-  val op87PackSequences: Q = (s, d) => {
-    val C = 64L
-    val doc = Tables.documents(s, d)
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val t = doc.select(col("doc_id"), col("source"),
-        TextOps.tokenCountWs(col("text")).as("n_tok"))
-      .withColumn("tok_off",
-        coalesce(sum(col("n_tok")).over(w), lit(0L)).cast("bigint"))
-      .filter(col("n_tok") > 0)
+  val op87PackSequences: Q = (s, d) =>
     ordered(
-      t.select(col("doc_id"), col("source"), col("n_tok"), col("tok_off"),
-          explode(sequence(expr(s"tok_off div $C"),
-            expr(s"(tok_off + n_tok - 1) div $C"))).as("pack_id"))
-        .select(col("doc_id"), col("source"), col("n_tok"), col("tok_off"),
-          col("pack_id").cast("bigint").as("pack_id"),
-          greatest(col("pack_id") * C - col("tok_off"), lit(0L))
-            .cast("bigint").as("start_in_doc"),
-          least((col("pack_id") + 1) * C - col("tok_off"), col("n_tok"))
-            .cast("bigint").as("end_in_doc")),
+      TextOps.packSequences(Tables.documents(s, d), "doc_id", "source",
+        "text", 64L),
       "doc_id", "pack_id")
-  }
 
   /** Dataset mixture construction — resample a multi-source corpus to
     * TARGET mixture weights (the "data mixing" step of training-set

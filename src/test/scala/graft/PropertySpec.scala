@@ -146,6 +146,38 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: sequence packing matches a driver-side reference on generated corpora") {
+    // generated (not fixture) inputs: random per-stream doc token counts,
+    // odd capacity 7 so documents straddle pack boundaries constantly;
+    // the Spark pipeline must equal an independently-written driver fold
+    // (running offset per stream, integer div for pack spans) exactly
+    val seed = org.scalacheck.rng.Seed(1234L)
+    val nGen = Gen.chooseNum(1, 20)
+    val docs = Iterator.iterate(seed)(_.next).take(120)
+      .flatMap(s => nGen.apply(Gen.Parameters.default, s))
+      .toSeq.zipWithIndex.map { case (n, i) =>
+        (i.toLong, s"src${i % 5}", Seq.fill(n)("w").mkString(" "))
+      }
+    val cap = 7L
+    val got = TextOps.packSequences(
+        docs.toDF("doc_id", "source", "text"), "doc_id", "source", "text", cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    val want = docs.groupBy(_._2).values.flatMap { stream =>
+      var off = 0L
+      stream.sortBy(_._1).flatMap { case (id, _, text) =>
+        val n = text.split(" ").length.toLong
+        val spans = (off / cap to (off + n - 1) / cap).map { p =>
+          (id, p, math.max(p * cap - off, 0L), math.min((p + 1) * cap - off, n))
+        }
+        off += n
+        spans
+      }
+    }.toSet
+    assert(got == want, "Spark packing diverged from the driver reference")
+  }
+
   test("property: simhash of identical text is identical; tokens permuted ≠ guaranteed") {
     val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e f"), (2L, "f e d c b a"))
       .toDF("doc_id", "text")
