@@ -463,6 +463,73 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** Dataset mixture via HASH CUTOFF — the scan-pushable scale spelling
+    * [[op88Mixture]]'s doc promises: instead of ranking each source with
+    * a window, each source keeps documents whose content hash lands
+    * under a per-source cutoff `rate_ppm = quota·10⁶ div n`. Selection
+    * is then a pure per-row predicate (`h mod 10⁶ < rate_ppm`) after a
+    * broadcast join of the tiny per-source rate table — no window, no
+    * per-source sort, and the surviving work is one bounded counts
+    * aggregate plus a narrow filter that evaluates in the scan stage at
+    * any corpus size. The quota becomes binomial-approximate (the
+    * standard trade vs op88's exact reservoir; the spec bounds the
+    * deviation), while determinism is untouched: the cutoff is integer
+    * arithmetic over exact counts, so reruns, resharding and the DuckDB
+    * twin agree bit-for-bit. */
+  val op89MixtureCutoff: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val w = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("bigint")
+    val t = doc.select(col("doc_id"), col("source"),
+      TextOps.md5Hash60(concat(lit("mix:"), col("text"))).as("h"), w.as("w"))
+    val counts = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), first(col("w")).as("w"))
+    val k = broadcast(counts.agg(min(expr("n div w")).as("__k")))
+    // ppm resolution: quota·10⁶ stays far inside BIGINT for any per-source
+    // count a single engine would ever hold (overflow at n ~ 9·10¹²)
+    val rates = counts.crossJoin(k)
+      .select(col("source"),
+        expr("w * __k * 1000000 div n").cast("bigint").as("rate_ppm"))
+    ordered(
+      t.join(broadcast(rates), "source")
+        // h is a non-negative 60-bit hash, so % matches DuckDB's %
+        .filter(col("h") % 1000000L < col("rate_ppm"))
+        .select(col("doc_id"), col("source"),
+          (col("h") % 1000000L).cast("bigint").as("h_ppm"),
+          col("rate_ppm")),
+      "doc_id")
+  }
+
+  /** Gopher-style heuristic quality GATE (the MassiveText filter-rule
+    * family, re-expressed as exact integer signals): word-count floor,
+    * mean-word-length band, distinct-token-ratio floor (repetition
+    * proxy) and a stopword minimum, each emitted as its own 0/1 flag
+    * plus the conjunction `keep`. Unlike op71 (a monotone score) this is
+    * the boolean gate a curation pipeline actually FILTERS on, with
+    * per-rule attribution for drop-reason stats; unlike op76 every
+    * signal is per-row — split / array_distinct / filter over the token
+    * array, zero shuffles (spec'd: the unordered plan has no Exchange),
+    * so the gate runs inside the scan stage at any corpus size. */
+  val op90QualityGate: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val t = doc.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+      TextOps.tokenCountWs(col("text")).as("n_words"),
+      TextOps.meanTokenLenBp(col("text")).as("mean_len_bp"),
+      TextOps.markerCount(col("text"), enStop).as("stop_hits"))
+    val flagged = t.withColumn("distinct_bp",
+        expr("size(array_distinct(toks)) * 10000 div n_words").cast("bigint"))
+      .select(col("doc_id"), col("n_words"), col("mean_len_bp"),
+        col("distinct_bp"), col("stop_hits"),
+        (col("n_words") >= 20L).cast("bigint").as("f_words"),
+        (col("mean_len_bp").between(40000L, 47000L)).cast("bigint").as("f_len"),
+        (col("distinct_bp") >= 5000L).cast("bigint").as("f_distinct"),
+        (col("stop_hits") >= 2L).cast("bigint").as("f_stop"))
+    ordered(
+      flagged.withColumn("keep",
+        (col("f_words") * col("f_len") * col("f_distinct") * col("f_stop"))
+          .cast("bigint")),
+      "doc_id")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -492,6 +559,8 @@ object TrainQueries {
     "op86_lsh_probe" -> op86LshProbe,
     "op87_pack_sequences" -> op87PackSequences,
     "op88_mixture" -> op88Mixture,
+    "op89_mixture_cutoff" -> op89MixtureCutoff,
+    "op90_quality_gate" -> op90QualityGate,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -973,6 +1042,43 @@ object TrainQueries {
         |  CAST(r.mix_rank AS BIGINT) AS mix_rank, CAST(q.quota AS BIGINT) AS quota
         |FROM r JOIN q USING (source) WHERE r.mix_rank <= q.quota
         |ORDER BY doc_id""".stripMargin,
+    "op89_mixture_cutoff" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5('mix:' || text), 1, 15))::BIGINT AS h,
+        |    CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n, min(w) AS w FROM t GROUP BY source),
+        |k AS (SELECT min(n // w) AS k FROM c),
+        |r AS (SELECT source,
+        |        w * (SELECT k FROM k) * 1000000 // n AS rate_ppm FROM c)
+        |SELECT t.doc_id, t.source, CAST(t.h % 1000000 AS BIGINT) AS h_ppm,
+        |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+        |FROM t JOIN r USING (source) WHERE t.h % 1000000 < r.rate_ppm
+        |ORDER BY doc_id""".stripMargin,
+    "op90_quality_gate" -> {
+      val stop = enStop.map("'" + _ + "'").mkString(",")
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) * 10000
+        |         // len(string_split(text, ' ')) AS BIGINT) AS mean_len_bp,
+        |    CAST(len(list_distinct(string_split(text, ' '))) * 10000
+        |         // len(string_split(text, ' ')) AS BIGINT) AS distinct_bp,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains([$stop], x))) AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_words, mean_len_bp, distinct_bp, stop_hits,
+        |    CAST(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS BIGINT) AS f_words,
+        |    CAST(CASE WHEN mean_len_bp BETWEEN 40000 AND 47000
+        |         THEN 1 ELSE 0 END AS BIGINT) AS f_len,
+        |    CAST(CASE WHEN distinct_bp >= 5000 THEN 1 ELSE 0 END AS BIGINT) AS f_distinct,
+        |    CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop
+        |  FROM b)
+        |SELECT *, CAST(f_words * f_len * f_distinct * f_stop AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
+    },
     "op79_sample_stratified" ->
       """SELECT doc_id, source,
         |  ('0x' || substring(md5('sample:' || text), 1, 15))::BIGINT % 100 AS h_bucket,

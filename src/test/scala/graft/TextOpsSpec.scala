@@ -160,6 +160,65 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash-cutoff mixture: draw tracks quota within binomial bounds, rerun-stable") {
+    // op89's contract vs op88: the per-source draw is APPROXIMATE — a
+    // content-hash Bernoulli filter at rate quota/n — so assert the
+    // deviation is binomial-plausible rather than exact, plus the
+    // properties the oracle hash can't state: determinism across reruns
+    // and per-row consistency of the published (h_ppm, rate_ppm) pair
+    val run1 = graft.queries.TrainQueries.op89MixtureCutoff(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val run2 = graft.queries.TrainQueries.op89MixtureCutoff(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(run1.nonEmpty && run1.toSeq == run2.toSeq)
+    // every emitted row satisfies its own published predicate
+    run1.foreach { case (_, _, hPpm, ratePpm) => assert(hPpm < ratePpm) }
+    // per-source: expected draw = n·rate ≈ quota (w·K, K = min(n div w));
+    // n = 25 per source here, so 4σ < 10 — a loose-but-real bound
+    val counts = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = counts.map { case (s, n) =>
+      n / (s.stripPrefix("src").toInt % 4 + 1)
+    }.min
+    run1.groupBy(_._2).foreach { case (s, rows) =>
+      val quota = (s.stripPrefix("src").toInt % 4 + 1) * k
+      assert(math.abs(rows.length - quota) <= 10,
+        s"source $s drew ${rows.length}, quota $quota")
+    }
+  }
+
+  test("quality gate: flags match a driver-side reimplementation, plan has no shuffle") {
+    val out = graft.queries.TrainQueries.op90QualityGate(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(9)))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.size == docs.length)
+    val stop = TextOps.defaultProfiles.head._2.toSet
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val n = toks.length.toLong
+      val meanBp = toks.map(_.length).sum.toLong * 10000L / n
+      val distBp = toks.distinct.length.toLong * 10000L / n
+      val stops = toks.count(stop).toLong
+      val keep = if (n >= 20 && meanBp >= 40000 && meanBp <= 47000 &&
+        distBp >= 5000 && stops >= 2) 1L else 0L
+      assert(out(id) == ((n, meanBp, distBp, stops, keep)), s"doc $id")
+    }
+    // gate selectivity is real on the fixture: both outcomes occur
+    val keeps = out.values.map(_._5).toSeq
+    assert(keeps.contains(1L) && keeps.contains(0L))
+    // per-row contract: no hash-partitioned shuffle anywhere in the plan
+    // (the only Exchange is ordered()'s output range sort)
+    val plan = graft.queries.TrainQueries.op90QualityGate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
