@@ -427,12 +427,27 @@ object Similarity {
   private def normalizedVec(df: DataFrame): DataFrame = {
     val q = df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("n2", intDot(col("qv"), col("qv")))
-    q.select(col("vec_id"),
-      when(col("n2") === 0, col("qv"))
-        .otherwise(transform(col("qv"), v =>
-          floor(v.cast("double") * 1000000d / sqrt(col("n2").cast("double")))
-            .cast("bigint")))
-        .as("vec"))
+    q.select(col("vec_id"), normalizeQv(col("qv"), col("n2")).as("vec"))
+  }
+
+  /** The PQ pipeline's integer normalization as a pure column expression:
+    * floor(v·10⁶/√Σv²) per component (zero vectors pass through). Shared
+    * by [[normalizedVec]] (corpus side, with qv/n2 hoisted to columns so
+    * they evaluate once over the full scan) and the streaming probe's
+    * per-row query side. */
+  private[graft] def normalizeQv(qv: Column, n2: Column): Column =
+    when(n2 === 0, qv)
+      .otherwise(transform(qv, v =>
+        floor(v.cast("double") * 1000000d / sqrt(n2.cast("double")))
+          .cast("bigint")))
+
+  /** Per-row normalized quantized embedding — [[normalizeQv]] over
+    * [[quantize]] for callers without a frame to project through (the
+    * streaming query side; bounded rows, so the repeated qv subtree is
+    * irrelevant). */
+  private[graft] def normalizedEmbedding(embedding: Column): Column = {
+    val qv = quantize(embedding)
+    normalizeQv(qv, intDot(qv, qv))
   }
 
   /** (vec_id, sub_j, svec): the m disjoint subDim-wide slices of `vec`. */

@@ -72,11 +72,79 @@ object StreamingAnn {
       .agg(TopKAgg.topK(k)(col("cos_bp"), col("n_id")).as("top"))
   }
 
-  /** Explode a (q_id, top) frame from [[ivfProbeStream]] into the batch
-    * probe's row shape: (q_id, n_id, cos_bp, rank). */
-  def explodeTopK(df: DataFrame): DataFrame =
+  /** Probe the persisted PQ index at `dir`
+    * ([[graft.functions.Similarity.pqIndexWrite]]) with a STREAMING
+    * frame of (vec_id, embedding) query vectors — pure asymmetric
+    * distance computation: the codebook (m×nCents rows — bytes) is
+    * collected once at stream build, and each query's partial distance
+    * to every (subspace, code) cell becomes an inline array of
+    * expressions, so a candidate's approximate distance is m array
+    * lookups summed in one per-row projection. Candidates come from a
+    * stream-static join against the PACKED codes table (one m-element
+    * code array per stored vector — at scale that packed layout is the
+    * stored one: 4 bytes/vector, the point of PQ); the per-query top-k
+    * is the bounded [[TopKAgg]] — the single streaming aggregation.
+    *
+    * No exact rerank: rerank is a second join-and-sort AFTER the
+    * aggregation, which a streaming plan forbids — the online answer is
+    * the ADC ranking (score = −d2; spec'd equal to an independent ADC
+    * replay), and a batch [[graft.functions.Similarity.pqProbe]]
+    * refines offline. Emits (q_id, top). */
+  def pqAdcProbeStream(queryStream: DataFrame, dir: String, k: Int): DataFrame = {
+    val spark = queryStream.sparkSession
+    val cb = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub_j")),
+        r.getLong(r.fieldIndex("code"))) ->
+        ((r.getSeq[Long](r.fieldIndex("cent_vec")),
+          r.getLong(r.fieldIndex("cent_n2")))))
+      .toMap
+    val m = cb.keys.map(_._1).max + 1
+    val nCents = cb.keys.map(_._2).max.toInt + 1
+    val subDim = cb.values.head._1.length
+
+    val q0 = queryStream.select(col("vec_id").as("q_id"),
+      Similarity.normalizedEmbedding(col("embedding")).as("q_vec"))
+    // hoist the m subvector slices and their norms into named columns so
+    // each evaluates once per row, not once per (subspace, code) cell
+    val slices = q0.select(col("q_id") +:
+      (0 until m).map(j =>
+        slice(col("q_vec"), j * subDim + 1, subDim).as(s"sv_$j")): _*)
+    val withS2 = slices.select(col("q_id") +:
+      (0 until m).flatMap(j => Seq(col(s"sv_$j"),
+        Similarity.intDot(col(s"sv_$j"), col(s"sv_$j")).as(s"s2_$j"))): _*)
+    val pd2 = withS2.select(col("q_id") +:
+      (0 until m).map { j =>
+        array((0 until nCents).map { c =>
+          val (cvec, cn2) = cb((j, c.toLong))
+          col(s"s2_$j") - lit(2L) *
+            Similarity.intDot(col(s"sv_$j"), typedlit(cvec)) + lit(cn2)
+        }: _*).as(s"pd2_$j")
+      }: _*)
+
+    // packed codes: one array of m codes per stored vector, sub_j order
+    val codes = spark.read.parquet(s"$dir/codes")
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"))
+      .select(col("vec_id").as("n_id"),
+        transform(col("sc"), s => s.getField("code")).as("codes"))
+
+    val d2 = (0 until m).map(j =>
+      element_at(col(s"pd2_$j"),
+        element_at(col("codes"), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+    pd2.crossJoin(codes)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), (-d2).as("neg_d2"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(k)(col("neg_d2"), col("n_id")).as("top"))
+  }
+
+  /** Explode a (q_id, top) frame from [[ivfProbeStream]] /
+    * [[pqAdcProbeStream]] into the batch probe's row shape:
+    * (q_id, n_id, <score>, rank). */
+  def explodeTopK(df: DataFrame, scoreName: String = "cos_bp"): DataFrame =
     df.select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), col("t.id").as("n_id"),
-        col("t.score").as("cos_bp"),
+        col("t.score").as(scoreName),
         (col("pos") + 1).cast("bigint").as("rank"))
 }

@@ -394,6 +394,81 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming PQ ADC probe over the prebuilt index matches an independent driver-side ADC") {
+    // the PQ half of online serving: unlike IVF (which prunes to cells),
+    // ADC scans every stored code array with a cheap per-candidate
+    // distance — so the streaming plan is codebook-as-literals + a
+    // stream-static join on the packed codes + one bounded TopKAgg, and
+    // the oracle is a from-scratch ADC replay in plain Scala over the
+    // stored tables (catches normalization, slicing, lookup and
+    // tiebreak bugs independently of any Spark spelling)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_pq_")
+    try {
+      Similarity.pqIndexWrite(emb, s"$dir/pq", m = 8, nCents = 16)
+      val queries = emb.filter(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val in = MemoryStream[(Long, Seq[Float])]
+      val stream = StreamingAnn.pqAdcProbeStream(
+        in.toDF().toDF("vec_id", "embedding"), s"$dir/pq", 5)
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName("pq_probe_out").start()
+      in.addData(queries.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val got = StreamingAnn.explodeTopK(spark.table("pq_probe_out"), "neg_d2")
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+      // independent ADC replay over the stored tables, no Spark expressions
+      val cb = spark.read.parquet(s"$dir/pq/codebook").collect()
+        .map(r => (r.getInt(r.fieldIndex("sub_j")),
+          r.getLong(r.fieldIndex("code"))) ->
+          ((r.getSeq[Long](r.fieldIndex("cent_vec")).toArray,
+            r.getLong(r.fieldIndex("cent_n2")))))
+        .toMap
+      val m = cb.keys.map(_._1).max + 1
+      val subDim = cb.values.head._1.length
+      val codesByVec = spark.read.parquet(s"$dir/pq/codes").collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getInt(r.fieldIndex("sub_j")), r.getLong(r.fieldIndex("code"))))
+        .groupBy(_._1)
+        .map { case (v, rows) => v -> rows.sortBy(_._2).map(_._3) }
+      def normalize(v: Seq[Float]): Array[Long] = {
+        val qv = v.map(x => math.floor(x.toDouble * 1e6).toLong).toArray
+        val n2 = qv.map(x => x * x).sum
+        if (n2 == 0) qv
+        else qv.map(x => math.floor(x.toDouble * 1e6 / math.sqrt(n2.toDouble)).toLong)
+      }
+      val want = queries.flatMap { case (qid, embq) =>
+        val nv = normalize(embq)
+        val sv = (0 until m).map(j => nv.slice(j * subDim, (j + 1) * subDim))
+        val s2 = sv.map(s => s.map(x => x * x).sum)
+        codesByVec.toSeq.filter(_._1 != qid)
+          .map { case (cand, codes) =>
+            val d2 = (0 until m).map { j =>
+              val (cvec, cn2) = cb((j, codes(j)))
+              s2(j) - 2L * sv(j).zip(cvec).map { case (a, b) => a * b }.sum + cn2
+            }.sum
+            (cand, d2)
+          }
+          .sortBy { case (cand, d2) => (d2, cand) }.take(5).zipWithIndex
+          .map { case ((cand, d2), i) => (qid, cand, -d2, (i + 1).toLong) }
+      }.sortBy(t => (t._1, t._4)).toSeq
+      assert(got.nonEmpty, "streaming PQ probe emitted no rows")
+      assert(got == want,
+        "streaming PQ ADC probe diverged from the driver-side ADC replay")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming curation pipeline (quality gate + langid + scrub) equals the batch twin") {
     // documents arriving as a stream pass through the curation chain —
     // quality score, language ID, PII scrub, token count — and a
