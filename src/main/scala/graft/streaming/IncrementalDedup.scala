@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Incremental exact dedup against a PERSISTED fingerprint store — the
+  * cross-run half of the dedup story (the batch ops dedup within one
+  * corpus snapshot; a production curation pipeline must also drop
+  * documents already accepted by EVERY PREVIOUS run).
+  *
+  * Same ingest contract as the ANN index appends
+  * ([[graft.functions.Similarity.ivfIndexAppend]] family): the store is
+  * parquet of content fingerprints, each completed run appends the
+  * fingerprints it emitted, and a restarted stream sees them as static
+  * state — so the dedup guarantee spans process lifetimes without any
+  * streaming-state checkpoint carrying it.
+  *
+  * Scale shape: the store is one BIGINT column (8 bytes per accepted
+  * document — ~1 TB of fingerprints per 10¹¹ docs), the stream side
+  * joins it with a left_anti on the fingerprint (hash join, store side
+  * never wider than 8 bytes/row), and in-stream first-occurrence dedup
+  * is the standard dropDuplicates state. At 100 TB the store is bucketed
+  * by fp so the anti-join co-locates without a shuffle of the store.
+  */
+object IncrementalDedup {
+
+  /** Content fingerprint: 60-bit md5-derived BIGINT of the salted text
+    * (same cross-engine base hash as the minhash/mixture family). */
+  def fingerprint(text: Column): Column =
+    TextOps.md5Hash60(concat(lit("fp:"), text))
+
+  /** Batch helper: the (fp) frame of a corpus — builds or extends the
+    * store: `fingerprints(df, "text").write.mode("append").parquet(dir)`. */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Streaming dedup of `stream` against the persisted store at
+    * `storeDir` plus in-stream first-occurrence dedup. Anti-join FIRST:
+    * documents already in the store never enter the dropDuplicates
+    * state, so in-run state is bounded by NEW content only. Plain
+    * append mode; for unbounded runs swap the exact dropDuplicates for
+    * dropDuplicatesWithinWatermark (bounded state, the documented
+    * trade). Emits the input rows plus their `fp`. */
+  def dedupAgainstStore(stream: DataFrame, storeDir: String,
+      textCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    val store = spark.read.parquet(storeDir).select(col("fp"))
+    stream.withColumn("fp", fingerprint(col(textCol)))
+      .join(store, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+  }
+}

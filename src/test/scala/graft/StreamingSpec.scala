@@ -394,6 +394,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup against a persisted fingerprint store spans restarts") {
+    // cross-run dedup contract: run 1 emits only content absent from the
+    // store and appends what it emitted; a RESTARTED stream fed
+    // overlapping data emits nothing already accepted — the guarantee
+    // spans process lifetimes via the store, not a streaming checkpoint
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalDedup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").limit(150).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_store_")
+    val store = s"$dir/fps"
+    try {
+      // seed the store with docs 0..99 (a previous run's corpus)
+      IncrementalDedup.fingerprints(
+          spark.createDataFrame(docs.take(100).toSeq).toDF("doc_id", "text"),
+          "text")
+        .write.mode("overwrite").parquet(store)
+      // run 1 streams docs 50..149 with an in-stream duplicate of #120
+      val in1 = MemoryStream[(Long, String)]
+      val q1 = IncrementalDedup.dedupAgainstStore(
+          in1.toDF().toDF("doc_id", "text"), store, "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("inc_dedup_1").start()
+      val dup = docs(120)
+      in1.addData(docs.drop(50).toSeq :+ dup)
+      q1.processAllAvailable()
+      q1.stop()
+      val got1 = spark.table("inc_dedup_1").select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      // store had 0..99; stream carried 50..149 → only 100..149 emerge,
+      // the planted duplicate exactly once
+      assert(got1 == (100L until 150L).toSeq,
+        s"run 1 emitted ${got1.size} docs: $got1")
+      // append run 1's fingerprints, restart, replay an overlapping slice
+      IncrementalDedup.fingerprints(
+          spark.createDataFrame(docs.drop(100).toSeq).toDF("doc_id", "text"),
+          "text")
+        .write.mode("append").parquet(store)
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = IncrementalDedup.dedupAgainstStore(
+          in2.toDF().toDF("doc_id", "text"), store, "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("inc_dedup_2").start()
+      in2.addData(docs.drop(80).toSeq)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.table("inc_dedup_2").isEmpty,
+        "restarted stream re-emitted content the store already holds")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming PQ ADC probe over the prebuilt index matches an independent driver-side ADC") {
     // the PQ half of online serving: unlike IVF (which prunes to cells),
     // ADC scans every stored code array with a cheap per-candidate
