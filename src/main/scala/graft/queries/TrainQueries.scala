@@ -509,24 +509,83 @@ object TrainQueries {
     * signal is per-row — split / array_distinct / filter over the token
     * array, zero shuffles (spec'd: the unordered plan has no Exchange),
     * so the gate runs inside the scan stage at any corpus size. */
-  val op90QualityGate: Q = (s, d) => {
+  /** Shared per-row rule-flag frame feeding op90 (the gate) and op91
+    * (per-source attribution): (doc_id, source, signals, f_* flags). */
+  private def qualityFlagsFrame(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    val t = doc.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+    val t = doc.select(col("doc_id"), col("source"),
+      TextOps.tokens(col("text")).as("toks"),
       TextOps.tokenCountWs(col("text")).as("n_words"),
       TextOps.meanTokenLenBp(col("text")).as("mean_len_bp"),
       TextOps.markerCount(col("text"), enStop).as("stop_hits"))
-    val flagged = t.withColumn("distinct_bp",
+    t.withColumn("distinct_bp",
         expr("size(array_distinct(toks)) * 10000 div n_words").cast("bigint"))
-      .select(col("doc_id"), col("n_words"), col("mean_len_bp"),
-        col("distinct_bp"), col("stop_hits"),
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("mean_len_bp"), col("distinct_bp"), col("stop_hits"),
         (col("n_words") >= 20L).cast("bigint").as("f_words"),
         (col("mean_len_bp").between(40000L, 47000L)).cast("bigint").as("f_len"),
         (col("distinct_bp") >= 5000L).cast("bigint").as("f_distinct"),
         (col("stop_hits") >= 2L).cast("bigint").as("f_stop"))
+  }
+
+  val op90QualityGate: Q = (s, d) =>
     ordered(
-      flagged.withColumn("keep",
+      qualityFlagsFrame(s, d).drop("source").withColumn("keep",
         (col("f_words") * col("f_len") * col("f_distinct") * col("f_stop"))
           .cast("bigint")),
+      "doc_id")
+
+  /** Per-source gate attribution — the drop-reason report a curation run
+    * publishes alongside its output (and the aggregation SCALE.md's op90
+    * note promises): per source, document count, kept count, independent
+    * per-rule failure counts, and the keep rate in bp. One bounded
+    * groupBy over the per-row flags (map-side partials; state = one row
+    * per source), so the report costs a scan regardless of corpus
+    * size. */
+  val op91GateStats: Q = (s, d) => {
+    val f = qualityFlagsFrame(s, d)
+    ordered(
+      f.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("f_words") * col("f_len") * col("f_distinct") *
+            col("f_stop")).as("n_keep"),
+          sum(lit(1L) - col("f_words")).as("drop_words"),
+          sum(lit(1L) - col("f_len")).as("drop_len"),
+          sum(lit(1L) - col("f_distinct")).as("drop_distinct"),
+          sum(lit(1L) - col("f_stop")).as("drop_stop"))
+        .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+          col("n_keep").cast("bigint").as("n_keep"),
+          col("drop_words").cast("bigint").as("drop_words"),
+          col("drop_len").cast("bigint").as("drop_len"),
+          col("drop_distinct").cast("bigint").as("drop_distinct"),
+          col("drop_stop").cast("bigint").as("drop_stop"))
+        .withColumn("keep_rate_bp",
+          expr("n_keep * 10000 div n_docs").cast("bigint")),
+      "source")
+  }
+
+  /** Leakage-safe train/val/test split: assignment by DEDUP CLUSTER, not
+    * by document — near-duplicates (op77's connected components over the
+    * ≥70% Jaccard graph) land in the SAME split, so train/test leakage
+    * through paraphrase-level duplication is structurally impossible
+    * (the failure mode a naive per-doc hash split has on any corpus with
+    * near-dups). Split = content-independent hash of the cluster
+    * representative: 80/10/10 by h(cluster) mod 100 — deterministic,
+    * rerun- and reshard-stable, and adding documents never moves an
+    * existing cluster between splits. Cost on top of op77: one per-row
+    * hash + CASE. */
+  val op92SplitLeakSafe: Q = (s, d) => {
+    val clusters = Dedup.dedupClusters(Tables.documents(s, d), "doc_id",
+      "text", 7000L, Some(shingleDocFreqCap))
+    val bucket =
+      TextOps.md5Hash60(concat(lit("split:"), col("cluster").cast("string"))) % 100
+    ordered(
+      clusters.select(col("doc_id"), col("cluster").cast("bigint").as("cluster"))
+        .withColumn("bucket", bucket.cast("bigint"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test"))),
       "doc_id")
   }
 
@@ -561,6 +620,8 @@ object TrainQueries {
     "op88_mixture" -> op88Mixture,
     "op89_mixture_cutoff" -> op89MixtureCutoff,
     "op90_quality_gate" -> op90QualityGate,
+    "op91_gate_stats" -> op91GateStats,
+    "op92_split_leak_safe" -> op92SplitLeakSafe,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -573,6 +634,30 @@ object TrainQueries {
     "op79_sample_stratified" -> op79SampleStratified,
     "op82_decontaminate" -> op82Decontaminate,
   )
+
+  /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
+    * connected components over the ≥70% Jaccard graph; reused by op92's
+    * split assignment. Callers prepend `WITH RECURSIVE` and select from
+    * `clu`. */
+  private lazy val clusterCtes =
+    s"""sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+      |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+      |shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+      |       FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b
+      |      FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
+      |              JOIN cnt cb ON ov.doc_b = cb.doc_id
+      |      WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000),
+      |e AS (SELECT doc_a AS s, doc_b AS t FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(s, t) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
+      |clu AS (SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s)""".stripMargin
 
   private val trigramSql =
     """SELECT doc_id, unnest([string_split(text,' ')[i+1] || ' ' ||
@@ -1079,6 +1164,37 @@ object TrainQueries {
         |SELECT *, CAST(f_words * f_len * f_distinct * f_stop AS BIGINT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin
     },
+    "op91_gate_stats" -> {
+      val stop = enStop.map("'" + _ + "'").mkString(",")
+      s"""WITH b AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) * 10000
+        |         // len(string_split(text, ' ')) AS BIGINT) AS mean_len_bp,
+        |    CAST(len(list_distinct(string_split(text, ' '))) * 10000
+        |         // len(string_split(text, ' ')) AS BIGINT) AS distinct_bp,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains([$stop], x))) AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS f_words,
+        |    CASE WHEN mean_len_bp BETWEEN 40000 AND 47000
+        |         THEN 1 ELSE 0 END AS f_len,
+        |    CASE WHEN distinct_bp >= 5000 THEN 1 ELSE 0 END AS f_distinct,
+        |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS f_stop
+        |  FROM b),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(f_words * f_len * f_distinct * f_stop) AS BIGINT) AS n_keep,
+        |    CAST(sum(1 - f_words) AS BIGINT) AS drop_words,
+        |    CAST(sum(1 - f_len) AS BIGINT) AS drop_len,
+        |    CAST(sum(1 - f_distinct) AS BIGINT) AS drop_distinct,
+        |    CAST(sum(1 - f_stop) AS BIGINT) AS drop_stop
+        |  FROM f GROUP BY source)
+        |SELECT *, CAST(n_keep * 10000 // n_docs AS BIGINT) AS keep_rate_bp
+        |FROM g ORDER BY source""".stripMargin
+    },
     "op79_sample_stratified" ->
       """SELECT doc_id, source,
         |  ('0x' || substring(md5('sample:' || text), 1, 15))::BIGINT % 100 AS h_bucket,
@@ -1111,25 +1227,21 @@ object TrainQueries {
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "op77_dedup_clusters" ->
       s"""WITH RECURSIVE
-        |sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
-        |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
-        |shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
-        |       FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        |p AS (SELECT doc_a, doc_b
-        |      FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
-        |              JOIN cnt cb ON ov.doc_b = cb.doc_id
-        |      WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000),
-        |e AS (SELECT doc_a AS s, doc_b AS t FROM p
-        |      UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(s, t) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t)
-        |SELECT s AS doc_id, CAST(min(t) AS BIGINT) AS cluster
-        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+        |$clusterCtes
+        |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM clu ORDER BY doc_id""".stripMargin,
+    "op92_split_leak_safe" ->
+      s"""WITH RECURSIVE
+        |$clusterCtes,
+        |b AS (SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+        |        CAST(('0x' || substring(md5('split:' ||
+        |          CAST(cluster AS VARCHAR)), 1, 15))::BIGINT % 100 AS BIGINT)
+        |          AS bucket
+        |      FROM clu)
+        |SELECT doc_id, cluster, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "op76_repetition" ->
       s"""WITH tri AS (
         |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT shingle) AS n_d

@@ -219,6 +219,59 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"), plan)
   }
 
+  test("gate attribution stats are consistent with the per-doc gate output") {
+    // op91 must be exactly the per-source aggregation of op90's rows:
+    // totals, keeps, and independent per-rule failure counts
+    val gate = graft.queries.TrainQueries.op90QualityGate(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))) // f_words, f_len, f_distinct, f_stop, keep
+      .toMap
+    val srcOf = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val stats = graft.queries.TrainQueries.op91GateStats(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(stats.values.map(_._1).sum == gate.size)
+    gate.groupBy { case (id, _) => srcOf(id) }.foreach { case (src, docs) =>
+      val fs = docs.values.toSeq
+      val (nDocs, nKeep, dW, dL, dD, dS, rateBp) = stats(src)
+      assert(nDocs == fs.size && nKeep == fs.count(_._5 == 1L), src)
+      assert(dW == fs.count(_._1 == 0L) && dL == fs.count(_._2 == 0L) &&
+        dD == fs.count(_._3 == 0L) && dS == fs.count(_._4 == 0L), src)
+      assert(rateBp == nKeep * 10000 / nDocs, src)
+    }
+  }
+
+  test("leakage-safe split: near-dup clusters never straddle a split boundary") {
+    // op92's reason to exist: a near-duplicate pair in different splits
+    // is train/test leakage — assert each cluster maps to exactly one
+    // split, the assignment matches op77's clustering, and all three
+    // splits are populated with roughly their 80/10/10 shares
+    val out = graft.queries.TrainQueries.op92SplitLeakSafe(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    val clusters = graft.queries.TrainQueries.op77DedupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { case (doc, clu, _, _) =>
+      assert(clusters(doc) == clu, s"doc $doc cluster drifted from op77")
+    }
+    out.groupBy(_._2).foreach { case (clu, rows) =>
+      assert(rows.map(_._4).distinct.length == 1,
+        s"cluster $clu straddles splits: ${rows.map(_._4).distinct}")
+    }
+    val bySplit = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"missing splits: $bySplit")
+    val n = out.length.toDouble
+    assert(bySplit("train") / n > 0.6 && bySplit("train") / n < 0.95,
+      s"train share off: $bySplit")
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
