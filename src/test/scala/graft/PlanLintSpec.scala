@@ -26,4 +26,19 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
   }
+
+  test("tiny-dimension joins broadcast instead of sort-merging") {
+    // queries whose every join side except the corpus scan is bounded
+    // (per-source rates, 1-row K, quota tables): a SortMergeJoin there
+    // means the corpus got sorted for a table of 20 rows
+    val broadcastOnly = Seq("op89_mixture_cutoff", "op79_sample_stratified",
+      "op88_mixture")
+    val offenders = broadcastOnly.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("SortMergeJoin")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"bounded-side join fell back to SortMergeJoin in: ${offenders.mkString(", ")}")
+  }
 }
