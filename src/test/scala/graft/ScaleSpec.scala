@@ -60,6 +60,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed fingerprint store anti-joins without re-shuffling the store") {
+    // SCALE.md's IncrementalDedup claim, executed: with the accepted-
+    // content store bucketed by fp, the dedup anti-join shuffles ONLY
+    // the incoming batch — the store (the big side: every doc ever
+    // accepted) is read in place. One Exchange in the whole plan.
+    import graft.streaming.IncrementalDedup
+    val db = "graft_buckets"
+    import scala.reflect.io.Directory
+    new Directory(
+      new java.io.File(s"/tmp/graft_warehouse/$db.db/fp_store_b"))
+      .deleteRecursively()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    IncrementalDedup.fingerprints(docs.filter(col("doc_id") < 300), "text")
+      .write.mode("overwrite")
+      .bucketBy(8, "fp").sortBy("fp")
+      .saveAsTable(s"$db.fp_store_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val incoming = docs
+        .withColumn("fp", IncrementalDedup.fingerprint(col("text")))
+      val deduped = incoming.join(spark.table(s"$db.fp_store_b"),
+        Seq("fp"), "left_anti")
+      val plan = deduped.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"store side must not re-shuffle (found $exchanges exchanges):\n$plan")
+      val got = deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+      val expect = docs.filter(col("doc_id") >= 300)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, "bucketed anti-join diverged from the id filter")
+      assert(expect.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("LSH-bucket-partitioned storage prunes non-probed buckets at scan time") {
     // SCALE.md's ANN storage claim, executed: write the corpus
     // partitioned by its (deterministic, integer-exact) sign-LSH bucket,
