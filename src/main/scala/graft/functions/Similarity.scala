@@ -702,4 +702,45 @@ object Similarity {
           .as("cos_bp"))
       .filter(col("cos_bp") >= minBp)
   }
+
+  /** Semantic dedup (the SemDeDup recipe — Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space (the same
+    * deterministic integer-Lloyd centroids the IVF index uses), then
+    * remove near-duplicates WITHIN each cluster only — pairwise cosine
+    * is computed cell-locally, so pair volume is Σ|cell|² instead of N²
+    * and each cell's comparison is an equi-join-bounded self-join (at
+    * 100 TB the cell id is the storage partition key, so the self-join
+    * co-locates scan-side like every other cell-keyed op here).
+    *
+    * Drop rule is the deterministic dominance contract the n-gram
+    * survivors use: a vector is dropped iff SOME lower-id vector in its
+    * cell is ≥ `minBp` similar — id-greedy, rerun- and
+    * partitioning-stable, and exactly replayable in SQL. Returns the
+    * survivors as (vec_id, cent_id). */
+  def semDedup(corpus: DataFrame, minBp: Long, nCells: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    val cents = broadcast(lloydCentroids(corpus, nCells, lloydIters))
+    // nearest-centroid assignment: same argmax + lower-id tiebreak as
+    // the IVF corpus side; materialized once — it feeds BOTH sides of
+    // the within-cell self-join
+    val cell = cellScored(corpus, "v", cents)
+      .groupBy(col("v"))
+      .agg(max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
+          .as("cent_id"),
+        first(col("v_vec")).as("vec"), first(col("v_n2")).as("n2"))
+      .select(col("v").as("id"), col("vec"), col("n2"), col("cent_id"))
+      .localCheckpoint()
+    val a = cell.select(col("cent_id"), col("id").as("a_id"),
+      col("vec").as("a_vec"), col("n2").as("a_n2"))
+    val b = cell.select(col("cent_id"), col("id").as("b_id"),
+      col("vec").as("b_vec"), col("n2").as("b_n2"))
+    val drops = a.join(b, Seq("cent_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosBpFrom(intDot(col("a_vec"), col("b_vec")),
+        col("a_n2"), col("b_n2")) >= minBp)
+      .select(col("b_id").as("id")).distinct()
+    cell.join(drops, Seq("id"), "left_anti")
+      .select(col("id").as("vec_id"), col("cent_id").cast("bigint").as("cent_id"))
+  }
 }

@@ -589,6 +589,18 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** Semantic dedup (SemDeDup): cluster the embedding space with the
+    * IVF centroids, then drop vectors dominated by a lower-id ≥ 25%
+    * cosine neighbor WITHIN their cluster — pair volume is cell-bounded
+    * (Σ|cell|², not N²). Fixture threshold 2500 bp sits in the upper
+    * tail of the random-embedding cosine distribution so drops actually
+    * occur; a production corpus runs ≥ 9500. Survivors out. */
+  val op93SemDedup: Q = (s, d) =>
+    ordered(
+      Similarity.semDedup(Tables.embeddings(s, d), 2500L,
+        nCells = 16, lloydIters = 2),
+      "vec_id")
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -622,6 +634,7 @@ object TrainQueries {
     "op90_quality_gate" -> op90QualityGate,
     "op91_gate_stats" -> op91GateStats,
     "op92_split_leak_safe" -> op92SplitLeakSafe,
+    "op93_sem_dedup" -> op93SemDedup,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -658,6 +671,63 @@ object TrainQueries {
       |  UNION
       |  SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
       |clu AS (SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s)""".stripMargin
+
+  /** Shared DuckDB replay of the integer-Lloyd IVF machinery (op69 and
+    * op93): assignment = argmax of the FLOORED bigint cosine (matching
+    * Spark's max_by on cosBpFrom output — comparing unfloored doubles
+    * would break ties differently), means = per-position trunc-toward-
+    * zero division (DuckDB CAST(double AS BIGINT) rounds; Spark's cast
+    * truncates — trunc() bridges), empty cells keep their previous
+    * centroid. [[ivfCellCtes]] ends at `cc` = the corpus with its
+    * nearest post-refinement cell. */
+  private val ivfCosTo = (vecA: String, n2A: String, vecB: String, n2B: String) =>
+    s"""CASE WHEN $n2A = 0 OR $n2B = 0 THEN CAST(0 AS BIGINT)
+      |ELSE CAST(floor(CAST(list_sum([$vecA[i+1] * $vecB[i+1] FOR i IN range(64)]) AS DOUBLE)
+      |     / (sqrt(CAST($n2A AS DOUBLE)) * sqrt(CAST($n2B AS DOUBLE))) * 10000) AS BIGINT) END"""
+      .stripMargin.replace("\n", " ")
+
+  private lazy val ivfCellCtes: String = {
+    val sumCols = (0 until 64).map(i => s"sum(v[${i + 1}]) AS s$i")
+      .mkString(", ")
+    val meanList = (0 until 64).map(i =>
+      s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
+    def lloydIter(prev: String, cur: String) =
+      s"""a$cur AS (
+        |  SELECT vec_id, v, cent_id FROM (
+        |    SELECT nn.vec_id, nn.v, ct.cent_id,
+        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |             ${ivfCosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+        |             ct.cent_id) AS rn
+        |    FROM n nn, $prev ct) WHERE rn = 1),
+        |m$cur AS (SELECT cent_id, count(*) AS cnt, $sumCols FROM a$cur GROUP BY cent_id),
+        |mm$cur AS (SELECT cent_id, $meanList AS cent_vec FROM m$cur),
+        |$cur AS (
+        |  SELECT cent_id, cent_vec,
+        |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(64)]) AS BIGINT) AS cent_n2
+        |  FROM mm$cur
+        |  UNION ALL
+        |  SELECT cent_id, cent_vec, cent_n2 FROM $prev
+        |  WHERE cent_id NOT IN (SELECT cent_id FROM mm$cur))""".stripMargin
+    s"""q0 AS (
+      |  SELECT vec_id,
+      |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+      |          FOR i IN range(64)] AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
+      |      FROM q0),
+      |c0 AS (SELECT vec_id AS cent_id, v AS cent_vec, n2 AS cent_n2
+      |       FROM n ORDER BY vec_id LIMIT 16),
+      |${lloydIter("c0", "c1")},
+      |${lloydIter("c1", "c2")},
+      |cc AS (
+      |  SELECT vec_id AS n_id, v AS n_vec, n2 AS n_n2, cent_id FROM (
+      |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
+      |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+      |             ${ivfCosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+      |             ct.cent_id) AS rn
+      |    FROM n nn, c2 ct) WHERE rn = 1)""".stripMargin
+  }
 
   private val trigramSql =
     """SELECT doc_id, unnest([string_split(text,' ')[i+1] || ' ' ||
@@ -832,58 +902,8 @@ object TrainQueries {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
     "op69_ann_ivf" -> {
-      // exact replay of IVF-flat with the two Lloyd passes UNROLLED:
-      // assignment = argmax of the FLOORED bigint cosine (matching
-      // Spark's max_by on cosBpFrom output — comparing unfloored doubles
-      // would break ties differently), means = per-position trunc-
-      // toward-zero division (DuckDB CAST(double AS BIGINT) rounds;
-      // Spark's cast truncates — trunc() bridges), empty cells keep
-      // their previous centroid.
-      val cosTo = (vecA: String, n2A: String, vecB: String, n2B: String) =>
-        s"""CASE WHEN $n2A = 0 OR $n2B = 0 THEN CAST(0 AS BIGINT)
-          |ELSE CAST(floor(CAST(list_sum([$vecA[i+1] * $vecB[i+1] FOR i IN range(64)]) AS DOUBLE)
-          |     / (sqrt(CAST($n2A AS DOUBLE)) * sqrt(CAST($n2B AS DOUBLE))) * 10000) AS BIGINT) END"""
-          .stripMargin.replace("\n", " ")
-      val sumCols = (0 until 64).map(i => s"sum(v[${i + 1}]) AS s$i")
-        .mkString(", ")
-      val meanList = (0 until 64).map(i =>
-        s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
-      def lloydIter(prev: String, cur: String) =
-        s"""a$cur AS (
-          |  SELECT vec_id, v, cent_id FROM (
-          |    SELECT nn.vec_id, nn.v, ct.cent_id,
-          |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-          |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-          |             ct.cent_id) AS rn
-          |    FROM n nn, $prev ct) WHERE rn = 1),
-          |m$cur AS (SELECT cent_id, count(*) AS cnt, $sumCols FROM a$cur GROUP BY cent_id),
-          |mm$cur AS (SELECT cent_id, $meanList AS cent_vec FROM m$cur),
-          |$cur AS (
-          |  SELECT cent_id, cent_vec,
-          |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(64)]) AS BIGINT) AS cent_n2
-          |  FROM mm$cur
-          |  UNION ALL
-          |  SELECT cent_id, cent_vec, cent_n2 FROM $prev
-          |  WHERE cent_id NOT IN (SELECT cent_id FROM mm$cur))""".stripMargin
-      s"""WITH q0 AS (
-        |  SELECT vec_id,
-        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-        |          FOR i IN range(64)] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
-        |      FROM q0),
-        |c0 AS (SELECT vec_id AS cent_id, v AS cent_vec, n2 AS cent_n2
-        |       FROM n ORDER BY vec_id LIMIT 16),
-        |${lloydIter("c0", "c1")},
-        |${lloydIter("c1", "c2")},
-        |cc AS (
-        |  SELECT vec_id AS n_id, v AS n_vec, n2 AS n_n2, cent_id FROM (
-        |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
-        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-        |             ct.cent_id) AS rn
-        |    FROM n nn, c2 ct) WHERE rn = 1),
+      val cosTo = ivfCosTo
+      s"""WITH $ivfCellCtes,
         |qc AS (
         |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
         |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
@@ -900,6 +920,20 @@ object TrainQueries {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+    "op93_sem_dedup" -> {
+      // SemDeDup replay: shared Lloyd-cell CTEs, then within-cell
+      // dominance — b drops iff some a < b in its cell is ≥ 2500 bp
+      // similar (the id-greedy rule semDedup implements)
+      s"""WITH $ivfCellCtes,
+        |p AS (
+        |  SELECT DISTINCT b.n_id AS drop_id
+        |  FROM cc a JOIN cc b
+        |    ON a.cent_id = b.cent_id AND a.n_id < b.n_id
+        |  WHERE ${ivfCosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} >= 2500)
+        |SELECT n_id AS vec_id, CAST(cent_id AS BIGINT) AS cent_id
+        |FROM cc WHERE n_id NOT IN (SELECT drop_id FROM p)
+        |ORDER BY vec_id""".stripMargin
     },
     "op68_ann_lsh" -> {
       // exact replay of the multi-table sign-LSH join: the md5-seeded

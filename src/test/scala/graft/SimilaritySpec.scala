@@ -250,6 +250,27 @@ class SimilaritySpec extends SparkSpec {
       s"fixture divergence lsh=$fixtureLsh brute=$fixtureBrute")
   }
 
+  test("semDedup: exact duplicates drop, full-range threshold keeps one per cell") {
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 40)
+      .select("vec_id", "embedding")
+    // an exact duplicate with a HIGHER id: identical vector → identical
+    // cell scores → same cell, cosine 10000 → must be dominated away
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") === 0)
+        .select(lit(999L).as("vec_id"), col("embedding")))
+    val surv = Similarity.semDedup(corpus, 9500L, nCells = 4, lloydIters = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!surv.contains(999L), "exact duplicate survived semantic dedup")
+    assert(surv.contains(0L), "the lower-id original must survive")
+    // minBp at the cosine floor: every within-cell pair dominates, so
+    // survivors are exactly one vector (the min id) per non-empty cell
+    val all = Similarity.semDedup(corpus, -10000L, nCells = 4, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.map(_._2).distinct.length,
+      s"floor threshold must keep exactly one vector per cell: ${all.toSeq}")
+    assert(all.nonEmpty && all.length <= 4)
+  }
+
   test("approx_percentile (op46 sketch path) matches exact within rank tolerance") {
     val o = Tables.orders(spark, sfDir)
     val rows = o.groupBy(col("o_orderstatus"))
