@@ -19,14 +19,21 @@ case class Scored(score: Long, id: Long)
   * The same pattern (TypedImperativeAggregate at the expression level)
   * is how native engines implement ORDER BY … LIMIT k per group.
   */
-class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+class TopKAgg(k: Int, distinctIds: Boolean = false)
+    extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   private def better(a: Scored, b: Scored): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   override def zero: Seq[Scored] = Vector.empty
 
   override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] =
-    if (buf.size < k) insert(buf, x)
+    if (distinctIds && buf.exists(_.id == x.id)) {
+      // one slot per id: keep the better occurrence (for deterministic
+      // scoring — LSH candidates arriving once per colliding table —
+      // the scores are identical and this is a pure dedup)
+      val i = buf.indexWhere(_.id == x.id)
+      if (better(x, buf(i))) insert(buf.patch(i, Nil, 1), x) else buf
+    } else if (buf.size < k) insert(buf, x)
     else if (better(x, buf.last)) insert(buf.dropRight(1), x)
     else buf
 
@@ -51,6 +58,15 @@ object TopKAgg {
     * output array<struct<score,id>> of the top k. */
   def topK(k: Int)(score: Column, id: Column): Column = {
     val agg = udaf(new TopKAgg(k), Encoders.product[Scored])
+    agg(score, id)
+  }
+
+  /** [[topK]] with one slot per id — for inputs that may carry the same
+    * candidate several times (multi-table LSH collisions): equivalent to
+    * dropDuplicates-then-topK when duplicates score identically, without
+    * the extra stateful operator a streaming plan cannot carry. */
+  def topKDistinct(k: Int)(score: Column, id: Column): Column = {
+    val agg = udaf(new TopKAgg(k, distinctIds = true), Encoders.product[Scored])
     agg(score, id)
   }
 }

@@ -139,6 +139,46 @@ object StreamingAnn {
       .agg(TopKAgg.topK(k)(col("neg_d2"), col("n_id")).as("top"))
   }
 
+  /** Probe the persisted LSH index at `dir`
+    * ([[graft.functions.Similarity.lshIndexWrite]]) with a STREAMING
+    * frame of (vec_id, embedding) query vectors — completing the online
+    * trio (IVF cells, PQ ADC, LSH buckets). The planes are md5-derived
+    * pure functions of (nBits, nTables), so the query side buckets
+    * per-row with the same [[graft.expressions.SignLshBuckets]]
+    * expression as the build — nothing about the index is collected at
+    * stream start. Candidates come from a stream-static join on
+    * (tbl, bucket) against the partitioned bucket table (scan-pruned
+    * storage), vectors re-attach from the static store on n_id, and
+    * the per-query top-k is [[TopKAgg.topKDistinct]] — a pair colliding
+    * in several tables scores identically each time, and the
+    * one-slot-per-id buffer IS the pair dedup, replacing the
+    * dropDuplicates a streaming plan cannot put before an aggregation.
+    * Emits (q_id, top); equals the batch
+    * [[graft.functions.Similarity.lshProbe]] exactly (spec'd). */
+  def lshProbeStream(queryStream: DataFrame, dir: String, k: Int,
+      nBits: Int = 4, nTables: Int = 8): DataFrame = {
+    val spark = queryStream.sparkSession
+    val cBuckets = spark.read.parquet(s"$dir/buckets")
+      .select(col("n_id"), col("tbl").cast("int").as("tbl"),
+        col("bucket").cast("bigint").as("bucket"))
+    val nv = spark.read.parquet(s"$dir/vectors")
+    // quantize once per (query, table) row — bounded by nTables, never
+    // by candidate count (the op68 lesson)
+    val qb = Similarity.lshBucketsMulti(queryStream, "vec_id", nBits, nTables)
+      .select(col("vec_id").as("q_id"),
+        Similarity.quantize(col("embedding")).as("q_vec"),
+        col("tbl"), col("bucket"))
+      .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
+    qb.join(cBuckets, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosBpFrom(Similarity.intDot(col("q_vec"), col("n_vec")),
+          col("q_n2"), col("n_n2")).as("cos_bp"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topKDistinct(k)(col("cos_bp"), col("n_id")).as("top"))
+  }
+
   /** Explode a (q_id, top) frame from [[ivfProbeStream]] /
     * [[pqAdcProbeStream]] into the batch probe's row shape:
     * (q_id, n_id, <score>, rank). */

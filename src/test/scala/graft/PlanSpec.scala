@@ -96,4 +96,24 @@ class PlanSpec extends SparkSpec {
     assert(out(1L) == Seq((100L, 3L), (100L, 7L), (90L, 1L)))
     assert(out(2L) == Seq((5L, 9L)))
   }
+
+  test("topKDistinct keeps one slot per id and equals dedup-then-topK") {
+    // the streaming LSH probe's contract: an id arriving once per
+    // colliding table (same score each time) occupies ONE slot, so
+    // lower-scored distinct candidates aren't crowded out of the top-k;
+    // a better re-occurrence upgrades its slot in place
+    val df = Seq(
+      (1L, 100L, 7L), (1L, 100L, 7L), (1L, 100L, 7L), // 3-table collision
+      (1L, 90L, 3L), (1L, 80L, 5L), (1L, 70L, 9L),
+      (2L, 10L, 1L), (2L, 20L, 1L))                   // upgrade in place
+      .toDF("g", "score", "id")
+    val out = df.groupBy(col("g"))
+      .agg(graft.functions.TopKAgg.topKDistinct(3)(col("score"), col("id"))
+        .as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    assert(out(1L) == Seq((100L, 7L), (90L, 3L), (80L, 5L)))
+    assert(out(2L) == Seq((20L, 1L)))
+  }
 }

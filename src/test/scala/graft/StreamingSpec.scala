@@ -450,6 +450,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming LSH probe over the prebuilt index equals the batch probe") {
+    // third leg of the online-serving trio: per-row query bucketing with
+    // the regenerated planes + stream-static join on the partitioned
+    // bucket table; topKDistinct's one-slot-per-id buffer stands in for
+    // the batch path's candidate-pair dropDuplicates — results must
+    // equal the batch lshProbe exactly
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lsh_")
+    try {
+      Similarity.lshIndexWrite(emb, s"$dir/lsh")
+      val queries = emb.filter(col("vec_id") < 8)
+      val in = MemoryStream[(Long, Seq[Float])]
+      val stream = StreamingAnn.lshProbeStream(
+        in.toDF().toDF("vec_id", "embedding"), s"$dir/lsh", 5)
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName("lsh_probe_out").start()
+      in.addData(queries.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val got = StreamingAnn.explodeTopK(spark.table("lsh_probe_out"))
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val want = Similarity.lshProbe(queries, s"$dir/lsh", 5)
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got.nonEmpty, "streaming LSH probe emitted no rows")
+      assert(got == want,
+        "streaming LSH probe diverged from the batch probe over the same index")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming PQ ADC probe over the prebuilt index matches an independent driver-side ADC") {
     // the PQ half of online serving: unlike IVF (which prunes to cells),
     // ADC scans every stored code array with a cheap per-candidate
