@@ -601,6 +601,40 @@ object TrainQueries {
         nCells = 16, lloydIters = 2),
       "vec_id")
 
+  /** Corpus data card — the per-(source, language) statistics block a
+    * released dataset ships (and the mixture/gate ops consume): doc,
+    * token and char counts, length extremes, vocabulary size, exact
+    * integer mean tokens/doc. Two bounded aggregates (stats roll up
+    * map-side; vocabulary is a (source, lang, token)-keyed count whose
+    * state is vocab-bounded, not corpus-bounded) joined on the tiny
+    * group key — at any corpus size this is two scans and a
+    * groups-sized result. */
+  val op94CorpusStats: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val base = doc.select(col("source"), col("lang"),
+        TextOps.tokenCountWs(col("text")).as("n_tok"),
+        length(col("text")).cast("bigint").as("len"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("len")).as("n_chars"), min(col("len")).as("min_chars"),
+        max(col("len")).as("max_chars"))
+    val vocab = doc.select(col("source"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("lang"))
+      .agg(countDistinct(col("token")).as("vocab"))
+    ordered(
+      base.join(vocab, Seq("source", "lang"))
+        .select(col("source"), col("lang"),
+          col("n_docs").cast("bigint").as("n_docs"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("n_chars").cast("bigint").as("n_chars"),
+          col("min_chars"), col("max_chars"),
+          col("vocab").cast("bigint").as("vocab"))
+        .withColumn("mean_tok_bp",
+          expr("n_tokens * 10000 div n_docs").cast("bigint")),
+      "source", "lang")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -635,6 +669,7 @@ object TrainQueries {
     "op91_gate_stats" -> op91GateStats,
     "op92_split_leak_safe" -> op92SplitLeakSafe,
     "op93_sem_dedup" -> op93SemDedup,
+    "op94_corpus_stats" -> op94CorpusStats,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -1229,6 +1264,28 @@ object TrainQueries {
         |SELECT *, CAST(n_keep * 10000 // n_docs AS BIGINT) AS keep_rate_bp
         |FROM g ORDER BY source""".stripMargin
     },
+    "op94_corpus_stats" ->
+      """WITH base AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS n_tokens,
+        |    sum(length(text)) AS n_chars,
+        |    min(length(text)) AS min_chars, max(length(text)) AS max_chars
+        |  FROM documents GROUP BY source, lang),
+        |v AS (
+        |  SELECT source, lang, count(DISTINCT token) AS vocab
+        |  FROM (SELECT source, lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY source, lang)
+        |SELECT base.source, base.lang,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(min_chars AS BIGINT) AS min_chars,
+        |  CAST(max_chars AS BIGINT) AS max_chars,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  CAST(n_tokens * 10000 // n_docs AS BIGINT) AS mean_tok_bp
+        |FROM base JOIN v USING (source, lang)
+        |ORDER BY source, lang""".stripMargin,
     "op79_sample_stratified" ->
       """SELECT doc_id, source,
         |  ('0x' || substring(md5('sample:' || text), 1, 15))::BIGINT % 100 AS h_bucket,

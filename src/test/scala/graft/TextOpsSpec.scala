@@ -272,6 +272,22 @@ class TextOpsSpec extends SparkSpec {
       s"train share off: $bySplit")
   }
 
+  test("corpus data card rolls up to the corpus totals") {
+    val out = graft.queries.TrainQueries.op94CorpusStats(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    assert(out.map(_._3).sum == docs.length)
+    assert(out.map(_._4).sum == docs.map(_.split(" ", -1).length.toLong).sum)
+    assert(out.map(_._5).sum == docs.map(_.length.toLong).sum)
+    assert(out.map(_._6).min == docs.map(_.length.toLong).min)
+    assert(out.map(_._7).max == docs.map(_.length.toLong).max)
+    // group key is real: more than one lang per source on the fixture
+    assert(out.map(t => (t._1, t._2)).distinct.length > out.map(_._1).distinct.length)
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
