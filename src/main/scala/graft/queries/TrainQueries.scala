@@ -448,8 +448,12 @@ object TrainQueries {
     val w = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("bigint")
     val t = doc.select(col("doc_id"), col("source"),
       TextOps.md5Hash60(concat(lit("mix:"), col("text"))).as("h"), w.as("w"))
+    // counts feeds BOTH the shared scale K and the per-source quotas —
+    // materialize the (sources)-row frame so the corpus is counted once,
+    // not once per consumer subtree
     val counts = t.groupBy(col("source"))
       .agg(count(lit(1)).as("n"), first(col("w")).as("w"))
+      .localCheckpoint()
     val k = broadcast(counts.agg(min(expr("n div w")).as("__k")))
     val quota = counts.crossJoin(k)
       .select(col("source"), (col("w") * col("__k")).as("quota"))
@@ -481,8 +485,11 @@ object TrainQueries {
     val w = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("bigint")
     val t = doc.select(col("doc_id"), col("source"),
       TextOps.md5Hash60(concat(lit("mix:"), col("text"))).as("h"), w.as("w"))
+    // materialized once — feeds both K and the rate table (one corpus
+    // count instead of one per consumer subtree)
     val counts = t.groupBy(col("source"))
       .agg(count(lit(1)).as("n"), first(col("w")).as("w"))
+      .localCheckpoint()
     val k = broadcast(counts.agg(min(expr("n div w")).as("__k")))
     // ppm resolution: quota·10⁶ stays far inside BIGINT for any per-source
     // count a single engine would ever hold (overflow at n ~ 9·10¹²)
