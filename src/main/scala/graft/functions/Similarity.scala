@@ -717,9 +717,17 @@ object Similarity {
     * survivors use: a vector is dropped iff SOME lower-id vector in its
     * cell is ≥ `minBp` similar — id-greedy, rerun- and
     * partitioning-stable, and exactly replayable in SQL. Returns the
-    * survivors as (vec_id, cent_id). */
+    * survivors as (vec_id, cent_id).
+    *
+    * `saltB > 1` is the SKEW path: with few cells (or a pathological
+    * cell holding most of the corpus) the plain cent_id join lands each
+    * cell in one task. Salting splits the dominated side into `saltB`
+    * deterministic groups (id mod saltB) and replicates the dominating
+    * side across them, so a hot cell spreads over `saltB` tasks; every
+    * (a, b) pair still meets exactly once (b carries ONE salt, a covers
+    * all of them), so results are bit-identical (spec'd). */
   def semDedup(corpus: DataFrame, minBp: Long, nCells: Int = 16,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2, saltB: Int = 1): DataFrame = {
     val cents = broadcast(lloydCentroids(corpus, nCells, lloydIters))
     // nearest-centroid assignment: same argmax + lower-id tiebreak as
     // the IVF corpus side; materialized once — it feeds BOTH sides of
@@ -732,10 +740,12 @@ object Similarity {
       .select(col("v").as("id"), col("vec"), col("n2"), col("cent_id"))
       .localCheckpoint()
     val a = cell.select(col("cent_id"), col("id").as("a_id"),
-      col("vec").as("a_vec"), col("n2").as("a_n2"))
+        col("vec").as("a_vec"), col("n2").as("a_n2"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltB - 1))))
     val b = cell.select(col("cent_id"), col("id").as("b_id"),
-      col("vec").as("b_vec"), col("n2").as("b_n2"))
-    val drops = a.join(b, Seq("cent_id"))
+        col("vec").as("b_vec"), col("n2").as("b_n2"))
+      .withColumn("salt", pmod(col("b_id"), lit(saltB)).cast("int"))
+    val drops = a.join(b, Seq("cent_id", "salt"))
       .filter(col("a_id") < col("b_id"))
       .filter(cosBpFrom(intDot(col("a_vec"), col("b_vec")),
         col("a_n2"), col("b_n2")) >= minBp)

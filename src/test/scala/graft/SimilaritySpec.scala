@@ -269,6 +269,15 @@ class SimilaritySpec extends SparkSpec {
     assert(all.length == all.map(_._2).distinct.length,
       s"floor threshold must keep exactly one vector per cell: ${all.toSeq}")
     assert(all.nonEmpty && all.length <= 4)
+    // the salted skew path must be bit-identical: every (a, b) pair
+    // still meets exactly once (b carries one salt, a covers all)
+    val salted = Similarity.semDedup(corpus, 9500L, nCells = 4,
+        lloydIters = 1, saltB = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = Similarity.semDedup(corpus, 9500L, nCells = 4,
+        lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == unsalted, "salted semDedup diverged from unsalted")
   }
 
   test("approx_percentile (op46 sketch path) matches exact within rank tolerance") {
