@@ -384,6 +384,33 @@ object Dedup {
     * aggregate/zip_with fold ran interpreted per element and per-doc
     * state grew with token count.) Pure integer arithmetic on the shared
     * 60-bit md5 hash, so the DuckDB oracle replays it exactly. */
+  /** Leakage-safe split assignment over ANY precomputed clustering —
+    * (id, cluster) in, (id, cluster, bucket, split) out. The split
+    * hangs off a content-independent hash of the cluster REPRESENTATIVE
+    * (`h(cluster) mod 100`, train < trainPct ≤ val < trainPct+valPct ≤
+    * test), so co-clustered rows (near-duplicates, semantic duplicates
+    * — whatever the upstream clustering groups) can never straddle a
+    * split boundary, assignments survive reruns/resharding, and a
+    * growing corpus never moves an existing cluster between splits
+    * (new members join their cluster's split). op92 composes this with
+    * [[dedupClusters]]; it composes equally with
+    * [[Similarity.semDedup]]'s cells. Per-row hash + CASE — free at any
+    * scale on top of the clustering that feeds it. */
+  def splitByCluster(clusters: DataFrame, idCol: String = "doc_id",
+      clusterCol: String = "cluster",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      "need train/val/test all non-empty")
+    val bucket =
+      TextOps.md5Hash60(concat(lit("split:"), col(clusterCol).cast("string"))) % 100
+    clusters.select(col(idCol), col(clusterCol).cast("bigint").as(clusterCol))
+      .withColumn("bucket", bucket.cast("bigint"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))

@@ -581,20 +581,12 @@ object TrainQueries {
     * rerun- and reshard-stable, and adding documents never moves an
     * existing cluster between splits. Cost on top of op77: one per-row
     * hash + CASE. */
-  val op92SplitLeakSafe: Q = (s, d) => {
-    val clusters = Dedup.dedupClusters(Tables.documents(s, d), "doc_id",
-      "text", 7000L, Some(shingleDocFreqCap))
-    val bucket =
-      TextOps.md5Hash60(concat(lit("split:"), col("cluster").cast("string"))) % 100
+  val op92SplitLeakSafe: Q = (s, d) =>
     ordered(
-      clusters.select(col("doc_id"), col("cluster").cast("bigint").as("cluster"))
-        .withColumn("bucket", bucket.cast("bigint"))
-        .withColumn("split",
-          when(col("bucket") < 80, lit("train"))
-            .when(col("bucket") < 90, lit("val"))
-            .otherwise(lit("test"))),
+      Dedup.splitByCluster(
+        Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text",
+          7000L, Some(shingleDocFreqCap))),
       "doc_id")
-  }
 
   /** Semantic dedup (SemDeDup): cluster the embedding space with the
     * IVF centroids, then drop vectors dominated by a lower-id ≥ 25%

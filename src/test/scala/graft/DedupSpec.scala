@@ -153,6 +153,30 @@ class DedupSpec extends SparkSpec {
     assert(out(13L) == 13L, s"singleton keeps itself: $out")
   }
 
+  test("splitByCluster: co-clustered rows share a split; pct knobs move the boundary") {
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 42L), (4L, 99L), (5L, 7L),
+      (6L, 7L), (7L, 123L), (8L, 360L), (9L, 77L), (10L, 1000L))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.splitByCluster(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 10)
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._4).distinct.length == 1, s"cluster $c straddles")
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c bucket differs")
+    }
+    out.foreach { case (_, _, b, s) =>
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == want)
+    }
+    // widening train to 98% can only grow (or keep) the train set, and
+    // the bucket assignment itself must not move
+    val wide = Dedup.splitByCluster(df, trainPct = 98, valPct = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(wide.map(t => t._1 -> t._2).toMap == out.map(t => t._1 -> t._3).toMap)
+    val trainDefault = out.count(_._4 == "train")
+    assert(wide.count(_._3 == "train") >= trainDefault)
+  }
+
   test("simhash: near-dups land within small hamming distance; unrelated far") {
     val fp = Dedup.simhash60(corpus, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
