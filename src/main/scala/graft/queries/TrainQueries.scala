@@ -634,6 +634,44 @@ object TrainQueries {
       "source", "lang")
   }
 
+  /** Cross-source overlap matrix — which SOURCES duplicate each other:
+    * the ≥70% near-dup pairs (op61's capped inverted-index join) rolled
+    * up to unordered source pairs, with pair counts, mean similarity
+    * (exact integer bp) and the count of distinct duplicated docs per
+    * side. The dedup-PLANNING report: it tells a pipeline which source
+    * pairs are worth a targeted dedup pass and which crawls are
+    * mirrors. Cost on top of op61: two doc_id joins against the
+    * (doc_id, source) projection and a sources²-bounded aggregate. */
+  val op95SourceOverlap: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairs(doc, "doc_id", "text", 7000L,
+      Some(shingleDocFreqCap))
+    val src = doc.select(col("doc_id"), col("source"))
+    val tagged = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        "doc_b")
+      // fold the symmetric pair: matrix keys are unordered source pairs
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        col("doc_a"), col("doc_b"), col("jaccard_bp"))
+    ordered(
+      tagged.groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_a")).as("n_docs_a"),
+          countDistinct(col("doc_b")).as("n_docs_b"),
+          sum(col("jaccard_bp")).as("sum_bp"))
+        .select(col("source_lo"), col("source_hi"),
+          col("n_pairs").cast("bigint").as("n_pairs"),
+          col("n_docs_a").cast("bigint").as("n_docs_a"),
+          col("n_docs_b").cast("bigint").as("n_docs_b"),
+          // integer mean of already-integer bp similarities: floor
+          // division of exact sums, associative on both engines
+          expr("sum_bp div n_pairs").cast("bigint").as("mean_jaccard_bp")),
+      "source_lo", "source_hi")
+  }
+
   /** Document fingerprints: polynomial rolling hash + md5. */
   val op73Fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -669,6 +707,7 @@ object TrainQueries {
     "op92_split_leak_safe" -> op92SplitLeakSafe,
     "op93_sem_dedup" -> op93SemDedup,
     "op94_corpus_stats" -> op94CorpusStats,
+    "op95_source_overlap" -> op95SourceOverlap,
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
@@ -810,6 +849,31 @@ object TrainQueries {
         |        JOIN cnt cb ON ov.doc_b = cb.doc_id
         |WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "op95_source_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+        |       FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b,
+        |        overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) AS jaccard_bp
+        |      FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
+        |              JOIN cnt cb ON ov.doc_b = cb.doc_id
+        |      WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000),
+        |t AS (SELECT least(sa.source, sb.source) AS source_lo,
+        |        greatest(sa.source, sb.source) AS source_hi,
+        |        p.doc_a, p.doc_b, p.jaccard_bp
+        |      FROM p JOIN documents sa ON p.doc_a = sa.doc_id
+        |             JOIN documents sb ON p.doc_b = sb.doc_id)
+        |SELECT source_lo, source_hi,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+        |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b,
+        |  CAST(sum(jaccard_bp) // count(*) AS BIGINT) AS mean_jaccard_bp
+        |FROM t GROUP BY source_lo, source_hi
+        |ORDER BY source_lo, source_hi""".stripMargin,
     "op61_dedup_ngram_prefix" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

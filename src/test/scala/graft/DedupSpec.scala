@@ -177,6 +177,31 @@ class DedupSpec extends SparkSpec {
     assert(wide.count(_._3 == "train") >= trainDefault)
   }
 
+  test("source overlap matrix equals the per-source fold of the op61 pairs") {
+    val pairs = graft.queries.TrainQueries.op61DedupNgram(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    val srcOf = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = pairs
+      .map { case (a, b, bp) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), (a, b, bp))
+      }
+      .groupBy(_._1).map { case (k, rows) =>
+        val vs = rows.map(_._2)
+        k -> (vs.length.toLong, vs.map(_._1).distinct.length.toLong,
+          vs.map(_._2).distinct.length.toLong,
+          vs.map(_._3).sum / vs.length)
+      }
+    val got = graft.queries.TrainQueries.op95SourceOverlap(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.nonEmpty && got == want)
+  }
+
   test("simhash: near-dups land within small hamming distance; unrelated far") {
     val fp = Dedup.simhash60(corpus, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
