@@ -728,6 +728,9 @@ object Similarity {
     * all of them), so results are bit-identical (spec'd). */
   def semDedup(corpus: DataFrame, minBp: Long, nCells: Int = 16,
       lloydIters: Int = 2, saltB: Int = 1): DataFrame = {
+    // saltB = 0 would make the salt join key null/non-matching and turn
+    // the whole dedup into a silent no-op
+    require(saltB >= 1, "saltB must be >= 1")
     val cents = broadcast(lloydCentroids(corpus, nCells, lloydIters))
     // nearest-centroid assignment: same argmax + lower-id tiebreak as
     // the IVF corpus side; materialized once — it feeds BOTH sides of

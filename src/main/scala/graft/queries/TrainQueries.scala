@@ -506,16 +506,6 @@ object TrainQueries {
       "doc_id")
   }
 
-  /** Gopher-style heuristic quality GATE (the MassiveText filter-rule
-    * family, re-expressed as exact integer signals): word-count floor,
-    * mean-word-length band, distinct-token-ratio floor (repetition
-    * proxy) and a stopword minimum, each emitted as its own 0/1 flag
-    * plus the conjunction `keep`. Unlike op71 (a monotone score) this is
-    * the boolean gate a curation pipeline actually FILTERS on, with
-    * per-rule attribution for drop-reason stats; unlike op76 every
-    * signal is per-row — split / array_distinct / filter over the token
-    * array, zero shuffles (spec'd: the unordered plan has no Exchange),
-    * so the gate runs inside the scan stage at any corpus size. */
   /** Shared per-row rule-flag frame feeding op90 (the gate) and op91
     * (per-source attribution): (doc_id, source, signals, f_* flags). */
   private def qualityFlagsFrame(s: SparkSession, d: String): DataFrame = {
@@ -535,6 +525,16 @@ object TrainQueries {
         (col("stop_hits") >= 2L).cast("bigint").as("f_stop"))
   }
 
+  /** Gopher-style heuristic quality GATE (the MassiveText filter-rule
+    * family, re-expressed as exact integer signals): word-count floor,
+    * mean-word-length band, distinct-token-ratio floor (repetition
+    * proxy) and a stopword minimum, each emitted as its own 0/1 flag
+    * plus the conjunction `keep`. Unlike op71 (a monotone score) this is
+    * the boolean gate a curation pipeline actually FILTERS on, with
+    * per-rule attribution for drop-reason stats; unlike op76 every
+    * signal is per-row — split / array_distinct / filter over the token
+    * array, zero shuffles (spec'd: the unordered plan has no Exchange),
+    * so the gate runs inside the scan stage at any corpus size. */
   val op90QualityGate: Q = (s, d) =>
     ordered(
       qualityFlagsFrame(s, d).drop("source").withColumn("keep",
@@ -652,20 +652,27 @@ object TrainQueries {
         "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
         "doc_b")
-      // fold the symmetric pair: matrix keys are unordered source pairs
+      // fold the symmetric pair: matrix keys are unordered source pairs,
+      // and the per-side docs swap WITH the sources — doc_lo must be the
+      // pair's member from source_lo, not the lower doc_id (ids and
+      // source order disagree on cross-source pairs)
       .select(least(col("src_a"), col("src_b")).as("source_lo"),
         greatest(col("src_a"), col("src_b")).as("source_hi"),
-        col("doc_a"), col("doc_b"), col("jaccard_bp"))
+        when(col("src_a") <= col("src_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_lo"),
+        when(col("src_a") <= col("src_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_hi"),
+        col("jaccard_bp"))
     ordered(
       tagged.groupBy(col("source_lo"), col("source_hi"))
         .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("doc_a")).as("n_docs_a"),
-          countDistinct(col("doc_b")).as("n_docs_b"),
+          countDistinct(col("doc_lo")).as("n_docs_lo"),
+          countDistinct(col("doc_hi")).as("n_docs_hi"),
           sum(col("jaccard_bp")).as("sum_bp"))
         .select(col("source_lo"), col("source_hi"),
           col("n_pairs").cast("bigint").as("n_pairs"),
-          col("n_docs_a").cast("bigint").as("n_docs_a"),
-          col("n_docs_b").cast("bigint").as("n_docs_b"),
+          col("n_docs_lo").cast("bigint").as("n_docs_lo"),
+          col("n_docs_hi").cast("bigint").as("n_docs_hi"),
           // integer mean of already-integer bp similarities: floor
           // division of exact sums, associative on both engines
           expr("sum_bp div n_pairs").cast("bigint").as("mean_jaccard_bp")),
@@ -864,13 +871,15 @@ object TrainQueries {
         |      WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000),
         |t AS (SELECT least(sa.source, sb.source) AS source_lo,
         |        greatest(sa.source, sb.source) AS source_hi,
-        |        p.doc_a, p.doc_b, p.jaccard_bp
+        |        CASE WHEN sa.source <= sb.source THEN p.doc_a ELSE p.doc_b END AS doc_lo,
+        |        CASE WHEN sa.source <= sb.source THEN p.doc_b ELSE p.doc_a END AS doc_hi,
+        |        p.jaccard_bp
         |      FROM p JOIN documents sa ON p.doc_a = sa.doc_id
         |             JOIN documents sb ON p.doc_b = sb.doc_id)
         |SELECT source_lo, source_hi,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
-        |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b,
+        |  CAST(count(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+        |  CAST(count(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi,
         |  CAST(sum(jaccard_bp) // count(*) AS BIGINT) AS mean_jaccard_bp
         |FROM t GROUP BY source_lo, source_hi
         |ORDER BY source_lo, source_hi""".stripMargin,

@@ -186,7 +186,9 @@ class DedupSpec extends SparkSpec {
     val want = pairs
       .map { case (a, b, bp) =>
         val (sa, sb) = (srcOf(a), srcOf(b))
-        ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), (a, b, bp))
+        // the per-side docs swap WITH the sources: doc_lo belongs to
+        // source_lo even when it has the higher doc_id
+        if (sa <= sb) ((sa, sb), (a, b, bp)) else ((sb, sa), (b, a, bp))
       }
       .groupBy(_._1).map { case (k, rows) =>
         val vs = rows.map(_._2)
