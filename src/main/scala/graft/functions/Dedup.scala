@@ -395,7 +395,12 @@ object Dedup {
     * (new members join their cluster's split). op92 composes this with
     * [[dedupClusters]]; it composes equally with
     * [[Similarity.semDedup]]'s cells. Per-row hash + CASE — free at any
-    * scale on top of the clustering that feeds it. */
+    * scale on top of the clustering that feeds it.
+    *
+    * The cluster label is hashed through its STRING form directly —
+    * numeric AND string-labeled clusterings both work (an intermediate
+    * bigint cast would turn string labels into nulls and silently
+    * collapse the whole split). The label's own type passes through. */
   def splitByCluster(clusters: DataFrame, idCol: String = "doc_id",
       clusterCol: String = "cluster",
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
@@ -403,7 +408,7 @@ object Dedup {
       "need train/val/test all non-empty")
     val bucket =
       TextOps.md5Hash60(concat(lit("split:"), col(clusterCol).cast("string"))) % 100
-    clusters.select(col(idCol), col(clusterCol).cast("bigint").as(clusterCol))
+    clusters.select(col(idCol), col(clusterCol))
       .withColumn("bucket", bucket.cast("bigint"))
       .withColumn("split",
         when(col("bucket") < trainPct, lit("train"))

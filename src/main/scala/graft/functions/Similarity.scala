@@ -170,11 +170,15 @@ object Similarity {
   /** Probe a (bucket table, vector store) LSH index: bucket the queries
     * with the same planes, join candidates on (tbl, bucket), dedup bare
     * id pairs, re-attach stored vectors, rank. Identical output to
-    * [[annTopK]]. */
+    * [[annTopK]]. `qBuckets` lets a caller that already bucketed the
+    * queries (to prune the store scan — [[lshProbe]]) pass the frame in
+    * instead of re-deriving it. */
   private def annProbeFrames(queries: DataFrame, cBuckets: DataFrame,
-      nv: DataFrame, k: Int, nBits: Int, nTables: Int): DataFrame = {
-    val q = lshBucketsMulti(queries, "vec_id", nBits, nTables)
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+      nv: DataFrame, k: Int, nBits: Int, nTables: Int,
+      qBuckets: Option[DataFrame] = None): DataFrame = {
+    val q = qBuckets.getOrElse(
+      lshBucketsMulti(queries, "vec_id", nBits, nTables)
+        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket")))
     val cand = cBuckets.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
@@ -202,6 +206,11 @@ object Similarity {
       nTables: Int = 8): Unit = {
     lshBucketsMulti(corpus, "vec_id", nBits, nTables)
       .select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
+      // cluster rows by their target directory before the partitioned
+      // write: without this every task holds rows of every bucket and
+      // each of the nTables·2^nBits directories gets one small file PER
+      // TASK — the small-file tax that dominated the probe's scan
+      .repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl", "bucket")
       .parquet(s"$dir/buckets")
     corpus.select(col("vec_id").as("n_id"),
@@ -221,6 +230,7 @@ object Similarity {
       nTables: Int = 8): Unit = {
     lshBucketsMulti(newVecs, "vec_id", nBits, nTables)
       .select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
+      .repartition(col("tbl"), col("bucket")) // one file per touched dir
       .write.mode("append").partitionBy("tbl", "bucket")
       .parquet(s"$dir/buckets")
     newVecs.select(col("vec_id").as("n_id"),
@@ -231,16 +241,46 @@ object Similarity {
 
   /** Probe a persisted LSH index ([[lshIndexWrite]]): same results as
     * the end-to-end [[annTopK]] with matching parameters — bucketing and
-    * quantization of the corpus never recur. */
+    * quantization of the corpus never recur.
+    *
+    * Scan pruning: the probe touches at most queries·nTables of the
+    * nTables·2^nBits stored (tbl, bucket) partitions, but the candidate
+    * join alone gives the scan no static predicate (and the broadcast
+    * query side defeats DPP). The probed bucket set is index-METADATA
+    * sized, so it is computed once at plan time (same pattern as
+    * [[graft.streaming.StreamingAnn.ivfProbeStream]]'s centroid
+    * collect — bounded by the query batch, never by the corpus) and
+    * pushed into the scan as per-table IN-lists, which land in the
+    * scan's PartitionFilters (ScaleSpec-proven). Filtering the store to
+    * probed buckets cannot change results — candidates require a bucket
+    * match anyway. Past `maxProbeBuckets` distinct buckets the filter is
+    * skipped (a huge batch probes most of the store, and an unbounded
+    * IN-list only bloats the plan). */
   def lshProbe(queries: DataFrame, dir: String, k: Int, nBits: Int = 4,
-      nTables: Int = 8): DataFrame = {
+      nTables: Int = 8, maxProbeBuckets: Int = 4096): DataFrame = {
     val spark = queries.sparkSession
+    // the query bucket frame has two consumers (plan-time probed-bucket
+    // set, candidate join) but is NOT checkpointed: recomputing the
+    // bucket expression over the small query side costs less than the
+    // extra eager materialization job would
+    val qb = lshBucketsMulti(queries, "vec_id", nBits, nTables)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val probed = qb.select(col("tbl"), col("bucket")).distinct()
+      .limit(maxProbeBuckets + 1).collect()
+    val base = spark.read.parquet(s"$dir/buckets")
+    val pruned =
+      if (probed.length > maxProbeBuckets) base
+      else probed.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (t, rows) =>
+          col("tbl") === t &&
+            col("bucket").isin(rows.map(_.getLong(1)).sorted: _*)
+      }.reduceOption(_ || _).map(base.filter).getOrElse(base.limit(0))
     // tbl/bucket are partition directories on disk; restore their types
-    val cBuckets = spark.read.parquet(s"$dir/buckets")
+    val cBuckets = pruned
       .select(col("n_id"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("bigint").as("bucket"))
     val nv = spark.read.parquet(s"$dir/vectors")
-    annProbeFrames(queries, cBuckets, nv, k, nBits, nTables)
+    annProbeFrames(queries, cBuckets, nv, k, nBits, nTables, Some(qb))
   }
 
   /** Deterministic Lloyd refinement of IVF centroids, entirely in the
@@ -727,21 +767,37 @@ object Similarity {
     * (a, b) pair still meets exactly once (b carries ONE salt, a covers
     * all of them), so results are bit-identical (spec'd). */
   def semDedup(corpus: DataFrame, minBp: Long, nCells: Int = 16,
-      lloydIters: Int = 2, saltB: Int = 1): DataFrame = {
-    // saltB = 0 would make the salt join key null/non-matching and turn
-    // the whole dedup into a silent no-op
-    require(saltB >= 1, "saltB must be >= 1")
+      lloydIters: Int = 2, saltB: Int = 1): DataFrame =
+    semDedupFromCells(semCells(corpus, nCells, lloydIters).localCheckpoint(),
+      minBp, saltB)
+
+  /** The training half of [[semDedup]]: Lloyd centroids + nearest-cell
+    * assignment, returned as the (id, vec, n2, cent_id) frame the
+    * within-cell dominance join consumes. All-bigint columns, so
+    * persisting it to parquet round-trips bit-exactly — the
+    * build-once/dedup-many split (the op84-86 index pattern applied to
+    * SemDeDup's training cost). */
+  def semCells(corpus: DataFrame, nCells: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
     val cents = broadcast(lloydCentroids(corpus, nCells, lloydIters))
     // nearest-centroid assignment: same argmax + lower-id tiebreak as
-    // the IVF corpus side; materialized once — it feeds BOTH sides of
-    // the within-cell self-join
-    val cell = cellScored(corpus, "v", cents)
+    // the IVF corpus side
+    cellScored(corpus, "v", cents)
       .groupBy(col("v"))
       .agg(max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
           .as("cent_id"),
         first(col("v_vec")).as("vec"), first(col("v_n2")).as("n2"))
       .select(col("v").as("id"), col("vec"), col("n2"), col("cent_id"))
-      .localCheckpoint()
+  }
+
+  /** The dedup half of [[semDedup]]: id-greedy within-cell dominance
+    * over a prebuilt [[semCells]] frame (callers materialize it — it
+    * feeds BOTH sides of the self-join plus the final anti-join). */
+  def semDedupFromCells(cell: DataFrame, minBp: Long,
+      saltB: Int = 1): DataFrame = {
+    // saltB = 0 would make the salt join key null/non-matching and turn
+    // the whole dedup into a silent no-op
+    require(saltB >= 1, "saltB must be >= 1")
     val a = cell.select(col("cent_id"), col("id").as("a_id"),
         col("vec").as("a_vec"), col("n2").as("a_n2"))
       .withColumn("salt", explode(sequence(lit(0), lit(saltB - 1))))

@@ -64,7 +64,15 @@ object TopKAgg {
   /** [[topK]] with one slot per id — for inputs that may carry the same
     * candidate several times (multi-table LSH collisions): equivalent to
     * dropDuplicates-then-topK when duplicates score identically, without
-    * the extra stateful operator a streaming plan cannot carry. */
+    * the extra stateful operator a streaming plan cannot carry.
+    *
+    * Contract: the dropDuplicates equivalence REQUIRES that every
+    * occurrence of an id carries the same score (true for LSH collisions
+    * — the score is a pure function of the pair). With differing scores
+    * the semantics are best-occurrence-per-id, which is NOT what a
+    * dedup-then-rank pipeline computes. Cost note: the buffer dedup is a
+    * linear scan per input row — O(k) per row, fine at serving-size k
+    * (≤ ~100), wrong tool for large k. */
   def topKDistinct(k: Int)(score: Column, id: Column): Column = {
     val agg = udaf(new TopKAgg(k, distinctIds = true), Encoders.product[Scored])
     agg(score, id)

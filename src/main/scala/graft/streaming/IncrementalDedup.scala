@@ -42,11 +42,24 @@ object IncrementalDedup {
     * state, so in-run state is bounded by NEW content only. Plain
     * append mode; for unbounded runs swap the exact dropDuplicates for
     * dropDuplicatesWithinWatermark (bounded state, the documented
-    * trade). Emits the input rows plus their `fp`. */
+    * trade). Emits the input rows plus their `fp`.
+    *
+    * Bootstrap: an absent (or still-empty) `storeDir` means "nothing
+    * accepted yet" — the very first run dedups against an empty store
+    * instead of failing at stream build. Visibility contract: the
+    * static side's file listing is fixed when the stream is BUILT, so
+    * fingerprints appended by a concurrent process mid-run are not seen
+    * until the stream restarts — the store reflects completed runs, by
+    * design (each run appends its own output once, at the end). */
   def dedupAgainstStore(stream: DataFrame, storeDir: String,
       textCol: String): DataFrame = {
     val spark = stream.sparkSession
-    val store = spark.read.parquet(storeDir).select(col("fp"))
+    // explicit schema: also covers a dir that exists but holds no
+    // parquet yet (inference would throw); a missing dir needs no read
+    val store =
+      if (new java.io.File(storeDir).exists())
+        spark.read.schema("fp BIGINT").parquet(storeDir).select(col("fp"))
+      else spark.range(0).select(col("id").as("fp"))
     stream.withColumn("fp", fingerprint(col(textCol)))
       .join(store, Seq("fp"), "left_anti")
       .dropDuplicates("fp")

@@ -177,6 +177,35 @@ class DedupSpec extends SparkSpec {
     assert(wide.count(_._3 == "train") >= trainDefault)
   }
 
+  test("splitByCluster: string-labeled clusterings split correctly (no silent bigint-cast collapse)") {
+    // regression guard for the advisor finding: an intermediate bigint
+    // cast turned string labels into nulls, hashed every cluster to the
+    // same null bucket, and silently dumped the whole corpus in 'test'
+    val df = Seq((1L, "web/a"), (2L, "web/a"), (3L, "books"), (4L, "code"),
+      (5L, "books"), (6L, "wiki"), (7L, "forum"), (8L, "news"))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.splitByCluster(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 8)
+    // co-labeled rows stay together, buckets are real hashes (not one
+    // collapsed value), and every split name is derived from the bucket
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._4).distinct.length == 1, s"cluster $c straddles")
+    }
+    assert(out.map(_._3).distinct.length > 1, "all buckets collapsed")
+    out.foreach { case (_, _, b, sp) =>
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(sp == want)
+    }
+    // and the string form of a numeric label hashes identically to the
+    // numeric label itself (cast-to-string is the canonical form)
+    val num = Dedup.splitByCluster(Seq((1L, 42L)).toDF("doc_id", "cluster"))
+      .select("bucket").head().getLong(0)
+    val str = Dedup.splitByCluster(Seq((1L, "42")).toDF("doc_id", "cluster"))
+      .select("bucket").head().getLong(0)
+    assert(num == str)
+  }
+
   test("source overlap matrix equals the per-source fold of the op61 pairs") {
     val pairs = graft.queries.TrainQueries.op61DedupNgram(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))

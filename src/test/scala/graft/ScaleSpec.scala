@@ -137,6 +137,46 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("LSH probe pushes the probed-bucket IN-list into the store scan (static PartitionFilter)") {
+    // the round-4 weak spot, fixed: lshProbe collects the (bounded,
+    // metadata-sized) probed bucket set at plan time and pushes it into
+    // the (tbl, bucket)-partitioned store scan — the scan must carry a
+    // static PartitionFilter instead of reading all nTables·2^nBits
+    // directories, and the pruned probe must still equal the end-to-end
+    // annTopK exactly.
+    import graft.functions.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_probe_")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.lshIndexWrite(emb, dir.toString, nBits = 4, nTables = 8)
+      val queries = emb.filter(col("vec_id") < 8)
+      val probe = Similarity.lshProbe(queries, dir.toString, 5)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+        s"probed-bucket set did not become a partition filter:\n$plan")
+      val got = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val expect = Similarity.annTopK(queries, emb, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.sorted.toSeq == expect.sorted.toSeq,
+        "pruned probe diverged from the end-to-end build")
+      assert(got.nonEmpty)
+      // file hygiene: the write clusters rows by target directory, so
+      // each (tbl, bucket) dir holds ONE data file, not one per task
+      val bucketDirs = new java.io.File(s"$dir/buckets").listFiles()
+        .filter(_.getName.startsWith("tbl="))
+        .flatMap(_.listFiles()).filter(_.getName.startsWith("bucket="))
+      assert(bucketDirs.nonEmpty)
+      bucketDirs.foreach { bd =>
+        val parts = bd.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(parts == 1, s"${bd.getPath} holds $parts part files")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("IVF index storage (cells partitioned by cent_id) prunes non-probed cells at scan time") {
     // SCALE.md's IVF claim ("cell id becomes a storage partition key"),
     // executed: ivfIndexWrite persists the cell-assigned corpus

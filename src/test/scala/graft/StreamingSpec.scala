@@ -450,6 +450,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup bootstraps when the store does not exist yet") {
+    // first-run contract (advisor finding): an absent store dir means
+    // "nothing accepted yet", not a stream-build crash — the run dedups
+    // in-stream only, and an existing-but-empty dir behaves the same
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_boot_")
+    try {
+      val missing = s"$dir/never_written"
+      val in = MemoryStream[(Long, String)]
+      val q = IncrementalDedup.dedupAgainstStore(
+          in.toDF().toDF("doc_id", "text"), missing, "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("inc_dedup_boot").start()
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("inc_dedup_boot").select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(got == Seq(1L, 2L), s"bootstrap run emitted $got")
+      // empty dir (exists, no parquet yet): same behavior via the
+      // explicit read schema
+      val empty = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$dir/empty_store")).toString
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = IncrementalDedup.dedupAgainstStore(
+          in2.toDF().toDF("doc_id", "text"), empty, "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("inc_dedup_boot2").start()
+      in2.addData((7L, "gamma"))
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.table("inc_dedup_boot2").select("doc_id").as[Long]
+        .collect().toSeq == Seq(7L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming LSH probe over the prebuilt index equals the batch probe") {
     // third leg of the online-serving trio: per-row query bucketing with
     // the regenerated planes + stream-static join on the partitioned
