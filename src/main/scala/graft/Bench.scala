@@ -119,8 +119,25 @@ object Bench {
         }
       }.mkString("[", ",", "]")
     }
+    // streaming end-to-end probes (rows/s): run only in full-suite mode —
+    // a failed probe reports as rate -1, never kills the batch numbers
+    val streamingJson =
+      if (only.isDefined) "{}"
+      else BenchStreaming.run(spark, sfDir)
+        .map { case (k, v) =>
+          "\"" + k + "\":" + num(v)
+        }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver wrapper truncates long stdout ("tail") — persist the
+    // complete per-query map so every round artifact carries all entries
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_FULL.json write skipped: $e")
+    }
     spark.stop()
   }
 }

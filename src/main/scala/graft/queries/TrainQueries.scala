@@ -251,6 +251,47 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** The op84 probe executed as a REAL Structured Streaming query —
+    * file source of query vectors → [[graft.streaming.StreamingAnn
+    * .ivfProbeStream]] (stream-static join on the prebuilt, partitioned
+    * index; bounded TopKAgg) → memory sink, Trigger.AvailableNow. One
+    * replay carries all queries in a single trigger, so the emitted
+    * top-k equals the batch [[Similarity.ivfProbe]] exactly and op84's
+    * DuckDB oracle checks STREAMING execution under the same hash gate
+    * as every batch query (the op51 pattern applied to online ANN
+    * serving). */
+  val op96StreamIvfProbe: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingAnn
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "ivf_c16_l2")
+    buildIndexIfAbsent(dir, "cells")(
+      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
+    // the file streaming source lists a directory; expose the fixture
+    // file through a temp dir of symlinks (the op51 recipe)
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_op96_")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(s"$d/embeddings.parquet"))
+    val qStream = s.readStream.schema(schema).parquet(streamDir.toString)
+      .filter(col("vec_id") < 8)
+    val probed = StreamingAnn.ivfProbeStream(qStream, dir, 5, nProbe = 4)
+    val name = s"graft_op96_${System.nanoTime()}"
+    // the aggregate holds 8 groups: scope stateful shuffle width to the
+    // stream (same rationale as WindowOps.streamedTumbling)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = probed.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("embeddings.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+    ordered(StreamingAnn.explodeTopK(s.table(name)), "q_id", "rank")
+  }
+
   /** Language-ID heuristic: marker-count argmax + the score vector. */
   val op70LangId: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -765,6 +806,7 @@ object TrainQueries {
     "op84_ivf_probe" -> op84IvfProbe,
     "op85_pq_probe" -> op85PqProbe,
     "op86_lsh_probe" -> op86LshProbe,
+    "op96_stream_ivf_probe" -> op96StreamIvfProbe,
     "op87_pack_sequences" -> op87PackSequences,
     "op88_mixture" -> op88Mixture,
     "op89_mixture_cutoff" -> op89MixtureCutoff,
@@ -1524,5 +1566,9 @@ object TrainQueries {
     "op84_ivf_probe" -> baseOracle("op69_ann_ivf"),
     "op85_pq_probe" -> baseOracle("op83_pq_ann"),
     "op86_lsh_probe" -> baseOracle("op68_ann_lsh"),
+    // streaming execution of the same probe over the same index: one
+    // AvailableNow replay carries every query in a single trigger, so
+    // the emitted top-k is bit-identical to the batch probe
+    "op96_stream_ivf_probe" -> baseOracle("op69_ann_ivf"),
   )
 }
