@@ -20,6 +20,28 @@ import org.apache.spark.sql.Row
   */
 object KafkaIO {
 
+  /** OP-01 builder: the fully-optioned reader BEFORE `.load()` resolves
+    * the source provider. Split out so the option plumbing is testable
+    * in this sandbox (no kafka connector jar: `.load()` would throw at
+    * provider lookup, but every option the reference sets is already on
+    * the reader — the contract spec pins them against
+    * /root/reference/sparkpykafkajoin.py:48-54,136-142). */
+  def readStreamBuilder(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      minPartitions: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamReader = {
+    var b = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    maxOffsetsPerTrigger.foreach(n => b = b.option("maxOffsetsPerTrigger", n))
+    minPartitions.foreach(n => b = b.option("minPartitions", n))
+    b
+  }
+
   /** OP-01: streaming scan of one topic from the earliest offset. */
   def readStream(
       spark: SparkSession,
@@ -27,15 +49,9 @@ object KafkaIO {
       topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,
-      minPartitions: Option[Int] = None): DataFrame = {
-    var b = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-    maxOffsetsPerTrigger.foreach(n => b = b.option("maxOffsetsPerTrigger", n))
-    minPartitions.foreach(n => b = b.option("minPartitions", n))
-    b.load()
-  }
+      minPartitions: Option[Int] = None): DataFrame =
+    readStreamBuilder(spark, bootstrap, topic, startingOffsets,
+      maxOffsetsPerTrigger, minPartitions).load()
 
   /** OP-01 batch twin: bounded read of a whole topic (tests / backfill). */
   def readBatch(spark: SparkSession, bootstrap: String, topic: String): DataFrame =

@@ -490,6 +490,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup runs its stateful operators on RocksDB via StateStores.withRocksDb") {
+    // the 100 TB state config on the DEDUP path (the sessionization and
+    // windowed-agg paths have their own RocksDB cases): same results as
+    // the default provider, and the query's state-operator metrics must
+    // carry rocksdb* entries — proof the provider actually served the
+    // dropDuplicates state, not just that the conf was set
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{IncrementalDedup, StateStores}
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_rocks_")
+    try {
+      val store = s"$dir/fps"
+      IncrementalDedup.fingerprints(
+          Seq((1L, "seeded")).toDF("doc_id", "text"), "text")
+        .write.mode("overwrite").parquet(store)
+      StateStores.withRocksDb(spark) {
+        val in = MemoryStream[(Long, String)]
+        val q = IncrementalDedup.dedupAgainstStore(
+            in.toDF().toDF("doc_id", "text"), store, "text")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("inc_dedup_rocks").start()
+        in.addData((2L, "fresh"), (3L, "seeded"), (4L, "fresh"))
+        q.processAllAvailable()
+        val metrics = q.lastProgress.stateOperators.flatMap(
+          _.customMetrics.keySet().toArray(Array.empty[String]))
+        q.stop()
+        assert(metrics.exists(_.startsWith("rocksdb")),
+          s"state metrics carry no rocksdb entries: ${metrics.mkString(",")}")
+      }
+      assert(spark.table("inc_dedup_rocks").select("doc_id").as[Long]
+        .collect().sorted.toSeq == Seq(2L),
+        "RocksDB-backed dedup diverged from expected output")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming LSH probe over the prebuilt index equals the batch probe") {
     // third leg of the online-serving trio: per-row query bucketing with
     // the regenerated planes + stream-static join on the partitioned
