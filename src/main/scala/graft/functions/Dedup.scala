@@ -302,6 +302,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** The production web-scale dedup composition, end-to-end: MinHash+LSH
+    * candidate generation ([[minhashCandidates]]) → EXACT Jaccard
+    * verification restricted to candidates → drop the greater id of
+    * every verified ≥ `minBp` pair. This is the shape a 10⁹-document
+    * curation run actually executes — candidate volume follows band
+    * collisions (sub-quadratic by construction, no doc-frequency cap
+    * needed because nothing ever joins on raw shingles), and the exact
+    * verification touches only candidate pairs, so false LSH collisions
+    * cost one overlap count instead of surviving into the output.
+    * Recall is bounded by the banding (1-(1-j^r)^(k/r) per pair — ≈1 at
+    * j ≥ 0.8 with k=16, r=4); pairs the bands miss are the documented
+    * ANN trade, exactly as in [[graft.functions.Similarity]]'s paths.
+    * All hashes are md5-derived ⇒ the full chain (signatures, bands,
+    * candidate set, verified overlap) replays exactly in SQL. */
+  def survivorsMinhash(df: DataFrame, idCol: String, textCol: String,
+      minBp: Long, k: Int = 16, r: Int = 4): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, k, r)
+    // exact verification over the hashed inverted index (internal key —
+    // overlap counts are hash-agnostic); materialized: feeds both join
+    // sides and the per-doc counts
+    val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
+    val counts = shingleCounts(index)
+    val ia = index.select(col("doc_id").as("doc_a"), col("shingle"))
+    val ib = index.select(col("doc_id").as("doc_b"), col("shingle"))
+    val overlap = cand.join(ia, "doc_a")
+      .join(ib, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("overlap"))
+    val dropped = overlap
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter((col("overlap") * 10000L /
+        (col("n_a") + col("n_b") - col("overlap"))).cast("bigint") >= minBp)
+      .select(col("doc_b").as("drop_id")).distinct()
+    df.join(dropped, df(idCol) === dropped("drop_id"), "left_anti")
+  }
+
   /** Transitive near-dup clusters: connected components over the pair
     * graph, labeling every document with the minimum doc_id reachable
     * through near-dup edges (A~B, B~C ⇒ A,B,C share one representative —

@@ -74,6 +74,19 @@ object TrainQueries {
         .select(col("doc_id"), col("lang"), col("source")),
       "doc_id")
 
+  /** MinHash-LSH dedup END-TO-END at ≥80%: band-collision candidates →
+    * exact Jaccard verification on candidates only → survivors — the
+    * composition a web-scale curation run actually executes (op63 shows
+    * the candidate half, op64 the verify-everything half; this is the
+    * production join of the two). Hash-checked: the oracle replays
+    * signatures, bands, candidate join AND the candidate-restricted
+    * verification. */
+  val op98MinhashSurvivors: Q = (s, d) =>
+    ordered(
+      Dedup.survivorsMinhash(Tables.documents(s, d), "doc_id", "text", 8000L)
+        .select(col("doc_id"), col("lang"), col("source")),
+      "doc_id")
+
   /** Transitive near-dup clusters at ≥70%: every document labeled with
     * the min doc_id reachable through near-dup edges (connected
     * components via min-label propagation; recursive-CTE oracle). */
@@ -261,35 +274,68 @@ object TrainQueries {
     * as every batch query (the op51 pattern applied to online ANN
     * serving). */
   val op96StreamIvfProbe: Q = (s, d) => {
-    import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamingAnn
     val emb = Tables.embeddings(s, d)
     val dir = indexRoot(d, "ivf_c16_l2")
     buildIndexIfAbsent(dir, "cells")(
       Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    // the file streaming source lists a directory; expose the fixture
-    // file through a temp dir of symlinks (the op51 recipe)
+    ordered(StreamingAnn.explodeTopK(
+        drainQueryVecStream(s, d, "op96",
+          StreamingAnn.ivfProbeStream(_, dir, 5, nProbe = 4))),
+      "q_id", "rank")
+  }
+
+  /** op96's twin over the LSH index: [[graft.streaming.StreamingAnn
+    * .lshProbeStream]] (per-row query bucketing with the regenerated
+    * planes, stream-static join on the partitioned bucket store,
+    * topKDistinct as the one streaming aggregation) drained the same
+    * way — shares op68/op86's oracle, putting the second leg of the
+    * online-serving trio under the hash gate. (The PQ leg emits ADC
+    * distances without the exact rerank, so it has no batch-identical
+    * oracle and stays spec-verified.) */
+  val op97StreamLshProbe: Q = (s, d) => {
+    import graft.streaming.StreamingAnn
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "lsh_b4_t8")
+    buildIndexIfAbsent(dir, "vectors")(
+      Similarity.lshIndexWrite(emb, _, nBits = 4, nTables = 8))
+    ordered(StreamingAnn.explodeTopK(
+        drainQueryVecStream(s, d, "op97",
+          StreamingAnn.lshProbeStream(_, dir, 5))),
+      "q_id", "rank")
+  }
+
+  /** Shared drain for the streaming ANN probe queries: file-source
+    * stream of the fixture query vectors (vec_id < 8) → `probe` →
+    * memory sink, Trigger.AvailableNow — one replay carries every query
+    * in a single trigger, so the emitted top-k equals the batch probe
+    * exactly. The file streaming source lists a directory, so the
+    * single fixture file is exposed through a temp dir of symlinks
+    * (the op51 recipe). */
+  private def drainQueryVecStream(s: SparkSession, d: String, tag: String,
+      probe: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_op96_")
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("embeddings.parquet"),
       java.nio.file.Paths.get(s"$d/embeddings.parquet"))
     val qStream = s.readStream.schema(schema).parquet(streamDir.toString)
       .filter(col("vec_id") < 8)
-    val probed = StreamingAnn.ivfProbeStream(qStream, dir, 5, nProbe = 4)
-    val name = s"graft_op96_${System.nanoTime()}"
+    val name = s"graft_${tag}_${System.nanoTime()}"
     // the aggregate holds 8 groups: scope stateful shuffle width to the
     // stream (same rationale as WindowOps.streamedTumbling)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = probed.writeStream.outputMode("complete").format("memory")
-        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      val q = probe(qStream).writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     java.nio.file.Files.deleteIfExists(streamDir.resolve("embeddings.parquet"))
     java.nio.file.Files.deleteIfExists(streamDir)
-    ordered(StreamingAnn.explodeTopK(s.table(name)), "q_id", "rank")
+    s.table(name)
   }
 
   /** Language-ID heuristic: marker-count argmax + the score vector. */
@@ -587,6 +633,40 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** Token-BUDGET data selection — the budget-driven cousin of the
+    * mixture ops (op88/89 fill per-source DOC quotas; real training-set
+    * assembly is usually specified in TOKENS): per source, documents are
+    * taken in deterministic content-hash order until the source's token
+    * budget fills — a document is kept iff the tokens BEFORE it sit
+    * strictly under budget (greedy fill: the last document may overflow
+    * the budget by a fraction, the standard convention). Budget =
+    * (stratum weight) × 500 tokens — sized so selection bites at every
+    * fixture scale. Entirely integer (window cumsum),
+    * rerun/reshard-stable, DuckDB-replayed exactly.
+    *
+    * Scale: one shuffle keyed by source + in-partition sort — op87's
+    * pack-stream shape; at 100 TB the same cutoff trade as op89 applies
+    * (estimate tokens/doc from the counts aggregate → hash-rate filter,
+    * scan-pushable, budget approximate). */
+  val op99TokenBudget: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val w = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("bigint")
+    val t = doc.select(col("doc_id"), col("source"),
+      TextOps.tokenCountWs(col("text")).as("n_tok"),
+      TextOps.md5Hash60(concat(lit("budget:"), col("text"))).as("h"),
+      (w * 500L).as("budget"))
+    val wnd = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    ordered(
+      t.withColumn("tok_before",
+          coalesce(sum(col("n_tok")).over(
+            wnd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .cast("bigint"))
+        .filter(col("tok_before") < col("budget"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("tok_before"), col("budget")),
+      "doc_id")
+  }
+
   /** Shared per-row rule-flag frame feeding op90 (the gate) and op91
     * (per-source attribution): (doc_id, source, signals, f_* flags). */
   private def qualityFlagsFrame(s: SparkSession, d: String): DataFrame = {
@@ -796,6 +876,7 @@ object TrainQueries {
     "op62_minhash_sig" -> op62MinhashSig,
     "op63_minhash_pairs" -> op63MinhashPairs,
     "op64_dedup_survivors" -> op64DedupSurvivors,
+    "op98_minhash_survivors" -> op98MinhashSurvivors,
     "op65_simhash" -> op65Simhash,
     "op66_embed_dup" -> op66EmbedDup,
     "op67_knn_brute" -> op67KnnBrute,
@@ -807,9 +888,11 @@ object TrainQueries {
     "op85_pq_probe" -> op85PqProbe,
     "op86_lsh_probe" -> op86LshProbe,
     "op96_stream_ivf_probe" -> op96StreamIvfProbe,
+    "op97_stream_lsh_probe" -> op97StreamLshProbe,
     "op87_pack_sequences" -> op87PackSequences,
     "op88_mixture" -> op88Mixture,
     "op89_mixture_cutoff" -> op89MixtureCutoff,
+    "op99_token_budget" -> op99TokenBudget,
     "op90_quality_gate" -> op90QualityGate,
     "op91_gate_stats" -> op91GateStats,
     "op92_split_leak_safe" -> op92SplitLeakSafe,
@@ -1216,6 +1299,46 @@ object TrainQueries {
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "op98_minhash_survivors" -> {
+      // op63's full candidate replay (16 KM sigs, 4 bands, md5-prefix
+      // band hash) + exact overlap restricted to the candidate pairs +
+      // the op64-style greater-id drop at ≥80%
+      val sigCols = (0 until 16).map(i =>
+        s"CAST(min((h1 * ${2 * i + 1} + h2) % 2147483648) AS BIGINT) AS s$i")
+        .mkString(",\n|         ")
+      val bandSelects = (0 until 4).map { b =>
+        val parts = (b * 4 until b * 4 + 4)
+          .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, substring(md5(concat_ws(',', $parts)), 1, 15) AS bh FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 1073741824 AS h1,
+        |        (('0x' || substring(md5(shingle), 1, 15))::BIGINT // 1073741824) % 1073741824 AS h2
+        |      FROM sh),
+        |sig AS (SELECT doc_id,
+        |         $sigCols
+        |      FROM h GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        |  WHERE a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT cand.doc_a, cand.doc_b, count(*) AS overlap
+        |       FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+        |                 JOIN sh b ON b.doc_id = cand.doc_b
+        |                          AND b.shingle = a.shingle
+        |       GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT doc_b AS drop_id
+        |          FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
+        |                  JOIN cnt cb ON ov.doc_b = cb.doc_id
+        |          WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 8000)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
+        |ORDER BY doc_id""".stripMargin
+    },
     "op64_dedup_survivors" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
         |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
@@ -1382,6 +1505,23 @@ object TrainQueries {
         |SELECT t.doc_id, t.source, CAST(t.h % 1000000 AS BIGINT) AS h_ppm,
         |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm
         |FROM t JOIN r USING (source) WHERE t.h % 1000000 < r.rate_ppm
+        |ORDER BY doc_id""".stripMargin,
+    "op99_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    ('0x' || substring(md5('budget:' || text), 1, 15))::BIGINT AS h,
+        |    CAST((CAST(substring(source, 4) AS INT) % 4 + 1) * 500 AS BIGINT) AS budget
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
+        |    budget
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, tok_before, budget
+        |FROM o WHERE tok_before < budget
         |ORDER BY doc_id""".stripMargin,
     "op90_quality_gate" -> {
       val stop = enStop.map("'" + _ + "'").mkString(",")
@@ -1570,5 +1710,6 @@ object TrainQueries {
     // AvailableNow replay carries every query in a single trigger, so
     // the emitted top-k is bit-identical to the batch probe
     "op96_stream_ivf_probe" -> baseOracle("op69_ann_ivf"),
+    "op97_stream_lsh_probe" -> baseOracle("op68_ann_lsh"),
   )
 }

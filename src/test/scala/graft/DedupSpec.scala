@@ -177,6 +177,21 @@ class DedupSpec extends SparkSpec {
     assert(wide.count(_._3 == "train") >= trainDefault)
   }
 
+  test("minhash survivors equal the exhaustive survivors where band recall is total") {
+    // on the fixture corpus the ≥80% pairs all collide in some band
+    // (the candidates-cover spec above), so the candidate-verified
+    // composition must agree EXACTLY with verifying every pair — the
+    // divergence budget is band recall, nothing else
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val viaMinhash = Dedup.survivorsMinhash(docs, "doc_id", "text", 8000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exhaustive = Dedup.survivors(docs, "doc_id", "text", 8000L, None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMinhash == exhaustive)
+    assert(viaMinhash.size < docs.count(), "fixture planted no dups?")
+  }
+
   test("splitByCluster: string-labeled clusterings split correctly (no silent bigint-cast collapse)") {
     // regression guard for the advisor finding: an intermediate bigint
     // cast turned string labels into nulls, hashed every cluster to the

@@ -188,6 +188,41 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("token-budget selection: greedy fill per source — maximal under-budget prefix in hash order") {
+    // op99's contract: per source, the kept set is EXACTLY the prefix of
+    // the (h, doc_id)-ordered stream whose preceding token count sits
+    // under budget — tokens before every kept doc < budget, the kept
+    // tokens minus the overflowing last doc fit the budget, and no
+    // dropped doc could have been taken without first taking a kept one
+    val out = graft.queries.TrainQueries.op99TokenBudget(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val budget = rows.head._5
+      assert(rows.forall(_._4 < budget), s"$src kept a doc at/after budget")
+      val sorted = rows.sortBy(_._4)
+      // tok_before chains: each row's tok_before = previous sum
+      sorted.foldLeft(0L) { case (acc, (_, _, nTok, tokBefore, _)) =>
+        assert(tokBefore == acc, s"$src cumsum broke at $tokBefore != $acc")
+        acc + nTok
+      }
+      // the fill is maximal: if the kept tokens end under budget, the
+      // next doc would also have qualified — so the source must be
+      // exhausted (otherwise the prefix wasn't maximal)
+      val total = sorted.map(_._3).sum
+      val nDocs = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("source") === src).count()
+      assert(total >= budget || rows.length == nDocs,
+        s"$src under-filled: $total of ${budget} with more docs available")
+    }
+    // rerun-stable
+    val again = graft.queries.TrainQueries.op99TokenBudget(spark, sfDir)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(again == out.map(_._1).toSeq)
+  }
+
   test("quality gate: flags match a driver-side reimplementation, plan has no shuffle") {
     val out = graft.queries.TrainQueries.op90QualityGate(spark, sfDir)
       .collect()
