@@ -275,10 +275,17 @@ object Dedup {
     * base hash must stay md5-60, never a JVM-private or xxhash64 hash.
     */
   def minhashSignatureFast(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    minhashSignatureFastFromIndex(shingleIndex(df, idCol, textCol), k)
+
+  /** [[minhashSignatureFast]] over a prebuilt raw-string (doc_id,
+    * shingle) index — lets callers that also need the index for exact
+    * verification ([[survivorsMinhash]]) shingle the corpus ONCE. */
+  private def minhashSignatureFastFromIndex(index: DataFrame,
       k: Int): DataFrame = {
     // md5-60 base hash (NOT xxhash64): signature values are oracle-checked,
     // so the hash must be replayable in SQL on the raw shingle strings
-    val index = shingleIndex(df, idCol, textCol)
+    val h = index
       .withColumn("h", TextOps.md5Hash60(col("shingle")))
       .withColumn("h1", (col("h") % 1073741824L).cast("bigint"))
       .withColumn("h2", expr("(h div 1073741824) % 1073741824"))
@@ -286,14 +293,18 @@ object Dedup {
       min((col("h1") * (2 * i + 1) + col("h2")) % 2147483648L)
         .cast("bigint").as(f"sig_$i%02d")
     }
-    index.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate pairs from LSH band collisions (a<b, distinct). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, r: Int = 4): DataFrame = {
+      k: Int = 16, r: Int = 4): DataFrame =
+    minhashCandidatesFromIndex(shingleIndex(df, idCol, textCol), k, r)
+
+  private def minhashCandidatesFromIndex(index: DataFrame, k: Int,
+      r: Int): DataFrame = {
     // band table is tiny (docs × k/r rows) and self-joined — materialize
-    val bands = lshBands(minhashSignatureFast(df, idCol, textCol, k), k, r)
+    val bands = lshBands(minhashSignatureFastFromIndex(index, k), k, r)
       .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
@@ -318,11 +329,15 @@ object Dedup {
     * candidate set, verified overlap) replays exactly in SQL. */
   def survivorsMinhash(df: DataFrame, idCol: String, textCol: String,
       minBp: Long, k: Int = 16, r: Int = 4): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, k, r)
-    // exact verification over the hashed inverted index (internal key —
-    // overlap counts are hash-agnostic); materialized: feeds both join
-    // sides and the per-doc counts
-    val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
+    // shingle the corpus ONCE: the raw-string index feeds the minhash
+    // signatures (which need md5 on raw shingles — oracle-replayable)
+    // AND, re-keyed by xxhash64, the exact verification joins (internal
+    // key — overlap counts are hash-agnostic, and 8-byte longs beat
+    // ~30-byte strings through every downstream shuffle)
+    val raw = shingleIndex(df, idCol, textCol).localCheckpoint()
+    val cand = minhashCandidatesFromIndex(raw, k, r)
+    val index = raw.select(col("doc_id"),
+      xxhash64(col("shingle")).as("shingle"))
     val counts = shingleCounts(index)
     val ia = index.select(col("doc_id").as("doc_a"), col("shingle"))
     val ib = index.select(col("doc_id").as("doc_b"), col("shingle"))
