@@ -305,6 +305,25 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** The third leg under the hash gate: [[graft.streaming.StreamingAnn
+    * .pqAdcProbeStream]] drained the same way. The streaming PQ probe is
+    * PURE asymmetric distance computation (the exact rerank is a join
+    * after the aggregation — forbidden in a stream), so its oracle is
+    * op83's replay STOPPED at the approximate distances: top-5 by
+    * (d2, vec_id), score published as −d2. With this, ALL THREE online
+    * ANN probes hash-check under real streaming execution. */
+  val op100StreamPqAdc: Q = (s, d) => {
+    import graft.streaming.StreamingAnn
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "pq_m8_c16_l1")
+    buildIndexIfAbsent(dir, "vectors")(
+      Similarity.pqIndexWrite(emb, _, m = 8, nCents = 16, lloydIters = 1))
+    ordered(StreamingAnn.explodeTopK(
+        drainQueryVecStream(s, d, "op100",
+          StreamingAnn.pqAdcProbeStream(_, dir, 5)), "neg_d2"),
+      "q_id", "rank")
+  }
+
   /** Shared drain for the streaming ANN probe queries: file-source
     * stream of the fixture query vectors (vec_id < 8) → `probe` →
     * memory sink, Trigger.AvailableNow — one replay carries every query
@@ -889,6 +908,7 @@ object TrainQueries {
     "op86_lsh_probe" -> op86LshProbe,
     "op96_stream_ivf_probe" -> op96StreamIvfProbe,
     "op97_stream_lsh_probe" -> op97StreamLshProbe,
+    "op100_stream_pq_adc" -> op100StreamPqAdc,
     "op87_pack_sequences" -> op87PackSequences,
     "op88_mixture" -> op88Mixture,
     "op89_mixture_cutoff" -> op89MixtureCutoff,
@@ -991,6 +1011,88 @@ object TrainQueries {
       |             ${ivfCosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
       |             ct.cent_id) AS rn
       |    FROM n nn, c2 ct) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared DuckDB replay of the PQ machinery through the ADC
+    * approximate distances — exact replay of normalize + subspace Lloyd
+    * + ADC: unit-normalize in integers (floor(v·1e6/‖v‖) from identical
+    * integer sums — IEEE-exact), slice 8 subspaces, one unrolled Lloyd
+    * pass per subspace (argmin of integer L2², trunc-division means),
+    * per-(query, vector) summed partial distances. op83/op85 continue
+    * with the 50-wide shortlist + exact rerank on the raw quantized
+    * vectors; op100 (the streaming ADC probe, which cannot rerank)
+    * stops at `approx`. Ends with CTEs `n` (raw quantized + norms) and
+    * `approx` (q_id, vec_id, d2). */
+  private lazy val pqAdcCtes: String = {
+    val dot8 = (a: String, b: String) =>
+      s"CAST(list_sum([$a[i+1] * $b[i+1] FOR i IN range(8)]) AS BIGINT)"
+    val subSelects = (0 until 8).map { j =>
+      s"SELECT vec_id, $j AS sub_j, nv[${j * 8 + 1}:${j * 8 + 8}] AS svec FROM norm"
+    }.mkString("\n|  UNION ALL ")
+    val sumCols8 = (0 until 8).map(i => s"sum(svec[${i + 1}]) AS s$i")
+      .mkString(", ")
+    val meanList8 = (0 until 8).map(i =>
+      s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
+    s"""q0 AS (
+      |  SELECT vec_id,
+      |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+      |          FOR i IN range(64)] AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
+      |      FROM q0),
+      |norm AS (
+      |  SELECT vec_id,
+      |         CASE WHEN n2 = 0 THEN v
+      |              ELSE [CAST(floor(CAST(v[i+1] AS DOUBLE) * 1000000
+      |                         / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)
+      |                    FOR i IN range(64)] END AS nv
+      |  FROM n),
+      |sub0 AS (
+      |  $subSelects),
+      |sub AS (SELECT vec_id, sub_j, svec,
+      |          CAST(list_sum([svec[i+1] * svec[i+1] FOR i IN range(8)]) AS BIGINT) AS s2
+      |        FROM sub0),
+      |c0 AS (
+      |  SELECT sub_j,
+      |         CAST(row_number() OVER (PARTITION BY sub_j ORDER BY vec_id) - 1 AS BIGINT) AS code,
+      |         svec AS cent_vec, s2 AS cent_n2
+      |  FROM sub
+      |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |a1 AS (
+      |  SELECT vec_id, sub_j, svec, code FROM (
+      |    SELECT s.vec_id, s.sub_j, s.svec, ct.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
+      |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
+      |             ct.code) AS rn
+      |    FROM sub s JOIN c0 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
+      |m1 AS (SELECT sub_j, code, count(*) AS cnt, $sumCols8 FROM a1 GROUP BY sub_j, code),
+      |mm1 AS (SELECT sub_j, code, $meanList8 AS cent_vec FROM m1),
+      |c1 AS (
+      |  SELECT sub_j, code, cent_vec,
+      |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(8)]) AS BIGINT) AS cent_n2
+      |  FROM mm1
+      |  UNION ALL
+      |  SELECT c0.sub_j, c0.code, c0.cent_vec, c0.cent_n2 FROM c0
+      |  WHERE NOT EXISTS (SELECT 1 FROM mm1
+      |                    WHERE mm1.sub_j = c0.sub_j AND mm1.code = c0.code)),
+      |codes AS (
+      |  SELECT vec_id, sub_j, code FROM (
+      |    SELECT s.vec_id, s.sub_j, ct.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
+      |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
+      |             ct.code) AS rn
+      |    FROM sub s JOIN c1 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
+      |adc AS (
+      |  SELECT s.vec_id AS q_id, s.sub_j, ct.code,
+      |         s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2 AS pd2
+      |  FROM sub s JOIN c1 ct ON s.sub_j = ct.sub_j
+      |  WHERE s.vec_id < 8),
+      |approx AS (
+      |  SELECT adc.q_id, codes.vec_id, CAST(sum(adc.pd2) AS BIGINT) AS d2
+      |  FROM codes JOIN adc ON codes.sub_j = adc.sub_j AND codes.code = adc.code
+      |  WHERE adc.q_id <> codes.vec_id
+      |  GROUP BY adc.q_id, codes.vec_id)""".stripMargin
   }
 
   private val trigramSql =
@@ -1096,87 +1198,12 @@ object TrainQueries {
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "op83_pq_ann" -> {
-      // exact replay of PQ + ADC + rerank: unit-normalize in integers
-      // (floor(v·1e6/‖v‖) from identical integer sums — IEEE-exact),
-      // slice 8 subspaces, one unrolled Lloyd pass per subspace
-      // (argmin of integer L2², trunc-division means), ADC partial
-      // distances, 50-wide shortlist, exact rerank on the RAW quantized
-      // vectors. Integer arithmetic end-to-end except the IEEE-identical
-      // sqrt/divide steps.
-      val dot8 = (a: String, b: String) =>
-        s"CAST(list_sum([$a[i+1] * $b[i+1] FOR i IN range(8)]) AS BIGINT)"
-      val subSelects = (0 until 8).map { j =>
-        s"SELECT vec_id, $j AS sub_j, nv[${j * 8 + 1}:${j * 8 + 8}] AS svec FROM norm"
-      }.mkString("\n|  UNION ALL ")
-      val sumCols8 = (0 until 8).map(i => s"sum(svec[${i + 1}]) AS s$i")
-        .mkString(", ")
-      val meanList8 = (0 until 8).map(i =>
-        s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
       val cosRaw =
         s"""CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
           |ELSE CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
           |     / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) * 10000) AS BIGINT) END"""
           .stripMargin.replace("\n", " ")
-      s"""WITH q0 AS (
-        |  SELECT vec_id,
-        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-        |          FOR i IN range(64)] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
-        |      FROM q0),
-        |norm AS (
-        |  SELECT vec_id,
-        |         CASE WHEN n2 = 0 THEN v
-        |              ELSE [CAST(floor(CAST(v[i+1] AS DOUBLE) * 1000000
-        |                         / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)
-        |                    FOR i IN range(64)] END AS nv
-        |  FROM n),
-        |sub0 AS (
-        |  $subSelects),
-        |sub AS (SELECT vec_id, sub_j, svec,
-        |          CAST(list_sum([svec[i+1] * svec[i+1] FOR i IN range(8)]) AS BIGINT) AS s2
-        |        FROM sub0),
-        |c0 AS (
-        |  SELECT sub_j,
-        |         CAST(row_number() OVER (PARTITION BY sub_j ORDER BY vec_id) - 1 AS BIGINT) AS code,
-        |         svec AS cent_vec, s2 AS cent_n2
-        |  FROM sub
-        |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |a1 AS (
-        |  SELECT vec_id, sub_j, svec, code FROM (
-        |    SELECT s.vec_id, s.sub_j, s.svec, ct.code,
-        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
-        |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
-        |             ct.code) AS rn
-        |    FROM sub s JOIN c0 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
-        |m1 AS (SELECT sub_j, code, count(*) AS cnt, $sumCols8 FROM a1 GROUP BY sub_j, code),
-        |mm1 AS (SELECT sub_j, code, $meanList8 AS cent_vec FROM m1),
-        |c1 AS (
-        |  SELECT sub_j, code, cent_vec,
-        |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(8)]) AS BIGINT) AS cent_n2
-        |  FROM mm1
-        |  UNION ALL
-        |  SELECT c0.sub_j, c0.code, c0.cent_vec, c0.cent_n2 FROM c0
-        |  WHERE NOT EXISTS (SELECT 1 FROM mm1
-        |                    WHERE mm1.sub_j = c0.sub_j AND mm1.code = c0.code)),
-        |codes AS (
-        |  SELECT vec_id, sub_j, code FROM (
-        |    SELECT s.vec_id, s.sub_j, ct.code,
-        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
-        |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
-        |             ct.code) AS rn
-        |    FROM sub s JOIN c1 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
-        |adc AS (
-        |  SELECT s.vec_id AS q_id, s.sub_j, ct.code,
-        |         s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2 AS pd2
-        |  FROM sub s JOIN c1 ct ON s.sub_j = ct.sub_j
-        |  WHERE s.vec_id < 8),
-        |approx AS (
-        |  SELECT adc.q_id, codes.vec_id, CAST(sum(adc.pd2) AS BIGINT) AS d2
-        |  FROM codes JOIN adc ON codes.sub_j = adc.sub_j AND codes.code = adc.code
-        |  WHERE adc.q_id <> codes.vec_id
-        |  GROUP BY adc.q_id, codes.vec_id),
+      s"""WITH $pqAdcCtes,
         |short AS (
         |  SELECT q_id, vec_id AS n_id FROM (
         |    SELECT q_id, vec_id,
@@ -1192,6 +1219,17 @@ object TrainQueries {
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
+    "op100_stream_pq_adc" ->
+      // the streaming PQ probe is PURE ADC (rerank is a join after the
+      // aggregation — forbidden in a stream), so its oracle is the same
+      // replay STOPPED at the approx distances: top-5 by (d2, vec_id),
+      // score published as −d2
+      s"""WITH $pqAdcCtes
+        |SELECT q_id, n_id, neg_d2, rank FROM (
+        |  SELECT q_id, vec_id AS n_id, CAST(-d2 AS BIGINT) AS neg_d2,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS BIGINT) AS rank
+        |  FROM approx)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "op69_ann_ivf" -> {
       val cosTo = ivfCosTo
       s"""WITH $ivfCellCtes,
