@@ -110,6 +110,60 @@ object TrainQueries {
     ordered(Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 9500L),
       "a_id", "b_id")
 
+  /** Cross-modal paraphrase mining — the two fixture tables share ids
+    * (embedding i embeds document i), so the embedding near-dup miner
+    * and the text verifier COMPOSE: mine candidate pairs with op66's
+    * production shape ([[Similarity.nearDupPairsLsh]], 12-bit × 8-table
+    * sign-LSH buckets) at a paraphrase-level 2500 bp threshold, then
+    * classify each pair by its exact text trigram Jaccard — ≥ 70%
+    * lexical duplicate (crawl mirror / boilerplate), below that a
+    * SEMANTIC-only match (paraphrase class, invisible to every n-gram
+    * dedup pass). The report that tells a curation pipeline how much of
+    * its semantic duplication lexical dedup already catches.
+    *
+    * Scale: candidate volume is bucket-bounded (op66's shape); the
+    * Jaccard verification joins the shingle index on the CANDIDATE
+    * pairs only (op98's verification shape) — nothing quadratic
+    * anywhere. Hash-checked end-to-end: the oracle replays the 12-bit
+    * plane buckets (first NON-VACUOUS check of the bucket-pair miner —
+    * op66's brute-force twin oracle holds vacuously at its 9500 bp
+    * production threshold, where the fixture has no pairs) plus the
+    * candidate-restricted overlap. Recall below ~60° is the documented
+    * LSH trade (the oracle replays the same buckets, so the check is
+    * exact regardless). */
+  val op101ParaphraseMine: Q = (s, d) => {
+    val pairs = Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 2500L)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"), col("cos_bp"))
+    val index = Dedup.shingleIndexHashed(Tables.documents(s, d),
+      "doc_id", "text").localCheckpoint()
+    val counts = Dedup.shingleCounts(index)
+    val ia = index.select(col("doc_id").as("doc_a"), col("shingle"))
+    val ib = index.select(col("doc_id").as("doc_b"), col("shingle"))
+    val overlap = pairs.select(col("doc_a"), col("doc_b"))
+      .join(ia, "doc_a")
+      .join(ib, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("overlap"))
+    ordered(
+      pairs
+        .join(overlap, Seq("doc_a", "doc_b"), "left")
+        .join(counts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"), "left")
+        .join(counts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"), "left")
+        // no shared shingle (or an under-3-token doc) ⇒ jaccard 0
+        .withColumn("jaccard_bp",
+          coalesce((col("overlap") * 10000L /
+              (col("n_a") + col("n_b") - col("overlap"))).cast("bigint"),
+            lit(0L)))
+        .withColumn("kind",
+          when(col("jaccard_bp") >= 7000L, lit("lexical"))
+            .otherwise(lit("semantic")))
+        .select(col("doc_a"), col("doc_b"), col("cos_bp"),
+          col("jaccard_bp"), col("kind")),
+      "doc_a", "doc_b")
+  }
+
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 8. */
   val op67KnnBrute: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -909,6 +963,7 @@ object TrainQueries {
     "op96_stream_ivf_probe" -> op96StreamIvfProbe,
     "op97_stream_lsh_probe" -> op97StreamLshProbe,
     "op100_stream_pq_adc" -> op100StreamPqAdc,
+    "op101_paraphrase_mine" -> op101ParaphraseMine,
     "op87_pack_sequences" -> op87PackSequences,
     "op88_mixture" -> op88Mixture,
     "op89_mixture_cutoff" -> op89MixtureCutoff,
@@ -1413,6 +1468,63 @@ object TrainQueries {
         |SELECT doc_id,
         |       CAST($fpExpr AS BIGINT) AS simhash
         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "op101_paraphrase_mine" -> {
+      // exact replay of the 12-bit × 8-table sign-LSH bucket-pair miner
+      // (same md5-seeded quantized planes inlined as literals — the
+      // op68 generator at op66's near-dup geometry) + cosine filter at
+      // 2500 bp + candidate-restricted trigram-overlap classification
+      val tables = (0 until 8).map { t =>
+        val planes = graft.functions.Similarity.hyperplanes(12, 64, t)
+          .map(_.map(w => math.floor(w * 1000000d).toLong))
+        val bits = planes.zipWithIndex.map { case (w, b) =>
+          val lst = w.mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum([v[i+1] * ($lst)[i+1] FOR i IN range(64)]) >= 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString("\n|      + ")
+        s"""SELECT vec_id, $t AS tbl,
+          |      $bits AS bucket
+          |    FROM qv""".stripMargin
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH qv AS (
+        |  SELECT vec_id,
+        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |          FOR i IN range(64)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
+        |      FROM qv),
+        |bk AS (
+        |  $tables),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS doc_a, r.vec_id AS doc_b
+        |  FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket
+        |  WHERE l.vec_id < r.vec_id),
+        |p AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+        |                   / (sqrt(a.n2) * sqrt(b.n2)) * 10000) AS BIGINT) END AS cos_bp
+        |  FROM cand JOIN n a ON cand.doc_a = a.vec_id
+        |            JOIN n b ON cand.doc_b = b.vec_id),
+        |pf AS (SELECT * FROM p WHERE cos_bp >= 2500),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT pf.doc_a, pf.doc_b, count(*) AS overlap
+        |       FROM pf JOIN sh a ON a.doc_id = pf.doc_a
+        |               JOIN sh b ON b.doc_id = pf.doc_b
+        |                        AND b.shingle = a.shingle
+        |       GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pf.doc_a, pf.doc_b, pf.cos_bp,
+        |         CAST(coalesce(ov.overlap * 10000
+        |           // (ca.n_sh + cb.n_sh - ov.overlap), 0) AS BIGINT) AS jaccard_bp
+        |  FROM pf LEFT JOIN ov ON pf.doc_a = ov.doc_a AND pf.doc_b = ov.doc_b
+        |          LEFT JOIN cnt ca ON pf.doc_a = ca.doc_id
+        |          LEFT JOIN cnt cb ON pf.doc_b = cb.doc_id)
+        |SELECT doc_a, doc_b, cos_bp, jaccard_bp,
+        |       CASE WHEN jaccard_bp >= 7000 THEN 'lexical'
+        |            ELSE 'semantic' END AS kind
+        |FROM j ORDER BY doc_a, doc_b""".stripMargin
     },
     "op66_embed_dup" ->
       """WITH q AS (

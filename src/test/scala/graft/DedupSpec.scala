@@ -221,6 +221,37 @@ class DedupSpec extends SparkSpec {
     assert(num == str)
   }
 
+  test("paraphrase mining: per-pair jaccard and kind match a driver-side recompute") {
+    // the cross-modal composition (op101): every emitted pair passed the
+    // embedding cosine gate, and its text-side classification must equal
+    // an independent driver-side trigram-jaccard computation on the two
+    // documents — the half of the contract the bucket-replay oracle
+    // shares machinery with (this recompute shares none)
+    import graft.sources.Tables
+    val out = graft.queries.TrainQueries.op101ParaphraseMine(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4))))
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    out.foreach { case ((a, b), (cos, j, kind)) =>
+      assert(a < b && cos >= 2500L)
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val inter = (sa & sb).size.toLong
+      val uni = sa.size + sb.size - inter
+      val expect = if (uni == 0) 0L else inter * 10000L / uni
+      assert(j == expect, s"pair ($a,$b) jaccard $j != recomputed $expect")
+      assert(kind == (if (j >= 7000L) "lexical" else "semantic"))
+    }
+    // the fixture corpus is random word soup: semantic-only pairs must
+    // dominate (a lexical dup at cos>=0.25 would mean planted mirrors)
+    assert(out.count(_._2._3 == "semantic") > 0)
+  }
+
   test("source overlap matrix equals the per-source fold of the op61 pairs") {
     val pairs = graft.queries.TrainQueries.op61DedupNgram(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
