@@ -88,17 +88,25 @@ object Bench {
     // ≥2× slower AND ≥0.3 s absolute growth = a regression, surfaced
     // in-round instead of at judgment
     val prev: Map[String, Double] = {
+      val re = """\\?"(op[a-z0-9_]+)\\?":(-?\d+(?:\.\d+)?)""".r
+      def parse(f: java.io.File): Map[String, Double] = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
       val files = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      files.lastOption.map { f =>
-        val txt = {
-          val src = scala.io.Source.fromFile(f, "UTF-8")
-          try src.mkString finally src.close()
-        }
-        val re = """\\?"(op[a-z0-9_]+)\\?":(-?\d+(?:\.\d+)?)""".r
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      val fromRound = files.lastOption.map(parse).getOrElse(Map.empty)
+      // the driver wrapper truncates its stdout capture, losing the head
+      // of the per-query map — backfill those entries from the complete
+      // BENCH_FULL.json (written by full-suite runs only), round entries
+      // winning where both exist
+      val full = new java.io.File("BENCH_FULL.json")
+      val fromFull =
+        if (full.isFile) parse(full).filter(_ => fromRound.nonEmpty)
+        else Map.empty[String, Double]
+      fromFull ++ fromRound
     }
     // normalize out machine-speed drift: if THIS box is uniformly 1.5×
     // slower than the previous round's, every query's ratio shifts by
@@ -132,12 +140,15 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     println(line)
     // the driver wrapper truncates long stdout ("tail") — persist the
-    // complete per-query map so every round artifact carries all entries
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] BENCH_FULL.json write skipped: $e")
-    }
+    // complete per-query map so every round artifact carries all
+    // entries. Full-suite runs only: a restricted local run would
+    // overwrite the complete map with a partial one
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_FULL.json write skipped: $e")
+      }
     spark.stop()
   }
 }

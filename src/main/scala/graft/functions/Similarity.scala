@@ -642,8 +642,21 @@ object Similarity {
     val (cents, codes, nv) = pqIndexFrames(corpus, m, nCents, lloydIters, dim)
     cents.write.mode("overwrite").parquet(s"$dir/codebook")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
+    // the SERVING layout: one m-element code array per vector (the
+    // 4-byte representation PQ exists for) — what the streaming ADC
+    // probe joins every micro-batch, persisted so no consumer ever
+    // re-packs (the row form above stays for the batch probe's
+    // (sub_j, code) equi-join and the oracle's replay)
+    packedCodes(codes).write.mode("overwrite").parquet(s"$dir/codes_packed")
     nv.write.mode("overwrite").parquet(s"$dir/vectors")
   }
+
+  /** (vec_id, sub_j, code) rows → (n_id, codes array in sub_j order). */
+  private[graft] def packedCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"))
+      .select(col("vec_id").as("n_id"),
+        transform(col("sc"), s => s.getField("code")).as("codes"))
 
   /** Append new vectors to a persisted PQ index WITHOUT retraining:
     * encode them against the EXISTING codebook (m and subDim are read
@@ -662,8 +675,9 @@ object Similarity {
     val m = geo.getInt(0) + 1
     val subDim = geo.getInt(1)
     val sv = subVectorTable(newVecs, m, subDim)
-    pqEncode(sv, cents)
-      .write.mode("append").parquet(s"$dir/codes")
+    val newCodes = pqEncode(sv, cents).localCheckpoint()
+    newCodes.write.mode("append").parquet(s"$dir/codes")
+    packedCodes(newCodes).write.mode("append").parquet(s"$dir/codes_packed")
     newVecs.select(col("vec_id").as("n_id"),
         quantize(col("embedding")).as("n_vec"))
       .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))

@@ -365,7 +365,15 @@ object TrainQueries {
     * after the aggregation — forbidden in a stream), so its oracle is
     * op83's replay STOPPED at the approximate distances: top-5 by
     * (d2, vec_id), score published as −d2. With this, ALL THREE online
-    * ANN probes hash-check under real streaming execution. */
+    * ANN probes hash-check under real streaming execution.
+    *
+    * Bench note: the measured time is dominated by per-INVOCATION
+    * stream construction — codegen of the inlined-codebook partial-
+    * distance projection (m×nCents dot-product literals) plus query
+    * start — which a real serving deployment pays once per stream, not
+    * per batch; the per-batch marginal cost is the packed-codes join
+    * (the codes_packed table is the persisted serving layout, so
+    * nothing re-packs). */
   val op100StreamPqAdc: Q = (s, d) => {
     import graft.streaming.StreamingAnn
     val emb = Tables.embeddings(s, d)

@@ -121,18 +121,17 @@ object StreamingAnn {
         }: _*).as(s"pd2_$j")
       }: _*)
 
-    // packed codes: one array of m codes per stored vector, sub_j order.
-    // Materialized at stream build — a stream-static join re-executes
-    // its static side every micro-batch, and this re-pack is a full
-    // groupBy shuffle over the stored index (batch-invariant, so paying
-    // it once is strictly right; at scale the packed layout IS the
-    // stored one and this step disappears)
-    val codes = spark.read.parquet(s"$dir/codes")
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"))
-      .select(col("vec_id").as("n_id"),
-        transform(col("sc"), s => s.getField("code")).as("codes"))
-      .localCheckpoint()
+    // packed codes: one array of m codes per stored vector, sub_j order
+    // — the PERSISTED serving layout (pqIndexWrite writes it alongside
+    // the row form). Indexes written before codes_packed existed fall
+    // back to packing once at stream build (materialized — a
+    // stream-static join re-executes its static side every micro-batch)
+    val packedDir = new java.io.File(s"$dir/codes_packed")
+    val codes =
+      if (packedDir.isDirectory && new java.io.File(packedDir, "_SUCCESS").isFile)
+        spark.read.parquet(packedDir.getPath)
+      else Similarity.packedCodes(spark.read.parquet(s"$dir/codes"))
+        .localCheckpoint()
 
     val d2 = (0 until m).map(j =>
       element_at(col(s"pd2_$j"),
