@@ -48,6 +48,17 @@ object TrainQueries {
       Dedup.jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", 7000L),
       "doc_a", "doc_b")
 
+  /** Same pairs with the SPELLING CHOSEN FROM CORPUS STATISTICS
+    * ([[Dedup.jaccardPairsAuto]] — one planning scalar decides between
+    * the inverted-index join and prefix filtering, the operator-
+    * selection analog of AQE's runtime stats): both spellings are
+    * result-identical, so cost-based planning itself runs under the
+    * hash gate via op61-prefix's uncapped oracle. */
+  val op61DedupNgramAuto: Q = (s, d) =>
+    ordered(
+      Dedup.jaccardPairsAuto(Tables.documents(s, d), "doc_id", "text", 7000L),
+      "doc_a", "doc_b")
+
   /** MinHash signatures (k=8) via the Kirsch-Mitzenmacher construction:
     * ONE md5 per shingle (vs k in the per-permutation spelling), the k
     * permutations are affine combinations of its two 30-bit halves —
@@ -392,7 +403,11 @@ object TrainQueries {
     * in a single trigger, so the emitted top-k equals the batch probe
     * exactly. The file streaming source lists a directory, so the
     * single fixture file is exposed through a temp dir of symlinks
-    * (the op51 recipe). */
+    * (the op51 recipe). Bench note: each invocation constructs and
+    * starts a FRESH stream, so the measured time is mostly query
+    * start + plan codegen — a real serving deployment pays that once
+    * per stream, and the per-batch marginal cost is the pruned
+    * stream-static join. */
   private def drainQueryVecStream(s: SparkSession, d: String, tag: String,
       probe: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -954,6 +969,7 @@ object TrainQueries {
     "op60_dedup_exact" -> op60DedupExact,
     "op61_dedup_ngram" -> op61DedupNgram,
     "op61_dedup_ngram_prefix" -> op61DedupNgramPrefix,
+    "op61_dedup_ngram_auto" -> op61DedupNgramAuto,
     "op62_minhash_sig" -> op62MinhashSig,
     "op63_minhash_pairs" -> op63MinhashPairs,
     "op64_dedup_survivors" -> op64DedupSurvivors,
@@ -1861,6 +1877,9 @@ object TrainQueries {
     * results, and therefore the oracles, identical to their end-to-end
     * build-per-run twins. */
   val oracle: Map[String, String] = baseOracle ++ Map(
+    // both exact-jaccard spellings are result-identical, so the
+    // cost-chosen one shares the uncapped prefix oracle
+    "op61_dedup_ngram_auto" -> baseOracle("op61_dedup_ngram_prefix"),
     "op84_ivf_probe" -> baseOracle("op69_ann_ivf"),
     "op85_pq_probe" -> baseOracle("op83_pq_ann"),
     "op86_lsh_probe" -> baseOracle("op68_ann_lsh"),
