@@ -470,6 +470,60 @@ object Dedup {
           .otherwise(lit("test")))
   }
 
+  /** Duplicate-SPAN scrubbing — sub-document dedup, the fixed-granularity
+    * spelling of exact-substring dedup (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"; CCNet's repeated-
+    * paragraph removal): whole-doc dedup misses the boilerplate
+    * (headers, license blocks, navigation chrome) that repeats INSIDE
+    * otherwise-unique documents. Each document tiles into non-overlapping
+    * `spanTokens`-token spans (last span may be short; empty docs yield
+    * one empty span, so every input row survives to the output); a span
+    * whose text occurs in ≥ `minDocs` DISTINCT documents is scrubbed,
+    * and the kept spans reassemble in order. Output: (doc_id, n_spans,
+    * n_scrubbed, text_clean) — a fully-scrubbed document keeps its row
+    * with empty text.
+    *
+    * Scale shape: one posexplode (rows ≈ corpus tokens / spanTokens),
+    * the hot-span table via distinct (doc,span-hash) pairs → count ≥
+    * minDocs (both map-side-partial shuffles on the span hash), a left
+    * join of spans to that table (build side is the boilerplate set —
+    * small in practice, AQE broadcasts it from runtime stats; no hint
+    * because it is not a priori bounded), and one reassembly groupBy
+    * keyed by doc (state bounded by a single document). No all-pairs
+    * anything: cost is linear in corpus tokens at any scale. Spans key
+    * by xxhash64 in the joins (8 bytes moves instead of the span text)
+    * — the same collision-accepted trade as [[shingleIndexHashed]],
+    * which the string-keyed DuckDB oracle cross-checks at test scale. */
+  def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Long): DataFrame = {
+    require(spanTokens > 0 && minDocs >= 2, "need spanTokens>0, minDocs>=2")
+    val k = spanTokens
+    // ceil(n/k) spans, at least 1: floor on doubles is exact for any
+    // realistic token count (< 2^53), and `/` on int columns is double
+    val nSpans = greatest(
+      floor((size(col("__toks")) + (k - 1)) / k).cast("int"), lit(1))
+    val spansArr = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(col("__toks"), i * k + 1, lit(k)), " "))
+    val spans = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), posexplode(spansArr).as(Seq("pos", "span")))
+      .withColumn("h", xxhash64(col("span")))
+    val hot = spans.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(true).as("__dup"))
+    spans.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_spans"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_scrubbed"),
+        // collect_list skips nulls, so only kept spans enter; struct
+        // sorts by its first field (pos), restoring document order
+        array_join(transform(array_sort(collect_list(
+            when(col("__dup").isNull, struct(col("pos"), col("span"))))),
+          x => x.getField("span")), " ").as("text_clean"))
+  }
+
   def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))

@@ -632,6 +632,51 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** op82 in the regime where the held-out set does NOT broadcast — the
+    * 100 TB decontamination spelling. A benchmark suite of ~10⁹ n-grams
+    * is ~50 GB as joinable rows (too big for a broadcast) but ~1.2 GB
+    * as a Bloom filter at 10 bits/key, so: build the filter over the
+    * bench shingles (map-side-partial aggregate — one filter per task
+    * moves, no rows), prefilter the train side per-row (codegen'd
+    * might-contain, zero shuffle, no false negatives), then an exact
+    * shuffle join over the SURVIVORS confirms and counts — bloom false
+    * positives die in the join, so the output is bit-identical to op82
+    * (same oracle). The corpus-side shuffle carries only true hits plus
+    * the fpp fraction instead of every shingle in the corpus. The bench
+    * side is shingled twice (filter build + confirm join) — two passes
+    * over the 2% slice instead of materializing it. */
+  val op102BloomDecontaminate: Q = (s, d) => {
+    val idx = Dedup.shingleIndexHashed(Tables.documents(s, d),
+      "doc_id", "text")
+    val bench = idx.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val bf = graft.functions.Bloom.buildBytes(bench, col("shingle"),
+      1000000L, 8L * 1024 * 1024)
+    val train = idx.filter(col("doc_id") % 50 =!= 0)
+      .filter(graft.functions.Bloom.mightContain(bf, col("shingle")))
+    ordered(
+      train.join(bench, "shingle") // deliberately unhinted: models the
+        // non-broadcastable bench; AQE may still pick broadcast at toy SF
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 8)
+        .groupBy(col("doc_id"))
+        .agg(big(max(col("overlap"))).as("max_overlap"),
+             big(countDistinct(col("bench_id"))).as("n_bench_hits")),
+      "doc_id")
+  }
+
+  /** Sub-document duplicate-span scrubbing (Lee et al. 2022 / CCNet
+    * repeated-paragraph removal at fixed 8-token granularity): spans
+    * occurring in ≥ 2 distinct documents scrub out, kept spans
+    * reassemble in order. See [[Dedup.scrubDuplicateSpans]] for the
+    * linear-in-tokens scale shape. */
+  val op103SpanScrub: Q = (s, d) =>
+    ordered(
+      Dedup.scrubDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        8, 2L),
+      "doc_id")
+
   /** Deterministic sequence packing — concatenate-and-cut context-window
     * packing, the standard LLM training-batch prep: per source,
     * documents concatenate in doc_id order and the token stream is cut
@@ -1009,6 +1054,8 @@ object TrainQueries {
     "op78_lm_score" -> op78LmScore,
     "op79_sample_stratified" -> op79SampleStratified,
     "op82_decontaminate" -> op82Decontaminate,
+    "op102_bloom_decontaminate" -> op102BloomDecontaminate,
+    "op103_span_scrub" -> op103SpanScrub,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -1179,6 +1226,19 @@ object TrainQueries {
       |       string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
       |       FOR i IN range(greatest(len(string_split(text,' ')) - 2, 0))]) AS shingle
       |FROM documents""".stripMargin
+
+  /** Shared by op82 (broadcast regime) and op102 (bloom-prefilter
+    * regime): both compute the same ≥8-shingle benchmark overlap. */
+  private lazy val decontaminateSql =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+      |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+      |t AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+      |ov AS (SELECT t.doc_id, b.bench_id, count(*) AS overlap
+      |       FROM t JOIN b USING (shingle)
+      |       GROUP BY 1, 2 HAVING count(*) >= 8)
+      |SELECT doc_id, CAST(max(overlap) AS BIGINT) AS max_overlap,
+      |       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_hits
+      |FROM ov GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val knnBruteSql =
     """WITH q AS (
@@ -1641,16 +1701,26 @@ object TrainQueries {
         |       array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk,
         |       CAST(least(32, n - i*16) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-    "op82_decontaminate" ->
-      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
-        |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
-        |t AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
-        |ov AS (SELECT t.doc_id, b.bench_id, count(*) AS overlap
-        |       FROM t JOIN b USING (shingle)
-        |       GROUP BY 1, 2 HAVING count(*) >= 8)
-        |SELECT doc_id, CAST(max(overlap) AS BIGINT) AS max_overlap,
-        |       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_hits
-        |FROM ov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "op82_decontaminate" -> decontaminateSql,
+    // op102 is op82 with a bloom PREFILTER + exact confirm — no false
+    // negatives means the result set is identical, so the oracle is too
+    "op102_bloom_decontaminate" -> decontaminateSql,
+    "op103_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |            len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(greatest((n + 7) // 8, 1))) AS i FROM t),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        array_to_string(toks[i*8+1 : i*8+8], ' ') AS span FROM c),
+        |d AS (SELECT span FROM (SELECT span, count(DISTINCT doc_id) AS nd
+        |                        FROM s GROUP BY span) WHERE nd >= 2),
+        |f AS (SELECT s.doc_id, s.pos, s.span, d.span IS NOT NULL AS dup
+        |      FROM s LEFT JOIN d ON s.span = d.span)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+        |  coalesce(string_agg(CASE WHEN NOT dup THEN span END,
+        |                      ' ' ORDER BY pos), '') AS text_clean
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "op88_mixture" ->
       """WITH t AS (
         |  SELECT doc_id, source,
