@@ -76,10 +76,11 @@ object StreamingAnn {
     * ([[graft.functions.Similarity.pqIndexWrite]]) with a STREAMING
     * frame of (vec_id, embedding) query vectors — pure asymmetric
     * distance computation: the codebook (m×nCents rows — bytes) is
-    * collected once at stream build, and each query's partial distance
-    * to every (subspace, code) cell becomes an inline array of
-    * expressions, so a candidate's approximate distance is m array
-    * lookups summed in one per-row projection. Candidates come from a
+    * collected once at stream build and embedded as ONE flat plan
+    * literal; each query row computes its LUT of partial distances to
+    * every (subspace, code) cell in a single transform, and a
+    * candidate's approximate distance is m array lookups summed in one
+    * codegen'd per-row projection. Candidates come from a
     * stream-static join against the PACKED codes table (one m-element
     * code array per stored vector — at scale that packed layout is the
     * stored one: 4 bytes/vector, the point of PQ); the per-query top-k
@@ -109,17 +110,28 @@ object StreamingAnn {
     val slices = q0.select(col("q_id") +:
       (0 until m).map(j =>
         slice(col("q_vec"), j * subDim + 1, subDim).as(s"sv_$j")): _*)
-    val withS2 = slices.select(col("q_id") +:
-      (0 until m).flatMap(j => Seq(col(s"sv_$j"),
-        Similarity.intDot(col(s"sv_$j"), col(s"sv_$j")).as(s"s2_$j"))): _*)
-    val pd2 = withS2.select(col("q_id") +:
-      (0 until m).map { j =>
-        array((0 until nCents).map { c =>
-          val (cvec, cn2) = cb((j, c.toLong))
-          col(s"s2_$j") - lit(2L) *
-            Similarity.intDot(col(s"sv_$j"), typedlit(cvec)) + lit(cn2)
-        }: _*).as(s"pd2_$j")
-      }: _*)
+    val withS2 = slices.select(col("q_id"),
+      array((0 until m).map(j => col(s"sv_$j")): _*).as("svs"),
+      array((0 until m).map(j =>
+        Similarity.intDot(col(s"sv_$j"), col(s"sv_$j"))): _*).as("s2s"))
+    // the whole codebook as ONE plan literal (m·nCents structs, LUT slot
+    // = j·nCents + c) traversed by a single transform — spelling each
+    // cell as its own literal-vector dot product (m·nCents separate
+    // expressions) bloats analysis + codegen enough to dominate the
+    // probe at stream start. The lambda interprets, but only over
+    // m·nCents cells per QUERY row; the per-CANDIDATE path below stays
+    // codegen'd.
+    val cbFlat = (0 until m).flatMap { j =>
+      (0 until nCents).map { c =>
+        val (cvec, cn2) = cb((j, c.toLong)); (j, cvec, cn2)
+      }
+    }
+    val pd2 = withS2.select(col("q_id"),
+      transform(typedlit(cbFlat), e =>
+        element_at(col("s2s"), e.getField("_1") + 1) - lit(2L) *
+          Similarity.intDot(
+            element_at(col("svs"), e.getField("_1") + 1),
+            e.getField("_2")) + e.getField("_3")).as("pd2"))
 
     // packed codes: one array of m codes per stored vector, sub_j order
     // — the PERSISTED serving layout (pqIndexWrite writes it alongside
@@ -134,8 +146,8 @@ object StreamingAnn {
         .localCheckpoint()
 
     val d2 = (0 until m).map(j =>
-      element_at(col(s"pd2_$j"),
-        element_at(col("codes"), j + 1).cast("int") + 1))
+      element_at(col("pd2"),
+        lit(j * nCents) + element_at(col("codes"), j + 1).cast("int") + 1))
       .reduce(_ + _)
     pd2.crossJoin(codes)
       .filter(col("q_id") =!= col("n_id"))
