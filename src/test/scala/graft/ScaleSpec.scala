@@ -249,6 +249,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("op102's bloom prefilter sits below the confirm join (prunes before the shuffle)") {
+    // the 100 TB decontamination claim: the corpus-side shuffle into the
+    // confirm join carries only might-contain survivors. Verify the
+    // optimizer kept the Bloom probe in a Filter with NO join beneath it
+    // — i.e. it runs against the scan side, not over join output.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = graft.queries.TrainQueries.op102BloomDecontaminate(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    val bloomFilters = lp.collect {
+      case f: Filter
+        if f.condition.find(_.isInstanceOf[BloomFilterMightContain]).isDefined => f
+    }
+    assert(bloomFilters.nonEmpty, s"no bloom Filter in plan:\n$lp")
+    bloomFilters.foreach { f =>
+      assert(f.collect { case j: Join => j }.isEmpty,
+        s"bloom prefilter evaluates above a join:\n$f")
+    }
+  }
+
   test("stream-stream join with watermarks + time bound emits matches (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = MemoryStream[(String, String)] // (ad_id, ts)
