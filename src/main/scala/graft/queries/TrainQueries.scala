@@ -434,6 +434,58 @@ object TrainQueries {
     s.table(name)
   }
 
+  /** The incremental cross-run dedup pipeline under the hash gate: a
+    * persisted fingerprint store built from the "previously accepted"
+    * slice (doc_id % 3 == 0; cached in the content-keyed index dir),
+    * the full corpus streamed through [[graft.streaming
+    * .IncrementalDedup.dedupAgainstStoreBloom]] — bloom fast path,
+    * store anti-join for suspects only, in-stream first-occurrence
+    * dedup — via AvailableNow into a memory sink. The query emits the
+    * SET of newly-accepted fingerprints: which duplicate ROW survives
+    * dropDuplicates is arrival-order-dependent, but the fp set is not,
+    * so DuckDB replays it exactly (md5-60 fingerprints minus the
+    * store's). Real streaming execution of the bloom path under the
+    * same hash gate as every batch query. */
+  val op104StreamIncrDedup: Q = (s, d) => {
+    import graft.streaming.IncrementalDedup
+    val dir = indexRoot(d, "fp_store_mod3")
+    buildIndexIfAbsent(dir, "fps") { tmp =>
+      IncrementalDedup.fingerprints(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0), "text")
+        .write.mode("overwrite").parquet(s"$tmp/fps")
+    }
+    ordered(
+      drainDocStream(s, d, "op104", st =>
+        IncrementalDedup.dedupAgainstStoreBloom(st, s"$dir/fps", "text")
+          .select(col("fp"))),
+      "fp")
+  }
+
+  /** [[drainQueryVecStream]]'s twin for the documents table, append
+    * mode (dedup emits rows, not a running aggregate). */
+  private def drainDocStream(s: SparkSession, d: String, tag: String,
+      xform: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val docStream = s.readStream.schema(schema).parquet(streamDir.toString)
+    val name = s"graft_${tag}_${System.nanoTime()}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = xform(docStream).writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+    s.table(name)
+  }
+
   /** Language-ID heuristic: marker-count argmax + the score vector. */
   val op70LangId: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -1056,6 +1108,7 @@ object TrainQueries {
     "op82_decontaminate" -> op82Decontaminate,
     "op102_bloom_decontaminate" -> op102BloomDecontaminate,
     "op103_span_scrub" -> op103SpanScrub,
+    "op104_stream_incr_dedup" -> op104StreamIncrDedup,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -1705,6 +1758,15 @@ object TrainQueries {
     // op102 is op82 with a bloom PREFILTER + exact confirm — no false
     // negatives means the result set is identical, so the oracle is too
     "op102_bloom_decontaminate" -> decontaminateSql,
+    "op104_stream_incr_dedup" ->
+      """WITH fps AS (SELECT DISTINCT
+        |  ('0x' || substring(md5('fp:' || text), 1, 15))::BIGINT AS fp
+        |  FROM documents),
+        |store AS (SELECT DISTINCT
+        |  ('0x' || substring(md5('fp:' || text), 1, 15))::BIGINT AS fp
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT fp FROM fps WHERE fp NOT IN (SELECT fp FROM store)
+        |ORDER BY fp""".stripMargin,
     "op103_span_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |            len(string_split(text, ' ')) AS n FROM documents),

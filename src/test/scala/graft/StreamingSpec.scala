@@ -450,6 +450,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bloom fast-path incremental dedup emits exactly the plain spelling's rows") {
+    // might-contain=false proves absence (those rows bypass the store
+    // anti-join); positives — true hits AND false positives — confirm
+    // against the store. Net: row-identical output, smaller join input.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalDedup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").limit(150).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_bloom_")
+    val store = s"$dir/fps"
+    try {
+      IncrementalDedup.fingerprints(
+          spark.createDataFrame(docs.take(100).toSeq).toDF("doc_id", "text"),
+          "text")
+        .write.mode("overwrite").parquet(store)
+      def run(tag: String,
+          f: (org.apache.spark.sql.DataFrame, String, String) =>
+            org.apache.spark.sql.DataFrame): Seq[Long] = {
+        val in = MemoryStream[(Long, String)]
+        val q = f(in.toDF().toDF("doc_id", "text"), store, "text")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(tag).start()
+        in.addData(docs.drop(50).toSeq :+ docs(120))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(tag).select("doc_id").as[Long].collect().sorted.toSeq
+      }
+      val plain = run("inc_dedup_plain", IncrementalDedup.dedupAgainstStore)
+      val bloom = run("inc_dedup_bloom",
+        IncrementalDedup.dedupAgainstStoreBloom(_, _, _))
+      assert(plain == (100L until 150L).toSeq)
+      assert(bloom == plain)
+      // and against a MISSING store the bloom path bootstraps too
+      val fresh = java.nio.file.Files.createTempDirectory("graft_fp_none_")
+      try {
+        val in = MemoryStream[(Long, String)]
+        val q = IncrementalDedup.dedupAgainstStoreBloom(
+            in.toDF().toDF("doc_id", "text"), s"$fresh/absent", "text")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("inc_dedup_bloom_boot").start()
+        in.addData(docs.take(5).toSeq :+ docs(2))
+        q.processAllAvailable()
+        q.stop()
+        assert(spark.table("inc_dedup_bloom_boot").count() == 5L)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(fresh.toFile).deleteRecursively(): Unit
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("incremental dedup bootstraps when the store does not exist yet") {
     // first-run contract (advisor finding): an absent store dir means
     // "nothing accepted yet", not a stream-build crash — the run dedups
