@@ -273,7 +273,7 @@ object Similarity {
       else probed.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
         case (t, rows) =>
           col("tbl") === t &&
-            col("bucket").isin(rows.map(_.getLong(1)).sorted: _*)
+            col("bucket").isin(rows.map(_.getLong(1)).sorted.toIndexedSeq: _*)
       }.reduceOption(_ || _).map(base.filter).getOrElse(base.limit(0))
     // tbl/bucket are partition directories on disk; restore their types
     val cBuckets = pruned
@@ -677,7 +677,18 @@ object Similarity {
     val sv = subVectorTable(newVecs, m, subDim)
     val newCodes = pqEncode(sv, cents).localCheckpoint()
     newCodes.write.mode("append").parquet(s"$dir/codes")
-    packedCodes(newCodes).write.mode("append").parquet(s"$dir/codes_packed")
+    // keep the serving layout in lockstep: append the increment when the
+    // packed table already exists; a LEGACY dir (codes without
+    // codes_packed) gets a one-time full pack — appending only the
+    // increment there would publish a partial table (with _SUCCESS)
+    // that the streaming ADC probe trusts as complete
+    val packedOk = new org.apache.hadoop.fs.Path(s"$dir/codes_packed/_SUCCESS")
+    val fs = packedOk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(packedOk))
+      packedCodes(newCodes).write.mode("append").parquet(s"$dir/codes_packed")
+    else
+      packedCodes(spark.read.parquet(s"$dir/codes"))
+        .write.mode("overwrite").parquet(s"$dir/codes_packed")
     newVecs.select(col("vec_id").as("n_id"),
         quantize(col("embedding")).as("n_vec"))
       .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))

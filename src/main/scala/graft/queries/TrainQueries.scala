@@ -143,8 +143,11 @@ object TrainQueries {
     * LSH trade (the oracle replays the same buckets, so the check is
     * exact regardless). */
   val op101ParaphraseMine: Q = (s, d) => {
+    // two consumers (the overlap aggregation and the final left join):
+    // without the checkpoint the whole LSH mining pipeline runs twice
     val pairs = Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 2500L)
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"), col("cos_bp"))
+      .localCheckpoint()
     val index = Dedup.shingleIndexHashed(Tables.documents(s, d),
       "doc_id", "text").localCheckpoint()
     val counts = Dedup.shingleCounts(index)
@@ -233,22 +236,33 @@ object TrainQueries {
     * sequential read of the fixture file — microscopic next to the
     * query it guards. Lives under the build's target dir — scratch,
     * not source. */
+  /** Content fingerprints memoized per (dataset, table) for the JVM's
+    * lifetime: the full-file hash is what makes the cache stale-proof
+    * across PROCESSES (in-place regeneration changes the bytes), but
+    * re-hashing on every query invocation would put an O(file-size)
+    * read inside Bench's timed region — within one session the fixture
+    * is immutable, so hash once. */
+  private val contentFp =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   private def indexRoot(d: String, kind: String,
       table: String = "embeddings"): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def stamp(f: java.io.File): Unit =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(stamp)
-      else {
-        md.update(f.getName.getBytes("UTF-8"))
-        val in = new java.io.FileInputStream(f)
-        try {
-          val buf = new Array[Byte](1 << 16)
-          var n = in.read(buf)
-          while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-      }
-    stamp(new java.io.File(s"$d/$table.parquet"))
-    val fp = md.digest().take(8).map(b => f"$b%02x").mkString
+    val fp = contentFp.computeIfAbsent((d, table), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def stamp(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(stamp)
+        else {
+          md.update(f.getName.getBytes("UTF-8"))
+          val in = new java.io.FileInputStream(f)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      stamp(new java.io.File(s"$d/$table.parquet"))
+      md.digest().take(8).map(b => f"$b%02x").mkString
+    })
     s"/root/repo/target/graft_index/v2/${new java.io.File(d).getName}-$table-$fp/$kind"
   }
 
@@ -274,7 +288,9 @@ object TrainQueries {
     val tmp = new java.io.File(
       s"$dir.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     new java.io.File(dir).getParentFile.mkdirs()
-    build(tmp.getPath)
+    // a failed build must not pile up nanoTime-suffixed tmp dirs
+    try build(tmp.getPath)
+    catch { case e: Throwable => rmRf(tmp); throw e }
     if (!tmp.renameTo(new java.io.File(dir))) {
       // rename refused: either a racer published first (keep theirs) or
       // a stale incomplete dir squats on the path (replace it)
@@ -283,6 +299,10 @@ object TrainQueries {
         if (!tmp.renameTo(new java.io.File(dir))) rmRf(tmp)
       } else rmRf(tmp)
     }
+    // the caller is about to read $dir — fail HERE, not with a
+    // missing-path error far from the cause
+    require(indexReady(dir, lastTable),
+      s"index publication failed for $dir (racer left a broken dir?)")
   }
 
   /** IVF probe against a PREBUILT persisted index — the build-once/
@@ -408,31 +428,49 @@ object TrainQueries {
     * start + plan codegen — a real serving deployment pays that once
     * per stream, and the per-batch marginal cost is the pruned
     * stream-static join. */
-  private def drainQueryVecStream(s: SparkSession, d: String, tag: String,
-      probe: DataFrame => DataFrame): DataFrame = {
+  /** Shared drain for the streaming queries: file-source stream of ONE
+    * fixture table (the file source lists a directory, so the fixture
+    * file is exposed through a temp dir of symlinks — the op51 recipe)
+    * → `pipe` → memory sink, Trigger.AvailableNow. Stateful shuffle
+    * width is scoped to the stream (same rationale as
+    * WindowOps.streamedTumbling); symlink cleanup runs in finally so a
+    * failed stream doesn't leak the temp dir; the sink's rows are
+    * lifted out and the temp view dropped, so repeated invocations
+    * (Bench reps) don't pin result sets in the session. */
+  private def drainStream(s: SparkSession, d: String, tag: String,
+      table: String, mode: String, parts: String)(
+      pipe: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val schema = s.read.parquet(s"$d/$table.parquet").schema
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("embeddings.parquet"),
-      java.nio.file.Paths.get(s"$d/embeddings.parquet"))
-    val qStream = s.readStream.schema(schema).parquet(streamDir.toString)
-      .filter(col("vec_id") < 8)
+    val link = streamDir.resolve(s"$table.parquet")
     val name = s"graft_${tag}_${System.nanoTime()}"
-    // the aggregate holds 8 groups: scope stateful shuffle width to the
-    // stream (same rationale as WindowOps.streamedTumbling)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = probe(qStream).writeStream.outputMode("complete")
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/$table.parquet"))
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      val q = pipe(src).writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    java.nio.file.Files.deleteIfExists(streamDir.resolve("embeddings.parquet"))
-    java.nio.file.Files.deleteIfExists(streamDir)
-    s.table(name)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.deleteIfExists(streamDir): Unit
+    }
+    val out = s.table(name)
+    val rows = out.collect()
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
+
+  private def drainQueryVecStream(s: SparkSession, d: String, tag: String,
+      probe: DataFrame => DataFrame): DataFrame =
+    // the aggregate holds 8 groups → 4 shuffle partitions
+    drainStream(s, d, tag, "embeddings", "complete", "4")(st =>
+      probe(st.filter(col("vec_id") < 8)))
 
   /** The incremental cross-run dedup pipeline under the hash gate: a
     * persisted fingerprint store built from the "previously accepted"
@@ -448,7 +486,7 @@ object TrainQueries {
     * same hash gate as every batch query. */
   val op104StreamIncrDedup: Q = (s, d) => {
     import graft.streaming.IncrementalDedup
-    val dir = indexRoot(d, "fp_store_mod3")
+    val dir = indexRoot(d, "fp_store_mod3", table = "documents")
     buildIndexIfAbsent(dir, "fps") { tmp =>
       IncrementalDedup.fingerprints(
           Tables.documents(s, d).filter(col("doc_id") % 3 === 0), "text")
@@ -464,27 +502,8 @@ object TrainQueries {
   /** [[drainQueryVecStream]]'s twin for the documents table, append
     * mode (dedup emits rows, not a running aggregate). */
   private def drainDocStream(s: SparkSession, d: String, tag: String,
-      xform: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$d/documents.parquet"))
-    val docStream = s.readStream.schema(schema).parquet(streamDir.toString)
-    val name = s"graft_${tag}_${System.nanoTime()}"
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = xform(docStream).writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
-    java.nio.file.Files.deleteIfExists(streamDir)
-    s.table(name)
-  }
+      xform: DataFrame => DataFrame): DataFrame =
+    drainStream(s, d, tag, "documents", "append", "8")(xform)
 
   /** Language-ID heuristic: marker-count argmax + the score vector. */
   val op70LangId: Q = (s, d) => {

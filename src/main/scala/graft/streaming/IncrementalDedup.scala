@@ -51,15 +51,25 @@ object IncrementalDedup {
     * fingerprints appended by a concurrent process mid-run are not seen
     * until the stream restarts — the store reflects completed runs, by
     * design (each run appends its own output once, at the end). */
+  /** The store as a frame, bootstrapping an absent dir to empty.
+    * Existence goes through the Hadoop filesystem of the PATH (not
+    * java.io.File, which would silently report any hdfs://-or-s3a://
+    * store as absent and re-admit every accepted doc); the explicit
+    * schema also covers a dir that exists but holds no parquet yet
+    * (inference would throw). */
+  private def storeFrame(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.schema("fp BIGINT").parquet(storeDir).select(col("fp"))
+    else spark.range(0).select(col("id").as("fp"))
+  }
+
   def dedupAgainstStore(stream: DataFrame, storeDir: String,
       textCol: String): DataFrame = {
     val spark = stream.sparkSession
-    // explicit schema: also covers a dir that exists but holds no
-    // parquet yet (inference would throw); a missing dir needs no read
-    val store =
-      if (new java.io.File(storeDir).exists())
-        spark.read.schema("fp BIGINT").parquet(storeDir).select(col("fp"))
-      else spark.range(0).select(col("id").as("fp"))
+    val store = storeFrame(spark, storeDir)
     stream.withColumn("fp", fingerprint(col(textCol)))
       .join(store, Seq("fp"), "left_anti")
       .dropDuplicates("fp")
@@ -83,10 +93,7 @@ object IncrementalDedup {
       textCol: String, expectedItems: Long = 1000000L,
       numBits: Long = 8L * 1024 * 1024): DataFrame = {
     val spark = stream.sparkSession
-    val store =
-      if (new java.io.File(storeDir).exists())
-        spark.read.schema("fp BIGINT").parquet(storeDir).select(col("fp"))
-      else spark.range(0).select(col("id").as("fp"))
+    val store = storeFrame(spark, storeDir)
     val bf = graft.functions.Bloom.buildBytes(store, col("fp"),
       expectedItems, numBits)
     val fp = stream.withColumn("fp", fingerprint(col(textCol)))

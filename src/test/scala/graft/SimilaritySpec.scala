@@ -214,6 +214,19 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqIndexAppend(rest, s"$dir/pq")
       assert(rows(Similarity.pqProbe(queries, s"$dir/pq", 5, shortlist = n))
         == brute, "exhaustive-shortlist probe of the appended PQ index diverged from brute force")
+      assert(spark.read.parquet(s"$dir/pq/codes_packed").count() == n.toLong,
+        "serving layout missing appended vectors")
+      // LEGACY dir (codes without codes_packed): append must publish a
+      // FULL pack, not just the increment — the streaming ADC probe
+      // trusts codes_packed/_SUCCESS as the complete serving layout
+      Similarity.pqIndexWrite(half, s"$dir/pq_legacy")
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/pq_legacy/codes_packed"))
+        .deleteRecursively()
+      Similarity.pqIndexAppend(rest, s"$dir/pq_legacy")
+      assert(
+        spark.read.parquet(s"$dir/pq_legacy/codes_packed").count() == n.toLong,
+        "legacy-dir append published a partial codes_packed table")
 
       Similarity.lshIndexWrite(half, s"$dir/lsh")
       Similarity.lshIndexAppend(rest, s"$dir/lsh")
