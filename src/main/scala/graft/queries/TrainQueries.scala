@@ -178,6 +178,49 @@ object TrainQueries {
       "doc_a", "doc_b")
   }
 
+  /** Telemetry → training text: batch sessionization of the events
+    * stream (30-minute inactivity gap: lag + cumulative-sum window, the
+    * classic batch spelling of op53's streaming session windows) and
+    * assembly of each session's event-type sequence into a behavior
+    * DOCUMENT — the step that turns interaction logs into text the
+    * dedup/quality/packing operators consume downstream.
+    *
+    * Scale: ONE shuffle keyed by user — the window partitions by
+    * user_id, and the (user_id, sess_id) aggregate reuses that
+    * partitioning (user_id hash-partitioning satisfies the clustered
+    * distribution on a superset key — spec-asserted single Exchange).
+    * Per-user window state and per-session collect_list are bounded by
+    * one user's events. Ties break on event_id, so ordering — and the
+    * assembled text — is deterministic under any partitioning. Time is
+    * truncated to MICROseconds on both engines (DuckDB coerces the
+    * TIMESTAMP(NANOS) parquet to µs — the op51-53 precedent). */
+  val op105SessionDocs: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"))
+    ordered(
+      sess.groupBy(col("user_id"), col("sess_id"))
+        .agg(big(count(lit(1))).as("n_events"),
+          min(col("ts_us")).cast("bigint").as("sess_start_us"),
+          (max(col("ts_us")) - min(col("ts_us"))).cast("bigint")
+            .as("duration_us"),
+          array_join(transform(array_sort(collect_list(
+              struct(col("ts_us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), " ").as("behavior_text")),
+      "user_id", "sess_id")
+  }
+
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 8. */
   val op67KnnBrute: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -1128,6 +1171,7 @@ object TrainQueries {
     "op102_bloom_decontaminate" -> op102BloomDecontaminate,
     "op103_span_scrub" -> op103SpanScrub,
     "op104_stream_incr_dedup" -> op104StreamIncrDedup,
+    "op105_session_docs" -> op105SessionDocs,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -1777,6 +1821,24 @@ object TrainQueries {
     // op102 is op82 with a bloom PREFILTER + exact confirm — no false
     // negatives means the result set is identical, so the oracle is too
     "op102_bloom_decontaminate" -> decontaminateSql,
+    "op105_session_docs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |            event_type FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |        OR ts_us - lag(ts_us) OVER w > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS BIGINT) AS sess_id FROM g)
+        |SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ts_us) AS BIGINT) AS sess_start_us,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+        |  string_agg(event_type, ' ' ORDER BY ts_us, event_id)
+        |    AS behavior_text
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
     "op104_stream_incr_dedup" ->
       """WITH fps AS (SELECT DISTINCT
         |  ('0x' || substring(md5('fp:' || text), 1, 15))::BIGINT AS fp

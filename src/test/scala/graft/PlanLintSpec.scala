@@ -27,6 +27,42 @@ class PlanLintSpec extends SparkSpec {
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("op105 sessionizes on one shuffle and matches a driver-side fold") {
+    // the window partitions by user_id and the (user_id, sess_id)
+    // aggregate must REUSE that partitioning (superset-key clustered
+    // distribution) — a second hashpartitioning Exchange means the
+    // one-shuffle claim in the scaladoc is false
+    val df = graft.queries.TrainQueries.op105SessionDocs(spark, sfDir)
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(hashEx == 1, s"expected 1 hash Exchange, saw $hashEx")
+    // full semantic fold: recompute sessions driver-side from the raw
+    // events and compare every column
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts_ns", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Math.floorDiv(r.getLong(2), 1000L), r.getString(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).toSeq
+      var sess = 0L; var prev = Long.MinValue
+      sorted.map { case (_, eid, ts, typ) =>
+        if (prev == Long.MinValue || ts - prev > 1800L * 1000000L)
+          sess += 1
+        prev = ts
+        (uid, sess, ts, eid, typ)
+      }.groupBy(_._2).map { case (sid, es) =>
+        (uid, sid, es.size.toLong, es.map(_._3).min,
+          es.map(_._3).max - es.map(_._3).min,
+          es.sortBy(e => (e._3, e._4)).map(_._5).mkString(" "))
+      }
+    }.toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(got == expected)
+    assert(got.size > ev.map(_._1).distinct.length,
+      "fixture produced only one session per user — gap threshold inert")
+  }
+
   test("tiny-dimension joins broadcast instead of sort-merging") {
     // queries whose every join side except the corpus scan is bounded
     // (per-source rates, 1-row K, quota tables): a SortMergeJoin there
