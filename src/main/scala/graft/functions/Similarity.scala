@@ -387,7 +387,8 @@ object Similarity {
   /** Probe a (centroids, cells) IVF index: nProbe best cells per query,
     * exact rescoring within them. Identical output to [[ivfTopK]]. */
   private def ivfProbeFrames(queries: DataFrame, cents: DataFrame,
-      cells: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      cells: DataFrame, k: Int, nProbe: Int,
+      band: Option[(Long, Long)] = None): DataFrame = {
     // queries keep their nProbe best cells (small side — window is fine)
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
@@ -401,7 +402,27 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_id_vec"), col("n_id_vec")),
           col("q_id_n2"), col("n_id_n2")).as("cos_bp"))
-    topKPerQuery(scored, k)
+    val banded = band.fold(scored) { case (lo, hi) =>
+      scored.filter(col("cos_bp") >= lo && col("cos_bp") < hi)
+    }
+    topKPerQuery(banded, k)
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: per query,
+    * the top-k corpus vectors whose cosine falls in [loBp, hiBp) basis
+    * points — similar enough to be informative negatives, below the
+    * near-duplicate ceiling that would make them false negatives. Runs
+    * as a BAND FILTER on the IVF probe (same nProbe-cell candidate
+    * volume as [[ivfTopK]]; the ceiling only drops rows, so cost is the
+    * probe's). The mined band is exact within the probed cells — at
+    * 100 TB the cells are the partition-pruned store of
+    * [[ivfIndexWrite]], and raising nProbe trades scan for recall
+    * exactly as it does for ANN search. */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      loBp: Long, hiBp: Long, nCells: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 0): DataFrame = {
+    val (cents, cells) = ivfIndexFrames(corpus, nCells, lloydIters)
+    ivfProbeFrames(queries, cents, cells, k, nProbe, Some((loBp, hiBp)))
   }
 
   /** Build the IVF index ONCE and persist it: `dir/centroids` (nCells

@@ -221,6 +221,85 @@ object TrainQueries {
       "user_id", "sess_id")
   }
 
+  /** Changelog compaction: the latest state per key from a change
+    * stream — the reference pipeline's whole purpose (materialize
+    * current customer state out of a Kafka change topic into Redis,
+    * SURVEY §2.1) re-expressed as ONE partial-aggregating Spark
+    * aggregate. `max_by` over the unique total order (ts, event_id)
+    * combines map-side, so the shuffle carries one row per key per
+    * input partition — NOT the window-sort spelling (row_number over
+    * every event), which would sort the full 100 TB changelog to keep
+    * one row per key. Value leaves as exact integer cents
+    * ([[Det.centsSum]] contract). Streaming twin:
+    * [[graft.streaming.Changelog.latestState]], spec'd equal on the
+    * same fixture. */
+  val op106ChangelogCompact: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"),
+        round(col("value") * 100, 0).cast("bigint").as("value_cents"))
+    ordered(
+      ev.groupBy(col("user_id"))
+        .agg(
+          big(count(lit(1))).as("n_changes"),
+          max_by(
+            struct(col("event_id"), col("event_type"), col("value_cents"),
+              col("ts_us")),
+            struct(col("ts_us"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("n_changes"),
+          big(col("last.event_id")).as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          col("last.value_cents").as("last_value_cents"),
+          big(col("last.ts_us")).as("last_ts_us")),
+      "user_id")
+  }
+
+  /** Deterministic corpus shuffle: every training run shuffles its
+    * corpus once before packing (op87) so gradient batches decorrelate —
+    * and the order must be REPRODUCIBLE (resume mid-epoch, re-shard,
+    * re-run bit-identically). Position = rank of md5(seed ‖ doc_id):
+    * content-independent, seed-switchable, stable under any
+    * partitioning. The global rank is computed WITHOUT a global sort:
+    * rows bucket by the hash's first byte (256 ranges whose
+    * lexicographic order equals the hash order), rank within buckets in
+    * parallel, and add broadcast bucket offsets from a 256-row
+    * cumulative sum — the scalable global-index shape; no single
+    * partition ever sees more than ~1/256 of the corpus. `shard` is the
+    * round-robin writer assignment downstream epoch readers consume. */
+  val op107CorpusShuffle: Q = (s, d) => {
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:42:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val perBucket = row_number().over(
+      Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id")))
+    val offsets = h.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        (sum(col("cnt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("cnt")).cast("bigint"))
+      .select(col("bucket"), col("off"))
+    ordered(
+      h.withColumn("rn", perBucket.cast("bigint"))
+        .join(broadcast(offsets), "bucket")
+        .select(col("doc_id"), (col("off") + col("rn")).as("pos"),
+          ((col("off") + col("rn") - 1L) % 16L).as("shard")),
+      "doc_id")
+  }
+
+  /** Hard-negative mining (op109): per query, top-5 corpus vectors with
+    * cosine in [2500, 9500) bp — informative negatives for contrastive
+    * training, capped below the near-dup ceiling. Band filter on the
+    * op69 IVF probe (same candidate volume; oracle = op69's replay plus
+    * the band). */
+  val op109HardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    ordered(
+      Similarity.hardNegativesIvf(emb.filter(col("vec_id") < 8), emb, 5,
+        2500L, 9500L, lloydIters = 2),
+      "q_id", "rank")
+  }
+
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 8. */
   val op67KnnBrute: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -1172,6 +1251,9 @@ object TrainQueries {
     "op103_span_scrub" -> op103SpanScrub,
     "op104_stream_incr_dedup" -> op104StreamIncrDedup,
     "op105_session_docs" -> op105SessionDocs,
+    "op106_changelog_compact" -> op106ChangelogCompact,
+    "op107_corpus_shuffle" -> op107CorpusShuffle,
+    "op109_hard_negatives" -> op109HardNegatives,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -1211,6 +1293,33 @@ object TrainQueries {
       |ELSE CAST(floor(CAST(list_sum([$vecA[i+1] * $vecB[i+1] FOR i IN range(64)]) AS DOUBLE)
       |     / (sqrt(CAST($n2A AS DOUBLE)) * sqrt(CAST($n2B AS DOUBLE))) * 10000) AS BIGINT) END"""
       .stripMargin.replace("\n", " ")
+
+  /** op69's full IVF-probe replay (4-cell probe, exact within-cell
+    * rescoring, top-5) with an optional [lo, hi) cos_bp band applied
+    * before ranking — `None` IS op69's oracle; op109 (hard-negative
+    * mining) passes its band. */
+  private def ivfProbeSql(band: Option[(Long, Long)]): String = {
+    val cosTo = ivfCosTo
+    val bandSql = band.fold("") { case (lo, hi) =>
+      s" AND b.cos_bp >= $lo AND b.cos_bp < $hi" }
+    s"""WITH $ivfCellCtes,
+      |qc AS (
+      |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
+      |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
+      |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+      |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+      |             ct.cent_id) AS rn
+      |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
+      |scored AS (
+      |  SELECT qc.q_id, cc.n_id,
+      |         ${cosTo("qc.q_vec", "qc.q_n2", "cc.n_vec", "cc.n_n2")} AS cos_bp
+      |  FROM cc JOIN qc ON cc.cent_id = qc.cent_id AND qc.q_id <> cc.n_id)
+      |SELECT q_id, n_id, cos_bp, rank FROM (
+      |  SELECT b.q_id, b.n_id, b.cos_bp,
+      |         CAST(row_number() OVER (PARTITION BY b.q_id ORDER BY b.cos_bp DESC, b.n_id) AS BIGINT) AS rank
+      |  FROM scored b WHERE 1=1$bandSql)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
 
   private lazy val ivfCellCtes: String = {
     val sumCols = (0 until 64).map(i => s"sum(v[${i + 1}]) AS s$i")
@@ -1485,26 +1594,8 @@ object TrainQueries {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS BIGINT) AS rank
         |  FROM approx)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "op69_ann_ivf" -> {
-      val cosTo = ivfCosTo
-      s"""WITH $ivfCellCtes,
-        |qc AS (
-        |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
-        |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
-        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-        |             ct.cent_id) AS rn
-        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
-        |scored AS (
-        |  SELECT qc.q_id, cc.n_id,
-        |         ${cosTo("qc.q_vec", "qc.q_n2", "cc.n_vec", "cc.n_n2")} AS cos_bp
-        |  FROM cc JOIN qc ON cc.cent_id = qc.cent_id AND qc.q_id <> cc.n_id)
-        |SELECT q_id, n_id, cos_bp, rank FROM (
-        |  SELECT q_id, n_id, cos_bp,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-    },
+    "op69_ann_ivf" -> ivfProbeSql(None),
+    "op109_hard_negatives" -> ivfProbeSql(Some((2500L, 9500L))),
     "op93_sem_dedup" -> {
       // SemDeDup replay: shared Lloyd-cell CTEs, then within-cell
       // dominance — b drops iff some a < b in its cell is ≥ 2500 bp
@@ -1839,6 +1930,27 @@ object TrainQueries {
         |    AS behavior_text
         |FROM s GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+    "op106_changelog_compact" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |            event_type, CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+        |            row_number() OVER (PARTITION BY user_id
+        |              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |            count(*) OVER (PARTITION BY user_id) AS n
+        |          FROM events)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_changes,
+        |  CAST(event_id AS BIGINT) AS last_event_id,
+        |  event_type AS last_event_type,
+        |  value_cents AS last_value_cents,
+        |  CAST(ts_us AS BIGINT) AS last_ts_us
+        |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "op107_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5('shuf:42:' || doc_id) AS h
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM h)
+        |SELECT doc_id, pos, CAST((pos - 1) % 16 AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "op104_stream_incr_dedup" ->
       """WITH fps AS (SELECT DISTINCT
         |  ('0x' || substring(md5('fp:' || text), 1, 15))::BIGINT AS fp

@@ -63,6 +63,32 @@ class PlanLintSpec extends SparkSpec {
       "fixture produced only one session per user — gap threshold inert")
   }
 
+  test("op107 positions are the md5 permutation and avoid a corpus-wide global sort") {
+    val df = graft.queries.TrainQueries.op107CorpusShuffle(spark, sfDir)
+    // plan shape BEFORE execution — after collect() AQE rewrites the
+    // tiny-fixture shuffles (coalesced reads / single partitions) and the
+    // string no longer reflects the at-scale plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(bucket"),
+      "rank window lost its bucket partitioning")
+    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1,
+      "more than the offsets frame got single-partitioned")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    // positions are exactly the permutation 1..N with the shard rule
+    assert(rows.map(_._2).sorted.toSeq == (1L to n.toLong))
+    assert(rows.forall { case (_, pos, shard) => shard == (pos - 1) % 16 })
+    // driver replay of the semantic: rank of md5("shuf:42:" || doc_id)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.map(_._1)
+      .map(id => (id, md5hex(s"shuf:42:$id")))
+      .sortBy { case (id, h) => (h, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(rows.forall { case (id, pos, _) => want(id) == pos })
+  }
+
   test("tiny-dimension joins broadcast instead of sort-merging") {
     // queries whose every join side except the corpus scan is bounded
     // (per-source rates, 1-row K, quota tables): a SortMergeJoin there

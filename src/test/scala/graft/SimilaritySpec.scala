@@ -239,6 +239,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard-negative band holds its bounds; full probe equals the brute-force band") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val (lo, hi) = (2500L, 9500L)
+    // the op109 configuration (4/16 probe): every mined negative sits
+    // inside [lo, hi)
+    val mined = Similarity.hardNegativesIvf(queries, emb, 5, lo, hi,
+      lloydIters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mined.nonEmpty)
+    assert(mined.forall { case (_, _, bp) => bp >= lo && bp < hi })
+    // probing every cell makes the band exact — equal to a driver-side
+    // brute-force band over all pairs
+    val full = Similarity.hardNegativesIvf(queries, emb, 5, lo, hi,
+      nCells = 16, nProbe = 16).orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosBp(x: Array[Float], y: Array[Float]): Long = {
+      val xi = x.map(v => math.floor(v.toDouble * 1e6).toLong)
+      val yi = y.map(v => math.floor(v.toDouble * 1e6).toLong)
+      val dot = xi.zip(yi).map { case (p, q) => p * q }.sum.toDouble
+      math.floor(dot / (math.sqrt(xi.map(v => v * v).sum.toDouble) *
+        math.sqrt(yi.map(v => v * v).sum.toDouble)) * 10000).toLong
+    }
+    val want = (0L until 8L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (q, n, cosBp(vecs(q), vecs(n))))
+        .filter { case (_, _, bp) => bp >= lo && bp < hi }
+        .sortBy { case (_, n, bp) => (-bp, n) }
+        .take(5)
+    }
+    assert(full.toSeq == want)
+  }
+
   test("LSH near-dup pairs equal brute force on planted near-dups") {
     val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     // plant exact dups: copies of vecs 0-4 under ids 1000-1004 (cos=1.0,

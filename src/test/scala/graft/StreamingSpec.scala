@@ -735,6 +735,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.size < docs.size, "quality gate filtered nothing — fixture too easy")
   }
 
+  test("changelog compaction stream: final update per key equals the batch max_by (op106)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Changelog
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"),
+        round(col("value") * 100, 0).cast("bigint").as("value_cents"))
+      .as[Changelog.Change].collect()
+    // arrival batches striped by event_id, NOT by time — later batches
+    // carry stragglers older than the held state, exercising the
+    // no-regress branch of the fold
+    val batches = ev.groupBy(c => c.event_id % 3)
+    assert(batches.size == 3)
+    val in = MemoryStream[Changelog.Change]
+    val q = Changelog.latestState(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("changelog_out").start()
+    (0L to 2L).foreach { b =>
+      in.addData(batches(b).toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits a touched key's state each batch; n_changes
+    // strictly grows, so the max-n_changes row per key IS the final state
+    val got = spark.table("changelog_out").as[Changelog.LatestRow].collect()
+      .groupBy(_.user_id).map { case (_, rs) => rs.maxBy(_.n_changes) }.toSet
+    val want = graft.queries.TrainQueries
+      .op106ChangelogCompact(spark, sfDir).collect()
+      .map(r => Changelog.LatestRow(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, "streamed changelog state diverged from batch op106")
+  }
+
   test("op51 streamed tumbling equals the batch twin on a full replay") {
     val streamed = graft.streaming.WindowOps.streamedTumbling(spark, sfDir)
       .orderBy("w_start", "event_type")
