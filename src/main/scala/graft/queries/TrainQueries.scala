@@ -627,6 +627,67 @@ object TrainQueries {
       xform: DataFrame => DataFrame): DataFrame =
     drainStream(s, d, tag, "documents", "append", "8")(xform)
 
+  /** op106's streaming twin under the hash gate: the events changelog
+    * drained through [[graft.streaming.Changelog.latestState]] (real
+    * Update-mode flatMapGroupsWithState execution, AvailableNow file
+    * source → memory sink), then the update rows compacted to each
+    * key's FINAL state — exactly what a KV/compacted-topic sink does
+    * with an update stream, and bounded by touched keys, not events
+    * (n_changes strictly grows per key, so max-n_changes is the last
+    * write). Output ≡ batch op106, so it shares op106's oracle. */
+  val op108StreamChangelog: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Changelog
+    val updates = drainStream(s, d, "op108", "events", "update", "8") { st =>
+      // raw stream schema: ts is TIMESTAMP(NANOS) read as long (the
+      // session-wide nanosAsLong contract — see Tables.events)
+      Changelog.latestState(
+        st.select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"),
+          round(col("value") * 100, 0).cast("bigint").as("value_cents"))
+          .as[Changelog.Change]).toDF()
+    }
+    ordered(
+      updates.groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_changes"), col("last_event_id"),
+            col("last_event_type"), col("last_value_cents"),
+            col("last_ts_us")),
+          col("n_changes")).as("f"))
+        .select(col("user_id"), col("f.n_changes").as("n_changes"),
+          col("f.last_event_id").as("last_event_id"),
+          col("f.last_event_type").as("last_event_type"),
+          col("f.last_value_cents").as("last_value_cents"),
+          col("f.last_ts_us").as("last_ts_us")),
+      "user_id")
+  }
+
+  /** ANN recall-evaluation harness as a first-class query: per sampled
+    * query, how many of the IVF probe's top-5 (op69 configuration) are
+    * TRUE top-5 under the exact brute-force scorer — the eval every
+    * serving deployment runs before trusting an index. recall_bp =
+    * hits·10⁴/5 (exact integers). Scale protocol: ground truth is
+    * brute force over a SMALL query sample × corpus (the standard
+    * recall measurement — the sample is the knob, here vec_id < 8);
+    * the candidate side is the partition-pruned probe. */
+  val op110AnnRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(queries, emb, 5)
+      .select(col("q_id"), col("n_id"))
+    val ann = Similarity.ivfTopK(queries, emb, 5, lloydIters = 2)
+      .select(col("q_id"), col("n_id"))
+    val hits = ann.join(truth, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
+    ordered(
+      queries.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 2000L).as("recall_bp")),
+      "q_id")
+  }
+
   /** Language-ID heuristic: marker-count argmax + the score vector. */
   val op70LangId: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -967,6 +1028,54 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** Temperature-scaled mixture (α-sampling at τ = 0.5) — the
+    * multilingual/multi-source BALANCING recipe (mT5/XLM-R style):
+    * sampling mass ∝ n^τ flattens source skew without forcing equal
+    * quotas; low-resource sources keep proportionally more of their
+    * docs. Deterministic cross-engine arithmetic: s = floor(10⁶·√n)
+    * (sqrt is IEEE correctly-rounded — bit-identical on both engines),
+    * the target total is half the corpus, per-source
+    * quota = floor(double(T)·double(s)/double(Σs)) capped at n (no
+    * upsampling) — ONE double multiply+divide of identical integers,
+    * deterministic on both engines even past 2⁵³ (same IEEE ops, same
+    * rounding) — and selection is op89's scan-pushable hash cutoff
+    * (rate_ppm = quota·10⁶ div n; per-row predicate after a broadcast
+    * rate join).
+    *
+    * Scale: identical to op89 — one bounded counts aggregate, a 1-row
+    * totals broadcast, a sources-row rate table, a narrow scan-stage
+    * filter. Quotas are binomial-approximate like op89's; determinism
+    * is exact. */
+  val op111MixtureTemperature: Q = (s, d) =>
+    ordered(temperatureMixture(Tables.documents(s, d)), "doc_id")
+
+  /** op111's core, reusable over any (doc_id, source, text) frame (the
+    * spec feeds a skew-planted synthetic corpus to see the flattening
+    * the uniform fixtures can't show). */
+  private[graft] def temperatureMixture(doc: DataFrame): DataFrame = {
+    val t = doc.select(col("doc_id"), col("source"),
+      TextOps.md5Hash60(concat(lit("mix:"), col("text"))).as("h"))
+    val counts = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("s",
+        expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .localCheckpoint()
+    val tot = broadcast(
+      counts.agg(sum(col("n")).as("__tot"), sum(col("s")).as("__ssum")))
+    val rates = counts.crossJoin(tot)
+      .select(col("source"), col("n"),
+        least(
+          expr("CAST(floor(CAST(__tot div 2 AS DOUBLE) * CAST(s AS DOUBLE)" +
+            " / CAST(__ssum AS DOUBLE)) AS BIGINT)"),
+          col("n")).as("quota"))
+      .select(col("source"),
+        expr("quota * 1000000 div n").cast("bigint").as("rate_ppm"))
+    t.join(broadcast(rates), "source")
+      .filter(col("h") % 1000000L < col("rate_ppm"))
+      .select(col("doc_id"), col("source"),
+        (col("h") % 1000000L).cast("bigint").as("h_ppm"),
+        col("rate_ppm"))
+  }
+
   /** Token-BUDGET data selection — the budget-driven cousin of the
     * mixture ops (op88/89 fill per-source DOC quotas; real training-set
     * assembly is usually specified in TOKENS): per source, documents are
@@ -1229,6 +1338,7 @@ object TrainQueries {
     "op87_pack_sequences" -> op87PackSequences,
     "op88_mixture" -> op88Mixture,
     "op89_mixture_cutoff" -> op89MixtureCutoff,
+    "op111_mixture_temperature" -> op111MixtureTemperature,
     "op99_token_budget" -> op99TokenBudget,
     "op90_quality_gate" -> op90QualityGate,
     "op91_gate_stats" -> op91GateStats,
@@ -1253,7 +1363,9 @@ object TrainQueries {
     "op105_session_docs" -> op105SessionDocs,
     "op106_changelog_compact" -> op106ChangelogCompact,
     "op107_corpus_shuffle" -> op107CorpusShuffle,
+    "op108_stream_changelog" -> op108StreamChangelog,
     "op109_hard_negatives" -> op109HardNegatives,
+    "op110_ann_recall" -> op110AnnRecall,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2005,6 +2117,24 @@ object TrainQueries {
         |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm
         |FROM t JOIN r USING (source) WHERE t.h % 1000000 < r.rate_ppm
         |ORDER BY doc_id""".stripMargin,
+    "op111_mixture_temperature" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5('mix:' || text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n,
+        |        CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS s
+        |      FROM t GROUP BY source),
+        |tot AS (SELECT sum(n) AS tt, sum(s) AS ss FROM c),
+        |r AS (SELECT source, n,
+        |        least(CAST(floor(CAST(tt // 2 AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / CAST(ss AS DOUBLE)) AS BIGINT), n) AS quota
+        |      FROM c, tot)
+        |SELECT t.doc_id, t.source, CAST(t.h % 1000000 AS BIGINT) AS h_ppm,
+        |  CAST(r.quota * 1000000 // r.n AS BIGINT) AS rate_ppm
+        |FROM t JOIN r USING (source)
+        |WHERE t.h % 1000000 < r.quota * 1000000 // r.n
+        |ORDER BY doc_id""".stripMargin,
     "op99_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -2213,5 +2343,44 @@ object TrainQueries {
     // the emitted top-k is bit-identical to the batch probe
     "op96_stream_ivf_probe" -> baseOracle("op69_ann_ivf"),
     "op97_stream_lsh_probe" -> baseOracle("op68_ann_lsh"),
+    // the streamed changelog's compacted final state IS the batch
+    // latest-state aggregate
+    "op108_stream_changelog" -> baseOracle("op106_changelog_compact"),
+    "op110_ann_recall" -> {
+      val cosTo = ivfCosTo
+      s"""WITH $ivfCellCtes,
+        |qc AS (
+        |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
+        |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
+        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+        |             ct.cent_id) AS rn
+        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
+        |iscored AS (
+        |  SELECT qc.q_id, cc.n_id,
+        |         ${cosTo("qc.q_vec", "qc.q_n2", "cc.n_vec", "cc.n_n2")} AS cos_bp
+        |  FROM cc JOIN qc ON cc.cent_id = qc.cent_id AND qc.q_id <> cc.n_id),
+        |ivf AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+        |  FROM iscored) WHERE rank <= 5),
+        |bscored AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |         ${cosTo("a.v", "a.n2", "b.v", "b.n2")} AS cos_bp
+        |  FROM n a, n b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
+        |btop AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+        |  FROM bscored) WHERE rank <= 5),
+        |h AS (SELECT ivf.q_id, count(*) AS n_hits
+        |      FROM ivf JOIN btop ON ivf.q_id = btop.q_id AND ivf.n_id = btop.n_id
+        |      GROUP BY ivf.q_id)
+        |SELECT q.vec_id AS q_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.n_hits, 0) * 2000 AS BIGINT) AS recall_bp
+        |FROM (SELECT vec_id FROM n WHERE vec_id < 8) q
+        |LEFT JOIN h ON q.vec_id = h.q_id
+        |ORDER BY q_id""".stripMargin
+    },
   )
 }

@@ -274,6 +274,25 @@ class SimilaritySpec extends SparkSpec {
     assert(full.toSeq == want)
   }
 
+  test("ANN recall eval (op110) equals a driver-side fold of brute vs IVF top-5") {
+    val df = graft.queries.TrainQueries.op110AnnRecall(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until 8L))
+    assert(rows.forall { case (_, h, bp) => h >= 0 && h <= 5 && bp == h * 2000 })
+    // independent fold from the two underlying operators
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(q, emb, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, 5, lloydIters = 2)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantHits = (0L until 8L)
+      .map(i => i -> (truth & ivf).count(_._1 == i).toLong).toMap
+    assert(rows.forall { case (i, h, _) => wantHits(i) == h })
+  }
+
   test("LSH near-dup pairs equal brute force on planted near-dups") {
     val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     // plant exact dups: copies of vecs 0-4 under ids 1000-1004 (cos=1.0,

@@ -767,6 +767,14 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed changelog state diverged from batch op106")
   }
 
+  test("op108 file-stream changelog drain equals batch op106 exactly") {
+    val streamed = graft.queries.TrainQueries
+      .op108StreamChangelog(spark, sfDir).collect().map(_.toSeq).toSeq
+    val batch = graft.queries.TrainQueries
+      .op106ChangelogCompact(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("op51 streamed tumbling equals the batch twin on a full replay") {
     val streamed = graft.streaming.WindowOps.streamedTumbling(spark, sfDir)
       .orderBy("w_start", "event_type")

@@ -188,6 +188,39 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixture (α=0.5) flattens planted skew; rates replay driver-side") {
+    import spark.implicits._
+    // skew the fixtures can't show: a 400-doc head source vs a 16-doc
+    // tail source → √-scaling must keep a strictly larger FRACTION of
+    // the tail (here 100% vs ~43%)
+    val docs = ((0 until 400).map(i => (i.toLong, "big", s"head doc $i")) ++
+      (0 until 16).map(i => ((1000 + i).toLong, "small", s"tail doc $i")))
+      .toDF("doc_id", "source", "text")
+    val out = graft.queries.TrainQueries.temperatureMixture(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, h, rate) => assert(h < rate) }
+    val rates = out.groupBy(_._2).map { case (s, rs) => s -> rs.head._4 }
+    assert(rates("small") > rates("big"),
+      s"temperature did not flatten the skew: $rates")
+    // driver replay of the exact arithmetic (integer √-masses, one IEEE
+    // double multiply/divide, integer ppm cutoff)
+    val ns = Map("big" -> 400L, "small" -> 16L)
+    val s6 = ns.map { case (k, n) =>
+      k -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val tt = ns.values.sum; val ss = s6.values.sum
+    val wantRates = ns.map { case (k, n) =>
+      val quota = math.min(
+        math.floor((tt / 2).toDouble * s6(k).toDouble / ss.toDouble).toLong, n)
+      k -> quota * 1000000L / n
+    }
+    assert(rates == wantRates, s"got $rates want $wantRates")
+    // deterministic across reruns
+    val out2 = graft.queries.TrainQueries.temperatureMixture(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
+
   test("token-budget selection: greedy fill per source — maximal under-budget prefix in hash order") {
     // op99's contract: per source, the kept set is EXACTLY the prefix of
     // the (h, doc_id)-ordered stream whose preceding token count sits
