@@ -225,14 +225,17 @@ object TrainQueries {
     * stream — the reference pipeline's whole purpose (materialize
     * current customer state out of a Kafka change topic into Redis,
     * SURVEY §2.1) re-expressed as ONE partial-aggregating Spark
-    * aggregate. `max_by` over the unique total order (ts, event_id)
-    * combines map-side, so the shuffle carries one row per key per
-    * input partition — NOT the window-sort spelling (row_number over
-    * every event), which would sort the full 100 TB changelog to keep
-    * one row per key. Value leaves as exact integer cents
-    * ([[Det.centsSum]] contract). Streaming twin:
+    * aggregate over the unique total order (ts, event_id). The
+    * aggregate is [[graft.functions.LatestAgg]] (TypedImperative →
+    * ObjectHashAggregate): the built-in `max_by(struct, struct)` would
+    * plan a SortAggregate (struct buffers aren't hash-aggregable) and
+    * SORT every input partition; LatestAgg hashes instead, and the
+    * shuffle still carries one buffer row per key per partition —
+    * never the window-sort spelling that orders the full 100 TB
+    * changelog. Value leaves as exact integer cents ([[Det.centsSum]]
+    * contract). Streaming twin:
     * [[graft.streaming.Changelog.latestState]], spec'd equal on the
-    * same fixture. */
+    * same fixture; LatestAgg ≡ max_by is spec'd too. */
   val op106ChangelogCompact: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"),
@@ -240,13 +243,9 @@ object TrainQueries {
         round(col("value") * 100, 0).cast("bigint").as("value_cents"))
     ordered(
       ev.groupBy(col("user_id"))
-        .agg(
-          big(count(lit(1))).as("n_changes"),
-          max_by(
-            struct(col("event_id"), col("event_type"), col("value_cents"),
-              col("ts_us")),
-            struct(col("ts_us"), col("event_id"))).as("last"))
-        .select(col("user_id"), col("n_changes"),
+        .agg(graft.functions.LatestAgg.latest(col("ts_us"), col("event_id"),
+          col("event_type"), col("value_cents")).as("last"))
+        .select(col("user_id"), big(col("last.n")).as("n_changes"),
           big(col("last.event_id")).as("last_event_id"),
           col("last.event_type").as("last_event_type"),
           col("last.value_cents").as("last_value_cents"),

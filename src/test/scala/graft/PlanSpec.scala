@@ -97,6 +97,33 @@ class PlanSpec extends SparkSpec {
     assert(out(2L) == Seq((5L, 9L)))
   }
 
+  test("LatestAgg equals the max_by spelling, ties on ts break by event_id") {
+    // the hash-aggregable changelog compactor must fold to exactly what
+    // max_by(struct(payload), struct(ts, id)) computes — including a
+    // same-timestamp tie (event_id decides) and stragglers that only
+    // bump the counter
+    val ev = Seq(
+      (1L, 10L, 100L, "a", 5L), (1L, 11L, 100L, "b", 6L), // ts tie → id 11
+      (1L, 9L, 50L, "c", 7L),                              // straggler
+      (2L, 20L, 400L, "d", 8L))
+      .toDF("user_id", "event_id", "ts_us", "event_type", "value_cents")
+    val viaLatest = ev.groupBy(col("user_id"))
+      .agg(graft.functions.LatestAgg.latest(col("ts_us"), col("event_id"),
+        col("event_type"), col("value_cents")).as("l"))
+      .select(col("user_id"), col("l.n"), col("l.ts_us"), col("l.event_id"),
+        col("l.event_type"), col("l.value_cents"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val viaMaxBy = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        max_by(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value_cents")), struct(col("ts_us"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("n"), col("m.ts_us"), col("m.event_id"),
+        col("m.event_type"), col("m.value_cents"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(viaLatest == viaMaxBy)
+    assert(viaLatest.head(3) == 11L && viaLatest.head(1) == 3L)
+  }
+
   test("topKDistinct keeps one slot per id and equals dedup-then-topK") {
     // the streaming LSH probe's contract: an id arriving once per
     // colliding table (same score each time) occupies ONE slot, so

@@ -269,6 +269,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("op106 compacts the changelog hash-based — ObjectHashAggregate, one exchange, no input sort") {
+    // the scale claims in the scaladocs: LatestAgg plans as an
+    // ObjectHashAggregate (the built-in max_by(struct, struct) spelling
+    // would be a SortAggregate that sorts every input partition by the
+    // grouping key), partials run below ONE exchange, and nothing under
+    // that exchange sorts the changelog
+    val df = graft.queries.TrainQueries
+      .op106ChangelogCompact(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "LatestAgg did not plan hash-based aggregation")
+    assert(!plan.contains("SortAggregate"),
+      "changelog compaction fell back to SortAggregate")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, saw $hashEx")
+    val belowExchange = plan.substring(plan.indexOf("Exchange hashpartitioning"))
+    assert(!belowExchange.contains("Sort "),
+      "changelog got sorted below the aggregate exchange")
+  }
+
   test("stream-stream join with watermarks + time bound emits matches (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = MemoryStream[(String, String)] // (ad_id, ts)
