@@ -386,15 +386,22 @@ object Similarity {
 
   /** Probe a (centroids, cells) IVF index: nProbe best cells per query,
     * exact rescoring within them. Identical output to [[ivfTopK]]. */
+  /** Each query with its nProbe best cells (small side — window is
+    * fine): (q_id, q_id_vec, q_id_n2, cent_id), one row per probed
+    * cell. */
+  private def probedQueryCells(queries: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    cellScored(queries, "q_id", broadcast(cents))
+      .withColumn("cr", row_number().over(wq)).filter(col("cr") <= nProbe)
+      .drop("cent_cos", "cr")
+  }
+
   private def ivfProbeFrames(queries: DataFrame, cents: DataFrame,
       cells: DataFrame, k: Int, nProbe: Int,
       band: Option[(Long, Long)] = None): DataFrame = {
-    // queries keep their nProbe best cells (small side — window is fine)
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    val queryCells = cellScored(queries, "q_id", broadcast(cents))
-      .withColumn("cr", row_number().over(wq)).filter(col("cr") <= nProbe)
-      .drop("cent_cos", "cr")
+    val queryCells = probedQueryCells(queries, cents, nProbe)
     // each corpus vector lives in exactly one cell and each query probes
     // distinct cells, so (q_id, n_id) pairs are already unique
     val scored = cells.join(broadcast(queryCells), "cent_id")
@@ -423,6 +430,61 @@ object Similarity {
       lloydIters: Int = 0): DataFrame = {
     val (cents, cells) = ivfIndexFrames(corpus, nCells, lloydIters)
     ivfProbeFrames(queries, cents, cells, k, nProbe, Some((loBp, hiBp)))
+  }
+
+  /** Int8 scalar quantization (SQ8) of an already-quantized bigint
+    * vector: symmetric per-vector compression of the DIRECTION,
+    * code_i = floor(v_i·127 / max|v|) ∈ [−127, 127] — 1 byte of
+    * information per component vs the 8-byte quantized longs. The
+    * per-vector scale m/127 CANCELS in cosine (cos(q, c·m/127) =
+    * cos(q, c)), so approximate scoring needs ONLY the codes — no
+    * scale column, no reconstruction — and stays in the exact-integer
+    * cosBpFrom arithmetic both engines replay. All-zero vectors pass
+    * through unchanged (m = 0 guard). */
+  def sq8Codes(qv: Column): Column = {
+    val m = array_max(transform(qv, x => abs(x)))
+    when(m === 0, qv).otherwise(transform(qv,
+      x => floor(x.cast("double") * 127d / m.cast("double")).cast("bigint")))
+  }
+
+  /** IVF-SQ8 ANN (the classic faiss composition): IVF cells prune the
+    * corpus to nProbe cells per query, the surviving candidates are
+    * approximately scored against their SQ8 CODES (8× less data than
+    * the full quantized vectors — at 100 TB the codes are the only
+    * per-candidate bytes the probe scan touches), a bounded [[TopKAgg]]
+    * trims to a shortlist map-side, and an exact rerank re-attaches the
+    * full vectors for only shortlist×Q rows (the op83 rerank shape).
+    * Same candidate volume as [[ivfTopK]]; the codes only shrink the
+    * bytes per candidate. */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0,
+      shortlist: Int = 50): DataFrame = {
+    val (cents, cells) = ivfIndexFrames(corpus, nCells, lloydIters)
+    // the probe-scan table: codes + their norms, nothing full-width
+    val codes = cells.select(col("n_id"), col("cent_id"),
+        sq8Codes(col("n_id_vec")).as("codes"))
+      .withColumn("c_n2", intDot(col("codes"), col("codes")))
+    val queryCells = probedQueryCells(queries, cents, nProbe)
+    val approx = codes.join(broadcast(queryCells), "cent_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosBpFrom(intDot(col("q_id_vec"), col("codes")),
+          col("q_id_n2"), col("c_n2")).as("sq_bp"))
+    val short = approx.groupBy(col("q_id"))
+      .agg(TopKAgg.topK(shortlist)(col("sq_bp"), col("n_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    // exact rerank: bare ids re-attach the full vectors (shortlist×Q rows)
+    val qv = queries.select(col("vec_id").as("q_id"),
+        quantize(col("embedding")).as("q_vec"))
+      .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
+    val nv = cells.select(col("n_id"), col("n_id_vec").as("n_vec"),
+      col("n_id_n2").as("n_n2"))
+    val scored = short.join(broadcast(qv), "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosBpFrom(intDot(col("q_vec"), col("n_vec")),
+          col("q_n2"), col("n_n2")).as("cos_bp"))
+    topKPerQuery(scored, k)
   }
 
   /** Build the IVF index ONCE and persist it: `dir/centroids` (nCells

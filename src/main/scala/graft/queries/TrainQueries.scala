@@ -286,6 +286,21 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** IVF-SQ8 ANN (op112, the faiss IVF-SQ composition): IVF cells
+    * prune, int8 codes score (8× less data per candidate than the
+    * quantized vectors — the scale win), [[graft.functions.TopKAgg]]
+    * trims to a 50-wide shortlist map-side, exact rerank orders the
+    * final top-5. The per-vector scale cancels in cosine, so codes
+    * alone rank the shortlist and DuckDB replays everything in the
+    * shared exact-integer arithmetic. */
+  val op112Sq8Ann: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    ordered(
+      Similarity.ivfSq8TopK(emb.filter(col("vec_id") < 8), emb, 5,
+        lloydIters = 2),
+      "q_id", "rank")
+  }
+
   /** Hard-negative mining (op109): per query, top-5 corpus vectors with
     * cosine in [2500, 9500) bp — informative negatives for contrastive
     * training, capped below the near-dup ceiling. Band filter on the
@@ -1365,6 +1380,7 @@ object TrainQueries {
     "op108_stream_changelog" -> op108StreamChangelog,
     "op109_hard_negatives" -> op109HardNegatives,
     "op110_ann_recall" -> op110AnnRecall,
+    "op112_sq8_ann" -> op112Sq8Ann,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2345,6 +2361,47 @@ object TrainQueries {
     // the streamed changelog's compacted final state IS the batch
     // latest-state aggregate
     "op108_stream_changelog" -> baseOracle("op106_changelog_compact"),
+    "op112_sq8_ann" -> {
+      val cosTo = ivfCosTo
+      s"""WITH $ivfCellCtes,
+        |qc AS (
+        |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
+        |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
+        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+        |             ct.cent_id) AS rn
+        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
+        |sq AS (
+        |  SELECT n_id, cent_id,
+        |    CASE WHEN mx = 0 THEN n_vec
+        |         ELSE [CAST(floor(CAST(n_vec[i+1] * 127 AS DOUBLE)
+        |                / CAST(mx AS DOUBLE)) AS BIGINT) FOR i IN range(64)]
+        |    END AS cvec
+        |  FROM (SELECT n_id, cent_id, n_vec,
+        |          list_max(list_transform(n_vec, x -> abs(x))) AS mx
+        |        FROM cc)),
+        |c2n AS (SELECT n_id, cent_id, cvec,
+        |          CAST(list_sum([cvec[i+1] * cvec[i+1] FOR i IN range(64)]) AS BIGINT) AS c_n2
+        |        FROM sq),
+        |approx AS (
+        |  SELECT qc.q_id, c.n_id,
+        |         ${cosTo("qc.q_vec", "qc.q_n2", "c.cvec", "c.c_n2")} AS sq_bp
+        |  FROM c2n c JOIN qc ON c.cent_id = qc.cent_id AND qc.q_id <> c.n_id),
+        |short AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sq_bp DESC, n_id) AS sr
+        |  FROM approx) WHERE sr <= 50),
+        |scored AS (
+        |  SELECT short.q_id, short.n_id,
+        |         ${cosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} AS cos_bp
+        |  FROM short JOIN cc a ON short.q_id = a.n_id
+        |             JOIN cc b ON short.n_id = b.n_id)
+        |SELECT q_id, n_id, cos_bp, rank FROM (
+        |  SELECT q_id, n_id, cos_bp,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
     "op110_ann_recall" -> {
       val cosTo = ivfCosTo
       s"""WITH $ivfCellCtes,

@@ -239,6 +239,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ8: wide shortlist equals IVF-flat exactly; codes quantize as specified") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 32)
+    // a shortlist covering every probed candidate makes the exact rerank
+    // see everything IVF-flat sees → identical output, proving the SQ8
+    // stage only ever DROPS candidates, never reorders survivors
+    val sq8 = Similarity.ivfSq8TopK(queries, emb, 5, shortlist = 1000000)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val flat = Similarity.ivfTopK(queries, emb, 5)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sq8 == flat)
+    // the serving configuration still reaches IVF-level recall
+    val truth = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val serving = Similarity.ivfSq8TopK(queries, emb, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & serving).size.toDouble / truth.size
+    assert(recall >= 0.4, s"IVF-SQ8 recall@5 too low: $recall")
+    // code arithmetic: floor(v·127/max|v|), zero vectors pass through
+    import spark.implicits._
+    val z = Seq((0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(1f, -2f, 0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val codes = z.orderBy("vec_id")
+      .select(Similarity.sq8Codes(Similarity.quantize(col("embedding"))))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(codes(0) == Seq(0L, 0L, 0L, 0L))
+    assert(codes(1) == Seq(63L, -127L, 31L, 0L))
+  }
+
   test("hard-negative band holds its bounds; full probe equals the brute-force band") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 8)
