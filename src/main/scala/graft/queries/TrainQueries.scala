@@ -265,10 +265,25 @@ object TrainQueries {
     * cumulative sum — the scalable global-index shape; no single
     * partition ever sees more than ~1/256 of the corpus. `shard` is the
     * round-robin writer assignment downstream epoch readers consume. */
-  val op107CorpusShuffle: Q = (s, d) => {
-    val h = Tables.documents(s, d)
-      .select(col("doc_id"),
-        md5(concat(lit("shuf:42:"), col("doc_id").cast("string"))).as("h"))
+  val op107CorpusShuffle: Q = (s, d) =>
+    ordered(
+      hashShufflePositions(Tables.documents(s, d).select(col("doc_id")))
+        .select(col("doc_id"), col("pos"),
+          ((col("pos") - 1L) % 16L).as("shard")),
+      "doc_id")
+
+  /** op107's core, reusable: append the global shuffle position
+    * (rank of md5("shuf:42:" ‖ doc_id), ties to doc_id) to ANY frame
+    * carrying a unique `doc_id` — computed without a global sort (256
+    * hash-prefix buckets rank in parallel; broadcast offsets from a
+    * 256-row cumsum). All input columns pass through. NOTE: the input
+    * subtree is evaluated twice (offsets aggregate + rank window) —
+    * callers whose input is post-shuffle (not a bare scan) should
+    * materialize it first (op113 localCheckpoints its survivors). */
+  private[graft] def hashShufflePositions(df: DataFrame): DataFrame = {
+    val h = df
+      .withColumn("h",
+        md5(concat(lit("shuf:42:"), col("doc_id").cast("string"))))
       .withColumn("bucket", substring(col("h"), 1, 2))
     val perBucket = row_number().over(
       Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id")))
@@ -278,12 +293,61 @@ object TrainQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           - col("cnt")).cast("bigint"))
       .select(col("bucket"), col("off"))
+    h.withColumn("rn", perBucket.cast("bigint"))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("pos", col("off") + col("rn"))
+      .drop("h", "bucket", "rn", "off")
+  }
+
+  /** END-TO-END curation pipeline (op113): quality gate (op90's rules)
+    * → exact dedup (min-id survivor per distinct text) → deterministic
+    * corpus shuffle (op107's rank) → shard assignment → sequence
+    * packing (op87's concatenate-and-cut at 64 tokens, streams keyed
+    * by shard in shuffle order) — the one-call manifest a training run
+    * consumes, proving the operators COMPOSE: every stage is the
+    * already-oracle-checked operator, chained.
+    *
+    * Scale: gate is scan-stage (zero shuffles), dedup is one text-hash
+    * shuffle, the shuffle rank is bucket-parallel (no global sort),
+    * packing is one shard-keyed window — the same shapes as the
+    * standalone ops; survivors materialize once (localCheckpoint) so
+    * the offsets pass doesn't recompute the dedup. */
+  val op113CurationPipeline: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val t = doc.select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"),
+        TextOps.tokenCountWs(col("text")).as("n_words"),
+        TextOps.meanTokenLenBp(col("text")).as("mean_len_bp"),
+        TextOps.markerCount(col("text"), enStop).as("stop_hits"))
+      .withColumn("distinct_bp",
+        expr("size(array_distinct(toks)) * 10000 div n_words").cast("bigint"))
+    val gated = t.filter(col("n_words") >= 20L &&
+        col("mean_len_bp").between(40000L, 47000L) &&
+        col("distinct_bp") >= 5000L && col("stop_hits") >= 2L)
+      .select(col("doc_id"), col("text"))
+    val survivors = gated.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), TextOps.tokenCountWs(col("text")).as("n_tok"))
+      .localCheckpoint()
+    val sh = hashShufflePositions(survivors)
+      .withColumn("shard", ((col("pos") - 1L) % 8L).cast("bigint"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     ordered(
-      h.withColumn("rn", perBucket.cast("bigint"))
-        .join(broadcast(offsets), "bucket")
-        .select(col("doc_id"), (col("off") + col("rn")).as("pos"),
-          ((col("off") + col("rn") - 1L) % 16L).as("shard")),
-      "doc_id")
+      sh.withColumn("tok_off",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)).cast("bigint"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("pos"), col("shard"), col("n_tok"),
+          col("tok_off"),
+          explode(sequence(expr("tok_off div 64"),
+            expr("(tok_off + n_tok - 1) div 64"))).as("pack_id"))
+        .select(col("doc_id"), col("pos"), col("shard"), col("n_tok"),
+          col("tok_off"), col("pack_id").cast("bigint").as("pack_id"),
+          greatest(col("pack_id") * 64L - col("tok_off"), lit(0L))
+            .cast("bigint").as("start_in_doc"),
+          least((col("pack_id") + 1L) * 64L - col("tok_off"), col("n_tok"))
+            .cast("bigint").as("end_in_doc")),
+      "doc_id", "pack_id")
   }
 
   /** IVF-SQ8 ANN (op112, the faiss IVF-SQ composition): IVF cells
@@ -1381,6 +1445,7 @@ object TrainQueries {
     "op109_hard_negatives" -> op109HardNegatives,
     "op110_ann_recall" -> op110AnnRecall,
     "op112_sq8_ann" -> op112Sq8Ann,
+    "op113_curation_pipeline" -> op113CurationPipeline,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2057,6 +2122,43 @@ object TrainQueries {
         |    AS behavior_text
         |FROM s GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+    "op113_curation_pipeline" -> {
+      val stop = enStop.map("'" + _ + "'").mkString(",")
+      s"""WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) * 10000
+        |         // len(string_split(text, ' ')) AS BIGINT) AS mean_len_bp,
+        |    CAST(len(list_distinct(string_split(text, ' '))) * 10000
+        |         // len(string_split(text, ' ')) AS BIGINT) AS distinct_bp,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains([$stop], x))) AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |g AS (SELECT doc_id, text FROM b
+        |      WHERE n_words >= 20 AND mean_len_bp BETWEEN 40000 AND 47000
+        |        AND distinct_bp >= 5000 AND stop_hits >= 2),
+        |sv AS (SELECT text, min(doc_id) AS doc_id FROM g GROUP BY text),
+        |hp AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         md5('shuf:42:' || doc_id) AS h
+        |       FROM sv),
+        |r AS (SELECT doc_id, n_tok,
+        |        CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM hp),
+        |sh AS (SELECT doc_id, n_tok, pos,
+        |         CAST((pos - 1) % 8 AS BIGINT) AS shard FROM r),
+        |o AS (SELECT *, CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+        |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), 0) AS BIGINT) AS tok_off FROM sh),
+        |p AS (SELECT *,
+        |        unnest(range(tok_off // 64, (tok_off + n_tok - 1) // 64 + 1)) AS pack_id
+        |      FROM o WHERE n_tok > 0)
+        |SELECT doc_id, pos, shard, n_tok, tok_off,
+        |  CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(greatest(pack_id * 64 - tok_off, 0) AS BIGINT) AS start_in_doc,
+        |  CAST(least((pack_id + 1) * 64 - tok_off, n_tok) AS BIGINT) AS end_in_doc
+        |FROM p ORDER BY doc_id, pack_id""".stripMargin
+    },
     "op106_changelog_compact" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |            event_type, CAST(round(value * 100, 0) AS BIGINT) AS value_cents,

@@ -188,6 +188,38 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline (op113) composes its standalone stages exactly") {
+    val out = graft.queries.TrainQueries.op113CurationPipeline(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // stage 1+2: kept docs = op90's keep gate, then min-id per distinct
+    // text among the gated
+    val keep = graft.queries.TrainQueries.op90QualityGate(spark, sfDir)
+      .filter(col("keep") === 1L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val survivors = texts.filter { case (id, _) => keep(id) }.toSeq
+      .groupBy(_._2).map { case (_, ds) => ds.map(_._1).min }.toSet
+    assert(out.map(_._1).toSet == survivors,
+      "pipeline docs diverge from gate∘dedup of the standalone ops")
+    // stage 3: positions are dense 1..N over the survivors
+    val pos = out.map(r => (r._1, r._2)).distinct
+    assert(pos.map(_._2).sorted.toSeq == (1L to survivors.size.toLong))
+    // stage 4: per shard, token offsets chain contiguously in pos order
+    out.map(r => (r._1, r._2, r._3, r._4, r._5)).distinct
+      .groupBy(_._3).foreach { case (shard, ds) =>
+        val sorted = ds.sortBy(_._2)
+        var off = 0L
+        sorted.foreach { case (_, _, _, nTok, tokOff) =>
+          assert(tokOff == off, s"shard $shard offsets break at $tokOff")
+          off += nTok
+        }
+      }
+  }
+
   test("temperature mixture (α=0.5) flattens planted skew; rates replay driver-side") {
     import spark.implicits._
     // skew the fixtures can't show: a 400-doc head source vs a 16-doc
