@@ -459,7 +459,12 @@ object Similarity {
   def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0,
       shortlist: Int = 50): DataFrame = {
-    val (cents, cells) = ivfIndexFrames(corpus, nCells, lloydIters)
+    val (cents, cells0) = ivfIndexFrames(corpus, nCells, lloydIters)
+    // cells feeds BOTH the code table and the rerank store — materialize
+    // the assignment once instead of recomputing the corpus×centroid
+    // pass per consumer (the op88-counts pattern; a persisted index
+    // [ivfIndexWrite-style] amortizes it entirely)
+    val cells = cells0.localCheckpoint()
     // the probe-scan table: codes + their norms, nothing full-width
     val codes = cells.select(col("n_id"), col("cent_id"),
         sq8Codes(col("n_id_vec")).as("codes"))

@@ -1279,6 +1279,31 @@ object TrainQueries {
     ordered(Dedup.splitByCluster(s.read.parquet(s"$dir/clusters")), "doc_id")
   }
 
+  /** Dup-cluster size histogram (op114): how much of the corpus sits in
+    * duplicate clusters of which size — the dedup-planning companion to
+    * the data card (a fat tail of big clusters = mirrored crawls worth a
+    * targeted pass; n_docs column shows the doc mass at each size).
+    * Reads the SAME persisted cluster artifact as op92 (content-keyed
+    * cache, built once per dataset); the histogram itself is two
+    * bounded aggregates over (doc_id, cluster). */
+  val op114ClusterHistogram: Q = (s, d) => {
+    val dir = indexRoot(d, "clusters_j7000_cap100", table = "documents")
+    buildIndexIfAbsent(dir, "clusters") { tmp =>
+      Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text",
+          7000L, Some(shingleDocFreqCap))
+        .write.mode("overwrite").parquet(s"$tmp/clusters")
+    }
+    val clu = s.read.parquet(s"$dir/clusters")
+    ordered(
+      clu.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(big(count(lit(1))).as("n_clusters"),
+          big(sum(col("sz"))).as("n_docs"))
+        .select(big(col("sz")).as("cluster_size"), col("n_clusters"),
+          col("n_docs")),
+      "cluster_size")
+  }
+
   /** Semantic dedup (SemDeDup): cluster the embedding space with the
     * IVF centroids, then drop vectors dominated by a lower-id ≥ 25%
     * cosine neighbor WITHIN their cluster — pair volume is cell-bounded
@@ -1446,6 +1471,7 @@ object TrainQueries {
     "op110_ann_recall" -> op110AnnRecall,
     "op112_sq8_ann" -> op112Sq8Ann,
     "op113_curation_pipeline" -> op113CurationPipeline,
+    "op114_cluster_histogram" -> op114ClusterHistogram,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2392,6 +2418,14 @@ object TrainQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "op114_cluster_histogram" ->
+      s"""WITH RECURSIVE
+        |$clusterCtes,
+        |sz AS (SELECT cluster, count(*) AS sz FROM clu GROUP BY cluster)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "op76_repetition" ->
       s"""WITH tri AS (
         |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT shingle) AS n_d

@@ -301,4 +301,18 @@ class DedupSpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(bi == Seq(1, 0, 0), s"bigram counts: $bi")
   }
+
+  test("cluster histogram (op114) equals the fold of op77's clusters and covers the corpus") {
+    val clusters = graft.queries.TrainQueries.op77DedupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = clusters.groupBy(_._2).map(_._2.size.toLong)
+      .groupBy(identity).map { case (sz, cs) =>
+        (sz, cs.size.toLong, sz * cs.size) }
+      .toSeq.sortBy(_._1)
+    val got = graft.queries.TrainQueries.op114ClusterHistogram(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the histogram's doc mass accounts for every document exactly once
+    assert(got.map(_._3).sum == clusters.length.toLong)
+  }
 }

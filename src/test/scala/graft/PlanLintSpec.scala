@@ -94,7 +94,7 @@ class PlanLintSpec extends SparkSpec {
     // (per-source rates, 1-row K, quota tables): a SortMergeJoin there
     // means the corpus got sorted for a table of 20 rows
     val broadcastOnly = Seq("op89_mixture_cutoff", "op79_sample_stratified",
-      "op88_mixture")
+      "op88_mixture", "op111_mixture_temperature")
     val offenders = broadcastOnly.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
