@@ -462,14 +462,26 @@ object Similarity {
     val (cents, cells0) = ivfIndexFrames(corpus, nCells, lloydIters)
     // cells feeds BOTH the code table and the rerank store — materialize
     // the assignment once instead of recomputing the corpus×centroid
-    // pass per consumer (the op88-counts pattern; a persisted index
-    // [ivfIndexWrite-style] amortizes it entirely)
+    // pass per consumer (the op88-counts pattern; the persisted index
+    // [sq8IndexWrite]/[sq8Probe] split amortizes it entirely)
     val cells = cells0.localCheckpoint()
-    // the probe-scan table: codes + their norms, nothing full-width
     val codes = cells.select(col("n_id"), col("cent_id"),
         sq8Codes(col("n_id_vec")).as("codes"))
       .withColumn("c_n2", intDot(col("codes"), col("codes")))
-    val queryCells = probedQueryCells(queries, cents, nProbe)
+    val nv = cells.select(col("n_id"), col("n_id_vec").as("n_vec"),
+      col("n_id_n2").as("n_n2"))
+    sq8ProbeFrames(queries, probedQueryCells(queries, cents, nProbe),
+      codes, nv, k, shortlist)
+  }
+
+  /** Shared SQ8 probe: approximate scoring against the code table,
+    * bounded shortlist, exact rerank against the vector store. `codes` =
+    * (n_id, cent_id, codes, c_n2); `nv` = (n_id, n_vec, n_n2). */
+  private def sq8ProbeFrames(queries: DataFrame, queryCells: DataFrame,
+      codes: DataFrame, nv: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    // each corpus vector lives in one cell and queries probe distinct
+    // cells, so (q_id, n_id) pairs are unique
     val approx = codes.join(broadcast(queryCells), "cent_id")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -483,13 +495,49 @@ object Similarity {
     val qv = queries.select(col("vec_id").as("q_id"),
         quantize(col("embedding")).as("q_vec"))
       .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
-    val nv = cells.select(col("n_id"), col("n_id_vec").as("n_vec"),
-      col("n_id_n2").as("n_n2"))
     val scored = short.join(broadcast(qv), "q_id").join(nv, "n_id")
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_vec"), col("n_vec")),
           col("q_n2"), col("n_n2")).as("cos_bp"))
     topKPerQuery(scored, k)
+  }
+
+  /** Build the IVF-SQ8 serving index ONCE and persist it:
+    * `dir/centroids`, `dir/codes` (int8 codes + norms, PARTITIONED BY
+    * cent_id — the probe's only corpus-sized scan, and it prunes), and
+    * `dir/vectors` (full quantized vectors for the exact rerank).
+    * All-bigint storage ⇒ probe(prebuilt) ≡ [[ivfSq8TopK]]. */
+  def sq8IndexWrite(corpus: DataFrame, dir: String, nCells: Int = 16,
+      lloydIters: Int = 0): Unit = {
+    val (cents, cells0) = ivfIndexFrames(corpus, nCells, lloydIters)
+    val cells = cells0.localCheckpoint()
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cells.select(col("n_id"), col("cent_id"),
+        sq8Codes(col("n_id_vec")).as("codes"))
+      .withColumn("c_n2", intDot(col("codes"), col("codes")))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/codes")
+    cells.select(col("n_id"), col("n_id_vec").as("n_vec"),
+        col("n_id_n2").as("n_n2"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Probe a persisted SQ8 index ([[sq8IndexWrite]]): identical output
+    * to [[ivfSq8TopK]] with matching parameters, but training and
+    * encoding never recur, and the code scan is pruned to the probed
+    * cells by a plan-time IN-list (≤ queries×nProbe values — the op86
+    * fix's static-PartitionFilter shape, ScaleSpec-asserted). */
+  def sq8Probe(queries: DataFrame, dir: String, k: Int, nProbe: Int = 4,
+      shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val queryCells = probedQueryCells(queries, cents, nProbe)
+    val probedCents = queryCells.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cent_id").isin(probedCents.toIndexedSeq: _*))
+      .withColumn("cent_id", col("cent_id").cast("bigint"))
+    val nv = spark.read.parquet(s"$dir/vectors")
+    sq8ProbeFrames(queries, queryCells, codes, nv, k, shortlist)
   }
 
   /** Build the IVF index ONCE and persist it: `dir/centroids` (nCells

@@ -365,6 +365,22 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** SQ8 probe against a PREBUILT persisted index (centroids + int8
+    * codes partitioned by cent_id + rerank vector store) — same
+    * parameters as op112, identical results and oracle; training and
+    * encoding never recur after the first call per dataset, and the
+    * code scan prunes to the probed cells via a plan-time IN-list
+    * (static PartitionFilter, ScaleSpec-asserted). */
+  val op115Sq8Probe: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "sq8_c16_l2")
+    buildIndexIfAbsent(dir, "vectors")(
+      Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
+    ordered(
+      Similarity.sq8Probe(emb.filter(col("vec_id") < 8), dir, 5, nProbe = 4),
+      "q_id", "rank")
+  }
+
   /** Hard-negative mining (op109): per query, top-5 corpus vectors with
     * cosine in [2500, 9500) bp — informative negatives for contrastive
     * training, capped below the near-dup ceiling. Band filter on the
@@ -1472,6 +1488,7 @@ object TrainQueries {
     "op112_sq8_ann" -> op112Sq8Ann,
     "op113_curation_pipeline" -> op113CurationPipeline,
     "op114_cluster_histogram" -> op114ClusterHistogram,
+    "op115_sq8_probe" -> op115Sq8Probe,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2497,7 +2514,15 @@ object TrainQueries {
     // the streamed changelog's compacted final state IS the batch
     // latest-state aggregate
     "op108_stream_changelog" -> baseOracle("op106_changelog_compact"),
-    "op112_sq8_ann" -> {
+    // probe(prebuilt SQ8 index) ≡ the end-to-end op112 by construction
+    "op115_sq8_probe" -> sq8AnnSql,
+    "op112_sq8_ann" -> sq8AnnSql,
+    "op110_ann_recall" -> annRecallSql,
+  )
+
+  /** op112/op115's DuckDB replay: IVF cells + SQ8 codes + 50-wide
+    * shortlist + exact rerank. */
+  private lazy val sq8AnnSql: String = {
       val cosTo = ivfCosTo
       s"""WITH $ivfCellCtes,
         |qc AS (
@@ -2537,8 +2562,11 @@ object TrainQueries {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-    },
-    "op110_ann_recall" -> {
+  }
+
+  /** op110's DuckDB replay: the IVF probe and the brute-force ground
+    * truth fused in one SQL, joined for per-query hit counts. */
+  private lazy val annRecallSql: String = {
       val cosTo = ivfCosTo
       s"""WITH $ivfCellCtes,
         |qc AS (
@@ -2573,6 +2601,5 @@ object TrainQueries {
         |FROM (SELECT vec_id FROM n WHERE vec_id < 8) q
         |LEFT JOIN h ON q.vec_id = h.q_id
         |ORDER BY q_id""".stripMargin
-    },
-  )
+  }
 }

@@ -177,6 +177,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 probe prunes the cent_id-partitioned code store at scan time") {
+    // op115's scale shape: the probed-cell IN-list (collected plan-time,
+    // ≤ queries×nProbe values) must land as a static PartitionFilter on
+    // the codes scan — the probe reads only the probed cells' int8
+    // codes, never the full store
+    import graft.functions.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_probe_")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.sq8IndexWrite(emb, dir.toString, nCells = 16, lloydIters = 2)
+      val queries = emb.filter(col("vec_id") < 8)
+      val probe = Similarity.sq8Probe(queries, dir.toString, 5, nProbe = 4)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
+        s"probed-cell set did not become a partition filter:\n$plan")
+      assert(probe.collect().nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("IVF index storage (cells partitioned by cent_id) prunes non-probed cells at scan time") {
     // SCALE.md's IVF claim ("cell id becomes a storage partition key"),
     // executed: ivfIndexWrite persists the cell-assigned corpus

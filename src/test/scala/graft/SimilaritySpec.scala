@@ -172,6 +172,11 @@ class SimilaritySpec extends SparkSpec {
       assert(rows(Similarity.lshProbe(queries, s"$dir/lsh", 5)) ==
         rows(Similarity.annTopK(queries, emb, 5)),
         "LSH probe over the persisted index diverged from the end-to-end build")
+      Similarity.sq8IndexWrite(emb, s"$dir/sq8", nCells = 16, lloydIters = 2)
+      assert(rows(Similarity.sq8Probe(queries, s"$dir/sq8", 5, nProbe = 4)) ==
+        rows(Similarity.ivfSq8TopK(queries, emb, 5, nCells = 16, nProbe = 4,
+          lloydIters = 2)),
+        "SQ8 probe over the persisted index diverged from the end-to-end build")
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit
