@@ -586,6 +586,25 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** The online serving matrix's FOURTH leg (IVF cells, LSH buckets,
+    * PQ ADC, and now SQ8 codes): [[graft.streaming.StreamingAnn
+    * .sq8ProbeStream]] drained the same way — probe-cell choice from
+    * inlined centroid literals, stream-static join on the partitioned
+    * int8 code store, bounded TopKAgg. No rerank in a stream, so the
+    * published score is the SQ8-approx cosine and the oracle is the
+    * shared SQ8 replay STOPPED at the approximate scores. */
+  val op116StreamSq8Probe: Q = (s, d) => {
+    import graft.streaming.StreamingAnn
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "sq8_c16_l2")
+    buildIndexIfAbsent(dir, "vectors")(
+      Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
+    ordered(StreamingAnn.explodeTopK(
+        drainQueryVecStream(s, d, "op116",
+          StreamingAnn.sq8ProbeStream(_, dir, 5, nProbe = 4)), "sq_bp"),
+      "q_id", "rank")
+  }
+
   /** op96's twin over the LSH index: [[graft.streaming.StreamingAnn
     * .lshProbeStream]] (per-row query bucketing with the regenerated
     * planes, stream-static join on the partitioned bucket store,
@@ -1489,6 +1508,7 @@ object TrainQueries {
     "op113_curation_pipeline" -> op113CurationPipeline,
     "op114_cluster_histogram" -> op114ClusterHistogram,
     "op115_sq8_probe" -> op115Sq8Probe,
+    "op116_stream_sq8_probe" -> op116StreamSq8Probe,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2518,14 +2538,27 @@ object TrainQueries {
     "op115_sq8_probe" -> sq8AnnSql,
     "op112_sq8_ann" -> sq8AnnSql,
     "op110_ann_recall" -> annRecallSql,
+    // the streaming SQ8 probe cannot rerank — its oracle is the shared
+    // replay stopped at the approximate scores
+    "op116_stream_sq8_probe" ->
+      s"""WITH $ivfCellCtes,
+        |$sq8ApproxCtes
+        |SELECT q_id, n_id, sq_bp, rank FROM (
+        |  SELECT q_id, n_id, sq_bp,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sq_bp DESC, n_id) AS BIGINT) AS rank
+        |  FROM approx)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 
   /** op112/op115's DuckDB replay: IVF cells + SQ8 codes + 50-wide
     * shortlist + exact rerank. */
-  private lazy val sq8AnnSql: String = {
+  /** Shared SQ8 replay through the approximate scores: probed cells,
+    * int8 codes, code norms, per-candidate sq_bp. op112/op115 continue
+    * with shortlist + exact rerank; op116 (the streaming probe, which
+    * cannot rerank) stops at `approx`. */
+  private lazy val sq8ApproxCtes: String = {
       val cosTo = ivfCosTo
-      s"""WITH $ivfCellCtes,
-        |qc AS (
+      s"""qc AS (
         |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
         |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
         |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
@@ -2547,7 +2580,14 @@ object TrainQueries {
         |approx AS (
         |  SELECT qc.q_id, c.n_id,
         |         ${cosTo("qc.q_vec", "qc.q_n2", "c.cvec", "c.c_n2")} AS sq_bp
-        |  FROM c2n c JOIN qc ON c.cent_id = qc.cent_id AND qc.q_id <> c.n_id),
+        |  FROM c2n c JOIN qc ON c.cent_id = qc.cent_id AND qc.q_id <> c.n_id)"""
+        .stripMargin
+  }
+
+  private lazy val sq8AnnSql: String = {
+      val cosTo = ivfCosTo
+      s"""WITH $ivfCellCtes,
+        |$sq8ApproxCtes,
         |short AS (SELECT q_id, n_id FROM (
         |  SELECT q_id, n_id,
         |         row_number() OVER (PARTITION BY q_id ORDER BY sq_bp DESC, n_id) AS sr

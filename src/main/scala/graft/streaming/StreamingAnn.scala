@@ -37,28 +37,7 @@ object StreamingAnn {
   def ivfProbeStream(queryStream: DataFrame, dir: String, k: Int,
       nProbe: Int = 4): DataFrame = {
     val spark = queryStream.sparkSession
-    // static index metadata, read once per stream build: nCells rows
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
-
-    val qVec = Similarity.quantize(col("embedding"))
-    val q0 = queryStream.select(col("vec_id").as("q_id"), qVec.as("q_vec"))
-      .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
-    // per-row nProbe cell choice: struct(−cos, cent_id) sorts ascending
-    // to (cos desc, cent_id asc) — the batch probe's exact tiebreak
-    val cellRank = array(cents.toIndexedSeq.map { case (id, vec, n2) =>
-      struct(
-        (-Similarity.cosBpFrom(
-          Similarity.intDot(col("q_vec"), typedlit(vec.toSeq)),
-          col("q_n2"), lit(n2))).as("neg_cos"),
-        lit(id).as("cent_id"))
-    }: _*)
-    val probes = transform(slice(array_sort(cellRank), 1, nProbe),
-      s => s.getField("cent_id"))
-    val q = q0.withColumn("cent_id", explode(probes))
-
+    val q = probeCellsInlined(queryStream, dir, nProbe)
     // cent_id is a partition directory on disk; restore its bigint type
     val cells = spark.read.parquet(s"$dir/cells")
       .withColumn("cent_id", col("cent_id").cast("bigint"))
@@ -70,6 +49,64 @@ object StreamingAnn {
           col("q_n2"), col("n_id_n2")).as("cos_bp"))
       .groupBy(col("q_id"))
       .agg(TopKAgg.topK(k)(col("cos_bp"), col("n_id")).as("top"))
+  }
+
+  /** Shared per-row probe-cell choice over an index with a
+    * `dir/centroids` table: the static centroid metadata (nCells rows —
+    * bytes) is collected ONCE at stream build and inlined as literals,
+    * so the nProbe best cells become a pure per-row projection
+    * (struct(−cos, cent_id) sorts ascending to (cos desc, cent_id
+    * asc) — the batch probe's exact tiebreak). Returns
+    * (q_id, q_vec, q_n2, cent_id), one row per probed cell. */
+  private def probeCellsInlined(queryStream: DataFrame, dir: String,
+      nProbe: Int): DataFrame = {
+    val spark = queryStream.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val qVec = Similarity.quantize(col("embedding"))
+    val q0 = queryStream.select(col("vec_id").as("q_id"), qVec.as("q_vec"))
+      .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
+    val cellRank = array(cents.toIndexedSeq.map { case (id, vec, n2) =>
+      struct(
+        (-Similarity.cosBpFrom(
+          Similarity.intDot(col("q_vec"), typedlit(vec.toSeq)),
+          col("q_n2"), lit(n2))).as("neg_cos"),
+        lit(id).as("cent_id"))
+    }: _*)
+    val probes = transform(slice(array_sort(cellRank), 1, nProbe),
+      s => s.getField("cent_id"))
+    q0.withColumn("cent_id", explode(probes))
+  }
+
+  /** Probe the persisted SQ8 index at `dir`
+    * ([[graft.functions.Similarity.sq8IndexWrite]]) with a STREAMING
+    * frame of (vec_id, embedding) query vectors — the fourth leg of the
+    * online serving matrix (IVF cells, PQ ADC, LSH buckets, SQ8 codes):
+    * per-row probe-cell choice from the inlined centroid literals, a
+    * stream-static join on cent_id against the PARTITIONED int8 code
+    * store (the probe's only corpus-sized scan — 8× fewer bytes per
+    * candidate), and the bounded [[TopKAgg]] as the one streaming
+    * aggregation. No exact rerank (a join after the aggregation —
+    * forbidden in a stream): the online answer is the SQ8-approx
+    * ranking (score = sq_bp over the codes; spec'd equal to an
+    * independent driver-side replay), and the batch
+    * [[graft.functions.Similarity.sq8Probe]] refines offline. */
+  def sq8ProbeStream(queryStream: DataFrame, dir: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queryStream.sparkSession
+    val q = probeCellsInlined(queryStream, dir, nProbe)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .withColumn("cent_id", col("cent_id").cast("bigint"))
+    q.join(codes, "cent_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosBpFrom(
+          Similarity.intDot(col("q_vec"), col("codes")),
+          col("q_n2"), col("c_n2")).as("sq_bp"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(k)(col("sq_bp"), col("n_id")).as("top"))
   }
 
   /** Probe the persisted PQ index at `dir`

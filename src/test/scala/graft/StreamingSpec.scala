@@ -622,6 +622,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SQ8 probe over the prebuilt index matches an independent driver-side replay") {
+    // the fourth leg of online serving: probe-cell choice from inlined
+    // centroid literals + stream-static join on the partitioned int8
+    // code store; the oracle here is a from-scratch Scala replay over
+    // the stored tables (cell choice, code scoring, tiebreaks)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sq8_")
+    try {
+      Similarity.sq8IndexWrite(emb, s"$dir/sq8", nCells = 16, lloydIters = 2)
+      val queries = emb.filter(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val in = MemoryStream[(Long, Seq[Float])]
+      val stream = StreamingAnn.sq8ProbeStream(
+        in.toDF().toDF("vec_id", "embedding"), s"$dir/sq8", 5, nProbe = 4)
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName("sq8_probe_out").start()
+      in.addData(queries.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val got = StreamingAnn.explodeTopK(spark.table("sq8_probe_out"), "sq_bp")
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      def cosBp(d: Long, n2a: Long, n2b: Long): Long =
+        if (n2a == 0 || n2b == 0) 0L
+        else math.floor(d.toDouble /
+          (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble)) * 1e4).toLong
+      val cents = spark.read.parquet(s"$dir/sq8/centroids").collect()
+        .map(r => (r.getLong(r.fieldIndex("cent_id")),
+          r.getSeq[Long](r.fieldIndex("cent_vec")).toArray,
+          r.getLong(r.fieldIndex("cent_n2"))))
+      val codes = spark.read.parquet(s"$dir/sq8/codes")
+        .withColumn("cent_id", col("cent_id").cast("bigint")).collect()
+        .map(r => (r.getLong(r.fieldIndex("n_id")),
+          r.getLong(r.fieldIndex("cent_id")),
+          r.getSeq[Long](r.fieldIndex("codes")).toArray,
+          r.getLong(r.fieldIndex("c_n2"))))
+      val want = queries.flatMap { case (qid, e) =>
+        val qv = e.map(x => math.floor(x.toDouble * 1e6).toLong).toArray
+        val qn2 = dot(qv, qv)
+        val probed = cents
+          .map { case (cid, cv, cn2) => (-cosBp(dot(qv, cv), qn2, cn2), cid) }
+          .sorted.take(4).map(_._2).toSet
+        codes.filter(c => probed(c._2) && c._1 != qid)
+          .map { case (nid, _, cvec, cn2) =>
+            (nid, cosBp(dot(qv, cvec), qn2, cn2)) }
+          .sortBy { case (nid, bp) => (-bp, nid) }.take(5).zipWithIndex
+          .map { case ((nid, bp), i) => (qid, nid, bp, (i + 1).toLong) }
+      }.toSeq.sortBy(r => (r._1, r._4))
+      assert(got == want, "streamed SQ8 probe diverged from the driver replay")
+      assert(got.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming PQ ADC probe over the prebuilt index matches an independent driver-side ADC") {
     // the PQ half of online serving: unlike IVF (which prunes to cells),
     // ADC scans every stored code array with a cheap per-candidate
