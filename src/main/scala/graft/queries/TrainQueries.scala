@@ -1314,6 +1314,31 @@ object TrainQueries {
     ordered(Dedup.splitByCluster(s.read.parquet(s"$dir/clusters")), "doc_id")
   }
 
+  /** N-gram novelty (op117): per document, the fraction of its distinct
+    * trigram shingles that occur NOWHERE else in the corpus — the
+    * information-density signal dedup-adjacent curation ranks on (a doc
+    * whose shingles all appear elsewhere adds nothing even if no single
+    * near-duplicate catches it; boilerplate-heavy docs score low).
+    * Scale: op61's inverted-index shape WITHOUT the pairing join — one
+    * shingle-keyed doc-frequency aggregate joined back, then one
+    * doc-keyed aggregate; no pair fan-out at all. Docs under 3 tokens
+    * have no shingles and no row (declared semantics). */
+  val op117NgramNovelty: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.trigrams(col("text"))).as("shingle"))
+      .distinct()
+    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    ordered(
+      sh.join(dfq, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(big(count(lit(1))).as("n_sh"),
+          big(sum(when(col("df") === 1L, 1L).otherwise(0L))).as("n_unique"))
+        .withColumn("novelty_bp",
+          expr("n_unique * 10000 div n_sh").cast("bigint")),
+      "doc_id")
+  }
+
   /** Dup-cluster size histogram (op114): how much of the corpus sits in
     * duplicate clusters of which size — the dedup-planning companion to
     * the data card (a fat tail of big clusters = mirrored crawls worth a
@@ -1509,6 +1534,7 @@ object TrainQueries {
     "op114_cluster_histogram" -> op114ClusterHistogram,
     "op115_sq8_probe" -> op115Sq8Probe,
     "op116_stream_sq8_probe" -> op116StreamSq8Probe,
+    "op117_ngram_novelty" -> op117NgramNovelty,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2463,6 +2489,16 @@ object TrainQueries {
         |  CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(sum(sz) AS BIGINT) AS n_docs
         |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    "op117_ngram_novelty" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |d AS (SELECT sh.doc_id, count(*) AS n_sh,
+        |        sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+        |      FROM sh JOIN df USING (shingle) GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+        |  CAST(n_unique AS BIGINT) AS n_unique,
+        |  CAST(n_unique * 10000 // n_sh AS BIGINT) AS novelty_bp
+        |FROM d ORDER BY doc_id""".stripMargin,
     "op76_repetition" ->
       s"""WITH tri AS (
         |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT shingle) AS n_d

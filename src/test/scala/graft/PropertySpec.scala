@@ -187,4 +187,41 @@ class PropertySpec extends SparkSpec {
     // bag-of-words model: permutation-invariant by design
     assert(fp(0L) == fp(2L))
   }
+
+  test("property: LatestAgg fold is arrival- and merge-order invariant") {
+    // the changelog compactor's correctness rests on the claim that ANY
+    // partitioning of the change sequence into batches, in any order,
+    // folds to the same state — exercised directly on the Aggregator
+    // (no Spark jobs), with duplicate timestamps so the event_id
+    // tiebreak matters
+    import graft.functions.{ChangeRec, LatestAgg, LatestBuf}
+    val agg = new LatestAgg
+    val recGen = for {
+      ts <- Gen.chooseNum(0L, 5L)   // tight range → many ts collisions
+      id <- Gen.chooseNum(0L, 1000L)
+      vc <- Gen.chooseNum(-500L, 500L)
+    } yield ChangeRec(ts, id, s"t$id", vc)
+    val seqGen = Gen.nonEmptyListOf(recGen)
+      // event_id must be unique (it is a key in the real changelog)
+      .map(_.groupBy(_.event_id).values.map(_.head).toList)
+    def foldVia(batches: Seq[Seq[ChangeRec]]): LatestBuf =
+      batches.filter(_.nonEmpty)
+        .map(b => b.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+    val prop = Prop.forAll(seqGen, Gen.chooseNum(1, 5), Gen.long) {
+      (recs, nBatches, shuffleSeed) =>
+        val rnd = new scala.util.Random(shuffleSeed)
+        val shuffled = rnd.shuffle(recs)
+        val batches = shuffled.grouped(
+          math.max(1, shuffled.size / nBatches)).toSeq
+        val direct = recs.foldLeft(agg.zero)(agg.reduce)
+        val batched = foldVia(batches)
+        // reference: global max by (ts_us, event_id), count = |recs|
+        val best = recs.maxBy(r => (r.ts_us, r.event_id))
+        direct == batched &&
+          batched == LatestBuf(recs.size.toLong, best.ts_us, best.event_id,
+            best.event_type, best.value_cents)
+    }
+    check("latestAggOrderInvariance", prop)
+  }
 }

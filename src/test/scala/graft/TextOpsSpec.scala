@@ -188,6 +188,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram novelty (op117) equals a driver-side fold over the fixture corpus") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tris(t: String): Set[String] = {
+      val tok = t.split(" ")
+      if (tok.length < 3) Set.empty
+      else tok.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> tris(t) }
+      .filter(_._2.nonEmpty)
+    val dfc = sets.flatMap(_._2.toSeq).groupBy(identity)
+      .map { case (s, xs) => s -> xs.length }
+    val want = sets.map { case (id, ss) =>
+      val u = ss.count(s => dfc(s) == 1).toLong
+      (id, ss.size.toLong, u, u * 10000L / ss.size)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.TrainQueries.op117NgramNovelty(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // the signal separates: the fixture corpus has both low- and
+    // high-novelty documents
+    assert(got.map(_._4).distinct.length > 1)
+  }
+
   test("curation pipeline (op113) composes its standalone stages exactly") {
     val out = graft.queries.TrainQueries.op113CurationPipeline(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
