@@ -1324,10 +1324,13 @@ object TrainQueries {
     * doc-keyed aggregate; no pair fan-out at all. Docs under 3 tokens
     * have no shingles and no row (declared semantics). */
   val op117NgramNovelty: Q = (s, d) => {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(TextOps.trigrams(col("text"))).as("shingle"))
-      .distinct()
+    // hashed shingles (op61's convention): distinct/df/join run on
+    // xxhash64 longs, not trigram strings — the outputs carry only doc
+    // ids and counts, so the oracle's raw-string replay still matches
+    // (collisions ~2⁻⁶⁴ per pair); the index feeds two consumers, so
+    // materialize it once (the jaccardPairs pattern)
+    val sh = Dedup.shingleIndexHashed(Tables.documents(s, d), "doc_id",
+      "text").localCheckpoint()
     val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     ordered(
       sh.join(dfq, "shingle")
