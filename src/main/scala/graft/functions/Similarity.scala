@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -587,12 +587,30 @@ object Similarity {
     * corpus-sized work is the pruned cells scan. */
   def ivfProbe(queries: DataFrame, dir: String, k: Int,
       nProbe: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
+    val (cents, cells) = readIvfIndex(queries.sparkSession, dir)
+    ivfProbeFrames(queries, cents, cells, k, nProbe)
+  }
+
+  /** A persisted IVF index as lazy frames (centroids, cells). */
+  private def readIvfIndex(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val cents = spark.read.parquet(s"$dir/centroids")
     // cent_id is a partition directory on disk; restore its bigint type
     val cells = spark.read.parquet(s"$dir/cells")
       .withColumn("cent_id", col("cent_id").cast("bigint"))
-    ivfProbeFrames(queries, cents, cells, k, nProbe)
+    (cents, cells)
+  }
+
+  /** Band-filtered probe of a persisted IVF index: [[hardNegativesIvf]]
+    * with the Lloyd training + corpus assignment amortized into
+    * [[ivfIndexWrite]]'s store — identical results for matching
+    * parameters, pure probe cost per mining run. Hard-negative mining
+    * reuses the SAME index ANN search probes (the band is query-side),
+    * so at 100 TB one index build serves both workloads. */
+  def hardNegativesProbe(queries: DataFrame, dir: String, k: Int,
+      loBp: Long, hiBp: Long, nProbe: Int = 4): DataFrame = {
+    val (cents, cells) = readIvfIndex(queries.sparkSession, dir)
+    ivfProbeFrames(queries, cents, cells, k, nProbe, Some((loBp, hiBp)))
   }
 
   /** Unit-normalize in the quantized-integer domain: floor(v·10⁶/‖v‖)

@@ -385,12 +385,19 @@ object TrainQueries {
     * cosine in [2500, 9500) bp — informative negatives for contrastive
     * training, capped below the near-dup ceiling. Band filter on the
     * op69 IVF probe (same candidate volume; oracle = op69's replay plus
-    * the band). */
+    * the band). Runs against op84's prebuilt `ivf_c16_l2` index (same
+    * 16-cell / 2-Lloyd-pass parameters, so results and oracle are
+    * unchanged): one index build serves ANN search AND mining, and each
+    * mining run pays only probe cost — the end-to-end spelling is
+    * [[Similarity.hardNegativesIvf]]. */
   val op109HardNegatives: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "ivf_c16_l2")
+    buildIndexIfAbsent(dir, "cells")(
+      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
     ordered(
-      Similarity.hardNegativesIvf(emb.filter(col("vec_id") < 8), emb, 5,
-        2500L, 9500L, lloydIters = 2),
+      Similarity.hardNegativesProbe(emb.filter(col("vec_id") < 8), dir, 5,
+        2500L, 9500L, nProbe = 4),
       "q_id", "rank")
   }
 

@@ -306,6 +306,15 @@ class SimilaritySpec extends SparkSpec {
         .take(5)
     }
     assert(full.toSeq == want)
+    // op109's amortized spelling: a band probe over the persisted index
+    // equals the end-to-end mining run with matching parameters
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hardneg_idx").toString
+    Similarity.ivfIndexWrite(emb, dir, nCells = 16, lloydIters = 2)
+    val probed = Similarity.hardNegativesProbe(queries, dir, 5, lo, hi,
+      nProbe = 4).orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(probed.toSeq == mined.sortBy(m => (m._1, -m._3, m._2)).toSeq)
   }
 
   test("ANN recall eval (op110) equals a driver-side fold of brute vs IVF top-5") {
