@@ -862,6 +862,141 @@ object Similarity {
       k, m, dim, shortlist)
   }
 
+  /** IVF-PQ ANN (the faiss serving composition, closing the gap op112
+    * closed for SQ8): IVF cells prune the corpus to nProbe cells per
+    * query, the surviving candidates are approximately scored by PQ
+    * asymmetric distance computation — m 4-bit codes per candidate, the
+    * smallest per-candidate representation in the library (4 bytes vs
+    * SQ8's 64) — a bounded [[TopKAgg]] trims to a shortlist map-side,
+    * and an exact rerank re-attaches full vectors for shortlist×Q rows.
+    * vs [[pqTopK]]: same codes, 4/16 of the candidates (the cells
+    * prune). vs [[ivfSq8TopK]]: same candidates, 16× fewer bytes each.
+    * The codebook is trained globally (not per-cell residuals), so
+    * codes are cell-independent and ingest composes [[ivfIndexAppend]]'s
+    * assign-and-append with [[pqIndexAppend]]'s encode-against-existing
+    * — no per-cell retraining. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, ivfLloyd: Int = 0, m: Int = 8,
+      nCents: Int = 16, pqLloyd: Int = 1, dim: Int = 64,
+      shortlist: Int = 50): DataFrame = {
+    val (cents, cb, codes, nv) =
+      ivfPqIndexFrames(corpus, nCells, ivfLloyd, m, nCents, pqLloyd, dim)
+    ivfPqProbeFrames(queries, probedQueryCells(queries, cents, nProbe),
+      cb, codes, nv, k, m, dim, shortlist)
+  }
+
+  /** IVF-PQ index as lazy frames: (IVF centroids, PQ codebook,
+    * cell-tagged codes (vec_id, sub_j, code, cent_id), rerank store).
+    * One corpus×centroid assignment pass + one PQ encode pass; the
+    * vec_id join attaching cells to codes is build-time cost only. */
+  private def ivfPqIndexFrames(corpus: DataFrame, nCells: Int,
+      ivfLloyd: Int, m: Int, nCents: Int, pqLloyd: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val subDim = dim / m
+    val (cents, cells0) = ivfIndexFrames(corpus, nCells, ivfLloyd)
+    // the assignment feeds the code tags AND the rerank store —
+    // materialize once (the op112 pattern)
+    val cells = cells0.localCheckpoint()
+    val sv = subVectorTable(corpus, m, subDim).localCheckpoint()
+    val cb = pqCodebook(sv, corpus, m, nCents, pqLloyd, dim)
+    val codes = pqEncode(sv, cb)
+      .join(cells.select(col("n_id").as("vec_id"), col("cent_id")), "vec_id")
+    val nv = cells.select(col("n_id"), col("n_id_vec").as("n_vec"),
+      col("n_id_n2").as("n_n2"))
+    (cents, cb, codes, nv)
+  }
+
+  /** Cell-pruned ADC + exact rerank: candidates are the codes rows in
+    * each query's probed cells (on a persisted index that cell join is
+    * a PartitionFilter), their approximate distance is the sum of m
+    * broadcast-LUT lookups, and only the shortlist touches full-width
+    * vectors. `codes` = (vec_id, sub_j, code, cent_id). */
+  private def ivfPqProbeFrames(queries: DataFrame, queryCells: DataFrame,
+      cb: DataFrame, codes: DataFrame, nv: DataFrame, k: Int, m: Int,
+      dim: Int, shortlist: Int): DataFrame = {
+    val subDim = dim / m
+    val qsub = subVectorTable(queries, m, subDim)
+      .select(col("vec_id").as("q_id"), col("sub_j"), col("svec"), col("s2"))
+    val adc = qsub.join(broadcast(cb), "sub_j")
+      .select(col("q_id"), col("sub_j"), col("code"),
+        (col("s2") - lit(2L) * intDot(col("svec"), col("cent_vec")) +
+          col("cent_n2")).as("pd2"))
+    // each corpus vector lives in one cell and queries probe distinct
+    // cells, so (q_id, vec_id) survives the cell join exactly once per
+    // sub_j and the ADC sum sees m rows per candidate pair
+    val approx = codes
+      .join(broadcast(queryCells.select(col("q_id"), col("cent_id"))),
+        "cent_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(adc), Seq("q_id", "sub_j", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("d2"))
+    // PQ distances rank a shortlist; negated d2 makes TopKAgg's
+    // (score desc, id asc) order the oracle's (d2 asc, vec_id asc)
+    val short = approx.groupBy(col("q_id"))
+      .agg(TopKAgg.topK(shortlist)(-col("d2"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+        quantize(col("embedding")).as("q_vec"))
+      .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
+    val scored = short.join(broadcast(qv), "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosBpFrom(intDot(col("q_vec"), col("n_vec")),
+          col("q_n2"), col("n_n2")).as("cos_bp"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Build the IVF-PQ serving index ONCE and persist it:
+    * `dir/centroids` (IVF), `dir/codebook` (PQ), `dir/codes` (row form
+    * for the batch probe's (sub_j, code) equi-join) and
+    * `dir/codes_packed` (one m-element array per vector for the
+    * streaming ADC probe) — both PARTITIONED BY cent_id so every probe
+    * scan prunes to its cells — and `dir/vectors` for the exact rerank.
+    * All-bigint storage ⇒ probe(prebuilt) ≡ [[ivfPqTopK]]. */
+  def ivfPqIndexWrite(corpus: DataFrame, dir: String, nCells: Int = 16,
+      ivfLloyd: Int = 0, m: Int = 8, nCents: Int = 16, pqLloyd: Int = 1,
+      dim: Int = 64): Unit = {
+    val (cents, cb, codes0, nv) =
+      ivfPqIndexFrames(corpus, nCells, ivfLloyd, m, nCents, pqLloyd, dim)
+    val codes = codes0.localCheckpoint() // feeds both layouts
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$dir/codes")
+    codes.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub_j"), col("code"))))
+          .as("sc"),
+        first(col("cent_id")).as("cent_id"))
+      .select(col("vec_id").as("n_id"),
+        transform(col("sc"), s => s.getField("code")).as("codes"),
+        col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$dir/codes_packed")
+    nv.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Probe a persisted IVF-PQ index ([[ivfPqIndexWrite]]): identical
+    * output to [[ivfPqTopK]] with matching parameters — training,
+    * assignment, and encoding never recur, and the code scan prunes to
+    * the probed cells by a plan-time IN-list (the op115 static-
+    * PartitionFilter shape). */
+  def ivfPqProbe(queries: DataFrame, dir: String, k: Int,
+      nProbe: Int = 4, m: Int = 8, dim: Int = 64,
+      shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val queryCells = probedQueryCells(queries, cents, nProbe)
+    val probedCents = queryCells.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cent_id").isin(probedCents.toIndexedSeq: _*))
+      .withColumn("cent_id", col("cent_id").cast("bigint"))
+    ivfPqProbeFrames(queries, queryCells,
+      spark.read.parquet(s"$dir/codebook"), codes,
+      spark.read.parquet(s"$dir/vectors"), k, m, dim, shortlist)
+  }
+
   /** Embedding near-duplicate pairs via sign-LSH candidates: only pairs
     * sharing a (table, bucket) are ever scored, so pair volume follows
     * bucket collisions — ≈ N²·L/2^bits on random data (≪ N²/2 once

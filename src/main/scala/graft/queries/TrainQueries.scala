@@ -381,6 +381,39 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** IVF-PQ ANN (op118, the faiss serving composition): IVF cells
+    * (2 Lloyd passes, nProbe=4 of 16) prune the corpus, PQ ADC (8
+    * subspaces × 16 codes — 4 bytes per candidate, the library's
+    * smallest) scores the survivors, TopKAgg trims to a 50-wide
+    * shortlist, exact rerank orders the final top-5. The oracle
+    * composes the op69 cell replay with the op83 ADC replay: approx
+    * distances restricted to each query's probed cells. */
+  val op118IvfPqAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    ordered(
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 8), emb, 5,
+        ivfLloyd = 2),
+      "q_id", "rank")
+  }
+
+  /** IVF-PQ probe against a PREBUILT persisted index (IVF centroids +
+    * PQ codebook + cell-partitioned codes + rerank store) — same
+    * parameters as op118, identical results and oracle; training,
+    * assignment, and encoding never recur, and the code scan prunes to
+    * the probed cells via a plan-time IN-list (static PartitionFilter,
+    * ScaleSpec-asserted). */
+  val op119IvfPqProbe: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "ivfpq_c16_l2_m8")
+    buildIndexIfAbsent(dir, "vectors")(
+      Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
+        m = 8, nCents = 16, pqLloyd = 1))
+    ordered(
+      Similarity.ivfPqProbe(emb.filter(col("vec_id") < 8), dir, 5,
+        nProbe = 4),
+      "q_id", "rank")
+  }
+
   /** Hard-negative mining (op109): per query, top-5 corpus vectors with
     * cosine in [2500, 9500) bp — informative negatives for contrastive
     * training, capped below the near-dup ceiling. Band filter on the
@@ -609,6 +642,28 @@ object TrainQueries {
     ordered(StreamingAnn.explodeTopK(
         drainQueryVecStream(s, d, "op116",
           StreamingAnn.sq8ProbeStream(_, dir, 5, nProbe = 4)), "sq_bp"),
+      "q_id", "rank")
+  }
+
+  /** The serving matrix's last leg, closing its last unpruned path:
+    * [[graft.streaming.StreamingAnn.ivfPqProbeStream]] drained the same
+    * way — op100 scans the whole packed-code store per micro-batch
+    * (PQ-flat ADC by definition); here the inlined-centroid cell choice
+    * prunes the stream-static join to the probed cent_id partitions,
+    * with each candidate still costing m LUT lookups. No rerank in a
+    * stream, so the published score is −d2 and the oracle is the
+    * composed replay STOPPED at the cell-pruned approximate
+    * distances. */
+  val op120StreamIvfPqProbe: Q = (s, d) => {
+    import graft.streaming.StreamingAnn
+    val emb = Tables.embeddings(s, d)
+    val dir = indexRoot(d, "ivfpq_c16_l2_m8")
+    buildIndexIfAbsent(dir, "vectors")(
+      Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
+        m = 8, nCents = 16, pqLloyd = 1))
+    ordered(StreamingAnn.explodeTopK(
+        drainQueryVecStream(s, d, "op120",
+          StreamingAnn.ivfPqProbeStream(_, dir, 5, nProbe = 4)), "neg_d2"),
       "q_id", "rank")
   }
 
@@ -1545,6 +1600,9 @@ object TrainQueries {
     "op115_sq8_probe" -> op115Sq8Probe,
     "op116_stream_sq8_probe" -> op116StreamSq8Probe,
     "op117_ngram_novelty" -> op117NgramNovelty,
+    "op118_ivfpq_ann" -> op118IvfPqAnn,
+    "op119_ivfpq_probe" -> op119IvfPqProbe,
+    "op120_stream_ivfpq_probe" -> op120StreamIvfPqProbe,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -1665,16 +1723,7 @@ object TrainQueries {
     * vectors; op100 (the streaming ADC probe, which cannot rerank)
     * stops at `approx`. Ends with CTEs `n` (raw quantized + norms) and
     * `approx` (q_id, vec_id, d2). */
-  private lazy val pqAdcCtes: String = {
-    val dot8 = (a: String, b: String) =>
-      s"CAST(list_sum([$a[i+1] * $b[i+1] FOR i IN range(8)]) AS BIGINT)"
-    val subSelects = (0 until 8).map { j =>
-      s"SELECT vec_id, $j AS sub_j, nv[${j * 8 + 1}:${j * 8 + 8}] AS svec FROM norm"
-    }.mkString("\n|  UNION ALL ")
-    val sumCols8 = (0 until 8).map(i => s"sum(svec[${i + 1}]) AS s$i")
-      .mkString(", ")
-    val meanList8 = (0 until 8).map(i =>
-      s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
+  private lazy val pqAdcCtes: String =
     s"""q0 AS (
       |  SELECT vec_id,
       |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
@@ -1683,56 +1732,75 @@ object TrainQueries {
       |n AS (SELECT vec_id, v,
       |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
       |      FROM q0),
-      |norm AS (
+      |${pqAdcCtesFromN("")}""".stripMargin
+
+  /** The PQ replay's CTE chain FROM the shared quantized table `n`
+    * (normalize → subspace slices → one Lloyd pass → codes → ADC →
+    * `${p}approx`), every CTE name prefixed with `p` so the chain can
+    * compose with [[ivfCellCtes]] (which owns q0/n and its own c0/c1
+    * names) in the IVF-PQ oracles. [[pqAdcCtes]] is the standalone
+    * spelling with prefix "" and its own q0/n. */
+  private def pqAdcCtesFromN(p: String): String = {
+    val dot8 = (a: String, b: String) =>
+      s"CAST(list_sum([$a[i+1] * $b[i+1] FOR i IN range(8)]) AS BIGINT)"
+    val subSelects = (0 until 8).map { j =>
+      s"SELECT vec_id, $j AS sub_j, nv[${j * 8 + 1}:${j * 8 + 8}] AS svec FROM ${p}norm"
+    }.mkString("\n|  UNION ALL ")
+    val sumCols8 = (0 until 8).map(i => s"sum(svec[${i + 1}]) AS s$i")
+      .mkString(", ")
+    val meanList8 = (0 until 8).map(i =>
+      s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
+    s"""${p}norm AS (
       |  SELECT vec_id,
       |         CASE WHEN n2 = 0 THEN v
       |              ELSE [CAST(floor(CAST(v[i+1] AS DOUBLE) * 1000000
       |                         / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)
       |                    FOR i IN range(64)] END AS nv
       |  FROM n),
-      |sub0 AS (
+      |${p}sub0 AS (
       |  $subSelects),
-      |sub AS (SELECT vec_id, sub_j, svec,
+      |${p}sub AS (SELECT vec_id, sub_j, svec,
       |          CAST(list_sum([svec[i+1] * svec[i+1] FOR i IN range(8)]) AS BIGINT) AS s2
-      |        FROM sub0),
-      |c0 AS (
+      |        FROM ${p}sub0),
+      |${p}c0 AS (
       |  SELECT sub_j,
       |         CAST(row_number() OVER (PARTITION BY sub_j ORDER BY vec_id) - 1 AS BIGINT) AS code,
       |         svec AS cent_vec, s2 AS cent_n2
-      |  FROM sub
+      |  FROM ${p}sub
       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-      |a1 AS (
+      |${p}a1 AS (
       |  SELECT vec_id, sub_j, svec, code FROM (
       |    SELECT s.vec_id, s.sub_j, s.svec, ct.code,
       |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
       |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
       |             ct.code) AS rn
-      |    FROM sub s JOIN c0 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
-      |m1 AS (SELECT sub_j, code, count(*) AS cnt, $sumCols8 FROM a1 GROUP BY sub_j, code),
-      |mm1 AS (SELECT sub_j, code, $meanList8 AS cent_vec FROM m1),
-      |c1 AS (
+      |    FROM ${p}sub s JOIN ${p}c0 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
+      |${p}m1 AS (SELECT sub_j, code, count(*) AS cnt, $sumCols8 FROM ${p}a1 GROUP BY sub_j, code),
+      |${p}mm1 AS (SELECT sub_j, code, $meanList8 AS cent_vec FROM ${p}m1),
+      |${p}c1 AS (
       |  SELECT sub_j, code, cent_vec,
       |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(8)]) AS BIGINT) AS cent_n2
-      |  FROM mm1
+      |  FROM ${p}mm1
       |  UNION ALL
-      |  SELECT c0.sub_j, c0.code, c0.cent_vec, c0.cent_n2 FROM c0
-      |  WHERE NOT EXISTS (SELECT 1 FROM mm1
+      |  SELECT c0.sub_j, c0.code, c0.cent_vec, c0.cent_n2 FROM ${p}c0 c0
+      |  WHERE NOT EXISTS (SELECT 1 FROM ${p}mm1 mm1
       |                    WHERE mm1.sub_j = c0.sub_j AND mm1.code = c0.code)),
-      |codes AS (
+      |${p}codes AS (
       |  SELECT vec_id, sub_j, code FROM (
       |    SELECT s.vec_id, s.sub_j, ct.code,
       |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
       |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
       |             ct.code) AS rn
-      |    FROM sub s JOIN c1 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
-      |adc AS (
+      |    FROM ${p}sub s JOIN ${p}c1 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
+      |${p}adc AS (
       |  SELECT s.vec_id AS q_id, s.sub_j, ct.code,
       |         s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2 AS pd2
-      |  FROM sub s JOIN c1 ct ON s.sub_j = ct.sub_j
+      |  FROM ${p}sub s JOIN ${p}c1 ct ON s.sub_j = ct.sub_j
       |  WHERE s.vec_id < 8),
-      |approx AS (
+      |${p}approx AS (
       |  SELECT adc.q_id, codes.vec_id, CAST(sum(adc.pd2) AS BIGINT) AS d2
-      |  FROM codes JOIN adc ON codes.sub_j = adc.sub_j AND codes.code = adc.code
+      |  FROM ${p}codes codes JOIN ${p}adc adc
+      |    ON codes.sub_j = adc.sub_j AND codes.code = adc.code
       |  WHERE adc.q_id <> codes.vec_id
       |  GROUP BY adc.q_id, codes.vec_id)""".stripMargin
   }
@@ -2584,6 +2652,12 @@ object TrainQueries {
     "op115_sq8_probe" -> sq8AnnSql,
     "op112_sq8_ann" -> sq8AnnSql,
     "op110_ann_recall" -> annRecallSql,
+    // probe(prebuilt IVF-PQ index) ≡ the end-to-end op118; the
+    // streaming leg (op120) cannot rerank, so its oracle stops at the
+    // cell-pruned approximate distances
+    "op118_ivfpq_ann" -> ivfPqSql(rerank = true),
+    "op119_ivfpq_probe" -> ivfPqSql(rerank = true),
+    "op120_stream_ivfpq_probe" -> ivfPqSql(rerank = false),
     // the streaming SQ8 probe cannot rerank — its oracle is the shared
     // replay stopped at the approximate scores
     "op116_stream_sq8_probe" ->
@@ -2628,6 +2702,57 @@ object TrainQueries {
         |         ${cosTo("qc.q_vec", "qc.q_n2", "c.cvec", "c.c_n2")} AS sq_bp
         |  FROM c2n c JOIN qc ON c.cent_id = qc.cent_id AND qc.q_id <> c.n_id)"""
         .stripMargin
+  }
+
+  /** op118/op119's DuckDB replay: the op69 IVF-cell CTEs compose with
+    * the op83 PQ-ADC chain (prefixed `p` — [[pqAdcCtesFromN]]) over the
+    * SHARED quantized table `n`; `pruned` restricts the approximate
+    * distances to each query's 4 probed cells. op118/op119 continue
+    * with the 50-wide shortlist + exact rerank; op120 (the streaming
+    * probe, which cannot rerank) stops at `pruned`, top-5 by
+    * (d2, vec_id), score published as −d2. */
+  private def ivfPqSql(rerank: Boolean): String = {
+    val cosTo = ivfCosTo
+    val pruned =
+      s"""qc AS (
+        |  SELECT vec_id AS q_id, cent_id FROM (
+        |    SELECT nn.vec_id, ct.cent_id,
+        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
+        |             ct.cent_id) AS rn
+        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
+        |pruned AS (
+        |  SELECT a.q_id, a.vec_id, a.d2
+        |  FROM papprox a JOIN cc ON a.vec_id = cc.n_id
+        |                 JOIN qc ON a.q_id = qc.q_id AND cc.cent_id = qc.cent_id)"""
+        .stripMargin
+    val tail =
+      if (rerank)
+        s""",
+          |short AS (SELECT q_id, vec_id AS n_id FROM (
+          |  SELECT q_id, vec_id,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS sr
+          |  FROM pruned) WHERE sr <= 50),
+          |scored AS (
+          |  SELECT short.q_id, short.n_id,
+          |         ${cosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} AS cos_bp
+          |  FROM short JOIN cc a ON short.q_id = a.n_id
+          |             JOIN cc b ON short.n_id = b.n_id)
+          |SELECT q_id, n_id, cos_bp, rank FROM (
+          |  SELECT q_id, n_id, cos_bp,
+          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+          |  FROM scored)
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      else
+        s"""
+          |SELECT q_id, n_id, neg_d2, rank FROM (
+          |  SELECT q_id, vec_id AS n_id, CAST(-d2 AS BIGINT) AS neg_d2,
+          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS BIGINT) AS rank
+          |  FROM pruned)
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    s"""WITH $ivfCellCtes,
+      |${pqAdcCtesFromN("p")},
+      |$pruned$tail""".stripMargin
   }
 
   private lazy val sq8AnnSql: String = {

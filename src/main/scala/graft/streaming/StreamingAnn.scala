@@ -233,6 +233,91 @@ object StreamingAnn {
       .agg(TopKAgg.topKDistinct(k)(col("cos_bp"), col("n_id")).as("top"))
   }
 
+  /** Probe the persisted IVF-PQ index at `dir`
+    * ([[graft.functions.Similarity.ivfPqIndexWrite]]) with a STREAMING
+    * frame of (vec_id, embedding) query vectors — the composition that
+    * closes the serving matrix's last unpruned path: [[pqAdcProbeStream]]
+    * scans the ENTIRE packed-code store per micro-batch (that is what
+    * PQ-flat ADC is); here the per-row probe-cell choice from the
+    * inlined IVF centroid literals turns the candidate scan into a
+    * stream-static equi-join on cent_id against the PARTITIONED packed
+    * codes (nProbe/nCells of the store, pruned at scan time), and each
+    * candidate still costs only m LUT lookups. Both literal tables are
+    * bytes (nCells centroids + m×nCents codebook cells), collected once
+    * at stream build. No exact rerank in a stream: the online answer is
+    * the ADC ranking over the probed cells (score = −d2), and the batch
+    * [[graft.functions.Similarity.ivfPqProbe]] refines offline. */
+  def ivfPqProbeStream(queryStream: DataFrame, dir: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queryStream.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val cb = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub_j")),
+        r.getLong(r.fieldIndex("code"))) ->
+        ((r.getSeq[Long](r.fieldIndex("cent_vec")),
+          r.getLong(r.fieldIndex("cent_n2")))))
+      .toMap
+    val m = cb.keys.map(_._1).max + 1
+    val nCents = cb.keys.map(_._2).max.toInt + 1
+    val subDim = cb.values.head._1.length
+
+    // raw quantized vector drives the cell choice (the IVF metric);
+    // the normalized vector drives the ADC LUT (the PQ metric) — both
+    // are per-row projections over the same embedding
+    val q0 = queryStream.select(col("vec_id").as("q_id"),
+        Similarity.quantize(col("embedding")).as("q_vec"),
+        Similarity.normalizedEmbedding(col("embedding")).as("nq_vec"))
+      .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
+    val slices = q0.select(col("q_id") +: col("q_vec") +: col("q_n2") +:
+      (0 until m).map(j =>
+        slice(col("nq_vec"), j * subDim + 1, subDim).as(s"sv_$j")): _*)
+    val withS2 = slices.select(col("q_id"), col("q_vec"), col("q_n2"),
+      array((0 until m).map(j => col(s"sv_$j")): _*).as("svs"),
+      array((0 until m).map(j =>
+        Similarity.intDot(col(s"sv_$j"), col(s"sv_$j"))): _*).as("s2s"))
+    // nProbe best cells as a pure per-row projection (probeCellsInlined's
+    // exact tiebreak: struct(−cos, cent_id) sorts to cos desc, id asc)
+    val cellRank = array(cents.toIndexedSeq.map { case (id, vec, n2) =>
+      struct(
+        (-Similarity.cosBpFrom(
+          Similarity.intDot(col("q_vec"), typedlit(vec.toSeq)),
+          col("q_n2"), lit(n2))).as("neg_cos"),
+        lit(id).as("cent_id"))
+    }: _*)
+    val probes = transform(slice(array_sort(cellRank), 1, nProbe),
+      s => s.getField("cent_id"))
+    // the codebook as ONE flat plan literal (the op100 shape) — LUT
+    // slot = j·nCents + code
+    val cbFlat = (0 until m).flatMap { j =>
+      (0 until nCents).map { c =>
+        val (cvec, cn2) = cb((j, c.toLong)); (j, cvec, cn2)
+      }
+    }
+    val pd2 = transform(typedlit(cbFlat), e =>
+      element_at(col("s2s"), e.getField("_1") + 1) - lit(2L) *
+        Similarity.intDot(
+          element_at(col("svs"), e.getField("_1") + 1),
+          e.getField("_2")) + e.getField("_3"))
+    // LUT computed once per query row, THEN fanned out per probed cell
+    val qq = withS2.select(col("q_id"), pd2.as("pd2"),
+      explode(probes).as("cent_id"))
+
+    val codes = spark.read.parquet(s"$dir/codes_packed")
+      .withColumn("cent_id", col("cent_id").cast("bigint"))
+    val d2 = (0 until m).map(j =>
+      element_at(col("pd2"),
+        lit(j * nCents) + element_at(col("codes"), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+    qq.join(codes, "cent_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), (-d2).as("neg_d2"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(k)(col("neg_d2"), col("n_id")).as("top"))
+  }
+
   /** Explode a (q_id, top) frame from [[ivfProbeStream]] /
     * [[pqAdcProbeStream]] into the batch probe's row shape:
     * (q_id, n_id, <score>, rank). */

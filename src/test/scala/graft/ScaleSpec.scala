@@ -199,6 +199,56 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probes prune the cent_id-partitioned code store (batch static, streaming micro-batch)") {
+    // op119's scale shape: the probed-cell IN-list lands as a static
+    // PartitionFilter on the packed-code scan (the op115 shape); op120's
+    // streaming leg must also read only probed cent_id partitions in its
+    // micro-batch plan — the whole point of composing IVF onto op100's
+    // full-scan PQ-flat ADC
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_probe_")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.ivfPqIndexWrite(emb, dir.toString, nCells = 16,
+        ivfLloyd = 2, m = 8, nCents = 16, pqLloyd = 1)
+      val queries = emb.filter(col("vec_id") < 8)
+      val probe = Similarity.ivfPqProbe(queries, dir.toString, 5, nProbe = 4)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
+        s"probed-cell set did not become a partition filter:\n$plan")
+      assert(probe.collect().nonEmpty)
+      // streaming leg: drain one AvailableNow pass and inspect the last
+      // micro-batch's executed plan — the stream-static join on cent_id
+      // must prune the packed-code scan (runtime DPP or partition
+      // filter), not read all 16 partitions
+      val in = MemoryStream[(Long, Seq[Float])]
+      val stream = StreamingAnn.ivfPqProbeStream(
+        in.toDF().toDF("vec_id", "embedding"), dir.toString, 5, nProbe = 4)
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName("ivfpq_probe_out").start()
+      in.addData(queries.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+      q.processAllAvailable()
+      val sw = new java.io.StringWriter
+      Console.withOut(new java.io.PrintStream(new java.io.OutputStream {
+        def write(b: Int): Unit = sw.write(b)
+      })) { q.explain() }
+      q.stop()
+      val mbPlan = sw.toString
+      assert(
+        mbPlan.toLowerCase.contains("dynamicpruning") ||
+          "PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(mbPlan).isDefined,
+        s"streaming packed-code scan is not partition-pruned:\n$mbPlan")
+      spark.sql("DROP VIEW IF EXISTS ivfpq_probe_out")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("IVF index storage (cells partitioned by cent_id) prunes non-probed cells at scan time") {
     // SCALE.md's IVF claim ("cell id becomes a storage partition key"),
     // executed: ivfIndexWrite persists the cell-assigned corpus
