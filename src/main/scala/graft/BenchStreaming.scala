@@ -31,8 +31,47 @@ object BenchStreaming {
       }
     try Seq(
       "stedi_join_rows_per_sec" -> guard(stediJoinRowsPerSec(spark, sfDir)),
-      "incremental_dedup_rows_per_sec" -> guard(incDedupRowsPerSec(spark, sfDir)))
+      "incremental_dedup_rows_per_sec" -> guard(incDedupRowsPerSec(spark, sfDir)),
+      "ann_probe_rows_per_sec" -> guard(annProbeRowsPerSec(spark, sfDir)))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Online ANN serving under streaming execution (the SQ8 leg:
+    * probe-cell choice from inlined centroid literals + stream-static
+    * join on the cent_id-partitioned int8 code store + bounded TopKAgg).
+    * The index build sits OUTSIDE the timed region — a serving
+    * deployment probes a prebuilt store — so the figure is query
+    * vectors served per second, start-up included, over a pinned
+    * query budget. */
+  private def annProbeRowsPerSec(spark: SparkSession, sfDir: String): Double = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_ann_")
+    try {
+      Similarity.sq8IndexWrite(emb, s"$dir/sq8", nCells = 16, lloydIters = 2)
+      val queryVecs = emb.orderBy("vec_id").limit(2000)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val in = MemoryStream[(Long, Seq[Float])]
+      in.addData(queryVecs)
+      val name = s"bench_annprobe_${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val q = StreamingAnn.sq8ProbeStream(
+          in.toDF().toDF("vec_id", "embedding"), s"$dir/sq8", 5, nProbe = 4)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      spark.catalog.dropTempView(name)
+      queryVecs.size / secs
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
   }
 
   /** Flagship surface under streaming execution: redis change-event

@@ -583,6 +583,98 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB matrix: every streaming state shape runs on the 100TB provider") {
+    // StateStores.withRocksDb is spec'd on the dedup path above; this
+    // matrix runs EVERY other stateful streaming shape the library
+    // ships under the RocksDB provider — the five online ANN serving
+    // legs (TopKAgg / topKDistinct aggregation state) and the
+    // changelog's flatMapGroupsWithState single-row-per-key state —
+    // asserting per query that the state-operator metrics carry
+    // rocksdb* entries (the provider actually served the state) and
+    // that output is produced
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    import graft.streaming.{Changelog, StateStores, StreamingAnn}
+    import graft.sources.Tables
+    import org.apache.spark.sql.DataFrame
+    val emb = Tables.embeddings(spark, sfDir)
+    val queryVecs = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks_matrix_")
+    def rocksMetrics(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : Array[String] =
+      q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+    try {
+      Similarity.ivfIndexWrite(emb, s"$dir/ivf", nCells = 16)
+      Similarity.lshIndexWrite(emb, s"$dir/lsh")
+      Similarity.pqIndexWrite(emb, s"$dir/pq")
+      Similarity.sq8IndexWrite(emb, s"$dir/sq8", nCells = 16)
+      Similarity.ivfPqIndexWrite(emb, s"$dir/ivfpq", nCells = 16)
+      val annLegs: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "op96_ivf" ->
+          (df => StreamingAnn.ivfProbeStream(df, s"$dir/ivf", 5)),
+        "op97_lsh" ->
+          (df => StreamingAnn.lshProbeStream(df, s"$dir/lsh", 5)),
+        "op100_pq_adc" ->
+          (df => StreamingAnn.pqAdcProbeStream(df, s"$dir/pq", 5)),
+        "op116_sq8" ->
+          (df => StreamingAnn.sq8ProbeStream(df, s"$dir/sq8", 5)),
+        "op120_ivfpq" ->
+          (df => StreamingAnn.ivfPqProbeStream(df, s"$dir/ivfpq", 5)))
+      for ((name, leg) <- annLegs) {
+        StateStores.withRocksDb(spark) {
+          val in = MemoryStream[(Long, Seq[Float])]
+          val q = leg(in.toDF().toDF("vec_id", "embedding"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(s"rocks_$name").start()
+          in.addData(queryVecs)
+          q.processAllAvailable()
+          val metrics = rocksMetrics(q)
+          q.stop()
+          assert(metrics.exists(_.startsWith("rocksdb")),
+            s"$name: state metrics carry no rocksdb entries: " +
+              metrics.mkString(","))
+        }
+        assert(spark.table(s"rocks_$name").count() > 0,
+          s"$name emitted no rows under RocksDB")
+        spark.sql(s"DROP VIEW IF EXISTS rocks_$name")
+      }
+      // the changelog's fMGWS state (op108): one held row per key
+      StateStores.withRocksDb(spark) {
+        val in = MemoryStream[Changelog.Change]
+        val q = Changelog.latestState(in.toDS())
+          .writeStream.outputMode("update").format("memory")
+          .queryName("rocks_changelog").start()
+        in.addData(
+          Changelog.Change(1L, 10L, 100L, "upd", 5L),
+          Changelog.Change(1L, 11L, 200L, "upd", 7L),
+          Changelog.Change(2L, 12L, 150L, "ins", 3L))
+        q.processAllAvailable()
+        val metrics = rocksMetrics(q)
+        q.stop()
+        assert(metrics.exists(_.startsWith("rocksdb")),
+          s"changelog: state metrics carry no rocksdb entries: " +
+            metrics.mkString(","))
+      }
+      // compaction semantics held through the provider swap: the last
+      // write per key is the (ts_us, event_id)-max change
+      val fin = spark.table("rocks_changelog")
+        .groupBy("user_id").agg(max_by(
+          struct(col("last_event_id"), col("n_changes")),
+          col("n_changes")).as("s"))
+        .select(col("user_id"), col("s.last_event_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fin == Map(1L -> 11L, 2L -> 12L),
+        s"RocksDB-backed changelog compacted wrong state: $fin")
+      spark.sql("DROP VIEW IF EXISTS rocks_changelog")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming LSH probe over the prebuilt index equals the batch probe") {
     // third leg of the online-serving trio: per-row query bucketing with
     // the regenerated planes + stream-static join on the partitioned
