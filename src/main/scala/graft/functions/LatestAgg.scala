@@ -25,7 +25,12 @@ case class LatestBuf(n: Long, ts_us: Long, event_id: Long,
   * (same mechanism as [[TopKAgg]]) runs under ObjectHashAggregate:
   * hash-based, no input sort, map-side partials still ship ONE buffer
   * row per key per partition. On a 100 TB changelog that is the
-  * difference between hashing the scan and sorting it.
+  * difference between hashing the scan and sorting it. Caveat: past
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+  * keys per task (default 128) the operator falls back to sort-based
+  * aggregation mid-task — a high-cardinality deployment raises the
+  * threshold in the session conf; the fold result is pinned identical
+  * through the fallback in PropertySpec (threshold forced to 2).
   *
   * Determinism: the (ts_us, event_id) order is unique and total, so the
   * fold result is independent of arrival and merge order; the change

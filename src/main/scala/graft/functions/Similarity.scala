@@ -525,12 +525,16 @@ object Similarity {
     * to [[ivfSq8TopK]] with matching parameters, but training and
     * encoding never recur, and the code scan is pruned to the probed
     * cells by a plan-time IN-list (≤ queries×nProbe values — the op86
-    * fix's static-PartitionFilter shape, ScaleSpec-asserted). */
+    * fix's static-PartitionFilter shape, ScaleSpec-asserted).
+    * Construction is EAGER: collecting the IN-list runs the centroid-
+    * scoring pass as a cluster job before the returned frame executes
+    * (the price of a static PartitionFilter); the localCheckpoint keeps
+    * that pass from running a second time at execution. */
   def sq8Probe(queries: DataFrame, dir: String, k: Int, nProbe: Int = 4,
       shortlist: Int = 50): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
-    val queryCells = probedQueryCells(queries, cents, nProbe)
+    val queryCells = probedQueryCells(queries, cents, nProbe).localCheckpoint()
     val probedCents = queryCells.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(s"$dir/codes")
@@ -980,13 +984,13 @@ object Similarity {
     * output to [[ivfPqTopK]] with matching parameters — training,
     * assignment, and encoding never recur, and the code scan prunes to
     * the probed cells by a plan-time IN-list (the op115 static-
-    * PartitionFilter shape). */
+    * PartitionFilter shape). Construction is EAGER — see [[sq8Probe]]. */
   def ivfPqProbe(queries: DataFrame, dir: String, k: Int,
       nProbe: Int = 4, m: Int = 8, dim: Int = 64,
       shortlist: Int = 50): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
-    val queryCells = probedQueryCells(queries, cents, nProbe)
+    val queryCells = probedQueryCells(queries, cents, nProbe).localCheckpoint()
     val probedCents = queryCells.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(s"$dir/codes")

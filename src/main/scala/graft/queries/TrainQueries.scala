@@ -2670,8 +2670,6 @@ object TrainQueries {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 
-  /** op112/op115's DuckDB replay: IVF cells + SQ8 codes + 50-wide
-    * shortlist + exact rerank. */
   /** Shared SQ8 replay through the approximate scores: probed cells,
     * int8 codes, code norms, per-candidate sq_bp. op112/op115 continue
     * with shortlist + exact rerank; op116 (the streaming probe, which

@@ -224,4 +224,41 @@ class PropertySpec extends SparkSpec {
     }
     check("latestAggOrderInvariance", prop)
   }
+
+  test("property: LatestAgg folds identically when ObjectHashAggregate falls back to sorting") {
+    // the op106 plan claim is hash aggregation, but past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold keys the
+    // operator switches to sort-based aggregation MID-TASK, with partial
+    // buffers already absorbed — force the threshold to 2 so every task
+    // crosses it, and pin that the fold result is unchanged (a 100 TB
+    // high-cardinality changelog runs far past any real threshold)
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      for (seed <- 1 to 5) {
+        val rnd = new scala.util.Random(seed)
+        val recs = (0 until 2000).map { i =>
+          (rnd.nextInt(50).toLong, i.toLong, rnd.nextInt(20).toLong,
+            s"t${i % 7}", rnd.nextInt(1000).toLong)
+        }
+        val df = recs
+          .toDF("user_id", "event_id", "ts_us", "event_type", "value_cents")
+          .repartition(8) // several tasks, each crossing the threshold
+        val got = df.groupBy(col("user_id"))
+          .agg(graft.functions.LatestAgg.latest(col("ts_us"),
+            col("event_id"), col("event_type"), col("value_cents")).as("l"))
+          .select(col("user_id"), col("l.n"), col("l.ts_us"),
+            col("l.event_id"))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getLong(3)))).toMap
+        val want = recs.groupBy(_._1).map { case (u, rs) =>
+          val best = rs.maxBy(r => (r._3, r._2))
+          u -> ((rs.size.toLong, best._3, best._2))
+        }
+        assert(got == want, s"seed $seed diverged under fallback threshold 2")
+      }
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }

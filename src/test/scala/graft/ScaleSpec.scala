@@ -347,8 +347,7 @@ class ScaleSpec extends SparkSpec {
     // would be a SortAggregate that sorts every input partition by the
     // grouping key), partials run below ONE exchange, and nothing under
     // that exchange sorts the changelog
-    val df = graft.queries.TrainQueries
-      .op106ChangelogCompact(spark, "/root/testdata/sf0.001")
+    val df = graft.queries.TrainQueries.op106ChangelogCompact(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       "LatestAgg did not plan hash-based aggregation")
