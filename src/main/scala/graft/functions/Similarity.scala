@@ -968,6 +968,14 @@ object Similarity {
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     codes.write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dir/codes")
+    packedCodesWithCell(codes).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$dir/codes_packed")
+    nv.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** [[packedCodes]] keeping the cell tag: (n_id, codes, cent_id) —
+    * the IVF-PQ serving layout (cent_id is constant per vector). */
+  private def packedCodesWithCell(codes: DataFrame): DataFrame =
     codes.groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("sub_j"), col("code"))))
           .as("sc"),
@@ -975,9 +983,45 @@ object Similarity {
       .select(col("vec_id").as("n_id"),
         transform(col("sc"), s => s.getField("code")).as("codes"),
         col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id")
-      .parquet(s"$dir/codes_packed")
-    nv.write.mode("overwrite").parquet(s"$dir/vectors")
+
+  /** Append new vectors to a persisted IVF-PQ index WITHOUT
+    * retraining: assign each to its nearest EXISTING IVF centroid
+    * ([[ivfIndexAppend]]'s deterministic rule) and encode against the
+    * EXISTING PQ codebook ([[pqIndexAppend]]'s rule — geometry read
+    * from the stored codebook); only the touched cent_id partitions
+    * gain files in both code layouts. Same ingest contract as the
+    * other appends: ids disjoint from the index's holdings; centroid/
+    * codebook drift is an occasional offline rebuild, never a
+    * per-batch retrain. Completeness is spec'd by the exhaustive probe
+    * (nProbe = nCells, shortlist = |corpus| ⇒ must equal brute
+    * force). */
+  def ivfPqIndexAppend(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val cells = cellScored(newVecs, "n_id", cents)
+      .groupBy(col("n_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
+          .as("cent_id"),
+        first(col("n_id_vec")).as("n_id_vec"),
+        first(col("n_id_n2")).as("n_id_n2"))
+      .localCheckpoint() // feeds codes, packed layout, and rerank store
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val geo = cb.agg(max(col("sub_j")).as("mj"),
+      max(size(col("cent_vec"))).as("sd")).head()
+    val m = geo.getInt(0) + 1
+    val subDim = geo.getInt(1)
+    val newCodes = pqEncode(subVectorTable(newVecs, m, subDim), cb)
+      .join(cells.select(col("n_id").as("vec_id"), col("cent_id")),
+        "vec_id")
+      .localCheckpoint()
+    newCodes.write.mode("append").partitionBy("cent_id")
+      .parquet(s"$dir/codes")
+    packedCodesWithCell(newCodes).write.mode("append")
+      .partitionBy("cent_id").parquet(s"$dir/codes_packed")
+    cells.select(col("n_id"), col("n_id_vec").as("n_vec"),
+        col("n_id_n2").as("n_n2"))
+      .write.mode("append").parquet(s"$dir/vectors")
   }
 
   /** Probe a persisted IVF-PQ index ([[ivfPqIndexWrite]]): identical

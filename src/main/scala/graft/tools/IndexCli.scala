@@ -8,16 +8,17 @@ import graft.sources.Tables
 
 /** Index-lifecycle driver: exercises the build-once / append-increments /
   * probe-many ANN contract end-to-end from the command line. Usage:
-  *   sbt "runMain graft.tools.IndexCli <ivf|pq|lsh> [dir]"
+  *   sbt "runMain graft.tools.IndexCli <ivf|pq|lsh|ivfpq> [dir]"
   * Builds the chosen index on the even-id half of the embeddings fixture,
-  * appends the odd-id half ({ivf,pq,lsh}IndexAppend — no retraining),
-  * then probes with the first 8 vectors and prints the top-k sample.
+  * appends the odd-id half ({ivf,pq,lsh,ivfPq}IndexAppend — no
+  * retraining), then probes with the first 8 vectors and prints the
+  * top-k sample.
   * SPARK_GRAFT_SF_DIR changes the fixture dir (default sf0.001).
   */
 object IndexCli {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty && Set("ivf", "pq", "lsh")(args(0)),
-      "usage: IndexCli <ivf|pq|lsh> [dir]")
+    require(args.nonEmpty && Set("ivf", "pq", "lsh", "ivfpq")(args(0)),
+      "usage: IndexCli <ivf|pq|lsh|ivfpq> [dir]")
     val kind = args(0)
     val dir =
       if (args.length > 1) args(1)
@@ -55,6 +56,12 @@ object IndexCli {
         println(s"[index] lsh bucket rows=${spark.read.parquet(s"$d/buckets").count()}")
         val r = Similarity.lshProbe(queries, d, 5)
         println(s"[index] lsh probe rows=${r.count()}"); r.show(10)
+      case "ivfpq" =>
+        Similarity.ivfPqIndexWrite(half, d, nCells = 16)
+        Similarity.ivfPqIndexAppend(rest, d)
+        println(s"[index] ivfpq packed rows=${spark.read.parquet(s"$d/codes_packed").count()}")
+        val r = Similarity.ivfPqProbe(queries, d, 5, nProbe = 4)
+        println(s"[index] ivfpq probe rows=${r.count()}"); r.show(10)
     }
     spark.stop()
   }

@@ -238,6 +238,17 @@ class SimilaritySpec extends SparkSpec {
       assert(rows(Similarity.lshProbe(queries, s"$dir/lsh", 5)) ==
         rows(Similarity.annTopK(queries, emb, 5)),
         "probe of the appended LSH index diverged from the union build")
+
+      // IVF-PQ: every cell probed AND every candidate reranked exactly
+      // ⇒ brute force; both code layouts must carry the full corpus
+      Similarity.ivfPqIndexWrite(half, s"$dir/ivfpq", nCells = 16)
+      Similarity.ivfPqIndexAppend(rest, s"$dir/ivfpq")
+      assert(rows(Similarity.ivfPqProbe(queries, s"$dir/ivfpq", 5,
+          nProbe = 16, shortlist = n))
+        == brute,
+        "exhaustive probe of the appended IVF-PQ index diverged from brute force")
+      assert(spark.read.parquet(s"$dir/ivfpq/codes_packed").count() == n.toLong,
+        "IVF-PQ serving layout missing appended vectors")
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit
