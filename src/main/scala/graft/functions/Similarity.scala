@@ -898,13 +898,32 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val subDim = dim / m
     val (cents, cells0) = ivfIndexFrames(corpus, nCells, ivfLloyd)
-    // the assignment feeds the code tags AND the rerank store —
-    // materialize once (the op112 pattern)
+    // the assignment feeds the subvector table, the code tags AND the
+    // rerank store — materialize once (the op112 pattern)
     val cells = cells0.localCheckpoint()
-    val sv = subVectorTable(corpus, m, subDim).localCheckpoint()
+    // normalized subvectors FROM the assignment, carrying cent_id:
+    // n_id_vec IS quantize(embedding) and n_id_n2 its norm, so
+    // normalizeQv here equals subVectorTable(corpus) value-for-value —
+    // no second corpus scan, and the cell tag rides along instead of
+    // re-attaching through a corpus-sized vec_id join
+    val sv = cells
+      .select(col("n_id").as("vec_id"), col("cent_id"),
+        normalizeQv(col("n_id_vec"), col("n_id_n2")).as("vec"))
+      .select(col("vec_id"), col("cent_id"), posexplode(
+          array((0 until m).map(j =>
+            slice(col("vec"), j * subDim + 1, subDim)): _*))
+        .as(Seq("sub_j", "svec")))
+      .withColumn("s2", intDot(col("svec"), col("svec")))
+      .localCheckpoint()
     val cb = pqCodebook(sv, corpus, m, nCents, pqLloyd, dim)
-    val codes = pqEncode(sv, cb)
-      .join(cells.select(col("n_id").as("vec_id"), col("cent_id")), "vec_id")
+    // pqEncode plus the cell tag (constant per vec_id) in the same
+    // aggregate — the one shuffle the encode already pays
+    val codes = sv.join(broadcast(cb), "sub_j")
+      .withColumn("d2", col("s2") -
+        lit(2L) * intDot(col("svec"), col("cent_vec")) + col("cent_n2"))
+      .groupBy(col("vec_id"), col("sub_j"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+        first(col("cent_id")).as("cent_id"))
     val nv = cells.select(col("n_id"), col("n_id_vec").as("n_vec"),
       col("n_id_n2").as("n_n2"))
     (cents, cb, codes, nv)
