@@ -521,6 +521,34 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Append new vectors to a persisted SQ8 index WITHOUT retraining:
+    * assign each to its nearest EXISTING centroid ([[ivfIndexAppend]]'s
+    * deterministic rule); int8 encoding is a pure per-row projection
+    * (no trained state beyond the centroids), so the increment appends
+    * to the touched cent_id code partitions and the rerank store in one
+    * linear pass. Same ingest contract as the other appends; spec'd
+    * complete via the exhaustive probe (nProbe = nCells,
+    * shortlist = |corpus| ⇒ brute force). */
+  def sq8IndexAppend(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val cells = cellScored(newVecs, "n_id", cents)
+      .groupBy(col("n_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
+          .as("cent_id"),
+        first(col("n_id_vec")).as("n_id_vec"),
+        first(col("n_id_n2")).as("n_id_n2"))
+      .localCheckpoint() // feeds both appended tables
+    cells.select(col("n_id"), col("cent_id"),
+        sq8Codes(col("n_id_vec")).as("codes"))
+      .withColumn("c_n2", intDot(col("codes"), col("codes")))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/codes")
+    cells.select(col("n_id"), col("n_id_vec").as("n_vec"),
+        col("n_id_n2").as("n_n2"))
+      .write.mode("append").parquet(s"$dir/vectors")
+  }
+
   /** Probe a persisted SQ8 index ([[sq8IndexWrite]]): identical output
     * to [[ivfSq8TopK]] with matching parameters, but training and
     * encoding never recur, and the code scan is pruned to the probed

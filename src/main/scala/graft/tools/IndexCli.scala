@@ -8,7 +8,7 @@ import graft.sources.Tables
 
 /** Index-lifecycle driver: exercises the build-once / append-increments /
   * probe-many ANN contract end-to-end from the command line. Usage:
-  *   sbt "runMain graft.tools.IndexCli <ivf|pq|lsh|ivfpq> [dir]"
+  *   sbt "runMain graft.tools.IndexCli <ivf|pq|lsh|ivfpq|sq8> [dir]"
   * Builds the chosen index on the even-id half of the embeddings fixture,
   * appends the odd-id half ({ivf,pq,lsh,ivfPq}IndexAppend — no
   * retraining), then probes with the first 8 vectors and prints the
@@ -17,8 +17,8 @@ import graft.sources.Tables
   */
 object IndexCli {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty && Set("ivf", "pq", "lsh", "ivfpq")(args(0)),
-      "usage: IndexCli <ivf|pq|lsh|ivfpq> [dir]")
+    require(args.nonEmpty && Set("ivf", "pq", "lsh", "ivfpq", "sq8")(args(0)),
+      "usage: IndexCli <ivf|pq|lsh|ivfpq|sq8> [dir]")
     val kind = args(0)
     val dir =
       if (args.length > 1) args(1)
@@ -62,6 +62,12 @@ object IndexCli {
         println(s"[index] ivfpq packed rows=${spark.read.parquet(s"$d/codes_packed").count()}")
         val r = Similarity.ivfPqProbe(queries, d, 5, nProbe = 4)
         println(s"[index] ivfpq probe rows=${r.count()}"); r.show(10)
+      case "sq8" =>
+        Similarity.sq8IndexWrite(half, d, nCells = 16)
+        Similarity.sq8IndexAppend(rest, d)
+        println(s"[index] sq8 code rows=${spark.read.parquet(s"$d/codes").count()}")
+        val r = Similarity.sq8Probe(queries, d, 5, nProbe = 4)
+        println(s"[index] sq8 probe rows=${r.count()}"); r.show(10)
     }
     spark.stop()
   }

@@ -249,6 +249,14 @@ class SimilaritySpec extends SparkSpec {
         "exhaustive probe of the appended IVF-PQ index diverged from brute force")
       assert(spark.read.parquet(s"$dir/ivfpq/codes_packed").count() == n.toLong,
         "IVF-PQ serving layout missing appended vectors")
+
+      // SQ8: same exhaustive-probe completeness bar
+      Similarity.sq8IndexWrite(half, s"$dir/sq8", nCells = 16)
+      Similarity.sq8IndexAppend(rest, s"$dir/sq8")
+      assert(rows(Similarity.sq8Probe(queries, s"$dir/sq8", 5,
+          nProbe = 16, shortlist = n))
+        == brute,
+        "exhaustive probe of the appended SQ8 index diverged from brute force")
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit
