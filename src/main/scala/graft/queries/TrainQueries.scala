@@ -878,6 +878,49 @@ object TrainQueries {
       "q_id")
   }
 
+  /** Serving-matrix recall report (op121): recall@5 vs exact brute
+    * force for every cell-pruned serving leg — IVF-flat, IVF-SQ8,
+    * IVF-PQ — per query in one result: the eval a deployment runs to
+    * pick a leg's speed/recall point (op110 generalized across the
+    * matrix; the LSH and PQ-flat legs keep their own recall specs).
+    * Probes run against the SAME prebuilt indexes op84/op115/op119
+    * serve (bit-exact vs end-to-end), so the measured cost is
+    * probe-only. The oracle fuses the brute replay with all three
+    * approximate replays in ONE SQL — the three chains share the IVF
+    * cell CTEs. */
+  val op121RecallMatrix: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+    val ivfDir = indexRoot(d, "ivf_c16_l2")
+    buildIndexIfAbsent(ivfDir, "cells")(
+      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
+    val sq8Dir = indexRoot(d, "sq8_c16_l2")
+    buildIndexIfAbsent(sq8Dir, "vectors")(
+      Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
+    val ivfPqDir = indexRoot(d, "ivfpq_c16_l2_m8")
+    buildIndexIfAbsent(ivfPqDir, "vectors")(
+      Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
+        m = 8, nCents = 16, pqLloyd = 1))
+    // ground truth feeds all three hit-joins — materialize once
+    val truth = Similarity.bruteForceTopK(queries, emb, 5)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val legs = Seq(
+      "ivf" -> Similarity.ivfProbe(queries, ivfDir, 5, nProbe = 4),
+      "ivfpq" -> Similarity.ivfPqProbe(queries, ivfPqDir, 5, nProbe = 4),
+      "sq8" -> Similarity.sq8Probe(queries, sq8Dir, 5, nProbe = 4))
+    val perLeg = legs.map { case (leg, df) =>
+      val hits = df.select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
+      queries.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(lit(leg).as("leg"), col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 2000L).as("recall_bp"))
+    }
+    ordered(perLeg.reduce(_ unionByName _), "leg", "q_id")
+  }
+
   /** Language-ID heuristic: marker-count argmax + the score vector. */
   val op70LangId: Q = (s, d) => {
     val doc = Tables.documents(s, d)
@@ -1618,6 +1661,7 @@ object TrainQueries {
     "op118_ivfpq_ann" -> op118IvfPqAnn,
     "op119_ivfpq_probe" -> op119IvfPqProbe,
     "op120_stream_ivfpq_probe" -> op120StreamIvfPqProbe,
+    "op121_recall_matrix" -> op121RecallMatrix,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2667,6 +2711,7 @@ object TrainQueries {
     "op115_sq8_probe" -> sq8AnnSql,
     "op112_sq8_ann" -> sq8AnnSql,
     "op110_ann_recall" -> annRecallSql,
+    "op121_recall_matrix" -> recallMatrixSql,
     // probe(prebuilt IVF-PQ index) ≡ the end-to-end op118; the
     // streaming leg (op120) cannot rerank, so its oracle stops at the
     // cell-pruned approximate distances
@@ -2790,6 +2835,68 @@ object TrainQueries {
 
   /** op110's DuckDB replay: the IVF probe and the brute-force ground
     * truth fused in one SQL, joined for per-query hit counts. */
+  /** op121's DuckDB replay: ONE SQL fusing the brute-force ground truth
+    * with all three cell-pruned serving legs — the IVF cell CTEs are
+    * shared, sq8ApproxCtes contributes the probed-cell table `qc` and
+    * the code scores, the prefixed PQ chain contributes `papprox`; each
+    * leg's top-5 joins the brute top-5 for hit counts. */
+  private lazy val recallMatrixSql: String = {
+    val cosTo = ivfCosTo
+    def top5(from: String): String =
+      s"""SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+        |  FROM $from) WHERE rank <= 5""".stripMargin
+    def rerank5(shortFrom: String, orderCol: String, asc: String): String =
+      s"""SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+        |  FROM (
+        |    SELECT short.q_id, short.n_id,
+        |           ${cosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} AS cos_bp
+        |    FROM (SELECT q_id, n_id FROM (
+        |        SELECT q_id, n_id,
+        |               row_number() OVER (PARTITION BY q_id ORDER BY $orderCol $asc, n_id) AS sr
+        |        FROM $shortFrom) WHERE sr <= 50) short
+        |    JOIN cc a ON short.q_id = a.n_id
+        |    JOIN cc b ON short.n_id = b.n_id)) WHERE rank <= 5""".stripMargin
+    s"""WITH $ivfCellCtes,
+      |$sq8ApproxCtes,
+      |${pqAdcCtesFromN("p")},
+      |ivf_sc AS (
+      |  SELECT qc.q_id, cc.n_id,
+      |         ${cosTo("qc.q_vec", "qc.q_n2", "cc.n_vec", "cc.n_n2")} AS cos_bp
+      |  FROM cc JOIN qc ON cc.cent_id = qc.cent_id AND qc.q_id <> cc.n_id),
+      |ivf5 AS (${top5("ivf_sc")}),
+      |sq8cand AS (SELECT q_id, n_id, sq_bp FROM approx),
+      |sq85 AS (${rerank5("sq8cand", "sq_bp", "DESC")}),
+      |pq_pruned AS (
+      |  SELECT a.q_id, a.vec_id AS n_id, a.d2
+      |  FROM papprox a JOIN cc ON a.vec_id = cc.n_id
+      |                 JOIN qc ON a.q_id = qc.q_id AND cc.cent_id = qc.cent_id),
+      |pq5 AS (${rerank5("pq_pruned", "d2", "ASC")}),
+      |bsc AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |         ${cosTo("a.v", "a.n2", "b.v", "b.n2")} AS cos_bp
+      |  FROM n a, n b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
+      |b5 AS (${top5("bsc")}),
+      |legtop AS (
+      |  SELECT 'ivf' AS leg, q_id, n_id FROM ivf5
+      |  UNION ALL SELECT 'ivfpq', q_id, n_id FROM pq5
+      |  UNION ALL SELECT 'sq8', q_id, n_id FROM sq85),
+      |h AS (SELECT legtop.leg, legtop.q_id, count(*) AS n_hits
+      |      FROM legtop JOIN b5 ON legtop.q_id = b5.q_id AND legtop.n_id = b5.n_id
+      |      GROUP BY legtop.leg, legtop.q_id),
+      |qx AS (SELECT l.leg, v.vec_id AS q_id
+      |       FROM (SELECT DISTINCT leg FROM legtop) l,
+      |            (SELECT vec_id FROM n WHERE vec_id < 8) v)
+      |SELECT qx.leg, qx.q_id,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(coalesce(h.n_hits, 0) * 2000 AS BIGINT) AS recall_bp
+      |FROM qx LEFT JOIN h ON qx.leg = h.leg AND qx.q_id = h.q_id
+      |ORDER BY qx.leg, qx.q_id""".stripMargin
+  }
+
   private lazy val annRecallSql: String = {
       val cosTo = ivfCosTo
       s"""WITH $ivfCellCtes,

@@ -336,6 +336,22 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.toSeq == mined.sortBy(m => (m._1, -m._3, m._2)).toSeq)
   }
 
+  test("recall matrix (op121) covers all three pruned legs and agrees with op110 on IVF") {
+    val df = graft.queries.TrainQueries.op121RecallMatrix(spark, sfDir)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // full matrix: every (leg, query) pair exactly once, recall derived
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      (for (l <- Seq("ivf", "ivfpq", "sq8"); q <- 0L until 8L) yield (l, q)))
+    assert(rows.forall { case (_, _, h, bp) => bp == h * 2000 && h <= 5 })
+    // the IVF row block is op110 by construction (same index parameters,
+    // probe(prebuilt) ≡ end-to-end)
+    val ivfLeg = rows.filter(_._1 == "ivf").map(r => (r._2, r._3)).toSeq
+    val op110 = graft.queries.TrainQueries.op110AnnRecall(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ivfLeg == op110, "op121's IVF leg diverged from op110")
+  }
+
   test("ANN recall eval (op110) equals a driver-side fold of brute vs IVF top-5") {
     val df = graft.queries.TrainQueries.op110AnnRecall(spark, sfDir)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
