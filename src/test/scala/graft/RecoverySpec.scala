@@ -48,6 +48,51 @@ class RecoverySpec extends SparkSpec {
       s"restart must not double-count committed batches: $second")
   }
 
+  test("changelog fMGWS state survives a checkpointed restart (counter continues, no regress)") {
+    // the 100 TB changelog claim includes RECOVERY: the per-key held row
+    // (KeyState) must round-trip through the state-store checkpoint, so
+    // a restarted query continues the change counter instead of
+    // recounting, and the no-regress straggler rule still sees the
+    // pre-restart winner
+    import graft.streaming.Changelog
+    import graft.streaming.Changelog.Change
+    val srcDir = Files.createTempDirectory("graft_clog_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_clog_ckpt_").toString
+    def write(rows: Seq[Change]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    // the memory sink cannot recover from a checkpoint (update mode) —
+    // foreachBatch is the recoverable sink shape a real deployment uses
+    def runOnce(): Seq[(Long, Long, Long, Long)] = {
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val in = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Change].schema)
+        .parquet(srcDir.getAbsolutePath).as[Change]
+      val q = Changelog.latestState(in).writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Changelog.LatestRow], _: Long) =>
+          buf ++= batch.collect().map(r =>
+            (r.user_id, r.n_changes, r.last_event_id, r.last_value_cents))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toSeq.sortBy(_._1)
+    }
+    write(Seq(Change(1L, 10L, 100L, "a", 5L), Change(1L, 11L, 200L, "b", 6L),
+      Change(2L, 20L, 50L, "c", 7L)))
+    val r1 = runOnce()
+    assert(r1 == Seq((1L, 2L, 11L, 6L), (2L, 1L, 20L, 7L)))
+    // a straggler OLDER than user 1's held state arrives; the restarted
+    // query must emit n_changes=3 (restored counter + 1) with the held
+    // winner unchanged — and must NOT re-emit untouched user 2
+    write(Seq(Change(1L, 12L, 150L, "d", 8L)))
+    val r2 = runOnce()
+    assert(r2 == Seq((1L, 3L, 11L, 6L)),
+      s"restart lost or regressed the held changelog state: $r2")
+  }
+
   test("bounded-state join (production mode) matches only within maxAge") {
     implicit val sqlCtx = spark.sqlContext
     val customers = MemoryStream[(String, String, String)]
