@@ -371,18 +371,23 @@ object Similarity {
         .select(col("vec_id").as("cent_id"),
           quantize(col("embedding")).as("cent_vec"))
         .withColumn("cent_n2", intDot(col("cent_vec"), col("cent_vec")))
-    // corpus→cell is an aggregation, not a window: max_by with a total
-    // tiebreak (best cos, then lowest cent_id) does map-side partials and
-    // shuffles N rows, not N×nCells; vec/n2 are constant per group
-    val cells = cellScored(corpus, "n_id", broadcast(cents))
+    (cents, assignCells(corpus, broadcast(cents)))
+  }
+
+  /** Nearest-centroid assignment of `df` against broadcast `cents`:
+    * (n_id, cent_id, n_id_vec, n_id_n2) — the deterministic max-cos /
+    * lowest-cent_id rule shared by the index builds and every append.
+    * An aggregation, not a window: max_by with a total tiebreak does
+    * map-side partials and shuffles N rows, not N×nCells; vec/n2 are
+    * constant per group. */
+  private def assignCells(df: DataFrame, cents: DataFrame): DataFrame =
+    cellScored(df, "n_id", cents)
       .groupBy(col("n_id"))
       .agg(
         max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
           .as("cent_id"),
         first(col("n_id_vec")).as("n_id_vec"),
         first(col("n_id_n2")).as("n_id_n2"))
-    (cents, cells)
-  }
 
   /** Probe a (centroids, cells) IVF index: nProbe best cells per query,
     * exact rescoring within them. Identical output to [[ivfTopK]]. */
@@ -532,13 +537,7 @@ object Similarity {
   def sq8IndexAppend(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
     val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
-    val cells = cellScored(newVecs, "n_id", cents)
-      .groupBy(col("n_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
-          .as("cent_id"),
-        first(col("n_id_vec")).as("n_id_vec"),
-        first(col("n_id_n2")).as("n_id_n2"))
+    val cells = assignCells(newVecs, cents)
       .localCheckpoint() // feeds both appended tables
     cells.select(col("n_id"), col("cent_id"),
         sq8Codes(col("n_id_vec")).as("codes"))
@@ -604,13 +603,7 @@ object Similarity {
   def ivfIndexAppend(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
     val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
-    cellScored(newVecs, "n_id", cents)
-      .groupBy(col("n_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
-          .as("cent_id"),
-        first(col("n_id_vec")).as("n_id_vec"),
-        first(col("n_id_n2")).as("n_id_n2"))
+    assignCells(newVecs, cents)
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
   }
 
@@ -1045,13 +1038,7 @@ object Similarity {
   def ivfPqIndexAppend(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
     val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
-    val cells = cellScored(newVecs, "n_id", cents)
-      .groupBy(col("n_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id")))
-          .as("cent_id"),
-        first(col("n_id_vec")).as("n_id_vec"),
-        first(col("n_id_n2")).as("n_id_n2"))
+    val cells = assignCells(newVecs, cents)
       .localCheckpoint() // feeds codes, packed layout, and rerank store
     val cb = spark.read.parquet(s"$dir/codebook")
     val geo = cb.agg(max(col("sub_j")).as("mj"),
