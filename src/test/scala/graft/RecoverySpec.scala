@@ -93,6 +93,55 @@ class RecoverySpec extends SparkSpec {
       s"restart lost or regressed the held changelog state: $r2")
   }
 
+  test("event-time session state and its timeout timer survive checkpointed restarts") {
+    // the sessionizer's 100 TB mode (EventTimeTimeout) must recover BOTH
+    // halves of its state from the checkpoint: the open-session row AND
+    // the watermark/timer progression — an idle session opened before a
+    // restart must still flush when a later run's watermark passes
+    // last + gap
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.TimedEvent
+    val srcDir = Files.createTempDirectory("graft_sess_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt_").toString
+    def ev(u: Long, ms: Long, v: Double) =
+      TimedEvent(u, new java.sql.Timestamp(ms), v)
+    def write(rows: Seq[TimedEvent]): Unit =
+      rows.toDS().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[Sessionize.Session] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Sessionize.Session]
+      val in = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TimedEvent].schema)
+        .parquet(srcDir.getAbsolutePath).as[TimedEvent]
+      val q = Sessionize.sessionsEventTime(in, gapMs = 60000,
+          delay = "0 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.Session], _: Long) =>
+          buf ++= batch.collect(); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+    // run 1 opens user 1's session (watermark commits at 130s)
+    write(Seq(ev(1L, 100000L, 1.0), ev(1L, 130000L, 2.0)))
+    assert(runOnce().isEmpty, "no session may close while still active")
+    // run 2 (restart): a far-future event advances the watermark past
+    // user 1's last+gap; the restored timer fires (in the run's no-data
+    // finalization batch) and the session opened in the PREVIOUS process
+    // lifetime flushes intact
+    write(Seq(ev(2L, 700000L, 9.0)))
+    val r2 = runOnce().filter(_.user_id == 1L)
+    assert(r2 == Seq(Sessionize.Session(1L, 100000L, 130000L, 2L, 3.0)),
+      s"restart lost the open session or its timer: $r2")
+    // run 3 (second restart): the flushed session's state was removed —
+    // it must NOT re-emit
+    write(Seq(ev(2L, 710000L, 1.0)))
+    val r3 = runOnce().filter(_.user_id == 1L)
+    assert(r3.isEmpty, s"flushed session re-emitted after restart: $r3")
+  }
+
   test("bounded-state join (production mode) matches only within maxAge") {
     implicit val sqlCtx = spark.sqlContext
     val customers = MemoryStream[(String, String, String)]
