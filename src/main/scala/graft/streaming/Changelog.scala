@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode}
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Streaming changelog compaction — the reference pipeline's central
   * semantic (materialize CURRENT state per key out of a Kafka change
@@ -49,6 +49,41 @@ object Changelog {
         KeyState(batch.size, best.event_id, best.event_type,
           best.value_cents, best.ts_us)
     }
+  }
+
+  /** [[latestState]] on Spark 4's transformWithState — the successor
+    * stateful API, mirroring the [[Sessionize.SessionProcessor]] pair:
+    * one typed ValueState handle per key holding the compacted row, no
+    * timers (the changelog never expires state by time — retention is a
+    * deployment policy applied to the SINK, not the operator). Fold
+    * semantics are [[fold]], shared with the fMGWS spelling, so both
+    * APIs are equal by construction (spec'd). Requires the RocksDB
+    * state store provider — also the 100 TB recommendation. */
+  class LatestProcessor extends StatefulProcessor[Long, Change, LatestRow] {
+    @transient private var held:
+      org.apache.spark.sql.streaming.ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      held = getHandle.getValueState[KeyState]("held",
+        Encoders.product[KeyState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Change],
+        timerValues: TimerValues): Iterator[LatestRow] = {
+      val s = fold(if (held.exists()) Some(held.get()) else None,
+        rows.toSeq)
+      held.update(s)
+      Iterator.single(LatestRow(user, s.n_changes, s.last_event_id,
+        s.last_event_type, s.last_value_cents, s.last_ts_us))
+    }
+  }
+
+  /** [[latestState]]'s transformWithState spelling (see
+    * [[LatestProcessor]]). */
+  def latestStateTws(changes: Dataset[Change]): Dataset[LatestRow] = {
+    implicit val outEnc = Encoders.product[LatestRow]
+    changes.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new LatestProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Latest-state-per-key over a change stream, Update output mode:

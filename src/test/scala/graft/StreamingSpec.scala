@@ -324,6 +324,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState changelog matches the fMGWS spelling over out-of-order batches") {
+    // the second state shape on Spark 4's successor API (the sessionizer
+    // is the first): one ValueState held row per key, fold shared with
+    // the fMGWS spelling — multi-batch out-of-order arrival must compact
+    // to the same final state per key. Requires RocksDB.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Changelog
+    import graft.streaming.Changelog.Change
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Change]
+      val q = Changelog.latestStateTws(in.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("clog_tws_out").start()
+      in.addData(Change(1L, 10L, 100L, "a", 5L), Change(2L, 20L, 50L, "c", 7L))
+      q.processAllAvailable()
+      // batch 2: a newer change for user 1 AND a straggler older than
+      // the held state — counter advances by 2, winner is event 11
+      in.addData(Change(1L, 11L, 200L, "b", 6L), Change(1L, 9L, 80L, "z", 1L))
+      q.processAllAvailable()
+      q.stop()
+      // update-mode sink: last row per key is the compacted state
+      val fin = spark.table("clog_tws_out")
+        .groupBy("user_id").agg(max_by(
+          struct(col("last_event_id"), col("n_changes"), col("last_value_cents")),
+          col("n_changes")).as("s"))
+        .select(col("user_id"), col("s.last_event_id"), col("s.n_changes"),
+          col("s.last_value_cents"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(fin == Map(1L -> ((11L, 3L, 6L)), 2L -> ((20L, 1L, 7L))),
+        s"transformWithState changelog diverged: $fin")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("console sink (OP-03) starts and drains a streaming decode query") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
