@@ -852,6 +852,40 @@ object TrainQueries {
       "user_id")
   }
 
+  /** op108's twin on Spark 4's transformWithState (op122): the same
+    * change stream compacted by [[graft.streaming.Changelog
+    * .latestStateTws]] — typed ValueState, fold shared with the fMGWS
+    * spelling — under the RocksDB provider the API requires (also the
+    * 100 TB state recommendation). Same oracle as op106/op108: the
+    * compacted stream IS the batch aggregate, so the successor API's
+    * state machinery sits under the hash gate, not just a spec. */
+  val op122StreamChangelogTws: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.{Changelog, StateStores}
+    val updates = StateStores.withRocksDb(s) {
+      drainStream(s, d, "op122", "events", "update", "8") { st =>
+        Changelog.latestStateTws(
+          st.select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type"),
+            round(col("value") * 100, 0).cast("bigint").as("value_cents"))
+            .as[Changelog.Change]).toDF()
+      }
+    }
+    ordered(
+      updates.groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_changes"), col("last_event_id"),
+            col("last_event_type"), col("last_value_cents"),
+            col("last_ts_us")),
+          col("n_changes")).as("f"))
+        .select(col("user_id"), col("f.n_changes").as("n_changes"),
+          col("f.last_event_id").as("last_event_id"),
+          col("f.last_event_type").as("last_event_type"),
+          col("f.last_value_cents").as("last_value_cents"),
+          col("f.last_ts_us").as("last_ts_us")),
+      "user_id")
+  }
+
   /** ANN recall-evaluation harness as a first-class query: per sampled
     * query, how many of the IVF probe's top-5 (op69 configuration) are
     * TRUE top-5 under the exact brute-force scorer — the eval every
@@ -1678,6 +1712,7 @@ object TrainQueries {
     "op119_ivfpq_probe" -> op119IvfPqProbe,
     "op120_stream_ivfpq_probe" -> op120StreamIvfPqProbe,
     "op121_recall_matrix" -> op121RecallMatrix,
+    "op122_stream_changelog_tws" -> op122StreamChangelogTws,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2723,6 +2758,8 @@ object TrainQueries {
     // the streamed changelog's compacted final state IS the batch
     // latest-state aggregate
     "op108_stream_changelog" -> baseOracle("op106_changelog_compact"),
+    // the transformWithState twin compacts to the same final state
+    "op122_stream_changelog_tws" -> baseOracle("op106_changelog_compact"),
     // probe(prebuilt SQ8 index) ≡ the end-to-end op112 by construction
     "op115_sq8_probe" -> sq8AnnSql,
     "op112_sq8_ann" -> sq8AnnSql,
