@@ -93,6 +93,45 @@ class RecoverySpec extends SparkSpec {
       s"restart lost or regressed the held changelog state: $r2")
   }
 
+  test("transformWithState changelog state survives a checkpointed restart (RocksDB)") {
+    // the successor API's recovery contract: the typed ValueState row
+    // must restore from the RocksDB checkpoint exactly as fMGWS state
+    // does — restarted counter continues, straggler no-regress holds
+    import graft.streaming.{Changelog, StateStores}
+    import graft.streaming.Changelog.Change
+    val srcDir = Files.createTempDirectory("graft_tws_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt_").toString
+    def write(rows: Seq[Change]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[(Long, Long, Long, Long)] = {
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Change].schema)
+          .parquet(srcDir.getAbsolutePath).as[Change]
+        val q = Changelog.latestStateTws(in).writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Changelog.LatestRow], _: Long) =>
+            buf ++= batch.collect().map(r =>
+              (r.user_id, r.n_changes, r.last_event_id, r.last_value_cents))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq.sortBy(_._1)
+    }
+    write(Seq(Change(1L, 10L, 100L, "a", 5L), Change(1L, 11L, 200L, "b", 6L),
+      Change(2L, 20L, 50L, "c", 7L)))
+    assert(runOnce() == Seq((1L, 2L, 11L, 6L), (2L, 1L, 20L, 7L)))
+    write(Seq(Change(1L, 12L, 150L, "d", 8L))) // straggler vs held 200
+    val r2 = runOnce()
+    assert(r2 == Seq((1L, 3L, 11L, 6L)),
+      s"restart lost or regressed transformWithState state: $r2")
+  }
+
   test("event-time session state and its timeout timer survive checkpointed restarts") {
     // the sessionizer's 100 TB mode (EventTimeTimeout) must recover BOTH
     // halves of its state from the checkpoint: the open-session row AND
