@@ -261,4 +261,35 @@ class PropertySpec extends SparkSpec {
       }
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  test("property: TopKAgg ranks identically when ObjectHashAggregate falls back to sorting") {
+    // every ANN probe's final aggregation is TopKAgg — the same
+    // TypedImperativeAggregate mechanism as LatestAgg, with the same
+    // sort-based fallback past the in-memory map threshold; pin that
+    // the bounded top-k buffer merges identically through it
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      for (seed <- 1 to 3) {
+        val rnd = new scala.util.Random(100 + seed)
+        // unique (g, id) with random scores; ties on score break by id
+        val rows = (0 until 3000).map { i =>
+          (rnd.nextInt(40).toLong, rnd.nextInt(50).toLong, i.toLong)
+        }
+        val df = rows.toDF("g", "score", "id").repartition(8)
+        val got = df.groupBy(col("g"))
+          .agg(graft.functions.TopKAgg.topK(5)(col("score"), col("id"))
+            .as("top"))
+          .collect().map(r => r.getLong(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(x => (x.getLong(0), x.getLong(1))).toSeq).toMap
+        val want = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.map(r => (r._2, r._3)).sortBy { case (s, id) => (-s, id) }
+            .take(5)
+        }
+        assert(got == want, s"seed $seed diverged under fallback threshold 2")
+      }
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
