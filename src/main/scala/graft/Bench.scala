@@ -84,9 +84,7 @@ object Bench {
           name, scala.collection.mutable.ArrayBuffer.empty[Double]) += dt
       }
     }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted; s(s.size / 2)
-    }
+    import Bench.{median, flagged}
     var results = queryList.map { case (name, _) =>
       name -> timesByQuery.get(name).filter(_.nonEmpty).map(t => median(t.toSeq))
         .getOrElse(0.0) // failed before any successful rep
@@ -127,32 +125,21 @@ object Bench {
     // the ratio RELATIVE to the suite's median ratio (a real regression
     // is a query that got slower relative to its peers)
     val regJson = {
-      val ratios = results.flatMap { case (name, t) =>
-        prev.get(name).collect { case p if p > 0 => name -> (t / p) }
-      }
-      val medRatio =
-        if (ratios.isEmpty) 1.0
-        else ratios.map(_._2).sorted.apply(ratios.size / 2)
-      def flagged(rs: Seq[(String, Double)]): Seq[(String, Double, Double)] =
-        rs.flatMap { case (name, t) =>
-          prev.get(name).collect {
-            case p if p > 0 && t / p >= 2 * medRatio && t - p >= 0.3 =>
-              (name, p, t)
-          }
-        }
+      val medRatio = Bench.suiteMedianRatio(results, prev)
       // second line of defense: before reporting, re-time each flagged
       // query once more (now minutes after its interleaved reps) and
       // keep the best observation — a query slow in every pass AND in
       // the final re-time is a real regression, not a contention echo
       val fnByName = queryList.toMap
       val retimed = results.map { case (name, t) =>
-        if (flagged(Seq(name -> t)).nonEmpty && !errors.contains(name))
+        if (flagged(Seq(name -> t), prev, medRatio).nonEmpty
+            && !errors.contains(name))
           name -> fnByName.get(name).flatMap(timeOnce(name, _))
             .fold(t)(math.min(t, _))
         else name -> t
       }
       results = retimed
-      flagged(retimed).map { case (name, p, t) =>
+      flagged(retimed, prev, medRatio).map { case (name, p, t) =>
         s"""{"query":"$name","prev":${num(p)},"now":${num(t)},"ratio":${num(t / p)},"suite_median_ratio":${num(medRatio)}}"""
       }.mkString("[", ",", "]")
     }
@@ -187,4 +174,35 @@ object Bench {
       }
     spark.stop()
   }
+
+  // ---- radar math, factored pure for the BenchRadarSpec pin ----
+
+  private[graft] def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted; s(s.size / 2)
+  }
+
+  /** The suite-wide median of now/prev ratios — the machine-speed
+    * normalizer: if THIS box is uniformly 1.5× slower than the previous
+    * round's, every ratio shifts by 1.5× and a raw 2× gate would flag
+    * half the suite; gating RELATIVE to the suite median flags only
+    * queries that got slower than their peers. */
+  private[graft] def suiteMedianRatio(results: Seq[(String, Double)],
+      prev: Map[String, Double]): Double = {
+    val ratios = results.flatMap { case (name, t) =>
+      prev.get(name).collect { case p if p > 0 => t / p }
+    }
+    if (ratios.isEmpty) 1.0 else median(ratios)
+  }
+
+  /** ≥2× the suite-median ratio AND ≥0.3 s absolute growth ⇒ flagged:
+    * (name, prev, now). */
+  private[graft] def flagged(rs: Seq[(String, Double)],
+      prev: Map[String, Double],
+      medRatio: Double): Seq[(String, Double, Double)] =
+    rs.flatMap { case (name, t) =>
+      prev.get(name).collect {
+        case p if p > 0 && t / p >= 2 * medRatio && t - p >= 0.3 =>
+          (name, p, t)
+      }
+    }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench regression radar's math — the r5 artifact shipped 17
+  * false regressions because the measurement loop couldn't defend
+  * against a contention window; the radar's normalization and gating
+  * are now pure functions this spec holds in place. No Spark session.
+  */
+class BenchRadarSpec extends AnyFunSuite {
+
+  test("suite-median ratio normalizes uniform machine-speed drift") {
+    // every query uniformly 1.5x slower: median ratio 1.5, and nothing
+    // clears the 2x-relative gate — a raw 2x gate would flag q3/q4
+    val prev = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.4, "q4" -> 0.3)
+    val now = prev.toSeq.map { case (k, v) => k -> v * 1.5 }
+    val med = Bench.suiteMedianRatio(now, prev)
+    assert(math.abs(med - 1.5) < 1e-9)
+    assert(Bench.flagged(now, prev, med).isEmpty)
+  }
+
+  test("a true outlier is flagged; small absolute growth is not") {
+    val prev = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0, "q4" -> 0.1,
+      "q5" -> 0.5, "q6" -> 2.0)
+    // q3 is 4x slower (real regression); q4 is ~4x slower but grew only
+    // 0.29s (absolute floor holds it back); the rest anchor the median
+    val now = Seq("q1" -> 1.0, "q2" -> 1.1, "q3" -> 4.0, "q4" -> 0.39,
+      "q5" -> 0.5, "q6" -> 1.9)
+    val med = Bench.suiteMedianRatio(now, prev)
+    val hits = Bench.flagged(now, prev, med)
+    assert(hits.map(_._1) == Seq("q3"), s"got $hits")
+    val (_, p, t) = hits.head
+    assert(p == 1.0 && t == 4.0)
+  }
+
+  test("queries without a previous measurement never flag") {
+    val prev = Map("q1" -> 1.0)
+    val now = Seq("q1" -> 1.0, "qNew" -> 99.0)
+    assert(Bench.flagged(now, prev, Bench.suiteMedianRatio(now, prev)).isEmpty)
+  }
+
+  test("median is the upper-middle order statistic (matches the loop's pick)") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 3.0)
+    assert(Bench.median(Seq(7.0)) == 7.0)
+  }
+}
