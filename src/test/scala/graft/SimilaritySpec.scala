@@ -263,6 +263,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: wide shortlist equals IVF-flat; exhaustive probe with zero vectors equals brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 32)
+    // a shortlist covering every probed candidate makes the exact rerank
+    // see everything IVF-flat sees in the same cells → identical output:
+    // the ADC stage only ever DROPS candidates, never reorders survivors
+    val pq = Similarity.ivfPqTopK(queries, emb, 5, shortlist = 1000000)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val flat = Similarity.ivfTopK(queries, emb, 5)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(pq == flat)
+    // the composed guards (cosBpFrom /0, normalizeQv zero-norm, sq8/PQ
+    // encode of all-zero slices) survive a zero vector end-to-end:
+    // every cell probed + exhaustive shortlist ⇒ must equal brute force
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val synth = ((0L until 19L).map(i =>
+        (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1))) :+
+        (19L, Seq.fill(64)(0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(synth, synth, 3, nCells = 4,
+        nProbe = 4, shortlist = 1000)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val want = Similarity.bruteForceTopK(synth, synth, 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "exhaustive IVF-PQ with a zero vector diverged from brute force")
+  }
+
   test("IVF-SQ8: wide shortlist equals IVF-flat exactly; codes quantize as specified") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 32)
