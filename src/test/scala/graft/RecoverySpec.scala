@@ -181,6 +181,51 @@ class RecoverySpec extends SparkSpec {
     assert(r3.isEmpty, s"flushed session re-emitted after restart: $r3")
   }
 
+  test("transformWithState session timers survive a checkpointed restart (RocksDB)") {
+    // completes the recovery matrix: the successor API's EXPLICIT timer
+    // registrations (not just its ValueState rows) must restore from
+    // the checkpoint — a session opened before the restart flushes via
+    // its re-armed timer in a later process lifetime
+    import graft.streaming.{Sessionize, StateStores}
+    import graft.streaming.Sessionize.TimedEvent
+    val srcDir = Files.createTempDirectory("graft_twss_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_twss_ckpt_").toString
+    def ev(u: Long, ms: Long, v: Double) =
+      TimedEvent(u, new java.sql.Timestamp(ms), v)
+    def write(rows: Seq[TimedEvent]): Unit =
+      rows.toDS().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[Sessionize.Session] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Sessionize.Session]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[TimedEvent].schema)
+          .parquet(srcDir.getAbsolutePath).as[TimedEvent]
+        val q = Sessionize.sessionsTws(in, gapMs = 60000, delay = "0 seconds")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.Session], _: Long) =>
+            buf ++= batch.collect(); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq
+    }
+    write(Seq(ev(1L, 100000L, 1.0), ev(1L, 130000L, 2.0)))
+    assert(runOnce().isEmpty, "no session may close while still active")
+    // restart: the far-future event pushes the watermark past the
+    // restored timer's fire point — the pre-restart session flushes
+    write(Seq(ev(2L, 700000L, 9.0)))
+    val r2 = runOnce().filter(_.user_id == 1L)
+    assert(r2 == Seq(Sessionize.Session(1L, 100000L, 130000L, 2L, 3.0)),
+      s"restart lost the session or its registered timer: $r2")
+    // second restart: flushed state must not re-emit
+    write(Seq(ev(2L, 710000L, 1.0)))
+    val r3 = runOnce().filter(_.user_id == 1L)
+    assert(r3.isEmpty, s"flushed session re-emitted after restart: $r3")
+  }
+
   test("bounded-state join (production mode) matches only within maxAge") {
     implicit val sqlCtx = spark.sqlContext
     val customers = MemoryStream[(String, String, String)]
