@@ -16,10 +16,13 @@ import graft.sources.KafkaIO
   */
 object StediApps {
   private[apps] def session(name: String): SparkSession = {
-    val s = SparkSession.builder().appName(name)
+    val b = SparkSession.builder().appName(name)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .getOrCreate()
+    // spark-submit owns the master; SPARK_GRAFT_MASTER lets the jobs
+    // run under plain `sbt runMain` for local smoke tests
+    sys.env.get("SPARK_GRAFT_MASTER").foreach(b.master)
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
