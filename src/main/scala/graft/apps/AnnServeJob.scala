@@ -1,0 +1,50 @@
+package graft.apps
+
+import org.apache.spark.sql.streaming.Trigger
+
+/** Runnable online ANN serving — build-if-needed + the streaming SQ8
+  * probe (op116's leg: inlined-centroid cell choice, stream-static join
+  * on the cent_id-pruned int8 code store, bounded top-k) as a
+  * spark-submit entry point:
+  *
+  *   AnnServeJob <corpusDir> <indexDir> <queryStreamDir> [k] [nProbe]
+  *
+  * `corpusDir` must contain `embeddings.parquet` (vec_id, embedding);
+  * the index is built at `indexDir` on first run (later runs probe the
+  * existing store — the build-once/serve-many split). Query vectors
+  * arriving as parquet files under `queryStreamDir` (same schema) are
+  * served continuously; results go to the console sink in update mode.
+  * Swap the sink for Kafka/foreachBatch in a deployment — the probe
+  * frame is sink-agnostic.
+  */
+object AnnServeJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: AnnServeJob <corpusDir> <indexDir> <queryStreamDir> [k] [nProbe]")
+    val Array(corpus, index, queries) = args.take(3)
+    val k = if (args.length > 3) args(3).toInt else 5
+    val nProbe = if (args.length > 4) args(4).toInt else 4
+    val spark = StediApps.session("graft-ann-serve")
+    if (!new java.io.File(s"$index/vectors/_SUCCESS").isFile) {
+      graft.functions.Similarity.sq8IndexWrite(
+        spark.read.parquet(s"$corpus/embeddings.parquet"), index,
+        nCells = 16, lloydIters = 2)
+      println(s"[ann-serve] built SQ8 index at $index")
+    }
+    val schema = spark.read.parquet(s"$corpus/embeddings.parquet").schema
+    val queryStream = spark.readStream.schema(schema).parquet(queries)
+    val top = graft.streaming.StreamingAnn.sq8ProbeStream(
+      queryStream, index, k, nProbe)
+    // AvailableNow under SPARK_GRAFT_ONESHOT=1 (smoke tests); a real
+    // deployment runs the default continuous micro-batch trigger
+    val writer = graft.streaming.StreamingAnn.explodeTopK(top, "sq_bp")
+      .writeStream.outputMode("complete").format("console")
+      .option("truncate", "false")
+    val q =
+      if (sys.env.contains("SPARK_GRAFT_ONESHOT"))
+        writer.trigger(Trigger.AvailableNow()).start()
+      else writer.start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}
