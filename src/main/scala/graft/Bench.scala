@@ -58,13 +58,18 @@ object Bench {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // recordError=false is the radar's final re-time: a transient
+    // failure there must not mark a query (with 3 valid measurements)
+    // as failed — the flag simply stands on the measured median
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordError: Boolean = true): Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           // a broken query must not hide inside a normal-looking time
-          if (!errors.contains(name)) errors += name
+          if (recordError && !errors.contains(name)) errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
@@ -77,17 +82,21 @@ object Bench {
     }
     val timesByQuery =
       scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    // failed attempts record their duration too: a failed query reports
+    // a strictly NEGATIVE time (the -t convention below needs t > 0,
+    // else "-0.000" reads as a 0-second success)
     for (pass <- 1 to reps; (name, fn) <- queryList if !errors.contains(name)) {
       val _ = pass
-      timeOnce(name, fn).foreach { dt =>
-        timesByQuery.getOrElseUpdate(
-          name, scala.collection.mutable.ArrayBuffer.empty[Double]) += dt
-      }
+      val t0 = System.nanoTime()
+      val timed = timeOnce(name, fn)
+      val dt = timed.getOrElse((System.nanoTime() - t0) / 1e9)
+      timesByQuery.getOrElseUpdate(
+        name, scala.collection.mutable.ArrayBuffer.empty[Double]) += dt
     }
     import Bench.{median, flagged}
     var results = queryList.map { case (name, _) =>
       name -> timesByQuery.get(name).filter(_.nonEmpty).map(t => median(t.toSeq))
-        .getOrElse(0.0) // failed before any successful rep
+        .getOrElse(0.0)
     }
     // Locale.ROOT: default-locale formatting would emit comma decimal
     // separators (invalid JSON) on non-English JVMs
@@ -125,7 +134,10 @@ object Bench {
     // the ratio RELATIVE to the suite's median ratio (a real regression
     // is a query that got slower relative to its peers)
     val regJson = {
-      val medRatio = Bench.suiteMedianRatio(results, prev)
+      // failed queries carry failure durations, not measurements — they
+      // belong in `errors`, never in the radar's normalizer or flags
+      val healthy = results.filter { case (name, _) => !errors.contains(name) }
+      val medRatio = Bench.suiteMedianRatio(healthy, prev)
       // second line of defense: before reporting, re-time each flagged
       // query once more (now minutes after its interleaved reps) and
       // keep the best observation — a query slow in every pass AND in
@@ -134,12 +146,14 @@ object Bench {
       val retimed = results.map { case (name, t) =>
         if (flagged(Seq(name -> t), prev, medRatio).nonEmpty
             && !errors.contains(name))
-          name -> fnByName.get(name).flatMap(timeOnce(name, _))
+          name -> fnByName.get(name)
+            .flatMap(timeOnce(name, _, recordError = false))
             .fold(t)(math.min(t, _))
         else name -> t
       }
       results = retimed
-      flagged(retimed, prev, medRatio).map { case (name, p, t) =>
+      flagged(retimed.filter { case (n, _) => !errors.contains(n) },
+          prev, medRatio).map { case (name, p, t) =>
         s"""{"query":"$name","prev":${num(p)},"now":${num(t)},"ratio":${num(t / p)},"suite_median_ratio":${num(medRatio)}}"""
       }.mkString("[", ",", "]")
     }

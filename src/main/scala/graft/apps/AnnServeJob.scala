@@ -25,7 +25,12 @@ object AnnServeJob {
     val k = if (args.length > 3) args(3).toInt else 5
     val nProbe = if (args.length > 4) args(4).toInt else 4
     val spark = StediApps.session("graft-ann-serve")
-    if (!new java.io.File(s"$index/vectors/_SUCCESS").isFile) {
+    // hadoop-fs check, not java.io.File: indexDir may be HDFS/S3 in a
+    // deployment, where a local-file probe would always miss and the
+    // build-once split would silently degrade to build-every-run
+    val marker = new org.apache.hadoop.fs.Path(s"$index/vectors/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       graft.functions.Similarity.sq8IndexWrite(
         spark.read.parquet(s"$corpus/embeddings.parquet"), index,
         nCells = 16, lloydIters = 2)
@@ -36,9 +41,12 @@ object AnnServeJob {
     val top = graft.streaming.StreamingAnn.sq8ProbeStream(
       queryStream, index, k, nProbe)
     // AvailableNow under SPARK_GRAFT_ONESHOT=1 (smoke tests); a real
-    // deployment runs the default continuous micro-batch trigger
+    // deployment runs the default continuous micro-batch trigger.
+    // UPDATE mode: only queries touched by the batch re-emit — complete
+    // mode would re-print every query ever served on each micro-batch
+    // and grow sink output without bound over a long-running stream
     val writer = graft.streaming.StreamingAnn.explodeTopK(top, "sq_bp")
-      .writeStream.outputMode("complete").format("console")
+      .writeStream.outputMode("update").format("console")
       .option("truncate", "false")
     val q =
       if (sys.env.contains("SPARK_GRAFT_ONESHOT"))

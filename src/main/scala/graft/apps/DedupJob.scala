@@ -26,8 +26,10 @@ object DedupJob {
     val survivors = graft.functions.Dedup.survivorsMinhash(
       docs, "doc_id", "text", minBp)
     survivors.write.mode("overwrite").parquet(s"$out/survivors")
+    // both counts are parquet metadata-only scans (no column reads)
     val kept = spark.read.parquet(s"$out/survivors").count()
-    println(s"[dedup] kept $kept of ${docs.count()} docs " +
+    val total = docs.count()
+    println(s"[dedup] kept $kept of $total docs " +
       s"(>=${minBp}bp near-dups dropped) at $out/survivors")
     spark.stop()
   }

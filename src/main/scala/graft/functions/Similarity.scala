@@ -1062,11 +1062,18 @@ object Similarity {
     * output to [[ivfPqTopK]] with matching parameters — training,
     * assignment, and encoding never recur, and the code scan prunes to
     * the probed cells by a plan-time IN-list (the op115 static-
-    * PartitionFilter shape). Construction is EAGER — see [[sq8Probe]]. */
+    * PartitionFilter shape). Construction is EAGER — see [[sq8Probe]].
+    * Subspace geometry (m, dim) is read from the STORED codebook — a
+    * caller-supplied mismatch would silently drop partial distances in
+    * the (sub_j, code) join and rank by a truncated sum. */
   def ivfPqProbe(queries: DataFrame, dir: String, k: Int,
-      nProbe: Int = 4, m: Int = 8, dim: Int = 64,
-      shortlist: Int = 50): DataFrame = {
+      nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
     val spark = queries.sparkSession
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val geo = cb.agg(max(col("sub_j")).as("mj"),
+      max(size(col("cent_vec"))).as("sd")).head()
+    val m = geo.getInt(0) + 1
+    val dim = m * geo.getInt(1)
     val cents = spark.read.parquet(s"$dir/centroids")
     val queryCells = probedQueryCells(queries, cents, nProbe).localCheckpoint()
     val probedCents = queryCells.select(col("cent_id")).distinct()
@@ -1074,8 +1081,7 @@ object Similarity {
     val codes = spark.read.parquet(s"$dir/codes")
       .filter(col("cent_id").isin(probedCents.toIndexedSeq: _*))
       .withColumn("cent_id", col("cent_id").cast("bigint"))
-    ivfPqProbeFrames(queries, queryCells,
-      spark.read.parquet(s"$dir/codebook"), codes,
+    ivfPqProbeFrames(queries, queryCells, cb, codes,
       spark.read.parquet(s"$dir/vectors"), k, m, dim, shortlist)
   }
 

@@ -130,15 +130,7 @@ object StreamingAnn {
     * refines offline. Emits (q_id, top). */
   def pqAdcProbeStream(queryStream: DataFrame, dir: String, k: Int): DataFrame = {
     val spark = queryStream.sparkSession
-    val cb = spark.read.parquet(s"$dir/codebook").collect()
-      .map(r => (r.getInt(r.fieldIndex("sub_j")),
-        r.getLong(r.fieldIndex("code"))) ->
-        ((r.getSeq[Long](r.fieldIndex("cent_vec")),
-          r.getLong(r.fieldIndex("cent_n2")))))
-      .toMap
-    val m = cb.keys.map(_._1).max + 1
-    val nCents = cb.keys.map(_._2).max.toInt + 1
-    val subDim = cb.values.head._1.length
+    val (m, nCents, subDim, lutOf) = adcLut(spark, dir)
 
     val q0 = queryStream.select(col("vec_id").as("q_id"),
       Similarity.normalizedEmbedding(col("embedding")).as("q_vec"))
@@ -151,24 +143,8 @@ object StreamingAnn {
       array((0 until m).map(j => col(s"sv_$j")): _*).as("svs"),
       array((0 until m).map(j =>
         Similarity.intDot(col(s"sv_$j"), col(s"sv_$j"))): _*).as("s2s"))
-    // the whole codebook as ONE plan literal (m·nCents structs, LUT slot
-    // = j·nCents + c) traversed by a single transform — spelling each
-    // cell as its own literal-vector dot product (m·nCents separate
-    // expressions) bloats analysis + codegen enough to dominate the
-    // probe at stream start. The lambda interprets, but only over
-    // m·nCents cells per QUERY row; the per-CANDIDATE path below stays
-    // codegen'd.
-    val cbFlat = (0 until m).flatMap { j =>
-      (0 until nCents).map { c =>
-        val (cvec, cn2) = cb((j, c.toLong)); (j, cvec, cn2)
-      }
-    }
     val pd2 = withS2.select(col("q_id"),
-      transform(typedlit(cbFlat), e =>
-        element_at(col("s2s"), e.getField("_1") + 1) - lit(2L) *
-          Similarity.intDot(
-            element_at(col("svs"), e.getField("_1") + 1),
-            e.getField("_2")) + e.getField("_3")).as("pd2"))
+      lutOf(col("svs"), col("s2s")).as("pd2"))
 
     // packed codes: one array of m codes per stored vector, sub_j order
     // — the PERSISTED serving layout (pqIndexWrite writes it alongside
@@ -254,15 +230,7 @@ object StreamingAnn {
       .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
-    val cb = spark.read.parquet(s"$dir/codebook").collect()
-      .map(r => (r.getInt(r.fieldIndex("sub_j")),
-        r.getLong(r.fieldIndex("code"))) ->
-        ((r.getSeq[Long](r.fieldIndex("cent_vec")),
-          r.getLong(r.fieldIndex("cent_n2")))))
-      .toMap
-    val m = cb.keys.map(_._1).max + 1
-    val nCents = cb.keys.map(_._2).max.toInt + 1
-    val subDim = cb.values.head._1.length
+    val (m, nCents, subDim, lutOf) = adcLut(spark, dir)
 
     // raw quantized vector drives the cell choice (the IVF metric);
     // the normalized vector drives the ADC LUT (the PQ metric) — both
@@ -289,20 +257,9 @@ object StreamingAnn {
     }: _*)
     val probes = transform(slice(array_sort(cellRank), 1, nProbe),
       s => s.getField("cent_id"))
-    // the codebook as ONE flat plan literal (the op100 shape) — LUT
-    // slot = j·nCents + code
-    val cbFlat = (0 until m).flatMap { j =>
-      (0 until nCents).map { c =>
-        val (cvec, cn2) = cb((j, c.toLong)); (j, cvec, cn2)
-      }
-    }
-    val pd2 = transform(typedlit(cbFlat), e =>
-      element_at(col("s2s"), e.getField("_1") + 1) - lit(2L) *
-        Similarity.intDot(
-          element_at(col("svs"), e.getField("_1") + 1),
-          e.getField("_2")) + e.getField("_3"))
     // LUT computed once per query row, THEN fanned out per probed cell
-    val qq = withS2.select(col("q_id"), pd2.as("pd2"),
+    val qq = withS2.select(col("q_id"),
+      lutOf(col("svs"), col("s2s")).as("pd2"),
       explode(probes).as("cent_id"))
 
     val codes = spark.read.parquet(s"$dir/codes_packed")
@@ -316,6 +273,44 @@ object StreamingAnn {
       .select(col("q_id"), col("n_id"), (-d2).as("neg_d2"))
       .groupBy(col("q_id"))
       .agg(TopKAgg.topK(k)(col("neg_d2"), col("n_id")).as("top"))
+  }
+
+  /** Shared ADC LUT for the PQ-scoring streaming legs: collects
+    * `dir/codebook` ONCE at stream build (m×nCents rows — bytes),
+    * infers the subspace geometry from it, and returns
+    * (m, nCents, subDim, lutOf) where lutOf(svs, s2s) is the per-row
+    * array of m·nCents partial distances (LUT slot = j·nCents + code).
+    * The whole codebook rides as ONE flat plan literal traversed by a
+    * single transform — spelling each cell as its own literal-vector
+    * dot product (m·nCents separate expressions) bloats analysis +
+    * codegen enough to dominate the probe at stream start. The lambda
+    * interprets, but only over m·nCents cells per QUERY row; the
+    * per-CANDIDATE lookup path stays codegen'd. */
+  private def adcLut(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int,
+        (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column) = {
+    val cb = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub_j")),
+        r.getLong(r.fieldIndex("code"))) ->
+        ((r.getSeq[Long](r.fieldIndex("cent_vec")),
+          r.getLong(r.fieldIndex("cent_n2")))))
+      .toMap
+    val m = cb.keys.map(_._1).max + 1
+    val nCents = cb.keys.map(_._2).max.toInt + 1
+    val subDim = cb.values.head._1.length
+    val cbFlat = (0 until m).flatMap { j =>
+      (0 until nCents).map { c =>
+        val (cvec, cn2) = cb((j, c.toLong)); (j, cvec, cn2)
+      }
+    }
+    val lutOf = (svs: org.apache.spark.sql.Column,
+        s2s: org.apache.spark.sql.Column) =>
+      transform(typedlit(cbFlat), e =>
+        element_at(s2s, e.getField("_1") + 1) - lit(2L) *
+          Similarity.intDot(element_at(svs, e.getField("_1") + 1),
+            e.getField("_2")) + e.getField("_3"))
+    (m, nCents, subDim, lutOf)
   }
 
   /** Explode a (q_id, top) frame from [[ivfProbeStream]] /
