@@ -876,12 +876,19 @@ object Similarity {
 
   /** Probe a persisted PQ index ([[pqIndexWrite]]): same results as the
     * end-to-end [[pqTopK]] with matching parameters — no training, no
-    * encoding, just ADC + rerank against the stored tables. */
-  def pqProbe(queries: DataFrame, dir: String, k: Int, m: Int = 8,
-      dim: Int = 64, shortlist: Int = 50): DataFrame = {
+    * encoding, just ADC + rerank against the stored tables. Subspace
+    * geometry is read from the STORED codebook (the [[ivfPqProbe]] /
+    * [[pqIndexAppend]] rule): a caller-supplied mismatch would silently
+    * drop partial distances in the (sub_j, code) join. */
+  def pqProbe(queries: DataFrame, dir: String, k: Int,
+      shortlist: Int = 50): DataFrame = {
     val spark = queries.sparkSession
-    pqProbeFrames(queries,
-      spark.read.parquet(s"$dir/codebook"),
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val geo = cb.agg(max(col("sub_j")).as("mj"),
+      max(size(col("cent_vec"))).as("sd")).head()
+    val m = geo.getInt(0) + 1
+    val dim = m * geo.getInt(1)
+    pqProbeFrames(queries, cb,
       spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/vectors"),
       k, m, dim, shortlist)
