@@ -213,10 +213,32 @@ object Similarity {
       .repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl", "bucket")
       .parquet(s"$dir/buckets")
+    // the trained geometry travels WITH the index: probes and appends
+    // read it back instead of trusting the caller to repeat it (planes
+    // are pure functions of (nBits, nTables) — a mismatch re-derives
+    // DIFFERENT planes and silently probes wrong buckets). Written
+    // before `vectors`, the completeness marker, so a published index
+    // always carries it.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((nBits, nTables)).toDF("n_bits", "n_tables")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     corpus.select(col("vec_id").as("n_id"),
         quantize(col("embedding")).as("n_vec"))
       .withColumn("n_n2", intDot(col("n_vec"), col("n_vec")))
       .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** The stored LSH geometry, falling back to the caller's values for
+    * LEGACY dirs written before `meta` existed. */
+  private[graft] def lshGeometry(spark: SparkSession, dir: String,
+      nBits: Int, nTables: Int): (Int, Int) = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val r = spark.read.parquet(s"$dir/meta").head()
+      (r.getInt(r.fieldIndex("n_bits")), r.getInt(r.fieldIndex("n_tables")))
+    } else (nBits, nTables)
   }
 
   /** Append new vectors to a persisted LSH index: bucket them with the
@@ -228,7 +250,8 @@ object Similarity {
     * probe(write(A) + append(B)) ≡ annTopK over A∪B. */
   def lshIndexAppend(newVecs: DataFrame, dir: String, nBits: Int = 4,
       nTables: Int = 8): Unit = {
-    lshBucketsMulti(newVecs, "vec_id", nBits, nTables)
+    val (b, t) = lshGeometry(newVecs.sparkSession, dir, nBits, nTables)
+    lshBucketsMulti(newVecs, "vec_id", b, t)
       .select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
       .repartition(col("tbl"), col("bucket")) // one file per touched dir
       .write.mode("append").partitionBy("tbl", "bucket")
@@ -259,11 +282,14 @@ object Similarity {
   def lshProbe(queries: DataFrame, dir: String, k: Int, nBits: Int = 4,
       nTables: Int = 8, maxProbeBuckets: Int = 4096): DataFrame = {
     val spark = queries.sparkSession
+    // the STORED geometry wins over the caller's (legacy-dir fallback
+    // only): mismatched planes would silently probe wrong buckets
+    val (gBits, gTables) = lshGeometry(spark, dir, nBits, nTables)
     // the query bucket frame has two consumers (plan-time probed-bucket
     // set, candidate join) but is NOT checkpointed: recomputing the
     // bucket expression over the small query side costs less than the
     // extra eager materialization job would
-    val qb = lshBucketsMulti(queries, "vec_id", nBits, nTables)
+    val qb = lshBucketsMulti(queries, "vec_id", gBits, gTables)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val probed = qb.select(col("tbl"), col("bucket")).distinct()
       .limit(maxProbeBuckets + 1).collect()
@@ -280,7 +306,7 @@ object Similarity {
       .select(col("n_id"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("bigint").as("bucket"))
     val nv = spark.read.parquet(s"$dir/vectors")
-    annProbeFrames(queries, cBuckets, nv, k, nBits, nTables, Some(qb))
+    annProbeFrames(queries, cBuckets, nv, k, gBits, gTables, Some(qb))
   }
 
   /** Deterministic Lloyd refinement of IVF centroids, entirely in the

@@ -188,13 +188,16 @@ object StreamingAnn {
   def lshProbeStream(queryStream: DataFrame, dir: String, k: Int,
       nBits: Int = 4, nTables: Int = 8): DataFrame = {
     val spark = queryStream.sparkSession
+    // the stored geometry wins (legacy-dir fallback only) — mismatched
+    // planes would silently bucket queries differently from the store
+    val (gBits, gTables) = Similarity.lshGeometry(spark, dir, nBits, nTables)
     val cBuckets = spark.read.parquet(s"$dir/buckets")
       .select(col("n_id"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("bigint").as("bucket"))
     val nv = spark.read.parquet(s"$dir/vectors")
     // quantize once per (query, table) row — bounded by nTables, never
     // by candidate count (the op68 lesson)
-    val qb = Similarity.lshBucketsMulti(queryStream, "vec_id", nBits, nTables)
+    val qb = Similarity.lshBucketsMulti(queryStream, "vec_id", gBits, gTables)
       .select(col("vec_id").as("q_id"),
         Similarity.quantize(col("embedding")).as("q_vec"),
         col("tbl"), col("bucket"))

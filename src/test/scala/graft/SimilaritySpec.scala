@@ -238,6 +238,16 @@ class SimilaritySpec extends SparkSpec {
       assert(rows(Similarity.lshProbe(queries, s"$dir/lsh", 5)) ==
         rows(Similarity.annTopK(queries, emb, 5)),
         "probe of the appended LSH index diverged from the union build")
+      // the stored geometry wins over caller defaults: an index built
+      // with non-default planes, probed AND appended with default args,
+      // must still equal the matching end-to-end build — without the
+      // meta table the default-plane probe would silently scan wrong
+      // buckets
+      Similarity.lshIndexWrite(half, s"$dir/lsh_g", nBits = 3, nTables = 4)
+      Similarity.lshIndexAppend(rest, s"$dir/lsh_g") // defaults ignored
+      assert(rows(Similarity.lshProbe(queries, s"$dir/lsh_g", 5)) ==
+        rows(Similarity.annTopK(queries, emb, 5, nBits = 3, nTables = 4)),
+        "stored LSH geometry did not override caller defaults")
 
       // IVF-PQ: every cell probed AND every candidate reranked exactly
       // ⇒ brute force; both code layouts must carry the full corpus
