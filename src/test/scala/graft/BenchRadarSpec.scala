@@ -39,6 +39,20 @@ class BenchRadarSpec extends AnyFunSuite {
     assert(Bench.flagged(now, prev, Bench.suiteMedianRatio(now, prev)).isEmpty)
   }
 
+  test("every query key matches the radar's artifact-parser pattern") {
+    // Bench recovers the previous round's per-query map with the regex
+    // op[a-z0-9_]+ — a key outside that shape (uppercase, no op prefix)
+    // would silently vanish from regression tracking
+    val pat = "^op[0-9]+[a-z0-9_]*$".r
+    val bad = SparkEntry.queries.keys.filterNot(k =>
+      pat.findFirstIn(k).isDefined)
+    assert(bad.isEmpty, s"keys invisible to the radar parser: $bad")
+    // and every oracle key names a real query (the Counts tool's
+    // invariant, held in-suite)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+  }
+
   test("median is the upper-middle order statistic (matches the loop's pick)") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 3.0)
