@@ -526,7 +526,12 @@ object Similarity {
     val qv = queries.select(col("vec_id").as("q_id"),
         quantize(col("embedding")).as("q_vec"))
       .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
-    val scored = short.join(broadcast(qv), "q_id").join(nv, "n_id")
+    // the shortlist side is BOUNDED by construction (k-per-query trim),
+    // so broadcast it explicitly: the static plan must never sort or
+    // shuffle the corpus-sized vector store for the rerank (AQE would
+    // usually rescue the unhinted spelling at runtime, but the 100 TB
+    // claim should not depend on it)
+    val scored = broadcast(short.join(broadcast(qv), "q_id")).join(nv, "n_id")
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_vec"), col("n_vec")),
           col("q_n2"), col("n_n2")).as("cos_bp"))
@@ -828,7 +833,12 @@ object Similarity {
     val qv = queries.select(col("vec_id").as("q_id"),
         quantize(col("embedding")).as("q_vec"))
       .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
-    val scored = short.join(broadcast(qv), "q_id").join(nv, "n_id")
+    // the shortlist side is BOUNDED by construction (k-per-query trim),
+    // so broadcast it explicitly: the static plan must never sort or
+    // shuffle the corpus-sized vector store for the rerank (AQE would
+    // usually rescue the unhinted spelling at runtime, but the 100 TB
+    // claim should not depend on it)
+    val scored = broadcast(short.join(broadcast(qv), "q_id")).join(nv, "n_id")
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_vec"), col("n_vec")),
           col("q_n2"), col("n_n2")).as("cos_bp"))
@@ -1017,7 +1027,12 @@ object Similarity {
     val qv = queries.select(col("vec_id").as("q_id"),
         quantize(col("embedding")).as("q_vec"))
       .withColumn("q_n2", intDot(col("q_vec"), col("q_vec")))
-    val scored = short.join(broadcast(qv), "q_id").join(nv, "n_id")
+    // the shortlist side is BOUNDED by construction (k-per-query trim),
+    // so broadcast it explicitly: the static plan must never sort or
+    // shuffle the corpus-sized vector store for the rerank (AQE would
+    // usually rescue the unhinted spelling at runtime, but the 100 TB
+    // claim should not depend on it)
+    val scored = broadcast(short.join(broadcast(qv), "q_id")).join(nv, "n_id")
       .select(col("q_id"), col("n_id"),
         cosBpFrom(intDot(col("q_vec"), col("n_vec")),
           col("q_n2"), col("n_n2")).as("cos_bp"))
