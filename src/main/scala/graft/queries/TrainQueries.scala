@@ -907,11 +907,13 @@ object TrainQueries {
       Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
     val ann = Similarity.ivfProbe(queries, ivfDir, 5, nProbe = 4)
       .select(col("q_id"), col("n_id"))
-    val hits = ann.join(truth, Seq("q_id", "n_id"))
+    // ground truth and hit counts are bounded by sample-size x k —
+    // broadcast so no plan ever sorts a probe output to join 40 rows
+    val hits = ann.join(broadcast(truth), Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
     ordered(
       queries.select(col("vec_id").as("q_id"))
-        .join(hits, Seq("q_id"), "left")
+        .join(broadcast(hits), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) * 2000L).as("recall_bp")),
@@ -950,10 +952,10 @@ object TrainQueries {
       "sq8" -> Similarity.sq8Probe(queries, sq8Dir, 5, nProbe = 4))
     val perLeg = legs.map { case (leg, df) =>
       val hits = df.select(col("q_id"), col("n_id"))
-        .join(truth, Seq("q_id", "n_id"))
+        .join(broadcast(truth), Seq("q_id", "n_id"))
         .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
       queries.select(col("vec_id").as("q_id"))
-        .join(hits, Seq("q_id"), "left")
+        .join(broadcast(hits), Seq("q_id"), "left")
         .select(lit(leg).as("leg"), col("q_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) * 2000L).as("recall_bp"))
