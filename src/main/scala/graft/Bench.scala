@@ -82,16 +82,58 @@ object Bench {
     }
     val timesByQuery =
       scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    // noise index (r6 verdict: the committed and driver artifacts split
+    // 71.0 vs 99.7 s on identical code with nothing in the JSON to
+    // adjudicate which run was contended). Two orthogonal signals, both
+    // emitted: a cheap CANARY query re-timed before pass 1 and after
+    // every pass (start/middle/end — a contention window that brackets
+    // part of the suite shows up as canary spread), and PER-PASS SUITE
+    // TOTALS (a window spanning one pass inflates that pass's total
+    // against its siblings). A reader classifies the run mechanically
+    // from the spreads — see Bench.noiseAssessment.
+    val canaryName = "op10_cast_project"
+    val canaryFn = SparkEntry.queries.get(canaryName)
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // each observation is the MIN of two back-to-back executions: a
+    // single shot carries one-off JIT/GC jitter (observed 0.36 vs a
+    // 0.15-0.22 s floor on a quiet box, enough to misread quiet as
+    // contended), while a real contention window spans minutes and
+    // inflates both timings
+    def timeCanary(): Unit =
+      canaryFn.foreach { fn =>
+        val ts = Seq(
+          timeOnce(canaryName, fn, recordError = false),
+          timeOnce(canaryName, fn, recordError = false)).flatten
+        if (ts.nonEmpty) canaryTimes += ts.min
+      }
+    val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // warm the canary itself untimed first: its early executions carry
+    // codegen + tiered-JIT warm-up, which would read as 2-3x "spread"
+    // on a perfectly quiet box (observed 0.63 -> 0.18 s cold -> warm,
+    // and still 0.29 vs a 0.15 floor after ONE warm run — C2
+    // compilation lands a few executions in)
+    canaryFn.foreach { fn =>
+      (1 to 3).foreach { _ =>
+        timeOnce(canaryName, fn, recordError = false): Unit
+      }
+    }
     // failed attempts record their duration too: a failed query reports
     // a strictly NEGATIVE time (the -t convention below needs t > 0,
     // else "-0.000" reads as a 0-second success)
-    for (pass <- 1 to reps; (name, fn) <- queryList if !errors.contains(name)) {
+    timeCanary()
+    for (pass <- 1 to reps) {
       val _ = pass
-      val t0 = System.nanoTime()
-      val timed = timeOnce(name, fn)
-      val dt = timed.getOrElse((System.nanoTime() - t0) / 1e9)
-      timesByQuery.getOrElseUpdate(
-        name, scala.collection.mutable.ArrayBuffer.empty[Double]) += dt
+      var passTotal = 0.0
+      for ((name, fn) <- queryList if !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        val timed = timeOnce(name, fn)
+        val dt = timed.getOrElse((System.nanoTime() - t0) / 1e9)
+        timesByQuery.getOrElseUpdate(
+          name, scala.collection.mutable.ArrayBuffer.empty[Double]) += dt
+        if (timed.isDefined) passTotal += dt
+      }
+      passTotals += passTotal
+      timeCanary()
     }
     import Bench.{median, flagged}
     var results = queryList.map { case (name, _) =>
@@ -173,8 +215,23 @@ object Bench {
           "\"" + k + "\":" + num(v)
         }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // pass totals only compare structurally when every pass timed the
+    // same queries — a mid-suite failure shrinks later passes, so the
+    // spread is only meaningful alongside an empty `errors` array
+    val noiseJson = {
+      val canarySpread = Bench.spread(canaryTimes.toSeq)
+      // pass 1 is structurally cold (every query's first execution
+      // carries codegen/JIT — observed 2.3x vs pass 2 on a quiet box),
+      // so the spread compares the WARM passes; pass 1 still appears in
+      // pass_totals_sec for the reader, and a contention window during
+      // pass 1 shows in the canary samples bracketing it
+      val passSpread = Bench.spread(passTotals.drop(1).toSeq)
+      val cs = canaryTimes.map(num).mkString("[", ",", "]")
+      val ps = passTotals.map(num).mkString("[", ",", "]")
+      s"""{"canary":"$canaryName","canary_sec":$cs,"canary_spread":${num(canarySpread)},"pass_totals_sec":$ps,"pass_total_spread":${num(passSpread)},"assessment":"${Bench.noiseAssessment(canarySpread, passSpread)}"}"""
+    }
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"noise":$noiseJson,"sf":"$sfDir"}"""
     println(line)
     // the driver wrapper truncates long stdout ("tail") — persist the
     // complete per-query map so every round artifact carries all
@@ -207,6 +264,22 @@ object Bench {
     }
     if (ratios.isEmpty) 1.0 else median(ratios)
   }
+
+  /** max/min of a series of timings — 1.0 when degenerate (fewer than
+    * two samples, or a non-positive min from a failed measurement). */
+  private[graft] def spread(ts: Seq[Double]): Double =
+    if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
+
+  /** Mechanical quiet/contended classification from the two spreads.
+    * Thresholds from this box's measured bands (SURVEY round-7 notes):
+    * quiet single-query timings vary ±15–20% (so a short canary is
+    * allowed 2×), and a whole-pass total averages ~100 queries so it
+    * should hold within 1.3×; either signal past its band ⇒ the run
+    * overlapped a contention window and its totals shouldn't be
+    * compared against another artifact's. */
+  private[graft] def noiseAssessment(canarySpread: Double,
+      passSpread: Double): String =
+    if (canarySpread <= 2.0 && passSpread <= 1.3) "quiet" else "contended"
 
   /** ≥2× the suite-median ratio AND ≥0.3 s absolute growth ⇒ flagged:
     * (name, prev, now). */

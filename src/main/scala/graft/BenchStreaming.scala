@@ -40,9 +40,15 @@ object BenchStreaming {
     * probe-cell choice from inlined centroid literals + stream-static
     * join on the cent_id-partitioned int8 code store + bounded TopKAgg).
     * The index build sits OUTSIDE the timed region — a serving
-    * deployment probes a prebuilt store — so the figure is query
-    * vectors served per second, start-up included, over a pinned
-    * query budget. */
+    * deployment probes a prebuilt store. Unlike the flagship/dedup
+    * probes (whose start-up cost IS their latency story), this metric
+    * is SERVING THROUGHPUT: the r6 artifacts split 1391 vs 452 rows/s
+    * on identical code because one drain's figure was dominated by
+    * stream start (plan analysis + codegen of the centroid literals +
+    * state init). So the query first drains a small warm-up batch
+    * UNTIMED, then the pinned query budget is timed over a second
+    * drain of the already-running query — micro-batch execution cost
+    * only, stable across contended/quiet runs. */
   private def annProbeRowsPerSec(spark: SparkSession, sfDir: String): Double = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -52,22 +58,35 @@ object BenchStreaming {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_ann_")
     try {
       Similarity.sq8IndexWrite(emb, s"$dir/sq8", nCells = 16, lloydIters = 2)
-      val queryVecs = emb.orderBy("vec_id").limit(2000)
+      val queryVecs = emb.orderBy("vec_id").limit(2500)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      // smaller fixtures (sf0.01) carry fewer query vectors than the
+      // full warm-up budget — keep at least 4/5 of them in the timed set
+      val (warmVecs, servedVecs) =
+        queryVecs.splitAt(math.min(500, queryVecs.size / 5))
       val in = MemoryStream[(Long, Seq[Float])]
-      in.addData(queryVecs)
+      in.addData(warmVecs)
       val name = s"bench_annprobe_${System.nanoTime()}"
-      val t0 = System.nanoTime()
       val q = StreamingAnn.sq8ProbeStream(
           in.toDF().toDF("vec_id", "embedding"), s"$dir/sq8", 5, nProbe = 4)
         .writeStream.outputMode("update").format("memory")
         .queryName(name).start()
-      q.processAllAvailable()
-      val secs = (System.nanoTime() - t0) / 1e9
+      q.processAllAvailable() // warm-up drain: start-up cost lands here
+      // one timed drain is a single short micro-batch whose wall time
+      // swings 2x+ with scheduling — serve the budget as four drains
+      // and report the MEDIAN per-drain rate (one contended drain
+      // can't move it)
+      val rates = servedVecs.grouped(math.max(1, servedVecs.size / 4))
+        .map { chunk =>
+          in.addData(chunk)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          chunk.size / ((System.nanoTime() - t0) / 1e9)
+        }.toSeq
       q.stop()
       spark.catalog.dropTempView(name)
-      queryVecs.size / secs
+      Bench.median(rates)
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit

@@ -58,4 +58,20 @@ class BenchRadarSpec extends AnyFunSuite {
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 3.0)
     assert(Bench.median(Seq(7.0)) == 7.0)
   }
+
+  test("noise spread is max/min, degenerate inputs read as 1.0") {
+    assert(math.abs(Bench.spread(Seq(0.2, 0.3, 0.25)) - 1.5) < 1e-9)
+    assert(Bench.spread(Seq(5.0)) == 1.0)          // one sample: no spread
+    assert(Bench.spread(Seq.empty) == 1.0)
+    assert(Bench.spread(Seq(0.0, 2.0)) == 1.0)     // failed canary timing
+  }
+
+  test("noise assessment: either spread past its band reads contended") {
+    // bands from the round-7 quiet-box measurements: short canary ±2x,
+    // whole-pass totals (averaging ~100 queries) 1.3x
+    assert(Bench.noiseAssessment(1.9, 1.25) == "quiet")
+    assert(Bench.noiseAssessment(2.5, 1.0) == "contended")  // canary hit
+    assert(Bench.noiseAssessment(1.0, 1.5) == "contended")  // pass hit
+    assert(Bench.noiseAssessment(2.0, 1.3) == "quiet")      // at the edge
+  }
 }
