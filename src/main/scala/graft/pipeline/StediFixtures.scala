@@ -23,8 +23,13 @@ object StediFixtures {
   /** Redis change-event frames: one Kafka-envelope `value` (JSON string)
     * per customer row, with the customer record base64-embedded at
     * zSetEntries[0].element. */
-  def redisFrames(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
+  def redisFrames(spark: SparkSession, dir: String): DataFrame =
+    redisFramesFrom(Tables.customer(spark, dir))
+
+  /** [[redisFrames]] as a DataFrame→DataFrame transform, so the same
+    * synthesis runs over a batch read OR a streaming source (op123
+    * streams the customer table through it). */
+  def redisFramesFrom(c: DataFrame): DataFrame = {
     val customerJson = to_json(struct(
       col("c_name").as("customerName"),
       emailFor(col("c_custkey")).as("email"),
@@ -48,8 +53,12 @@ object StediFixtures {
 
   /** Risk-event frames: one Kafka-envelope `value` (JSON string) per
     * events row, keyed by the synthetic customer email. */
-  def riskFrames(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def riskFrames(spark: SparkSession, dir: String): DataFrame =
+    riskFramesFrom(Tables.events(spark, dir))
+
+  /** [[riskFrames]] as a transform over an already-loaded events frame
+    * (must carry the converted `ts` — see [[Tables.eventsColumns]]). */
+  def riskFramesFrom(e: DataFrame): DataFrame = {
     e.select(to_json(struct(
       emailFor(col("user_id")).as("customer"),
       col("value").cast("string").as("score"),

@@ -138,6 +138,72 @@ object StediQueries {
       "key", "value")
   }
 
+  /** OP-30 production mode (op123): [[Stedi.joinRiskBounded]] — the
+    * watermarked, time-bounded stream-stream join that a 100 TB
+    * deployment runs instead of the reference's unbounded flagship
+    * (/root/reference/sparkpykafkajoin.py:184-187, which retains join
+    * state forever) — executed as a REAL streaming query: both fixture
+    * tables stream through file sources, the decode/synthesis chains
+    * run on the streams, and the join drains under Trigger.AvailableNow
+    * into a memory sink. Customers get a deterministic ingestion time
+    * (seenAt = 2024-01-01 + (custkey % 720) hours, spreading dim
+    * arrivals across the events' 30-day window) and risk events join
+    * only within [seenAt, seenAt + 24 h] — so the DuckDB oracle replays
+    * the time-bound equi-join exactly (both inputs arrive in one batch,
+    * so no row is watermark-dropped and the output IS the predicate
+    * join; the watermark's state-expiry behavior itself is spec'd in
+    * RecoverySpec/StreamingSpec, where arrival order is controlled).
+    * riskDate carries milliseconds (the wire format truncates micros),
+    * so the oracle truncates ts to milliseconds too. */
+  val op123StreamBoundedJoin: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val custSchema = s.read.parquet(s"$d/customer.parquet").schema
+    val evSchema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_op123_")
+    val custDir = java.nio.file.Files.createDirectory(dir.resolve("customer"))
+    val evDir = java.nio.file.Files.createDirectory(dir.resolve("events"))
+    val custLink = custDir.resolve("customer.parquet")
+    val evLink = evDir.resolve("events.parquet")
+    val name = s"graft_op123_${System.nanoTime()}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      java.nio.file.Files.createSymbolicLink(custLink,
+        java.nio.file.Paths.get(s"$d/customer.parquet"))
+      java.nio.file.Files.createSymbolicLink(evLink,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val customers = Stedi.decodeCustomers(
+          StediFixtures.redisFramesFrom(
+            s.readStream.schema(custSchema).parquet(custDir.toString)))
+        .withColumn("__k",
+          regexp_extract(col("email"), "customer(\\d+)@", 1).cast("long") % 720)
+        .withColumn("seenAt",
+          expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, __k, 0, 0)"))
+      val risks = Stedi.parseRiskEventsFull(
+        StediFixtures.riskFramesFrom(Tables.eventsColumns(
+          s.readStream.schema(evSchema).parquet(evDir.toString))))
+      // stream-stream join state over a handful of keys: narrow the
+      // stateful shuffle for the drain's duration
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = Stedi.joinRiskBounded(risks, customers, maxAge = "24 hours")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      java.nio.file.Files.deleteIfExists(custLink)
+      java.nio.file.Files.deleteIfExists(evLink)
+      java.nio.file.Files.deleteIfExists(custDir)
+      java.nio.file.Files.deleteIfExists(evDir)
+      java.nio.file.Files.deleteIfExists(dir): Unit
+    }
+    val out = s.table(name)
+    val rows = out.collect()
+    s.catalog.dropTempView(name)
+    ordered(
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+      "customer", "score", "email", "birthYear")
+  }
+
   val defs: Map[String, Q] = Map(
     "op10_cast_project" -> op10Cast,
     "op11_from_json" -> op11FromJson,
@@ -151,6 +217,7 @@ object StediQueries {
     "op22_sql_custom_fn" -> op22SqlCustomFn,
     "op30_stedi_flagship" -> op30StediJoin,
     "op30_stedi_payload" -> op30StediPayload,
+    "op123_stream_bounded_join" -> op123StreamBoundedJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,5 +292,25 @@ object StediQueries {
         |                           email := c.email, birthYear := c.birthYear)) AS value
         |FROM risk r JOIN cust c ON r.customer = c.email
         |ORDER BY key, value""".stripMargin,
+    // op123: the bounded join's time predicate replayed exactly — seenAt
+    // spreads customers across the events' month; ts truncates to
+    // milliseconds because the wire format (riskDate, SSS) does.
+    "op123_stream_bounded_join" ->
+      """WITH cust AS (
+        |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
+        |         CAST(1930 + c_custkey % 70 AS VARCHAR) AS birthYear,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + to_hours(CAST(c_custkey % 720 AS BIGINT)) AS seenAt
+        |  FROM customer),
+        |risk AS (
+        |  SELECT 'customer' || CAST(user_id AS VARCHAR) || '@test.com' AS customer,
+        |         CAST(value AS VARCHAR) AS score,
+        |         date_trunc('milliseconds', ts) AS riskTime
+        |  FROM events)
+        |SELECT r.customer, r.score, c.email, c.birthYear
+        |FROM risk r JOIN cust c ON r.customer = c.email
+        |  AND r.riskTime >= c.seenAt
+        |  AND r.riskTime <= c.seenAt + INTERVAL 24 HOUR
+        |ORDER BY customer, score, email, birthYear""".stripMargin,
   )
 }

@@ -42,12 +42,18 @@ object Tables {
       "events.parquet uses TIMESTAMP(NANOS): set " +
         "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
         "SparkSession (before any parquet read)")
-    spark.read.parquet(s"$dir/events.parquet")
+    eventsColumns(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** The nanos→timestamp conversion as a transform, so a STREAMING read
+    * of events.parquet (whose raw `ts` is a nanos long under the legacy
+    * flag) gets the same typed columns as [[events]]. */
+  def eventsColumns(raw: DataFrame): DataFrame =
+    raw
       .withColumnRenamed("ts", "ts_ns")
       .withColumn(
         "ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
       .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
-  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -226,6 +226,66 @@ class RecoverySpec extends SparkSpec {
     assert(r3.isEmpty, s"flushed session re-emitted after restart: $r3")
   }
 
+  test("bounded join state survives a checkpointed restart (join is the last stateful shape)") {
+    // join state is the one stateful shape the other recovery tests
+    // don't restart: a customer buffered BEFORE the stop must still
+    // match a risk event arriving AFTER the restart (symmetric-hash
+    // state restored from the checkpoint), and the checkpointed
+    // watermark must keep filtering late rows after the restart
+    val custDir = Files.createTempDirectory("graft_bj_cust_").toFile
+    val riskDir = Files.createTempDirectory("graft_bj_risk_").toFile
+    val ckpt = Files.createTempDirectory("graft_bj_ckpt_").toString
+    def writeCust(rows: Seq[(String, String, String)]): Unit =
+      rows.toDF("email", "birthYear", "seen_str").coalesce(1)
+        .write.mode("append").parquet(custDir.getAbsolutePath)
+    def writeRisk(rows: Seq[(String, String, String)]): Unit =
+      rows.toDF("customer", "score", "riskDate").coalesce(1)
+        .write.mode("append").parquet(riskDir.getAbsolutePath)
+    // memory sink can't recover a checkpoint — foreachBatch is the
+    // recoverable sink shape (same as the changelog recovery tests)
+    def runOnce(): Seq[(String, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val custDf = spark.readStream
+        .schema("email STRING, birthYear STRING, seen_str STRING")
+        .parquet(custDir.getAbsolutePath)
+        .select(col("email"), col("birthYear"),
+          col("seen_str").cast("timestamp").as("seenAt"))
+      val riskDf = spark.readStream
+        .schema("customer STRING, score STRING, riskDate STRING")
+        .parquet(riskDir.getAbsolutePath)
+      val q = Stedi.joinRiskBounded(riskDf, custDf, maxAge = "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= batch.select("customer", "score")
+            .collect().map(r => (r.getString(0), r.getString(1)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toSeq.sorted
+    }
+    // run 1: the customer arrives alone — nothing to join yet
+    writeCust(Seq(("a@test.com", "1950", "2024-01-01 10:00:00")))
+    assert(runOnce().isEmpty, "no risk events yet: nothing may emit")
+    // restart: an in-window risk arrives; the match REQUIRES the
+    // customer row restored from the join-state checkpoint
+    writeRisk(Seq(("a@test.com", "5.0", "2024-01-01T10:30:00.000Z")))
+    assert(runOnce() == Seq(("a@test.com", "5.0")),
+      "restart lost the buffered join state")
+    // restart again: a next-day pair still matches (query live, state
+    // keyed correctly) and advances the checkpointed watermark past day 1
+    writeCust(Seq(("b@test.com", "1960", "2024-01-02 09:30:00")))
+    writeRisk(Seq(("b@test.com", "7.0", "2024-01-02T10:00:00.000Z")))
+    assert(runOnce() == Seq(("b@test.com", "7.0")),
+      "post-restart pair failed to match")
+    // final restart: a day-1 straggler is behind the restored watermark
+    // — the bounded mode must drop it, not re-buffer unbounded state
+    writeRisk(Seq(("a@test.com", "9.0", "2024-01-01T10:45:00.000Z")))
+    assert(runOnce().isEmpty,
+      "late row crossed the checkpointed watermark after restart")
+  }
+
   test("bounded-state join (production mode) matches only within maxAge") {
     implicit val sqlCtx = spark.sqlContext
     val customers = MemoryStream[(String, String, String)]

@@ -699,6 +699,31 @@ class StreamingSpec extends SparkSpec {
           s"changelog: state metrics carry no rocksdb entries: " +
             metrics.mkString(","))
       }
+      // the production bounded join's symmetric-hash state (op123):
+      // both sides' keyed state lives in the provider under swap too
+      StateStores.withRocksDb(spark) {
+        import graft.pipeline.Stedi
+        val customers = MemoryStream[(String, String, String)]
+        val risks = MemoryStream[(String, String, String)]
+        val custDf = customers.toDF().toDF("email", "birthYear", "seen_str")
+          .select(col("email"), col("birthYear"),
+            col("seen_str").cast("timestamp").as("seenAt"))
+        val riskDf = risks.toDF().toDF("customer", "score", "riskDate")
+        val q = Stedi.joinRiskBounded(riskDf, custDf, maxAge = "1 hour")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("rocks_bounded_join").start()
+        customers.addData(("a@test.com", "1950", "2024-01-01 10:00:00"))
+        risks.addData(("a@test.com", "5.0", "2024-01-01T10:30:00.000Z"))
+        q.processAllAvailable()
+        val metrics = rocksMetrics(q)
+        q.stop()
+        assert(metrics.exists(_.startsWith("rocksdb")),
+          s"bounded join: state metrics carry no rocksdb entries: " +
+            metrics.mkString(","))
+      }
+      assert(spark.table("rocks_bounded_join").count() == 1,
+        "bounded join emitted wrong row count under RocksDB")
+      spark.sql("DROP VIEW IF EXISTS rocks_bounded_join")
       // compaction semantics held through the provider swap: the last
       // write per key is the (ts_us, event_id)-max change
       val fin = spark.table("rocks_changelog")
