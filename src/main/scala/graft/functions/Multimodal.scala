@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` payloads plus a typed metadata struct, with per-partition
   * batched decode / feature-extraction / resize / frame-sampling.
   *
-  * The actual codec step is a STUB — media libraries are not in this
-  * container — implemented as a deterministic fake (byte histogram) so the
-  * Spark-side plumbing is real and testable: the schema, the partition
+  * Two codec legs. The GENERIC one ([[decodeFeatures]]) is a declared
+  * deterministic fake (byte histogram) standing in for codecs that
+  * genuinely aren't in this container (audio/video/JPEG-decode models);
+  * its value is the Spark-side plumbing: the schema, the partition
   * batching (mapPartitions with bounded `batchSize` chunks, the Scala
   * analog of mapInPandas' Arrow batches), and the feature shape all match
-  * what a real decoder drop-in (JNI/ONNX/ffmpeg) would use.
+  * what a real decoder drop-in (JNI/ONNX/ffmpeg) would use. The IMAGE
+  * leg ([[synthesizeImages]]/[[decodeImageStats]]) is REAL: the JDK
+  * ships javax.imageio, so PNG/BMP payloads are genuinely encoded and
+  * decoded through an actual codec, oracle-checked via the generative
+  * pixel formula (op80_image_codec).
   *
   * Scale: decode is a narrow per-partition pass — no shuffle; batch size
   * bounds peak memory per task (payload bytes × batchSize); feature
@@ -102,5 +107,84 @@ object Multimodal {
     feats.toDF().select(col("doc_id"), col("format"), col("n_bytes"),
       Similarity.intDot(Similarity.quantize(col("features")),
         array((0 until FeatureDim).map(_ => lit(1L)): _*)).as("feat_sum_q"))
+  }
+
+  // ---- real codec leg (op80's twin): javax.imageio, no external deps ----
+
+  case class ImageRecord(doc_id: Long, format: String, payload: Array[Byte])
+  case class ImageStats(doc_id: Long, format: String, width: Int,
+      height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Closed-form image geometry/pixels per doc — the generative formula
+    * BOTH the synthesizer and the oracle compute, so a genuine
+    * encode→decode round-trip sits between two independent evaluations
+    * of it. Small dims keep the corpus cheap (≤16×14 px). */
+  def imageWidth(d: Long): Int = 8 + (d % 9).toInt
+  def imageHeight(d: Long): Int = 8 + (d % 7).toInt
+  def pixelR(d: Long, x: Int, y: Int): Int = ((d * 31 + x * 7 + y * 13) % 256).toInt
+  def pixelG(d: Long, x: Int, y: Int): Int = ((d * 17 + x * 3 + y * 5) % 256).toInt
+  def pixelB(d: Long, x: Int, y: Int): Int = ((d * 7 + x * 11 + y * 3) % 256).toInt
+
+  /** Synthesize REAL image payloads: each doc_id renders its formula
+    * pixels into a BufferedImage and encodes through the JDK's actual
+    * PNG (even ids) or BMP (odd ids) writer — both lossless, so decode
+    * recovers the exact pixels. This replaces "media libs aren't in the
+    * container" for images: javax.imageio ships with the JDK. */
+  def synthesizeImages(spark: SparkSession, dir: String): Dataset[ImageRecord] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val w = imageWidth(d); val h = imageHeight(d)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (pixelR(d, x, y) << 16) | (pixelG(d, x, y) << 8) | pixelB(d, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (d % 2 == 0) "png" else "bmp"
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          ImageRecord(d, fmt, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL decode: javax.imageio parses the PNG/BMP container and
+    * decompresses the pixels; stats are exact integer channel sums.
+    * Batched per partition like [[decodeFeatures]] — a narrow pass, no
+    * shuffle; at 100 TB the payload column streams through the codec
+    * one bounded batch at a time. */
+  def decodeImageStats(images: Dataset[ImageRecord],
+      batchSize: Int = 64): Dataset[ImageStats] = {
+    implicit val enc = Encoders.product[ImageStats]
+    images.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(r.doc_id, r.format, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+    }
   }
 }

@@ -28,8 +28,22 @@ object MultimodalQueries {
       "doc_id", "frame_idx")
   }
 
+  /** op80's REAL-codec twin: formula pixels → JDK PNG/BMP encode →
+    * javax.imageio decode → exact channel sums; the oracle evaluates
+    * the same generative formula independently, so a hash match proves
+    * a genuine encode→decode round-trip (not a fake) in the batched
+    * mapPartitions path. */
+  val op80ImageCodec: Q = (s, d) =>
+    ordered(
+      Multimodal.decodeImageStats(Multimodal.synthesizeImages(s, d)).toDF()
+        .select(col("doc_id"), col("format"),
+          big(col("width")).as("width"), big(col("height")).as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b")),
+      "doc_id")
+
   val defs: Map[String, Q] = Map(
     "op80_media_decode" -> op80Features,
+    "op80_image_codec" -> op80ImageCodec,
     "op81_media_frames" -> op81Frames,
   )
 
@@ -53,6 +67,24 @@ object MultimodalQueries {
         |LEFT JOIN (SELECT doc_id, sum(q) AS s FROM quant GROUP BY doc_id) qs
         |  USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // the image-codec twin: DuckDB evaluates the pixel formula directly;
+    // Spark's number went through a real PNG/BMP encode+decode
+    "op80_image_codec" ->
+      """WITH geom AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |px AS (
+        |  SELECT g.doc_id, g.w, g.h, tx.x, ty.y
+        |  FROM geom g,
+        |       LATERAL (SELECT unnest(generate_series(0, g.w - 1)) AS x) tx,
+        |       LATERAL (SELECT unnest(generate_series(0, g.h - 1)) AS y) ty)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((doc_id*17 + x*3 + y*5) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id*7 + x*11 + y*3) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
     "op81_media_frames" ->
       """SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
         |       CAST((k + 1) * length(text) // 4 - k * length(text) // 4 AS BIGINT) AS frame_bytes

@@ -49,6 +49,43 @@ class MultimodalSpec extends SparkSpec {
       "frames must reassemble the original payload")
   }
 
+  test("image codec leg: payloads are genuine PNG/BMP and decode recovers the formula") {
+    // the payload must be a real container (magic bytes), and
+    // javax.imageio's decode must recover the exact generative pixels —
+    // checked against a direct Scala evaluation of the formula, fully
+    // independent of the encode path
+    val images = Multimodal.synthesizeImages(spark, sfDir)
+      .filter(col("doc_id") < 40L).collect()
+    assert(images.length == 40)
+    images.foreach { r =>
+      val head = r.payload.take(2).map(_ & 0xff)
+      if (r.doc_id % 2 == 0)
+        assert(head.sameElements(Array(0x89, 0x50)), // \x89PNG
+          s"doc ${r.doc_id}: payload is not a PNG container")
+      else
+        assert(head.sameElements(Array(0x42, 0x4d)), // BM
+          s"doc ${r.doc_id}: payload is not a BMP container")
+    }
+    val stats = Multimodal.decodeImageStats(
+        Multimodal.synthesizeImages(spark, sfDir).filter(col("doc_id") < 40L),
+        batchSize = 7) // short last chunk must still decode
+      .collect().sortBy(_.doc_id)
+    stats.foreach { s =>
+      val d = s.doc_id
+      val (w, h) = (Multimodal.imageWidth(d), Multimodal.imageHeight(d))
+      assert(s.width == w && s.height == h,
+        s"doc $d: decoded geometry ${s.width}x${s.height}, expected ${w}x$h")
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        er += Multimodal.pixelR(d, x, y)
+        eg += Multimodal.pixelG(d, x, y)
+        eb += Multimodal.pixelB(d, x, y)
+      }
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)),
+        s"doc $d: decoded channel sums diverge from the formula")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = li.groupBy(col("l_returnflag"))
