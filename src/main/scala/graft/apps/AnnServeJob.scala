@@ -48,9 +48,12 @@ object AnnServeJob {
     val writer = graft.streaming.StreamingAnn.explodeTopK(top, "sq_bp")
       .writeStream.outputMode("update").format("console")
       .option("truncate", "false")
+    // the system property is the in-JVM spelling (spark-submit
+    // --driver-java-options / test harnesses, where env is frozen)
+    val oneshot = sys.env.contains("SPARK_GRAFT_ONESHOT") ||
+      sys.props.contains("spark.graft.oneshot")
     val q =
-      if (sys.env.contains("SPARK_GRAFT_ONESHOT"))
-        writer.trigger(Trigger.AvailableNow()).start()
+      if (oneshot) writer.trigger(Trigger.AvailableNow()).start()
       else writer.start()
     q.awaitTermination()
     spark.stop()
