@@ -26,20 +26,25 @@ object StediFixtures {
   def redisFrames(spark: SparkSession, dir: String): DataFrame =
     redisFramesFrom(Tables.customer(spark, dir))
 
+  /** Customer-record JSON column over the customer table's rows — the
+    * payload both the change-stream envelope (base64-embedded) and the
+    * RDB snapshot bootstrap (zset member, op125) carry. */
+  def customerRecordJson: org.apache.spark.sql.Column = to_json(struct(
+    col("c_name").as("customerName"),
+    emailFor(col("c_custkey")).as("email"),
+    concat(lit("555"), lpad(col("c_custkey").cast("string"), 7, "0")).as("phone"),
+    concat((lit(1930) + col("c_custkey") % 70).cast("string"),
+      lit("-"),
+      lpad(((col("c_custkey") % 12) + 1).cast("string"), 2, "0"),
+      lit("-"),
+      lpad(((col("c_custkey") % 28) + 1).cast("string"), 2, "0")).as("birthDay")
+  ))
+
   /** [[redisFrames]] as a DataFrame→DataFrame transform, so the same
     * synthesis runs over a batch read OR a streaming source (op123
     * streams the customer table through it). */
   def redisFramesFrom(c: DataFrame): DataFrame = {
-    val customerJson = to_json(struct(
-      col("c_name").as("customerName"),
-      emailFor(col("c_custkey")).as("email"),
-      concat(lit("555"), lpad(col("c_custkey").cast("string"), 7, "0")).as("phone"),
-      concat((lit(1930) + col("c_custkey") % 70).cast("string"),
-        lit("-"),
-        lpad(((col("c_custkey") % 12) + 1).cast("string"), 2, "0"),
-        lit("-"),
-        lpad(((col("c_custkey") % 28) + 1).cast("string"), 2, "0")).as("birthDay")
-    ))
+    val customerJson = customerRecordJson
     c.select(to_json(struct(
       lit("Q3VzdG9tZXI=").as("key"), // base64("Customer")
       lit("NONE").as("existType"),

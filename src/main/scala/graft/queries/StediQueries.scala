@@ -204,6 +204,41 @@ object StediQueries {
       "customer", "score", "email", "birthYear")
   }
 
+  /** The RDB snapshot bootstrap under the hash gate (op125): customer
+    * rows render to record JSON, encode into a genuine RDB v9 binary
+    * snapshot ([[graft.sources.RedisRdb.writeZSet2]]), parse back
+    * through the RDB reader, decode through the same JSON path as the
+    * change stream, and broadcast-join to the events-derived risk keys.
+    * The DuckDB oracle computes the join from the raw tables, so the
+    * hash match proves the binary encode→parse→decode round-trip —
+    * the last reference-surface component (the Redis system-of-record
+    * bootstrap) previously covered only by specs. A snapshot is one
+    * serial file: synthesis and parse are driver-side by nature, and
+    * the decoded dim broadcasts (bounded, like any dim snapshot). */
+  val op125RdbBootstrapJoin: Q = (s, d) => {
+    import graft.sources.RedisRdb
+    val members = Tables.customer(s, d)
+      .select(StediFixtures.customerRecordJson.as("member"),
+        col("c_custkey").cast("double").as("score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val path = java.nio.file.Files.createTempFile("graft_op125_", ".rdb")
+    // parseZSets reads the file eagerly at DataFrame construction, so
+    // the temp snapshot can be deleted as soon as the dim is built
+    val dim =
+      try {
+        RedisRdb.writeZSet2(path.toString, "Customer", members)
+        broadcast(RedisRdb.customers(s, path.toString)
+          .select(col("email"), col("birthYear")))
+      } finally java.nio.file.Files.deleteIfExists(path)
+    val risks = Tables.events(s, d)
+      .select(StediFixtures.emailFor(col("user_id")).as("customer"))
+    ordered(
+      risks.join(dim, col("customer") === col("email"))
+        .groupBy(col("email"), col("birthYear"))
+        .agg(count(lit(1)).as("n_events")),
+      "email", "birthYear", "n_events")
+  }
+
   val defs: Map[String, Q] = Map(
     "op10_cast_project" -> op10Cast,
     "op11_from_json" -> op11FromJson,
@@ -218,6 +253,7 @@ object StediQueries {
     "op30_stedi_flagship" -> op30StediJoin,
     "op30_stedi_payload" -> op30StediPayload,
     "op123_stream_bounded_join" -> op123StreamBoundedJoin,
+    "op125_rdb_bootstrap_join" -> op125RdbBootstrapJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -312,5 +348,20 @@ object StediQueries {
         |  AND r.riskTime >= c.seenAt
         |  AND r.riskTime <= c.seenAt + INTERVAL 24 HOUR
         |ORDER BY customer, score, email, birthYear""".stripMargin,
+    // op125: the oracle never sees the RDB bytes — it recomputes the
+    // dim from the raw customer table, so a hash match certifies the
+    // Spark side's binary snapshot round-trip
+    "op125_rdb_bootstrap_join" ->
+      """WITH cust AS (
+        |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
+        |         CAST(1930 + c_custkey % 70 AS VARCHAR) AS birthYear
+        |  FROM customer),
+        |risk AS (
+        |  SELECT 'customer' || CAST(user_id AS VARCHAR) || '@test.com' AS customer
+        |  FROM events)
+        |SELECT c.email, c.birthYear, CAST(count(*) AS BIGINT) AS n_events
+        |FROM risk r JOIN cust c ON r.customer = c.email
+        |GROUP BY c.email, c.birthYear
+        |ORDER BY email, birthYear, n_events""".stripMargin,
   )
 }

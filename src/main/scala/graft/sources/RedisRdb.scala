@@ -79,6 +79,46 @@ object RedisRdb {
     }
   }
 
+  /** Write a minimal RDB v9 snapshot holding one ZSET_2 sorted set —
+    * the writer dual of [[parseZSets]], used to synthesize bootstrap
+    * snapshots from fixture tables (op125 gates the full binary
+    * round-trip: encode → parse → decode → join). Plain big-endian
+    * lengths only (6/14/32-bit — no special string encodings), members
+    * UTF-8, scores 8-byte little-endian doubles per the public RDB
+    * format. A snapshot is inherently one serial file, so writing is
+    * driver-side by nature, like parsing. */
+  def writeZSet2(path: String, key: String,
+      entries: Seq[(String, Double)], db: Int = 0): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    def len(n: Long): Unit = {
+      require(n >= 0 && n <= Int.MaxValue, s"length out of range: $n")
+      if (n < 64) out.write(n.toInt)
+      else if (n < 16384) { out.write(0x40 | (n >> 8).toInt); out.write((n & 0xFF).toInt) }
+      else {
+        out.write(0x80)
+        out.write((n >> 24).toInt); out.write(((n >> 16) & 0xFF).toInt)
+        out.write(((n >> 8) & 0xFF).toInt); out.write((n & 0xFF).toInt)
+      }
+    }
+    def str(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); len(b.length.toLong); out.write(b)
+    }
+    out.write("REDIS0009".getBytes("US-ASCII"))
+    out.write(0xFE); len(db.toLong) // SELECTDB
+    out.write(5) // ZSET_2
+    str(key)
+    len(entries.size.toLong)
+    entries.foreach { case (member, score) =>
+      str(member)
+      val bits = java.lang.Double.doubleToLongBits(score)
+      var i = 0
+      while (i < 8) { out.write(((bits >> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
+    out.write(0xFF)
+    out.write(new Array[Byte](8)) // CRC trailer (readers don't check it)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray): Unit
+  }
+
   /** All sorted-set entries as a DataFrame: (db, key, member, score). */
   def readZSets(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -63,6 +63,25 @@ class RedisRdbSpec extends SparkSpec {
     assert(new String(RedisRdb.lzfDecompress(stream, 7), "US-ASCII") == "abcabca")
   }
 
+  test("writeZSet2 round-trips through the parser across length tiers") {
+    // 6-bit, 14-bit, and 32-bit length encodings all round-trip: member
+    // lengths span the tiers, and an 18k-entry set forces the 32-bit
+    // count path (op125's writer dual of the parse path)
+    val tmp = java.nio.file.Files.createTempFile("graft_rdbw_", ".rdb")
+    try {
+      val long14 = "m" * 100       // 14-bit string length
+      val entries = Seq("short" -> 1.5, long14 -> -0.25) ++
+        (0 until 18000).map(i => s"e$i" -> i.toDouble)
+      RedisRdb.writeZSet2(tmp.toString, "Customer", entries, db = 3)
+      val got = RedisRdb.parseZSets(
+        java.nio.file.Files.readAllBytes(tmp))
+      assert(got.size == entries.size)
+      assert(got.head == RedisRdb.ZSetEntry(3, "Customer", "short", 1.5))
+      assert(got(1) == RedisRdb.ZSetEntry(3, "Customer", long14, -0.25))
+      assert(got.last == RedisRdb.ZSetEntry(3, "Customer", "e17999", 17999.0))
+    } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+  }
+
   test("reference dump.rdb: Customer zset parses into the bootstrap shape") {
     val path = "/root/reference/dump.rdb"
     assume(new java.io.File(path).canRead, "reference snapshot not present")
