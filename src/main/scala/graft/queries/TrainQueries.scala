@@ -1650,6 +1650,15 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** op124: BPE vocabulary induction — one merge round (adjacent-pair
+    * counting over the word-frequency table + top-K selection), the
+    * producer side of the tokenizer stages op75/op87 consume. Exact
+    * integer counts, fully deterministic tie-break. */
+  val op124VocabMerges: Q = (s, d) =>
+    ordered(
+      graft.functions.Vocab.pairMerges(Tables.documents(s, d), "text", 50),
+      "rank")
+
   val defs: Map[String, Q] = Map(
     "op60_dedup_exact" -> op60DedupExact,
     "op61_dedup_ngram" -> op61DedupNgram,
@@ -1715,6 +1724,7 @@ object TrainQueries {
     "op120_stream_ivfpq_probe" -> op120StreamIvfPqProbe,
     "op121_recall_matrix" -> op121RecallMatrix,
     "op122_stream_changelog_tws" -> op122StreamChangelogTws,
+    "op124_vocab_merges" -> op124VocabMerges,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2679,6 +2689,25 @@ object TrainQueries {
         |  CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(sum(sz) AS BIGINT) AS n_docs
         |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    // op124: DuckDB replays the merge round exactly — same alphabet
+    // filter, end-of-word marker, and (cnt desc, pair asc) tie-break
+    "op124_vocab_merges" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$')
+        |  GROUP BY w),
+        |marked AS (SELECT w || '_' AS mw, freq FROM words),
+        |pairs AS (
+        |  SELECT substring(mw, i, 2) AS pair, freq
+        |  FROM marked,
+        |       LATERAL (SELECT unnest(generate_series(1, length(mw) - 1)) AS i) t),
+        |agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |        FROM pairs GROUP BY pair)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
+        |       pair, cnt
+        |FROM agg ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
     "op117_ngram_novelty" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

@@ -360,6 +360,20 @@ class ScaleSpec extends SparkSpec {
       "changelog got sorted below the aggregate exchange")
   }
 
+  test("op124 vocab merges: two bounded hash exchanges, top-K via TakeOrdered") {
+    // the scale claims in Vocab.pairMerges' scaladoc: one shuffle for
+    // the word-frequency group, one for the pair group, and the top-K
+    // goes through TakeOrdered (map-side k-trim) — never a global Sort
+    // of the full pair table
+    val df = graft.functions.Vocab.pairMerges(
+      graft.sources.Tables.documents(spark, sfDir), "text", 50)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected 2 hash exchanges, saw $hashEx:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K did not plan as TakeOrdered:\n$plan")
+  }
+
   test("stream-stream join with watermarks + time bound emits matches (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = MemoryStream[(String, String)] // (ad_id, ts)

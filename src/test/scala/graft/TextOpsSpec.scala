@@ -415,6 +415,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).distinct.length > out.map(_._1).distinct.length)
   }
 
+  test("vocab merges: driver-side BPE replay matches the distributed round") {
+    // replay the merge round with plain collections, fully independent
+    // of the Spark/SQL spellings: whitespace split, [a-z]+ filter,
+    // end-of-word marker, pair counts weighted by word frequency,
+    // (cnt desc, pair asc) top-K
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val wordFreq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.toLowerCase.split("\\s+")
+      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      .foreach(w => wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L))
+    val pairCnt = scala.collection.mutable.Map.empty[String, Long]
+    wordFreq.foreach { case (w, f) =>
+      val mw = w + "_"
+      (0 until mw.length - 1).foreach { i =>
+        val p = mw.substring(i, i + 2)
+        pairCnt(p) = pairCnt.getOrElse(p, 0L) + f
+      }
+    }
+    val expected = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
+    val got = graft.functions.Vocab.pairMerges(docs, "text", 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got == expected,
+      s"distributed merge round diverged from the replay:\n$got\nvs\n$expected")
+    // the classic result shape: the end-of-word marker participates
+    assert(got.exists(_._2.endsWith("_")),
+      "no end-of-word pair in the top-K — marker lost")
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
