@@ -1659,6 +1659,29 @@ object TrainQueries {
       graft.functions.Vocab.pairMerges(Tables.documents(s, d), "text", 50),
       "rank")
 
+  /** op126: full BPE training — `bpeRounds` merge rounds, each one
+    * bounded pair-count aggregate over the persisted vocabulary table
+    * plus a 1-row argmax collect. op124 is one such round; this is the
+    * trainer a tokenizer user actually runs. */
+  val bpeRounds = 12
+  val op126BpeTrain: Q = (s, d) =>
+    ordered(
+      graft.functions.Vocab.trainMergesDf(Tables.documents(s, d), "text", bpeRounds),
+      "round")
+
+  /** op127: tokenize the corpus with the op126 merges — token counts per
+    * document under the trained vocabulary. Encode cost is O(vocab)
+    * (merge chain over DISTINCT words, broadcast-joined back), not
+    * O(corpus). */
+  val op127BpeEncode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.functions.Vocab.trainMerges(docs, "text", bpeRounds)
+      .map { case (_, l, r, _) => (l, r) }
+    ordered(
+      graft.functions.Vocab.encodeTokens(docs, "doc_id", "text", merges),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "op60_dedup_exact" -> op60DedupExact,
     "op61_dedup_ngram" -> op61DedupNgram,
@@ -1725,6 +1748,8 @@ object TrainQueries {
     "op121_recall_matrix" -> op121RecallMatrix,
     "op122_stream_changelog_tws" -> op122StreamChangelogTws,
     "op124_vocab_merges" -> op124VocabMerges,
+    "op126_bpe_train" -> op126BpeTrain,
+    "op127_bpe_encode" -> op127BpeEncode,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2708,6 +2733,10 @@ object TrainQueries {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
         |       pair, cnt
         |FROM agg ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    // op126/op127: generated unrolled k-stage replay of the whole BPE
+    // training loop (and its encode tail) — see Vocab.trainOracleSql
+    "op126_bpe_train" -> graft.functions.Vocab.trainOracleSql(bpeRounds),
+    "op127_bpe_encode" -> graft.functions.Vocab.encodeOracleSql(bpeRounds),
     "op117_ngram_novelty" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

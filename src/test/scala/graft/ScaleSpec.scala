@@ -374,6 +374,22 @@ class ScaleSpec extends SparkSpec {
       s"top-K did not plan as TakeOrdered:\n$plan")
   }
 
+  test("op127 bpe encode: merge chain on the vocab table, broadcast join to corpus") {
+    // the scale claim in Vocab.encodeTokens' scaladoc: the k-stage
+    // replace chain runs over DISTINCT words only, and the per-word
+    // token counts come back to the exploded corpus via a broadcast
+    // join — never a SortMergeJoin (vocab is KB-to-MB at any corpus
+    // size)
+    val df = graft.functions.Vocab.encodeTokens(
+      graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+      Seq(("e", "r"), ("e", "_"), ("er", "_")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side SortMergeJoin in the encode plan:\n$plan")
+  }
+
   test("stream-stream join with watermarks + time bound emits matches (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = MemoryStream[(String, String)] // (ad_id, ts)

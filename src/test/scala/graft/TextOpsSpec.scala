@@ -446,6 +446,105 @@ class TextOpsSpec extends SparkSpec {
       "no end-of-word pair in the top-K — marker lost")
   }
 
+  // --- multi-round BPE: textbook reference implementation -------------
+  // Greedy merge application exactly as Sennrich et al. describe it:
+  // repeatedly merge the leftmost occurrence until none remain. The
+  // distributed implementation uses a single non-overlapping string
+  // replace instead; these specs prove the two agree (a merge output
+  // can never re-form its own left or right side, so one pass reaches
+  // the fixpoint).
+  private def refApply(v: Vector[String], l: String, r: String): Vector[String] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < v.length) {
+      if (i + 1 < v.length && v(i) == l && v(i + 1) == r) { b += (l + r); i += 2 }
+      else { b += v(i); i += 1 }
+    }
+    val nv = b.toVector
+    if (nv == v) v else refApply(nv, l, r)
+  }
+
+  private def refTrain(wordFreq: Map[String, Long], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    var toks: Map[String, Vector[String]] =
+      wordFreq.map { case (w, _) => w -> (w.map(_.toString).toVector :+ "_") }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      toks.foreach { case (w, v) =>
+        val f = wordFreq(w)
+        v.sliding(2).filter(_.length == 2).foreach { p =>
+          cnt((p(0), p(1))) = cnt.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (cnt.isEmpty) done = true
+      else {
+        val ((l, rt), c) = cnt.toSeq.minBy { case ((l, rt), c) => (-c, l, rt) }
+        merges += ((r, l, rt, c))
+        toks = toks.map { case (w, v) => w -> refApply(v, l, rt) }
+        r += 1
+      }
+    }
+    (merges.toSeq, toks)
+  }
+
+  private def corpusWordFreq(texts: Seq[String]): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.toLowerCase.split("\\s+")
+      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      .foreach(w => m(w) = m.getOrElse(w, 0L) + 1L))
+    m.toMap
+  }
+
+  test("bpe train: distributed merge rounds match the textbook replay") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val wf = corpusWordFreq(texts)
+    val (want, _) = refTrain(wf, 10)
+    val got = graft.functions.Vocab.trainMerges(docs, "text", 10)
+    assert(got.map(m => (m._1, m._2, m._3, m._4)) == want,
+      s"distributed BPE diverged from the textbook replay:\n$got\nvs\n$want")
+    // multi-round evidence: at least one merge must consume an earlier
+    // merge's output (a multi-char left or right side)
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      s"no merge used a merged symbol — rounds are not re-segmenting: $got")
+  }
+
+  test("bpe encode: per-doc token counts match tokenizing with the replay") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val wf = corpusWordFreq(rows.map(_._2))
+    val (merges, trained) = refTrain(wf, 10)
+    val want = rows.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\s+")
+        .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      (id, ws.length.toLong, ws.map(w => trained(w).length.toLong).sum)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = graft.functions.Vocab.encodeTokens(
+        docs, "doc_id", "text", merges.map(m => (m._2, m._3)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the merges actually compressed: fewer tokens than chars+markers
+    val rawTok = want.map { case (id, _, _) =>
+      val ws = rows.find(_._1 == id).get._2.toLowerCase.split("\\s+")
+        .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      ws.map(_.length.toLong + 1).sum
+    }.sum
+    assert(got.map(_._3).sum < rawTok, "encode did not compress at all")
+  }
+
+  test("bpe train: exhausts early when the corpus runs out of pairs") {
+    val df = Seq("ab ab").toDF("text")
+    val got = graft.functions.Vocab.trainMerges(df, "text", 10)
+    // [a b _]x2: round 1 merges (a,b) (tie with (b,_) broken on left
+    // symbol), round 2 merges (ab,_), round 3 finds no pairs and stops
+    assert(got == Seq((1, "a", "b", 2L), (2, "ab", "_", 2L)))
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
