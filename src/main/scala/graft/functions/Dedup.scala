@@ -524,6 +524,60 @@ object Dedup {
           x => x.getField("span")), " ").as("text_clean"))
   }
 
+  /** Stride-1 char-level duplicate-substring profile (the exact-substring
+    * dedup primitive of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how many of its
+    * length-`win` character windows also occur in ANOTHER document, and
+    * the length of its longest cross-document duplicated substring.
+    *
+    * A substring of length M ≥ win shared by two docs produces exactly
+    * M−win+1 consecutive duplicated window positions, so
+    * `longest_dup = max_consecutive_run + win − 1` recovers the true
+    * maximal repeat length — stride-1 windows (unlike op103's
+    * non-overlapping tiles) cannot straddle-miss a repeat.
+    *
+    * Scale: the [[graft.expressions.RollingHashWindows]] expression
+    * fingerprints each doc in ONE linear pass, so the shuffle moves an
+    * 8-byte key per char position, never window text. Three bounded
+    * shuffles: the hot-window count (state = distinct windows), the
+    * hash join back (AQE broadcasts the hot set when small — its size
+    * is the corpus' repeated-content volume, not a priori bounded, same
+    * trade as [[scrubDuplicateSpans]]), and the per-doc aggregate
+    * (state = one doc's positions). The packed double-hash key is
+    * collision-accepted (~2⁻⁶⁰ per pair — one ~30-bit leg demonstrably
+    * birthday-collides at sf0.01); the DuckDB oracle joins on raw
+    * window STRINGS, certifying injectivity at test scale. */
+  def charDupProfile(df: DataFrame, idCol: String, textCol: String,
+      win: Int, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(win >= 2 && minDocs >= 2, "need win>=2, minDocs>=2")
+    val hashes = ColumnBridge.column(graft.expressions.RollingHashWindows(
+      ColumnBridge.expression(col(textCol)), win))
+    val wins = df
+      .filter(length(col(textCol)) >= win)
+      .select(col(idCol).as("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
+    val hot = wins.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(true).as("__dup"))
+    val flagged = wins.join(hot, Seq("h"), "left")
+    // gaps-and-islands over duplicated positions: consecutive runs share
+    // (pos - row_number) within a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("__dup"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("maxrun"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_windows"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).cast("bigint").as("n_dup"))
+      .join(runs, Seq("doc_id"), "left")
+      .withColumn("longest_dup",
+        coalesce(col("maxrun") + (win - 1), lit(0L)).cast("bigint"))
+      .drop("maxrun")
+  }
+
   def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))

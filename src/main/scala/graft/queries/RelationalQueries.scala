@@ -463,7 +463,23 @@ object RelationalQueries {
       "token")
   }
 
+  /** op128: SCD2 history compaction over the event log — per
+    * (user_id, event_type) validity intervals in exact microseconds,
+    * opening a version only on a real value change. One shuffle; the
+    * lag/row_number/lead windows share a single Exchange + Sort
+    * (ScaleSpec pins it). */
+  val op128Scd2: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .withColumn("t_us", expr("ts_ns div 1000"))
+    ordered(
+      graft.ops.Scd.history(e, Seq("user_id", "event_type"), "t_us",
+          "event_id", bp4(col("value")))
+        .withColumnRenamed("value", "val_bp"),
+      "user_id", "event_type", "ver")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op128_scd2_history" -> op128Scd2,
     "op31_join_inner" -> op31JoinInner,
     "op31_join_left" -> op31JoinLeft,
     "op32_join_semi" -> op32SemiJoin,
@@ -497,6 +513,29 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // op128: DuckDB truncates TIMESTAMP(NANOS) parquet to micros (floor)
+    // exactly like `ts_ns div 1000`, so epoch_us(ts) is the shared exact
+    // validity boundary
+    "op128_scd2_history" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+        |         CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT) AS val_bp
+        |  FROM events),
+        |flg AS (
+        |  SELECT *, lag(val_bp) OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY t_us, event_id) AS prev,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY t_us, event_id) AS rn
+        |  FROM base),
+        |chg AS (SELECT * FROM flg WHERE rn = 1 OR prev IS DISTINCT FROM val_bp)
+        |SELECT user_id, event_type,
+        |       CAST(row_number() OVER w AS BIGINT) AS ver,
+        |       val_bp, t_us AS valid_from,
+        |       coalesce(lead(t_us) OVER w, -1) AS valid_to,
+        |       CAST(CASE WHEN lead(t_us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_current
+        |FROM chg WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t_us, event_id)
+        |ORDER BY user_id, event_type, ver""".stripMargin,
     "op31_join_inner" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS revenue

@@ -1682,6 +1682,40 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** op129: deterministic weighted sampling without replacement — the
+    * integer-arithmetic priority variant of Efraimidis–Spirakis: each doc
+    * draws a deterministic pseudo-random u (LCG of doc_id, exact in
+    * BIGINT on both engines) and competes on priority = u div weight
+    * (weight = n_chars), so heavier docs stochastically win. Top-k by
+    * (priority, doc_id) through TakeOrdered — map-side k-trim, no global
+    * sort, no shuffle beyond the k winners; rerunnable bit-identically
+    * at any parallelism. */
+  val op129WeightedSample: Q = (s, d) => {
+    val k = 100
+    val pr = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L))
+          .as("u"))
+      .withColumn("priority", expr("u div n_chars"))
+    val top = pr.orderBy(col("priority"), col("doc_id")).limit(k)
+    ordered(
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("priority"), col("doc_id")))
+            .cast("bigint"))
+        .select(col("rank"), col("doc_id"),
+          col("priority").cast("bigint").as("priority"), col("n_chars")),
+      "rank")
+  }
+
+  /** op130: stride-1 exact-substring dedup profile (Lee et al. 2022) —
+    * per doc, duplicated 40-char windows and the longest cross-doc
+    * duplicated substring, fingerprinted in one linear pass by the
+    * RollingHashWindows codegen expression. */
+  val op130CharDup: Q = (s, d) =>
+    ordered(
+      Dedup.charDupProfile(Tables.documents(s, d), "doc_id", "text", 40),
+      "doc_id")
+
   val defs: Map[String, Q] = Map(
     "op60_dedup_exact" -> op60DedupExact,
     "op61_dedup_ngram" -> op61DedupNgram,
@@ -1750,6 +1784,8 @@ object TrainQueries {
     "op124_vocab_merges" -> op124VocabMerges,
     "op126_bpe_train" -> op126BpeTrain,
     "op127_bpe_encode" -> op127BpeEncode,
+    "op129_weighted_sample" -> op129WeightedSample,
+    "op130_char_dup_profile" -> op130CharDup,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2737,6 +2773,43 @@ object TrainQueries {
     // training loop (and its encode tail) — see Vocab.trainOracleSql
     "op126_bpe_train" -> graft.functions.Vocab.trainOracleSql(bpeRounds),
     "op127_bpe_encode" -> graft.functions.Vocab.encodeOracleSql(bpeRounds),
+    // op129: the LCG and the integer division are exact BIGINT on both
+    // engines; // is DuckDB's integer div
+    "op129_weighted_sample" ->
+      """WITH pr AS (
+        |  SELECT doc_id, n_chars,
+        |         (doc_id * 1103515245 + 12345) % 2147483647 AS u
+        |  FROM documents),
+        |p2 AS (SELECT doc_id, n_chars, u // n_chars AS priority FROM pr),
+        |top AS (SELECT * FROM p2 ORDER BY priority, doc_id LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rank,
+        |       doc_id, CAST(priority AS BIGINT) AS priority, n_chars
+        |FROM top ORDER BY rank""".stripMargin,
+    // op130: the oracle joins on raw window STRINGS where Spark joins on
+    // rolling hashes — a hash collision would break the row match, so
+    // the pass certifies injectivity at this scale
+    "op130_char_dup_profile" ->
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         substring(text, CAST(i AS INTEGER), 40) AS s
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i) g
+        |  WHERE length(text) >= 40),
+        |hot AS (SELECT s FROM wins GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |flag AS (SELECT w.doc_id, w.pos, (h.s IS NOT NULL) AS dup
+        |         FROM wins w LEFT JOIN hot h ON w.s = h.s),
+        |isl AS (SELECT doc_id,
+        |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM flag WHERE dup),
+        |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
+        |mx AS (SELECT doc_id, max(run) AS maxrun FROM runs GROUP BY doc_id),
+        |agg AS (SELECT doc_id, count(*) AS n_windows,
+        |               sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup
+        |        FROM flag GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(a.n_windows AS BIGINT) AS n_windows,
+        |       CAST(a.n_dup AS BIGINT) AS n_dup,
+        |       CAST(coalesce(m.maxrun + 39, 0) AS BIGINT) AS longest_dup
+        |FROM agg a LEFT JOIN mx m USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "op117_ngram_novelty" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

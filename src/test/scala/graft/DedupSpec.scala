@@ -108,6 +108,56 @@ class DedupSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows diverge between fused and builtin hashing")
   }
 
+  test("RollingHashWindows equals the direct per-window recompute") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.expressions.RollingHashWindows._
+    val texts = Seq("abcdefgh", "aaaaaaaa", "ab", "", "xyzxyzxyzxyz")
+    val win = 4
+    val got = texts.toDF("text")
+      .select(ColumnBridge.column(graft.expressions.RollingHashWindows(
+        ColumnBridge.expression(col("text")), win)).as("hs"))
+      .as[Seq[Long]].collect().toSeq
+    def direct(s: String): Seq[Long] =
+      if (s.length < win) Seq.empty
+      else (0 to s.length - win).map { i =>
+        val w = s.substring(i, i + win)
+        val h1 = w.foldLeft(0L)((a, c) => (a * Base1 + c) % Mod1)
+        val h2 = w.foldLeft(0L)((a, c) => (a * Base2 + c) % Mod2)
+        h1 * Mod2 + h2
+      }
+    assert(got == texts.map(direct),
+      "rolling recurrence diverged from direct per-window hashing")
+  }
+
+  test("charDupProfile: stride-1 windows recover the exact repeat length") {
+    // doc 1 and 2 share exactly one 50-char substring (the 'S' block);
+    // doc 3 is unrelated; doc 4 is shorter than the window and drops out
+    val S = (1 to 10).map(i => f"tok$i%02d").mkString(" ")   // 59 chars
+    val shared = S.substring(0, 50)
+    // boundary chars differ on BOTH sides (# vs @), so the maximal
+    // common substring is the 50-char block exactly, not 51/52 via a
+    // shared space at the seam
+    val d1 = s"prefix one#$shared#suffix one"
+    val d2 = s"completely different head@$shared@another tail"
+    val d3 = "no repeats here just unique content of reasonable length padding"
+    val d4 = "tiny"
+    val out = Dedup.charDupProfile(
+        Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text"),
+        "doc_id", "text", 40)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // a shared substring of length M = 50 yields M-win+1 = 11 consecutive
+    // dup windows and longest_dup = maxrun + win - 1 = 50 exactly
+    assert(out.map(_._1) == Seq(1L, 2L, 3L), s"row set: $out")
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._3 == 11 && byDoc(1L)._4 == 50, s"doc1: ${byDoc(1L)}")
+    assert(byDoc(2L)._3 == 11 && byDoc(2L)._4 == 50, s"doc2: ${byDoc(2L)}")
+    assert(byDoc(3L)._3 == 0 && byDoc(3L)._4 == 0, s"doc3: ${byDoc(3L)}")
+    // n_windows = len - win + 1 per surviving doc
+    assert(byDoc(1L)._2 == d1.length - 39, s"doc1 windows: ${byDoc(1L)}")
+  }
+
   test("cost-based jaccard auto picks the cheap spelling per corpus") {
     // fixture corpus: shared-shingle volume is small → inverted-index join
     val docs = graft.sources.Tables.documents(spark, sfDir)

@@ -390,6 +390,30 @@ class ScaleSpec extends SparkSpec {
       s"corpus-side SortMergeJoin in the encode plan:\n$plan")
   }
 
+  test("op129 weighted sample: TakeOrdered k-trim, no global sort") {
+    val df = graft.queries.TrainQueries.op129WeightedSample(
+      spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample did not plan as TakeOrdered:\n$plan")
+    // the only range partitioning allowed is the final k-row rank/order,
+    // never over the full corpus — TakeOrdered already reduced to k
+    val full = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(full <= 1, s"full-corpus range exchange in the sample plan:\n$plan")
+  }
+
+  test("op130 char-dup: fingerprints generate from the linear expression") {
+    val df = graft.functions.Dedup.charDupProfile(
+      graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", 40)
+    val plan = df.queryExecution.executedPlan.toString
+    // the stride-1 windows must come from the one-pass RollingHashWindows
+    // expression (8-byte keys), not a substring/transform materialization
+    assert(plan.toLowerCase.contains("rollinghashwindows"),
+      s"windows not generated by the rolling-hash expression:\n$plan")
+    assert(!plan.contains("substring("),
+      s"window text materialized in the plan:\n$plan")
+  }
+
   test("stream-stream join with watermarks + time bound emits matches (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = MemoryStream[(String, String)] // (ad_id, ts)
