@@ -886,6 +886,27 @@ object TrainQueries {
       "user_id")
   }
 
+  /** op131: streaming SCD2 — op128's history semantics as a real
+    * Append-mode transformWithState execution (RocksDB): the event
+    * stream's closed validity intervals, each emitted the moment its
+    * version is superseded. Oracle: the batch SCD2 replay restricted to
+    * closed intervals (is_current = 0), since open versions are operator
+    * STATE, not output. */
+  val op131StreamScd2: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.{ScdStream, StateStores}
+    val closed = StateStores.withRocksDb(s) {
+      drainStream(s, d, "op131", "events", "append", "8") { st =>
+        ScdStream.closedIntervals(
+          st.select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("t_us"), col("event_id"),
+            Det.bp4(col("value")).as("val_bp"))
+            .as[ScdStream.Ev]).toDF()
+      }
+    }
+    ordered(closed, "user_id", "event_type", "ver")
+  }
+
   /** ANN recall-evaluation harness as a first-class query: per sampled
     * query, how many of the IVF probe's top-5 (op69 configuration) are
     * TRUE top-5 under the exact brute-force scorer — the eval every
@@ -1786,6 +1807,7 @@ object TrainQueries {
     "op127_bpe_encode" -> op127BpeEncode,
     "op129_weighted_sample" -> op129WeightedSample,
     "op130_char_dup_profile" -> op130CharDup,
+    "op131_stream_scd2" -> op131StreamScd2,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -2773,6 +2795,28 @@ object TrainQueries {
     // training loop (and its encode tail) — see Vocab.trainOracleSql
     "op126_bpe_train" -> graft.functions.Vocab.trainOracleSql(bpeRounds),
     "op127_bpe_encode" -> graft.functions.Vocab.encodeOracleSql(bpeRounds),
+    // op131: the closed subset of op128's batch SCD2 replay — open
+    // versions are streaming state, not output
+    "op131_stream_scd2" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+        |         CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT) AS val_bp
+        |  FROM events),
+        |flg AS (
+        |  SELECT *, lag(val_bp) OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY t_us, event_id) AS prev,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY t_us, event_id) AS rn
+        |  FROM base),
+        |chg AS (SELECT * FROM flg WHERE rn = 1 OR prev IS DISTINCT FROM val_bp),
+        |v AS (
+        |  SELECT user_id, event_type,
+        |         CAST(row_number() OVER w AS BIGINT) AS ver,
+        |         val_bp, t_us AS valid_from, lead(t_us) OVER w AS valid_to
+        |  FROM chg WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t_us, event_id))
+        |SELECT user_id, event_type, ver, val_bp, valid_from, valid_to
+        |FROM v WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, event_type, ver""".stripMargin,
     // op129: the LCG and the integer division are exact BIGINT on both
     // engines; // is DuckDB's integer div
     "op129_weighted_sample" ->

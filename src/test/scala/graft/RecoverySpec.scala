@@ -132,6 +132,55 @@ class RecoverySpec extends SparkSpec {
       s"restart lost or regressed transformWithState state: $r2")
   }
 
+  test("streaming SCD2 closes pre-restart versions after a checkpointed restart (RocksDB)") {
+    // the history twin's recovery contract: the OPEN version is state,
+    // so an interval opened before a restart must close correctly from
+    // the restored RocksDB row — valid_from and the version counter
+    // both come from the checkpoint, not the new batch
+    import graft.streaming.{ScdStream, StateStores}
+    import graft.streaming.ScdStream.Ev
+    val srcDir = Files.createTempDirectory("graft_scd_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_scd_ckpt_").toString
+    def write(rows: Seq[Ev]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[(Long, String, Long, Long, Long, Long)] = {
+      val buf = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, String, Long, Long, Long, Long)]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+          .parquet(srcDir.getAbsolutePath).as[Ev]
+        val q = ScdStream.closedIntervals(in).writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[ScdStream.Closed], _: Long) =>
+            buf ++= batch.collect().map(r =>
+              (r.user_id, r.event_type, r.ver, r.val_bp, r.valid_from,
+                r.valid_to))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq.sortBy(t => (t._1, t._3))
+    }
+    // batch 1: user 1 changes once (one closed interval emitted); user 2
+    // only opens — its interval must survive the shutdown as state
+    write(Seq(Ev(1L, "a", 10L, 1L, 50000L), Ev(1L, "a", 20L, 2L, 70000L),
+      Ev(2L, "a", 15L, 3L, 90000L)))
+    assert(runOnce() == Seq((1L, "a", 1L, 50000L, 10L, 20L)))
+    // restart: user 1 absorbs a no-change event then changes (closes v2
+    // opened pre-restart); user 2's pre-restart open version closes with
+    // its original valid_from=15 — only possible via restored state
+    write(Seq(Ev(1L, "a", 30L, 4L, 70000L), Ev(1L, "a", 40L, 5L, 50000L),
+      Ev(2L, "a", 35L, 6L, 10000L)))
+    val r2 = runOnce()
+    assert(r2 == Seq(
+      (1L, "a", 2L, 70000L, 20L, 40L),
+      (2L, "a", 1L, 90000L, 15L, 35L)),
+      s"restart lost the open SCD2 version: $r2")
+  }
+
   test("event-time session state and its timeout timer survive checkpointed restarts") {
     // the sessionizer's 100 TB mode (EventTimeTimeout) must recover BOTH
     // halves of its state from the checkpoint: the open-session row AND

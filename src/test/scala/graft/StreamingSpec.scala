@@ -699,6 +699,29 @@ class StreamingSpec extends SparkSpec {
           s"changelog: state metrics carry no rocksdb entries: " +
             metrics.mkString(","))
       }
+      // the streaming SCD2's open-version state (op131): one typed
+      // ValueState row per (user, event_type) under transformWithState
+      StateStores.withRocksDb(spark) {
+        import graft.streaming.ScdStream
+        val in = MemoryStream[ScdStream.Ev]
+        val q = ScdStream.closedIntervals(in.toDS())
+          .writeStream.outputMode("append").format("memory")
+          .queryName("rocks_scd2").start()
+        in.addData(
+          ScdStream.Ev(1L, "a", 10L, 1L, 50000L),
+          ScdStream.Ev(1L, "a", 20L, 2L, 70000L),
+          ScdStream.Ev(2L, "b", 15L, 3L, 90000L))
+        q.processAllAvailable()
+        val metrics = rocksMetrics(q)
+        q.stop()
+        assert(metrics.exists(_.startsWith("rocksdb")),
+          s"scd2: state metrics carry no rocksdb entries: " +
+            metrics.mkString(","))
+      }
+      // one closed interval (user 1's change); user 2 stays open state
+      assert(spark.table("rocks_scd2").count() == 1,
+        "streaming SCD2 emitted wrong closed-interval count under RocksDB")
+      spark.sql("DROP VIEW IF EXISTS rocks_scd2")
       // the production bounded join's symmetric-hash state (op123):
       // both sides' keyed state lives in the provider under swap too
       StateStores.withRocksDb(spark) {
