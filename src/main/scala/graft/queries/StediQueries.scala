@@ -158,7 +158,7 @@ object StediQueries {
   val op123StreamBoundedJoin: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     val custSchema = s.read.parquet(s"$d/customer.parquet").schema
-    val evSchema = s.read.parquet(s"$d/events.parquet").schema
+    val evSchema = Tables.eventsRaw(s, d).schema
     val dir = java.nio.file.Files.createTempDirectory("graft_op123_")
     val custDir = java.nio.file.Files.createDirectory(dir.resolve("customer"))
     val evDir = java.nio.file.Files.createDirectory(dir.resolve("events"))

@@ -829,11 +829,11 @@ object TrainQueries {
     import s.implicits._
     import graft.streaming.Changelog
     val updates = drainStream(s, d, "op108", "events", "update", "8") { st =>
-      // raw stream schema: ts is TIMESTAMP(NANOS) read as long (the
-      // session-wide nanosAsLong contract — see Tables.events)
+      // raw stream schema: ts is whatever the fixture carries (nanos-long
+      // or micros timestamp) — tsUsExpr adapts (see Tables.eventsColumns)
       Changelog.latestState(
         st.select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"),
+          Tables.tsUsExpr(st).as("ts_us"), col("event_type"),
           round(col("value") * 100, 0).cast("bigint").as("value_cents"))
           .as[Changelog.Change]).toDF()
     }
@@ -866,7 +866,7 @@ object TrainQueries {
       drainStream(s, d, "op122", "events", "update", "8") { st =>
         Changelog.latestStateTws(
           st.select(col("user_id"), col("event_id"),
-            expr("ts div 1000").as("ts_us"), col("event_type"),
+            Tables.tsUsExpr(st).as("ts_us"), col("event_type"),
             round(col("value") * 100, 0).cast("bigint").as("value_cents"))
             .as[Changelog.Change]).toDF()
       }
@@ -899,7 +899,7 @@ object TrainQueries {
       drainStream(s, d, "op131", "events", "append", "8") { st =>
         ScdStream.closedIntervals(
           st.select(col("user_id"), col("event_type"),
-            expr("ts div 1000").as("t_us"), col("event_id"),
+            Tables.tsUsExpr(st).as("t_us"), col("event_id"),
             Det.bp4(col("value")).as("val_bp"))
             .as[ScdStream.Ev]).toDF()
       }

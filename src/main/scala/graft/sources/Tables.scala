@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Batch scans over the driver-generated parquet fixtures (OP-02).
   *
-  * All tables load as-is except `events`, whose `ts` column is written as
-  * parquet TIMESTAMP(NANOS) — a type Spark's vectorized reader rejects
-  * ([PARQUET_TYPE_ILLEGAL]). We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (giving a bigint of epoch
-  * nanoseconds) and derive a microsecond-truncated TIMESTAMP_NTZ, which is
-  * exactly what DuckDB produces when casting its TIMESTAMP_NS to TIMESTAMP.
-  * The raw nanos stay available as `ts_ns`.
+  * All tables load as-is except `events`, whose physical `ts` type has
+  * varied across fixture generations — TIMESTAMP(NANOS) in earlier drops,
+  * TIMESTAMP(MICROS) now — so the loader adapts to the OBSERVED schema
+  * instead of hard-wiring either:
+  *   - nanos fixtures surface `ts` as a bigint of epoch nanoseconds under
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` (without the flag the
+  *     read fails [PARQUET_TYPE_ILLEGAL]); we floor-truncate to micros;
+  *   - micros fixtures surface `ts` as TIMESTAMP/TIMESTAMP_NTZ directly.
+  * Either way the loaded frame carries `ts` as TIMESTAMP_NTZ (µs) plus
+  * `ts_ns` as epoch-nanos bigint, so every downstream query is
+  * physical-type-agnostic.
   *
   * At 100 TB these reads are partition-parallel parquet scans; filters and
   * column pruning push down through this loader untouched because it adds
@@ -28,32 +32,57 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events with `ts` as TIMESTAMP_NTZ (µs, floor-truncated from ns).
-    *
-    * Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true` at
-    * CONSTRUCTION (all in-repo entry points do) so nanos parquet types
-    * uniformly across the session. Fail fast instead of mutating the
-    * session conf here: a mid-session set would silently change how any
-    * LATER nanos-parquet read in the same foreign session is typed. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "events.parquet uses TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
-        "SparkSession (before any parquet read)")
-    eventsColumns(spark.read.parquet(s"$dir/events.parquet"))
-  }
+  /** events with `ts` as TIMESTAMP_NTZ (µs) — adaptive, see class doc. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsColumns(eventsRaw(spark, dir))
 
-  /** The nanos→timestamp conversion as a transform, so a STREAMING read
-    * of events.parquet (whose raw `ts` is a nanos long under the legacy
-    * flag) gets the same typed columns as [[events]]. */
-  def eventsColumns(raw: DataFrame): DataFrame =
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn(
-        "ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
-      .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+  /** The raw (unconverted) events scan, with a helpful error when the
+    * fixture is TIMESTAMP(NANOS) and the session lacks the legacy flag.
+    * We deliberately do NOT set the flag here: a mid-session conf set
+    * would silently change how any LATER nanos-parquet read in the same
+    * foreign session is typed — the flag belongs at session construction
+    * (all in-repo entry points set it, where it is a no-op for a micros
+    * fixture). */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try spark.read.parquet(s"$dir/events.parquet")
+    catch {
+      case e: Throwable
+          if Option(e.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL")) =>
+        throw new IllegalArgumentException(
+          "events.parquet uses TIMESTAMP(NANOS): set " +
+            "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
+            "SparkSession (before any parquet read)", e)
+    }
+
+  /** Adaptive epoch-microseconds expression for a frame's raw `ts`
+    * column: nanos-long fixtures floor-truncate (`div 1000`), timestamp
+    * fixtures convert exactly (`unix_micros`; NTZ casts through the
+    * session zone, which every in-repo entry point pins to UTC). Shared
+    * by [[eventsColumns]] and the streaming reads that consume the raw
+    * schema directly. */
+  def tsUsExpr(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+
+  /** The raw→typed conversion as a transform, so a STREAMING read of
+    * events.parquet gets the same typed columns as [[events]] whatever
+    * the physical `ts` type: output `ts` is TIMESTAMP_NTZ (µs), `ts_ns`
+    * is epoch-nanos bigint (exact for micros fixtures — no sub-µs data
+    * exists there by construction). */
+  def eventsColumns(raw: DataFrame): DataFrame = {
+    val typed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn(
+            "ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts_ns", tsUsExpr(raw) * lit(1000L))
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+    typed.select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -58,15 +58,9 @@ object WindowOps {
     * late-data dropping with a multi-batch MemoryStream. */
   def streamedTumbling(spark: SparkSession, dir: String,
       width: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
-    // same session-construction invariant as Tables.events (fail fast
-    // rather than mutating a foreign session's conf mid-flight)
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "events.parquet uses TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
-        "SparkSession (before any parquet read)")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // adaptive raw read — see Tables.eventsRaw (nice error if the fixture
+    // is nanos and the session lacks the construction-time legacy flag)
+    val schema = graft.sources.Tables.eventsRaw(spark, dir).schema
     // the file streaming source lists a directory; expose the single
     // fixture file through a temp dir of symlinks
     val streamDir = java.nio.file.Files.createTempDirectory("graft_op51_")
@@ -75,9 +69,9 @@ object WindowOps {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     // watermarks require TIMESTAMP (ltz), not NTZ; with the session pinned
     // to UTC the formatted output is identical to the NTZ batch twin
-    val raw = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rawStream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val raw = rawStream.withColumn(
+      "ts", timestamp_micros(graft.sources.Tables.tsUsExpr(rawStream)))
     val agg = raw.withWatermark("ts", delay)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("n"),
