@@ -1,9 +1,61 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Dump every query in `queries` to `outDir/<name>` parquet and write
+    * `_errors.json` (query → exception message) beside the dumps. The
+    * errors artifact is ALWAYS written — `{}` on a green run — so a
+    * reader distinguishes "ran clean" from "didn't run": r7 lost a full
+    * round to 18 broken queries silently vanishing from CORRECTNESS
+    * because failures only went to stderr. Returns the error map. */
+  private[graft] def dumpQueries(spark: SparkSession, sfDir: String,
+      outDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      : Map[String, String] = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    queries.foreach { case (name, fn) =>
+      // clear any previous output first: a query that now throws must not
+      // leave a stale (passing) result behind for the oracle compare
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) rm(target)
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("(no message)")
+        errors += name -> msg
+        // a RUNTIME failure mid-write leaves a partial parquet dir —
+        // remove it so an errored query never has output on disk
+        if (target.exists()) rm(target)
+        System.err.println(s"[verify] $name failed: $msg")
+      }
+      // drop localCheckpoint leftovers between queries (memory hygiene)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    val json = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), json)
+    errors.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,8 +66,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // custom Catalyst rules (base64 round-trip elimination)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // events.parquet is TIMESTAMP(NANOS); set at construction so every
-      // read in the session types it identically (see Tables.events)
+      // events.parquet may be TIMESTAMP(NANOS); set at construction so
+      // every read in the session types it identically (no-op for the
+      // TIMESTAMP(MICROS) fixture — see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,39 +76,14 @@ object Verify {
     // local-iteration filter (comma-separated names); driver leaves unset
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
+    val selected = SparkEntry.queries.toSeq.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
-    selected.foreach { case (name, fn) =>
-      // clear any previous output first: a query that now throws must not
-      // leave a stale (passing) result behind for the oracle compare
-      val target = new java.io.File(s"$outDir/$name")
-      if (target.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(target)
-      }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // drop localCheckpoint leftovers between queries (memory hygiene)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val errors = dumpQueries(spark, sfDir, outDir, selected)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} " +
+          s"FAILED (see $outDir/_errors.json): ${errors.keys.mkString(", ")}")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

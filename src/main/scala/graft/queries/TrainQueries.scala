@@ -753,7 +753,14 @@ object TrainQueries {
       table: String, mode: String, parts: String)(
       pipe: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = s.read.parquet(s"$d/$table.parquet").schema
+    // events goes through the adaptive loader for its SCHEMA so a nanos
+    // fixture in a session lacking the legacy flag fails with the
+    // helpful Tables.eventsRaw diagnostic instead of the raw
+    // PARQUET_TYPE_ILLEGAL error (the streaming read below then types
+    // ts identically to the batch path)
+    val schema =
+      if (table == "events") Tables.eventsRaw(s, d).schema
+      else s.read.parquet(s"$d/$table.parquet").schema
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
     val link = streamDir.resolve(s"$table.parquet")
     val name = s"graft_${tag}_${System.nanoTime()}"

@@ -46,12 +46,24 @@ object Tables {
   def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     try spark.read.parquet(s"$dir/events.parquet")
     catch {
-      case e: Throwable
-          if Option(e.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL")) =>
+      case e: Throwable if isParquetTypeIllegal(e) =>
         throw new IllegalArgumentException(
           "events.parquet uses TIMESTAMP(NANOS): set " +
             "spark.sql.legacy.parquet.nanosAsLong=true when building the " +
             "SparkSession (before any parquet read)", e)
+    }
+
+  /** Detect the nanos-parquet failure by its ERROR CONDITION
+    * (`PARQUET_TYPE_ILLEGAL`), not a message substring — the condition
+    * name is the stable cross-version contract (SparkThrowable), while
+    * message text is not. Walked through the cause chain because schema
+    * inference may surface it wrapped (AnalysisException directly, or
+    * inside a SparkException from a task). */
+  private def isParquetTypeIllegal(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case st: org.apache.spark.SparkThrowable =>
+        Option(st.getCondition).exists(_.contains("PARQUET_TYPE_ILLEGAL"))
+      case _ => false
     }
 
   /** Adaptive epoch-microseconds expression for a frame's raw `ts`
@@ -63,6 +75,18 @@ object Tables {
   def tsUsExpr(df: DataFrame): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→timestamp cast reads the wall-clock through the SESSION
+        // zone: under anything but UTC the epoch micros shift silently by
+        // the zone offset. Every in-repo entry point pins UTC; a foreign
+        // session must fail fast here, not produce shifted timestamps
+        // (same fail-fast contract as the old nanosAsLong guard).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events ts is TIMESTAMP_NTZ and spark.sql.session.timeZone=$tz: " +
+            "set the session zone to UTC (epoch conversion would shift by " +
+            "the zone offset)")
+        expr("unix_micros(cast(ts as timestamp))")
       case _ => expr("unix_micros(cast(ts as timestamp))")
     }
 
