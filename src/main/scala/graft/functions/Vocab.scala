@@ -84,9 +84,27 @@ object Vocab {
     * vocabulary table (state ≤ symbols², KB-scale) and collects exactly
     * ONE row (the argmax merge — plan-time metadata, same bound as the
     * ANN centroid collects), so driver traffic is `rounds` rows total.
-    * Merge application is a literal-replace projection, no shuffle. */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int)
-      : Seq[(Int, String, String, Long)] = {
+    * Merge application is a literal-replace projection, no shuffle.
+    *
+    * O(rounds), not O(rounds²): each round adds one replace projection
+    * to the vocabulary plan, and without truncation round r would replay
+    * all r-1 earlier replaces over the persisted base — linear plan
+    * growth, quadratic total work, the wrong shape for a real 32k-merge
+    * vocab. Every `checkpointInterval` rounds the re-segmented table is
+    * materialized (localCheckpoint — the vocabulary is KB-to-MB scale,
+    * never the corpus), so the replace chain evaluated per round is
+    * bounded by the interval and total work is linear in rounds
+    * (VocabSpec pins the bounded plan depth and interval-invariance). */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
+      checkpointInterval: Int = 16): Seq[(Int, String, String, Long)] =
+    trainMergesWithRepr(docs, textCol, rounds, checkpointInterval)._1
+
+  /** [[trainMerges]] also returning the final re-segmented vocabulary
+    * frame (spec hook: its plan witnesses the bounded replace chain). */
+  private[graft] def trainMergesWithRepr(docs: DataFrame, textCol: String,
+      rounds: Int, checkpointInterval: Int = 16)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val base = wordFreq(docs, textCol)
       .select(initRepr(col("w")).as("repr"), col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,10 +134,13 @@ object Vocab {
           val (l, rt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((r, l, rt, c))
           cur = cur.withColumn("repr", applyMerge(col("repr"), l, rt))
+          // truncate the replace chain: materialize the (small) vocab
+          // table so no later round replays more than `interval` merges
+          if (r % checkpointInterval == 0) cur = cur.localCheckpoint()
           r += 1
         }
       }
-      merges.toSeq
+      (merges.toSeq, cur)
     } finally { base.unpersist(); () }
   }
 

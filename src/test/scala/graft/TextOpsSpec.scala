@@ -545,6 +545,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1, "a", "b", 2L), (2, "ab", "_", 2L)))
   }
 
+  test("bpe train: checkpointing bounds the replace chain (O(rounds) shape)") {
+    // without truncation round r replays r-1 earlier replaces — linear
+    // plan growth, quadratic total work, a scale-killer at a 32k-merge
+    // vocab. The checkpointed training's final vocabulary plan must
+    // carry at most `interval` replace projections; the unchunked
+    // spelling's must carry one per round (proving the counter counts).
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def chain(interval: Int): (Int, Int) = {
+      val (merges, repr) = graft.functions.Vocab.trainMergesWithRepr(
+        docs, "text", 10, interval)
+      (merges.size,
+        "replace\\(".r.findAllIn(repr.queryExecution.analyzed.toString).size)
+    }
+    val (nChunked, depthChunked) = chain(4)
+    val (nFull, depthFull) = chain(1000)
+    assert(nChunked == 10 && nFull == 10, "corpus exhausted before 10 rounds")
+    assert(depthFull == 10, s"unchunked chain should carry 10 replaces, got $depthFull")
+    // 10 rounds at interval 4: checkpoints after rounds 4 and 8 leave 2
+    assert(depthChunked <= 4, s"checkpointed chain not truncated: $depthChunked")
+  }
+
+  test("bpe train: checkpoint interval does not change the merges") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val everyRound = graft.functions.Vocab.trainMerges(docs, "text", 8, 1)
+    val never = graft.functions.Vocab.trainMerges(docs, "text", 8, 1000)
+    assert(everyRound == never,
+      "merge sequence depends on the checkpoint interval")
+  }
+
   test("token chunking: full windows, remainder tail, tiny docs") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
