@@ -824,6 +824,33 @@ object TrainQueries {
       xform: DataFrame => DataFrame): DataFrame =
     drainStream(s, d, tag, "documents", "append", "8")(xform)
 
+  /** op132: streaming NEAR-dup detection — op104's exact-fingerprint
+    * story upgraded to MinHash+LSH. The "previously accepted" slice
+    * (doc_id % 3 == 0, op104's split) persists as a band + shingle-array
+    * store (content-keyed index cache); the REST of the corpus streams
+    * through [[graft.streaming.StreamingNearDedup.matchesAgainstStore]]
+    * — per-row KM signatures (no stateful agg), stream-static band
+    * join, candidate-restricted exact-Jaccard confirm — via AvailableNow
+    * into a memory sink. Output: every (arrival, store doc) pair
+    * confirmed at ≥ 80%. Oracle: op98's full replay (signatures, bands,
+    * candidate join, verification) RESTRICTED to cross-slice pairs —
+    * real streaming execution under the same hash gate as the batch
+    * dedup family. */
+  val op132StreamNearDedup: Q = (s, d) => {
+    import graft.streaming.StreamingNearDedup
+    val dir = indexRoot(d, "neardup_store_mod3_k16r4", table = "documents")
+    buildIndexIfAbsent(dir, "docs") { tmp =>
+      StreamingNearDedup.storeWrite(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", tmp)
+    }
+    ordered(
+      drainDocStream(s, d, "op132", st =>
+        StreamingNearDedup.matchesAgainstStore(
+          st.filter(col("doc_id") % 3 =!= 0), dir, "doc_id", "text", 8000L)),
+      "doc_id", "dup_of")
+  }
+
   /** op106's streaming twin under the hash gate: the events changelog
     * drained through [[graft.streaming.Changelog.latestState]] (real
     * Update-mode flatMapGroupsWithState execution, AvailableNow file
@@ -1807,6 +1834,7 @@ object TrainQueries {
     "op102_bloom_decontaminate" -> op102BloomDecontaminate,
     "op103_span_scrub" -> op103SpanScrub,
     "op104_stream_incr_dedup" -> op104StreamIncrDedup,
+    "op132_stream_near_dedup" -> op132StreamNearDedup,
     "op105_session_docs" -> op105SessionDocs,
     "op106_changelog_compact" -> op106ChangelogCompact,
     "op107_corpus_shuffle" -> op107CorpusShuffle,
@@ -2583,6 +2611,46 @@ object TrainQueries {
         |  FROM documents WHERE doc_id % 3 = 0)
         |SELECT fp FROM fps WHERE fp NOT IN (SELECT fp FROM store)
         |ORDER BY fp""".stripMargin,
+    "op132_stream_near_dedup" -> {
+      // op98's full replay (16 KM sigs, 4 md5-prefix bands, candidate
+      // join, candidate-restricted exact overlap) RESTRICTED to pairs
+      // between the persisted store slice (doc_id % 3 = 0) and the
+      // streamed slice (the rest) at >= 80%
+      val sigCols = (0 until 16).map(i =>
+        s"CAST(min((h1 * ${2 * i + 1} + h2) % 2147483648) AS BIGINT) AS s$i")
+        .mkString(",\n|         ")
+      val bandSelects = (0 until 4).map { b =>
+        val parts = (b * 4 until b * 4 + 4)
+          .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, substring(md5(concat_ws(',', $parts)), 1, 15) AS bh FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 1073741824 AS h1,
+        |        (('0x' || substring(md5(shingle), 1, 15))::BIGINT // 1073741824) % 1073741824 AS h2
+        |      FROM sh),
+        |sig AS (SELECT doc_id,
+        |         $sigCols
+        |      FROM h GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS dup_of
+        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT cand.doc_id, cand.dup_of, count(*) AS overlap
+        |       FROM cand JOIN sh s ON s.doc_id = cand.doc_id
+        |                 JOIN sh t ON t.doc_id = cand.dup_of
+        |                          AND t.shingle = s.shingle
+        |       GROUP BY 1, 2)
+        |SELECT ov.doc_id, ov.dup_of,
+        |       CAST(overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) AS BIGINT) AS jaccard_bp
+        |FROM ov JOIN cnt ca ON ov.doc_id = ca.doc_id
+        |        JOIN cnt cb ON ov.dup_of = cb.doc_id
+        |WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 8000
+        |ORDER BY ov.doc_id, ov.dup_of""".stripMargin
+    },
     "op103_span_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |            len(string_split(text, ' ')) AS n FROM documents),

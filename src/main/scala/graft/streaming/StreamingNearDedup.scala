@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Online NEAR-duplicate detection against a persisted reference corpus
+  * — the streaming half of the MinHash+LSH dedup family. The batch ops
+  * ([[graft.functions.Dedup.survivorsMinhash]], op98) dedup within one
+  * corpus snapshot, and [[IncrementalDedup]] (op104) carries EXACT
+  * fingerprints across runs; this leg closes the remaining cell of the
+  * matrix: each ARRIVING document is checked for ≥ threshold Jaccard
+  * similarity against everything previously accepted, online.
+  *
+  * Same ingest contract as the ANN serving stores (op96/op97) and the
+  * fingerprint store (op104): the reference corpus persists as parquet
+  * — a `bands` table (doc, band_idx, band_hash: the LSH bucket index)
+  * and a `docs` table (doc, hashed distinct-shingle array, count) — and
+  * a restarted stream sees it as static state.
+  *
+  * Per-arrival flow, all NARROW until the candidate join:
+  *   1. trigram shingles → one md5 per shingle → k Kirsch-Mitzenmacher
+  *      minhashes via `array_min` over higher-order transforms — a pure
+  *      per-row projection (the batch spelling's explode+groupBy would
+  *      be a stateful aggregate in a stream; this computes the identical
+  *      signature with NO state, which is what makes the op pipeline-able
+  *      at any arrival rate);
+  *   2. bands explode (k/r rows per doc) → stream-STATIC equi-join with
+  *      the band store on (band_idx, band_hash) → candidate pairs only
+  *      where an LSH bucket collides (sub-quadratic by construction,
+  *      the op63 argument);
+  *   3. exact confirm restricted to candidates: join the store's
+  *      shingle-array table, overlap = `array_intersect`, Jaccard in
+  *      exact integer basis points — false band collisions cost one
+  *      array intersection, never an output row.
+  *
+  * Scale: the band store is the shuffle-free side — at 100 TB it is
+  * bucketed by (band_idx, band_hash) so the candidate join co-locates
+  * with zero store movement, and the docs table is bucketed by doc id
+  * for the confirm join (the op86/op97 bucket-store shape). Arrival
+  * micro-batches are narrow projections + two hash joins; in-run state
+  * is ONLY the candidate-pair dropDuplicates (bounded by emitted pairs;
+  * swap for dropDuplicatesWithinWatermark on unbounded runs — the same
+  * documented trade as [[IncrementalDedup]]). Signature cost per
+  * arrival is one md5 per shingle (constant in k, the KM construction).
+  * All hashes are md5-derived ⇒ the full chain replays exactly in SQL
+  * (op132's oracle = op98's replay restricted to the streamed slice).
+  */
+object StreamingNearDedup {
+
+  /** Per-row KM minhash signature columns over a raw trigram array:
+    * sig_i = min over shingles of (h1·(2i+1) + h2) mod 2³¹ where
+    * (h1, h2) are the two 30-bit halves of md5Hash60(shingle) — the
+    * exact arithmetic of [[graft.functions.Dedup.minhashSignatureFast]]
+    * (min is duplicate-insensitive, so the batch path's distinct is
+    * unnecessary here). */
+  private def sigCols(hs: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(transform(hs, h =>
+        ((h % 1073741824L) * (2 * i + 1) + shiftright(h, 30) % 1073741824L)
+          % 2147483648L))
+        .cast("bigint").as(f"sig_$i%02d")
+    }
+
+  /** Shared per-row shape for BOTH the store build and the stream side
+    * (so the two sides' bands agree by construction, not by parallel
+    * maintenance): input rows gain
+    *   - `__sh`: distinct xxhash64'd shingles (the confirm-join key set
+    *     — 8-byte longs through every join, the shingleIndexHashed
+    *     trade, string-oracle-certified at test scale),
+    *   - `__bands`: array of (band_idx, band_hash) structs, band_hash =
+    *     md5Hash60 of the comma-joined r-signature slice (the exact
+    *     [[graft.functions.Dedup.lshBands]] arithmetic).
+    * Docs with no shingles (< 3 tokens) are dropped — they have no
+    * signature in the batch path either. */
+  private[graft] def shinglesAndBands(df: DataFrame, idCol: String,
+      textCol: String, k: Int, r: Int): DataFrame = {
+    require(k % r == 0, s"k=$k must be divisible by band width r=$r")
+    val withTri = df
+      .withColumn("__tri", TextOps.trigramsOfTokens(TextOps.tokens(col(textCol))))
+      .filter(size(col("__tri")) >= 1)
+      .withColumn("__sh", array_distinct(transform(col("__tri"), t => xxhash64(t))))
+      // ONE md5 per shingle, materialized as an attribute so the k sig
+      // expressions below share it (inlining the transform would cost k
+      // md5s per shingle — the per-permutation spelling KM avoids)
+      .withColumn("__hs", transform(col("__tri"), s => TextOps.md5Hash60(s)))
+    val sigd = withTri.select(
+      (df.columns.map(col) :+ col("__sh")) ++ sigCols(col("__hs"), k): _*)
+    val bands = (0 until k / r).map { b =>
+      val cols = (b * r until (b + 1) * r)
+        .map(i => col(f"sig_$i%02d").cast("string"))
+      struct(lit(b).as("band_idx"),
+        TextOps.md5Hash60(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    sigd.withColumn("__bands", array(bands: _*))
+      .drop((0 until k).map(i => f"sig_$i%02d"): _*)
+  }
+
+  /** Build (or rebuild) the reference store at `dir`: `bands` —
+    * (dup_of, band_idx, band_hash) — and `docs` — (dup_of, sh, n_sh).
+    * Each completed curation run appends its accepted docs here (the
+    * op104 store contract); at 100 TB both tables are written bucketed
+    * (bands by band_hash, docs by dup_of). */
+  def storeWrite(accepted: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 16, r: Int = 4): Unit = {
+    val base = shinglesAndBands(
+        accepted.select(col(idCol), col(textCol)), idCol, textCol, k, r)
+      .localCheckpoint() // consumed by both table writes
+    base.select(col(idCol).as("dup_of"), explode(col("__bands")).as("b"))
+      .select(col("dup_of"), col("b.band_idx").as("band_idx"),
+        col("b.band_hash").as("band_hash"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    base.select(col(idCol).as("dup_of"), col("__sh").as("sh"),
+        size(col("__sh")).cast("bigint").as("n_sh"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+  }
+
+  /** Streaming near-dup matches of `stream` against the store: one row
+    * per (arriving doc, store doc) pair confirmed at ≥ `minBp` trigram
+    * Jaccard — (doc_id, dup_of, jaccard_bp). A consumer drops arrivals
+    * that have any match (dedup) or routes them to review. Works
+    * identically on a batch frame (stream-static joins degrade to plain
+    * joins), which is how the spec cross-checks it against
+    * [[graft.functions.Dedup]]'s batch pair computation. */
+  def matchesAgainstStore(stream: DataFrame, storeDir: String,
+      idCol: String, textCol: String, minBp: Long = 8000L,
+      k: Int = 16, r: Int = 4): DataFrame = {
+    val spark = stream.sparkSession
+    val bands = spark.read.parquet(s"$storeDir/bands")
+    val docs = spark.read.parquet(s"$storeDir/docs")
+    val arr = shinglesAndBands(
+        stream.select(col(idCol), col(textCol)), idCol, textCol, k, r)
+      .select(col(idCol).as("doc_id"), col("__sh"),
+        explode(col("__bands")).as("b"))
+      .select(col("doc_id"), col("__sh"),
+        col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+    val cand = arr.join(bands, Seq("band_idx", "band_hash"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      // a pair colliding in several bands is ONE candidate: dedup BEFORE
+      // the confirm join so each pair pays one array intersection
+      .dropDuplicates("doc_id", "dup_of")
+    cand.join(docs, "dup_of")
+      .withColumn("overlap",
+        size(array_intersect(col("__sh"), col("sh"))).cast("bigint"))
+      .withColumn("n_a", size(col("__sh")).cast("bigint"))
+      .withColumn("jaccard_bp",
+        expr("overlap * 10000 div (n_a + n_sh - overlap)"))
+      .filter(col("jaccard_bp") >= minBp)
+      .select(col("doc_id"), col("dup_of"), col("jaccard_bp"))
+  }
+}

@@ -1030,4 +1030,66 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
   }
+
+  test("streaming near-dup equals the batch spelling, default AND RocksDB providers") {
+    // the op132 machinery: per-row KM signatures + stream-static band
+    // join + candidate-restricted confirm must yield the identical pair
+    // set whether the arrivals come as micro-batches (either state-store
+    // provider — dropDuplicates holds the pair state) or as one batch
+    // frame (stream-static joins degrade to plain joins)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StateStores, StreamingNearDedup}
+    import graft.sources.Tables
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").limit(90).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val texts = base.toMap
+    // plant exact copies of store-slice docs (9, 21) at stream-slice ids
+    // (10, 22) so confirmed matches exist by construction
+    val corpus = base.map {
+      case (10L, _) => (10L, texts(9L))
+      case (22L, _) => (22L, texts(21L))
+      case other    => other
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_")
+    try {
+      StreamingNearDedup.storeWrite(
+        spark.createDataFrame(corpus.filter(_._1 % 3 == 0).toSeq)
+          .toDF("doc_id", "text"),
+        "doc_id", "text", dir.toString)
+      val streamRows = corpus.filter(_._1 % 3 != 0).toSeq
+      val want = StreamingNearDedup.matchesAgainstStore(
+          spark.createDataFrame(streamRows).toDF("doc_id", "text"),
+          dir.toString, "doc_id", "text", 8000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val pairs = want.map(p => (p._1, p._2))
+      assert(pairs.contains((10L, 9L)) && pairs.contains((22L, 21L)),
+        s"planted copies not matched: $want")
+      def run(tag: String, rocks: Boolean): Seq[(Long, Long, Long)] = {
+        def go(): Seq[(Long, Long, Long)] = {
+          val in = MemoryStream[(Long, String)]
+          val q = StreamingNearDedup.matchesAgainstStore(
+              in.toDF().toDF("doc_id", "text"), dir.toString,
+              "doc_id", "text", 8000L)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(tag).start()
+          // two micro-batches so the band join runs incrementally
+          in.addData(streamRows.take(20))
+          q.processAllAvailable()
+          in.addData(streamRows.drop(20))
+          q.processAllAvailable()
+          q.stop()
+          spark.table(tag).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        }
+        if (rocks) StateStores.withRocksDb(spark)(go()) else go()
+      }
+      assert(run("neardup_default", rocks = false) == want)
+      assert(run("neardup_rocksdb", rocks = true) == want)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
 }
