@@ -157,6 +157,88 @@ object Multimodal {
       }
   }
 
+  // ---- real AUDIO codec leg (op133): javax.sound.sampled, JDK-only ----
+
+  case class AudioRecord(doc_id: Long, payload: Array[Byte])
+  case class AudioStats(doc_id: Long, format: String, sample_rate: Long,
+      n_samples: Long, sum_samples: Long, sum_abs: Long)
+
+  /** Closed-form 16-bit PCM per doc — the generative formula BOTH the
+    * synthesizer and the oracle evaluate, so a genuine WAV
+    * encode→decode round-trip sits between two independent evaluations
+    * (the op80_image_codec argument, applied to audio). */
+  def audioLen(d: Long): Int = (256 + d % 129).toInt
+  def audioSample(d: Long, i: Int): Int =
+    (((d * 31 + i.toLong * 17) % 65536) - 32768).toInt
+
+  /** Synthesize REAL audio payloads: each doc renders its formula PCM
+    * (mono, 16-bit signed little-endian, 8 kHz) through the JDK's
+    * actual WAV writer — a lossless container, so decode recovers the
+    * exact samples. javax.sound.sampled ships with the JDK: the same
+    * zero-dependency argument that made the image leg real (the
+    * generic [[decodeFeatures]] stub stands in only for codecs that
+    * genuinely aren't in the container — video remains there). */
+  def synthesizeAudio(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = audioLen(d)
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = audioSample(d, i)
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            /*signed=*/ true, /*bigEndian=*/ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          AudioRecord(d, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL decode: javax.sound.sampled parses the RIFF/WAVE container
+    * (header, fmt chunk, data chunk) and streams the PCM back; stats
+    * are exact integer witnesses (count, sum, abs-sum of samples).
+    * Batched per partition like [[decodeImageStats]] — narrow, no
+    * shuffle, payloads stream through the codec one bounded batch at a
+    * time. */
+  def decodeAudioStats(audio: Dataset[AudioRecord],
+      batchSize: Int = 64): Dataset[AudioStats] = {
+    implicit val enc = Encoders.product[AudioStats]
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val f = ais.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+            && !f.isBigEndian,
+            s"unexpected decoded format for doc ${r.doc_id}: $f")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L; var sabs = 0L
+          var i = 0
+          while (i < n) {
+            val s = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+            sum += s; sabs += math.abs(s)
+            i += 1
+          }
+          AudioStats(r.doc_id, "wav", f.getSampleRate.toLong, n.toLong,
+            sum, sabs)
+        }
+      }
+    }
+  }
+
   /** REAL decode: javax.imageio parses the PNG/BMP container and
     * decompresses the pixels; stats are exact integer channel sums.
     * Batched per partition like [[decodeFeatures]] — a narrow pass, no

@@ -41,10 +41,23 @@ object MultimodalQueries {
           col("sum_r"), col("sum_g"), col("sum_b")),
       "doc_id")
 
+  /** op133: the image leg's AUDIO twin — formula PCM → JDK WAV encode →
+    * javax.sound.sampled decode → exact sample sums; the oracle
+    * evaluates the same generative formula independently, so a hash
+    * match proves a genuine RIFF/WAVE encode→decode round-trip in the
+    * batched mapPartitions path. */
+  val op133AudioCodec: Q = (s, d) =>
+    ordered(
+      Multimodal.decodeAudioStats(Multimodal.synthesizeAudio(s, d)).toDF()
+        .select(col("doc_id"), col("format"), col("sample_rate"),
+          col("n_samples"), col("sum_samples"), col("sum_abs")),
+      "doc_id")
+
   val defs: Map[String, Q] = Map(
     "op80_media_decode" -> op80Features,
     "op80_image_codec" -> op80ImageCodec,
     "op81_media_frames" -> op81Frames,
+    "op133_audio_codec" -> op133AudioCodec,
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,5 +104,22 @@ object MultimodalQueries {
         |FROM documents, unnest([0, 1, 2, 3]) AS t(k)
         |WHERE length(text) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the audio-codec twin: DuckDB evaluates the PCM formula directly;
+    // Spark's numbers went through a real WAV encode+decode
+    "op133_audio_codec" ->
+      """WITH g AS (
+        |  SELECT doc_id, 256 + doc_id % 129 AS n FROM documents),
+        |s AS (
+        |  SELECT g.doc_id, g.n,
+        |         ((g.doc_id * 31 + t.i * 17) % 65536) - 32768 AS v
+        |  FROM g,
+        |       LATERAL (SELECT unnest(generate_series(0, g.n - 1)) AS i) t)
+        |SELECT doc_id, 'wav' AS format,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum(v) AS BIGINT) AS sum_samples,
+        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin,
   )
 }

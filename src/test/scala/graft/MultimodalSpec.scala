@@ -86,6 +86,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio codec leg: payloads are genuine RIFF/WAVE and decode recovers the formula") {
+    // the payload must be a real WAV container (RIFF....WAVE magic),
+    // and javax.sound.sampled's decode must recover the exact PCM —
+    // checked against a direct Scala evaluation of the sample formula,
+    // fully independent of the encode path
+    val audio = Multimodal.synthesizeAudio(spark, sfDir)
+      .filter(col("doc_id") < 40L).collect()
+    assert(audio.length == 40)
+    audio.foreach { r =>
+      assert(new String(r.payload.take(4), "US-ASCII") == "RIFF"
+        && new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${r.doc_id}: payload is not a RIFF/WAVE container")
+    }
+    val stats = Multimodal.decodeAudioStats(
+        Multimodal.synthesizeAudio(spark, sfDir).filter(col("doc_id") < 40L),
+        batchSize = 7) // short last chunk must still decode
+      .collect().sortBy(_.doc_id)
+    stats.foreach { s =>
+      val d = s.doc_id
+      val n = Multimodal.audioLen(d)
+      val samples = (0 until n).map(Multimodal.audioSample(d, _))
+      assert(s.sample_rate == 8000L && s.n_samples == n.toLong,
+        s"doc $d: decoded ${s.n_samples} samples at ${s.sample_rate} Hz")
+      assert((s.sum_samples, s.sum_abs) ==
+        ((samples.map(_.toLong).sum, samples.map(v => math.abs(v).toLong).sum)),
+        s"doc $d: decoded sample sums diverge from the formula")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = li.groupBy(col("l_returnflag"))
