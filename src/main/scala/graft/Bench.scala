@@ -219,19 +219,37 @@ object Bench {
     // same queries — a mid-suite failure shrinks later passes, so the
     // spread is only meaningful alongside an empty `errors` array
     val noiseJson = {
-      val canarySpread = Bench.spread(canaryTimes.toSeq)
+      // the spread compares the samples bracketing the WARM passes only
+      // (drop the pre-pass-1 sample), consistent with the pass-total
+      // spread below: the first sample sits in the structurally-cold
+      // region (tiered JIT still compiling — r7/r8 measured 0.31-0.37 s
+      // there vs a 0.13-0.17 s warm band on a QUIET box, which
+      // mechanically misread as 2.4-2.9x "contention" two rounds
+      // running). All samples still appear in canary_sec for the reader.
+      val canarySpread = Bench.spread(canaryTimes.drop(1).toSeq)
       // pass 1 is structurally cold (every query's first execution
-      // carries codegen/JIT — observed 2.3x vs pass 2 on a quiet box),
-      // so the spread compares the WARM passes; pass 1 still appears in
-      // pass_totals_sec for the reader, and a contention window during
-      // pass 1 shows in the canary samples bracketing it
+      // carries codegen/JIT plus the one-time index builds — observed
+      // 2.3x vs pass 2 on a quiet box), so the spread compares the WARM
+      // passes; pass 1 still appears in pass_totals_sec for the reader,
+      // and per-query medians over 3 passes discard its samples
       val passSpread = Bench.spread(passTotals.drop(1).toSeq)
       val cs = canaryTimes.map(num).mkString("[", ",", "]")
       val ps = passTotals.map(num).mkString("[", ",", "]")
       s"""{"canary":"$canaryName","canary_sec":$cs,"canary_spread":${num(canarySpread)},"pass_totals_sec":$ps,"pass_total_spread":${num(passSpread)},"assessment":"${Bench.noiseAssessment(canarySpread, passSpread)}"}"""
     }
+    // round-over-round drift as ONE committed field (previously a
+    // judge-side hand calculation): total seconds over the queries both
+    // rounds measured, this round vs the newest BENCH_r* artifact
+    val rorJson = {
+      val healthy = results.filter { case (n, _) => !errors.contains(n) }
+      val common = healthy.filter { case (n, _) => prev.get(n).exists(_ > 0) }
+      val prevTotal = common.map { case (n, _) => prev(n) }.sum
+      val nowTotal = common.map(_._2).sum
+      val ratio = if (prevTotal > 0) nowTotal / prevTotal else 1.0
+      s"""{"n_common":${common.size},"prev_total_sec":${num(prevTotal)},"now_total_sec":${num(nowTotal)},"ratio":${num(ratio)}}"""
+    }
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"noise":$noiseJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"round_over_round":$rorJson,"noise":$noiseJson,"sf":"$sfDir"}"""
     println(line)
     // the driver wrapper truncates long stdout ("tail") — persist the
     // complete per-query map so every round artifact carries all
