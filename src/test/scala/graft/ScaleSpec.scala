@@ -102,6 +102,65 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed band store: near-dup candidate join reads the store in place") {
+    // SCALE.md's op132 claim, executed: with the reference corpus' band
+    // store bucketed by the join keys (band_idx, band_hash), the
+    // candidate join shuffles ONLY the arrival micro-batch — the store
+    // (every accepted doc's bands) is read in place. One Exchange below
+    // the join.
+    import graft.streaming.StreamingNearDedup
+    val db = "graft_buckets"
+    import scala.reflect.io.Directory
+    new Directory(
+      new java.io.File(s"/tmp/graft_warehouse/$db.db/nd_bands_b"))
+      .deleteRecursively()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def bandRows(df: org.apache.spark.sql.DataFrame, as: String) =
+      StreamingNearDedup.shinglesAndBands(df, "doc_id", "text", 16, 4)
+        .select(col("doc_id").as(as), explode(col("__bands")).as("b"))
+        .select(col(as), col("b.band_idx").as("band_idx"),
+          col("b.band_hash").as("band_hash"))
+    bandRows(docs.filter(col("doc_id") % 3 === 0), "dup_of")
+      .write.mode("overwrite")
+      .bucketBy(8, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+      .saveAsTable(s"$db.nd_bands_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // plant one exact copy of a store doc among the arrivals so the
+      // candidate set is non-empty by construction at any fixture size
+      val copyText = docs.filter(col("doc_id") % 3 === 0)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .orderBy("doc_id").limit(1).collect()(0).getString(1)
+      val arrivalsDocs = docs.filter(col("doc_id") % 3 =!= 0).unionByName(
+        spark.createDataFrame(Seq((1000001L, copyText))).toDF("doc_id", "text"))
+      val arrivals = bandRows(arrivalsDocs, "doc_id")
+      val cand = arrivals
+        .join(spark.table(s"$db.nd_bands_b"), Seq("band_idx", "band_hash"))
+        .select(col("doc_id"), col("dup_of"))
+      val plan = cand.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"store side must not re-shuffle (found $exchanges exchanges):\n$plan")
+      // the bucketed join's candidate set must equal the plain one
+      val got = cand.distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = arrivals
+        .join(bandRows(docs.filter(col("doc_id") % 3 === 0), "dup_of"),
+          Seq("band_idx", "band_hash"))
+        .select(col("doc_id"), col("dup_of")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want && want.nonEmpty,
+        "bucketed candidate join diverged from the plain join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("LSH-bucket-partitioned storage prunes non-probed buckets at scan time") {
     // SCALE.md's ANN storage claim, executed: write the corpus
     // partitioned by its (deterministic, integer-exact) sign-LSH bucket,
