@@ -110,6 +110,12 @@ object Vocab {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      val sc = docs.sparkSession.sparkContext
+      // ids of the CURRENT checkpoint's RDDs: superseded checkpoints are
+      // unpersisted as soon as the next one has materialized (eager), so
+      // a 32k-round run holds at most one live vocab snapshot, not
+      // rounds/interval of them
+      var liveCkpt: scala.collection.Set[Int] = Set.empty
       var cur: DataFrame = base
       var r = 1
       var exhausted = false
@@ -136,7 +142,14 @@ object Vocab {
           cur = cur.withColumn("repr", applyMerge(col("repr"), l, rt))
           // truncate the replace chain: materialize the (small) vocab
           // table so no later round replays more than `interval` merges
-          if (r % checkpointInterval == 0) cur = cur.localCheckpoint()
+          if (r % checkpointInterval == 0) {
+            val before = sc.getPersistentRDDs.keySet
+            cur = cur.localCheckpoint() // eager: data lives before we drop the old
+            val mine = sc.getPersistentRDDs.keySet -- before
+            liveCkpt.foreach(id =>
+              sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+            liveCkpt = mine
+          }
           r += 1
         }
       }

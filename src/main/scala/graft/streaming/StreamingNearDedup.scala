@@ -49,20 +49,6 @@ import graft.functions.TextOps
   */
 object StreamingNearDedup {
 
-  /** Per-row KM minhash signature columns over a raw trigram array:
-    * sig_i = min over shingles of (h1·(2i+1) + h2) mod 2³¹ where
-    * (h1, h2) are the two 30-bit halves of md5Hash60(shingle) — the
-    * exact arithmetic of [[graft.functions.Dedup.minhashSignatureFast]]
-    * (min is duplicate-insensitive, so the batch path's distinct is
-    * unnecessary here). */
-  private def sigCols(hs: Column, k: Int): Seq[Column] =
-    (0 until k).map { i =>
-      array_min(transform(hs, h =>
-        ((h % 1073741824L) * (2 * i + 1) + shiftright(h, 30) % 1073741824L)
-          % 2147483648L))
-        .cast("bigint").as(f"sig_$i%02d")
-    }
-
   /** Shared per-row shape for BOTH the store build and the stream side
     * (so the two sides' bands agree by construction, not by parallel
     * maintenance): input rows gain
@@ -73,20 +59,35 @@ object StreamingNearDedup {
     *     md5Hash60 of the comma-joined r-signature slice (the exact
     *     [[graft.functions.Dedup.lshBands]] arithmetic).
     * Docs with no shingles (< 3 tokens) are dropped — they have no
-    * signature in the batch path either. */
+    * signature in the batch path either.
+    *
+    * Both per-row loops are FUSED codegen-family expressions
+    * ([[graft.expressions.TrigramHash64]] for the shingle set,
+    * [[graft.expressions.TrigramKmSigs]] for the k KM signatures —
+    * sig_i = min over shingles of (h1·(2i+1) + h2) mod 2³¹ on the
+    * 30-bit halves of md5-60, the exact
+    * [[graft.functions.Dedup.minhashSignatureFast]] arithmetic; min is
+    * duplicate-insensitive, so the batch path's distinct is
+    * unnecessary). The builtin higher-order spelling evaluates its
+    * lambda interpreted per ELEMENT — per shingle that was a trigram
+    * string, an md5 HEX string, a substring and a base-16 conv, which
+    * benchmarked ~10× the whole pipeline's cost at sf0.1; the fused
+    * loops hash raw bytes once per shingle (DedupSpec pins
+    * bit-equality with the builtin spelling). */
   private[graft] def shinglesAndBands(df: DataFrame, idCol: String,
       textCol: String, k: Int, r: Int): DataFrame = {
     require(k % r == 0, s"k=$k must be divisible by band width r=$r")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val withTri = df
-      .withColumn("__tri", TextOps.trigramsOfTokens(TextOps.tokens(col(textCol))))
-      .filter(size(col("__tri")) >= 1)
-      .withColumn("__sh", array_distinct(transform(col("__tri"), t => xxhash64(t))))
-      // ONE md5 per shingle, materialized as an attribute so the k sig
-      // expressions below share it (inlining the transform would cost k
-      // md5s per shingle — the per-permutation spelling KM avoids)
-      .withColumn("__hs", transform(col("__tri"), s => TextOps.md5Hash60(s)))
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 3) // < 3 tokens = no shingles
+      .withColumn("__sh", array_distinct(ColumnBridge.column(
+        graft.expressions.TrigramHash64(ColumnBridge.expression(col("__toks"))))))
+      .withColumn("__sigs", ColumnBridge.column(graft.expressions.TrigramKmSigs(
+        ColumnBridge.expression(col("__toks")), k)))
     val sigd = withTri.select(
-      (df.columns.map(col) :+ col("__sh")) ++ sigCols(col("__hs"), k): _*)
+      (df.columns.map(col) :+ col("__sh")) ++ (0 until k).map(i =>
+        element_at(col("__sigs"), i + 1).as(f"sig_$i%02d")): _*)
     val bands = (0 until k / r).map { b =>
       val cols = (b * r until (b + 1) * r)
         .map(i => col(f"sig_$i%02d").cast("string"))

@@ -108,6 +108,37 @@ class DedupSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows diverge between fused and builtin hashing")
   }
 
+  test("TrigramKmSigs equals the builtin md5-60 KM spelling bit-for-bit") {
+    // the fused per-row loop (op132's streaming signature path) must
+    // reproduce the interpreted higher-order spelling exactly — same
+    // md5-60 (first 15 hex chars base-16), same 30-bit halves, same
+    // affine mins — or the DuckDB oracle's replay breaks
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val k = 16
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, "a b c"), (9002L, "x y z w")).toDF("doc_id", "text"))
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+    val hs = transform(TextOps.trigramsOfTokens(TextOps.tokens(col("text"))),
+      s => TextOps.md5Hash60(s))
+    val builtin = array((0 until k).map { i =>
+      array_min(transform(hs, h =>
+        ((h % 1073741824L) * (2 * i + 1) + shiftright(h, 30) % 1073741824L)
+          % 2147483648L))
+    }: _*)
+    val fused = ColumnBridge.column(graft.expressions.TrigramKmSigs(
+      ColumnBridge.expression(TextOps.tokens(col("text"))), k))
+    val diff = docs.select(fused.as("f"), builtin.as("b"))
+      .filter(col("f") =!= col("b")).count()
+    assert(diff == 0, s"$diff rows diverge between fused and builtin KM sigs")
+    // under 3 tokens: empty signature array (no shingles)
+    val empty = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(ColumnBridge.column(graft.expressions.TrigramKmSigs(
+        ColumnBridge.expression(TextOps.tokens(col("text"))), 4)).as("f"))
+      .as[Seq[Long]].collect()(0)
+    assert(empty.isEmpty)
+  }
+
   test("RollingHashWindows equals the direct per-window recompute") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import graft.expressions.RollingHashWindows._
