@@ -824,6 +824,31 @@ object TrainQueries {
       xform: DataFrame => DataFrame): DataFrame =
     drainStream(s, d, tag, "documents", "append", "8")(xform)
 
+  /** op134: the ONLINE decontamination gate — op82/op102's streaming
+    * leg. The benchmark slice (doc_id % 50 == 0, the op82 split)
+    * persists as a distinct md5-60 shingle store; the rest of the
+    * corpus streams through [[graft.streaming.StreamingDecontaminate
+    * .flagAgainstStoreBloom]] — bloom fast path, exact semi-join
+    * confirm for suspects, one output row per arrival sharing ANY
+    * benchmark shingle. The count-threshold scoring stays batch
+    * (op82's ≥8 gate); this is the pre-admission flag a real ingest
+    * runs first. Oracle: the same md5-60 hash join replayed on the
+    * cross-slice shingle sets. */
+  val op134StreamDecontaminate: Q = (s, d) => {
+    import graft.streaming.StreamingDecontaminate
+    val dir = indexRoot(d, "bench_shingles_mod50", table = "documents")
+    buildIndexIfAbsent(dir, "shingles") { tmp =>
+      StreamingDecontaminate.storeWrite(
+        Tables.documents(s, d).filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", tmp)
+    }
+    ordered(
+      drainDocStream(s, d, "op134", st =>
+        StreamingDecontaminate.flagAgainstStoreBloom(
+          st.filter(col("doc_id") % 50 =!= 0), dir, "doc_id", "text")),
+      "doc_id")
+  }
+
   /** op132: streaming NEAR-dup detection — op104's exact-fingerprint
     * story upgraded to MinHash+LSH. The "previously accepted" slice
     * (doc_id % 3 == 0, op104's split) persists as a band + shingle-array
@@ -1835,6 +1860,7 @@ object TrainQueries {
     "op103_span_scrub" -> op103SpanScrub,
     "op104_stream_incr_dedup" -> op104StreamIncrDedup,
     "op132_stream_near_dedup" -> op132StreamNearDedup,
+    "op134_stream_decontaminate" -> op134StreamDecontaminate,
     "op105_session_docs" -> op105SessionDocs,
     "op106_changelog_compact" -> op106ChangelogCompact,
     "op107_corpus_shuffle" -> op107CorpusShuffle,
@@ -2611,6 +2637,15 @@ object TrainQueries {
         |  FROM documents WHERE doc_id % 3 = 0)
         |SELECT fp FROM fps WHERE fp NOT IN (SELECT fp FROM store)
         |ORDER BY fp""".stripMargin,
+    "op134_stream_decontaminate" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |b AS (SELECT DISTINCT ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h
+        |      FROM sh WHERE doc_id % 50 = 0),
+        |t AS (SELECT DISTINCT doc_id,
+        |        ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h
+        |      FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT DISTINCT doc_id FROM t JOIN b USING (h)
+        |ORDER BY doc_id""".stripMargin,
     "op132_stream_near_dedup" -> {
       // op98's full replay (16 KM sigs, 4 md5-prefix bands, candidate
       // join, candidate-restricted exact overlap) RESTRICTED to pairs

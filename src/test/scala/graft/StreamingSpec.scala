@@ -1031,6 +1031,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming decontamination flag: bloom path == plain path == batch replay") {
+    // op134's contract: the ANY-overlap flag set must be identical
+    // whether computed per micro-batch (bloom fast path or plain
+    // semi-join) or as one batch frame — a bloom false positive must
+    // never flag a clean doc (exact confirm), and a true benchmark
+    // shingle must always flag (no false negatives by construction)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDecontaminate
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").limit(200).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_")
+    try {
+      StreamingDecontaminate.storeWrite(
+        spark.createDataFrame(docs.filter(_._1 % 50 == 0).toSeq)
+          .toDF("doc_id", "text"),
+        "doc_id", "text", dir.toString)
+      val streamRows = docs.filter(_._1 % 50 != 0).toSeq
+      val want = StreamingDecontaminate.flagAgainstStore(
+          spark.createDataFrame(streamRows).toDF("doc_id", "text"),
+          dir.toString, "doc_id", "text")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(want.nonEmpty && want.size < streamRows.size,
+        s"gate is vacuous: ${want.size} of ${streamRows.size} flagged")
+      def run(tag: String, bloom: Boolean): Seq[Long] = {
+        val in = MemoryStream[(Long, String)]
+        val pipe =
+          if (bloom) StreamingDecontaminate.flagAgainstStoreBloom(
+            in.toDF().toDF("doc_id", "text"), dir.toString, "doc_id", "text")
+          else StreamingDecontaminate.flagAgainstStore(
+            in.toDF().toDF("doc_id", "text"), dir.toString, "doc_id", "text")
+        val q = pipe.writeStream.outputMode("append").format("memory")
+          .queryName(tag).start()
+        in.addData(streamRows.take(80))
+        q.processAllAvailable()
+        in.addData(streamRows.drop(80))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(tag).collect().map(_.getLong(0)).sorted.toSeq
+      }
+      assert(run("decon_plain", bloom = false) == want)
+      assert(run("decon_bloom", bloom = true) == want)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming near-dup equals the batch spelling, default AND RocksDB providers") {
     // the op132 machinery: per-row KM signatures + stream-static band
     // join + candidate-restricted confirm must yield the identical pair
