@@ -51,13 +51,26 @@ object StreamingDecontaminate {
     shingleHashes(bench, idCol, textCol).select(col("h")).distinct()
       .write.mode("overwrite").parquet(s"$dir/shingles")
 
+  /** The store as a frame, bootstrapping an absent dir to empty — no
+    * benchmark registered yet means nothing can flag, not a crash at
+    * stream build (the family's shared first-run contract). Hadoop-fs
+    * existence check + explicit schema, as in
+    * [[IncrementalDedup]]/[[StreamingNearDedup]]. */
+  private def storeFrame(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$storeDir/shingles")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.schema("h BIGINT").parquet(s"$storeDir/shingles")
+    else spark.range(0).select(col("id").as("h"))
+  }
+
   /** Flag every arriving doc sharing ANY shingle with the store:
     * (doc_id) per flagged arrival, exactly once. Works identically on
     * a batch frame (the spec's cross-check). */
   def flagAgainstStore(stream: DataFrame, storeDir: String,
       idCol: String, textCol: String): DataFrame = {
-    val store = stream.sparkSession.read
-      .schema("h BIGINT").parquet(s"$storeDir/shingles")
+    val store = storeFrame(stream.sparkSession, storeDir)
     shingleHashes(stream, idCol, textCol)
       .join(store, Seq("h"), "left_semi")
       .select(col(idCol))
@@ -71,8 +84,7 @@ object StreamingDecontaminate {
   def flagAgainstStoreBloom(stream: DataFrame, storeDir: String,
       idCol: String, textCol: String, expectedItems: Long = 1000000L,
       numBits: Long = 8L * 1024 * 1024): DataFrame = {
-    val store = stream.sparkSession.read
-      .schema("h BIGINT").parquet(s"$storeDir/shingles")
+    val store = storeFrame(stream.sparkSession, storeDir)
     val bf = graft.functions.Bloom.buildBytes(store, col("h"),
       expectedItems, numBits)
     val hashed = shingleHashes(stream, idCol, textCol)

@@ -117,19 +117,39 @@ object StreamingNearDedup {
       .write.mode("overwrite").parquet(s"$dir/docs")
   }
 
+  /** A store table as a frame, bootstrapping an ABSENT dir to empty —
+    * the first-run contract the whole store family shares
+    * ([[IncrementalDedup]]'s finding): before anything was ever
+    * accepted there is nothing to be a near-dup OF, so the stream must
+    * build and emit nothing, not crash. Existence via the Hadoop
+    * filesystem of the path (a java.io check would misread any
+    * hdfs://-or-s3a:// store as absent); explicit schema covers an
+    * existing-but-empty dir. */
+  private def storeTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, schema: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
   /** Streaming near-dup matches of `stream` against the store: one row
     * per (arriving doc, store doc) pair confirmed at ≥ `minBp` trigram
     * Jaccard — (doc_id, dup_of, jaccard_bp). A consumer drops arrivals
     * that have any match (dedup) or routes them to review. Works
     * identically on a batch frame (stream-static joins degrade to plain
     * joins), which is how the spec cross-checks it against
-    * [[graft.functions.Dedup]]'s batch pair computation. */
+    * [[graft.functions.Dedup]]'s batch pair computation. An absent (or
+    * still-empty) store means "nothing accepted yet" — no matches. */
   def matchesAgainstStore(stream: DataFrame, storeDir: String,
       idCol: String, textCol: String, minBp: Long = 8000L,
       k: Int = 16, r: Int = 4): DataFrame = {
     val spark = stream.sparkSession
-    val bands = spark.read.parquet(s"$storeDir/bands")
-    val docs = spark.read.parquet(s"$storeDir/docs")
+    val bands = storeTable(spark, s"$storeDir/bands",
+      "dup_of BIGINT, band_idx INT, band_hash BIGINT")
+    val docs = storeTable(spark, s"$storeDir/docs",
+      "dup_of BIGINT, sh ARRAY<BIGINT>, n_sh BIGINT")
     val arr = shinglesAndBands(
         stream.select(col(idCol), col(textCol)), idCol, textCol, k, r)
       .select(col(idCol).as("doc_id"), col("__sh"),

@@ -1080,6 +1080,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup and decontamination streams bootstrap when the store is absent") {
+    // the family's shared first-run contract (the IncrementalDedup
+    // advisor finding, applied to the r9 stores): no store yet means
+    // nothing can match/flag — the stream builds and emits nothing,
+    // instead of crashing at the static-side read
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamingDecontaminate, StreamingNearDedup}
+    val dir = java.nio.file.Files.createTempDirectory("graft_boot_r9_")
+    try {
+      val rows = Seq(
+        (1L, "quick brown fox jumps over dogs"),
+        (2L, "pack my box with five dozen jugs"))
+      def drain(tag: String,
+          pipe: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+        val in = MemoryStream[(Long, String)]
+        val q = pipe(in.toDF().toDF("doc_id", "text"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(tag).start()
+        in.addData(rows)
+        q.processAllAvailable()
+        q.stop()
+        spark.table(tag).count()
+      }
+      assert(drain("nd_boot", StreamingNearDedup.matchesAgainstStore(
+        _, s"$dir/absent_nd", "doc_id", "text")) == 0L)
+      assert(drain("dc_boot", StreamingDecontaminate.flagAgainstStore(
+        _, s"$dir/absent_dc", "doc_id", "text")) == 0L)
+      assert(drain("dcb_boot", StreamingDecontaminate.flagAgainstStoreBloom(
+        _, s"$dir/absent_dcb", "doc_id", "text")) == 0L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("streaming near-dup equals the batch spelling, default AND RocksDB providers") {
     // the op132 machinery: per-row KM signatures + stream-static band
     // join + candidate-restricted confirm must yield the identical pair
