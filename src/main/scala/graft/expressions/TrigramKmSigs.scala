@@ -109,4 +109,6 @@ object TrigramKmSigs {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  /** Shared thread-local digest (also used by [[TrigramMd5s]]). */
+  private[expressions] def md5Digest(): java.security.MessageDigest = md5.get()
 }

@@ -36,13 +36,16 @@ import graft.functions.TextOps
 object StreamingDecontaminate {
 
   private def shingleHashes(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String): DataFrame = {
+    // fused trigram→md5-60 loop (TrigramMd5s): the builtin spelling
+    // builds each trigram string in an interpreted lambda and md5s it
+    // through hex/substring/conv — the op132 lesson; the rows explode
+    // as bare BIGINTs (bit-equality with the builtin spelling spec'd)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     df.select(col(idCol),
-        explode(TextOps.trigramsOfTokens(TextOps.tokens(col(textCol))))
-          .as("__sh"))
-      // hash AFTER the explode: md5Hash60 on a flat column is codegen'd,
-      // inside a transform lambda it would run interpreted per element
-      .select(col(idCol), TextOps.md5Hash60(col("__sh")).as("h"))
+      explode(ColumnBridge.column(graft.expressions.TrigramMd5s(
+        ColumnBridge.expression(TextOps.tokens(col(textCol)))))).as("h"))
+  }
 
   /** Build (or rebuild) the benchmark shingle store at `dir`: the
     * DISTINCT md5-60 trigram hashes of the held-out suite. */

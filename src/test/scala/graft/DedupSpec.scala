@@ -139,6 +139,22 @@ class DedupSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("TrigramMd5s equals the builtin md5Hash60-of-trigram spelling") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, "one two"), (9002L, ""), (9003L, "a b c"))
+        .toDF("doc_id", "text"))
+    val fused = ColumnBridge.column(graft.expressions.TrigramMd5s(
+      ColumnBridge.expression(TextOps.tokens(col("text")))))
+    val builtin = transform(
+      TextOps.trigramsOfTokens(TextOps.tokens(col("text"))),
+      s => TextOps.md5Hash60(s))
+    val diff = docs.select(fused.as("f"), builtin.as("b"))
+      .filter(col("f") =!= col("b")).count()
+    assert(diff == 0, s"$diff rows diverge between fused and builtin md5-60")
+  }
+
   test("RollingHashWindows equals the direct per-window recompute") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import graft.expressions.RollingHashWindows._
