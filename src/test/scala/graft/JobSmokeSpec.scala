@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.apps.{AnnServeJob, CurationJob, DedupJob}
+import graft.apps.{AnnServeJob, CurationJob, DedupJob, IngestGateJob}
 
 /** Smoke coverage for the three standalone spark-submit entry points —
   * the public mains a real user launches. Their cores are oracle-gated
@@ -73,6 +73,70 @@ class JobSmokeSpec extends AnyFunSuite {
     assert(wIds == eIds, "survivor set diverges from the gated composition")
     // survivors keep every input column (drop-rows, not project)
     assert(written.columns.sorted.sameElements(docs.columns.sorted))
+  }
+
+  test("IngestGateJob.main routes arrivals through all three gates and appends the store") {
+    import org.apache.spark.sql.functions._
+    val arrivals1 = tmp("gate_in1")
+    val arrivals2 = tmp("gate_in2")
+    val stores = tmp("gate_stores").toString
+    val out1 = tmp("gate_out1")
+    val out2 = tmp("gate_out2")
+    val s0 = freshSession()
+    val docs = s0.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(45).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def write(s: SparkSession, rows: Seq[(Long, String)],
+        dir: java.nio.file.Path): Unit =
+      s.createDataFrame(rows).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    // run 1: all stores ABSENT — everything admits fresh, nothing flags
+    write(s0, docs.take(40).toSeq, arrivals1)
+    IngestGateJob.main(Array(arrivals1.toString, stores, out1.toString))
+    val s1 = freshSession()
+    assert(s1.read.parquet(s"$out1/fresh").count() == 40L)
+    assert(s1.read.schema("doc_id BIGINT, dup_of BIGINT, jaccard_bp BIGINT")
+      .parquet(s"$out1/near_dup_pairs").count() == 0L)
+    assert(s1.read.schema("doc_id BIGINT")
+      .parquet(s"$out1/contaminated").count() == 0L)
+    assert(s1.read.parquet(s"$stores/fps").count() == 40L,
+      "run 1 must append its fingerprints to the store")
+    // seed the flag stores: near-dup store holds copies of docs 0..4
+    // under foreign ids; bench store holds doc 5's text
+    graft.streaming.StreamingNearDedup.storeWrite(
+      s1.createDataFrame(docs.take(5).map { case (id, t) => (id + 1000L, t) }
+          .toSeq).toDF("doc_id", "text"),
+      "doc_id", "text", s"$stores/neardup")
+    graft.streaming.StreamingDecontaminate.storeWrite(
+      s1.createDataFrame(Seq(docs(5)._1 + 2000L -> docs(5)._2))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$stores/bench")
+    // run 2: docs 0..44 — 0..39 are exact repeats (store), 40..44 fresh;
+    // 0..4 near-dup the seeded copies; contamination per the batch gate
+    write(s1, docs.toSeq, arrivals2)
+    IngestGateJob.main(Array(arrivals2.toString, stores, out2.toString))
+    val s2 = freshSession()
+    val freshIds = s2.read.parquet(s"$out2/fresh")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(freshIds == docs.drop(40).map(_._1).toSet,
+      s"run 2 fresh set wrong: $freshIds")
+    val pairs = s2.read
+      .schema("doc_id BIGINT, dup_of BIGINT, jaccard_bp BIGINT")
+      .parquet(s"$out2/near_dup_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(docs.take(5).forall { case (id, _) => pairs.contains((id, id + 1000L)) },
+      s"seeded near-dup copies not matched: $pairs")
+    val flagged = s2.read.schema("doc_id BIGINT")
+      .parquet(s"$out2/contaminated").collect().map(_.getLong(0)).toSet
+    val expectFlagged = graft.streaming.StreamingDecontaminate
+      .flagAgainstStore(
+        s2.createDataFrame(docs.toSeq).toDF("doc_id", "text"),
+        s"$stores/bench", "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == expectFlagged && flagged.contains(docs(5)._1),
+      s"contamination flags diverge from the batch gate: $flagged")
+    assert(s2.read.parquet(s"$stores/fps").distinct().count() == 45L,
+      "run 2 must append only the 5 new fingerprints")
   }
 
   test("AnnServeJob.main builds the index once and serves the query stream") {
