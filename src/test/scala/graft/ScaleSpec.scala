@@ -102,6 +102,58 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed benchmark-shingle store: contamination semi-join reads it in place") {
+    // SCALE.md's op134 claim, executed: with the benchmark shingle
+    // store bucketed by h, the decontamination LEFT SEMI join shuffles
+    // ONLY the arrival shingles — the store is read in place. One
+    // Exchange below the join.
+    val db = "graft_buckets"
+    import scala.reflect.io.Directory
+    new Directory(
+      new java.io.File(s"/tmp/graft_warehouse/$db.db/bench_sh_b"))
+      .deleteRecursively()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        explode(ColumnBridge.column(graft.expressions.TrigramMd5s(
+          ColumnBridge.expression(
+            graft.functions.TextOps.tokens(col("text")))))).as("h"))
+    hashes(docs.filter(col("doc_id") % 50 === 0)).select("h").distinct()
+      .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+      .saveAsTable(s"$db.bench_sh_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val flagged = hashes(docs.filter(col("doc_id") % 50 =!= 0))
+        .join(spark.table(s"$db.bench_sh_b"), Seq("h"), "left_semi")
+        .select(col("doc_id"))
+      val plan = flagged.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"store side must not re-shuffle (found $exchanges exchanges):\n$plan")
+      val got = flagged.distinct().collect().map(_.getLong(0)).toSet
+      val want = graft.streaming.StreamingDecontaminate.flagAgainstStore(
+          docs.filter(col("doc_id") % 50 =!= 0), {
+            // unbucketed store dir for the reference computation
+            val d = java.nio.file.Files.createTempDirectory("graft_dc_ref_")
+            graft.streaming.StreamingDecontaminate.storeWrite(
+              docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+              d.toString)
+            d.toString
+          }, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want && want.nonEmpty,
+        "bucketed semi-join diverged from the plain gate")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("bucketed band store: near-dup candidate join reads the store in place") {
     // SCALE.md's op132 claim, executed: with the reference corpus' band
     // store bucketed by the join keys (band_idx, band_hash), the
