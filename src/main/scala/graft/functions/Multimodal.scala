@@ -239,6 +239,121 @@ object Multimodal {
     }
   }
 
+  // ---- real VIDEO codec leg (op135): animated GIF via javax.imageio ----
+
+  case class VideoRecord(doc_id: Long, payload: Array[Byte])
+  case class VideoFrameStats(doc_id: Long, format: String, frame_idx: Long,
+      n_frames: Long, width: Long, height: Long, sum_gray: Long)
+
+  /** Closed-form multi-frame grayscale video per doc — the generative
+    * formula BOTH the synthesizer and the oracle evaluate, so a genuine
+    * multi-frame encode→decode round-trip sits between two independent
+    * evaluations (the op80_image_codec argument, applied to video).
+    * Grayscale because GIF is an indexed-color format: a 256-gray
+    * palette makes the codec exactly lossless. */
+  def videoFrames(d: Long): Int = (4 + d % 5).toInt
+  def videoWidth(d: Long): Int = 8 + (d % 9).toInt
+  def videoHeight(d: Long): Int = 8 + (d % 7).toInt
+  def videoPixel(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 31 + f * 19 + x * 7 + y * 13) % 256).toInt
+
+  /** 256-entry gray palette: index i = gray level i. An explicit
+    * IndexColorModel (rather than TYPE_BYTE_GRAY) pins the palette the
+    * writer embeds, making the round-trip exact by construction. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Synthesize REAL video payloads: each doc renders its formula frames
+    * and encodes them as one animated GIF through the JDK's actual GIF
+    * sequence writer (`prepareWriteSequence`/`writeToSequence`) — each
+    * frame independently LZW-compressed in the container. javax.imageio
+    * ships with the JDK: the same zero-dependency argument that made the
+    * image and audio legs real. Video no longer lives in the declared
+    * [[decodeFeatures]] stub. */
+  def synthesizeVideos(spark: SparkSession, dir: String): Dataset[VideoRecord] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val cm = grayPalette
+        it.map { d =>
+          val w = videoWidth(d); val h = videoHeight(d)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer =
+            javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < videoFrames(d)) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, videoPixel(d, f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          VideoRecord(d, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL frame sampling + decode: javax.imageio parses the GIF
+    * container and decodes ONLY every `stride`-th frame — GIF frames
+    * are independently LZW-coded, so the reader skips non-sampled
+    * frames via sub-block lengths without decompressing them (the shape
+    * real video sampling needs: seek, don't transcode). Stats are exact
+    * integer pixel sums read through the color model (palette-order
+    * independent). Batched per partition like [[decodeImageStats]]. */
+  def sampleVideoStats(videos: Dataset[VideoRecord], stride: Int = 2,
+      batchSize: Int = 64): Dataset[VideoFrameStats] = {
+    implicit val enc = Encoders.product[VideoFrameStats]
+    videos.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(/*allowSearch=*/ true)
+          val out = (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRGB(x, y) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrameStats(r.doc_id, "gif", f.toLong, n.toLong,
+              img.getWidth.toLong, img.getHeight.toLong, sum)
+          }
+          reader.dispose()
+          iis.close()
+          out
+        }
+      }
+    }
+  }
+
   /** REAL decode: javax.imageio parses the PNG/BMP container and
     * decompresses the pixels; stats are exact integer channel sums.
     * Batched per partition like [[decodeFeatures]] — a narrow pass, no

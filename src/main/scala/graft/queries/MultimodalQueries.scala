@@ -53,11 +53,27 @@ object MultimodalQueries {
           col("n_samples"), col("sum_samples"), col("sum_abs")),
       "doc_id")
 
+  /** op135: the codec family's VIDEO twin — formula frames → JDK
+    * animated-GIF encode → javax.imageio frame-SAMPLED decode (every
+    * 2nd frame; non-sampled frames skipped, not transcoded) → exact
+    * pixel sums; the oracle evaluates the same generative formula for
+    * the sampled indices independently, so a hash match proves a
+    * genuine multi-frame container round-trip. Closes the last
+    * declared multimodal stub: image, audio, AND video are now real
+    * codecs. */
+  val op135VideoCodec: Q = (s, d) =>
+    ordered(
+      Multimodal.sampleVideoStats(Multimodal.synthesizeVideos(s, d)).toDF()
+        .select(col("doc_id"), col("format"), col("frame_idx"),
+          col("n_frames"), col("width"), col("height"), col("sum_gray")),
+      "doc_id", "frame_idx")
+
   val defs: Map[String, Q] = Map(
     "op80_media_decode" -> op80Features,
     "op80_image_codec" -> op80ImageCodec,
     "op81_media_frames" -> op81Frames,
     "op133_audio_codec" -> op133AudioCodec,
+    "op135_video_codec" -> op135VideoCodec,
   )
 
   val oracle: Map[String, String] = Map(
@@ -121,5 +137,27 @@ object MultimodalQueries {
         |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
         |FROM s GROUP BY doc_id, n
         |ORDER BY doc_id""".stripMargin,
+    // the video-codec twin: DuckDB evaluates the frame formula for the
+    // SAMPLED indices directly; Spark's numbers went through a real
+    // animated-GIF encode + frame-sampled decode
+    "op135_video_codec" ->
+      """WITH g AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS nf,
+        |         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |fr AS (
+        |  SELECT g.doc_id, g.nf, g.w, g.h, t.f
+        |  FROM g, LATERAL (SELECT unnest(generate_series(0,
+        |         CAST(g.nf - 1 AS BIGINT), 2)) AS f) t),
+        |px AS (
+        |  SELECT fr.doc_id, fr.nf, fr.w, fr.h, fr.f, tx.x, ty.y
+        |  FROM fr,
+        |       LATERAL (SELECT unnest(generate_series(0, fr.w - 1)) AS x) tx,
+        |       LATERAL (SELECT unnest(generate_series(0, fr.h - 1)) AS y) ty)
+        |SELECT doc_id, 'gif' AS format, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sum((doc_id*31 + f*19 + x*7 + y*13) % 256) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY doc_id, nf, w, h, f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -1811,6 +1811,104 @@ object TrainQueries {
       Dedup.charDupProfile(Tables.documents(s, d), "doc_id", "text", 40),
       "doc_id")
 
+  /** op136: Z-order cluster key — dense lang ids (distinct-ranked +
+    * broadcast back, never a corpus-wide window) and a capped length
+    * band, bit-interleaved into one Morton key by pure codegen'd
+    * Column arithmetic ([[graft.functions.Layout.mortonKey]]). The key
+    * is what [[op137ClusteredScan]] range-partitions the clustered
+    * write on; the oracle replays the identical 5-step mask-spread in
+    * SQL. */
+  val op136ZorderKey: Q = (s, d) => {
+    val docs = graft.functions.Layout.denseDimIds(
+      Tables.documents(s, d), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+    ordered(
+      docs.select(col("doc_id"), col("lang_id"), col("len_bucket"),
+        graft.functions.Layout.mortonKey(col("lang_id"), col("len_bucket"))
+          .as("zkey")),
+      "doc_id")
+  }
+
+  /** op137: scan of the PREBUILT Z-order-clustered document store — the
+    * lakehouse `OPTIMIZE ZORDER BY` shape. First call per dataset
+    * clusters the corpus (one range shuffle on the Morton key,
+    * key-sorted files) under the content-keyed cache; every later call
+    * is scan-only, with the rectangle predicate (one language, one
+    * length band) pushed to the parquet footers — which, thanks to the
+    * clustering, exclude all but the files whose key range intersects
+    * the rectangle (concentration asserted in ScaleSpec). The oracle
+    * computes the same aggregate from the unclustered table, proving
+    * the clustered store lossless. */
+  private def zorderStoreDir(s: SparkSession, d: String): String = {
+    val dir = indexRoot(d, "zorder_lang_len", table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      val keyed = graft.functions.Layout.denseDimIds(
+        Tables.documents(s, d), "lang", "lang_id")
+        .withColumn("len_bucket",
+          least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      graft.functions.Layout.writeClustered(
+        keyed.select(col("doc_id"), col("lang_id"), col("len_bucket"),
+          col("n_chars")),
+        graft.functions.Layout.mortonKey(col("lang_id"), col("len_bucket")),
+        numFiles = 8, path = s"$tmp/docs")
+    }
+    dir
+  }
+
+  private def rectAgg(df: DataFrame): DataFrame =
+    ordered(
+      df.filter(col("lang_id") === 1L && col("len_bucket").between(4L, 20L))
+        .groupBy(col("len_bucket"))
+        .agg(big(count(lit(1))).as("n_docs"),
+          big(sum(col("n_chars"))).as("sum_chars")),
+      "len_bucket")
+
+  val op137ClusteredScan: Q = (s, d) =>
+    rectAgg(graft.functions.Layout.readClustered(s, s"${zorderStoreDir(s, d)}/docs"))
+
+  /** op138: the SAME rectangle aggregate through the MANIFEST-pruned
+    * access path — the store's `_manifest` (file → min/max zkey, the
+    * explicit lakehouse file index) selects only the files whose key
+    * range intersects the rectangle's Z interval (conservative by the
+    * Morton monotonicity argument, see `Layout.readPruned`), and the
+    * exact predicate runs over that subset. Identical result to op137
+    * — same oracle — with the scan planned from one-row-per-file
+    * metadata instead of listing every data file. */
+  val op138PrunedScan: Q = (s, d) =>
+    rectAgg(graft.functions.Layout.readPruned(
+      s, s"${zorderStoreDir(s, d)}/docs", aLo = 1L, aHi = 1L, bLo = 4L, bHi = 20L))
+
+  /** op139: pruned rectangle scan over a store built INCREMENTALLY —
+    * 80% of the corpus clustered up front, the rest appended as new
+    * key-sorted files with manifest rows appended beside them
+    * (`Layout.appendClustered`: no rewrite of existing data or
+    * metadata — the affordable continuous-ingest shape for a Z-ordered
+    * table). The oracle is the full-corpus rectangle aggregate, so a
+    * hash match proves the append lost nothing and the manifest prune
+    * still finds every matching row across old AND new files. */
+  val op139AppendScan: Q = (s, d) => {
+    val dir = indexRoot(d, "zorder_lang_len_appended", table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      val keyed = graft.functions.Layout.denseDimIds(
+        Tables.documents(s, d), "lang", "lang_id")
+        .withColumn("len_bucket",
+          least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+        .select(col("doc_id"), col("lang_id"), col("len_bucket"),
+          col("n_chars"))
+      val zk = graft.functions.Layout.mortonKey(
+        col("lang_id"), col("len_bucket"))
+      graft.functions.Layout.writeClustered(
+        keyed.filter(col("doc_id") % 5 =!= 0L), zk, numFiles = 8,
+        path = s"$tmp/docs")
+      graft.functions.Layout.appendClustered(
+        keyed.filter(col("doc_id") % 5 === 0L), zk, numFiles = 4,
+        path = s"$tmp/docs")
+    }
+    rectAgg(graft.functions.Layout.readPruned(
+      s, s"$dir/docs", aLo = 1L, aHi = 1L, bLo = 4L, bHi = 20L))
+  }
+
   val defs: Map[String, Q] = Map(
     "op60_dedup_exact" -> op60DedupExact,
     "op61_dedup_ngram" -> op61DedupNgram,
@@ -1884,6 +1982,10 @@ object TrainQueries {
     "op129_weighted_sample" -> op129WeightedSample,
     "op130_char_dup_profile" -> op130CharDup,
     "op131_stream_scd2" -> op131StreamScd2,
+    "op136_zorder_key" -> op136ZorderKey,
+    "op137_clustered_scan" -> op137ClusteredScan,
+    "op138_pruned_scan" -> op138PrunedScan,
+    "op139_append_scan" -> op139AppendScan,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -3083,7 +3185,57 @@ object TrainQueries {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sq_bp DESC, n_id) AS BIGINT) AS rank
         |  FROM approx)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // op136: the oracle replays the identical 5-step mask-spread bit
+    // arithmetic (bigint &, |, << on both engines); dense_rank over the
+    // corpus is the oracle-side spelling of the distinct-rank+broadcast
+    // the Spark side uses (equivalent ids, corpus-window-free at scale)
+    "op136_zorder_key" ->
+      """WITH lid AS (
+        |  SELECT doc_id, dense_rank() OVER (ORDER BY lang) - 1 AS lang_id,
+        |         LEAST(n_chars // 16, 65535) AS len_bucket
+        |  FROM documents),
+        |sp0 AS (SELECT doc_id, lang_id, len_bucket,
+        |        lang_id & 65535 AS a, len_bucket & 65535 AS b FROM lid),
+        |sp1 AS (SELECT doc_id, lang_id, len_bucket,
+        |        (a | (a << 8)) & 16711935 AS a,
+        |        (b | (b << 8)) & 16711935 AS b FROM sp0),
+        |sp2 AS (SELECT doc_id, lang_id, len_bucket,
+        |        (a | (a << 4)) & 252645135 AS a,
+        |        (b | (b << 4)) & 252645135 AS b FROM sp1),
+        |sp3 AS (SELECT doc_id, lang_id, len_bucket,
+        |        (a | (a << 2)) & 858993459 AS a,
+        |        (b | (b << 2)) & 858993459 AS b FROM sp2),
+        |sp4 AS (SELECT doc_id, lang_id, len_bucket,
+        |        (a | (a << 1)) & 1431655765 AS a,
+        |        (b | (b << 1)) & 1431655765 AS b FROM sp3)
+        |SELECT doc_id, CAST(lang_id AS BIGINT) AS lang_id,
+        |       CAST(len_bucket AS BIGINT) AS len_bucket,
+        |       CAST(a | (b << 1) AS BIGINT) AS zkey
+        |FROM sp4 ORDER BY doc_id""".stripMargin,
+    // op137/op138: the oracle aggregates the UNCLUSTERED table — a hash
+    // match proves the Z-order-clustered store lossless and its scan
+    // path exact. op138 shares it: the manifest-pruned access path
+    // returns the identical aggregate (pruning is conservative by the
+    // Morton monotonicity argument).
+    "op137_clustered_scan" -> rectAggSql,
+    "op138_pruned_scan" -> rectAggSql,
+    // op139's store holds the same corpus (80% clustered + 20%
+    // appended), so the rectangle aggregate — and the oracle — are
+    // unchanged; the access path is what differs
+    "op139_append_scan" -> rectAggSql,
   )
+
+  private lazy val rectAggSql: String =
+    """WITH lid AS (
+      |  SELECT doc_id, n_chars,
+      |         dense_rank() OVER (ORDER BY lang) - 1 AS lang_id,
+      |         LEAST(n_chars // 16, 65535) AS len_bucket
+      |  FROM documents)
+      |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM lid WHERE lang_id = 1 AND len_bucket BETWEEN 4 AND 20
+      |GROUP BY len_bucket ORDER BY len_bucket""".stripMargin
 
   /** Shared SQ8 replay through the approximate scores: probed cells,
     * int8 codes, code norms, per-candidate sq_bp. op112/op115 continue

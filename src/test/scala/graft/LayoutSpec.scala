@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Layout
+import graft.sources.Tables
+
+/** Z-order layout semantics + the file-skipping concentration argument. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mortonKey Column arithmetic is bit-identical to the Scala reference") {
+    // deterministic pseudo-random 16-bit pairs (no Math.random: specs
+    // must be replayable), including the mask edges
+    val pairs = (0 until 512).map { i =>
+      val a = (i * 2654435761L) & 0xFFFFL
+      val b = (i * 40503L + 17) & 0xFFFFL
+      (a, b)
+    } ++ Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.mortonKey(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == Layout.mortonKeyRef(a, b),
+        s"morton($a, $b)")
+    }
+    // interleave is a bijection on the 16+16-bit grid: even/odd bit
+    // positions never collide
+    assert(pairs.map { case (a, b) => Layout.mortonKeyRef(a, b) }.distinct.size
+      == pairs.distinct.size)
+  }
+
+  test("mortonKey masks inputs above 16 bits instead of corrupting neighbors") {
+    assert(Layout.mortonKeyRef(0x1FFFFL, 0L) == Layout.mortonKeyRef(0xFFFFL, 0L))
+  }
+
+  test("clustered write concentrates a dimension rectangle into few files; round-robin spreads it") {
+    val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"), col("n_chars"))
+    // the probe rectangle is Z-aligned: len band [16, 24) is an aligned
+    // 8-block (one contiguous Z run per dimension pair), lang_id 2 a
+    // single cell — the shape a layout-aware query planner aims for.
+    // A band crossing a high bit boundary fragments into more runs but
+    // still prunes; the aligned case shows the mechanism cleanly.
+    val rect = col("lang_id") === 2L && col("len_bucket").between(16L, 23L)
+
+    val base = s"/tmp/graft_layout_spec_${ProcessHandle.current().pid()}"
+    Layout.writeClustered(docs,
+      Layout.mortonKey(col("lang_id"), col("len_bucket")), 16, s"$base/clustered")
+    docs.repartition(16).write.mode("overwrite").parquet(s"$base/roundrobin")
+
+    def filesHit(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      (df.filter(rect).select(input_file_name()).distinct().count(),
+        df.select(input_file_name()).distinct().count())
+    val (hitC, totC) = filesHit(Layout.readClustered(spark, s"$base/clustered"))
+    val (hitR, totR) = filesHit(spark.read.parquet(s"$base/roundrobin"))
+    assert(totC >= 12 && totR >= 12, s"expected ~16 files, got $totC / $totR")
+    // the rectangle is a contiguous Z-key band intersecting few range
+    // files; round-robin smears it across (nearly) all of them. This
+    // concentration IS the footer/manifest min-max skipping argument:
+    // a lakehouse file index prunes every non-intersecting file.
+    assert(hitC * 3 <= totC,
+      s"clustered: rectangle rows should concentrate (hit $hitC of $totC files)")
+    assert(hitR * 2 >= totR,
+      s"round-robin control should smear the rectangle (hit $hitR of $totR files)")
+
+    // and the clustered store is lossless
+    val a = Layout.readClustered(spark, s"$base/clustered")
+      .select("doc_id", "lang_id", "len_bucket", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = docs.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq == b.toSeq, "clustered store must hold exactly the corpus")
+
+    // manifest-pruned read: reads STRICTLY fewer files than the store
+    // holds, yet the rectangle result is identical — the conservative
+    // Z-interval prune never drops a matching row
+    val pruned = Layout.readPruned(spark, s"$base/clustered", 2L, 2L, 16L, 23L)
+    val prunedFiles = pruned.select(input_file_name()).distinct().count()
+    assert(prunedFiles < totC,
+      s"manifest prune should skip files ($prunedFiles of $totC read)")
+    val wantRows = Layout.readClustered(spark, s"$base/clustered")
+      .filter(rect).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val gotRows = pruned.filter(rect)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotRows == wantRows, "pruned read must lose no matching row")
+
+    // the manifest stores RELATIVE file names: a store published via
+    // tmp-dir rename (the build-if-absent convention) or moved later
+    // must stay readable — absolute paths in the manifest broke this
+    assert(new java.io.File(s"$base/clustered")
+      .renameTo(new java.io.File(s"$base/relocated")), "rename failed")
+    val relocated = Layout.readPruned(spark, s"$base/relocated", 2L, 2L, 16L, 23L)
+      .filter(rect).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(relocated == wantRows, "relocated store must stay readable")
+  }
+
+  test("append adds key-sorted files + manifest rows without touching existing ones") {
+    val base = s"/tmp/graft_layout_spec_append_${ProcessHandle.current().pid()}"
+    val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"), col("n_chars"))
+    val zk = Layout.mortonKey(col("lang_id"), col("len_bucket"))
+    Layout.writeClustered(docs.filter(col("doc_id") % 5 =!= 0L), zk, 8, s"$base/docs")
+
+    def snapshot(dir: String): Map[String, Long] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val dataBefore = snapshot(s"$base/docs/data")
+    val manifestBefore = spark.read.parquet(s"$base/docs/_manifest").count()
+
+    Layout.appendClustered(docs.filter(col("doc_id") % 5 === 0L), zk, 4, s"$base/docs")
+
+    // existing data files untouched (names AND mtimes), new ones added
+    val dataAfter = snapshot(s"$base/docs/data")
+    assert(dataBefore.forall { case (n, m) => dataAfter.get(n).contains(m) },
+      "append must not rewrite existing data files")
+    assert(dataAfter.size > dataBefore.size, "append must add new files")
+    // manifest grew by exactly the new files
+    val manifest = spark.read.parquet(s"$base/docs/_manifest")
+    assert(manifest.count() - manifestBefore ==
+      (dataAfter.size - dataBefore.size).toLong,
+      "one manifest row per new file")
+    assert(manifest.select("file").distinct().count() == manifest.count(),
+      "manifest must not duplicate files")
+    // the full store now holds the whole corpus, and the pruned read
+    // still finds every rectangle row across old and new files
+    assert(Layout.readClustered(spark, s"$base/docs").count() == docs.count())
+    val rect = col("lang_id") === 2L && col("len_bucket").between(16L, 23L)
+    val want = docs.filter(rect).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val got = Layout.readPruned(spark, s"$base/docs", 2L, 2L, 16L, 23L)
+      .filter(rect).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "pruned read must stay exact after append")
+  }
+
+  test("clustered scan pushes the rectangle predicate to the parquet scan") {
+    val base = s"/tmp/graft_layout_spec_push_${ProcessHandle.current().pid()}"
+    val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"), col("n_chars"))
+    Layout.writeClustered(docs,
+      Layout.mortonKey(col("lang_id"), col("len_bucket")), 4, s"$base/docs")
+    val plan = Layout.readClustered(spark, s"$base/docs")
+      .filter(col("lang_id") === 1L && col("len_bucket").between(4L, 20L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(lang_id)"),
+      s"rectangle predicate must reach the scan:\n$plan")
+  }
+}

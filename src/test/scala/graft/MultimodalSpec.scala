@@ -115,6 +115,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video codec leg: payloads are genuine animated GIFs and sampled decode recovers the formula") {
+    // the payload must be a real GIF container (GIF87a/GIF89a magic)
+    // holding ALL frames, and the frame-sampled decode (stride 2) must
+    // recover the exact generative pixels of the sampled indices only —
+    // checked against a direct Scala evaluation of the frame formula,
+    // fully independent of the encode path
+    val videos = Multimodal.synthesizeVideos(spark, sfDir)
+      .filter(col("doc_id") < 40L).collect()
+    assert(videos.length == 40)
+    videos.foreach { r =>
+      val magic = new String(r.payload.take(6), "US-ASCII")
+      assert(magic == "GIF89a" || magic == "GIF87a",
+        s"doc ${r.doc_id}: payload is not a GIF container ($magic)")
+    }
+    val stats = Multimodal.sampleVideoStats(
+        Multimodal.synthesizeVideos(spark, sfDir).filter(col("doc_id") < 40L),
+        stride = 2, batchSize = 7) // short last chunk must still decode
+      .collect().groupBy(_.doc_id)
+    assert(stats.size == 40)
+    stats.foreach { case (d, rows) =>
+      val nf = Multimodal.videoFrames(d)
+      val (w, h) = (Multimodal.videoWidth(d), Multimodal.videoHeight(d))
+      val wantIdx = (0 until nf by 2).map(_.toLong)
+      assert(rows.map(_.frame_idx).sorted.toSeq == wantIdx,
+        s"doc $d: sampled frames ${rows.map(_.frame_idx).sorted.toSeq}, expected $wantIdx")
+      rows.foreach { s =>
+        assert(s.n_frames == nf.toLong && s.width == w.toLong && s.height == h.toLong,
+          s"doc $d frame ${s.frame_idx}: container geometry diverges")
+        var want = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          want += Multimodal.videoPixel(d, s.frame_idx.toInt, x, y)
+        assert(s.sum_gray == want,
+          s"doc $d frame ${s.frame_idx}: decoded pixel sum diverges from the formula")
+      }
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = li.groupBy(col("l_returnflag"))
