@@ -67,20 +67,71 @@ object Layout {
     * manifest itself is one row per FILE (100 TB / 128 MB ≈ 800k rows
     * — driver-trivial). */
   def writeClustered(df: DataFrame, zkey: Column, numFiles: Int,
-      path: String): Unit = {
+      path: String, bloomKey: Option[String] = None,
+      bloomExpectedPerFile: Long = 1L << 20): Unit = {
     df.withColumn("zkey", zkey)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(s"$path/data")
-    // file names are stored RELATIVE to the store root: a manifest
-    // with absolute paths breaks the moment the store is renamed or
-    // relocated (tmp-publish builds, bucket moves) — the reader
-    // re-anchors them
-    df.sparkSession.read.parquet(s"$path/data")
-      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
-      .agg(min("zkey").as("min_zkey"), max("zkey").as("max_zkey"))
+    manifestFor(df.sparkSession, path, bloomKey, bloomExpectedPerFile)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** One manifest row per data file: RELATIVE file name (a manifest
+    * with absolute paths breaks the moment the store is renamed or
+    * relocated — tmp-publish builds, bucket moves; the reader
+    * re-anchors), min/max zkey, and optionally a per-file Bloom filter
+    * over `bloomKey` (a BIGINT column) — the lakehouse bloom-index
+    * feature: point lookups on a column the Z-key does NOT cluster can
+    * still skip files. Built as ONE grouped aggregate (min/max/bloom
+    * partials merge map-side); restricting to `onlyFiles` scans just
+    * those files (the append path). */
+  private def manifestFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, bloomKey: Option[String], bloomExpected: Long,
+      onlyFiles: Option[Seq[String]] = None): DataFrame = {
+    val data = onlyFiles match {
+      case Some(names) => spark.read.parquet(names.map(n => s"$path/data/$n"): _*)
+      case None => spark.read.parquet(s"$path/data")
+    }
+    val boundsCols = Seq(min("zkey").as("min_zkey"), max("zkey").as("max_zkey"))
+    val aggCols = boundsCols ++ bloomKey.map { k =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val agg = new BloomFilterAggregate(
+        ColumnBridge.expression(col(k).cast("bigint")),
+        Literal(bloomExpected), Literal(bloomExpected * 10))
+      ColumnBridge.column(agg.toAggregateExpression()).as("key_bloom")
+    }
+    data.groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Candidate files for a point lookup `bloomKey == key`, planned
+    * driver-side from the manifest's per-file Bloom filters — one
+    * deserialize+probe per FILE (bounded metadata, the same cost class
+    * as the Z-interval prune). No false negatives: every file that
+    * holds the key is returned; false positives only cost an extra
+    * file scan. The caller applies the exact predicate. */
+  def readPointCandidates(spark: org.apache.spark.sql.SparkSession,
+      path: String, key: Long): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/_manifest")
+    require(manifest.schema.fieldNames.contains("key_bloom"),
+      s"store at $path has no point index: it was written without " +
+        "bloomKey (writeClustered/appendClustered must both pass it)")
+    val files = manifest
+      .select("file", "key_bloom").collect()
+      .filter { r =>
+        Option(r.getAs[Array[Byte]]("key_bloom")).exists { bytes =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .mightContainLong(key)
+        }
+      }
+      .map(r => s"$path/data/${r.getString(0)}")
+    if (files.isEmpty) readClustered(spark, path).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Incremental append into a clustered store: the arrival batch is
@@ -94,7 +145,8 @@ object Layout {
     * FS API — one row per file, the same cost class as the manifest
     * itself); only the new files are scanned for their key bounds. */
   def appendClustered(df: DataFrame, zkey: Column, numFiles: Int,
-      path: String): Unit = {
+      path: String, bloomKey: Option[String] = None,
+      bloomExpectedPerFile: Long = 1L << 20): Unit = {
     val spark = df.sparkSession
     def dataFiles(): Set[String] = {
       val p = new org.apache.hadoop.fs.Path(s"$path/data")
@@ -109,9 +161,8 @@ object Layout {
       .write.mode("append").parquet(s"$path/data")
     val fresh = (dataFiles() -- before).toIndexedSeq.sorted
     if (fresh.nonEmpty)
-      spark.read.parquet(fresh.map(n => s"$path/data/$n"): _*)
-        .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
-        .agg(min("zkey").as("min_zkey"), max("zkey").as("max_zkey"))
+      manifestFor(spark, path, bloomKey, bloomExpectedPerFile,
+        onlyFiles = Some(fresh))
         .coalesce(1)
         .write.mode("append").parquet(s"$path/_manifest")
   }

@@ -1841,7 +1841,8 @@ object TrainQueries {
     * computes the same aggregate from the unclustered table, proving
     * the clustered store lossless. */
   private def zorderStoreDir(s: SparkSession, d: String): String = {
-    val dir = indexRoot(d, "zorder_lang_len", table = "documents")
+    // v2: manifest carries the per-file doc_id Bloom (point index)
+    val dir = indexRoot(d, "zorder_lang_len_v2", table = "documents")
     buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = graft.functions.Layout.denseDimIds(
         Tables.documents(s, d), "lang", "lang_id")
@@ -1851,7 +1852,8 @@ object TrainQueries {
         keyed.select(col("doc_id"), col("lang_id"), col("len_bucket"),
           col("n_chars")),
         graft.functions.Layout.mortonKey(col("lang_id"), col("len_bucket")),
-        numFiles = 8, path = s"$tmp/docs")
+        numFiles = 8, path = s"$tmp/docs",
+        bloomKey = Some("doc_id"), bloomExpectedPerFile = 1L << 16)
     }
     dir
   }
@@ -1887,6 +1889,23 @@ object TrainQueries {
     * table). The oracle is the full-corpus rectangle aggregate, so a
     * hash match proves the append lost nothing and the manifest prune
     * still finds every matching row across old AND new files. */
+  /** op140: point lookup on a column the Z-key does NOT cluster —
+    * doc_id is smeared across every file by the (lang, length) layout,
+    * so zkey ranges cannot prune it; the manifest's per-file Bloom
+    * filter (built as one grouped aggregate beside min/max) can. The
+    * lookup plans driver-side from one-row-per-file metadata — no
+    * false negatives, false positives only cost an extra file scan —
+    * then applies the exact predicate. The lakehouse bloom-index
+    * feature (Delta bloom filters / Iceberg puffin), made explicit. */
+  val op140PointLookup: Q = (s, d) =>
+    ordered(
+      graft.functions.Layout.readPointCandidates(
+          s, s"${zorderStoreDir(s, d)}/docs", key = 42L)
+        .filter(col("doc_id") === 42L)
+        .select(col("doc_id"), col("lang_id"), col("len_bucket"),
+          col("n_chars")),
+      "doc_id")
+
   val op139AppendScan: Q = (s, d) => {
     val dir = indexRoot(d, "zorder_lang_len_appended", table = "documents")
     buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
@@ -1986,6 +2005,7 @@ object TrainQueries {
     "op137_clustered_scan" -> op137ClusteredScan,
     "op138_pruned_scan" -> op138PrunedScan,
     "op139_append_scan" -> op139AppendScan,
+    "op140_point_lookup" -> op140PointLookup,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -3223,6 +3243,18 @@ object TrainQueries {
     // appended), so the rectangle aggregate — and the oracle — are
     // unchanged; the access path is what differs
     "op139_append_scan" -> rectAggSql,
+    // op140: the bloom-planned point lookup returns exactly the one
+    // document row — the oracle recomputes its derived dims directly
+    "op140_point_lookup" ->
+      """WITH lid AS (
+        |  SELECT doc_id, n_chars,
+        |         dense_rank() OVER (ORDER BY lang) - 1 AS lang_id,
+        |         LEAST(n_chars // 16, 65535) AS len_bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(lang_id AS BIGINT) AS lang_id,
+        |       CAST(len_bucket AS BIGINT) AS len_bucket,
+        |       CAST(n_chars AS BIGINT) AS n_chars
+        |FROM lid WHERE doc_id = 42 ORDER BY doc_id""".stripMargin,
   )
 
   private lazy val rectAggSql: String =

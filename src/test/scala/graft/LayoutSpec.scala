@@ -137,6 +137,53 @@ class LayoutSpec extends SparkSpec {
     assert(got == want, "pruned read must stay exact after append")
   }
 
+  test("per-file bloom index plans point lookups from the manifest without false negatives") {
+    val base = s"/tmp/graft_layout_spec_bloom_${ProcessHandle.current().pid()}"
+    val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"), col("n_chars"))
+    val zk = Layout.mortonKey(col("lang_id"), col("len_bucket"))
+    Layout.writeClustered(docs.filter(col("doc_id") % 5 =!= 0L), zk, 8,
+      s"$base/docs", bloomKey = Some("doc_id"), bloomExpectedPerFile = 1024)
+    Layout.appendClustered(docs.filter(col("doc_id") % 5 === 0L), zk, 4,
+      s"$base/docs", bloomKey = Some("doc_id"), bloomExpectedPerFile = 1024)
+
+    val total = Layout.readClustered(spark, s"$base/docs")
+      .select(input_file_name()).distinct().count()
+    // every present key must be found through the bloom plan (no false
+    // negatives), with fewer files scanned than the store holds
+    Seq(7L, 42L, 100L, 495L).foreach { k =>
+      val cand = Layout.readPointCandidates(spark, s"$base/docs", k)
+      val nFiles = cand.select(input_file_name()).distinct().count()
+      assert(nFiles < total, s"key $k: bloom should skip files ($nFiles of $total)")
+      val got = cand.filter(col("doc_id") === k).count()
+      assert(got == 1L, s"key $k: point lookup must find exactly its row")
+    }
+    // an absent key yields no row regardless of bloom false positives
+    assert(Layout.readPointCandidates(spark, s"$base/docs", 1L << 40)
+      .filter(col("doc_id") === (1L << 40)).count() == 0L)
+    // a store written WITHOUT the index fails loudly, not with a
+    // missing-field surprise
+    Layout.writeClustered(docs, zk, 4, s"$base/noindex")
+    val e = intercept[IllegalArgumentException] {
+      Layout.readPointCandidates(spark, s"$base/noindex", 7L)
+    }
+    assert(e.getMessage.contains("no point index"))
+  }
+
+  test("denseDimIds broadcasts the id map and windows only the distinct values") {
+    val plan = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension id map must broadcast-join back, not sort-merge:\n$plan")
+    // the single-partition window runs over the DISTINCT dimension
+    // values (cardinality of `lang`), never the corpus — the corpus
+    // side of the plan must carry no Window
+    assert(plan.contains("Window") && plan.contains("HashAggregate"),
+      s"ids should come from ranking the distinct values:\n$plan")
+  }
+
   test("clustered scan pushes the rectangle predicate to the parquet scan") {
     val base = s"/tmp/graft_layout_spec_push_${ProcessHandle.current().pid()}"
     val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
