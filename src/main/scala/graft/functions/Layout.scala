@@ -167,6 +167,77 @@ object Layout {
         .write.mode("append").parquet(s"$path/_manifest")
   }
 
+  // ---- merge-on-read deletes (tombstones) ----
+
+  private def tombstoneDir(path: String) = s"$path/_tombstones"
+
+  private def hasTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombstoneDir(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Merge-on-read DELETE: the keys land as an appended tombstone
+    * parquet (self-describing — its single column names the key), and
+    * every `*Current` read anti-joins them out. Nothing in the data or
+    * manifest is rewritten — deleting N keys from a 100 TB store costs
+    * O(N), not a table rewrite; [[compactClustered]] later applies the
+    * tombstones physically and clears them (merge-on-read → copy-on-
+    * write at the maintenance cadence, the Delta/Iceberg deletion-
+    * vector trade). */
+  def deleteByKeys(keys: DataFrame, path: String): Unit = {
+    require(keys.schema.fields.length == 1,
+      "tombstones carry exactly one key column (its name binds the join)")
+    keys.distinct().write.mode("append").parquet(tombstoneDir(path))
+  }
+
+  /** Anti-join the store's tombstones (if any) out of `df`. The join
+    * key is read from the tombstone file's own column name. */
+  private def minusTombstones(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, path: String): DataFrame =
+    if (!hasTombstones(spark, path)) df
+    else {
+      val t = spark.read.parquet(tombstoneDir(path))
+      df.join(t, Seq(t.schema.fields.head.name), "left_anti")
+    }
+
+  /** The store's CURRENT contents: data minus tombstoned keys. */
+  def readCurrent(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    minusTombstones(spark, readClustered(spark, path), path)
+
+  /** Manifest-pruned rectangle read of the CURRENT contents. */
+  def readPrunedCurrent(spark: org.apache.spark.sql.SparkSession,
+      path: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame =
+    minusTombstones(spark, readPruned(spark, path, aLo, aHi, bLo, bHi), path)
+
+  /** Compaction: rewrite the store's accumulated files (base build +
+    * appends) into `numFiles` freshly range-partitioned, key-sorted
+    * files with a rebuilt manifest — the periodic maintenance step
+    * that restores tight per-file key rectangles after incremental
+    * ingest has fragmented them. One range shuffle of the CURRENT
+    * store (not the original corpus); published by directory swap so
+    * a crash mid-compact leaves the old store intact (readers in this
+    * single-writer maintenance window are the caller's concern, as
+    * with any lakehouse OPTIMIZE). Tombstoned rows are applied
+    * PHYSICALLY here — the rewrite reads the current view — and the
+    * tombstone set dies with the old directory in the swap. */
+  def compactClustered(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int, bloomKey: Option[String] = None,
+      bloomExpectedPerFile: Long = 1L << 20): Unit = {
+    val tmp = s"$path.compacting-${ProcessHandle.current().pid()}"
+    // the stored zkey IS the cluster key (withColumn self-assign is a
+    // no-op projection), so compaction never recomputes dimensions
+    writeClustered(readCurrent(spark, path), col("zkey"),
+      numFiles, tmp, bloomKey, bloomExpectedPerFile)
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(): Unit
+    }
+    rmRf(new java.io.File(path))
+    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+      s"compaction publish failed for $path")
+  }
+
   /** Full (unpruned) read of a clustered store. */
   def readClustered(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(s"$path/data")

@@ -1906,23 +1906,128 @@ object TrainQueries {
           col("n_chars")),
       "doc_id")
 
+  /** The keyed corpus every layout store clusters: dense lang ids +
+    * capped length band (see op136). */
+  private def layoutKeyed(s: SparkSession, d: String): DataFrame =
+    graft.functions.Layout.denseDimIds(
+      Tables.documents(s, d), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"),
+        col("n_chars"))
+
+  private def layoutZk: org.apache.spark.sql.Column =
+    graft.functions.Layout.mortonKey(col("lang_id"), col("len_bucket"))
+
   val op139AppendScan: Q = (s, d) => {
     val dir = indexRoot(d, "zorder_lang_len_appended", table = "documents")
     buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
-      val keyed = graft.functions.Layout.denseDimIds(
-        Tables.documents(s, d), "lang", "lang_id")
-        .withColumn("len_bucket",
-          least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
-        .select(col("doc_id"), col("lang_id"), col("len_bucket"),
-          col("n_chars"))
-      val zk = graft.functions.Layout.mortonKey(
-        col("lang_id"), col("len_bucket"))
+      val keyed = layoutKeyed(s, d)
       graft.functions.Layout.writeClustered(
-        keyed.filter(col("doc_id") % 5 =!= 0L), zk, numFiles = 8,
+        keyed.filter(col("doc_id") % 5 =!= 0L), layoutZk, numFiles = 8,
         path = s"$tmp/docs")
       graft.functions.Layout.appendClustered(
-        keyed.filter(col("doc_id") % 5 === 0L), zk, numFiles = 4,
+        keyed.filter(col("doc_id") % 5 === 0L), layoutZk, numFiles = 4,
         path = s"$tmp/docs")
+    }
+    rectAgg(graft.functions.Layout.readPruned(
+      s, s"$dir/docs", aLo = 1L, aHi = 1L, bLo = 4L, bHi = 20L))
+  }
+
+  /** op141: pruned rectangle scan AFTER COMPACTION — three append
+    * rounds fragment the store (base + 3×4 small files), then
+    * `Layout.compactClustered` rewrites it into 4 freshly
+    * range-partitioned key-sorted files with a rebuilt manifest (one
+    * range shuffle of the CURRENT store, dimensions never recomputed —
+    * the stored zkey is the cluster key). The oracle is unchanged:
+    * compaction must move bytes, not answers. Completes the layout
+    * lifecycle: build → scan → prune → append → compact. */
+  val op141CompactedScan: Q = (s, d) => {
+    val dir = indexRoot(d, "zorder_lang_len_compacted", table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      val keyed = layoutKeyed(s, d)
+      graft.functions.Layout.writeClustered(
+        keyed.filter(col("doc_id") % 4 === 0L), layoutZk, numFiles = 4,
+        path = s"$tmp/docs")
+      (1L to 3L).foreach { r =>
+        graft.functions.Layout.appendClustered(
+          keyed.filter(col("doc_id") % 4 === r), layoutZk, numFiles = 4,
+          path = s"$tmp/docs")
+      }
+      graft.functions.Layout.compactClustered(s, s"$tmp/docs", numFiles = 4)
+    }
+    rectAgg(graft.functions.Layout.readPruned(
+      s, s"$dir/docs", aLo = 1L, aHi = 1L, bLo = 4L, bHi = 20L))
+  }
+
+  /** op143: merge-on-read DELETE — a key slice is tombstoned (an O(N)
+    * appended key file; no data or manifest rewrite, the GDPR-delete
+    * shape for a 100 TB store) and the pruned rectangle scan of the
+    * CURRENT view anti-joins it out. The oracle excludes the same
+    * slice from the unclustered table, so a hash match proves the
+    * tombstones removed exactly the deleted keys and nothing else.
+    * Compaction applying tombstones physically is LayoutSpec's. */
+  val op143DeleteScan: Q = (s, d) => {
+    val dir = indexRoot(d, "zorder_lang_len_deleted", table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      graft.functions.Layout.writeClustered(
+        layoutKeyed(s, d), layoutZk, numFiles = 8, path = s"$tmp/docs")
+      graft.functions.Layout.deleteByKeys(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 3L)
+          .select(col("doc_id")),
+        s"$tmp/docs")
+    }
+    rectAgg(graft.functions.Layout.readPrunedCurrent(
+      s, s"$dir/docs", aLo = 1L, aHi = 1L, bLo = 4L, bHi = 20L))
+  }
+
+  /** op142: STREAMING ingest into the clustered store — the layout
+    * family's online leg (the op104/op132/op134 symmetry). Arrivals
+    * stream in via AvailableNow and every micro-batch lands through
+    * `Layout.appendClustered` in `foreachBatch`: new key-sorted files
+    * + manifest rows, nothing rewritten — continuous ingest into a
+    * Z-ordered table as it would run in production (dimension ids
+    * resolved per batch against the broadcast id map; a real deploy
+    * pins the map or re-ranks offline). The oracle is the full-corpus
+    * rectangle aggregate through the pruned path: the stream provably
+    * lost nothing and the manifest stayed exact. */
+  val op142StreamClusteredIngest: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = indexRoot(d, "zorder_lang_len_streamed", table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      graft.functions.Layout.writeClustered(
+        layoutKeyed(s, d).filter(col("doc_id") % 5 =!= 0L), layoutZk,
+        numFiles = 8, path = s"$tmp/docs")
+      // dimension-id map resolved ONCE from the static corpus: the
+      // stream joins against it per batch (tiny broadcast)
+      val langIds = graft.functions.Layout.denseDimIds(
+        Tables.documents(s, d), "lang", "lang_id")
+        .select(col("lang"), col("lang_id")).distinct()
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val streamDir =
+        java.nio.file.Files.createTempDirectory("graft_zingest_")
+      val link = streamDir.resolve("documents.parquet")
+      try {
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$d/documents.parquet"))
+        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+          .filter(col("doc_id") % 5 === 0L)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val keyed = batch.join(broadcast(langIds), "lang")
+              .withColumn("len_bucket",
+                least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+              .select(col("doc_id"), col("lang_id"), col("len_bucket"),
+                col("n_chars"))
+            graft.functions.Layout.appendClustered(
+              keyed, layoutZk, numFiles = 4, path = s"$tmp/docs")
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.deleteIfExists(streamDir): Unit
+      }
     }
     rectAgg(graft.functions.Layout.readPruned(
       s, s"$dir/docs", aLo = 1L, aHi = 1L, bLo = 4L, bHi = 20L))
@@ -2006,6 +2111,9 @@ object TrainQueries {
     "op138_pruned_scan" -> op138PrunedScan,
     "op139_append_scan" -> op139AppendScan,
     "op140_point_lookup" -> op140PointLookup,
+    "op141_compacted_scan" -> op141CompactedScan,
+    "op142_stream_clustered_ingest" -> op142StreamClusteredIngest,
+    "op143_delete_scan" -> op143DeleteScan,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -3243,6 +3351,25 @@ object TrainQueries {
     // appended), so the rectangle aggregate — and the oracle — are
     // unchanged; the access path is what differs
     "op139_append_scan" -> rectAggSql,
+    // op141/op142: compaction moves bytes, not answers; the streamed
+    // ingest provably loses nothing — same full-corpus rectangle gate
+    "op141_compacted_scan" -> rectAggSql,
+    "op142_stream_clustered_ingest" -> rectAggSql,
+    // op143: the oracle excludes the tombstoned slice directly — the
+    // merge-on-read view must remove exactly those keys
+    "op143_delete_scan" ->
+      """WITH lid AS (
+        |  SELECT doc_id, n_chars,
+        |         dense_rank() OVER (ORDER BY lang) - 1 AS lang_id,
+        |         LEAST(n_chars // 16, 65535) AS len_bucket
+        |  FROM documents)
+        |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM lid
+        |WHERE lang_id = 1 AND len_bucket BETWEEN 4 AND 20
+        |  AND doc_id % 10 <> 3
+        |GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
     // op140: the bloom-planned point lookup returns exactly the one
     // document row — the oracle recomputes its derived dims directly
     "op140_point_lookup" ->

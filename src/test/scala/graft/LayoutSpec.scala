@@ -137,6 +137,85 @@ class LayoutSpec extends SparkSpec {
     assert(got == want, "pruned read must stay exact after append")
   }
 
+  test("compaction merges fragmented files, rebuilds the manifest, moves no rows") {
+    val base = s"/tmp/graft_layout_spec_compact_${ProcessHandle.current().pid()}"
+    val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"), col("n_chars"))
+    val zk = Layout.mortonKey(col("lang_id"), col("len_bucket"))
+    Layout.writeClustered(docs.filter(col("doc_id") % 4 === 0L), zk, 4, s"$base/docs")
+    (1L to 3L).foreach { r =>
+      Layout.appendClustered(docs.filter(col("doc_id") % 4 === r), zk, 4, s"$base/docs")
+    }
+    def nFiles = Layout.readClustered(spark, s"$base/docs")
+      .select(input_file_name()).distinct().count()
+    val fragmented = nFiles
+    assert(fragmented >= 12, s"appends should fragment the store ($fragmented files)")
+
+    Layout.compactClustered(spark, s"$base/docs", numFiles = 4,
+      bloomKey = Some("doc_id"), bloomExpectedPerFile = 1024)
+
+    assert(nFiles < fragmented / 2, s"compaction should merge files ($nFiles left)")
+    val manifest = spark.read.parquet(s"$base/docs/_manifest")
+    assert(manifest.count() == nFiles, "manifest must be rebuilt to the new files")
+    // rows identical, pruned read exact, and the point index works on
+    // the compacted store (bloomKey applied during compaction)
+    assert(Layout.readClustered(spark, s"$base/docs").count() == docs.count())
+    val rect = col("lang_id") === 2L && col("len_bucket").between(16L, 23L)
+    val want = docs.filter(rect).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = Layout.readPruned(spark, s"$base/docs", 2L, 2L, 16L, 23L)
+      .filter(rect).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "pruned read must stay exact after compaction")
+    assert(Layout.readPointCandidates(spark, s"$base/docs", 42L)
+      .filter(col("doc_id") === 42L).count() == 1L)
+  }
+
+  test("merge-on-read delete: tombstones hide keys everywhere, compaction applies them physically") {
+    val base = s"/tmp/graft_layout_spec_delete_${ProcessHandle.current().pid()}"
+    val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"), col("n_chars"))
+    val zk = Layout.mortonKey(col("lang_id"), col("len_bucket"))
+    Layout.writeClustered(docs, zk, 8, s"$base/docs",
+      bloomKey = Some("doc_id"), bloomExpectedPerFile = 1024)
+
+    val dataBefore = new java.io.File(s"$base/docs/data")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    Layout.deleteByKeys(docs.filter(col("doc_id") % 10 === 3L)
+      .select(col("doc_id")), s"$base/docs")
+
+    // delete is O(keys): no data or manifest file rewritten
+    val dataAfter = new java.io.File(s"$base/docs/data")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(dataAfter == dataBefore, "delete must not touch data files")
+
+    val wantLive = docs.filter(col("doc_id") % 10 =!= 3L)
+    assert(Layout.readCurrent(spark, s"$base/docs").count() == wantLive.count())
+    // deleted keys vanish from every read path: full, pruned, point
+    assert(Layout.readCurrent(spark, s"$base/docs")
+      .filter(col("doc_id") === 3L).count() == 0L)
+    val rect = col("lang_id") === 2L && col("len_bucket").between(16L, 23L)
+    val wantRect = wantLive.filter(rect).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(Layout.readPrunedCurrent(spark, s"$base/docs", 2L, 2L, 16L, 23L)
+      .filter(rect).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == wantRect)
+
+    // compaction applies tombstones physically and clears them
+    Layout.compactClustered(spark, s"$base/docs", numFiles = 4,
+      bloomKey = Some("doc_id"), bloomExpectedPerFile = 1024)
+    assert(!new java.io.File(s"$base/docs/_tombstones").exists(),
+      "compaction must clear applied tombstones")
+    assert(Layout.readClustered(spark, s"$base/docs").count() == wantLive.count(),
+      "compacted data must physically exclude deleted rows")
+    assert(Layout.readClustered(spark, s"$base/docs")
+      .filter(col("doc_id") % 10 === 3L).count() == 0L)
+  }
+
   test("per-file bloom index plans point lookups from the manifest without false negatives") {
     val base = s"/tmp/graft_layout_spec_bloom_${ProcessHandle.current().pid()}"
     val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
