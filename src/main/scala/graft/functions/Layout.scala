@@ -68,12 +68,14 @@ object Layout {
     * — driver-trivial). */
   def writeClustered(df: DataFrame, zkey: Column, numFiles: Int,
       path: String, bloomKey: Option[String] = None,
-      bloomExpectedPerFile: Long = 1L << 20): Unit = {
+      bloomExpectedPerFile: Long = 1L << 20,
+      statsCols: Seq[String] = Nil): Unit = {
     df.withColumn("zkey", zkey)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(s"$path/data")
-    manifestFor(df.sparkSession, path, bloomKey, bloomExpectedPerFile)
+    manifestFor(df.sparkSession, path, bloomKey, bloomExpectedPerFile,
+      statsCols = statsCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
   }
@@ -89,12 +91,18 @@ object Layout {
     * those files (the append path). */
   private def manifestFor(spark: org.apache.spark.sql.SparkSession,
       path: String, bloomKey: Option[String], bloomExpected: Long,
-      onlyFiles: Option[Seq[String]] = None): DataFrame = {
+      onlyFiles: Option[Seq[String]] = None,
+      statsCols: Seq[String] = Nil): DataFrame = {
     val data = onlyFiles match {
       case Some(names) => spark.read.parquet(names.map(n => s"$path/data/$n"): _*)
       case None => spark.read.parquet(s"$path/data")
     }
-    val boundsCols = Seq(min("zkey").as("min_zkey"), max("zkey").as("max_zkey"))
+    // per-file row count + per-column bounds (the Iceberg-style column
+    // stats): what lets an aggregate over a contained file be answered
+    // from METADATA — no scan (see countRectangleMeta)
+    val boundsCols = Seq(min("zkey").as("min_zkey"), max("zkey").as("max_zkey"),
+      count(lit(1)).as("n_rows")) ++
+      statsCols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c")))
     val aggCols = boundsCols ++ bloomKey.map { k =>
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -146,7 +154,8 @@ object Layout {
     * itself); only the new files are scanned for their key bounds. */
   def appendClustered(df: DataFrame, zkey: Column, numFiles: Int,
       path: String, bloomKey: Option[String] = None,
-      bloomExpectedPerFile: Long = 1L << 20): Unit = {
+      bloomExpectedPerFile: Long = 1L << 20,
+      statsCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     def dataFiles(): Set[String] = {
       val p = new org.apache.hadoop.fs.Path(s"$path/data")
@@ -162,7 +171,7 @@ object Layout {
     val fresh = (dataFiles() -- before).toIndexedSeq.sorted
     if (fresh.nonEmpty)
       manifestFor(spark, path, bloomKey, bloomExpectedPerFile,
-        onlyFiles = Some(fresh))
+        onlyFiles = Some(fresh), statsCols = statsCols)
         .coalesce(1)
         .write.mode("append").parquet(s"$path/_manifest")
   }
@@ -224,18 +233,60 @@ object Layout {
     * tombstone set dies with the old directory in the swap. */
   def compactClustered(spark: org.apache.spark.sql.SparkSession,
       path: String, numFiles: Int, bloomKey: Option[String] = None,
-      bloomExpectedPerFile: Long = 1L << 20): Unit = {
+      bloomExpectedPerFile: Long = 1L << 20,
+      statsCols: Seq[String] = Nil): Unit = {
     val tmp = s"$path.compacting-${ProcessHandle.current().pid()}"
     // the stored zkey IS the cluster key (withColumn self-assign is a
     // no-op projection), so compaction never recomputes dimensions
     writeClustered(readCurrent(spark, path), col("zkey"),
-      numFiles, tmp, bloomKey, bloomExpectedPerFile)
+      numFiles, tmp, bloomKey, bloomExpectedPerFile, statsCols)
     def rmRf(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(): Unit
     }
     rmRf(new java.io.File(path))
     require(new java.io.File(tmp).renameTo(new java.io.File(path)),
       s"compaction publish failed for $path")
+  }
+
+  /** Planning result of a metadata-first rectangle count: how much was
+    * answered scan-free. */
+  case class RectCount(count: Long, metaOnlyFiles: Long, scannedFiles: Long)
+
+  /** Metadata-first COUNT over a dimension rectangle — the Iceberg
+    * "scan-free aggregation" shape: a file whose per-column bounds
+    * (written by `statsCols`) lie ENTIRELY inside the rectangle
+    * contributes its manifest `n_rows` without being opened; only
+    * boundary files (bounds intersect but aren't contained) are
+    * scanned with the exact predicate. At 100 TB a selective rectangle
+    * over a well-clustered table answers almost entirely from the
+    * one-row-per-file manifest — the scan cost is proportional to the
+    * rectangle's BOUNDARY, not its volume. Requires a tombstone-free
+    * store (metadata counts can't see row-level deletes; compact
+    * first — the same rule lakehouse engines apply to stats-based
+    * answers). */
+  def countRectangleMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, bounds: Seq[(String, Long, Long)]): RectCount = {
+    require(bounds.nonEmpty, "give at least one (column, lo, hi) bound")
+    require(!hasTombstones(spark, path),
+      s"store at $path has tombstones: metadata counts would overcount " +
+        "deleted rows — compact first")
+    val intersects = bounds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo }.reduce(_ && _)
+    val contained = bounds.map { case (c, lo, hi) =>
+      col(s"min_$c") >= lo && col(s"max_$c") <= hi }.reduce(_ && _)
+    val rows = spark.read.parquet(s"$path/_manifest")
+      .filter(intersects)
+      .select(col("file"), col("n_rows"), contained.as("contained"))
+      .collect()
+    val (full, boundary) = rows.partition(_.getBoolean(2))
+    val scanned = if (boundary.isEmpty) 0L
+    else spark.read.parquet(
+        boundary.map(r => s"$path/data/${r.getString(0)}").toIndexedSeq: _*)
+      .filter(bounds.map { case (c, lo, hi) =>
+        col(c) >= lo && col(c) <= hi }.reduce(_ && _))
+      .count()
+    RectCount(full.map(_.getLong(1)).sum + scanned,
+      full.length.toLong, boundary.length.toLong)
   }
 
   /** Full (unpruned) read of a clustered store. */

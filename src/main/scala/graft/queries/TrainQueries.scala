@@ -1841,8 +1841,9 @@ object TrainQueries {
     * computes the same aggregate from the unclustered table, proving
     * the clustered store lossless. */
   private def zorderStoreDir(s: SparkSession, d: String): String = {
-    // v2: manifest carries the per-file doc_id Bloom (point index)
-    val dir = indexRoot(d, "zorder_lang_len_v2", table = "documents")
+    // v3: manifest carries the per-file doc_id Bloom (point index) AND
+    // per-dimension column bounds + n_rows (metadata-only aggregation)
+    val dir = indexRoot(d, "zorder_lang_len_v3", table = "documents")
     buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = graft.functions.Layout.denseDimIds(
         Tables.documents(s, d), "lang", "lang_id")
@@ -1853,7 +1854,8 @@ object TrainQueries {
           col("n_chars")),
         graft.functions.Layout.mortonKey(col("lang_id"), col("len_bucket")),
         numFiles = 8, path = s"$tmp/docs",
-        bloomKey = Some("doc_id"), bloomExpectedPerFile = 1L << 16)
+        bloomKey = Some("doc_id"), bloomExpectedPerFile = 1L << 16,
+        statsCols = Seq("lang_id", "len_bucket"))
     }
     dir
   }
@@ -1958,6 +1960,22 @@ object TrainQueries {
     }
     rectAgg(graft.functions.Layout.readPruned(
       s, s"$dir/docs", aLo = 1L, aHi = 1L, bLo = 4L, bHi = 20L))
+  }
+
+  /** op144: metadata-only rectangle COUNT — the manifest's per-file
+    * column bounds + n_rows answer the aggregate for every file whose
+    * bounds lie inside the rectangle WITHOUT opening it; only boundary
+    * files are scanned with the exact predicate (Iceberg's scan-free
+    * aggregation, made explicit). The driver-side literal is the
+    * metadata answer BY DESIGN — the point of the op is that the
+    * corpus is (mostly) never read. The oracle counts the unclustered
+    * table directly: stats-derived and scan-derived answers must
+    * agree exactly. */
+  val op144MetaCount: Q = (s, d) => {
+    val rc = graft.functions.Layout.countRectangleMeta(
+      s, s"${zorderStoreDir(s, d)}/docs",
+      Seq(("lang_id", 1L, 1L), ("len_bucket", 4L, 20L)))
+    s.range(1).select(lit(rc.count).cast("bigint").as("n_docs"))
   }
 
   /** op143: merge-on-read DELETE — a key slice is tombstoned (an O(N)
@@ -2114,6 +2132,7 @@ object TrainQueries {
     "op141_compacted_scan" -> op141CompactedScan,
     "op142_stream_clustered_ingest" -> op142StreamClusteredIngest,
     "op143_delete_scan" -> op143DeleteScan,
+    "op144_meta_count" -> op144MetaCount,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -3370,6 +3389,16 @@ object TrainQueries {
         |WHERE lang_id = 1 AND len_bucket BETWEEN 4 AND 20
         |  AND doc_id % 10 <> 3
         |GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
+    // op144: the metadata-derived count must equal the direct count
+    "op144_meta_count" ->
+      """WITH lid AS (
+        |  SELECT doc_id,
+        |         dense_rank() OVER (ORDER BY lang) - 1 AS lang_id,
+        |         LEAST(n_chars // 16, 65535) AS len_bucket
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs
+        |FROM lid WHERE lang_id = 1 AND len_bucket BETWEEN 4 AND 20
+        |ORDER BY n_docs""".stripMargin,
     // op140: the bloom-planned point lookup returns exactly the one
     // document row — the oracle recomputes its derived dims directly
     "op140_point_lookup" ->

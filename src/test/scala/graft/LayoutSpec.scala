@@ -171,6 +171,55 @@ class LayoutSpec extends SparkSpec {
       .filter(col("doc_id") === 42L).count() == 1L)
   }
 
+  test("metadata-only count: contained files answer from stats, boundary files scan, result exact") {
+    val base = s"/tmp/graft_layout_spec_stats_${ProcessHandle.current().pid()}"
+    val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"), col("n_chars"))
+    val zk = Layout.mortonKey(col("lang_id"), col("len_bucket"))
+    Layout.writeClustered(docs, zk, 16, s"$base/docs",
+      statsCols = Seq("lang_id", "len_bucket"))
+
+    // manifest stats are complete: per-file n_rows sums to the corpus
+    val manifest = spark.read.parquet(s"$base/docs/_manifest")
+    assert(manifest.agg(sum("n_rows")).head().getLong(0) == docs.count())
+
+    // a WIDE rectangle (every lang, most length bands) has interior
+    // files answered purely from metadata and only boundary files read
+    def direct(b: Seq[(String, Long, Long)]): Long =
+      docs.filter(b.map { case (c, lo, hi) =>
+        col(c) >= lo && col(c) <= hi }.reduce(_ && _)).count()
+    val wide = Seq(("lang_id", 0L, 4L), ("len_bucket", 0L, 30L))
+    val rcWide = Layout.countRectangleMeta(spark, s"$base/docs", wide)
+    assert(rcWide.count == direct(wide), "wide rectangle count must be exact")
+    assert(rcWide.metaOnlyFiles >= 1,
+      s"wide rectangle should answer some files from metadata ($rcWide)")
+    // a selective rectangle is exact too (boundary-scan path)
+    val narrow = Seq(("lang_id", 1L, 1L), ("len_bucket", 4L, 20L))
+    val rcNarrow = Layout.countRectangleMeta(spark, s"$base/docs", narrow)
+    assert(rcNarrow.count == direct(narrow), "narrow rectangle count must be exact")
+    assert(rcNarrow.metaOnlyFiles + rcNarrow.scannedFiles < 16L,
+      s"manifest bounds should exclude non-intersecting files ($rcNarrow)")
+
+    // tombstones poison metadata counts — the API must refuse, and
+    // compaction (which applies them) must restore it
+    Layout.deleteByKeys(docs.filter(col("doc_id") % 10 === 3L)
+      .select(col("doc_id")), s"$base/docs")
+    val e = intercept[IllegalArgumentException] {
+      Layout.countRectangleMeta(spark, s"$base/docs", wide)
+    }
+    assert(e.getMessage.contains("tombstones"))
+    Layout.compactClustered(spark, s"$base/docs", numFiles = 8,
+      statsCols = Seq("lang_id", "len_bucket"))
+    val after = Layout.countRectangleMeta(spark, s"$base/docs", wide)
+    val liveInWide = docs.filter(col("doc_id") % 10 =!= 3L)
+      .filter(wide.map { case (c, lo, hi) =>
+        col(c) >= lo && col(c) <= hi }.reduce(_ && _)).count()
+    assert(after.count == liveInWide,
+      "metadata count must reflect the compacted (delete-applied) store")
+  }
+
   test("merge-on-read delete: tombstones hide keys everywhere, compaction applies them physically") {
     val base = s"/tmp/graft_layout_spec_delete_${ProcessHandle.current().pid()}"
     val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
