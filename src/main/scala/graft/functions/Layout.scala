@@ -220,6 +220,82 @@ object Layout {
       path: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame =
     minusTombstones(spark, readPruned(spark, path, aLo, aHi, bLo, bHi), path)
 
+  // ---- snapshots / time travel ----
+
+  private def commitsDir(path: String) = s"$path/_commits"
+
+  private def fs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Commit the store's CURRENT metadata state as an immutable
+    * snapshot and return its id (1, 2, …). A snapshot is a copy of the
+    * manifest (one row per live file) plus the tombstone set if any —
+    * pure metadata, the Delta-log/Iceberg-snapshot trade: versions
+    * cost one manifest copy each, data files are shared across
+    * versions. Valid for the append/delete lifecycle, where data
+    * files are never removed; compaction rewrites data files and
+    * therefore invalidates older snapshots (a lakehouse engine keeps
+    * pre-compaction files until snapshot expiry — here, expire before
+    * compacting). */
+  def commitSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val next = listSnapshots(spark, path).lastOption.getOrElse(0L) + 1
+    val dir = s"${commitsDir(path)}/c=$next"
+    spark.read.parquet(s"$path/_manifest")
+      .coalesce(1).write.parquet(s"$dir/manifest")
+    if (hasTombstones(spark, path))
+      spark.read.parquet(tombstoneDir(path))
+        .coalesce(1).write.parquet(s"$dir/tombstones")
+    next
+  }
+
+  /** Snapshot ids present, ascending. */
+  def listSnapshots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] = {
+    val (f, p) = fs(spark, commitsDir(path))
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("c=") => n.drop(2).toLong }
+      .sorted.toIndexedSeq
+  }
+
+  /** Read the store AS OF a snapshot: exactly the files the snapshot's
+    * manifest lists, minus the keys its tombstone set held at commit
+    * time. Later appends and deletes are invisible — the reproducible-
+    * pipeline contract (a training run pinned to snapshot N reads the
+    * same corpus forever, while ingest continues on HEAD). */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, path: String,
+      commit: Long): DataFrame = {
+    val dir = s"${commitsDir(path)}/c=$commit"
+    val (f, p) = fs(spark, dir)
+    require(f.exists(p),
+      s"no snapshot c=$commit at $path (have: ${listSnapshots(spark, path).mkString(", ")})")
+    val files = spark.read.parquet(s"$dir/manifest")
+      .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
+    val data =
+      if (files.isEmpty) readClustered(spark, path).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones"))) data
+    else {
+      val t = spark.read.parquet(s"$dir/tombstones")
+      data.join(t, Seq(t.schema.fields.head.name), "left_anti")
+    }
+  }
+
+  /** Drop all but the newest `keepLast` snapshots (expiry). Data files
+    * are untouched — in the append/delete lifecycle every file is
+    * still referenced by the live manifest. */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepLast: Int): Unit = {
+    val ids = listSnapshots(spark, path)
+    ids.dropRight(keepLast).foreach { c =>
+      val (f, p) = fs(spark, s"${commitsDir(path)}/c=$c")
+      f.delete(p, true): Unit
+    }
+  }
+
   /** Compaction: rewrite the store's accumulated files (base build +
     * appends) into `numFiles` freshly range-partitioned, key-sorted
     * files with a rebuilt manifest — the periodic maintenance step

@@ -1962,6 +1962,37 @@ object TrainQueries {
       s, s"$dir/docs", aLo = 1L, aHi = 1L, bLo = 4L, bHi = 20L))
   }
 
+  /** op145: TIME TRAVEL — the store commits a metadata snapshot after
+    * each mutation (build → append → delete), and the query reads
+    * AS OF the pre-delete snapshot: the full corpus, while HEAD has a
+    * 10% slice tombstoned away. Snapshots are one manifest copy each
+    * (data files shared across versions — the Delta-log/Iceberg
+    * trade); this is the reproducible-pipeline contract, a training
+    * run pinned to snapshot N reads the same corpus forever. The
+    * oracle is the FULL-corpus rectangle aggregate — hash-matching it
+    * through a store whose current view is smaller proves the
+    * snapshot isolation real. */
+  val op145TimeTravel: Q = (s, d) => {
+    val dir = indexRoot(d, "zorder_lang_len_versioned", table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      val keyed = layoutKeyed(s, d)
+      graft.functions.Layout.writeClustered(
+        keyed.filter(col("doc_id") % 5 =!= 0L), layoutZk, numFiles = 8,
+        path = s"$tmp/docs")
+      graft.functions.Layout.commitSnapshot(s, s"$tmp/docs") // c=1: base
+      graft.functions.Layout.appendClustered(
+        keyed.filter(col("doc_id") % 5 === 0L), layoutZk, numFiles = 4,
+        path = s"$tmp/docs")
+      graft.functions.Layout.commitSnapshot(s, s"$tmp/docs") // c=2: full
+      graft.functions.Layout.deleteByKeys(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 3L)
+          .select(col("doc_id")),
+        s"$tmp/docs")
+      graft.functions.Layout.commitSnapshot(s, s"$tmp/docs") // c=3: deleted
+    }
+    rectAgg(graft.functions.Layout.readAsOf(s, s"$dir/docs", commit = 2L))
+  }
+
   /** op144: metadata-only rectangle COUNT — the manifest's per-file
     * column bounds + n_rows answer the aggregate for every file whose
     * bounds lie inside the rectangle WITHOUT opening it; only boundary
@@ -2133,6 +2164,7 @@ object TrainQueries {
     "op142_stream_clustered_ingest" -> op142StreamClusteredIngest,
     "op143_delete_scan" -> op143DeleteScan,
     "op144_meta_count" -> op144MetaCount,
+    "op145_time_travel" -> op145TimeTravel,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -3374,6 +3406,11 @@ object TrainQueries {
     // ingest provably loses nothing — same full-corpus rectangle gate
     "op141_compacted_scan" -> rectAggSql,
     "op142_stream_clustered_ingest" -> rectAggSql,
+    // op145 reads AS OF the pre-delete snapshot — the FULL corpus,
+    // though the store's current view has a slice tombstoned: the
+    // full-corpus oracle passing through a smaller HEAD proves the
+    // snapshot isolation (op143's oracle pins what HEAD looks like)
+    "op145_time_travel" -> rectAggSql,
     // op143: the oracle excludes the tombstoned slice directly — the
     // merge-on-read view must remove exactly those keys
     "op143_delete_scan" ->

@@ -171,6 +171,47 @@ class LayoutSpec extends SparkSpec {
       .filter(col("doc_id") === 42L).count() == 1L)
   }
 
+  test("time travel: snapshots pin every version of the append/delete lifecycle; expiry fails loudly") {
+    val base = s"/tmp/graft_layout_spec_tt_${ProcessHandle.current().pid()}"
+    val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
+      .withColumn("len_bucket",
+        least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+      .select(col("doc_id"), col("lang_id"), col("len_bucket"), col("n_chars"))
+    val zk = Layout.mortonKey(col("lang_id"), col("len_bucket"))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    Layout.writeClustered(docs.filter(col("doc_id") % 5 =!= 0L), zk, 8, s"$base/docs")
+    assert(Layout.commitSnapshot(spark, s"$base/docs") == 1L)
+    Layout.appendClustered(docs.filter(col("doc_id") % 5 === 0L), zk, 4, s"$base/docs")
+    assert(Layout.commitSnapshot(spark, s"$base/docs") == 2L)
+    Layout.deleteByKeys(docs.filter(col("doc_id") % 10 === 3L)
+      .select(col("doc_id")), s"$base/docs")
+    assert(Layout.commitSnapshot(spark, s"$base/docs") == 3L)
+    assert(Layout.listSnapshots(spark, s"$base/docs") == Seq(1L, 2L, 3L))
+
+    // each version is exactly its lifecycle state — later mutations
+    // invisible to earlier snapshots
+    assert(ids(Layout.readAsOf(spark, s"$base/docs", 1L))
+      == ids(docs.filter(col("doc_id") % 5 =!= 0L)))
+    assert(ids(Layout.readAsOf(spark, s"$base/docs", 2L)) == ids(docs))
+    assert(ids(Layout.readAsOf(spark, s"$base/docs", 3L))
+      == ids(docs.filter(col("doc_id") % 10 =!= 3L)))
+    // and HEAD equals the newest snapshot
+    assert(ids(Layout.readCurrent(spark, s"$base/docs"))
+      == ids(Layout.readAsOf(spark, s"$base/docs", 3L)))
+
+    // expiry drops old versions; reading one fails loudly
+    Layout.expireSnapshots(spark, s"$base/docs", keepLast = 2)
+    assert(Layout.listSnapshots(spark, s"$base/docs") == Seq(2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      Layout.readAsOf(spark, s"$base/docs", 1L)
+    }
+    assert(e.getMessage.contains("no snapshot"))
+    assert(ids(Layout.readAsOf(spark, s"$base/docs", 2L)) == ids(docs),
+      "surviving snapshots must stay intact after expiry")
+  }
+
   test("metadata-only count: contained files answer from stats, boundary files scan, result exact") {
     val base = s"/tmp/graft_layout_spec_stats_${ProcessHandle.current().pid()}"
     val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
