@@ -241,13 +241,28 @@ object Layout {
     * compacting). */
   def commitSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
-    val next = listSnapshots(spark, path).lastOption.getOrElse(0L) + 1
+    // ids come from a persisted high-water mark, NOT the surviving
+    // snapshot list: after expiry an id must never be reused, or a
+    // consumer pinned to the old id would silently read different data
+    val hwmPath = new org.apache.hadoop.fs.Path(s"${commitsDir(path)}/HWM")
+    val f = hwmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev =
+      if (!f.exists(hwmPath)) 0L
+      else {
+        val in = f.open(hwmPath)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    val next = math.max(prev,
+      listSnapshots(spark, path).lastOption.getOrElse(0L)) + 1
     val dir = s"${commitsDir(path)}/c=$next"
     spark.read.parquet(s"$path/_manifest")
       .coalesce(1).write.parquet(s"$dir/manifest")
     if (hasTombstones(spark, path))
       spark.read.parquet(tombstoneDir(path))
         .coalesce(1).write.parquet(s"$dir/tombstones")
+    val out = f.create(hwmPath, /*overwrite=*/ true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     next
   }
 
@@ -316,6 +331,14 @@ object Layout {
     // no-op projection), so compaction never recomputes dimensions
     writeClustered(readCurrent(spark, path), col("zkey"),
       numFiles, tmp, bloomKey, bloomExpectedPerFile, statsCols)
+    // old snapshot dirs die with the swap (their file lists dangle —
+    // callers expire before compacting), but the id high-water mark
+    // must survive so post-compact snapshots never reuse an id
+    val (cfs, hwm) = fs(spark, s"${commitsDir(path)}/HWM")
+    if (cfs.exists(hwm))
+      org.apache.hadoop.fs.FileUtil.copy(cfs, hwm, cfs,
+        new org.apache.hadoop.fs.Path(s"${commitsDir(tmp)}/HWM"),
+        /*deleteSource=*/ false, spark.sparkContext.hadoopConfiguration)
     def rmRf(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(): Unit
     }

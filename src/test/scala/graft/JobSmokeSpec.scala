@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.apps.{AnnServeJob, CurationJob, DedupJob, IngestGateJob}
+import graft.apps.{AnnServeJob, CurationJob, DedupJob, IngestGateJob, LakehouseJob}
 
 /** Smoke coverage for the three standalone spark-submit entry points —
   * the public mains a real user launches. Their cores are oracle-gated
@@ -166,5 +166,32 @@ class JobSmokeSpec extends AnyFunSuite {
     val qv = s.read.parquet(queries.toString)
     val top = graft.functions.Similarity.sq8Probe(qv, index.toString, 5, 4)
     assert(top.count() == 2 * 5, "job-built index does not serve k per query")
+  }
+
+  test("LakehouseJob.main drives the store lifecycle: build, append, compact, snapshots") {
+    freshSession()
+    val store = tmp("lakehouse").resolve("docs").toString
+    LakehouseJob.main(Array(sfDir, store))                    // build → snap 1
+    freshSession()
+    LakehouseJob.main(Array(sfDir, store, "append"))          // append → snap 2
+    freshSession()
+    LakehouseJob.main(Array(sfDir, store, "compact"))         // expire+compact → snap
+    val s = freshSession()
+    // the corpus was ingested twice (build + append of the same input),
+    // so the compacted store holds exactly 2× the fixture rows
+    val total = s.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(graft.functions.Layout.readClustered(s, store).count() == 2 * total)
+    // compact expired ALL older snapshots (their file lists would
+    // dangle) and committed its own under a NEVER-REUSED id: build=1,
+    // append=2, so compact's must be 3 even though 1 and 2 are gone
+    assert(graft.functions.Layout.listSnapshots(s, store) == Seq(3L),
+      "compact must expire old snapshots and advance the id high-water mark")
+    // manifest stats survived the lifecycle (metadata-only read)
+    assert(s.read.parquet(s"$store/_manifest")
+      .agg(sum("n_rows")).head().getLong(0) == 2 * total)
+    // unknown action fails loudly
+    intercept[IllegalArgumentException] {
+      LakehouseJob.main(Array(sfDir, store, "bogus"))
+    }: Unit
   }
 }
