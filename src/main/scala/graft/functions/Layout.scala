@@ -220,6 +220,76 @@ object Layout {
       path: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame =
     minusTombstones(spark, readPruned(spark, path, aLo, aHi, bLo, bHi), path)
 
+  // ---- merge-on-read upserts (row-level changelog) ----
+
+  private def changesDir(path: String) = s"$path/_changes"
+
+  private def hasChanges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(changesDir(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Merge-on-read UPSERT/DELETE: a change batch lands as an appended
+    * parquet under `_changes` carrying the store's FULL data schema
+    * plus `_op` ('U' upsert / 'D' delete; delete rows may leave the
+    * non-key columns null) and a monotone `_seq` batch number assigned
+    * here. Nothing in the data files or manifest is rewritten —
+    * changing N rows of a 100 TB store costs O(N), the Hudi/Paimon
+    * merge-on-read trade — and [[readMerged]] resolves latest-wins at
+    * read time until [[compactClustered]] applies the changelog
+    * physically. Within one batch the keys must be unique (enforced:
+    * latest-wins needs a total order, and `_seq` only orders ACROSS
+    * batches); across batches the later `_seq` wins, so a delete in
+    * batch 3 overrides an upsert of the same key in batch 2 and vice
+    * versa. Returns the batch's `_seq`. */
+  def applyChanges(changes: DataFrame, keyCol: String, path: String): Long = {
+    val spark = changes.sparkSession
+    val dataCols = readClustered(spark, path).columns.toSet
+    val got = changes.columns.toSet
+    require(got == dataCols + "_op",
+      s"change batch must carry the store's data schema + _op; " +
+        s"missing ${(dataCols + "_op") -- got}, extra ${got -- dataCols -- Set("_op")}")
+    require(changes.filter(!col("_op").isin("U", "D")).isEmpty,
+      "_op must be 'U' or 'D'")
+    // within-batch key uniqueness: one grouped count over the BATCH
+    // (bounded by the change volume, not the store)
+    require(changes.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).isEmpty,
+      s"change batch has duplicate $keyCol values: latest-wins is " +
+        "undefined within one batch")
+    val next =
+      if (!hasChanges(spark, path)) 1L
+      else spark.read.parquet(changesDir(path))
+        .agg(max(col("_seq"))).head().getLong(0) + 1L
+    changes.withColumn("_seq", lit(next))
+      .write.mode("append").parquet(changesDir(path))
+    next
+  }
+
+  /** The store's contents with the changelog applied: base data minus
+    * tombstones, minus every changed key, plus the latest upsert image
+    * per key (deletes win by absence). Latest-wins is ONE grouped
+    * `max_by(struct(...), _seq)` over the changelog — shuffle bounded
+    * by the change volume — plus one anti-join against the distinct
+    * changed keys; the read amplification this adds is the standard
+    * merge-on-read cost, paid until the next compaction applies the
+    * changelog physically. */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): DataFrame = {
+    val cur = readCurrent(spark, path)
+    if (!hasChanges(spark, path)) cur
+    else {
+      val ch = spark.read.parquet(changesDir(path))
+      val others = ch.columns.filterNot(_ == keyCol).toIndexedSeq
+      val latest = ch.groupBy(col(keyCol))
+        .agg(max_by(struct(others.map(col): _*), col("_seq")).as("_w"))
+        .select(col(keyCol) +: others.map(c => col("_w").getField(c).as(c)): _*)
+      cur.join(ch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(latest.filter(col("_op") === "U").drop("_op", "_seq"))
+    }
+  }
+
   // ---- snapshots / time travel ----
 
   private def commitsDir(path: String) = s"$path/_commits"
@@ -321,15 +391,26 @@ object Layout {
     * single-writer maintenance window are the caller's concern, as
     * with any lakehouse OPTIMIZE). Tombstoned rows are applied
     * PHYSICALLY here — the rewrite reads the current view — and the
-    * tombstone set dies with the old directory in the swap. */
+    * tombstone set dies with the old directory in the swap. If the
+    * store carries a changelog ([[applyChanges]]), pass `mergeKey`:
+    * the rewrite reads [[readMerged]] instead, applying upserts and
+    * deletes physically, and the changelog dies in the swap too. */
   def compactClustered(spark: org.apache.spark.sql.SparkSession,
       path: String, numFiles: Int, bloomKey: Option[String] = None,
       bloomExpectedPerFile: Long = 1L << 20,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      mergeKey: Option[String] = None): Unit = {
+    require(mergeKey.isDefined || !hasChanges(spark, path),
+      s"store at $path has a changelog: compaction without mergeKey " +
+        "would silently drop its upserts/deletes")
     val tmp = s"$path.compacting-${ProcessHandle.current().pid()}"
+    val current = mergeKey match {
+      case Some(k) if hasChanges(spark, path) => readMerged(spark, path, k)
+      case _ => readCurrent(spark, path)
+    }
     // the stored zkey IS the cluster key (withColumn self-assign is a
     // no-op projection), so compaction never recomputes dimensions
-    writeClustered(readCurrent(spark, path), col("zkey"),
+    writeClustered(current, col("zkey"),
       numFiles, tmp, bloomKey, bloomExpectedPerFile, statsCols)
     // old snapshot dirs die with the swap (their file lists dangle —
     // callers expire before compacting), but the id high-water mark

@@ -1993,6 +1993,90 @@ object TrainQueries {
     rectAgg(graft.functions.Layout.readAsOf(s, s"$dir/docs", commit = 2L))
   }
 
+  /** The BM25 query workload: three fixed queries over the corpus
+    * vocabulary, shared verbatim by the Spark plan and the oracle. */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join", 1L -> "window",
+    2L -> "customer", 2L -> "order", 2L -> "line",
+    3L -> "vector", 3L -> "hash", 3L -> "scan")
+
+  /** op148: BM25 term statistics — the inverted-index build's metadata
+    * face: per-token document frequency, collection frequency, and
+    * Robertson idf in integer micro-units (floor(ln(·)×10⁶) — see
+    * [[graft.functions.Bm25]] for why quantized integers are the only
+    * cross-engine-hashable spelling of a float score). Two
+    * map-combinable shuffles ((doc,token) then token) — the postings
+    * build a 100 TB full-text index would run. */
+  val op148Bm25Stats: Q = (s, d) => {
+    val post = graft.functions.Bm25.postings(
+      Tables.documents(s, d), "doc_id", "text")
+    val stats = graft.functions.Bm25.termStats(post)
+      .crossJoin(broadcast(
+        graft.functions.Bm25.corpusScalars(Tables.documents(s, d), "text")))
+      .withColumn("idf_ubp", expr(graft.functions.Bm25.idfUbpSql))
+    ordered(stats.select(col("token"), col("df"), col("cf"),
+      col("idf_ubp")), "token")
+  }
+
+  /** op149: BM25 top-k retrieval — postings restricted to a BROADCAST
+    * query-term list, idf/tf contributions computed from SHARED SQL
+    * expression text (bit-identical IEEE arithmetic on both engines),
+    * quantized to integer micro-units BEFORE the per-document sum (so
+    * the sum is exact and order-independent), and trimmed by the
+    * bounded [[graft.functions.TopKAgg]] — k rows per (query,
+    * partition) cross the shuffle, never the candidate set. The oracle
+    * replays the identical pipeline with a window rank. */
+  val op149Bm25TopK: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val post = graft.functions.Bm25.postings(docs, "doc_id", "text")
+    ordered(
+      graft.functions.Bm25.topK(
+        post,
+        graft.functions.Bm25.termStats(post),
+        graft.functions.Bm25.corpusScalars(docs, "text"),
+        bm25Queries.toDF("q_id", "token"), k = 5),
+      "q_id", "rank")
+  }
+
+  /** op146: merge-on-read UPSERT — the changelog leg that completes the
+    * store's CRUD lifecycle (build → append → delete → UPSERT →
+    * compact). Three change batches land as O(batch) appended parquet
+    * under `_changes` (`Layout.applyChanges`: full row image + _op +
+    * monotone _seq; no data or manifest rewrite — the Hudi/Paimon
+    * merge-on-read shape for row-level mutation of a 100 TB store):
+    * b1 INSERTs the 20% slice the base build withheld, b2 UPDATEs a
+    * non-clustered column (+100000 chars on the doc_id%7==3 slice),
+    * b3 DELETEs doc_id%10==6 — overriding b2's update where the slices
+    * overlap, which is exactly the latest-wins contract `readMerged`
+    * resolves (one max_by(_seq) per changed key + one anti-join). The
+    * oracle re-derives the same final image from the unclustered
+    * table; compaction applying the changelog physically (and the
+    * merged view surviving it bit-identically) is LayoutSpec's. */
+  val op146UpsertMerge: Q = (s, d) => {
+    val dir = indexRoot(d, "zorder_lang_len_upserted", table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      val keyed = layoutKeyed(s, d)
+      graft.functions.Layout.writeClustered(
+        keyed.filter(col("doc_id") % 5 =!= 0L), layoutZk, numFiles = 8,
+        path = s"$tmp/docs")
+      val zkeyed = keyed.withColumn("zkey", layoutZk)
+      graft.functions.Layout.applyChanges( // b1: INSERT the held-out 20%
+        zkeyed.filter(col("doc_id") % 5 === 0L).withColumn("_op", lit("U")),
+        "doc_id", s"$tmp/docs")
+      graft.functions.Layout.applyChanges( // b2: UPDATE a non-clustered col
+        zkeyed.filter(col("doc_id") % 7 === 3L)
+          .withColumn("n_chars", col("n_chars") + 100000L)
+          .withColumn("_op", lit("U")),
+        "doc_id", s"$tmp/docs")
+      graft.functions.Layout.applyChanges( // b3: DELETE (overrides b2)
+        zkeyed.filter(col("doc_id") % 10 === 6L).withColumn("_op", lit("D")),
+        "doc_id", s"$tmp/docs")
+      ()
+    }
+    rectAgg(graft.functions.Layout.readMerged(s, s"$dir/docs", "doc_id"))
+  }
+
   /** op144: metadata-only rectangle COUNT — the manifest's per-file
     * column bounds + n_rows answer the aggregate for every file whose
     * bounds lie inside the rectangle WITHOUT opening it; only boundary
@@ -2165,6 +2249,9 @@ object TrainQueries {
     "op143_delete_scan" -> op143DeleteScan,
     "op144_meta_count" -> op144MetaCount,
     "op145_time_travel" -> op145TimeTravel,
+    "op146_upsert_merge" -> op146UpsertMerge,
+    "op148_bm25_stats" -> op148Bm25Stats,
+    "op149_bm25_topk" -> op149Bm25TopK,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -3411,6 +3498,82 @@ object TrainQueries {
     // full-corpus oracle passing through a smaller HEAD proves the
     // snapshot isolation (op143's oracle pins what HEAD looks like)
     "op145_time_travel" -> rectAggSql,
+    // op146: same rectangle aggregate over the post-changelog image —
+    // full corpus, +100000 chars on the %7==3 slice, minus the %10==6
+    // slice (len_bucket and lang_id derive from the ORIGINAL n_chars:
+    // the update touches the non-clustered column only)
+    "op146_upsert_merge" ->
+      """WITH lid AS (
+        |  SELECT doc_id, n_chars,
+        |         dense_rank() OVER (ORDER BY lang) - 1 AS lang_id,
+        |         LEAST(n_chars // 16, 65535) AS len_bucket
+        |  FROM documents),
+        |cur AS (
+        |  SELECT doc_id, lang_id, len_bucket,
+        |         n_chars + CASE WHEN doc_id % 7 = 3 THEN 100000 ELSE 0 END
+        |           AS adj_chars
+        |  FROM lid WHERE doc_id % 10 <> 6)
+        |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(adj_chars) AS BIGINT) AS sum_chars
+        |FROM cur WHERE lang_id = 1 AND len_bucket BETWEEN 4 AND 20
+        |GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
+    // op148/op149: the BM25 arithmetic is the SAME expression text the
+    // Spark plan evaluates (graft.functions.Bm25.{idf,contrib}UbpSql,
+    // interpolated below) — every +,-,*,/ is IEEE correctly-rounded, so
+    // identical text ⇒ identical doubles; ln is quantized to integer
+    // micro-units before any sum, so aggregation order cannot matter
+    "op148_bm25_stats" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         |         len(string_split(text, ' ')) AS dl
+         |  FROM documents),
+         |post AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM tok GROUP BY doc_id, token),
+         |c AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT token, count(*) AS df, sum(tf) AS cf
+         |  FROM post GROUP BY token)
+         |SELECT token, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+         |       ${graft.functions.Bm25.idfUbpSql} AS idf_ubp
+         |FROM stats CROSS JOIN c ORDER BY token""".stripMargin,
+    "op149_bm25_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         |         len(string_split(text, ' ')) AS dl
+         |  FROM documents),
+         |post AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM tok GROUP BY doc_id, token),
+         |c AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM documents),
+         |stats AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+         |qt(q_id, token) AS (VALUES ${bm25Queries
+             .map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+         |cand AS (
+         |  SELECT qt.q_id, p.doc_id,
+         |         ${graft.functions.Bm25.contribUbpSql} AS contrib
+         |  FROM post p
+         |  JOIN qt USING (token) JOIN stats USING (token) CROSS JOIN c),
+         |scored AS (
+         |  SELECT q_id, doc_id, sum(contrib) AS score_ubp
+         |  FROM cand GROUP BY q_id, doc_id),
+         |rk AS (
+         |  SELECT q_id, doc_id, score_ubp,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY score_ubp DESC, doc_id) AS rnk
+         |  FROM scored)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rank,
+         |       doc_id, CAST(score_ubp AS BIGINT) AS score_ubp
+         |FROM rk WHERE rnk <= 5 ORDER BY q_id, rank""".stripMargin,
     // op143: the oracle excludes the tombstoned slice directly — the
     // merge-on-read view must remove exactly those keys
     "op143_delete_scan" ->
