@@ -306,6 +306,90 @@ class LayoutSpec extends SparkSpec {
       .filter(col("doc_id") % 10 === 3L).count() == 0L)
   }
 
+  test("merge-on-read upsert: latest batch wins per key, deletes win by absence, compaction applies the changelog") {
+    val base = s"/tmp/graft_layout_spec_upsert_${ProcessHandle.current().pid()}"
+    val st = s"$base/st"
+    val rows = (0L until 100L).map(i => (i, i % 4, i % 8, i * 10))
+    val df = rows.toDF("id", "a", "b", "v")
+    val zk = Layout.mortonKey(col("a"), col("b"))
+    Layout.writeClustered(df, zk, 4, st)
+    val zkeyed = df.withColumn("zkey", zk)
+
+    val dataBefore = new java.io.File(s"$st/data")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+
+    // b1: UPDATE evens (v+1); b2: DELETE multiples of 10 (overrides b1
+    // for 0,10,…); b3: UPSERT id 30 back with v=999 (overrides b2)
+    assert(Layout.applyChanges(zkeyed.filter(col("id") % 2 === 0)
+      .withColumn("v", col("v") + 1L).withColumn("_op", lit("U")),
+      "id", st) == 1L)
+    assert(Layout.applyChanges(zkeyed.filter(col("id") % 10 === 0)
+      .withColumn("_op", lit("D")), "id", st) == 2L)
+    assert(Layout.applyChanges(zkeyed.filter(col("id") === 30)
+      .withColumn("v", lit(999L)).withColumn("_op", lit("U")),
+      "id", st) == 3L)
+
+    // upsert is O(batch): no data or manifest file rewritten
+    val dataAfter = new java.io.File(s"$st/data")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(dataAfter == dataBefore, "changelog must not touch data files")
+
+    def expected: Map[Long, Long] = rows.flatMap { case (i, _, _, v) =>
+      if (i == 30) Some(i -> 999L)
+      else if (i % 10 == 0) None
+      else if (i % 2 == 0) Some(i -> (v + 1))
+      else Some(i -> v)
+    }.toMap
+    def image(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(image(Layout.readMerged(spark, st, "id")) == expected)
+
+    // compaction refuses to silently drop the changelog…
+    val noKey = intercept[IllegalArgumentException] {
+      Layout.compactClustered(spark, st, numFiles = 2)
+    }
+    assert(noKey.getMessage.contains("changelog"))
+    // …and applies it physically when given the merge key
+    Layout.compactClustered(spark, st, numFiles = 2,
+      mergeKey = Some("id"))
+    assert(!new java.io.File(s"$st/_changes").exists(),
+      "compaction must clear the applied changelog")
+    assert(image(Layout.readClustered(spark, st)) == expected,
+      "compacted data must equal the merged image")
+    assert(image(Layout.readMerged(spark, st, "id")) == expected)
+  }
+
+  test("applyChanges rejects duplicate keys, bad _op values, and schema drift") {
+    val base = s"/tmp/graft_layout_spec_upguard_${ProcessHandle.current().pid()}"
+    val st = s"$base/st"
+    val df = (0L until 20L).map(i => (i, i % 2, i % 4, i)).toDF("id", "a", "b", "v")
+    val zk = Layout.mortonKey(col("a"), col("b"))
+    Layout.writeClustered(df, zk, 2, st)
+    val zkeyed = df.withColumn("zkey", zk)
+    val dup = intercept[IllegalArgumentException] {
+      Layout.applyChanges(
+        zkeyed.limit(4).withColumn("id", col("id") % 2)
+          .withColumn("_op", lit("U")), "id", st)
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val badOp = intercept[IllegalArgumentException] {
+      Layout.applyChanges(zkeyed.limit(1).withColumn("_op", lit("X")),
+        "id", st)
+    }
+    assert(badOp.getMessage.contains("_op"))
+    val drift = intercept[IllegalArgumentException] {
+      Layout.applyChanges(
+        zkeyed.limit(1).withColumn("extra", lit(1))
+          .withColumn("_op", lit("U")), "id", st)
+    }
+    assert(drift.getMessage.contains("schema"))
+    // none of the rejected batches may have landed
+    assert(!new java.io.File(s"$st/_changes").exists())
+  }
+
   test("per-file bloom index plans point lookups from the manifest without false negatives") {
     val base = s"/tmp/graft_layout_spec_bloom_${ProcessHandle.current().pid()}"
     val docs = Layout.denseDimIds(Tables.documents(spark, sfDir), "lang", "lang_id")
