@@ -369,6 +369,63 @@ object Layout {
     }
   }
 
+  /** CDC diff between two snapshots, planned from METADATA — the
+    * change-data-feed shape: inserted rows are read from exactly the
+    * files ADDED between the snapshots (manifest set-diff, one row per
+    * file), deleted rows from the FROM snapshot restricted to the
+    * TOMBSTONE DELTA (broadcast — bounded by churn). The data read is
+    * proportional to WHAT CHANGED, never to the store: diffing two
+    * snapshots of a 100 TB table whose week added 1 TB reads ~1 TB
+    * plus the deleted-key lookups. Valid for the append/delete
+    * lifecycle; a compaction between the snapshots rewrites files and
+    * is refused (its file lists no longer relate). Returns
+    * (insertedRows, deletedRows) as full-schema DataFrames. */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, path: String,
+      from: Long, to: Long): (DataFrame, DataFrame) = {
+    def manifestFiles(c: Long): Set[String] = {
+      val dir = s"${commitsDir(path)}/c=$c/manifest"
+      val (f, p) = fs(spark, dir)
+      require(f.exists(p), s"no snapshot c=$c at $path")
+      spark.read.parquet(dir).select("file").collect()
+        .map(_.getString(0)).toSet
+    }
+    val fFrom = manifestFiles(from)
+    val fTo = manifestFiles(to)
+    require(fFrom.subsetOf(fTo),
+      s"snapshots c=$from..c=$to at $path span a compaction (data files " +
+        "were removed); CDC diff requires the append/delete lifecycle")
+    def tombs(c: Long): Option[DataFrame] = {
+      val dir = s"${commitsDir(path)}/c=$c/tombstones"
+      val (f, p) = fs(spark, dir)
+      if (f.exists(p)) Some(spark.read.parquet(dir)) else None
+    }
+    val newFiles = (fTo -- fFrom).toIndexedSeq.sorted
+    val appended =
+      if (newFiles.isEmpty) readClustered(spark, path).limit(0)
+      else spark.read.parquet(newFiles.map(n => s"$path/data/$n"): _*)
+    val tTo = tombs(to)
+    // appended rows whose key was tombstoned by `to` never became
+    // visible — not inserts
+    val inserted = tTo.fold(appended) { t =>
+      appended.join(t, Seq(t.schema.fields.head.name), "left_anti")
+    }
+    val deltaTombs = (tTo, tombs(from)) match {
+      case (None, _) => None
+      case (Some(t), None) => Some(t)
+      case (Some(t), Some(t0)) =>
+        Some(t.join(t0, Seq(t0.schema.fields.head.name), "left_anti"))
+    }
+    val deleted = deltaTombs match {
+      case None => readAsOf(spark, path, from).limit(0)
+      case Some(keys) =>
+        // delta keys broadcast (churn-bounded); only rows LIVE at
+        // `from` count as deletions
+        readAsOf(spark, path, from).join(broadcast(keys.distinct()),
+          Seq(keys.schema.fields.head.name), "left_semi")
+    }
+    (inserted, deleted)
+  }
+
   /** Drop all but the newest `keepLast` snapshots (expiry). Data files
     * are untouched — in the append/delete lifecycle every file is
     * still referenced by the live manifest. */
@@ -472,6 +529,20 @@ object Layout {
   /** Full (unpruned) read of a clustered store. */
   def readClustered(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(s"$path/data")
+
+  /** Schema-evolved read: resolves the UNION of every data file's
+    * schema (parquet mergeSchema) and null-fills columns absent from
+    * older files — the lakehouse ADD COLUMN contract: widening a
+    * 100 TB table's schema rewrites nothing; old files simply lack the
+    * column and read as null. (A lakehouse engine stores the merged
+    * schema in table metadata; parquet footers carry the same
+    * information here, at the cost of one footer read per file at
+    * planning — bounded, file-count-sized metadata work. Plain
+    * [[readClustered]] keeps single-footer planning for stores whose
+    * schema never evolved.) */
+  def readClusteredEvolved(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$path/data")
 
   /** Manifest-pruned rectangle read: keep only the files whose
     * [min_zkey, max_zkey] intersects the rectangle's Z interval, then

@@ -478,7 +478,92 @@ object RelationalQueries {
       "user_id", "event_type", "ver")
   }
 
+  /** op150: column profiler — per-column row/null/distinct counts, the
+    * data-quality pass every ingest pipeline runs before accepting a
+    * drop. Each column profiles in its OWN column-pruned scan + agg
+    * (at 100 TB each branch reads exactly one column off parquet; the
+    * single-pass multi-countDistinct spelling would Expand the scan
+    * N_cols× — strictly worse on a wide fact table). Exact ndv by
+    * design here; the sketch path for when exact is too expensive is
+    * op42's HLL. */
+  val op150Profile: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val branches = o.columns.toSeq.map { c =>
+      o.select(col(c)).agg(
+          big(count(lit(1))).as("n_rows"),
+          big(count(lit(1)) - count(col(c))).as("n_nulls"),
+          big(countDistinct(col(c))).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+    }
+    ordered(branches.reduce(_ unionByName _), "col_name")
+  }
+
+  /** op151: constraint validation — declared expectations (not-null,
+    * primary-key uniqueness, referential integrity, ranges, enums, and
+    * one advisory threshold) evaluated as violation COUNTS, the
+    * dbt-test / Delta-expectations shape. Every rule is one
+    * column-pruned aggregate or one anti-join; nothing materializes
+    * violating rows (a production gate would TABLESAMPLE examples —
+    * bounded — after the counts say which rules fired). The advisory
+    * rule fires on purpose: an all-zero result would hash-gate
+    * nothing. */
+  val op151Constraints: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    def rule(name: String, viol: DataFrame): DataFrame =
+      viol.agg(big(count(lit(1))).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    val rules = Seq(
+      "enum_l_returnflag" ->
+        li.filter(!col("l_returnflag").isin("A", "N", "R")),
+      "fk_l_orderkey_orders" ->
+        li.select("l_orderkey").join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"),
+      "not_null_l_orderkey" -> li.filter(col("l_orderkey").isNull),
+      "pk_unique_o_orderkey" ->
+        o.groupBy("o_orderkey").count().filter(col("count") > 1),
+      "range_l_discount_0_10" ->
+        li.filter(col("l_discount") < 0.0 || col("l_discount") > 0.10),
+      "range_l_quantity_1_50" ->
+        li.filter(col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+      "warn_high_quantity" -> li.filter(col("l_quantity") >= 45.0))
+    ordered(rules.map { case (n, v) => rule(n, v) }.reduce(_ unionByName _),
+      "rule")
+  }
+
+  /** op155: binned interval join — point-in-interval containment
+    * (lineitem ship days ⋈ 14-day order windows) WITHOUT a
+    * nested-loop plan: intervals explode to their ≤3 covering 7-day
+    * bins, points map to one bin, the engine equi-joins on the bin
+    * and the exact containment runs as a residual filter
+    * ([[graft.ops.IntervalJoin]] — the Flink-interval-join shape; at
+    * 100 TB neither side needs to broadcast and AQE can skew-split
+    * the bin shuffle). Each matching pair lands exactly once; the
+    * oracle is the plain non-equi join, so the hash gate proves the
+    * bin decomposition lossless. */
+  val op155IntervalJoin: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      col("l_quantity"),
+      datediff(to_date(col("l_shipdate")), to_date(lit("1992-01-01")))
+        .cast("bigint").as("ship_day"))
+    val iv = Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("iv_key"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .cast("bigint").as("lo"))
+      .withColumn("hi", col("lo") + 14L)
+    ordered(
+      graft.ops.IntervalJoin.binJoin(pts, iv, "ship_day", "lo", "hi", 7L)
+        .groupBy(col("iv_key"))
+        .agg(big(count(lit(1))).as("n_ship"),
+          big(sum(col("l_quantity").cast("bigint"))).as("sum_qty")),
+      "iv_key")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op150_profile" -> op150Profile,
+    "op151_constraints" -> op151Constraints,
+    "op155_interval_join" -> op155IntervalJoin,
     "op128_scd2_history" -> op128Scd2,
     "op31_join_inner" -> op31JoinInner,
     "op31_join_left" -> op31JoinLeft,
@@ -513,6 +598,59 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "op150_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "op151_constraints" ->
+      """SELECT 'enum_l_returnflag' AS rule, CAST(count(*) AS BIGINT)
+        |  AS n_violations
+        |FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R')
+        |UNION ALL
+        |SELECT 'fk_l_orderkey_orders', CAST(count(*) AS BIGINT)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'not_null_l_orderkey', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'pk_unique_o_orderkey', (
+        |  SELECT CAST(count(*) AS BIGINT) FROM (
+        |    SELECT o_orderkey FROM orders
+        |    GROUP BY o_orderkey HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'range_l_discount_0_10', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.10
+        |UNION ALL
+        |SELECT 'range_l_quantity_1_50', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 50.0
+        |UNION ALL
+        |SELECT 'warn_high_quantity', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_quantity >= 45.0
+        |ORDER BY rule""".stripMargin,
+    // op155: the oracle is the PLAIN non-equi containment join —
+    // hash-matching it proves the bin decomposition lossless
+    "op155_interval_join" ->
+      """WITH pts AS (
+        |  SELECT l_quantity,
+        |         datediff('day', DATE '1992-01-01',
+        |                  CAST(l_shipdate AS DATE)) AS ship_day
+        |  FROM lineitem),
+        |iv AS (
+        |  SELECT o_orderkey AS iv_key,
+        |         datediff('day', DATE '1992-01-01',
+        |                  CAST(o_orderdate AS DATE)) AS lo
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT CAST(iv_key AS BIGINT) AS iv_key,
+        |       CAST(count(*) AS BIGINT) AS n_ship,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM pts p JOIN iv
+        |  ON p.ship_day >= iv.lo AND p.ship_day < iv.lo + 14
+        |GROUP BY iv_key ORDER BY iv_key""".stripMargin,
     // op128: DuckDB truncates TIMESTAMP(NANOS) parquet to micros (floor)
     // exactly like `ts_ns div 1000`, so epoch_us(ts) is the shared exact
     // validity boundary

@@ -1972,7 +1972,9 @@ object TrainQueries {
     * oracle is the FULL-corpus rectangle aggregate — hash-matching it
     * through a store whose current view is smaller proves the
     * snapshot isolation real. */
-  val op145TimeTravel: Q = (s, d) => {
+  /** The op145/op154 shared versioned store: c=1 base (doc_id%5≠0),
+    * c=2 full corpus (append), c=3 with doc_id%10==3 tombstoned. */
+  private def versionedStoreDir(s: SparkSession, d: String): String = {
     val dir = indexRoot(d, "zorder_lang_len_versioned", table = "documents")
     buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = layoutKeyed(s, d)
@@ -1990,7 +1992,31 @@ object TrainQueries {
         s"$tmp/docs")
       graft.functions.Layout.commitSnapshot(s, s"$tmp/docs") // c=3: deleted
     }
-    rectAgg(graft.functions.Layout.readAsOf(s, s"$dir/docs", commit = 2L))
+    dir
+  }
+
+  val op145TimeTravel: Q = (s, d) =>
+    rectAgg(graft.functions.Layout.readAsOf(
+      s, s"${versionedStoreDir(s, d)}/docs", commit = 2L))
+
+  /** op154: snapshot CDC DIFF — what changed between commit 1 (the
+    * base build) and commit 3 (after append + delete), planned from
+    * METADATA: inserted rows read from exactly the files the manifest
+    * set-diff says were added, deleted rows from the FROM snapshot
+    * semi-joined to the broadcast tombstone delta
+    * (`Layout.snapshotDiff` — data read proportional to the CHANGE,
+    * never the store; a compaction between the snapshots is refused).
+    * An appended-then-tombstoned key counts as neither. The oracle
+    * re-derives both legs from the slice definitions. */
+  val op154SnapshotDiff: Q = (s, d) => {
+    val store = s"${versionedStoreDir(s, d)}/docs"
+    val (ins, del) = graft.functions.Layout.snapshotDiff(s, store, 1L, 3L)
+    def leg(df: DataFrame, kind: String): DataFrame =
+      df.groupBy(col("lang_id"))
+        .agg(big(count(lit(1))).as("n"))
+        .select(lit(kind).as("change"), col("lang_id"), col("n"))
+    ordered(leg(ins, "insert").unionByName(leg(del, "delete")),
+      "change", "lang_id")
   }
 
   /** The BM25 query workload: three fixed queries over the corpus
@@ -2039,6 +2065,98 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** op153: STREAMING CDC upsert — the changelog family's online leg
+    * (the op142 symmetry for row-level mutation): arrivals stream in
+    * via AvailableNow and every micro-batch lands through
+    * `Layout.applyChanges` in `foreachBatch` — one O(batch) appended
+    * change file per micro-batch, nothing rewritten; `readMerged`
+    * resolves latest-wins afterwards. The arrival stream carries
+    * INSERTs (the doc_id%5==0 slice the base build withheld) and
+    * UPDATEs (+100000 chars on doc_id%7==3 of the base slice) as
+    * disjoint key sets, so within-batch key uniqueness holds under ANY
+    * micro-batch partitioning the engine picks — the property a real
+    * CDC feed gets from its per-key log ordering. */
+  val op153StreamUpsert: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = indexRoot(d, "zorder_lang_len_stream_upserted",
+      table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      graft.functions.Layout.writeClustered(
+        layoutKeyed(s, d).filter(col("doc_id") % 5 =!= 0L), layoutZk,
+        numFiles = 8, path = s"$tmp/docs")
+      val langIds = graft.functions.Layout.denseDimIds(
+        Tables.documents(s, d), "lang", "lang_id")
+        .select(col("lang"), col("lang_id")).distinct()
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val streamDir =
+        java.nio.file.Files.createTempDirectory("graft_zupsert_")
+      val link = streamDir.resolve("documents.parquet")
+      try {
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$d/documents.parquet"))
+        val isUpdate =
+          col("doc_id") % 7 === 3L && col("doc_id") % 5 =!= 0L
+        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+          .filter(col("doc_id") % 5 === 0L || isUpdate)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val keyed = batch.join(broadcast(langIds), "lang")
+              .withColumn("len_bucket",
+                least(expr("n_chars div 16"), lit(65535L)).cast("bigint"))
+              .select(col("doc_id"), col("lang_id"), col("len_bucket"),
+                col("n_chars"))
+            graft.functions.Layout.applyChanges(
+              keyed.withColumn("n_chars", col("n_chars") +
+                  when(isUpdate, 100000L).otherwise(0L))
+                .withColumn("zkey", layoutZk)
+                .withColumn("_op", lit("U")),
+              "doc_id", s"$tmp/docs"): Unit
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.deleteIfExists(streamDir): Unit
+      }
+    }
+    rectAgg(graft.functions.Layout.readMerged(s, s"$dir/docs", "doc_id"))
+  }
+
+  /** op152: incremental aggregate maintenance — the materialized-view
+    * delta-refresh shape: each ingest batch (three deterministic
+    * l_orderkey slices standing in for daily drops) reduces to its
+    * PARTIAL aggregates (sum/count per group — the algebraic form every
+    * re-aggregatable metric decomposes into) and appends them to a
+    * persisted state table; the refresh merges partials only (sum of
+    * sums / sum of counts) and NEVER rescans prior batches. At 100 TB
+    * the state table is O(groups × batches) — compacted by re-merging,
+    * never by re-reading the corpus — vs. a full-table group-by per
+    * refresh. Quantities are integral-valued doubles cast to bigint
+    * before summing, so partial merges are exact in any order. The
+    * oracle is the full-table aggregate: delta-maintained and
+    * recomputed answers must agree exactly. */
+  val op152IncrAgg: Q = (s, d) => {
+    val dir = indexRoot(d, "incr_agg_flag_status", table = "lineitem")
+    buildIndexIfAbsent(dir, "state") { tmp =>
+      val li = Tables.lineitem(s, d)
+      (0L to 2L).foreach { b =>
+        li.filter(col("l_orderkey") % 3 === b)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(big(sum(col("l_quantity").cast("bigint"))).as("p_qty"),
+            big(count(lit(1))).as("p_cnt"))
+          .withColumn("batch", lit(b))
+          .write.mode(if (b == 0L) "overwrite" else "append")
+          .parquet(s"$tmp/state")
+      }
+    }
+    ordered(
+      s.read.parquet(s"$dir/state")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(big(sum("p_qty")).as("sum_qty"),
+          big(sum("p_cnt")).as("n_rows")),
+      "l_returnflag", "l_linestatus")
+  }
+
   /** op146: merge-on-read UPSERT — the changelog leg that completes the
     * store's CRUD lifecycle (build → append → delete → UPSERT →
     * compact). Three change batches land as O(batch) appended parquet
@@ -2075,6 +2193,36 @@ object TrainQueries {
       ()
     }
     rectAgg(graft.functions.Layout.readMerged(s, s"$dir/docs", "doc_id"))
+  }
+
+  /** op147: SCHEMA EVOLUTION — the append batch carries a column the
+    * base build never had (`quality`), landing as new files with the
+    * wider schema while the old files stay untouched (the lakehouse
+    * ADD COLUMN contract: widening a 100 TB table rewrites nothing).
+    * `Layout.readClusteredEvolved` resolves the union schema
+    * (mergeSchema) and null-fills the base files; the aggregate counts
+    * scored vs unscored rows per language, so the hash gate proves the
+    * null-fill exact — every base row unscored, every appended row
+    * carrying its value. */
+  val op147SchemaEvolution: Q = (s, d) => {
+    val dir = indexRoot(d, "zorder_lang_len_evolved", table = "documents")
+    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+      val keyed = layoutKeyed(s, d)
+      graft.functions.Layout.writeClustered(
+        keyed.filter(col("doc_id") % 5 =!= 0L), layoutZk, numFiles = 8,
+        path = s"$tmp/docs")
+      graft.functions.Layout.appendClustered(
+        keyed.filter(col("doc_id") % 5 === 0L)
+          .withColumn("quality", col("n_chars") % 100L),
+        layoutZk, numFiles = 4, path = s"$tmp/docs")
+    }
+    ordered(
+      graft.functions.Layout.readClusteredEvolved(s, s"$dir/docs")
+        .groupBy(col("lang_id"))
+        .agg(big(count(lit(1))).as("n_docs"),
+          big(count(col("quality"))).as("n_scored"),
+          big(sum(col("quality"))).as("sum_quality")),
+      "lang_id")
   }
 
   /** op144: metadata-only rectangle COUNT — the manifest's per-file
@@ -2250,8 +2398,12 @@ object TrainQueries {
     "op144_meta_count" -> op144MetaCount,
     "op145_time_travel" -> op145TimeTravel,
     "op146_upsert_merge" -> op146UpsertMerge,
+    "op147_schema_evolution" -> op147SchemaEvolution,
     "op148_bm25_stats" -> op148Bm25Stats,
     "op149_bm25_topk" -> op149Bm25TopK,
+    "op152_incr_agg" -> op152IncrAgg,
+    "op153_stream_upsert" -> op153StreamUpsert,
+    "op154_snapshot_diff" -> op154SnapshotDiff,
   )
 
   /** Shared recursive-CTE block computing (doc_id, cluster) — op77's
@@ -3518,6 +3670,23 @@ object TrainQueries {
         |       CAST(sum(adj_chars) AS BIGINT) AS sum_chars
         |FROM cur WHERE lang_id = 1 AND len_bucket BETWEEN 4 AND 20
         |GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
+    // op147: the appended slice (doc_id%5==0) carries quality =
+    // n_chars%100; base files null-fill under the evolved read
+    "op147_schema_evolution" ->
+      """WITH lid AS (
+        |  SELECT doc_id, n_chars,
+        |         dense_rank() OVER (ORDER BY lang) - 1 AS lang_id
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN n_chars % 100 ELSE NULL END
+        |           AS quality
+        |  FROM lid)
+        |SELECT CAST(lang_id AS BIGINT) AS lang_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(quality) AS BIGINT) AS n_scored,
+        |       CAST(sum(quality) AS BIGINT) AS sum_quality
+        |FROM q GROUP BY lang_id ORDER BY lang_id""".stripMargin,
     // op148/op149: the BM25 arithmetic is the SAME expression text the
     // Spark plan evaluates (graft.functions.Bm25.{idf,contrib}UbpSql,
     // interpolated below) — every +,-,*,/ is IEEE correctly-rounded, so
@@ -3574,6 +3743,53 @@ object TrainQueries {
          |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rank,
          |       doc_id, CAST(score_ubp AS BIGINT) AS score_ubp
          |FROM rk WHERE rnk <= 5 ORDER BY q_id, rank""".stripMargin,
+    // op152: the delta-maintained state must answer exactly like the
+    // full-table aggregate (quantities are integral doubles → bigint)
+    "op152_incr_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // op153: full corpus with +100000 chars on the streamed update
+    // slice (doc_id%7==3 of the base slice); len_bucket/lang_id from
+    // the ORIGINAL n_chars (non-clustered-column update)
+    "op153_stream_upsert" ->
+      """WITH lid AS (
+        |  SELECT doc_id, n_chars,
+        |         dense_rank() OVER (ORDER BY lang) - 1 AS lang_id,
+        |         LEAST(n_chars // 16, 65535) AS len_bucket
+        |  FROM documents),
+        |cur AS (
+        |  SELECT doc_id, lang_id, len_bucket,
+        |         n_chars + CASE WHEN doc_id % 7 = 3 AND doc_id % 5 <> 0
+        |                        THEN 100000 ELSE 0 END AS adj_chars
+        |  FROM lid)
+        |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(adj_chars) AS BIGINT) AS sum_chars
+        |FROM cur WHERE lang_id = 1 AND len_bucket BETWEEN 4 AND 20
+        |GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
+    // op154: inserts = the appended slice (%5==0; none tombstoned —
+    // %10==3 implies %5==3), deletes = the tombstoned slice within the
+    // base (%5<>0 and %10==3)
+    "op154_snapshot_diff" ->
+      """WITH lid AS (
+        |  SELECT doc_id,
+        |         dense_rank() OVER (ORDER BY lang) - 1 AS lang_id
+        |  FROM documents),
+        |ins AS (
+        |  SELECT 'insert' AS change, lang_id, count(*) AS n
+        |  FROM lid WHERE doc_id % 5 = 0 AND doc_id % 10 <> 3
+        |  GROUP BY lang_id),
+        |del AS (
+        |  SELECT 'delete' AS change, lang_id, count(*) AS n
+        |  FROM lid WHERE doc_id % 5 <> 0 AND doc_id % 10 = 3
+        |  GROUP BY lang_id)
+        |SELECT change, CAST(lang_id AS BIGINT) AS lang_id,
+        |       CAST(n AS BIGINT) AS n
+        |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+        |ORDER BY change, lang_id""".stripMargin,
     // op143: the oracle excludes the tombstoned slice directly — the
     // merge-on-read view must remove exactly those keys
     "op143_delete_scan" ->
