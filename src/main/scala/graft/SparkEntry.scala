@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.defs ++
     graft.queries.TrainQueries.defs ++
     graft.queries.StreamQueries.defs ++
-    graft.queries.MultimodalQueries.defs
+    graft.queries.MultimodalQueries.defs ++
+    graft.queries.AnalyticsQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -22,5 +23,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracle ++
     graft.queries.TrainQueries.oracle ++
     graft.queries.StreamQueries.oracle ++
-    graft.queries.MultimodalQueries.oracle
+    graft.queries.MultimodalQueries.oracle ++
+    graft.queries.AnalyticsQueries.oracle
 }

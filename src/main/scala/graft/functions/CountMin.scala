@@ -1,0 +1,75 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Count-min sketch over a token stream as a TYPED AGGREGATE — the
+  * mergeable-accumulator shape a real 100 TB frequency sketch needs.
+  *
+  * Scale rationale: exact per-token counts cost a shuffle keyed on the
+  * token (fine when the vocabulary is bounded, ruinous when it is an
+  * open set — URLs, n-grams, user agents). The sketch is a FIXED
+  * `depth × width` counter grid per aggregation buffer: map-side
+  * partials absorb their partition's tokens locally, merge is
+  * element-wise addition (commutative, associative — the classic
+  * mergeable-summary property), so the shuffle moves `depth·width`
+  * longs per partition regardless of corpus size or cardinality. The
+  * estimate for any token is min over rows of its hashed counter —
+  * always ≥ the true count (one-sided error ε ≈ e/width with
+  * probability 1−(1/e)^depth).
+  *
+  * Determinism (the reason this is oracle-able): the row hashes are the
+  * repo's cross-engine md5-60 convention ([[TextOps.md5Hash60]]) over
+  * `"r:token"`, taken mod `width` — DuckDB replays the identical grid
+  * with `('0x' || substring(md5(r || ':' || w), 1, 15))::BIGINT % width`
+  * and integer group-by counts, so the sketch's counters (and therefore
+  * every estimate) are exact integers on both engines.
+  */
+class CountMinAgg(depth: Int, width: Int)
+    extends Aggregator[String, Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = new Array[Long](depth * width)
+
+  override def reduce(buf: Array[Long], token: String): Array[Long] = {
+    var r = 0
+    while (r < depth) {
+      buf(r * width + CountMin.bucket(r, token, width)) += 1L
+      r += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toIndexedSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object CountMin {
+  /** Row-r bucket of a token: md5-60 of "r:token" mod width — the same
+    * 60-bit value [[TextOps.md5Hash60]] computes in SQL, evaluated in
+    * the JVM so the aggregate needs no per-row Column machinery. */
+  def bucket(r: Int, token: String, width: Int): Int = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$r:$token".getBytes(StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString // 16 hex chars; we use 15
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width).toInt
+  }
+
+  /** Column form: aggregate a string column into the flattened
+    * depth×width counter sequence (row-major). */
+  def sketch(depth: Int, width: Int)(token: Column): Column =
+    udaf(new CountMinAgg(depth, width), Encoders.STRING)(token)
+}

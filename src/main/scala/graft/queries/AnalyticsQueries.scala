@@ -1,0 +1,496 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CountMin, TextOps, TopKAgg}
+import graft.sources.Tables
+import Det.{big, ordered}
+
+/** Corpus-analytics pack: the quality-filtering, sketching, and
+  * event-analytics operators a training-data pipeline runs between raw
+  * ingest and the dedup/curation families — Gopher-style repetition
+  * rules, n-gram LM quality scoring, domain mixture balancing, a
+  * mergeable count-min sketch, time-series gap-fill, funnel and
+  * retention analytics.
+  *
+  * Oracle strategy (the TrainQueries convention): every emitted score is
+  * an exact integer — pure integer ratios in basis points, ln() quantized
+  * to floor(·×10⁶) micro-units BEFORE any sum (the Bm25 trick), counts,
+  * or cents — so DuckDB reproduces every value bit-for-bit.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- op156
+
+  /** Interior word-bigram list of `text` (split on ' '), as
+    * `zip_with(slice, slice)` so a one-word document yields an EMPTY
+    * array (never a misordered `sequence(1,0)` range). */
+  private def bigramExpr(joiner: String): String =
+    "zip_with(slice(split(text,' '),1,size(split(text,' '))-1), " +
+      "slice(split(text,' '),2,size(split(text,' '))-1), " +
+      s"(a,b) -> $joiner)"
+
+  /** op156 thresholds (basis points): chosen to sit inside the fixture's
+    * observed quantile range (top-word p90 ~1570, dup-bigram p90 ~650 at
+    * sf0.01) so the filter genuinely partitions the corpus. */
+  private val topWordMaxBp = 1800L
+  private val dupBigramMaxBp = 800L
+
+  /** op156: Gopher-style repetition filter — per document, the fraction
+    * of word characters inside the single most frequent word and the
+    * fraction of duplicate word-bigrams, both as pure-integer basis
+    * points; documents above either threshold are flagged drop.
+    *
+    * 100 TB shape: one shuffle keyed (doc_id, word) for the counts (map-
+    * side combinable), a per-doc window for the arg-max word (partition =
+    * doc — bounded by the longest document, never corpus-wide), one more
+    * (doc_id, bigram) shuffle for the duplicate-bigram rate. All
+    * arithmetic is integer division (floor on positives — identical
+    * `div`/`//` on both engines); no floats anywhere. */
+  val op156RepetitionFilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val wc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val top = wc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("w"))))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("w").as("top_word"),
+        big(length(col("w")) * col("cnt")).as("top_chars"))
+    val chars = wc.groupBy("doc_id")
+      .agg(sum(length(col("w")) * col("cnt")).as("word_chars"))
+    val bga = docs
+      .select(col("doc_id"),
+        explode(expr(bigramExpr("concat(a, ' ', b)"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("nb"), count(lit(1)).as("db"))
+    ordered(
+      top.join(chars, "doc_id").join(bga, Seq("doc_id"), "left")
+        .withColumn("top_word_frac_bp",
+          expr("CAST(top_chars * 10000 div word_chars AS BIGINT)"))
+        .withColumn("dup_bigram_frac_bp",
+          expr("CAST(CASE WHEN nb IS NULL OR nb = 0 THEN 0 " +
+            "ELSE (nb - db) * 10000 div nb END AS BIGINT)"))
+        .withColumn("keep",
+          expr(s"CAST(CASE WHEN top_word_frac_bp <= $topWordMaxBp AND " +
+            s"dup_bigram_frac_bp <= $dupBigramMaxBp THEN 1 ELSE 0 END " +
+            "AS BIGINT)"))
+        .select("doc_id", "top_word", "top_word_frac_bp",
+          "dup_bigram_frac_bp", "keep"),
+      "doc_id")
+  }
+
+  // ---------------------------------------------------------------- op157
+
+  /** One bigram's add-one-smoothed log-probability under the per-language
+    * model, in floor-quantized integer micro-units — SHARED SQL text
+    * (interpolated into the Spark plan AND the DuckDB oracle, the Bm25
+    * determinism recipe): the ln is quantized BEFORE the per-document
+    * sum, so the sum is exact integer arithmetic, order-independent
+    * across engines and partitions. Expects `c12`, `c1`, `v` in scope. */
+  val qlpUbpSql: String =
+    "CAST(FLOOR(LN((CAST(c12 AS DOUBLE) + 1.0) / " +
+      "(CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0) AS BIGINT)"
+
+  /** Per-doc average log-prob threshold (micro-units): keep iff
+    * sum_qlp ≥ −3.43 × 10⁶ × n_bi (just below the fixture's p2 average) — compared in exact integers, never as
+    * a division. */
+  private val qlpKeepAvgUbp = -3430000L
+
+  /** op157: n-gram LM quality scoring (the KenLM-perplexity-filter shape)
+    * — train a word-bigram model with add-one smoothing PER LANGUAGE over
+    * the corpus, score every document by the sum of its bigrams'
+    * quantized log-probabilities, and flag low-likelihood documents.
+    *
+    * 100 TB shape: the model is two map-combinable aggregations (counts
+    * keyed (lang,w1,w2) and (lang,w1)) plus a per-language distinct-token
+    * count; scoring joins the document bigram occurrences to the model on
+    * (lang,w1,w2) — co-partitioned counts, broadcastable when the
+    * vocabulary is capped (a production model caps to top-M bigrams per
+    * language with a backoff constant; the fixture vocabulary needs no
+    * cap). Documents with no interior bigram score 0 and keep=1 via the
+    * left join. */
+  val op157LmQualityScore: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val toks = docs.select(col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val docBg = docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr(bigramExpr("named_struct('w1', a, 'w2', b)"))).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.w1"), col("g.w2"))
+      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("occ"))
+    val c12 = docBg.groupBy("lang", "w1", "w2").agg(sum("occ").as("c12"))
+    val c1 = c12.groupBy("lang", "w1").agg(sum("c12").as("c1"))
+    val vocab = toks.groupBy("lang").agg(countDistinct("w").as("v"))
+    val scored = docBg
+      .join(c12, Seq("lang", "w1", "w2"))
+      .join(c1, Seq("lang", "w1"))
+      .join(vocab, Seq("lang"))
+      .withColumn("qlp", expr(qlpUbpSql))
+      .groupBy("doc_id")
+      .agg(sum(col("occ") * col("qlp")).as("sum_qlp"),
+        sum("occ").as("n_bi"))
+    ordered(
+      docs.select("doc_id", "lang").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+          coalesce(col("sum_qlp"), lit(0L)).as("sum_qlp"))
+        .withColumn("keep",
+          expr(s"CAST(CASE WHEN sum_qlp >= $qlpKeepAvgUbp * n_bi " +
+            "THEN 1 ELSE 0 END AS BIGINT)")),
+      "doc_id")
+  }
+
+  // ---------------------------------------------------------------- op158
+
+  private val mixtureCap = 20
+
+  /** op158: domain mixture balancing — deterministically select at most
+    * `mixtureCap` documents per source (the uniform-cap mixing strategy:
+    * over-represented domains are downsampled, small domains pass
+    * through whole), chosen by md5-60 hash order so the sample is
+    * reproducible at any parallelism and stable under reruns.
+    *
+    * 100 TB shape: the selection is the bounded [[TopKAgg]] per source —
+    * at most `cap` rows per (source, input-partition) cross the shuffle,
+    * never a corpus-wide window sort (the oracle's `row_number` spelling
+    * is what this aggregate replaces at scale). */
+  val op158MixtureSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextOps.md5Hash60(
+          concat_ws("|", col("source"), col("doc_id"))).as("h"))
+    ordered(
+      docs.groupBy("source")
+        .agg(TopKAgg.topK(mixtureCap)(-col("h"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), big(col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id")),
+      "source", "rank")
+  }
+
+  // ---------------------------------------------------------------- op159
+
+  private val cmsDepth = 4
+  private val cmsWidth = 64
+
+  /** op159: count-min-sketch heavy hitters — build the mergeable
+    * [[CountMin]] sketch over all document words in ONE pass (fixed
+    * depth×width counters per partition, element-wise-add merge), then
+    * report every token whose sketch ESTIMATE clears 2% of total token
+    * volume, alongside its exact count (est ≥ exact always — the
+    * one-sided CMS guarantee, spec-pinned).
+    *
+    * 100 TB shape: the sketch shuffle is `depth·width` longs per
+    * partition — independent of corpus size AND token cardinality (the
+    * exact groupBy it replaces shuffles the open token set). The
+    * candidate probe here joins the sketch row against the distinct
+    * tokens to exhibit estimates; a production heavy-hitter pass probes
+    * only a candidate stream. */
+  val op159CmsHeavyHitters: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val counters = toks
+      .agg(CountMin.sketch(cmsDepth, cmsWidth)(col("w")).as("sk"))
+      .select(posexplode(col("sk")))
+      .select(expr(s"CAST(pos div $cmsWidth AS BIGINT)").as("r"),
+        expr(s"CAST(pos % $cmsWidth AS BIGINT)").as("b"),
+        col("col").as("cnt"))
+    val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val probes = exact.select(col("w"), col("exact_cnt"),
+      explode(expr(
+        s"transform(sequence(0, ${cmsDepth - 1}), r -> named_struct(" +
+          "'r', CAST(r AS BIGINT), " +
+          "'b', CAST(CONV(SUBSTRING(MD5(CAST(CONCAT(CAST(r AS STRING), " +
+          s"':', w) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % $cmsWidth))"))
+        .as("rb"))
+      .select(col("w"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    ordered(
+      probes.join(broadcast(counters), Seq("r", "b"))
+        .groupBy("w", "exact_cnt").agg(min("cnt").as("est_cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("est_cnt") * 50 >= col("total"))
+        .select(col("w").as("token"), col("est_cnt"), col("exact_cnt")),
+      "token")
+  }
+
+  // ---------------------------------------------------------------- op160
+
+  /** op160: time-series gap-fill with last-observation-carried-forward —
+    * resample each user's event stream onto an hourly grid spanning
+    * their own [first, last] activity, carry the latest observed value
+    * (in exact cents) across unobserved hours, and report per-user grid
+    * coverage plus the LOCF integral.
+    *
+    * 100 TB shape: the grid explode is bounded by span/granularity per
+    * user (a retention-bounded constant, never corpus-sized); the LOCF
+    * window partitions by user — one shuffle, each partition the user's
+    * own grid. The per-(user,hour) latest-value pick is a window over
+    * the user-hour group (bounded by events-per-hour). */
+  val op160GapfillLocf: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100, 0).cast("bigint").as("cents"))
+    val hv = ev
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "h")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rk") === 1)
+      .select("user_id", "h", "cents")
+    val grid = ev.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val filled = grid.join(hv, Seq("user_id", "h"), "left")
+      .withColumn("locf", last("cents", ignoreNulls = true).over(
+        Window.partitionBy("user_id").orderBy("h")))
+    ordered(
+      filled.groupBy("user_id").agg(
+        count(lit(1)).as("hours_total"),
+        count(col("cents")).as("hours_obs"),
+        (count(lit(1)) - count(col("cents"))).as("hours_filled"),
+        sum("locf").as("locf_sum_cents")),
+      "user_id")
+  }
+
+  // ---------------------------------------------------------------- op161
+
+  /** op161: ordered funnel — view → click → purchase per user, each later
+    * step's timestamp strictly after the user's previous step (min-after-
+    * threshold semantics on the exact integer `ts_ns` axis). Emits one
+    * row per step: users reaching it and the total conversion latency in
+    * whole seconds (integer-exact on both engines).
+    *
+    * 100 TB shape: three map-combinable per-user min-aggregations chained
+    * by co-partitioned user_id joins (each stage's threshold table is
+    * user-dim-sized); no windows, no self-joins over raw events. */
+  val op161Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts_ns")
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts_ns") > col("t1"))
+      .groupBy("user_id").agg(min("ts_ns").as("t2"), min("t1").as("t1"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts_ns") > col("t2"))
+      .groupBy("user_id").agg(min("ts_ns").as("t3"), min("t2").as("t2"))
+    val r1 = s1.agg(count(lit(1)).as("users")).select(
+      lit("1_view").as("step"), col("users"), lit(0L).as("lat_sum_s"))
+    val r2 = s2.agg(count(lit(1)).as("users"),
+        sum(expr("(t2 - t1) div 1000000000")).as("lat_sum_s"))
+      .select(lit("2_click").as("step"), col("users"),
+        coalesce(col("lat_sum_s"), lit(0L)).as("lat_sum_s"))
+    val r3 = s3.agg(count(lit(1)).as("users"),
+        sum(expr("(t3 - t2) div 1000000000")).as("lat_sum_s"))
+      .select(lit("3_purchase").as("step"), col("users"),
+        coalesce(col("lat_sum_s"), lit(0L)).as("lat_sum_s"))
+    ordered(r1.union(r2).union(r3), "step")
+  }
+
+  // ---------------------------------------------------------------- op162
+
+  /** op162: retention cohorts — cohort = a user's first active day
+    * (index vs 2024-01-01, integer), activity = distinct (user, day);
+    * emit distinct active users per (cohort, day-offset).
+    *
+    * 100 TB shape: first-seen is a map-combinable min per user; the
+    * cohort join is co-partitioned on user_id; the final aggregate keys
+    * (cohort, offset) — a bounded grid (cohorts × retention horizon),
+    * so the last shuffle is tiny regardless of event volume. */
+  val op162RetentionCohorts: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.distinct()
+    ordered(
+      active.join(firstSeen, "user_id")
+        .select(
+          big(datediff(col("cohort_day"), lit("2024-01-01").cast("date")))
+            .as("cohort_idx"),
+          big(datediff(col("day"), col("cohort_day"))).as("offset_d"))
+        .groupBy("cohort_idx", "offset_d")
+        .agg(count(lit(1)).as("users")),
+      "cohort_idx", "offset_d")
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val defs: Map[String, Q] = Map(
+    "op156_repetition_filter" -> op156RepetitionFilter,
+    "op157_lm_quality_score" -> op157LmQualityScore,
+    "op158_mixture_sample" -> op158MixtureSample,
+    "op159_cms_heavy_hitters" -> op159CmsHeavyHitters,
+    "op160_gapfill_locf" -> op160GapfillLocf,
+    "op161_funnel" -> op161Funnel,
+    "op162_retention_cohorts" -> op162RetentionCohorts)
+
+  /** DuckDB twins. Every score is exact integer arithmetic; the md5-60
+    * hash and the quantized-ln micro-units replay bit-for-bit. */
+  val oracle: Map[String, String] = Map(
+    "op156_repetition_filter" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |           FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |top AS (SELECT doc_id, w AS top_word,
+        |               CAST(length(w) * cnt AS BIGINT) AS top_chars,
+        |               row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY cnt DESC, w) AS rk
+        |        FROM wc),
+        |chars AS (SELECT doc_id, sum(length(w) * cnt) AS word_chars
+        |          FROM wc GROUP BY 1),
+        |bg AS (SELECT doc_id, wl[i] || ' ' || wl[i+1] AS g
+        |       FROM (SELECT doc_id, string_split(text,' ') AS wl
+        |             FROM documents) t,
+        |            LATERAL (SELECT unnest(range(1, len(wl))) AS i) u),
+        |bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, sum(cnt) AS nb, count(*) AS db
+        |        FROM bgc GROUP BY 1)
+        |SELECT t.doc_id, t.top_word,
+        |  CAST(t.top_chars * 10000 // c.word_chars AS BIGINT)
+        |    AS top_word_frac_bp,
+        |  CAST(CASE WHEN a.nb IS NULL OR a.nb = 0 THEN 0
+        |       ELSE (a.nb - a.db) * 10000 // a.nb END AS BIGINT)
+        |    AS dup_bigram_frac_bp,
+        |  CAST(CASE WHEN CAST(t.top_chars * 10000 // c.word_chars AS BIGINT)
+        |              <= $topWordMaxBp
+        |             AND CAST(CASE WHEN a.nb IS NULL OR a.nb = 0 THEN 0
+        |                 ELSE (a.nb - a.db) * 10000 // a.nb END AS BIGINT)
+        |              <= $dupBigramMaxBp
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM top t
+        |JOIN chars c USING (doc_id)
+        |LEFT JOIN bga a USING (doc_id)
+        |WHERE t.rk = 1
+        |ORDER BY t.doc_id""".stripMargin,
+    "op157_lm_quality_score" -> {
+      s"""WITH bgdoc AS (
+         |  SELECT doc_id, lang, wl[i] AS w1, wl[i+1] AS w2, count(*) AS occ
+         |  FROM (SELECT doc_id, lang, string_split(text,' ') AS wl
+         |        FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(wl))) AS i) u
+         |  GROUP BY 1, 2, 3, 4),
+         |c12 AS (SELECT lang, w1, w2, sum(occ) AS c12 FROM bgdoc
+         |        GROUP BY 1, 2, 3),
+         |c1 AS (SELECT lang, w1, sum(c12) AS c1 FROM c12 GROUP BY 1, 2),
+         |vocab AS (SELECT lang, count(DISTINCT w) AS v
+         |          FROM (SELECT lang, unnest(string_split(text,' ')) AS w
+         |                FROM documents) GROUP BY 1),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |         sum(b.occ * ($qlpUbpSql)) AS sum_qlp,
+         |         sum(b.occ) AS n_bi
+         |  FROM bgdoc b
+         |  JOIN c12 USING (lang, w1, w2)
+         |  JOIN c1 USING (lang, w1)
+         |  JOIN vocab USING (lang)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(s.n_bi, 0) AS n_bi,
+         |  coalesce(s.sum_qlp, 0) AS sum_qlp,
+         |  CAST(CASE WHEN coalesce(s.sum_qlp, 0) >=
+         |    $qlpKeepAvgUbp * coalesce(s.n_bi, 0)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "op158_mixture_sample" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |  ('0x' || substring(md5(source || '|' || CAST(doc_id AS VARCHAR)),
+         |   1, 15))::BIGINT AS h
+         |  FROM documents),
+         |r AS (SELECT source, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |       AS BIGINT) AS rank
+         |  FROM h)
+         |SELECT source, rank, doc_id FROM r WHERE rank <= $mixtureCap
+         |ORDER BY source, rank""".stripMargin,
+    "op159_cms_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text,' ')) AS w
+         |              FROM documents),
+         |rows_ AS (SELECT unnest(range(0, $cmsDepth)) AS r),
+         |cells AS (SELECT r,
+         |  ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || w), 1, 15))
+         |    ::BIGINT % $cmsWidth AS b
+         |  FROM toks, rows_),
+         |counters AS (SELECT r, b, count(*) AS cnt FROM cells
+         |             GROUP BY 1, 2),
+         |exact AS (SELECT w, count(*) AS exact_cnt FROM toks GROUP BY 1),
+         |total AS (SELECT count(*) AS total FROM toks),
+         |probes AS (SELECT e.w, e.exact_cnt, o.r,
+         |  ('0x' || substring(md5(CAST(o.r AS VARCHAR) || ':' || e.w), 1, 15))
+         |    ::BIGINT % $cmsWidth AS b
+         |  FROM exact e, rows_ o),
+         |est AS (SELECT p.w, p.exact_cnt, min(c.cnt) AS est_cnt
+         |        FROM probes p JOIN counters c ON p.r = c.r AND p.b = c.b
+         |        GROUP BY 1, 2)
+         |SELECT w AS token, est_cnt, exact_cnt FROM est, total
+         |WHERE est_cnt * 50 >= total
+         |ORDER BY token""".stripMargin,
+    "op160_gapfill_locf" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |hv AS (SELECT user_id, h, cents FROM (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, cents,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, date_trunc('hour', ts)
+        |           ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM ev) WHERE rk = 1),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |               date_trunc('hour', max(ts)) AS h1
+        |        FROM ev GROUP BY 1)),
+        |f AS (SELECT g.user_id, g.h, hv.cents,
+        |  last_value(hv.cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h) AS locf
+        |  FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id
+        |                          AND g.h = hv.h)
+        |SELECT user_id, count(*) AS hours_total,
+        |  count(cents) AS hours_obs,
+        |  count(*) - count(cents) AS hours_filled,
+        |  sum(locf) AS locf_sum_cents
+        |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "op161_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  epoch_us(ts) * 1000 AS ts_ns FROM events),
+        |s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2, min(s1.t1) AS t1
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_ns > s1.t1
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_ns) AS t3, min(s2.t2) AS t2
+        |       FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_ns > s2.t2
+        |       GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS step, count(*) AS users,
+        |         CAST(0 AS BIGINT) AS lat_sum_s FROM s1
+        |  UNION ALL
+        |  SELECT '2_click', count(*),
+        |         coalesce(sum((t2 - t1) // 1000000000), 0) FROM s2
+        |  UNION ALL
+        |  SELECT '3_purchase', count(*),
+        |         coalesce(sum((t3 - t2) // 1000000000), 0) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "op162_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |fs AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT
+        |  CAST(date_diff('day', DATE '2024-01-01', fs.cohort_day)
+        |       AS BIGINT) AS cohort_idx,
+        |  CAST(date_diff('day', fs.cohort_day, ev.day) AS BIGINT)
+        |    AS offset_d,
+        |  count(*) AS users
+        |FROM ev JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CountMin, CountMinAgg}
+import graft.queries.AnalyticsQueries
+import graft.sources.Tables
+
+/** Semantics of the corpus-analytics pack (op156–op162) against
+  * driver-side reference recomputation, plus the count-min sketch's
+  * algebraic properties and the plan shapes the 100 TB arguments rely
+  * on. */
+class AnalyticsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ CountMin
+
+  test("count-min: merge of split halves equals one-shot build") {
+    val toks = (1 to 500).map(i => s"tok${i % 37}")
+    val agg = new CountMinAgg(4, 64)
+    val (a, b) = toks.splitAt(211)
+    val bufA = a.foldLeft(agg.zero)(agg.reduce)
+    val bufB = b.foldLeft(agg.zero)(agg.reduce)
+    val whole = toks.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(bufA, bufB).toSeq == whole.toSeq)
+  }
+
+  test("count-min: estimate is never below the exact count (one-sided)") {
+    val r = AnalyticsQueries.op159CmsHeavyHitters(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("est_cnt") >= row.getAs[Long]("exact_cnt"),
+        s"CMS under-estimated ${row.getAs[String]("token")}")
+    }
+  }
+
+  test("count-min: JVM bucket matches the SQL md5-60 convention") {
+    val df = spark.range(1).select(
+      expr("CAST(CONV(SUBSTRING(MD5(CAST('2:spark' AS BINARY)), 1, 15), " +
+        "16, 10) AS BIGINT) % 64").as("b"))
+    assert(df.collect()(0).getAs[Long]("b") ==
+      CountMin.bucket(2, "spark", 64).toLong)
+  }
+
+  // --------------------------------------------------------------- op156
+
+  test("op156: one row per doc; fractions in range; keep matches rule") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val r = AnalyticsQueries.op156RepetitionFilter(spark, sfDir).collect()
+    assert(r.length == docs)
+    r.foreach { row =>
+      val top = row.getAs[Long]("top_word_frac_bp")
+      val dup = row.getAs[Long]("dup_bigram_frac_bp")
+      assert(top >= 0 && top <= 10000)
+      assert(dup >= 0 && dup <= 10000)
+      assert(row.getAs[Long]("keep") ==
+        (if (top <= 1800 && dup <= 800) 1L else 0L))
+    }
+  }
+
+  test("op156: recomputes one document from its raw text") {
+    val doc = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").where(col("doc_id") === 0).collect()(0)
+    val words = doc.getAs[String]("text").split(" ").toSeq
+    val counts = words.groupBy(identity).view.mapValues(_.size).toMap
+    val (topW, topC) = counts.toSeq.sortBy { case (w, c) => (-c, w) }.head
+    val wordChars = counts.map { case (w, c) => w.length.toLong * c }.sum
+    val bigrams = words.sliding(2).map(_.mkString(" ")).toSeq
+    val nb = bigrams.size.toLong
+    val db = bigrams.distinct.size.toLong
+    val row = AnalyticsQueries.op156RepetitionFilter(spark, sfDir)
+      .where(col("doc_id") === 0).collect()(0)
+    assert(row.getAs[String]("top_word") == topW)
+    assert(row.getAs[Long]("top_word_frac_bp") ==
+      topW.length.toLong * topC * 10000 / wordChars)
+    assert(row.getAs[Long]("dup_bigram_frac_bp") == (nb - db) * 10000 / nb)
+  }
+
+  // --------------------------------------------------------------- op157
+
+  test("op157: n_bi is words-1 per doc; scores non-positive; keep rule") {
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast("long").as("want"))
+      .collect().map(r => r.getLong(0) -> math.max(r.getLong(1), 0L)).toMap
+    val r = AnalyticsQueries.op157LmQualityScore(spark, sfDir).collect()
+    assert(r.length == expected.size)
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val nBi = row.getAs[Long]("n_bi")
+      val sum = row.getAs[Long]("sum_qlp")
+      assert(nBi == expected(id))
+      assert(sum <= 0, s"positive log-prob sum for doc $id")
+      assert(row.getAs[Long]("keep") ==
+        (if (sum >= -3430000L * nBi) 1L else 0L))
+    }
+  }
+
+  // --------------------------------------------------------------- op158
+
+  test("op158: at most cap rows per source, contiguous ranks, stable") {
+    val r = AnalyticsQueries.op158MixtureSample(spark, sfDir).collect()
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length <= 20, s"source $src over cap")
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"source $src ranks not contiguous")
+    }
+    val again = AnalyticsQueries.op158MixtureSample(spark, sfDir).collect()
+    assert(r.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("op158: bounded TopKAgg replaces the window sort in the plan") {
+    val plan = AnalyticsQueries.op158MixtureSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "mixture sample fell back to a window")
+    assert(plan.contains("ObjectHashAggregate"),
+      "TopKAgg should aggregate via ObjectHashAggregate")
+  }
+
+  // --------------------------------------------------------------- op160
+
+  test("op160: grid accounting holds and LOCF matches a naive replay") {
+    val r = AnalyticsQueries.op160GapfillLocf(spark, sfDir).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("hours_total") ==
+        row.getAs[Long]("hours_obs") + row.getAs[Long]("hours_filled"))
+    }
+    // naive driver-side replay for one user
+    val uid = r.head.getAs[Long]("user_id")
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id") === uid)
+      .select(col("ts_ns"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    val hourNs = 3600L * 1000000000L
+    val byHour = ev.groupBy(_._1 / hourNs).view
+      .mapValues(_.maxBy(e => (e._1, e._2))._3).toMap
+    val h0 = ev.map(_._1).min / hourNs
+    val h1 = ev.map(_._1).max / hourNs
+    var locf = 0L
+    var sum = 0L
+    (h0 to h1).foreach { h =>
+      byHour.get(h).foreach(locf = _)
+      sum += locf
+    }
+    val row = r.find(_.getAs[Long]("user_id") == uid).get
+    assert(row.getAs[Long]("hours_total") == h1 - h0 + 1)
+    assert(row.getAs[Long]("hours_obs") == byHour.size.toLong)
+    assert(row.getAs[Long]("locf_sum_cents") == sum)
+  }
+
+  // --------------------------------------------------------------- op161
+
+  test("op161: funnel is monotone and step1 counts view users") {
+    val r = AnalyticsQueries.op161Funnel(spark, sfDir).collect()
+      .map(x => x.getAs[String]("step") -> x.getAs[Long]("users")).toMap
+    assert(r("1_view") >= r("2_click"))
+    assert(r("2_click") >= r("3_purchase"))
+    val viewUsers = Tables.events(spark, sfDir)
+      .where(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(r("1_view") == viewUsers)
+  }
+
+  // --------------------------------------------------------------- op162
+
+  test("op162: offset-0 users equal cohort sizes; totals add up") {
+    val r = AnalyticsQueries.op162RetentionCohorts(spark, sfDir).collect()
+    val offset0 = r.filter(_.getAs[Long]("offset_d") == 0)
+      .map(x => x.getAs[Long]("cohort_idx") -> x.getAs[Long]("users")).toMap
+    val cohorts = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("c"))
+      .groupBy("c").count().collect()
+      .map(x => (x.getDate(0).toLocalDate.toEpochDay - 19723L) ->
+        x.getLong(1)).toMap
+    assert(offset0 == cohorts)
+    r.foreach(x => assert(x.getAs[Long]("offset_d") >= 0))
+  }
+}
