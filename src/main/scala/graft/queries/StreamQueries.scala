@@ -55,12 +55,31 @@ object StreamQueries {
       "event_id")
   }
 
+  /** op163: streaming dedup via dropDuplicatesWithinWatermark — at most
+    * one event per (user, type, day); output is per-type kept-key counts
+    * (survivor identity never reaches the result, so the streaming
+    * first-seen nondeterminism is invisible — see
+    * [[graft.streaming.EventStreams.dedupWithinWatermark]]). */
+  val op163StreamDedupWm: Q = (s, d) =>
+    ordered(graft.streaming.EventStreams.dedupWithinWatermark(s, d),
+      "event_type")
+
+  /** op164: stream-stream LEFT OUTER time-bounded join (views ⟕ clicks
+    * within 10 min per user) — the outer completion of OP-30; unmatched
+    * views flush as NULL rows in the trailing no-data batch once the
+    * final watermark clears their horizon. */
+  val op164StreamLeftOuter: Q = (s, d) =>
+    ordered(graft.streaming.EventStreams.leftOuterBoundedJoin(s, d),
+      "view_id", "click_id")
+
   val defs: Map[String, Q] = Map(
     "op36_asof_join" -> op36AsOf,
     "op51_stream_watermark" -> op51Streamed,
     "op52_window_tumbling" -> op52Tumbling,
     "op52_window_sliding" -> op52Sliding,
     "op53_window_session" -> op53Session,
+    "op163_stream_dedup_wm" -> op163StreamDedupWm,
+    "op164_stream_left_outer" -> op164StreamLeftOuter,
   )
 
   private val tumblingSql =
@@ -109,5 +128,34 @@ object StreamQueries {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) * 100 AS BIGINT) AS sum_value
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+    "op163_stream_dedup_wm" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM (SELECT DISTINCT user_id, event_type,
+        |             date_trunc('day', ts) AS day FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "op164_stream_left_outer" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least(
+        |  (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |  (SELECT max(ts) FROM events WHERE event_type = 'click')) AS w),
+        |m AS (SELECT v.view_id, v.user_id, c.click_id,
+        |        CAST((epoch_us(c.click_ts) - epoch_us(v.view_ts))
+        |             // 1000000 AS BIGINT) AS lag_s
+        |      FROM v JOIN c ON v.user_id = c.user_id
+        |        AND c.click_ts > v.view_ts
+        |        AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE),
+        |unm AS (SELECT v.view_id, v.user_id,
+        |          CAST(NULL AS BIGINT) AS click_id,
+        |          CAST(NULL AS BIGINT) AS lag_s
+        |        FROM v, wm
+        |        WHERE NOT EXISTS (SELECT 1 FROM c
+        |          WHERE c.user_id = v.user_id AND c.click_ts > v.view_ts
+        |            AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE)
+        |          AND v.view_ts + INTERVAL 10 MINUTE < wm.w)
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM unm)
+        |ORDER BY view_id, click_id""".stripMargin,
   )
 }
