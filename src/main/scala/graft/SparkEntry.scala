@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.TrainQueries.defs ++
     graft.queries.StreamQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
-    graft.queries.AnalyticsQueries.defs
+    graft.queries.AnalyticsQueries.defs ++
+    graft.queries.SketchQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -24,5 +25,6 @@ object SparkEntry {
     graft.queries.TrainQueries.oracle ++
     graft.queries.StreamQueries.oracle ++
     graft.queries.MultimodalQueries.oracle ++
-    graft.queries.AnalyticsQueries.oracle
+    graft.queries.AnalyticsQueries.oracle ++
+    graft.queries.SketchQueries.oracle
 }

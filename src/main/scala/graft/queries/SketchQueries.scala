@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+import graft.sources.Tables
+import Det.{big, ordered}
+
+/** Sketch + sequence-analytics pack: KMV cardinality estimation, Markov
+  * event transitions, trailing-window spike detection, and Pareto
+  * skyline — all oracle-gated through the repo's exact-integer
+  * conventions (md5-60 hashing, integer `div`, basis points).
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- op165
+
+  private val kmvK = 64
+
+  /** 40-bit order-preserving truncation of the md5-60 hash: KMV needs
+    * min-order only, and 40 bits keeps (k−1)·2⁴⁰ inside BIGINT so the
+    * estimator is EXACT integer arithmetic on both engines (the full
+    * 60-bit space would overflow (k−1)·2⁶⁰ past 2⁶³). */
+  private val kmvSpace = 1099511627776L // 2^40
+
+  /** op165: K-minimum-values distinct-count sketch — per language, the
+    * number of distinct word-trigram shingles, exactly and as the KMV
+    * estimate (k−1)·2⁴⁰ div h_k from the k smallest distinct 40-bit
+    * hashes. The deterministic, ORACLE-GATED counterpart of op42's HLL
+    * (whose estimate is spec-bounded rows-only by contract): same
+    * sketch role, but every emitted number replays bit-for-bit in SQL.
+    *
+    * 100 TB shape: KMV state is k hashes per group — mergeable by
+    * sorted-merge-truncate (the [[TopKAgg]] buffer IS that merge), so
+    * the shuffle moves ≤ k rows per (group, partition) regardless of
+    * cardinality; the exact count here exists only as the oracle
+    * witness. Estimate error ~1/√k, one-sided-free, and unlike HLL the
+    * estimator is a closed-form integer expression. */
+  val op165KmvDistinct: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("lang", "text")
+    val n3 = "greatest(size(split(text,' ')) - 2, 0)" // <3 words → empty
+    val sh = docs.select(col("lang"), explode(expr(
+      s"zip_with(zip_with(slice(split(text,' '),1,$n3), " +
+        s"slice(split(text,' '),2,$n3), " +
+        "(a,b) -> concat(a,' ',b)), " +
+        s"slice(split(text,' '),3,$n3), " +
+        "(ab,c) -> concat(ab,' ',c))")).as("sh"))
+    val hashes = sh.select(col("lang"),
+      expr("CAST(CONV(SUBSTRING(MD5(CAST(sh AS BINARY)), 1, 15), 16, 10) " +
+        s"AS BIGINT) div 1048576").as("h40")) // div 2^20: keep top 40 bits
+      .distinct()
+    val sketch = hashes.groupBy("lang")
+      .agg(TopKAgg.topK(kmvK)(-col("h40"), col("h40")).as("mins"),
+        count(lit(1)).as("n_exact"))
+    ordered(
+      sketch.select(col("lang"), col("n_exact"),
+        expr(s"CAST(CASE WHEN size(mins) < $kmvK THEN size(mins) " +
+          s"ELSE (${kmvK - 1} * ${kmvSpace}L) div element_at(mins, $kmvK).id " +
+          "END AS BIGINT)").as("kmv_est")),
+      "lang")
+  }
+
+  // ---------------------------------------------------------------- op166
+
+  /** op166: Markov transition matrix — per user, order events by time and
+    * count (previous type → type) transitions; emit counts and the
+    * per-source-row transition probability in basis points (integer
+    * division). The path-analysis primitive.
+    *
+    * 100 TB shape: ONE shuffle to the per-user window (lag over
+    * (user, time) — partitions bounded by a user's own history), then a
+    * map-combinable count keyed by the 5×5 transition grid; the final
+    * probability join is against a 5-row broadcast. */
+  val op166MarkovTransitions: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+    val trans = ev
+      .withColumn("prev", lag("event_type", 1).over(
+        Window.partitionBy("user_id").orderBy("ts_ns", "event_id")))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("prev_type"),
+        col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("prev_type").agg(sum("n").as("tot"))
+    ordered(
+      trans.join(broadcast(totals), "prev_type")
+        .withColumn("prob_bp", expr("CAST(n * 10000 div tot AS BIGINT)"))
+        .select("prev_type", "cur_type", "n", "prob_bp"),
+      "prev_type", "cur_type")
+  }
+
+  // ---------------------------------------------------------------- op167
+
+  /** op167: trailing-window spike detection — daily event counts per
+    * type vs their own trailing 7-day window (RANGE frame on the
+    * integer day index, so missing days genuinely shrink the window);
+    * a day spikes when 70·cnt > 13·trailing-sum (count > 1.3× the
+    * trailing daily average — exact integer inequality, no division).
+    * Warm-up days (index < 7) are emitted unflagged.
+    *
+    * 100 TB shape: the daily rollup is map-combinable (type × day grid);
+    * the window runs over that tiny grid, not over raw events — the
+    * aggregate-then-window order is the whole trick. */
+  val op167SpikeDetect: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+          .as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rangeBetween(-7, -1)
+    ordered(
+      daily.withColumn("trailing",
+          coalesce(sum("n").over(w), lit(0L)))
+        .withColumn("spike",
+          expr("CAST(CASE WHEN day_idx >= 7 AND n * 70 > trailing * 13 " +
+            "THEN 1 ELSE 0 END AS BIGINT)")),
+      "event_type", "day_idx")
+  }
+
+  // ---------------------------------------------------------------- op168
+
+  /** op168: 2-D Pareto skyline of lineitem on (price min, discount max) —
+    * an item survives iff NO other item dominates it: (p_j < p_i ∧
+    * d_j ≥ d_i) or (p_j ≤ p_i ∧ d_j > d_i). Exact cents / basis points.
+    *
+    * 100 TB shape: dominance collapses onto the DISTINCT-discount grid —
+    * one map-combinable per-discount min-price aggregate (|grid| rows,
+    * here 11), a running min over that tiny grid (minp over disc ≥ d /
+    * disc > d), then a BROADCAST join back: every item is judged by two
+    * scalars from the grid, so the corpus is never sorted globally and
+    * never self-joined (the window-sort skyline would single-partition a
+    * global ORDER BY; the n² NOT-EXISTS is worse). Works whenever one
+    * dimension has bounded distinct values — the general case falls back
+    * to range-partition + local-skyline + merge. */
+  val op168Skyline: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+      round(col("l_extendedprice") * 100, 0).cast("bigint").as("price_cents"),
+      round(col("l_discount") * 10000, 0).cast("bigint").as("disc_bp"))
+    val grid = li.groupBy("disc_bp").agg(min("price_cents").as("mn"))
+    val wGt = Window.orderBy(col("disc_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGe = Window.orderBy(col("disc_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dom = grid
+      .withColumn("minp_gt", min("mn").over(wGt))  // min price, disc >  d
+      .withColumn("minp_ge", min("mn").over(wGe))  // min price, disc >= d
+      .select("disc_bp", "minp_gt", "minp_ge")
+    ordered(
+      li.join(broadcast(dom), "disc_bp")
+        .where(col("price_cents") === col("minp_ge") &&
+          (col("minp_gt").isNull || col("minp_gt") > col("price_cents")))
+        .select("l_orderkey", "l_linenumber", "price_cents", "disc_bp"),
+      "l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val defs: Map[String, Q] = Map(
+    "op165_kmv_distinct" -> op165KmvDistinct,
+    "op166_markov_transitions" -> op166MarkovTransitions,
+    "op167_spike_detect" -> op167SpikeDetect,
+    "op168_skyline" -> op168Skyline)
+
+  val oracle: Map[String, String] = Map(
+    "op165_kmv_distinct" ->
+      s"""WITH sh AS (SELECT lang,
+         |  wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS sh
+         |  FROM (SELECT lang, string_split(text,' ') AS wl FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(wl) - 1)) AS i) u),
+         |h AS (SELECT DISTINCT lang,
+         |  ('0x' || substring(md5(sh), 1, 15))::BIGINT // 1048576 AS h40
+         |  FROM sh),
+         |r AS (SELECT lang, h40,
+         |  row_number() OVER (PARTITION BY lang ORDER BY h40) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n_exact
+         |  FROM h)
+         |SELECT lang, max(n_exact) AS n_exact,
+         |  CAST(CASE WHEN max(n_exact) < $kmvK THEN max(n_exact)
+         |       ELSE (${kmvK - 1} * $kmvSpace) //
+         |            max(CASE WHEN rk = $kmvK THEN h40 END)
+         |       END AS BIGINT) AS kmv_est
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "op166_markov_transitions" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  epoch_us(ts) * 1000 AS ts_ns, event_id FROM events),
+        |t AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts_ns, event_id) AS prev_type,
+        |        event_type AS cur_type
+        |      FROM ev),
+        |c AS (SELECT prev_type, cur_type, count(*) AS n FROM t
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.cur_type, c.n,
+        |  CAST(c.n * 10000 // t.tot AS BIGINT) AS prob_bp
+        |FROM c JOIN tot t USING (prev_type)
+        |ORDER BY prev_type, cur_type""".stripMargin,
+    "op167_spike_detect" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |       AS BIGINT) AS day_idx,
+        |  count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_idx, n,
+        |  coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS trailing,
+        |  CAST(CASE WHEN day_idx >= 7 AND n * 70 >
+        |    coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
+        |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) * 13
+        |    THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |FROM daily ORDER BY event_type, day_idx""".stripMargin,
+    "op168_skyline" ->
+      """WITH li AS (SELECT l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+        |  CAST(round(l_discount * 10000, 0) AS BIGINT) AS disc_bp
+        |  FROM lineitem),
+        |grid AS (SELECT disc_bp, min(price_cents) AS mn FROM li
+        |         GROUP BY 1),
+        |dom AS (SELECT disc_bp,
+        |  min(mn) OVER (ORDER BY disc_bp DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS minp_gt,
+        |  min(mn) OVER (ORDER BY disc_bp DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp_ge
+        |  FROM grid)
+        |SELECT li.l_orderkey, li.l_linenumber, li.price_cents, li.disc_bp
+        |FROM li JOIN dom USING (disc_bp)
+        |WHERE li.price_cents = dom.minp_ge
+        |  AND (dom.minp_gt IS NULL OR dom.minp_gt > li.price_cents)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SketchQueries
+import graft.sources.Tables
+
+/** Semantics of the sketch/sequence pack (op165–op168) against naive
+  * driver-side replays. */
+class SketchSpec extends SparkSpec {
+
+  test("op165: KMV estimate lands within 3/sqrt(k) of the exact count") {
+    val r = SketchQueries.op165KmvDistinct(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val exact = row.getAs[Long]("n_exact").toDouble
+      val est = row.getAs[Long]("kmv_est").toDouble
+      // KMV relative error ~1/sqrt(k); 3σ with k=64 → ±37.5%
+      assert(math.abs(est - exact) / exact <= 0.375,
+        s"lang ${row.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("op166: transition counts sum to events-1 per active user total") {
+    val r = SketchQueries.op166MarkovTransitions(spark, sfDir).collect()
+    val totalTrans = r.map(_.getAs[Long]("n")).sum
+    val ev = Tables.events(spark, sfDir)
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(totalTrans == want)
+    // per-source probabilities sum to ~10000 (floor-division slack < 5)
+    r.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("prob_bp")).sum
+      assert(s > 10000 - rows.length && s <= 10000)
+    }
+  }
+
+  test("op167: trailing equals the sum of the previous 7 day indices") {
+    val r = SketchQueries.op167SpikeDetect(spark, sfDir).collect()
+    val byKey = r.map(x => (x.getAs[String]("event_type"),
+      x.getAs[Long]("day_idx")) -> x.getAs[Long]("n")).toMap
+    r.foreach { row =>
+      val t = row.getAs[String]("event_type")
+      val d = row.getAs[Long]("day_idx")
+      val want = (d - 7 to d - 1).flatMap(i => byKey.get((t, i))).sum
+      assert(row.getAs[Long]("trailing") == want)
+    }
+  }
+
+  test("op168: skyline equals the naive n-squared dominance replay") {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_linenumber").cast("long"),
+      round(col("l_extendedprice") * 100, 0).cast("long"),
+      round(col("l_discount") * 10000, 0).cast("long"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val naive = li.filter { case (_, _, p, dd) =>
+      !li.exists { case (_, _, p2, d2) =>
+        (p2 < p && d2 >= dd) || (p2 <= p && d2 > dd)
+      }
+    }.map(x => (x._1, x._2)).toSet
+    val got = SketchQueries.op168Skyline(spark, sfDir).collect()
+      .map(x => (x.getAs[Long]("l_orderkey"),
+        x.getAs[Long]("l_linenumber"))).toSet
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+}
