@@ -191,15 +191,13 @@ object AnalyticsQueries {
     * candidate probe here joins the sketch row against the distinct
     * tokens to exhibit estimates; a production heavy-hitter pass probes
     * only a candidate stream. */
-  val op159CmsHeavyHitters: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-    val counters = toks
-      .agg(CountMin.sketch(cmsDepth, cmsWidth)(col("w")).as("sk"))
-      .select(posexplode(col("sk")))
-      .select(expr(s"CAST(pos div $cmsWidth AS BIGINT)").as("r"),
-        expr(s"CAST(pos % $cmsWidth AS BIGINT)").as("b"),
-        col("col").as("cnt"))
+  /** Heavy-hitter probe against a (r, b, cnt) counter grid: estimate =
+    * min over rows of the hashed counter, report tokens whose estimate
+    * clears 2% of total volume. Shared by the one-shot (op159) and the
+    * stream-maintained (op169) sketches — mergeability makes their
+    * grids identical, so both run under the SAME oracle. */
+  private[queries] def cmsProbe(toks: DataFrame,
+      counters: DataFrame): DataFrame = {
     val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
     val total = toks.agg(count(lit(1)).as("total"))
     val probes = exact.select(col("w"), col("exact_cnt"),
@@ -218,6 +216,36 @@ object AnalyticsQueries {
         .where(col("est_cnt") * 50 >= col("total"))
         .select(col("w").as("token"), col("est_cnt"), col("exact_cnt")),
       "token")
+  }
+
+  private[queries] def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+
+  val op159CmsHeavyHitters: Q = (s, d) => {
+    val toks = docTokens(s, d)
+    val counters = toks
+      .agg(CountMin.sketch(cmsDepth, cmsWidth)(col("w")).as("sk"))
+      .select(posexplode(col("sk")))
+      .select(expr(s"CAST(pos div $cmsWidth AS BIGINT)").as("r"),
+        expr(s"CAST(pos % $cmsWidth AS BIGINT)").as("b"),
+        col("col").as("cnt"))
+    cmsProbe(toks, counters)
+  }
+
+  /** op169: STREAM-MAINTAINED count-min heavy hitters — documents arrive
+    * in four micro-batches, each reduced to one d×w partial grid
+    * (foreachBatch parquet append — O(d·w) state per batch regardless of
+    * batch size), the serving merge element-wise-sums the partials.
+    * Because CMS merge is exact, the maintained grid ≡ the one-shot
+    * build and op169 runs under op159's UNCHANGED oracle — the
+    * mergeable-summary property as a hash gate, not just a spec claim. */
+  val op169StreamCms: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op169_").toString
+    val counters = graft.streaming.SketchStream
+      .maintainedCounters(s, d, cmsDepth, cmsWidth, state)
+    cmsProbe(docTokens(s, d), counters)
   }
 
   // ---------------------------------------------------------------- op160
@@ -330,11 +358,17 @@ object AnalyticsQueries {
     "op159_cms_heavy_hitters" -> op159CmsHeavyHitters,
     "op160_gapfill_locf" -> op160GapfillLocf,
     "op161_funnel" -> op161Funnel,
-    "op162_retention_cohorts" -> op162RetentionCohorts)
+    "op162_retention_cohorts" -> op162RetentionCohorts,
+    "op169_stream_cms" -> op169StreamCms)
 
   /** DuckDB twins. Every score is exact integer arithmetic; the md5-60
     * hash and the quantized-ln micro-units replay bit-for-bit. */
-  val oracle: Map[String, String] = Map(
+  /** op169 is the stream-maintained sketch — merge-exactness means it
+    * shares op159's oracle verbatim. */
+  lazy val oracle: Map[String, String] = baseOracle +
+    ("op169_stream_cms" -> baseOracle("op159_cms_heavy_hitters"))
+
+  private lazy val baseOracle: Map[String, String] = Map(
     "op156_repetition_filter" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
         |           FROM documents),

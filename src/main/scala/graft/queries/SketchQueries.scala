@@ -159,13 +159,51 @@ object SketchQueries {
       "l_orderkey", "l_linenumber")
   }
 
+  // ---------------------------------------------------------------- op170
+
+  private val copurchaseMinSupport = 3L
+
+  /** op170: market-basket co-purchase pairs — part pairs appearing
+    * together in ≥ minSupport orders, with integer-bp lift
+    * (pair_orders · total_orders · 10⁴ div (orders_a · orders_b)).
+    *
+    * 100 TB shape: the pair fan-out is the per-order self-join — bounded
+    * by (items per order)², a per-basket constant (TPC-H ≤ 7, retail
+    * ~tens), never corpus²; pair counts are map-combinable and the
+    * support threshold prunes before the lift join (the A-priori
+    * argument: no pair below support survives to downstream work). The
+    * per-part order counts broadcast. */
+  val op170Copurchase: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val partOrders = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_ord"))
+    val total = li.select("l_orderkey").distinct().count()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, Seq("l_orderkey")).where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+      .where(col("n") >= copurchaseMinSupport)
+    ordered(
+      pairs
+        .join(broadcast(partOrders.withColumnRenamed("l_partkey", "p1")
+          .withColumnRenamed("n_ord", "n1")), "p1")
+        .join(broadcast(partOrders.withColumnRenamed("l_partkey", "p2")
+          .withColumnRenamed("n_ord", "n2")), "p2")
+        .withColumn("lift_bp",
+          expr(s"CAST(n * ${total}L * 10000 div (n1 * n2) AS BIGINT)"))
+        .select("p1", "p2", "n", "lift_bp"),
+      "p1", "p2")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val defs: Map[String, Q] = Map(
     "op165_kmv_distinct" -> op165KmvDistinct,
     "op166_markov_transitions" -> op166MarkovTransitions,
     "op167_spike_detect" -> op167SpikeDetect,
-    "op168_skyline" -> op168Skyline)
+    "op168_skyline" -> op168Skyline,
+    "op170_copurchase" -> op170Copurchase)
 
   val oracle: Map[String, String] = Map(
     "op165_kmv_distinct" ->
@@ -232,5 +270,23 @@ object SketchQueries {
         |FROM li JOIN dom USING (disc_bp)
         |WHERE li.price_cents = dom.minp_ge
         |  AND (dom.minp_gt IS NULL OR dom.minp_gt > li.price_cents)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "op170_copurchase" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |po AS (SELECT l_partkey, count(*) AS n_ord FROM li GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT l_orderkey) AS total FROM li),
+         |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         |            count(*) AS n
+         |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |            AND a.l_partkey < b.l_partkey
+         |          GROUP BY 1, 2
+         |          HAVING count(*) >= $copurchaseMinSupport)
+         |SELECT p.p1, p.p2, p.n,
+         |  CAST(p.n * t.total * 10000 // (x.n_ord * y.n_ord) AS BIGINT)
+         |    AS lift_bp
+         |FROM pairs p
+         |JOIN po x ON p.p1 = x.l_partkey
+         |JOIN po y ON p.p2 = y.l_partkey
+         |CROSS JOIN tot t
+         |ORDER BY p1, p2""".stripMargin)
 }

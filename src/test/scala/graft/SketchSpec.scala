@@ -46,6 +46,44 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("op169: stream-maintained CMS grid is bit-equal to one-shot") {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_sketchspec_").toString
+    val streamed = graft.streaming.SketchStream
+      .maintainedCounters(spark, sfDir, 4, 64, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // four micro-batches → four partial grids on disk
+    val partials = spark.read.parquet(s"$state/partials")
+    assert(partials.count() == streamed.size.toLong * 4 ||
+      partials.count() > streamed.size, "expected per-batch partials")
+    val oneShot = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.CountMin.sketch(4, 64)(col("w")).as("sk"))
+      .selectExpr("posexplode(sk)")
+      .collect().map(r => (r.getInt(0).toLong / 64,
+        r.getInt(0).toLong % 64) -> r.getLong(1)).toMap
+      .filter(_._2 > 0)
+    assert(streamed.filter(_._2 > 0) == oneShot)
+  }
+
+  test("op170: pair counts match a driver-side basket fold") {
+    val got = SketchQueries.op170Copurchase(spark, sfDir).collect()
+      .map(x => (x.getAs[Long]("p1"), x.getAs[Long]("p2")) ->
+        x.getAs[Long]("n")).toMap
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toSeq
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val want = baskets.flatMap(parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3L).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("op168: skyline equals the naive n-squared dominance replay") {
     val li = Tables.lineitem(spark, sfDir).select(
       col("l_orderkey"), col("l_linenumber").cast("long"),
