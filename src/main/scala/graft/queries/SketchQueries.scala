@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TopKAgg
+import graft.functions.{CountMin, TopKAgg}
 import graft.sources.Tables
 import Det.{big, ordered}
 
@@ -25,6 +25,12 @@ object SketchQueries {
     * estimator is EXACT integer arithmetic on both engines (the full
     * 60-bit space would overflow (k−1)·2⁶⁰ past 2⁶³). */
   private val kmvSpace = 1099511627776L // 2^40
+
+  /** op172's grid: finer than op159's heavy-hitter grid (the inner
+    * product sums collision noise over ALL buckets, so width buys
+    * accuracy quadratically). */
+  private val cmsDepth = 4
+  private val cmsWidth = 512
 
   /** op165: K-minimum-values distinct-count sketch — per language, the
     * number of distinct word-trigram shingles, exactly and as the KMV
@@ -196,6 +202,75 @@ object SketchQueries {
       "p1", "p2")
   }
 
+  // ---------------------------------------------------------------- op171
+
+  /** op171: rank-based winsorization — per language, the exact
+    * nearest-rank p5/p95 of n_chars (rank = ceil(q·n) over the sorted
+    * multiset, deterministic tie order), every document clamped into
+    * [p5, p95] with a touched-flag. The outlier-clipping normalization
+    * step of a feature pipeline, with PERCENTILES AS EXACT INTEGERS —
+    * no interpolation, so the oracle replays them bit-for-bit (op46's
+    * approx-percentile stays rows-only; this is the gate-able spelling).
+    *
+    * 100 TB shape: the rank window sorts per language — for a bounded
+    * value domain (lengths, scores) the production form is a per-group
+    * value histogram (map-combinable) walked to the rank, no sort;
+    * the window spelling is the fixture-scale equivalent with the same
+    * output. */
+  val op171Winsorize: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val bounds = ranked
+      .where(col("rn") === expr("(5 * n + 99) div 100") ||
+        col("rn") === expr("(95 * n + 99) div 100"))
+      .groupBy("lang")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    ordered(
+      docs.join(broadcast(bounds), "lang")
+        .withColumn("clamped",
+          least(greatest(col("n_chars"), col("lo")), col("hi")))
+        .withColumn("clipped",
+          expr("CAST(CASE WHEN clamped <> n_chars THEN 1 ELSE 0 END " +
+            "AS BIGINT)"))
+        .select("doc_id", "lang", "n_chars", "clamped", "clipped"),
+      "doc_id")
+  }
+
+  // ---------------------------------------------------------------- op172
+
+  /** op172: sketch-based join-size estimation — the CMS/AMS inner
+    * product: |R ⋈_k S| is estimated as min over hash rows of
+    * Σ_buckets cntR·cntS without touching the join itself (here R = S =
+    * lineitem keyed l_partkey, so the truth is Σ_k n_k²). The
+    * optimizer-statistics primitive: at 100 TB you budget a join's
+    * shuffle from two d×w grids (one per side, built by each side's
+    * scan) instead of running it; the estimate is one-sided
+    * (est ≥ exact), the safe direction for admission control.
+    * All-integer arithmetic under the hash gate. */
+  val op172JoinSizeCms: Q = (s, d) => {
+    val keys = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("string").as("w"))
+    val counters = keys
+      .agg(CountMin.sketch(cmsDepth, cmsWidth)(col("w")).as("sk"))
+      .select(posexplode(col("sk")))
+      .select(expr(s"CAST(pos div $cmsWidth AS BIGINT)").as("r"),
+        col("col").as("cnt"))
+    val est = counters.groupBy("r")
+      .agg(sum(col("cnt") * col("cnt")).as("ip"))
+      .agg(min("ip").as("est_size"))
+    val exact = Tables.lineitem(s, d).groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("exact_size"))
+    ordered(
+      exact.crossJoin(est)
+        .withColumn("over_bp",
+          expr("CAST(est_size * 10000 div exact_size AS BIGINT)"))
+        .select("exact_size", "est_size", "over_bp"),
+      "exact_size")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val defs: Map[String, Q] = Map(
@@ -203,7 +278,9 @@ object SketchQueries {
     "op166_markov_transitions" -> op166MarkovTransitions,
     "op167_spike_detect" -> op167SpikeDetect,
     "op168_skyline" -> op168Skyline,
-    "op170_copurchase" -> op170Copurchase)
+    "op170_copurchase" -> op170Copurchase,
+    "op171_winsorize" -> op171Winsorize,
+    "op172_join_size_cms" -> op172JoinSizeCms)
 
   val oracle: Map[String, String] = Map(
     "op165_kmv_distinct" ->
@@ -288,5 +365,39 @@ object SketchQueries {
          |JOIN po x ON p.p1 = x.l_partkey
          |JOIN po y ON p.p2 = y.l_partkey
          |CROSS JOIN tot t
-         |ORDER BY p1, p2""".stripMargin)
+         |ORDER BY p1, p2""".stripMargin,
+    "op171_winsorize" ->
+      """WITH ranked AS (SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |bounds AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
+        |  FROM ranked
+        |  WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  least(greatest(d.n_chars, b.lo), b.hi) AS clamped,
+        |  CAST(CASE WHEN least(greatest(d.n_chars, b.lo), b.hi)
+        |            <> d.n_chars THEN 1 ELSE 0 END AS BIGINT) AS clipped
+        |FROM documents d JOIN bounds b USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
+    "op172_join_size_cms" ->
+      s"""WITH keys_ AS (SELECT CAST(l_partkey AS VARCHAR) AS w
+         |              FROM lineitem),
+         |rows_ AS (SELECT unnest(range(0, $cmsDepth)) AS r),
+         |cells AS (SELECT r,
+         |  ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || w), 1, 15))
+         |    ::BIGINT % $cmsWidth AS b
+         |  FROM keys_, rows_),
+         |counters AS (SELECT r, b, count(*) AS cnt FROM cells
+         |             GROUP BY 1, 2),
+         |est AS (SELECT min(ip) AS est_size FROM (
+         |  SELECT r, sum(cnt * cnt) AS ip FROM counters GROUP BY 1)),
+         |exact AS (SELECT sum(n * n) AS exact_size FROM (
+         |  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1))
+         |SELECT x.exact_size, e.est_size,
+         |  CAST(e.est_size * 10000 // x.exact_size AS BIGINT) AS over_bp
+         |FROM exact x CROSS JOIN est e
+         |ORDER BY exact_size""".stripMargin)
 }

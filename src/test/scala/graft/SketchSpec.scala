@@ -84,6 +84,42 @@ class SketchSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("op171: bounds are the exact nearest-rank percentiles per lang") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byLang = docs.groupBy(_._2)
+    val wantBounds = byLang.view.mapValues { rows =>
+      val sorted = rows.sortBy(x => (x._3, x._1)).map(_._3)
+      val n = sorted.length
+      val lo = sorted((5 * n + 99) / 100 - 1)
+      val hi = sorted((95 * n + 99) / 100 - 1)
+      (lo, hi)
+    }.toMap
+    val r = SketchQueries.op171Winsorize(spark, sfDir).collect()
+    assert(r.length == docs.length)
+    r.foreach { row =>
+      val (lo, hi) = wantBounds(row.getAs[String]("lang"))
+      val nc = row.getAs[Long]("n_chars")
+      val clamped = row.getAs[Long]("clamped")
+      assert(clamped == math.min(math.max(nc, lo), hi))
+      assert(row.getAs[Long]("clipped") == (if (clamped != nc) 1L else 0L))
+    }
+    assert(r.exists(_.getAs[Long]("clipped") == 1L), "nothing clipped")
+  }
+
+  test("op172: CMS join-size estimate is one-sided and exact matches") {
+    val r = SketchQueries.op172JoinSizeCms(spark, sfDir).collect()
+    assert(r.length == 1)
+    val exact = r(0).getAs[Long]("exact_size")
+    val est = r(0).getAs[Long]("est_size")
+    val want = Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey").count().collect()
+      .map(x => x.getLong(1) * x.getLong(1)).sum
+    assert(exact == want)
+    assert(est >= exact, "CMS inner product must overestimate")
+  }
+
   test("op168: skyline equals the naive n-squared dominance replay") {
     val li = Tables.lineitem(spark, sfDir).select(
       col("l_orderkey"), col("l_linenumber").cast("long"),
