@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.StreamQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
     graft.queries.AnalyticsQueries.defs ++
-    graft.queries.SketchQueries.defs
+    graft.queries.SketchQueries.defs ++
+    graft.queries.SeqGraphQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.StreamQueries.oracle ++
     graft.queries.MultimodalQueries.oracle ++
     graft.queries.AnalyticsQueries.oracle ++
-    graft.queries.SketchQueries.oracle
+    graft.queries.SketchQueries.oracle ++
+    graft.queries.SeqGraphQueries.oracle
 }

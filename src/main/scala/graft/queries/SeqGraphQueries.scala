@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Det.{big, ordered}
+
+/** Sequence, interval, graph, and record-linkage pack — the classic
+  * warehouse patterns the earlier families don't cover: gaps-and-islands
+  * run detection, sweep-line interval concurrency, blocked fuzzy joins
+  * (entity resolution), fixed-point iterative PageRank, robust MAD
+  * outlier statistics, and null-aware NOT IN three-valued semantics.
+  *
+  * Oracle strategy (house rules, Det.scala): every emitted value is an
+  * exact integer or string — day indexes instead of timestamps, cents
+  * instead of doubles, integer fixed-point (parts-per-billion) instead
+  * of float ranks — so DuckDB replays each result bit-for-bit.
+  */
+object SeqGraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Day index epoch for interval arithmetic (orders span 1995–2001). */
+  private val epoch = "1995-01-01"
+
+  /** op176's fixed-point scale: ranks held as parts-per-billion BIGINTs;
+    * damping 0.85 applied as (ppb·850000000) div 10⁹ — the product stays
+    * ≤ 8.5×10¹⁷, inside BIGINT. */
+  private val prScale = 1000000000L
+  private val prDampNum = 850000000L
+  private val prIters = 5
+  /** op176 basket cap — orders with more distinct parts than this are
+    * excluded from the co-purchase graph (the op170 doc-frequency-cap
+    * convention: at 100 TB one mega-basket would emit O(n²) pairs). */
+  private val prBasketCap = 7
+
+  // ---------------------------------------------------------------- op173
+
+  /** op173: gaps-and-islands — per user, maximal runs of consecutive
+    * events (ordered by ts, event_id) sharing one event_type, via the
+    * classic two-row_number difference: rn_all − rn_per_type is constant
+    * exactly within a run. Emits one row per island with its length and
+    * id/day bounds.
+    *
+    * 100 TB shape: both windows partition by user_id and sort the SAME
+    * (ts, event_id) key, so Catalyst plans ONE Exchange + one sort for
+    * the whole query; per-user state is the run length, never the
+    * corpus. The streaming twin of this pattern is sessionization
+    * (op105/op53) — this is its batch, type-keyed form. */
+  val op173Islands: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "ts")
+    val byTs = Seq(col("ts"), col("event_id"))
+    val rnAll = row_number().over(
+      Window.partitionBy("user_id").orderBy(byTs: _*))
+    val rnTyp = row_number().over(
+      Window.partitionBy("user_id", "event_type").orderBy(byTs: _*))
+    ordered(
+      ev.withColumn("g", rnAll - rnTyp)
+        .groupBy("user_id", "event_type", "g")
+        .agg(count(lit(1)).as("n_run"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          big(datediff(to_date(min("ts")), lit(epoch).cast("date")))
+            .as("start_day"))
+        .select("user_id", "event_type", "n_run", "min_id", "max_id",
+          "start_day"),
+      "user_id", "min_id")
+  }
+
+  // ---------------------------------------------------------------- op174
+
+  /** op174: sweep-line peak concurrency — per supplier, the maximum
+    * number of line items simultaneously in fulfilment (order date →
+    * ship date, closed interval) and the first day the peak is reached.
+    * Intervals become ±1 boundary events, collapsed per day BEFORE the
+    * running sum, so ties within a day are aggregated away (the
+    * end-vs-start tie order that breaks naive sweep lines never arises).
+    *
+    * 100 TB shape: the boundary-event rollup is map-combinable
+    * (supplier × day grid ≪ corpus); the running sum and argmax run
+    * over that grid under one supplier-partitioned sort. No interval
+    * self-join — the naive "count overlapping per item" is O(n²) per
+    * supplier; the sweep is O(grid). */
+  val op174PeakConcurrency: Q = (s, d) => {
+    val iv = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        big(datediff(to_date(col("o_orderdate")), lit(epoch).cast("date")))
+          .as("d0"),
+        big(datediff(to_date(col("l_shipdate")), lit(epoch).cast("date")))
+          .as("d1"))
+      // ship-before-order never happens in the fixture, but the sweep
+      // must not silently corrupt if it did
+      .select(col("l_suppkey"), least(col("d0"), col("d1")).as("lo"),
+        (greatest(col("d0"), col("d1")) + 1).as("hi"))
+    val deltas = iv.select(col("l_suppkey"),
+        explode(array(
+          struct(col("lo").as("day"), lit(1L).as("delta")),
+          struct(col("hi").as("day"), lit(-1L).as("delta")))).as("e"))
+      .select(col("l_suppkey"), col("e.day"), col("e.delta"))
+      .groupBy("l_suppkey", "day").agg(sum("delta").as("net"))
+    val cum = deltas.withColumn("open",
+      sum("net").over(Window.partitionBy("l_suppkey").orderBy("day")))
+    ordered(
+      cum.groupBy("l_suppkey")
+        .agg(max("open").as("peak"), count(lit(1)).as("n_days"))
+        .join(cum.select(col("l_suppkey").as("sk"), col("day"),
+          col("open")), col("l_suppkey") === col("sk") &&
+          col("open") === col("peak"))
+        .groupBy("l_suppkey", "peak", "n_days")
+        .agg(min("day").as("peak_day"))
+        .select("l_suppkey", "peak", "peak_day", "n_days"),
+      "l_suppkey")
+  }
+
+  // ---------------------------------------------------------------- op175
+
+  /** op175: blocked fuzzy join (entity resolution) — every part name is
+    * deterministically corrupted (delete the character at position
+    * p_partkey mod length), then resolved back against the 64 distinct
+    * clean names: candidate pairs come from equi-joins on 4-char
+    * prefix/suffix block keys (never a cross join), survivors verified
+    * with levenshtein ≤ 2, best match = (min distance, min name).
+    *
+    * 100 TB shape: blocking IS the operator — the prefix/suffix keys
+    * are this family's LSH bands (op63's minhash banding for sets,
+    * q-gram blocks for strings): candidates are generated by hash
+    * equi-join on block keys and only candidates pay the O(len²)
+    * verify. Recall is a declared property of the blocking scheme (a
+    * typo inside BOTH the prefix and suffix evades it — mitigated by
+    * multi-pass blocking, here 2 passes). */
+  val op175FuzzyJoin: Q = (s, d) => {
+    val probes = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        (col("p_partkey") % length(col("p_name"))).cast("int").as("pos"))
+      .select(col("p_partkey"),
+        concat(expr("substring(p_name, 1, pos)"),
+          expr("substring(p_name, pos + 2)")).as("probe"))
+    val names = Tables.part(s, d).select(col("p_name").as("cand"))
+      .distinct()
+    def blocks(c: String) = array(
+      concat(lit("p:"), expr(s"substring($c, 1, 4)")),
+      concat(lit("s:"), expr(s"substring($c, length($c) - 3)")))
+    val pb = probes.select(col("p_partkey"), col("probe"),
+      explode(blocks("probe")).as("bk"))
+    val nb = names.select(col("cand"), explode(blocks("cand")).as("bk"))
+    val cands = pb.join(nb, "bk")
+      .select("p_partkey", "probe", "cand").distinct()
+      .where(abs(length(col("probe")) - length(col("cand"))) <= 2)
+      .withColumn("dist", big(levenshtein(col("probe"), col("cand"))))
+      .where(col("dist") <= 2)
+    val best = cands.withColumn("rn", row_number().over(
+      Window.partitionBy("p_partkey").orderBy("dist", "cand")))
+      .where(col("rn") === 1)
+    ordered(
+      best.join(Tables.part(s, d).select("p_partkey", "p_name"),
+          "p_partkey")
+        .select(col("p_partkey"), col("probe"), col("cand").as("best"),
+          col("dist"),
+          expr("CAST(CASE WHEN best = p_name THEN 1 ELSE 0 END AS BIGINT)")
+            .as("self_match")),
+      "p_partkey")
+  }
+
+  // ---------------------------------------------------------------- op176
+
+  /** op176: PageRank over the co-purchase graph — parts are vertices,
+    * orders (≤ prBasketCap distinct parts) contribute cliques of edges;
+    * 5 damped iterations entirely in parts-per-billion BIGINT
+    * fixed-point (rank div degree contributions, (Σ·850000000) div 10⁹
+    * damping), so both engines replay the identical integer trajectory.
+    *
+    * 100 TB shape: each iteration is one shuffle — contributions
+    * re-keyed to the destination vertex and hash-aggregated; the edge
+    * list is pre-keyed by src so the join with the (|V|-sized) rank
+    * table broadcasts the ranks, never re-shuffles the edges. The
+    * basket cap bounds clique blowup exactly like op170's; dangling
+    * vertices can't exist by construction (every vertex is in ≥ 1
+    * edge). Fixed iteration count (the production form checkpoints
+    * ranks between rounds — the op126 BPE-checkpoint convention). */
+  val op176Pagerank: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
+    val edges = pairs.union(
+        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+      .select(col("p1").as("src"), col("p2").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val esd = edges.join(deg, "src")
+    val verts = deg.select(col("src").as("pk"))
+    // |V| attached via a 1-row cross join (plan-time scalar, no collect)
+    val nVerts = verts.agg(count(lit(1)).as("nv"))
+    var ranks = verts.crossJoin(nVerts)
+      .select(col("pk"), expr(s"$prScale div nv").as("r"))
+    for (_ <- 1 to prIters) {
+      val contrib = esd.join(ranks, esd("src") === ranks("pk"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      ranks = verts.crossJoin(nVerts)
+        .join(contrib, col("pk") === col("dst"), "left")
+        .select(col("pk"), col("nv"), coalesce(col("sc"), lit(0L)).as("sc"))
+        .select(col("pk"),
+          expr(s"150000000 div nv + ($prDampNum * sc) div $prScale")
+            .as("r"))
+    }
+    ordered(
+      ranks.join(deg, col("pk") === col("src"))
+        .select(col("pk").as("p_partkey"), col("r").as("rank_ppb"),
+          col("deg")),
+      "p_partkey")
+  }
+
+  // ---------------------------------------------------------------- op177
+
+  /** op177: robust outlier statistics — per event_type, the exact lower
+    * median of value-in-cents (nearest-rank (n+1) div 2), the median
+    * absolute deviation computed the same way, and the count of values
+    * outside med ± 3·MAD. The robust alternative to op167's
+    * mean-based spike rule: one adversarial heavy row shifts a mean
+    * arbitrarily but moves a median by one rank.
+    *
+    * 100 TB shape: medians per group sort within the group's partition
+    * only (two windowed passes, same partitioning key → Exchange
+    * reuse); for bounded-domain values the production form is the
+    * op171 histogram walk — this is the general-domain spelling. */
+  val op177MadOutliers: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"),
+      col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(
+          w.orderBy(col(valueCol), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as("med"), col("n"))
+    }
+    val med = lowerMedian(ev, "cents")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = lowerMedian(
+      dev.select("event_id", "event_type", "adev"), "adev")
+      .select(col("event_type"), col("med").as("mad"))
+    ordered(
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"), col("n"))
+        .agg(sum(expr("CAST(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END " +
+          "AS BIGINT)")).as("n_out"))
+        .select(col("event_type"), col("n"), col("med").as("med_cents"),
+          col("mad").as("mad_cents"), col("n_out")),
+      "event_type")
+  }
+
+  // ---------------------------------------------------------------- op178
+
+  /** op178: null-aware NOT IN — the three-valued-logic corner every
+    * rewrite-to-anti-join gets wrong: `k NOT IN (subquery)` is FALSE on
+    * a match, UNKNOWN (never TRUE) whenever the subquery contains a
+    * NULL, TRUE only against a null-free list. Customers are classified
+    * against a NULL-bearing list (CASE injects NULLs) and its filtered
+    * null-free twin; the verdict distribution exposes both semantics
+    * side by side. In this projected (non-WHERE) position Spark plans
+    * the predicate as a null-aware ExistenceJoin (BNLJ over the
+    * broadcast list — verified via explain); the WHERE form of the same
+    * predicate is what gets the dedicated NullAwareAntiJoin operator.
+    *
+    * 100 TB shape: null-aware anti join degrades to broadcast the
+    * whole right side (a match anywhere must be visible everywhere) —
+    * the query-shape lesson is to pre-aggregate the subquery to
+    * DISTINCT + has-null before the join, which both engines' SQL here
+    * lets the optimizer do. */
+  val op178NullAwareNotIn: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_t")
+    Tables.orders(s, d).createOrReplaceTempView("orders_t")
+    ordered(
+      s.sql("""
+        SELECT
+          CASE
+            WHEN c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'F'
+                                   THEN o_custkey END FROM orders_t)
+              THEN 'true'
+            WHEN NOT (c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'F'
+                                        THEN o_custkey END FROM orders_t))
+              THEN 'false'
+            ELSE 'unknown' END AS with_nulls,
+          CASE
+            WHEN c_custkey NOT IN (SELECT o_custkey FROM orders_t
+                                   WHERE o_orderstatus = 'F')
+              THEN 'true' ELSE 'false' END AS null_free,
+          CAST(count(*) AS BIGINT) AS n
+        FROM customer_t
+        GROUP BY 1, 2"""),
+      "with_nulls", "null_free")
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val defs: Map[String, Q] = Map(
+    "op173_islands" -> op173Islands,
+    "op174_peak_concurrency" -> op174PeakConcurrency,
+    "op175_fuzzy_join" -> op175FuzzyJoin,
+    "op176_pagerank" -> op176Pagerank,
+    "op177_mad_outliers" -> op177MadOutliers,
+    "op178_null_aware_not_in" -> op178NullAwareNotIn)
+
+  /** op176's oracle: the identical integer iteration unrolled as
+    * chained CTEs (r0 → r5). */
+  private def pagerankSql: String = {
+    val iters = (1 to prIters).map { i =>
+      s"""r$i AS (
+         |  SELECT v.pk,
+         |    150000000 // nv.nv + ($prDampNum * coalesce(c.sc, 0)) // $prScale
+         |      AS r
+         |  FROM verts v CROSS JOIN nverts nv
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(rr.r // e.deg) AS sc
+         |    FROM esd e JOIN r${i - 1} rr ON e.src = rr.pk
+         |    GROUP BY 1) c ON v.pk = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |small AS (
+       |  SELECT l_orderkey FROM items GROUP BY 1
+       |  HAVING count(*) <= $prBasketCap),
+       |it2 AS (SELECT i.* FROM items i JOIN small s USING (l_orderkey)),
+       |pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM it2 a JOIN it2 b USING (l_orderkey)
+       |  WHERE a.l_partkey < b.l_partkey),
+       |edges AS (
+       |  SELECT p1 AS src, p2 AS dst FROM pairs
+       |  UNION ALL SELECT p2, p1 FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |esd AS (SELECT e.src, e.dst, d.deg FROM edges e
+       |        JOIN deg d USING (src)),
+       |verts AS (SELECT src AS pk FROM deg),
+       |nverts AS (SELECT count(*) AS nv FROM verts),
+       |r0 AS (SELECT pk, $prScale // nv AS r
+       |       FROM verts CROSS JOIN nverts),
+       |$iters
+       |SELECT v.pk AS p_partkey, CAST(r.r AS BIGINT) AS rank_ppb,
+       |  CAST(d.deg AS BIGINT) AS deg
+       |FROM verts v JOIN r$prIters r USING (pk) JOIN deg d ON v.pk = d.src
+       |ORDER BY p_partkey""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "op173_islands" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, ts,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts, event_id) AS g
+        |  FROM events)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_run,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(min(ts) AS DATE))
+        |       AS BIGINT) AS start_day
+        |FROM ev GROUP BY user_id, event_type, g
+        |ORDER BY user_id, min_id""".stripMargin,
+    "op174_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    least(date_diff('day', DATE '1995-01-01',
+        |            CAST(o_orderdate AS DATE)),
+        |          date_diff('day', DATE '1995-01-01',
+        |            CAST(l_shipdate AS DATE))) AS lo,
+        |    greatest(date_diff('day', DATE '1995-01-01',
+        |            CAST(o_orderdate AS DATE)),
+        |          date_diff('day', DATE '1995-01-01',
+        |            CAST(l_shipdate AS DATE))) + 1 AS hi
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deltas AS (
+        |  SELECT l_suppkey, day, sum(delta) AS net FROM (
+        |    SELECT l_suppkey, lo AS day, 1 AS delta FROM iv
+        |    UNION ALL SELECT l_suppkey, hi, -1 FROM iv)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_suppkey, day,
+        |    sum(net) OVER (PARTITION BY l_suppkey ORDER BY day) AS open
+        |  FROM deltas),
+        |pk AS (
+        |  SELECT l_suppkey, max(open) AS peak,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM cum GROUP BY 1)
+        |SELECT p.l_suppkey AS l_suppkey, CAST(p.peak AS BIGINT) AS peak,
+        |  CAST(min(c.day) AS BIGINT) AS peak_day, p.n_days
+        |FROM pk p JOIN cum c ON p.l_suppkey = c.l_suppkey
+        |  AND c.open = p.peak
+        |GROUP BY 1, 2, p.n_days
+        |ORDER BY p.l_suppkey""".stripMargin,
+    "op175_fuzzy_join" ->
+      """WITH probes AS (
+        |  SELECT p_partkey,
+        |    substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |    || substring(p_name,
+        |         CAST(p_partkey % length(p_name) AS INT) + 2) AS probe
+        |  FROM part),
+        |names AS (SELECT DISTINCT p_name AS cand FROM part),
+        |pb AS (
+        |  SELECT p_partkey, probe, bk FROM probes, UNNEST([
+        |    'p:' || substring(probe, 1, 4),
+        |    's:' || substring(probe, length(probe) - 3)]) AS t(bk)),
+        |nb AS (
+        |  SELECT cand, bk FROM names, UNNEST([
+        |    'p:' || substring(cand, 1, 4),
+        |    's:' || substring(cand, length(cand) - 3)]) AS t(bk)),
+        |cands AS (
+        |  SELECT DISTINCT p_partkey, probe, cand
+        |  FROM pb JOIN nb USING (bk)),
+        |scored AS (
+        |  SELECT p_partkey, probe, cand,
+        |    CAST(levenshtein(probe, cand) AS BIGINT) AS dist
+        |  FROM cands
+        |  WHERE abs(length(probe) - length(cand)) <= 2
+        |    AND levenshtein(probe, cand) <= 2),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |    ORDER BY dist, cand) AS rn FROM scored)
+        |SELECT b.p_partkey, b.probe, b.cand AS best, b.dist,
+        |  CAST(CASE WHEN b.cand = p.p_name THEN 1 ELSE 0 END AS BIGINT)
+        |    AS self_match
+        |FROM best b JOIN part p USING (p_partkey)
+        |WHERE b.rn = 1
+        |ORDER BY p_partkey""".stripMargin,
+    "op176_pagerank" -> pagerankSql,
+    "op177_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |med AS (
+        |  SELECT event_type, cents AS med, n FROM (
+        |    SELECT event_type, cents,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cents, event_id) AS rn,
+        |      CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |    FROM ev) WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, abs(e.cents - m.med) AS adev,
+        |    m.med, m.n
+        |  FROM ev e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, adev,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY adev, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.n, d.med AS med_cents,
+        |  a.mad AS mad_cents,
+        |  CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_out
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY event_type""".stripMargin,
+    "op178_null_aware_not_in" ->
+      """SELECT
+        |  CASE
+        |    WHEN c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'F'
+        |                           THEN o_custkey END FROM orders)
+        |      THEN 'true'
+        |    WHEN NOT (c_custkey NOT IN (SELECT CASE
+        |                                WHEN o_orderstatus = 'F'
+        |                                THEN o_custkey END FROM orders))
+        |      THEN 'false'
+        |    ELSE 'unknown' END AS with_nulls,
+        |  CASE
+        |    WHEN c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                           WHERE o_orderstatus = 'F')
+        |      THEN 'true' ELSE 'false' END AS null_free,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY with_nulls, null_free""".stripMargin)
+}

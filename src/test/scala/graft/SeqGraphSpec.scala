@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SeqGraphQueries
+import graft.sources.Tables
+
+/** Semantics of the sequence/interval/graph/linkage pack (op173–op178)
+  * against naive driver-side replays on the sf0.001 fixture. */
+class SeqGraphSpec extends SparkSpec {
+
+  test("op173: islands partition each user's event sequence exactly") {
+    val r = SeqGraphQueries.op173Islands(spark, sfDir).collect()
+    val evDf = Tables.events(spark, sfDir)
+    val ev = evDf
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Tables.tsUsExpr(evDf).as("us")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3)))
+    // total island lengths == total events
+    assert(r.map(_.getAs[Long]("n_run")).sum == ev.length)
+    // naive replay: per user, count maximal same-type runs in (ts, id)
+    // order and check each island's length
+    val wantRuns = ev.groupBy(_._2).view.mapValues { rows =>
+      val seq = rows.sortBy(x => (x._4, x._1)).map(_._3)
+      seq.foldLeft(List.empty[(String, Int)]) {
+        case ((t, n) :: rest, e) if t == e => (t, n + 1) :: rest
+        case (acc, e) => (e, 1) :: acc
+      }.reverse
+    }.toMap
+    val gotRuns = r.groupBy(_.getAs[Long]("user_id")).view.mapValues {
+      rows => rows.sortBy(_.getAs[Long]("min_id"))
+    }.toMap
+    // same island count per user; lengths match as multisets per user
+    wantRuns.foreach { case (u, runs) =>
+      val got = gotRuns(u)
+      assert(got.length == runs.length, s"user $u island count")
+      assert(got.map(_.getAs[Long]("n_run")).sorted.toSeq ==
+        runs.map(_._2.toLong).sorted.toSeq, s"user $u run lengths")
+    }
+  }
+
+  test("op174: peak equals the naive per-day overlap count (sampled)") {
+    val r = SeqGraphQueries.op174PeakConcurrency(spark, sfDir).collect()
+      .map(x => x.getAs[Long]("l_suppkey") ->
+        (x.getAs[Long]("peak"), x.getAs[Long]("peak_day"))).toMap
+    val iv = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")),
+        datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date")))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+    val bySupp = iv.groupBy(_._1)
+    bySupp.keys.toSeq.sorted.take(5).foreach { sk =>
+      val ivs = bySupp(sk).map(x => (math.min(x._2, x._3),
+        math.max(x._2, x._3)))
+      val days = ivs.flatMap(i => Seq(i._1, i._2)).distinct
+      val overlap = days.map(d =>
+        d -> ivs.count(i => i._1 <= d && d <= i._2)).toMap
+      val naivePeak = overlap.values.max.toLong
+      val naiveDay = overlap.filter(_._2 == naivePeak).keys.min.toLong
+      assert(r(sk)._1 == naivePeak, s"supp $sk peak")
+      assert(r(sk)._2 == naiveDay, s"supp $sk peak day")
+    }
+  }
+
+  test("op175: typo probes resolve to their own clean name") {
+    val r = SeqGraphQueries.op175FuzzyJoin(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val d = row.getAs[Long]("dist")
+      assert(d >= 0 && d <= 2)
+    }
+    // a 1-char deletion is distance ≤1 from the clean name, so on this
+    // tiny vocabulary nearly every probe self-resolves
+    val self = r.count(_.getAs[Long]("self_match") == 1L)
+    assert(self * 10 >= r.length * 9, s"self-match $self of ${r.length}")
+  }
+
+  test("op176: rank mass is conserved up to integer-division loss") {
+    val r = SeqGraphQueries.op176Pagerank(spark, sfDir).collect()
+    val n = r.length
+    assert(n > 0)
+    val total = r.map(_.getAs[Long]("rank_ppb")).sum
+    // r div deg floors away up to deg−1 ppb per vertex per round (plus
+    // ≤2 from base/damping divs) — sub-0.01% of the mass here, never a
+    // gain: the sum stays in (0.999·scale, scale]
+    assert(total <= 1000000000L, s"total $total")
+    assert(total >= 999000000L, s"total $total vs n=$n")
+    // base floor: every vertex keeps at least (1-d)/N
+    val base = 150000000L / n
+    assert(r.forall(_.getAs[Long]("rank_ppb") >= base))
+  }
+
+  test("op177: med/mad match the exact lower-median replay") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    def lowerMed(xs: Seq[(Long, Long)]): Long = {
+      // (value, id) sort; nearest-rank (n+1)/2
+      val s = xs.sortBy(identity).map(_._1)
+      s((s.length + 1) / 2 - 1)
+    }
+    val want = ev.groupBy(_._1).view.mapValues { rows =>
+      val med = lowerMed(rows.map(x => (x._3, x._2)))
+      val mad = lowerMed(rows.map(x => (math.abs(x._3 - med), x._2)))
+      val nOut = rows.count(x => math.abs(x._3 - med) > 3 * mad)
+      (rows.length.toLong, med, mad, nOut.toLong)
+    }.toMap
+    val r = SeqGraphQueries.op177MadOutliers(spark, sfDir).collect()
+    assert(r.length == want.size)
+    r.foreach { row =>
+      val (n, med, mad, nOut) = want(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n") == n)
+      assert(row.getAs[Long]("med_cents") == med)
+      assert(row.getAs[Long]("mad_cents") == mad)
+      assert(row.getAs[Long]("n_out") == nOut)
+    }
+  }
+
+  test("op178: NOT IN over a NULL-bearing list is never TRUE") {
+    val r = SeqGraphQueries.op178NullAwareNotIn(spark, sfDir).collect()
+    val total = r.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.customer(spark, sfDir).count())
+    assert(!r.exists(_.getAs[String]("with_nulls") == "true"),
+      "NULL in the list must block TRUE")
+    // the filtered twin classifies the same customers with two-valued
+    // logic: its 'true' bucket is exactly the anti-join survivors
+    val fCust = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().count()
+    val nTrue = r.filter(_.getAs[String]("null_free") == "true")
+      .map(_.getAs[Long]("n")).sum
+    assert(nTrue == Tables.customer(spark, sfDir).count() - fCust)
+  }
+}
