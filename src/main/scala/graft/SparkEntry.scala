@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.MultimodalQueries.defs ++
     graft.queries.AnalyticsQueries.defs ++
     graft.queries.SketchQueries.defs ++
-    graft.queries.SeqGraphQueries.defs
+    graft.queries.SeqGraphQueries.defs ++
+    graft.queries.WarehouseQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.MultimodalQueries.oracle ++
     graft.queries.AnalyticsQueries.oracle ++
     graft.queries.SketchQueries.oracle ++
-    graft.queries.SeqGraphQueries.oracle
+    graft.queries.SeqGraphQueries.oracle ++
+    graft.queries.WarehouseQueries.oracle
 }

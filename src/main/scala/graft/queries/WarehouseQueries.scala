@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+import graft.sources.Tables
+import Det.{big, ordered}
+
+/** Warehouse-infrastructure pack: the operators a platform team runs
+  * UNDER the analytics — range-partition boundary computation,
+  * hierarchical rollup without recursive CTEs, static salted skew
+  * joins, last-touch attribution, and an exact-integer chi-square
+  * independence grid. All house-rule deterministic (Det.scala).
+  */
+object WarehouseQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** op179: number of range buckets. */
+  private val rbK = 16
+  /** op180: pointer-jump rounds — covers trees up to 2^16 nodes (sf0.1
+    * has 20k parts → depth 15); extra rounds join empty frontiers and
+    * cost nothing. */
+  private val treeRounds = 16
+  /** op181: salt fan-out. */
+  private val saltR = 8
+  /** op182: attribution window (7 days, in micros). */
+  private val attrWindowUs = 7L * 86400L * 1000000L
+  /** op183: fixed-point scale (milli-units) — keeps (O·10³ − E)² inside
+    * BIGINT through sf1 (O ≤ 1.5e6 → dev² ≤ 2.25e18 < 2⁶³). */
+  private val chiScale = 1000L
+
+  // ---------------------------------------------------------------- op179
+
+  /** op179: exact range-partition boundaries — the k-quantile cut
+    * points a range partitioner (or a length-bucketed sequence packer,
+    * op87's upstream) needs, computed WITHOUT a global row sort: count
+    * per distinct value (map-combinable), cumulative sum over the
+    * value grid, boundary i = smallest value whose cumulative count
+    * reaches ceil(i·n/k). Emits each boundary with its target rank and
+    * achieved cumulative count (buckets balanced up to value-tie
+    * granularity).
+    *
+    * 100 TB shape: the only ordered pass runs over the DISTINCT-VALUE
+    * grid (a document-length domain: hundreds of values), never the
+    * corpus — the op168/op171 grid-reduction argument as a
+    * partitioning primitive. Near-unique domains first quantize to a
+    * resolution grid (cents → dollars) or sample (what RangePartitioner
+    * does); bounded domains get this exact form. */
+  val op179RangeBoundaries: Q = (s, d) => {
+    val grid = Tables.documents(s, d).groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = grid.withColumn("cum",
+        sum("cnt").over(Window.orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val targets = s.range(1, rbK + 1).toDF("i")
+    ordered(
+      targets.crossJoin(cum)
+        .where(col("cum") >= expr(s"(i * n + ${rbK - 1}) div $rbK"))
+        .groupBy("i")
+        .agg(min("v").as("boundary"),
+          expr(s"min_by(cum, v)").as("cum_at_boundary"),
+          first(expr(s"(i * n + ${rbK - 1}) div $rbK")).as("target_rank"))
+        .select(col("i"), col("target_rank"), col("boundary"),
+          col("cum_at_boundary")),
+      "i")
+  }
+
+  // ---------------------------------------------------------------- op180
+
+  /** op180: hierarchical subtree rollup WITHOUT recursive CTEs — parts
+    * form an implicit binary hierarchy (node = p_partkey+1, parent =
+    * node div 2); every node's subtree retail-price sum and descendant
+    * count, computed by iterating the parent-pointer map: each round
+    * joins the frontier (node, ptr) against the broadcast parent
+    * table, accumulating one ancestor level per round until every
+    * chain hits the root. The ancestor closure is then ONE hash
+    * aggregate (value summed by ancestor).
+    *
+    * This is the Spark-first answer to a missing engine feature:
+    * Spark has no WITH RECURSIVE (the DuckDB oracle uses exactly
+    * that), so hierarchy traversal becomes a bounded loop of joins
+    * against the broadcast-sized hierarchy dim — the BOM-explosion /
+    * org-rollup shape. depth(D) rounds × broadcast join; the fact
+    * table is never re-shuffled (contributions key by ancestor once,
+    * at the end).
+    *
+    * 100 TB shape: hierarchy dims are small (an org chart, a BOM, a
+    * category tree — thousands to millions of rows) while the rolled-up
+    * fact is huge; closure construction touches only the dim, and the
+    * single fact-side aggregate is map-combinable. Pointer-JUMPING
+    * (2^j-th ancestors, O(log D) rounds of closure self-joins) beats
+    * the per-level loop only when D is large — for bushy shallow
+    * hierarchies the per-level loop moves strictly less data. */
+  val op180TreeRollup: Q = (s, d) => {
+    val nodes = Tables.part(s, d).select(
+      (col("p_partkey") + 1).as("node"),
+      round(col("p_retailprice") * 100, 0).cast("long").as("cents"))
+    val parents = nodes.where(col("node") >= 2)
+      .select(col("node").as("c"), expr("node div 2").as("p"))
+    // ancestor closure: (node, anc) incl. self
+    var closure = nodes.select(col("node"), col("node").as("anc"))
+    var frontier = closure
+    for (_ <- 1 to treeRounds) {
+      // fresh aliases each round: the loop re-joins the same parent
+      // dim, so qualified names (not Dataset-apply refs) keep the
+      // self-join lineage unambiguous
+      frontier = frontier.as("f")
+        .join(broadcast(parents.as("pa")), col("f.anc") === col("pa.c"))
+        .select(col("f.node").as("node"), col("pa.p").as("anc"))
+      closure = closure.union(frontier)
+    }
+    ordered(
+      closure.join(nodes.select(col("node").as("n2"), col("cents")),
+          col("node") === col("n2"))
+        .groupBy("anc")
+        .agg(sum("cents").as("subtree_cents"),
+          (count(lit(1)) - 1).cast("bigint").as("n_desc"))
+        .select((col("anc") - 1).as("p_partkey"), col("subtree_cents"),
+          col("n_desc")),
+      "p_partkey")
+  }
+
+  // ---------------------------------------------------------------- op181
+
+  /** op181: static salted skew join — the join-side twin of op40's
+    * salted aggregation: the big side gets a deterministic salt in
+    * [0, R), the small side is replicated R ways (explode over the
+    * salt range), and the join key becomes (key, salt) — a hot key's
+    * rows land on R reducers instead of one. Result provably equals
+    * the plain join (verified by the oracle, which spells the PLAIN
+    * join); here it feeds a revenue-per-nation rollup.
+    *
+    * 100 TB shape: AQE's skew-join split handles most cases at
+    * runtime; static salting is the escape hatch where AQE can't
+    * split (stateful streaming joins, bucketed-table SMJs that must
+    * not re-shuffle) — cost is R× the small side (still broadcast-
+    * sized), benefit is the straggler cap. Salt is a hash of the
+    * row's unique id, so re-runs and AQE re-plans partition
+    * identically. */
+  val op181SaltedJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("salt",
+        Skew.salt(concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+          saltR))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .crossJoin(s.range(0, saltR).toDF("salt2"))
+    ordered(
+      li.join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("salt") === col("salt2"))
+        .groupBy(big(col("s_nationkey")).as("nation"))
+        .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n")),
+      "nation")
+  }
+
+  // ---------------------------------------------------------------- op182
+
+  /** op182: last-touch attribution — every purchase is credited to the
+    * user's most recent NON-purchase event within 7 days (else
+    * 'organic'); credit counts and purchase value roll up per touch
+    * type. One union-free pass: two last(..., ignoreNulls) windows
+    * over the user's (ts, id)-ordered history, frame ending at the
+    * PREVIOUS row — both windows read the same last non-purchase row,
+    * so (type, ts) stay consistent without a struct.
+    *
+    * 100 TB shape: one Exchange on user_id, one sort, state = the
+    * last touch seen — the op173/op105 single-sort family; the
+    * attribution-window predicate is a row-local comparison. Contrast
+    * with the self-join spelling (purchases × events range join) the
+    * oracle could have used: that shuffles the event log twice and
+    * fans out per purchase. */
+  val op182Attribution: Q = (s, d) => {
+    val evDf = Tables.events(s, d)
+    val ev = evDf.select(col("event_id"), col("user_id"),
+      col("event_type"), Tables.tsUsExpr(evDf).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchTs = last(when(col("event_type") =!= "purchase", col("us")),
+      ignoreNulls = true).over(w)
+    val touchTy = last(when(col("event_type") =!= "purchase",
+      col("event_type")), ignoreNulls = true).over(w)
+    ordered(
+      ev.withColumn("t_us", touchTs).withColumn("t_ty", touchTy)
+        .where(col("event_type") === "purchase")
+        .select(
+          when(col("t_us").isNotNull &&
+            col("us") - col("t_us") <= attrWindowUs, col("t_ty"))
+            .otherwise(lit("organic")).as("touch"))
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_purchases")),
+      "touch")
+  }
+
+  // ---------------------------------------------------------------- op183
+
+  /** op183: chi-square independence grid — observed vs expected counts
+    * for (market segment × order priority), entirely in exact
+    * fixed-point: E_milli = R·C·10³ div T, cell statistic =
+    * (O·10³ − E_milli)² div E_milli (milli-units). The classic
+    * "are these two dimensions independent" audit an experimentation
+    * or data-quality pipeline runs over categorical pairs.
+    *
+    * 100 TB shape: one map-combinable (seg × prio) count aggregate —
+    * the whole computation after it runs on the |seg|·|prio| grid
+    * (25 cells) with broadcast margins. The milli scale is chosen so
+    * the squared deviation stays inside BIGINT through sf1
+    * (O ≤ 1.5e6 → (O·10³)² ≤ 2.25e18 < 2⁶³); beyond that the margins
+    * stay exact integers and only the cell statistic drops to the
+    * double approximation. */
+  val op183Chisq: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("o"))
+    val wAll = Window.partitionBy()
+    val g = cells
+      .withColumn("r", sum("o").over(Window.partitionBy("seg")))
+      .withColumn("c", sum("o").over(Window.partitionBy("prio")))
+      .withColumn("t", sum("o").over(wAll))
+      .withColumn("e_milli", expr(s"(r * c * $chiScale) div t"))
+      .withColumn("chi_milli",
+        expr(s"((o * $chiScale - e_milli) * (o * $chiScale - e_milli)) " +
+          "div e_milli"))
+    ordered(
+      g.select(col("seg"), col("prio"), col("o"), col("e_milli"),
+        col("chi_milli")),
+      "seg", "prio")
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val defs: Map[String, Q] = Map(
+    "op179_range_boundaries" -> op179RangeBoundaries,
+    "op180_tree_rollup" -> op180TreeRollup,
+    "op181_salted_join" -> op181SaltedJoin,
+    "op182_attribution" -> op182Attribution,
+    "op183_chisq" -> op183Chisq)
+
+  val oracle: Map[String, String] = Map(
+    "op179_range_boundaries" ->
+      s"""WITH grid AS (
+         |  SELECT n_chars AS v, count(*) AS cnt FROM documents
+         |  GROUP BY 1),
+         |cum AS (
+         |  SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum,
+         |    sum(cnt) OVER () AS n
+         |  FROM grid),
+         |targets AS (SELECT unnest(range(1, ${rbK + 1})) AS i)
+         |SELECT i,
+         |  CAST((i * any_value(n) + ${rbK - 1}) // $rbK AS BIGINT)
+         |    AS target_rank,
+         |  min(v) AS boundary,
+         |  CAST(min_by(cum, v) AS BIGINT) AS cum_at_boundary
+         |FROM targets, cum
+         |WHERE cum >= (i * n + ${rbK - 1}) // $rbK
+         |GROUP BY i
+         |ORDER BY i""".stripMargin,
+    "op180_tree_rollup" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT p_partkey + 1 AS node,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part),
+        |anc AS (
+        |  SELECT node, node AS anc FROM nodes
+        |  UNION ALL
+        |  SELECT node, anc // 2 FROM anc WHERE anc >= 2)
+        |SELECT a.anc - 1 AS p_partkey,
+        |  CAST(sum(n.cents) AS BIGINT) AS subtree_cents,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_desc
+        |FROM anc a JOIN nodes n USING (node)
+        |GROUP BY 1
+        |ORDER BY p_partkey""".stripMargin,
+    "op181_salted_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nation,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin,
+    "op182_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |h AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN us END
+         |      IGNORE NULLS) OVER (PARTITION BY user_id
+         |        ORDER BY us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS t_us,
+         |    last_value(CASE WHEN event_type <> 'purchase'
+         |        THEN event_type END
+         |      IGNORE NULLS) OVER (PARTITION BY user_id
+         |        ORDER BY us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS t_ty
+         |  FROM ev)
+         |SELECT CASE WHEN t_us IS NOT NULL AND us - t_us <= $attrWindowUs
+         |    THEN t_ty ELSE 'organic' END AS touch,
+         |  CAST(count(*) AS BIGINT) AS n_purchases
+         |FROM h WHERE event_type = 'purchase'
+         |GROUP BY 1
+         |ORDER BY touch""".stripMargin,
+    "op183_chisq" ->
+      s"""WITH cells AS (
+         |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+         |    CAST(count(*) AS BIGINT) AS o
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |g AS (
+         |  SELECT seg, prio, o,
+         |    CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT) AS r,
+         |    CAST(sum(o) OVER (PARTITION BY prio) AS BIGINT) AS c,
+         |    CAST(sum(o) OVER () AS BIGINT) AS t
+         |  FROM cells)
+         |SELECT seg, prio, o,
+         |  (r * c * $chiScale) // t AS e_milli,
+         |  ((o * $chiScale - (r * c * $chiScale) // t) *
+         |   (o * $chiScale - (r * c * $chiScale) // t))
+         |    // ((r * c * $chiScale) // t) AS chi_milli
+         |FROM g
+         |ORDER BY seg, prio""".stripMargin)
+}

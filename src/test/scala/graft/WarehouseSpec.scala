@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.WarehouseQueries
+import graft.sources.Tables
+
+/** Semantics of the warehouse-infrastructure pack (op179–op183)
+  * against naive driver-side replays on the sf0.001 fixture. */
+class WarehouseSpec extends SparkSpec {
+
+  test("op179: boundaries are the exact nearest-rank cut points") {
+    val lens = Tables.documents(spark, sfDir).select("n_chars")
+      .collect().map(_.getLong(0)).sorted
+    val n = lens.length
+    val r = WarehouseQueries.op179RangeBoundaries(spark, sfDir).collect()
+    assert(r.length == 16)
+    r.foreach { row =>
+      val i = row.getAs[Long]("i")
+      val target = ((i * n + 15) / 16)
+      assert(row.getAs[Long]("target_rank") == target)
+      // nearest-rank boundary: the target-th smallest value
+      assert(row.getAs[Long]("boundary") == lens(target.toInt - 1))
+    }
+    // last boundary is the max; boundaries are monotone
+    assert(r.map(_.getAs[Long]("boundary")).last == lens.last)
+    val bs = r.sortBy(_.getAs[Long]("i")).map(_.getAs[Long]("boundary"))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("op180: subtree sums equal the arithmetic-ancestor replay") {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long")).collect()
+      .map(x => (x.getLong(0) + 1, x.getLong(1)))
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    parts.foreach { case (node, cents) =>
+      var a = node
+      while (a >= 1) {
+        val (s0, c0) = want.getOrElse(a, (0L, -1L))
+        want(a) = (s0 + cents, c0 + 1) // c counts descendants (excl self)
+        a = a / 2
+      }
+    }
+    val r = WarehouseQueries.op180TreeRollup(spark, sfDir).collect()
+    assert(r.length == parts.length)
+    r.foreach { row =>
+      val node = row.getAs[Long]("p_partkey") + 1
+      val (s, c) = want(node)
+      assert(row.getAs[Long]("subtree_cents") == s, s"node $node sum")
+      assert(row.getAs[Long]("n_desc") == c, s"node $node desc")
+    }
+    // root's subtree is the whole forest under node 1
+    val rootSum = r.find(_.getAs[Long]("p_partkey") == 0L).get
+      .getAs[Long]("subtree_cents")
+    assert(rootSum == parts.map(_._2).sum)
+  }
+
+  test("op181: salted join result equals the plain join") {
+    val got = WarehouseQueries.op181SaltedJoin(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val want = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("bigint").as("nation"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("rev"), count(lit(1)).as("n"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("op182: purchases partition across touches; window honored") {
+    val r = WarehouseQueries.op182Attribution(spark, sfDir).collect()
+    val nPurch = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase").count()
+    assert(r.map(_.getAs[Long]("n_purchases")).sum == nPurch)
+    // purchases never attribute to themselves
+    assert(!r.exists(_.getAs[String]("touch") == "purchase"))
+  }
+
+  test("op183: margins and cell stats replay exactly") {
+    val r = WarehouseQueries.op183Chisq(spark, sfDir).collect()
+    val t = r.map(_.getAs[Long]("o")).sum
+    assert(t == Tables.orders(spark, sfDir).count())
+    // expected counts reconstruct from emitted margins: per row,
+    // e_milli = (R*C*1000) div T with R = Σ o over seg, C = Σ o over prio
+    val bySeg = r.groupBy(_.getAs[String]("seg")).view
+      .mapValues(_.map(_.getAs[Long]("o")).sum).toMap
+    val byPrio = r.groupBy(_.getAs[String]("prio")).view
+      .mapValues(_.map(_.getAs[Long]("o")).sum).toMap
+    r.foreach { row =>
+      val e = bySeg(row.getAs[String]("seg")) *
+        byPrio(row.getAs[String]("prio")) * 1000L / t
+      assert(row.getAs[Long]("e_milli") == e)
+      val dev = row.getAs[Long]("o") * 1000L - e
+      assert(row.getAs[Long]("chi_milli") == dev * dev / e)
+    }
+  }
+}
