@@ -58,14 +58,28 @@ class CountMinAgg(depth: Int, width: Int)
 }
 
 object CountMin {
+  // thread-local digest: bucket() runs once per (row, depth) in the
+  // aggregate hot path — per-call getInstance + hex formatting cost
+  // ~10x the hash itself (the TrigramKmSigs lesson)
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** Row-r bucket of a token: md5-60 of "r:token" mod width — the same
     * 60-bit value [[TextOps.md5Hash60]] computes in SQL, evaluated in
-    * the JVM so the aggregate needs no per-row Column machinery. */
+    * the JVM so the aggregate needs no per-row Column machinery.
+    * First 15 hex chars of an md5 == big-endian first 8 bytes >>> 4
+    * (60 bits), computed directly from the digest bytes. */
   def bucket(r: Int, token: String, width: Int): Int = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"$r:$token".getBytes(StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString // 16 hex chars; we use 15
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width).toInt
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s"$r:$token".getBytes(StandardCharsets.UTF_8))
+    val h60 = ((d(0) & 0xffL) << 56 | (d(1) & 0xffL) << 48 |
+      (d(2) & 0xffL) << 40 | (d(3) & 0xffL) << 32 |
+      (d(4) & 0xffL) << 24 | (d(5) & 0xffL) << 16 |
+      (d(6) & 0xffL) << 8 | (d(7) & 0xffL)) >>> 4
+    (h60 % width).toInt
   }
 
   /** Column form: aggregate a string column into the flattened

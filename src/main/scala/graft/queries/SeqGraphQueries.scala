@@ -269,34 +269,40 @@ object SeqGraphQueries {
     * NULL, TRUE only against a null-free list. Customers are classified
     * against a NULL-bearing list (CASE injects NULLs) and its filtered
     * null-free twin; the verdict distribution exposes both semantics
-    * side by side. In this projected (non-WHERE) position Spark plans
-    * the predicate as a null-aware ExistenceJoin (BNLJ over the
-    * broadcast list — verified via explain); the WHERE form of the same
-    * predicate is what gets the dedicated NullAwareAntiJoin operator.
+    * side by side.
     *
-    * 100 TB shape: null-aware anti join degrades to broadcast the
-    * whole right side (a match anywhere must be visible everywhere) —
-    * the query-shape lesson is to pre-aggregate the subquery to
-    * DISTINCT + has-null before the join, which both engines' SQL here
-    * lets the optimizer do. */
+    * 100 TB shape — and the point of this spelling: Spark plans a
+    * naive projected NOT IN as a null-aware ExistenceJoin executed as
+    * a BroadcastNestedLoopJoin, O(left × list) comparisons (measured:
+    * it dominated this query's runtime at sf0.1). The production
+    * rewrite implemented here pre-aggregates the list ONCE to
+    * (distinct non-null values, n_total, n_nonnull) — bytes, not rows
+    * — so the verdict becomes one hash semi-join (`IN dv`) plus two
+    * broadcast scalars, with the identical three-valued result:
+    * FALSE on a match, UNKNOWN if any NULL exists, TRUE otherwise
+    * (TRUE also for an empty list). The ORACLE spells the naive
+    * NOT IN — the cross-spelling equality IS the semantic claim. */
   val op178NullAwareNotIn: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("customer_t")
     Tables.orders(s, d).createOrReplaceTempView("orders_t")
     ordered(
       s.sql("""
+        WITH list AS (SELECT CASE WHEN o_orderstatus = 'F'
+                             THEN o_custkey END AS v FROM orders_t),
+        ag AS (SELECT count(*) AS n_total, count(v) AS n_nonnull
+               FROM list),
+        dv AS (SELECT DISTINCT v FROM list WHERE v IS NOT NULL)
         SELECT
           CASE
-            WHEN c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'F'
-                                   THEN o_custkey END FROM orders_t)
-              THEN 'true'
-            WHEN NOT (c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'F'
-                                        THEN o_custkey END FROM orders_t))
-              THEN 'false'
-            ELSE 'unknown' END AS with_nulls,
+            WHEN (SELECT n_total FROM ag) = 0 THEN 'true'
+            WHEN c_custkey IN (SELECT v FROM dv) THEN 'false'
+            WHEN (SELECT n_nonnull FROM ag) < (SELECT n_total FROM ag)
+              THEN 'unknown'
+            ELSE 'true' END AS with_nulls,
           CASE
-            WHEN c_custkey NOT IN (SELECT o_custkey FROM orders_t
-                                   WHERE o_orderstatus = 'F')
-              THEN 'true' ELSE 'false' END AS null_free,
+            WHEN c_custkey IN (SELECT o_custkey FROM orders_t
+                               WHERE o_orderstatus = 'F')
+              THEN 'false' ELSE 'true' END AS null_free,
           CAST(count(*) AS BIGINT) AS n
         FROM customer_t
         GROUP BY 1, 2"""),
