@@ -196,6 +196,9 @@ object SeqGraphQueries {
         pairs.select(col("p2").as("p1"), col("p1").as("p2")))
       .select(col("p1").as("src"), col("p2").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // NOT materialized: the per-iteration re-reads of the edge chain
+    // collapse to one computation via ReuseExchange (identical
+    // subplans); an eager checkpoint here measured 2x SLOWER at sf0.1
     val esd = edges.join(deg, "src")
     val verts = deg.select(col("src").as("pk"))
     // |V| attached via a 1-row cross join (plan-time scalar, no collect)
@@ -203,11 +206,13 @@ object SeqGraphQueries {
     var ranks = verts.crossJoin(nVerts)
       .select(col("pk"), expr(s"$prScale div nv").as("r"))
     for (_ <- 1 to prIters) {
-      val contrib = esd.join(ranks, esd("src") === ranks("pk"))
+      // ranks is |V|-sized — broadcast it so the 3M-row edge list is
+      // never re-shuffled per iteration (the iterative-graph contract)
+      val contrib = esd.join(broadcast(ranks), esd("src") === ranks("pk"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
       ranks = verts.crossJoin(nVerts)
-        .join(contrib, col("pk") === col("dst"), "left")
+        .join(broadcast(contrib), col("pk") === col("dst"), "left")
         .select(col("pk"), col("nv"), coalesce(col("sc"), lit(0L)).as("sc"))
         .select(col("pk"),
           expr(s"150000000 div nv + ($prDampNum * sc) div $prScale")
