@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.AnalyticsQueries.defs ++
     graft.queries.SketchQueries.defs ++
     graft.queries.SeqGraphQueries.defs ++
-    graft.queries.WarehouseQueries.defs
+    graft.queries.WarehouseQueries.defs ++
+    graft.queries.MonitorQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.AnalyticsQueries.oracle ++
     graft.queries.SketchQueries.oracle ++
     graft.queries.SeqGraphQueries.oracle ++
-    graft.queries.WarehouseQueries.oracle
+    graft.queries.WarehouseQueries.oracle ++
+    graft.queries.MonitorQueries.oracle
 }

@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextOps, TopKAgg}
+import graft.sources.Tables
+import Det.{big, ordered}
+
+/** Monitoring & curation-statistics pack: the jobs a platform runs to
+  * WATCH a pipeline — per-group trend fitting, shuffle-skew diagnosis,
+  * weighted corpus sampling, and distribution-drift detection. House
+  * rules (Det.scala): every emitted value is an exact integer; division
+  * results use the quotient-split trick (q·S + (rem·S) div d) so the
+  * scaled quotient never overflows BIGINT.
+  */
+object MonitorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** op185: key columns whose fan-out distribution gets profiled. */
+  private val skewCols = Seq("l_partkey", "l_suppkey")
+  /** op186: sample size per source. */
+  private val wsK = 24
+  /** op186: 2^60 as a double literal (md5-60 hash space). */
+  private val h60Space = "1152921504606846976.0"
+
+  // ---------------------------------------------------------------- op184
+
+  /** op184: grouped OLS trend — per event type, the least-squares slope
+    * of value (cents) over day index, entirely in exact integers:
+    * num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² (> 0), and the
+    * milli-scaled slope via the overflow-safe quotient split
+    * sign·(q·10³ + (rem·10³) div den) — multiplying num by 10³ first
+    * would leave BIGINT at production row counts. The
+    * trend-per-cohort monitor (is engagement drifting?) with a
+    * bit-reproducible answer.
+    *
+    * 100 TB shape: five map-combinable sums per group — one shuffle of
+    * five longs per (group, partition), no sort, no second pass. The
+    * sums' magnitudes bound the method: n·Σxy stays in BIGINT through
+    * ~10⁶ rows/group at these domains (day ≤ 2⁵, cents ≤ 2¹⁶);
+    * wider domains shift to per-group DECIMAL sums (margins stay
+    * exact) before the quotient split. */
+  val op184TrendOls: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+        .as("x"),
+      round(col("value") * 100, 0).cast("long").as("y"))
+    ordered(
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("den", expr("n * sxx - sx * sx"))
+        .withColumn("slope_milli", expr(
+          "(CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+            "((abs(num) div den) * 1000 + " +
+            "((abs(num) % den) * 1000) div den)"))
+        .withColumn("mean_y_milli", expr("(sy * 1000) div n"))
+        .select("event_type", "n", "slope_milli", "mean_y_milli"),
+      "event_type")
+  }
+
+  // ---------------------------------------------------------------- op185
+
+  /** op185: shuffle-skew diagnosis report — for each candidate join/agg
+    * key column, the rows-per-key distribution (min / p50 / p99 / max,
+    * nearest-rank over the COUNT-OF-COUNTS grid) and the max/median
+    * ratio in basis points: the report that decides between a plain
+    * join, AQE skew split, or the op181 salt. Two-level reduction:
+    * per-key counts (map-combinable), then the grid of how many keys
+    * share each count — the ordered walk runs over that tiny grid.
+    *
+    * 100 TB shape: profiling a key costs one aggregate at the key's
+    * own cardinality plus a grid walk at |distinct count values| ≪
+    * keys; nothing global is sorted. This is how engines' ANALYZE
+    * builds frequency histograms. */
+  val op185SkewReport: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def report(keyCol: String): DataFrame = {
+      val grid = li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("m"))
+      val cum = grid
+        .withColumn("cum", sum("m").over(Window.orderBy("c")))
+        .withColumn("nk", sum("m").over(Window.partitionBy()))
+      // the grid is tiny (distinct fan-out values); scalar walks join in
+      cum.agg(min(col("nk")).as("n_keys"), min("c").as("min_c"),
+          max("c").as("max_c"))
+        .withColumn("key_col", lit(keyCol))
+        .crossJoin(cum.where(col("cum") >= expr("(50 * nk + 99) div 100"))
+          .agg(min("c").as("p50_c")))
+        .crossJoin(cum.where(col("cum") >= expr("(99 * nk + 99) div 100"))
+          .agg(min("c").as("p99_c")))
+        .select(col("key_col"), col("n_keys"), col("min_c"),
+          col("p50_c"), col("p99_c"), col("max_c"),
+          expr("(max_c * 10000) div p50_c").as("skew_bp"))
+    }
+    ordered(skewCols.map(report).reduce(_ union _), "key_col")
+  }
+
+  // ---------------------------------------------------------------- op186
+
+  /** op186: deterministic weighted sampling (Efraimidis–Spirakis shape)
+    * — per source, sample k documents with probability proportional to
+    * length: each doc draws a hash-uniform u ∈ (0,1], its exponential
+    * variate −ln(u) is floor-quantized to integer micro-units (the
+    * op157/Bm25 shared-SQL-text recipe), priority = (e_micro·10⁴) div
+    * weight, and the k SMALLEST priorities win. Reproducible at any
+    * parallelism and across reruns — the property grid-search corpus
+    * sampling needs; op158 is the uniform-cap special case.
+    *
+    * 100 TB shape: selection via the bounded [[TopKAgg]] (≤ k rows per
+    * (source, partition) cross the shuffle), never a corpus-wide
+    * window sort — the oracle SPELLS the window. The 10⁴ priority
+    * scale quantizes the E-S ordering: adjacent priorities tie only
+    * when e_micro/w collide at 4 decimals, broken deterministically by
+    * doc_id. */
+  val op186WeightedSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(
+        col("source"), col("doc_id"), col("n_chars"),
+        TextOps.md5Hash60(
+          concat_ws("|", lit("ws"), col("source"), col("doc_id")))
+          .as("h"))
+      .withColumn("e_micro", expr(
+        "CAST(FLOOR(-LN((CAST(h AS DOUBLE) + 1.0) / " +
+          s"$h60Space) * 1000000.0) AS BIGINT)"))
+      .withColumn("prio", expr("(e_micro * 10000) div n_chars"))
+    ordered(
+      docs.groupBy("source")
+        .agg(TopKAgg.topK(wsK)(-col("prio"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), big(col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id"), (-col("col.score")).as("prio"))
+        .join(Tables.documents(s, d).select("doc_id", "n_chars"),
+          "doc_id")
+        .select("source", "rank", "doc_id", "n_chars", "prio"),
+      "source", "rank")
+  }
+
+  // ---------------------------------------------------------------- op187
+
+  /** op187: Kolmogorov–Smirnov drift detector — the exact two-sample D
+    * statistic (in basis points) between the src0 slice and the rest of
+    * the corpus over document length: per-value counts for both groups
+    * on ONE merged grid, two cumulative walks, D = max |cdf₁ − cdf₂|
+    * with the first value attaining it. The train-vs-serve /
+    * yesterday-vs-today distribution-drift gate, bit-reproducible.
+    *
+    * 100 TB shape: one map-combinable (value → per-group counts)
+    * aggregate; the cumulative walk runs over the distinct-value grid
+    * (a length domain — hundreds of values, the op179 argument).
+    * Unbounded domains bucket first (equi-width or op179's
+    * boundaries); D computed on the bucketed grid bounds the true D
+    * within one bucket's mass. */
+  val op187KsDrift: Q = (s, d) => {
+    val grid = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("c2"))
+    val cum = grid
+      .withColumn("cum1", sum("c1").over(Window.orderBy("v")))
+      .withColumn("cum2", sum("c2").over(Window.orderBy("v")))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+      .withColumn("dd", expr(
+        "abs((cum1 * 10000) div n1 - (cum2 * 10000) div n2)"))
+    ordered(
+      cum.groupBy("n1", "n2").agg(max("dd").as("d_bp"))
+        .crossJoin(cum.select(col("v"), col("dd").as("dd2")))
+        .where(col("dd2") === col("d_bp"))
+        .groupBy("n1", "n2", "d_bp").agg(min("v").as("v_at_max"))
+        .select("n1", "n2", "d_bp", "v_at_max"),
+      "n1")
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val defs: Map[String, Q] = Map(
+    "op184_trend_ols" -> op184TrendOls,
+    "op185_skew_report" -> op185SkewReport,
+    "op186_weighted_sample" -> op186WeightedSample,
+    "op187_ks_drift" -> op187KsDrift)
+
+  /** op185's oracle: one CTE chain per profiled key column, UNION ALL. */
+  private def skewSql: String = {
+    val blocks = skewCols.map { k =>
+      s"""SELECT '$k' AS key_col, nk AS n_keys,
+         |  (SELECT min(c) FROM cum_$k) AS min_c,
+         |  (SELECT min(c) FROM cum_$k WHERE cum >= (50 * nk + 99) // 100)
+         |    AS p50_c,
+         |  (SELECT min(c) FROM cum_$k WHERE cum >= (99 * nk + 99) // 100)
+         |    AS p99_c,
+         |  (SELECT max(c) FROM cum_$k) AS max_c,
+         |  ((SELECT max(c) FROM cum_$k) * 10000) //
+         |  (SELECT min(c) FROM cum_$k WHERE cum >= (50 * nk + 99) // 100)
+         |    AS skew_bp
+         |FROM (SELECT DISTINCT nk FROM cum_$k) t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ctes = skewCols.map { k =>
+      s"""grid_$k AS (
+         |  SELECT c, CAST(count(*) AS BIGINT) AS m FROM (
+         |    SELECT $k, CAST(count(*) AS BIGINT) AS c FROM lineitem
+         |    GROUP BY 1)
+         |  GROUP BY 1),
+         |cum_$k AS (
+         |  SELECT c, m, CAST(sum(m) OVER (ORDER BY c) AS BIGINT) AS cum,
+         |    CAST(sum(m) OVER () AS BIGINT) AS nk
+         |  FROM grid_$k)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $ctes\n$blocks\nORDER BY key_col"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "op184_trend_ols" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM ev GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, n,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sy
+        |  FROM a)
+        |SELECT event_type, n,
+        |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(num) // den) * 1000 + ((abs(num) % den) * 1000) // den)
+        |    AS slope_milli,
+        |  (sy * 1000) // n AS mean_y_milli
+        |FROM b
+        |ORDER BY event_type""".stripMargin,
+    "op185_skew_report" -> skewSql,
+    "op186_weighted_sample" ->
+      s"""WITH docs AS (
+         |  SELECT source, doc_id, n_chars,
+         |    ('0x' || substring(md5(
+         |       'ws' || '|' || source || '|' || CAST(doc_id AS VARCHAR)),
+         |       1, 15))::BIGINT AS h
+         |  FROM documents),
+         |scored AS (
+         |  SELECT source, doc_id, n_chars,
+         |    (CAST(FLOOR(-LN((CAST(h AS DOUBLE) + 1.0) / $h60Space)
+         |       * 1000000.0) AS BIGINT) * 10000) // n_chars AS prio
+         |  FROM docs),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY prio, doc_id) AS rank
+         |  FROM scored)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars,
+         |  prio
+         |FROM ranked WHERE rank <= $wsK
+         |ORDER BY source, rank""".stripMargin,
+    "op187_ks_drift" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c2
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2,
+        |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+        |  FROM grid),
+        |dd AS (
+        |  SELECT v, n1, n2,
+        |    abs((cum1 * 10000) // n1 - (cum2 * 10000) // n2) AS dd
+        |  FROM cum)
+        |SELECT n1, n2, max(dd) AS d_bp,
+        |  min(v) FILTER (WHERE dd = (SELECT max(dd) FROM dd))
+        |    AS v_at_max
+        |FROM dd GROUP BY n1, n2
+        |ORDER BY n1""".stripMargin)
+}

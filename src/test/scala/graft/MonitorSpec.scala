@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.MonitorQueries
+import graft.sources.Tables
+
+/** Semantics of the monitoring pack (op184–op187) against naive
+  * driver-side replays on the sf0.001 fixture. */
+class MonitorSpec extends SparkSpec {
+
+  test("op184: slope/mean replay the exact integer OLS formulas") {
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long"),
+      round(col("value") * 100, 0).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val want = ev.groupBy(_._1).view.mapValues { rows =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val sgn = if (num < 0) -1L else 1L
+      val na = math.abs(num)
+      (n, sgn * ((na / den) * 1000 + ((na % den) * 1000) / den),
+        (sy * 1000) / n)
+    }.toMap
+    val r = MonitorQueries.op184TrendOls(spark, sfDir).collect()
+    assert(r.length == want.size)
+    r.foreach { row =>
+      val (n, slope, mean) = want(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n") == n)
+      assert(row.getAs[Long]("slope_milli") == slope)
+      assert(row.getAs[Long]("mean_y_milli") == mean)
+    }
+  }
+
+  test("op185: distribution stats replay per profiled key column") {
+    val r = MonitorQueries.op185SkewReport(spark, sfDir).collect()
+      .map(x => x.getAs[String]("key_col") -> x).toMap
+    assert(r.keySet == Set("l_partkey", "l_suppkey"))
+    Seq("l_partkey", "l_suppkey").foreach { kc =>
+      val counts = Tables.lineitem(spark, sfDir).groupBy(kc).count()
+        .collect().map(_.getLong(1)).sorted
+      val nk = counts.length
+      def rank(p: Int) = counts(((p * nk + 99) / 100 - 1).toInt)
+      val row = r(kc)
+      assert(row.getAs[Long]("n_keys") == nk)
+      assert(row.getAs[Long]("min_c") == counts.head)
+      assert(row.getAs[Long]("max_c") == counts.last)
+      assert(row.getAs[Long]("p50_c") == rank(50))
+      assert(row.getAs[Long]("p99_c") == rank(99))
+      assert(row.getAs[Long]("skew_bp") == counts.last * 10000 / rank(50))
+    }
+  }
+
+  test("op186: weighted sample is rerun-stable with exact priorities") {
+    val r1 = MonitorQueries.op186WeightedSample(spark, sfDir).collect()
+    val r2 = MonitorQueries.op186WeightedSample(spark, sfDir).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    // per source: ≤ k rows, ranks contiguous from 1, priorities
+    // non-decreasing in rank (the k smallest won)
+    r1.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.length <= 24)
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val prios = sorted.map(_.getAs[Long]("prio")).toSeq
+      assert(prios.zip(prios.tail).forall { case (a, b) => a <= b })
+    }
+    // longer docs are favored: the sampled docs' mean length exceeds
+    // the corpus mean (weights ∝ n_chars)
+    val corpusMean = Tables.documents(spark, sfDir)
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = r1.map(_.getAs[Long]("n_chars")).sum.toDouble /
+      r1.length
+    assert(sampleMean > corpusMean,
+      s"sample $sampleMean vs corpus $corpusMean")
+  }
+
+  test("op187: D equals the naive max CDF gap over the merged grid") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val a = docs.filter(_._1 == "src0").map(_._2)
+    val b = docs.filter(_._1 != "src0").map(_._2)
+    val grid = (a ++ b).distinct.sorted
+    val want = grid.map { v =>
+      math.abs(a.count(_ <= v).toLong * 10000 / a.length -
+        b.count(_ <= v).toLong * 10000 / b.length)
+    }.max
+    val r = MonitorQueries.op187KsDrift(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n1") == a.length)
+    assert(r(0).getAs[Long]("n2") == b.length)
+    assert(r(0).getAs[Long]("d_bp") == want)
+  }
+}
