@@ -118,22 +118,52 @@ object MonitorQueries {
     * scale quantizes the E-S ordering: adjacent priorities tie only
     * when e_micro/w collide at 4 decimals, broken deterministically by
     * doc_id. */
+  /** op186/op189 shared scoring: (source, doc_id, n_chars, prio) with
+    * prio = the quantized E–S priority. Works on any frame with
+    * (source, doc_id, n_chars) — batch table or micro-batch slice. */
+  def wsScored(docs: DataFrame): DataFrame = docs
+    .select(col("source"), col("doc_id"), col("n_chars"),
+      TextOps.md5Hash60(
+        concat_ws("|", lit("ws"), col("source"), col("doc_id")))
+        .as("h"))
+    .withColumn("e_micro", expr(
+      "CAST(FLOOR(-LN((CAST(h AS DOUBLE) + 1.0) / " +
+        s"$h60Space) * 1000000.0) AS BIGINT)"))
+    .withColumn("prio", expr("(e_micro * 10000) div n_chars"))
+
+  /** op186/op189 shared selection: k smallest priorities per source via
+    * the bounded TopKAgg, ranks re-derived from the merged buffer. */
+  def wsSelect(scored: DataFrame): DataFrame = scored
+    .groupBy("source")
+    .agg(TopKAgg.topK(wsK)(-col("prio"), col("doc_id")).as("top"))
+    .select(col("source"), posexplode(col("top")))
+    .select(col("source"), big(col("pos") + 1).as("rank"),
+      col("col.id").as("doc_id"), (-col("col.score")).as("prio"))
+
   val op186WeightedSample: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(
-        col("source"), col("doc_id"), col("n_chars"),
-        TextOps.md5Hash60(
-          concat_ws("|", lit("ws"), col("source"), col("doc_id")))
-          .as("h"))
-      .withColumn("e_micro", expr(
-        "CAST(FLOOR(-LN((CAST(h AS DOUBLE) + 1.0) / " +
-          s"$h60Space) * 1000000.0) AS BIGINT)"))
-      .withColumn("prio", expr("(e_micro * 10000) div n_chars"))
     ordered(
-      docs.groupBy("source")
-        .agg(TopKAgg.topK(wsK)(-col("prio"), col("doc_id")).as("top"))
-        .select(col("source"), posexplode(col("top")))
-        .select(col("source"), big(col("pos") + 1).as("rank"),
-          col("col.id").as("doc_id"), (-col("col.score")).as("prio"))
+      wsSelect(wsScored(Tables.documents(s, d)))
+        .join(Tables.documents(s, d).select("doc_id", "n_chars"),
+          "doc_id")
+        .select("source", "rank", "doc_id", "n_chars", "prio"),
+      "source", "rank")
+  }
+
+  // ---------------------------------------------------------------- op189
+
+  /** op189: STREAM-MAINTAINED weighted sample — op186's selection kept
+    * online: each arriving micro-batch reduces to one partial top-k
+    * list per source (≤ k rows of state per batch), the serving merge
+    * re-aggregates partials through the SAME bounded TopKAgg. Top-k of
+    * a union ≡ top-k of per-slice top-ks (selection is an idempotent
+    * semilattice — the op169 mergeability argument for order statistics
+    * instead of counters), so the maintained sample is bit-identical to
+    * the batch build and runs under op186's UNCHANGED oracle. */
+  val op189StreamTopK: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op189_").toString
+    ordered(
+      graft.streaming.TopKStream.maintainedSample(s, d, state)
         .join(Tables.documents(s, d).select("doc_id", "n_chars"),
           "doc_id")
         .select("source", "rank", "doc_id", "n_chars", "prio"),
@@ -182,7 +212,8 @@ object MonitorQueries {
     "op184_trend_ols" -> op184TrendOls,
     "op185_skew_report" -> op185SkewReport,
     "op186_weighted_sample" -> op186WeightedSample,
-    "op187_ks_drift" -> op187KsDrift)
+    "op187_ks_drift" -> op187KsDrift,
+    "op189_stream_topk" -> op189StreamTopK)
 
   /** op185's oracle: one CTE chain per profiled key column, UNION ALL. */
   private def skewSql: String = {
@@ -213,7 +244,12 @@ object MonitorQueries {
     s"WITH $ctes\n$blocks\nORDER BY key_col"
   }
 
-  val oracle: Map[String, String] = Map(
+  /** op189 is the stream-maintained sample — merge-exactness means it
+    * shares op186's oracle verbatim. */
+  lazy val oracle: Map[String, String] = baseOracle +
+    ("op189_stream_topk" -> baseOracle("op186_weighted_sample"))
+
+  private lazy val baseOracle: Map[String, String] = Map(
     "op184_trend_ols" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -233,6 +233,48 @@ object WarehouseQueries {
       "seg", "prio")
   }
 
+  // ---------------------------------------------------------------- op188
+
+  /** op188: SCD2 point-in-time lookup — the Kimball dimension join:
+    * every purchase event reads the version of its user's view-value
+    * dimension (op128's [[graft.ops.Scd.history]] over 'view' events)
+    * that was valid AT THE PURCHASE INSTANT: equi-join on user_id +
+    * the interval predicate valid_from ≤ t < valid_to (open version:
+    * valid_to = −1). Purchases before the user's first view emit a
+    * matched=0 row with −1 fields — the as-of-missing contract.
+    *
+    * 100 TB shape: hash equi-join on the dimension key with a per-key
+    * interval filter — each fact row scans only ITS key's version list
+    * (versions per key = change count, small by SCD2 construction).
+    * The sort-merge as-of spelling (op36) wins when version lists are
+    * long; the hash+filter form wins when they're short — this is the
+    * short-list case and the plan has no range-join blowup. */
+  val op188PitLookup: Q = (s, d) => {
+    val evDf = Tables.events(s, d)
+    val ev = evDf.select(col("event_id"), col("user_id"),
+      col("event_type"), Tables.tsUsExpr(evDf).as("t_us"),
+      col("value"))
+    val hist = graft.ops.Scd.history(
+      ev.where(col("event_type") === "view"), Seq("user_id"), "t_us",
+      "event_id", Det.bp4(col("value")))
+      .select(col("user_id").as("h_uid"), col("ver"),
+        col("value").as("view_bp"), col("valid_from"), col("valid_to"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "t_us")
+    ordered(
+      purchases.join(hist,
+          col("user_id") === col("h_uid") &&
+          col("t_us") >= col("valid_from") &&
+          (col("valid_to") === -1L || col("t_us") < col("valid_to")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          coalesce(col("ver"), lit(-1L)).as("ver"),
+          coalesce(col("view_bp"), lit(-1L)).as("view_bp"),
+          expr("CAST(CASE WHEN ver IS NULL THEN 0 ELSE 1 END AS BIGINT)")
+            .as("matched")),
+      "event_id")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val defs: Map[String, Q] = Map(
@@ -240,7 +282,8 @@ object WarehouseQueries {
     "op180_tree_rollup" -> op180TreeRollup,
     "op181_salted_join" -> op181SaltedJoin,
     "op182_attribution" -> op182Attribution,
-    "op183_chisq" -> op183Chisq)
+    "op183_chisq" -> op183Chisq,
+    "op188_pit_lookup" -> op188PitLookup)
 
   val oracle: Map[String, String] = Map(
     "op179_range_boundaries" ->
@@ -308,6 +351,41 @@ object WarehouseQueries {
          |FROM h WHERE event_type = 'purchase'
          |GROUP BY 1
          |ORDER BY touch""".stripMargin,
+    "op188_pit_lookup" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+        |    value
+        |  FROM events),
+        |base AS (
+        |  SELECT user_id, t_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT)
+        |      AS view_bp
+        |  FROM ev WHERE event_type = 'view'),
+        |flg AS (
+        |  SELECT *, lag(view_bp) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM base WINDOW w AS (PARTITION BY user_id
+        |                         ORDER BY t_us, event_id)),
+        |chg AS (SELECT * FROM flg
+        |        WHERE rn = 1 OR prev IS DISTINCT FROM view_bp),
+        |hist AS (
+        |  SELECT user_id AS h_uid,
+        |    CAST(row_number() OVER w AS BIGINT) AS ver, view_bp,
+        |    t_us AS valid_from,
+        |    coalesce(lead(t_us) OVER w, -1) AS valid_to
+        |  FROM chg WINDOW w AS (PARTITION BY user_id
+        |                        ORDER BY t_us, event_id))
+        |SELECT p.event_id, p.user_id, p.t_us,
+        |  coalesce(h.ver, -1) AS ver,
+        |  coalesce(h.view_bp, -1) AS view_bp,
+        |  CAST(CASE WHEN h.ver IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS matched
+        |FROM (SELECT event_id, user_id, t_us FROM ev
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN hist h ON p.user_id = h.h_uid
+        |  AND p.t_us >= h.valid_from
+        |  AND (h.valid_to = -1 OR p.t_us < h.valid_to)
+        |ORDER BY event_id""".stripMargin,
     "op183_chisq" ->
       s"""WITH cells AS (
          |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,

@@ -97,4 +97,12 @@ class MonitorSpec extends SparkSpec {
     assert(r(0).getAs[Long]("n2") == b.length)
     assert(r(0).getAs[Long]("d_bp") == want)
   }
+
+  test("op189: the stream-maintained sample equals the batch build") {
+    val batch = MonitorQueries.op186WeightedSample(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MonitorQueries.op189StreamTopK(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch, "merge-exactness: stream must ≡ batch")
+  }
 }

@@ -97,4 +97,35 @@ class WarehouseSpec extends SparkSpec {
       assert(row.getAs[Long]("chi_milli") == dev * dev / e)
     }
   }
+
+  test("op188: each purchase reads the version valid at its instant") {
+    val r = WarehouseQueries.op188PitLookup(spark, sfDir).collect()
+    val evDf = Tables.events(spark, sfDir)
+    val ev = evDf.select(col("event_id"), col("user_id"),
+      col("event_type"), Tables.tsUsExpr(evDf).as("us"),
+      (col("value").cast("decimal(27,4)") * 10000).cast("long"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3), x.getLong(4)))
+    val views = ev.filter(_._3 == "view").groupBy(_._2)
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(r.length == purchases.length)
+    val byId = r.map(x => x.getAs[Long]("event_id") -> x).toMap
+    purchases.foreach { case (eid, uid, _, us, _) =>
+      val row = byId(eid)
+      // naive replay: latest view at-or-before the purchase
+      val prior = views.getOrElse(uid, Array.empty)
+        .filter(v => v._4 <= us).sortBy(v => (v._4, v._1))
+      if (prior.isEmpty) {
+        assert(row.getAs[Long]("matched") == 0L)
+        assert(row.getAs[Long]("view_bp") == -1L)
+      } else {
+        assert(row.getAs[Long]("matched") == 1L)
+        assert(row.getAs[Long]("view_bp") == prior.last._5,
+          s"purchase $eid")
+      }
+    }
+    assert(r.exists(_.getAs[Long]("matched") == 0L) ||
+      purchases.forall(p => views.contains(p._2)))
+  }
 }
