@@ -38,26 +38,29 @@ object SeqGraphQueries {
   // ---------------------------------------------------------------- op173
 
   /** op173: gaps-and-islands — per user, maximal runs of consecutive
-    * events (ordered by ts, event_id) sharing one event_type, via the
-    * classic two-row_number difference: rn_all − rn_per_type is constant
-    * exactly within a run. Emits one row per island with its length and
-    * id/day bounds.
+    * events (ordered by ts, event_id) sharing one event_type, via
+    * change-flag + running sum: flag = 1 where the type differs from
+    * its predecessor, island id = cumulative flag sum. Emits one row
+    * per island with its length and id/day bounds.
     *
-    * 100 TB shape: both windows partition by user_id and sort the SAME
-    * (ts, event_id) key, so Catalyst plans ONE Exchange + one sort for
-    * the whole query; per-user state is the run length, never the
-    * corpus. The streaming twin of this pattern is sessionization
-    * (op105/op53) — this is its batch, type-keyed form. */
+    * Spelled with lag + cumsum rather than the textbook
+    * two-row_number difference DELIBERATELY: rn_all − rn_per_type
+    * partitions its second window by (user, type) — a SECOND Exchange
+    * — while lag and the running sum here share one (user_id)
+    * partitioning and one (ts, id) sort, so Catalyst plans ONE
+    * Exchange + one Sort for the whole query (ScaleSpec pins it).
+    * Per-user state is a run counter, never the corpus; the streaming
+    * twin of this pattern is sessionization (op105/op53). */
   val op173Islands: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "ts")
-    val byTs = Seq(col("ts"), col("event_id"))
-    val rnAll = row_number().over(
-      Window.partitionBy("user_id").orderBy(byTs: _*))
-    val rnTyp = row_number().over(
-      Window.partitionBy("user_id", "event_type").orderBy(byTs: _*))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val chg = when(lag("event_type", 1).over(w).isNull ||
+      lag("event_type", 1).over(w) =!= col("event_type"), 1L)
+      .otherwise(0L)
     ordered(
-      ev.withColumn("g", rnAll - rnTyp)
+      ev.withColumn("g", sum(chg).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "event_type", "g")
         .agg(count(lit(1)).as("n_run"),
           min("event_id").as("min_id"), max("event_id").as("max_id"),
@@ -198,8 +201,9 @@ object SeqGraphQueries {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // NOT materialized: the per-iteration re-reads of the edge chain
     // collapse to one computation via ReuseExchange (identical
-    // subplans); an eager checkpoint here measured 2x SLOWER at sf0.1
-    val esd = edges.join(deg, "src")
+    // subplans); an eager checkpoint here measured 2x SLOWER at sf0.1.
+    // deg is |V|-sized — broadcast, so the edge list never sorts/shuffles
+    val esd = edges.join(broadcast(deg), "src")
     val verts = deg.select(col("src").as("pk"))
     // |V| attached via a 1-row cross join (plan-time scalar, no collect)
     val nVerts = verts.agg(count(lit(1)).as("nv"))
@@ -219,7 +223,7 @@ object SeqGraphQueries {
             .as("r"))
     }
     ordered(
-      ranks.join(deg, col("pk") === col("src"))
+      ranks.join(broadcast(deg), col("pk") === col("src"))
         .select(col("pk").as("p_partkey"), col("r").as("rank_ppb"),
           col("deg")),
       "p_partkey")
@@ -367,11 +371,16 @@ object SeqGraphQueries {
 
   val oracle: Map[String, String] = Map(
     "op173_islands" ->
-      """WITH ev AS (SELECT event_id, user_id, event_type, ts,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    - row_number() OVER (PARTITION BY user_id, event_type
-        |                         ORDER BY ts, event_id) AS g
-        |  FROM events)
+      """WITH flg AS (SELECT event_id, user_id, event_type, ts,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type
+        |       THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ev AS (SELECT event_id, user_id, event_type, ts,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM flg)
         |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_run,
         |  min(event_id) AS min_id, max(event_id) AS max_id,
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(min(ts) AS DATE))

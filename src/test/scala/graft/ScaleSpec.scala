@@ -552,4 +552,50 @@ class ScaleSpec extends SparkSpec {
     val out = spark.table("ad_join_out").as[(String, String)].collect().toSet
     assert(out == Set(("ad1", "10:10")))
   }
+
+  // ------------------------------------------------- r9 pack plan shapes
+
+  test("op173: one hash Exchange feeds both windows (lag + cumsum)") {
+    val plan = graft.queries.SeqGraphQueries
+      .op173Islands(spark, sfDir).queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // lag + running sum share (user_id) partitioning; only the final
+    // groupBy may add a second hash Exchange
+    assert(hashEx <= 2, s"expected <=2 hash exchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("op175/op178/op188: candidate generation is hash joins, never " +
+      "a nested-loop or cartesian product") {
+    Seq(
+      graft.queries.SeqGraphQueries.op175FuzzyJoin(spark, sfDir),
+      graft.queries.SeqGraphQueries.op178NullAwareNotIn(spark, sfDir),
+      graft.queries.WarehouseQueries.op188PitLookup(spark, sfDir)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"BNLJ in plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in plan:\n$plan")
+    }
+  }
+
+  test("op176: every rank-side join is a broadcast (edges never " +
+      "re-shuffled per iteration)") {
+    val plan = graft.queries.SeqGraphQueries
+      .op176Pagerank(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the contribution joins against ranks must not sort-merge: an SMJ
+    // there would re-shuffle the edge list every iteration
+    assert(!plan.contains("SortMergeJoin"), s"SMJ in plan:\n$plan")
+  }
+
+  test("op182: attribution runs on one window partitioning, no " +
+      "purchase-event self-join") {
+    val plan = graft.queries.WarehouseQueries
+      .op182Attribution(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in plan:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"expected <=2 hash exchanges:\n$plan")
+  }
 }
