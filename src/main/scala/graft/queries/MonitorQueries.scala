@@ -206,6 +206,46 @@ object MonitorQueries {
       "n1")
   }
 
+  // ---------------------------------------------------------------- op190
+
+  /** op190: rolling 7-day distinct users (the DAU/WAU metric) — for
+    * every day of the event span, how many distinct users were active
+    * in the trailing 7-day window, exactly. Windows can't COUNT
+    * DISTINCT over a frame; the scalable spelling inverts the problem:
+    * each (user, active-day) COVERS the 7 days it contributes to —
+    * a bounded explode (×7) over the DEDUPLICATED (user, day) grid,
+    * then distinct + count per covered day. Same-day distincts ride
+    * along for the DAU column.
+    *
+    * 100 TB shape: the fan-out is windowSize × |user-day grid| — the
+    * grid (≤ users × retention days) is orders of magnitude smaller
+    * than the event log, and everything after the first DISTINCT is
+    * map-combinable on it. The naive per-day correlated COUNT
+    * DISTINCT re-scans the log |days| times; the window-frame
+    * spelling doesn't exist. Window width is the declared constant
+    * multiplier (28-day WAU → ×28). */
+  val op190RollingDistinct: Q = (s, d) => {
+    val act = Tables.events(s, d).select(col("user_id"),
+        big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+          .as("day"))
+      .distinct()
+    val cov = act
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)"))
+        .as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("n_users_7d"))
+    val d1 = act.groupBy("day").agg(count(lit(1)).as("n_users_1d"))
+    val lim = act.agg(min("day").as("lo"), max("day").as("hi"))
+    ordered(
+      cov.crossJoin(broadcast(lim))
+        .where(col("d") >= col("lo") && col("d") <= col("hi"))
+        .join(d1, col("d") === col("day"), "left")
+        .select(col("d").as("day"),
+          coalesce(col("n_users_1d"), lit(0L)).as("n_users_1d"),
+          col("n_users_7d")),
+      "day")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val defs: Map[String, Q] = Map(
@@ -213,7 +253,8 @@ object MonitorQueries {
     "op185_skew_report" -> op185SkewReport,
     "op186_weighted_sample" -> op186WeightedSample,
     "op187_ks_drift" -> op187KsDrift,
-    "op189_stream_topk" -> op189StreamTopK)
+    "op189_stream_topk" -> op189StreamTopK,
+    "op190_rolling_distinct" -> op190RollingDistinct)
 
   /** op185's oracle: one CTE chain per profiled key column, UNION ALL. */
   private def skewSql: String = {
@@ -295,6 +336,26 @@ object MonitorQueries {
          |  prio
          |FROM ranked WHERE rank <= $wsK
          |ORDER BY source, rank""".stripMargin,
+    "op190_rolling_distinct" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day
+        |  FROM events),
+        |cov AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS n_users_7d FROM (
+        |    SELECT DISTINCT user_id, day + k AS d
+        |    FROM act, UNNEST(range(0, 7)) t(k))
+        |  GROUP BY 1),
+        |d1 AS (SELECT day, CAST(count(*) AS BIGINT) AS n_users_1d
+        |       FROM act GROUP BY 1),
+        |lim AS (SELECT min(day) AS lo, max(day) AS hi FROM act)
+        |SELECT c.d AS day, coalesce(o.n_users_1d, 0) AS n_users_1d,
+        |  c.n_users_7d
+        |FROM cov c CROSS JOIN lim
+        |LEFT JOIN d1 o ON c.d = o.day
+        |WHERE c.d BETWEEN lim.lo AND lim.hi
+        |ORDER BY day""".stripMargin,
     "op187_ks_drift" ->
       """WITH grid AS (
         |  SELECT n_chars AS v,

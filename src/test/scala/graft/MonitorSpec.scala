@@ -105,4 +105,26 @@ class MonitorSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(stream == batch, "merge-exactness: stream must ≡ batch")
   }
+
+  test("op190: rolling distinct equals the naive per-day set replay") {
+    val evDf = Tables.events(spark, sfDir)
+    val act = evDf.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val days = act.map(_._2)
+    val r = MonitorQueries.op190RollingDistinct(spark, sfDir).collect()
+    assert(r.length == (days.max - days.min + 1))
+    r.foreach { row =>
+      val d = row.getAs[Long]("day")
+      val want7 = act.filter(a => a._2 >= d - 6 && a._2 <= d)
+        .map(_._1).size
+      val want1 = act.filter(_._2 == d).map(_._1).size
+      assert(row.getAs[Long]("n_users_7d") == want7, s"day $d 7d")
+      assert(row.getAs[Long]("n_users_1d") == want1, s"day $d 1d")
+    }
+    // the window genuinely widens the count somewhere
+    assert(r.exists(x =>
+      x.getAs[Long]("n_users_7d") > x.getAs[Long]("n_users_1d")))
+  }
 }
