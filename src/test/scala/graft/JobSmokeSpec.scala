@@ -194,4 +194,32 @@ class JobSmokeSpec extends AnyFunSuite {
       LakehouseJob.main(Array(sfDir, store, "bogus"))
     }: Unit
   }
+
+  test("AuditJob.main writes all four report legs with exact integers") {
+    freshSession()
+    val out = tmp("audit")
+    graft.apps.AuditJob.main(
+      Array(sfDir, out.toString, "/root/testdata/sf0.01"))
+    val s = freshSession()
+    // profile: one row per (table, column), counts consistent
+    val prof = s.read.parquet(s"$out/profile")
+    assert(prof.count() > 0)
+    assert(prof.where(col("table") === "region").count() == 2)
+    // skew: the op185 report verbatim
+    val skew = s.read.parquet(s"$out/skew").collect()
+    assert(skew.map(_.getAs[String]("key_col")).toSet ==
+      Set("l_partkey", "l_suppkey"))
+    // drift: a real reference was supplied -> non-marker D
+    val drift = s.read.parquet(s"$out/drift").collect()
+    assert(drift.length == 1 && drift(0).getAs[Long]("d_bp") >= 0)
+    // trend: op184 verbatim over the drop
+    assert(s.read.parquet(s"$out/trend").count() == 5)
+    // reproducibility: a second run writes a byte-identical skew report
+    val out2 = tmp("audit2")
+    graft.apps.AuditJob.main(
+      Array(sfDir, out2.toString, "/root/testdata/sf0.01"))
+    val s2 = freshSession()
+    assert(s2.read.parquet(s"$out2/skew").collect().map(_.toSeq).toSeq ==
+      skew.map(_.toSeq).toSeq)
+  }
 }
