@@ -119,6 +119,56 @@ object SeqGraphQueries {
       "l_suppkey")
   }
 
+  // ---------------------------------------------------------------- op191
+
+  /** op191: interval-union coverage — per supplier, the total number of
+    * days covered by ≥1 fulfilment interval (overlaps merged), the
+    * span between first and last activity, and utilization in basis
+    * points. The op174 sweep reused for MEASURE instead of max: between
+    * consecutive boundary days the open-count is constant, so coverage
+    * = Σ (next_day − day) over grid rows where open > 0 — the
+    * interval-merge problem (dedup of overlapping validity windows,
+    * SLA uptime, sensor coverage) without ever materializing per-day
+    * rows.
+    *
+    * 100 TB shape: identical to op174 — the corpus collapses onto the
+    * boundary-event grid before any ordered pass; the lead() window
+    * shares the running sum's (supplier, day) sort, one Exchange. The
+    * per-day explode alternative materializes span×suppliers rows —
+    * the grid form is O(2·intervals). */
+  val op191IntervalCoverage: Q = (s, d) => {
+    val iv = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        big(datediff(to_date(col("o_orderdate")), lit(epoch).cast("date")))
+          .as("d0"),
+        big(datediff(to_date(col("l_shipdate")), lit(epoch).cast("date")))
+          .as("d1"))
+      .select(col("l_suppkey"), least(col("d0"), col("d1")).as("lo"),
+        (greatest(col("d0"), col("d1")) + 1).as("hi"))
+    val deltas = iv.select(col("l_suppkey"),
+        explode(array(
+          struct(col("lo").as("day"), lit(1L).as("delta")),
+          struct(col("hi").as("day"), lit(-1L).as("delta")))).as("e"))
+      .select(col("l_suppkey"), col("e.day"), col("e.delta"))
+      .groupBy("l_suppkey", "day").agg(sum("delta").as("net"))
+    val w = Window.partitionBy("l_suppkey").orderBy("day")
+    val cum = deltas
+      .withColumn("open", sum("net").over(w))
+      .withColumn("nxt", lead("day", 1).over(w))
+    ordered(
+      cum.groupBy("l_suppkey")
+        .agg(sum(when(col("open") > 0, col("nxt") - col("day"))
+            .otherwise(0L)).as("covered_days"),
+          (max("day") - min("day")).as("span_days"))
+        .withColumn("util_bp",
+          expr("(covered_days * 10000) div span_days"))
+        .select("l_suppkey", "covered_days", "span_days", "util_bp"),
+      "l_suppkey")
+  }
+
   // ---------------------------------------------------------------- op175
 
   /** op175: blocked fuzzy join (entity resolution) — every part name is
@@ -326,7 +376,8 @@ object SeqGraphQueries {
     "op175_fuzzy_join" -> op175FuzzyJoin,
     "op176_pagerank" -> op176Pagerank,
     "op177_mad_outliers" -> op177MadOutliers,
-    "op178_null_aware_not_in" -> op178NullAwareNotIn)
+    "op178_null_aware_not_in" -> op178NullAwareNotIn,
+    "op191_interval_coverage" -> op191IntervalCoverage)
 
   /** op176's oracle: the identical integer iteration unrolled as
     * chained CTEs (r0 → r5). */
@@ -453,6 +504,37 @@ object SeqGraphQueries {
         |WHERE b.rn = 1
         |ORDER BY p_partkey""".stripMargin,
     "op176_pagerank" -> pagerankSql,
+    "op191_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    least(date_diff('day', DATE '1995-01-01',
+        |            CAST(o_orderdate AS DATE)),
+        |          date_diff('day', DATE '1995-01-01',
+        |            CAST(l_shipdate AS DATE))) AS lo,
+        |    greatest(date_diff('day', DATE '1995-01-01',
+        |            CAST(o_orderdate AS DATE)),
+        |          date_diff('day', DATE '1995-01-01',
+        |            CAST(l_shipdate AS DATE))) + 1 AS hi
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deltas AS (
+        |  SELECT l_suppkey, day, sum(delta) AS net FROM (
+        |    SELECT l_suppkey, lo AS day, 1 AS delta FROM iv
+        |    UNION ALL SELECT l_suppkey, hi, -1 FROM iv)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_suppkey, day,
+        |    sum(net) OVER (PARTITION BY l_suppkey ORDER BY day) AS open,
+        |    lead(day) OVER (PARTITION BY l_suppkey ORDER BY day) AS nxt
+        |  FROM deltas)
+        |SELECT l_suppkey,
+        |  CAST(sum(CASE WHEN open > 0 THEN nxt - day ELSE 0 END)
+        |       AS BIGINT) AS covered_days,
+        |  CAST(max(day) - min(day) AS BIGINT) AS span_days,
+        |  CAST(sum(CASE WHEN open > 0 THEN nxt - day ELSE 0 END)
+        |       AS BIGINT) * 10000 // CAST(max(day) - min(day) AS BIGINT)
+        |    AS util_bp
+        |FROM cum GROUP BY 1
+        |ORDER BY l_suppkey""".stripMargin,
     "op177_mad_outliers" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,

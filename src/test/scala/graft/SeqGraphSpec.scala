@@ -135,4 +135,33 @@ class SeqGraphSpec extends SparkSpec {
       .map(_.getAs[Long]("n")).sum
     assert(nTrue == Tables.customer(spark, sfDir).count() - fCust)
   }
+
+  test("op191: coverage equals the naive merged-interval replay") {
+    val r = SeqGraphQueries.op191IntervalCoverage(spark, sfDir).collect()
+      .map(x => x.getAs[Long]("l_suppkey") ->
+        (x.getAs[Long]("covered_days"), x.getAs[Long]("span_days"),
+          x.getAs[Long]("util_bp"))).toMap
+    val iv = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")),
+        datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date")))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+    iv.groupBy(_._1).foreach { case (sk, rows) =>
+      val ivs = rows.map(x => (math.min(x._2, x._3), math.max(x._2, x._3)))
+      val days = ivs.flatMap(i => i._1 to i._2).distinct
+      val covered = days.length.toLong
+      val span = (ivs.map(_._2).max + 1) - ivs.map(_._1).min
+      assert(r(sk)._1 == covered, s"supp $sk covered")
+      assert(r(sk)._2 == span, s"supp $sk span")
+      assert(r(sk)._3 == covered * 10000 / span, s"supp $sk util")
+    }
+    // overlaps genuinely merge somewhere: coverage < sum of lengths
+    val anyMerged = iv.groupBy(_._1).exists { case (sk, rows) =>
+      rows.map(x => math.max(x._2, x._3) - math.min(x._2, x._3) + 1)
+        .sum > r(sk)._1
+    }
+    assert(anyMerged, "no overlapping intervals exercised")
+  }
 }
