@@ -63,6 +63,51 @@ object MonitorQueries {
       "event_type")
   }
 
+  /** op192's r² spelling — SHARED SQL TEXT on both engines (the op157
+    * ln recipe, but here every operation is IEEE-exact: double ×, /,
+    * FLOOR are correctly-rounded and bit-identical cross-engine, so
+    * the quantized ratio replays without any libm dependence).
+    * Expects num, denx, deny in scope; denx·deny > 0. */
+  private val r2BpSql: String =
+    "CAST(FLOOR((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / " +
+      "(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) * 10000.0) " +
+      "AS BIGINT)"
+
+  // ---------------------------------------------------------------- op192
+
+  /** op192: goodness-of-fit for the op184 trend — per event type, the
+    * coefficient of determination r² = (n·Σxy − Σx·Σy)² /
+    * ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) in basis points, plus the
+    * correlation sign. The companion statistic that says whether
+    * op184's slope MEANS anything (a slope with r² ≈ 0 is noise).
+    * num² overflows BIGINT, so the ratio is computed in doubles under
+    * the shared-text contract — unlike ln, double ×,/ and FLOOR are
+    * IEEE-exact, so both engines produce the identical quantized bp.
+    *
+    * 100 TB shape: six map-combinable sums per group (op184's five
+    * plus Σy²) — nothing else touches the data. */
+  val op192TrendR2: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+        .as("x"),
+      round(col("value") * 100, 0).cast("long").as("y"))
+    ordered(
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("denx", expr("n * sxx - sx * sx"))
+        .withColumn("deny", expr("n * syy - sy * sy"))
+        .withColumn("r2_bp", expr(r2BpSql))
+        .withColumn("corr_sign", expr(
+          "CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 " +
+            "ELSE 0 END AS BIGINT)"))
+        .select("event_type", "n", "r2_bp", "corr_sign"),
+      "event_type")
+  }
+
   // ---------------------------------------------------------------- op185
 
   /** op185: shuffle-skew diagnosis report — for each candidate join/agg
@@ -185,11 +230,9 @@ object MonitorQueries {
     * Unbounded domains bucket first (equi-width or op179's
     * boundaries); D computed on the bucketed grid bounds the true D
     * within one bucket's mass. */
-  val op187KsDrift: Q = (s, d) => {
-    val grid = Tables.documents(s, d)
-      .groupBy(col("n_chars").as("v"))
-      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("c2"))
+  /** op187/op193 shared KS tail: from a merged (v, c1, c2) grid, the
+    * exact D statistic (bp) with the first value attaining it. */
+  def ksFromGrid(grid: DataFrame): DataFrame = {
     val cum = grid
       .withColumn("cum1", sum("c1").over(Window.orderBy("v")))
       .withColumn("cum2", sum("c2").over(Window.orderBy("v")))
@@ -204,6 +247,38 @@ object MonitorQueries {
         .groupBy("n1", "n2", "d_bp").agg(min("v").as("v_at_max"))
         .select("n1", "n2", "d_bp", "v_at_max"),
       "n1")
+  }
+
+  val op187KsDrift: Q = (s, d) =>
+    ksFromGrid(Tables.documents(s, d)
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("c2")))
+
+  // ---------------------------------------------------------------- op193
+
+  /** op193: STREAMING drift gate — op187 with the CURRENT side arriving
+    * online: src0 documents stream in micro-batches, each batch
+    * reduced to per-length counts appended to a tiny state table
+    * (counts are the mergeable summary — exact element-wise addition,
+    * the op169 argument), the gate merges them and compares against
+    * the STATIC reference slice. Merged streamed counts ≡ the batch
+    * group-by, so op193 sits under op187's UNCHANGED oracle — the
+    * daily-drift-check deployment shape (arrivals vs a pinned
+    * reference snapshot). */
+  val op193StreamDrift: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op193_").toString
+    val streamed = graft.streaming.DriftStream
+      .maintainedLengthCounts(s, d, state)        // (v, c1) merged
+    val reference = Tables.documents(s, d)
+      .where(col("source") =!= "src0")
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c2"))
+    ksFromGrid(
+      streamed.join(reference, Seq("v"), "full")
+        .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2")))
   }
 
   // ---------------------------------------------------------------- op190
@@ -254,7 +329,9 @@ object MonitorQueries {
     "op186_weighted_sample" -> op186WeightedSample,
     "op187_ks_drift" -> op187KsDrift,
     "op189_stream_topk" -> op189StreamTopK,
-    "op190_rolling_distinct" -> op190RollingDistinct)
+    "op190_rolling_distinct" -> op190RollingDistinct,
+    "op192_trend_r2" -> op192TrendR2,
+    "op193_stream_drift" -> op193StreamDrift)
 
   /** op185's oracle: one CTE chain per profiled key column, UNION ALL. */
   private def skewSql: String = {
@@ -288,7 +365,9 @@ object MonitorQueries {
   /** op189 is the stream-maintained sample — merge-exactness means it
     * shares op186's oracle verbatim. */
   lazy val oracle: Map[String, String] = baseOracle +
-    ("op189_stream_topk" -> baseOracle("op186_weighted_sample"))
+    ("op189_stream_topk" -> baseOracle("op186_weighted_sample")) +
+    // op193 merges streamed counts exactly -> op187's oracle verbatim
+    ("op193_stream_drift" -> baseOracle("op187_ks_drift"))
 
   private lazy val baseOracle: Map[String, String] = Map(
     "op184_trend_ols" ->
@@ -336,6 +415,52 @@ object MonitorQueries {
          |  prio
          |FROM ranked WHERE rank <= $wsK
          |ORDER BY source, rank""".stripMargin,
+    "op192_trend_r2" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |         AS BIGINT) AS x,
+         |    CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM ev GROUP BY 1),
+         |b AS (
+         |  SELECT event_type, n, n * sxy - sx * sy AS num,
+         |    n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+         |  FROM a)
+         |SELECT event_type, n, $r2BpSql AS r2_bp,
+         |  CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
+         |       ELSE 0 END AS BIGINT) AS corr_sign
+         |FROM b
+         |ORDER BY event_type""".stripMargin,
+    "op192_trend_r2" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |         AS BIGINT) AS x,
+         |    CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM ev GROUP BY 1),
+         |b AS (
+         |  SELECT event_type, n, n * sxy - sx * sy AS num,
+         |    n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+         |  FROM a)
+         |SELECT event_type, n, $r2BpSql AS r2_bp,
+         |  CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
+         |       ELSE 0 END AS BIGINT) AS corr_sign
+         |FROM b
+         |ORDER BY event_type""".stripMargin,
     "op190_rolling_distinct" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id,

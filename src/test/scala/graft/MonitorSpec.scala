@@ -127,4 +127,28 @@ class MonitorSpec extends SparkSpec {
     assert(r.exists(x =>
       x.getAs[Long]("n_users_7d") > x.getAs[Long]("n_users_1d")))
   }
+
+  test("op192: r2 in [0, 10000] and consistent with the slope sign") {
+    val r2 = MonitorQueries.op192TrendR2(spark, sfDir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("r2_bp"), x.getAs[Long]("corr_sign"))).toMap
+    val sl = MonitorQueries.op184TrendOls(spark, sfDir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        x.getAs[Long]("slope_milli")).toMap
+    assert(r2.nonEmpty && r2.keySet == sl.keySet)
+    r2.foreach { case (t, (v, sgn)) =>
+      assert(v >= 0 && v <= 10000, s"$t r2 $v")
+      // sign consistency: corr sign matches the OLS slope direction
+      if (sgn != 0)
+        assert((sgn < 0) == (sl(t) < 0), s"$t sign vs slope")
+    }
+  }
+
+  test("op193: the stream-maintained drift gate equals the batch D") {
+    val batch = MonitorQueries.op187KsDrift(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MonitorQueries.op193StreamDrift(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch, "merged counts must equal the batch histogram")
+  }
 }
