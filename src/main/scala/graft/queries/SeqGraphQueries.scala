@@ -279,6 +279,74 @@ object SeqGraphQueries {
       "p_partkey")
   }
 
+  // ---------------------------------------------------------------- op194
+
+  /** op194: triangle count + global transitivity over the co-purchase
+    * graph (support ≥ 2 orders), via DEGREE ORIENTATION — each
+    * undirected edge is directed from its lower (degree, id) endpoint,
+    * so every triangle is enumerated EXACTLY ONCE and, crucially, each
+    * wedge pivot enumerates only its higher-degree neighbors: the hub
+    * that would generate deg² wedge candidates under naive enumeration
+    * generates ~(deg·avg)°ᵘᵗ instead — the standard bound that makes
+    * triangle counting feasible on power-law graphs. Wedges close by
+    * one equi-join against the oriented edge list.
+    *
+    * 100 TB shape: two self-equi-joins of the oriented edge list
+    * (hash-partitioned by pivot, then by the closing pair) — no
+    * BNLJ, no per-vertex adjacency materialization beyond the edge
+    * rows; the support prune bounds the edge list before any join
+    * (the op170 A-priori argument). Emits the one-row graph summary:
+    * vertices, edges, wedges, triangles, transitivity bp. */
+  val op194Triangles: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
+      .where(col("supp") >= 2).select("p1", "p2")
+    val und = pairs.union(
+        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+    val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
+    // total order (deg, id) as one key; ids < 10^9 by fixture contract
+    val keyed = und
+      .join(broadcast(deg), "p1")
+      .join(broadcast(deg.select(col("p1").as("p2"),
+        col("deg").as("deg2"))), "p2")
+      .select(col("p1"), col("p2"),
+        expr("deg * 1000000000 + p1").as("k1"),
+        expr("deg2 * 1000000000 + p2").as("k2"))
+    val oriented = keyed.where(col("k1") < col("k2"))
+      .select(col("p1").as("src"), col("p2").as("dst"),
+        col("k2").as("dk"))
+    val e1 = oriented.select(col("src"), col("dst").as("v"),
+      col("dk").as("vk"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"),
+      col("dk").as("wk"))
+    val wedges = e1.join(e2, "src").where(col("vk") < col("wk"))
+    val triangles = wedges.join(
+      oriented.select(col("src").as("v2"), col("dst").as("w2")),
+      col("v") === col("v2") && col("w") === col("w2"))
+    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    val nE = pairs.agg(count(lit(1)).as("n_edges"))
+    // open+closed wedge total Σ deg·(deg−1)/2 for global transitivity
+    val nW = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val nT = triangles.agg(count(lit(1)).as("n_triangles"))
+    ordered(
+      nV.crossJoin(nE).crossJoin(nW).crossJoin(nT)
+        .withColumn("transitivity_bp",
+          expr("CASE WHEN n_wedges = 0 THEN 0 " +
+            "ELSE (3 * n_triangles * 10000) div n_wedges END"))
+        .select("n_vertices", "n_edges", "n_wedges", "n_triangles",
+          "transitivity_bp"),
+      "n_vertices")
+  }
+
   // ---------------------------------------------------------------- op177
 
   /** op177: robust outlier statistics — per event_type, the exact lower
@@ -377,7 +445,8 @@ object SeqGraphQueries {
     "op176_pagerank" -> op176Pagerank,
     "op177_mad_outliers" -> op177MadOutliers,
     "op178_null_aware_not_in" -> op178NullAwareNotIn,
-    "op191_interval_coverage" -> op191IntervalCoverage)
+    "op191_interval_coverage" -> op191IntervalCoverage,
+    "op194_triangles" -> op194Triangles)
 
   /** op176's oracle: the identical integer iteration unrolled as
     * chained CTEs (r0 → r5). */
@@ -504,6 +573,51 @@ object SeqGraphQueries {
         |WHERE b.rn = 1
         |ORDER BY p_partkey""".stripMargin,
     "op176_pagerank" -> pagerankSql,
+    "op194_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |small AS (SELECT l_orderkey FROM items GROUP BY 1
+        |          HAVING count(*) <= 7),
+        |it2 AS (SELECT i.* FROM items i JOIN small USING (l_orderkey)),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM it2 a JOIN it2 b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT p1, p2 FROM pairs
+        |        UNION ALL SELECT p2, p1 FROM pairs),
+        |deg AS (SELECT p1, CAST(count(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY 1),
+        |keyed AS (
+        |  SELECT u.p1, u.p2,
+        |    d1.deg * 1000000000 + u.p1 AS k1,
+        |    d2.deg * 1000000000 + u.p2 AS k2
+        |  FROM und u JOIN deg d1 ON u.p1 = d1.p1
+        |  JOIN deg d2 ON u.p2 = d2.p1),
+        |oriented AS (
+        |  SELECT p1 AS src, p2 AS dst, k2 AS dk
+        |  FROM keyed WHERE k1 < k2),
+        |wedges AS (
+        |  SELECT e1.src, e1.dst AS v, e2.dst AS w
+        |  FROM oriented e1 JOIN oriented e2 USING (src)
+        |  WHERE e1.dk < e2.dk),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM wedges t JOIN oriented o
+        |    ON t.v = o.src AND t.w = o.dst)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+        |  (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
+        |  CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) = 0
+        |    THEN 0
+        |    ELSE CAST(3 * t.n_triangles * 10000 //
+        |      (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS BIGINT) END
+        |    AS transitivity_bp
+        |FROM tri t
+        |ORDER BY n_vertices""".stripMargin,
     "op191_interval_coverage" ->
       """WITH iv AS (
         |  SELECT l_suppkey,

@@ -164,4 +164,38 @@ class SeqGraphSpec extends SparkSpec {
     }
     assert(anyMerged, "no overlapping intervals exercised")
   }
+
+  test("op194: triangle count equals the naive set replay") {
+    val r = SeqGraphQueries.op194Triangles(spark, sfDir).collect()
+    assert(r.length == 1)
+    // naive replay: same support-2 basket-capped pairs, brute triangles
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val byOrder = items.groupBy(_._1).filter(_._2.length <= 7)
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCnt((ps(i), ps(j))) = pairCnt.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val edges = pairCnt.filter(_._2 >= 2).keys.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap.withDefaultValue(Set.empty[Long])
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    var tri = 0L
+    edges.foreach { case (u, v) =>
+      tri += (adj(u) & adj(v)).size // w > v > u by construction
+    }
+    val degs = verts.toSeq.map(v =>
+      edges.count(e => e._1 == v || e._2 == v).toLong)
+    val wedges = degs.map(dg => dg * (dg - 1) / 2).sum
+    assert(r(0).getAs[Long]("n_vertices") == verts.size)
+    assert(r(0).getAs[Long]("n_edges") == edges.size)
+    assert(r(0).getAs[Long]("n_wedges") == wedges)
+    assert(r(0).getAs[Long]("n_triangles") == tri, s"triangles")
+    assert(r(0).getAs[Long]("transitivity_bp") ==
+      (if (wedges == 0) 0L else 3 * tri * 10000 / wedges))
+    assert(tri > 0, "no triangles exercised in the fixture graph")
+  }
 }
