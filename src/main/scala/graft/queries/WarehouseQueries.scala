@@ -275,6 +275,111 @@ object WarehouseQueries {
       "event_id")
   }
 
+  // ---------------------------------------------------------------- op195
+
+  /** op195: rank bin width for the grid lookup. */
+  private val qnBin = 64L
+
+  /** op195: quantile normalization — every document's length is
+    * replaced by the POOLED corpus value at its within-language
+    * relative rank (nearest-rank), so each language's distribution
+    * maps onto the pooled one: the batch-effect-correction /
+    * cross-source feature alignment primitive, entirely in exact
+    * integers. Per-language rank rn of n, pooled target rank
+    * r = ceil(rn·N/n), normalized value = min pooled v with cum ≥ r.
+    *
+    * 100 TB shape: the rank→value lookup is a range probe into the
+    * pooled DISTINCT-VALUE grid — spelled as the op155 binned
+    * interval join (grid intervals (prev_cum, cum] explode to ≤
+    * len/B+1 covering bins, docs equi-join on bin r div B, exact
+    * containment as residual filter), so the plan is a hash join even
+    * though the predicate is a range; no nested loop, no global sort
+    * of the corpus (per-language windows sort within partitions; the
+    * grid walk is |domain|-sized). */
+  val op195QuantileNorm: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val wl = Window.partitionBy("lang")
+    val ranked = docs
+      .withColumn("rn", row_number().over(
+        wl.orderBy("n_chars", "doc_id")))
+      .withColumn("n", count(lit(1)).over(wl))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("r", expr("(rn * nt + n - 1) div n"))
+      .withColumn("bin", expr(s"r div $qnBin"))
+    val grid = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+      .withColumn("pcum", col("cum") - col("cnt"))
+    val binned = grid.select(col("v"), col("pcum"), col("cum"),
+      explode(expr(s"sequence(pcum div $qnBin, cum div $qnBin)"))
+        .as("bin"))
+    ordered(
+      ranked.join(binned, "bin")
+        .where(col("r") > col("pcum") && col("r") <= col("cum"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("v").as("norm_chars")),
+      "doc_id")
+  }
+
+  // ---------------------------------------------------------------- op196
+
+  /** op196: ring size / replica count / doc key-space for the
+    * consistent-hash demo. */
+  private val chNodes = 8
+  private val chReplicas = 16
+
+  /** op196: consistent-hash shard assignment + resize diff — documents
+    * assigned to the first ring point clockwise of their key (md5-60
+    * ring, `chReplicas` virtual points per node), under N and N+1
+    * nodes side by side; emits per-shard counts and the moved
+    * fraction, which consistent hashing bounds near 1/(N+1) (modulo
+    * hashing would move ~N/(N+1) — the whole point). The shard-routing
+    * primitive behind every resizable 100 TB store.
+    *
+    * 100 TB shape: the ring is a ≤ nodes·replicas-point broadcast
+    * literal; assignment is a per-row scan of that constant table
+    * (exactly how production routers do it) — a broadcast join whose
+    * small side is O(128), independent of corpus size. */
+  val op196ConsistentHash: Q = (s, d) => {
+    def assign(docs: DataFrame, n: Int, outCol: String): DataFrame = {
+      val ring = (0 until n).flatMap { node =>
+        (0 until chReplicas).map(j => (node.toLong, s"node:$node:$j"))
+      }
+      val pts = docs.sparkSession.createDataFrame(ring)
+        .toDF("shard", "label")
+        .select(col("shard"),
+          graft.functions.TextOps.md5Hash60(col("label")).as("pt"))
+      // first point clockwise of the key, wrapping to the ring minimum;
+      // the point→shard resolve is a second broadcast equi-join (min
+      // shard on the vanishing chance of a 60-bit point collision —
+      // deterministic on both engines either way)
+      docs.crossJoin(broadcast(pts))
+        .groupBy("doc_id", "key")
+        .agg(min(when(col("pt") >= col("key"), col("pt"))).as("fwd"),
+          min(col("pt")).as("wrap"))
+        .withColumn("apt", coalesce(col("fwd"), col("wrap")))
+        .join(broadcast(pts.select(col("pt").as("apt"), col("shard"))),
+          "apt")
+        .groupBy("doc_id", "key").agg(min("shard").as(outCol))
+    }
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextOps.md5Hash60(
+        concat(lit("doc:"), col("doc_id"))).as("key"))
+    val a = assign(docs, chNodes, "shard_n")
+    val b = assign(docs, chNodes + 1, "shard_n1")
+      .select(col("doc_id").as("d2"), col("shard_n1"))
+    val both = a.join(b, col("doc_id") === col("d2"))
+    ordered(
+      both.groupBy("shard_n")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CAST(CASE WHEN shard_n <> shard_n1 THEN 1 ELSE 0 " +
+            "END AS BIGINT)")).as("n_moved"))
+        .withColumn("moved_bp", expr("(n_moved * 10000) div n_docs"))
+        .select(big(col("shard_n")).as("shard"), col("n_docs"),
+          col("n_moved"), col("moved_bp")),
+      "shard")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val defs: Map[String, Q] = Map(
@@ -283,7 +388,9 @@ object WarehouseQueries {
     "op181_salted_join" -> op181SaltedJoin,
     "op182_attribution" -> op182Attribution,
     "op183_chisq" -> op183Chisq,
-    "op188_pit_lookup" -> op188PitLookup)
+    "op188_pit_lookup" -> op188PitLookup,
+    "op195_quantile_norm" -> op195QuantileNorm,
+    "op196_consistent_hash" -> op196ConsistentHash)
 
   val oracle: Map[String, String] = Map(
     "op179_range_boundaries" ->
@@ -351,6 +458,68 @@ object WarehouseQueries {
          |FROM h WHERE event_type = 'purchase'
          |GROUP BY 1
          |ORDER BY touch""".stripMargin,
+    "op195_quantile_norm" ->
+      """WITH docs AS (SELECT doc_id, lang, n_chars FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    count(*) OVER () AS nt
+        |  FROM docs),
+        |r2 AS (SELECT *, (rn * nt + n - 1) // n AS r FROM ranked),
+        |grid AS (
+        |  SELECT v, cnt, cum, cum - cnt AS pcum FROM (
+        |    SELECT n_chars AS v, count(*) AS cnt,
+        |      sum(count(*)) OVER (ORDER BY n_chars) AS cum
+        |    FROM docs GROUP BY 1))
+        |SELECT d.doc_id, d.lang, d.n_chars, g.v AS norm_chars
+        |FROM r2 d JOIN grid g ON d.r > g.pcum AND d.r <= g.cum
+        |ORDER BY doc_id""".stripMargin,
+    "op196_consistent_hash" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5('doc:' || CAST(doc_id AS VARCHAR)),
+         |     1, 15))::BIGINT AS key
+         |  FROM documents),
+         |pa AS (
+         |  SELECT CAST(node AS BIGINT) AS shard,
+         |    ('0x' || substring(md5('node:' || CAST(node AS VARCHAR)
+         |     || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT AS pt
+         |  FROM (SELECT unnest(range(0, $chNodes)) AS node),
+         |       (SELECT unnest(range(0, $chReplicas)) AS j)),
+         |pb AS (
+         |  SELECT CAST(node AS BIGINT) AS shard,
+         |    ('0x' || substring(md5('node:' || CAST(node AS VARCHAR)
+         |     || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT AS pt
+         |  FROM (SELECT unnest(range(0, ${chNodes + 1})) AS node),
+         |       (SELECT unnest(range(0, $chReplicas)) AS j)),
+         |aa AS (
+         |  SELECT d.doc_id, d.key,
+         |    coalesce(min(CASE WHEN p.pt >= d.key THEN p.pt END),
+         |      min(p.pt)) AS apt
+         |  FROM docs d, pa p GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT x.doc_id, min(p.shard) AS shard_n
+         |  FROM aa x JOIN pa p ON x.apt = p.pt GROUP BY 1),
+         |bb AS (
+         |  SELECT d.doc_id, d.key,
+         |    coalesce(min(CASE WHEN p.pt >= d.key THEN p.pt END),
+         |      min(p.pt)) AS apt
+         |  FROM docs d, pb p GROUP BY 1, 2),
+         |b2 AS (
+         |  SELECT x.doc_id, min(p.shard) AS shard_n1
+         |  FROM bb x JOIN pb p ON x.apt = p.pt GROUP BY 1)
+         |SELECT a.shard_n AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN a.shard_n <> b.shard_n1 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_moved,
+         |  CAST(sum(CASE WHEN a.shard_n <> b.shard_n1 THEN 1 ELSE 0 END)
+         |       AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+         |    AS moved_bp
+         |FROM a2 a JOIN b2 b USING (doc_id)
+         |GROUP BY 1
+         |ORDER BY shard""".stripMargin,
     "op188_pit_lookup" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,

@@ -128,4 +128,47 @@ class WarehouseSpec extends SparkSpec {
     assert(r.exists(_.getAs[Long]("matched") == 0L) ||
       purchases.forall(p => views.contains(p._2)))
   }
+
+  test("op195: normalized values replay the pooled nearest-rank map") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val pooled = docs.map(_._3).sorted
+    val nt = pooled.length
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(x => (x._3, x._1))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case (doc, i) =>
+        val r = ((i + 1).toLong * nt + n - 1) / n
+        doc._1 -> pooled(r.toInt - 1)
+      }.toSeq
+    }.toMap
+    val r = WarehouseQueries.op195QuantileNorm(spark, sfDir).collect()
+    assert(r.length == docs.length)
+    r.foreach { row =>
+      assert(row.getAs[Long]("norm_chars") ==
+        want(row.getAs[Long]("doc_id")), s"doc ${row.getLong(0)}")
+    }
+    // normalization genuinely changes values somewhere
+    assert(r.exists(x =>
+      x.getAs[Long]("norm_chars") != x.getAs[Long]("n_chars")))
+  }
+
+  test("op196: moved fraction is near 1/(N+1), never modulo-scale") {
+    val r = WarehouseQueries.op196ConsistentHash(spark, sfDir).collect()
+    val nDocs = r.map(_.getAs[Long]("n_docs")).sum
+    val nMoved = r.map(_.getAs[Long]("n_moved")).sum
+    assert(nDocs == Tables.documents(spark, sfDir).count())
+    assert(r.map(_.getAs[Long]("shard")).toSet.subsetOf(
+      (0L until 8L).toSet))
+    val movedBp = nMoved * 10000 / nDocs
+    // expectation 1/(N+1) = 1111 bp; modulo hashing moves ~8889 bp.
+    // generous band for the small fixture: (0, 3x expectation)
+    assert(movedBp > 0 && movedBp < 3333,
+      s"moved $movedBp bp of $nDocs docs")
+    // determinism: a rerun is byte-identical
+    val again = WarehouseQueries.op196ConsistentHash(spark, sfDir)
+      .collect()
+    assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+  }
 }
