@@ -321,6 +321,51 @@ object WarehouseQueries {
       "doc_id")
   }
 
+  // ---------------------------------------------------------------- op197
+
+  /** op197: bucket count for the anti-entropy checksums. */
+  private val aeBuckets = 16L
+  /** op197: per-row hash truncated mod 2⁴⁰ so a bucket's SUM stays in
+    * BIGINT through ~10⁷ rows/bucket (order-independent, exact). */
+  private val aeRowMod = 1099511627776L // 2^40
+
+  /** op197: anti-entropy bucket checksums — both "replicas" of the
+    * documents table (the second with one deterministically dropped
+    * row) reduced to per-bucket (row count, order-independent content
+    * checksum = Σ row-hash mod 2⁴⁰), compared side by side: exactly
+    * one bucket flags. The replication-integrity primitive (Dynamo/
+    * Cassandra anti-entropy, storage scrubbing): two 100 TB stores
+    * compare by exchanging |buckets| rows, and only flagged buckets
+    * pay a row-level diff.
+    *
+    * 100 TB shape: one map-combinable aggregate per replica (the sum
+    * is commutative — no ordering requirement, unlike a rolling
+    * digest); bucket count is the resolution/traffic dial, and
+    * nesting it (a merkle tree) localizes a mismatch in log rounds.
+    * The row hash covers ALL audited columns, so silent value
+    * corruption — not just missing rows — flips the checksum. */
+  val op197AntiEntropy: Q = (s, d) => {
+    def sums(df: DataFrame, nCol: String, cCol: String): DataFrame = df
+      .select(col("doc_id"),
+        graft.functions.TextOps.md5Hash60(concat_ws("|",
+          col("doc_id"), col("lang"), col("source"), col("n_chars")))
+          .as("h"))
+      .groupBy(expr(s"doc_id % $aeBuckets").as("bucket"))
+      .agg(count(lit(1)).as(nCol),
+        sum(expr(s"h % $aeRowMod")).as(cCol))
+    val a = sums(Tables.documents(s, d), "n_a", "sum_a")
+    val b = sums(Tables.documents(s, d).where(col("doc_id") =!= 42),
+      "n_b", "sum_b")
+      .withColumnRenamed("bucket", "bucket_b")
+    ordered(
+      a.join(b, col("bucket") === col("bucket_b"))
+        .select(col("bucket"), col("n_a"), col("sum_a"), col("n_b"),
+          col("sum_b"),
+          expr("CAST(CASE WHEN n_a = n_b AND sum_a = sum_b THEN 1 " +
+            "ELSE 0 END AS BIGINT)").as("in_sync")),
+      "bucket")
+  }
+
   // ---------------------------------------------------------------- op196
 
   /** op196: ring size / replica count / doc key-space for the
@@ -390,7 +435,8 @@ object WarehouseQueries {
     "op183_chisq" -> op183Chisq,
     "op188_pit_lookup" -> op188PitLookup,
     "op195_quantile_norm" -> op195QuantileNorm,
-    "op196_consistent_hash" -> op196ConsistentHash)
+    "op196_consistent_hash" -> op196ConsistentHash,
+    "op197_anti_entropy" -> op197AntiEntropy)
 
   val oracle: Map[String, String] = Map(
     "op179_range_boundaries" ->
@@ -458,6 +504,25 @@ object WarehouseQueries {
          |FROM h WHERE event_type = 'purchase'
          |GROUP BY 1
          |ORDER BY touch""".stripMargin,
+    "op197_anti_entropy" ->
+      s"""WITH rows_ AS (
+         |  SELECT doc_id, doc_id % $aeBuckets AS bucket,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+         |      lang || '|' || source || '|' ||
+         |      CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT % $aeRowMod
+         |      AS hm
+         |  FROM documents),
+         |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+         |        CAST(sum(hm) AS BIGINT) AS sum_a
+         |      FROM rows_ GROUP BY 1),
+         |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+         |        CAST(sum(hm) AS BIGINT) AS sum_b
+         |      FROM rows_ WHERE doc_id <> 42 GROUP BY 1)
+         |SELECT a.bucket, a.n_a, a.sum_a, b.n_b, b.sum_b,
+         |  CAST(CASE WHEN a.n_a = b.n_b AND a.sum_a = b.sum_b THEN 1
+         |       ELSE 0 END AS BIGINT) AS in_sync
+         |FROM a JOIN b USING (bucket)
+         |ORDER BY bucket""".stripMargin,
     "op195_quantile_norm" ->
       """WITH docs AS (SELECT doc_id, lang, n_chars FROM documents),
         |ranked AS (

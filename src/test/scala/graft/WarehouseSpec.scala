@@ -171,4 +171,18 @@ class WarehouseSpec extends SparkSpec {
       .collect()
     assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
   }
+
+  test("op197: exactly the bucket holding the dropped row flags") {
+    val r = WarehouseQueries.op197AntiEntropy(spark, sfDir).collect()
+    assert(r.length == 16)
+    val bad = r.filter(_.getAs[Long]("in_sync") == 0L)
+    assert(bad.length == 1, "exactly one bucket must mismatch")
+    assert(bad(0).getAs[Long]("bucket") == 42L % 16)
+    assert(bad(0).getAs[Long]("n_a") == bad(0).getAs[Long]("n_b") + 1)
+    // all other buckets byte-agree on count AND content checksum
+    r.filter(_.getAs[Long]("in_sync") == 1L).foreach { row =>
+      assert(row.getAs[Long]("n_a") == row.getAs[Long]("n_b"))
+      assert(row.getAs[Long]("sum_a") == row.getAs[Long]("sum_b"))
+    }
+  }
 }
