@@ -351,7 +351,65 @@ object AnalyticsQueries {
 
   // ------------------------------------------------------------- wiring
 
+  // ---------------------------------------------------------------- op198
+
+  /** op198: vocabulary cap and support floor for collocation mining. */
+  private val pmiVocab = 32
+  private val pmiMinPairs = 20L
+
+  /** op198's score — SHARED SQL TEXT (the qlpUbpSql recipe): pointwise
+    * mutual information ln(n_ab·N / (n_a·n_b)) floor-quantized to
+    * integer micro-units. Expects n_ab, n_a, n_b, nt in scope. */
+  private val pmiUSql: String =
+    "CAST(FLOOR(LN(CAST(n_ab AS DOUBLE) * CAST(nt AS DOUBLE) / " +
+      "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000000.0) " +
+      "AS BIGINT)"
+
+  /** op198: PMI collocation mining — token pairs that co-occur in
+    * documents far above chance, scored by pointwise mutual
+    * information over document-level co-occurrence. Vocabulary is
+    * CAPPED to the top-`pmiVocab` tokens by document frequency
+    * (deterministic (df desc, token) order) and pairs below
+    * `pmiMinPairs` co-occurrences are pruned BEFORE scoring — the two
+    * caps that bound the pair explosion (per-doc pair fan-out ≤
+    * C(vocab, 2), support prune before the expensive tail: the op170
+    * A-priori convention on text).
+    *
+    * 100 TB shape: df computation and pair counting are both
+    * map-combinable; the vocabulary is a broadcast literal-sized
+    * list, so the per-doc intersection is a semi-join against a
+    * broadcast. PMI itself runs on the ≤ C(vocab,2) pair grid. */
+  val op198PmiCollocations: Q = (s, d) => {
+    val docTok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+    val df = docTok.groupBy("t").agg(count(lit(1)).as("df"))
+    val vocab = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("df").desc, col("t"))))
+      .where(col("rn") <= pmiVocab)
+      .select(col("t"), col("df"))
+    val dv = docTok.join(broadcast(vocab), "t")
+    val a = dv.select(col("doc_id"), col("t").as("t1"))
+    val b = dv.select(col("doc_id"), col("t").as("t2"))
+    val pairs = a.join(b, "doc_id").where(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= pmiMinPairs)
+    val nt = Tables.documents(s, d).agg(count(lit(1)).as("nt"))
+    ordered(
+      pairs
+        .join(broadcast(vocab.select(col("t").as("t1"),
+          col("df").as("n_a"))), "t1")
+        .join(broadcast(vocab.select(col("t").as("t2"),
+          col("df").as("n_b"))), "t2")
+        .crossJoin(broadcast(nt))
+        .withColumn("pmi_micro", expr(pmiUSql))
+        .select("t1", "t2", "n_ab", "n_a", "n_b", "pmi_micro"),
+      "t1", "t2")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op198_pmi_collocations" -> op198PmiCollocations,
     "op156_repetition_filter" -> op156RepetitionFilter,
     "op157_lm_quality_score" -> op157LmQualityScore,
     "op158_mixture_sample" -> op158MixtureSample,
@@ -369,6 +427,34 @@ object AnalyticsQueries {
     ("op169_stream_cms" -> baseOracle("op159_cms_heavy_hitters"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op198_pmi_collocations" ->
+      s"""WITH doctok AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+         |       FROM doctok GROUP BY 1),
+         |vocab AS (
+         |  SELECT t, df FROM (
+         |    SELECT t, df, row_number() OVER (ORDER BY df DESC, t) AS rn
+         |    FROM df) WHERE rn <= $pmiVocab),
+         |dv AS (SELECT d.doc_id, d.t FROM doctok d
+         |       JOIN vocab v USING (t)),
+         |pairs AS (
+         |  SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM dv a JOIN dv b USING (doc_id)
+         |  WHERE a.t < b.t
+         |  GROUP BY 1, 2 HAVING count(*) >= $pmiMinPairs),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM documents),
+         |scored AS (
+         |  SELECT p.t1, p.t2, p.n_ab, va.df AS n_a, vb.df AS n_b,
+         |    tot.nt
+         |  FROM pairs p
+         |  JOIN vocab va ON p.t1 = va.t
+         |  JOIN vocab vb ON p.t2 = vb.t
+         |  CROSS JOIN tot)
+         |SELECT t1, t2, n_ab, n_a, n_b, $pmiUSql AS pmi_micro
+         |FROM scored
+         |ORDER BY t1, t2""".stripMargin,
     "op156_repetition_filter" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
         |           FROM documents),

@@ -177,4 +177,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(offset0 == cohorts)
     r.foreach(x => assert(x.getAs[Long]("offset_d") >= 0))
   }
+
+  test("op198: PMI replays the driver-side co-occurrence counts") {
+    val r = queries.AnalyticsQueries.op198PmiCollocations(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" ").toSet))
+    val nt = docs.length.toLong
+    val df = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val vocab = df.toSeq.sortBy { case (t, c) => (-c, t) }.take(32).toMap
+    r.foreach { row =>
+      val (t1, t2) = (row.getAs[String]("t1"), row.getAs[String]("t2"))
+      assert(t1 < t2)
+      assert(vocab.contains(t1) && vocab.contains(t2))
+      val nab = docs.count(d => d._2(t1) && d._2(t2)).toLong
+      assert(row.getAs[Long]("n_ab") == nab, s"($t1,$t2)")
+      assert(nab >= 20)
+      assert(row.getAs[Long]("n_a") == vocab(t1))
+      assert(row.getAs[Long]("n_b") == vocab(t2))
+      val want = math.floor(math.log(
+        nab.toDouble * nt / (vocab(t1).toDouble * vocab(t2))) * 1e6).toLong
+      assert(row.getAs[Long]("pmi_micro") == want, s"($t1,$t2) pmi")
+    }
+  }
 }
