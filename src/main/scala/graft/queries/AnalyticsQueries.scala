@@ -513,8 +513,8 @@ object AnalyticsQueries {
          |  JOIN vocab USING (lang)
          |  GROUP BY 1)
          |SELECT d.doc_id, d.lang,
-         |  coalesce(s.n_bi, 0) AS n_bi,
-         |  coalesce(s.sum_qlp, 0) AS sum_qlp,
+         |  CAST(coalesce(s.n_bi, 0) AS BIGINT) AS n_bi,
+         |  CAST(coalesce(s.sum_qlp, 0) AS BIGINT) AS sum_qlp,
          |  CAST(CASE WHEN coalesce(s.sum_qlp, 0) >=
          |    $qlpKeepAvgUbp * coalesce(s.n_bi, 0)
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
@@ -576,7 +576,7 @@ object AnalyticsQueries {
         |SELECT user_id, count(*) AS hours_total,
         |  count(cents) AS hours_obs,
         |  count(*) - count(cents) AS hours_filled,
-        |  sum(locf) AS locf_sum_cents
+        |  CAST(sum(locf) AS BIGINT) AS locf_sum_cents
         |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
     "op161_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
@@ -596,10 +596,12 @@ object AnalyticsQueries {
         |         CAST(0 AS BIGINT) AS lat_sum_s FROM s1
         |  UNION ALL
         |  SELECT '2_click', count(*),
-        |         coalesce(sum((t2 - t1) // 1000000000), 0) FROM s2
+        |         CAST(coalesce(sum((t2 - t1) // 1000000000), 0)
+        |              AS BIGINT) FROM s2
         |  UNION ALL
         |  SELECT '3_purchase', count(*),
-        |         coalesce(sum((t3 - t2) // 1000000000), 0) FROM s3)
+        |         CAST(coalesce(sum((t3 - t2) // 1000000000), 0)
+        |              AS BIGINT) FROM s3)
         |ORDER BY step""".stripMargin,
     "op162_retention_cohorts" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

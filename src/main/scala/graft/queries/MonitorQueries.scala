@@ -438,29 +438,6 @@ object MonitorQueries {
          |       ELSE 0 END AS BIGINT) AS corr_sign
          |FROM b
          |ORDER BY event_type""".stripMargin,
-    "op192_trend_r2" ->
-      s"""WITH ev AS (
-         |  SELECT event_type,
-         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-         |         AS BIGINT) AS x,
-         |    CAST(round(value * 100) AS BIGINT) AS y
-         |  FROM events),
-         |a AS (
-         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |    CAST(sum(x * x) AS BIGINT) AS sxx,
-         |    CAST(sum(x * y) AS BIGINT) AS sxy,
-         |    CAST(sum(y * y) AS BIGINT) AS syy
-         |  FROM ev GROUP BY 1),
-         |b AS (
-         |  SELECT event_type, n, n * sxy - sx * sy AS num,
-         |    n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
-         |  FROM a)
-         |SELECT event_type, n, $r2BpSql AS r2_bp,
-         |  CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
-         |       ELSE 0 END AS BIGINT) AS corr_sign
-         |FROM b
-         |ORDER BY event_type""".stripMargin,
     "op190_rolling_distinct" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id,

@@ -64,7 +64,8 @@ object SketchQueries {
     ordered(
       sketch.select(col("lang"), col("n_exact"),
         expr(s"CAST(CASE WHEN size(mins) < $kmvK THEN size(mins) " +
-          s"ELSE (${kmvK - 1} * ${kmvSpace}L) div element_at(mins, $kmvK).id " +
+          s"ELSE (${kmvK - 1} * ${kmvSpace}L) div " +
+          s"greatest(element_at(mins, $kmvK).id, 1L) " +
           "END AS BIGINT)").as("kmv_est")),
       "lang")
   }
@@ -298,7 +299,7 @@ object SketchQueries {
          |SELECT lang, max(n_exact) AS n_exact,
          |  CAST(CASE WHEN max(n_exact) < $kmvK THEN max(n_exact)
          |       ELSE (${kmvK - 1} * $kmvSpace) //
-         |            max(CASE WHEN rk = $kmvK THEN h40 END)
+         |            greatest(max(CASE WHEN rk = $kmvK THEN h40 END), 1)
          |       END AS BIGINT) AS kmv_est
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "op166_markov_transitions" ->
@@ -322,8 +323,10 @@ object SketchQueries {
         |  count(*) AS n
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, day_idx, n,
-        |  coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
-        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS trailing,
+        |  CAST(coalesce(sum(n) OVER (
+        |    PARTITION BY event_type ORDER BY day_idx
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS trailing,
         |  CAST(CASE WHEN day_idx >= 7 AND n * 70 >
         |    coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
         |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) * 13
@@ -396,7 +399,8 @@ object SketchQueries {
          |  SELECT r, sum(cnt * cnt) AS ip FROM counters GROUP BY 1)),
          |exact AS (SELECT sum(n * n) AS exact_size FROM (
          |  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1))
-         |SELECT x.exact_size, e.est_size,
+         |SELECT CAST(x.exact_size AS BIGINT) AS exact_size,
+         |  CAST(e.est_size AS BIGINT) AS est_size,
          |  CAST(e.est_size * 10000 // x.exact_size AS BIGINT) AS over_bp
          |FROM exact x CROSS JOIN est e
          |ORDER BY exact_size""".stripMargin)
