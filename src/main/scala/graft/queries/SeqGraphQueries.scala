@@ -261,12 +261,72 @@ object SeqGraphQueries {
       .select(col("pk"), expr(s"$prScale div nv").as("r"))
     for (_ <- 1 to prIters) {
       // ranks is |V|-sized — broadcast it so the 3M-row edge list is
-      // never re-shuffled per iteration (the iterative-graph contract)
+      // never re-shuffled per iteration. Valid while ranks fit in a
+      // broadcast (here |V| = parts, a dimension); past that, use the
+      // hash-partitioned spelling op176b below — co-partitioned
+      // shuffle joins, ranks never broadcast.
       val contrib = esd.join(broadcast(ranks), esd("src") === ranks("pk"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
       ranks = verts.crossJoin(nVerts)
         .join(broadcast(contrib), col("pk") === col("dst"), "left")
+        .select(col("pk"), col("nv"), coalesce(col("sc"), lit(0L)).as("sc"))
+        .select(col("pk"),
+          expr(s"150000000 div nv + ($prDampNum * sc) div $prScale")
+            .as("r"))
+    }
+    ordered(
+      ranks.join(broadcast(deg), col("pk") === col("src"))
+        .select(col("pk").as("p_partkey"), col("r").as("rank_ppb"),
+          col("deg")),
+      "p_partkey")
+  }
+
+  // --------------------------------------------------------------- op176b
+
+  /** op176b: PageRank, the BEYOND-BROADCAST spelling — identical
+    * iteration to op176 (same fixed-point integers, same oracle), but
+    * ranks are never broadcast: edges are hash-partitioned by src ONCE
+    * and each iteration's rank table meets them in a co-partitioned
+    * shuffle join (ranks are keyed by vertex throughout, so only the
+    * |V|-sized rank side moves per round — never the edge list, whose
+    * Exchange is identical every iteration and reused).
+    *
+    * 100 TB shape: THIS is the billion-vertex form — a rank table that
+    * no longer fits in a broadcast (|V| ≳ 10⁸) shuffles on the same key
+    * as the pre-partitioned edges, per-round traffic O(|V|) while the
+    * O(|E|) side stays put; op176's broadcast form stays optimal while
+    * ranks fit in memory (dimension-sized vertex sets). Both spellings
+    * sit under ONE oracle — the hash gate proves the partitioning
+    * strategy does not change a single emitted integer. */
+  val op176bPagerankPartitioned: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
+    val edges = pairs.union(
+        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+      .select(col("p1").as("src"), col("p2").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // pin the edge list's layout: hash by src, reused every iteration
+    val esd = edges.repartition(col("src")).join(deg, "src")
+    val verts = deg.select(col("src").as("pk"))
+    val nVerts = verts.agg(count(lit(1)).as("nv"))
+    var ranks = verts.crossJoin(nVerts)
+      .select(col("pk"), expr(s"$prScale div nv").as("r"))
+    for (_ <- 1 to prIters) {
+      // co-partitioned shuffle join: only the |V|-sized rank side moves
+      val contrib = esd.join(ranks, esd("src") === ranks("pk"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      ranks = verts.crossJoin(nVerts)
+        .join(contrib, col("pk") === col("dst"), "left")
         .select(col("pk"), col("nv"), coalesce(col("sc"), lit(0L)).as("sc"))
         .select(col("pk"),
           expr(s"150000000 div nv + ($prDampNum * sc) div $prScale")
@@ -443,6 +503,7 @@ object SeqGraphQueries {
     "op174_peak_concurrency" -> op174PeakConcurrency,
     "op175_fuzzy_join" -> op175FuzzyJoin,
     "op176_pagerank" -> op176Pagerank,
+    "op176b_pagerank_partitioned" -> op176bPagerankPartitioned,
     "op177_mad_outliers" -> op177MadOutliers,
     "op178_null_aware_not_in" -> op178NullAwareNotIn,
     "op191_interval_coverage" -> op191IntervalCoverage,
@@ -573,6 +634,9 @@ object SeqGraphQueries {
         |WHERE b.rn = 1
         |ORDER BY p_partkey""".stripMargin,
     "op176_pagerank" -> pagerankSql,
+    // op176b is op176 under a different partitioning strategy; the
+    // shared oracle is the proof they emit identical integers
+    "op176b_pagerank_partitioned" -> pagerankSql,
     "op194_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -611,7 +675,8 @@ object SeqGraphQueries {
         |  (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
         |    AS n_wedges,
         |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
-        |  CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) = 0
+        |  CASE WHEN (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+        |             FROM deg) = 0
         |    THEN 0
         |    ELSE CAST(3 * t.n_triangles * 10000 //
         |      (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS BIGINT) END

@@ -198,4 +198,24 @@ class SeqGraphSpec extends SparkSpec {
       (if (wedges == 0) 0L else 3 * tri * 10000 / wedges))
     assert(tri > 0, "no triangles exercised in the fixture graph")
   }
+
+  test("op176b (hash-partitioned ranks) emits exactly op176's integers") {
+    // the partitioning strategy — broadcast ranks vs co-partitioned
+    // shuffle join — must not change a single emitted integer; both
+    // orderings are by p_partkey so the sequences compare directly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = rows(SeqGraphQueries.op176Pagerank(spark, sfDir))
+    val part = rows(SeqGraphQueries.op176bPagerankPartitioned(spark, sfDir))
+    assert(base.nonEmpty)
+    assert(part == base)
+    // and the spelling keeps its promise: no broadcast of the rank
+    // table inside the iteration (deg/final attach broadcasts are fine
+    // — they're outside the loop's rank→contrib join)
+    val plan = SeqGraphQueries.op176bPagerankPartitioned(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning"),
+      "partitioned spelling lost its hash exchanges")
+  }
 }
