@@ -72,6 +72,28 @@ object StreamQueries {
     ordered(graft.streaming.EventStreams.leftOuterBoundedJoin(s, d),
       "view_id", "click_id")
 
+  /** op199: STREAMING sessionized funnel — op161's ordered
+    * view → click → purchase chain maintained online per user
+    * (transformWithState; see [[graft.streaming.FunnelStream]]). Each
+    * closed step arrives as one append-mode hit carrying its latency;
+    * the serving aggregation counts hits and sums latencies per step —
+    * by the fold's exactness this IS the batch chain, so op199 sits
+    * under op161's UNCHANGED oracle (the step frame left-join keeps the
+    * three rows present even for empty stages, like op161's unions). */
+  val op199StreamFunnel: Q = (s, d) => {
+    import s.implicits._
+    val hits = graft.streaming.EventStreams.funnelStepHits(s, d)
+    val agg = hits.groupBy("step")
+      .agg(count(lit(1)).as("users"), sum("lat_s").as("lat_sum_s"))
+    val steps = Seq("1_view", "2_click", "3_purchase").toDF("step")
+    ordered(
+      steps.join(agg, Seq("step"), "left")
+        .select(col("step"),
+          coalesce(col("users"), lit(0L)).as("users"),
+          coalesce(col("lat_sum_s"), lit(0L)).as("lat_sum_s")),
+      "step")
+  }
+
   val defs: Map[String, Q] = Map(
     "op36_asof_join" -> op36AsOf,
     "op51_stream_watermark" -> op51Streamed,
@@ -80,6 +102,7 @@ object StreamQueries {
     "op53_window_session" -> op53Session,
     "op163_stream_dedup_wm" -> op163StreamDedupWm,
     "op164_stream_left_outer" -> op164StreamLeftOuter,
+    "op199_stream_funnel" -> op199StreamFunnel,
   )
 
   private val tumblingSql =
@@ -157,5 +180,7 @@ object StreamQueries {
         |          AND v.view_ts + INTERVAL 10 MINUTE < wm.w)
         |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM unm)
         |ORDER BY view_id, click_id""".stripMargin,
-  )
+  ) +
+    // op199 is op161 maintained online; the shared oracle is the proof
+    ("op199_stream_funnel" -> AnalyticsQueries.oracle("op161_funnel"))
 }

@@ -106,4 +106,23 @@ object EventStreams {
       expr("CAST((unix_micros(click_ts) - unix_micros(view_ts)) " +
         "div 1000000 AS BIGINT)").as("lag_s"))
   }
+
+  /** op199: streaming sessionized funnel — the events fixture drained
+    * through [[FunnelStream]] (transformWithState, RocksDB provider as
+    * the API requires), emitting one append-mode row per (user, closed
+    * funnel step). The single-file drain lands all events in one
+    * micro-batch, so the per-key in-batch sort makes the fold exact;
+    * multi-batch (time-sliced) arrival and checkpoint recovery are
+    * pinned in StreamingSpec/RecoverySpec. */
+  def funnelStepHits(spark: SparkSession, dir: String): DataFrame =
+    StateStores.withRocksDb(spark) {
+      drainEvents(spark, dir, "op199") { ev =>
+        FunnelStream.stepHits(
+          ev.select(col("user_id"), col("event_type"),
+            (expr("unix_micros(ts)") * lit(1000L)).as("ts_ns"))
+            .as[FunnelStream.FEv](
+              org.apache.spark.sql.Encoders.product[FunnelStream.FEv]))
+          .toDF()
+      }
+    }
 }

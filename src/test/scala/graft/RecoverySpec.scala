@@ -404,4 +404,49 @@ class RecoverySpec extends SparkSpec {
       .select("customer", "score").as[(String, String)].collect().toSeq
     assert(out == Seq(("a@test.com", "5.0")))
   }
+
+  test("funnel state survives a checkpointed restart (RocksDB)") {
+    // op199's recovery contract: the three per-user step timestamps
+    // must restore from the RocksDB checkpoint, so a restarted query
+    // (a) completes a funnel whose earlier steps closed pre-restart and
+    // (b) still drops a cross-batch straggler against the RESTORED t1
+    import graft.streaming.{FunnelStream, StateStores}
+    import graft.streaming.FunnelStream.{FEv, StepHit}
+    def s(n: Long): Long = n * 1000000000L
+    val srcDir = Files.createTempDirectory("graft_funnel_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt_").toString
+    def write(rows: Seq[FEv]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[StepHit] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[StepHit]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[FEv].schema)
+          .parquet(srcDir.getAbsolutePath).as[FEv]
+        val q = FunnelStream.stepHits(in).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[StepHit], _: Long) =>
+              buf ++= batch.collect(); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq.sortBy(h => (h.user_id, h.step))
+    }
+    write(Seq(FEv(1, "view", s(10)), FEv(1, "click", s(20)),
+      FEv(2, "view", s(30))))
+    assert(runOnce() == Seq(StepHit(1, "1_view", 0), StepHit(1, "2_click", 10),
+      StepHit(2, "1_view", 0)))
+    // restart: u1's purchase completes against restored t2=20; u2's
+    // straggler click@25 precedes restored t1=30 and must be dropped,
+    // while the in-order click@40 closes the step
+    write(Seq(FEv(1, "purchase", s(50)), FEv(2, "click", s(25)),
+      FEv(2, "click", s(40))))
+    val r2 = runOnce()
+    assert(r2 == Seq(StepHit(1, "3_purchase", 30), StepHit(2, "2_click", 10)),
+      s"restart lost or corrupted funnel state: $r2")
+  }
 }
