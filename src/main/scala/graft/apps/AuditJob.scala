@@ -72,19 +72,14 @@ object AuditJob {
             .select(col("n_chars").as("v")).withColumn("grp", lit(1L))
           val old = spark.read.parquet(s"$r/documents.parquet")
             .select(col("n_chars").as("v")).withColumn("grp", lit(2L))
-          import org.apache.spark.sql.expressions.Window
           val grid = cur.union(old).groupBy("v")
             .agg(sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("c1"),
               sum(when(col("grp") === 2L, 1L).otherwise(0L)).as("c2"))
-          val cum = grid
-            .withColumn("cum1", sum("c1").over(Window.orderBy("v")))
-            .withColumn("cum2", sum("c2").over(Window.orderBy("v")))
-            .withColumn("n1", sum("c1").over(Window.partitionBy()))
-            .withColumn("n2", sum("c2").over(Window.partitionBy()))
-            .withColumn("dd", expr(
-              "abs((cum1 * 10000) div n1 - (cum2 * 10000) div n2)"))
-          cum.agg(max("dd").as("d_bp"), min("n1").as("n_current"),
-            min("n2").as("n_reference"))
+          // the oracle-gated op187 walk itself, not a re-derivation —
+          // the audit's D is BY CONSTRUCTION the library operator's D
+          graft.queries.MonitorQueries.ksFromGrid(grid)
+            .select(col("d_bp"), col("n1").as("n_current"),
+              col("n2").as("n_reference"))
         }
         .getOrElse(spark.range(1).select(lit(-1L).as("d_bp"),
           lit(-1L).as("n_current"), lit(-1L).as("n_reference")))

@@ -54,7 +54,13 @@ object DriftStream {
       }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.read.parquet(s"$stateDir/partials")
+    // Merged histogram is O(distinct lengths) rows — materialize it
+    // (localCheckpoint severs the lineage) and reclaim the state dir.
+    val merged = spark.read.parquet(s"$stateDir/partials")
       .groupBy("v").agg(sum("c").as("c1"))
+      .localCheckpoint()
+    new scala.reflect.io.Directory(new java.io.File(stateDir))
+      .deleteRecursively()
+    merged
   }
 }

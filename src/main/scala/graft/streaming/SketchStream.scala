@@ -58,7 +58,14 @@ object SketchStream {
       }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.read.parquet(s"$stateDir/partials")
+    // The merged grid is d·w rows — materialize it off the partials
+    // (localCheckpoint severs the lineage) so the state dir can be
+    // deleted instead of leaking one temp dir per invocation.
+    val merged = spark.read.parquet(s"$stateDir/partials")
       .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+      .localCheckpoint()
+    new scala.reflect.io.Directory(new java.io.File(stateDir))
+      .deleteRecursively()
+    merged
   }
 }

@@ -55,7 +55,14 @@ object TopKStream {
       }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    // serve-side merge: the partials re-enter the SAME bounded top-k
-    MonitorQueries.wsSelect(spark.read.parquet(s"$stateDir/partials"))
+    // serve-side merge: the partials re-enter the SAME bounded top-k;
+    // the result is ≤ k·|sources| rows — materialize it (localCheckpoint
+    // severs the lineage) and reclaim the state dir.
+    val merged = MonitorQueries
+      .wsSelect(spark.read.parquet(s"$stateDir/partials"))
+      .localCheckpoint()
+    new scala.reflect.io.Directory(new java.io.File(stateDir))
+      .deleteRecursively()
+    merged
   }
 }
