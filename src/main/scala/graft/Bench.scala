@@ -248,8 +248,21 @@ object Bench {
       val ratio = if (prevTotal > 0) nowTotal / prevTotal else 1.0
       s"""{"n_common":${common.size},"prev_total_sec":${num(prevTotal)},"now_total_sec":${num(nowTotal)},"ratio":${num(ratio)}}"""
     }
+    // top-10 per-query time increases vs the previous round artifact,
+    // committed as a field so drift like r9's op194 (+45% with no code
+    // change) is read off the artifact, not hand-diffed from git —
+    // includes sub-radar-threshold drift the regression gate ignores
+    val deltaJson = {
+      val healthy = results.filter { case (n, _) => !errors.contains(n) }
+      healthy.flatMap { case (n, t) =>
+        prev.get(n).filter(_ > 0).map(p => (n, p, t))
+      }.sortBy { case (_, p, t) => p - t }.take(10)
+        .map { case (n, p, t) =>
+          s"""{"query":"$n","prev":${num(p)},"now":${num(t)},"delta":${num(t - p)},"ratio":${num(t / p)}}"""
+        }.mkString("[", ",", "]")
+    }
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"round_over_round":$rorJson,"noise":$noiseJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"round_over_round":$rorJson,"top_increases":$deltaJson,"noise":$noiseJson,"sf":"$sfDir"}"""
     println(line)
     // the driver wrapper truncates long stdout ("tail") — persist the
     // complete per-query map so every round artifact carries all
