@@ -408,8 +408,111 @@ object AnalyticsQueries {
       "t1", "t2")
   }
 
+  // ---------------------------------------------------------------- op200
+
+  /** op200 session-path gap (ns) / path length cap / emission support. */
+  private val spGapNs = 1800L * 1000000000L
+  private val spMaxLen = 8
+  private val spSupport = 3
+
+  /** op200: session-path mining — sessionize each user's events (30-min
+    * gap, the op105 semantics on the exact ns axis), spell each session
+    * as its ordered event-type path capped at the first [[spMaxLen]]
+    * steps, and count how many sessions walk each path (support ≥
+    * [[spSupport]]). The navigation-pattern / curriculum-analysis
+    * primitive that op166's single-step Markov matrix can't give: whole
+    * trajectories, exactly counted.
+    *
+    * 100 TB shape: ONE shuffle to the per-user window — lag (session
+    * break), running sum (session id), row_number, and the running max
+    * that converts the user-level row number into the WITHIN-SESSION
+    * rank all share one (user)-partitioned, (ts, id)-ordered window, so
+    * no second Exchange exists for the (user, session) aggregate either
+    * (superset-key clustering, the op105/op173 argument — ScaleSpec
+    * shape). The path cap bounds the collected struct list at
+    * [[spMaxLen]] per session; the final path count is map-combinable
+    * over a domain bounded by |event types|^cap observed, not events. */
+  val op200SessionPaths: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select("user_id", "event_id", "ts_ns", "event_type")
+    val wu = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val ranked = ev
+      .withColumn("prev", lag("ts_ns", 1).over(wu))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts_ns") - col("prev") > spGapNs, 1L).otherwise(0L))
+      .withColumn("sess", sum("brk").over(wu))
+      .withColumn("rn_u", big(row_number().over(wu)))
+      // rank within session WITHOUT a (user, sess) window: the running
+      // max of brk·rn_u is the session head's user-level row number
+      .withColumn("rn", col("rn_u") -
+        max(col("brk") * col("rn_u")).over(wu) + 1)
+    val paths = ranked.where(col("rn") <= spMaxLen)
+      .groupBy("user_id", "sess")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(ts_ns, event_id, event_type))), " +
+        "x -> x.event_type), '>')").as("path"))
+    ordered(
+      paths.groupBy("path").agg(big(count(lit(1))).as("n_sessions"))
+        .where(col("n_sessions") >= spSupport),
+      "path")
+  }
+
+  // ---------------------------------------------------------------- op201
+
+  /** op201 total sample budget (≤ corpus size by contract). */
+  private val strataBudget = 100
+
+  /** op201: proportional stratified sampling with LARGEST-REMAINDER
+    * allocation — split a total budget of [[strataBudget]] sample slots
+    * across sources proportionally to their document counts using exact
+    * integer apportionment (base = ⌊K·nᵢ/N⌋; the K−Σbase leftover slots
+    * go to the largest remainders, source-name tiebreak — Σalloc = K by
+    * construction, the property per-source rounding can't give), then
+    * select each stratum's docs by md5-60 hash order (op158's
+    * deterministic selection under a VARIABLE per-source cap).
+    *
+    * 100 TB shape: the allocation arithmetic runs on the |sources| grid
+    * (Grid contract — its row_number window orders sources, never
+    * docs); selection is the bounded TopKAgg (≤ K rows per (source,
+    * partition) cross the shuffle) filtered to the broadcast
+    * allocation. The corpus is never globally sorted. */
+  val op201StrataAlloc: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextOps.md5Hash60(
+          concat_ws("|", col("source"), col("doc_id"))).as("h"))
+    val counts = docs.groupBy("source").agg(big(count(lit(1))).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").cast("bigint").as("tot"))
+    val a = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($strataBudget * n_docs) div tot"))
+      .withColumn("rem", expr(s"($strataBudget * n_docs) % tot"))
+    val deficit = a
+      .agg((lit(strataBudget.toLong) - sum("base")).cast("bigint")
+        .as("deficit"))
+    val alloc = a
+      .withColumn("rr", big(row_number().over(
+        Window.orderBy(col("rem").desc, col("source")))))
+      .crossJoin(broadcast(deficit))
+      .withColumn("alloc",
+        expr("base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END"))
+      .select("source", "n_docs", "alloc")
+    val sel = docs.groupBy("source")
+      .agg(TopKAgg.topK(strataBudget)(-col("h"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), big(col("pos") + 1).as("rank"),
+        col("col.id").as("doc_id"))
+    ordered(
+      sel.join(broadcast(alloc), "source")
+        .where(col("rank") <= col("alloc"))
+        .select(col("source"), col("n_docs"), col("alloc"),
+          col("rank"), col("doc_id")),
+      "source", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "op198_pmi_collocations" -> op198PmiCollocations,
+    "op200_session_paths" -> op200SessionPaths,
+    "op201_strata_alloc" -> op201StrataAlloc,
     "op156_repetition_filter" -> op156RepetitionFilter,
     "op157_lm_quality_score" -> op157LmQualityScore,
     "op158_mixture_sample" -> op158MixtureSample,
@@ -614,5 +717,52 @@ object AnalyticsQueries {
         |    AS offset_d,
         |  count(*) AS users
         |FROM ev JOIN fs USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "op200_session_paths" ->
+      s"""WITH ev AS (SELECT user_id, event_id,
+         |  epoch_us(ts) * 1000 AS ts_ns, event_type FROM events),
+         |o AS (SELECT *, lag(ts_ns) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ns, event_id) AS prev FROM ev),
+         |b AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR ts_ns - prev > $spGapNs THEN 1 ELSE 0 END AS brk
+         |      FROM o),
+         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ns, event_id) AS sess FROM b),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+         |        ORDER BY ts_ns, event_id) AS rn FROM s),
+         |p AS (SELECT user_id, sess,
+         |        string_agg(event_type, '>'
+         |          ORDER BY ts_ns, event_id) AS path
+         |      FROM r WHERE rn <= $spMaxLen GROUP BY 1, 2)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY 1 HAVING count(*) >= $spSupport
+         |ORDER BY path""".stripMargin,
+    "op201_strata_alloc" ->
+      s"""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM n),
+         |a AS (SELECT source, n_docs,
+         |        ($strataBudget * n_docs) // tot AS base,
+         |        ($strataBudget * n_docs) % tot AS rem
+         |      FROM n, t),
+         |dfc AS (SELECT CAST($strataBudget - sum(base) AS BIGINT)
+         |          AS deficit FROM a),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+         |        AS rr FROM a),
+         |alloc AS (SELECT source, n_docs,
+         |    CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
+         |         AS BIGINT) AS alloc
+         |  FROM r, dfc),
+         |h AS (SELECT source, doc_id,
+         |  ('0x' || substring(md5(source || '|' || CAST(doc_id AS VARCHAR)),
+         |   1, 15))::BIGINT AS h
+         |  FROM documents),
+         |rk AS (SELECT source, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |       AS BIGINT) AS rank
+         |  FROM h)
+         |SELECT k.source, a2.n_docs, a2.alloc, k.rank, k.doc_id
+         |FROM rk k JOIN alloc a2 USING (source)
+         |WHERE k.rank <= a2.alloc
+         |ORDER BY source, rank""".stripMargin)
 }

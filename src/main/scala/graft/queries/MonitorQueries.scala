@@ -128,9 +128,8 @@ object MonitorQueries {
       val grid = li.groupBy(col(keyCol).as("k"))
         .agg(count(lit(1)).as("c"))
         .groupBy("c").agg(count(lit(1)).as("m"))
-      val cum = grid
-        .withColumn("cum", sum("m").over(Window.orderBy("c")))
-        .withColumn("nk", sum("m").over(Window.partitionBy()))
+      val cum = graft.ops.Grid.cumWalk(grid, col("c"),
+        Seq("m" -> "cum"), Seq("m" -> "nk"))
       // the grid is tiny (distinct fan-out values); scalar walks join in
       cum.agg(min(col("nk")).as("n_keys"), min("c").as("min_c"),
           max("c").as("max_c"))
@@ -233,11 +232,9 @@ object MonitorQueries {
   /** op187/op193 shared KS tail: from a merged (v, c1, c2) grid, the
     * exact D statistic (bp) with the first value attaining it. */
   def ksFromGrid(grid: DataFrame): DataFrame = {
-    val cum = grid
-      .withColumn("cum1", sum("c1").over(Window.orderBy("v")))
-      .withColumn("cum2", sum("c2").over(Window.orderBy("v")))
-      .withColumn("n1", sum("c1").over(Window.partitionBy()))
-      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+    val cum = graft.ops.Grid.cumWalk(grid, col("v"),
+        Seq("c1" -> "cum1", "c2" -> "cum2"),
+        Seq("c1" -> "n1", "c2" -> "n2"))
       .withColumn("dd", expr(
         "abs((cum1 * 10000) div n1 - (cum2 * 10000) div n2)"))
     ordered(

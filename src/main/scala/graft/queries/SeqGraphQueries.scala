@@ -339,6 +339,71 @@ object SeqGraphQueries {
       "p_partkey")
   }
 
+  // ---------------------------------------------------------------- op202
+
+  /** op202 core parameter and peel-round unroll depth. */
+  private val kcoreK = 3
+  private val kcoreRounds = 10
+
+  /** op202: k-core decomposition (k = [[kcoreK]]) over op194's
+    * support-pruned co-purchase graph — iteratively peel vertices with
+    * degree < k until fixpoint; what survives is the densest stable
+    * backbone (the community-detection / influence-seeding primitive,
+    * and the standard preprocessing that shrinks a graph before
+    * expensive triangle/clique work). [[kcoreRounds]] unrolled rounds;
+    * the emitted per-round removal counts PROVE convergence in-band
+    * (the last round removes 0 — spec-asserted, and visible to the
+    * oracle), the way op176 pins its iteration count.
+    *
+    * 100 TB shape: each round is one degree aggregate over the
+    * surviving edge list (map-combinable) + a semi-join filter —
+    * equi-joins only, no adjacency materialization; the peel is
+    * monotone (alive sets only shrink) so per-round cost falls. The
+    * vertex set IS checkpointed between rounds (the op126 convention,
+    * and what GraphX/ML iterative jobs do): `alive` is referenced
+    * three times per round (both join sides + the count), so an
+    * unrolled lazy chain multiplies subplans ~3^rounds and stalls
+    * Catalyst analysis long before execution — measured here, not
+    * hypothesized. Ten tiny materializations beat one exponential
+    * plan. */
+  val op202KCore: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
+      .where(col("supp") >= 2).select("p1", "p2")
+    // the support-pruned symmetric edge list is round-invariant and
+    // read ten times — materialize it once (localCheckpoint), like the
+    // per-round vertex sets below
+    val und = pairs.union(
+        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+      .localCheckpoint()
+    var alive = und.select(col("p1").as("v")).distinct().localCheckpoint()
+    val rounds = (1 to kcoreRounds).map { r =>
+      val deg = und
+        .join(alive.select(col("v").as("p1")), "p1")
+        .join(alive.select(col("v").as("p2")), "p2")
+        .groupBy("p1").agg(count(lit(1)).as("deg"))
+      val next = deg.where(col("deg") >= kcoreK)
+        .select(col("p1").as("v")).localCheckpoint()
+      val row = alive.agg(count(lit(1)).as("n_before"))
+        .crossJoin(next.agg(count(lit(1)).as("n_core")))
+        .select(lit(r.toLong).as("round"), col("n_before"),
+          col("n_core"),
+          (col("n_before") - col("n_core")).as("n_removed"))
+      alive = next
+      row
+    }
+    ordered(rounds.reduce(_ union _), "round")
+  }
+
   // ---------------------------------------------------------------- op194
 
   /** op194: triangle count + global transitivity over the co-purchase
@@ -507,7 +572,42 @@ object SeqGraphQueries {
     "op177_mad_outliers" -> op177MadOutliers,
     "op178_null_aware_not_in" -> op178NullAwareNotIn,
     "op191_interval_coverage" -> op191IntervalCoverage,
-    "op194_triangles" -> op194Triangles)
+    "op194_triangles" -> op194Triangles,
+    "op202_kcore" -> op202KCore)
+
+  /** op202's oracle: the same peel unrolled as chained CTEs (a0 → aN),
+    * per-round rows from subquery counts — all BIGINT casts. */
+  private def kcoreSql: String = {
+    val roundCtes = (1 to kcoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT e.p1 AS v, count(*) AS c
+         |      FROM und e JOIN a${r - 1} x ON e.p1 = x.v
+         |                 JOIN a${r - 1} y ON e.p2 = y.v
+         |      GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT v FROM d$r WHERE c >= $kcoreK)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to kcoreRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM a${r - 1}) AS n_before,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM a$r) AS n_core,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM a${r - 1})
+         |    - (SELECT CAST(count(*) AS BIGINT) FROM a$r) AS n_removed""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |small AS MATERIALIZED (SELECT l_orderkey FROM li GROUP BY 1
+       |          HAVING count(*) <= $prBasketCap),
+       |li2 AS MATERIALIZED (SELECT li.l_orderkey, li.l_partkey
+       |        FROM li JOIN small USING (l_orderkey)),
+       |pairs AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |          FROM li2 a JOIN li2 b ON a.l_orderkey = b.l_orderkey
+       |            AND a.l_partkey < b.l_partkey
+       |          GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (SELECT p1, p2 FROM pairs
+       |        UNION ALL SELECT p2, p1 FROM pairs),
+       |a0 AS MATERIALIZED (SELECT DISTINCT p1 AS v FROM und),
+       |$roundCtes
+       |SELECT * FROM (
+       |$rows) ORDER BY round""".stripMargin
+  }
 
   /** op176's oracle: the identical integer iteration unrolled as
     * chained CTEs (r0 → r5). */
@@ -637,6 +737,7 @@ object SeqGraphQueries {
     // op176b is op176 under a different partitioning strategy; the
     // shared oracle is the proof they emit identical integers
     "op176b_pagerank_partitioned" -> pagerankSql,
+    "op202_kcore" -> kcoreSql,
     "op194_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -51,9 +51,8 @@ object WarehouseQueries {
   val op179RangeBoundaries: Q = (s, d) => {
     val grid = Tables.documents(s, d).groupBy(col("n_chars").as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val cum = grid.withColumn("cum",
-        sum("cnt").over(Window.orderBy("v")))
-      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val cum = graft.ops.Grid.cumWalk(grid, col("v"),
+      Seq("cnt" -> "cum"), Seq("cnt" -> "n"))
     val targets = s.range(1, rbK + 1).toDF("i")
     ordered(
       targets.crossJoin(cum)
@@ -306,9 +305,10 @@ object WarehouseQueries {
       .withColumn("nt", count(lit(1)).over(Window.partitionBy()))
       .withColumn("r", expr("(rn * nt + n - 1) div n"))
       .withColumn("bin", expr(s"r div $qnBin"))
-    val grid = docs.groupBy(col("n_chars").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+    val grid = graft.ops.Grid.cumWalk(
+        docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("cnt")),
+        col("v"), Seq("cnt" -> "cum"))
       .withColumn("pcum", col("cum") - col("cnt"))
     val binned = grid.select(col("v"), col("pcum"), col("cum"),
       explode(expr(s"sequence(pcum div $qnBin, cum div $qnBin)"))

@@ -203,4 +203,78 @@ class AnalyticsSpec extends SparkSpec {
       assert(row.getAs[Long]("pmi_micro") == want, s"($t1,$t2) pmi")
     }
   }
+
+  test("op200: session paths equal a driver-side sessionize-and-walk replay") {
+    val got = AnalyticsQueries.op200SessionPaths(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts_ns", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 1800L * 1000000000L
+    val pathCounts = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).toSeq
+      var cur = List.empty[String]; var prev = Long.MinValue
+      def close(): Unit = if (cur.nonEmpty) {
+        val p = cur.reverse.take(8).mkString(">")
+        pathCounts(p) = pathCounts.getOrElse(p, 0L) + 1
+      }
+      sorted.foreach { case (_, _, ts, typ) =>
+        if (prev != Long.MinValue && ts - prev > gap) { close(); cur = Nil }
+        cur ::= typ; prev = ts
+      }
+      close()
+    }
+    val want = pathCounts.filter(_._2 >= 3).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "no path reached the support threshold")
+    // plan shape: the session machinery runs on ONE (user) shuffle —
+    // lag/cumsum/row_number/running-max share the window, the
+    // (user, sess) collect reuses its partitioning (superset-key
+    // clustering); only the final path count adds an Exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(
+      AnalyticsQueries.op200SessionPaths(spark, sfDir)
+        .queryExecution.executedPlan.toString).length
+    assert(hashEx == 2, s"expected 2 hash Exchanges, saw $hashEx")
+  }
+
+  test("op201: largest-remainder allocation is exact and selection honors it") {
+    val rows = AnalyticsQueries.op201StrataAlloc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val bySource = rows.groupBy(_._1)
+    // driver-side apportionment replay
+    val counts = Tables.documents(spark, sfDir).groupBy("source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val k = 100L
+    val base = counts.view.mapValues(c => k * c / n).toMap
+    val deficit = k - base.values.sum
+    val extras = counts.keys.toSeq
+      .sortBy(src => (-(k * counts(src) % n), src)).take(deficit.toInt).toSet
+    val wantAlloc = counts.keys.map(src =>
+      src -> (base(src) + (if (extras(src)) 1L else 0L))).toMap
+    assert(wantAlloc.values.sum == k, "replay must apportion exactly K")
+    bySource.foreach { case (src, rs) =>
+      assert(rs.head._3 == wantAlloc(src), s"$src alloc")
+      assert(rs.head._2 == counts(src), s"$src n_docs")
+      // ranks contiguous 1..alloc — the selection honors the cap
+      assert(rs.map(_._4).sorted.toSeq == (1L to wantAlloc(src)).toSeq,
+        s"$src ranks")
+    }
+    assert(rows.length.toLong == k, "emitted selection must total K")
+    // every stratum within one slot of exact proportionality
+    wantAlloc.foreach { case (src, a) =>
+      assert(a == base(src) || a == base(src) + 1, s"$src remainder rule")
+    }
+    // plan shape: selection is the bounded TopKAgg (ObjectHashAggregate),
+    // and the only Window (the remainder rank) runs over the |sources|
+    // grid — the corpus is never window-sorted
+    val plan = AnalyticsQueries.op201StrataAlloc(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), "TopKAgg selection lost")
+    assert("Window".r.findAllIn(plan).length <= 1,
+      "more than the sources-grid Window in the plan")
+  }
 }

@@ -218,4 +218,45 @@ class SeqGraphSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning"),
       "partitioned spelling lost its hash exchanges")
   }
+
+  test("op202: k-core peel matches a driver-side replay and reaches fixpoint") {
+    val got = SeqGraphQueries.op202KCore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // rebuild the op194 support-pruned co-purchase graph driver-side
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).filter(_._2.length <= 7)
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.values.foreach { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        pairCnt((parts(i), parts(j))) =
+          pairCnt.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val und = pairCnt.filter(_._2 >= 2).keys
+      .flatMap(e => Seq(e, (e._2, e._1))).toSet
+    var alive = und.map(_._1)
+    val want = (1 to 10).map { r =>
+      val deg = und.toSeq
+        .filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = alive.filter(v => deg.getOrElse(v, 0) >= 3)
+      val row = (r.toLong, alive.size.toLong, next.size.toLong,
+        (alive.size - next.size).toLong)
+      alive = next
+      row
+    }
+    assert(got.toSeq == want)
+    // convergence is IN-BAND: the last unrolled round removes nothing,
+    // so the emitted table proves the peel reached the true 3-core
+    assert(got.last._4 == 0L, s"peel did not converge: ${got.last}")
+    assert(got.last._3 > 0L, "fixture 3-core is empty — nothing exercised")
+    // the core is genuinely stable: every surviving vertex keeps
+    // degree >= 3 inside the core
+    val coreDeg = und.toSeq.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).view.mapValues(_.size)
+    assert(coreDeg.forall(_._2 >= 3))
+  }
 }
