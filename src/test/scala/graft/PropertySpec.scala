@@ -292,4 +292,68 @@ class PropertySpec extends SparkSpec {
       }
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  test("property: funnel fold equals the batch min-chain on sorted event streams") {
+    // op199's exactness claim as a property: for ANY event multiset
+    // folded in ts order, the state equals op161's closed-form chain
+    // (t1 = min view; t2 = min click > t1; t3 = min purchase > t2), and
+    // batch-slicing the sorted stream anywhere changes nothing
+    import org.scalacheck.Prop.propBoolean
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.{FunnelState, Unset}
+    val evGen = Gen.listOf(for {
+      t <- Gen.chooseNum(1L, 40L)
+      ty <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (ty, t * 1000000000L))
+    val cutGen = Gen.chooseNum(0, 30)
+    check("funnel fold", Prop.forAll(evGen, cutGen) { (evs, cut) =>
+      val sorted = evs.sortBy(_._2)
+      val init = FunnelState(Unset, Unset, Unset)
+      // closed-form chain
+      val t1 = sorted.collectFirst { case ("view", t) => t }
+      val t2 = t1.flatMap(a => sorted.collect {
+        case ("click", t) if t > a => t }.minOption)
+      val t3 = t2.flatMap(b => sorted.collect {
+        case ("purchase", t) if t > b => t }.minOption)
+      val want = FunnelState(t1.getOrElse(Unset), t2.getOrElse(Unset),
+        t3.getOrElse(Unset))
+      val (_, oneShot) = FunnelStream.foldBatch(1L, sorted, init)
+      // arbitrary batch boundary in the sorted stream
+      val (a, b) = sorted.splitAt(math.min(cut, sorted.length))
+      val (h1, mid) = FunnelStream.foldBatch(1L, a, init)
+      val (h2, sliced) = FunnelStream.foldBatch(1L, b, mid)
+      (oneShot == want) :| s"one-shot $oneShot != chain $want" &&
+        (sliced == want) :| s"sliced $sliced != chain $want" &&
+        ((h1 ++ h2).map(_.step).sorted ==
+          Seq(t1.map(_ => "1_view"), t2.map(_ => "2_click"),
+            t3.map(_ => "3_purchase")).flatten.sorted) :| "hit steps"
+    })
+  }
+
+  test("property: largest-remainder apportionment is exact and within one slot") {
+    // op201's allocation law on arbitrary strata: sum == K whenever
+    // K <= N, every stratum within one slot of its exact quota, and
+    // allocation is monotone in the counts' order for equal counts
+    import org.scalacheck.Prop.propBoolean
+    val strataGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 500L)))
+    check("apportionment", Prop.forAll(strataGen, Gen.chooseNum(1L, 100L)) {
+      (counts0, k0) =>
+        val counts = counts0.zipWithIndex.map { case (c, i) => (s"s$i", c) }
+        val n = counts.map(_._2).sum
+        val k = math.min(k0, n)
+        val base = counts.map { case (s, c) => (s, k * c / n) }.toMap
+        val deficit = (k - base.values.sum).toInt
+        val extras = counts.sortBy { case (s, c) => (-(k * c % n), s) }
+          .take(deficit).map(_._1).toSet
+        val alloc = counts.map { case (s, _) =>
+          s -> (base(s) + (if (extras(s)) 1L else 0L)) }.toMap
+        (alloc.values.sum == k) :| s"sum ${alloc.values.sum} != $k" &&
+          Prop.all(counts.map { case (s, c) =>
+            val quota = k.toDouble * c / n
+            (math.abs(alloc(s) - quota) < 1.0) :|
+              s"$s alloc ${alloc(s)} vs quota $quota"
+          }: _*)
+    })
+  }
 }

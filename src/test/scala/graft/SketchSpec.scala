@@ -53,10 +53,10 @@ class SketchSpec extends SparkSpec {
       .maintainedCounters(spark, sfDir, 4, 64, state)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
-    // four micro-batches → four partial grids on disk
-    val partials = spark.read.parquet(s"$state/partials")
-    assert(partials.count() == streamed.size.toLong * 4 ||
-      partials.count() > streamed.size, "expected per-batch partials")
+    // the serving merge materializes the (tiny) grid and RECLAIMS the
+    // state dir — the r11-advice temp-dir leak is pinned closed here
+    assert(!new java.io.File(state).exists(),
+      "state dir must be deleted after the serving merge")
     val oneShot = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .agg(graft.functions.CountMin.sketch(4, 64)(col("w")).as("sk"))
