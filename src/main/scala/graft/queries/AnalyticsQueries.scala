@@ -411,9 +411,9 @@ object AnalyticsQueries {
   // ---------------------------------------------------------------- op200
 
   /** op200 session-path gap (ns) / path length cap / emission support. */
-  private val spGapNs = 1800L * 1000000000L
-  private val spMaxLen = 8
-  private val spSupport = 3
+  private[queries] val spGapNs = 1800L * 1000000000L
+  private[queries] val spMaxLen = 8
+  private[queries] val spSupport = 3
 
   /** op200: session-path mining — sessionize each user's events (30-min
     * gap, the op105 semantics on the exact ns axis), spell each session

@@ -380,26 +380,41 @@ object SeqGraphQueries {
       .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
       .where(col("supp") >= 2).select("p1", "p2")
     // the support-pruned symmetric edge list is round-invariant and
-    // read ten times — materialize it once (localCheckpoint), like the
-    // per-round vertex sets below
+    // read every round — materialize it once (localCheckpoint), like
+    // the per-round vertex sets below
     val und = pairs.union(
         pairs.select(col("p2").as("p1"), col("p1").as("p2")))
       .localCheckpoint()
     var alive = und.select(col("p1").as("v")).distinct().localCheckpoint()
+    // counts are driver-side by construction (the checkpoint already
+    // ran a job), which buys the convergence check every iterative
+    // graph job does: once |alive| stops shrinking the peel is AT the
+    // fixpoint (next ⊆ alive, so equal counts ⇒ equal sets) and the
+    // remaining unrolled rounds are emitted as literal no-op rows
+    // instead of re-aggregating a stable graph
+    var nAlive = alive.count()
+    var converged = false
     val rounds = (1 to kcoreRounds).map { r =>
-      val deg = und
-        .join(alive.select(col("v").as("p1")), "p1")
-        .join(alive.select(col("v").as("p2")), "p2")
-        .groupBy("p1").agg(count(lit(1)).as("deg"))
-      val next = deg.where(col("deg") >= kcoreK)
-        .select(col("p1").as("v")).localCheckpoint()
-      val row = alive.agg(count(lit(1)).as("n_before"))
-        .crossJoin(next.agg(count(lit(1)).as("n_core")))
-        .select(lit(r.toLong).as("round"), col("n_before"),
-          col("n_core"),
-          (col("n_before") - col("n_core")).as("n_removed"))
-      alive = next
-      row
+      if (converged)
+        s.range(1).select(lit(r.toLong).as("round"),
+          lit(nAlive).as("n_before"), lit(nAlive).as("n_core"),
+          lit(0L).as("n_removed"))
+      else {
+        val deg = und
+          .join(alive.select(col("v").as("p1")), "p1")
+          .join(alive.select(col("v").as("p2")), "p2")
+          .groupBy("p1").agg(count(lit(1)).as("deg"))
+        val next = deg.where(col("deg") >= kcoreK)
+          .select(col("p1").as("v")).localCheckpoint()
+        val nNext = next.count()
+        val row = s.range(1).select(lit(r.toLong).as("round"),
+          lit(nAlive).as("n_before"), lit(nNext).as("n_core"),
+          lit(nAlive - nNext).as("n_removed"))
+        converged = nNext == nAlive
+        alive = next
+        nAlive = nNext
+        row
+      }
     }
     ordered(rounds.reduce(_ union _), "round")
   }

@@ -94,6 +94,22 @@ object StreamQueries {
       "step")
   }
 
+  /** op203: STREAMING session-path emission — op200's trajectory mining
+    * online (transformWithState; see [[graft.streaming
+    * .SessionPathStream]]): each session's capped event-type path is
+    * emitted the moment a gap closes it; each user's FINAL session is
+    * operator state, not output (the op131 closed-rows contract), so
+    * the oracle is op200's chain restricted to non-final sessions. */
+  val op203StreamSessionPaths: Q = (s, d) => {
+    import Det.big
+    val closed = graft.streaming.EventStreams.closedSessionPaths(
+      s, d, AnalyticsQueries.spMaxLen, AnalyticsQueries.spGapNs)
+    ordered(
+      closed.groupBy("path").agg(big(count(lit(1))).as("n_sessions"))
+        .where(col("n_sessions") >= AnalyticsQueries.spSupport),
+      "path")
+  }
+
   val defs: Map[String, Q] = Map(
     "op36_asof_join" -> op36AsOf,
     "op51_stream_watermark" -> op51Streamed,
@@ -103,6 +119,7 @@ object StreamQueries {
     "op163_stream_dedup_wm" -> op163StreamDedupWm,
     "op164_stream_left_outer" -> op164StreamLeftOuter,
     "op199_stream_funnel" -> op199StreamFunnel,
+    "op203_stream_session_paths" -> op203StreamSessionPaths,
   )
 
   private val tumblingSql =
@@ -182,5 +199,32 @@ object StreamQueries {
         |ORDER BY view_id, click_id""".stripMargin,
   ) +
     // op199 is op161 maintained online; the shared oracle is the proof
-    ("op199_stream_funnel" -> AnalyticsQueries.oracle("op161_funnel"))
+    ("op199_stream_funnel" -> AnalyticsQueries.oracle("op161_funnel")) +
+    // op203 is op200 restricted to CLOSED sessions (each user's final
+    // session is operator state, not output)
+    ("op203_stream_session_paths" ->
+      s"""WITH ev AS (SELECT user_id, event_id,
+         |  epoch_us(ts) * 1000 AS ts_ns, event_type FROM events),
+         |o AS (SELECT *, lag(ts_ns) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ns, event_id) AS prev FROM ev),
+         |b AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR ts_ns - prev > ${AnalyticsQueries.spGapNs}
+         |        THEN 1 ELSE 0 END AS brk
+         |      FROM o),
+         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ns, event_id) AS sess FROM b),
+         |mx AS (SELECT user_id, max(sess) AS mxs FROM s GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+         |        ORDER BY ts_ns, event_id) AS rn FROM s),
+         |p AS (SELECT user_id, sess,
+         |        string_agg(event_type, '>'
+         |          ORDER BY ts_ns, event_id) AS path
+         |      FROM r WHERE rn <= ${AnalyticsQueries.spMaxLen}
+         |      GROUP BY 1, 2),
+         |closed AS (SELECT p.path FROM p JOIN mx USING (user_id)
+         |           WHERE p.sess < mx.mxs)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM closed GROUP BY 1
+         |HAVING count(*) >= ${AnalyticsQueries.spSupport}
+         |ORDER BY path""".stripMargin)
 }

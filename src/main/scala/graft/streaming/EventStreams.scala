@@ -125,4 +125,23 @@ object EventStreams {
           .toDF()
       }
     }
+
+  /** op203: streaming session-path emission — the events fixture
+    * drained through [[SessionPathStream]] (transformWithState,
+    * RocksDB), one append-mode row per CLOSED session carrying its
+    * capped event-type path; each user's final session stays in state
+    * (the op131 closed-rows contract). */
+  def closedSessionPaths(spark: SparkSession, dir: String, cap: Int,
+      gapNs: Long): DataFrame =
+    StateStores.withRocksDb(spark) {
+      drainEvents(spark, dir, "op203") { ev =>
+        SessionPathStream.closedPaths(
+          ev.select(col("user_id"), col("event_id"),
+            (expr("unix_micros(ts)") * lit(1000L)).as("ts_ns"),
+            col("event_type"))
+            .as[SessionPathStream.PEv](
+              org.apache.spark.sql.Encoders.product[SessionPathStream.PEv]),
+          cap, gapNs).toDF()
+      }
+    }
 }

@@ -449,4 +449,45 @@ class RecoverySpec extends SparkSpec {
     assert(r2 == Seq(StepHit(1, "3_purchase", 30), StepHit(2, "2_click", 10)),
       s"restart lost or corrupted funnel state: $r2")
   }
+
+  test("open session-path state (with its type list) survives a restart (RocksDB)") {
+    // op203's state carries a Seq[String] (the capped path) — the
+    // round-trip through the RocksDB checkpoint must restore the LIST,
+    // not just scalars: the post-restart gap close emits the full
+    // pre-restart prefix
+    import graft.streaming.{SessionPathStream, StateStores}
+    import graft.streaming.SessionPathStream.{ClosedPath, PEv}
+    def s(n: Long): Long = n * 1000000000L
+    val gap = s(1800)
+    val srcDir = Files.createTempDirectory("graft_paths_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_paths_ckpt_").toString
+    def write(rows: Seq[PEv]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[ClosedPath] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[ClosedPath]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[PEv].schema)
+          .parquet(srcDir.getAbsolutePath).as[PEv]
+        val q = SessionPathStream.closedPaths(in, 8, gap).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[ClosedPath], _: Long) =>
+              buf ++= batch.collect(); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq.sortBy(p => (p.user_id, p.path))
+    }
+    write(Seq(PEv(1, 1, s(0), "a"), PEv(1, 2, s(10), "b")))
+    assert(runOnce().isEmpty, "open session must not emit")
+    // restart: c extends the RESTORED [a, b]; the later gap closes it
+    write(Seq(PEv(1, 3, s(20), "c"), PEv(1, 4, s(9000), "z")))
+    val r2 = runOnce()
+    assert(r2 == Seq(ClosedPath(1, "a>b>c")),
+      s"restart lost the carried path prefix: $r2")
+  }
 }
