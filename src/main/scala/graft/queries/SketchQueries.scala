@@ -70,6 +70,83 @@ object SketchQueries {
       "lang")
   }
 
+  // ---------------------------------------------------------------- op204
+
+  /** op204: KMV set algebra — pairwise SOURCE overlap estimated from
+    * per-source KMV sketches (the theta-sketch role): union size from
+    * the merged sketch's k-th smallest hash, intersection and Jaccard
+    * from sketch-membership matches. The corpus-overlap planning
+    * estimate (which crawls mirror each other) at sketch cost — the
+    * mergeable counterpart of op95's exact pair report, and op165's
+    * estimator extended from one set to set ALGEBRA. Estimator
+    * identities used: the k smallest of A∪B lie inside K(A)∪K(B)
+    * (merge-truncate is closed), and for h ∈ K(A∪B), h ∈ A ⟺
+    * h ∈ K(A) — so matches m = |K(A∪B) ∩ K(A) ∩ K(B)| and
+    * ĴACCARD = m/k', Î∩ = m·Û/k', all exact integer arithmetic on
+    * 40-bit md5 hashes (deterministic ⇒ ORACLE-GATED, unlike
+    * datasketches' seeded theta).
+    *
+    * 100 TB shape: one shuffle builds every source's sketch (state =
+    * k hashes per (source, partition) through the TopKAgg buffer —
+    * the op165 merge argument); the pair grid is |sources|²-bounded
+    * array arithmetic on broadcast sketches. The EXACT intersection
+    * column is the oracle witness (the op165 posture): a deployment
+    * reports the estimates and samples the exact pairs it acts on. */
+  val op204KmvSetOps: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("source", "text")
+    val n3 = "greatest(size(split(text,' ')) - 2, 0)"
+    val sh = docs.select(col("source"), explode(expr(
+      s"zip_with(zip_with(slice(split(text,' '),1,$n3), " +
+        s"slice(split(text,' '),2,$n3), " +
+        "(a,b) -> concat(a,' ',b)), " +
+        s"slice(split(text,' '),3,$n3), " +
+        "(ab,c) -> concat(ab,' ',c))")).as("sh"))
+    val hashes = sh.select(col("source"),
+      expr("CAST(CONV(SUBSTRING(MD5(CAST(sh AS BINARY)), 1, 15), 16, 10) " +
+        s"AS BIGINT) div 1048576").as("h40"))
+      .distinct()
+    val sk = hashes.groupBy("source")
+      .agg(TopKAgg.topK(kmvK)(-col("h40"), col("h40")).as("mins"),
+        count(lit(1)).as("n_exact"))
+      .select(col("source"), expr("transform(mins, x -> x.id)").as("ids"),
+        col("n_exact"))
+    // exact pairwise intersection (the oracle witness): one h40
+    // self-equi-join, fan-out bounded by sources² per shared shingle
+    val ix = hashes.select(col("source").as("s1"), col("h40"))
+      .join(hashes.select(col("source").as("s2"), col("h40")), Seq("h40"))
+      .where(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter_exact"))
+    val grid = sk.select(col("source").as("s1"), col("ids").as("ids1"),
+        col("n_exact").as("n1"))
+      .join(sk.select(col("source").as("s2"), col("ids").as("ids2"),
+        col("n_exact").as("n2")), col("s1") < col("s2"))
+      .withColumn("uk",
+        expr(s"slice(array_sort(array_union(ids1, ids2)), 1, $kmvK)"))
+      .withColumn("cnt_u", expr("CAST(size(uk) AS BIGINT)"))
+      .withColumn("m_matches", expr(
+        "CAST(size(array_intersect(uk, array_intersect(ids1, ids2))) " +
+          "AS BIGINT)"))
+      .withColumn("est_union", expr(
+        s"CAST(CASE WHEN cnt_u < $kmvK THEN cnt_u " +
+          s"ELSE (${kmvK - 1} * ${kmvSpace}L) div " +
+          s"greatest(element_at(uk, $kmvK), 1L) END AS BIGINT)"))
+      .withColumn("jaccard_est_bp",
+        expr("m_matches * 10000 div greatest(cnt_u, 1L)"))
+      .withColumn("inter_est",
+        expr("(m_matches * est_union) div greatest(cnt_u, 1L)"))
+    ordered(
+      grid.join(ix, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+          (col("n1") + col("n2") -
+            coalesce(col("inter_exact"), lit(0L))).as("union_exact"),
+          col("cnt_u"), col("m_matches"), col("est_union"),
+          col("inter_est"), col("jaccard_est_bp"))
+        .withColumn("jaccard_exact_bp",
+          expr("(inter_exact * 10000) div union_exact")),
+      "s1", "s2")
+  }
+
   // ---------------------------------------------------------------- op166
 
   /** op166: Markov transition matrix — per user, order events by time and
@@ -276,6 +353,7 @@ object SketchQueries {
 
   val defs: Map[String, Q] = Map(
     "op165_kmv_distinct" -> op165KmvDistinct,
+    "op204_kmv_set_ops" -> op204KmvSetOps,
     "op166_markov_transitions" -> op166MarkovTransitions,
     "op167_spike_detect" -> op167SpikeDetect,
     "op168_skyline" -> op168Skyline,
@@ -302,6 +380,65 @@ object SketchQueries {
          |            greatest(max(CASE WHEN rk = $kmvK THEN h40 END), 1)
          |       END AS BIGINT) AS kmv_est
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "op204_kmv_set_ops" ->
+      s"""WITH sh AS MATERIALIZED (SELECT source,
+         |  wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS sh
+         |  FROM (SELECT source, string_split(text,' ') AS wl
+         |        FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(wl) - 1)) AS i) u),
+         |h AS MATERIALIZED (SELECT DISTINCT source,
+         |  ('0x' || substring(md5(sh), 1, 15))::BIGINT // 1048576 AS h40
+         |  FROM sh),
+         |n AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT)
+         |  AS n_exact FROM h GROUP BY 1),
+         |mk AS MATERIALIZED (SELECT source, h40 FROM (
+         |  SELECT source, h40, row_number() OVER (PARTITION BY source
+         |    ORDER BY h40) AS rk FROM h) WHERE rk <= $kmvK),
+         |pr AS MATERIALIZED (SELECT a.source AS s1, b.source AS s2,
+         |  a.n_exact AS n1, b.n_exact AS n2
+         |  FROM n a JOIN n b ON a.source < b.source),
+         |u AS MATERIALIZED (SELECT p.s1, p.s2, m.h40
+         |  FROM pr p JOIN mk m ON m.source IN (p.s1, p.s2)
+         |  GROUP BY 1, 2, 3),
+         |uk AS MATERIALIZED (SELECT s1, s2, h40, rk FROM (
+         |  SELECT s1, s2, h40, row_number() OVER (PARTITION BY s1, s2
+         |    ORDER BY h40) AS rk FROM u) WHERE rk <= $kmvK),
+         |us AS MATERIALIZED (SELECT s1, s2,
+         |  CAST(count(*) AS BIGINT) AS cnt_u,
+         |  max(CASE WHEN rk = $kmvK THEN h40 END) AS hk
+         |  FROM uk GROUP BY 1, 2),
+         |mm AS MATERIALIZED (SELECT k.s1, k.s2,
+         |  CAST(count(*) AS BIGINT) AS m_matches
+         |  FROM uk k
+         |  JOIN mk x ON x.source = k.s1 AND x.h40 = k.h40
+         |  JOIN mk y ON y.source = k.s2 AND y.h40 = k.h40
+         |  GROUP BY 1, 2),
+         |ix AS MATERIALIZED (SELECT a.source AS s1, b.source AS s2,
+         |  CAST(count(*) AS BIGINT) AS inter_exact
+         |  FROM h a JOIN h b ON a.h40 = b.h40 AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.s1, p.s2, p.n1, p.n2,
+         |  coalesce(ix.inter_exact, 0) AS inter_exact,
+         |  p.n1 + p.n2 - coalesce(ix.inter_exact, 0) AS union_exact,
+         |  us.cnt_u,
+         |  coalesce(mm.m_matches, 0) AS m_matches,
+         |  CAST(CASE WHEN us.cnt_u < $kmvK THEN us.cnt_u
+         |       ELSE (${kmvK - 1} * $kmvSpace) // greatest(us.hk, 1)
+         |       END AS BIGINT) AS est_union,
+         |  (coalesce(mm.m_matches, 0) *
+         |   CAST(CASE WHEN us.cnt_u < $kmvK THEN us.cnt_u
+         |        ELSE (${kmvK - 1} * $kmvSpace) // greatest(us.hk, 1)
+         |        END AS BIGINT)) // greatest(us.cnt_u, 1) AS inter_est,
+         |  (coalesce(mm.m_matches, 0) * 10000) // greatest(us.cnt_u, 1)
+         |    AS jaccard_est_bp,
+         |  (coalesce(ix.inter_exact, 0) * 10000) //
+         |    (p.n1 + p.n2 - coalesce(ix.inter_exact, 0))
+         |    AS jaccard_exact_bp
+         |FROM pr p
+         |JOIN us USING (s1, s2)
+         |LEFT JOIN mm USING (s1, s2)
+         |LEFT JOIN ix USING (s1, s2)
+         |ORDER BY s1, s2""".stripMargin,
     "op166_markov_transitions" ->
       """WITH ev AS (SELECT user_id, event_type,
         |  epoch_us(ts) * 1000 AS ts_ns, event_id FROM events),

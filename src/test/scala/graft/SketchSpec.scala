@@ -138,4 +138,52 @@ class SketchSpec extends SparkSpec {
     assert(got == naive)
     assert(got.nonEmpty)
   }
+
+  test("op204: KMV set algebra equals a full driver-side sketch replay") {
+    val k = 64
+    val space = 1099511627776L // 2^40
+    // per-source distinct shingle h40 sets, exactly as the operator
+    // hashes them (md5 hex prefix-15 → BigInt → div 2^20)
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h40(sh: String): Long = {
+      val hex = md.digest(sh.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) / 1048576L
+    }
+    val sets = docs.groupBy(_._1).view.mapValues { rows =>
+      rows.flatMap { case (_, text) =>
+        val w = text.split(" ")
+        (0 until math.max(w.length - 2, 0)).map(i =>
+          h40(s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+      }.toSet
+    }.toMap
+    val mins = sets.view.mapValues(_.toSeq.sorted.take(k)).toMap
+    val want = (for {
+      s1 <- sets.keys.toSeq.sorted; s2 <- sets.keys.toSeq.sorted
+      if s1 < s2
+    } yield {
+      val (a, b) = (sets(s1), sets(s2))
+      val uk = (mins(s1) ++ mins(s2)).distinct.sorted.take(k)
+      val cntU = uk.length.toLong
+      val m = uk.count(h =>
+        mins(s1).contains(h) && mins(s2).contains(h)).toLong
+      val estU = if (cntU < k) cntU
+        else (k - 1).toLong * space / math.max(uk(k - 1), 1L)
+      val inter = (a & b).size.toLong
+      (s1, s2, a.size.toLong, b.size.toLong, inter,
+        a.size + b.size - inter, cntU, m, estU,
+        m * estU / math.max(cntU, 1L), m * 10000 / math.max(cntU, 1L),
+        inter * 10000 / (a.size + b.size - inter))
+    }).toSet
+    val got = SketchQueries.op204KmvSetOps(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+        r.getLong(11))).toSet
+    assert(got == want)
+    assert(got.exists(_._5 > 0), "no overlapping pair exercised")
+  }
 }
