@@ -509,10 +509,102 @@ object AnalyticsQueries {
       "source", "rank")
   }
 
+  // ---------------------------------------------------------------- op205
+
+  /** op205 conversion windows (ns): click within 3 days of the first
+    * view; purchase within 7 days of that click. */
+  private[queries] val fwClickNs = 3L * 86400L * 1000000000L
+  private[queries] val fwPurchaseNs = 7L * 86400L * 1000000000L
+
+  /** op205: WINDOWED funnel — op161's ordered chain with conversion
+    * deadlines (the product-analytics semantics op161's unbounded chain
+    * can't give: a click three months after the view is not a
+    * conversion): t2 = first click in (t1, t1+W₁], t3 = first purchase
+    * in (t2, t2+W₂]. Same output shape as op161, strictly smaller
+    * counts by construction.
+    *
+    * 100 TB shape: identical to op161 — three map-combinable per-user
+    * min aggregates linked by co-partitioned user joins; the deadline
+    * is one more predicate on the already-joined row, no new shuffle,
+    * no window. */
+  val op205WindowedFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts_ns")
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id")
+      .where(col("ts_ns") > col("t1") &&
+        col("ts_ns") <= col("t1") + fwClickNs)
+      .groupBy("user_id").agg(min("ts_ns").as("t2"), min("t1").as("t1"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .where(col("ts_ns") > col("t2") &&
+        col("ts_ns") <= col("t2") + fwPurchaseNs)
+      .groupBy("user_id").agg(min("ts_ns").as("t3"), min("t2").as("t2"))
+    val r1 = s1.agg(count(lit(1)).as("users")).select(
+      lit("1_view").as("step"), col("users"), lit(0L).as("lat_sum_s"))
+    val r2 = s2.agg(count(lit(1)).as("users"),
+        sum(expr("(t2 - t1) div 1000000000")).as("lat_sum_s"))
+      .select(lit("2_click").as("step"), col("users"),
+        coalesce(col("lat_sum_s"), lit(0L)).as("lat_sum_s"))
+    val r3 = s3.agg(count(lit(1)).as("users"),
+        sum(expr("(t3 - t2) div 1000000000")).as("lat_sum_s"))
+      .select(lit("3_purchase").as("step"), col("users"),
+        coalesce(col("lat_sum_s"), lit(0L)).as("lat_sum_s"))
+    ordered(r1.union(r2).union(r3), "step")
+  }
+
+  // ---------------------------------------------------------------- op206
+
+  /** op206 attribution lookback (ns): 7 days. */
+  private[queries] val attrLookbackNs = 7L * 86400L * 1000000000L
+
+  /** op206: last-touch attribution — each purchase attributed to the
+    * user's most recent NON-purchase event at-or-before it within the
+    * lookback window (the marketing/channel-attribution primitive),
+    * via the [[graft.ops.AsOf]] union-trick join (one shuffle + sort,
+    * never a range self-join). Tie-determinism: the carried payload
+    * struct leads with (ts_ns, event_id), so equal-timestamp touches
+    * resolve to the max event_id on BOTH engines (the oracle ranks by
+    * ts_ns DESC, event_id DESC). Purchases whose latest touch falls
+    * outside the lookback — equivalently, ALL of whose touches do —
+    * land in the 'none' bucket.
+    *
+    * 100 TB shape: the as-of carry is one (user)-keyed shuffle + sort
+    * (the OP-36 plan); attribution grouping is map-combinable over the
+    * |event types|+1 domain. */
+  val op206LastTouchAttribution: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ns"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"))
+    val joined = graft.ops.AsOf.join(purchases, touches,
+      key = "user_id", time = "ts_ns",
+      payload = Seq("ts_ns", "event_id", "event_type"))
+    val attributed = joined.select(col("event_id"),
+      when(col("asof_ts_ns").isNotNull &&
+        col("ts_ns") - col("asof_ts_ns") <= attrLookbackNs,
+        col("asof_event_type")).otherwise(lit("none"))
+        .as("attributed_type"),
+      when(col("asof_ts_ns").isNotNull &&
+        col("ts_ns") - col("asof_ts_ns") <= attrLookbackNs,
+        expr("(ts_ns - asof_ts_ns) div 1000000000")).otherwise(lit(0L))
+        .as("lat_s"))
+    ordered(
+      attributed.groupBy("attributed_type")
+        .agg(big(count(lit(1))).as("n_purchases"),
+          sum("lat_s").cast("bigint").as("lat_sum_s")),
+      "attributed_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "op198_pmi_collocations" -> op198PmiCollocations,
     "op200_session_paths" -> op200SessionPaths,
     "op201_strata_alloc" -> op201StrataAlloc,
+    "op205_windowed_funnel" -> op205WindowedFunnel,
+    "op206_last_touch_attribution" -> op206LastTouchAttribution,
     "op156_repetition_filter" -> op156RepetitionFilter,
     "op157_lm_quality_score" -> op157LmQualityScore,
     "op158_mixture_sample" -> op158MixtureSample,
@@ -737,6 +829,59 @@ object AnalyticsQueries {
          |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
          |FROM p GROUP BY 1 HAVING count(*) >= $spSupport
          |ORDER BY path""".stripMargin,
+    "op205_windowed_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |  epoch_us(ts) * 1000 AS ts_ns FROM events),
+         |s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM ev
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2, min(s1.t1) AS t1
+         |       FROM ev e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.ts_ns > s1.t1
+         |         AND e.ts_ns <= s1.t1 + $fwClickNs
+         |       GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts_ns) AS t3, min(s2.t2) AS t2
+         |       FROM ev e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts_ns > s2.t2
+         |         AND e.ts_ns <= s2.t2 + $fwPurchaseNs
+         |       GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT '1_view' AS step, count(*) AS users,
+         |         CAST(0 AS BIGINT) AS lat_sum_s FROM s1
+         |  UNION ALL
+         |  SELECT '2_click', count(*),
+         |         CAST(coalesce(sum((t2 - t1) // 1000000000), 0)
+         |              AS BIGINT) FROM s2
+         |  UNION ALL
+         |  SELECT '3_purchase', count(*),
+         |         CAST(coalesce(sum((t3 - t2) // 1000000000), 0)
+         |              AS BIGINT) FROM s3)
+         |ORDER BY step""".stripMargin,
+    "op206_last_touch_attribution" ->
+      s"""WITH p AS (SELECT event_id, user_id,
+         |  epoch_us(ts) * 1000 AS ts_ns FROM events
+         |  WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, epoch_us(ts) * 1000 AS ts_ns,
+         |  event_id, event_type FROM events
+         |  WHERE event_type <> 'purchase'),
+         |j AS (SELECT p.event_id, t.ts_ns AS tts,
+         |        t.event_type AS ttype,
+         |        row_number() OVER (PARTITION BY p.event_id
+         |          ORDER BY t.ts_ns DESC, t.event_id DESC) AS rk
+         |      FROM p JOIN t ON t.user_id = p.user_id
+         |        AND t.ts_ns <= p.ts_ns),
+         |best AS (SELECT event_id, tts, ttype FROM j WHERE rk = 1),
+         |att AS (SELECT p.event_id,
+         |    CASE WHEN b.tts IS NOT NULL
+         |         AND p.ts_ns - b.tts <= $attrLookbackNs
+         |         THEN b.ttype ELSE 'none' END AS attributed_type,
+         |    CASE WHEN b.tts IS NOT NULL
+         |         AND p.ts_ns - b.tts <= $attrLookbackNs
+         |         THEN (p.ts_ns - b.tts) // 1000000000
+         |         ELSE 0 END AS lat_s
+         |  FROM p LEFT JOIN best b USING (event_id))
+         |SELECT attributed_type, CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(sum(lat_s) AS BIGINT) AS lat_sum_s
+         |FROM att GROUP BY 1 ORDER BY attributed_type""".stripMargin,
     "op201_strata_alloc" ->
       s"""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
          |           FROM documents GROUP BY 1),

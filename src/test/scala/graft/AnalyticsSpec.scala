@@ -277,4 +277,71 @@ class AnalyticsSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).length <= 1,
       "more than the sources-grid Window in the plan")
   }
+
+  test("op205: deadline chain matches a driver replay and is a subset of op161") {
+    val got = AnalyticsQueries.op205WindowedFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val free = AnalyticsQueries.op161Funnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // deadlines can only REMOVE conversions
+    Seq("1_view", "2_click", "3_purchase").foreach { st =>
+      assert(got(st)._1 <= free(st)._1, s"$st users grew under a deadline")
+    }
+    assert(got("1_view") == free("1_view"), "step 1 has no deadline")
+    assert(got("2_click")._1 < free("2_click")._1,
+      "fixture must exercise the click deadline")
+    // driver replay of the windowed chain
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val w1 = 3L * 86400L * 1000000000L
+    val w2 = 7L * 86400L * 1000000000L
+    var (c1, c2, c3, l2, l3) = (0L, 0L, 0L, 0L, 0L)
+    byUser.values.foreach { rows =>
+      val t1 = rows.collect { case (_, "view", t) => t }.minOption
+      val t2 = t1.flatMap(a => rows.collect {
+        case (_, "click", t) if t > a && t <= a + w1 => t }.minOption)
+      val t3 = t2.flatMap(b => rows.collect {
+        case (_, "purchase", t) if t > b && t <= b + w2 => t }.minOption)
+      t1.foreach { _ => c1 += 1 }
+      t2.foreach { b => c2 += 1; l2 += (b - t1.get) / 1000000000L }
+      t3.foreach { c => c3 += 1; l3 += (c - t2.get) / 1000000000L }
+    }
+    assert(got == Map("1_view" -> ((c1, 0L)), "2_click" -> ((c2, l2)),
+      "3_purchase" -> ((c3, l3))))
+  }
+
+  test("op206: last-touch attribution matches a driver replay; buckets partition purchases") {
+    val got = AnalyticsQueries.op206LastTouchAttribution(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val lookback = 7L * 86400L * 1000000000L
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val byUser = ev.groupBy(_._2)
+    var nPurch = 0L
+    byUser.values.foreach { rows =>
+      val touches = rows.filter(_._3 != "purchase")
+      rows.filter(_._3 == "purchase").foreach { case (_, _, _, pts) =>
+        nPurch += 1
+        // latest at-or-before, ties broken by max event_id (both engines)
+        val best = touches.filter(_._4 <= pts)
+          .sortBy(t => (-t._4, -t._1)).headOption
+        val (ty, lat) = best match {
+          case Some(t) if pts - t._4 <= lookback =>
+            (t._3, (pts - t._4) / 1000000000L)
+          case _ => ("none", 0L)
+        }
+        val (n0, l0) = counts.getOrElse(ty, (0L, 0L))
+        counts(ty) = (n0 + 1, l0 + lat)
+      }
+    }
+    assert(got == counts.toMap)
+    assert(got.values.map(_._1).sum == nPurch,
+      "attribution buckets must partition the purchases")
+    assert(got.contains("none"), "lookback miss not exercised")
+  }
 }
