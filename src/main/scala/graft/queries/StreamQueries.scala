@@ -80,9 +80,9 @@ object StreamQueries {
     * by the fold's exactness this IS the batch chain, so op199 sits
     * under op161's UNCHANGED oracle (the step frame left-join keeps the
     * three rows present even for empty stages, like op161's unions). */
-  val op199StreamFunnel: Q = (s, d) => {
+  private def funnelServe(s: SparkSession,
+      hits: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val hits = graft.streaming.EventStreams.funnelStepHits(s, d)
     val agg = hits.groupBy("step")
       .agg(count(lit(1)).as("users"), sum("lat_s").as("lat_sum_s"))
     val steps = Seq("1_view", "2_click", "3_purchase").toDF("step")
@@ -93,6 +93,18 @@ object StreamQueries {
           coalesce(col("lat_sum_s"), lit(0L)).as("lat_sum_s")),
       "step")
   }
+
+  val op199StreamFunnel: Q = (s, d) =>
+    funnelServe(s, graft.streaming.EventStreams.funnelStepHits(s, d))
+
+  /** op207: STREAMING windowed funnel — op205's deadline chain
+    * maintained online (the op199 processor with conversion windows;
+    * an expired step never fires, so no timers are needed and state
+    * stays three longs per user). Same fold-exactness argument as
+    * op199, so op207 sits under op205's UNCHANGED oracle. */
+  val op207StreamWindowedFunnel: Q = (s, d) =>
+    funnelServe(s, graft.streaming.EventStreams.funnelStepHits(s, d,
+      AnalyticsQueries.fwClickNs, AnalyticsQueries.fwPurchaseNs))
 
   /** op203: STREAMING session-path emission — op200's trajectory mining
     * online (transformWithState; see [[graft.streaming
@@ -120,6 +132,7 @@ object StreamQueries {
     "op164_stream_left_outer" -> op164StreamLeftOuter,
     "op199_stream_funnel" -> op199StreamFunnel,
     "op203_stream_session_paths" -> op203StreamSessionPaths,
+    "op207_stream_windowed_funnel" -> op207StreamWindowedFunnel,
   )
 
   private val tumblingSql =
@@ -200,6 +213,9 @@ object StreamQueries {
   ) +
     // op199 is op161 maintained online; the shared oracle is the proof
     ("op199_stream_funnel" -> AnalyticsQueries.oracle("op161_funnel")) +
+    // op207 is op205's deadline chain maintained online — same proof
+    ("op207_stream_windowed_funnel" ->
+      AnalyticsQueries.oracle("op205_windowed_funnel")) +
     // op203 is op200 restricted to CLOSED sessions (each user's final
     // session is operator state, not output)
     ("op203_stream_session_paths" ->

@@ -114,14 +114,18 @@ object EventStreams {
     * micro-batch, so the per-key in-batch sort makes the fold exact;
     * multi-batch (time-sliced) arrival and checkpoint recovery are
     * pinned in StreamingSpec/RecoverySpec. */
-  def funnelStepHits(spark: SparkSession, dir: String): DataFrame =
+  def funnelStepHits(spark: SparkSession, dir: String,
+      clickWithinNs: Long = Long.MaxValue,
+      purchaseWithinNs: Long = Long.MaxValue): DataFrame =
     StateStores.withRocksDb(spark) {
-      drainEvents(spark, dir, "op199") { ev =>
+      drainEvents(spark, dir,
+        if (clickWithinNs == Long.MaxValue) "op199" else "op207") { ev =>
         FunnelStream.stepHits(
           ev.select(col("user_id"), col("event_type"),
             (expr("unix_micros(ts)") * lit(1000L)).as("ts_ns"))
             .as[FunnelStream.FEv](
-              org.apache.spark.sql.Encoders.product[FunnelStream.FEv]))
+              org.apache.spark.sql.Encoders.product[FunnelStream.FEv]),
+          clickWithinNs, purchaseWithinNs)
           .toDF()
       }
     }

@@ -41,9 +41,16 @@ object FunnelStream {
   val Unset: Long = Long.MinValue
 
   /** Fold one key's event-time-sorted slice into the funnel state,
-    * emitting the steps this slice closes. Shared by any spelling. */
+    * emitting the steps this slice closes. Shared by any spelling.
+    * `clickWithinNs`/`purchaseWithinNs` are op205's conversion
+    * deadlines; the defaults (MaxValue, spelled as `t − prev ≤ w` so
+    * no sum can overflow) reduce to op161's unbounded chain. A step
+    * arriving past its deadline is skipped FOREVER — later candidates
+    * are later still, exactly the batch windowed-min semantics. */
   private[graft] def foldBatch(user: Long,
-      sorted: Seq[(String, Long)], st0: FunnelState)
+      sorted: Seq[(String, Long)], st0: FunnelState,
+      clickWithinNs: Long = Long.MaxValue,
+      purchaseWithinNs: Long = Long.MaxValue)
       : (Seq[StepHit], FunnelState) = {
     val hits = scala.collection.mutable.ArrayBuffer.empty[StepHit]
     var st = st0
@@ -51,10 +58,12 @@ object FunnelStream {
       case "view" if st.t1 == Unset =>
         st = st.copy(t1 = t)
         hits += StepHit(user, "1_view", 0L)
-      case "click" if st.t1 != Unset && st.t2 == Unset && t > st.t1 =>
+      case "click" if st.t1 != Unset && st.t2 == Unset && t > st.t1 &&
+          t - st.t1 <= clickWithinNs =>
         st = st.copy(t2 = t)
         hits += StepHit(user, "2_click", (t - st.t1) / 1000000000L)
-      case "purchase" if st.t2 != Unset && st.t3 == Unset && t > st.t2 =>
+      case "purchase" if st.t2 != Unset && st.t3 == Unset && t > st.t2 &&
+          t - st.t2 <= purchaseWithinNs =>
         st = st.copy(t3 = t)
         hits += StepHit(user, "3_purchase", (t - st.t2) / 1000000000L)
       case _ => ()
@@ -64,8 +73,13 @@ object FunnelStream {
 
   /** transformWithState processor: one typed ValueState row per user,
     * no timers (a funnel step closes on its triggering event, never by
-    * time — nothing to flush at a horizon). */
-  class FunnelProcessor extends StatefulProcessor[Long, FEv, StepHit] {
+    * time — nothing to flush at a horizon). Deadlines (op207) need no
+    * timers either: an expired step simply never fires, and the
+    * deadline bounds how long a PARTIAL funnel's state stays useful —
+    * a deployment pairs this with a state TTL of W₁+W₂. */
+  class FunnelProcessor(clickWithinNs: Long = Long.MaxValue,
+      purchaseWithinNs: Long = Long.MaxValue)
+      extends StatefulProcessor[Long, FEv, StepHit] {
     @transient private var state:
       org.apache.spark.sql.streaming.ValueState[FunnelState] = _
 
@@ -78,17 +92,22 @@ object FunnelStream {
       val (hits, st) = foldBatch(user,
         rows.toSeq.sortBy(_.ts_ns).map(e => (e.event_type, e.ts_ns)),
         if (state.exists()) state.get()
-        else FunnelState(Unset, Unset, Unset))
+        else FunnelState(Unset, Unset, Unset),
+        clickWithinNs, purchaseWithinNs)
       state.update(st)
       hits.iterator
     }
   }
 
-  /** Append-mode step-hit stream: one row per (user, closed step). */
-  def stepHits(events: Dataset[FEv]): Dataset[StepHit] = {
+  /** Append-mode step-hit stream: one row per (user, closed step);
+    * optional conversion deadlines (op207 — defaults unbounded/op199). */
+  def stepHits(events: Dataset[FEv],
+      clickWithinNs: Long = Long.MaxValue,
+      purchaseWithinNs: Long = Long.MaxValue): Dataset[StepHit] = {
     implicit val outEnc = Encoders.product[StepHit]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .transformWithState(new FunnelProcessor,
+      .transformWithState(
+        new FunnelProcessor(clickWithinNs, purchaseWithinNs),
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -92,6 +92,34 @@ class FunnelStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("deadlines skip expired steps forever (windowed fold)") {
+    // click at +40s misses the 30s window; the later click at +50s is
+    // later still — step 2 never fires, so neither does step 3
+    val (h, st) = FunnelStream.foldBatch(1L,
+      Seq(("view", s(0)), ("click", s(40)), ("click", s(50)),
+        ("purchase", s(60))),
+      FunnelState(Unset, Unset, Unset),
+      clickWithinNs = s(30), purchaseWithinNs = s(30))
+    assert(h == Seq(StepHit(1L, "1_view", 0L)))
+    assert(st == FunnelState(s(0), Unset, Unset))
+    // in-window chain converts; the purchase deadline measures from t2
+    val (h2, _) = FunnelStream.foldBatch(1L,
+      Seq(("view", s(0)), ("click", s(20)), ("purchase", s(45))),
+      FunnelState(Unset, Unset, Unset),
+      clickWithinNs = s(30), purchaseWithinNs = s(30))
+    assert(h2 == Seq(StepHit(1L, "1_view", 0L),
+      StepHit(1L, "2_click", 20L), StepHit(1L, "3_purchase", 25L)))
+  }
+
+  test("op207 aggregates to exactly op205's rows on the fixture") {
+    val batch = graft.queries.AnalyticsQueries
+      .op205WindowedFunnel(spark, sfDir).collect().toSeq
+    val streamed = graft.queries.StreamQueries
+      .op207StreamWindowedFunnel(spark, sfDir).collect().toSeq
+    assert(streamed.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      == batch.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("op199 aggregates to exactly op161's rows on the fixture") {
     val batch = graft.queries.AnalyticsQueries
       .op161Funnel(spark, sfDir).collect().toSeq
