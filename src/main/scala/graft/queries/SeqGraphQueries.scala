@@ -339,6 +339,52 @@ object SeqGraphQueries {
       "p_partkey")
   }
 
+  // ------------------------------------------------- shared graph base
+
+  /** The support-pruned co-purchase DIRECTED-pair list shared by op194 /
+    * op202 / op208 / op209 / op213: distinct (order, part) incidences,
+    * baskets capped at [[prBasketCap]] distinct parts, pairs kept only
+    * with support ≥ 2 co-occurring orders (the op170 A-priori prune —
+    * at 100 TB the prune bounds the edge list BEFORE any self-join).
+    * One row per undirected edge with p1 < p2. */
+  private def supportPrunedPairs(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
+      .where(col("supp") >= 2).select("p1", "p2")
+  }
+
+  /** Symmetric (both-direction) edge list over [[supportPrunedPairs]]. */
+  private def supportPrunedUnd(s: SparkSession, d: String): DataFrame = {
+    val pairs = supportPrunedPairs(s, d)
+    pairs.union(pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+  }
+
+  /** The same graph-base CTE prefix shared by the op194/op202/op208/
+    * op209/op213 oracles (MATERIALIZED: each is read by ≥ 2 consumers —
+    * the inline-expansion blowup rule from op202's postmortem). */
+  private val graphBaseSql: String =
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |small AS MATERIALIZED (SELECT l_orderkey FROM li GROUP BY 1
+       |          HAVING count(*) <= $prBasketCap),
+       |li2 AS MATERIALIZED (SELECT li.l_orderkey, li.l_partkey
+       |        FROM li JOIN small USING (l_orderkey)),
+       |pairs AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |          FROM li2 a JOIN li2 b ON a.l_orderkey = b.l_orderkey
+       |            AND a.l_partkey < b.l_partkey
+       |          GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (SELECT p1, p2 FROM pairs
+       |        UNION ALL SELECT p2, p1 FROM pairs),
+       |verts AS MATERIALIZED (SELECT DISTINCT p1 AS v FROM und)""".stripMargin
+
   // ---------------------------------------------------------------- op202
 
   /** op202 core parameter and peel-round unroll depth. */
@@ -367,24 +413,10 @@ object SeqGraphQueries {
     * hypothesized. Ten tiny materializations beat one exponential
     * plan. */
   val op202KCore: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
-      .where(col("supp") >= 2).select("p1", "p2")
     // the support-pruned symmetric edge list is round-invariant and
     // read every round — materialize it once (localCheckpoint), like
     // the per-round vertex sets below
-    val und = pairs.union(
-        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
-      .localCheckpoint()
+    val und = supportPrunedUnd(s, d).localCheckpoint()
     var alive = und.select(col("p1").as("v")).distinct().localCheckpoint()
     // counts are driver-side by construction (the checkpoint already
     // ran a job), which buys the convergence check every iterative
@@ -438,18 +470,7 @@ object SeqGraphQueries {
     * (the op170 A-priori argument). Emits the one-row graph summary:
     * vertices, edges, wedges, triangles, transitivity bp. */
   val op194Triangles: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
-      .where(col("supp") >= 2).select("p1", "p2")
+    val pairs = supportPrunedPairs(s, d)
     val und = pairs.union(
         pairs.select(col("p2").as("p1"), col("p1").as("p2")))
     val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
@@ -485,6 +506,171 @@ object SeqGraphQueries {
         .select("n_vertices", "n_edges", "n_wedges", "n_triangles",
           "transitivity_bp"),
       "n_vertices")
+  }
+
+  // ---------------------------------------------------------------- op208
+
+  /** op208 label-propagation round cap — a safety bound only: the loop
+    * breaks at the fixpoint (no label changed), which arrives within
+    * the graph's diameter (~10 on the fixture co-purchase graph). */
+  private val ccMaxRounds = 25
+
+  /** op208: connected components over the support-pruned co-purchase
+    * graph — hash-min label propagation: every vertex starts as its own
+    * label and each round adopts the minimum of its own and its
+    * neighbors' labels, until a round changes nothing. Components are
+    * emitted as (component id = minimum member, size, member bounds);
+    * min_v == comp by construction, kept as an in-band self-check.
+    *
+    * 100 TB shape: each round is ONE equi-join (edges × labels, both
+    * keyed by vertex) + one map-combinable min-aggregate — the hash-min
+    * form every distributed CC implementation (GraphX, GraphFrames,
+    * Google's MapReduce CC) bootstraps from; rounds ≤ diameter, and
+    * co-purchase/social graphs have small diameters. Labels and edges
+    * are localCheckpointed between rounds (the op202 rule: `labels` is
+    * read three times per round — lazy unroll multiplies subplans
+    * ~3^rounds and stalls Catalyst long before execution). The
+    * convergence count is driver-side but O(1) per round, piggybacked
+    * on the checkpoint job. For diameter-heavy graphs (road networks)
+    * the production escalation is large-star/small-star contraction
+    * (O(log²) rounds) — same per-round join shape, so this spelling is
+    * the correct building block. The ORACLE walks the same graph as a
+    * recursive transitive-closure CTE — a completely different
+    * algorithm arriving at the identical partition. */
+  val op208ConnectedComponents: Q = (s, d) => {
+    val und = supportPrunedUnd(s, d).localCheckpoint()
+    var labels = und.select(col("p1").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < ccMaxRounds) {
+      val nbrMin = und
+        .join(labels.select(col("v").as("p1"), col("lbl")), "p1")
+        .groupBy(col("p2")).agg(min("lbl").as("nbr"))
+        .select(col("p2").as("v"), col("nbr"))
+      val merged = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("nlbl"))
+        .localCheckpoint()
+      changed = merged.where(col("nlbl") < col("lbl")).count()
+      labels = merged.select(col("v"), col("nlbl").as("lbl"))
+      round += 1
+    }
+    ordered(
+      labels.groupBy(col("lbl"))
+        .agg(big(count(lit(1))).as("n_vertices"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .select(col("lbl").as("comp"), col("n_vertices"),
+          col("min_v"), col("max_v")),
+      "comp")
+  }
+
+  // ---------------------------------------------------------------- op209
+
+  /** op209 declared hop bound — part of the operator's CONTRACT (both
+    * engines stop expanding at this depth), not a tuning knob: bounded
+    * traversal is what keeps multi-source BFS shuffle-predictable at
+    * scale. Fixture eccentricity from the source set is 10. */
+  private val bfsMaxHops = 12L
+
+  /** op209: bounded multi-source BFS — hop distance from the source set
+    * (vertices ≡ 0 mod 97) to every vertex of the co-purchase graph,
+    * capped at [[bfsMaxHops]] hops; emitted as a per-distance histogram
+    * with member bounds, unreachable vertices as dist = −1. The
+    * neighborhood-growth primitive under influence radii, blast-radius
+    * analysis, and graph-feature extraction ("distance to nearest hub").
+    *
+    * 100 TB shape: classic frontier expansion — each hop is one
+    * equi-join of the (shrinking) frontier against the edge list plus
+    * one anti-join against the visited set, all keyed by vertex; work
+    * per hop is proportional to the frontier's edge boundary, never
+    * |V|·|E| (the naive all-pairs-shortest-path trap). Frontier and
+    * visited sets are localCheckpointed per hop (op202 rule). The hop
+    * cap bounds the round count — and therefore the job's stage count —
+    * by contract; vertices past the cap are REPORTED (-1 bucket), not
+    * silently dropped. Oracle: recursive CTE with the same cap, min()
+    * over discovered depths. */
+  val op209BfsHops: Q = (s, d) => {
+    val und = supportPrunedUnd(s, d).localCheckpoint()
+    val verts = und.select(col("p1").as("v")).distinct().localCheckpoint()
+    var assigned = verts.where(col("v") % 97 === 0)
+      .select(col("v"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = assigned
+    var hop = 0L
+    var nFront = frontier.count()
+    while (nFront > 0 && hop < bfsMaxHops) {
+      hop += 1
+      val next = und
+        .join(frontier.select(col("v").as("p1")), "p1")
+        .select(col("p2").as("v")).distinct()
+        .join(assigned.select("v"), Seq("v"), "left_anti")
+        .select(col("v"), lit(hop).as("dist")).localCheckpoint()
+      nFront = next.count()
+      assigned = assigned.union(next).localCheckpoint()
+      frontier = next
+    }
+    val hist = assigned.groupBy("dist")
+      .agg(big(count(lit(1))).as("n_vertices"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    val unreach = verts.join(assigned.select("v"), Seq("v"), "left_anti")
+      .agg(big(count(lit(1))).as("n_vertices"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .where(col("n_vertices") > 0)
+      .select(lit(-1L).as("dist"), col("n_vertices"),
+        col("min_v"), col("max_v"))
+    ordered(hist.unionByName(unreach), "dist")
+  }
+
+  // ---------------------------------------------------------------- op213
+
+  /** op213 recommendation depth. */
+  private val recK = 3
+
+  /** op213: item-item Jaccard recommender — for every part, the top-3
+    * co-purchase partners ranked by Jaccard similarity of their basket
+    * sets (co-baskets / (baskets_a + baskets_b − co-baskets), basis
+    * points), ties broken by partner id. The collaborative-filtering
+    * primitive op170's raw co-counts feed: Jaccard normalizes away
+    * item popularity, so a partner that co-occurs often merely because
+    * it is everywhere stops dominating the list.
+    *
+    * 100 TB shape: candidates come ONLY from the support-pruned pair
+    * list (A-priori: a pair below support 2 can't rank) — never an
+    * all-pairs item matrix; per-item basket counts attach by broadcast
+    * (items are a dimension); the top-3 trim is a per-key window over
+    * candidate partners, shuffle bounded by the pruned pair list. The
+    * same shape serves "users who bought X" at billion-basket scale —
+    * the prune threshold is the knob that trades recall for candidate
+    * volume. */
+  val op213JaccardRecommend: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val nb = it2.groupBy(col("l_partkey")).agg(count(lit(1)).as("nbk"))
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val co = a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
+      .where(col("co") >= 2)
+    val sym = co.union(co.select(col("p2"), col("p1"), col("co")))
+      .join(broadcast(nb.select(col("l_partkey").as("p1"),
+        col("nbk").as("n_a"))), "p1")
+      .join(broadcast(nb.select(col("l_partkey").as("p2"),
+        col("nbk").as("n_b"))), "p2")
+      .select(col("p1"), col("p2"), col("co"),
+        expr("co * 10000 div (n_a + n_b - co)").as("jaccard_bp"))
+    val top = sym.withColumn("rank", big(row_number().over(
+        Window.partitionBy("p1")
+          .orderBy(col("jaccard_bp").desc, col("p2")))))
+      .where(col("rank") <= recK)
+    ordered(
+      top.select(col("p1").as("p_partkey"), col("rank"),
+        col("p2").as("partner"), col("co"), col("jaccard_bp")),
+      "p_partkey", "rank")
   }
 
   // ---------------------------------------------------------------- op177
@@ -588,7 +774,10 @@ object SeqGraphQueries {
     "op178_null_aware_not_in" -> op178NullAwareNotIn,
     "op191_interval_coverage" -> op191IntervalCoverage,
     "op194_triangles" -> op194Triangles,
-    "op202_kcore" -> op202KCore)
+    "op202_kcore" -> op202KCore,
+    "op208_connected_components" -> op208ConnectedComponents,
+    "op209_bfs_hops" -> op209BfsHops,
+    "op213_jaccard_recommend" -> op213JaccardRecommend)
 
   /** op202's oracle: the same peel unrolled as chained CTEs (a0 → aN),
     * per-round rows from subquery counts — all BIGINT casts. */
@@ -753,6 +942,69 @@ object SeqGraphQueries {
     // shared oracle is the proof they emit identical integers
     "op176b_pagerank_partitioned" -> pagerankSql,
     "op202_kcore" -> kcoreSql,
+    // op208's oracle reaches the same partition by a DIFFERENT
+    // algorithm (recursive transitive closure vs iterative hash-min)
+    "op208_connected_components" ->
+      s"""WITH RECURSIVE
+         |$graphBaseSql,
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.p2, rr.r FROM reach rr JOIN und e ON e.p1 = rr.v),
+         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
+         |SELECT CAST(comp AS BIGINT) AS comp,
+         |  CAST(count(*) AS BIGINT) AS n_vertices,
+         |  CAST(min(v) AS BIGINT) AS min_v,
+         |  CAST(max(v) AS BIGINT) AS max_v
+         |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+    "op209_bfs_hops" ->
+      s"""WITH RECURSIVE
+         |$graphBaseSql,
+         |src AS MATERIALIZED (SELECT v FROM verts WHERE v % 97 = 0),
+         |walk(v, dist) AS (
+         |  SELECT v, 0 FROM src
+         |  UNION
+         |  SELECT e.p2, w.dist + 1 FROM walk w JOIN und e ON e.p1 = w.v
+         |  WHERE w.dist < $bfsMaxHops),
+         |mind AS (SELECT v, min(dist) AS dist FROM walk GROUP BY v)
+         |SELECT CAST(dist AS BIGINT) AS dist,
+         |  CAST(count(*) AS BIGINT) AS n_vertices,
+         |  CAST(min(v) AS BIGINT) AS min_v,
+         |  CAST(max(v) AS BIGINT) AS max_v
+         |FROM mind GROUP BY dist
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT)
+         |FROM verts WHERE v NOT IN (SELECT v FROM mind)
+         |HAVING count(*) > 0
+         |ORDER BY dist""".stripMargin,
+    "op213_jaccard_recommend" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |small AS MATERIALIZED (SELECT l_orderkey FROM li GROUP BY 1
+         |          HAVING count(*) <= $prBasketCap),
+         |li2 AS MATERIALIZED (SELECT li.l_orderkey, li.l_partkey
+         |        FROM li JOIN small USING (l_orderkey)),
+         |nb AS MATERIALIZED (SELECT l_partkey, count(*) AS nbk
+         |      FROM li2 GROUP BY 1),
+         |co AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         |        count(*) AS co
+         |      FROM li2 a JOIN li2 b ON a.l_orderkey = b.l_orderkey
+         |        AND a.l_partkey < b.l_partkey
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS (SELECT p1, p2, co FROM co
+         |        UNION ALL SELECT p2, p1, co FROM co),
+         |j AS (SELECT s.p1, s.p2, s.co,
+         |        s.co * 10000 // (na.nbk + nb2.nbk - s.co) AS jaccard_bp
+         |      FROM sym s JOIN nb na ON s.p1 = na.l_partkey
+         |        JOIN nb nb2 ON s.p2 = nb2.l_partkey),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY p1
+         |        ORDER BY jaccard_bp DESC, p2) AS rank FROM j)
+         |SELECT p1 AS p_partkey, CAST(rank AS BIGINT) AS rank,
+         |  p2 AS partner, CAST(co AS BIGINT) AS co,
+         |  CAST(jaccard_bp AS BIGINT) AS jaccard_bp
+         |FROM rk WHERE rank <= $recK
+         |ORDER BY p_partkey, rank""".stripMargin,
     "op194_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -259,4 +259,114 @@ class SeqGraphSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.size)
     assert(coreDeg.forall(_._2 >= 3))
   }
+
+  /** Driver-side rebuild of the op194 support-pruned undirected graph. */
+  private def fixtureGraph(): Set[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).filter(_._2.length <= 7)
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.values.foreach { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        pairCnt((parts(i), parts(j))) =
+          pairCnt.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    pairCnt.filter(_._2 >= 2).keys
+      .flatMap(e => Seq(e, (e._2, e._1))).toSet
+  }
+
+  test("op208: components equal a driver-side union-find partition") {
+    val got = SeqGraphQueries.op208ConnectedComponents(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("comp"), r.getAs[Long]("n_vertices"),
+        r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))).sortBy(_._1)
+    val und = fixtureGraph()
+    // union-find over the same edges — a third algorithm (after the
+    // Spark hash-min propagation and the oracle's transitive closure)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    und.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = und.map(_._1)
+    val comps = verts.groupBy(find)
+    val want = comps.toSeq.map { case (_, vs) =>
+      (vs.min, vs.size.toLong, vs.min, vs.max)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // component id is its minimum member (in-band self-check holds)
+    assert(got.forall(r => r._1 == r._3))
+    // partition covers every vertex exactly once
+    assert(got.map(_._2).sum == verts.size.toLong)
+  }
+
+  test("op209: hop histogram equals a driver-side BFS; cap reported") {
+    val got = SeqGraphQueries.op209BfsHops(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("dist"), r.getAs[Long]("n_vertices")))
+      .sortBy(_._1)
+    val und = fixtureGraph()
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val verts = und.map(_._1)
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    var frontier = verts.filter(_ % 97 == 0)
+    frontier.foreach(v => dist(v) = 0L)
+    var hop = 0L
+    while (frontier.nonEmpty && hop < 12) {
+      hop += 1
+      val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .filterNot(dist.contains)
+      next.foreach(v => dist(v) = hop)
+      frontier = next
+    }
+    val hist = dist.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val unreach = verts.size.toLong - dist.size.toLong
+    val want = (hist.toSeq ++
+      (if (unreach > 0) Seq(-1L -> unreach) else Nil)).sortBy(_._1)
+    assert(got.toSeq == want)
+    // sources exist and the -1 bucket is reported, never dropped
+    assert(got.exists(_._1 == 0L))
+    assert(got.map(_._2).sum == verts.size.toLong)
+  }
+
+  test("op213: top-3 partners match the naive Jaccard ranking") {
+    val got = SeqGraphQueries.op213JaccardRecommend(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("rank"),
+        r.getAs[Long]("partner"), r.getAs[Long]("jaccard_bp")))
+    // naive basket-set replay
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val small = li.groupBy(_._1).filter(_._2.length <= 7)
+    val baskets = small.values.flatten
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    small.values.foreach { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        co((parts(i), parts(j))) = co.getOrElse((parts(i), parts(j)), 0L) + 1
+    }
+    val sym = co.filter(_._2 >= 2).toSeq
+      .flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    val want = sym.groupBy(_._1).flatMap { case (p, cands) =>
+      cands.map { case (_, q, c) =>
+        val j = c * 10000L / (baskets(p).size + baskets(q).size - c)
+        (q, c, j)
+      }.sortBy(x => (-x._3, x._1)).take(3).zipWithIndex
+        .map { case ((q, _, j), i) => (p, i + 1L, q, j) }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want)
+    // Jaccard in [0, 10000] and ranks are dense 1..k per part
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 10000))
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
 }
