@@ -2065,6 +2065,111 @@ object TrainQueries {
       "q_id", "rank")
   }
 
+  /** op210 fusion constants: the standard RRF damping (60), leg depth
+    * (top-20 from each retriever), and emitted depth (top-10 fused). */
+  private val rrfK0 = 60L
+  private val rrfDepth = 20
+  private val rrfOut = 10
+
+  /** op210: reciprocal-rank-fusion hybrid retrieval — the RAG-serving
+    * primitive: a LEXICAL leg (op149's BM25 top-[[rrfDepth]] for the
+    * shared [[bm25Queries]]) and a VECTOR leg (op67's brute cosine
+    * top-[[rrfDepth]], query q's vector = embedding vec_id q; doc_id ≡
+    * vec_id by fixture contract) fused per (query, doc) by
+    * floor(10⁶/(60+rank)) per leg summed — integer RRF, deterministic
+    * on both engines; docs a leg misses contribute 0 and report rank
+    * −1 (never silently NULL). Top-[[rrfOut]] fused rows emitted.
+    *
+    * 100 TB shape: each leg is already bounded (BM25 candidates by the
+    * broadcast query-term list + TopKAgg trim; ANN by its index — in
+    * production the vector leg is op119/op115's probe, same output
+    * shape) so the fusion input is queries × 2k rows — broadcast-sized
+    * REGARDLESS of corpus size; the full-outer merge and re-rank are
+    * per-query grid algebra. Rank fusion (not score fusion) is what
+    * makes the two legs' incomparable score scales composable — the
+    * reason RRF is the production default. */
+  val op210RrfFusion: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val post = graft.functions.Bm25.postings(docs, "doc_id", "text")
+    val lex = graft.functions.Bm25.topK(
+        post,
+        graft.functions.Bm25.termStats(post),
+        graft.functions.Bm25.corpusScalars(docs, "text"),
+        bm25Queries.toDF("q_id", "token"), k = rrfDepth)
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
+    val emb = Tables.embeddings(s, d)
+    val qIds = bm25Queries.map(_._1).distinct
+    val vec = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(qIds: _*)), emb, rrfDepth)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+        col("rank").as("r_vec"))
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("r_lex"), lit(-1L)).as("rank_lex"),
+        coalesce(col("r_vec"), lit(-1L)).as("rank_vec"),
+        (coalesce(expr(s"1000000 div ($rrfK0 + r_lex)"), lit(0L)) +
+         coalesce(expr(s"1000000 div ($rrfK0 + r_vec)"), lit(0L)))
+          .as("rrf_ppm"))
+    ordered(
+      fused.withColumn("rank", big(row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("rrf_ppm").desc, col("doc_id")))))
+        .where(col("rank") <= rrfOut)
+        .select("q_id", "rank", "doc_id", "rrf_ppm",
+          "rank_lex", "rank_vec"),
+      "q_id", "rank")
+  }
+
+  /** op211's fixed phrase workload (ids shared with the oracle VALUES
+    * list): three bigrams + one trigram present in the fixture corpus. */
+  private val phraseQueries: Seq[(Long, String)] = Seq(
+    1L -> "table hash", 2L -> "customer join",
+    3L -> "vector small", 4L -> "part filter scan")
+
+  /** op211: positional phrase search — exact multi-word match over a
+    * POSITIONAL inverted index: postings are (doc, position, token)
+    * (posexplode — the op148 postings build plus the position column
+    * Lucene keeps for exactly this query class); a phrase of n terms
+    * matches at anchor a iff every (offset i, term tᵢ) posting exists
+    * at position a+i, found by ONE equi-join of postings against the
+    * broadcast (phrase, offset, term) list and counting per-anchor
+    * hits to n — phrase length never changes the join count. Emits
+    * per (phrase, doc): match count + first position.
+    *
+    * 100 TB shape: one (token)-keyed shuffle bounded by postings that
+    * match ANY query term (the broadcast semi-join prunes the rest at
+    * the scan); the anchor trick turns n-gram adjacency into a single
+    * group-by — no n-way self-join, no per-document re-tokenization
+    * per phrase. The production escalation is the op136 layout story:
+    * postings bucketed by token make the probe a pruned scan. */
+  val op211PhraseSearch: Q = (s, d) => {
+    import s.implicits._
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("p"),
+        col("col").as("token"))
+    val terms = phraseQueries.flatMap { case (id, ph) =>
+        ph.split(" ").zipWithIndex.map { case (t, i) => (id, i.toLong, t) }
+      }.toDF("phrase_id", "off", "token")
+    val nTerms = terms.groupBy("phrase_id")
+      .agg(count(lit(1)).as("n_terms"))
+    val anchors = pos.join(broadcast(terms), "token")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("p") - col("off")).as("anchor"))
+      // (doc, p) is unique per posting, so each (anchor, off) pair hits
+      // at most once — count(*) counts DISTINCT satisfied offsets
+      .groupBy("phrase_id", "doc_id", "anchor")
+      .agg(count(lit(1)).as("n_hit"))
+    val matches = anchors.join(broadcast(nTerms), "phrase_id")
+      .where(col("n_hit") === col("n_terms"))
+    ordered(
+      matches.groupBy("phrase_id", "doc_id")
+        .agg(big(count(lit(1))).as("n_matches"),
+          min("anchor").as("first_pos")),
+      "phrase_id", "doc_id")
+  }
+
   /** op153: STREAMING CDC upsert — the changelog family's online leg
     * (the op142 symmetry for row-level mutation): arrivals stream in
     * via AvailableNow and every micro-batch lands through
@@ -2401,6 +2506,8 @@ object TrainQueries {
     "op147_schema_evolution" -> op147SchemaEvolution,
     "op148_bm25_stats" -> op148Bm25Stats,
     "op149_bm25_topk" -> op149Bm25TopK,
+    "op210_rrf_fusion" -> op210RrfFusion,
+    "op211_phrase_search" -> op211PhraseSearch,
     "op152_incr_agg" -> op152IncrAgg,
     "op153_stream_upsert" -> op153StreamUpsert,
     "op154_snapshot_diff" -> op154SnapshotDiff,
@@ -3743,6 +3850,105 @@ object TrainQueries {
          |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rank,
          |       doc_id, CAST(score_ubp AS BIGINT) AS score_ubp
          |FROM rk WHERE rnk <= 5 ORDER BY q_id, rank""".stripMargin,
+    // op210: both legs replayed verbatim (op149's BM25 chain at k=20,
+    // op67's quantized-cosine chain restricted to the query ids), then
+    // the integer RRF merge — rank fusion is engine-agnostic by design
+    "op210_rrf_fusion" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         |         len(string_split(text, ' ')) AS dl
+         |  FROM documents),
+         |post AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM tok GROUP BY doc_id, token),
+         |c AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM documents),
+         |stats AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+         |qt(q_id, token) AS (VALUES ${bm25Queries
+             .map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+         |bcand AS (
+         |  SELECT qt.q_id, p.doc_id,
+         |         ${graft.functions.Bm25.contribUbpSql} AS contrib
+         |  FROM post p
+         |  JOIN qt USING (token) JOIN stats USING (token) CROSS JOIN c),
+         |bscored AS (
+         |  SELECT q_id, doc_id, sum(contrib) AS score_ubp
+         |  FROM bcand GROUP BY q_id, doc_id),
+         |lexk AS (
+         |  SELECT q_id, doc_id, rnk FROM (
+         |    SELECT q_id, doc_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY score_ubp DESC, doc_id) AS rnk
+         |    FROM bscored) WHERE rnk <= $rrfDepth),
+         |qv AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+         |     FOR i IN range(64)] AS v
+         |  FROM embeddings),
+         |nv AS (SELECT vec_id, v,
+         |         CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
+         |       FROM qv),
+         |vscored AS (
+         |  SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
+         |         CASE WHEN qs.n2 = 0 OR cs.n2 = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(floor(CAST(list_sum([qs.v[i+1] * cs.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+         |                   / (sqrt(qs.n2) * sqrt(cs.n2)) * 10000) AS BIGINT) END AS cos_bp
+         |  FROM nv qs, nv cs
+         |  WHERE qs.vec_id IN (${bm25Queries.map(_._1).distinct.mkString(", ")})
+         |    AND qs.vec_id <> cs.vec_id),
+         |veck AS (
+         |  SELECT q_id, n_id, rank FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos_bp DESC, n_id) AS rank
+         |    FROM vscored) WHERE rank <= $rrfDepth),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |         coalesce(l.doc_id, v.n_id) AS doc_id,
+         |         coalesce(l.rnk, -1) AS rank_lex,
+         |         coalesce(v.rank, -1) AS rank_vec,
+         |         coalesce(1000000 // ($rrfK0 + l.rnk), 0) +
+         |         coalesce(1000000 // ($rrfK0 + v.rank), 0) AS rrf_ppm
+         |  FROM lexk l FULL OUTER JOIN veck v
+         |    ON l.q_id = v.q_id AND l.doc_id = v.n_id),
+         |rk2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY rrf_ppm DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
+         |  doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+         |  CAST(rank_lex AS BIGINT) AS rank_lex,
+         |  CAST(rank_vec AS BIGINT) AS rank_vec
+         |FROM rk2 WHERE rank <= $rrfOut ORDER BY q_id, rank""".stripMargin,
+    // op211: positional postings (zipped unnest = posexplode), the
+    // anchor trick replayed verbatim
+    "op211_phrase_search" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+         |  FROM documents),
+         |terms(phrase_id, off, token) AS (VALUES ${phraseQueries
+             .flatMap { case (id, ph) =>
+               ph.split(" ").zipWithIndex.map { case (t, i) =>
+                 s"($id, $i, '$t')" } }.mkString(", ")}),
+         |nt AS (SELECT phrase_id, count(*) AS n_terms FROM terms
+         |       GROUP BY 1),
+         |hit AS (
+         |  SELECT t.phrase_id, k.doc_id, k.p - t.off AS anchor,
+         |         count(*) AS n_hit
+         |  FROM tok k JOIN terms t ON k.token = t.token
+         |  GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT h.phrase_id, h.doc_id, h.anchor
+         |  FROM hit h JOIN nt USING (phrase_id)
+         |  WHERE h.n_hit = nt.n_terms)
+         |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(anchor) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin,
     // op152: the delta-maintained state must answer exactly like the
     // full-table aggregate (quantities are integral doubles → bigint)
     "op152_incr_agg" ->

@@ -427,7 +427,61 @@ object WarehouseQueries {
 
   // ------------------------------------------------------------- wiring
 
+  // ---------------------------------------------------------------- op212
+
+  /** op212 quantile count. */
+  private val rfmQ = 5
+
+  /** op212: RFM segmentation — every ordering customer scored into
+    * recency/frequency/monetary quintiles (1 = best: most recent,
+    * most orders, highest lifetime cents), emitted as the ≤ 5³ segment
+    * grid with sizes, revenue mass, and min-custkey witness. The
+    * marketing-warehouse classic (churn targeting, LTV tiers) and the
+    * canonical multi-axis-quantile pattern.
+    *
+    * Scale shape: the heavy step is ONE map-combinable aggregate over
+    * orders (last day, count, cents per customer); quintiling then
+    * runs over the CUSTOMER DIMENSION, not the fact table — ntile's
+    * single-partition sort is over per-customer rows, which is
+    * exactly where a dimension-sized sort is the honest spelling.
+    * When the entity side outgrows a dimension (per-user scoring at
+    * billions), the production escalation is op179's grid-walk
+    * boundary computation joined back by range — same integers for
+    * distinct-heavy metrics; ntile here keeps the textbook
+    * equal-count-remainder-first semantics bit-exact. Reference day
+    * is data-derived (max order day) as a broadcast scalar — no
+    * wall-clock in the result (the Det rule). */
+  val op212RfmSegments: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select(col("o_custkey"),
+      big(datediff(to_date(col("o_orderdate")),
+        lit("1995-01-01").cast("date"))).as("day"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val per = ord.groupBy("o_custkey").agg(
+      max("day").as("last_day"),
+      big(count(lit(1))).as("frequency"),
+      sum("cents").as("cents"))
+    val ref = ord.agg(max("day").as("ref_day"))
+    val rfm = per.crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        (col("ref_day") - col("last_day")).as("recency"),
+        col("frequency"), col("cents"))
+    val scored = rfm
+      .withColumn("r_q", big(ntile(rfmQ).over(
+        Window.orderBy(col("recency"), col("o_custkey")))))
+      .withColumn("f_q", big(ntile(rfmQ).over(
+        Window.orderBy(col("frequency").desc, col("o_custkey")))))
+      .withColumn("m_q", big(ntile(rfmQ).over(
+        Window.orderBy(col("cents").desc, col("o_custkey")))))
+    ordered(
+      scored.groupBy("r_q", "f_q", "m_q")
+        .agg(big(count(lit(1))).as("n_customers"),
+          sum("cents").as("sum_cents"),
+          min("o_custkey").as("min_custkey")),
+      "r_q", "f_q", "m_q")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op212_rfm_segments" -> op212RfmSegments,
     "op179_range_boundaries" -> op179RangeBoundaries,
     "op180_tree_rollup" -> op180TreeRollup,
     "op181_salted_join" -> op181SaltedJoin,
@@ -439,6 +493,36 @@ object WarehouseQueries {
     "op197_anti_entropy" -> op197AntiEntropy)
 
   val oracle: Map[String, String] = Map(
+    "op212_rfm_segments" ->
+      s"""WITH ord AS (
+         |  SELECT o_custkey,
+         |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         |      AS day,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |per AS (
+         |  SELECT o_custkey, max(day) AS last_day,
+         |    CAST(count(*) AS BIGINT) AS frequency,
+         |    CAST(sum(cents) AS BIGINT) AS cents
+         |  FROM ord GROUP BY 1),
+         |ref AS (SELECT max(day) AS ref_day FROM ord),
+         |rfm AS (
+         |  SELECT o_custkey, ref_day - last_day AS recency,
+         |    frequency, cents
+         |  FROM per CROSS JOIN ref),
+         |scored AS (
+         |  SELECT o_custkey, cents,
+         |    ntile($rfmQ) OVER (ORDER BY recency, o_custkey) AS r_q,
+         |    ntile($rfmQ) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+         |    ntile($rfmQ) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+         |  FROM rfm)
+         |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+         |  CAST(m_q AS BIGINT) AS m_q,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  min(o_custkey) AS min_custkey
+         |FROM scored GROUP BY 1, 2, 3
+         |ORDER BY r_q, f_q, m_q""".stripMargin,
     "op179_range_boundaries" ->
       s"""WITH grid AS (
          |  SELECT n_chars AS v, count(*) AS cnt FROM documents

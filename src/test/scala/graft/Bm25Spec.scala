@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Bm25
+import graft.sources.Tables
 
 /** BM25 semantics on a hand-checkable corpus + the broadcast/bounded
   * plan shape the 100 TB argument rests on. */
@@ -87,5 +88,74 @@ class Bm25Spec extends SparkSpec {
       s"query-term/stats joins must broadcast:\n$plan")
     assert(!plan.contains("Window"),
       s"top-k must be the bounded TopKAgg, not a window sort:\n$plan")
+  }
+
+  test("op210: fused ranking equals a driver-side RRF of the two legs") {
+    val got = graft.queries.TrainQueries.op210RrfFusion(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_ppm"),
+        r.getAs[Long]("rank_lex"), r.getAs[Long]("rank_vec")))
+    // rebuild both legs through the library functions, fuse driver-side
+    val docs = Tables.documents(spark, sfDir)
+    val post = Bm25.postings(docs, "doc_id", "text")
+    val qs = Seq(1L -> "spark", 1L -> "join", 1L -> "window",
+      2L -> "customer", 2L -> "order", 2L -> "line",
+      3L -> "vector", 3L -> "hash", 3L -> "scan")
+    val lex = Bm25.topK(post, Bm25.termStats(post),
+        Bm25.corpusScalars(docs, "text"), qs.toDF("q_id", "token"), 20)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rank")).toMap
+    val emb = Tables.embeddings(spark, sfDir)
+    val vec = graft.functions.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), emb, 20)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Long]("rank")).toMap
+    val want = (lex.keySet ++ vec.keySet).toSeq.map { k =>
+      val rl = lex.getOrElse(k, -1L)
+      val rv = vec.getOrElse(k, -1L)
+      val ppm = (if (rl > 0) 1000000L / (60 + rl) else 0L) +
+        (if (rv > 0) 1000000L / (60 + rv) else 0L)
+      (k._1, k._2, ppm, rl, rv)
+    }.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex.map {
+        case ((_, d, ppm, rl, rv), i) => (q, i + 1L, d, ppm, rl, rv)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq.sortBy(x => (x._1, x._2)) == want)
+    // both legs genuinely reach the fused top-10, including
+    // single-leg survivors (the −1 contract is exercised)
+    assert(got.exists(_._5 > 0))
+    assert(got.exists(_._6 > 0))
+    assert(got.exists(r => r._5 == -1L || r._6 == -1L))
+  }
+
+  test("op211: matches equal a driver-side sliding-window phrase scan") {
+    val got = graft.queries.TrainQueries.op211PhraseSearch(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("phrase_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val phrases = Seq(1L -> "table hash", 2L -> "customer join",
+      3L -> "vector small", 4L -> "part filter scan")
+    val want = (for {
+      (pid, ph) <- phrases
+      (did, text) <- docs.toSeq
+    } yield {
+      val toks = text.split(" ")
+      val pt = ph.split(" ")
+      val anchors = (0 to toks.length - pt.length)
+        .filter(i => pt.indices.forall(j => toks(i + j) == pt(j)))
+      (pid, did, anchors)
+    }).filter(_._3.nonEmpty)
+      .map { case (p, d, a) => (p, d, a.length.toLong, a.min + 1L) }
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want)
+    // the trigram phrase matches somewhere (length-3 path exercised)
+    assert(want.exists(_._1 == 4L), "trigram phrase inert on fixture")
   }
 }

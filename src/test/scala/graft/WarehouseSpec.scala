@@ -185,4 +185,46 @@ class WarehouseSpec extends SparkSpec {
       assert(row.getAs[Long]("sum_a") == row.getAs[Long]("sum_b"))
     }
   }
+
+  test("op212: segments equal a driver-side ntile replay; grid partitions customers") {
+    val got = WarehouseQueries.op212RfmSegments(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("r_q"), r.getAs[Long]("f_q"),
+        r.getAs[Long]("m_q")),
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("sum_cents"),
+          r.getAs[Long]("min_custkey")))).toMap
+    val rows = Tables.orders(spark, sfDir).select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast("date")).cast("long"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val per = rows.groupBy(_._1).map { case (c, rs) =>
+      (c, rs.map(_._2).max, rs.length.toLong, rs.map(_._3).sum)
+    }.toSeq
+    val refDay = rows.map(_._2).max
+    // SQL ntile: first (n mod q) buckets take ceil(n/q) rows
+    def ntile(order: Seq[Long], q: Int): Map[Long, Long] = {
+      val n = order.length
+      val base = n / q
+      val rem = n % q
+      order.zipWithIndex.map { case (c, i) =>
+        val b = if (i < rem * (base + 1)) i / (base + 1)
+                else rem + (i - rem * (base + 1)) / base
+        c -> (b + 1L)
+      }.toMap
+    }
+    val rq = ntile(per.sortBy(p => (refDay - p._2, p._1)).map(_._1), 5)
+    val fq = ntile(per.sortBy(p => (-p._3, p._1)).map(_._1), 5)
+    val mq = ntile(per.sortBy(p => (-p._4, p._1)).map(_._1), 5)
+    val want = per.groupBy(p => (rq(p._1), fq(p._1), mq(p._1)))
+      .map { case (k, ps) =>
+        k -> (ps.size.toLong, ps.map(_._4).sum, ps.map(_._1).min) }
+    assert(got == want)
+    // grid partitions the ordering customers exactly
+    assert(got.values.map(_._1).sum == per.size.toLong)
+    // every quintile axis is balanced within one customer
+    Seq(rq, fq, mq).foreach { ax =>
+      val sizes = ax.values.groupBy(identity).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
 }
