@@ -673,6 +673,44 @@ object SeqGraphQueries {
       "p_partkey", "rank")
   }
 
+  // ---------------------------------------------------------------- op215
+
+  /** op215: degree-assortativity curve — for every degree value k, the
+    * average degree of the neighbors of degree-k vertices (basis
+    * points), i.e. the knn(k) curve: rising ⇒ assortative mixing (hubs
+    * befriend hubs), falling ⇒ disassortative (hub-and-spoke) — the
+    * diagnostic that decides whether hub-oriented optimizations
+    * (op194's degree orientation, skew salting) will pay off on a
+    * given graph.
+    *
+    * 100 TB shape: one broadcast attach of the |V|-sized degree table
+    * to each edge endpoint (the op194 keyed join), then ONE
+    * map-combinable aggregate onto the degree-value grid (≪ |V| rows,
+    * power-law graphs have ~hundreds of distinct degrees); the
+    * vertex-count column comes from a second grid-sized aggregate of
+    * the degree table itself. No edge self-joins, no sorts — this is
+    * strictly cheaper than anything else in the graph family. */
+  val op215Assortativity: Q = (s, d) => {
+    val und = supportPrunedUnd(s, d)
+    val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
+    val paired = und
+      .join(broadcast(deg), "p1")
+      .join(broadcast(deg.select(col("p1").as("p2"),
+        col("deg").as("deg2"))), "p2")
+    val curve = paired.groupBy(col("deg"))
+      .agg(big(count(lit(1))).as("n_endpoints"),
+        sum("deg2").as("sum_nbr_deg"))
+      .withColumn("avg_nbr_deg_bp",
+        expr("sum_nbr_deg * 10000 div n_endpoints"))
+    val nPerDeg = deg.groupBy("deg")
+      .agg(big(count(lit(1))).as("n_vertices"))
+    ordered(
+      curve.join(nPerDeg, "deg")
+        .select(col("deg"), col("n_vertices"), col("n_endpoints"),
+          col("sum_nbr_deg"), col("avg_nbr_deg_bp")),
+      "deg")
+  }
+
   // ---------------------------------------------------------------- op177
 
   /** op177: robust outlier statistics — per event_type, the exact lower
@@ -777,7 +815,8 @@ object SeqGraphQueries {
     "op202_kcore" -> op202KCore,
     "op208_connected_components" -> op208ConnectedComponents,
     "op209_bfs_hops" -> op209BfsHops,
-    "op213_jaccard_recommend" -> op213JaccardRecommend)
+    "op213_jaccard_recommend" -> op213JaccardRecommend,
+    "op215_assortativity" -> op215Assortativity)
 
   /** op202's oracle: the same peel unrolled as chained CTEs (a0 → aN),
     * per-round rows from subquery counts — all BIGINT casts. */
@@ -978,6 +1017,25 @@ object SeqGraphQueries {
          |FROM verts WHERE v NOT IN (SELECT v FROM mind)
          |HAVING count(*) > 0
          |ORDER BY dist""".stripMargin,
+    "op215_assortativity" ->
+      s"""WITH $graphBaseSql,
+         |deg AS MATERIALIZED (SELECT p1, count(*) AS deg FROM und
+         |       GROUP BY 1),
+         |paired AS (
+         |  SELECT d1.deg AS deg, d2.deg AS deg2
+         |  FROM und u JOIN deg d1 ON u.p1 = d1.p1
+         |    JOIN deg d2 ON u.p2 = d2.p1),
+         |curve AS (
+         |  SELECT deg, CAST(count(*) AS BIGINT) AS n_endpoints,
+         |    CAST(sum(deg2) AS BIGINT) AS sum_nbr_deg
+         |  FROM paired GROUP BY 1),
+         |npd AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+         |        FROM deg GROUP BY 1)
+         |SELECT CAST(c.deg AS BIGINT) AS deg, n.n_vertices,
+         |  c.n_endpoints, c.sum_nbr_deg,
+         |  c.sum_nbr_deg * 10000 // c.n_endpoints AS avg_nbr_deg_bp
+         |FROM curve c JOIN npd n ON c.deg = n.deg
+         |ORDER BY deg""".stripMargin,
     "op213_jaccard_recommend" ->
       s"""WITH li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -206,6 +206,42 @@ object SketchQueries {
       "event_type", "day_idx")
   }
 
+  // ---------------------------------------------------------------- op216
+
+  /** op216: seasonal-baseline anomaly — each (event type, day)'s count
+    * judged against the SAME-WEEKDAY leave-one-out mean over the whole
+    * span: anomalous iff n > 1.5 × mean(other same-weekday days),
+    * spelled as the cross-multiplication
+    * `n·(n_wd−1)·10 > (sum_wd−n)·15` — no division anywhere, so the
+    * comparison is exact on both engines. The seasonality-aware
+    * complement of op167's trailing window: a Sunday spike is judged
+    * against Sundays, not against the busy weekdays before it (the
+    * false-positive class trailing windows can't avoid).
+    *
+    * 100 TB shape: two map-combinable aggregates — the corpus collapses
+    * onto the (type, day) grid first, the (type, weekday) baseline is a
+    * second aggregate OVER THE GRID (≤ types×7 rows, broadcast back);
+    * leave-one-out comes free from (sum − n), no per-day re-aggregation
+    * of the corpus. */
+  val op216SeasonalAnomaly: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+          .as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wd", expr("day_idx % 7"))
+    val base = daily.groupBy("event_type", "wd")
+      .agg(big(count(lit(1))).as("n_wd"), sum("n").as("sum_wd"))
+    ordered(
+      daily.join(broadcast(base), Seq("event_type", "wd"))
+        .withColumn("anomaly", expr(
+          "CAST(CASE WHEN n_wd > 1 AND n * (n_wd - 1) * 10 > " +
+            "(sum_wd - n) * 15 THEN 1 ELSE 0 END AS BIGINT)"))
+        .select("event_type", "day_idx", "wd", "n", "n_wd", "sum_wd",
+          "anomaly"),
+      "event_type", "day_idx")
+  }
+
   // ---------------------------------------------------------------- op168
 
   /** op168: 2-D Pareto skyline of lineitem on (price min, discount max) —
@@ -356,6 +392,7 @@ object SketchQueries {
     "op204_kmv_set_ops" -> op204KmvSetOps,
     "op166_markov_transitions" -> op166MarkovTransitions,
     "op167_spike_detect" -> op167SpikeDetect,
+    "op216_seasonal_anomaly" -> op216SeasonalAnomaly,
     "op168_skyline" -> op168Skyline,
     "op170_copurchase" -> op170Copurchase,
     "op171_winsorize" -> op171Winsorize,
@@ -453,6 +490,23 @@ object SketchQueries {
         |  CAST(c.n * 10000 // t.tot AS BIGINT) AS prob_bp
         |FROM c JOIN tot t USING (prev_type)
         |ORDER BY prev_type, cur_type""".stripMargin,
+    "op216_seasonal_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |       AS BIGINT) AS day_idx,
+        |  CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, day_idx % 7 AS wd FROM daily),
+        |w AS (SELECT event_type, wd,
+        |  CAST(count(*) AS BIGINT) AS n_wd,
+        |  CAST(sum(n) AS BIGINT) AS sum_wd
+        |  FROM d2 GROUP BY 1, 2)
+        |SELECT d.event_type, d.day_idx, d.wd, d.n, w.n_wd, w.sum_wd,
+        |  CAST(CASE WHEN w.n_wd > 1
+        |         AND d.n * (w.n_wd - 1) * 10 > (w.sum_wd - d.n) * 15
+        |       THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM d2 d JOIN w USING (event_type, wd)
+        |ORDER BY event_type, day_idx""".stripMargin,
     "op167_spike_detect" ->
       """WITH daily AS (SELECT event_type,
         |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

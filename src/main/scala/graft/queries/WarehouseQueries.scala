@@ -451,16 +451,13 @@ object WarehouseQueries {
     * equal-count-remainder-first semantics bit-exact. Reference day
     * is data-derived (max order day) as a broadcast scalar — no
     * wall-clock in the result (the Det rule). */
-  val op212RfmSegments: Q = (s, d) => {
-    val ord = Tables.orders(s, d).select(col("o_custkey"),
-      big(datediff(to_date(col("o_orderdate")),
-        lit("1995-01-01").cast("date"))).as("day"),
-      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-    val per = ord.groupBy("o_custkey").agg(
-      max("day").as("last_day"),
-      big(count(lit(1))).as("frequency"),
-      sum("cents").as("cents"))
-    val ref = ord.agg(max("day").as("ref_day"))
+  /** The shared quintile/segment tail over a per-customer
+    * (o_custkey, last_day, frequency, cents) base — op212 feeds it the
+    * batch aggregate, op214 the stream-maintained merge; one tail, one
+    * oracle. Reference day is max(last_day) (≡ max order day, since
+    * every customer's max contributes). */
+  private def rfmTail(per: DataFrame): DataFrame = {
+    val ref = per.agg(max("last_day").as("ref_day"))
     val rfm = per.crossJoin(broadcast(ref))
       .select(col("o_custkey"),
         (col("ref_day") - col("last_day")).as("recency"),
@@ -480,8 +477,39 @@ object WarehouseQueries {
       "r_q", "f_q", "m_q")
   }
 
+  val op212RfmSegments: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select(col("o_custkey"),
+      big(datediff(to_date(col("o_orderdate")),
+        lit("1995-01-01").cast("date"))).as("day"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    rfmTail(ord.groupBy("o_custkey").agg(
+      max("day").as("last_day"),
+      big(count(lit(1))).as("frequency"),
+      sum("cents").as("cents")))
+  }
+
+  /** op214: STREAMING RFM — op212's online leg: orders arrive through
+    * a 4-batch stream split BY DAY (a customer's history genuinely
+    * spans micro-batches), each batch appends per-customer
+    * (max day, count, cents) partials, and the serving merge
+    * re-aggregates with (max, sum, sum) — all three mergeable
+    * summaries, so the maintained base equals the batch aggregate
+    * bit-for-bit and the quintile tail runs under op212's UNCHANGED
+    * oracle (the op169/op193 stream-≡-batch posture).
+    *
+    * 100 TB shape: see [[graft.streaming.RfmStream]] — per-batch state
+    * bounded by active customers, partials compactable at any cadence;
+    * the nightly-quintile deployment reads ONLY the merged base, never
+    * the raw order stream. */
+  val op214StreamRfm: Q = (s, d) => {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_rfm_state").toString
+    rfmTail(graft.streaming.RfmStream.maintainedRfmBase(s, d, stateDir))
+  }
+
   val defs: Map[String, Q] = Map(
     "op212_rfm_segments" -> op212RfmSegments,
+    "op214_stream_rfm" -> op214StreamRfm,
     "op179_range_boundaries" -> op179RangeBoundaries,
     "op180_tree_rollup" -> op180TreeRollup,
     "op181_salted_join" -> op181SaltedJoin,
@@ -492,8 +520,8 @@ object WarehouseQueries {
     "op196_consistent_hash" -> op196ConsistentHash,
     "op197_anti_entropy" -> op197AntiEntropy)
 
-  val oracle: Map[String, String] = Map(
-    "op212_rfm_segments" ->
+  /** op212's oracle — shared verbatim by op214 (stream ≡ batch). */
+  private val rfmSql: String =
       s"""WITH ord AS (
          |  SELECT o_custkey,
          |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
@@ -522,7 +550,13 @@ object WarehouseQueries {
          |  CAST(sum(cents) AS BIGINT) AS sum_cents,
          |  min(o_custkey) AS min_custkey
          |FROM scored GROUP BY 1, 2, 3
-         |ORDER BY r_q, f_q, m_q""".stripMargin,
+         |ORDER BY r_q, f_q, m_q""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "op212_rfm_segments" -> rfmSql,
+    // op214 is op212 maintained online; the shared oracle is the proof
+    // the stream's mergeable partials change no emitted integer
+    "op214_stream_rfm" -> rfmSql,
     "op179_range_boundaries" ->
       s"""WITH grid AS (
          |  SELECT n_chars AS v, count(*) AS cnt FROM documents

@@ -335,6 +335,24 @@ class SeqGraphSpec extends SparkSpec {
     assert(got.map(_._2).sum == verts.size.toLong)
   }
 
+  test("op215: knn(k) curve equals the naive neighbor-degree replay") {
+    val got = SeqGraphQueries.op215Assortativity(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("deg"), r.getAs[Long]("n_vertices"),
+        r.getAs[Long]("n_endpoints"), r.getAs[Long]("sum_nbr_deg"),
+        r.getAs[Long]("avg_nbr_deg_bp"))).sortBy(_._1)
+    val und = fixtureGraph()
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = und.toSeq.map { case (u, v) => (deg(u), deg(v)) }
+      .groupBy(_._1).toSeq.map { case (k, es) =>
+        val sum = es.map(_._2).sum
+        (k, deg.values.count(_ == k).toLong, es.size.toLong, sum,
+          sum * 10000L / es.size)
+      }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // endpoint accounting: Σ n_endpoints = |directed edges|
+    assert(got.map(_._3).sum == und.size.toLong)
+  }
+
   test("op213: top-3 partners match the naive Jaccard ranking") {
     val got = SeqGraphQueries.op213JaccardRecommend(spark, sfDir)
       .collect()

@@ -186,4 +186,30 @@ class SketchSpec extends SparkSpec {
     assert(got == want)
     assert(got.exists(_._5 > 0), "no overlapping pair exercised")
   }
+
+  test("op216: anomaly flags replay the leave-one-out weekday baseline") {
+    val got = SketchQueries.op216SeasonalAnomaly(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_idx"))
+        -> (r.getAs[Long]("n"), r.getAs[Long]("n_wd"),
+          r.getAs[Long]("sum_wd"), r.getAs[Long]("anomaly"))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val daily = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val base = daily.toSeq
+      .groupBy { case ((t, d), _) => (t, d % 7) }
+      .view.mapValues(rs => (rs.size.toLong, rs.map(_._2).sum)).toMap
+    assert(got.size == daily.size)
+    daily.foreach { case ((t, d), n) =>
+      val (nWd, sumWd) = base((t, d % 7))
+      val flag = if (nWd > 1 && n * (nWd - 1) * 10 > (sumWd - n) * 15) 1L
+                 else 0L
+      assert(got((t, d)) == (n, nWd, sumWd, flag), s"($t, $d)")
+    }
+    // the gate genuinely separates: both outcomes occur on the fixture
+    assert(got.values.exists(_._4 == 1L), "no anomaly flagged — inert")
+    assert(got.values.exists(_._4 == 0L))
+  }
 }

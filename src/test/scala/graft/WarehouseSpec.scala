@@ -227,4 +227,20 @@ class WarehouseSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1)
     }
   }
+
+  test("op214: stream-maintained RFM emits exactly op212's segments") {
+    val batch = WarehouseQueries.op212RfmSegments(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = WarehouseQueries.op214StreamRfm(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+    // the day-mod-4 split genuinely spans customers across batches:
+    // some customer has orders on days in >1 residue class
+    val days = Tables.orders(spark, sfDir).select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast("date")).cast("long") % 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(days.groupBy(_._1).values.exists(_.map(_._2).distinct.size > 1),
+      "no customer spans micro-batches — merge path inert")
+  }
 }
