@@ -711,6 +711,172 @@ object SeqGraphQueries {
       "deg")
   }
 
+  // ---------------------------------------------------------------- op217
+
+  /** op217 normalization target: scores are L1-normalized so Σ ≈ 10⁹
+    * after every half-step (resolution ~10⁹/\|V\| per vertex). */
+  private val hitsScale = 1000000000L
+  private val hitsRounds = 2
+
+  /** op217: bipartite HITS — hubs (customers) and authorities (parts)
+    * over the distinct customer–part purchase incidence, iterated
+    * [[hitsRounds]] full rounds entirely in integers: each half-step
+    * is authority = Σ neighbor hubs (or vice versa) followed by L1
+    * renormalization spelled DIVISION-FIRST — x div greatest(total div
+    * scale, 1) — so no multiply can overflow BIGINT at any \|E\|
+    * (the a·scale spelling overflows at \|E\| ≈ 10⁷ already); both
+    * engines replay the identical trajectory. Emits per-part authority
+    * (ppb of total mass) + degree — the "canonical item" ranking that
+    * differs from PageRank by weighting endorsements by the
+    * endorser's own breadth.
+    *
+    * 100 TB shape: each half-step is ONE equi-join of the edge list
+    * against the current (dimension-sized, broadcast) score table +
+    * one map-combinable sum — op176's per-iteration shape on a
+    * bipartite graph; totals are 1-row aggregates cross-joined in
+    * (plan-time scalars, no collect). Beyond broadcast range the
+    * op176b co-partitioned spelling applies unchanged. */
+  val op217Hits: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val hubs = edges.select("c").distinct()
+    val auths = edges.select("p").distinct()
+    def renorm(df: DataFrame, valCol: String): DataFrame = {
+      val tot = df.agg(sum(valCol).as("__tot"))
+      df.crossJoin(broadcast(tot))
+        .select(df.columns.filter(_ != valCol).map(col) :+
+          expr(s"$valCol div greatest(__tot div $hitsScale, 1)")
+            .as(valCol): _*)
+    }
+    var h = hubs.select(col("c"), lit(hitsScale).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to hitsRounds) {
+      a = renorm(
+        edges.join(broadcast(h), "c")
+          .groupBy("p").agg(sum("h").as("a")), "a")
+      h = renorm(
+        edges.join(broadcast(a), "p")
+          .groupBy("c").agg(sum("a").as("h")), "h")
+    }
+    val deg = edges.groupBy("p").agg(big(count(lit(1))).as("deg"))
+    ordered(
+      a.join(deg, "p")
+        .select(col("p").as("p_partkey"), col("a").as("auth_ppb"),
+          col("deg")),
+      "p_partkey")
+  }
+
+  // ---------------------------------------------------------------- op218
+
+  /** op218 hop bound (contract, both engines) and edge-cost spelling:
+    * popular edges are cheaper — w = 10⁴ div support. */
+  private val sspRounds = 6
+
+  /** op218: bounded weighted shortest path (Bellman–Ford, unrolled) —
+    * min-cost distance from the op209 source set over the
+    * support-pruned graph with edge cost 10⁴ div support (popularity
+    * discount: well-trodden co-purchase edges are cheap), relaxed for
+    * [[sspRounds]] rounds: dist' = min(dist, min over in-edges
+    * (dist(u) + w)). The ≤ H-hop cost-distance primitive under
+    * influence pricing and weighted blast-radius queries; vertices not
+    * yet reached in H rounds are absent by contract (op209 reports
+    * its −1 bucket; here cost semantics make absence the honest
+    * spelling).
+    *
+    * 100 TB shape: per round one frontier-style equi-join (dist ×
+    * edges, both keyed by vertex) + a map-combinable min — the op208
+    * round shape with min(dist+w) instead of min(label); rounds are a
+    * declared constant so the stage count is bounded; per-round
+    * localCheckpoint (op202 rule). Negative edges can't exist (w ≥ 1),
+    * so H-round relaxation ≡ ≤ H-hop optimum exactly. */
+  val op218WeightedSssp: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val aa = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val bb = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val wpairs = aa.join(bb, "l_orderkey")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
+      .where(col("supp") >= 2)
+      .select(col("p1"), col("p2"), expr("10000 div supp").as("w"))
+    val wund = wpairs.union(
+        wpairs.select(col("p2"), col("p1"), col("w")))
+      .localCheckpoint()
+    var dist = wund.select(col("p1").as("v")).distinct()
+      .where(col("v") % 97 === 0)
+      .select(col("v"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to sspRounds) {
+      val relax = wund
+        .join(dist.select(col("v").as("p1"), col("dist")), "p1")
+        .select(col("p2").as("v"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relax)
+        .groupBy("v").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    ordered(dist, "v")
+  }
+
+  // ---------------------------------------------------------------- op221
+
+  /** op221: modularity of the BRAND partition over the co-purchase
+    * graph — per brand c: within-brand edge fraction e_c/E vs the
+    * null-model expectation (d_c/2E)², both in ppb, contribution =
+    * difference (can be negative); Σ contributions is Newman
+    * modularity Q. Answers "do co-purchases align with catalog
+    * structure?" — the partition-quality primitive community detectors
+    * optimize, here evaluating a GIVEN partition (the far more common
+    * production ask: score an existing segmentation).
+    *
+    * 100 TB shape: E and the per-brand sums are map-combinable
+    * aggregates; the brand attach is a dimension broadcast on each
+    * endpoint; the expectation term is spelled square-after-divide
+    * ((d_c·10⁹ div 2E)² div 10⁹ — each factor ≤ 10⁹, so the product
+    * fits BIGINT at ANY edge count; d_c²·10⁹ overflows at d_c ≈ 3·10⁶
+    * already). No self-joins beyond the pair list itself. */
+  val op221Modularity: Q = (s, d) => {
+    val pairs = supportPrunedPairs(s, d)
+    val brands = Tables.part(s, d).select("p_partkey", "p_brand")
+    val etot = pairs.agg(count(lit(1)).as("e_tot"))
+    val und = pairs.union(
+      pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+    val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
+    val dcs = deg
+      .join(broadcast(brands.withColumnRenamed("p_partkey", "p1")), "p1")
+      .groupBy("p_brand")
+      .agg(big(count(lit(1))).as("n_vertices"), sum("deg").as("d_c"))
+    val ein = pairs
+      .join(broadcast(brands.select(col("p_partkey").as("p1"),
+        col("p_brand").as("b1"))), "p1")
+      .join(broadcast(brands.select(col("p_partkey").as("p2"),
+        col("p_brand").as("b2"))), "p2")
+      .where(col("b1") === col("b2"))
+      .groupBy(col("b1").as("p_brand"))
+      .agg(big(count(lit(1))).as("e_in"))
+    ordered(
+      dcs.join(ein, Seq("p_brand"), "left")
+        .crossJoin(broadcast(etot))
+        .select(col("p_brand"), col("n_vertices"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"),
+          col("e_tot"))
+        .withColumn("frac_in_ppb",
+          expr("e_in * 1000000000 div e_tot"))
+        .withColumn("exp_ppb",
+          expr("((d_c * 1000000000 div (2 * e_tot)) * " +
+            "(d_c * 1000000000 div (2 * e_tot))) div 1000000000"))
+        .withColumn("contrib_ppb", expr("frac_in_ppb - exp_ppb"))
+        .select("p_brand", "n_vertices", "e_in", "d_c",
+          "frac_in_ppb", "exp_ppb", "contrib_ppb"),
+      "p_brand")
+  }
+
   // ---------------------------------------------------------------- op177
 
   /** op177: robust outlier statistics — per event_type, the exact lower
@@ -816,7 +982,74 @@ object SeqGraphQueries {
     "op208_connected_components" -> op208ConnectedComponents,
     "op209_bfs_hops" -> op209BfsHops,
     "op213_jaccard_recommend" -> op213JaccardRecommend,
-    "op215_assortativity" -> op215Assortativity)
+    "op215_assortativity" -> op215Assortativity,
+    "op217_hits" -> op217Hits,
+    "op218_weighted_sssp" -> op218WeightedSssp,
+    "op221_modularity" -> op221Modularity)
+
+  /** op217's oracle: the identical division-first-normalized integer
+    * trajectory unrolled as chained CTEs (h0 → a1 → h1 → a2 …). */
+  private def hitsSql: String = {
+    val rounds = (1 to hitsRounds).map { r =>
+      s"""a${r}r AS (SELECT p, sum(h) AS a
+         |       FROM e JOIN h${r - 1} USING (c) GROUP BY 1),
+         |a${r}t AS (SELECT sum(a) AS t FROM a${r}r),
+         |a$r AS MATERIALIZED (
+         |  SELECT p, a // greatest(t // $hitsScale, 1) AS a
+         |  FROM a${r}r CROSS JOIN a${r}t),
+         |h${r}r AS (SELECT c, sum(a) AS h
+         |       FROM e JOIN a$r USING (p) GROUP BY 1),
+         |h${r}t AS (SELECT sum(h) AS t FROM h${r}r),
+         |h$r AS MATERIALIZED (
+         |  SELECT c, h // greatest(t // $hitsScale, 1) AS h
+         |  FROM h${r}r CROSS JOIN h${r}t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT c, CAST($hitsScale AS BIGINT) AS h
+       |       FROM (SELECT DISTINCT c FROM e)),
+       |$rounds,
+       |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e
+       |        GROUP BY 1)
+       |SELECT a$hitsRounds.p AS p_partkey,
+       |  CAST(a$hitsRounds.a AS BIGINT) AS auth_ppb, deg.deg
+       |FROM a$hitsRounds JOIN deg USING (p)
+       |ORDER BY p_partkey""".stripMargin
+  }
+
+  /** op218's oracle: the Bellman–Ford relaxation unrolled d0 → d6. */
+  private def ssspSql: String = {
+    val rounds = (1 to sspRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT v, min(dist) AS dist FROM (
+         |    SELECT v, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.p2 AS v, x.dist + e.w AS dist
+         |    FROM d${r - 1} x JOIN wund e ON e.p1 = x.v)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |small AS MATERIALIZED (SELECT l_orderkey FROM li GROUP BY 1
+       |          HAVING count(*) <= $prBasketCap),
+       |li2 AS MATERIALIZED (SELECT li.l_orderkey, li.l_partkey
+       |        FROM li JOIN small USING (l_orderkey)),
+       |wp AS MATERIALIZED (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |    10000 // count(*) AS w
+       |  FROM li2 a JOIN li2 b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |wund AS MATERIALIZED (SELECT p1, p2, w FROM wp
+       |        UNION ALL SELECT p2, p1, w FROM wp),
+       |d0 AS MATERIALIZED (
+       |  SELECT v, CAST(0 AS BIGINT) AS dist
+       |  FROM (SELECT DISTINCT p1 AS v FROM wund) WHERE v % 97 = 0),
+       |$rounds
+       |SELECT v, CAST(dist AS BIGINT) AS dist FROM d$sspRounds
+       |ORDER BY v""".stripMargin
+  }
 
   /** op202's oracle: the same peel unrolled as chained CTEs (a0 → aN),
     * per-round rows from subquery counts — all BIGINT casts. */
@@ -1017,6 +1250,45 @@ object SeqGraphQueries {
          |FROM verts WHERE v NOT IN (SELECT v FROM mind)
          |HAVING count(*) > 0
          |ORDER BY dist""".stripMargin,
+    "op217_hits" -> hitsSql,
+    "op218_weighted_sssp" -> ssspSql,
+    "op221_modularity" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |small AS MATERIALIZED (SELECT l_orderkey FROM li GROUP BY 1
+         |          HAVING count(*) <= $prBasketCap),
+         |li2 AS MATERIALIZED (SELECT li.l_orderkey, li.l_partkey
+         |        FROM li JOIN small USING (l_orderkey)),
+         |pairs AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |          FROM li2 a JOIN li2 b ON a.l_orderkey = b.l_orderkey
+         |            AND a.l_partkey < b.l_partkey
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |etot AS (SELECT CAST(count(*) AS BIGINT) AS e_tot FROM pairs),
+         |und AS MATERIALIZED (SELECT p1, p2 FROM pairs
+         |        UNION ALL SELECT p2, p1 FROM pairs),
+         |deg AS (SELECT p1, CAST(count(*) AS BIGINT) AS deg FROM und
+         |        GROUP BY 1),
+         |dcs AS (
+         |  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_vertices,
+         |    CAST(sum(d.deg) AS BIGINT) AS d_c
+         |  FROM deg d JOIN part p ON d.p1 = p.p_partkey GROUP BY 1),
+         |ein AS (
+         |  SELECT pa.p_brand, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM pairs j JOIN part pa ON j.p1 = pa.p_partkey
+         |    JOIN part pb ON j.p2 = pb.p_partkey
+         |  WHERE pa.p_brand = pb.p_brand GROUP BY 1)
+         |SELECT d.p_brand, d.n_vertices,
+         |  CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, d.d_c,
+         |  coalesce(e.e_in, 0) * 1000000000 // t.e_tot AS frac_in_ppb,
+         |  ((d.d_c * 1000000000 // (2 * t.e_tot)) *
+         |   (d.d_c * 1000000000 // (2 * t.e_tot))) // 1000000000
+         |    AS exp_ppb,
+         |  coalesce(e.e_in, 0) * 1000000000 // t.e_tot -
+         |  ((d.d_c * 1000000000 // (2 * t.e_tot)) *
+         |   (d.d_c * 1000000000 // (2 * t.e_tot))) // 1000000000
+         |    AS contrib_ppb
+         |FROM dcs d LEFT JOIN ein e USING (p_brand) CROSS JOIN etot t
+         |ORDER BY p_brand""".stripMargin,
     "op215_assortativity" ->
       s"""WITH $graphBaseSql,
          |deg AS MATERIALIZED (SELECT p1, count(*) AS deg FROM und

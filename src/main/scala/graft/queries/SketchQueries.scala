@@ -223,13 +223,11 @@ object SketchQueries {
     * second aggregate OVER THE GRID (≤ types×7 rows, broadcast back);
     * leave-one-out comes free from (sum − n), no per-day re-aggregation
     * of the corpus. */
-  val op216SeasonalAnomaly: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type"),
-        big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
-          .as("day_idx"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("wd", expr("day_idx % 7"))
+  /** The shared weekday-baseline tail over a (event_type, day_idx, n)
+    * grid — op216 feeds it the batch rollup, op220 the
+    * stream-maintained merge; one tail, one oracle. */
+  private def seasonalTail(daily0: DataFrame): DataFrame = {
+    val daily = daily0.withColumn("wd", expr("day_idx % 7"))
     val base = daily.groupBy("event_type", "wd")
       .agg(big(count(lit(1))).as("n_wd"), sum("n").as("sum_wd"))
     ordered(
@@ -240,6 +238,27 @@ object SketchQueries {
         .select("event_type", "day_idx", "wd", "n", "n_wd", "sum_wd",
           "anomaly"),
       "event_type", "day_idx")
+  }
+
+  val op216SeasonalAnomaly: Q = (s, d) =>
+    seasonalTail(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+          .as("day_idx"))
+      .agg(count(lit(1)).as("n")))
+
+  /** op220: STREAMING seasonal anomaly — op216's online leg: events
+    * stream in 4 micro-batches split by event id (one day's traffic
+    * genuinely spans batches), per-batch (type, day) count partials
+    * appended, serving merge an element-wise sum — the mergeable-count
+    * argument (op169/op193), so the maintained grid is bit-equal to
+    * the batch rollup and the anomaly tail runs under op216's
+    * UNCHANGED oracle. See [[graft.streaming.SeasonalStream]]. */
+  val op220StreamSeasonal: Q = (s, d) => {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_seasonal_state").toString
+    seasonalTail(graft.streaming.SeasonalStream
+      .maintainedDailyCounts(s, d, stateDir))
   }
 
   // ---------------------------------------------------------------- op168
@@ -393,6 +412,7 @@ object SketchQueries {
     "op166_markov_transitions" -> op166MarkovTransitions,
     "op167_spike_detect" -> op167SpikeDetect,
     "op216_seasonal_anomaly" -> op216SeasonalAnomaly,
+    "op220_stream_seasonal" -> op220StreamSeasonal,
     "op168_skyline" -> op168Skyline,
     "op170_copurchase" -> op170Copurchase,
     "op171_winsorize" -> op171Winsorize,
@@ -490,7 +510,11 @@ object SketchQueries {
         |  CAST(c.n * 10000 // t.tot AS BIGINT) AS prob_bp
         |FROM c JOIN tot t USING (prev_type)
         |ORDER BY prev_type, cur_type""".stripMargin,
-    "op216_seasonal_anomaly" ->
+    // op220 is op216 maintained online; shared oracle = stream ≡ batch
+    "op220_stream_seasonal" -> seasonalSql,
+    "op216_seasonal_anomaly" -> seasonalSql) ++ oracleRest
+
+  private lazy val seasonalSql: String =
       """WITH daily AS (SELECT event_type,
         |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
         |       AS BIGINT) AS day_idx,
@@ -506,7 +530,9 @@ object SketchQueries {
         |         AND d.n * (w.n_wd - 1) * 10 > (w.sum_wd - d.n) * 15
         |       THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM d2 d JOIN w USING (event_type, wd)
-        |ORDER BY event_type, day_idx""".stripMargin,
+        |ORDER BY event_type, day_idx""".stripMargin
+
+  private lazy val oracleRest: Map[String, String] = Map(
     "op167_spike_detect" ->
       """WITH daily AS (SELECT event_type,
         |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

@@ -1095,6 +1095,44 @@ object TrainQueries {
       "doc_id", "token")
   }
 
+  /** op219 keyword depth. */
+  private val kwK = 3
+
+  /** op219: per-document keyword extraction — op72's exact tf·idf
+    * integers (floor(tf·ln(N/df)·10⁴), the shared-arithmetic recipe)
+    * trimmed to the top-[[kwK]] terms per document (ties by token) —
+    * the doc-tagging/routing primitive (what a curation pipeline
+    * indexes or clusters on when embeddings are too expensive).
+    *
+    * 100 TB shape: identical to op72 until the trim — two
+    * map-combinable shuffles, df broadcast, N a plan-time scalar; the
+    * top-k window partitions BY DOCUMENT (state = one doc's distinct
+    * terms, bounded by doc length), so no global sort exists anywhere.
+    * At extreme per-doc vocabularies the op158 TopKAgg trim applies;
+    * the window spelling keeps the string token in-band. */
+  val op219Keywords: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val nDocs = broadcast(doc.agg(count(lit(1)).cast("double").as("__n")))
+    val tokens = doc.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val df = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).cast("bigint").as("df"))
+    val scored = tf.join(broadcast(df), "token")
+      .crossJoin(nDocs)
+      .select(col("doc_id"), col("token"),
+        floor(col("tf") * log(col("__n") / col("df")) * 10000d)
+          .cast("bigint").as("tfidf_bp"))
+    ordered(
+      scored.withColumn("rank", big(row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("tfidf_bp").desc, col("token")))))
+        .where(col("rank") <= kwK)
+        .select("doc_id", "rank", "token", "tfidf_bp"),
+      "doc_id", "rank")
+  }
+
   /** PII scrubbing: redact emails/phones + match counts (per-row regexp
     * chain, narrow). The fixture corpus carries no PII, so the oracle
     * proves the pipeline is a well-formed identity there; redaction
@@ -2456,6 +2494,7 @@ object TrainQueries {
     "op70_langid" -> op70LangId,
     "op71_quality" -> op71Quality,
     "op72_tfidf" -> op72Tfidf,
+    "op219_keywords" -> op219Keywords,
     "op73_fingerprint" -> op73Fingerprint,
     "op74_scrub" -> op74Scrub,
     "op75_chunks" -> op75Chunks,
@@ -3149,6 +3188,25 @@ object TrainQueries {
         |       CAST(floor(tf.tf * ln(n.n / df.df) * 10000) AS BIGINT) AS tfidf_bp
         |FROM tf JOIN df USING (token) CROSS JOIN n
         |ORDER BY doc_id, token""".stripMargin,
+    // op219: op72's chain + the per-doc top-k window
+    "op219_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    CAST(floor(tf.tf * ln(n.n / df.df) * 10000) AS BIGINT)
+        |      AS tfidf_bp
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_bp DESC, token) AS rank FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf_bp
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "op74_scrub" -> {
       // patterns contain no quotes; DuckDB standard strings keep
       // backslashes literal, so they embed verbatim

@@ -507,9 +507,55 @@ object WarehouseQueries {
     rfmTail(graft.streaming.RfmStream.maintainedRfmBase(s, d, stateDir))
   }
 
+  // ---------------------------------------------------------------- op222
+
+  /** op222: incremental join-view maintenance (delta join) — the
+    * per-nation customer×orders aggregate maintained as a BASE
+    * aggregate plus the three delta legs of the join derivative:
+    * Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB (deltas: the o_orderkey%7=3
+    * order slice and the c_custkey%5=2 customer slice). Each leg is
+    * aggregated and the per-key merge is a sum — the materialized-view
+    * maintenance identity every warehouse refresh engine (Delta MVs,
+    * Snowflake dynamic tables) rests on. The ORACLE computes the plain
+    * full join-aggregate: the hash gate IS the proof the decomposition
+    * loses and double-counts nothing.
+    *
+    * 100 TB shape: refresh cost is O(Δ⋈) — each delta leg joins a
+    * small (broadcast) delta against one base side — never a full
+    * rejoin; the merge touches only keys the deltas produced. Sums
+    * and counts are self-mergeable; MIN/MAX under deletes need the
+    * op143 tombstone machinery instead (declared boundary). */
+  val op222DeltaJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val custBase = cust.where(col("c_custkey") % 5 =!= 2)
+    val custDelta = cust.where(col("c_custkey") % 5 === 2)
+    val ordBase = ord.where(col("o_orderkey") % 7 =!= 3)
+    val ordDelta = ord.where(col("o_orderkey") % 7 === 3)
+    def leg(c: DataFrame, o: DataFrame): DataFrame =
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_nationkey")
+        .agg(big(count(lit(1))).as("n_orders"),
+          sum("cents").as("sum_cents"))
+    // the delta side broadcasts in every leg — refresh traffic is
+    // O(Δ), the base never re-shuffles
+    val merged = leg(custBase, ordBase)
+      .unionByName(leg(broadcast(custDelta), ordBase)
+        .unionByName(leg(custBase, broadcast(ordDelta)))
+        .unionByName(leg(broadcast(custDelta), ordDelta)))
+      .groupBy("c_nationkey")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("sum_cents").as("sum_cents"))
+    ordered(merged, "c_nationkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "op212_rfm_segments" -> op212RfmSegments,
     "op214_stream_rfm" -> op214StreamRfm,
+    "op222_delta_join" -> op222DeltaJoin,
     "op179_range_boundaries" -> op179RangeBoundaries,
     "op180_tree_rollup" -> op180TreeRollup,
     "op181_salted_join" -> op181SaltedJoin,
@@ -553,6 +599,15 @@ object WarehouseQueries {
          |ORDER BY r_q, f_q, m_q""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // op222's oracle is the PLAIN full join-aggregate — the hash gate
+    // proves the delta decomposition exact
+    "op222_delta_join" ->
+      """SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     "op212_rfm_segments" -> rfmSql,
     // op214 is op212 maintained online; the shared oracle is the proof
     // the stream's mergeable partials change no emitted integer

@@ -353,6 +353,100 @@ class SeqGraphSpec extends SparkSpec {
     assert(got.map(_._3).sum == und.size.toLong)
   }
 
+  test("op217: authorities equal an exact integer HITS replay") {
+    val got = SeqGraphQueries.op217Hits(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("auth_ppb"), r.getAs[Long]("deg"))).toMap
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val scale = 1000000000L
+    var h = edges.map(_._1).distinct.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    def renorm(m: Map[Long, Long]): Map[Long, Long] = {
+      val q = math.max(m.values.sum / scale, 1L)
+      m.view.mapValues(_ / q).toMap
+    }
+    (1 to 2).foreach { _ =>
+      a = renorm(edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap)
+      h = renorm(edges.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap)
+    }
+    val deg = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got == a.map { case (p, v) => p -> (v, deg(p)) })
+    // mass is conserved within the division-first renorm's bounds:
+    // q = max(tot div S, 1) floors per vertex (≤ |V| loss) and when
+    // tot div S == 1 the pass is an identity, leaving tot < 2S
+    val tot = got.values.map(_._1).sum
+    assert(tot < 2 * scale && tot >= scale - got.size.toLong * 2,
+      s"authority mass $tot vs $scale")
+  }
+
+  test("op218: distances equal a driver-side Bellman-Ford replay") {
+    val got = SeqGraphQueries.op218WeightedSssp(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("dist")).toMap
+    // weighted rebuild (fixtureGraph drops supports)
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).filter(_._2.length <= 7)
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        pairCnt((parts(i), parts(j))) =
+          pairCnt.getOrElse((parts(i), parts(j)), 0L) + 1
+    }
+    val wund = pairCnt.filter(_._2 >= 2).toSeq.flatMap {
+      case ((x, y), c) => Seq((x, y, 10000L / c), (y, x, 10000L / c))
+    }
+    var dist = wund.map(_._1).distinct.filter(_ % 97 == 0)
+      .map(_ -> 0L).toMap
+    (1 to 6).foreach { _ =>
+      val relax = wund.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w)) }
+      dist = (dist.toSeq ++ relax).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist)
+    // sources stay at 0; every emitted distance is positive elsewhere
+    assert(got.filter(_._1 % 97 == 0).values.forall(_ == 0L))
+    assert(got.exists(_._2 > 0L))
+  }
+
+  test("op221: brand modularity terms replay exactly; e_in accounting holds") {
+    val got = SeqGraphQueries.op221Modularity(spark, sfDir).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_vertices"), r.getAs[Long]("e_in"),
+          r.getAs[Long]("d_c"), r.getAs[Long]("frac_in_ppb"),
+          r.getAs[Long]("exp_ppb"), r.getAs[Long]("contrib_ppb"))).toMap
+    val und = fixtureGraph()
+    val pairs = und.filter(e => e._1 < e._2)
+    val brand = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val eTot = pairs.size.toLong
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val byBrand = deg.keys.groupBy(brand)
+    val want = byBrand.map { case (b, vs) =>
+      // vs is a Set — map through a Seq so equal degrees don't collapse
+      val dC = vs.toSeq.map(deg).sum
+      val eIn = pairs.count(e => brand(e._1) == b && brand(e._2) == b)
+        .toLong
+      val frac = eIn * 1000000000L / eTot
+      val half = dC * 1000000000L / (2 * eTot)
+      val exp = half * half / 1000000000L
+      b -> (vs.size.toLong, eIn, dC, frac, exp, frac - exp)
+    }
+    assert(got == want)
+    // within-brand edges never exceed the total; both signs of
+    // contribution can occur (the score genuinely discriminates)
+    assert(got.values.map(_._2).sum <= eTot)
+  }
+
   test("op213: top-3 partners match the naive Jaccard ranking") {
     val got = SeqGraphQueries.op213JaccardRecommend(spark, sfDir)
       .collect()

@@ -212,4 +212,22 @@ class SketchSpec extends SparkSpec {
     assert(got.values.exists(_._4 == 1L), "no anomaly flagged — inert")
     assert(got.values.exists(_._4 == 0L))
   }
+
+  test("op220: stream-maintained seasonal gate emits exactly op216") {
+    val batch = SketchQueries.op216SeasonalAnomaly(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = SketchQueries.op220StreamSeasonal(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+    // the event-id split genuinely spans a (type, day) cell across
+    // micro-batches — the merge path is exercised
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long"),
+        col("event_id") % 4)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    assert(cells.groupBy(_._1).values
+      .exists(_.map(_._2).distinct.size > 1), "merge path inert")
+  }
 }

@@ -617,4 +617,26 @@ class TextOpsSpec extends SparkSpec {
     // doc 3: exactly one full window
     assert(out.count(_._1 == 3L) == 1 && out.last._4 == 32L)
   }
+
+  test("op219: keywords are exactly op72's scores trimmed per doc") {
+    val full = graft.queries.TrainQueries.op72Tfidf(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
+        r.getAs[Long]("tfidf_bp")))
+    val want = full.groupBy(_._1).toSeq.flatMap { case (d, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex.map {
+        case ((_, t, s), i) => (d, i + 1L, t, s)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.queries.TrainQueries.op219Keywords(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("token"), r.getAs[Long]("tfidf_bp")))
+    assert(got.toSeq == want)
+    // every doc with >= 3 distinct terms yields exactly 3 keywords
+    val termCounts = full.groupBy(_._1).view.mapValues(_.size).toMap
+    got.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.length == math.min(3, termCounts(d)))
+    }
+  }
 }

@@ -243,4 +243,24 @@ class WarehouseSpec extends SparkSpec {
     assert(days.groupBy(_._1).values.exists(_.map(_._2).distinct.size > 1),
       "no customer spans micro-batches — merge path inert")
   }
+
+  test("op222: delta decomposition equals the plain full join-aggregate") {
+    val got = WarehouseQueries.op222DeltaJoin(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val want = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("sum_cents"))
+      .orderBy("c_nationkey").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // every leg is genuinely non-empty on the fixture
+    val nDeltaC = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") % 5 === 2).count()
+    val nDeltaO = Tables.orders(spark, sfDir)
+      .where(col("o_orderkey") % 7 === 3).count()
+    assert(nDeltaC > 0 && nDeltaO > 0, "a delta slice is empty — inert")
+  }
 }
