@@ -552,10 +552,25 @@ object WarehouseQueries {
     ordered(merged, "c_nationkey")
   }
 
+  /** op223: STREAMING join-view maintenance — op222's refresh identity
+    * made continuous: order facts stream in, each micro-batch joins
+    * against the broadcast customer dimension and appends a per-nation
+    * partial; the merge sums. Join-then-aggregate distributes over the
+    * batch partition, so the view is bit-equal to the full batch
+    * join-aggregate — op222's UNCHANGED oracle.
+    * See [[graft.streaming.DimJoinStream]]. */
+  val op223StreamDimJoin: Q = (s, d) => {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_dimjoin_state").toString
+    ordered(graft.streaming.DimJoinStream
+      .maintainedJoinView(s, d, stateDir), "c_nationkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "op212_rfm_segments" -> op212RfmSegments,
     "op214_stream_rfm" -> op214StreamRfm,
     "op222_delta_join" -> op222DeltaJoin,
+    "op223_stream_dim_join" -> op223StreamDimJoin,
     "op179_range_boundaries" -> op179RangeBoundaries,
     "op180_tree_rollup" -> op180TreeRollup,
     "op181_salted_join" -> op181SaltedJoin,
@@ -598,16 +613,20 @@ object WarehouseQueries {
          |FROM scored GROUP BY 1, 2, 3
          |ORDER BY r_q, f_q, m_q""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    // op222's oracle is the PLAIN full join-aggregate — the hash gate
-    // proves the delta decomposition exact
-    "op222_delta_join" ->
+  /** op222's oracle — the PLAIN full join-aggregate (the hash gate
+    * proves the delta decomposition exact); shared by op223, whose
+    * streaming maintenance must emit the identical view. */
+  private val deltaJoinSql: String =
       """SELECT c_nationkey,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "op222_delta_join" -> deltaJoinSql,
+    "op223_stream_dim_join" -> deltaJoinSql,
     "op212_rfm_segments" -> rfmSql,
     // op214 is op212 maintained online; the shared oracle is the proof
     // the stream's mergeable partials change no emitted integer

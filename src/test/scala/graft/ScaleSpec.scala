@@ -598,4 +598,42 @@ class ScaleSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashEx <= 2, s"expected <=2 hash exchanges:\n$plan")
   }
+
+  // ------------------------------------------------ r12 pack plan shapes
+
+  test("op213/op215/op221: degree/brand attaches broadcast; no BNLJ or cartesian") {
+    Seq(
+      graft.queries.SeqGraphQueries.op213JaccardRecommend(spark, sfDir),
+      graft.queries.SeqGraphQueries.op215Assortativity(spark, sfDir),
+      graft.queries.SeqGraphQueries.op221Modularity(spark, sfDir)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast attach:\n$plan")
+      // op221's 1-row e_tot scalar attach is a declared broadcast NL
+      // (the op176 nVerts pattern); nothing may plan as a
+      // non-broadcast cartesian
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in plan:\n$plan")
+    }
+  }
+
+  test("op210: both retrieval legs and the fusion stay hash/broadcast joins") {
+    val plan = graft.queries.TrainQueries
+      .op210RrfFusion(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the brute cosine leg is a DECLARED broadcast NL over the 3-query
+    // set (op67's contract; the production leg is an index probe) —
+    // but nothing may plan as a non-broadcast cartesian
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("op222: every delta leg joins by broadcast (refresh moves O(delta))") {
+    val plan = graft.queries.WarehouseQueries
+      .op222DeltaJoin(spark, sfDir).queryExecution.executedPlan.toString
+    // three delta legs => at least three broadcast joins in the plan
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected >=3 broadcast legs, got $bhj:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

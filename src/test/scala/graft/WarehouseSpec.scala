@@ -263,4 +263,21 @@ class WarehouseSpec extends SparkSpec {
       .where(col("o_orderkey") % 7 === 3).count()
     assert(nDeltaC > 0 && nDeltaO > 0, "a delta slice is empty — inert")
   }
+
+  test("op223: stream-maintained join view emits exactly op222's view") {
+    val batch = WarehouseQueries.op222DeltaJoin(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = WarehouseQueries.op223StreamDimJoin(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+    // a nation's orders genuinely span micro-batches
+    val spans = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long"),
+        (col("o_orderkey") % 4).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(spans.groupBy(_._1).values
+      .exists(_.map(_._2).distinct.size > 1), "merge path inert")
+  }
 }
