@@ -877,6 +877,89 @@ object SeqGraphQueries {
       "p_brand")
   }
 
+  // ---------------------------------------------------------------- op224
+
+  /** op224: 2-hop neighborhood features — per vertex, the 1-hop degree
+    * and the count of vertices at distance EXACTLY 2 (distinct, not
+    * self, not adjacent) — the GraphSAGE/GNN aggregation radius and
+    * the influence-reach feature ("friends-of-friends"); the exact-2
+    * semantics (anti-join the 1-hop set) is the part naive wedge
+    * counting gets wrong.
+    *
+    * 100 TB shape: one edge self-join keyed on the middle vertex —
+    * candidate volume is the wedge bound Σ deg², already tamed by the
+    * support prune (the op194 argument); dedup + two anti-joins are
+    * vertex-keyed equi-joins. Power-law hubs escalate via degree
+    * orientation exactly as op194 does. */
+  val op224TwoHopFeatures: Q = (s, d) => {
+    val und = supportPrunedUnd(s, d).localCheckpoint()
+    val deg = und.groupBy("p1").agg(big(count(lit(1))).as("n_1hop"))
+    val cand = und.select(col("p1").as("v"), col("p2").as("mid"))
+      .join(und.select(col("p1").as("mid"), col("p2").as("w")), "mid")
+      .where(col("v") =!= col("w"))
+      .select("v", "w").distinct()
+    val exact2 = cand.join(
+        und.select(col("p1").as("v"), col("p2").as("w")),
+        Seq("v", "w"), "left_anti")
+      .groupBy("v").agg(big(count(lit(1))).as("n_2hop"))
+    ordered(
+      deg.select(col("p1").as("v"), col("n_1hop"))
+        .join(exact2, Seq("v"), "left")
+        .select(col("v").as("p_partkey"), col("n_1hop"),
+          coalesce(col("n_2hop"), lit(0L)).as("n_2hop")),
+      "p_partkey")
+  }
+
+  // ---------------------------------------------------------------- op225
+
+  /** op225: local clustering coefficient — per vertex: degree,
+    * triangle count, and lcc = 2·tri/(deg·(deg−1)) in basis points —
+    * THE per-node cohesion feature (spam/fraud rings cluster, bridges
+    * don't). Triangles enumerated ONCE via op194's degree-oriented
+    * chain, then each triangle credits its THREE corners (explode) —
+    * per-vertex counts without per-vertex enumeration.
+    *
+    * 100 TB shape: op194's cost exactly (the oriented wedge join is
+    * the whole bill) plus one explode(3) + vertex-keyed aggregate;
+    * the emitted lcc is exact integer division. deg = 1 vertices
+    * can't exist here (support-pruned symmetric graph has min degree
+    * 1 — guard the denominator with the CASE). */
+  val op225ClusteringCoeff: Q = (s, d) => {
+    val pairs = supportPrunedPairs(s, d)
+    val und = pairs.union(
+        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+    val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
+    val keyed = und
+      .join(broadcast(deg), "p1")
+      .join(broadcast(deg.select(col("p1").as("p2"),
+        col("deg").as("deg2"))), "p2")
+      .select(col("p1"), col("p2"),
+        expr("deg * 1000000000 + p1").as("k1"),
+        expr("deg2 * 1000000000 + p2").as("k2"))
+    val oriented = keyed.where(col("k1") < col("k2"))
+      .select(col("p1").as("src"), col("p2").as("dst"),
+        col("k2").as("dk"))
+    val e1 = oriented.select(col("src"), col("dst").as("v"),
+      col("dk").as("vk"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"),
+      col("dk").as("wk"))
+    val wedges = e1.join(e2, "src").where(col("vk") < col("wk"))
+    val triangles = wedges.join(
+      oriented.select(col("src").as("v2"), col("dst").as("w2")),
+      col("v") === col("v2") && col("w") === col("w2"))
+    val perVertex = triangles
+      .select(explode(array(col("src"), col("v"), col("w"))).as("p1"))
+      .groupBy("p1").agg(big(count(lit(1))).as("tri"))
+    ordered(
+      deg.join(perVertex, Seq("p1"), "left")
+        .select(col("p1").as("p_partkey"), big(col("deg")).as("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("lcc_bp", expr(
+          "CASE WHEN deg < 2 THEN 0 " +
+            "ELSE (2 * tri * 10000) div (deg * (deg - 1)) END")),
+      "p_partkey")
+  }
+
   // ---------------------------------------------------------------- op177
 
   /** op177: robust outlier statistics — per event_type, the exact lower
@@ -985,7 +1068,9 @@ object SeqGraphQueries {
     "op215_assortativity" -> op215Assortativity,
     "op217_hits" -> op217Hits,
     "op218_weighted_sssp" -> op218WeightedSssp,
-    "op221_modularity" -> op221Modularity)
+    "op221_modularity" -> op221Modularity,
+    "op224_two_hop_features" -> op224TwoHopFeatures,
+    "op225_clustering_coeff" -> op225ClusteringCoeff)
 
   /** op217's oracle: the identical division-first-normalized integer
     * trajectory unrolled as chained CTEs (h0 → a1 → h1 → a2 …). */
@@ -1252,6 +1337,53 @@ object SeqGraphQueries {
          |ORDER BY dist""".stripMargin,
     "op217_hits" -> hitsSql,
     "op218_weighted_sssp" -> ssspSql,
+    "op224_two_hop_features" ->
+      s"""WITH $graphBaseSql,
+         |deg AS (SELECT p1, CAST(count(*) AS BIGINT) AS n_1hop
+         |        FROM und GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT a.p1 AS v, b.p2 AS w
+         |  FROM und a JOIN und b ON a.p2 = b.p1
+         |  WHERE a.p1 <> b.p2),
+         |ex2 AS (
+         |  SELECT c.v, CAST(count(*) AS BIGINT) AS n_2hop
+         |  FROM cand c LEFT JOIN und u ON c.v = u.p1 AND c.w = u.p2
+         |  WHERE u.p1 IS NULL GROUP BY 1)
+         |SELECT d.p1 AS p_partkey, d.n_1hop,
+         |  CAST(coalesce(e.n_2hop, 0) AS BIGINT) AS n_2hop
+         |FROM deg d LEFT JOIN ex2 e ON d.p1 = e.v
+         |ORDER BY p_partkey""".stripMargin,
+    "op225_clustering_coeff" ->
+      s"""WITH $graphBaseSql,
+         |deg AS (SELECT p1, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |keyed AS (
+         |  SELECT u.p1, u.p2,
+         |    d1.deg * 1000000000 + u.p1 AS k1,
+         |    d2.deg * 1000000000 + u.p2 AS k2
+         |  FROM und u JOIN deg d1 ON u.p1 = d1.p1
+         |  JOIN deg d2 ON u.p2 = d2.p1),
+         |oriented AS (
+         |  SELECT p1 AS src, p2 AS dst, k2 AS dk
+         |  FROM keyed WHERE k1 < k2),
+         |wedges AS (
+         |  SELECT e1.src, e1.dst AS v, e2.dst AS w
+         |  FROM oriented e1 JOIN oriented e2 USING (src)
+         |  WHERE e1.dk < e2.dk),
+         |tri AS (
+         |  SELECT t.src, t.v, t.w
+         |  FROM wedges t JOIN oriented o
+         |    ON t.v = o.src AND t.w = o.dst),
+         |pv AS (
+         |  SELECT x AS p1, CAST(count(*) AS BIGINT) AS tri
+         |  FROM tri, UNNEST([src, v, w]) AS t(x) GROUP BY 1)
+         |SELECT d.p1 AS p_partkey, d.deg,
+         |  CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+         |  CASE WHEN d.deg < 2 THEN 0
+         |    ELSE (2 * coalesce(p.tri, 0) * 10000)
+         |         // (d.deg * (d.deg - 1)) END AS lcc_bp
+         |FROM deg d LEFT JOIN pv p USING (p1)
+         |ORDER BY p_partkey""".stripMargin,
     "op221_modularity" ->
       s"""WITH li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

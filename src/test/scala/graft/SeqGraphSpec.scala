@@ -447,6 +447,47 @@ class SeqGraphSpec extends SparkSpec {
     assert(got.values.map(_._2).sum <= eTot)
   }
 
+  test("op224: exact-2-hop counts equal the naive set replay") {
+    val got = SeqGraphQueries.op224TwoHopFeatures(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("n_1hop"), r.getAs[Long]("n_2hop"))).toMap
+    val und = fixtureGraph()
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = adj.map { case (v, n1) =>
+      val two = n1.flatMap(adj(_)) - v -- n1
+      v -> (n1.size.toLong, two.size.toLong)
+    }
+    assert(got == want)
+    // exact-2 semantics genuinely excludes 1-hop: some vertex has a
+    // wedge endpoint that is ALSO adjacent (else the anti-join is inert)
+    assert(adj.exists { case (v, n1) =>
+      n1.flatMap(adj(_)).exists(w => w != v && n1(w)) })
+  }
+
+  test("op225: per-vertex triangles and lcc equal the naive replay") {
+    val got = SeqGraphQueries.op225ClusteringCoeff(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+          r.getAs[Long]("lcc_bp"))).toMap
+    val und = fixtureGraph()
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = adj.map { case (v, ns) =>
+      val nsSeq = ns.toSeq.sorted
+      var tri = 0L
+      for (i <- nsSeq.indices; j <- (i + 1) until nsSeq.length)
+        if (adj(nsSeq(i))(nsSeq(j))) tri += 1
+      val deg = ns.size.toLong
+      val lcc = if (deg < 2) 0L else 2 * tri * 10000 / (deg * (deg - 1))
+      v -> (deg, tri, lcc)
+    }
+    assert(got == want)
+    // triangle mass: each triangle credits exactly 3 corners
+    assert(got.values.map(_._2).sum % 3 == 0)
+    assert(got.values.exists(_._2 > 0), "no triangles — inert")
+    assert(got.values.forall(_._3 <= 10000L))
+  }
+
   test("op213: top-3 partners match the naive Jaccard ranking") {
     val got = SeqGraphQueries.op213JaccardRecommend(spark, sfDir)
       .collect()
