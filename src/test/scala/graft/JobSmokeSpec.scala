@@ -222,4 +222,20 @@ class JobSmokeSpec extends AnyFunSuite {
     assert(s2.read.parquet(s"$out2/skew").collect().map(_.toSeq).toSeq ==
       skew.map(_.toSeq).toSeq)
   }
+
+  test("GraphJob.main writes all four graph legs; features join is total") {
+    freshSession()
+    val out = tmp("graph")
+    graft.apps.GraphJob.main(Array(sfDir, out.toString))
+    val s = freshSession()
+    val comps = s.read.parquet(s"$out/components").collect()
+    assert(comps.nonEmpty)
+    val feats = s.read.parquet(s"$out/features").collect()
+    // one feature row per graph vertex; the lcc join dropped nothing
+    assert(feats.length.toLong ==
+      comps.map(_.getAs[Long]("n_vertices")).sum)
+    assert(feats.forall(r => r.getAs[Long]("lcc_bp") <= 10000L))
+    assert(s.read.parquet(s"$out/curve").count() > 0)
+    assert(s.read.parquet(s"$out/modularity").count() > 0)
+  }
 }
