@@ -824,6 +824,65 @@ object SeqGraphQueries {
     ordered(dist, "v")
   }
 
+  // ---------------------------------------------------------------- op226
+
+  /** op226: random walk with restart (personalized PageRank) — op176's
+    * damped fixed-point iteration with the teleport mass restricted to
+    * the op209 SOURCE SET (v ≡ 0 mod 97): rank flows outward from the
+    * seeds and restarts there, so the stationary ppb measures
+    * relevance TO THE SEEDS — the "related items for this seed set"
+    * primitive (recommendation expansion, taint/exposure propagation)
+    * that global PageRank structurally cannot give. Same ppb integer
+    * trajectory, same 5 unrolled iterations, same broadcast-rank /
+    * never-reshuffle-edges shape; vertices the walk never reaches
+    * emit 0 (in-band, not dropped).
+    *
+    * 100 TB shape: identical to op176 per iteration; the only change
+    * is the base term's support. Beyond broadcast range the op176b
+    * co-partitioned spelling applies verbatim. */
+  val op226RandomWalkRestart: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
+    val edges = pairs.union(
+        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+      .select(col("p1").as("src"), col("p2").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val esd = edges.join(broadcast(deg), "src")
+    val verts = deg.select(col("src").as("pk"))
+    val nSrc = verts.where(col("pk") % 97 === 0)
+      .agg(count(lit(1)).as("ns"))
+    var ranks = verts.crossJoin(broadcast(nSrc))
+      .select(col("pk"),
+        expr(s"CASE WHEN pk % 97 = 0 THEN $prScale div ns " +
+          "ELSE CAST(0 AS BIGINT) END").as("r"))
+    for (_ <- 1 to prIters) {
+      val contrib = esd.join(broadcast(ranks), esd("src") === ranks("pk"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      ranks = verts.crossJoin(broadcast(nSrc))
+        .join(broadcast(contrib), col("pk") === col("dst"), "left")
+        .select(col("pk"), col("ns"),
+          coalesce(col("sc"), lit(0L)).as("sc"))
+        .select(col("pk"),
+          expr(s"CASE WHEN pk % 97 = 0 THEN 150000000 div ns " +
+            s"ELSE CAST(0 AS BIGINT) END + ($prDampNum * sc) div $prScale")
+            .as("r"))
+    }
+    ordered(
+      ranks.join(broadcast(deg), col("pk") === col("src"))
+        .select(col("pk").as("p_partkey"), col("r").as("rwr_ppb"),
+          col("deg")),
+      "p_partkey")
+  }
+
   // ---------------------------------------------------------------- op221
 
   /** op221: modularity of the BRAND partition over the co-purchase
@@ -1070,7 +1129,50 @@ object SeqGraphQueries {
     "op218_weighted_sssp" -> op218WeightedSssp,
     "op221_modularity" -> op221Modularity,
     "op224_two_hop_features" -> op224TwoHopFeatures,
-    "op225_clustering_coeff" -> op225ClusteringCoeff)
+    "op225_clustering_coeff" -> op225ClusteringCoeff,
+    "op226_rwr" -> op226RandomWalkRestart)
+
+  /** op226's oracle: op176's unroll with the source-restricted base. */
+  private def rwrSql: String = {
+    val iters = (1 to prIters).map { i =>
+      s"""r$i AS (
+         |  SELECT v.pk,
+         |    CASE WHEN v.pk % 97 = 0 THEN 150000000 // ns.ns
+         |         ELSE CAST(0 AS BIGINT) END
+         |      + ($prDampNum * coalesce(c.sc, 0)) // $prScale AS r
+         |  FROM verts v CROSS JOIN nsrc ns
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(rr.r // e.deg) AS sc
+         |    FROM esd e JOIN r${i - 1} rr ON e.src = rr.pk
+         |    GROUP BY 1) c ON v.pk = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |small AS (
+       |  SELECT l_orderkey FROM items GROUP BY 1
+       |  HAVING count(*) <= $prBasketCap),
+       |it2 AS (SELECT i.* FROM items i JOIN small s USING (l_orderkey)),
+       |pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM it2 a JOIN it2 b USING (l_orderkey)
+       |  WHERE a.l_partkey < b.l_partkey),
+       |edges AS (
+       |  SELECT p1 AS src, p2 AS dst FROM pairs
+       |  UNION ALL SELECT p2, p1 FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |esd AS (SELECT e.src, e.dst, d.deg FROM edges e
+       |        JOIN deg d USING (src)),
+       |verts AS (SELECT src AS pk FROM deg),
+       |nsrc AS (SELECT count(*) AS ns FROM verts WHERE pk % 97 = 0),
+       |r0 AS (SELECT pk, CASE WHEN pk % 97 = 0 THEN $prScale // ns
+       |         ELSE CAST(0 AS BIGINT) END AS r
+       |       FROM verts CROSS JOIN nsrc),
+       |$iters
+       |SELECT v.pk AS p_partkey, CAST(r.r AS BIGINT) AS rwr_ppb,
+       |  CAST(d.deg AS BIGINT) AS deg
+       |FROM verts v JOIN r$prIters r USING (pk) JOIN deg d ON v.pk = d.src
+       |ORDER BY p_partkey""".stripMargin
+  }
 
   /** op217's oracle: the identical division-first-normalized integer
     * trajectory unrolled as chained CTEs (h0 → a1 → h1 → a2 …). */
@@ -1337,6 +1439,7 @@ object SeqGraphQueries {
          |ORDER BY dist""".stripMargin,
     "op217_hits" -> hitsSql,
     "op218_weighted_sssp" -> ssspSql,
+    "op226_rwr" -> rwrSql,
     "op224_two_hop_features" ->
       s"""WITH $graphBaseSql,
          |deg AS (SELECT p1, CAST(count(*) AS BIGINT) AS n_1hop

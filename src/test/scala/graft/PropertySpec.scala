@@ -356,4 +356,92 @@ class PropertySpec extends SparkSpec {
           }: _*)
     })
   }
+
+  test("property: delta-join decomposition equals the full join on any split") {
+    // op222's refresh identity on arbitrary fact/dim tables and
+    // arbitrary split predicates: agg(A0⋈B0) + agg(ΔA⋈B0) +
+    // agg(A0⋈ΔB) + agg(ΔA⋈ΔB) merged per key == agg(A⋈B)
+    import org.scalacheck.Prop.propBoolean
+    val dimGen = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 6L)))      // custkey i -> nation
+    val factGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 25), Gen.chooseNum(1L, 99L))))
+    check("deltaJoin", Prop.forAll(dimGen, factGen,
+        Gen.chooseNum(2, 5), Gen.chooseNum(2, 7)) { (nations, facts, mc, mo) =>
+      val dim = nations.zipWithIndex.map { case (nat, ck) => (ck.toLong, nat) }
+      def agg(c: Seq[(Long, Long)], f: Seq[(Int, Long)]) = {
+        val nat = c.toMap
+        f.zipWithIndex.flatMap { case ((ck, v), _) =>
+          nat.get(ck.toLong).map(n => n -> v) }
+          .groupBy(_._1).view
+          .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+      }
+      def merge(ms: Seq[Map[Long, (Long, Long)]]) =
+        ms.flatten.groupBy(_._1).view.mapValues(vs =>
+          (vs.map(_._2._1).sum, vs.map(_._2._2).sum)).toMap
+      val (c0, dc) = dim.partition(_._1 % mc != 0)
+      val (f0, df) = facts.partition(_._1 % mo != 0)
+      val inc = merge(Seq(agg(c0, f0), agg(dc, f0), agg(c0, df),
+        agg(dc, df)))
+      val full = agg(dim, facts)
+      (inc == full) :| s"inc $inc != full $full"
+    })
+  }
+
+  test("property: hash-min label propagation converges to union-find components") {
+    // op208's algorithm-equivalence law on arbitrary graphs: iterated
+    // min-of-neighbors labels reach exactly the union-find partition,
+    // within |V| rounds
+    import org.scalacheck.Prop.propBoolean
+    val edgeGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))))
+    check("hashMinCC", Prop.forAll(edgeGen) { es0 =>
+      val und = es0.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).toSet
+      val verts = und.map(_._1)
+      // hash-min propagation
+      var labels = verts.map(v => v -> v).toMap
+      var changed = true
+      var rounds = 0
+      while (changed && rounds <= verts.size + 1) {
+        val nbrMin = und.toSeq.groupBy(_._2).view.mapValues(
+          _.map(e => labels(e._1)).min).toMap
+        val next = labels.map { case (v, l) =>
+          v -> math.min(l, nbrMin.getOrElse(v, l)) }
+        changed = next != labels
+        labels = next
+        rounds += 1
+      }
+      // union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      und.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val uf = verts.map(v => v -> find(v)).toMap
+      (labels == uf) :| s"propagation $labels != union-find $uf" &&
+        (rounds <= verts.size + 1) :| "failed to converge"
+    })
+  }
+
+  test("property: RRF fusion is monotone in either leg's rank") {
+    // op210's fusion law: improving a doc's rank in one leg (holding
+    // the other fixed) never lowers its fused score; absent legs
+    // contribute exactly 0
+    import org.scalacheck.Prop.propBoolean
+    def ppm(r: Long) = if (r > 0) 1000000L / (60 + r) else 0L
+    check("rrfMonotone", Prop.forAll(
+        Gen.chooseNum(1L, 50L), Gen.chooseNum(1L, 50L),
+        Gen.oneOf(-1L, 1L, 5L, 20L)) { (r1, r2, other) =>
+      val (lo, hi) = (math.min(r1, r2), math.max(r1, r2))
+      val better = ppm(lo) + ppm(other)
+      val worse = ppm(hi) + ppm(other)
+      (better >= worse) :| s"rank $lo scored below rank $hi" &&
+        (ppm(-1L) == 0L) :| "absent leg must contribute 0"
+    })
+  }
 }

@@ -488,6 +488,36 @@ class SeqGraphSpec extends SparkSpec {
     assert(got.values.forall(_._3 <= 10000L))
   }
 
+  test("op226: RWR mass stays on the seeds' 5-hop ball; seeds keep the base") {
+    val got = SeqGraphQueries.op226RandomWalkRestart(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("rwr_ppb"))
+      .toMap
+    val und = fixtureGraph()
+    // driver BFS from the seed set (op209's semantics, cap 5 = iters)
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val verts = und.map(_._1)
+    val seeds = verts.filter(_ % 97 == 0)
+    var ball = seeds
+    var frontier = seeds
+    (1 to 5).foreach { _ =>
+      frontier = frontier.flatMap(v => adj(v)) -- ball
+      ball = ball ++ frontier
+    }
+    val nS = seeds.size.toLong
+    assert(nS > 0)
+    // seeds always keep at least the restart base
+    seeds.foreach(v => assert(got(v) >= 150000000L / nS, s"seed $v"))
+    // positive mass only within 5 hops of a seed (floor loss may zero
+    // the far fringe, never invent mass outside the ball)
+    got.filter(_._2 > 0).keys.foreach(v =>
+      assert(ball(v), s"mass outside the 5-hop ball at $v"))
+    // total mass bounded by the scale
+    assert(got.values.sum <= 1000000000L)
+    // the walk genuinely spreads beyond the seeds
+    assert(got.exists { case (v, r) => r > 0 && v % 97 != 0 })
+  }
+
   test("op213: top-3 partners match the naive Jaccard ranking") {
     val got = SeqGraphQueries.op213JaccardRecommend(spark, sfDir)
       .collect()
