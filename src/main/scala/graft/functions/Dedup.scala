@@ -103,6 +103,43 @@ object Dedup {
     * Overlap (and thus jaccard) becomes a lower bound for pairs that
     * shared a hot shingle; true near-dups share many rare shingles and
     * keep their score. */
+  /** Directed CONTAINMENT pairs — C(inner ⊆ outer) = |A∩B|/|A| in bp,
+    * both directions of every candidate pair, kept where containment ≥
+    * minBp; the symmetric jaccard rides along for contrast. This is
+    * the quote/boilerplate-inside-document detector: a small doc fully
+    * embedded in a large one scores containment ~10⁴ while its jaccard
+    * (÷ the UNION) can sit far below any dedup threshold — the
+    * asymmetric case op61's symmetric gate structurally misses.
+    * Candidate generation, doc-frequency cap, and count semantics are
+    * exactly [[jaccardPairs]]'s (overlap over the capped index, sizes
+    * over the uncapped one). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      minBp: Long, maxDocFreq: Option[Long] = None): DataFrame = {
+    val index = shingleIndexHashed(df, idCol, textCol).localCheckpoint()
+    val counts = shingleCounts(index)
+    val base = overlapPairs(index, maxDocFreq)
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    val directed = base.select(col("doc_a").as("inner_doc"),
+        col("doc_b").as("outer_doc"), col("overlap"),
+        col("n_a").as("n_inner"), col("n_b").as("n_outer"))
+      .union(base.select(col("doc_b"), col("doc_a"), col("overlap"),
+        col("n_b"), col("n_a")))
+    directed
+      .withColumn("containment_bp",
+        (col("overlap") * 10000L / col("n_inner")).cast("bigint"))
+      .withColumn("jaccard_bp",
+        (col("overlap") * 10000L /
+          (col("n_inner") + col("n_outer") - col("overlap")))
+          .cast("bigint"))
+      .filter(col("containment_bp") >= minBp)
+      .select(col("inner_doc"), col("outer_doc"), col("overlap"),
+        col("n_inner"), col("n_outer"), col("containment_bp"),
+        col("jaccard_bp"))
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minBp: Long, maxDocFreq: Option[Long] = None): DataFrame =
     // the distinct index is small (≪ corpus: one row per distinct

@@ -59,6 +59,20 @@ object TrainQueries {
       Dedup.jaccardPairsAuto(Tables.documents(s, d), "doc_id", "text", 7000L),
       "doc_a", "doc_b")
 
+  /** op227: containment (asymmetric-Jaccard) detection — directed
+    * pairs where ≥ 80% of the inner doc's trigram set lives inside the
+    * outer doc: the quote/boilerplate/doc-inside-doc case a symmetric
+    * jaccard gate misses whenever the inner is much smaller than the
+    * outer (J ÷ the union stays low while C → 1). Same inverted-index
+    * candidates, doc-frequency cap, and count semantics as op61 —
+    * containment costs nothing beyond the dedup pass that already
+    * runs. */
+  val op227Containment: Q = (s, d) =>
+    ordered(
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        8000L, Some(shingleDocFreqCap)),
+      "inner_doc", "outer_doc")
+
   /** MinHash signatures (k=8) via the Kirsch-Mitzenmacher construction:
     * ONE md5 per shingle (vs k in the per-permutation spelling), the k
     * permutations are affine combinations of its two 30-bit halves —
@@ -2462,6 +2476,7 @@ object TrainQueries {
     "op61_dedup_ngram" -> op61DedupNgram,
     "op61_dedup_ngram_prefix" -> op61DedupNgramPrefix,
     "op61_dedup_ngram_auto" -> op61DedupNgramAuto,
+    "op227_containment" -> op227Containment,
     "op62_minhash_sig" -> op62MinhashSig,
     "op63_minhash_pairs" -> op63MinhashPairs,
     "op64_dedup_survivors" -> op64DedupSurvivors,
@@ -2812,6 +2827,31 @@ object TrainQueries {
         |        JOIN cnt cb ON ov.doc_b = cb.doc_id
         |WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "op227_containment" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |keep AS (SELECT shingle FROM sh GROUP BY shingle
+        |         HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS overlap
+        |       FROM shc a JOIN shc b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dir AS (SELECT doc_a AS inner_doc, doc_b AS outer_doc, overlap
+        |        FROM ov
+        |        UNION ALL SELECT doc_b, doc_a, overlap FROM ov),
+        |j AS (SELECT d.inner_doc, d.outer_doc, d.overlap,
+        |        ci.n_sh AS n_inner, co.n_sh AS n_outer
+        |      FROM dir d JOIN cnt ci ON d.inner_doc = ci.doc_id
+        |        JOIN cnt co ON d.outer_doc = co.doc_id)
+        |SELECT inner_doc, outer_doc, CAST(overlap AS BIGINT) AS overlap,
+        |  CAST(n_inner AS BIGINT) AS n_inner,
+        |  CAST(n_outer AS BIGINT) AS n_outer,
+        |  CAST(overlap * 10000 // n_inner AS BIGINT) AS containment_bp,
+        |  CAST(overlap * 10000 // (n_inner + n_outer - overlap)
+        |       AS BIGINT) AS jaccard_bp
+        |FROM j WHERE overlap * 10000 // n_inner >= 8000
+        |ORDER BY inner_doc, outer_doc""".stripMargin,
     "op95_source_overlap" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
         |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),

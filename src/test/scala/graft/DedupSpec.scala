@@ -412,4 +412,33 @@ class DedupSpec extends SparkSpec {
     // the histogram's doc mass accounts for every document exactly once
     assert(got.map(_._3).sum == clusters.length.toLong)
   }
+
+  test("op227 containment: a quoted doc scores ~10^4 while its jaccard stays low") {
+    // plant the asymmetric case: doc 11 is VERBATIM inside doc 10's
+    // much longer text — containment(11 ⊆ 10) ≈ 10^4, jaccard far
+    // below the 7000 dedup gate (the case op61 structurally misses)
+    val quote = "spark shuffles data across many executor partitions tonight"
+    val long = ("filler alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu " + quote + " nu xi omicron pi rho sigma " +
+      "tau upsilon phi chi psi omega one two three four five six seven")
+    val docs = Seq((10L, long), (11L, quote), (12L, unrelated))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 8000L, None)
+      .collect()
+      .map(r => (r.getAs[Long]("inner_doc"), r.getAs[Long]("outer_doc"),
+        r.getAs[Long]("containment_bp"), r.getAs[Long]("jaccard_bp")))
+    // exactly the quote-inside-long direction fires
+    assert(got.map(x => (x._1, x._2)).toSet == Set((11L, 10L)))
+    val hit = got.head
+    assert(hit._3 == 10000L, s"full containment expected: $hit")
+    assert(hit._4 < 7000L,
+      s"jaccard must sit below the dedup gate (asymmetry): $hit")
+    // containment >= jaccard always (n_inner <= union)
+    val fx = Dedup.containmentPairs(
+      graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+      8000L, Some(100L)).collect()
+      .map(r => (r.getAs[Long]("containment_bp"),
+        r.getAs[Long]("jaccard_bp")))
+    assert(fx.forall { case (c, j) => c >= j && c <= 10000L })
+  }
 }
