@@ -384,4 +384,68 @@ object Multimodal {
       }
     }
   }
+
+  case class AHashRecord(doc_id: Long, h_lo: Long, h_hi: Long)
+
+  /** 64-bit average-hash (aHash) from the REAL decoded pixels: gray =
+    * (r+g+b) div 3, pooled onto an 8×8 cell grid (cell of pixel x =
+    * (x·8) div w — the same integer rule the oracle replays), cell
+    * average by integer division, bit = cell above the 64-cell mean;
+    * the hash is carried as TWO 32-bit halves in BIGINTs so bit 63
+    * never touches the sign bit (a single 64-bit sum would overflow
+    * into HUGEINT on the oracle side). The perceptual-dedup primitive
+    * for image corpora: near-identical images land within a few bits.
+    *
+    * Decode runs in the batched mapPartitions path (the op80 shape);
+    * the oracle evaluates the generative pixel formula instead, so a
+    * hash match proves codec round-trip + pooling + thresholding
+    * end-to-end. */
+  def imageAHash(images: Dataset[ImageRecord],
+      batchSize: Int = 64): Dataset[AHashRecord] = {
+    implicit val enc = Encoders.product[AHashRecord]
+    images.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          val w = img.getWidth; val h = img.getHeight
+          val sums = Array.ofDim[Long](8, 8)
+          val ns = Array.ofDim[Long](8, 8)
+          var y = 0
+          while (y < h) {
+            val cj = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val ci = x * 8 / w
+              val rgb = img.getRGB(x, y)
+              val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)) / 3
+              sums(ci)(cj) += gray
+              ns(ci)(cj) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val avgs = Array.tabulate(8, 8)((i, j) => sums(i)(j) / ns(i)(j))
+          val mean = avgs.map(_.sum).sum / 64
+          var lo = 0L; var hi = 0L
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              if (avgs(i)(j) > mean) {
+                val pos = i * 8 + j
+                if (pos < 32) lo |= 1L << pos
+                else hi |= 1L << (pos - 32)
+              }
+              j += 1
+            }
+            i += 1
+          }
+          AHashRecord(r.doc_id, lo, hi)
+        }
+      }
+    }
+  }
 }

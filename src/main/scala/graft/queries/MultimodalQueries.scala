@@ -68,7 +68,51 @@ object MultimodalQueries {
           col("n_frames"), col("width"), col("height"), col("sum_gray")),
       "doc_id", "frame_idx")
 
+  /** op228: 64-bit perceptual average-hash (aHash) from REAL decoded
+    * payloads — gray pooling onto an 8×8 cell grid, bit = cell above
+    * the mean, carried as two 32-bit halves (sign-safe on both
+    * engines). The oracle evaluates the generative pixel formula, so
+    * a hash match proves codec round-trip + pooling + thresholding. */
+  val op228ImageAhash: Q = (s, d) =>
+    ordered(
+      Multimodal.imageAHash(Multimodal.synthesizeImages(s, d)).toDF()
+        .select(col("doc_id"), col("h_lo"), col("h_hi")),
+      "doc_id")
+
+  /** op229: perceptual NEAR-DUP pairs — candidates from an 8-band
+    * (8-bit) LSH join over op228's hashes, verified at Hamming ≤ 7.
+    * The threshold is chosen BELOW the band count, so banding is
+    * PROVABLY lossless (pigeonhole: ≤ 7 differing bits cannot touch
+    * all 8 bands — some band matches exactly), and the oracle's
+    * identical banded join is exhaustive, not best-effort. The image
+    * counterpart of op63's minhash banding: candidates by equi-join,
+    * only candidates pay the verify. */
+  val op229ImageNeardup: Q = (s, d) => {
+    val hh = Multimodal.imageAHash(Multimodal.synthesizeImages(s, d))
+      .toDF()
+    val bands = hh.select(col("doc_id"), col("h_lo"), col("h_hi"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("bv", expr(
+        "CASE WHEN b < 4 THEN shiftright(h_lo, CAST(8*b AS INT)) & 255 " +
+          "ELSE shiftright(h_hi, CAST(8*(b-4) AS INT)) & 255 END"))
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("h_lo").as("la"), col("h_hi").as("ha"), col("b"), col("bv"))
+    val bb = bands.select(col("doc_id").as("doc_b"),
+      col("h_lo").as("lb"), col("h_hi").as("hb"), col("b"), col("bv"))
+    val cand = a.join(bb, Seq("b", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "la", "ha", "lb", "hb").distinct()
+    ordered(
+      cand.withColumn("hamming", expr(
+          "CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
+        .where(col("hamming") <= 7)
+        .select("doc_a", "doc_b", "hamming"),
+      "doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op228_image_ahash" -> op228ImageAhash,
+    "op229_image_neardup" -> op229ImageNeardup,
     "op80_media_decode" -> op80Features,
     "op80_image_codec" -> op80ImageCodec,
     "op81_media_frames" -> op81Frames,
@@ -76,7 +120,62 @@ object MultimodalQueries {
     "op135_video_codec" -> op135VideoCodec,
   )
 
+  /** Shared CTE prefix computing the aHash halves from the generative
+    * pixel formula (op228/op229's oracles). */
+  private val ahashCtes: String =
+    """geom AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT g.doc_id, g.w, g.h, tx.x, ty.y,
+      |    (((g.doc_id*31 + tx.x*7 + ty.y*13) % 256) +
+      |     ((g.doc_id*17 + tx.x*3 + ty.y*5) % 256) +
+      |     ((g.doc_id*7 + tx.x*11 + ty.y*3) % 256)) // 3 AS gray
+      |  FROM geom g,
+      |       LATERAL (SELECT unnest(generate_series(0, g.w - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, g.h - 1)) AS y) ty),
+      |cells AS (
+      |  SELECT doc_id, (x*8)//w AS ci, (y*8)//h AS cj,
+      |    sum(gray)//count(*) AS a
+      |  FROM px GROUP BY 1, 2, 3),
+      |mn AS (SELECT doc_id, sum(a)//64 AS m FROM cells GROUP BY 1),
+      |bits AS (
+      |  SELECT c.doc_id, ci*8 + cj AS pos,
+      |    CASE WHEN c.a > mn.m THEN 1 ELSE 0 END AS b
+      |  FROM cells c JOIN mn USING (doc_id)),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN pos < 32
+      |          THEN b * (CAST(1 AS BIGINT) << CAST(pos AS INT))
+      |          ELSE 0 END) AS BIGINT) AS h_lo,
+      |    CAST(sum(CASE WHEN pos >= 32
+      |          THEN b * (CAST(1 AS BIGINT) << CAST(pos - 32 AS INT))
+      |          ELSE 0 END) AS BIGINT) AS h_hi
+      |  FROM bits GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "op228_image_ahash" ->
+      s"""WITH $ahashCtes
+         |SELECT doc_id, h_lo, h_hi FROM hh ORDER BY doc_id""".stripMargin,
+    "op229_image_neardup" ->
+      s"""WITH $ahashCtes,
+         |bands AS (
+         |  SELECT doc_id, h_lo, h_hi, t.b,
+         |    CASE WHEN t.b < 4 THEN (h_lo >> CAST(8*t.b AS INT)) & 255
+         |         ELSE (h_hi >> CAST(8*(t.b-4) AS INT)) & 255 END AS bv
+         |  FROM hh, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.h_lo AS la,
+         |    a.h_hi AS ha, b2.doc_id AS doc_b, b2.h_lo AS lb,
+         |    b2.h_hi AS hb
+         |  FROM bands a JOIN bands b2
+         |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+         |       AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "op80_media_decode" ->
       """WITH bytes AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),

@@ -165,4 +165,60 @@ class MultimodalSpec extends SparkSpec {
     assert(salted.map(t => (t._1, math.round(t._2 * 1e4), t._3)) ==
       direct.map(t => (t._1, math.round(t._2 * 1e4), t._3)))
   }
+
+  test("op228 aHash: decoded-pixel hashes equal a driver-side formula replay") {
+    import graft.functions.Multimodal
+    val got = graft.queries.MultimodalQueries
+      .op228ImageAhash(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("h_lo"), r.getAs[Long]("h_hi"))).toMap
+    val ids = got.keys.toSeq.sorted
+    ids.foreach { d =>
+      val w = Multimodal.imageWidth(d); val h = Multimodal.imageHeight(d)
+      val sums = Array.ofDim[Long](8, 8); val ns = Array.ofDim[Long](8, 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = (Multimodal.pixelR(d, x, y) + Multimodal.pixelG(d, x, y) +
+          Multimodal.pixelB(d, x, y)) / 3
+        sums(x * 8 / w)(y * 8 / h) += gray
+        ns(x * 8 / w)(y * 8 / h) += 1
+      }
+      val avgs = Array.tabulate(8, 8)((i, j) => sums(i)(j) / ns(i)(j))
+      val mean = avgs.map(_.sum).sum / 64
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 8; j <- 0 until 8) if (avgs(i)(j) > mean) {
+        val pos = i * 8 + j
+        if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+      }
+      assert(got(d) == (lo, hi), s"doc $d")
+      // halves genuinely 32-bit (sign-safe on both engines)
+      assert(got(d)._1 >= 0 && got(d)._1 < (1L << 32))
+      assert(got(d)._2 >= 0 && got(d)._2 < (1L << 32))
+    }
+  }
+
+  test("op229: banding at threshold 7 < 8 bands is PROVABLY lossless") {
+    val hashes = graft.queries.MultimodalQueries
+      .op228ImageAhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h_lo"),
+        r.getAs[Long]("h_hi")))
+    val got = graft.queries.MultimodalQueries
+      .op229ImageNeardup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // ALL-PAIRS ground truth at <= 7 — the banded join must equal it
+    // exactly (pigeonhole: <= 7 differing bits leave a clean 8-bit band)
+    val want = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      (da, la, ha) = hashes(i); (db, lb, hb) = hashes(j)
+      ham = java.lang.Long.bitCount(la ^ lb) +
+        java.lang.Long.bitCount(ha ^ hb)
+      if ham <= 7
+    } yield {
+      val (x, y) = if (da < db) (da, db) else (db, da)
+      (x, y) -> ham.toLong
+    }).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "no near-dup images on the fixture — inert")
+    assert(got.values.exists(_ > 0), "only exact hash matches exercised")
+  }
 }
