@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Multimodal
+import graft.sources.Tables
 import Det.{big, ordered}
 
 /** Multimodal plumbing surface: binary payload columns + typed metadata,
@@ -110,9 +111,44 @@ object MultimodalQueries {
       "doc_a", "doc_b")
   }
 
+  /** op230: cross-modal consistency audit — every TEXT near-dup pair
+    * (op61's jaccard ≥ 70% candidates, verbatim machinery) gets the
+    * image-side verdict: aHash Hamming distance between the two docs'
+    * images, img_match = 1 iff ≤ 7 (op229's threshold). The curation
+    * check a multimodal pipeline runs BEFORE collapsing "duplicates":
+    * near-identical caption + distant image is a mislabel or join bug,
+    * not a duplicate — and the fixture's formula images differ per
+    * doc, so the text-dup pairs genuinely exercise the mismatch arm.
+    *
+    * 100 TB shape: candidates are op61's banded/capped pair list (the
+    * audit pays nothing beyond the dedup pass already running); the
+    * two hash attaches are vertex-keyed equi-joins. No all-pairs
+    * anywhere. */
+  val op230ModalConsistency: Q = (s, d) => {
+    val pairs = graft.functions.Dedup.jaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", 7000L, Some(100L))
+      .select("doc_a", "doc_b", "jaccard_bp")
+    val hh = Multimodal.imageAHash(Multimodal.synthesizeImages(s, d))
+      .toDF()
+    ordered(
+      pairs
+        .join(hh.select(col("doc_id").as("doc_a"),
+          col("h_lo").as("kl"), col("h_hi").as("kh")), "doc_a")
+        .join(hh.select(col("doc_id").as("doc_b"), col("h_lo").as("dl"),
+          col("h_hi").as("dh")), "doc_b")
+        .withColumn("hamming", expr(
+          "CAST(bit_count(kl ^ dl) + bit_count(kh ^ dh) AS BIGINT)"))
+        .withColumn("img_match", expr(
+          "CAST(CASE WHEN bit_count(kl ^ dl) + bit_count(kh ^ dh) <= 7 " +
+            "THEN 1 ELSE 0 END AS BIGINT)"))
+        .select("doc_a", "doc_b", "jaccard_bp", "hamming", "img_match"),
+      "doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "op228_image_ahash" -> op228ImageAhash,
     "op229_image_neardup" -> op229ImageNeardup,
+    "op230_modal_consistency" -> op230ModalConsistency,
     "op80_media_decode" -> op80Features,
     "op80_image_codec" -> op80ImageCodec,
     "op81_media_frames" -> op81Frames,
@@ -157,6 +193,35 @@ object MultimodalQueries {
     "op228_image_ahash" ->
       s"""WITH $ahashCtes
          |SELECT doc_id, h_lo, h_hi FROM hh ORDER BY doc_id""".stripMargin,
+    "op230_modal_consistency" ->
+      s"""WITH $ahashCtes,
+         |sh AS (SELECT DISTINCT doc_id, shingle
+         |       FROM (${TrainQueries.trigramSql})),
+         |kp AS (SELECT shingle FROM sh GROUP BY shingle
+         |       HAVING count(*) <= 100),
+         |shc AS (SELECT sh.* FROM sh JOIN kp USING (shingle)),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         count(*) AS overlap
+         |       FROM shc a JOIN shc b USING (shingle)
+         |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b,
+         |        CAST(overlap * 10000 // (ca.n_sh + cb.n_sh - overlap)
+         |             AS BIGINT) AS jaccard_bp
+         |      FROM ov JOIN cnt ca ON ov.doc_a = ca.doc_id
+         |              JOIN cnt cb ON ov.doc_b = cb.doc_id
+         |      WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap)
+         |            >= 7000)
+         |SELECT p.doc_a, p.doc_b, p.jaccard_bp,
+         |  CAST(bit_count(xor(a.h_lo, b.h_lo)) +
+         |       bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming,
+         |  CAST(CASE WHEN bit_count(xor(a.h_lo, b.h_lo)) +
+         |                 bit_count(xor(a.h_hi, b.h_hi)) <= 7
+         |       THEN 1 ELSE 0 END AS BIGINT) AS img_match
+         |FROM p
+         |JOIN hh a ON p.doc_a = a.doc_id
+         |JOIN hh b ON p.doc_b = b.doc_id
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "op229_image_neardup" ->
       s"""WITH $ahashCtes,
          |bands AS (

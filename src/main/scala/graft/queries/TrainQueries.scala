@@ -2767,7 +2767,7 @@ object TrainQueries {
       |  GROUP BY adc.q_id, codes.vec_id)""".stripMargin
   }
 
-  private val trigramSql =
+  private[queries] val trigramSql =
     """SELECT doc_id, unnest([string_split(text,' ')[i+1] || ' ' ||
       |       string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
       |       FOR i IN range(greatest(len(string_split(text,' ')) - 2, 0))]) AS shingle

@@ -221,4 +221,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty, "no near-dup images on the fixture — inert")
     assert(got.values.exists(_ > 0), "only exact hash matches exercised")
   }
+
+  test("op230: image verdicts compose op61's pairs with op228's hashes exactly") {
+    val pairs = graft.functions.Dedup.jaccardPairs(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        7000L, Some(100L))
+      .collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("jaccard_bp")))
+    val hashes = graft.queries.MultimodalQueries
+      .op228ImageAhash(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("h_lo"), r.getAs[Long]("h_hi"))).toMap
+    val want = pairs.map { case (a, b, j) =>
+      val (la, ha) = hashes(a); val (lb, hb) = hashes(b)
+      val ham = java.lang.Long.bitCount(la ^ lb) +
+        java.lang.Long.bitCount(ha ^ hb)
+      (a, b, j, ham.toLong, if (ham <= 7) 1L else 0L)
+    }.sortBy(x => (x._1, x._2)).toSeq
+    val got = graft.queries.MultimodalQueries
+      .op230ModalConsistency(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_bp"), r.getAs[Long]("hamming"),
+        r.getAs[Long]("img_match"))).toSeq
+    assert(got == want)
+    // non-inert, and the flag is exactly the ham<=7 predicate
+    assert(got.nonEmpty, "no text near-dups — audit inert")
+    assert(got.forall(r => r._5 == (if (r._4 <= 7) 1L else 0L)))
+    // the MISMATCH arm (the audit's reason to exist) fires
+    assert(got.exists(_._5 == 0L), "mismatch arm inert")
+  }
 }
