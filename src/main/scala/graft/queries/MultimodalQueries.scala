@@ -145,10 +145,26 @@ object MultimodalQueries {
       "doc_a", "doc_b")
   }
 
+  /** op231: STREAMING image near-dup gate — op229 maintained online
+    * (the image modality's op132): arrivals are decoded and aHashed
+    * per micro-batch, band-joined against the persisted accepted-hash
+    * store AND within their own batch, flagged at Hamming ≤ 7, then
+    * appended to the store. Every qualifying unordered pair flags
+    * exactly once, so the flag union over any batch split equals the
+    * batch pair set — op229's UNCHANGED oracle.
+    * See [[graft.streaming.ImageDedupStream]]. */
+  val op231StreamImageNeardup: Q = (s, d) => {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_imgdedup_state").toString
+    ordered(graft.streaming.ImageDedupStream
+      .maintainedNearDupFlags(s, d, stateDir), "doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "op228_image_ahash" -> op228ImageAhash,
     "op229_image_neardup" -> op229ImageNeardup,
     "op230_modal_consistency" -> op230ModalConsistency,
+    "op231_stream_image_neardup" -> op231StreamImageNeardup,
     "op80_media_decode" -> op80Features,
     "op80_image_codec" -> op80ImageCodec,
     "op81_media_frames" -> op81Frames,
@@ -189,6 +205,27 @@ object MultimodalQueries {
       |          ELSE 0 END) AS BIGINT) AS h_hi
       |  FROM bits GROUP BY 1)""".stripMargin
 
+  /** op229's oracle — shared verbatim by op231 (stream ≡ batch). */
+  private lazy val imageNeardupSql: String =
+      s"""WITH $ahashCtes,
+         |bands AS (
+         |  SELECT doc_id, h_lo, h_hi, t.b,
+         |    CASE WHEN t.b < 4 THEN (h_lo >> CAST(8*t.b AS INT)) & 255
+         |         ELSE (h_hi >> CAST(8*(t.b-4) AS INT)) & 255 END AS bv
+         |  FROM hh, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.h_lo AS la,
+         |    a.h_hi AS ha, b2.doc_id AS doc_b, b2.h_lo AS lb,
+         |    b2.h_hi AS hb
+         |  FROM bands a JOIN bands b2
+         |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+         |       AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "op228_image_ahash" ->
       s"""WITH $ahashCtes
@@ -222,25 +259,9 @@ object MultimodalQueries {
          |JOIN hh a ON p.doc_a = a.doc_id
          |JOIN hh b ON p.doc_b = b.doc_id
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
-    "op229_image_neardup" ->
-      s"""WITH $ahashCtes,
-         |bands AS (
-         |  SELECT doc_id, h_lo, h_hi, t.b,
-         |    CASE WHEN t.b < 4 THEN (h_lo >> CAST(8*t.b AS INT)) & 255
-         |         ELSE (h_hi >> CAST(8*(t.b-4) AS INT)) & 255 END AS bv
-         |  FROM hh, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, a.h_lo AS la,
-         |    a.h_hi AS ha, b2.doc_id AS doc_b, b2.h_lo AS lb,
-         |    b2.h_hi AS hb
-         |  FROM bands a JOIN bands b2
-         |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
-         |       AS BIGINT) AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 7
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    // op231 is op229 maintained online; shared oracle = stream ≡ batch
+    "op231_stream_image_neardup" -> imageNeardupSql,
+    "op229_image_neardup" -> imageNeardupSql,
     "op80_media_decode" ->
       """WITH bytes AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),

@@ -250,4 +250,18 @@ class MultimodalSpec extends SparkSpec {
     // the MISMATCH arm (the audit's reason to exist) fires
     assert(got.exists(_._5 == 0L), "mismatch arm inert")
   }
+
+  test("op231: streamed image near-dup flags equal op229 exactly") {
+    val batch = graft.queries.MultimodalQueries
+      .op229ImageNeardup(spark, sfDir).collect().map(_.toSeq).toSeq
+    val stream = graft.queries.MultimodalQueries
+      .op231StreamImageNeardup(spark, sfDir).collect()
+      .map(_.toSeq).toSeq
+    assert(stream == batch)
+    // both the same-batch and cross-batch legs are genuinely exercised
+    val spans = batch.map(r => (r(0).asInstanceOf[Long] % 4,
+      r(1).asInstanceOf[Long] % 4))
+    assert(spans.exists(p => p._1 == p._2), "same-batch leg inert")
+    assert(spans.exists(p => p._1 != p._2), "cross-batch leg inert")
+  }
 }
