@@ -363,8 +363,173 @@ object MonitorQueries {
       "event_type")
   }
 
+  /** Shared by op232/op234/op235: the (event_type, day, y-cents)
+    * DAILY-TOTAL grid — the corpus collapses here FIRST (one
+    * map-combinable sum shuffle), so everything downstream is
+    * calendar-bounded, never event-volume-bounded. */
+  private def dailyGrid(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+          .as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+
+  // ---------------------------------------------------------------- op233
+
+  /** op233/op236 shared Mann–Whitney tail: from a merged (v, c1, c2)
+    * value-count grid, the exact two-sample rank-sum statistics —
+    * midranks DOUBLED so ties stay in integers (midrank of a tied run
+    * is prefix + (t+1)/2, a half-integer; ×2 clears the fraction
+    * without any floating point). Emits U₁ and U₂ doubled for the same
+    * reason, the tie correction term Σ(t³−t) the normal approximation
+    * needs, and the AUC effect size in bp — U₁/(n₁n₂) IS
+    * P(X>Y) + ½P(X=Y), the ROC-AUC equivalence, so the drift gate
+    * doubles as a separability score. */
+  def mwuFromGrid(grid: DataFrame): DataFrame = {
+    val walk = graft.ops.Grid.cumWalk(
+        grid.withColumn("t", expr("c1 + c2")),
+        col("v"), Seq("t" -> "cumt"),
+        Seq("c1" -> "n1", "c2" -> "n2"))
+      .withColumn("pfx", expr("cumt - t"))
+    ordered(
+      walk.groupBy("n1", "n2")
+        .agg(sum(expr("c1 * (2 * pfx + t + 1)")).as("r1_x2"),
+          sum(expr("t * t * t - t")).as("tie_term"))
+        .withColumn("u1_x2", expr("r1_x2 - n1 * (n1 + 1)"))
+        .select(col("n1"), col("n2"), col("u1_x2"),
+          expr("2 * n1 * n2 - u1_x2").as("u2_x2"), col("tie_term"),
+          expr("(u1_x2 * 10000) div (2 * n1 * n2)").as("auc_bp")),
+      "n1")
+  }
+
+  /** op233: Mann–Whitney U drift test — the exact two-sample rank-sum
+    * test between the src0 slice and the rest of the corpus over
+    * document length: location-shift sensitivity where op187's KS
+    * reacts to the max CDF gap and op183's χ² to binned shape. Same
+    * (v, c1, c2) grid as op187; the three gates share one aggregate at
+    * deployment.
+    *
+    * 100 TB shape: the op187 argument verbatim — one map-combinable
+    * (value → per-group counts) shuffle, then the cumulative walk on
+    * the distinct-value grid (the Grid contract). Rank sums never
+    * materialize per-row ranks: midranks fall out of the grid's
+    * prefix counts. */
+  val op233MannWhitney: Q = (s, d) =>
+    mwuFromGrid(Tables.documents(s, d)
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("c2")))
+
+  // ---------------------------------------------------------------- op234
+
+  /** op234: Kendall tau concordance between every PAIR of event types'
+    * daily series — do clicks and purchases move together? Rank
+    * correlation from concordant/discordant day-pair counts (integer
+    * sign algebra, no ranks materialized), tie classes reported
+    * separately the way tau-b's denominator needs them; tau-a in bp
+    * with the op232 sign-split division. The robust co-movement
+    * monitor: one outlier day flips O(n) of C(n,2) pairs, where a
+    * Pearson r moves arbitrarily.
+    *
+    * 100 TB shape: series join and pair fan-out both run on the daily
+    * grid — C(\|types\|,2) × C(\|span\|,2) rows, a calendar bound. The
+    * corpus is touched once, by dailyGrid's sum shuffle. */
+  val op234KendallTau: Q = (s, d) => {
+    val grid = dailyGrid(s, d)
+    val a = grid.select(col("event_type").as("ta"), col("day"),
+      col("y").as("ya"))
+    val b = grid.select(col("event_type").as("tb"), col("day"),
+      col("y").as("yb"))
+    val series = a.join(b, "day").where(col("ta") < col("tb"))
+    val p = series.select(col("ta"), col("tb"), col("day").as("d1"),
+      col("ya").as("xa1"), col("yb").as("xb1"))
+    val q = series.select(col("ta"), col("tb"), col("day").as("d2"),
+      col("ya").as("xa2"), col("yb").as("xb2"))
+    ordered(
+      p.join(q, Seq("ta", "tb")).where(col("d1") < col("d2"))
+        .withColumn("sx", expr(
+          "CASE WHEN xa2 > xa1 THEN 1 WHEN xa2 < xa1 THEN -1 ELSE 0 END"))
+        .withColumn("sy", expr(
+          "CASE WHEN xb2 > xb1 THEN 1 WHEN xb2 < xb1 THEN -1 ELSE 0 END"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(expr("sx * sy = 1"), 1L).otherwise(0L)).as("nc"),
+          sum(when(expr("sx * sy = -1"), 1L).otherwise(0L)).as("nd"),
+          sum(when(expr("sx = 0 AND sy <> 0"), 1L).otherwise(0L))
+            .as("tie_x"),
+          sum(when(expr("sy = 0 AND sx <> 0"), 1L).otherwise(0L))
+            .as("tie_y"),
+          sum(when(expr("sx = 0 AND sy = 0"), 1L).otherwise(0L))
+            .as("tie_both"))
+        .withColumn("tau_a_bp", expr(
+          "(CASE WHEN nc - nd < 0 THEN -1 ELSE 1 END) * " +
+            "((abs(nc - nd) * 10000) div n_pairs)")),
+      "ta", "tb")
+  }
+
+  // ---------------------------------------------------------------- op235
+
+  /** op235: CUSUM changepoint detection — per event type, the day at
+    * which the cumulative deviation from the series mean peaks, with
+    * the peak magnitude. Deviations are kept exact by scaling through
+    * the mean's denominator: S_i = n·cum_i − i·T (= n·Σ_{d≤i}(y_d − ȳ))
+    * — no division anywhere, so the changepoint location is
+    * bit-reproducible. The level-shift detector op167's spike gate and
+    * op216's seasonal gate don't cover: a PERSISTENT regime change
+    * maximizes |S| at the shift point even when no single day spikes.
+    *
+    * 100 TB shape: one dailyGrid shuffle, then a per-type cumulative
+    * window over the calendar-bounded grid; argmax via window-max +
+    * equality filter (no second pass over events). */
+  val op235Cusum: Q = (s, d) => {
+    val wt = Window.partitionBy("event_type")
+    val w = wt.orderBy("day")
+    val cum = dailyGrid(s, d)
+      .withColumn("cum", sum("y").over(w))
+      .withColumn("rn", big(row_number().over(w)))
+      .withColumn("tot", sum("y").over(wt))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s_abs", abs(expr("n * cum - rn * tot")))
+    ordered(
+      cum.withColumn("smax", max("s_abs").over(wt))
+        .where(col("s_abs") === col("smax"))
+        .groupBy("event_type", "n", "smax")
+        .agg(min("day").as("cp_day"))
+        .select(col("event_type"), big(col("n")).as("n_days"),
+          col("smax").as("smax_scaled"), col("cp_day")),
+      "event_type")
+  }
+
+  // ---------------------------------------------------------------- op236
+
+  /** op236: STREAMING Mann–Whitney gate — op233 with the src0 side
+    * arriving online through op193's maintained length histogram
+    * (DriftStream — counts are the mergeable summary, so the streamed
+    * grid equals the batch group-by bit-for-bit) and the SAME mwu tail.
+    * Sits under op233's UNCHANGED oracle; with op193 this makes the
+    * drift check a two-statistic gate (max-gap + location shift) off
+    * ONE maintained state table. */
+  val op236StreamMwu: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op236_").toString
+    val streamed = graft.streaming.DriftStream
+      .maintainedLengthCounts(s, d, state)        // (v, c1) merged
+    val reference = Tables.documents(s, d)
+      .where(col("source") =!= "src0")
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c2"))
+    mwuFromGrid(
+      streamed.join(reference, Seq("v"), "full")
+        .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2")))
+  }
+
   val defs: Map[String, Q] = Map(
     "op232_theil_sen" -> op232TheilSen,
+    "op233_mann_whitney" -> op233MannWhitney,
+    "op234_kendall_tau" -> op234KendallTau,
+    "op235_cusum" -> op235Cusum,
+    "op236_stream_mwu" -> op236StreamMwu,
     "op184_trend_ols" -> op184TrendOls,
     "op185_skew_report" -> op185SkewReport,
     "op186_weighted_sample" -> op186WeightedSample,
@@ -408,9 +573,101 @@ object MonitorQueries {
   lazy val oracle: Map[String, String] = baseOracle +
     ("op189_stream_topk" -> baseOracle("op186_weighted_sample")) +
     // op193 merges streamed counts exactly -> op187's oracle verbatim
-    ("op193_stream_drift" -> baseOracle("op187_ks_drift"))
+    ("op193_stream_drift" -> baseOracle("op187_ks_drift")) +
+    // op236 merges streamed counts exactly -> op233's oracle verbatim
+    ("op236_stream_mwu" -> baseOracle("op233_mann_whitney"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op233_mann_whitney" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c2
+        |  FROM documents GROUP BY 1),
+        |walk AS (
+        |  SELECT c1, c1 + c2 AS t,
+        |    CAST(sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2)
+        |         AS BIGINT) AS pfx,
+        |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+        |  FROM grid),
+        |agg AS (
+        |  SELECT n1, n2,
+        |    CAST(sum(c1 * (2 * pfx + t + 1)) - n1 * (n1 + 1)
+        |         AS BIGINT) AS u1_x2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+        |  FROM walk GROUP BY n1, n2)
+        |SELECT n1, n2, u1_x2,
+        |  CAST(2 * n1 * n2 - u1_x2 AS BIGINT) AS u2_x2, tie_term,
+        |  CAST((u1_x2 * 10000) // (2 * n1 * n2) AS BIGINT) AS auc_bp
+        |FROM agg ORDER BY n1""".stripMargin,
+    "op234_kendall_tau" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+        |    a.y AS ya, b.y AS yb
+        |  FROM grid a JOIN grid b ON a.day = b.day
+        |  WHERE a.event_type < b.event_type),
+        |pairs AS (
+        |  SELECT p.ta, p.tb,
+        |    (CASE WHEN q.ya > p.ya THEN 1
+        |          WHEN q.ya < p.ya THEN -1 ELSE 0 END) AS sx,
+        |    (CASE WHEN q.yb > p.yb THEN 1
+        |          WHEN q.yb < p.yb THEN -1 ELSE 0 END) AS sy
+        |  FROM series p JOIN series q
+        |    ON p.ta = q.ta AND p.tb = q.tb AND p.day < q.day),
+        |agg AS (
+        |  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tie_x,
+        |    CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tie_y,
+        |    CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tie_both
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT ta, tb, n_pairs, nc, nd, tie_x, tie_y, tie_both,
+        |  CAST((CASE WHEN nc - nd < 0 THEN -1 ELSE 1 END) *
+        |       ((abs(nc - nd) * 10000) // n_pairs) AS BIGINT) AS tau_a_bp
+        |FROM agg ORDER BY ta, tb""".stripMargin,
+    "op235_cusum" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |walk AS (
+        |  SELECT event_type, day,
+        |    abs(CAST(count(*) OVER w0 AS BIGINT) *
+        |        CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day)
+        |             AS BIGINT) -
+        |        CAST(row_number() OVER
+        |             (PARTITION BY event_type ORDER BY day) AS BIGINT) *
+        |        CAST(sum(y) OVER w0 AS BIGINT)) AS s_abs,
+        |    CAST(count(*) OVER w0 AS BIGINT) AS n_days
+        |  FROM grid
+        |  WINDOW w0 AS (PARTITION BY event_type)),
+        |mx AS (
+        |  SELECT event_type, n_days, s_abs,
+        |    CAST(max(s_abs) OVER (PARTITION BY event_type)
+        |         AS BIGINT) AS smax, day
+        |  FROM walk)
+        |SELECT event_type, n_days, CAST(smax AS BIGINT) AS smax_scaled,
+        |  CAST(min(day) AS BIGINT) AS cp_day
+        |FROM mx WHERE s_abs = smax
+        |GROUP BY event_type, n_days, smax
+        |ORDER BY event_type""".stripMargin,
     "op232_theil_sen" ->
       """WITH grid AS (
         |  SELECT event_type,

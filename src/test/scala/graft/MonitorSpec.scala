@@ -182,4 +182,101 @@ class MonitorSpec extends SparkSpec {
     // (i.e. outlier slopes exist that a mean would absorb)
     assert(got.nonEmpty)
   }
+
+  test("op233: doubled-midrank U replays the naive rank-sum; laws hold") {
+    val rows = MonitorQueries.op233MannWhitney(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val docs = Tables.documents(spark, sfDir)
+      .select("n_chars", "source").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    // naive: sort all values, midrank (doubled) per tied run, sum over
+    // the src0 sample, then U1x2 = R1x2 - n1(n1+1)
+    val sorted = docs.map(_._1).toSeq.sorted
+    val rank2 = sorted.zipWithIndex.groupBy(_._1).view.mapValues { g =>
+      val idxs = g.map(_._2 + 1L)                // 1-based ranks
+      idxs.min + idxs.max                        // 2 * midrank
+    }.toMap
+    val n1 = docs.count(_._2 == "src0").toLong
+    val n2 = docs.length - n1
+    val r1x2 = docs.toSeq.filter(_._2 == "src0").map(d => rank2(d._1)).sum
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val tie = sorted.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("u1_x2") == u1x2)
+    assert(r.getAs[Long]("tie_term") == tie)
+    // structural laws: U1 + U2 = n1 n2 (doubled), AUC from U1
+    assert(r.getAs[Long]("u1_x2") + r.getAs[Long]("u2_x2") == 2 * n1 * n2)
+    assert(r.getAs[Long]("auc_bp") == (u1x2 * 10000) / (2 * n1 * n2))
+  }
+
+  test("op234: concordance counts replay the naive sign algebra") {
+    val got = MonitorQueries.op234KendallTau(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("nc"),
+          r.getAs[Long]("nd"), r.getAs[Long]("tau_a_bp"))).toMap
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long"),
+      round(col("value") * 100, 0).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val grid = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val types = grid.keys.map(_._1).toSeq.distinct.sorted
+    val want = (for {
+      ta <- types; tb <- types if ta < tb
+    } yield {
+      val days = grid.keys.filter(_._1 == ta).map(_._2).toSet
+        .intersect(grid.keys.filter(_._1 == tb).map(_._2).toSet)
+        .toSeq.sorted
+      val sgns = for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield (java.lang.Long.signum(grid((ta, days(j))) - grid((ta, days(i)))),
+        java.lang.Long.signum(grid((tb, days(j))) - grid((tb, days(i)))))
+      val np = sgns.length.toLong
+      val nc = sgns.count(p => p._1 * p._2 == 1).toLong
+      val nd = sgns.count(p => p._1 * p._2 == -1).toLong
+      val num = nc - nd
+      val tau = (if (num < 0) -1L else 1L) * (math.abs(num) * 10000 / np)
+      (ta, tb) -> ((np, nc, nd, tau))
+    }).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("op235: cusum peak replays the naive scaled-deviation walk") {
+    val got = MonitorQueries.op235Cusum(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("smax_scaled"),
+          r.getAs[Long]("cp_day"))).toMap
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long"),
+      round(col("value") * 100, 0).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val grid = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val want = grid.keys.map(_._1).toSeq.distinct.map { t =>
+      val days = grid.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+      val ys = days.map(d => grid((t, d)))
+      val n = days.length.toLong; val tot = ys.sum
+      val s = ys.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+        case (cum, i) => math.abs(n * cum - (i + 1) * tot)
+      }
+      val smax = s.max
+      t -> ((n, smax, days(s.indexOf(smax))))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("op236: streaming MWU gate equals the batch op233 exactly") {
+    val batch = MonitorQueries.op233MannWhitney(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MonitorQueries.op236StreamMwu(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
 }
