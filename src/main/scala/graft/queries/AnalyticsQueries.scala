@@ -599,7 +599,43 @@ object AnalyticsQueries {
       "attributed_type")
   }
 
+  // ---------------------------------------------------------------- op238
+
+  /** op238: CEP negative-pattern match — purchases preceded by a view
+    * with NO error strictly between them, per user: the
+    * MATCH_RECOGNIZE / Flink-CEP "A then B with no intervening X"
+    * shape the funnels (op161/op205) can't express, because a funnel
+    * counts step progress and never excludes on ABSENT events. Spelled
+    * as two running maxima over a RANGE frame ending 1µs before the
+    * current row (strictly-before semantics — simultaneous events
+    * never witness each other, so intra-timestamp ordering can't leak
+    * into the answer): match ⇔ a view exists and the latest error, if
+    * any, is older than that view.
+    *
+    * 100 TB shape: ONE shuffle by user, two window maxima over each
+    * user's bounded history, no self-joins — the negation costs the
+    * same as the detection. Emits the matched (purchase, witness-view)
+    * pairs row-level, the downstream-join-ready form. */
+  val op238CepNoError: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    ordered(
+      ev.select(col("user_id"), big(col("event_id")).as("event_id"),
+          col("event_type"), Tables.tsUsExpr(ev).as("t_us"))
+        .withColumn("lv",
+          max(when(col("event_type") === "view", col("t_us"))).over(w))
+        .withColumn("le",
+          max(when(col("event_type") === "error", col("t_us"))).over(w))
+        .where(col("event_type") === "purchase" && col("lv").isNotNull &&
+          (col("le").isNull || col("le") < col("lv")))
+        .select(col("user_id"), col("event_id"),
+          big(col("t_us")).as("p_us"), big(col("lv")).as("v_us")),
+      "user_id", "p_us", "event_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op238_cep_no_error" -> op238CepNoError,
     "op198_pmi_collocations" -> op198PmiCollocations,
     "op200_session_paths" -> op200SessionPaths,
     "op201_strata_alloc" -> op201StrataAlloc,
@@ -622,6 +658,26 @@ object AnalyticsQueries {
     ("op169_stream_cms" -> baseOracle("op159_cms_heavy_hitters"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op238_cep_no_error" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+        |    event_type, epoch_us(ts) AS t_us
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, event_type, t_us,
+        |    max(CASE WHEN event_type = 'view' THEN t_us END) OVER win
+        |      AS lv,
+        |    max(CASE WHEN event_type = 'error' THEN t_us END) OVER win
+        |      AS le
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY t_us
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, CAST(t_us AS BIGINT) AS p_us,
+        |  CAST(lv AS BIGINT) AS v_us
+        |FROM w
+        |WHERE event_type = 'purchase' AND lv IS NOT NULL
+        |  AND (le IS NULL OR le < lv)
+        |ORDER BY user_id, p_us, event_id""".stripMargin,
     "op198_pmi_collocations" ->
       s"""WITH doctok AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t

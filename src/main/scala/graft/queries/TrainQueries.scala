@@ -1014,6 +1014,79 @@ object TrainQueries {
       "q_id")
   }
 
+  /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
+    * of brute-force search over the FIRST 16 of 64 dims against the
+    * full-dim exact top-5. MRL-style nested embeddings are trained so
+    * any prefix is a usable sub-embedding; this measures what the 4×
+    * cheaper prefix scorer costs in retrieval quality — the eval that
+    * decides whether the serving tier can store/scan short prefixes
+    * and rerank with full vectors. Both legs ride the op67 brute
+    * scorer (quantized integer dot + deterministic bp cosine), so the
+    * whole eval is hash-exact.
+    *
+    * 100 TB shape: the op110 recall protocol — ground truth over a
+    * SMALL query sample × corpus; the prefix leg scans 1/4 the bytes
+    * per vector (at scale: a separate short-prefix column pruned at
+    * the parquet scan). Hit counting is sample×k-bounded, broadcast. */
+  val op237MatryoshkaRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(queries, emb, 5)
+      .select(col("q_id"), col("n_id"))
+    def trunc(df: DataFrame): DataFrame =
+      df.withColumn("embedding", slice(col("embedding"), 1, 16))
+    val approx = Similarity.bruteForceTopK(trunc(queries), trunc(emb), 5)
+      .select(col("q_id"), col("n_id"))
+    val hits = approx.join(broadcast(truth), Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
+    ordered(
+      queries.select(col("vec_id").as("q_id"))
+        .join(broadcast(hits), Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 2000L).as("recall_bp")),
+      "q_id")
+  }
+
+  /** op239: DSIR-style importance scoring — every document scored by
+    * the log-likelihood ratio of a TARGET unigram model (the src0
+    * slice) against the SOURCE model (the rest), add-one smoothed:
+    * the data-selection primitive behind importance resampling
+    * (select web documents that look like the curated target). Per
+    * the house ln contract, the ratio is ONE double division of
+    * exact integers and ln is quantized to floor(·×10⁶) micro-units
+    * per DISTINCT TOKEN — per-document scores are then pure integer
+    * sums of those micro-weights, so the whole score replays
+    * bit-for-bit. `sel` flags the above-target-likelihood half.
+    *
+    * 100 TB shape: the float work lives on the VOCAB grid (one ln per
+    * distinct token), never per token occurrence; the document score
+    * is one token-keyed join against the broadcast-sized weight table
+    * + a map-combinable sum. Corpus-sized passes: exactly two
+    * (count, score). */
+  val op239DsirImportance: Q = (s, d) => {
+    val tok = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val cnt = tok.groupBy("token").agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cs"))
+    val tot = cnt.agg(sum("ct").as("nt"), sum("cs").as("ns"),
+      big(count(lit(1))).as("v"))
+    val w = cnt.crossJoin(broadcast(tot))
+      .withColumn("w_micro", expr(
+        "CAST(floor(ln(CAST((ct + 1) * (ns + v) AS DOUBLE) / " +
+          "CAST((cs + 1) * (nt + v) AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select("token", "w_micro")
+    ordered(
+      tok.join(w, "token")
+        .groupBy("doc_id")
+        .agg(big(count(lit(1))).as("n_tokens"),
+          sum("w_micro").as("dsir_micro"))
+        .withColumn("sel", expr(
+          "CAST(CASE WHEN dsir_micro >= 0 THEN 1 ELSE 0 END AS BIGINT)")),
+      "doc_id")
+  }
+
   /** Serving-matrix recall report (op121): recall@5 vs exact brute
     * force for every cell-pruned serving leg — IVF-flat, IVF-SQ8,
     * IVF-PQ — per query in one result: the eval a deployment runs to
@@ -2529,6 +2602,8 @@ object TrainQueries {
     "op108_stream_changelog" -> op108StreamChangelog,
     "op109_hard_negatives" -> op109HardNegatives,
     "op110_ann_recall" -> op110AnnRecall,
+    "op237_matryoshka_recall" -> op237MatryoshkaRecall,
+    "op239_dsir_importance" -> op239DsirImportance,
     "op112_sq8_ann" -> op112Sq8Ann,
     "op113_curation_pipeline" -> op113CurationPipeline,
     "op114_cluster_histogram" -> op114ClusterHistogram,
@@ -3791,6 +3866,38 @@ object TrainQueries {
     "op115_sq8_probe" -> sq8AnnSql,
     "op112_sq8_ann" -> sq8AnnSql,
     "op110_ann_recall" -> annRecallSql,
+    "op237_matryoshka_recall" -> matryoshkaRecallSql,
+    "op239_dsir_importance" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk AS (
+        |  SELECT t.doc_id, t.token, s.source
+        |  FROM tok t JOIN documents s USING (doc_id)),
+        |cnt AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS cs
+        |  FROM tk GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cs) AS BIGINT) AS ns,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM cnt),
+        |w AS (
+        |  SELECT token,
+        |    CAST(floor(ln(CAST((ct + 1) * (ns + v) AS DOUBLE) /
+        |         CAST((cs + 1) * (nt + v) AS DOUBLE)) * 1000000)
+        |         AS BIGINT) AS w_micro
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w.w_micro) AS BIGINT) AS dsir_micro,
+        |  CAST(CASE WHEN sum(w.w_micro) >= 0 THEN 1 ELSE 0 END
+        |       AS BIGINT) AS sel
+        |FROM tok t JOIN w ON t.token = w.token
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "op121_recall_matrix" -> recallMatrixSql,
     // probe(prebuilt IVF-PQ index) ≡ the end-to-end op118; the
     // streaming leg (op120) cannot rerank, so its oracle stops at the
@@ -4311,6 +4418,58 @@ object TrainQueries {
       |FROM qx LEFT JOIN h ON qx.leg = h.leg AND qx.q_id = h.q_id
       |ORDER BY qx.leg, qx.q_id""".stripMargin
   }
+
+  /** op237: both retrieval legs (full-dim truth, 16-dim prefix) replay
+    * the op67 quantized-cosine chain; recall = hit-join of the two
+    * top-5 sets. */
+  private lazy val matryoshkaRecallSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+      |     FOR i IN range(64)] AS v,
+      |    [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+      |     FOR i IN range(16)] AS v16
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, v16,
+      |    CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE)
+      |      AS n2,
+      |    CAST(list_sum([v16[i+1] * v16[i+1] FOR i IN range(16)]) AS DOUBLE)
+      |      AS m2
+      |  FROM q),
+      |bscored AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor(
+      |        CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)])
+      |             AS DOUBLE) / (sqrt(a.n2) * sqrt(b.n2)) * 10000)
+      |        AS BIGINT) END AS cos_bp
+      |  FROM n a, n b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
+      |btop AS (SELECT q_id, n_id FROM (
+      |  SELECT q_id, n_id, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+      |  FROM bscored) WHERE rank <= 5),
+      |mscored AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    CASE WHEN a.m2 = 0 OR b.m2 = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor(
+      |        CAST(list_sum([a.v16[i+1] * b.v16[i+1] FOR i IN range(16)])
+      |             AS DOUBLE) / (sqrt(a.m2) * sqrt(b.m2)) * 10000)
+      |        AS BIGINT) END AS cos_bp
+      |  FROM n a, n b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
+      |mtop AS (SELECT q_id, n_id FROM (
+      |  SELECT q_id, n_id, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+      |  FROM mscored) WHERE rank <= 5),
+      |h AS (SELECT mtop.q_id, count(*) AS n_hits
+      |      FROM mtop JOIN btop
+      |        ON mtop.q_id = btop.q_id AND mtop.n_id = btop.n_id
+      |      GROUP BY 1)
+      |SELECT qq.vec_id AS q_id,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(coalesce(h.n_hits, 0) * 2000 AS BIGINT) AS recall_bp
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) qq
+      |LEFT JOIN h ON qq.vec_id = h.q_id
+      |ORDER BY q_id""".stripMargin
 
   private lazy val annRecallSql: String = {
       val cosTo = ivfCosTo

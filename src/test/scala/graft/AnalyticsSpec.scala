@@ -344,4 +344,68 @@ class AnalyticsSpec extends SparkSpec {
       "attribution buckets must partition the purchases")
     assert(got.contains("none"), "lookback miss not exercised")
   }
+
+  test("op238: negative-pattern matches equal a strictly-before replay") {
+    val got = AnalyticsQueries.op238CepNoError(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val evDf = Tables.events(spark, sfDir)
+    val ev = evDf.select(col("user_id"), col("event_id"),
+        col("event_type"), graft.sources.Tables.tsUsExpr(evDf).as("t_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      rows.filter(_._3 == "purchase").flatMap { case (_, eid, _, pus) =>
+        val lv = rows.filter(r => r._3 == "view" && r._4 < pus)
+          .map(_._4).maxOption
+        val le = rows.filter(r => r._3 == "error" && r._4 < pus)
+          .map(_._4).maxOption
+        lv match {
+          case Some(v) if le.forall(_ < v) => Some((u, eid, pus, v))
+          case _ => None
+        }
+      }
+    }.toSet
+    assert(got == want)
+    // the negation arm must actually fire: some purchase with a prior
+    // view is EXCLUDED because an error intervened
+    val excluded = ev.groupBy(_._1).exists { case (_, rows) =>
+      rows.filter(_._3 == "purchase").exists { case (_, _, _, pus) =>
+        val lv = rows.filter(r => r._3 == "view" && r._4 < pus)
+          .map(_._4).maxOption
+        val le = rows.filter(r => r._3 == "error" && r._4 < pus)
+          .map(_._4).maxOption
+        lv.isDefined && le.exists(_ >= lv.get)
+      }
+    }
+    assert(excluded, "fixture never exercises the intervening-error arm")
+  }
+
+  test("op239: dsir scores replay the vocab-grid ln-ratio fold") {
+    val rows = graft.queries.TrainQueries
+      .op239DsirImportance(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokens = docs.flatMap { case (id, src, text) =>
+      text.split(" ").map(t => (id, src, t)) }
+    val cnt = tokens.groupBy(_._3).view.mapValues { g =>
+      (g.count(_._2 == "src0").toLong, g.count(_._2 != "src0").toLong)
+    }.toMap
+    val nt = cnt.values.map(_._1).sum; val ns = cnt.values.map(_._2).sum
+    val v = cnt.size.toLong
+    val w = cnt.map { case (t, (ct, cs)) =>
+      t -> math.floor(math.log(((ct + 1) * (ns + v)).toDouble /
+        ((cs + 1) * (nt + v)).toDouble) * 1000000d).toLong
+    }
+    val want = tokens.groupBy(_._1).view.mapValues { g =>
+      val score = g.toSeq.map(r => w(r._3)).sum
+      (g.length.toLong, score, if (score >= 0) 1L else 0L)
+    }.toMap
+    assert(rows == want)
+    // both selection classes must exist, or the gate is vacuous
+    assert(rows.values.exists(_._3 == 1L) && rows.values.exists(_._3 == 0L))
+  }
 }

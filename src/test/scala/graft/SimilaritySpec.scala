@@ -410,6 +410,41 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { case (i, h, _) => wantHits(i) == h })
   }
 
+  test("matryoshka recall (op237) equals a pure driver replay of both legs") {
+    val rows = graft.queries.TrainQueries
+      .op237MatryoshkaRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until 8L))
+    assert(rows.forall { case (_, h, bp) => h >= 0 && h <= 5 && bp == h * 2000 })
+    // replay: quantize -> integer dot -> deterministic bp cosine ->
+    // top-5 at full dim and at the 16-dim prefix -> hit fold
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1000000d).toLong).toArray)
+      .toMap
+    def top5(dim: Int): Map[Long, Set[Long]] = {
+      def cos(a: Array[Long], b: Array[Long]): Long = {
+        val (av, bv) = (a.take(dim), b.take(dim))
+        val dot = av.zip(bv).map { case (x, y) => x * y }.sum
+        val n2a = av.map(x => x * x).sum.toDouble
+        val n2b = bv.map(x => x * x).sum.toDouble
+        if (n2a == 0 || n2b == 0) 0L
+        else math.floor(dot.toDouble /
+          (math.sqrt(n2a) * math.sqrt(n2b)) * 10000d).toLong
+      }
+      (0L until 8L).map { q =>
+        q -> vecs.keys.filter(_ != q).toSeq
+          .map(n => (n, cos(vecs(q), vecs(n))))
+          .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1).toSet
+      }.toMap
+    }
+    val full = top5(64); val prefix = top5(16)
+    rows.foreach { case (q, h, _) =>
+      assert((full(q) & prefix(q)).size.toLong == h, s"query $q")
+    }
+  }
+
   test("LSH near-dup pairs equal brute force on planted near-dups") {
     val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     // plant exact dups: copies of vecs 0-4 under ids 1000-1004 (cos=1.0,
