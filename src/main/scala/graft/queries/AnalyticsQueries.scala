@@ -634,7 +634,41 @@ object AnalyticsQueries {
       "user_id", "p_us", "event_id")
   }
 
+  // ---------------------------------------------------------------- op242
+
+  /** op242: per-source token-distribution entropy — Shannon entropy of
+    * each source's unigram distribution in ln-micro-units via the
+    * identity H = ln N − (Σ c·ln c)/N, with ln quantized to
+    * floor(·×10⁶) per DISTINCT count BEFORE the sum (the house ln
+    * contract): Σ c·⌊ln c·10⁶⌋ is a pure integer sum, one division at
+    * the end. The corpus-diversity diagnostic mixture balancing
+    * (op88/op111) and quality gates read — a source whose entropy
+    * collapses is templated/boilerplate even when its lengths and
+    * scores look healthy.
+    *
+    * 100 TB shape: one (source, token) aggregate (map-combinable),
+    * then a vocab-grid-sized reduction per source; the float work is
+    * one ln per distinct (source, token) count — never per
+    * occurrence. */
+  val op242SourceEntropy: Q = (s, d) => {
+    val tok = Tables.documents(s, d).select(col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val cnt = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+    ordered(
+      cnt.groupBy("source")
+        .agg(sum("c").as("n_tokens"),
+          big(count(lit(1))).as("n_vocab"),
+          sum(expr(
+            "c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+            .as("clnc"))
+        .select(col("source"), col("n_tokens"), col("n_vocab"),
+          expr("CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) " +
+            "AS BIGINT) - (clnc div n_tokens)").as("h_micro")),
+      "source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op242_source_entropy" -> op242SourceEntropy,
     "op238_cep_no_error" -> op238CepNoError,
     "op198_pmi_collocations" -> op198PmiCollocations,
     "op200_session_paths" -> op200SessionPaths,
@@ -658,6 +692,23 @@ object AnalyticsQueries {
     ("op169_stream_cms" -> baseOracle("op159_cms_heavy_hitters"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op242_source_entropy" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+        |         AS BIGINT)) AS BIGINT) AS clnc
+        |  FROM cnt GROUP BY 1)
+        |SELECT source, n_tokens, n_vocab,
+        |  CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+        |       AS BIGINT) - (clnc // n_tokens) AS BIGINT) AS h_micro
+        |FROM agg ORDER BY source""".stripMargin,
     "op238_cep_no_error" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(event_id AS BIGINT) AS event_id,

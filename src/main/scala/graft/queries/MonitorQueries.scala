@@ -481,10 +481,11 @@ object MonitorQueries {
     * 100 TB shape: one dailyGrid shuffle, then a per-type cumulative
     * window over the calendar-bounded grid; argmax via window-max +
     * equality filter (no second pass over events). */
-  val op235Cusum: Q = (s, d) => {
+  /** op235/op240 shared CUSUM tail over an (event_type, day, y) grid. */
+  def cusumFromGrid(grid: DataFrame): DataFrame = {
     val wt = Window.partitionBy("event_type")
     val w = wt.orderBy("day")
-    val cum = dailyGrid(s, d)
+    val cum = grid
       .withColumn("cum", sum("y").over(w))
       .withColumn("rn", big(row_number().over(w)))
       .withColumn("tot", sum("y").over(wt))
@@ -498,6 +499,25 @@ object MonitorQueries {
         .select(col("event_type"), big(col("n")).as("n_days"),
           col("smax").as("smax_scaled"), col("cp_day")),
       "event_type")
+  }
+
+  val op235Cusum: Q = (s, d) => cusumFromGrid(dailyGrid(s, d))
+
+  // ---------------------------------------------------------------- op240
+
+  /** op240: STREAMING CUSUM gate — op235 with the daily-total grid
+    * maintained ONLINE (SeasonalStream.maintainedDailySums: per-batch
+    * partial cents sums appended, serving merge element-wise — sums
+    * are as mergeable as counts) and the SAME cusum tail, so the
+    * online changepoint check sits under op235's UNCHANGED oracle.
+    * CUSUM is the canonical ONLINE changepoint detector — this is its
+    * deployment spelling: arrivals fold into the grid as they land,
+    * the regime-shift question is re-asked per serve at grid cost. */
+  val op240StreamCusum: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op240_").toString
+    cusumFromGrid(graft.streaming.SeasonalStream
+      .maintainedDailySums(s, d, state))
   }
 
   // ---------------------------------------------------------------- op236
@@ -530,6 +550,7 @@ object MonitorQueries {
     "op234_kendall_tau" -> op234KendallTau,
     "op235_cusum" -> op235Cusum,
     "op236_stream_mwu" -> op236StreamMwu,
+    "op240_stream_cusum" -> op240StreamCusum,
     "op184_trend_ols" -> op184TrendOls,
     "op185_skew_report" -> op185SkewReport,
     "op186_weighted_sample" -> op186WeightedSample,
@@ -575,7 +596,9 @@ object MonitorQueries {
     // op193 merges streamed counts exactly -> op187's oracle verbatim
     ("op193_stream_drift" -> baseOracle("op187_ks_drift")) +
     // op236 merges streamed counts exactly -> op233's oracle verbatim
-    ("op236_stream_mwu" -> baseOracle("op233_mann_whitney"))
+    ("op236_stream_mwu" -> baseOracle("op233_mann_whitney")) +
+    // op240 merges streamed cents sums exactly -> op235's oracle verbatim
+    ("op240_stream_cusum" -> baseOracle("op235_cusum"))
 
   private lazy val baseOracle: Map[String, String] = Map(
     "op233_mann_whitney" ->

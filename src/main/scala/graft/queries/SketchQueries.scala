@@ -404,9 +404,57 @@ object SketchQueries {
       "exact_size")
   }
 
+  // ---------------------------------------------------------------- op241
+
+  /** op241: integer EWMA smoother — per event type, the exponentially
+    * weighted moving average of the daily cents total with α = 1/8,
+    * kept EXACT by the integer recurrence s₁ = y₁,
+    * sᵢ = (7·sᵢ₋₁ + yᵢ) div 8 (sign-split so truncation agrees across
+    * engines): the classic online baseline/smoothing primitive that
+    * trailing means (op167) approximate with a window. A recurrence
+    * can't be a window function; the Spark spelling folds each type's
+    * CALENDAR-BOUNDED day array with a higher-order `aggregate`
+    * (declared grid cost — the op232 contract), the oracle replays it
+    * as a recursive CTE.
+    *
+    * 100 TB shape: the corpus collapses to the daily grid first; the
+    * sequential fold is per-type over ≤ span rows — the irreducible
+    * data dependence of ANY exponential smoother, paid at grid size,
+    * never corpus size. Streaming deployments carry sᵢ as one long of
+    * state per type (the op240 grid maintenance makes the same answer
+    * incremental). */
+  val op241Ewma: Q = (s, d) => {
+    val grid = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+          .as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+    val folded = grid
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("series"))
+      .withColumn("ew", expr(
+        """aggregate(
+          |  series,
+          |  cast(array() as array<struct<day:bigint,y:bigint,s:bigint>>),
+          |  (acc, x) -> concat(acc, array(named_struct(
+          |    'day', x.day, 'y', x.y,
+          |    's', CASE WHEN size(acc) = 0 THEN x.y ELSE
+          |      (CASE WHEN 7 * element_at(acc, -1).s + x.y < 0
+          |            THEN -1L ELSE 1L END) *
+          |      (abs(7 * element_at(acc, -1).s + x.y) div 8) END))))
+          |""".stripMargin))
+    ordered(
+      folded.select(col("event_type"), explode(col("ew")).as("e"))
+        .select(col("event_type"), col("e.day").as("day"),
+          col("e.y").as("y"), col("e.s").as("ewma")),
+      "event_type", "day")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val defs: Map[String, Q] = Map(
+    "op241_ewma" -> op241Ewma,
     "op165_kmv_distinct" -> op165KmvDistinct,
     "op204_kmv_set_ops" -> op204KmvSetOps,
     "op166_markov_transitions" -> op166MarkovTransitions,
@@ -419,6 +467,28 @@ object SketchQueries {
     "op172_join_size_cms" -> op172JoinSizeCms)
 
   val oracle: Map[String, String] = Map(
+    "op241_ewma" ->
+      """WITH RECURSIVE grid AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |         AS BIGINT) AS rn
+        |  FROM grid),
+        |ew AS (
+        |  SELECT event_type, day, y, rn, y AS s FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.day, i.y, i.rn,
+        |    CAST((CASE WHEN 7 * e.s + i.y < 0 THEN -1 ELSE 1 END) *
+        |         (abs(7 * e.s + i.y) // 8) AS BIGINT)
+        |  FROM idx i JOIN ew e
+        |    ON i.event_type = e.event_type AND i.rn = e.rn + 1)
+        |SELECT event_type, day, y, CAST(s AS BIGINT) AS ewma
+        |FROM ew ORDER BY event_type, day""".stripMargin,
     "op165_kmv_distinct" ->
       s"""WITH sh AS (SELECT lang,
          |  wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS sh

@@ -408,4 +408,28 @@ class AnalyticsSpec extends SparkSpec {
     // both selection classes must exist, or the gate is vacuous
     assert(rows.values.exists(_._3 == 1L) && rows.values.exists(_._3 == 0L))
   }
+
+  test("op242: source entropy replays the quantized c*ln(c) fold") {
+    val got = AnalyticsQueries.op242SourceEntropy(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).view.mapValues { g =>
+      val toks = g.flatMap(_._2.split(" "))
+      val n = toks.length.toLong
+      val cnt = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val clnc = cnt.values.map(c =>
+        c * math.floor(math.log(c.toDouble) * 1000000d).toLong).sum
+      (n, cnt.size.toLong,
+        math.floor(math.log(n.toDouble) * 1000000d).toLong - clnc / n)
+    }.toMap
+    assert(got == want)
+    // entropy is bounded by ln(vocab); uniform would attain it
+    got.foreach { case (src, (_, v, h)) =>
+      assert(h >= 0 && h <= math.floor(math.log(v.toDouble) * 1e6).toLong + 1,
+        s"entropy out of [0, ln V] for $src")
+    }
+  }
 }

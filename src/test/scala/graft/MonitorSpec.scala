@@ -272,6 +272,14 @@ class MonitorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("op240: streaming CUSUM gate equals the batch op235 exactly") {
+    val batch = MonitorQueries.op235Cusum(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MonitorQueries.op240StreamCusum(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("op236: streaming MWU gate equals the batch op233 exactly") {
     val batch = MonitorQueries.op233MannWhitney(spark, sfDir)
       .collect().map(_.toSeq).toSeq

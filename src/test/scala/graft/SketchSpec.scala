@@ -230,4 +230,37 @@ class SketchSpec extends SparkSpec {
     assert(cells.groupBy(_._1).values
       .exists(_.map(_._2).distinct.size > 1), "merge path inert")
   }
+
+  test("op241: ewma equals the naive integer recurrence replay") {
+    val got = SketchQueries.op241Ewma(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long"),
+      round(col("value") * 100, 0).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val grid = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val want = grid.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val days = grid.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+      val ys = days.map(d => grid((t, d)))
+      val ss = ys.tail.scanLeft(ys.head) { (s, y) =>
+        val v = 7 * s + y
+        (if (v < 0) -1L else 1L) * (math.abs(v) / 8)
+      }
+      days.zip(ys.zip(ss)).map { case (d, (y, s)) => (t, d) -> ((y, s)) }
+    }.toMap
+    assert(got == want)
+    // smoothing law: the ewma's range never exceeds the raw range
+    grid.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val raw = grid.collect { case ((`t`, _), y) => y }
+      val sm = got.collect { case ((`t`, _), (_, s)) => s }
+      // trunc loses < 1 per step; the worst fixed point sits 8 below
+      // the raw minimum (s* = (7s* + m)/8 - 1  =>  s* = m - 8)
+      assert(sm.max <= raw.max && sm.min >= raw.min - 8,
+        s"ewma left the data envelope for $t")
+    }
+  }
 }
