@@ -667,7 +667,50 @@ object AnalyticsQueries {
       "source")
   }
 
+  // ---------------------------------------------------------------- op246
+
+  /** op246: Zipf rank–frequency slope per source — OLS fit of
+    * ⌊ln c·10³⌋ against ⌊ln rank·10³⌋ over each source's token
+    * frequency grid (rank by count desc, token asc), slope in milli
+    * via op184's exact integer quotient split. Healthy natural text
+    * sits near −1000 (Zipf's law); a collapsed slope means templated /
+    * machine-generated text, a flat one means vocabulary churn — the
+    * distribution-SHAPE diagnostic op242's entropy (a scalar) can't
+    * localize. Quantizing ln to milli BEFORE the sums keeps the five
+    * OLS sums in BIGINT through vocab ~3·10⁵ per source (wider
+    * domains shift the sums to DECIMAL — the op184 note).
+    *
+    * 100 TB shape: one (source, token) count aggregate, then ranks and
+    * sums on the per-source vocab grid; the regression is five
+    * map-combinable sums over that grid (the op184 shape one level
+    * up). */
+  val op246ZipfSlope: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val ranked = cnt.withColumn("rk", row_number().over(
+      Window.partitionBy("source").orderBy(col("c").desc, col("token"))))
+      .withColumn("x", expr(
+        "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT)"))
+      .withColumn("y", expr(
+        "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT)"))
+    ordered(
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("den", expr("n * sxx - sx * sx"))
+        .withColumn("slope_milli", expr(
+          "(CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+            "((abs(num) div den) * 1000 + " +
+            "((abs(num) % den) * 1000) div den)"))
+        .select(col("source"), big(col("n")).as("n_vocab"),
+          col("slope_milli")),
+      "source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op246_zipf_slope" -> op246ZipfSlope,
     "op242_source_entropy" -> op242SourceEntropy,
     "op238_cep_no_error" -> op238CepNoError,
     "op198_pmi_collocations" -> op198PmiCollocations,
@@ -692,6 +735,36 @@ object AnalyticsQueries {
     ("op169_stream_cms" -> baseOracle("op159_cms_heavy_hitters"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op246_zipf_slope" ->
+      """WITH cnt AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, c,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, token) AS BIGINT) AS rk
+        |  FROM cnt),
+        |xy AS (
+        |  SELECT source,
+        |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y
+        |  FROM rk),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM xy GROUP BY 1),
+        |f AS (
+        |  SELECT source, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den
+        |  FROM agg)
+        |SELECT source, n AS n_vocab,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(num) // den) * 1000 + ((abs(num) % den) * 1000) // den)
+        |    AS BIGINT) AS slope_milli
+        |FROM f ORDER BY source""".stripMargin,
     "op242_source_entropy" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS token

@@ -544,7 +544,98 @@ object MonitorQueries {
           coalesce(col("c2"), lit(0L)).as("c2")))
   }
 
+  /** op243: Poisson(1) inverse-CDF thresholds in the md5-60 hash space
+    * (floor(cdf·2⁶⁰), exact plan literals shared with the oracle): a
+    * uniform 60-bit hash maps to a deterministic Poisson(1) bootstrap
+    * weight 0..6 — P(w > 6) ≈ 6e-5 truncated to 6 by declaration. */
+  private val poisCdf60 = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L)
+
+  // ---------------------------------------------------------------- op243
+
+  /** op243: Poisson-bootstrap confidence interval for each event type's
+    * mean daily total — THE scalable bootstrap: instead of resampling
+    * rows with replacement (needs global coordination), every (day,
+    * replicate) draws an independent Poisson(1) weight from a
+    * deterministic hash, so all B=32 resamples materialize in ONE pass
+    * as a ×B grid fan-out. Replicate means in exact milli-cents
+    * (sign-split division); the interval is the exact order-statistic
+    * envelope of the 32 replicate means (ranks ⌈0.025·32⌉=1 and
+    * ⌈0.975·32⌉=32, i.e. min/max — declared). Weights are
+    * hash-deterministic: reruns, retries, and both engines draw the
+    * SAME bootstrap.
+    *
+    * 100 TB shape: the corpus collapses to the daily grid first; the
+    * bootstrap fan-out is \|grid\|×B — calendar-bounded, never
+    * corpus-bounded. Row-level bootstraps at scale use the same
+    * spelling with the weight drawn per (row, b) BEFORE the grid
+    * aggregate — still one pass, map-combinable. */
+  val op243BootstrapCi: Q = (s, d) => {
+    val wCase = "CASE " + poisCdf60.zipWithIndex.map { case (t, k) =>
+      s"WHEN h < ${t}L THEN ${k}L " }.mkString + "ELSE 6L END"
+    val grid = dailyGrid(s, d)
+    val means = grid
+      .crossJoin(s.range(32).select(col("id").as("b")))
+      .withColumn("h", TextOps.md5Hash60(concat_ws("|", lit("bs"),
+        col("event_type"), col("day"), col("b"))))
+      .withColumn("w", expr(wCase))
+      .groupBy("event_type", "b")
+      .agg(sum("w").as("sw"), sum(expr("w * y")).as("swy"))
+      .withColumn("m_milli", expr(
+        "(CASE WHEN swy < 0 THEN -1 ELSE 1 END) * " +
+          "((abs(swy) * 1000) div greatest(sw, 1))"))
+    val point = grid.groupBy("event_type")
+      .agg(big(count(lit(1))).as("n_days"), sum("y").as("tot"))
+      .withColumn("mean_milli", expr(
+        "(CASE WHEN tot < 0 THEN -1 ELSE 1 END) * " +
+          "((abs(tot) * 1000) div n_days)"))
+    ordered(
+      means.groupBy("event_type")
+        .agg(big(count(lit(1))).as("n_b"), min("m_milli").as("lo_milli"),
+          max("m_milli").as("hi_milli"))
+        .join(point.select("event_type", "n_days", "mean_milli"),
+          "event_type"),
+      "event_type")
+  }
+
+  // ---------------------------------------------------------------- op244
+
+  /** op244: sample-ratio-mismatch (SRM) gate — the first check every
+    * experimentation platform runs before reading a single metric:
+    * users are deterministically hash-assigned to two arms (md5-60
+    * parity — the op196 routing idiom, so assignment is reproducible
+    * across engines, reruns, and services), and the observed arm
+    * counts are tested against the declared 50/50 with the exact
+    * one-df chi-square χ² = (o₀−o₁)²/n in milli fixed-point. A
+    * triggered gate means the ASSIGNMENT pipeline is broken (bots,
+    * logging loss, redirect asymmetry) and all metrics downstream are
+    * untrustworthy. Flag at χ² > 3.841 (p < 0.05).
+    *
+    * 100 TB shape: one distinct-user reduce (map-combinable), then
+    * arithmetic on TWO numbers. Assignment-by-hash needs no
+    * coordination service — the hash IS the assignment, the op107/
+    * op186 determinism argument. */
+  val op244SrmGate: Q = (s, d) => {
+    val arms = Tables.events(s, d).select("user_id").distinct()
+      .withColumn("arm", TextOps.md5Hash60(
+        concat_ws("|", lit("srm"), col("user_id"))) % 2)
+    ordered(
+      arms.groupBy(lit("ab1").as("experiment"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("o0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("o1"))
+        .withColumn("n", expr("o0 + o1"))
+        .withColumn("chi2_milli", expr(
+          "((o0 - o1) * (o0 - o1) * 1000) div n"))
+        .withColumn("srm", expr(
+          "CAST(CASE WHEN ((o0 - o1) * (o0 - o1) * 1000) div n > 3841 " +
+            "THEN 1 ELSE 0 END AS BIGINT)")),
+      "experiment")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op244_srm_gate" -> op244SrmGate,
+    "op243_bootstrap_ci" -> op243BootstrapCi,
     "op232_theil_sen" -> op232TheilSen,
     "op233_mann_whitney" -> op233MannWhitney,
     "op234_kendall_tau" -> op234KendallTau,
@@ -601,6 +692,68 @@ object MonitorQueries {
     ("op240_stream_cusum" -> baseOracle("op235_cusum"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op244_srm_gate" ->
+      """WITH arms AS (
+        |  SELECT DISTINCT user_id,
+        |    ('0x' || substring(md5('srm' || '|' ||
+        |       CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+        |  FROM events),
+        |cnt AS (
+        |  SELECT 'ab1' AS experiment,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS o0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS o1
+        |  FROM arms)
+        |SELECT experiment, o0, o1, CAST(o0 + o1 AS BIGINT) AS n,
+        |  CAST(((o0 - o1) * (o0 - o1) * 1000) // (o0 + o1) AS BIGINT)
+        |    AS chi2_milli,
+        |  CAST(CASE WHEN ((o0 - o1) * (o0 - o1) * 1000) // (o0 + o1)
+        |       > 3841 THEN 1 ELSE 0 END AS BIGINT) AS srm
+        |FROM cnt ORDER BY experiment""".stripMargin,
+    "op243_bootstrap_ci" -> {
+      val wCase = "CASE " + poisCdf60.zipWithIndex.map { case (t, k) =>
+        s"WHEN h < $t THEN $k " }.mkString + "ELSE 6 END"
+      s"""WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT g.event_type, g.y, r.b,
+        |    ('0x' || substring(md5(
+        |       'bs' || '|' || g.event_type || '|' ||
+        |       CAST(g.day AS VARCHAR) || '|' || CAST(r.b AS VARCHAR)),
+        |       1, 15))::BIGINT AS h
+        |  FROM grid g CROSS JOIN
+        |    (SELECT unnest(range(32)) AS b) r),
+        |means AS (
+        |  SELECT event_type, b,
+        |    CAST(sum($wCase) AS BIGINT) AS sw,
+        |    CAST(sum(($wCase) * y) AS BIGINT) AS swy
+        |  FROM bs GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT event_type, b,
+        |    (CASE WHEN swy < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(swy) * 1000) // greatest(sw, 1)) AS m_milli
+        |  FROM means),
+        |ci AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(min(m_milli) AS BIGINT) AS lo_milli,
+        |    CAST(max(m_milli) AS BIGINT) AS hi_milli
+        |  FROM mm GROUP BY 1),
+        |pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST((CASE WHEN sum(y) < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(CAST(sum(y) AS BIGINT)) * 1000) // count(*))
+        |      AS BIGINT) AS mean_milli
+        |  FROM grid GROUP BY 1)
+        |SELECT ci.event_type, ci.n_b, ci.lo_milli, ci.hi_milli,
+        |  pt.n_days, pt.mean_milli
+        |FROM ci JOIN pt ON ci.event_type = pt.event_type
+        |ORDER BY ci.event_type""".stripMargin
+    },
     "op233_mann_whitney" ->
       """WITH grid AS (
         |  SELECT n_chars AS v,

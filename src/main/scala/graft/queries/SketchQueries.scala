@@ -451,10 +451,48 @@ object SketchQueries {
       "event_type", "day")
   }
 
+  // ---------------------------------------------------------------- op245
+
+  /** op245: next-event prediction accuracy — the eval twin of op166's
+    * transition matrix (what op110 is to the ANN family): the argmax
+    * predictor (most frequent successor per state, ties by type name)
+    * scored over the transitions themselves, per state — n_hits is the
+    * winning cell's count, accuracy its share in bp. The baseline
+    * number every sequence model must beat, and the drift signal when
+    * behaviour shifts (accuracy of the PINNED matrix decays).
+    *
+    * 100 TB shape: everything after the op166 rollup runs on the
+    * \|types\|² transition grid — the eval is free once the matrix
+    * exists; no second pass over events. */
+  val op245MarkovEval: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+    val trans = ev
+      .withColumn("prev", lag("event_type", 1).over(
+        Window.partitionBy("user_id").orderBy("ts_ns", "event_id")))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("prev_type"),
+        col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy("prev_type")
+    ordered(
+      trans
+        .withColumn("rk", row_number().over(
+          wp.orderBy(col("n").desc, col("cur_type"))))
+        .withColumn("n_trans", sum("n").over(wp))
+        .where(col("rk") === 1)
+        .select(col("prev_type"), col("cur_type").as("predicted"),
+          col("n").as("n_hits"), col("n_trans"),
+          expr("(n * 10000) div n_trans").as("acc_bp")),
+      "prev_type")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val defs: Map[String, Q] = Map(
     "op241_ewma" -> op241Ewma,
+    "op245_markov_eval" -> op245MarkovEval,
     "op165_kmv_distinct" -> op165KmvDistinct,
     "op204_kmv_set_ops" -> op204KmvSetOps,
     "op166_markov_transitions" -> op166MarkovTransitions,
@@ -580,6 +618,25 @@ object SketchQueries {
         |  CAST(c.n * 10000 // t.tot AS BIGINT) AS prob_bp
         |FROM c JOIN tot t USING (prev_type)
         |ORDER BY prev_type, cur_type""".stripMargin,
+    "op245_markov_eval" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  epoch_us(ts) * 1000 AS ts_ns, event_id FROM events),
+        |t AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts_ns, event_id) AS prev_type,
+        |        event_type AS cur_type
+        |      FROM ev),
+        |c AS (SELECT prev_type, cur_type,
+        |        CAST(count(*) AS BIGINT) AS n FROM t
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT prev_type, cur_type, n,
+        |        row_number() OVER (PARTITION BY prev_type
+        |          ORDER BY n DESC, cur_type) AS rk,
+        |        CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |          AS n_trans
+        |      FROM c)
+        |SELECT prev_type, cur_type AS predicted, n AS n_hits, n_trans,
+        |  CAST((n * 10000) // n_trans AS BIGINT) AS acc_bp
+        |FROM r WHERE rk = 1 ORDER BY prev_type""".stripMargin,
     // op220 is op216 maintained online; shared oracle = stream ≡ batch
     "op220_stream_seasonal" -> seasonalSql,
     "op216_seasonal_anomaly" -> seasonalSql) ++ oracleRest

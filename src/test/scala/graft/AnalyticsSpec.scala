@@ -409,6 +409,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.values.exists(_._3 == 1L) && rows.values.exists(_._3 == 0L))
   }
 
+  test("op246: zipf slope replays the milli-ln OLS over the rank grid") {
+    val got = AnalyticsQueries.op246ZipfSlope(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).view.mapValues { g =>
+      val cnt = g.flatMap(_._2.split(" "))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      val ranked = cnt.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      val xy = ranked.map { case ((_, c), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1000d).toLong,
+          math.floor(math.log(c.toDouble) * 1000d).toLong) }
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val slope = (if (num < 0) -1L else 1L) *
+        ((math.abs(num) / den) * 1000 + (math.abs(num) % den) * 1000 / den)
+      (n, slope)
+    }.toMap
+    assert(got == want)
+    // Zipf: frequency decays with rank — every fitted slope negative
+    assert(got.values.forall(_._2 < 0))
+  }
+
   test("op242: source entropy replays the quantized c*ln(c) fold") {
     val got = AnalyticsQueries.op242SourceEntropy(spark, sfDir).collect()
       .map(r => r.getString(0) ->

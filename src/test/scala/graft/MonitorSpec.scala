@@ -272,6 +272,69 @@ class MonitorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("op243: bootstrap CI replays the deterministic Poisson draw") {
+    val got = MonitorQueries.op243BootstrapCi(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_b"), r.getAs[Long]("lo_milli"),
+          r.getAs[Long]("hi_milli"), r.getAs[Long]("n_days"),
+          r.getAs[Long]("mean_milli"))).toMap
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long"),
+      round(col("value") * 100, 0).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val grid = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val thresholds = Seq(424136118829305329L, 848272237658610659L,
+      1060340297073263324L, 1131029650211480879L, 1148701988496035267L,
+      1152236456152946145L)
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    def weight(t: String, d: Long, b: Long): Long = {
+      val h = h60(s"bs|$t|$d|$b")
+      thresholds.indexWhere(h < _) match {
+        case -1 => 6L; case k => k.toLong
+      }
+    }
+    val want = grid.keys.map(_._1).toSeq.distinct.map { t =>
+      val days = grid.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+      val ms = (0L until 32L).map { b =>
+        val sw = days.map(d => weight(t, d, b)).sum
+        val swy = days.map(d => weight(t, d, b) * grid((t, d))).sum
+        (if (swy < 0) -1L else 1L) *
+          (math.abs(swy) * 1000 / math.max(sw, 1L))
+      }
+      val tot = days.map(d => grid((t, d))).sum
+      val mean = (if (tot < 0) -1L else 1L) *
+        (math.abs(tot) * 1000 / days.length)
+      t -> ((32L, ms.min, ms.max, days.length.toLong, mean))
+    }.toMap
+    assert(got == want)
+    assert(got.values.forall { case (_, lo, hi, _, _) => lo <= hi })
+  }
+
+  test("op244: SRM gate replays the hash assignment and exact chi-square") {
+    val rows = MonitorQueries.op244SrmGate(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val o0 = users.count(u => h60(s"srm|$u") % 2 == 0).toLong
+    val o1 = users.length - o0
+    val chi2 = (o0 - o1) * (o0 - o1) * 1000 / (o0 + o1)
+    assert(r.getAs[Long]("o0") == o0 && r.getAs[Long]("o1") == o1)
+    assert(r.getAs[Long]("n") == users.length.toLong)
+    assert(r.getAs[Long]("chi2_milli") == chi2)
+    assert(r.getAs[Long]("srm") == (if (chi2 > 3841) 1L else 0L))
+  }
+
   test("op240: streaming CUSUM gate equals the batch op235 exactly") {
     val batch = MonitorQueries.op235Cusum(spark, sfDir)
       .collect().map(_.toSeq).toSeq

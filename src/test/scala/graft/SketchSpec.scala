@@ -231,6 +231,29 @@ class SketchSpec extends SparkSpec {
       .exists(_.map(_._2).distinct.size > 1), "merge path inert")
   }
 
+  test("op245: argmax predictor accuracy replays the transition fold") {
+    val got = SketchQueries.op245MarkovEval(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts_ns", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      sorted.zip(sorted.tail)
+    }.toSeq
+    val want = trans.groupBy(_._1).view.mapValues { g =>
+      val byCur = g.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val (pred, hits) = byCur.minBy { case (c, n) => (-n, c) }
+      val tot = g.size.toLong
+      (pred, hits, tot, hits * 10000 / tot)
+    }.toMap
+    assert(got == want)
+    // accuracy is a proper share: hits never exceed the state's total
+    assert(got.values.forall { case (_, h, t, bp) =>
+      h <= t && bp <= 10000 })
+  }
+
   test("op241: ewma equals the naive integer recurrence replay") {
     val got = SketchQueries.op241Ewma(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
