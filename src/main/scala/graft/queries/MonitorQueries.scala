@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextOps, TopKAgg}
+import graft.functions.{Similarity, TextOps, TopKAgg}
 import graft.sources.Tables
 import Det.{big, ordered}
 
@@ -633,7 +633,55 @@ object MonitorQueries {
       "experiment")
   }
 
+  // ---------------------------------------------------------------- op247
+
+  /** op247: embedding centroid drift — per label, the cosine between
+    * the centroid of the "old" half and the "new" half of its vectors
+    * (split by vec_id parity here; by snapshot date in production):
+    * the VECTOR-SPACE drift gate op187/op233 can't provide — an
+    * encoder upgrade or upstream feature change moves class centroids
+    * long before scalar metrics react. Centroids are element-wise
+    * truncated integer means of op67's ×10⁶-quantized components
+    * (sign-split division), compared with the deterministic bp cosine
+    * — hash-exact end-to-end, and bounded enough that the dot never
+    * leaves BIGINT.
+    *
+    * 100 TB shape: one map-combinable (label, half, dim) sum over the
+    * exploded components — 64·\|labels\|·2 cells of state regardless
+    * of corpus size; everything downstream is grid algebra. The same
+    * spelling monitors any per-cohort mean-vector shift (user towers,
+    * item towers, IVF cells via op114's assignment). */
+  val op247CentroidDrift: Q = (s, d) => {
+    val comps = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(Similarity.quantize(col("embedding")))
+          .as(Seq("dim", "q")))
+    val cent = comps.groupBy("label", "half", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "(CASE WHEN sq < 0 THEN -1 ELSE 1 END) * (abs(sq) div n)"))
+    val o = cent.where(col("half") === 0)
+      .select(col("label"), col("dim"), col("m").as("mo"),
+        col("n").as("no"))
+    val w = cent.where(col("half") === 1)
+      .select(col("label"), col("dim"), col("m").as("mn"),
+        col("n").as("nn"))
+    ordered(
+      o.join(w, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(max("no").as("n_old"), max("nn").as("n_new"),
+          sum(expr("mo * mn")).as("dot"),
+          sum(expr("mo * mo")).as("n2o"),
+          sum(expr("mn * mn")).as("n2n"))
+        .select(big(col("label")).as("label"), big(col("n_old")).as("n_old"),
+          big(col("n_new")).as("n_new"),
+          Similarity.cosBpFrom(col("dot"), col("n2o"), col("n2n"))
+            .as("cos_bp")),
+      "label")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op247_centroid_drift" -> op247CentroidDrift,
     "op244_srm_gate" -> op244SrmGate,
     "op243_bootstrap_ci" -> op243BootstrapCi,
     "op232_theil_sen" -> op232TheilSen,
@@ -692,6 +740,37 @@ object MonitorQueries {
     ("op240_stream_cusum" -> baseOracle("op235_cusum"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op247_centroid_drift" ->
+      """WITH comp AS (
+        |  SELECT label, vec_id % 2 AS half, i AS dim,
+        |    CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000)
+        |         AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i) u),
+        |cent AS (
+        |  SELECT label, half, dim,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS n
+        |  FROM comp GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT label, half, dim, n,
+        |    (CASE WHEN sq < 0 THEN -1 ELSE 1 END) * (abs(sq) // n) AS m
+        |  FROM cent),
+        |j AS (
+        |  SELECT o.label, o.m AS mo, w.m AS mn, o.n AS no, w.n AS nn
+        |  FROM m o JOIN m w ON o.label = w.label AND o.dim = w.dim
+        |  WHERE o.half = 0 AND w.half = 1),
+        |agg AS (
+        |  SELECT label, CAST(max(no) AS BIGINT) AS n_old,
+        |    CAST(max(nn) AS BIGINT) AS n_new,
+        |    CAST(sum(mo * mn) AS BIGINT) AS dot,
+        |    CAST(sum(mo * mo) AS BIGINT) AS n2o,
+        |    CAST(sum(mn * mn) AS BIGINT) AS n2n
+        |  FROM j GROUP BY 1)
+        |SELECT CAST(label AS BIGINT) AS label, n_old, n_new,
+        |  CASE WHEN n2o = 0 OR n2n = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(n2o AS DOUBLE)) * sqrt(CAST(n2n AS DOUBLE)))
+        |      * 10000) AS BIGINT) END AS cos_bp
+        |FROM agg ORDER BY label""".stripMargin,
     "op244_srm_gate" ->
       """WITH arms AS (
         |  SELECT DISTINCT user_id,

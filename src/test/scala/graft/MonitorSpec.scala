@@ -272,6 +272,42 @@ class MonitorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("op247: centroid drift replays the quantized half-split means") {
+    val got = MonitorQueries.op247CentroidDrift(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Float](2)
+        .map(f => math.floor(f.toDouble * 1000000d).toLong).toArray))
+    val want = vecs.map(_._2).distinct.sorted.flatMap { lab =>
+      def mean(half: Long): Option[(Long, Array[Long])] = {
+        val vs = vecs.filter(v => v._2 == lab && v._1 % 2 == half)
+        if (vs.isEmpty) None else Some((vs.length.toLong,
+          Array.tabulate(64) { i =>
+            val s = vs.map(_._3(i)).sum
+            (if (s < 0) -1L else 1L) * (math.abs(s) / vs.length)
+          }))
+      }
+      (mean(0), mean(1)) match {
+        case (Some((no, mo)), Some((nn, mn))) =>
+          val dot = mo.zip(mn).map { case (a, b) => a * b }.sum
+          val n2o = mo.map(x => x * x).sum.toDouble
+          val n2n = mn.map(x => x * x).sum.toDouble
+          val cos = if (n2o == 0 || n2n == 0) 0L
+            else math.floor(dot.toDouble /
+              (math.sqrt(n2o) * math.sqrt(n2n)) * 10000d).toLong
+          Some(lab -> ((no, nn, cos)))
+        case _ => None
+      }
+    }.toMap
+    assert(got == want)
+    // cosine stays a valid bp and at least one label's halves align
+    // (sparse labels on the tiny fixture may legitimately point apart)
+    assert(got.values.forall(v => v._3 >= -10000 && v._3 <= 10000))
+    assert(got.values.exists(_._3 > 0), "no aligned label at all")
+  }
+
   test("op243: bootstrap CI replays the deterministic Poisson draw") {
     val got = MonitorQueries.op243BootstrapCi(spark, sfDir).collect()
       .map(r => r.getAs[String]("event_type") ->
