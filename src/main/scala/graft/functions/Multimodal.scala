@@ -239,6 +239,86 @@ object Multimodal {
     }
   }
 
+  /** op248's generative formula: speech-with-pauses — every 3rd
+    * 64-sample frame (phase-shifted by doc) is QUIET (small residual
+    * noise), the rest carry the loud sawtooth. Frame-aligned silences
+    * give the VAD genuinely fragmented activity (many islands per
+    * clip), unlike op133's continuous tone. Evaluated independently by
+    * the oracle in SQL. */
+  def vadSample(d: Long, i: Int): Int =
+    if (((i / 64) + d) % 3 == 0) (((d * 7 + i * 3) % 201) - 100).toInt
+    else (((d * 31 + i * 17) % 65536) - 32768).toInt
+
+  /** op248's encode leg: the VAD formula through the same real WAV
+    * writer as [[synthesizeAudio]]. */
+  def synthesizeVadAudio(spark: SparkSession,
+      dir: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = audioLen(d)
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = vadSample(d, i)
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            /*signed=*/ true, /*bigEndian=*/ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          AudioRecord(d, bos.toByteArray)
+        }
+      }
+  }
+
+  case class AudioFrame(doc_id: Long, frame_idx: Long, n_in_frame: Long,
+      energy: Long)
+
+  /** op248's decode leg: REAL WAV decode (same javax.sound path as
+    * [[decodeAudioStats]]) reduced to per-FRAME integer energies
+    * (Σ v² over `frameSize`-sample frames; the last frame may be
+    * partial and reports its true size). Energy is the VAD feature —
+    * emitting it per frame instead of per clip is what lets the
+    * segmentation run as plain grid algebra downstream. */
+  def decodeAudioFrameEnergy(audio: Dataset[AudioRecord],
+      frameSize: Int = 64, batchSize: Int = 64): Dataset[AudioFrame] = {
+    implicit val enc = Encoders.product[AudioFrame]
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val f = ais.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+            && !f.isBigEndian,
+            s"unexpected decoded format for doc ${r.doc_id}: $f")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          (0 until (n + frameSize - 1) / frameSize).iterator.map { fi =>
+            val lo = fi * frameSize
+            val hi = math.min(lo + frameSize, n)
+            var e = 0L
+            var i = lo
+            while (i < hi) {
+              val s = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+              e += s.toLong * s
+              i += 1
+            }
+            AudioFrame(r.doc_id, fi.toLong, (hi - lo).toLong, e)
+          }
+        }
+      }
+    }
+  }
+
   // ---- real VIDEO codec leg (op135): animated GIF via javax.imageio ----
 
   case class VideoRecord(doc_id: Long, payload: Array[Byte])

@@ -160,7 +160,42 @@ object MultimodalQueries {
       .maintainedNearDupFlags(s, d, stateDir), "doc_a", "doc_b")
   }
 
+  /** op248: energy VAD segmentation — the speech-pipeline primitive
+    * between decode and transcription: REAL WAV decode reduced to
+    * per-64-sample-frame integer energies (Σ v²), a frame is ACTIVE
+    * iff its per-sample energy exceeds the clip mean
+    * (cross-multiplied — e·n_total > tot_e·n_frame, no division),
+    * and active runs collapse to segments with op173's gaps-and-
+    * islands (frame_idx − row_number). The oracle evaluates the
+    * generative PCM formula independently, so a hash match proves
+    * decode → framing → threshold → segmentation end-to-end.
+    *
+    * 100 TB shape: decode is batched mapPartitions (the op133 path);
+    * everything after is grid algebra on the per-clip frame grid
+    * (≤ samples/64 rows per clip) — windows partition per clip, no
+    * cross-clip state. Real VADs swap the threshold for a learned
+    * one; the segmentation algebra is unchanged. */
+  val op248AudioVad: Q = (s, d) => {
+    val frames = Multimodal.decodeAudioFrameEnergy(
+      Multimodal.synthesizeVadAudio(s, d)).toDF()
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val act = frames
+      .withColumn("tot_e", sum("energy").over(wd))
+      .withColumn("n_total", sum("n_in_frame").over(wd))
+      .where(expr("energy * n_total > tot_e * n_in_frame"))
+      .withColumn("grp", expr("frame_idx") -
+        row_number().over(wd.orderBy("frame_idx")))
+    ordered(
+      act.groupBy("doc_id", "grp")
+        .agg(min("frame_idx").as("seg_start"),
+          max("frame_idx").as("seg_end"),
+          big(count(lit(1))).as("n_frames"))
+        .select("doc_id", "seg_start", "seg_end", "n_frames"),
+      "doc_id", "seg_start")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op248_audio_vad" -> op248AudioVad,
     "op228_image_ahash" -> op228ImageAhash,
     "op229_image_neardup" -> op229ImageNeardup,
     "op230_modal_consistency" -> op230ModalConsistency,
@@ -227,6 +262,40 @@ object MultimodalQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the VAD twin: DuckDB evaluates the PCM formula; Spark's energies
+    // went through the real WAV encode+decode
+    "op248_audio_vad" ->
+      """WITH g AS (
+        |  SELECT doc_id, 256 + doc_id % 129 AS n FROM documents),
+        |s AS (
+        |  SELECT g.doc_id, t.i // 64 AS frame_idx,
+        |         CASE WHEN ((t.i // 64) + g.doc_id) % 3 = 0
+        |           THEN ((g.doc_id * 7 + t.i * 3) % 201) - 100
+        |           ELSE ((g.doc_id * 31 + t.i * 17) % 65536) - 32768
+        |         END AS v
+        |  FROM g,
+        |       LATERAL (SELECT unnest(generate_series(0, g.n - 1)) AS i) t),
+        |fr AS (
+        |  SELECT doc_id, frame_idx, CAST(count(*) AS BIGINT) AS n_in_frame,
+        |         CAST(sum(v * v) AS BIGINT) AS energy
+        |  FROM s GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id, frame_idx, n_in_frame, energy,
+        |         CAST(sum(energy) OVER (PARTITION BY doc_id) AS BIGINT)
+        |           AS tot_e,
+        |         CAST(sum(n_in_frame) OVER (PARTITION BY doc_id)
+        |           AS BIGINT) AS n_total
+        |  FROM fr),
+        |act AS (
+        |  SELECT doc_id, frame_idx,
+        |         frame_idx - row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY frame_idx) AS grp
+        |  FROM w WHERE energy * n_total > tot_e * n_in_frame)
+        |SELECT doc_id, CAST(min(frame_idx) AS BIGINT) AS seg_start,
+        |  CAST(max(frame_idx) AS BIGINT) AS seg_end,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM act GROUP BY doc_id, grp
+        |ORDER BY doc_id, seg_start""".stripMargin,
     "op228_image_ahash" ->
       s"""WITH $ahashCtes
          |SELECT doc_id, h_lo, h_hi FROM hh ORDER BY doc_id""".stripMargin,

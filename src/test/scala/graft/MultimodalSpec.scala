@@ -264,4 +264,40 @@ class MultimodalSpec extends SparkSpec {
     assert(spans.exists(p => p._1 == p._2), "same-batch leg inert")
     assert(spans.exists(p => p._1 != p._2), "cross-batch leg inert")
   }
+
+  test("op248: VAD segments replay the formula; islands genuinely split") {
+    val got = graft.queries.MultimodalQueries.op248AudioVad(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // independent replay from the generative formula (never the codec)
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val want = ids.sorted.flatMap { d =>
+      val n = (256 + d % 129).toInt
+      val frames = (0 until n).groupBy(_ / 64).toSeq.sortBy(_._1).map {
+        case (f, is) =>
+          val e = is.map { i =>
+            val v = Multimodal.vadSample(d, i).toLong; v * v }.sum
+          (f.toLong, is.size.toLong, e)
+      }
+      val totE = frames.map(_._3).sum
+      val nTot = frames.map(_._2).sum
+      val active = frames.filter(fr => fr._3 * nTot > totE * fr._2)
+        .map(_._1)
+      // islands: consecutive active frame indices
+      active.foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, f) =>
+        acc.lastOption match {
+          case Some((s, e, c)) if e == f - 1 =>
+            acc.init :+ ((s, f, c + 1))
+          case _ => acc :+ ((f, f, 1L))
+        }
+      }.map { case (s, e, c) => (d, s, e, c) }
+    }
+    assert(got.toSeq == want.toSeq)
+    // the islands algebra must be exercised: multi-segment clips and
+    // segments that start mid-clip both exist
+    val perDoc = got.groupBy(_._1).view.mapValues(_.length)
+    assert(perDoc.values.exists(_ > 1), "no clip fragments")
+    assert(got.exists(_._2 > 0), "every segment starts at frame 0")
+  }
 }
