@@ -122,7 +122,31 @@ object StreamQueries {
       "path")
   }
 
+  /** op249: STREAMING Markov transitions — op166's matrix maintained
+    * online ([[graft.streaming.TransitionStream]]): per-user state is
+    * ONE event, each arrival emits its (prev, cur) pair append-mode,
+    * and the serving rollup (counts → row-normalized bp) is the op166
+    * chain verbatim. No closed-rows caveat — a transition exists the
+    * moment its later event lands — so the streamed multiset equals
+    * the batch lag() chain EXACTLY and op249 sits under op166's
+    * UNCHANGED oracle. With op245 this closes the behavioural-model
+    * loop online: maintain the matrix, score its prediction accuracy,
+    * alarm on decay. */
+  val op249StreamTransitions: Q = (s, d) => {
+    import Det.big
+    val pairs = graft.streaming.EventStreams.transitionPairs(s, d)
+    val trans = pairs.groupBy("prev_type", "cur_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("prev_type").agg(sum("n").as("tot"))
+    ordered(
+      trans.join(broadcast(totals), "prev_type")
+        .withColumn("prob_bp", expr("CAST(n * 10000 div tot AS BIGINT)"))
+        .select("prev_type", "cur_type", "n", "prob_bp"),
+      "prev_type", "cur_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op249_stream_transitions" -> op249StreamTransitions,
     "op36_asof_join" -> op36AsOf,
     "op51_stream_watermark" -> op51Streamed,
     "op52_window_tumbling" -> op52Tumbling,
@@ -211,6 +235,9 @@ object StreamQueries {
         |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM unm)
         |ORDER BY view_id, click_id""".stripMargin,
   ) +
+    // op249 is op166 maintained online; stream ≡ batch, shared oracle
+    ("op249_stream_transitions" ->
+      SketchQueries.oracle("op166_markov_transitions")) +
     // op199 is op161 maintained online; the shared oracle is the proof
     ("op199_stream_funnel" -> AnalyticsQueries.oracle("op161_funnel")) +
     // op207 is op205's deadline chain maintained online — same proof

@@ -148,4 +148,20 @@ object EventStreams {
           cap, gapNs).toDF()
       }
     }
+
+  /** op249: the events fixture drained through [[TransitionStream]] —
+    * one append-mode (prev_type, cur_type) row per arrival after each
+    * user's first. */
+  def transitionPairs(spark: SparkSession, dir: String): DataFrame =
+    StateStores.withRocksDb(spark) {
+      drainEvents(spark, dir, "op249") { ev =>
+        TransitionStream.transitions(
+          ev.select(col("user_id"), col("event_id"),
+            (expr("unix_micros(ts)") * lit(1000L)).as("ts_ns"),
+            col("event_type"))
+            .as[TransitionStream.TEv](
+              org.apache.spark.sql.Encoders.product[TransitionStream.TEv]))
+          .toDF()
+      }
+    }
 }

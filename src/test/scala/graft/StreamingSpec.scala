@@ -1176,4 +1176,28 @@ class StreamingSpec extends SparkSpec {
       new Directory(dir.toFile).deleteRecursively(): Unit
     }
   }
+
+  test("op249 streamed transitions equal batch op166; split-invariant fold") {
+    val stream = graft.queries.StreamQueries
+      .op249StreamTransitions(spark, sfDir).collect().map(_.toSeq).toSeq
+    val batch = graft.queries.SketchQueries.defs("op166_markov_transitions")
+      .apply(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+    // fold exactness on any batch split: pairs from (slice1 then slice2
+    // with carried state) equal pairs from the whole sequence — the
+    // property that lets multi-batch arrival sit under the batch oracle
+    import graft.streaming.TransitionStream.{foldBatch, Transition}
+    val evs = Seq((10L, 1L, "view"), (20L, 2L, "click"), (20L, 3L, "view"),
+      (30L, 4L, "purchase"), (40L, 5L, "error"))
+    val (wholeP, wholeS) = foldBatch(7L, evs, None)
+    (0 to evs.length).foreach { cut =>
+      val (p1, s1) = foldBatch(7L, evs.take(cut), None)
+      val (p2, s2) = foldBatch(7L, evs.drop(cut), s1)
+      assert(p1 ++ p2 == wholeP, s"cut=$cut")
+      assert(s2 == wholeS, s"cut=$cut")
+    }
+    // first event emits nothing; n transitions = n events - 1
+    assert(wholeP.length == evs.length - 1)
+    assert(wholeP.head == Transition(7L, "view", "click"))
+  }
 }
