@@ -490,4 +490,46 @@ class RecoverySpec extends SparkSpec {
     assert(r2 == Seq(ClosedPath(1, "a>b>c")),
       s"restart lost the carried path prefix: $r2")
   }
+
+  test("transition state (the carried last event) survives a restart (RocksDB)") {
+    // op249's recovery contract: the per-user LAST EVENT must restore
+    // from the RocksDB checkpoint so the first post-restart arrival
+    // emits the cross-restart transition (prev = pre-restart type)
+    import graft.streaming.{StateStores, TransitionStream}
+    import graft.streaming.TransitionStream.{TEv, Transition}
+    def s(n: Long): Long = n * 1000000000L
+    val srcDir = Files.createTempDirectory("graft_trans_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_trans_ckpt_").toString
+    def write(rows: Seq[TEv]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[Transition] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[TEv].schema)
+          .parquet(srcDir.getAbsolutePath).as[TEv]
+        val q = TransitionStream.transitions(in).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[Transition], _: Long) =>
+              buf ++= batch.collect(); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq.sortBy(t => (t.user_id, t.prev_type, t.cur_type))
+    }
+    write(Seq(TEv(1, 1, s(10), "view"), TEv(1, 2, s(20), "click"),
+      TEv(2, 3, s(30), "view")))
+    assert(runOnce() == Seq(Transition(1, "view", "click")))
+    // restart: u1's purchase transitions from the RESTORED click; u2's
+    // first post-restart event transitions from the restored view
+    write(Seq(TEv(1, 4, s(40), "purchase"), TEv(2, 5, s(50), "error")))
+    val r2 = runOnce()
+    assert(r2 == Seq(Transition(1, "click", "purchase"),
+      Transition(2, "view", "error")),
+      s"restart lost the carried last event: $r2")
+  }
 }
