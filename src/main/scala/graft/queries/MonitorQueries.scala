@@ -680,7 +680,42 @@ object MonitorQueries {
       "label")
   }
 
+  // ---------------------------------------------------------------- op250
+
+  /** op250: heavy CHANGERS — the top-10 users by absolute activity
+    * delta between the first 15 days and the rest: the "what moved"
+    * complement of op159's heavy hitters ("what's big") — churn spikes,
+    * bot ramp-ups, and silent-user cliffs all surface here first. Both
+    * half-counts come from ONE map-combinable pass; selection runs
+    * through the bounded TopKAgg (k rows per partition cross the
+    * shuffle, never the user table — the op158/op186 argument), and
+    * the full count columns re-attach by broadcasting the 10 winners.
+    *
+    * 100 TB shape: one aggregate at user cardinality + a k-bounded
+    * selection — no global sort, no second pass. The window-sort
+    * spelling the oracle uses would single-partition a billion users;
+    * the declared equivalence (score desc, id asc — TopKAgg's exact
+    * order) is what lets the cheap plan sit under the expensive SQL. */
+  val op250HeavyChangers: Q = (s, d) => {
+    val dayExpr = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val counts = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(when(dayExpr < 15, 1L).otherwise(0L)).as("c1"),
+        sum(when(dayExpr >= 15, 1L).otherwise(0L)).as("c2"))
+      .withColumn("delta", expr("c2 - c1"))
+    val top = counts
+      .agg(TopKAgg.topK(10)(abs(col("delta")), col("user_id")).as("top"))
+      .select(posexplode(col("top")))
+      .select(big(col("pos") + 1).as("rank"), col("col.id").as("user_id"))
+    ordered(
+      counts.join(broadcast(top), "user_id")
+        .select("rank", "user_id", "c1", "c2", "delta"),
+      "rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op250_heavy_changers" -> op250HeavyChangers,
     "op247_centroid_drift" -> op247CentroidDrift,
     "op244_srm_gate" -> op244SrmGate,
     "op243_bootstrap_ci" -> op243BootstrapCi,
@@ -740,6 +775,23 @@ object MonitorQueries {
     ("op240_stream_cusum" -> baseOracle("op235_cusum"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op250_heavy_changers" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN date_diff('day', DATE '2024-01-01',
+        |         CAST(ts AS DATE)) < 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN date_diff('day', DATE '2024-01-01',
+        |         CAST(ts AS DATE)) >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, c1, c2, c2 - c1 AS delta,
+        |    CAST(row_number() OVER (ORDER BY abs(c2 - c1) DESC, user_id)
+        |         AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT rank, user_id, c1, c2, CAST(delta AS BIGINT) AS delta
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "op247_centroid_drift" ->
       """WITH comp AS (
         |  SELECT label, vec_id % 2 AS half, i AS dim,

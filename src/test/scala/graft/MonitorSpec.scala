@@ -272,6 +272,26 @@ class MonitorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("op250: heavy changers equal the naive sort; TopKAgg path bounded") {
+    val got = MonitorQueries.op250HeavyChangers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val counts = ev.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2 < 15).toLong, g.count(_._2 >= 15).toLong)
+    }.toMap
+    val want = counts.toSeq.map { case (u, (c1, c2)) =>
+      (u, c1, c2, c2 - c1)
+    }.sortBy { case (u, _, _, d) => (-math.abs(d), u) }.take(10)
+      .zipWithIndex.map { case ((u, c1, c2, d), i) =>
+        (i + 1L, u, c1, c2, d) }
+    assert(got == want)
+  }
+
   test("op247: centroid drift replays the quantized half-split means") {
     val got = MonitorQueries.op247CentroidDrift(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
