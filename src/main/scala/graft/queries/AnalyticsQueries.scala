@@ -623,10 +623,14 @@ object AnalyticsQueries {
     ordered(
       ev.select(col("user_id"), big(col("event_id")).as("event_id"),
           col("event_type"), Tables.tsUsExpr(ev).as("t_us"))
-        .withColumn("lv",
-          max(when(col("event_type") === "view", col("t_us"))).over(w))
-        .withColumn("le",
-          max(when(col("event_type") === "error", col("t_us"))).over(w))
+        // both maxima in ONE projection so they fuse into a single
+        // Window operator over the shared spec (ScaleSpec-pinned)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("t_us"),
+          max(when(col("event_type") === "view", col("t_us"))).over(w)
+            .as("lv"),
+          max(when(col("event_type") === "error", col("t_us"))).over(w)
+            .as("le"))
         .where(col("event_type") === "purchase" && col("lv").isNotNull &&
           (col("le").isNull || col("le") < col("lv")))
         .select(col("user_id"), col("event_id"),

@@ -636,4 +636,42 @@ class ScaleSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >=3 broadcast legs, got $bhj:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("op250: selection is the bounded TopKAgg, never a window sort") {
+    // the scale claim: both half-counts in one hash aggregate, the
+    // top-10 through ObjectHashAggregate (map-side k-trim) — the
+    // window-sort spelling the oracle uses would single-partition the
+    // user table
+    val df = graft.queries.MonitorQueries
+      .op250HeavyChangers(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKAgg did not plan hash-based:\n$plan")
+    assert(!plan.contains("Window"),
+      s"selection fell back to a window sort:\n$plan")
+  }
+
+  test("op238: negation pattern is one user shuffle, one Window node") {
+    // the scale claim: both running maxima (view and error) share ONE
+    // window spec, so the whole negative-pattern match costs a single
+    // hash exchange by user and a single Window operator
+    val df = graft.queries.AnalyticsQueries.op238CepNoError(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, saw $hashEx:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window node, saw $windows:\n$plan")
+  }
+
+  test("op233: rank sums reduce to the value grid before the single-partition walk") {
+    // the grid contract in mwuFromGrid's scaladoc: ONE hash exchange
+    // (the value-count aggregate), and the only single-partition stage
+    // is the cumulative walk over the distinct-value grid
+    val df = graft.queries.MonitorQueries.op233MannWhitney(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, saw $hashEx:\n$plan")
+    assert(plan.contains("Exchange SinglePartition"),
+      s"grid walk missing its declared single-partition stage:\n$plan")
+  }
 }
