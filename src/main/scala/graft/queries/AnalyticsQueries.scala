@@ -289,6 +289,67 @@ object AnalyticsQueries {
       "user_id")
   }
 
+  // ---------------------------------------------------------------- op252
+
+  /** op252: linear-interpolation gap-fill — op160's hourly spine with
+    * the other standard fill: a missing hour takes the line between
+    * its nearest observed neighbors, exact in milli-cents via
+    * (py·(nd−h) + ny·(h−pd))·1000 div (nd−pd) on the integer hour
+    * axis (sign-split); leading/trailing gaps fall back to the one
+    * available side (src=2). LOCF answers "what was the state";
+    * interpolation answers "what was the level" — rate-like metrics
+    * resampled for training want the latter.
+    *
+    * 100 TB shape: op160's argument — the spine explode is bounded by
+    * each user's observed span, both neighbor scans are two window
+    * passes over the spine (no self-join per gap), and the per-user
+    * rollup is map-combinable. */
+  val op252GapfillInterp: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100, 0).cast("bigint").as("cents"))
+    val hv = ev
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "h")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rk") === 1)
+      .select("user_id", "h", "cents")
+    val spine = ev.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val idx = spine.join(hv, Seq("user_id", "h"), "left")
+      .withColumn("hi", expr("unix_micros(h) div 3600000000"))
+    val wAsc = Window.partitionBy("user_id").orderBy("hi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy("user_id").orderBy(col("hi").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = idx
+      .withColumn("py", last("cents", ignoreNulls = true).over(wAsc))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("hi")),
+        ignoreNulls = true).over(wAsc))
+      .withColumn("ny", last("cents", ignoreNulls = true).over(wDesc))
+      .withColumn("nd", last(when(col("cents").isNotNull, col("hi")),
+        ignoreNulls = true).over(wDesc))
+      .withColumn("fill_milli", expr(
+        """CASE WHEN cents IS NOT NULL THEN cents * 1000
+          |     WHEN py IS NULL THEN ny * 1000
+          |     WHEN ny IS NULL THEN py * 1000
+          |     ELSE (CASE WHEN py * (nd - hi) + ny * (hi - pd) < 0
+          |           THEN -1 ELSE 1 END) *
+          |          ((abs(py * (nd - hi) + ny * (hi - pd)) * 1000)
+          |           div (nd - pd))
+          |END""".stripMargin))
+    ordered(
+      filled.groupBy("user_id").agg(
+        count(lit(1)).as("hours_total"),
+        count(col("cents")).as("hours_obs"),
+        sum("fill_milli").as("interp_sum_milli")),
+      "user_id")
+  }
+
   // ---------------------------------------------------------------- op161
 
   /** op161: ordered funnel — view → click → purchase per user, each later
@@ -727,6 +788,7 @@ object AnalyticsQueries {
     "op158_mixture_sample" -> op158MixtureSample,
     "op159_cms_heavy_hitters" -> op159CmsHeavyHitters,
     "op160_gapfill_locf" -> op160GapfillLocf,
+    "op252_gapfill_interp" -> op252GapfillInterp,
     "op161_funnel" -> op161Funnel,
     "op162_retention_cohorts" -> op162RetentionCohorts,
     "op169_stream_cms" -> op169StreamCms)
@@ -933,6 +995,50 @@ object AnalyticsQueries {
          |SELECT w AS token, est_cnt, exact_cnt FROM est, total
          |WHERE est_cnt * 50 >= total
          |ORDER BY token""".stripMargin,
+    "op252_gapfill_interp" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |hv AS (SELECT user_id, h, cents FROM (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, cents,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, date_trunc('hour', ts)
+        |           ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM ev) WHERE rk = 1),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |               date_trunc('hour', max(ts)) AS h1
+        |        FROM ev GROUP BY 1)),
+        |f AS (SELECT g.user_id, hv.cents,
+        |  epoch_us(g.h) // 3600000000 AS hi,
+        |  last_value(hv.cents IGNORE NULLS) OVER wa AS py,
+        |  last_value(CASE WHEN hv.cents IS NOT NULL
+        |    THEN epoch_us(g.h) // 3600000000 END IGNORE NULLS)
+        |    OVER wa AS pd,
+        |  last_value(hv.cents IGNORE NULLS) OVER wd AS ny,
+        |  last_value(CASE WHEN hv.cents IS NOT NULL
+        |    THEN epoch_us(g.h) // 3600000000 END IGNORE NULLS)
+        |    OVER wd AS nd
+        |  FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id
+        |                          AND g.h = hv.h
+        |  WINDOW wa AS (PARTITION BY g.user_id ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wd AS (PARTITION BY g.user_id ORDER BY g.h DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT user_id, cents,
+        |  CASE WHEN cents IS NOT NULL THEN cents * 1000
+        |       WHEN py IS NULL THEN ny * 1000
+        |       WHEN ny IS NULL THEN py * 1000
+        |       ELSE (CASE WHEN py * (nd - hi) + ny * (hi - pd) < 0
+        |             THEN -1 ELSE 1 END) *
+        |            ((abs(py * (nd - hi) + ny * (hi - pd)) * 1000)
+        |             // (nd - pd))
+        |  END AS fill_milli
+        |  FROM f)
+        |SELECT user_id, count(*) AS hours_total,
+        |  count(cents) AS hours_obs,
+        |  CAST(sum(fill_milli) AS BIGINT) AS interp_sum_milli
+        |FROM x GROUP BY 1 ORDER BY user_id""".stripMargin,
     "op160_gapfill_locf" ->
       """WITH ev AS (SELECT user_id, ts, event_id,
         |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),

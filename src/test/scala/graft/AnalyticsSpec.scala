@@ -409,6 +409,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.values.exists(_._3 == 1L) && rows.values.exists(_._3 == 0L))
   }
 
+  test("op252: interpolation gap-fill replays the neighbor-line fold") {
+    val got = AnalyticsQueries.op252GapfillInterp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val evDf = Tables.events(spark, sfDir)
+    val tUs = graft.sources.Tables.tsUsExpr(evDf)
+    val ev = evDf
+      .select(col("user_id"), (tUs - (tUs % 3600000000L)).as("hUs"),
+        tUs.as("tUs"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 3600000000L, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val want = ev.groupBy(_._1).view.mapValues { rows =>
+      val byHour = rows.groupBy(_._2).view.mapValues(
+        _.maxBy(r => (r._3, r._4))._5).toMap
+      val h0 = rows.map(_._2).min; val h1 = rows.map(_._2).max
+      val spine = (h0 to h1).map { hi =>
+        (hi, byHour.get(hi)) }
+      val sum = spine.map { case (hi, obs) =>
+        obs match {
+          case Some(c) => c * 1000
+          case None =>
+            val prev = spine.filter(s => s._1 < hi && s._2.isDefined)
+              .lastOption.map(s => (s._1, s._2.get))
+            val next = spine.filter(s => s._1 > hi && s._2.isDefined)
+              .headOption.map(s => (s._1, s._2.get))
+            (prev, next) match {
+              case (Some((pd, py)), Some((nd, ny))) =>
+                val num = py * (nd - hi) + ny * (hi - pd)
+                (if (num < 0) -1L else 1L) *
+                  (math.abs(num) * 1000 / (nd - pd))
+              case (Some((_, py)), None) => py * 1000
+              case (None, Some((_, ny))) => ny * 1000
+              case _ => 0L
+            }
+        }
+      }.sum
+      (spine.length.toLong, spine.count(_._2.isDefined).toLong, sum)
+    }.toMap
+    assert(got == want)
+    // the interp arm must fire: some user has unobserved spine hours
+    assert(got.values.exists(v => v._2 < v._1), "no gaps to fill")
+  }
+
   test("op246: zipf slope replays the milli-ln OLS over the rank grid") {
     val got = AnalyticsQueries.op246ZipfSlope(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
