@@ -714,7 +714,56 @@ object MonitorQueries {
       "rank")
   }
 
+  // ---------------------------------------------------------------- op251
+
+  /** op251: split-conformal coverage eval — per event type, the
+    * interval [k-th smallest, k-th largest] of the CALIBRATION window
+    * (days < 15, k = max(n_cal div 20, 1) ≈ the 5%/95% order
+    * statistics) is scored on the EVAL window (days ≥ 15): inside
+    * count and coverage in bp. Split conformal's guarantee — coverage
+    * ≥ 1 − 2k/(n_cal+1) regardless of the distribution — only holds
+    * if nothing drifted; the MEASURED coverage dropping below it IS
+    * the drift alarm, in the same units the model's intervals are
+    * quoted in. The eval complement of op235's changepoint: op235
+    * finds where the level moved, op251 says what that did to
+    * interval validity.
+    *
+    * 100 TB shape: both windows collapse to the daily grid first;
+    * rank selection runs per type over the calendar-bounded grid
+    * (row_number, the grid contract) and the eval side is one
+    * broadcast join + map-combinable count. */
+  val op251ConformalCoverage: Q = (s, d) => {
+    val grid = dailyGrid(s, d)
+    val cal = grid.where(col("day") < 15)
+    val wAsc = Window.partitionBy("event_type")
+      .orderBy(col("y").asc, col("day").asc)
+    val wDesc = Window.partitionBy("event_type")
+      .orderBy(col("y").desc, col("day").desc)
+    val ranked = cal
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .withColumn("n_cal", count(lit(1)).over(
+        Window.partitionBy("event_type")))
+      .withColumn("k", expr("greatest(n_cal div 20, 1)"))
+    val bounds = ranked.groupBy("event_type")
+      .agg(big(max("n_cal")).as("n_cal"),
+        max(when(col("ra") === col("k"), col("y"))).as("lo"),
+        max(when(col("rd") === col("k"), col("y"))).as("hi"))
+    ordered(
+      grid.where(col("day") >= 15)
+        .join(broadcast(bounds), "event_type")
+        .groupBy("event_type", "n_cal", "lo", "hi")
+        .agg(big(count(lit(1))).as("n_eval"),
+          sum(when(col("y").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("inside"))
+        .withColumn("cover_bp", expr("(inside * 10000) div n_eval"))
+        .select("event_type", "n_cal", "n_eval", "lo", "hi", "inside",
+          "cover_bp"),
+      "event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op251_conformal_coverage" -> op251ConformalCoverage,
     "op250_heavy_changers" -> op250HeavyChangers,
     "op247_centroid_drift" -> op247CentroidDrift,
     "op244_srm_gate" -> op244SrmGate,
@@ -775,6 +824,39 @@ object MonitorQueries {
     ("op240_stream_cusum" -> baseOracle("op235_cusum"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op251_conformal_coverage" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT event_type, day, y,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY y ASC, day ASC) AS ra,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY y DESC, day DESC) AS rd,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_cal
+        |  FROM grid WHERE day < 15),
+        |b AS (
+        |  SELECT event_type, CAST(max(n_cal) AS BIGINT) AS n_cal,
+        |    CAST(max(CASE WHEN ra = greatest(n_cal // 20, 1)
+        |         THEN y END) AS BIGINT) AS lo,
+        |    CAST(max(CASE WHEN rd = greatest(n_cal // 20, 1)
+        |         THEN y END) AS BIGINT) AS hi
+        |  FROM cal GROUP BY 1)
+        |SELECT g.event_type, b.n_cal,
+        |  CAST(count(*) AS BIGINT) AS n_eval, b.lo, b.hi,
+        |  CAST(sum(CASE WHEN g.y BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS inside,
+        |  CAST((sum(CASE WHEN g.y BETWEEN b.lo AND b.hi THEN 1 ELSE 0
+        |       END) * 10000) // count(*) AS BIGINT) AS cover_bp
+        |FROM grid g JOIN b ON g.event_type = b.event_type
+        |WHERE g.day >= 15
+        |GROUP BY g.event_type, b.n_cal, b.lo, b.hi
+        |ORDER BY g.event_type""".stripMargin,
     "op250_heavy_changers" ->
       """WITH c AS (
         |  SELECT user_id,

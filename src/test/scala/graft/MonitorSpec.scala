@@ -272,6 +272,38 @@ class MonitorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("op251: conformal coverage replays the order-statistic bounds") {
+    val got = MonitorQueries.op251ConformalCoverage(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_cal"), r.getAs[Long]("n_eval"),
+          r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+          r.getAs[Long]("inside"), r.getAs[Long]("cover_bp"))).toMap
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long"),
+      round(col("value") * 100, 0).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val grid = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val want = grid.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val cal = grid.collect { case ((`t`, d), y) if d < 15 => (y, d) }
+        .toSeq
+      val eval = grid.collect { case ((`t`, d), y) if d >= 15 => y }.toSeq
+      if (cal.isEmpty || eval.isEmpty) None else {
+        val k = math.max(cal.size / 20, 1)
+        val lo = cal.sortBy(p => (p._1, p._2)).apply(k - 1)._1
+        val hi = cal.sortBy(p => (-p._1, -p._2)).apply(k - 1)._1
+        val inside = eval.count(y => y >= lo && y <= hi).toLong
+        Some(t -> ((cal.size.toLong, eval.size.toLong, lo, hi, inside,
+          inside * 10000 / eval.size)))
+      }
+    }.toMap
+    assert(got == want)
+    // the miss arm must fire somewhere, or the eval is vacuous
+    assert(got.values.exists(v => v._5 < v._2), "nothing ever misses")
+  }
+
   test("op250: heavy changers equal the naive sort; TopKAgg path bounded") {
     val got = MonitorQueries.op250HeavyChangers(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
