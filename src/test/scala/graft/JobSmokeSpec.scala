@@ -238,4 +238,32 @@ class JobSmokeSpec extends AnyFunSuite {
     assert(s.read.parquet(s"$out/curve").count() > 0)
     assert(s.read.parquet(s"$out/modularity").count() > 0)
   }
+
+  test("MonitorJob.main writes every statistics leg; reruns diff clean") {
+    freshSession()
+    val out = tmp("monitor")
+    graft.apps.MonitorJob.main(Array(sfDir, out.toString))
+    val s = freshSession()
+    // every leg present (fixture has documents, events, embeddings)
+    val mwu = s.read.parquet(s"$out/rank_drift").collect()
+    assert(mwu.length == 1 &&
+      mwu(0).getAs[Long]("u1_x2") + mwu(0).getAs[Long]("u2_x2") ==
+        2 * mwu(0).getAs[Long]("n1") * mwu(0).getAs[Long]("n2"))
+    assert(s.read.parquet(s"$out/trend_robust").count() == 5)
+    assert(s.read.parquet(s"$out/changepoint").count() == 5)
+    val conf = s.read.parquet(s"$out/conformal").collect()
+    assert(conf.length == 5 &&
+      conf.forall(r => r.getAs[Long]("cover_bp") <= 10000))
+    assert(s.read.parquet(s"$out/srm").count() == 1)
+    assert(s.read.parquet(s"$out/changers").count() == 10)
+    assert(s.read.parquet(s"$out/centroid").count() > 0)
+    // reproducibility: second run byte-identical on the changers leg
+    val out2 = tmp("monitor2")
+    graft.apps.MonitorJob.main(Array(sfDir, out2.toString))
+    val s2 = freshSession()
+    assert(s2.read.parquet(s"$out2/changers").collect().map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long]).toSeq ==
+      s2.read.parquet(s"$out/changers").collect().map(_.toSeq)
+        .sortBy(_.head.asInstanceOf[Long]).toSeq)
+  }
 }
