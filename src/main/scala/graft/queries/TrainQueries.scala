@@ -2387,6 +2387,49 @@ object TrainQueries {
       "l_returnflag", "l_linestatus")
   }
 
+  /** op253: incremental aggregate maintenance WITH RETRACTIONS — the
+    * delete leg op152's insert-only refresh can't express: sum/count
+    * partials form an abelian GROUP, not just a monoid, so an upstream
+    * correction lands as one O(groups) partial with NEGATIVE
+    * multiplicities — never a base-table rescan, never tombstone
+    * bookkeeping at refresh time. Here the 'R'-flag slice is retracted
+    * (a recall of returned lines) after op152's three insert batches;
+    * the maintained view nets those groups to ZERO and the n_rows > 0
+    * gate makes them VANISH — the group-disappearance subtlety every
+    * IVM treatment has to get right, exercised for real (the oracle
+    * recomputes from scratch without the retracted rows). MIN/MAX are
+    * deliberately absent: they are not subtractable, and at scale they
+    * re-derive from the op137 clustered store's per-file stats
+    * instead. */
+  val op253RetractAgg: Q = (s, d) => {
+    val dir = indexRoot(d, "retract_agg_flag_status", table = "lineitem")
+    buildIndexIfAbsent(dir, "state") { tmp =>
+      val li = Tables.lineitem(s, d)
+      (0L to 2L).foreach { b =>
+        li.filter(col("l_orderkey") % 3 === b)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(big(sum(col("l_quantity").cast("bigint"))).as("p_qty"),
+            big(count(lit(1))).as("p_cnt"))
+          .withColumn("batch", lit(b))
+          .write.mode(if (b == 0L) "overwrite" else "append")
+          .parquet(s"$tmp/state")
+      }
+      li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg((-big(sum(col("l_quantity").cast("bigint")))).as("p_qty"),
+          (-big(count(lit(1)))).as("p_cnt"))
+        .withColumn("batch", lit(3L))
+        .write.mode("append").parquet(s"$tmp/state")
+    }
+    ordered(
+      s.read.parquet(s"$dir/state")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(big(sum("p_qty")).as("sum_qty"),
+          big(sum("p_cnt")).as("n_rows"))
+        .where(col("n_rows") > 0),
+      "l_returnflag", "l_linestatus")
+  }
+
   /** op146: merge-on-read UPSERT — the changelog leg that completes the
     * store's CRUD lifecycle (build → append → delete → UPSERT →
     * compact). Three change batches land as O(batch) appended parquet
@@ -2638,6 +2681,7 @@ object TrainQueries {
     "op210_rrf_fusion" -> op210RrfFusion,
     "op211_phrase_search" -> op211PhraseSearch,
     "op152_incr_agg" -> op152IncrAgg,
+    "op253_retract_agg" -> op253RetractAgg,
     "op153_stream_upsert" -> op153StreamUpsert,
     "op154_snapshot_diff" -> op154SnapshotDiff,
   )
@@ -4156,6 +4200,15 @@ object TrainQueries {
          |FROM m GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin,
     // op152: the delta-maintained state must answer exactly like the
     // full-table aggregate (quantities are integral doubles → bigint)
+    // op253: the recompute the maintained view must equal — the base
+    // WITHOUT the retracted slice; 'R' groups vanish entirely
+    "op253_retract_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_returnflag <> 'R'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "op152_incr_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -280,4 +280,22 @@ class WarehouseSpec extends SparkSpec {
     assert(spans.groupBy(_._1).values
       .exists(_.map(_._2).distinct.size > 1), "merge path inert")
   }
+
+  test("op253: retraction nets 'R' groups to zero and they vanish") {
+    val got = graft.queries.TrainQueries.defs("op253_retract_agg")
+      .apply(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // maintained view == from-scratch recompute without the retracted
+    // slice (the IVM exactness law), groups keyed 'R' GONE not zeroed
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2).toLong))
+    val want = li.filter(_._1 != "R").groupBy(r => (r._1, r._2)).view
+      .mapValues(g => (g.map(_._3).sum, g.length.toLong)).toMap
+    assert(got == want)
+    assert(li.exists(_._1 == "R"), "no retracted slice in the fixture")
+    assert(!got.keys.exists(_._1 == "R"), "retracted group survived")
+  }
 }
