@@ -566,7 +566,58 @@ object WarehouseQueries {
       .maintainedJoinView(s, d, stateDir), "c_nationkey")
   }
 
+  /** op254's profiled numeric columns, as (name, exact-integer expr). */
+  private val corrCols = Seq(
+    "l_quantity" -> "CAST(l_quantity AS BIGINT)",
+    "l_extendedprice" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+    "l_discount" -> "CAST(round(l_discount * 100) AS BIGINT)",
+    "l_tax" -> "CAST(round(l_tax * 100) AS BIGINT)")
+
+  // ---------------------------------------------------------------- op254
+
+  /** op254: numeric correlation matrix — pairwise Pearson r (bp)
+    * between lineitem's four numeric columns in ONE corpus pass: all
+    * 14 moment sums (per-column Σx, Σx² and the 6 cross Σxy) land in
+    * a single aggregate as DECIMAL(38,0) — cents-exact integers, so
+    * the sums match DuckDB's int128 bit-for-bit at any row count where
+    * BIGINT Σx² would overflow — and the 6 pairs assemble from that
+    * one row via stack(). The ratio runs in doubles under the op192
+    * SHARED-TEXT contract (conversion, ×, /, sqrt, floor are
+    * IEEE-identical on identical integers). The profiling pass an
+    * optimizer (or a feature-selection job) reads before trusting
+    * column independence.
+    *
+    * 100 TB shape: one map-combinable aggregate over the corpus; the
+    * matrix assembly is algebra on a single row. Adding a column adds
+    * sums to the SAME pass, never another scan. */
+  val op254CorrMatrix: Q = (s, d) => {
+    val cs = corrCols
+    val sums =
+      cs.map { case (n, e) =>
+        sum(expr(s"CAST($e AS DECIMAL(38,0))")).as(s"s_$n") } ++
+      cs.map { case (n, e) =>
+        sum(expr(s"CAST(($e) * ($e) AS DECIMAL(38,0))")).as(s"ss_$n") } ++
+      cs.combinations(2).toSeq.map { case Seq((nx, ex), (ny, ey)) =>
+        sum(expr(s"CAST(($ex) * ($ey) AS DECIMAL(38,0))"))
+          .as(s"sp_${nx}_$ny") }
+    val a = Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val pairs = cs.combinations(2).toSeq.map { case Seq((nx, _), (ny, _)) =>
+      s"'$nx', '$ny', n * sp_${nx}_$ny - s_$nx * s_$ny, " +
+        s"n * ss_$nx - s_$nx * s_$nx, n * ss_$ny - s_$ny * s_$ny"
+    }.mkString(", ")
+    ordered(
+      a.selectExpr(s"n", s"stack(${cs.combinations(2).size}, $pairs) " +
+          "AS (col_x, col_y, num, dx, dy)")
+        .selectExpr("col_x", "col_y", "CAST(n AS BIGINT) AS n",
+          """CAST(floor(CAST(num AS DOUBLE) /
+            |  (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+            |  * 10000) AS BIGINT) AS r_bp""".stripMargin),
+      "col_x", "col_y")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op254_corr_matrix" -> op254CorrMatrix,
     "op212_rfm_segments" -> op212RfmSegments,
     "op214_stream_rfm" -> op214StreamRfm,
     "op222_delta_join" -> op222DeltaJoin,
@@ -624,7 +675,33 @@ object WarehouseQueries {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
 
+  /** op254's oracle: one aggregate CTE (DuckDB sums BIGINT products
+    * into int128 — the same exact integers as Spark's DECIMAL(38,0)),
+    * six UNION'd pair rows, the identical double ratio. */
+  private lazy val corrMatrixSql: String = {
+    val aggs = (corrCols.map { case (n, e) =>
+      s"CAST(sum($e) AS HUGEINT) AS s_$n" } ++
+      corrCols.map { case (n, e) =>
+        s"CAST(sum(($e) * ($e)) AS HUGEINT) AS ss_$n" } ++
+      corrCols.combinations(2).toSeq.map { case Seq((nx, ex), (ny, ey)) =>
+        s"CAST(sum(($ex) * ($ey)) AS HUGEINT) AS sp_${nx}_$ny" })
+      .mkString(",\n  ")
+    val rows = corrCols.combinations(2).toSeq.map {
+      case Seq((nx, _), (ny, _)) =>
+        s"""SELECT '$nx' AS col_x, '$ny' AS col_y,
+           |  CAST(n AS BIGINT) AS n,
+           |  CAST(floor(CAST(n * sp_${nx}_$ny - s_$nx * s_$ny AS DOUBLE) /
+           |    (sqrt(CAST(n * ss_$nx - s_$nx * s_$nx AS DOUBLE)) *
+           |     sqrt(CAST(n * ss_$ny - s_$ny * s_$ny AS DOUBLE)))
+           |    * 10000) AS BIGINT) AS r_bp
+           |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH a AS (\n  SELECT count(*) AS n,\n  $aggs\n  FROM lineitem)\n" +
+      s"$rows\nORDER BY col_x, col_y"
+  }
+
   val oracle: Map[String, String] = Map(
+    "op254_corr_matrix" -> corrMatrixSql,
     "op222_delta_join" -> deltaJoinSql,
     "op223_stream_dim_join" -> deltaJoinSql,
     "op212_rfm_segments" -> rfmSql,

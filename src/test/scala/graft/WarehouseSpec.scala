@@ -281,6 +281,37 @@ class WarehouseSpec extends SparkSpec {
       .exists(_.map(_._2).distinct.size > 1), "merge path inert")
   }
 
+  test("op254: correlation matrix replays the exact BigInt moments") {
+    val got = graft.queries.WarehouseQueries.op254CorrMatrix(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(round(l_tax * 100) AS BIGINT)").collect()
+      .map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val n = BigInt(rows.length)
+    def s(i: Int) = rows.map(r => BigInt(r(i))).sum
+    def sp(i: Int, j: Int) = rows.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+    val want = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield {
+      val num = n * sp(i, j) - s(i) * s(j)
+      val dx = n * sp(i, i) - s(i) * s(i)
+      val dy = n * sp(j, j) - s(j) * s(j)
+      val r = math.floor(num.toDouble /
+        (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)) * 10000d).toLong
+      (names(i), names(j)) -> ((n.toLong, r))
+    }).toMap
+    assert(got == want)
+    // correlations are valid bp (the synthetic fixture draws the
+    // columns independently, so near-zero r is the expected picture)
+    assert(got.values.forall(v => v._2 >= -10000 && v._2 <= 10000))
+  }
+
   test("op253: retraction nets 'R' groups to zero and they vanish") {
     val got = graft.queries.TrainQueries.defs("op253_retract_agg")
       .apply(spark, sfDir).collect()
