@@ -774,7 +774,35 @@ object AnalyticsQueries {
       "source")
   }
 
+  // ---------------------------------------------------------------- op255
+
+  /** op255: k-anonymity audit — every quasi-identifier combination
+    * (lang, source, length bucket) with its population and a risky
+    * flag at k < 5: a release whose QI group has fewer than k members
+    * lets an attacker who knows those attributes re-identify rows, so
+    * the compliance gate either suppresses or generalizes the flagged
+    * groups before the corpus ships. Also emits each group's count of
+    * DISTINCT length values inside the bucket — the l-diversity-style
+    * sidecar (a k-anonymous group whose "sensitive" value is constant
+    * still leaks it).
+    *
+    * 100 TB shape: one map-combinable aggregate at QI-grid
+    * cardinality; generalization loops (widen the bucket, re-audit)
+    * re-aggregate the GRID, not the corpus. */
+  val op255KAnonymity: Q = (s, d) => {
+    ordered(
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(big(count(lit(1))).as("n"),
+          big(countDistinct(col("n_chars"))).as("n_distinct_len"))
+        .withColumn("risky", expr(
+          "CAST(CASE WHEN n < 5 THEN 1 ELSE 0 END AS BIGINT)")),
+      "lang", "source", "len_bucket")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op255_k_anonymity" -> op255KAnonymity,
     "op246_zipf_slope" -> op246ZipfSlope,
     "op242_source_entropy" -> op242SourceEntropy,
     "op238_cep_no_error" -> op238CepNoError,
@@ -801,6 +829,15 @@ object AnalyticsQueries {
     ("op169_stream_cms" -> baseOracle("op159_cms_heavy_hitters"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op255_k_anonymity" ->
+      """SELECT lang, source,
+        |  CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct_len,
+        |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS risky
+        |FROM documents GROUP BY 1, 2, 3
+        |ORDER BY lang, source, len_bucket""".stripMargin,
     "op246_zipf_slope" ->
       """WITH cnt AS (
         |  SELECT source, token, CAST(count(*) AS BIGINT) AS c

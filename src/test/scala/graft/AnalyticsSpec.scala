@@ -409,6 +409,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.values.exists(_._3 == 1L) && rows.values.exists(_._3 == 0L))
   }
 
+  test("op255: k-anonymity groups replay; both risk classes present") {
+    val got = AnalyticsQueries.op255KAnonymity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(d => (d._1, d._2, d._3 / 100)).view
+      .mapValues { g =>
+        val n = g.length.toLong
+        (n, g.map(_._3).distinct.length.toLong, if (n < 5) 1L else 0L)
+      }.toMap
+    assert(got == want)
+    assert(got.values.exists(_._3 == 1L), "no risky group — gate vacuous")
+    assert(got.values.exists(_._3 == 0L), "no safe group — gate vacuous")
+  }
+
   test("op252: interpolation gap-fill replays the neighbor-line fold") {
     val got = AnalyticsQueries.op252GapfillInterp(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
