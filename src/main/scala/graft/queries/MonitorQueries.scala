@@ -732,8 +732,8 @@ object MonitorQueries {
     * rank selection runs per type over the calendar-bounded grid
     * (row_number, the grid contract) and the eval side is one
     * broadcast join + map-combinable count. */
-  val op251ConformalCoverage: Q = (s, d) => {
-    val grid = dailyGrid(s, d)
+  /** op251/op257 shared tail over an (event_type, day, y) grid. */
+  def conformalFromGrid(grid: DataFrame): DataFrame = {
     val cal = grid.where(col("day") < 15)
     val wAsc = Window.partitionBy("event_type")
       .orderBy(col("y").asc, col("day").asc)
@@ -762,8 +762,74 @@ object MonitorQueries {
       "event_type")
   }
 
+  val op251ConformalCoverage: Q = (s, d) =>
+    conformalFromGrid(dailyGrid(s, d))
+
+  // ---------------------------------------------------------------- op257
+
+  /** op257: STREAMING conformal gate — op251 with the daily grid
+    * maintained ONLINE (op240's SeasonalStream cents sums) and the
+    * SAME conformal tail, under op251's UNCHANGED oracle. With op236
+    * (MWU) and op240 (CUSUM) this completes the statistics family's
+    * online legs off ONE maintained grid: location shift, level
+    * shift, and interval validity, all per serve at grid cost. */
+  val op257StreamConformal: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op257_").toString
+    conformalFromGrid(graft.streaming.SeasonalStream
+      .maintainedDailySums(s, d, state))
+  }
+
+  // ---------------------------------------------------------------- op256
+
+  /** op256: OLS forecast backtest — op184's regression FIT on the
+    * calibration window (days < 15), SCORED on the eval window: mean
+    * absolute error and signed bias of the line's prediction, in
+    * exact milli-cents. The prediction stays rational the whole way —
+    * ŷ(d)·10³ = (Σy·den + num·(n·d − Σx))·10³ / (n·den) with num/den
+    * op184's integer slope pieces — so no intercept ever rounds
+    * before the residual is taken (one sign-split division per eval
+    * day, then integer sums). The eval every forecasting deployment
+    * runs before trusting a trend: op184 says what the line IS,
+    * op256 says whether yesterday's line PREDICTS today.
+    *
+    * 100 TB shape: the fit is five map-combinable sums on the cal
+    * grid; scoring is a broadcast join of those five numbers to the
+    * eval grid + a map-combinable error sum. Nothing re-scans events
+    * beyond the one dailyGrid pass. */
+  val op256ForecastBacktest: Q = (s, d) => {
+    val grid = dailyGrid(s, d)
+    val fit = grid.where(col("day") < 15)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("day").as("sx"),
+        sum("y").as("sy"), sum(expr("day * day")).as("sxx"),
+        sum(expr("day * y")).as("sxy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+    ordered(
+      grid.where(col("day") >= 15)
+        .join(broadcast(fit), "event_type")
+        .withColumn("pnum", expr(
+          "(sy * den + num * (n * day - sx)) * 1000"))
+        .withColumn("p_milli", expr(
+          "(CASE WHEN pnum < 0 THEN -1 ELSE 1 END) * " +
+            "(abs(pnum) div (n * den))"))
+        .withColumn("err", expr("y * 1000 - p_milli"))
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n_eval"),
+          sum(abs(col("err"))).as("abs_err_sum"),
+          sum(col("err")).as("err_sum"))
+        .select(col("event_type"), col("n_eval"),
+          expr("(abs_err_sum) div n_eval").as("mae_milli"),
+          expr("(CASE WHEN err_sum < 0 THEN -1 ELSE 1 END) * " +
+            "(abs(err_sum) div n_eval)").as("bias_milli")),
+      "event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "op251_conformal_coverage" -> op251ConformalCoverage,
+    "op257_stream_conformal" -> op257StreamConformal,
+    "op256_forecast_backtest" -> op256ForecastBacktest,
     "op250_heavy_changers" -> op250HeavyChangers,
     "op247_centroid_drift" -> op247CentroidDrift,
     "op244_srm_gate" -> op244SrmGate,
@@ -821,9 +887,44 @@ object MonitorQueries {
     // op236 merges streamed counts exactly -> op233's oracle verbatim
     ("op236_stream_mwu" -> baseOracle("op233_mann_whitney")) +
     // op240 merges streamed cents sums exactly -> op235's oracle verbatim
-    ("op240_stream_cusum" -> baseOracle("op235_cusum"))
+    ("op240_stream_cusum" -> baseOracle("op235_cusum")) +
+    // op257 merges streamed cents sums exactly -> op251's oracle verbatim
+    ("op257_stream_conformal" -> baseOracle("op251_conformal_coverage"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op256_forecast_backtest" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(day) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(day * day) AS BIGINT) AS sxx,
+        |    CAST(sum(day * y) AS BIGINT) AS sxy
+        |  FROM grid WHERE day < 15 GROUP BY 1),
+        |p AS (
+        |  SELECT g.event_type, g.y,
+        |    (f.sy * (f.n * f.sxx - f.sx * f.sx) +
+        |     (f.n * f.sxy - f.sx * f.sy) * (f.n * g.day - f.sx)) * 1000
+        |      AS pnum,
+        |    f.n * (f.n * f.sxx - f.sx * f.sx) AS pden
+        |  FROM grid g JOIN fit f ON g.event_type = f.event_type
+        |  WHERE g.day >= 15),
+        |e AS (
+        |  SELECT event_type,
+        |    y * 1000 - (CASE WHEN pnum < 0 THEN -1 ELSE 1 END) *
+        |      (abs(pnum) // pden) AS err
+        |  FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(abs(err)) // count(*) AS BIGINT) AS mae_milli,
+        |  CAST((CASE WHEN sum(err) < 0 THEN -1 ELSE 1 END) *
+        |       (abs(CAST(sum(err) AS BIGINT)) // count(*)) AS BIGINT)
+        |    AS bias_milli
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
     "op251_conformal_coverage" ->
       """WITH grid AS (
         |  SELECT event_type,

@@ -304,6 +304,52 @@ class MonitorSpec extends SparkSpec {
     assert(got.values.exists(v => v._5 < v._2), "nothing ever misses")
   }
 
+  test("op256: backtest errors replay the exact rational prediction") {
+    val got = MonitorQueries.op256ForecastBacktest(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_eval"), r.getAs[Long]("mae_milli"),
+          r.getAs[Long]("bias_milli"))).toMap
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long"),
+      round(col("value") * 100, 0).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val grid = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val want = grid.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val cal = grid.collect { case ((`t`, d), y) if d < 15 => (d, y) }
+        .toSeq
+      val eval = grid.collect { case ((`t`, d), y) if d >= 15 => (d, y) }
+        .toSeq
+      if (cal.isEmpty || eval.isEmpty) None else {
+        val n = cal.size.toLong
+        val sx = cal.map(_._1).sum; val sy = cal.map(_._2).sum
+        val sxx = cal.map(c => c._1 * c._1).sum
+        val sxy = cal.map(c => c._1 * c._2).sum
+        val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+        val errs = eval.map { case (d, y) =>
+          val pnum = (sy * den + num * (n * d - sx)) * 1000
+          val p = (if (pnum < 0) -1L else 1L) *
+            (math.abs(pnum) / (n * den))
+          y * 1000 - p
+        }
+        val es = errs.sum
+        Some(t -> ((eval.size.toLong, errs.map(math.abs).sum / eval.size,
+          (if (es < 0) -1L else 1L) * (math.abs(es) / eval.size))))
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("op257: streaming conformal gate equals the batch op251 exactly") {
+    val batch = MonitorQueries.op251ConformalCoverage(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MonitorQueries.op257StreamConformal(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("op250: heavy changers equal the naive sort; TopKAgg path bounded") {
     val got = MonitorQueries.op250HeavyChangers(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
