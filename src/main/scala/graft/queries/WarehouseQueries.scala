@@ -616,7 +616,55 @@ object WarehouseQueries {
       "col_x", "col_y")
   }
 
+  /** op258's audited foreign-key edges: (child, fk col, parent, pk). */
+  private val fkEdges = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  // ---------------------------------------------------------------- op258
+
+  /** op258: referential-integrity audit — every declared FK edge of
+    * the star schema checked in one report: child rows, orphans
+    * (including NULL keys — a NULL FK never joins, so it IS a
+    * referential gap for inner-join consumers), and coverage bp. The
+    * pre-join data-quality gate: a join that silently drops 3% of
+    * facts is a metrics bug dressed as a join; this measures it
+    * BEFORE the dashboards disagree.
+    *
+    * 100 TB shape: each edge is one left anti-join ON THE DISTINCT
+    * child keys (the orphan question is per-key, so the corpus
+    * collapses to key cardinality first and the per-key orphan count
+    * re-weights by key multiplicity) against a broadcast-sized parent
+    * key set — dims broadcast, the fact table is never shuffled. */
+  val op258FkAudit: Q = (s, d) => {
+    val frames = fkEdges.map { case (child, fk, parent, pk) =>
+      val keys = Tables.table(s, d, child)
+        .groupBy(col(fk).as("k")).agg(count(lit(1)).as("m"))
+      val orphans = keys.join(
+          broadcast(Tables.table(s, d, parent)
+            .select(col(pk).as("k")).distinct()),
+          Seq("k"), "left_anti")
+        .agg(coalesce(sum("m"), lit(0L)).as("n_orphans"))
+      val totals = Tables.table(s, d, child)
+        .agg(count(lit(1)).as("n_child"))
+      totals.crossJoin(orphans).select(
+        lit(child).as("child_table"), lit(fk).as("fk_col"),
+        lit(parent).as("parent_table"),
+        big(col("n_child")).as("n_child"),
+        big(col("n_orphans")).as("n_orphans"),
+        expr("((n_child - n_orphans) * 10000) div n_child")
+          .as("coverage_bp"))
+    }
+    ordered(frames.reduce(_ unionByName _), "child_table", "fk_col")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op258_fk_audit" -> op258FkAudit,
     "op254_corr_matrix" -> op254CorrMatrix,
     "op212_rfm_segments" -> op212RfmSegments,
     "op214_stream_rfm" -> op214StreamRfm,
@@ -700,7 +748,29 @@ object WarehouseQueries {
       s"$rows\nORDER BY col_x, col_y"
   }
 
+  /** op258's oracle: one NOT-IN-free block per FK edge (orphans via a
+    * key-grid anti semantics — NULL keys count as orphans). */
+  private lazy val fkAuditSql: String = {
+    val blocks = fkEdges.map { case (child, fk, parent, pk) =>
+      s"""SELECT '$child' AS child_table, '$fk' AS fk_col,
+         |  '$parent' AS parent_table,
+         |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+         |  CAST(coalesce((
+         |    SELECT sum(m) FROM (
+         |      SELECT $fk AS k, count(*) AS m FROM $child GROUP BY 1) c
+         |    WHERE c.k IS NULL OR c.k NOT IN
+         |      (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)), 0)
+         |    AS BIGINT) AS n_orphans""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT child_table, fk_col, parent_table, n_child, n_orphans,
+       |  CAST(((n_child - n_orphans) * 10000) // n_child AS BIGINT)
+       |    AS coverage_bp
+       |FROM ($blocks)
+       |ORDER BY child_table, fk_col""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "op258_fk_audit" -> fkAuditSql,
     "op254_corr_matrix" -> corrMatrixSql,
     "op222_delta_join" -> deltaJoinSql,
     "op223_stream_dim_join" -> deltaJoinSql,

@@ -108,6 +108,11 @@ object Tables {
     typed.select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
   }
 
+  /** Generic loader for callers iterating the schema (op258's FK
+    * audit); NOT for events, which needs the adaptive ts path. */
+  def table(s: SparkSession, d: String, name: String): DataFrame =
+    load(s, d, name)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -281,6 +281,34 @@ class WarehouseSpec extends SparkSpec {
       .exists(_.map(_._2).distinct.size > 1), "merge path inert")
   }
 
+  test("op258: FK audit replays the orphan counts; planted orphan flags") {
+    val got = graft.queries.WarehouseQueries.op258FkAudit(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // driver replay on one edge: lineitem -> orders
+    val childKeys = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").collect().map(r =>
+        Option(r.get(0)).map(_.asInstanceOf[Long]))
+    val parentKeys = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val orphans = childKeys.count(k => !k.exists(parentKeys)).toLong
+    val n = childKeys.length.toLong
+    assert(got(("lineitem", "l_orderkey")) ==
+      ((n, orphans, (n - orphans) * 10000 / n)))
+    // coverage is a valid share everywhere; whole report present
+    assert(got.size == 7)
+    assert(got.values.forall(v => v._3 >= 0 && v._3 <= 10000))
+    // the orphan arm itself: a planted dangling key is counted
+    import spark.implicits._
+    val child = Seq(1L, 2L, 999L).toDF("k")
+    val parent = Seq(1L, 2L).toDF("p")
+    val planted = child.groupBy(col("k")).agg(count(lit(1)).as("m"))
+      .join(parent.select(col("p").as("k")).distinct(),
+        Seq("k"), "left_anti")
+      .agg(coalesce(sum("m"), lit(0L))).collect()(0).getLong(0)
+    assert(planted == 1L)
+  }
+
   test("op254: correlation matrix replays the exact BigInt moments") {
     val got = graft.queries.WarehouseQueries.op254CorrMatrix(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
