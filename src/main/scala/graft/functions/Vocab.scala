@@ -250,4 +250,32 @@ object Vocab {
        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM docw d JOIN enc USING (w) GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
+
+  /** op259's oracle: op127's encode chain rolled up per SOURCE with the
+    * fertility ratio (tokens per word, bp). */
+  def fertilityOracleSql(k: Int): String = {
+    val enc = (1 to k).map { r =>
+      s"e$r AS MATERIALIZED (SELECT w, replace(repr, ' ' || m.lft || '  ' || m.rgt || ' ', " +
+        s"' ' || m.lft || m.rgt || ' ') AS repr FROM e${r - 1}, m$r m)"
+    }.mkString(",\n")
+    s"""${oracleStages(k)},
+       |docw AS MATERIALIZED (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')),
+       |e0 AS (SELECT w, $oracleInitRepr AS repr FROM (SELECT DISTINCT w FROM docw)),
+       |$enc,
+       |enc AS (SELECT w, len(string_split(trim(repr), '  ')) AS n_tok FROM e$k),
+       |perdoc AS (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM docw d JOIN enc USING (w) GROUP BY d.doc_id)
+       |SELECT s.source, CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST((sum(p.n_tokens) * 10000) // sum(p.n_words) AS BIGINT)
+       |    AS fertility_bp
+       |FROM perdoc p JOIN documents s USING (doc_id)
+       |GROUP BY s.source ORDER BY source""".stripMargin
+  }
 }

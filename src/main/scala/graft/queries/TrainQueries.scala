@@ -1902,6 +1902,40 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** op259: tokenizer fertility eval — tokens-per-word (bp) of the
+    * trained BPE vocabulary per SOURCE: the eval that decides whether
+    * a tokenizer fits a corpus slice (fertility near 10⁴ ≈ one token
+    * per word = well-covered text; high fertility = the vocab
+    * fragments that source, inflating sequence length and training
+    * cost — the standard multilingual-tokenizer diagnostic). Rides
+    * op127's persisted merges and encode chain verbatim (training
+    * never recurs), adding one source rollup.
+    *
+    * 100 TB shape: op127's argument — the merge chain runs over
+    * DISTINCT words, the corpus pays one broadcast join; the source
+    * rollup is map-combinable on top. */
+  val op259TokenizerFertility: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dir = indexRoot(d, s"bpe_merges_r$bpeRounds", table = "documents")
+    buildIndexIfAbsent(dir, "merges") { tmp =>
+      graft.functions.Vocab.trainMergesDf(docs, "text", bpeRounds)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merges")
+    }
+    val merges = s.read.parquet(s"$dir/merges")
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+    ordered(
+      graft.functions.Vocab.encodeTokens(docs, "doc_id", "text", merges)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(big(sum("n_words")).as("n_words"),
+          big(sum("n_tokens")).as("n_tokens"))
+        .withColumn("fertility_bp",
+          expr("(n_tokens * 10000) div n_words")),
+      "source")
+  }
+
   /** op129: deterministic weighted sampling without replacement — the
     * integer-arithmetic priority variant of Efraimidis–Spirakis: each doc
     * draws a deterministic pseudo-random u (LCG of doc_id, exact in
@@ -2661,6 +2695,7 @@ object TrainQueries {
     "op124_vocab_merges" -> op124VocabMerges,
     "op126_bpe_train" -> op126BpeTrain,
     "op127_bpe_encode" -> op127BpeEncode,
+    "op259_tokenizer_fertility" -> op259TokenizerFertility,
     "op129_weighted_sample" -> op129WeightedSample,
     "op130_char_dup_profile" -> op130CharDup,
     "op131_stream_scd2" -> op131StreamScd2,
@@ -3764,6 +3799,8 @@ object TrainQueries {
     // training loop (and its encode tail) — see Vocab.trainOracleSql
     "op126_bpe_train" -> graft.functions.Vocab.trainOracleSql(bpeRounds),
     "op127_bpe_encode" -> graft.functions.Vocab.encodeOracleSql(bpeRounds),
+    "op259_tokenizer_fertility" ->
+      graft.functions.Vocab.fertilityOracleSql(bpeRounds),
     // op131: the closed subset of op128's batch SCD2 replay — open
     // versions are streaming state, not output
     "op131_stream_scd2" ->

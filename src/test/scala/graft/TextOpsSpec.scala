@@ -639,4 +639,26 @@ class TextOpsSpec extends SparkSpec {
       assert(rs.length == math.min(3, termCounts(d)))
     }
   }
+
+  test("op259: fertility is the encode rollup per source; >= 1 token/word") {
+    val got = graft.queries.TrainQueries.defs("op259_tokenizer_fertility")
+      .apply(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // fold the per-doc encode output (its own spec proves it against a
+    // textbook replay) through the source map — the rollup must agree
+    val perDoc = graft.queries.TrainQueries.defs("op127_bpe_encode")
+      .apply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val srcOf = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = perDoc.groupBy(p => srcOf(p._1)).map { case (src, g) =>
+      val w = g.map(_._2).sum; val t = g.map(_._3).sum
+      src -> ((w, t, t * 10000 / w))
+    }
+    assert(got == want)
+    // a BPE token never spans words: every word is >= 1 token
+    assert(got.values.forall(v => v._3 >= 10000))
+  }
 }
