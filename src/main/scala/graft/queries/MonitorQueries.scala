@@ -696,14 +696,9 @@ object MonitorQueries {
     * spelling the oracle uses would single-partition a billion users;
     * the declared equivalence (score desc, id asc — TopKAgg's exact
     * order) is what lets the cheap plan sit under the expensive SQL. */
-  val op250HeavyChangers: Q = (s, d) => {
-    val dayExpr = datediff(to_date(col("ts")),
-      lit("2024-01-01").cast("date"))
-    val counts = Tables.events(s, d)
-      .groupBy("user_id")
-      .agg(sum(when(dayExpr < 15, 1L).otherwise(0L)).as("c1"),
-        sum(when(dayExpr >= 15, 1L).otherwise(0L)).as("c2"))
-      .withColumn("delta", expr("c2 - c1"))
+  /** op250/op260 shared tail over a (user_id, c1, c2) count table. */
+  def changersFromCounts(counts0: DataFrame): DataFrame = {
+    val counts = counts0.withColumn("delta", expr("c2 - c1"))
     val top = counts
       .agg(TopKAgg.topK(10)(abs(col("delta")), col("user_id")).as("top"))
       .select(posexplode(col("top")))
@@ -712,6 +707,29 @@ object MonitorQueries {
       counts.join(broadcast(top), "user_id")
         .select("rank", "user_id", "c1", "c2", "delta"),
       "rank")
+  }
+
+  val op250HeavyChangers: Q = (s, d) => {
+    val dayExpr = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    changersFromCounts(Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(when(dayExpr < 15, 1L).otherwise(0L)).as("c1"),
+        sum(when(dayExpr >= 15, 1L).otherwise(0L)).as("c2")))
+  }
+
+  // ---------------------------------------------------------------- op260
+
+  /** op260: STREAMING heavy changers — op250 with the per-user half
+    * counts maintained ONLINE (ChangerStream partials, element-wise
+    * merge) and the SAME k-bounded selection tail under op250's
+    * UNCHANGED oracle: the change report re-asks per serve at
+    * user-table cost, never re-scanning arrivals. */
+  val op260StreamChangers: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op260_").toString
+    changersFromCounts(graft.streaming.ChangerStream
+      .maintainedHalfCounts(s, d, state))
   }
 
   // ---------------------------------------------------------------- op251
@@ -831,6 +849,7 @@ object MonitorQueries {
     "op257_stream_conformal" -> op257StreamConformal,
     "op256_forecast_backtest" -> op256ForecastBacktest,
     "op250_heavy_changers" -> op250HeavyChangers,
+    "op260_stream_changers" -> op260StreamChangers,
     "op247_centroid_drift" -> op247CentroidDrift,
     "op244_srm_gate" -> op244SrmGate,
     "op243_bootstrap_ci" -> op243BootstrapCi,
@@ -889,7 +908,9 @@ object MonitorQueries {
     // op240 merges streamed cents sums exactly -> op235's oracle verbatim
     ("op240_stream_cusum" -> baseOracle("op235_cusum")) +
     // op257 merges streamed cents sums exactly -> op251's oracle verbatim
-    ("op257_stream_conformal" -> baseOracle("op251_conformal_coverage"))
+    ("op257_stream_conformal" -> baseOracle("op251_conformal_coverage")) +
+    // op260 merges streamed half counts exactly -> op250's oracle verbatim
+    ("op260_stream_changers" -> baseOracle("op250_heavy_changers"))
 
   private lazy val baseOracle: Map[String, String] = Map(
     "op256_forecast_backtest" ->

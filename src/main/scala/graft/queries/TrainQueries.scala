@@ -1936,6 +1936,39 @@ object TrainQueries {
       "source")
   }
 
+  /** op261: quality→duplication calibration — does op71's quality
+    * score PREDICT near-duplication? Docs bucketed by score VALUE
+    * (quality_bp div 500 — a value bucket, not an ntile, so no
+    * corpus-wide sort), each bucket reporting its population, how
+    * many of its docs appear in op61's near-dup pair set, and the
+    * dup rate in bp. The cross-operator eval a curation pipeline
+    * reads before using one signal to gate another: if low-quality
+    * buckets aren't dup-enriched, "filter by quality first, dedup
+    * the survivors" reorders safely; if they are, order matters.
+    *
+    * 100 TB shape: rides two passes that already run (op71's scoring
+    * — pure map — and op61's banded dedup); the calibration itself is
+    * a doc-keyed flag join + a bucket-grid aggregate. */
+  val op261QualityDupCal: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val buckets = docs.select(col("doc_id"),
+      (TextOps.qualityScoreBp(col("text"), enStop) / 500)
+        .cast("bigint").as("bucket"))
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 7000L,
+      Some(shingleDocFreqCap))
+    val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1L))
+    ordered(
+      buckets.join(dupDocs, Seq("doc_id"), "left")
+        .groupBy("bucket")
+        .agg(big(count(lit(1))).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+        .withColumn("dup_rate_bp",
+          expr("(n_dup_docs * 10000) div n_docs")),
+      "bucket")
+  }
+
   /** op129: deterministic weighted sampling without replacement — the
     * integer-arithmetic priority variant of Efraimidis–Spirakis: each doc
     * draws a deterministic pseudo-random u (LCG of doc_id, exact in
@@ -2696,6 +2729,7 @@ object TrainQueries {
     "op126_bpe_train" -> op126BpeTrain,
     "op127_bpe_encode" -> op127BpeEncode,
     "op259_tokenizer_fertility" -> op259TokenizerFertility,
+    "op261_quality_dup_cal" -> op261QualityDupCal,
     "op129_weighted_sample" -> op129WeightedSample,
     "op130_char_dup_profile" -> op130CharDup,
     "op131_stream_scd2" -> op131StreamScd2,
@@ -3801,6 +3835,54 @@ object TrainQueries {
     "op127_bpe_encode" -> graft.functions.Vocab.encodeOracleSql(bpeRounds),
     "op259_tokenizer_fertility" ->
       graft.functions.Vocab.fertilityOracleSql(bpeRounds),
+    // op261: op71's quality CTEs + op61's pair chain, composed
+    "op261_quality_dup_cal" -> {
+      val stop = enStop.map("'" + _ + "'").mkString(",")
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_ws,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nosp,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains([$stop], x))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok_ws,
+        |    CASE WHEN n_tok_ws = 0 THEN 0
+        |      ELSE n_stop * 10000 // n_tok_ws END AS stop_bp,
+        |    CASE WHEN n_tok_ws = 0 THEN 0
+        |      ELSE n_chars_nosp * 10000 // n_tok_ws END AS tok_len_bp
+        |  FROM b),
+        |qb AS (
+        |  SELECT doc_id,
+        |    CAST((2500 + least(n_tok_ws * 100, 2500) + least(stop_bp, 2500)
+        |      + least(greatest(tok_len_bp - 20000, 0) // 4, 2500)) // 500
+        |      AS BIGINT) AS bucket
+        |  FROM r),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |keep AS (SELECT shingle FROM sh GROUP BY shingle
+        |         HAVING count(*) <= $shingleDocFreqCap),
+        |shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS overlap
+        |       FROM shc a JOIN shc b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM ov
+        |  JOIN cnt ca ON ov.doc_a = ca.doc_id
+        |  JOIN cnt cb ON ov.doc_b = cb.doc_id
+        |  WHERE overlap * 10000 // (ca.n_sh + cb.n_sh - overlap) >= 7000),
+        |dup AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM pairs
+        |  UNION ALL SELECT doc_b FROM pairs))
+        |SELECT qb.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_dup_docs,
+        |  CAST((sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       * 10000) // count(*) AS BIGINT) AS dup_rate_bp
+        |FROM qb LEFT JOIN dup ON qb.doc_id = dup.doc_id
+        |GROUP BY qb.bucket ORDER BY bucket""".stripMargin
+    },
     // op131: the closed subset of op128's batch SCD2 replay — open
     // versions are streaming state, not output
     "op131_stream_scd2" ->

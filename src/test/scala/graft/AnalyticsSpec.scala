@@ -409,6 +409,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.values.exists(_._3 == 1L) && rows.values.exists(_._3 == 0L))
   }
 
+  test("op261: calibration is the fold of op71 buckets x op61 dup set") {
+    val got = graft.queries.TrainQueries.defs("op261_quality_dup_cal")
+      .apply(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // fold the two proven operators' outputs — composition must agree
+    val buckets = graft.queries.TrainQueries.defs("op71_quality")
+      .apply(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("quality_bp") / 500).toMap
+    val pairs = graft.queries.TrainQueries.defs("op61_dedup_ngram")
+      .apply(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    val want = buckets.toSeq.groupBy(_._2).map { case (b, g) =>
+      val n = g.size.toLong
+      val dup = g.count(p => pairs(p._1)).toLong
+      b -> ((n, dup, dup * 10000 / n))
+    }
+    assert(got == want)
+    // every doc lands in exactly one bucket
+    assert(got.values.map(_._1).sum == buckets.size.toLong)
+  }
+
   test("op255: k-anonymity groups replay; both risk classes present") {
     val got = AnalyticsQueries.op255KAnonymity(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->

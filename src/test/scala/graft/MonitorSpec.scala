@@ -370,6 +370,14 @@ class MonitorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("op260: streaming heavy changers equal the batch op250 exactly") {
+    val batch = MonitorQueries.op250HeavyChangers(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MonitorQueries.op260StreamChangers(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("op247: centroid drift replays the quantized half-split means") {
     val got = MonitorQueries.op247CentroidDrift(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
