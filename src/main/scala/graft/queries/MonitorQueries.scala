@@ -616,8 +616,9 @@ object MonitorQueries {
     * arithmetic on TWO numbers. Assignment-by-hash needs no
     * coordination service — the hash IS the assignment, the op107/
     * op186 determinism argument. */
-  val op244SrmGate: Q = (s, d) => {
-    val arms = Tables.events(s, d).select("user_id").distinct()
+  /** op244/op262 shared tail over a distinct-user frame. */
+  def srmFromUsers(users: DataFrame): DataFrame = {
+    val arms = users
       .withColumn("arm", TextOps.md5Hash60(
         concat_ws("|", lit("srm"), col("user_id"))) % 2)
     ordered(
@@ -631,6 +632,26 @@ object MonitorQueries {
           "CAST(CASE WHEN ((o0 - o1) * (o0 - o1) * 1000) div n > 3841 " +
             "THEN 1 ELSE 0 END AS BIGINT)")),
       "experiment")
+  }
+
+  val op244SrmGate: Q = (s, d) =>
+    srmFromUsers(Tables.events(s, d).select("user_id").distinct())
+
+  // ---------------------------------------------------------------- op262
+
+  /** op262: STREAMING SRM gate — op244 with the distinct-user set
+    * maintained ONLINE: each micro-batch appends its batch-distinct
+    * user ids (sets merge by union — the idempotent-semilattice
+    * argument, op189's for order statistics applied to membership),
+    * the serve re-distincts the partials and runs the SAME tail under
+    * op244's UNCHANGED oracle. The deployment shape: assignment
+    * health checked continuously as exposure logs land, not once at
+    * experiment end. */
+  val op262StreamSrm: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op262_").toString
+    srmFromUsers(graft.streaming.ChangerStream
+      .maintainedDistinctUsers(s, d, state))
   }
 
   // ---------------------------------------------------------------- op247
@@ -852,6 +873,7 @@ object MonitorQueries {
     "op260_stream_changers" -> op260StreamChangers,
     "op247_centroid_drift" -> op247CentroidDrift,
     "op244_srm_gate" -> op244SrmGate,
+    "op262_stream_srm" -> op262StreamSrm,
     "op243_bootstrap_ci" -> op243BootstrapCi,
     "op232_theil_sen" -> op232TheilSen,
     "op233_mann_whitney" -> op233MannWhitney,
@@ -910,7 +932,9 @@ object MonitorQueries {
     // op257 merges streamed cents sums exactly -> op251's oracle verbatim
     ("op257_stream_conformal" -> baseOracle("op251_conformal_coverage")) +
     // op260 merges streamed half counts exactly -> op250's oracle verbatim
-    ("op260_stream_changers" -> baseOracle("op250_heavy_changers"))
+    ("op260_stream_changers" -> baseOracle("op250_heavy_changers")) +
+    // op262 unions streamed distinct users exactly -> op244's oracle
+    ("op262_stream_srm" -> baseOracle("op244_srm_gate"))
 
   private lazy val baseOracle: Map[String, String] = Map(
     "op256_forecast_backtest" ->

@@ -1110,7 +1110,50 @@ object SeqGraphQueries {
 
   // ------------------------------------------------------------- wiring
 
+  // ---------------------------------------------------------------- op263
+
+  /** op263: deterministic negative edge sampling — per vertex of the
+    * co-purchase graph, up to 3 hash-drawn NON-neighbors (uniform over
+    * the vertex set via md5 mod \|V\| against a dense rank index;
+    * oversample 8, reject self and true edges, keep the first 3 by
+    * draw index): the contrastive-training counterpart every link
+    * predictor / graph-embedding run needs beside the positive edges.
+    * Hash-deterministic draws mean reruns, retries, and both engines
+    * sample the SAME negatives — the op107/op186/op243 determinism
+    * argument applied to graph ML.
+    *
+    * 100 TB shape: candidates are \|V\|×8 rows (vertex-grid bounded,
+    * never \|V\|²); the rejection is one edge anti-join; the dense
+    * rank index is a \|V\|-grid window (declared). Degree-matched
+    * negatives swap the uniform index for op176's degree table with
+    * an alias-style prefix-sum draw — same shape. */
+  val op263NegativeSampling: Q = (s, d) => {
+    val und = supportPrunedUnd(s, d)
+    val verts = und.select(col("p1").as("v")).distinct()
+    val ranked = verts.withColumn("rn",
+      big(row_number().over(Window.orderBy("v"))))
+    val nv = ranked.agg(max("rn").as("nv"))
+    val cands = ranked.select(col("v").as("src"))
+      .crossJoin(broadcast(nv))
+      .crossJoin(s.range(8).select(col("id").as("j")))
+      .withColumn("h", graft.functions.TextOps.md5Hash60(
+        concat_ws("|", lit("neg"), col("src"), col("j"))))
+      .withColumn("crn", expr("h % nv + 1"))
+      .join(ranked.select(col("rn").as("crn"), col("v").as("neg_dst")),
+        "crn")
+      .where(col("neg_dst") =!= col("src"))
+    ordered(
+      cands.join(und.select(col("p1").as("src"), col("p2").as("neg_dst")),
+          Seq("src", "neg_dst"), "left_anti")
+        .withColumn("rank", big(row_number().over(
+          Window.partitionBy("src").orderBy("j"))))
+        .where(col("rank") <= 3)
+        .select("src", "rank", "neg_dst"),
+      "src", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op263_negative_sampling" -> op263NegativeSampling,
     "op173_islands" -> op173Islands,
     "op174_peak_concurrency" -> op174PeakConcurrency,
     "op175_fuzzy_join" -> op175FuzzyJoin,
@@ -1314,6 +1357,35 @@ object SeqGraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "op263_negative_sampling" ->
+      s"""WITH $graphBaseSql,
+         |rk AS MATERIALIZED (
+         |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn
+         |  FROM verts),
+         |nv AS (SELECT CAST(max(rn) AS BIGINT) AS nv FROM rk),
+         |cand AS (
+         |  SELECT r.v AS src, t.j,
+         |    ('0x' || substring(md5('neg' || '|' ||
+         |       CAST(r.v AS VARCHAR) || '|' || CAST(t.j AS VARCHAR)),
+         |       1, 15))::BIGINT % nv.nv + 1 AS crn
+         |  FROM rk r CROSS JOIN nv
+         |  CROSS JOIN (SELECT unnest(range(8)) AS j) t),
+         |cd AS (
+         |  SELECT c.src, c.j, k.v AS neg_dst
+         |  FROM cand c JOIN rk k ON c.crn = k.rn
+         |  WHERE k.v <> c.src),
+         |ne AS (
+         |  SELECT cd.src, cd.j, cd.neg_dst
+         |  FROM cd LEFT JOIN und u
+         |    ON cd.src = u.p1 AND cd.neg_dst = u.p2
+         |  WHERE u.p1 IS NULL),
+         |fin AS (
+         |  SELECT src, neg_dst,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY j)
+         |         AS BIGINT) AS rank
+         |  FROM ne)
+         |SELECT src, rank, neg_dst FROM fin
+         |WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
     "op173_islands" ->
       """WITH flg AS (SELECT event_id, user_id, event_type, ts,
         |  CASE WHEN lag(event_type) OVER w IS NULL

@@ -67,4 +67,41 @@ object ChangerStream {
       .deleteRecursively()
     merged
   }
+
+  /** op262's state: the DISTINCT user set kept online — per batch one
+    * batch-distinct partial append; sets merge by union (idempotent,
+    * so replays and overlaps are harmless), the serve re-distincts.
+    * Returns the merged one-column (user_id) frame. */
+  def maintainedDistinctUsers(spark: SparkSession, dir: String,
+      stateDir: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val in = MemoryStream[(Long, Long)]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = in.toDF().toDF("event_id", "user_id")
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select("user_id").distinct()
+            .coalesce(1).write.mode("append")
+            .parquet(s"$stateDir/partials")
+          (): Unit
+        }
+        .start()
+      (0 until 4).foreach { k =>
+        in.addData(rows.filter(_._1 % 4 == k))
+        q.processAllAvailable()
+      }
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val merged = spark.read.parquet(s"$stateDir/partials")
+      .distinct().localCheckpoint()
+    new scala.reflect.io.Directory(new java.io.File(stateDir))
+      .deleteRecursively()
+    merged
+  }
 }

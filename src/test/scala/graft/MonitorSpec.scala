@@ -378,6 +378,14 @@ class MonitorSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("op262: streaming SRM gate equals the batch op244 exactly") {
+    val batch = MonitorQueries.op244SrmGate(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MonitorQueries.op262StreamSrm(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("op247: centroid drift replays the quantized half-split means") {
     val got = MonitorQueries.op247CentroidDrift(spark, sfDir).collect()
       .map(r => r.getLong(0) ->

@@ -552,4 +552,42 @@ class SeqGraphSpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
     }
   }
+
+  test("op263: negatives replay the hash draws and never hit an edge") {
+    val got = graft.queries.SeqGraphQueries
+      .defs("op263_negative_sampling")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rebuild the graph and replay the draw in the driver
+    val pairs = {
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val small = li.groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+        .where(col("sz") <= 7).select("l_orderkey")
+      li.join(small, "l_orderkey").as("a")
+        .join(li.join(small, "l_orderkey").as("b"), "l_orderkey")
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("supp")).where(col("supp") >= 2)
+        .select("p1", "p2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val edgeSet = pairs.flatMap(p => Seq(p, (p._2, p._1))).toSet
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val rnOf = verts.zipWithIndex.map { case (v, i) => (i + 1L, v) }.toMap
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val want = verts.flatMap { src =>
+      val negs = (0L until 8L).map { j =>
+        rnOf(h60(s"neg|$src|$j") % verts.length + 1)
+      }.filter(nd => nd != src && !edgeSet((src, nd))).take(3)
+      negs.zipWithIndex.map { case (nd, i) => (src, i + 1L, nd) }
+    }
+    assert(got.toSeq == want.toSeq)
+    // structural guarantees: never a true edge, never self, <= 3/src
+    assert(got.forall { case (s0, _, n0) =>
+      s0 != n0 && !edgeSet((s0, n0)) })
+    assert(got.groupBy(_._1).values.forall(_.length <= 3))
+  }
 }
