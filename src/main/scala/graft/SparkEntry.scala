@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.SketchQueries.defs ++
     graft.queries.SeqGraphQueries.defs ++
     graft.queries.WarehouseQueries.defs ++
-    graft.queries.MonitorQueries.defs
+    graft.queries.MonitorQueries.defs ++
+    graft.queries.EngineQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.SketchQueries.oracle ++
     graft.queries.SeqGraphQueries.oracle ++
     graft.queries.WarehouseQueries.oracle ++
-    graft.queries.MonitorQueries.oracle
+    graft.queries.MonitorQueries.oracle ++
+    graft.queries.EngineQueries.oracle
 }

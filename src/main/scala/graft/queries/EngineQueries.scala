@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Det.{big, ordered}
+
+/** Engine-infrastructure pack: the SHUFFLE-ELIMINATION access paths a
+  * 100 TB deployment stands on — bucketed co-located fact⋈fact joins
+  * (no exchange on either side at plan time) and dynamic partition
+  * pruning (the fact scan planned from the dim filter at run time).
+  *
+  * Both operators follow the lakehouse-store pattern of op137–op147:
+  * the FIRST call per dataset materializes the physical layout under
+  * the content-keyed cache (`TrainQueries.indexRoot` /
+  * `buildIndexIfAbsent` — atomic publish, racer-safe), every later
+  * call exercises only the read path the layout exists for. The DuckDB
+  * oracle computes the same aggregate from the raw unbucketed /
+  * unpartitioned table, proving each layout lossless.
+  */
+object EngineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bucket count for the co-located join store. 8 buckets at test SF;
+    * at 100 TB the same layout holds with O(thousands) of buckets —
+    * the invariants (hash(key) pmod n on both sides, one sorted file
+    * per bucket per write) are bucket-count-independent. */
+  private val nBuckets = 8
+
+  // ---------------------------------------------------------------- op264
+
+  /** A collision-safe catalog suffix for a store dir: session catalogs
+    * are per-JVM, store dirs are per-(dataset content), so the table
+    * NAME must encode the dir it points at. */
+  private def catalogSuffix(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+
+  /** Build-once bucketed twin tables: orders and lineitem, both hashed
+    * into [[nBuckets]] buckets on the ORDER KEY with exactly ONE
+    * key-sorted file per bucket.
+    *
+    * One file per bucket is what lets the reader recognize the data as
+    * both partitioned AND sorted, eliminating the join's Sort as well
+    * as its Exchange. It is guaranteed here, not hoped for:
+    * `repartition(n, key)` uses the same murmur3-pmod-n function as
+    * the bucket-id assignment, so each write task holds exactly one
+    * bucket's rows and emits exactly one file. At production bucket
+    * counts the identical alignment holds — the write is one shuffle,
+    * ever, amortized over every subsequent co-located join.
+    *
+    * `saveAsTable` (required for bucket-encoded file names) registers
+    * a throwaway catalog entry pointing at the build's private tmp dir;
+    * it is dropped before publish, and each SESSION re-registers the
+    * published dir via `CREATE TABLE ... CLUSTERED BY` DDL — the
+    * catalog entry is metadata only, the store is the files. */
+  private def bucketStoreDir(s: SparkSession, d: String): String = {
+    val dir = TrainQueries.indexRoot(d, "bucketed_ok_v1", table = "lineitem")
+    TrainQueries.buildIndexIfAbsent(dir, "lineitem_b") { tmp =>
+      val nonce = s"graft_buckbuild_${System.nanoTime()}"
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(nBuckets, col("o_orderkey"))
+        .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/orders_b").saveAsTable(s"${nonce}_o")
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+        .repartition(nBuckets, col("l_orderkey"))
+        .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/lineitem_b").saveAsTable(s"${nonce}_l")
+      s.sql(s"DROP TABLE IF EXISTS ${nonce}_o")
+      s.sql(s"DROP TABLE IF EXISTS ${nonce}_l")
+      ()
+    }
+    dir
+  }
+
+  /** Session-idempotent registration of the published bucketed store;
+    * returns the (orders, lineitem) table names. */
+  private[graft] def bucketedTables(s: SparkSession, d: String)
+      : (String, String) = {
+    val dir = bucketStoreDir(s, d)
+    val sfx = catalogSuffix(dir)
+    val (ot, lt) = (s"graft_buck_orders_$sfx", s"graft_buck_lineitem_$sfx")
+    s.sql(
+      s"""CREATE TABLE IF NOT EXISTS $ot (
+         |  o_orderkey BIGINT, o_orderpriority STRING)
+         |USING PARQUET
+         |CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$dir/orders_b'""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE IF NOT EXISTS $lt (
+         |  l_orderkey BIGINT, l_extendedprice DOUBLE)
+         |USING PARQUET
+         |CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$dir/lineitem_b'""".stripMargin)
+    (ot, lt)
+  }
+
+  /** op264: bucketed co-located fact⋈fact join — lineitem ⋈ orders on
+    * the order key where BOTH sides are big (the case `broadcast()`
+    * cannot save), joined through the prebuilt bucketed store so the
+    * join plans with ZERO Exchange and ZERO Sort on either side
+    * (EngineSpec pins the plan). This is the one join shape where
+    * Spark's answer to "the shuffle becomes the bottleneck at 100 TB"
+    * is to not shuffle at all: hash(key) pmod n was paid once at write
+    * time and every subsequent join of the two stores reuses it.
+    *
+    * At test SF Catalyst may legitimately pick a broadcast join
+    * instead (15k orders fit the threshold) — the RESULT is identical
+    * either way and the oracle checks the result; the no-exchange SMJ
+    * contract is pinned where it is load-bearing, in the spec, with
+    * broadcast disabled the way a 100 TB side disables itself.
+    * Exchange elimination is unconditional; eliminating the residual
+    * per-bucket Sort additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (off by
+    * default since 3.0 because verifying one-file-per-bucket is
+    * expensive on huge listings — this store guarantees it by
+    * construction, so a deployment of these stores turns it on). */
+  val op264BucketedJoin: Q = (s, d) => {
+    val (ot, lt) = bucketedTables(s, d)
+    val o = s.table(ot)
+    val l = s.table(lt)
+    ordered(
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(big(count(lit(1))).as("n_lines"),
+          Det.centsSum(col("l_extendedprice")).as("price_cents")),
+      "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- op265
+
+  /** op265 dim filter: one quarter of the fact's ship months. */
+  private val dppQuarter = "1995-Q2"
+
+  /** Build-once month-partitioned fact store + its derived month
+    * dimension: lineitem written `partitionBy(ship_month)` (83
+    * directory partitions at any SF — the partition COUNT scales with
+    * the time domain, not the data), and a months dim (month →
+    * quarter) materialized beside it as one tiny parquet. */
+  private def dppStoreDir(s: SparkSession, d: String): String = {
+    val dir = TrainQueries.indexRoot(d, "dpp_month_v1", table = "lineitem")
+    TrainQueries.buildIndexIfAbsent(dir, "months") { tmp =>
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      fact.write.partitionBy("ship_month").mode("overwrite")
+        .parquet(s"$tmp/fact")
+      fact.select(col("ship_month").as("month")).distinct()
+        .withColumn("q", expr(
+          "concat(substring(month, 1, 4), '-Q', " +
+            "(cast(substring(month, 6, 2) AS BIGINT) + 2) div 3)"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/months")
+      ()
+    }
+    dir
+  }
+
+  /** op265: dynamic partition pruning — the month-partitioned fact
+    * joined to its month dimension filtered to ONE quarter. The fact
+    * scan's partition filter is not knowable at plan time (the
+    * qualifying months live in the dim), so Catalyst plants a
+    * `dynamicpruning` subquery on the fact scan and reuses the dim's
+    * broadcast to evaluate it at run time: 3 of 83 partition
+    * directories are read, the other 80 never open (EngineSpec pins
+    * the `dynamicpruning` partition filter and the 3-partition scan).
+    *
+    * 100 TB shape: this is THE mechanism that makes star-schema
+    * queries scan-bounded by the dim predicate instead of the fact
+    * size — same plan, 1000 executors, still 3/83 of the bytes. */
+  val op265DppScan: Q = (s, d) => {
+    val dir = dppStoreDir(s, d)
+    val fact = s.read.parquet(s"$dir/fact")
+    val dim = s.read.parquet(s"$dir/months").where(col("q") === dppQuarter)
+    ordered(
+      fact.join(dim, fact("ship_month") === dim("month"))
+        .groupBy("month")
+        .agg(big(count(lit(1))).as("n_lines"),
+          Det.centsSum(col("l_extendedprice")).as("price_cents")),
+      "month")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, Q] = Map(
+    "op264_bucketed_join" -> op264BucketedJoin,
+    "op265_dpp_scan" -> op265DppScan)
+
+  val oracle: Map[String, String] = Map(
+    "op264_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+        |       AS BIGINT) AS price_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "op265_dpp_scan" ->
+      """WITH f AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |                  l_extendedprice
+        |           FROM lineitem),
+        |dim AS (SELECT month,
+        |          substring(month, 1, 4) || '-Q' ||
+        |            CAST((CAST(substring(month, 6, 2) AS BIGINT) + 2) // 3
+        |                 AS VARCHAR) AS q
+        |        FROM (SELECT DISTINCT ship_month AS month FROM f))
+        |SELECT d.month,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(f.l_extendedprice * 100, 0) AS BIGINT))
+        |       AS BIGINT) AS price_cents
+        |FROM f JOIN dim d ON f.ship_month = d.month
+        |WHERE d.q = '1995-Q2'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -530,7 +530,7 @@ object TrainQueries {
   private val contentFp =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private def indexRoot(d: String, kind: String,
+  private[queries] def indexRoot(d: String, kind: String,
       table: String = "embeddings"): String = {
     val fp = contentFp.computeIfAbsent((d, table), { _ =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -564,7 +564,7 @@ object TrainQueries {
     * observe a half-written index and concurrent runs cannot corrupt
     * the shared cache dir. (Content-keyed roots make the duplicate
     * build idempotent — both copies are bit-identical.) */
-  private def buildIndexIfAbsent(dir: String, lastTable: String)(
+  private[queries] def buildIndexIfAbsent(dir: String, lastTable: String)(
       build: String => Unit): Unit = {
     if (indexReady(dir, lastTable)) return
     def rmRf(f: java.io.File): Unit = {

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the two engine-infrastructure contracts (EngineQueries):
+  * op264's bucketed join must plan with no Exchange and no Sort, and
+  * op265's fact scan must carry a runtime `dynamicpruning` partition
+  * filter — the properties the stores exist for, asserted at the plan
+  * level where the correctness oracle cannot see them. */
+class EngineSpec extends SparkSpec {
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) =>
+      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("op264 bucketed join plans with zero Exchange and zero Sort") {
+    // broadcast disabled: at test SF Catalyst would otherwise broadcast
+    // the 15k-row side, which is exactly the escape hatch a 100 TB
+    // fact⋈fact join does not have — the pin must hold on the SMJ path
+    // sorted-bucket scan ordering is opt-in since Spark 3.0 (the
+    // one-file-per-bucket precondition is expensive to VERIFY on huge
+    // listings; our write guarantees it by construction, so opting in
+    // is safe here and is what eliminates the Sort as well)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      val (ot, lt) = graft.queries.EngineQueries.bucketedTables(spark, sfDir)
+      val o = spark.table(ot)
+      val l = spark.table(lt)
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle either side:\n$plan")
+      // one key-sorted file per bucket ⇒ the scan itself satisfies the
+      // SMJ's required ordering; a Sort here means the write-side
+      // repartition/bucket alignment broke
+      assert(!plan.contains("Sort "),
+        s"bucketed join should not re-sort either side:\n$plan")
+      assert(joined.count() ==
+        graft.sources.Tables.lineitem(spark, sfDir).count())
+    }
+  }
+
+  test("op264 matches the raw unbucketed join exactly") {
+    val got = graft.queries.EngineQueries.op264BucketedJoin(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val l = graft.sources.Tables.lineitem(spark, sfDir)
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val want = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("n_lines"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("price_cents"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.size > 1, "fixture degenerate: one priority bucket")
+  }
+
+  test("op265 fact scan is dynamically partition-pruned by the dim filter") {
+    val df = graft.queries.EngineQueries.op265DppScan(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan lost its DPP subquery filter:\n$plan")
+    // the quarter selects exactly 3 of the store's ~83 month partitions
+    val months = df.collect().map(_.getString(0)).toSeq
+    assert(months == months.sorted && months.forall(_.startsWith("1995-0")))
+    assert(months.size == 3, s"expected 3 months, got $months")
+  }
+
+  test("op265 matches the raw unpartitioned computation exactly") {
+    val got = graft.queries.EngineQueries.op265DppScan(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        col("l_extendedprice"))
+      .where(expr("(cast(substring(m, 6, 2) AS BIGINT) + 2) div 3") === 2 &&
+        col("m").startsWith("1995"))
+      .groupBy("m")
+      .agg(count(lit(1)).cast("bigint").as("n_lines"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("price_cents"))
+      .orderBy("m")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+}
