@@ -182,11 +182,75 @@ object EngineQueries {
       "month")
   }
 
+  // ---------------------------------------------------------------- op266
+
+  /** Run `body` under the given session confs, restoring the previous
+    * values afterwards. Anything the body returns must be MATERIALIZED
+    * inside the window (localCheckpoint) — a lazy plan would re-optimize
+    * after the restore and silently lose the pinned behavior. */
+  private def withConfs[A](s: SparkSession, pairs: (String, String)*)(
+      body: => A): A = {
+    val prev = pairs.map { case (k, _) =>
+      k -> (try Some(s.conf.get(k)) catch { case _: Exception => None })
+    }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** op266's selective dim predicate: ~2% of parts qualify. */
+  private val bloomDimPred = "p_size <= 1"
+
+  /** The unmaterialized join op266 runs: lineitem ⋈ (part WHERE
+    * [[bloomDimPred]]) — exposed so EngineSpec can pin the
+    * `might_contain` runtime filter in the plan. */
+  private[graft] def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.part(s, d).where(expr(bloomDimPred))
+      .select(col("p_partkey"), col("p_brand"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"))
+    fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      .groupBy("p_brand")
+      .agg(big(count(lit(1))).as("n_lines"),
+        Det.centsSum(col("l_extendedprice")).as("price_cents"))
+  }
+
+  /** op266: runtime Bloom-filter join pruning — the UNPARTITIONED-fact
+    * complement of op265's DPP: when the fact carries no partition
+    * column to prune by, Catalyst's `InjectRuntimeFilter` builds a
+    * Bloom filter from the dim's selective side (one `bloom_filter_agg`
+    * subquery over ~2% of parts) and plants `might_contain(...)` on
+    * the FACT side of the join, so ~98% of fact rows die at the scan's
+    * filter instead of crossing the shuffle. The confs pin the
+    * 100 TB geometry at test SF: broadcast off (a 100 TB fact⋈big-dim
+    * join is SMJ — exactly when the runtime filter pays), application
+    * threshold 0 (the "is the fact big enough to bother" guard, met
+    * trivially at 100 TB). The result is materialized inside the conf
+    * window; EngineSpec pins `might_contain` in the physical plan.
+    *
+    * 100 TB shape: the filter costs one aggregate over the FILTERED
+    * dim (broadcast-sized by the same selectivity that makes it worth
+    * building) and removes the dominant cost — shuffling never-joining
+    * fact rows. With op264 (pre-bucketed) and op265 (partition-pruned)
+    * this completes the three shuffle-avoidance regimes a star join
+    * can land in. */
+  val op266RuntimeBloom: Q = (s, d) =>
+    withConfs(s,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      ordered(bloomJoin(s, d).localCheckpoint(), "p_brand")
+    }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, Q] = Map(
     "op264_bucketed_join" -> op264BucketedJoin,
-    "op265_dpp_scan" -> op265DppScan)
+    "op265_dpp_scan" -> op265DppScan,
+    "op266_runtime_bloom" -> op266RuntimeBloom)
 
   val oracle: Map[String, String] = Map(
     "op264_bucketed_join" ->
@@ -211,5 +275,14 @@ object EngineQueries {
         |       AS BIGINT) AS price_cents
         |FROM f JOIN dim d ON f.ship_month = d.month
         |WHERE d.q = '1995-Q2'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "op266_runtime_bloom" ->
+      s"""SELECT p.p_brand,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+         |       AS BIGINT) AS price_cents
+         |FROM lineitem l
+         |JOIN (SELECT p_partkey, p_brand FROM part WHERE $bloomDimPred) p
+         |  ON l.l_partkey = p.p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

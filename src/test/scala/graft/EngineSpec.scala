@@ -76,6 +76,22 @@ class EngineSpec extends SparkSpec {
     assert(months.size == 3, s"expected 3 months, got $months")
   }
 
+  test("op266 fact side carries the injected runtime Bloom filter") {
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = graft.queries.EngineQueries.bloomJoin(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected on the fact side:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom_filter_agg creation subquery in the plan:\n$plan")
+      // and the filtered result is still exact
+      assert(df.count() > 0)
+    }
+  }
+
   test("op265 matches the raw unpartitioned computation exactly") {
     val got = graft.queries.EngineQueries.op265DppScan(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
