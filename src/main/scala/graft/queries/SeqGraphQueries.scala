@@ -1152,7 +1152,74 @@ object SeqGraphQueries {
       "src", "rank")
   }
 
+  // ---------------------------------------------------------------- op267
+
+  /** op267 synchronous rounds — part of the operator CONTRACT (both
+    * engines run the identical unrolled trajectory), the op176/op241
+    * fixed-iteration convention. */
+  private val lpaRounds = 4
+
+  /** op267: label propagation communities — every vertex starts as its
+    * own label; each SYNCHRONOUS round it adopts the most frequent
+    * label among its neighbors (ties → smallest label), [[lpaRounds]]
+    * rounds. The near-linear community detector (Raghavan et al. 2007)
+    * that needs no modularity objective and no pairwise similarity —
+    * the complement of op208 (components: where can you REACH) and
+    * op221 (modularity: how good is a GIVEN partition): op267 FINDS
+    * the partition. Deterministic variant: synchronous update + min-
+    * label tie-break, so both engines replay the identical trajectory
+    * (asynchronous LPA is order-dependent and unbenchable).
+    *
+    * 100 TB shape: each round is ONE edge-keyed join (labels re-keyed
+    * to neighbors) + one (v, lab) count + one per-vertex argmax — all
+    * hash-partitioned by vertex, state |V| rows; the same per-round
+    * geometry as op176, with the label table replacing ranks.
+    * localCheckpoint between rounds caps plan growth (op208's
+    * convention; production checkpoints to the lakehouse instead). */
+  val op267LabelProp: Q = (s, d) => {
+    val und = supportPrunedUnd(s, d).localCheckpoint()
+    var labels = und.select(col("p1").as("v")).distinct()
+      .select(col("v"), col("v").as("lab")).localCheckpoint()
+    (1 to lpaRounds).foreach { _ =>
+      labels = und
+        .join(labels.select(col("v").as("p1"), col("lab")), "p1")
+        .groupBy(col("p2").as("v"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("v").orderBy(col("c").desc, col("lab"))))
+        .where(col("rk") === 1).select("v", "lab")
+        .localCheckpoint()
+    }
+    ordered(
+      labels.groupBy("lab")
+        .agg(big(count(lit(1))).as("n_vertices"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .select(col("lab").as("community"), col("n_vertices"),
+          col("min_v"), col("max_v")),
+      "community")
+  }
+
+  /** op267's oracle: the identical unrolled synchronous trajectory. */
+  private def lpaSql: String = {
+    val rounds = (1 to lpaRounds).map { i =>
+      s"""n$i AS (SELECT u.p2 AS v, l.lab, count(*) AS c
+         |  FROM und u JOIN l${i - 1} l ON u.p1 = l.v GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT v, lab FROM (
+         |  SELECT v, lab, row_number() OVER (PARTITION BY v
+         |    ORDER BY c DESC, lab) AS rk FROM n$i) WHERE rk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphBaseSql,
+       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts),
+       |$rounds
+       |SELECT CAST(lab AS BIGINT) AS community,
+       |  CAST(count(*) AS BIGINT) AS n_vertices,
+       |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+       |FROM l$lpaRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "op267_label_prop" -> op267LabelProp,
     "op263_negative_sampling" -> op263NegativeSampling,
     "op173_islands" -> op173Islands,
     "op174_peak_concurrency" -> op174PeakConcurrency,
@@ -1357,6 +1424,7 @@ object SeqGraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "op267_label_prop" -> lpaSql,
     "op263_negative_sampling" ->
       s"""WITH $graphBaseSql,
          |rk AS MATERIALIZED (

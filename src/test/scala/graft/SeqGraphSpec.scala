@@ -590,4 +590,42 @@ class SeqGraphSpec extends SparkSpec {
       s0 != n0 && !edgeSet((s0, n0)) })
     assert(got.groupBy(_._1).values.forall(_.length <= 3))
   }
+
+  test("op267: labels replay a driver-side synchronous LPA exactly") {
+    val got = graft.queries.SeqGraphQueries
+      .defs("op267_label_prop")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = {
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val small = li.groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+        .where(col("sz") <= 7).select("l_orderkey")
+      li.join(small, "l_orderkey").as("a")
+        .join(li.join(small, "l_orderkey").as("b"), "l_orderkey")
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("supp")).where(col("supp") >= 2)
+        .select("p1", "p2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val nbrs = pairs.flatMap(p => Seq(p, (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lab = nbrs.keys.map(v => v -> v).toMap
+    (1 to 4).foreach { _ =>
+      lab = nbrs.map { case (v, ns) =>
+        // most frequent neighbor label, ties -> smallest label
+        v -> ns.map(lab).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+          .minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lab.groupBy(_._2).toSeq.map { case (l, m) =>
+      val vs = m.keys
+      (l, m.size.toLong, vs.min, vs.max)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // communities genuinely merged: fewer labels than vertices
+    assert(got.length < lab.size)
+    assert(got.map(_._2).sum == lab.size, "labels must partition vertices")
+  }
 }
