@@ -801,7 +801,58 @@ object AnalyticsQueries {
       "lang", "source", "len_bucket")
   }
 
+  // ---------------------------------------------------------------- op269
+
+  /** op269: Jensen–Shannon divergence per source — JSD between the
+    * source's token distribution and the REST of the corpus, in
+    * nano-nats: the bounded (≤ ln 2), symmetric domain-similarity
+    * measure mixture tuning actually uses (op88/op111 set mixture
+    * weights; op269 measures how far each component sits from the
+    * blend — near 0 = redundant with the rest, near ln 2 = disjoint
+    * vocabulary). op242's entropy says how diverse a source is;
+    * op269 says how DIFFERENT it is.
+    *
+    * Determinism: each token's contribution ½(p·ln(p/m) + q·ln(q/m))
+    * (m = midpoint) is ONE fixed IEEE expression tree over exact
+    * integer counts, floored to nano-nats BEFORE the sum (op246's
+    * quantize-then-sum rule — double sums reassociate, integer sums
+    * don't). Absent-side terms (p = 0 or q = 0) take the CASE arm, so
+    * the disjoint-vocabulary mass is counted, not dropped.
+    *
+    * 100 TB shape: the grid is |sources| × |vocab| (the cross join is
+    * against per-token totals, never documents) and everything after
+    * the (source, token) count is map-combinable on it; doc-frequency
+    * caps bound |vocab| exactly as in op61/op170. */
+  val op269JsDivergence: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("token").agg(sum("c").as("ct"))
+    val ns = cnt.groupBy("source").agg(sum("c").as("n1"))
+    val ntv = tot.agg(sum("ct").as("nt"))
+    ordered(
+      ns.crossJoin(broadcast(ntv)).crossJoin(tot)
+        .join(cnt, Seq("source", "token"), "left")
+        .withColumn("c1", coalesce(col("c"), lit(0L)))
+        .withColumn("p", expr("CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"))
+        .withColumn("q", expr(
+          "CAST(ct - c1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE)"))
+        .withColumn("mm", expr("(p + q) * 0.5"))
+        .withColumn("term_nano", expr(
+          "CAST(floor((CASE WHEN c1 > 0 THEN p * ln(p / mm) " +
+            "ELSE CAST(0 AS DOUBLE) END + " +
+            "CASE WHEN ct - c1 > 0 THEN q * ln(q / mm) " +
+            "ELSE CAST(0 AS DOUBLE) END) * 0.5 * 1000000000) AS BIGINT)"))
+        .groupBy("source")
+        .agg(max(expr("n1")).as("w1"), max(expr("nt - n1")).as("w2"),
+          sum("term_nano").as("jsd_nano"))
+        .select(col("source"), big(col("w1")).as("n1"),
+          big(col("w2")).as("n2"), col("jsd_nano")),
+      "source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op269_js_divergence" -> op269JsDivergence,
     "op255_k_anonymity" -> op255KAnonymity,
     "op246_zipf_slope" -> op246ZipfSlope,
     "op242_source_entropy" -> op242SourceEntropy,
@@ -829,6 +880,38 @@ object AnalyticsQueries {
     ("op169_stream_cms" -> baseOracle("op159_cms_heavy_hitters"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op269_js_divergence" ->
+      """WITH cnt AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) GROUP BY 1, 2),
+        |tot AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct
+        |        FROM cnt GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n1
+        |       FROM cnt GROUP BY 1),
+        |ntv AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tot),
+        |grid AS (
+        |  SELECT s.source, s.n1, v.nt, t.token, t.ct,
+        |    coalesce(c.c, 0) AS c1
+        |  FROM ns s CROSS JOIN ntv v CROSS JOIN tot t
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.token = t.token),
+        |pq AS (
+        |  SELECT source, n1, nt, ct, c1,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p,
+        |    CAST(ct - c1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE) AS q
+        |  FROM grid),
+        |terms AS (
+        |  SELECT source, n1, nt,
+        |    CAST(floor((CASE WHEN c1 > 0 THEN p * ln(p / ((p + q) * 0.5))
+        |        ELSE CAST(0 AS DOUBLE) END +
+        |      CASE WHEN ct - c1 > 0 THEN q * ln(q / ((p + q) * 0.5))
+        |        ELSE CAST(0 AS DOUBLE) END) * 0.5 * 1000000000)
+        |      AS BIGINT) AS term_nano
+        |  FROM pq)
+        |SELECT source, CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(nt - n1) AS BIGINT) AS n2,
+        |  CAST(sum(term_nano) AS BIGINT) AS jsd_nano
+        |FROM terms GROUP BY 1 ORDER BY source""".stripMargin,
     "op255_k_anonymity" ->
       """SELECT lang, source,
         |  CAST(n_chars // 100 AS BIGINT) AS len_bucket,

@@ -865,7 +865,58 @@ object MonitorQueries {
       "event_type")
   }
 
+  // ---------------------------------------------------------------- op268
+
+  /** op268: Welch's t-test — per source, the unequal-variance
+    * two-sample t statistic (and Welch–Satterthwaite df) comparing the
+    * source's document lengths against the REST of the corpus: the
+    * parametric mean-shift gate beside op233's rank test (MWU asks
+    * "did the distribution's location move", Welch "did the MEAN move,
+    * in units of its standard error" — the one A/B dashboards quote).
+    * All moments (n, Σx, Σx²) are exact BIGINTs from ONE corpus pass
+    * (each source's complement derives from the global totals — no
+    * second scan); the t/df tail is a fixed IEEE-double expression
+    * tree over those integers, spelled identically in both engines
+    * (the op254/op192 shared-text contract: correctly-rounded /,*,
+    * sqrt on identical operands are bit-deterministic), quantized to
+    * milli before output.
+    *
+    * 100 TB shape: one map-combinable aggregate at |sources| rows; the
+    * complement trick (rest = total − source) is what keeps per-group
+    * vs-rest testing single-pass at any group count. */
+  val op268WelchT: Q = (s, d) => {
+    val m = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n1"), sum("n_chars").as("s1"),
+        sum(expr("n_chars * n_chars")).as("q1"))
+    val tot = m.agg(sum("n1").as("ntv"), sum("s1").as("stv"),
+      sum("q1").as("qtv"))
+    ordered(
+      m.crossJoin(broadcast(tot))
+        .withColumn("m1", expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"))
+        .withColumn("m2", expr(
+          "CAST(stv - s1 AS DOUBLE) / CAST(ntv - n1 AS DOUBLE)"))
+        .withColumn("v1", expr(
+          "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * m1) / " +
+            "CAST(n1 - 1 AS DOUBLE)"))
+        .withColumn("v2", expr(
+          "(CAST(qtv - q1 AS DOUBLE) - CAST(stv - s1 AS DOUBLE) * m2) / " +
+            "CAST(ntv - n1 - 1 AS DOUBLE)"))
+        .withColumn("se1", expr("v1 / CAST(n1 AS DOUBLE)"))
+        .withColumn("se2", expr("v2 / CAST(ntv - n1 AS DOUBLE)"))
+        .select(col("source"), big(col("n1")).as("n1"),
+          big(expr("ntv - n1")).as("n2"),
+          expr("CAST(floor((m1 - m2) / sqrt(se1 + se2) * 1000) " +
+            "AS BIGINT)").as("t_milli"),
+          expr("CAST(floor((se1 + se2) * (se1 + se2) / " +
+            "(se1 * se1 / CAST(n1 - 1 AS DOUBLE) + " +
+            "se2 * se2 / CAST(ntv - n1 - 1 AS DOUBLE)) * 1000) " +
+            "AS BIGINT)").as("df_milli")),
+      "source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op268_welch_t" -> op268WelchT,
     "op251_conformal_coverage" -> op251ConformalCoverage,
     "op257_stream_conformal" -> op257StreamConformal,
     "op256_forecast_backtest" -> op256ForecastBacktest,
@@ -937,6 +988,40 @@ object MonitorQueries {
     ("op262_stream_srm" -> baseOracle("op244_srm_gate"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op268_welch_t" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q1
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n1) AS BIGINT) AS ntv,
+        |    CAST(sum(s1) AS BIGINT) AS stv,
+        |    CAST(sum(q1) AS BIGINT) AS qtv FROM m),
+        |e1 AS (
+        |  SELECT source, n1, ntv, stv, qtv, s1, q1,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(stv - s1 AS DOUBLE) / CAST(ntv - n1 AS DOUBLE) AS m2
+        |  FROM m CROSS JOIN tot),
+        |e2 AS (
+        |  SELECT *,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * m1) /
+        |      CAST(n1 - 1 AS DOUBLE) AS v1,
+        |    (CAST(qtv - q1 AS DOUBLE) - CAST(stv - s1 AS DOUBLE) * m2) /
+        |      CAST(ntv - n1 - 1 AS DOUBLE) AS v2
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT *, v1 / CAST(n1 AS DOUBLE) AS se1,
+        |    v2 / CAST(ntv - n1 AS DOUBLE) AS se2
+        |  FROM e2)
+        |SELECT source, n1, CAST(ntv - n1 AS BIGINT) AS n2,
+        |  CAST(floor((m1 - m2) / sqrt(se1 + se2) * 1000) AS BIGINT)
+        |    AS t_milli,
+        |  CAST(floor((se1 + se2) * (se1 + se2) /
+        |    (se1 * se1 / CAST(n1 - 1 AS DOUBLE) +
+        |     se2 * se2 / CAST(ntv - n1 - 1 AS DOUBLE)) * 1000)
+        |    AS BIGINT) AS df_milli
+        |FROM e3 ORDER BY source""".stripMargin,
     "op256_forecast_backtest" ->
       """WITH grid AS (
         |  SELECT event_type,

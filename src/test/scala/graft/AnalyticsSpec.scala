@@ -545,4 +545,40 @@ class AnalyticsSpec extends SparkSpec {
         s"entropy out of [0, ln V] for $src")
     }
   }
+
+  test("op269: JSD replays the per-token quantized terms exactly") {
+    val got = graft.queries.AnalyticsQueries.defs(
+        "op269_js_divergence")(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cnt = docs.flatMap { case (s0, t) => t.split(" ").map((s0, _)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = cnt.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    val ns = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nt = tot.values.sum
+    val want = ns.keys.map { src =>
+      val n1 = ns(src)
+      val jsd = tot.toSeq.map { case (token, ct) =>
+        val c1 = cnt.getOrElse((src, token), 0L)
+        val p = c1.toDouble / n1.toDouble
+        val q = (ct - c1).toDouble / (nt - n1).toDouble
+        val mm = (p + q) * 0.5
+        val a = if (c1 > 0) p * math.log(p / mm) else 0d
+        val b = if (ct - c1 > 0) q * math.log(q / mm) else 0d
+        math.floor((a + b) * 0.5 * 1000000000d).toLong
+      }.sum
+      src -> ((n1, nt - n1, jsd))
+    }.toMap
+    assert(got == want)
+    // JSD is bounded by ln 2 (disjoint vocabularies attain it); each
+    // per-token term is >= 0 up to one floor ulp
+    got.foreach { case (src, (_, _, jsd)) =>
+      assert(jsd >= -tot.size.toLong && jsd <= 693147181L,
+        s"JSD out of [0, ln 2] for $src")
+    }
+  }
 }

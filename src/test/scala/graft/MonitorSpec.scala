@@ -500,4 +500,40 @@ class MonitorSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(stream == batch)
   }
+
+  test("op268: Welch t replays the exact-moment double tail per source") {
+    val got = MonitorQueries.op268WelchT(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val xs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nt = xs.length.toLong
+    val st = xs.map(_._2).sum
+    val qt = xs.map(x => x._2 * x._2).sum
+    val want = xs.groupBy(_._1).view.mapValues { g =>
+      val n1 = g.length.toLong
+      val s1 = g.map(_._2).sum
+      val q1 = g.map(x => x._2 * x._2).sum
+      val m1 = s1.toDouble / n1.toDouble
+      val m2 = (st - s1).toDouble / (nt - n1).toDouble
+      val v1 = (q1.toDouble - s1.toDouble * m1) / (n1 - 1).toDouble
+      val v2 = ((qt - q1).toDouble - (st - s1).toDouble * m2) /
+        (nt - n1 - 1).toDouble
+      val se1 = v1 / n1.toDouble
+      val se2 = v2 / (nt - n1).toDouble
+      (n1, nt - n1,
+        math.floor((m1 - m2) / math.sqrt(se1 + se2) * 1000).toLong,
+        math.floor((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (n1 - 1).toDouble +
+            se2 * se2 / (nt - n1 - 1).toDouble) * 1000).toLong)
+    }.toMap
+    assert(got == want)
+    // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
+    got.foreach { case (src, (n1, n2, _, df)) =>
+      assert(df >= (math.min(n1, n2) - 1) * 1000 - 1000 &&
+        df <= (n1 + n2 - 2) * 1000,
+        s"df out of Welch bounds for $src")
+    }
+  }
 }
