@@ -865,6 +865,72 @@ object MonitorQueries {
       "event_type")
   }
 
+  // ---------------------------------------------------------------- op270
+
+  /** op270/op273 shared ACF tail: from an (event_type, day, y) grid,
+    * the exact-moment autocorrelation r(k) in bp at calendar lags
+    * 1..7. Full-series mean centering is kept rational by scaling
+    * through the mean's denominator (n·y − S is n·(y − ȳ) — op235's
+    * trick), so num and den carry the same n² factor and the ratio
+    * needs no division until the final double; the cross products run
+    * in DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) (exact where BIGINT
+    * products overflow — the op254 convention, HUGEINT-matching on the
+    * oracle side). */
+  def acfFromGrid(s: SparkSession, grid: DataFrame): DataFrame = {
+    val base = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val g = grid.join(broadcast(base), "event_type")
+      .select(col("event_type"), col("day"), col("y"),
+        col("n"), col("sy"))
+    val den = g.groupBy("event_type")
+      .agg(sum(expr("CAST(n * y - sy AS DECIMAL(19,0)) * " +
+        "CAST(n * y - sy AS DECIMAL(19,0))")).as("den"))
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    val pairs = g.crossJoin(broadcast(lags))
+      .withColumn("day2", expr("day + lag"))
+      .join(g.select(col("event_type"), col("day").as("day2"),
+          col("y").as("y2")),
+        Seq("event_type", "day2"))
+      .groupBy("event_type", "lag")
+      .agg(big(count(lit(1))).as("n_pairs"),
+        sum(expr("CAST(n * y - sy AS DECIMAL(19,0)) * " +
+          "CAST(n * y2 - sy AS DECIMAL(19,0))")).as("num"))
+    ordered(
+      pairs.join(broadcast(den), "event_type")
+        .select(col("event_type"), big(col("lag")).as("lag"),
+          col("n_pairs"),
+          expr("CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) " +
+            "* 10000) AS BIGINT)").as("r_bp")),
+      "event_type", "lag")
+  }
+
+  /** op270: autocorrelation function — per event type, r(k) of the
+    * daily cents totals at calendar lags 1..7, exact-moment, bp. THE
+    * seasonality diagnostic the rest of the time-series family builds
+    * on: a weekly cycle shows as r(7) ≫ r(1), trend as slowly-decaying
+    * positive r across all lags, white noise as everything ≈ 0 — it
+    * tells you WHETHER op216's seasonal baseline or op184's trend is
+    * the right model before either is fit. Calendar lags (not row
+    * lags) mean gaps simply drop pairs, never misalign them.
+    *
+    * 100 TB shape: one dailyGrid shuffle; the ×7 lag fan-out and
+    * self-join run on the calendar-bounded grid (O(types · days)
+    * rows), den/num both map-combinable on it. */
+  val op270Acf: Q = (s, d) => acfFromGrid(s, dailyGrid(s, d))
+
+  /** op273: STREAMING ACF — op270 with the daily grid maintained
+    * ONLINE (SeasonalStream's per-batch cents partials, element-wise
+    * merge) and the SAME tail, under op270's UNCHANGED oracle. The
+    * seasonality question re-asked per serve at grid cost — with
+    * op240 (level), op236 (location), op257 (interval validity) the
+    * online statistics panel now also covers SHAPE. */
+  val op273StreamAcf: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op273_").toString
+    acfFromGrid(s, graft.streaming.SeasonalStream
+      .maintainedDailySums(s, d, state))
+  }
+
   // ---------------------------------------------------------------- op268
 
   /** op268: Welch's t-test — per source, the unequal-variance
@@ -916,6 +982,8 @@ object MonitorQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "op270_acf" -> op270Acf,
+    "op273_stream_acf" -> op273StreamAcf,
     "op268_welch_t" -> op268WelchT,
     "op251_conformal_coverage" -> op251ConformalCoverage,
     "op257_stream_conformal" -> op257StreamConformal,
@@ -985,9 +1053,44 @@ object MonitorQueries {
     // op260 merges streamed half counts exactly -> op250's oracle verbatim
     ("op260_stream_changers" -> baseOracle("op250_heavy_changers")) +
     // op262 unions streamed distinct users exactly -> op244's oracle
-    ("op262_stream_srm" -> baseOracle("op244_srm_gate"))
+    ("op262_stream_srm" -> baseOracle("op244_srm_gate")) +
+    // op273 merges streamed cents sums exactly -> op270's oracle verbatim
+    ("op273_stream_acf" -> baseOracle("op270_acf"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op270_acf" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |         AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM grid GROUP BY 1),
+        |g AS (
+        |  SELECT gr.event_type, gr.day, gr.y, b.n, b.sy
+        |  FROM grid gr JOIN base b USING (event_type)),
+        |den AS (
+        |  SELECT event_type,
+        |    sum(CAST(n * y - sy AS DECIMAL(19,0)) *
+        |        CAST(n * y - sy AS DECIMAL(19,0))) AS den
+        |  FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(a.n * a.y - a.sy AS DECIMAL(19,0)) *
+        |        CAST(a.n * b.y - a.sy AS DECIMAL(19,0))) AS num
+        |  FROM g a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN g b ON b.event_type = a.event_type
+        |    AND b.day = a.day + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+        |  CAST(floor(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+        |       * 10000) AS BIGINT) AS r_bp
+        |FROM pairs p JOIN den d USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
     "op268_welch_t" ->
       """WITH m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n1,

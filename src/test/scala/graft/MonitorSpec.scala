@@ -501,6 +501,21 @@ class MonitorSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("op273: streaming ACF equals the batch op270 exactly") {
+    val batch = MonitorQueries.op270Acf(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = MonitorQueries.op273StreamAcf(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+    // r is a correlation: |r_bp| <= 1e4 (one floor ulp of slack below)
+    batch.foreach { r =>
+      val bp = r(3).asInstanceOf[Long]
+      assert(bp >= -10001L && bp <= 10000L, s"r_bp out of [-1,1]: $r")
+    }
+    // all 7 lags present for every type
+    assert(batch.groupBy(_.head).values.forall(_.size == 7))
+  }
+
   test("op268: Welch t replays the exact-moment double tail per source") {
     val got = MonitorQueries.op268WelchT(spark, sfDir).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
