@@ -560,7 +560,76 @@ object RelationalQueries {
       "iv_key")
   }
 
+  // ---------------------------------------------------------------- op271
+
+  /** op271: unpivot (wide→long reshape) — lineitem's four numeric
+    * measures melted into (measure, value) rows, then profiled per
+    * (returnflag, measure): the inverse of op43's pivot, and the
+    * reshape every metrics store / feature-long-table ingest runs.
+    * Uses the native `Dataset.unpivot` (Spark's Expand under the
+    * hood): a map-side ×4 row fan-out with NO shuffle and NO scan
+    * duplication — the oracle's UNION ALL spelling re-reads the table
+    * four times; Expand reads it once, which at 100 TB is the whole
+    * difference. The only shuffle is the (flag, measure)-keyed
+    * aggregate, map-combined before it moves.
+    *
+    * 100 TB shape: fan-out factor = measure count (a declared
+    * constant); output cardinality = |flags| × 4. Column pruning
+    * still reaches the scan (only the 5 used columns are read). */
+  val op271Unpivot: Q = (s, d) => {
+    val long = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"), col("l_tax").as("tax")),
+        "measure", "value")
+    ordered(
+      long.groupBy("l_returnflag", "measure")
+        .agg(big(count(lit(1))).as("n"),
+          Det.centsSum(col("value")).as("sum_cents"),
+          min(round(col("value") * 100, 0).cast("long")).as("min_cents"),
+          max(round(col("value") * 100, 0).cast("long")).as("max_cents")),
+      "l_returnflag", "measure")
+  }
+
+  // ---------------------------------------------------------------- op272
+
+  /** op272: GROUPING SETS — the explicit-subset form op43's
+    * rollup/cube are sugar for: exactly the four aggregation grains
+    * ((flag, status), (flag), (status), ()) in ONE pass, with
+    * grouping() flags disambiguating real NULL-like sentinels from
+    * grouped-out columns. The one-report-many-grains shape (dashboard
+    * tiles + drill rows from a single scan) that would otherwise be
+    * four scans UNION ALL'd.
+    *
+    * 100 TB shape: Spark plans this as one Expand (×4 per input row,
+    * map-side) + one hash aggregate — partial aggregation applies per
+    * grain before the shuffle, so the exchanged volume is the SUM of
+    * the four grains' cardinalities, not 4× the corpus. */
+  val op272GroupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .createOrReplaceTempView("graft_op272_li")
+    s.sql(
+      """SELECT CAST(grouping(l_returnflag) * 2 +
+        |            grouping(l_linestatus) AS BIGINT) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstat,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+        |       AS BIGINT) AS qty_cents
+        |FROM graft_op272_li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rflag, lstat""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
+    "op271_unpivot" -> op271Unpivot,
+    "op272_grouping_sets" -> op272GroupingSets,
     "op150_profile" -> op150Profile,
     "op151_constraints" -> op151Constraints,
     "op155_interval_join" -> op155IntervalJoin,
@@ -598,6 +667,35 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "op271_unpivot" ->
+      """WITH lv AS (
+        |  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value
+        |  FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount', l_discount
+        |  FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM lv GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin,
+    "op272_grouping_sets" ->
+      """SELECT CAST(grouping(l_returnflag) * 2 +
+        |            grouping(l_linestatus) AS BIGINT) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstat,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rflag, lstat""".stripMargin,
     "op150_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
       .map(c =>

@@ -103,4 +103,16 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"bounded-side join fell back to SortMergeJoin in: ${offenders.mkString(", ")}")
   }
+
+  test("op271/op272 reshape via one Expand over ONE scan, never N scans") {
+    // the UNION ALL spelling their oracles use re-reads the table once
+    // per measure / grain; the Expand plan is the 100 TB contract
+    Seq("op271_unpivot", "op272_grouping_sets").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"$name lost its Expand:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans <= 1, s"$name reads the table $scans times:\n$plan")
+    }
+  }
 }
