@@ -245,12 +245,72 @@ object EngineQueries {
       ordered(bloomJoin(s, d).localCheckpoint(), "p_brand")
     }
 
+  // ---------------------------------------------------------------- op274
+
+  /** op274's deliberately skewed derived join key: half of lineitem
+    * lands on key 0, the rest spreads over 1..63 — the canonical
+    * hot-key shape (one user, one SKU, one null-ish sentinel). */
+  private val skewKeyExpr =
+    "CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey % 64 END"
+
+  /** The unmaterialized skewed join op274 runs — exposed so EngineSpec
+    * can pin the AQE skew split in the final adaptive plan. */
+  private[graft] def skewJoin(s: SparkSession, d: String): DataFrame = {
+    // AQE splits a skewed reduce partition at MAPPER-block granularity;
+    // the fixture is one parquet file = one mapper, so there would be
+    // nothing to split. The round-robin repartition recreates the
+    // many-mapper geometry a real deployment's scan has for free.
+    val li = Tables.lineitem(s, d)
+      .select(expr(skewKeyExpr).as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .repartition(16)
+    val dim = s.range(0, 64).select(col("id").as("k"))
+      .withColumn("grp", expr("k % 8"))
+    li.join(dim, "k")
+      .groupBy("grp")
+      .agg(big(count(lit(1))).as("n_lines"),
+        sum("cents").as("price_cents"))
+  }
+
+  /** op274: AQE skew-join split — the RUNTIME answer to the hot key
+    * that op181's static salting solves at plan time: with adaptive
+    * execution on, `OptimizeSkewedJoin` sees the post-shuffle map
+    * sizes, recognizes the one partition holding ~50% of the fact
+    * (key 0), and splits it into advisory-sized slices, each joined
+    * against a replicated copy of the matching dim partition — same
+    * result, straggler gone, NO query rewrite. op181 remains the
+    * escape hatch where AQE can't act (stateful streaming joins,
+    * bucketed SMJs that must not re-shuffle); op274 is what a 100 TB
+    * deployment reaches for first, because it prices the split off
+    * MEASURED sizes instead of a guessed salt factor. The conf window
+    * scales AQE's byte thresholds to fixture size (at 100 TB the
+    * defaults fire unchanged) and disables broadcast the way a big
+    * dim disables itself; EngineSpec pins `skew=true` in the final
+    * adaptive plan.
+    *
+    * 100 TB shape: skew handling moves from the author (salt factor
+    * guessed per query) to the engine (split priced per run) —
+    * the operational difference between a pipeline that pages and one
+    * that self-heals when the hot key shows up unannounced. */
+  val op274AqeSkewJoin: Q = (s, d) =>
+    withConfs(s,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      ordered(skewJoin(s, d).localCheckpoint(), "grp")
+    }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, Q] = Map(
     "op264_bucketed_join" -> op264BucketedJoin,
     "op265_dpp_scan" -> op265DppScan,
-    "op266_runtime_bloom" -> op266RuntimeBloom)
+    "op266_runtime_bloom" -> op266RuntimeBloom,
+    "op274_aqe_skew" -> op274AqeSkewJoin)
 
   val oracle: Map[String, String] = Map(
     "op264_bucketed_join" ->
@@ -284,5 +344,16 @@ object EngineQueries {
          |FROM lineitem l
          |JOIN (SELECT p_partkey, p_brand FROM part WHERE $bloomDimPred) p
          |  ON l.l_partkey = p.p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "op274_aqe_skew" ->
+      s"""WITH li AS (
+         |  SELECT $skewKeyExpr AS k,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |dim AS (SELECT unnest(range(64)) AS k)
+         |SELECT CAST(d.k % 8 AS BIGINT) AS grp,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(cents) AS BIGINT) AS price_cents
+         |FROM li JOIN dim d ON li.k = d.k
          |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -72,6 +72,15 @@ object StreamQueries {
     ordered(graft.streaming.EventStreams.leftOuterBoundedJoin(s, d),
       "view_id", "click_id")
 
+  /** op275: stream-stream FULL OUTER time-bounded join — both sides'
+    * unmatched rows flush as the watermark clears their horizons (see
+    * [[graft.streaming.EventStreams.fullOuterBoundedJoin]]); with
+    * op30 (inner), op123 (bounded production twin) and op164 (left)
+    * this completes the stream-stream join-type matrix. */
+  val op275StreamFullOuter: Q = (s, d) =>
+    ordered(graft.streaming.EventStreams.fullOuterBoundedJoin(s, d),
+      "vk", "ck")
+
   /** op199: STREAMING sessionized funnel — op161's ordered
     * view → click → purchase chain maintained online per user
     * (transformWithState; see [[graft.streaming.FunnelStream]]). Each
@@ -154,6 +163,7 @@ object StreamQueries {
     "op53_window_session" -> op53Session,
     "op163_stream_dedup_wm" -> op163StreamDedupWm,
     "op164_stream_left_outer" -> op164StreamLeftOuter,
+    "op275_stream_full_outer" -> op275StreamFullOuter,
     "op199_stream_funnel" -> op199StreamFunnel,
     "op203_stream_session_paths" -> op203StreamSessionPaths,
     "op207_stream_windowed_funnel" -> op207StreamWindowedFunnel,
@@ -234,6 +244,37 @@ object StreamQueries {
         |          AND v.view_ts + INTERVAL 10 MINUTE < wm.w)
         |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM unm)
         |ORDER BY view_id, click_id""".stripMargin,
+    "op275_stream_full_outer" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least(
+        |  (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |  (SELECT max(ts) FROM events WHERE event_type = 'click')) AS w),
+        |m AS (SELECT v.view_id AS vk, c.click_id AS ck, v.user_id,
+        |        CAST((epoch_us(c.click_ts) - epoch_us(v.view_ts))
+        |             // 1000000 AS BIGINT) AS lag_s
+        |      FROM v JOIN c ON v.user_id = c.user_id
+        |        AND c.click_ts > v.view_ts
+        |        AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE),
+        |vo AS (SELECT v.view_id AS vk, CAST(-1 AS BIGINT) AS ck,
+        |         v.user_id, CAST(NULL AS BIGINT) AS lag_s
+        |       FROM v, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM c
+        |         WHERE c.user_id = v.user_id AND c.click_ts > v.view_ts
+        |           AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE)
+        |         AND v.view_ts + INTERVAL 10 MINUTE < wm.w),
+        |co AS (SELECT CAST(-1 AS BIGINT) AS vk, c.click_id AS ck,
+        |         c.user_id, CAST(NULL AS BIGINT) AS lag_s
+        |       FROM c, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM v
+        |         WHERE v.user_id = c.user_id AND c.click_ts > v.view_ts
+        |           AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE)
+        |         AND c.click_ts < wm.w)
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM vo
+        |               UNION ALL SELECT * FROM co)
+        |ORDER BY vk, ck""".stripMargin,
   ) +
     // op249 is op166 maintained online; stream ≡ batch, shared oracle
     ("op249_stream_transitions" ->

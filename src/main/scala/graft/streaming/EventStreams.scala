@@ -107,6 +107,44 @@ object EventStreams {
         "div 1000000 AS BIGINT)").as("lag_s"))
   }
 
+  /** op275: stream-stream FULL OUTER equi+time-bounded join — op164's
+    * contract completed on BOTH sides: matched (view, click) pairs
+    * stream out as they meet; views with no click in their 10-minute
+    * horizon flush NULL-extended once the watermark clears
+    * view_ts + 10 min (op164's left leg); clicks that matched NO view
+    * flush once the watermark clears click_ts — a click's candidate
+    * views satisfy view_ts < click_ts, so at wm ≥ click_ts no future
+    * view can claim it and its state is dead. Delay 0 makes the final
+    * watermark exactly min(max view_ts, max click_ts), so both outer
+    * sets are closed-form functions of the input and the DuckDB
+    * oracle replays them with the same horizon predicates.
+    * Sort keys are the NULL-coalesced ids (vk, ck) — a non-null
+    * unique pair across all three row classes (the Det.ordered
+    * contract). */
+  def fullOuterBoundedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val joined = drainEvents(spark, dir, "op275") { ev =>
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          col("user_id"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", "0 seconds")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"),
+        "fullOuter")
+    }
+    joined.select(
+      coalesce(col("view_id"), lit(-1L)).as("vk"),
+      coalesce(col("click_id"), lit(-1L)).as("ck"),
+      coalesce(col("user_id"), col("c_user")).as("user_id"),
+      expr("CAST((unix_micros(click_ts) - unix_micros(view_ts)) " +
+        "div 1000000 AS BIGINT)").as("lag_s"))
+  }
+
   /** op199: streaming sessionized funnel — the events fixture drained
     * through [[FunnelStream]] (transformWithState, RocksDB provider as
     * the API requires), emitting one append-mode row per (user, closed

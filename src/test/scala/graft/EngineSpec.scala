@@ -92,6 +92,23 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("op274 AQE splits the hot-key partition (skew=true in final plan)") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = graft.queries.EngineQueries.skewJoin(spark, sfDir)
+      df.collect() // AQE finalizes the plan only on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the hot partition:\n$plan")
+    }
+  }
+
   test("op265 matches the raw unpartitioned computation exactly") {
     val got = graft.queries.EngineQueries.op265DppScan(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq

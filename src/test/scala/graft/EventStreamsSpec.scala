@@ -74,4 +74,21 @@ class EventStreamsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet -- matchedViews
     assert(nullViews == expected)
   }
+
+  test("op275: full outer emits all three row classes; left leg == op164") {
+    val full = EventStreams.fullOuterBoundedJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val matched = full.filter { case (vk, ck) => vk >= 0 && ck >= 0 }
+    val viewOnly = full.filter { case (vk, ck) => vk >= 0 && ck < 0 }
+    val clickOnly = full.filter { case (vk, ck) => vk < 0 && ck >= 0 }
+    assert(matched.nonEmpty && viewOnly.nonEmpty && clickOnly.nonEmpty,
+      "fixture must exercise matched, view-only and click-only legs")
+    assert(matched.length + viewOnly.length + clickOnly.length
+      == full.length)
+    // the (matched + view-only) legs are exactly op164's left outer
+    val left = EventStreams.leftOuterBoundedJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("view_id"),
+        if (r.isNullAt(2)) -1L else r.getAs[Long]("click_id"))).toSet
+    assert((matched ++ viewOnly).toSet == left)
+  }
 }
