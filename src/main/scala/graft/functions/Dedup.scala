@@ -393,6 +393,65 @@ object Dedup {
     df.join(dropped, df(idCol) === dropped("drop_id"), "left_anti")
   }
 
+  /** MinHash estimator fidelity (op276): for every LSH candidate pair,
+    * the ESTIMATED Jaccard (sig-agreement fraction over k minhashes)
+    * beside the EXACT Jaccard (overlap count restricted to candidates —
+    * the op98 verification leg), and their signed error. This is the
+    * eval leg the minhash family was missing: op110 scores ANN recall
+    * against brute force, op276 scores the sketch against the set —
+    * the number that justifies (or indicts) k when the dedup gate's
+    * threshold sits near the estimator's noise floor.
+    *
+    * 100 TB shape: candidate volume = band collisions (sub-quadratic);
+    * the agreement count is a k-column comparison on the |cand| rows;
+    * the exact leg reuses the already-shingled index. Nothing here
+    * exceeds the dedup pass that already runs. */
+  def minhashFidelity(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, r: Int = 4): DataFrame = {
+    val raw = shingleIndex(df, idCol, textCol).localCheckpoint()
+    val sigs = minhashSignatureFastFromIndex(raw, k).localCheckpoint()
+    val bands = lshBands(sigs, k, r)
+    val ba = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
+      col("band_hash"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("band_idx"),
+      col("band_hash"))
+    val cand = ba.join(bb, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(f"sig_$i%02d").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(f"sig_$i%02d").as(s"b$i")): _*)
+    val agree = (0 until k)
+      .map(i => s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val est = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_agree", expr(s"CAST($agree AS BIGINT)"))
+      .select("doc_a", "doc_b", "n_agree")
+    val index = raw.select(col("doc_id"),
+      xxhash64(col("shingle")).as("shingle"))
+    val counts = shingleCounts(index)
+    val ia = index.select(col("doc_id").as("doc_a"), col("shingle"))
+    val ib = index.select(col("doc_id").as("doc_b"), col("shingle"))
+    val overlap = cand.join(ia, "doc_a")
+      .join(ib, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("overlap"))
+    est
+      // false LSH collisions can share ZERO shingles — the left join +
+      // coalesce keeps them (they are exactly the estimator's failures)
+      .join(overlap, Seq("doc_a", "doc_b"), "left")
+      .withColumn("ov", coalesce(col("overlap"), lit(0L)))
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("est_bp", expr(s"n_agree * 10000 div $k"))
+      .withColumn("exact_bp", expr("ov * 10000 div (n_a + n_b - ov)"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_bp"),
+        col("exact_bp"), (col("est_bp") - col("exact_bp")).as("err_bp"))
+  }
+
   /** Transitive near-dup clusters: connected components over the pair
     * graph, labeling every document with the minimum doc_id reachable
     * through near-dup edges (A~B, B~C ⇒ A,B,C share one representative —

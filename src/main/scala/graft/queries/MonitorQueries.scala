@@ -931,6 +931,47 @@ object MonitorQueries {
       .maintainedDailySums(s, d, state))
   }
 
+  // ---------------------------------------------------------------- op277
+
+  /** op277: Population Stability Index — per source vs the rest of the
+    * corpus over length buckets (n_chars div 100): Σ (p−q)·ln(p/q),
+    * nano-nats, with add-one smoothing over the observed bucket set so
+    * empty cells stay finite and DETERMINISTIC (the standard epsilon
+    * knob, pinned to a closed form both engines replay). PSI is the
+    * number model-risk teams actually gate deploys on (rules of thumb:
+    * < 0.1 stable, > 0.25 investigate) — the op187/op233/op269 drift
+    * family's industry-dialect member, binned where KS is exact.
+    * Every term is ≥ 0 ((p−q) and ln(p/q) share sign), floored to nano
+    * BEFORE the sum (op246's quantize-then-sum rule).
+    *
+    * 100 TB shape: one (source, bucket) count; the smoothing grid is
+    * |sources| × |buckets| (hundreds), map-combinable after. */
+  val op277Psi: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .groupBy(col("source"), expr("n_chars div 100").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("bucket").agg(sum("c").as("ct"))
+    val ns = cnt.groupBy("source").agg(sum("c").as("n1"))
+    val nt = tot.agg(sum("ct").as("nt"), count(lit(1)).as("nb"))
+    ordered(
+      ns.crossJoin(broadcast(nt)).crossJoin(tot)
+        .join(cnt, Seq("source", "bucket"), "left")
+        .withColumn("c1", coalesce(col("c"), lit(0L)))
+        .withColumn("p", expr(
+          "CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)"))
+        .withColumn("q", expr(
+          "CAST(ct - c1 + 1 AS DOUBLE) / CAST(nt - n1 + nb AS DOUBLE)"))
+        .withColumn("term_nano", expr(
+          "CAST(floor((p - q) * ln(p / q) * 1000000000) AS BIGINT)"))
+        .groupBy("source")
+        .agg(max("n1").as("w1"), max(expr("nt - n1")).as("w2"),
+          max("nb").as("wb"), sum("term_nano").as("psi_nano"))
+        .select(col("source"), big(col("w1")).as("n1"),
+          big(col("w2")).as("n2"), big(col("wb")).as("n_buckets"),
+          col("psi_nano")),
+      "source")
+  }
+
   // ---------------------------------------------------------------- op268
 
   /** op268: Welch's t-test — per source, the unequal-variance
@@ -982,6 +1023,7 @@ object MonitorQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "op277_psi" -> op277Psi,
     "op270_acf" -> op270Acf,
     "op273_stream_acf" -> op273StreamAcf,
     "op268_welch_t" -> op268WelchT,
@@ -1058,6 +1100,37 @@ object MonitorQueries {
     ("op273_stream_acf" -> baseOracle("op270_acf"))
 
   private lazy val baseOracle: Map[String, String] = Map(
+    "op277_psi" ->
+      """WITH cnt AS (
+        |  SELECT source, CAST(n_chars // 100 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct
+        |        FROM cnt GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n1
+        |       FROM cnt GROUP BY 1),
+        |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |         CAST(count(*) AS BIGINT) AS nb FROM tot),
+        |grid AS (
+        |  SELECT s.source, s.n1, v.nt, v.nb, t.bucket, t.ct,
+        |    coalesce(c.c, 0) AS c1
+        |  FROM ns s CROSS JOIN nt v CROSS JOIN tot t
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.bucket = t.bucket),
+        |pq AS (
+        |  SELECT source, n1, nt, nb,
+        |    CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE) AS p,
+        |    CAST(ct - c1 + 1 AS DOUBLE) / CAST(nt - n1 + nb AS DOUBLE) AS q
+        |  FROM grid),
+        |terms AS (
+        |  SELECT source, n1, nt, nb,
+        |    CAST(floor((p - q) * ln(p / q) * 1000000000) AS BIGINT)
+        |      AS term_nano
+        |  FROM pq)
+        |SELECT source, CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(nt - n1) AS BIGINT) AS n2,
+        |  CAST(max(nb) AS BIGINT) AS n_buckets,
+        |  CAST(sum(term_nano) AS BIGINT) AS psi_nano
+        |FROM terms GROUP BY 1 ORDER BY source""".stripMargin,
     "op270_acf" ->
       """WITH grid AS (
         |  SELECT event_type,

@@ -90,6 +90,17 @@ object TrainQueries {
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text"),
       "doc_a", "doc_b")
 
+  /** op276: MinHash estimator fidelity — per LSH candidate pair, the
+    * estimated Jaccard (agreement over 16 KM sigs), the exact Jaccard
+    * (candidate-restricted overlap), and the signed error: the eval
+    * that says whether k=16 is enough for the dedup threshold in use
+    * (op110's recall eval, aimed at the sketch instead of the index).
+    * See [[graft.functions.Dedup.minhashFidelity]]. */
+  val op276MinhashFidelity: Q = (s, d) =>
+    ordered(
+      Dedup.minhashFidelity(Tables.documents(s, d), "doc_id", "text"),
+      "doc_a", "doc_b")
+
   /** Near-dup survivors: corpus minus greater-id members of ≥80% pairs
     * (doc-frequency cap active, mirroring op61). */
   val op64DedupSurvivors: Q = (s, d) =>
@@ -2664,6 +2675,7 @@ object TrainQueries {
     "op63_minhash_pairs" -> op63MinhashPairs,
     "op64_dedup_survivors" -> op64DedupSurvivors,
     "op98_minhash_survivors" -> op98MinhashSurvivors,
+    "op276_minhash_fidelity" -> op276MinhashFidelity,
     "op65_simhash" -> op65Simhash,
     "op66_embed_dup" -> op66EmbedDup,
     "op67_knn_brute" -> op67KnnBrute,
@@ -3256,6 +3268,59 @@ object TrainQueries {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
         |ORDER BY doc_id""".stripMargin
+    },
+    "op276_minhash_fidelity" -> {
+      // op98's candidate chain (16 KM sigs, 4 bands) + per-pair sig
+      // agreement + candidate-restricted exact overlap, zero-overlap
+      // false collisions kept via the left join
+      val sigCols = (0 until 16).map(i =>
+        s"CAST(min((h1 * ${2 * i + 1} + h2) % 2147483648) AS BIGINT) AS s$i")
+        .mkString(",\n|         ")
+      val bandSelects = (0 until 4).map { b =>
+        val parts = (b * 4 until b * 4 + 4)
+          .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, substring(md5(concat_ws(',', $parts)), 1, 15) AS bh FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+        .mkString(" +\n|      ")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 1073741824 AS h1,
+        |        (('0x' || substring(md5(shingle), 1, 15))::BIGINT // 1073741824) % 1073741824 AS h2
+        |      FROM sh),
+        |sig AS (SELECT doc_id,
+        |         $sigCols
+        |      FROM h GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        |  WHERE a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b, CAST($agree AS BIGINT) AS n_agree
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+        |              JOIN sig sb ON sb.doc_id = c.doc_b),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ov AS (SELECT cand.doc_a, cand.doc_b, count(*) AS overlap
+        |       FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+        |                 JOIN sh b ON b.doc_id = cand.doc_b
+        |                          AND b.shingle = a.shingle
+        |       GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT e.doc_a, e.doc_b, e.n_agree,
+        |    CAST(e.n_agree * 10000 // 16 AS BIGINT) AS est_bp,
+        |    CAST(coalesce(o.overlap, 0) * 10000 //
+        |      (ca.n_sh + cb.n_sh - coalesce(o.overlap, 0)) AS BIGINT)
+        |      AS exact_bp
+        |  FROM est e
+        |  LEFT JOIN ov o ON o.doc_a = e.doc_a AND o.doc_b = e.doc_b
+        |  JOIN cnt ca ON e.doc_a = ca.doc_id
+        |  JOIN cnt cb ON e.doc_b = cb.doc_id)
+        |SELECT doc_a, doc_b, n_agree, est_bp, exact_bp,
+        |  CAST(est_bp - exact_bp AS BIGINT) AS err_bp
+        |FROM fin ORDER BY doc_a, doc_b""".stripMargin
     },
     "op64_dedup_survivors" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($trigramSql)),

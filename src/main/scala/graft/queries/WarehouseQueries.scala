@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.Skew
 import graft.sources.Tables
-import Det.{big, ordered}
+import Det.{big, meanBpFromCents, ordered}
 
 /** Warehouse-infrastructure pack: the operators a platform team runs
   * UNDER the analytics — range-partition boundary computation,
@@ -663,7 +663,42 @@ object WarehouseQueries {
     ordered(frames.reduce(_ unionByName _), "child_table", "fk_col")
   }
 
+  // ---------------------------------------------------------------- op278
+
+  /** op278: out-of-fold target encoding — each (category, fold) cell
+    * gets the category's mean target computed EXCLUDING that fold
+    * ((S_c − S_cf) / (n_c − n_cf), exact cents, one shared-contract
+    * double division to bp): the leakage-safe categorical encoding
+    * every tabular pipeline needs — a row never sees its own target
+    * through its encoding, which is exactly the guarantee op92's
+    * split-leak gate checks for documents, now produced by
+    * construction for features. Fold = o_orderkey % 5: deterministic,
+    * reproducible, and the same fold a retrain re-derives.
+    *
+    * 100 TB shape: ONE pass builds the (category, fold) moment grid
+    * (map-combinable); every out-of-fold mean is grid algebra — the
+    * complement trick from op268, per fold. The naive spelling
+    * (re-aggregate the corpus once per fold) is |folds| scans; this is
+    * one. */
+  val op278TargetEncoding: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("category"),
+        expr("o_orderkey % 5").as("fold"))
+      .agg(count(lit(1)).as("n_cf"),
+        Det.centsSum(col("o_totalprice")).as("s_cf"))
+    val tot = base.groupBy("category")
+      .agg(sum("n_cf").as("n_c"), sum("s_cf").as("s_c"))
+    ordered(
+      base.join(broadcast(tot), "category")
+        .select(col("category"), big(col("fold")).as("fold"),
+          big(col("n_cf")).as("n_rows"),
+          meanBpFromCents(col("s_c") - col("s_cf"),
+            col("n_c") - col("n_cf")).as("enc_bp")),
+      "category", "fold")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op278_target_encoding" -> op278TargetEncoding,
     "op258_fk_audit" -> op258FkAudit,
     "op254_corr_matrix" -> op254CorrMatrix,
     "op212_rfm_segments" -> op212RfmSegments,
@@ -770,6 +805,24 @@ object WarehouseQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "op278_target_encoding" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS category,
+        |    CAST(o_orderkey % 5 AS BIGINT) AS fold,
+        |    CAST(count(*) AS BIGINT) AS n_cf,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS s_cf
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT category, CAST(sum(n_cf) AS BIGINT) AS n_c,
+        |    CAST(sum(s_cf) AS BIGINT) AS s_c
+        |  FROM base GROUP BY 1)
+        |SELECT b.category, b.fold, b.n_cf AS n_rows,
+        |  CAST(CAST(CAST(t.s_c - b.s_cf AS DOUBLE) /
+        |    CAST((t.n_c - b.n_cf) * 100 AS DOUBLE) AS DECIMAL(18,4))
+        |    * 10000 AS BIGINT) AS enc_bp
+        |FROM base b JOIN tot t USING (category)
+        |ORDER BY category, fold""".stripMargin,
     "op258_fk_audit" -> fkAuditSql,
     "op254_corr_matrix" -> corrMatrixSql,
     "op222_delta_join" -> deltaJoinSql,

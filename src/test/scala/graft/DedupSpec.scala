@@ -441,4 +441,36 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("jaccard_bp")))
     assert(fx.forall { case (c, j) => c >= j && c <= 10000L })
   }
+
+  test("op276: fidelity legs are mutually consistent and span the range") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val fid = Dedup.minhashFidelity(docs, "doc_id", "text").collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Long]("n_agree"), r.getAs[Long]("est_bp"),
+          r.getAs[Long]("exact_bp"), r.getAs[Long]("err_bp"))))
+    // est is the agreement fraction exactly; err is the signed gap
+    fid.foreach { case (pair, (agree, est, exact, err)) =>
+      assert(agree >= 0 && agree <= 16, s"$pair")
+      assert(est == agree * 10000 / 16, s"$pair")
+      assert(err == est - exact, s"$pair")
+      assert(exact >= 0 && exact <= 10000, s"$pair")
+    }
+    // the exact leg must agree with op61's exact Jaccard on shared pairs
+    val exact61 = Dedup.jaccardPairs(docs, "doc_id", "text", 0L, None)
+      .collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Long]("jaccard_bp"))).toMap
+    val shared = fid.filter { case (pair, (_, _, ex, _)) => ex > 0 }
+    assert(shared.nonEmpty)
+    shared.foreach { case (pair, (_, _, ex, _)) =>
+      assert(exact61.get(pair).contains(ex),
+        s"exact leg disagrees with op61 for $pair")
+    }
+    // the fixture exercises both a true near-dup and estimator noise
+    // (err != 0 somewhere — a sketch that never errs is not being
+    // tested); zero-overlap false collisions appear only at larger SF,
+    // where the oracle gate covers them (left-join + coalesce path)
+    assert(fid.exists(_._2._3 >= 8000L), "no true near-dup present")
+    assert(fid.exists(_._2._4 != 0L), "estimator never erred — vacuous")
+  }
 }

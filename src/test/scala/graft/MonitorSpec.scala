@@ -501,6 +501,37 @@ class MonitorSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("op277: PSI replays the smoothed per-bucket terms exactly") {
+    val got = MonitorQueries.op277Psi(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 100))
+    val cnt = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val buckets = docs.map(_._2).distinct
+    val nb = buckets.length.toLong
+    val ns = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nt = docs.length.toLong
+    val tot = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = ns.keys.map { src =>
+      val n1 = ns(src)
+      val psi = buckets.map { b =>
+        val c1 = cnt.getOrElse((src, b), 0L)
+        val p = (c1 + 1).toDouble / (n1 + nb).toDouble
+        val q = (tot(b) - c1 + 1).toDouble / (nt - n1 + nb).toDouble
+        math.floor((p - q) * math.log(p / q) * 1000000000d).toLong
+      }.sum
+      src -> ((n1, nt - n1, nb, psi))
+    }.toMap
+    assert(got == want)
+    // each term is >= 0 mathematically ((p-q) and ln(p/q) share sign);
+    // the floor can shave at most one nano per bucket
+    got.foreach { case (src, (_, _, b, psi)) =>
+      assert(psi >= -b, s"PSI negative beyond floor slack for $src")
+    }
+  }
+
   test("op273: streaming ACF equals the batch op270 exactly") {
     val batch = MonitorQueries.op270Acf(spark, sfDir)
       .collect().map(_.toSeq).toSeq

@@ -357,4 +357,26 @@ class WarehouseSpec extends SparkSpec {
     assert(li.exists(_._1 == "R"), "no retracted slice in the fixture")
     assert(!got.keys.exists(_._1 == "R"), "retracted group survived")
   }
+
+  test("op278: encoding is the out-of-fold mean — leakage-free by value") {
+    val got = graft.queries.WarehouseQueries
+      .op278TargetEncoding(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), expr("o_orderkey % 5"),
+        round(col("o_totalprice") * 100, 0).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(r => (r._1, r._2)).map { case ((c, f), g) =>
+      val out = rows.filter(r => r._1 == c && r._2 != f)
+      val enc = BigDecimal(out.map(_._3).sum.toDouble /
+          (out.length * 100).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000
+      (c, f) -> ((g.length.toLong, enc.toLong))
+    }
+    assert(got == want.toMap)
+    // every (category, fold) cell exists and no two folds of a category
+    // share an encoding unless their complements coincide
+    assert(got.keys.map(_._1).toSet.size * 5 == got.size)
+  }
 }
