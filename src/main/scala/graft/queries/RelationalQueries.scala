@@ -328,6 +328,39 @@ object RelationalQueries {
       "o_orderstatus")
   }
 
+  /** op279: exact percentiles WITHOUT sorting the corpus — the
+    * production form op46/op171's scaladocs point at, promoted to an
+    * operator: for a bounded value domain (document lengths), the
+    * per-group value HISTOGRAM is map-combinable; the nearest-rank
+    * percentile is then a cumulative walk over the grid picking the
+    * first value whose running count reaches ⌈q·n⌉. op46's
+    * `percentile()` materializes per-group value arrays (corpus-sized
+    * state); this spelling's state is the (lang, length) grid —
+    * hundreds of rows — and every percentile is exact, not sketched.
+    *
+    * 100 TB shape: one map-combined histogram shuffle at grid
+    * cardinality, one declared O(|domain|) window walk (the Grid
+    * contract); adding a percentile adds a CASE arm, never a pass.
+    * Unbounded domains quantize first (op179's boundaries). */
+  val op279HistPercentile: Q = (s, d) => {
+    val hist = Tables.documents(s, d)
+      .groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("lang").orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    def pick(num: Int, den: Int, name: String) =
+      big(min(when(
+        expr(s"cum >= ($num * n + ${den - 1}) div $den"),
+        col("v")))).as(name)
+    ordered(
+      cum.groupBy("lang")
+        .agg(big(max("n")).as("n"), pick(1, 2, "p50"),
+          pick(9, 10, "p90"), pick(99, 100, "p99")),
+      "lang")
+  }
+
   /** OP-46 approximate percentiles (KLL-style mergeable sketch): the
     * 100 TB path — exact percentile materializes per-group value arrays,
     * the sketch is constant-size and merges map-side. Rows-only driver
@@ -628,6 +661,7 @@ object RelationalQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "op279_hist_percentile" -> op279HistPercentile,
     "op271_unpivot" -> op271Unpivot,
     "op272_grouping_sets" -> op272GroupingSets,
     "op150_profile" -> op150Profile,
@@ -667,6 +701,23 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "op279_hist_percentile" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (1 * n + 1) // 2 THEN v END)
+        |       AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END)
+        |       AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END)
+        |       AS BIGINT) AS p99
+        |FROM cum GROUP BY 1 ORDER BY lang""".stripMargin,
     "op271_unpivot" ->
       """WITH lv AS (
         |  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value

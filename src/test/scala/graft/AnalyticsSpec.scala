@@ -546,6 +546,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("op279: histogram-walk percentiles equal the sort-based ranks") {
+    val got = graft.queries.RelationalQueries
+      .op279HistPercentile(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val xs = Tables.documents(spark, sfDir)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = xs.groupBy(_._1).view.mapValues { g =>
+      val sorted = g.map(_._2).sorted
+      val n = sorted.length.toLong
+      def nr(num: Long, den: Long) = // nearest-rank: ceil(q*n)-th value
+        sorted(((num * n + den - 1) / den - 1).toInt)
+      (n, nr(1, 2), nr(9, 10), nr(99, 100))
+    }.toMap
+    assert(got == want)
+  }
+
   test("op269: JSD replays the per-token quantized terms exactly") {
     val got = graft.queries.AnalyticsQueries.defs(
         "op269_js_divergence")(spark, sfDir).collect()
