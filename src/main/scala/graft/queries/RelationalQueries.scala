@@ -342,10 +342,9 @@ object RelationalQueries {
     * cardinality, one declared O(|domain|) window walk (the Grid
     * contract); adding a percentile adds a CASE arm, never a pass.
     * Unbounded domains quantize first (op179's boundaries). */
-  val op279HistPercentile: Q = (s, d) => {
-    val hist = Tables.documents(s, d)
-      .groupBy(col("lang"), col("n_chars").as("v"))
-      .agg(count(lit(1)).as("c"))
+  /** op279/op280 shared tail: the cumulative walk + rank picks over a
+    * (lang, v, c) histogram grid. */
+  def histPercentileFromGrid(hist: DataFrame): DataFrame = {
     val cum = hist
       .withColumn("cum",
         sum("c").over(Window.partitionBy("lang").orderBy("v")))
@@ -359,6 +358,25 @@ object RelationalQueries {
         .agg(big(max("n")).as("n"), pick(1, 2, "p50"),
           pick(9, 10, "p90"), pick(99, 100, "p99")),
       "lang")
+  }
+
+  val op279HistPercentile: Q = (s, d) =>
+    histPercentileFromGrid(
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c")))
+
+  /** op280: STREAMING percentile serving — op279's histogram grid
+    * maintained online (DriftStream partials, element-wise merge) and
+    * the SAME walk, under op279's UNCHANGED oracle: exact p50/p90/p99
+    * re-asked per serve at grid cost as arrivals land — the SLO
+    * dashboard's deployment shape, with the percentiles exact instead
+    * of sketched. */
+  val op280StreamPercentile: Q = (s, d) => {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_op280_").toString
+    histPercentileFromGrid(graft.streaming.DriftStream
+      .maintainedLangLengthCounts(s, d, state))
   }
 
   /** OP-46 approximate percentiles (KLL-style mergeable sketch): the
@@ -662,6 +680,7 @@ object RelationalQueries {
 
   val defs: Map[String, Q] = Map(
     "op279_hist_percentile" -> op279HistPercentile,
+    "op280_stream_percentile" -> op280StreamPercentile,
     "op271_unpivot" -> op271Unpivot,
     "op272_grouping_sets" -> op272GroupingSets,
     "op150_profile" -> op150Profile,
@@ -700,7 +719,11 @@ object RelationalQueries {
     "op50_explode" -> op50Explode,
   )
 
-  val oracle: Map[String, String] = Map(
+  // op280 merges streamed counts exactly -> op279's oracle verbatim
+  lazy val oracle: Map[String, String] = baseOracle +
+    ("op280_stream_percentile" -> baseOracle("op279_hist_percentile"))
+
+  private lazy val baseOracle: Map[String, String] = Map(
     "op279_hist_percentile" ->
       """WITH hist AS (
         |  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c

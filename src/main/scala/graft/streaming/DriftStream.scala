@@ -63,4 +63,46 @@ object DriftStream {
       .deleteRecursively()
     merged
   }
+
+  /** op280: the op279 percentile grid — (lang, length) counts over the
+    * WHOLE corpus — maintained online. Identical mergeability argument
+    * (counts, element-wise sum), so the maintained grid equals the
+    * batch histogram bit-for-bit and op279's percentile walk serves
+    * under its UNCHANGED oracle: the latency-SLO deployment shape
+    * (exact p50/p90/p99 re-asked per serve at grid cost, arrivals
+    * folded as they land, never a corpus re-scan). */
+  def maintainedLangLengthCounts(spark: SparkSession, dir: String,
+      stateDir: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = in.toDF().toDF("doc_id", "lang", "n_chars")
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy(col("lang"), col("n_chars").as("v"))
+            .agg(count(lit(1)).as("c"))
+            .coalesce(1).write.mode("append")
+            .parquet(s"$stateDir/partials")
+          (): Unit
+        }
+        .start()
+      (0 until 4).foreach { k =>
+        in.addData(docs.filter(_._1 % 4 == k))
+        q.processAllAvailable()
+      }
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val merged = spark.read.parquet(s"$stateDir/partials")
+      .groupBy("lang", "v").agg(sum("c").as("c"))
+      .localCheckpoint()
+    new scala.reflect.io.Directory(new java.io.File(stateDir))
+      .deleteRecursively()
+    merged
+  }
 }

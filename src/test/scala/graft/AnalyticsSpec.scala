@@ -564,6 +564,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("op280: streaming percentile serving equals the batch op279") {
+    val batch = graft.queries.RelationalQueries
+      .op279HistPercentile(spark, sfDir).collect().map(_.toSeq).toSeq
+    val stream = graft.queries.RelationalQueries
+      .op280StreamPercentile(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("op269: JSD replays the per-token quantized terms exactly") {
     val got = graft.queries.AnalyticsQueries.defs(
         "op269_js_divergence")(spark, sfDir).collect()
