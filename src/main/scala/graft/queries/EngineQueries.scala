@@ -304,13 +304,48 @@ object EngineQueries {
       ordered(skewJoin(s, d).localCheckpoint(), "grp")
     }
 
+  // ---------------------------------------------------------------- op281
+
+  /** The unmaterialized per-order aggregate op281 runs over the
+    * bucketed store — exposed so EngineSpec can pin its zero-Exchange
+    * plan. */
+  private[graft] def bucketedAgg(s: SparkSession, d: String): DataFrame = {
+    val (_, lt) = bucketedTables(s, d)
+    s.table(lt).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        Det.centsSum(col("l_extendedprice")).as("order_cents"))
+  }
+
+  /** op281: zero-exchange aggregate over the bucketed store — the
+    * GROUP BY face of op264's join story: the scan of `lineitem_b`
+    * reports hash(l_orderkey) pmod n as its output partitioning, so a
+    * per-order aggregate plans as ONE complete HashAggregate with NO
+    * Exchange (pinned in EngineSpec) — the write-time shuffle is
+    * amortized over aggregates as well as joins. The tail histogram
+    * (orders per line-count) re-aggregates the |orders|-sized result,
+    * a shuffle of group cardinality, not corpus.
+    *
+    * 100 TB shape: per-entity rollups (per-user, per-order, per-doc)
+    * are THE recurring aggregate; bucketing by entity id makes every
+    * one of them exchange-free forever. That is the difference
+    * between "the nightly rollup re-shuffles 100 TB" and "it streams
+    * each bucket file once". */
+  val op281BucketedAgg: Q = (s, d) =>
+    ordered(
+      bucketedAgg(s, d)
+        .groupBy(big(col("n_lines")).as("n_lines"))
+        .agg(big(count(lit(1))).as("n_orders"),
+          sum("order_cents").as("cents_sum")),
+      "n_lines")
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, Q] = Map(
     "op264_bucketed_join" -> op264BucketedJoin,
     "op265_dpp_scan" -> op265DppScan,
     "op266_runtime_bloom" -> op266RuntimeBloom,
-    "op274_aqe_skew" -> op274AqeSkewJoin)
+    "op274_aqe_skew" -> op274AqeSkewJoin,
+    "op281_bucketed_agg" -> op281BucketedAgg)
 
   val oracle: Map[String, String] = Map(
     "op264_bucketed_join" ->
@@ -355,5 +390,14 @@ object EngineQueries {
          |  CAST(count(*) AS BIGINT) AS n_lines,
          |  CAST(sum(cents) AS BIGINT) AS price_cents
          |FROM li JOIN dim d ON li.k = d.k
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "op281_bucketed_agg" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS order_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(order_cents) AS BIGINT) AS cents_sum
+        |FROM po GROUP BY 1 ORDER BY 1""".stripMargin)
 }

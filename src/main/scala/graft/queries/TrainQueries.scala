@@ -1328,6 +1328,57 @@ object TrainQueries {
       "doc_id")
   }
 
+  /** op282: held-out bigram perplexity per source — op78's add-one
+    * bigram LM with the leakage line drawn: counts (c2, c1) and the
+    * vocabulary come from folds 1–4 (fold = doc_id % 5), scoring runs
+    * on fold 0 ONLY, so no eval bigram ever contributes to its own
+    * probability. Average negative log-likelihood in micro-nats per
+    * source — THE corpus-quality leaderboard metric (op78 answers
+    * "which DOC is unusual in-sample"; op282 answers "which SOURCE
+    * does a model trained on the rest predict worst" — high nll =
+    * novel or noisy, suspiciously low = templated or leaked).
+    * Unseen eval bigrams take the smoothed (0+1)/(c1+V) mass through
+    * the SAME formula via left joins — absent-mass handling is the
+    * point of held-out eval, not an edge case.
+    *
+    * 100 TB shape: identical to op78 (one bigram explode, two
+    * map-combinable count tables, vocab as a 1-row broadcast) plus a
+    * fold filter that pushes to the scan; eval traffic is 1/|folds|
+    * of the corpus. */
+  val op282HeldoutPpl: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), expr("doc_id % 5").as("fold"),
+        TextOps.tokens(col("text")).as("t"))
+    val bigrams = toks.select(col("source"), col("fold"),
+        explode(TextOps.bigramsOfTokens(col("t"))).as("b"))
+      .select(col("source"), col("fold"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val train = bigrams.where(col("fold") =!= 0)
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(
+      toks.where(col("fold") =!= 0)
+        .select(explode(col("t")).as("tok"))
+        .agg(countDistinct(col("tok")).as("__v")))
+    ordered(
+      bigrams.where(col("fold") === 0)
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(vocab)
+        .select(col("source"),
+          floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double"))
+            * 1000000d).cast("bigint").as("lp_micro"))
+        .groupBy("source")
+        .agg(big(count(lit(1))).as("n_bigrams"),
+          big(sum(col("lp_micro"))).as("sum_lp_micro"))
+        // sums are negative: divide the negated sum (op78's convention)
+        .withColumn("nll_micro",
+          expr("(-sum_lp_micro) div n_bigrams")),
+      "source")
+  }
+
   /** Deterministic stratified sampling: keep a document iff the salted
     * md5 hash of its CONTENT falls under its stratum's rate — the
     * reproducible sampling method for production pipelines (no RNG
@@ -2711,6 +2762,7 @@ object TrainQueries {
     "op76_repetition" -> op76Repetition,
     "op77_dedup_clusters" -> op77DedupClusters,
     "op78_lm_score" -> op78LmScore,
+    "op282_heldout_ppl" -> op282HeldoutPpl,
     "op79_sample_stratified" -> op79SampleStratified,
     "op82_decontaminate" -> op82Decontaminate,
     "op102_bloom_decontaminate" -> op102BloomDecontaminate,
@@ -3828,6 +3880,33 @@ object TrainQueries {
         |WHERE ('0x' || substring(md5('sample:' || text), 1, 15))::BIGINT % 100
         |      < (CAST(substring(source, 4) AS INT) % 4 + 1) * 25
         |ORDER BY doc_id""".stripMargin,
+    "op282_heldout_ppl" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 5 AS fold, source,
+        |         string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |bg AS (
+        |  SELECT fold, source, toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM (SELECT fold, source, toks, unnest(range(n - 1)) AS i
+        |        FROM t)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg
+        |       WHERE fold <> 0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg
+        |       WHERE fold <> 0 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v
+        |      FROM (SELECT unnest(toks) AS token FROM t WHERE fold <> 0)),
+        |lp AS (
+        |  SELECT bg.source,
+        |         CAST(floor(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+        |              / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE))
+        |              * 1000000) AS BIGINT) AS lp_micro
+        |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v WHERE bg.fold = 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+        |       CAST((-sum(lp_micro)) // count(*) AS BIGINT) AS nll_micro
+        |FROM lp GROUP BY source ORDER BY source""".stripMargin,
     "op78_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

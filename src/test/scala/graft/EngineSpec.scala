@@ -92,6 +92,16 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("op281 per-order aggregate over the bucketed store has no Exchange") {
+    val df = graft.queries.EngineQueries.bucketedAgg(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed per-entity aggregate should not shuffle:\n$plan")
+    assert(df.count() ==
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey").distinct().count())
+  }
+
   test("op274 AQE splits the hot-key partition (skew=true in final plan)") {
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
