@@ -56,7 +56,11 @@ object EngineQueries {
     * published dir via `CREATE TABLE ... CLUSTERED BY` DDL — the
     * catalog entry is metadata only, the store is the files. */
   private def bucketStoreDir(s: SparkSession, d: String): String = {
-    val dir = TrainQueries.indexRoot(d, "bucketed_ok_v1", table = "lineitem")
+    // BOTH materialized tables are fingerprinted in the cache key:
+    // regenerating either fixture in place invalidates the store
+    // (single-table keying would silently serve stale orders data).
+    val dir = TrainQueries.indexRootMulti(d, "bucketed_ok_v1",
+      tables = Seq("orders", "lineitem"))
     TrainQueries.buildIndexIfAbsent(dir, "lineitem_b") { tmp =>
       val nonce = s"graft_buckbuild_${System.nanoTime()}"
       Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))

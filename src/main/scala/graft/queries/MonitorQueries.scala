@@ -899,8 +899,12 @@ object MonitorQueries {
       pairs.join(broadcast(den), "event_type")
         .select(col("event_type"), big(col("lag")).as("lag"),
           col("n_pairs"),
-          expr("CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) " +
-            "* 10000) AS BIGINT)").as("r_bp")),
+          // den = 0 (constant series) → r undefined: NULL in BOTH
+          // engines, instead of Spark's NaN→0 non-ANSI cast diverging
+          // from DuckDB's cast error on the same input
+          expr("CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) " +
+            "* 10000) AS BIGINT) END").as("r_bp")),
       "event_type", "lag")
   }
 
@@ -994,8 +998,12 @@ object MonitorQueries {
   val op268WelchT: Q = (s, d) => {
     val m = Tables.documents(s, d)
       .groupBy("source")
+      // squared term accumulates in DECIMAL(38,0) (the op254/op270
+      // convention): a BIGINT sum of squares silently wraps at the
+      // corpus scale the exactness claim covers
       .agg(count(lit(1)).as("n1"), sum("n_chars").as("s1"),
-        sum(expr("n_chars * n_chars")).as("q1"))
+        sum(expr("CAST(n_chars AS DECIMAL(19,0)) * " +
+          "CAST(n_chars AS DECIMAL(19,0))")).as("q1"))
     val tot = m.agg(sum("n1").as("ntv"), sum("s1").as("stv"),
       sum("q1").as("qtv"))
     ordered(
@@ -1160,20 +1168,22 @@ object MonitorQueries {
         |    AND b.day = a.day + l.lag
         |  GROUP BY 1, 2)
         |SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
-        |  CAST(floor(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE)
-        |       * 10000) AS BIGINT) AS r_bp
+        |  CASE WHEN d.den = 0 THEN CAST(NULL AS BIGINT)
+        |       ELSE CAST(floor(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+        |            * 10000) AS BIGINT) END AS r_bp
         |FROM pairs p JOIN den d USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
     "op268_welch_t" ->
       """WITH m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n1,
         |    CAST(sum(n_chars) AS BIGINT) AS s1,
-        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q1
+        |    sum(CAST(n_chars AS DECIMAL(19,0)) *
+        |        CAST(n_chars AS DECIMAL(19,0))) AS q1
         |  FROM documents GROUP BY 1),
         |tot AS (
         |  SELECT CAST(sum(n1) AS BIGINT) AS ntv,
         |    CAST(sum(s1) AS BIGINT) AS stv,
-        |    CAST(sum(q1) AS BIGINT) AS qtv FROM m),
+        |    sum(q1) AS qtv FROM m),
         |e1 AS (
         |  SELECT source, n1, ntv, stv, qtv, s1, q1,
         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,

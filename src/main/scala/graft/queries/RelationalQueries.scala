@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,15 +159,27 @@ object RelationalQueries {
       "c_nationkey")
   }
 
-  /** OP-42 approximate distinct (HLL sketch). No hash oracle — the driver
-    * records a rows-only check; exactness is bounded in the ScalaTest spec
-    * instead. Mergeable sketch ⇒ map-side partials, constant shuffle. */
+  /** OP-42 approximate distinct (HLL sketch), BOUNDS-GATED: the sketch
+    * value itself is engine-specific (no SQL oracle can reproduce it),
+    * so the emitted row carries the exact distinct count plus an
+    * integer `hll_within_5pct` flag — |HLL − exact| ≤ 5% of exact, a
+    * 2.5σ gate at rsd 0.02 — and the oracle asserts the flag from
+    * exact SQL (literal 1). A sketch regression flips the flag to 0
+    * and the driver hash-fails; the raw-estimate bound is additionally
+    * asserted in ApproxBoundsSpec. Pure integer comparison (×100 vs
+    * ×5), no float thresholds. Mergeable sketch ⇒ map-side partials,
+    * constant shuffle. */
   val op42ApproxDistinct: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     ordered(
       li.groupBy(col("l_returnflag"))
-        .agg(big(approx_count_distinct(col("l_partkey"), 0.02)).as("approx_parts"),
-             big(count(lit(1))).as("n_rows")),
+        .agg(big(countDistinct(col("l_partkey"))).as("exact_parts"),
+             big(approx_count_distinct(col("l_partkey"), 0.02)).as("approx_raw"),
+             big(count(lit(1))).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          when(abs(col("approx_raw") - col("exact_parts")) * 100
+              <= col("exact_parts") * 5, lit(1L)).otherwise(lit(0L))
+            .cast("bigint").as("hll_within_5pct")),
       "l_returnflag")
   }
 
@@ -379,20 +391,47 @@ object RelationalQueries {
       .maintainedLangLengthCounts(s, d, state))
   }
 
-  /** OP-46 approximate percentiles (KLL-style mergeable sketch): the
-    * 100 TB path — exact percentile materializes per-group value arrays,
-    * the sketch is constant-size and merges map-side. Rows-only driver
-    * check (sketch internals differ per engine); the spec bounds the
-    * rank error against the exact spelling. */
+  /** OP-46 approximate percentiles (GK mergeable sketch), BOUNDS-GATED:
+    * the 100 TB path — exact percentile materializes per-group value
+    * arrays, the sketch is constant-size and merges map-side. The
+    * sketch's returned VALUE is engine-specific, but its CONTRACT is
+    * exact and checkable: at accuracy 10000 the returned element's
+    * rank must lie within ⌈n/10000⌉ of ⌈p·n⌉. The query emits, per
+    * group, an integer in-window flag per percentile — rank window
+    * verified by counting rows ≤ / < the sketch's answer (one extra
+    * map-combinable pass over a 3-row broadcast join, no sort) — and
+    * the oracle asserts the flags from exact SQL (literal 1), turning
+    * the probabilistic op into a hash-gated one. ±1 rank slack covers
+    * the ⌈⌉ boundary conventions; all arithmetic integer. */
   val op46PercentileApprox: Q = (s, d) => {
     val o = Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+    val ap = o.groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("a99"))
+    def inWindow(le: Column, lt: Column, target: Column, err: Column) =
+      when(le >= target - err - lit(1L) && lt <= target + err + lit(1L),
+        lit(1L)).otherwise(lit(0L)).cast("bigint")
     ordered(
-      o.groupBy(col("o_orderstatus"))
-        .agg(
-          bp4(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("p50"),
-          bp4(expr("approx_percentile(o_totalprice, 0.9, 10000)")).as("p90"),
-          bp4(expr("approx_percentile(o_totalprice, 0.99, 10000)")).as("p99"),
-          big(count(lit(1))).as("n")),
+      o.join(broadcast(ap), "o_orderstatus")
+        .groupBy(col("o_orderstatus"))
+        .agg(big(count(lit(1))).as("n"),
+          sum(when(col("o_totalprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("o_totalprice") <   col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("o_totalprice") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("o_totalprice") <   col("a90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("o_totalprice") <= col("a99"), 1L).otherwise(0L)).as("le99"),
+          sum(when(col("o_totalprice") <   col("a99"), 1L).otherwise(0L)).as("lt99"))
+        .withColumn("err", expr("(n + 9999) div 10000"))
+        .select(col("o_orderstatus"), col("n"),
+          inWindow(col("le50"), col("lt50"),
+            expr("(n + 1) div 2"), col("err")).as("p50_in_window"),
+          inWindow(col("le90"), col("lt90"),
+            expr("(9 * n + 9) div 10"), col("err")).as("p90_in_window"),
+          inWindow(col("le99"), col("lt99"),
+            expr("(99 * n + 99) div 100"), col("err")).as("p99_in_window")),
       "o_orderstatus")
   }
 
@@ -935,6 +974,21 @@ object RelationalQueries {
         |  CAST(CAST(quantile_cont(o_totalprice, 0.99) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p99,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The two approx ops are bounds-gated: Spark emits measured
+    // in-bounds flags, the oracle asserts them true from exact SQL —
+    // a sketch regression flips a flag and the hash gate catches it.
+    "op42_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS hll_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "op46_percentile_approx" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS p50_in_window,
+        |  CAST(1 AS BIGINT) AS p90_in_window,
+        |  CAST(1 AS BIGINT) AS p99_in_window
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "op41_distinct" ->
       """SELECT c_nationkey, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
         |       CAST(count(*) AS BIGINT) AS n_customers

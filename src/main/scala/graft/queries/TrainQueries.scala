@@ -541,9 +541,8 @@ object TrainQueries {
   private val contentFp =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private[queries] def indexRoot(d: String, kind: String,
-      table: String = "embeddings"): String = {
-    val fp = contentFp.computeIfAbsent((d, table), { _ =>
+  private def tableFp(d: String, table: String): String =
+    contentFp.computeIfAbsent((d, table), { _ =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def stamp(f: java.io.File): Unit =
         if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(stamp)
@@ -559,7 +558,23 @@ object TrainQueries {
       stamp(new java.io.File(s"$d/$table.parquet"))
       md.digest().take(8).map(b => f"$b%02x").mkString
     })
-    s"/root/repo/target/graft_index/v2/${new java.io.File(d).getName}-$table-$fp/$kind"
+
+  private[queries] def indexRoot(d: String, kind: String,
+      table: String = "embeddings"): String =
+    s"/root/repo/target/graft_index/v2/${new java.io.File(d).getName}-$table-${tableFp(d, table)}/$kind"
+
+  /** Multi-table variant of [[indexRoot]] for stores that materialize
+    * MORE than one source table (e.g. the bucketed orders⋈lineitem
+    * store): the dir name carries EVERY input's content fingerprint,
+    * so regenerating ANY of them in place invalidates the cache — the
+    * single-table spelling would silently serve a stale copy of the
+    * unfingerprinted table. */
+  private[queries] def indexRootMulti(d: String, kind: String,
+      tables: Seq[String]): String = {
+    val ts = tables.sorted
+    val tag = ts.mkString("_")
+    val fp = ts.map(tableFp(d, _)).mkString("")
+    s"/root/repo/target/graft_index/v2/${new java.io.File(d).getName}-$tag-$fp/$kind"
   }
 
   /** An index written by ivfIndexWrite/pqIndexWrite is complete iff its

@@ -692,8 +692,12 @@ object WarehouseQueries {
       base.join(broadcast(tot), "category")
         .select(col("category"), big(col("fold")).as("fold"),
           big(col("n_cf")).as("n_rows"),
-          meanBpFromCents(col("s_c") - col("s_cf"),
-            col("n_c") - col("n_cf")).as("enc_bp")),
+          // a category whose rows all land in one fold has no
+          // out-of-fold rows: the encoding is undefined → NULL in BOTH
+          // engines (not Spark's NaN→0 cast vs DuckDB's cast error)
+          when(col("n_c") === col("n_cf"), lit(null).cast("bigint"))
+            .otherwise(meanBpFromCents(col("s_c") - col("s_cf"),
+              col("n_c") - col("n_cf"))).as("enc_bp")),
       "category", "fold")
   }
 
@@ -818,9 +822,10 @@ object WarehouseQueries {
         |    CAST(sum(s_cf) AS BIGINT) AS s_c
         |  FROM base GROUP BY 1)
         |SELECT b.category, b.fold, b.n_cf AS n_rows,
-        |  CAST(CAST(CAST(t.s_c - b.s_cf AS DOUBLE) /
-        |    CAST((t.n_c - b.n_cf) * 100 AS DOUBLE) AS DECIMAL(18,4))
-        |    * 10000 AS BIGINT) AS enc_bp
+        |  CASE WHEN t.n_c = b.n_cf THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(CAST(CAST(t.s_c - b.s_cf AS DOUBLE) /
+        |      CAST((t.n_c - b.n_cf) * 100 AS DOUBLE) AS DECIMAL(18,4))
+        |      * 10000 AS BIGINT) END AS enc_bp
         |FROM base b JOIN tot t USING (category)
         |ORDER BY category, fold""".stripMargin,
     "op258_fk_audit" -> fkAuditSql,

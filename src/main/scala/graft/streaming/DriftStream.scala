@@ -48,11 +48,12 @@ object DriftStream {
           (): Unit
         }
         .start()
-      (0 until 4).foreach { k =>
+      // stop() in finally: a failing addData/processAllAvailable must
+      // not leak a started query for the rest of the session
+      try (0 until 4).foreach { k =>
         in.addData(docs.filter(_._1 % 4 == k))
         q.processAllAvailable()
-      }
-      q.stop()
+      } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // Merged histogram is O(distinct lengths) rows — materialize it
     // (localCheckpoint severs the lineage) and reclaim the state dir.
@@ -92,11 +93,12 @@ object DriftStream {
           (): Unit
         }
         .start()
-      (0 until 4).foreach { k =>
+      // stop() in finally: a failing addData/processAllAvailable must
+      // not leak a started query for the rest of the session
+      try (0 until 4).foreach { k =>
         in.addData(docs.filter(_._1 % 4 == k))
         q.processAllAvailable()
-      }
-      q.stop()
+      } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val merged = spark.read.parquet(s"$stateDir/partials")
       .groupBy("lang", "v").agg(sum("c").as("c"))
