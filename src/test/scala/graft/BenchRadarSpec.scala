@@ -66,12 +66,15 @@ class BenchRadarSpec extends AnyFunSuite {
     assert(Bench.spread(Seq(0.0, 2.0)) == 1.0)     // failed canary timing
   }
 
-  test("noise assessment: either spread past its band reads contended") {
-    // bands from the round-7 quiet-box measurements: short canary ±2x,
-    // whole-pass totals (averaging ~100 queries) 1.3x
-    assert(Bench.noiseAssessment(1.9, 1.25) == "quiet")
-    assert(Bench.noiseAssessment(2.5, 1.0) == "contended")  // canary hit
-    assert(Bench.noiseAssessment(1.0, 1.5) == "contended")  // pass hit
-    assert(Bench.noiseAssessment(2.0, 1.3) == "quiet")      // at the edge
+  test("noise assessment: any spread past its band reads contended") {
+    // bands: short fixed-overhead canary 2x (round-7 quiet-box
+    // measurements), mid-weight scan+shuffle canary 1.6x (the r10
+    // contention sensor — the cheap canary sat still while contention
+    // doubled shuffle-heavy queries), whole-pass totals 1.3x
+    assert(Bench.noiseAssessment(1.9, 1.5, 1.25) == "quiet")
+    assert(Bench.noiseAssessment(2.5, 1.0, 1.0) == "contended") // canary hit
+    assert(Bench.noiseAssessment(1.0, 1.7, 1.0) == "contended") // mid hit
+    assert(Bench.noiseAssessment(1.0, 1.0, 1.5) == "contended") // pass hit
+    assert(Bench.noiseAssessment(2.0, 1.6, 1.3) == "quiet")     // at the edge
   }
 }
