@@ -1,0 +1,157 @@
+package graft.expressions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** An SQ8 index shard in the flat array layout an ANN server scans:
+  * per cell c — centroid (vec, n2) and its code block (ids, codes,
+  * n2s). Built once at stream construction from the persisted index,
+  * shipped to executors as ONE broadcast value. */
+case class SqShard(
+    cellIds: Array[Long],
+    centVecs: Array[Array[Long]],
+    centN2s: Array[Long],
+    blockIds: Array[Array[Long]],
+    blockCodes: Array[Array[Array[Long]]],
+    blockN2s: Array[Array[Long]])
+
+/** Whole-probe top-k for the streaming SQ8 serving leg: ONE evaluation
+  * ranks the shard's cells against the query vector, scans the nProbe
+  * best cells' code blocks in tight primitive loops, and returns the
+  * merged top-k as array<struct<sq_bp bigint, n_id bigint>> ordered
+  * (sq_bp desc, n_id asc) — collapsing what was a
+  * project → join(blocks) → block-scan → explode → re-aggregate
+  * pipeline into a single map-side projection. The serving plan drops
+  * to project + explode + the one stateful TopKAgg (cross-trigger
+  * folding unchanged), which matters because a streaming micro-batch
+  * pays per-stage planning/scheduling EVERY trigger: the r11 anatomy
+  * measured the join spelling's serving floor at ~0.7 s/batch vs the
+  * ~0.35 s stateful minimum this shape approaches.
+  *
+  * The shard rides in a [[Broadcast]] handle — the index is shipped
+  * once per executor, not per task or per batch. This is the honest
+  * 100 TB shape: an ANN serving node holds ITS SHARD of the index in
+  * RAM (here: the whole test index; in production: the cent_id range
+  * assigned to the node), exactly like the codebook-literal trick this
+  * module already uses for PQ, scaled up through a broadcast because
+  * code blocks are megabytes where codebooks are kilobytes.
+  *
+  * Scoring is bit-identical to Similarity.cosBpFrom∘intDot (same
+  * operand order, Math.sqrt/floor, zero-norm guard); cell choice is
+  * bit-identical to [[IvfCellProbe]]; candidates with n_id == qId are
+  * excluded. Equality of "top-k of union of per-cell top-ks" and
+  * "top-k over all candidates" holds because every global winner ranks
+  * ≤ k within its own cell. */
+case class SqShardTopK(qId: Expression, qVec: Expression,
+    qN2: Expression, shard: Broadcast[SqShard], k: Int, nProbe: Int)
+    extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = qId
+  override def second: Expression = qVec
+  override def third: Expression = qN2
+
+  private val entryType = StructType(Seq(
+    StructField("sq_bp", LongType, nullable = false),
+    StructField("n_id", LongType, nullable = false)))
+
+  override def dataType: DataType = ArrayType(entryType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (qId.dataType, qVec.dataType, qN2.dataType) match {
+      case (LongType, ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"requires (bigint, array<bigint>, bigint), got " +
+            s"(${qId.dataType.simpleString}, ${qVec.dataType.simpleString}, " +
+            s"${qN2.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(qIdV: Any, qVecV: Any, qN2V: Any): Any = {
+    val s = shard.value
+    val qid = qIdV.asInstanceOf[Long]
+    val qv = qVecV.asInstanceOf[ArrayData]
+    val qn2 = qN2V.asInstanceOf[Long]
+    val dim = qv.numElements()
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { q(i) = qv.getLong(i); i += 1 }
+    val qSqrt = math.sqrt(qn2.toDouble)
+    def bp(dot: Long, n2: Long): Long =
+      if (qn2 == 0L || n2 == 0L) 0L
+      else math.floor(
+        dot.toDouble / (qSqrt * math.sqrt(n2.toDouble)) * 10000d).toLong
+    // cell ranking (IvfCellProbe's exact order)
+    val nc = s.cellIds.length
+    val cellBps = new Array[Long](nc)
+    var c = 0
+    while (c < nc) {
+      val cv = s.centVecs(c)
+      if (cv.length != dim)
+        throw new IllegalArgumentException(
+          s"graft_shard_topk: dimension mismatch ($dim vs ${cv.length})")
+      var dot = 0L
+      var d = 0
+      while (d < dim) { dot += q(d) * cv(d); d += 1 }
+      cellBps(c) = bp(dot, s.centN2s(c))
+      c += 1
+    }
+    val cellOrder = Array.range(0, nc).sortWith { (a, b) =>
+      cellBps(a) > cellBps(b) ||
+        (cellBps(a) == cellBps(b) && s.cellIds(a) < s.cellIds(b))
+    }
+    // scan the nProbe best cells' blocks, keep everything, trim once
+    // (probed candidate volume is |corpus|·nProbe/nCells — block-sized)
+    val probes = math.min(nProbe, nc)
+    var cap = 0
+    i = 0
+    while (i < probes) { cap += s.blockIds(cellOrder(i)).length; i += 1 }
+    val scores = new Array[Long](cap)
+    val ids = new Array[Long](cap)
+    var m = 0
+    i = 0
+    while (i < probes) {
+      val ci = cellOrder(i)
+      val bIds = s.blockIds(ci)
+      val bCodes = s.blockCodes(ci)
+      val bN2s = s.blockN2s(ci)
+      var j = 0
+      while (j < bIds.length) {
+        if (bIds(j) != qid) {
+          val codes = bCodes(j)
+          if (codes.length != dim)
+            throw new IllegalArgumentException(
+              s"graft_shard_topk: dimension mismatch ($dim vs ${codes.length})")
+          var dot = 0L
+          var d = 0
+          while (d < dim) { dot += q(d) * codes(d); d += 1 }
+          scores(m) = bp(dot, bN2s(j))
+          ids(m) = bIds(j)
+          m += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val idx = Array.range(0, m).sortWith { (a, b) =>
+      scores(a) > scores(b) || (scores(a) == scores(b) && ids(a) < ids(b))
+    }
+    val kept = math.min(k, m)
+    val out = new Array[Any](kept)
+    i = 0
+    while (i < kept) {
+      out(i) = InternalRow(scores(idx(i)), ids(idx(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression,
+      b: Expression, c: Expression): SqShardTopK =
+    copy(qId = a, qVec = b, qN2 = c)
+}
