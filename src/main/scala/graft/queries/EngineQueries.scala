@@ -13,7 +13,7 @@ import Det.{big, ordered}
   *
   * Both operators follow the lakehouse-store pattern of op137–op147:
   * the FIRST call per dataset materializes the physical layout under
-  * the content-keyed cache (`TrainQueries.indexRoot` /
+  * the content-keyed cache (`IndexStore.indexRoot` /
   * `buildIndexIfAbsent` — atomic publish, racer-safe), every later
   * call exercises only the read path the layout exists for. The DuckDB
   * oracle computes the same aggregate from the raw unbucketed /
@@ -59,9 +59,9 @@ object EngineQueries {
     // BOTH materialized tables are fingerprinted in the cache key:
     // regenerating either fixture in place invalidates the store
     // (single-table keying would silently serve stale orders data).
-    val dir = TrainQueries.indexRootMulti(d, "bucketed_ok_v1",
+    val dir = IndexStore.indexRootMulti(d, "bucketed_ok_v1",
       tables = Seq("orders", "lineitem"))
-    TrainQueries.buildIndexIfAbsent(dir, "lineitem_b") { tmp =>
+    IndexStore.buildIndexIfAbsent(dir, "lineitem_b") { tmp =>
       val nonce = s"graft_buckbuild_${System.nanoTime()}"
       Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
         .repartition(nBuckets, col("o_orderkey"))
@@ -145,8 +145,8 @@ object EngineQueries {
     * the time domain, not the data), and a months dim (month →
     * quarter) materialized beside it as one tiny parquet. */
   private def dppStoreDir(s: SparkSession, d: String): String = {
-    val dir = TrainQueries.indexRoot(d, "dpp_month_v1", table = "lineitem")
-    TrainQueries.buildIndexIfAbsent(dir, "months") { tmp =>
+    val dir = IndexStore.indexRoot(d, "dpp_month_v1", table = "lineitem")
+    IndexStore.buildIndexIfAbsent(dir, "months") { tmp =>
       val fact = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"),
           date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))

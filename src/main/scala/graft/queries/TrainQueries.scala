@@ -138,8 +138,8 @@ object TrainQueries {
     * to recomputing, so the recursive-CTE oracle is unchanged. The
     * end-to-end spelling remains [[Dedup.dedupClusters]]. */
   val op77DedupClusters: Q = (s, d) => {
-    val dir = indexRoot(d, "clusters_j7000_cap100", table = "documents")
-    buildIndexIfAbsent(dir, "clusters") { tmp =>
+    val dir = IndexStore.indexRoot(d, "clusters_j7000_cap100", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "clusters") { tmp =>
       Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text",
           7000L, Some(shingleDocFreqCap))
         .write.mode("overwrite").parquet(s"$tmp/clusters")
@@ -413,8 +413,8 @@ object TrainQueries {
     * (static PartitionFilter, ScaleSpec-asserted). */
   val op115Sq8Probe: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "sq8_c16_l2")
-    buildIndexIfAbsent(dir, "vectors")(
+    val dir = IndexStore.indexRoot(d, "sq8_c16_l2")
+    IndexStore.buildIndexIfAbsent(dir, "vectors")(
       Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
     ordered(
       Similarity.sq8Probe(emb.filter(col("vec_id") < 8), dir, 5, nProbe = 4),
@@ -444,8 +444,8 @@ object TrainQueries {
     * ScaleSpec-asserted). */
   val op119IvfPqProbe: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "ivfpq_c16_l2_m8")
-    buildIndexIfAbsent(dir, "vectors")(
+    val dir = IndexStore.indexRoot(d, "ivfpq_c16_l2_m8")
+    IndexStore.buildIndexIfAbsent(dir, "vectors")(
       Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
         m = 8, nCents = 16, pqLloyd = 1))
     ordered(
@@ -465,8 +465,8 @@ object TrainQueries {
     * [[Similarity.hardNegativesIvf]]. */
   val op109HardNegatives: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "ivf_c16_l2")
-    buildIndexIfAbsent(dir, "cells")(
+    val dir = IndexStore.indexRoot(d, "ivf_c16_l2")
+    IndexStore.buildIndexIfAbsent(dir, "cells")(
       Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
     ordered(
       Similarity.hardNegativesProbe(emb.filter(col("vec_id") < 8), dir, 5,
@@ -521,101 +521,6 @@ object TrainQueries {
       "q_id", "rank")
   }
 
-  /** Prebuilt-index root for a dataset dir: versioned (a format change
-    * bumps v and orphans stale indexes) and keyed by the dataset's
-    * basename PLUS an md5 of the source file's CONTENTS, so sf0.01 and
-    * sf0.1 never share an index AND a regenerated dataset at the same
-    * path can never be served from a stale index (a size+mtime stamp
-    * could alias a same-size regeneration within one mtime tick — the
-    * content hash cannot; the probe must stay oracle-identical to the
-    * end-to-end build over the CURRENT data). Hashing cost is one
-    * sequential read of the fixture file — microscopic next to the
-    * query it guards. Lives under the build's target dir — scratch,
-    * not source. */
-  /** Content fingerprints memoized per (dataset, table) for the JVM's
-    * lifetime: the full-file hash is what makes the cache stale-proof
-    * across PROCESSES (in-place regeneration changes the bytes), but
-    * re-hashing on every query invocation would put an O(file-size)
-    * read inside Bench's timed region — within one session the fixture
-    * is immutable, so hash once. */
-  private val contentFp =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-
-  private def tableFp(d: String, table: String): String =
-    contentFp.computeIfAbsent((d, table), { _ =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def stamp(f: java.io.File): Unit =
-        if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(stamp)
-        else {
-          md.update(f.getName.getBytes("UTF-8"))
-          val in = new java.io.FileInputStream(f)
-          try {
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
-          } finally in.close()
-        }
-      stamp(new java.io.File(s"$d/$table.parquet"))
-      md.digest().take(8).map(b => f"$b%02x").mkString
-    })
-
-  private[queries] def indexRoot(d: String, kind: String,
-      table: String = "embeddings"): String =
-    s"/root/repo/target/graft_index/v2/${new java.io.File(d).getName}-$table-${tableFp(d, table)}/$kind"
-
-  /** Multi-table variant of [[indexRoot]] for stores that materialize
-    * MORE than one source table (e.g. the bucketed orders⋈lineitem
-    * store): the dir name carries EVERY input's content fingerprint,
-    * so regenerating ANY of them in place invalidates the cache — the
-    * single-table spelling would silently serve a stale copy of the
-    * unfingerprinted table. */
-  private[queries] def indexRootMulti(d: String, kind: String,
-      tables: Seq[String]): String = {
-    val ts = tables.sorted
-    val tag = ts.mkString("_")
-    val fp = ts.map(tableFp(d, _)).mkString("")
-    s"/root/repo/target/graft_index/v2/${new java.io.File(d).getName}-$tag-$fp/$kind"
-  }
-
-  /** An index written by ivfIndexWrite/pqIndexWrite is complete iff its
-    * LAST-written table committed (parquet `_SUCCESS` marker). */
-  private def indexReady(dir: String, lastTable: String): Boolean =
-    new java.io.File(s"$dir/$lastTable/_SUCCESS").isFile
-
-  /** Build-if-absent with atomic publication: `build` writes into a
-    * private temp sibling, which is renamed into place only when
-    * complete — a concurrent builder of the SAME index (two sessions,
-    * Verify + Bench overlapping) either wins the rename or discards its
-    * own copy after re-checking the winner, so a reader can never
-    * observe a half-written index and concurrent runs cannot corrupt
-    * the shared cache dir. (Content-keyed roots make the duplicate
-    * build idempotent — both copies are bit-identical.) */
-  private[queries] def buildIndexIfAbsent(dir: String, lastTable: String)(
-      build: String => Unit): Unit = {
-    if (indexReady(dir, lastTable)) return
-    def rmRf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(): Unit
-    }
-    val tmp = new java.io.File(
-      s"$dir.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    new java.io.File(dir).getParentFile.mkdirs()
-    // a failed build must not pile up nanoTime-suffixed tmp dirs
-    try build(tmp.getPath)
-    catch { case e: Throwable => rmRf(tmp); throw e }
-    if (!tmp.renameTo(new java.io.File(dir))) {
-      // rename refused: either a racer published first (keep theirs) or
-      // a stale incomplete dir squats on the path (replace it)
-      if (!indexReady(dir, lastTable)) {
-        rmRf(new java.io.File(dir))
-        if (!tmp.renameTo(new java.io.File(dir))) rmRf(tmp)
-      } else rmRf(tmp)
-    }
-    // the caller is about to read $dir — fail HERE, not with a
-    // missing-path error far from the cause
-    require(indexReady(dir, lastTable),
-      s"index publication failed for $dir (racer left a broken dir?)")
-  }
-
   /** IVF probe against a PREBUILT persisted index — the build-once/
     * probe-many split op69 cannot show (it trains per run). Same
     * parameters as op69 (16 cells, 2 Lloyd passes, nProbe 4), so the
@@ -624,8 +529,8 @@ object TrainQueries {
     * pruning, see ScaleSpec), every later call is probe-only cost. */
   val op84IvfProbe: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "ivf_c16_l2")
-    buildIndexIfAbsent(dir, "cells")(
+    val dir = IndexStore.indexRoot(d, "ivf_c16_l2")
+    IndexStore.buildIndexIfAbsent(dir, "cells")(
       Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
     ordered(
       Similarity.ivfProbe(emb.filter(col("vec_id") < 8), dir, 5, nProbe = 4),
@@ -638,8 +543,8 @@ object TrainQueries {
     * every later call is pure ADC + rerank. */
   val op85PqProbe: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "pq_m8_c16_l1")
-    buildIndexIfAbsent(dir, "vectors")(
+    val dir = IndexStore.indexRoot(d, "pq_m8_c16_l1")
+    IndexStore.buildIndexIfAbsent(dir, "vectors")(
       Similarity.pqIndexWrite(emb, _, m = 8, nCents = 16, lloydIters = 1))
     ordered(
       Similarity.pqProbe(emb.filter(col("vec_id") < 8), dir, 5),
@@ -652,8 +557,8 @@ object TrainQueries {
     * quantization never recur after the first call per dataset. */
   val op86LshProbe: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "lsh_b4_t8")
-    buildIndexIfAbsent(dir, "vectors")(
+    val dir = IndexStore.indexRoot(d, "lsh_b4_t8")
+    IndexStore.buildIndexIfAbsent(dir, "vectors")(
       Similarity.lshIndexWrite(emb, _, nBits = 4, nTables = 8))
     ordered(
       Similarity.lshProbe(emb.filter(col("vec_id") < 8), dir, 5),
@@ -672,8 +577,8 @@ object TrainQueries {
   val op96StreamIvfProbe: Q = (s, d) => {
     import graft.streaming.StreamingAnn
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "ivf_c16_l2")
-    buildIndexIfAbsent(dir, "cells")(
+    val dir = IndexStore.indexRoot(d, "ivf_c16_l2")
+    IndexStore.buildIndexIfAbsent(dir, "cells")(
       Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
     ordered(StreamingAnn.explodeTopK(
         drainQueryVecStream(s, d, "op96",
@@ -691,8 +596,8 @@ object TrainQueries {
   val op116StreamSq8Probe: Q = (s, d) => {
     import graft.streaming.StreamingAnn
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "sq8_c16_l2")
-    buildIndexIfAbsent(dir, "vectors")(
+    val dir = IndexStore.indexRoot(d, "sq8_c16_l2")
+    IndexStore.buildIndexIfAbsent(dir, "vectors")(
       Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
     ordered(StreamingAnn.explodeTopK(
         drainQueryVecStream(s, d, "op116",
@@ -712,8 +617,8 @@ object TrainQueries {
   val op120StreamIvfPqProbe: Q = (s, d) => {
     import graft.streaming.StreamingAnn
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "ivfpq_c16_l2_m8")
-    buildIndexIfAbsent(dir, "vectors")(
+    val dir = IndexStore.indexRoot(d, "ivfpq_c16_l2_m8")
+    IndexStore.buildIndexIfAbsent(dir, "vectors")(
       Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
         m = 8, nCents = 16, pqLloyd = 1))
     ordered(StreamingAnn.explodeTopK(
@@ -733,8 +638,8 @@ object TrainQueries {
   val op97StreamLshProbe: Q = (s, d) => {
     import graft.streaming.StreamingAnn
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "lsh_b4_t8")
-    buildIndexIfAbsent(dir, "vectors")(
+    val dir = IndexStore.indexRoot(d, "lsh_b4_t8")
+    IndexStore.buildIndexIfAbsent(dir, "vectors")(
       Similarity.lshIndexWrite(emb, _, nBits = 4, nTables = 8))
     ordered(StreamingAnn.explodeTopK(
         drainQueryVecStream(s, d, "op97",
@@ -760,8 +665,8 @@ object TrainQueries {
   val op100StreamPqAdc: Q = (s, d) => {
     import graft.streaming.StreamingAnn
     val emb = Tables.embeddings(s, d)
-    val dir = indexRoot(d, "pq_m8_c16_l1")
-    buildIndexIfAbsent(dir, "vectors")(
+    val dir = IndexStore.indexRoot(d, "pq_m8_c16_l1")
+    IndexStore.buildIndexIfAbsent(dir, "vectors")(
       Similarity.pqIndexWrite(emb, _, m = 8, nCents = 16, lloydIters = 1))
     ordered(StreamingAnn.explodeTopK(
         drainQueryVecStream(s, d, "op100",
@@ -845,8 +750,8 @@ object TrainQueries {
     * same hash gate as every batch query. */
   val op104StreamIncrDedup: Q = (s, d) => {
     import graft.streaming.IncrementalDedup
-    val dir = indexRoot(d, "fp_store_mod3", table = "documents")
-    buildIndexIfAbsent(dir, "fps") { tmp =>
+    val dir = IndexStore.indexRoot(d, "fp_store_mod3", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "fps") { tmp =>
       IncrementalDedup.fingerprints(
           Tables.documents(s, d).filter(col("doc_id") % 3 === 0), "text")
         .write.mode("overwrite").parquet(s"$tmp/fps")
@@ -876,8 +781,8 @@ object TrainQueries {
     * cross-slice shingle sets. */
   val op134StreamDecontaminate: Q = (s, d) => {
     import graft.streaming.StreamingDecontaminate
-    val dir = indexRoot(d, "bench_shingles_mod50", table = "documents")
-    buildIndexIfAbsent(dir, "shingles") { tmp =>
+    val dir = IndexStore.indexRoot(d, "bench_shingles_mod50", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "shingles") { tmp =>
       StreamingDecontaminate.storeWrite(
         Tables.documents(s, d).filter(col("doc_id") % 50 === 0),
         "doc_id", "text", tmp)
@@ -903,8 +808,8 @@ object TrainQueries {
     * dedup family. */
   val op132StreamNearDedup: Q = (s, d) => {
     import graft.streaming.StreamingNearDedup
-    val dir = indexRoot(d, "neardup_store_mod3_k16r4", table = "documents")
-    buildIndexIfAbsent(dir, "docs") { tmp =>
+    val dir = IndexStore.indexRoot(d, "neardup_store_mod3_k16r4", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs") { tmp =>
       StreamingNearDedup.storeWrite(
         Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
         "doc_id", "text", tmp)
@@ -1022,8 +927,8 @@ object TrainQueries {
     // the probe under eval hits op84's shared prebuilt index (probe ≡
     // end-to-end, so the oracle's full replay is unchanged) — recall
     // eval is a read of the serving index, not a training run
-    val ivfDir = indexRoot(d, "ivf_c16_l2")
-    buildIndexIfAbsent(ivfDir, "cells")(
+    val ivfDir = IndexStore.indexRoot(d, "ivf_c16_l2")
+    IndexStore.buildIndexIfAbsent(ivfDir, "cells")(
       Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
     val ann = Similarity.ivfProbe(queries, ivfDir, 5, nProbe = 4)
       .select(col("q_id"), col("n_id"))
@@ -1126,14 +1031,14 @@ object TrainQueries {
   val op121RecallMatrix: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 8)
-    val ivfDir = indexRoot(d, "ivf_c16_l2")
-    buildIndexIfAbsent(ivfDir, "cells")(
+    val ivfDir = IndexStore.indexRoot(d, "ivf_c16_l2")
+    IndexStore.buildIndexIfAbsent(ivfDir, "cells")(
       Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    val sq8Dir = indexRoot(d, "sq8_c16_l2")
-    buildIndexIfAbsent(sq8Dir, "vectors")(
+    val sq8Dir = IndexStore.indexRoot(d, "sq8_c16_l2")
+    IndexStore.buildIndexIfAbsent(sq8Dir, "vectors")(
       Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    val ivfPqDir = indexRoot(d, "ivfpq_c16_l2_m8")
-    buildIndexIfAbsent(ivfPqDir, "vectors")(
+    val ivfPqDir = IndexStore.indexRoot(d, "ivfpq_c16_l2_m8")
+    IndexStore.buildIndexIfAbsent(ivfPqDir, "vectors")(
       Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
         m = 8, nCents = 16, pqLloyd = 1))
     // ground truth feeds all three hit-joins — materialize once
@@ -1749,8 +1654,8 @@ object TrainQueries {
     // — the thing this query measures — is a per-row hash over that
     // table. Deterministic clustering + all-bigint storage ⇒ the cached
     // path is bit-identical to recomputing (same oracle as always).
-    val dir = indexRoot(d, "clusters_j7000_cap100", table = "documents")
-    buildIndexIfAbsent(dir, "clusters") { tmp =>
+    val dir = IndexStore.indexRoot(d, "clusters_j7000_cap100", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "clusters") { tmp =>
       Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text",
           7000L, Some(shingleDocFreqCap))
         .write.mode("overwrite").parquet(s"$tmp/clusters")
@@ -1794,8 +1699,8 @@ object TrainQueries {
     * cache, built once per dataset); the histogram itself is two
     * bounded aggregates over (doc_id, cluster). */
   val op114ClusterHistogram: Q = (s, d) => {
-    val dir = indexRoot(d, "clusters_j7000_cap100", table = "documents")
-    buildIndexIfAbsent(dir, "clusters") { tmp =>
+    val dir = IndexStore.indexRoot(d, "clusters_j7000_cap100", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "clusters") { tmp =>
       Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text",
           7000L, Some(shingleDocFreqCap))
         .write.mode("overwrite").parquet(s"$tmp/clusters")
@@ -1822,8 +1727,8 @@ object TrainQueries {
     // assignment persists once per dataset (all-bigint ⇒ bit-exact
     // round-trip) and the query measures the within-cell dominance
     // dedup itself. Oracle unchanged — cells are deterministic.
-    val dir = indexRoot(d, "semcells_c16_l2")
-    buildIndexIfAbsent(dir, "cells") { tmp =>
+    val dir = IndexStore.indexRoot(d, "semcells_c16_l2")
+    IndexStore.buildIndexIfAbsent(dir, "cells") { tmp =>
       Similarity.semCells(Tables.embeddings(s, d), nCells = 16,
           lloydIters = 2)
         .write.mode("overwrite").parquet(s"$tmp/cells")
@@ -1882,8 +1787,8 @@ object TrainQueries {
     // content-keyed, built once per dataset, bit-exact) rather than
     // re-running the pair join per invocation; the end-to-end pair
     // computations stay measured by the op61/op63/op64/op98 family
-    val dir = indexRoot(d, "pairs_j7000_cap100", table = "documents")
-    buildIndexIfAbsent(dir, "pairs") { tmp =>
+    val dir = IndexStore.indexRoot(d, "pairs_j7000_cap100", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "pairs") { tmp =>
       Dedup.jaccardPairs(doc, "doc_id", "text", 7000L,
           Some(shingleDocFreqCap))
         .write.mode("overwrite").parquet(s"$tmp/pairs")
@@ -1965,8 +1870,8 @@ object TrainQueries {
     * encode plan carries the merges as literals with no training stage. */
   val op127BpeEncode: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val dir = indexRoot(d, s"bpe_merges_r$bpeRounds", table = "documents")
-    buildIndexIfAbsent(dir, "merges") { tmp =>
+    val dir = IndexStore.indexRoot(d, s"bpe_merges_r$bpeRounds", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "merges") { tmp =>
       graft.functions.Vocab.trainMergesDf(docs, "text", bpeRounds)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merges")
     }
@@ -1993,8 +1898,8 @@ object TrainQueries {
     * rollup is map-combinable on top. */
   val op259TokenizerFertility: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val dir = indexRoot(d, s"bpe_merges_r$bpeRounds", table = "documents")
-    buildIndexIfAbsent(dir, "merges") { tmp =>
+    val dir = IndexStore.indexRoot(d, s"bpe_merges_r$bpeRounds", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "merges") { tmp =>
       graft.functions.Vocab.trainMergesDf(docs, "text", bpeRounds)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merges")
     }
@@ -2112,8 +2017,8 @@ object TrainQueries {
   private def zorderStoreDir(s: SparkSession, d: String): String = {
     // v3: manifest carries the per-file doc_id Bloom (point index) AND
     // per-dimension column bounds + n_rows (metadata-only aggregation)
-    val dir = indexRoot(d, "zorder_lang_len_v3", table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_v3", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = graft.functions.Layout.denseDimIds(
         Tables.documents(s, d), "lang", "lang_id")
         .withColumn("len_bucket",
@@ -2191,8 +2096,8 @@ object TrainQueries {
     graft.functions.Layout.mortonKey(col("lang_id"), col("len_bucket"))
 
   val op139AppendScan: Q = (s, d) => {
-    val dir = indexRoot(d, "zorder_lang_len_appended", table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_appended", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = layoutKeyed(s, d)
       graft.functions.Layout.writeClustered(
         keyed.filter(col("doc_id") % 5 =!= 0L), layoutZk, numFiles = 8,
@@ -2214,8 +2119,8 @@ object TrainQueries {
     * compaction must move bytes, not answers. Completes the layout
     * lifecycle: build → scan → prune → append → compact. */
   val op141CompactedScan: Q = (s, d) => {
-    val dir = indexRoot(d, "zorder_lang_len_compacted", table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_compacted", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = layoutKeyed(s, d)
       graft.functions.Layout.writeClustered(
         keyed.filter(col("doc_id") % 4 === 0L), layoutZk, numFiles = 4,
@@ -2244,8 +2149,8 @@ object TrainQueries {
   /** The op145/op154 shared versioned store: c=1 base (doc_id%5≠0),
     * c=2 full corpus (append), c=3 with doc_id%10==3 tombstoned. */
   private def versionedStoreDir(s: SparkSession, d: String): String = {
-    val dir = indexRoot(d, "zorder_lang_len_versioned", table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_versioned", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = layoutKeyed(s, d)
       graft.functions.Layout.writeClustered(
         keyed.filter(col("doc_id") % 5 =!= 0L), layoutZk, numFiles = 8,
@@ -2452,9 +2357,9 @@ object TrainQueries {
     * CDC feed gets from its per-key log ordering. */
   val op153StreamUpsert: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
-    val dir = indexRoot(d, "zorder_lang_len_stream_upserted",
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_stream_upserted",
       table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       graft.functions.Layout.writeClustered(
         layoutKeyed(s, d).filter(col("doc_id") % 5 =!= 0L), layoutZk,
         numFiles = 8, path = s"$tmp/docs")
@@ -2510,8 +2415,8 @@ object TrainQueries {
     * oracle is the full-table aggregate: delta-maintained and
     * recomputed answers must agree exactly. */
   val op152IncrAgg: Q = (s, d) => {
-    val dir = indexRoot(d, "incr_agg_flag_status", table = "lineitem")
-    buildIndexIfAbsent(dir, "state") { tmp =>
+    val dir = IndexStore.indexRoot(d, "incr_agg_flag_status", table = "lineitem")
+    IndexStore.buildIndexIfAbsent(dir, "state") { tmp =>
       val li = Tables.lineitem(s, d)
       (0L to 2L).foreach { b =>
         li.filter(col("l_orderkey") % 3 === b)
@@ -2546,8 +2451,8 @@ object TrainQueries {
     * re-derive from the op137 clustered store's per-file stats
     * instead. */
   val op253RetractAgg: Q = (s, d) => {
-    val dir = indexRoot(d, "retract_agg_flag_status", table = "lineitem")
-    buildIndexIfAbsent(dir, "state") { tmp =>
+    val dir = IndexStore.indexRoot(d, "retract_agg_flag_status", table = "lineitem")
+    IndexStore.buildIndexIfAbsent(dir, "state") { tmp =>
       val li = Tables.lineitem(s, d)
       (0L to 2L).foreach { b =>
         li.filter(col("l_orderkey") % 3 === b)
@@ -2589,8 +2494,8 @@ object TrainQueries {
     * table; compaction applying the changelog physically (and the
     * merged view surviving it bit-identically) is LayoutSpec's. */
   val op146UpsertMerge: Q = (s, d) => {
-    val dir = indexRoot(d, "zorder_lang_len_upserted", table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_upserted", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = layoutKeyed(s, d)
       graft.functions.Layout.writeClustered(
         keyed.filter(col("doc_id") % 5 =!= 0L), layoutZk, numFiles = 8,
@@ -2622,8 +2527,8 @@ object TrainQueries {
     * null-fill exact — every base row unscored, every appended row
     * carrying its value. */
   val op147SchemaEvolution: Q = (s, d) => {
-    val dir = indexRoot(d, "zorder_lang_len_evolved", table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_evolved", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       val keyed = layoutKeyed(s, d)
       graft.functions.Layout.writeClustered(
         keyed.filter(col("doc_id") % 5 =!= 0L), layoutZk, numFiles = 8,
@@ -2666,8 +2571,8 @@ object TrainQueries {
     * tombstones removed exactly the deleted keys and nothing else.
     * Compaction applying tombstones physically is LayoutSpec's. */
   val op143DeleteScan: Q = (s, d) => {
-    val dir = indexRoot(d, "zorder_lang_len_deleted", table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_deleted", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       graft.functions.Layout.writeClustered(
         layoutKeyed(s, d), layoutZk, numFiles = 8, path = s"$tmp/docs")
       graft.functions.Layout.deleteByKeys(
@@ -2691,8 +2596,8 @@ object TrainQueries {
     * lost nothing and the manifest stayed exact. */
   val op142StreamClusteredIngest: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
-    val dir = indexRoot(d, "zorder_lang_len_streamed", table = "documents")
-    buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
+    val dir = IndexStore.indexRoot(d, "zorder_lang_len_streamed", table = "documents")
+    IndexStore.buildIndexIfAbsent(dir, "docs/_manifest") { tmp =>
       graft.functions.Layout.writeClustered(
         layoutKeyed(s, d).filter(col("doc_id") % 5 =!= 0L), layoutZk,
         numFiles = 8, path = s"$tmp/docs")
