@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.StediQueries.defs ++
     graft.queries.RelationalQueries.defs ++
     graft.queries.TrainQueries.defs ++
+    graft.queries.AnnQueries.defs ++
     graft.queries.StreamQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
     graft.queries.AnalyticsQueries.defs ++
@@ -27,6 +28,7 @@ object SparkEntry {
     graft.queries.StediQueries.oracle ++
     graft.queries.RelationalQueries.oracle ++
     graft.queries.TrainQueries.oracle ++
+    graft.queries.AnnQueries.oracle ++
     graft.queries.StreamQueries.oracle ++
     graft.queries.MultimodalQueries.oracle ++
     graft.queries.AnalyticsQueries.oracle ++

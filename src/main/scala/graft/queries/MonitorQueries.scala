@@ -1168,9 +1168,9 @@ object MonitorQueries {
         |    AND b.day = a.day + l.lag
         |  GROUP BY 1, 2)
         |SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
-        |  CASE WHEN d.den = 0 THEN CAST(NULL AS BIGINT)
-        |       ELSE CAST(floor(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE)
-        |            * 10000) AS BIGINT) END AS r_bp
+        |  CAST(CASE WHEN d.den = 0 THEN NULL
+        |       ELSE floor(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+        |            * 10000) END AS BIGINT) AS r_bp
         |FROM pairs p JOIN den d USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
     "op268_welch_t" ->

@@ -154,13 +154,6 @@ object TrainQueries {
       Dedup.simhash60(Tables.documents(s, d), "doc_id", "text"),
       "doc_id")
 
-  /** Embedding near-duplicate pairs at cosine ≥ 0.95, through the sign-LSH
-    * candidate join (bucket-bounded pair volume — the scale path; exact
-    * equality with the brute-force spelling on planted dups is spec'd). */
-  val op66EmbedDup: Q = (s, d) =>
-    ordered(Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 9500L),
-      "a_id", "b_id")
-
   /** Cross-modal paraphrase mining — the two fixture tables share ids
     * (embedding i embeds document i), so the embedding near-dup miner
     * and the text verifier COMPOSE: mine candidate pairs with op66's
@@ -390,290 +383,6 @@ object TrainQueries {
       "doc_id", "pack_id")
   }
 
-  /** IVF-SQ8 ANN (op112, the faiss IVF-SQ composition): IVF cells
-    * prune, int8 codes score (8× less data per candidate than the
-    * quantized vectors — the scale win), [[graft.functions.TopKAgg]]
-    * trims to a 50-wide shortlist map-side, exact rerank orders the
-    * final top-5. The per-vector scale cancels in cosine, so codes
-    * alone rank the shortlist and DuckDB replays everything in the
-    * shared exact-integer arithmetic. */
-  val op112Sq8Ann: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    ordered(
-      Similarity.ivfSq8TopK(emb.filter(col("vec_id") < 8), emb, 5,
-        lloydIters = 2),
-      "q_id", "rank")
-  }
-
-  /** SQ8 probe against a PREBUILT persisted index (centroids + int8
-    * codes partitioned by cent_id + rerank vector store) — same
-    * parameters as op112, identical results and oracle; training and
-    * encoding never recur after the first call per dataset, and the
-    * code scan prunes to the probed cells via a plan-time IN-list
-    * (static PartitionFilter, ScaleSpec-asserted). */
-  val op115Sq8Probe: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "sq8_c16_l2")
-    IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    ordered(
-      Similarity.sq8Probe(emb.filter(col("vec_id") < 8), dir, 5, nProbe = 4),
-      "q_id", "rank")
-  }
-
-  /** IVF-PQ ANN (op118, the faiss serving composition): IVF cells
-    * (2 Lloyd passes, nProbe=4 of 16) prune the corpus, PQ ADC (8
-    * subspaces × 16 codes — 4 bytes per candidate, the library's
-    * smallest) scores the survivors, TopKAgg trims to a 50-wide
-    * shortlist, exact rerank orders the final top-5. The oracle
-    * composes the op69 cell replay with the op83 ADC replay: approx
-    * distances restricted to each query's probed cells. */
-  val op118IvfPqAnn: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    ordered(
-      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 8), emb, 5,
-        ivfLloyd = 2),
-      "q_id", "rank")
-  }
-
-  /** IVF-PQ probe against a PREBUILT persisted index (IVF centroids +
-    * PQ codebook + cell-partitioned codes + rerank store) — same
-    * parameters as op118, identical results and oracle; training,
-    * assignment, and encoding never recur, and the code scan prunes to
-    * the probed cells via a plan-time IN-list (static PartitionFilter,
-    * ScaleSpec-asserted). */
-  val op119IvfPqProbe: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "ivfpq_c16_l2_m8")
-    IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
-        m = 8, nCents = 16, pqLloyd = 1))
-    ordered(
-      Similarity.ivfPqProbe(emb.filter(col("vec_id") < 8), dir, 5,
-        nProbe = 4),
-      "q_id", "rank")
-  }
-
-  /** Hard-negative mining (op109): per query, top-5 corpus vectors with
-    * cosine in [2500, 9500) bp — informative negatives for contrastive
-    * training, capped below the near-dup ceiling. Band filter on the
-    * op69 IVF probe (same candidate volume; oracle = op69's replay plus
-    * the band). Runs against op84's prebuilt `ivf_c16_l2` index (same
-    * 16-cell / 2-Lloyd-pass parameters, so results and oracle are
-    * unchanged): one index build serves ANN search AND mining, and each
-    * mining run pays only probe cost — the end-to-end spelling is
-    * [[Similarity.hardNegativesIvf]]. */
-  val op109HardNegatives: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "ivf_c16_l2")
-    IndexStore.buildIndexIfAbsent(dir, "cells")(
-      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    ordered(
-      Similarity.hardNegativesProbe(emb.filter(col("vec_id") < 8), dir, 5,
-        2500L, 9500L, nProbe = 4),
-      "q_id", "rank")
-  }
-
-  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 8. */
-  val op67KnnBrute: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    ordered(
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 5),
-      "q_id", "rank")
-  }
-
-  /** Brute-force top-5 via the bounded TopKAgg custom aggregate — same
-    * result as op67, shuffle bounded by k per partition (scale path). */
-  val op67KnnTopKAgg: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    ordered(
-      Similarity.bruteForceTopKAgg(emb.filter(col("vec_id") < 8), emb, 5),
-      "q_id", "rank")
-  }
-
-  /** ANN top-5 via sign-LSH buckets — hash-checked: integer bucket
-    * arithmetic lets the oracle replay the banded join with the quantized
-    * planes inlined; recall vs brute force asserted in the spec. */
-  val op68AnnLsh: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    ordered(
-      Similarity.annTopK(emb.filter(col("vec_id") < 8), emb, 5),
-      "q_id", "rank")
-  }
-
-  /** ANN top-5 via IVF-flat cells (nProbe=4 of 16) — hash-checked: the
-    * oracle unrolls both integer-Lloyd passes; recall vs brute force
-    * asserted in the spec. */
-  val op69AnnIvf: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    ordered(
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 5, lloydIters = 2),
-      "q_id", "rank")
-  }
-
-  /** ANN top-5 via product quantization (8 subspaces × 16 codes, ADC).
-    * Hash-checked: the oracle replays normalize + subspace Lloyd + ADC +
-    * rerank; recall vs brute force asserted in the spec. */
-  val op83PqAnn: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    ordered(
-      Similarity.pqTopK(emb.filter(col("vec_id") < 8), emb, 5),
-      "q_id", "rank")
-  }
-
-  /** IVF probe against a PREBUILT persisted index — the build-once/
-    * probe-many split op69 cannot show (it trains per run). Same
-    * parameters as op69 (16 cells, 2 Lloyd passes, nProbe 4), so the
-    * results — and the DuckDB oracle — are identical; the first call per
-    * dataset builds the index (cells partitioned by cent_id → scan-time
-    * pruning, see ScaleSpec), every later call is probe-only cost. */
-  val op84IvfProbe: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "ivf_c16_l2")
-    IndexStore.buildIndexIfAbsent(dir, "cells")(
-      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    ordered(
-      Similarity.ivfProbe(emb.filter(col("vec_id") < 8), dir, 5, nProbe = 4),
-      "q_id", "rank")
-  }
-
-  /** PQ probe against a PREBUILT persisted index (codebook + 4-byte
-    * codes + rerank vector store) — same parameters as op83, identical
-    * results and oracle; first call per dataset trains and encodes,
-    * every later call is pure ADC + rerank. */
-  val op85PqProbe: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "pq_m8_c16_l1")
-    IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.pqIndexWrite(emb, _, m = 8, nCents = 16, lloydIters = 1))
-    ordered(
-      Similarity.pqProbe(emb.filter(col("vec_id") < 8), dir, 5),
-      "q_id", "rank")
-  }
-
-  /** LSH probe against a PREBUILT persisted index (bucket table
-    * partitioned by (tbl, bucket) + vector store) — same parameters as
-    * op68, identical results and oracle; corpus bucketing and
-    * quantization never recur after the first call per dataset. */
-  val op86LshProbe: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "lsh_b4_t8")
-    IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.lshIndexWrite(emb, _, nBits = 4, nTables = 8))
-    ordered(
-      Similarity.lshProbe(emb.filter(col("vec_id") < 8), dir, 5),
-      "q_id", "rank")
-  }
-
-  /** The op84 probe executed as a REAL Structured Streaming query —
-    * file source of query vectors → [[graft.streaming.StreamingAnn
-    * .ivfProbeStream]] (stream-static join on the prebuilt, partitioned
-    * index; bounded TopKAgg) → memory sink, Trigger.AvailableNow. One
-    * replay carries all queries in a single trigger, so the emitted
-    * top-k equals the batch [[Similarity.ivfProbe]] exactly and op84's
-    * DuckDB oracle checks STREAMING execution under the same hash gate
-    * as every batch query (the op51 pattern applied to online ANN
-    * serving). */
-  val op96StreamIvfProbe: Q = (s, d) => {
-    import graft.streaming.StreamingAnn
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "ivf_c16_l2")
-    IndexStore.buildIndexIfAbsent(dir, "cells")(
-      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    ordered(StreamingAnn.explodeTopK(
-        drainQueryVecStream(s, d, "op96",
-          StreamingAnn.ivfProbeStream(_, dir, 5, nProbe = 4))),
-      "q_id", "rank")
-  }
-
-  /** The online serving matrix's FOURTH leg (IVF cells, LSH buckets,
-    * PQ ADC, and now SQ8 codes): [[graft.streaming.StreamingAnn
-    * .sq8ProbeStream]] drained the same way — probe-cell choice from
-    * inlined centroid literals, stream-static join on the partitioned
-    * int8 code store, bounded TopKAgg. No rerank in a stream, so the
-    * published score is the SQ8-approx cosine and the oracle is the
-    * shared SQ8 replay STOPPED at the approximate scores. */
-  val op116StreamSq8Probe: Q = (s, d) => {
-    import graft.streaming.StreamingAnn
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "sq8_c16_l2")
-    IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    ordered(StreamingAnn.explodeTopK(
-        drainQueryVecStream(s, d, "op116",
-          StreamingAnn.sq8ProbeStream(_, dir, 5, nProbe = 4)), "sq_bp"),
-      "q_id", "rank")
-  }
-
-  /** The serving matrix's last leg, closing its last unpruned path:
-    * [[graft.streaming.StreamingAnn.ivfPqProbeStream]] drained the same
-    * way — op100 scans the whole packed-code store per micro-batch
-    * (PQ-flat ADC by definition); here the inlined-centroid cell choice
-    * prunes the stream-static join to the probed cent_id partitions,
-    * with each candidate still costing m LUT lookups. No rerank in a
-    * stream, so the published score is −d2 and the oracle is the
-    * composed replay STOPPED at the cell-pruned approximate
-    * distances. */
-  val op120StreamIvfPqProbe: Q = (s, d) => {
-    import graft.streaming.StreamingAnn
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "ivfpq_c16_l2_m8")
-    IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
-        m = 8, nCents = 16, pqLloyd = 1))
-    ordered(StreamingAnn.explodeTopK(
-        drainQueryVecStream(s, d, "op120",
-          StreamingAnn.ivfPqProbeStream(_, dir, 5, nProbe = 4)), "neg_d2"),
-      "q_id", "rank")
-  }
-
-  /** op96's twin over the LSH index: [[graft.streaming.StreamingAnn
-    * .lshProbeStream]] (per-row query bucketing with the regenerated
-    * planes, stream-static join on the partitioned bucket store,
-    * topKDistinct as the one streaming aggregation) drained the same
-    * way — shares op68/op86's oracle, putting the second leg of the
-    * online-serving trio under the hash gate. (The PQ leg emits ADC
-    * distances without the exact rerank, so it has no batch-identical
-    * oracle and stays spec-verified.) */
-  val op97StreamLshProbe: Q = (s, d) => {
-    import graft.streaming.StreamingAnn
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "lsh_b4_t8")
-    IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.lshIndexWrite(emb, _, nBits = 4, nTables = 8))
-    ordered(StreamingAnn.explodeTopK(
-        drainQueryVecStream(s, d, "op97",
-          StreamingAnn.lshProbeStream(_, dir, 5))),
-      "q_id", "rank")
-  }
-
-  /** The third leg under the hash gate: [[graft.streaming.StreamingAnn
-    * .pqAdcProbeStream]] drained the same way. The streaming PQ probe is
-    * PURE asymmetric distance computation (the exact rerank is a join
-    * after the aggregation — forbidden in a stream), so its oracle is
-    * op83's replay STOPPED at the approximate distances: top-5 by
-    * (d2, vec_id), score published as −d2. With this, ALL THREE online
-    * ANN probes hash-check under real streaming execution.
-    *
-    * Bench note: the measured time is dominated by per-INVOCATION
-    * stream construction — codegen of the inlined-codebook partial-
-    * distance projection (m×nCents dot-product literals) plus query
-    * start — which a real serving deployment pays once per stream, not
-    * per batch; the per-batch marginal cost is the packed-codes join
-    * (the codes_packed table is the persisted serving layout, so
-    * nothing re-packs). */
-  val op100StreamPqAdc: Q = (s, d) => {
-    import graft.streaming.StreamingAnn
-    val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "pq_m8_c16_l1")
-    IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.pqIndexWrite(emb, _, m = 8, nCents = 16, lloydIters = 1))
-    ordered(StreamingAnn.explodeTopK(
-        drainQueryVecStream(s, d, "op100",
-          StreamingAnn.pqAdcProbeStream(_, dir, 5)), "neg_d2"),
-      "q_id", "rank")
-  }
-
   /** Shared drain for the streaming ANN probe queries: file-source
     * stream of the fixture query vectors (vec_id < 8) → `probe` →
     * memory sink, Trigger.AvailableNow — one replay carries every query
@@ -694,7 +403,7 @@ object TrainQueries {
     * failed stream doesn't leak the temp dir; the sink's rows are
     * lifted out and the temp view dropped, so repeated invocations
     * (Bench reps) don't pin result sets in the session. */
-  private def drainStream(s: SparkSession, d: String, tag: String,
+  private[queries] def drainStream(s: SparkSession, d: String, tag: String,
       table: String, mode: String, parts: String)(
       pipe: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -729,12 +438,6 @@ object TrainQueries {
     s.catalog.dropTempView(name)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
-
-  private def drainQueryVecStream(s: SparkSession, d: String, tag: String,
-      probe: DataFrame => DataFrame): DataFrame =
-    // the aggregate holds 8 groups → 4 shuffle partitions
-    drainStream(s, d, tag, "embeddings", "complete", "4")(st =>
-      probe(st.filter(col("vec_id") < 8)))
 
   /** The incremental cross-run dedup pipeline under the hash gate: a
     * persisted fingerprint store built from the "previously accepted"
@@ -911,74 +614,6 @@ object TrainQueries {
     ordered(closed, "user_id", "event_type", "ver")
   }
 
-  /** ANN recall-evaluation harness as a first-class query: per sampled
-    * query, how many of the IVF probe's top-5 (op69 configuration) are
-    * TRUE top-5 under the exact brute-force scorer — the eval every
-    * serving deployment runs before trusting an index. recall_bp =
-    * hits·10⁴/5 (exact integers). Scale protocol: ground truth is
-    * brute force over a SMALL query sample × corpus (the standard
-    * recall measurement — the sample is the knob, here vec_id < 8);
-    * the candidate side is the partition-pruned probe. */
-  val op110AnnRecall: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 8)
-    val truth = Similarity.bruteForceTopK(queries, emb, 5)
-      .select(col("q_id"), col("n_id"))
-    // the probe under eval hits op84's shared prebuilt index (probe ≡
-    // end-to-end, so the oracle's full replay is unchanged) — recall
-    // eval is a read of the serving index, not a training run
-    val ivfDir = IndexStore.indexRoot(d, "ivf_c16_l2")
-    IndexStore.buildIndexIfAbsent(ivfDir, "cells")(
-      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    val ann = Similarity.ivfProbe(queries, ivfDir, 5, nProbe = 4)
-      .select(col("q_id"), col("n_id"))
-    // ground truth and hit counts are bounded by sample-size x k —
-    // broadcast so no plan ever sorts a probe output to join 40 rows
-    val hits = ann.join(broadcast(truth), Seq("q_id", "n_id"))
-      .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
-    ordered(
-      queries.select(col("vec_id").as("q_id"))
-        .join(broadcast(hits), Seq("q_id"), "left")
-        .select(col("q_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) * 2000L).as("recall_bp")),
-      "q_id")
-  }
-
-  /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
-    * of brute-force search over the FIRST 16 of 64 dims against the
-    * full-dim exact top-5. MRL-style nested embeddings are trained so
-    * any prefix is a usable sub-embedding; this measures what the 4×
-    * cheaper prefix scorer costs in retrieval quality — the eval that
-    * decides whether the serving tier can store/scan short prefixes
-    * and rerank with full vectors. Both legs ride the op67 brute
-    * scorer (quantized integer dot + deterministic bp cosine), so the
-    * whole eval is hash-exact.
-    *
-    * 100 TB shape: the op110 recall protocol — ground truth over a
-    * SMALL query sample × corpus; the prefix leg scans 1/4 the bytes
-    * per vector (at scale: a separate short-prefix column pruned at
-    * the parquet scan). Hit counting is sample×k-bounded, broadcast. */
-  val op237MatryoshkaRecall: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 8)
-    val truth = Similarity.bruteForceTopK(queries, emb, 5)
-      .select(col("q_id"), col("n_id"))
-    def trunc(df: DataFrame): DataFrame =
-      df.withColumn("embedding", slice(col("embedding"), 1, 16))
-    val approx = Similarity.bruteForceTopK(trunc(queries), trunc(emb), 5)
-      .select(col("q_id"), col("n_id"))
-    val hits = approx.join(broadcast(truth), Seq("q_id", "n_id"))
-      .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
-    ordered(
-      queries.select(col("vec_id").as("q_id"))
-        .join(broadcast(hits), Seq("q_id"), "left")
-        .select(col("q_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) * 2000L).as("recall_bp")),
-      "q_id")
-  }
-
   /** op239: DSIR-style importance scoring — every document scored by
     * the log-likelihood ratio of a TARGET unigram model (the src0
     * slice) against the SOURCE model (the rest), add-one smoothed:
@@ -1016,49 +651,6 @@ object TrainQueries {
         .withColumn("sel", expr(
           "CAST(CASE WHEN dsir_micro >= 0 THEN 1 ELSE 0 END AS BIGINT)")),
       "doc_id")
-  }
-
-  /** Serving-matrix recall report (op121): recall@5 vs exact brute
-    * force for every cell-pruned serving leg — IVF-flat, IVF-SQ8,
-    * IVF-PQ — per query in one result: the eval a deployment runs to
-    * pick a leg's speed/recall point (op110 generalized across the
-    * matrix; the LSH and PQ-flat legs keep their own recall specs).
-    * Probes run against the SAME prebuilt indexes op84/op115/op119
-    * serve (bit-exact vs end-to-end), so the measured cost is
-    * probe-only. The oracle fuses the brute replay with all three
-    * approximate replays in ONE SQL — the three chains share the IVF
-    * cell CTEs. */
-  val op121RecallMatrix: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 8)
-    val ivfDir = IndexStore.indexRoot(d, "ivf_c16_l2")
-    IndexStore.buildIndexIfAbsent(ivfDir, "cells")(
-      Similarity.ivfIndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    val sq8Dir = IndexStore.indexRoot(d, "sq8_c16_l2")
-    IndexStore.buildIndexIfAbsent(sq8Dir, "vectors")(
-      Similarity.sq8IndexWrite(emb, _, nCells = 16, lloydIters = 2))
-    val ivfPqDir = IndexStore.indexRoot(d, "ivfpq_c16_l2_m8")
-    IndexStore.buildIndexIfAbsent(ivfPqDir, "vectors")(
-      Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
-        m = 8, nCents = 16, pqLloyd = 1))
-    // ground truth feeds all three hit-joins — materialize once
-    val truth = Similarity.bruteForceTopK(queries, emb, 5)
-      .select(col("q_id"), col("n_id")).localCheckpoint()
-    val legs = Seq(
-      "ivf" -> Similarity.ivfProbe(queries, ivfDir, 5, nProbe = 4),
-      "ivfpq" -> Similarity.ivfPqProbe(queries, ivfPqDir, 5, nProbe = 4),
-      "sq8" -> Similarity.sq8Probe(queries, sq8Dir, 5, nProbe = 4))
-    val perLeg = legs.map { case (leg, df) =>
-      val hits = df.select(col("q_id"), col("n_id"))
-        .join(broadcast(truth), Seq("q_id", "n_id"))
-        .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
-      queries.select(col("vec_id").as("q_id"))
-        .join(broadcast(hits), Seq("q_id"), "left")
-        .select(lit(leg).as("leg"), col("q_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) * 2000L).as("recall_bp"))
-    }
-    ordered(perLeg.reduce(_ unionByName _), "leg", "q_id")
   }
 
   /** Language-ID heuristic: marker-count argmax + the score vector. */
@@ -2648,18 +2240,6 @@ object TrainQueries {
     "op98_minhash_survivors" -> op98MinhashSurvivors,
     "op276_minhash_fidelity" -> op276MinhashFidelity,
     "op65_simhash" -> op65Simhash,
-    "op66_embed_dup" -> op66EmbedDup,
-    "op67_knn_brute" -> op67KnnBrute,
-    "op67_knn_topk_agg" -> op67KnnTopKAgg,
-    "op68_ann_lsh" -> op68AnnLsh,
-    "op69_ann_ivf" -> op69AnnIvf,
-    "op83_pq_ann" -> op83PqAnn,
-    "op84_ivf_probe" -> op84IvfProbe,
-    "op85_pq_probe" -> op85PqProbe,
-    "op86_lsh_probe" -> op86LshProbe,
-    "op96_stream_ivf_probe" -> op96StreamIvfProbe,
-    "op97_stream_lsh_probe" -> op97StreamLshProbe,
-    "op100_stream_pq_adc" -> op100StreamPqAdc,
     "op101_paraphrase_mine" -> op101ParaphraseMine,
     "op87_pack_sequences" -> op87PackSequences,
     "op88_mixture" -> op88Mixture,
@@ -2694,20 +2274,10 @@ object TrainQueries {
     "op106_changelog_compact" -> op106ChangelogCompact,
     "op107_corpus_shuffle" -> op107CorpusShuffle,
     "op108_stream_changelog" -> op108StreamChangelog,
-    "op109_hard_negatives" -> op109HardNegatives,
-    "op110_ann_recall" -> op110AnnRecall,
-    "op237_matryoshka_recall" -> op237MatryoshkaRecall,
     "op239_dsir_importance" -> op239DsirImportance,
-    "op112_sq8_ann" -> op112Sq8Ann,
     "op113_curation_pipeline" -> op113CurationPipeline,
     "op114_cluster_histogram" -> op114ClusterHistogram,
-    "op115_sq8_probe" -> op115Sq8Probe,
-    "op116_stream_sq8_probe" -> op116StreamSq8Probe,
     "op117_ngram_novelty" -> op117NgramNovelty,
-    "op118_ivfpq_ann" -> op118IvfPqAnn,
-    "op119_ivfpq_probe" -> op119IvfPqProbe,
-    "op120_stream_ivfpq_probe" -> op120StreamIvfPqProbe,
-    "op121_recall_matrix" -> op121RecallMatrix,
     "op122_stream_changelog_tws" -> op122StreamChangelogTws,
     "op124_vocab_merges" -> op124VocabMerges,
     "op126_bpe_train" -> op126BpeTrain,
@@ -2763,182 +2333,6 @@ object TrainQueries {
       |  SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
       |clu AS (SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s)""".stripMargin
 
-  /** Shared DuckDB replay of the integer-Lloyd IVF machinery (op69 and
-    * op93): assignment = argmax of the FLOORED bigint cosine (matching
-    * Spark's max_by on cosBpFrom output — comparing unfloored doubles
-    * would break ties differently), means = per-position trunc-toward-
-    * zero division (DuckDB CAST(double AS BIGINT) rounds; Spark's cast
-    * truncates — trunc() bridges), empty cells keep their previous
-    * centroid. [[ivfCellCtes]] ends at `cc` = the corpus with its
-    * nearest post-refinement cell. */
-  private val ivfCosTo = (vecA: String, n2A: String, vecB: String, n2B: String) =>
-    s"""CASE WHEN $n2A = 0 OR $n2B = 0 THEN CAST(0 AS BIGINT)
-      |ELSE CAST(floor(CAST(list_sum([$vecA[i+1] * $vecB[i+1] FOR i IN range(64)]) AS DOUBLE)
-      |     / (sqrt(CAST($n2A AS DOUBLE)) * sqrt(CAST($n2B AS DOUBLE))) * 10000) AS BIGINT) END"""
-      .stripMargin.replace("\n", " ")
-
-  /** op69's full IVF-probe replay (4-cell probe, exact within-cell
-    * rescoring, top-5) with an optional [lo, hi) cos_bp band applied
-    * before ranking — `None` IS op69's oracle; op109 (hard-negative
-    * mining) passes its band. */
-  private def ivfProbeSql(band: Option[(Long, Long)]): String = {
-    val cosTo = ivfCosTo
-    val bandSql = band.fold("") { case (lo, hi) =>
-      s" AND b.cos_bp >= $lo AND b.cos_bp < $hi" }
-    s"""WITH $ivfCellCtes,
-      |qc AS (
-      |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
-      |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
-      |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-      |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-      |             ct.cent_id) AS rn
-      |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
-      |scored AS (
-      |  SELECT qc.q_id, cc.n_id,
-      |         ${cosTo("qc.q_vec", "qc.q_n2", "cc.n_vec", "cc.n_n2")} AS cos_bp
-      |  FROM cc JOIN qc ON cc.cent_id = qc.cent_id AND qc.q_id <> cc.n_id)
-      |SELECT q_id, n_id, cos_bp, rank FROM (
-      |  SELECT b.q_id, b.n_id, b.cos_bp,
-      |         CAST(row_number() OVER (PARTITION BY b.q_id ORDER BY b.cos_bp DESC, b.n_id) AS BIGINT) AS rank
-      |  FROM scored b WHERE 1=1$bandSql)
-      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-  }
-
-  private lazy val ivfCellCtes: String = {
-    val sumCols = (0 until 64).map(i => s"sum(v[${i + 1}]) AS s$i")
-      .mkString(", ")
-    val meanList = (0 until 64).map(i =>
-      s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
-    def lloydIter(prev: String, cur: String) =
-      s"""a$cur AS (
-        |  SELECT vec_id, v, cent_id FROM (
-        |    SELECT nn.vec_id, nn.v, ct.cent_id,
-        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-        |             ${ivfCosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-        |             ct.cent_id) AS rn
-        |    FROM n nn, $prev ct) WHERE rn = 1),
-        |m$cur AS (SELECT cent_id, count(*) AS cnt, $sumCols FROM a$cur GROUP BY cent_id),
-        |mm$cur AS (SELECT cent_id, $meanList AS cent_vec FROM m$cur),
-        |$cur AS (
-        |  SELECT cent_id, cent_vec,
-        |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(64)]) AS BIGINT) AS cent_n2
-        |  FROM mm$cur
-        |  UNION ALL
-        |  SELECT cent_id, cent_vec, cent_n2 FROM $prev
-        |  WHERE cent_id NOT IN (SELECT cent_id FROM mm$cur))""".stripMargin
-    s"""q0 AS (
-      |  SELECT vec_id,
-      |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-      |          FOR i IN range(64)] AS v
-      |  FROM embeddings),
-      |n AS (SELECT vec_id, v,
-      |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
-      |      FROM q0),
-      |c0 AS (SELECT vec_id AS cent_id, v AS cent_vec, n2 AS cent_n2
-      |       FROM n ORDER BY vec_id LIMIT 16),
-      |${lloydIter("c0", "c1")},
-      |${lloydIter("c1", "c2")},
-      |cc AS (
-      |  SELECT vec_id AS n_id, v AS n_vec, n2 AS n_n2, cent_id FROM (
-      |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
-      |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-      |             ${ivfCosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-      |             ct.cent_id) AS rn
-      |    FROM n nn, c2 ct) WHERE rn = 1)""".stripMargin
-  }
-
-  /** Shared DuckDB replay of the PQ machinery through the ADC
-    * approximate distances — exact replay of normalize + subspace Lloyd
-    * + ADC: unit-normalize in integers (floor(v·1e6/‖v‖) from identical
-    * integer sums — IEEE-exact), slice 8 subspaces, one unrolled Lloyd
-    * pass per subspace (argmin of integer L2², trunc-division means),
-    * per-(query, vector) summed partial distances. op83/op85 continue
-    * with the 50-wide shortlist + exact rerank on the raw quantized
-    * vectors; op100 (the streaming ADC probe, which cannot rerank)
-    * stops at `approx`. Ends with CTEs `n` (raw quantized + norms) and
-    * `approx` (q_id, vec_id, d2). */
-  private lazy val pqAdcCtes: String =
-    s"""q0 AS (
-      |  SELECT vec_id,
-      |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-      |          FOR i IN range(64)] AS v
-      |  FROM embeddings),
-      |n AS (SELECT vec_id, v,
-      |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
-      |      FROM q0),
-      |${pqAdcCtesFromN("")}""".stripMargin
-
-  /** The PQ replay's CTE chain FROM the shared quantized table `n`
-    * (normalize → subspace slices → one Lloyd pass → codes → ADC →
-    * `${p}approx`), every CTE name prefixed with `p` so the chain can
-    * compose with [[ivfCellCtes]] (which owns q0/n and its own c0/c1
-    * names) in the IVF-PQ oracles. [[pqAdcCtes]] is the standalone
-    * spelling with prefix "" and its own q0/n. */
-  private def pqAdcCtesFromN(p: String): String = {
-    val dot8 = (a: String, b: String) =>
-      s"CAST(list_sum([$a[i+1] * $b[i+1] FOR i IN range(8)]) AS BIGINT)"
-    val subSelects = (0 until 8).map { j =>
-      s"SELECT vec_id, $j AS sub_j, nv[${j * 8 + 1}:${j * 8 + 8}] AS svec FROM ${p}norm"
-    }.mkString("\n|  UNION ALL ")
-    val sumCols8 = (0 until 8).map(i => s"sum(svec[${i + 1}]) AS s$i")
-      .mkString(", ")
-    val meanList8 = (0 until 8).map(i =>
-      s"CAST(trunc(CAST(s$i AS DOUBLE) / cnt) AS BIGINT)").mkString("[", ", ", "]")
-    s"""${p}norm AS (
-      |  SELECT vec_id,
-      |         CASE WHEN n2 = 0 THEN v
-      |              ELSE [CAST(floor(CAST(v[i+1] AS DOUBLE) * 1000000
-      |                         / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)
-      |                    FOR i IN range(64)] END AS nv
-      |  FROM n),
-      |${p}sub0 AS (
-      |  $subSelects),
-      |${p}sub AS (SELECT vec_id, sub_j, svec,
-      |          CAST(list_sum([svec[i+1] * svec[i+1] FOR i IN range(8)]) AS BIGINT) AS s2
-      |        FROM ${p}sub0),
-      |${p}c0 AS (
-      |  SELECT sub_j,
-      |         CAST(row_number() OVER (PARTITION BY sub_j ORDER BY vec_id) - 1 AS BIGINT) AS code,
-      |         svec AS cent_vec, s2 AS cent_n2
-      |  FROM ${p}sub
-      |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-      |${p}a1 AS (
-      |  SELECT vec_id, sub_j, svec, code FROM (
-      |    SELECT s.vec_id, s.sub_j, s.svec, ct.code,
-      |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
-      |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
-      |             ct.code) AS rn
-      |    FROM ${p}sub s JOIN ${p}c0 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
-      |${p}m1 AS (SELECT sub_j, code, count(*) AS cnt, $sumCols8 FROM ${p}a1 GROUP BY sub_j, code),
-      |${p}mm1 AS (SELECT sub_j, code, $meanList8 AS cent_vec FROM ${p}m1),
-      |${p}c1 AS (
-      |  SELECT sub_j, code, cent_vec,
-      |         CAST(list_sum([cent_vec[i+1] * cent_vec[i+1] FOR i IN range(8)]) AS BIGINT) AS cent_n2
-      |  FROM ${p}mm1
-      |  UNION ALL
-      |  SELECT c0.sub_j, c0.code, c0.cent_vec, c0.cent_n2 FROM ${p}c0 c0
-      |  WHERE NOT EXISTS (SELECT 1 FROM ${p}mm1 mm1
-      |                    WHERE mm1.sub_j = c0.sub_j AND mm1.code = c0.code)),
-      |${p}codes AS (
-      |  SELECT vec_id, sub_j, code FROM (
-      |    SELECT s.vec_id, s.sub_j, ct.code,
-      |           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
-      |             s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2,
-      |             ct.code) AS rn
-      |    FROM ${p}sub s JOIN ${p}c1 ct ON s.sub_j = ct.sub_j) WHERE rn = 1),
-      |${p}adc AS (
-      |  SELECT s.vec_id AS q_id, s.sub_j, ct.code,
-      |         s.s2 - 2 * ${dot8("s.svec", "ct.cent_vec")} + ct.cent_n2 AS pd2
-      |  FROM ${p}sub s JOIN ${p}c1 ct ON s.sub_j = ct.sub_j
-      |  WHERE s.vec_id < 8),
-      |${p}approx AS (
-      |  SELECT adc.q_id, codes.vec_id, CAST(sum(adc.pd2) AS BIGINT) AS d2
-      |  FROM ${p}codes codes JOIN ${p}adc adc
-      |    ON codes.sub_j = adc.sub_j AND codes.code = adc.code
-      |  WHERE adc.q_id <> codes.vec_id
-      |  GROUP BY adc.q_id, codes.vec_id)""".stripMargin
-  }
-
   private[queries] val trigramSql =
     """SELECT doc_id, unnest([string_split(text,' ')[i+1] || ' ' ||
       |       string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
@@ -2957,27 +2351,6 @@ object TrainQueries {
       |SELECT doc_id, CAST(max(overlap) AS BIGINT) AS max_overlap,
       |       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_hits
       |FROM ov GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  private val knnBruteSql =
-    """WITH q AS (
-        |  SELECT vec_id,
-        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-        |          FOR i IN range(64)] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
-        |      FROM q),
-        |scored AS (
-        |  SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
-        |         CASE WHEN qs.n2 = 0 OR cs.n2 = 0 THEN CAST(0 AS BIGINT)
-        |              ELSE CAST(floor(CAST(list_sum([qs.v[i+1] * cs.v[i+1] FOR i IN range(64)]) AS DOUBLE)
-        |                   / (sqrt(qs.n2) * sqrt(cs.n2)) * 10000) AS BIGINT) END AS cos_bp
-        |  FROM n qs, n cs WHERE qs.vec_id < 8 AND qs.vec_id <> cs.vec_id)
-        |SELECT q_id, n_id, cos_bp, rank FROM (
-        |  SELECT q_id, n_id, cos_bp,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   private val baseOracle: Map[String, String] = Map(
     "op60_dedup_exact" ->
@@ -3079,98 +2452,19 @@ object TrainQueries {
         |       $sigCols
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
-    "op83_pq_ann" -> {
-      val cosRaw =
-        s"""CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
-          |ELSE CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
-          |     / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) * 10000) AS BIGINT) END"""
-          .stripMargin.replace("\n", " ")
-      s"""WITH $pqAdcCtes,
-        |short AS (
-        |  SELECT q_id, vec_id AS n_id FROM (
-        |    SELECT q_id, vec_id,
-        |           row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS sr
-        |    FROM approx) WHERE sr <= 50),
-        |scored AS (
-        |  SELECT short.q_id, short.n_id, $cosRaw AS cos_bp
-        |  FROM short JOIN n a ON short.q_id = a.vec_id
-        |             JOIN n b ON short.n_id = b.vec_id)
-        |SELECT q_id, n_id, cos_bp, rank FROM (
-        |  SELECT q_id, n_id, cos_bp,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-    },
-    "op100_stream_pq_adc" ->
-      // the streaming PQ probe is PURE ADC (rerank is a join after the
-      // aggregation — forbidden in a stream), so its oracle is the same
-      // replay STOPPED at the approx distances: top-5 by (d2, vec_id),
-      // score published as −d2
-      s"""WITH $pqAdcCtes
-        |SELECT q_id, n_id, neg_d2, rank FROM (
-        |  SELECT q_id, vec_id AS n_id, CAST(-d2 AS BIGINT) AS neg_d2,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS BIGINT) AS rank
-        |  FROM approx)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "op69_ann_ivf" -> ivfProbeSql(None),
-    "op109_hard_negatives" -> ivfProbeSql(Some((2500L, 9500L))),
     "op93_sem_dedup" -> {
       // SemDeDup replay: shared Lloyd-cell CTEs, then within-cell
       // dominance — b drops iff some a < b in its cell is ≥ 2500 bp
       // similar (the id-greedy rule semDedup implements)
-      s"""WITH $ivfCellCtes,
+      s"""WITH ${AnnQueries.ivfCellCtes},
         |p AS (
         |  SELECT DISTINCT b.n_id AS drop_id
         |  FROM cc a JOIN cc b
         |    ON a.cent_id = b.cent_id AND a.n_id < b.n_id
-        |  WHERE ${ivfCosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} >= 2500)
+        |  WHERE ${AnnQueries.ivfCosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} >= 2500)
         |SELECT n_id AS vec_id, CAST(cent_id AS BIGINT) AS cent_id
         |FROM cc WHERE n_id NOT IN (SELECT drop_id FROM p)
         |ORDER BY vec_id""".stripMargin
-    },
-    "op68_ann_lsh" -> {
-      // exact replay of the multi-table sign-LSH join: the md5-seeded
-      // hyperplanes quantize to floor(w·1e6) longs — inlined here as
-      // literals — and bucket bits come from LONG dot products, the same
-      // integer arithmetic SignLshBuckets runs (associative, so the
-      // bucket of a vector is identical on both engines)
-      val tables = (0 until 8).map { t =>
-        val planes = graft.functions.Similarity.hyperplanes(4, 64, t)
-          .map(_.map(w => math.floor(w * 1000000d).toLong))
-        val bits = planes.zipWithIndex.map { case (w, b) =>
-          val lst = w.mkString("[", ", ", "]")
-          s"(CASE WHEN list_sum([v[i+1] * ($lst)[i+1] FOR i IN range(64)]) >= 0 THEN ${1L << b} ELSE 0 END)"
-        }.mkString("\n|      + ")
-        s"""SELECT vec_id, $t AS tbl,
-          |      $bits AS bucket
-          |    FROM qv""".stripMargin
-      }.mkString("\n|  UNION ALL ")
-      s"""WITH qv AS (
-        |  SELECT vec_id,
-        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-        |          FOR i IN range(64)] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
-        |      FROM qv),
-        |bk AS (
-        |  $tables),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
-        |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
-        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
-        |scored AS (
-        |  SELECT cand.q_id, cand.n_id,
-        |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
-        |              ELSE CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
-        |                   / (sqrt(a.n2) * sqrt(b.n2)) * 10000) AS BIGINT) END AS cos_bp
-        |  FROM cand JOIN n a ON cand.q_id = a.vec_id
-        |            JOIN n b ON cand.n_id = b.vec_id)
-        |SELECT q_id, n_id, cos_bp, rank FROM (
-        |  SELECT q_id, n_id, cos_bp,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
     "op63_minhash_pairs" -> {
       // exact replay of the banded LSH join: 16 KM minhashes (as op62),
@@ -3388,24 +2682,6 @@ object TrainQueries {
         |            ELSE 'semantic' END AS kind
         |FROM j ORDER BY doc_a, doc_b""".stripMargin
     },
-    "op66_embed_dup" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-        |          FOR i IN range(64)] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
-        |      FROM q)
-        |SELECT * FROM (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
-        |              ELSE CAST(floor(CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)]) AS DOUBLE)
-        |                   / (sqrt(a.n2) * sqrt(b.n2)) * 10000) AS BIGINT) END AS cos_bp
-        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
-        |WHERE cos_bp >= 9500 ORDER BY a_id, b_id""".stripMargin,
-    "op67_knn_topk_agg" -> knnBruteSql,
-    "op67_knn_brute" -> knnBruteSql,
     "op70_langid" -> {
       def cntSql(markers: Seq[String]) =
         s"len(list_filter(string_split(text,' '), x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"
@@ -4076,24 +3352,11 @@ object TrainQueries {
     // both exact-jaccard spellings are result-identical, so the
     // cost-chosen one shares the uncapped prefix oracle
     "op61_dedup_ngram_auto" -> baseOracle("op61_dedup_ngram_prefix"),
-    "op84_ivf_probe" -> baseOracle("op69_ann_ivf"),
-    "op85_pq_probe" -> baseOracle("op83_pq_ann"),
-    "op86_lsh_probe" -> baseOracle("op68_ann_lsh"),
-    // streaming execution of the same probe over the same index: one
-    // AvailableNow replay carries every query in a single trigger, so
-    // the emitted top-k is bit-identical to the batch probe
-    "op96_stream_ivf_probe" -> baseOracle("op69_ann_ivf"),
-    "op97_stream_lsh_probe" -> baseOracle("op68_ann_lsh"),
     // the streamed changelog's compacted final state IS the batch
     // latest-state aggregate
     "op108_stream_changelog" -> baseOracle("op106_changelog_compact"),
     // the transformWithState twin compacts to the same final state
     "op122_stream_changelog_tws" -> baseOracle("op106_changelog_compact"),
-    // probe(prebuilt SQ8 index) ≡ the end-to-end op112 by construction
-    "op115_sq8_probe" -> sq8AnnSql,
-    "op112_sq8_ann" -> sq8AnnSql,
-    "op110_ann_recall" -> annRecallSql,
-    "op237_matryoshka_recall" -> matryoshkaRecallSql,
     "op239_dsir_importance" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -4125,23 +3388,6 @@ object TrainQueries {
         |       AS BIGINT) AS sel
         |FROM tok t JOIN w ON t.token = w.token
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
-    "op121_recall_matrix" -> recallMatrixSql,
-    // probe(prebuilt IVF-PQ index) ≡ the end-to-end op118; the
-    // streaming leg (op120) cannot rerank, so its oracle stops at the
-    // cell-pruned approximate distances
-    "op118_ivfpq_ann" -> ivfPqSql(rerank = true),
-    "op119_ivfpq_probe" -> ivfPqSql(rerank = true),
-    "op120_stream_ivfpq_probe" -> ivfPqSql(rerank = false),
-    // the streaming SQ8 probe cannot rerank — its oracle is the shared
-    // replay stopped at the approximate scores
-    "op116_stream_sq8_probe" ->
-      s"""WITH $ivfCellCtes,
-        |$sq8ApproxCtes
-        |SELECT q_id, n_id, sq_bp, rank FROM (
-        |  SELECT q_id, n_id, sq_bp,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sq_bp DESC, n_id) AS BIGINT) AS rank
-        |  FROM approx)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // op136: the oracle replays the identical 5-step mask-spread bit
     // arithmetic (bigint &, |, << on both engines); dense_rank over the
     // corpus is the oracle-side spelling of the distinct-rank+broadcast
@@ -4488,259 +3734,4 @@ object TrainQueries {
       |FROM lid WHERE lang_id = 1 AND len_bucket BETWEEN 4 AND 20
       |GROUP BY len_bucket ORDER BY len_bucket""".stripMargin
 
-  /** Shared SQ8 replay through the approximate scores: probed cells,
-    * int8 codes, code norms, per-candidate sq_bp. op112/op115 continue
-    * with shortlist + exact rerank; op116 (the streaming probe, which
-    * cannot rerank) stops at `approx`. */
-  private lazy val sq8ApproxCtes: String = {
-      val cosTo = ivfCosTo
-      s"""qc AS (
-        |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
-        |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
-        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-        |             ct.cent_id) AS rn
-        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
-        |sq AS (
-        |  SELECT n_id, cent_id,
-        |    CASE WHEN mx = 0 THEN n_vec
-        |         ELSE [CAST(floor(CAST(n_vec[i+1] * 127 AS DOUBLE)
-        |                / CAST(mx AS DOUBLE)) AS BIGINT) FOR i IN range(64)]
-        |    END AS cvec
-        |  FROM (SELECT n_id, cent_id, n_vec,
-        |          list_max(list_transform(n_vec, x -> abs(x))) AS mx
-        |        FROM cc)),
-        |c2n AS (SELECT n_id, cent_id, cvec,
-        |          CAST(list_sum([cvec[i+1] * cvec[i+1] FOR i IN range(64)]) AS BIGINT) AS c_n2
-        |        FROM sq),
-        |approx AS (
-        |  SELECT qc.q_id, c.n_id,
-        |         ${cosTo("qc.q_vec", "qc.q_n2", "c.cvec", "c.c_n2")} AS sq_bp
-        |  FROM c2n c JOIN qc ON c.cent_id = qc.cent_id AND qc.q_id <> c.n_id)"""
-        .stripMargin
-  }
-
-  /** op118/op119's DuckDB replay: the op69 IVF-cell CTEs compose with
-    * the op83 PQ-ADC chain (prefixed `p` — [[pqAdcCtesFromN]]) over the
-    * SHARED quantized table `n`; `pruned` restricts the approximate
-    * distances to each query's 4 probed cells. op118/op119 continue
-    * with the 50-wide shortlist + exact rerank; op120 (the streaming
-    * probe, which cannot rerank) stops at `pruned`, top-5 by
-    * (d2, vec_id), score published as −d2. */
-  private def ivfPqSql(rerank: Boolean): String = {
-    val cosTo = ivfCosTo
-    val pruned =
-      s"""qc AS (
-        |  SELECT vec_id AS q_id, cent_id FROM (
-        |    SELECT nn.vec_id, ct.cent_id,
-        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-        |             ct.cent_id) AS rn
-        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
-        |pruned AS (
-        |  SELECT a.q_id, a.vec_id, a.d2
-        |  FROM papprox a JOIN cc ON a.vec_id = cc.n_id
-        |                 JOIN qc ON a.q_id = qc.q_id AND cc.cent_id = qc.cent_id)"""
-        .stripMargin
-    val tail =
-      if (rerank)
-        s""",
-          |short AS (SELECT q_id, vec_id AS n_id FROM (
-          |  SELECT q_id, vec_id,
-          |         row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS sr
-          |  FROM pruned) WHERE sr <= 50),
-          |scored AS (
-          |  SELECT short.q_id, short.n_id,
-          |         ${cosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} AS cos_bp
-          |  FROM short JOIN cc a ON short.q_id = a.n_id
-          |             JOIN cc b ON short.n_id = b.n_id)
-          |SELECT q_id, n_id, cos_bp, rank FROM (
-          |  SELECT q_id, n_id, cos_bp,
-          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
-          |  FROM scored)
-          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-      else
-        s"""
-          |SELECT q_id, n_id, neg_d2, rank FROM (
-          |  SELECT q_id, vec_id AS n_id, CAST(-d2 AS BIGINT) AS neg_d2,
-          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS BIGINT) AS rank
-          |  FROM pruned)
-          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-    s"""WITH $ivfCellCtes,
-      |${pqAdcCtesFromN("p")},
-      |$pruned$tail""".stripMargin
-  }
-
-  private lazy val sq8AnnSql: String = {
-      val cosTo = ivfCosTo
-      s"""WITH $ivfCellCtes,
-        |$sq8ApproxCtes,
-        |short AS (SELECT q_id, n_id FROM (
-        |  SELECT q_id, n_id,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY sq_bp DESC, n_id) AS sr
-        |  FROM approx) WHERE sr <= 50),
-        |scored AS (
-        |  SELECT short.q_id, short.n_id,
-        |         ${cosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} AS cos_bp
-        |  FROM short JOIN cc a ON short.q_id = a.n_id
-        |             JOIN cc b ON short.n_id = b.n_id)
-        |SELECT q_id, n_id, cos_bp, rank FROM (
-        |  SELECT q_id, n_id, cos_bp,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-  }
-
-  /** op110's DuckDB replay: the IVF probe and the brute-force ground
-    * truth fused in one SQL, joined for per-query hit counts. */
-  /** op121's DuckDB replay: ONE SQL fusing the brute-force ground truth
-    * with all three cell-pruned serving legs — the IVF cell CTEs are
-    * shared, sq8ApproxCtes contributes the probed-cell table `qc` and
-    * the code scores, the prefixed PQ chain contributes `papprox`; each
-    * leg's top-5 joins the brute top-5 for hit counts. */
-  private lazy val recallMatrixSql: String = {
-    val cosTo = ivfCosTo
-    def top5(from: String): String =
-      s"""SELECT q_id, n_id FROM (
-        |  SELECT q_id, n_id,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
-        |  FROM $from) WHERE rank <= 5""".stripMargin
-    def rerank5(shortFrom: String, orderCol: String, asc: String): String =
-      s"""SELECT q_id, n_id FROM (
-        |  SELECT q_id, n_id,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
-        |  FROM (
-        |    SELECT short.q_id, short.n_id,
-        |           ${cosTo("a.n_vec", "a.n_n2", "b.n_vec", "b.n_n2")} AS cos_bp
-        |    FROM (SELECT q_id, n_id FROM (
-        |        SELECT q_id, n_id,
-        |               row_number() OVER (PARTITION BY q_id ORDER BY $orderCol $asc, n_id) AS sr
-        |        FROM $shortFrom) WHERE sr <= 50) short
-        |    JOIN cc a ON short.q_id = a.n_id
-        |    JOIN cc b ON short.n_id = b.n_id)) WHERE rank <= 5""".stripMargin
-    s"""WITH $ivfCellCtes,
-      |$sq8ApproxCtes,
-      |${pqAdcCtesFromN("p")},
-      |ivf_sc AS (
-      |  SELECT qc.q_id, cc.n_id,
-      |         ${cosTo("qc.q_vec", "qc.q_n2", "cc.n_vec", "cc.n_n2")} AS cos_bp
-      |  FROM cc JOIN qc ON cc.cent_id = qc.cent_id AND qc.q_id <> cc.n_id),
-      |ivf5 AS (${top5("ivf_sc")}),
-      |sq8cand AS (SELECT q_id, n_id, sq_bp FROM approx),
-      |sq85 AS (${rerank5("sq8cand", "sq_bp", "DESC")}),
-      |pq_pruned AS (
-      |  SELECT a.q_id, a.vec_id AS n_id, a.d2
-      |  FROM papprox a JOIN cc ON a.vec_id = cc.n_id
-      |                 JOIN qc ON a.q_id = qc.q_id AND cc.cent_id = qc.cent_id),
-      |pq5 AS (${rerank5("pq_pruned", "d2", "ASC")}),
-      |bsc AS (
-      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-      |         ${cosTo("a.v", "a.n2", "b.v", "b.n2")} AS cos_bp
-      |  FROM n a, n b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
-      |b5 AS (${top5("bsc")}),
-      |legtop AS (
-      |  SELECT 'ivf' AS leg, q_id, n_id FROM ivf5
-      |  UNION ALL SELECT 'ivfpq', q_id, n_id FROM pq5
-      |  UNION ALL SELECT 'sq8', q_id, n_id FROM sq85),
-      |h AS (SELECT legtop.leg, legtop.q_id, count(*) AS n_hits
-      |      FROM legtop JOIN b5 ON legtop.q_id = b5.q_id AND legtop.n_id = b5.n_id
-      |      GROUP BY legtop.leg, legtop.q_id),
-      |qx AS (SELECT l.leg, v.vec_id AS q_id
-      |       FROM (SELECT DISTINCT leg FROM legtop) l,
-      |            (SELECT vec_id FROM n WHERE vec_id < 8) v)
-      |SELECT qx.leg, qx.q_id,
-      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-      |  CAST(coalesce(h.n_hits, 0) * 2000 AS BIGINT) AS recall_bp
-      |FROM qx LEFT JOIN h ON qx.leg = h.leg AND qx.q_id = h.q_id
-      |ORDER BY qx.leg, qx.q_id""".stripMargin
-  }
-
-  /** op237: both retrieval legs (full-dim truth, 16-dim prefix) replay
-    * the op67 quantized-cosine chain; recall = hit-join of the two
-    * top-5 sets. */
-  private lazy val matryoshkaRecallSql: String =
-    """WITH q AS (
-      |  SELECT vec_id,
-      |    [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-      |     FOR i IN range(64)] AS v,
-      |    [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
-      |     FOR i IN range(16)] AS v16
-      |  FROM embeddings),
-      |n AS (SELECT vec_id, v, v16,
-      |    CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE)
-      |      AS n2,
-      |    CAST(list_sum([v16[i+1] * v16[i+1] FOR i IN range(16)]) AS DOUBLE)
-      |      AS m2
-      |  FROM q),
-      |bscored AS (
-      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-      |    CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
-      |      ELSE CAST(floor(
-      |        CAST(list_sum([a.v[i+1] * b.v[i+1] FOR i IN range(64)])
-      |             AS DOUBLE) / (sqrt(a.n2) * sqrt(b.n2)) * 10000)
-      |        AS BIGINT) END AS cos_bp
-      |  FROM n a, n b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
-      |btop AS (SELECT q_id, n_id FROM (
-      |  SELECT q_id, n_id, row_number() OVER
-      |    (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
-      |  FROM bscored) WHERE rank <= 5),
-      |mscored AS (
-      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-      |    CASE WHEN a.m2 = 0 OR b.m2 = 0 THEN CAST(0 AS BIGINT)
-      |      ELSE CAST(floor(
-      |        CAST(list_sum([a.v16[i+1] * b.v16[i+1] FOR i IN range(16)])
-      |             AS DOUBLE) / (sqrt(a.m2) * sqrt(b.m2)) * 10000)
-      |        AS BIGINT) END AS cos_bp
-      |  FROM n a, n b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
-      |mtop AS (SELECT q_id, n_id FROM (
-      |  SELECT q_id, n_id, row_number() OVER
-      |    (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
-      |  FROM mscored) WHERE rank <= 5),
-      |h AS (SELECT mtop.q_id, count(*) AS n_hits
-      |      FROM mtop JOIN btop
-      |        ON mtop.q_id = btop.q_id AND mtop.n_id = btop.n_id
-      |      GROUP BY 1)
-      |SELECT qq.vec_id AS q_id,
-      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-      |  CAST(coalesce(h.n_hits, 0) * 2000 AS BIGINT) AS recall_bp
-      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) qq
-      |LEFT JOIN h ON qq.vec_id = h.q_id
-      |ORDER BY q_id""".stripMargin
-
-  private lazy val annRecallSql: String = {
-      val cosTo = ivfCosTo
-      s"""WITH $ivfCellCtes,
-        |qc AS (
-        |  SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2, cent_id FROM (
-        |    SELECT nn.vec_id, nn.v, nn.n2, ct.cent_id,
-        |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-        |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
-        |             ct.cent_id) AS rn
-        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
-        |iscored AS (
-        |  SELECT qc.q_id, cc.n_id,
-        |         ${cosTo("qc.q_vec", "qc.q_n2", "cc.n_vec", "cc.n_n2")} AS cos_bp
-        |  FROM cc JOIN qc ON cc.cent_id = qc.cent_id AND qc.q_id <> cc.n_id),
-        |ivf AS (SELECT q_id, n_id FROM (
-        |  SELECT q_id, n_id,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
-        |  FROM iscored) WHERE rank <= 5),
-        |bscored AS (
-        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-        |         ${cosTo("a.v", "a.n2", "b.v", "b.n2")} AS cos_bp
-        |  FROM n a, n b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
-        |btop AS (SELECT q_id, n_id FROM (
-        |  SELECT q_id, n_id,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
-        |  FROM bscored) WHERE rank <= 5),
-        |h AS (SELECT ivf.q_id, count(*) AS n_hits
-        |      FROM ivf JOIN btop ON ivf.q_id = btop.q_id AND ivf.n_id = btop.n_id
-        |      GROUP BY ivf.q_id)
-        |SELECT q.vec_id AS q_id,
-        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  CAST(coalesce(h.n_hits, 0) * 2000 AS BIGINT) AS recall_bp
-        |FROM (SELECT vec_id FROM n WHERE vec_id < 8) q
-        |LEFT JOIN h ON q.vec_id = h.q_id
-        |ORDER BY q_id""".stripMargin
-  }
 }

@@ -376,7 +376,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("recall matrix (op121) covers all three pruned legs and agrees with op110 on IVF") {
-    val df = graft.queries.TrainQueries.op121RecallMatrix(spark, sfDir)
+    val df = graft.queries.AnnQueries.op121RecallMatrix(spark, sfDir)
     val rows = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // full matrix: every (leg, query) pair exactly once, recall derived
@@ -386,13 +386,13 @@ class SimilaritySpec extends SparkSpec {
     // the IVF row block is op110 by construction (same index parameters,
     // probe(prebuilt) ≡ end-to-end)
     val ivfLeg = rows.filter(_._1 == "ivf").map(r => (r._2, r._3)).toSeq
-    val op110 = graft.queries.TrainQueries.op110AnnRecall(spark, sfDir)
+    val op110 = graft.queries.AnnQueries.op110AnnRecall(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(ivfLeg == op110, "op121's IVF leg diverged from op110")
   }
 
   test("ANN recall eval (op110) equals a driver-side fold of brute vs IVF top-5") {
-    val df = graft.queries.TrainQueries.op110AnnRecall(spark, sfDir)
+    val df = graft.queries.AnnQueries.op110AnnRecall(spark, sfDir)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.map(_._1).toSeq == (0L until 8L))
     assert(rows.forall { case (_, h, bp) => h >= 0 && h <= 5 && bp == h * 2000 })
@@ -411,7 +411,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("matryoshka recall (op237) equals a pure driver replay of both legs") {
-    val rows = graft.queries.TrainQueries
+    val rows = graft.queries.AnnQueries
       .op237MatryoshkaRecall(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.map(_._1).toSeq == (0L until 8L))
