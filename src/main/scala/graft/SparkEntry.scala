@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.StediQueries.defs ++
     graft.queries.RelationalQueries.defs ++
     graft.queries.TrainQueries.defs ++
+    graft.queries.DedupQueries.defs ++
     graft.queries.AnnQueries.defs ++
     graft.queries.StreamQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
@@ -28,6 +29,7 @@ object SparkEntry {
     graft.queries.StediQueries.oracle ++
     graft.queries.RelationalQueries.oracle ++
     graft.queries.TrainQueries.oracle ++
+    graft.queries.DedupQueries.oracle ++
     graft.queries.AnnQueries.oracle ++
     graft.queries.StreamQueries.oracle ++
     graft.queries.MultimodalQueries.oracle ++

@@ -302,7 +302,7 @@ object MultimodalQueries {
     "op230_modal_consistency" ->
       s"""WITH $ahashCtes,
          |sh AS (SELECT DISTINCT doc_id, shingle
-         |       FROM (${TrainQueries.trigramSql})),
+         |       FROM (${DedupQueries.trigramSql})),
          |kp AS (SELECT shingle FROM sh GROUP BY shingle
          |       HAVING count(*) <= 100),
          |shc AS (SELECT sh.* FROM sh JOIN kp USING (shingle)),

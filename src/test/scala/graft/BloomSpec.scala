@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Bloom, Dedup}
-import graft.queries.TrainQueries
+import graft.queries.{DedupQueries, TrainQueries}
 
 /** Bloom build/probe semantics and the op102 ≡ op82 identity, plus
   * duplicate-span scrubbing (op103) on planted boilerplate. */
@@ -33,8 +33,8 @@ class BloomSpec extends SparkSpec {
   }
 
   test("op102 bloom-prefiltered decontamination equals op82 exactly") {
-    val a = TrainQueries.op82Decontaminate(spark, sfDir).collect().toSeq
-    val b = TrainQueries.op102BloomDecontaminate(spark, sfDir).collect().toSeq
+    val a = DedupQueries.op82Decontaminate(spark, sfDir).collect().toSeq
+    val b = DedupQueries.op102BloomDecontaminate(spark, sfDir).collect().toSeq
     assert(a.nonEmpty, "fixture must contain contaminated docs")
     assert(a == b)
   }

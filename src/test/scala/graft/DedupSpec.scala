@@ -325,7 +325,7 @@ class DedupSpec extends SparkSpec {
     // documents — the half of the contract the bucket-replay oracle
     // shares machinery with (this recompute shares none)
     import graft.sources.Tables
-    val out = graft.queries.TrainQueries.op101ParaphraseMine(spark, sfDir)
+    val out = graft.queries.DedupQueries.op101ParaphraseMine(spark, sfDir)
       .collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getLong(3), r.getString(4))))
@@ -350,7 +350,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("source overlap matrix equals the per-source fold of the op61 pairs") {
-    val pairs = graft.queries.TrainQueries.op61DedupNgram(spark, sfDir)
+    val pairs = graft.queries.DedupQueries.op61DedupNgram(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
     val srcOf = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source")).collect()
@@ -400,13 +400,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("cluster histogram (op114) equals the fold of op77's clusters and covers the corpus") {
-    val clusters = graft.queries.TrainQueries.op77DedupClusters(spark, sfDir)
+    val clusters = graft.queries.DedupQueries.op77DedupClusters(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val want = clusters.groupBy(_._2).map(_._2.size.toLong)
       .groupBy(identity).map { case (sz, cs) =>
         (sz, cs.size.toLong, sz * cs.size) }
       .toSeq.sortBy(_._1)
-    val got = graft.queries.TrainQueries.op114ClusterHistogram(spark, sfDir)
+    val got = graft.queries.DedupQueries.op114ClusterHistogram(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want)
     // the histogram's doc mass accounts for every document exactly once

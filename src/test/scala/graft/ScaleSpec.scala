@@ -439,7 +439,7 @@ class ScaleSpec extends SparkSpec {
     // — i.e. it runs against the scan side, not over join output.
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
-    val df = graft.queries.TrainQueries.op102BloomDecontaminate(spark, sfDir)
+    val df = graft.queries.DedupQueries.op102BloomDecontaminate(spark, sfDir)
     val lp = df.queryExecution.optimizedPlan
     val bloomFilters = lp.collect {
       case f: Filter

@@ -382,7 +382,7 @@ class TextOpsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(out.nonEmpty)
-    val clusters = graft.queries.TrainQueries.op77DedupClusters(spark, sfDir)
+    val clusters = graft.queries.DedupQueries.op77DedupClusters(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     out.foreach { case (doc, clu, _, _) =>
       assert(clusters(doc) == clu, s"doc $doc cluster drifted from op77")
