@@ -415,11 +415,11 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     // fold the two proven operators' outputs — composition must agree
-    val buckets = graft.queries.TrainQueries.defs("op71_quality")
+    val buckets = graft.queries.TextQueries.defs("op71_quality")
       .apply(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Long]("quality_bp") / 500).toMap
-    val pairs = graft.queries.TrainQueries.defs("op61_dedup_ngram")
+    val pairs = graft.queries.DedupQueries.defs("op61_dedup_ngram")
       .apply(spark, sfDir).collect()
       .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
       .toSet

@@ -83,7 +83,7 @@ class TextOpsSpec extends SparkSpec {
     val varied = (1 to 60).map(i => s"tok$i").mkString(" ")
     val looping = Seq.fill(20)("buy cheap stuff now").mkString(" ")
     val df = Seq((1L, varied), (2L, looping)).toDF("doc_id", "text")
-    val out = graft.queries.TrainQueries.defs("op76_repetition")(
+    val out = graft.queries.TextQueries.defs("op76_repetition")(
         spark, sfDir) // fixture run just proves shape; semantics below
     assert(out.columns.toSeq ==
       Seq("doc_id", "n_tri", "n_tri_distinct", "dup_tri_bp", "top_tok_bp"))
@@ -205,7 +205,7 @@ class TextOpsSpec extends SparkSpec {
       val u = ss.count(s => dfc(s) == 1).toLong
       (id, ss.size.toLong, u, u * 10000L / ss.size)
     }.sortBy(_._1).toSeq
-    val got = graft.queries.TrainQueries.op117NgramNovelty(spark, sfDir)
+    val got = graft.queries.TextQueries.op117NgramNovelty(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
@@ -619,7 +619,7 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("op219: keywords are exactly op72's scores trimmed per doc") {
-    val full = graft.queries.TrainQueries.op72Tfidf(spark, sfDir)
+    val full = graft.queries.TextQueries.op72Tfidf(spark, sfDir)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
         r.getAs[Long]("tfidf_bp")))
@@ -628,7 +628,7 @@ class TextOpsSpec extends SparkSpec {
         case ((_, t, s), i) => (d, i + 1L, t, s)
       }
     }.sortBy(x => (x._1, x._2))
-    val got = graft.queries.TrainQueries.op219Keywords(spark, sfDir)
+    val got = graft.queries.TextQueries.op219Keywords(spark, sfDir)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
         r.getAs[String]("token"), r.getAs[Long]("tfidf_bp")))
@@ -641,13 +641,13 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("op259: fertility is the encode rollup per source; >= 1 token/word") {
-    val got = graft.queries.TrainQueries.defs("op259_tokenizer_fertility")
+    val got = graft.queries.TextQueries.defs("op259_tokenizer_fertility")
       .apply(spark, sfDir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // fold the per-doc encode output (its own spec proves it against a
     // textbook replay) through the source map — the rollup must agree
-    val perDoc = graft.queries.TrainQueries.defs("op127_bpe_encode")
+    val perDoc = graft.queries.TextQueries.defs("op127_bpe_encode")
       .apply(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val srcOf = graft.sources.Tables.documents(spark, sfDir)
