@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.StediQueries.defs ++
     graft.queries.RelationalQueries.defs ++
     graft.queries.TrainQueries.defs ++
+    graft.queries.LakehouseQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.AnnQueries.defs ++
@@ -30,6 +31,7 @@ object SparkEntry {
     graft.queries.StediQueries.oracle ++
     graft.queries.RelationalQueries.oracle ++
     graft.queries.TrainQueries.oracle ++
+    graft.queries.LakehouseQueries.oracle ++
     graft.queries.TextQueries.oracle ++
     graft.queries.DedupQueries.oracle ++
     graft.queries.AnnQueries.oracle ++

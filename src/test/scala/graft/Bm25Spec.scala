@@ -91,7 +91,7 @@ class Bm25Spec extends SparkSpec {
   }
 
   test("op210: fused ranking equals a driver-side RRF of the two legs") {
-    val got = graft.queries.TrainQueries.op210RrfFusion(spark, sfDir)
+    val got = graft.queries.LakehouseQueries.op210RrfFusion(spark, sfDir)
       .collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
         r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_ppm"),
@@ -133,7 +133,7 @@ class Bm25Spec extends SparkSpec {
   }
 
   test("op211: matches equal a driver-side sliding-window phrase scan") {
-    val got = graft.queries.TrainQueries.op211PhraseSearch(spark, sfDir)
+    val got = graft.queries.LakehouseQueries.op211PhraseSearch(spark, sfDir)
       .collect()
       .map(r => (r.getAs[Long]("phrase_id"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))

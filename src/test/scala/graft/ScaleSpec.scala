@@ -458,7 +458,7 @@ class ScaleSpec extends SparkSpec {
     // would be a SortAggregate that sorts every input partition by the
     // grouping key), partials run below ONE exchange, and nothing under
     // that exchange sorts the changelog
-    val df = graft.queries.TrainQueries.op106ChangelogCompact(spark, sfDir)
+    val df = graft.queries.LakehouseQueries.op106ChangelogCompact(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       "LatestAgg did not plan hash-based aggregation")
@@ -619,7 +619,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("op210: both retrieval legs and the fusion stay hash/broadcast joins") {
-    val plan = graft.queries.TrainQueries
+    val plan = graft.queries.LakehouseQueries
       .op210RrfFusion(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the brute cosine leg is a DECLARED broadcast NL over the 3-query

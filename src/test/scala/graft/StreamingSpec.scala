@@ -1005,7 +1005,7 @@ class StreamingSpec extends SparkSpec {
     // strictly grows, so the max-n_changes row per key IS the final state
     val got = spark.table("changelog_out").as[Changelog.LatestRow].collect()
       .groupBy(_.user_id).map { case (_, rs) => rs.maxBy(_.n_changes) }.toSet
-    val want = graft.queries.TrainQueries
+    val want = graft.queries.LakehouseQueries
       .op106ChangelogCompact(spark, sfDir).collect()
       .map(r => Changelog.LatestRow(r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getLong(4), r.getLong(5))).toSet
@@ -1013,9 +1013,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("op108 file-stream changelog drain equals batch op106 exactly") {
-    val streamed = graft.queries.TrainQueries
+    val streamed = graft.queries.LakehouseQueries
       .op108StreamChangelog(spark, sfDir).collect().map(_.toSeq).toSeq
-    val batch = graft.queries.TrainQueries
+    val batch = graft.queries.LakehouseQueries
       .op106ChangelogCompact(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }

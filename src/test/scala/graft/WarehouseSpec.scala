@@ -341,7 +341,7 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("op253: retraction nets 'R' groups to zero and they vanish") {
-    val got = graft.queries.TrainQueries.defs("op253_retract_agg")
+    val got = graft.queries.LakehouseQueries.defs("op253_retract_agg")
       .apply(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
