@@ -1,23 +1,19 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.functions.{Layout, Similarity}
 import graft.sources.Tables
 import Det.{big, ordered}
 
 /** Lakehouse / CDC / search pack (split out of TrainQueries in r11 —
-  * same keys, same oracles, zero behavior change): the Z-ordered
-  * clustered store lifecycle (write/scan/prune/append/compact/delete/
-  * meta), versioned snapshots (time travel, diff), merge-on-read
-  * upsert + schema evolution, incremental/retractable aggregates, the
-  * changelog-compaction family with its streaming twins (update-mode,
-  * transformWithState, SCD2), and the BM25/RRF/phrase search ops.
-  * Store lifecycle goes through [[IndexStore]].
-  */
+  * same keys, same oracles, zero behavior change): the Z-ordered store
+  * lifecycle, versioned snapshots, merge-on-read upsert + schema
+  * evolution, incremental/retractable aggregates, the
+  * changelog-compaction family with its streaming twins, and the
+  * BM25/RRF/phrase search ops. Stores go through [[IndexStore]]. */
 object LakehouseQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -399,9 +395,7 @@ object LakehouseQueries {
 
   /** op210 fusion constants: the standard RRF damping (60), leg depth
     * (top-20 from each retriever), and emitted depth (top-10 fused). */
-  private val rrfK0 = 60L
-  private val rrfDepth = 20
-  private val rrfOut = 10
+  private val (rrfK0, rrfDepth, rrfOut) = (60L, 20, 10)
 
   /** op210: reciprocal-rank-fusion hybrid retrieval — the RAG-serving
     * primitive: a LEXICAL leg (op149's BM25 top-[[rrfDepth]] for the
@@ -807,30 +801,18 @@ object LakehouseQueries {
       |GROUP BY len_bucket ORDER BY len_bucket""".stripMargin
 
   val defs: Map[String, Q] = Map(
-    "op106_changelog_compact" -> op106ChangelogCompact,
-    "op108_stream_changelog" -> op108StreamChangelog,
-    "op122_stream_changelog_tws" -> op122StreamChangelogTws,
-    "op131_stream_scd2" -> op131StreamScd2,
-    "op136_zorder_key" -> op136ZorderKey,
-    "op137_clustered_scan" -> op137ClusteredScan,
-    "op138_pruned_scan" -> op138PrunedScan,
-    "op139_append_scan" -> op139AppendScan,
-    "op140_point_lookup" -> op140PointLookup,
-    "op141_compacted_scan" -> op141CompactedScan,
-    "op142_stream_clustered_ingest" -> op142StreamClusteredIngest,
-    "op143_delete_scan" -> op143DeleteScan,
-    "op144_meta_count" -> op144MetaCount,
-    "op145_time_travel" -> op145TimeTravel,
-    "op146_upsert_merge" -> op146UpsertMerge,
-    "op147_schema_evolution" -> op147SchemaEvolution,
-    "op148_bm25_stats" -> op148Bm25Stats,
-    "op149_bm25_topk" -> op149Bm25TopK,
-    "op210_rrf_fusion" -> op210RrfFusion,
-    "op211_phrase_search" -> op211PhraseSearch,
-    "op152_incr_agg" -> op152IncrAgg,
-    "op253_retract_agg" -> op253RetractAgg,
-    "op153_stream_upsert" -> op153StreamUpsert,
-    "op154_snapshot_diff" -> op154SnapshotDiff)
+    "op106_changelog_compact" -> op106ChangelogCompact, "op108_stream_changelog" -> op108StreamChangelog,
+    "op122_stream_changelog_tws" -> op122StreamChangelogTws, "op131_stream_scd2" -> op131StreamScd2,
+    "op136_zorder_key" -> op136ZorderKey, "op137_clustered_scan" -> op137ClusteredScan,
+    "op138_pruned_scan" -> op138PrunedScan, "op139_append_scan" -> op139AppendScan,
+    "op140_point_lookup" -> op140PointLookup, "op141_compacted_scan" -> op141CompactedScan,
+    "op142_stream_clustered_ingest" -> op142StreamClusteredIngest, "op143_delete_scan" -> op143DeleteScan,
+    "op144_meta_count" -> op144MetaCount, "op145_time_travel" -> op145TimeTravel,
+    "op146_upsert_merge" -> op146UpsertMerge, "op147_schema_evolution" -> op147SchemaEvolution,
+    "op148_bm25_stats" -> op148Bm25Stats, "op149_bm25_topk" -> op149Bm25TopK,
+    "op210_rrf_fusion" -> op210RrfFusion, "op211_phrase_search" -> op211PhraseSearch,
+    "op152_incr_agg" -> op152IncrAgg, "op253_retract_agg" -> op253RetractAgg,
+    "op153_stream_upsert" -> op153StreamUpsert, "op154_snapshot_diff" -> op154SnapshotDiff)
 
   private val baseOracle: Map[String, String] = Map(
     "op106_changelog_compact" ->

@@ -8,9 +8,16 @@ import graft.functions.{Dedup, Similarity, TextOps}
 import graft.sources.Tables
 import Det.{big, ordered}
 
-/** Training-data pipeline pack: deduplication, similarity search, and text
-  * analysis over the `documents` / `embeddings` fixtures (north-star
-  * extensions; first-class operators alongside SURVEY.md §2).
+/** Curation / mixture / packing pack over the `documents` /
+  * `embeddings` fixtures (north-star extensions; first-class operators
+  * alongside SURVEY.md §2): stratified and weighted sampling, sequence
+  * packing, mixture balancing (uniform-cap, cutoff, temperature),
+  * token budgeting, quality gates + gate stats, leak-safe splits,
+  * corpus statistics, source overlap, DSIR importance weighting,
+  * sessionized telemetry→text, and the deterministic corpus shuffle.
+  * The r11 split moved the sibling families into their own packs:
+  * [[DedupQueries]], [[AnnQueries]], [[TextQueries]],
+  * [[LakehouseQueries]], with shared store infra in [[IndexStore]].
   *
   * Oracle strategy: all scores are exact integers (basis points) or
   * md5-derived hashes, so DuckDB reproduces them bit-for-bit; float-native
