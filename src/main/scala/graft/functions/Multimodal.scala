@@ -319,6 +319,127 @@ object Multimodal {
     }
   }
 
+  /** op283's generative formula: GAIN-VARIED COPIES of pseudo-random
+    * recordings. Groups of 3 consecutive doc ids share one base signal
+    * (doc-keyed double-mod quadratic — (u_g+1)(i+17)(i+29) mod 1000003
+    * mod 4096, the nonlinearity that decorrelates docs: any formula
+    * AFFINE in i modulo a power of two is a shifted walk and collapses
+    * every doc onto near-identical energy profiles); group member
+    * m = d mod 3 plays the SAME recording at gain 1+m. Uniform gain
+    * scales every frame energy by (1+m)² and leaves the delta SIGNS
+    * untouched, so group members are fingerprint-IDENTICAL — the
+    * textbook audio near-dup (same recording, different volume) that
+    * the fingerprint is designed to catch, planted at every SF.
+    * op133's continuous ramp is DEGENERATE for this op (its energy
+    * profile is doc-independent: the first cut matched all C(500,2)
+    * pairs — the fixture-degeneracy lesson, checked before shipping);
+    * measured at sf0.01: 167 distinct fingerprints over 500 docs,
+    * 499 planted identical pairs + ~45 random tail pairs ≤ 5 bits. */
+  def fpSample(d: Long, i: Int): Int = {
+    val g = d / 3
+    val u = (g * 2654435761L) % 1000003L
+    val v0 = ((u + 1L) * (i + 17L) * (i + 29L)) % 1000003L
+    (((v0 % 4096L) - 2048L) * (1L + d % 3L)).toInt
+  }
+
+  /** op283's encode leg: the amplitude-modulated formula through the
+    * same real WAV writer as [[synthesizeAudio]]. */
+  def synthesizeFpAudio(spark: SparkSession,
+      dir: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = audioLen(d)
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = fpSample(d, i)
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            /*signed=*/ true, /*bigEndian=*/ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          AudioRecord(d, bos.toByteArray)
+        }
+      }
+  }
+
+  case class AudioFpRecord(doc_id: Long, fp: Long)
+
+  /** 30-bit spectral-band energy fingerprint from the REAL decoded
+    * samples — the audio modality's aHash. The clip is cut into
+    * 16-sample frames; inside each frame a one-level Haar filter bank
+    * splits adjacent sample pairs into a LOW band (pair sums) and a
+    * HIGH band (pair differences), and each band's frame energy is the
+    * exact integer Σ(component²). Bit t (t = 0..14) is 1 iff the low
+    * band's energy strictly rises frame t → t+1; bits 15..29 are the
+    * same deltas for the high band — the Haitsma-Kalker
+    * energy-delta-sign construction on a genuine 2-band spectral
+    * split, all-integer so the oracle replays it bit-for-bit from the
+    * generative PCM formula. The shortest fixture clip (256 samples =
+    * 16 frames) fills all 15 deltas, so every fingerprint is fully
+    * populated. Decode runs in the batched mapPartitions path (the
+    * op133 shape); a fingerprint match proves WAV round-trip + filter
+    * bank + thresholding end-to-end. */
+  def audioFingerprint(audio: Dataset[AudioRecord],
+      batchSize: Int = 64): Dataset[AudioFpRecord] = {
+    implicit val enc = Encoders.product[AudioFpRecord]
+    val frameSize = 16
+    val nDeltas = 15
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val f = ais.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+            && !f.isBigEndian,
+            s"unexpected decoded format for doc ${r.doc_id}: $f")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val nFrames = math.min(n / frameSize, nDeltas + 1)
+          val lowE = new Array[Long](nFrames)
+          val highE = new Array[Long](nFrames)
+          var t = 0
+          while (t < nFrames) {
+            var j = 0
+            var lo = 0L
+            var hi = 0L
+            while (j < frameSize / 2) {
+              val i0 = t * frameSize + 2 * j
+              val a = ((bytes(2 * i0 + 1) << 8) |
+                (bytes(2 * i0) & 0xff)).toLong
+              val b = ((bytes(2 * i0 + 3) << 8) |
+                (bytes(2 * i0 + 2) & 0xff)).toLong
+              lo += (a + b) * (a + b)
+              hi += (a - b) * (a - b)
+              j += 1
+            }
+            lowE(t) = lo
+            highE(t) = hi
+            t += 1
+          }
+          var fp = 0L
+          t = 0
+          while (t < nFrames - 1) {
+            if (lowE(t + 1) > lowE(t)) fp |= 1L << t
+            if (highE(t + 1) > highE(t)) fp |= 1L << (nDeltas + t)
+            t += 1
+          }
+          AudioFpRecord(r.doc_id, fp)
+        }
+      }
+    }
+  }
+
   // ---- real VIDEO codec leg (op135): animated GIF via javax.imageio ----
 
   case class VideoRecord(doc_id: Long, payload: Array[Byte])

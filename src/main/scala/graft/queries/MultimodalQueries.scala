@@ -111,6 +111,40 @@ object MultimodalQueries {
       "doc_a", "doc_b")
   }
 
+  /** op283: audio NEAR-DUP pairs — the audio modality's op229,
+    * completing the multimodal near-dup matrix (text: op61/op63,
+    * image: op229, audio: here). Fingerprints are
+    * [[Multimodal.audioFingerprint]]'s 30-bit 2-band Haar energy-delta
+    * signs over the REAL WAV decode; candidates come from a 6-band
+    * (5-bit) LSH equi-join over the fingerprints, verified at Hamming
+    * ≤ 5. The threshold is chosen BELOW the band count, so banding is
+    * PROVABLY lossless (pigeonhole: ≤ 5 differing bits cannot touch
+    * all 6 bands — some band matches exactly) and the oracle's
+    * identical banded join is exhaustive, not best-effort.
+    *
+    * 100 TB shape: op63's — candidates by equi-join on band values,
+    * only candidates pay the verify; never all-pairs. */
+  val op283AudioNeardup: Q = (s, d) => {
+    val fps = Multimodal.audioFingerprint(Multimodal.synthesizeFpAudio(s, d))
+      .toDF()
+    val bands = fps.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(5))).as("b"))
+      .withColumn("bv", expr("shiftright(fp, CAST(5*b AS INT)) & 31"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("fp").as("fa"),
+      col("b"), col("bv"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("fp").as("fb"),
+      col("b"), col("bv"))
+    val cand = a.join(bb, Seq("b", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fa", "fb").distinct()
+    ordered(
+      cand.withColumn("hamming",
+          expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+        .where(col("hamming") <= 5)
+        .select("doc_a", "doc_b", "hamming"),
+      "doc_a", "doc_b")
+  }
+
   /** op230: cross-modal consistency audit — every TEXT near-dup pair
     * (op61's jaccard ≥ 70% candidates, verbatim machinery) gets the
     * image-side verdict: aHash Hamming distance between the two docs'
@@ -198,6 +232,7 @@ object MultimodalQueries {
     "op248_audio_vad" -> op248AudioVad,
     "op228_image_ahash" -> op228ImageAhash,
     "op229_image_neardup" -> op229ImageNeardup,
+    "op283_audio_neardup" -> op283AudioNeardup,
     "op230_modal_consistency" -> op230ModalConsistency,
     "op231_stream_image_neardup" -> op231StreamImageNeardup,
     "op80_media_decode" -> op80Features,
@@ -261,7 +296,59 @@ object MultimodalQueries {
          |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 7
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** op283's replay: DuckDB evaluates the PCM formula straight into the
+    * 2-band Haar frame energies, delta-sign bits, the 30-bit
+    * fingerprint, and the SAME 6×5-bit banded join — Spark's
+    * fingerprints went through the real WAV encode+decode. */
+  private val audioNeardupSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 256 + doc_id % 129 AS n FROM documents),
+      |s AS (
+      |  SELECT g.doc_id, t.i // 16 AS t, (t.i % 16) // 2 AS j,
+      |         t.i % 2 AS m,
+      |         (((((g.doc_id // 3) * 2654435761 % 1000003 + 1)
+      |            * (t.i + 17) * (t.i + 29)) % 1000003 % 4096) - 2048)
+      |           * (1 + g.doc_id % 3) AS v
+      |  FROM g,
+      |       LATERAL (SELECT unnest(generate_series(0, g.n - 1)) AS i) t
+      |  WHERE t.i // 16 <= 15),
+      |p AS (
+      |  SELECT doc_id, t, j,
+      |         sum(CASE WHEN m = 0 THEN v ELSE 0 END) AS a,
+      |         sum(CASE WHEN m = 1 THEN v ELSE 0 END) AS b
+      |  FROM s GROUP BY 1, 2, 3),
+      |e AS (
+      |  SELECT doc_id, t,
+      |         CAST(sum((a + b) * (a + b)) AS BIGINT) AS low_e,
+      |         CAST(sum((a - b) * (a - b)) AS BIGINT) AS high_e
+      |  FROM p GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT c.doc_id, c.t,
+      |         CASE WHEN nx.low_e > c.low_e THEN 1 ELSE 0 END AS bl,
+      |         CASE WHEN nx.high_e > c.high_e THEN 1 ELSE 0 END AS bh
+      |  FROM e c JOIN e nx ON nx.doc_id = c.doc_id AND nx.t = c.t + 1
+      |  WHERE c.t < 15),
+      |fp AS (
+      |  SELECT doc_id,
+      |         CAST(sum(bl * (CAST(1 AS BIGINT) << CAST(t AS INT))) +
+      |              sum(bh * (CAST(1 AS BIGINT) << CAST(15 + t AS INT)))
+      |           AS BIGINT) AS fp
+      |  FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, fp, t.b, (fp >> CAST(5 * t.b AS INT)) & 31 AS bv
+      |  FROM fp, unnest([0, 1, 2, 3, 4, 5]) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fa,
+      |         b2.doc_id AS doc_b, b2.fp AS fb
+      |  FROM bands a JOIN bands b2
+      |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= 5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "op283_audio_neardup" -> audioNeardupSql,
     // the VAD twin: DuckDB evaluates the PCM formula; Spark's energies
     // went through the real WAV encode+decode
     "op248_audio_vad" ->

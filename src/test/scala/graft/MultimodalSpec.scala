@@ -222,6 +222,41 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.exists(_ > 0), "only exact hash matches exercised")
   }
 
+  test("op283: audio banding at threshold 5 < 6 bands is PROVABLY lossless") {
+    import spark.implicits._
+    val fps = graft.functions.Multimodal.audioFingerprint(
+        graft.functions.Multimodal.synthesizeFpAudio(spark, sfDir))
+      .collect().map(r => (r.doc_id, r.fp))
+    val got = graft.queries.MultimodalQueries
+      .op283AudioNeardup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // ALL-PAIRS ground truth at <= 5 — the banded join must equal it
+    // exactly (pigeonhole: <= 5 differing bits leave a clean 5-bit band)
+    val want = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      (da, fa) = fps(i); (db, fb) = fps(j)
+      ham = java.lang.Long.bitCount(fa ^ fb)
+      if ham <= 5
+    } yield {
+      val (x, y) = if (da < db) (da, db) else (db, da)
+      (x, y) -> ham.toLong
+    }).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "no near-dup audio on the fixture — inert")
+    // the planted gain-varied copies fingerprint-match exactly...
+    assert(got.values.exists(_ == 0L), "gain-invariance arm inert")
+    // ...and the random tail exercises genuine NEAR (not exact) matches
+    assert(got.values.exists(_ > 0), "only exact fingerprint matches exercised")
+    // gain invariance is structural, not incidental: every within-group
+    // pair (same base recording, gains 1x/2x/3x) is Hamming 0
+    val byGroup = fps.groupBy(_._1 / 3).values.filter(_.length > 1)
+    byGroup.foreach { g =>
+      assert(g.map(_._2).distinct.length == 1,
+        s"gain-varied copies of group ${g.head._1 / 3} diverged")
+    }
+  }
+
   test("op230: image verdicts compose op61's pairs with op228's hashes exactly") {
     val pairs = graft.functions.Dedup.jaccardPairs(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
