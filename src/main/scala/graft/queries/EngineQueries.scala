@@ -186,6 +186,42 @@ object EngineQueries {
       "month")
   }
 
+  /** Compact a (possibly multi-file-per-bucket) bucketed table back to
+    * exactly ONE key-sorted file per bucket, publishing the rewrite at
+    * `destPath`/`destTable`.
+    *
+    * The production story behind op264's one-file guarantee: the
+    * guarantee holds by construction at WRITE time, but appends are
+    * bucket-ALIGNED, not file-merged — each appended batch adds one
+    * more file per bucket. Multi-file buckets keep the Exchange
+    * elimination (hash(key) pmod n still holds per file, so the scan's
+    * output PARTITIONING survives any number of appends) but break the
+    * sorted-scan precondition (`outputOrdering` needs one file per
+    * bucket: two sorted files are not one sorted run), so the join's
+    * per-bucket Sort reappears. This rewrite is the bucketed-store
+    * analogue of op141's clustered-store compaction and follows
+    * op146's merge-on-read conventions: stores are immutable dirs, the
+    * compacted copy is written BESIDE the old one, and the catalog
+    * swap is the atomic step — in-flight readers of the old dir are
+    * untouched. One shuffle, amortized over every post-compaction
+    * join/aggregate, exactly like the original write. */
+  private[graft] def compactBucketed(s: SparkSession, srcTable: String,
+      nBuckets: Int, key: String, destPath: String,
+      destTable: String): Unit = {
+    // read the source as PLAIN files for the rewrite: with bucketed
+    // reading on, the scan already reports hash(key) pmod n and the
+    // repartition is elided as redundant — leaving per-FILE partitions,
+    // so a 2-file bucket would be rewritten as 2 files and the
+    // compaction would compact nothing. The raw scan forces the one
+    // real shuffle this rewrite is supposed to pay.
+    val prev = s.conf.get("spark.sql.sources.bucketing.enabled")
+    s.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try s.table(srcTable).repartition(nBuckets, col(key))
+      .write.bucketBy(nBuckets, key).sortBy(key)
+      .option("path", destPath).saveAsTable(destTable)
+    finally s.conf.set("spark.sql.sources.bucketing.enabled", prev)
+  }
+
   // ---------------------------------------------------------------- op266
 
   /** Run `body` under the given session confs, restoring the previous

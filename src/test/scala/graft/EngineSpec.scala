@@ -49,6 +49,77 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("op264 store survives appends: zero-Exchange throughout, compaction restores zero-Sort") {
+    // the production lifecycle the one-file-per-bucket guarantee needs:
+    // appends are bucket-aligned (one MORE file per bucket), which
+    // keeps Exchange elimination but costs the sorted-scan Sort until
+    // a compaction rewrite (EngineQueries.compactBucketed) restores
+    // one sorted run per bucket
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      val nonce = s"graft_bcomp_${System.nanoTime()}"
+      val dir = java.nio.file.Files.createTempDirectory("graft_bcomp_")
+      try {
+        val l = graft.sources.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val base = l.where(col("l_orderkey") % 2 === 0)
+        val extra = l.where(col("l_orderkey") % 2 === 1)
+        def bucketFiles(path: String): Map[String, Int] =
+          new java.io.File(path).listFiles()
+            .filter(_.getName.endsWith(".parquet")).toSeq
+            .flatMap(f => "_(\\d{5})\\.".r.findFirstMatchIn(f.getName)
+              .map(_.group(1)))
+            .groupBy(identity).map { case (b, fs) => b -> fs.size }
+        base.repartition(4, col("l_orderkey"))
+          .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$dir/t").saveAsTable(s"${nonce}_t")
+        assert(bucketFiles(s"$dir/t").values.forall(_ == 1))
+        // bucket-aligned APPEND: same bucket spec, one more file/bucket
+        extra.repartition(4, col("l_orderkey"))
+          .write.mode("append").bucketBy(4, "l_orderkey")
+          .sortBy("l_orderkey").option("path", s"$dir/t")
+          .saveAsTable(s"${nonce}_t")
+        val after = bucketFiles(s"$dir/t")
+        assert(after.size == 4 && after.values.forall(_ == 2),
+          s"expected 2 files in each of 4 buckets, got $after")
+        def joinPlan(table: String): String = {
+          val t = spark.table(table)
+          val t2 = spark.table(table)
+            .select(col("l_orderkey"), col("l_extendedprice").as("p2"))
+          t.join(t2, "l_orderkey").queryExecution.executedPlan.toString
+        }
+        def agg(table: String): Seq[(Long, Long)] =
+          spark.table(table).groupBy("l_orderkey")
+            .agg(count(lit(1)).as("n"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        val want = agg(s"${nonce}_t")
+        val multiPlan = joinPlan(s"${nonce}_t")
+        // appends never cost the Exchange elimination...
+        assert(!multiPlan.contains("Exchange"),
+          s"multi-file buckets should still not shuffle:\n$multiPlan")
+        // ...but DO cost the sorted scan (two sorted files ≠ one run)
+        assert(multiPlan.contains("Sort "),
+          s"expected the per-bucket Sort to reappear:\n$multiPlan")
+        graft.queries.EngineQueries.compactBucketed(spark, s"${nonce}_t",
+          4, "l_orderkey", s"$dir/t2", s"${nonce}_t2")
+        val compacted = bucketFiles(s"$dir/t2")
+        assert(compacted.size == 4 && compacted.values.forall(_ == 1),
+          s"compaction should restore one file per bucket, got $compacted")
+        val compactPlan = joinPlan(s"${nonce}_t2")
+        assert(!compactPlan.contains("Exchange") &&
+          !compactPlan.contains("Sort "),
+          s"compacted store should join with zero Exchange AND zero " +
+            s"Sort:\n$compactPlan")
+        // the rewrite is lossless: same per-order aggregate
+        assert(agg(s"${nonce}_t2") == want)
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS ${nonce}_t")
+        spark.sql(s"DROP TABLE IF EXISTS ${nonce}_t2")
+        new scala.reflect.io.Directory(dir.toFile).deleteRecursively(): Unit
+      }
+    }
+  }
+
   test("op264 matches the raw unbucketed join exactly") {
     val got = graft.queries.EngineQueries.op264BucketedJoin(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
