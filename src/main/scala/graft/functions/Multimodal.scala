@@ -586,6 +586,143 @@ object Multimodal {
     }
   }
 
+  // ---- video near-dup leg (op284): brightness-shifted GIF copies ----
+
+  /** op284's generative formula: BRIGHTNESS-SHIFTED COPIES of
+    * pseudo-random clips — the video analogue of op283's gain-varied
+    * audio. Groups of 3 consecutive doc ids share one base clip
+    * (geometry keyed by the GROUP: w = 8+g%9, h = 8+g%7, 4+g%5 frames;
+    * pixels from the double-mod quadratic in the flattened
+    * (frame, y, x) index — the same nonlinearity op283 needed, since
+    * affine-mod pixel formulas collapse every doc onto near-identical
+    * statistics); member m = d mod 3 shows the SAME clip at brightness
+    * +32·m. Base pixels stay ≤ 191 so the shift never wraps the 8-bit
+    * palette, and the fingerprint's integer-mean comparisons are
+    * exactly shift-invariant ((Σ+n·off)/n = Σ/n + off), so group
+    * members are fingerprint-IDENTICAL — the planted positives.
+    * Measured at sf0.01: 166 distinct fingerprints over 500 docs,
+    * 508 identical pairs (499 planted + random tail) and 540 pairs at
+    * 1-2 bits. */
+  def ndVideoGeom(g: Long): (Int, Int, Int) =
+    ((8 + g % 9).toInt, (8 + g % 7).toInt, (4 + g % 5).toInt)
+  def ndVideoPixel(d: Long, f: Int, x: Int, y: Int): Int = {
+    val g = d / 3
+    val (w, h, _) = ndVideoGeom(g)
+    val k = f.toLong * (w * h) + y.toLong * w + x
+    val u = (g * 2654435761L) % 1000003L
+    val base = (((u + 1L) * (k + 17L) * (k + 29L)) % 1000003L) % 192L
+    (base + (d % 3L) * 32L).toInt
+  }
+
+  /** op284's encode leg: the brightness-shift formula through the same
+    * real animated-GIF sequence writer as [[synthesizeVideos]]. */
+  def synthesizeNdVideos(spark: SparkSession,
+      dir: String): Dataset[VideoRecord] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val cm = grayPalette
+        it.map { d =>
+          val (w, h, nf) = ndVideoGeom(d / 3)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer =
+            javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, ndVideoPixel(d, f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          VideoRecord(d, bos.toByteArray)
+        }
+      }
+  }
+
+  case class VideoFpRecord(doc_id: Long, fp: Long)
+
+  /** 16-bit perceptual video fingerprint from the REAL decoded frames:
+    * the first 4 frames (every fixture clip has ≥ 4) each contribute a
+    * 2×2 spatial aHash — quadrant cell of pixel x is (x·2) div w, bit
+    * = integer cell mean > integer frame mean — packed frame-major.
+    * Integer-mean comparisons make the fingerprint exactly invariant
+    * to uniform brightness shifts (the planted near-dup class). Decode
+    * runs in the batched mapPartitions path (the op135 shape); a
+    * fingerprint match proves GIF round-trip + pooling + thresholding
+    * end-to-end. */
+  def videoFingerprint(videos: Dataset[VideoRecord],
+      batchSize: Int = 64): Dataset[VideoFpRecord] = {
+    implicit val enc = Encoders.product[VideoFpRecord]
+    videos.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis)
+          var fp = 0L
+          var bit = 0
+          var f = 0
+          while (f < 4) {
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            val sums = Array.ofDim[Long](2, 2)
+            val ns = Array.ofDim[Long](2, 2)
+            var fsum = 0L
+            var y = 0
+            while (y < h) {
+              val cj = y * 2 / h
+              var x = 0
+              while (x < w) {
+                val ci = x * 2 / w
+                val gray = img.getRGB(x, y) & 0xff
+                sums(ci)(cj) += gray
+                ns(ci)(cj) += 1
+                fsum += gray
+                x += 1
+              }
+              y += 1
+            }
+            val fmean = fsum / (w.toLong * h)
+            var ci = 0
+            while (ci < 2) {
+              var cj = 0
+              while (cj < 2) {
+                if (sums(ci)(cj) / ns(ci)(cj) > fmean) fp |= 1L << bit
+                bit += 1
+                cj += 1
+              }
+              ci += 1
+            }
+            f += 1
+          }
+          reader.dispose()
+          iis.close()
+          VideoFpRecord(r.doc_id, fp)
+        }
+      }
+    }
+  }
+
   case class AHashRecord(doc_id: Long, h_lo: Long, h_hi: Long)
 
   /** 64-bit average-hash (aHash) from the REAL decoded pixels: gray =

@@ -145,6 +145,40 @@ object MultimodalQueries {
       "doc_a", "doc_b")
   }
 
+  /** op284: video NEAR-DUP pairs — the last cell of the multimodal
+    * near-dup matrix (text: op61/op63, image: op229, audio: op283,
+    * video: here). Fingerprints are
+    * [[Multimodal.videoFingerprint]]'s 16-bit 4-frame × 2×2 spatial
+    * aHash over the REAL animated-GIF decode (integer-mean bits —
+    * exactly invariant to the planted uniform brightness shifts);
+    * candidates come from a 4-band (4-bit) LSH equi-join, verified at
+    * Hamming ≤ 2. Threshold below band count ⇒ banding is
+    * pigeonhole-lossless, and the oracle's identical banded join is
+    * exhaustive, not best-effort.
+    *
+    * 100 TB shape: op63's — candidates by band equi-join, only
+    * candidates pay the verify; never all-pairs. */
+  val op284VideoNeardup: Q = (s, d) => {
+    val fps = Multimodal.videoFingerprint(Multimodal.synthesizeNdVideos(s, d))
+      .toDF()
+    val bands = fps.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr("shiftright(fp, CAST(4*b AS INT)) & 15"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("fp").as("fa"),
+      col("b"), col("bv"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("fp").as("fb"),
+      col("b"), col("bv"))
+    val cand = a.join(bb, Seq("b", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fa", "fb").distinct()
+    ordered(
+      cand.withColumn("hamming",
+          expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+        .where(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming"),
+      "doc_a", "doc_b")
+  }
+
   /** op230: cross-modal consistency audit — every TEXT near-dup pair
     * (op61's jaccard ≥ 70% candidates, verbatim machinery) gets the
     * image-side verdict: aHash Hamming distance between the two docs'
@@ -233,6 +267,7 @@ object MultimodalQueries {
     "op228_image_ahash" -> op228ImageAhash,
     "op229_image_neardup" -> op229ImageNeardup,
     "op283_audio_neardup" -> op283AudioNeardup,
+    "op284_video_neardup" -> op284VideoNeardup,
     "op230_modal_consistency" -> op230ModalConsistency,
     "op231_stream_image_neardup" -> op231StreamImageNeardup,
     "op80_media_decode" -> op80Features,
@@ -347,8 +382,60 @@ object MultimodalQueries {
       |FROM cand WHERE bit_count(xor(fa, fb)) <= 5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** op284's replay: DuckDB evaluates the brightness-shift pixel
+    * formula straight into the per-frame integer means, quadrant bits
+    * ((x·2)//w cell rule, frame-major ci-then-cj packing — Spark's
+    * exact loop order), the 16-bit fingerprint, and the SAME 4×4-bit
+    * banded join — Spark's fingerprints went through the real
+    * animated-GIF encode + decode. */
+  private val videoNeardupSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS m FROM documents),
+      |geo AS (
+      |  SELECT doc_id, grp, m, 8 + grp % 9 AS w, 8 + grp % 7 AS h,
+      |         (grp * 2654435761) % 1000003 AS u
+      |  FROM g),
+      |px AS (
+      |  SELECT geo.doc_id, geo.w, geo.h, tf.f, tx.x, ty.y,
+      |    ((((geo.u + 1) * ((tf.f * geo.w * geo.h + ty.y * geo.w + tx.x) + 17)
+      |       * ((tf.f * geo.w * geo.h + ty.y * geo.w + tx.x) + 29))
+      |      % 1000003) % 192) + geo.m * 32 AS v
+      |  FROM geo,
+      |       LATERAL (SELECT unnest(generate_series(0, 3)) AS f) tf,
+      |       LATERAL (SELECT unnest(generate_series(0, geo.w - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, geo.h - 1)) AS y) ty),
+      |fm AS (
+      |  SELECT doc_id, f, sum(v) // (w * h) AS fmean
+      |  FROM px GROUP BY doc_id, f, w, h),
+      |cells AS (
+      |  SELECT doc_id, f, (x * 2) // w AS ci, (y * 2) // h AS cj,
+      |         sum(v) // count(*) AS cmean
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT c.doc_id, c.f * 4 + c.ci * 2 + c.cj AS bit,
+      |         CASE WHEN c.cmean > fm.fmean THEN 1 ELSE 0 END AS b
+      |  FROM cells c JOIN fm ON fm.doc_id = c.doc_id AND fm.f = c.f),
+      |fp AS (
+      |  SELECT doc_id,
+      |         CAST(sum(b * (CAST(1 AS BIGINT) << CAST(bit AS INT)))
+      |           AS BIGINT) AS fp
+      |  FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, fp, t.b, (fp >> CAST(4 * t.b AS INT)) & 15 AS bv
+      |  FROM fp, unnest([0, 1, 2, 3]) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fa,
+      |         b2.doc_id AS doc_b, b2.fp AS fb
+      |  FROM bands a JOIN bands b2
+      |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "op283_audio_neardup" -> audioNeardupSql,
+    "op284_video_neardup" -> videoNeardupSql,
     // the VAD twin: DuckDB evaluates the PCM formula; Spark's energies
     // went through the real WAV encode+decode
     "op248_audio_vad" ->

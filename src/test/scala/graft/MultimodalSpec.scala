@@ -257,6 +257,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("op284: video banding at threshold 2 < 4 bands is PROVABLY lossless") {
+    val fps = graft.functions.Multimodal.videoFingerprint(
+        graft.functions.Multimodal.synthesizeNdVideos(spark, sfDir))
+      .collect().map(r => (r.doc_id, r.fp))
+    val got = graft.queries.MultimodalQueries
+      .op284VideoNeardup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    val want = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      (da, fa) = fps(i); (db, fb) = fps(j)
+      ham = java.lang.Long.bitCount(fa ^ fb)
+      if ham <= 2
+    } yield {
+      val (x, y) = if (da < db) (da, db) else (db, da)
+      (x, y) -> ham.toLong
+    }).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "no near-dup videos on the fixture — inert")
+    assert(got.values.exists(_ == 0L), "brightness-invariance arm inert")
+    assert(got.values.exists(_ > 0), "only exact fingerprint matches exercised")
+    // brightness invariance is structural: every within-group pair
+    // (same clip at brightness +0/+32/+64) is fingerprint-identical
+    fps.groupBy(_._1 / 3).values.filter(_.length > 1).foreach { g =>
+      assert(g.map(_._2).distinct.length == 1,
+        s"brightness-shifted copies of group ${g.head._1 / 3} diverged")
+    }
+  }
+
   test("op230: image verdicts compose op61's pairs with op228's hashes exactly") {
     val pairs = graft.functions.Dedup.jaccardPairs(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
