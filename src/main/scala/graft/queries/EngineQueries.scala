@@ -380,14 +380,57 @@ object EngineQueries {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------------------- op286
+
+  /** op286's lookup keys — constants present at every fixture SF. */
+  private val lookupKeys = Seq(1L, 2L, 3L)
+
+  /** The unmaterialized point lookup op286 runs — exposed so
+    * EngineSpec can pin the SelectedBucketsCount pruning. */
+  private[graft] def bucketedLookup(s: SparkSession, d: String): DataFrame = {
+    val (_, lt) = bucketedTables(s, d)
+    s.table(lt)
+      .where(col("l_orderkey").isin(lookupKeys: _*))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        Det.centsSum(col("l_extendedprice")).as("line_cents"))
+  }
+
+  /** op286: bucket-PRUNED point lookup — the third access path the
+    * bucketed store buys (op264: exchange-free join, op281:
+    * exchange-free aggregate, here: O(|keys|/n·files) random access).
+    * An IN-list on the bucket key lets the scan open ONLY the buckets
+    * the keys hash into (`SelectedBucketsCount` in the plan, pinned in
+    * EngineSpec) — the lakehouse answer to "point lookups need an
+    * index": the bucket function IS the index, paid once at write.
+    *
+    * 100 TB shape: a k-key lookup reads ≤ k of O(thousands) of
+    * buckets — bytes scale with keys, not corpus. The residual
+    * aggregate is exchange-free like op281 (scan partitioning carries
+    * hash(l_orderkey)). */
+  val op286BucketLookup: Q = (s, d) =>
+    ordered(
+      bucketedLookup(s, d)
+        .select(big(col("l_orderkey")).as("l_orderkey"), big(col("n_lines"))
+          .as("n_lines"), col("line_cents")),
+      "l_orderkey")
+
   val defs: Map[String, Q] = Map(
     "op264_bucketed_join" -> op264BucketedJoin,
     "op265_dpp_scan" -> op265DppScan,
     "op266_runtime_bloom" -> op266RuntimeBloom,
     "op274_aqe_skew" -> op274AqeSkewJoin,
-    "op281_bucketed_agg" -> op281BucketedAgg)
+    "op281_bucketed_agg" -> op281BucketedAgg,
+    "op286_bucket_lookup" -> op286BucketLookup)
 
   val oracle: Map[String, String] = Map(
+    "op286_bucket_lookup" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) AS line_cents
+        |FROM lineitem WHERE l_orderkey IN (1, 2, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "op264_bucketed_join" ->
       """SELECT o.o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_lines,

@@ -136,6 +136,22 @@ class EngineSpec extends SparkSpec {
     assert(got.size > 1, "fixture degenerate: one priority bucket")
   }
 
+  test("op286 point lookup prunes to the keys' buckets and keeps zero Exchange") {
+    val df = graft.queries.EngineQueries.bucketedLookup(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the IN-list's 3 keys hash into at most 3 of the 8 buckets — the
+    // scan must report bucket pruning, and the aggregate must reuse the
+    // scan's hash(l_orderkey) partitioning (no Exchange)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"scan lost bucket pruning:\n$plan")
+    assert(sel.get.group(1).toInt <= 3 && sel.get.group(2).toInt == 8,
+      s"expected <=3 of 8 buckets selected, got ${sel.get.matched}")
+    assert(!plan.contains("Exchange"),
+      s"bucketed lookup aggregate should not shuffle:\n$plan")
+    assert(df.count() == 3)
+  }
+
   test("op265 fact scan is dynamically partition-pruned by the dim filter") {
     val df = graft.queries.EngineQueries.op265DppScan(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
