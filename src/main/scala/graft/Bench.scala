@@ -235,6 +235,7 @@ object Bench {
       val topIncNames = retimed
         .filter { case (n, _) => !errors.contains(n) && !alreadyRetimed(n) }
         .flatMap { case (n, t) => prev.get(n).filter(_ > 0).map(p => (n, p, t)) }
+        .filter { case (_, p, t) => t > p } // actual regressions only
         .sortBy { case (_, p, t) => p - t }.take(10).map(_._1).toSet
       results = retimed.map { case (name, t) =>
         if (topIncNames(name))
@@ -311,7 +312,9 @@ object Bench {
       val healthy = results.filter { case (n, _) => !errors.contains(n) }
       healthy.flatMap { case (n, t) =>
         prev.get(n).filter(_ > 0).map(p => (n, p, t))
-      }.sortBy { case (_, p, t) => p - t }.take(10)
+      }.filter { case (_, p, t) => t > p } // actual regressions only —
+        // an empty list means "no query slowed down vs the prior round"
+        .sortBy { case (_, p, t) => p - t }.take(10)
         .map { case (n, p, t) =>
           s"""{"query":"$n","prev":${num(p)},"now":${num(t)},"delta":${num(t - p)},"ratio":${num(t / p)}}"""
         }.mkString("[", ",", "]")

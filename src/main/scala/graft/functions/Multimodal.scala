@@ -679,6 +679,13 @@ object Multimodal {
           val reader =
             javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
           reader.setInput(iis)
+          // the 16-bit fingerprint packs exactly 4 frames; a shorter
+          // clip would silently change the contract, so fail loudly
+          // with the offending doc (matches the audio decode guards)
+          val nFrames = reader.getNumImages(true)
+          require(nFrames >= 4,
+            s"videoFingerprint: doc ${r.doc_id} has $nFrames GIF " +
+              "frames; the 4-frame fingerprint contract needs >= 4")
           var fp = 0L
           var bit = 0
           var f = 0

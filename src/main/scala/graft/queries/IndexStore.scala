@@ -19,17 +19,32 @@ package graft.queries
   * not source. */
 object IndexStore {
 
-  /** Content fingerprints memoized per (dataset, table) for the JVM's
-    * lifetime: the full-file hash is what makes the cache stale-proof
-    * across PROCESSES (in-place regeneration changes the bytes), but
-    * re-hashing on every query invocation would put an O(file-size)
-    * read inside Bench's timed region — within one session the fixture
-    * is immutable, so hash once. */
-  private val contentFp =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  /** Content fingerprints memoized per (dataset, table, stat-signature)
+    * for the JVM's lifetime: the full-file hash is what makes the cache
+    * stale-proof across PROCESSES (in-place regeneration changes the
+    * bytes), but re-hashing on every query invocation would put an
+    * O(file-size) read inside Bench's timed region. The memo key
+    * carries a cheap (total-length, max-mtime) signature — a metadata
+    * stat, not a read — so even an IN-SESSION fixture regeneration
+    * invalidates the memo instead of silently serving a stale index. */
+  private val contentFp = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long, Long), String]()
 
-  private def tableFp(d: String, table: String): String =
-    contentFp.computeIfAbsent((d, table), { _ =>
+  /** (Σ file length, max mtime) over the table's parquet dir — the
+    * cheap change detector that keys the memo. */
+  private def statSig(root: java.io.File): (Long, Long) = {
+    var len = 0L; var mt = 0L
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walk)
+      else { len += f.length(); mt = math.max(mt, f.lastModified()) }
+    walk(root)
+    (len, mt)
+  }
+
+  private def tableFp(d: String, table: String): String = {
+    val root = new java.io.File(s"$d/$table.parquet")
+    val (len, mt) = statSig(root)
+    contentFp.computeIfAbsent((d, table, len, mt), { _ =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def stamp(f: java.io.File): Unit =
         if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(stamp)
@@ -42,9 +57,10 @@ object IndexStore {
             while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
           } finally in.close()
         }
-      stamp(new java.io.File(s"$d/$table.parquet"))
+      stamp(root)
       md.digest().take(8).map(b => f"$b%02x").mkString
     })
+  }
 
   private[queries] def indexRoot(d: String, kind: String,
       table: String = "embeddings"): String =

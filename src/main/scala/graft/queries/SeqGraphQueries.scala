@@ -474,7 +474,11 @@ object SeqGraphQueries {
     val und = pairs.union(
         pairs.select(col("p2").as("p1"), col("p1").as("p2")))
     val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
-    // total order (deg, id) as one key; ids < 10^9 by fixture contract
+    // total order (deg, id) as one key; ids < 10^9 by fixture contract.
+    // deg is |V|-sized and attached ONCE (not per-iteration): broadcast
+    // holds while vertices are dimension-sized; past broadcast range the
+    // op176b/op226b co-partitioned attach (repartition both sides on the
+    // vertex key) applies unchanged
     val keyed = und
       .join(broadcast(deg), "p1")
       .join(broadcast(deg.select(col("p1").as("p2"),
@@ -537,13 +541,21 @@ object SeqGraphQueries {
     * the correct building block. The ORACLE walks the same graph as a
     * recursive transitive-closure CTE — a completely different
     * algorithm arriving at the identical partition. */
-  val op208ConnectedComponents: Q = (s, d) => {
-    val und = supportPrunedUnd(s, d).localCheckpoint()
+  /** Hash-min label-propagation loop over a symmetric (p1,p2) edge
+    * list: every vertex starts as its own label, each round adopts
+    * the min of its own and its neighbors' labels, stops at the
+    * fixpoint (or `maxRounds` as a safety bound). Returns
+    * (labels(v,lbl), rounds-to-fixpoint) — package-private so the
+    * planted-chain spec can race the round count against
+    * [[starContract]]. */
+  private[graft] def hashMinLabels(
+      und0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    val und = und0.localCheckpoint()
     var labels = und.select(col("p1").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")).localCheckpoint()
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < ccMaxRounds) {
+    while (changed > 0 && round < maxRounds) {
       val nbrMin = und
         .join(labels.select(col("v").as("p1"), col("lbl")), "p1")
         .groupBy(col("p2")).agg(min("lbl").as("nbr"))
@@ -556,6 +568,89 @@ object SeqGraphQueries {
       labels = merged.select(col("v"), col("nlbl").as("lbl"))
       round += 1
     }
+    (labels, round)
+  }
+
+  val op208ConnectedComponents: Q = (s, d) => {
+    val (labels, _) = hashMinLabels(supportPrunedUnd(s, d), ccMaxRounds)
+    ordered(
+      labels.groupBy(col("lbl"))
+        .agg(big(count(lit(1))).as("n_vertices"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .select(col("lbl").as("comp"), col("n_vertices"),
+          col("min_v"), col("max_v")),
+      "comp")
+  }
+
+  // --------------------------------------------------------------- op208b
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) over a
+    * CANONICAL edge list (one row per unordered pair, u > v). Each
+    * round: LARGE-STAR — for every node a (both directions), attach
+    * each strictly-larger neighbor b to m = min(Γ(a) ∪ {a}); then
+    * SMALL-STAR — for every node u of the canonical list, attach u and
+    * all its (smaller) neighbors to m = min of those neighbors. Both
+    * halves preserve connectivity and keep the canonical u > v
+    * orientation by construction (every emitted edge points at a
+    * round-min); the fixpoint is a star forest rooted at each
+    * component's minimum vertex in O(log² n) rounds — vs hash-min's
+    * O(diameter). Returns (starEdges(u,v), rounds). Per-round cost is
+    * two groupBy-min + two equi-joins on the vertex key (the op208
+    * round shape, twice), localCheckpointed (op202 rule); the fixpoint
+    * test is one anti-join count per direction — O(1) driver data. */
+  private[graft] def starContract(
+      canon0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var edges = canon0.localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val both = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val minsL = both.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val ls = both.where(col("b") > col("a")).join(minsL, "a")
+        .select(col("b").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      val minsS = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      val grew = ss.join(edges, Seq("u", "v"), "left_anti").count()
+      val shrunk = edges.join(ss, Seq("u", "v"), "left_anti").count()
+      done = grew == 0 && shrunk == 0
+      edges = ss
+      rounds += 1
+    }
+    (edges, rounds)
+  }
+
+  /** op208b: connected components by large-star/small-star contraction
+    * — op208's scaladoc names star contraction as the production
+    * escalation for diameter-heavy graphs (road networks, long user
+    * journeys); this is that escalation, EXECUTABLE, under op208's
+    * UNCHANGED oracle (the component partition is unique, so hash-min,
+    * star contraction, and the oracle's recursive transitive closure
+    * must all emit identical rows — three algorithms, one answer).
+    *
+    * 100 TB shape: round count is O(log² n) REGARDLESS of diameter —
+    * the property hash-min lacks (a 10⁶-hop chain costs hash-min 10⁶
+    * barrier rounds but star contraction ~40); per-round work is two
+    * vertex-keyed join+groupBy-min pairs, map-combinable, never
+    * all-pairs. SeqGraphSpec plants a 40-link chain and pins
+    * starContract's round count strictly below hashMinLabels'. */
+  val op208bStarContraction: Q = (s, d) => {
+    val canon = supportPrunedPairs(s, d)
+      .select(greatest(col("p1"), col("p2")).as("u"),
+        least(col("p1"), col("p2")).as("v"))
+    val verts = supportPrunedUnd(s, d)
+      .select(col("p1").as("pk")).distinct().localCheckpoint()
+    val (stars, _) = starContract(canon, ccMaxRounds)
+    val labels = verts
+      .join(stars.select(col("u").as("pk"), col("v").as("lbl")),
+        Seq("pk"), "left")
+      .select(col("pk").as("v"), coalesce(col("lbl"), col("pk")).as("lbl"))
     ordered(
       labels.groupBy(col("lbl"))
         .agg(big(count(lit(1))).as("n_vertices"),
@@ -693,6 +788,9 @@ object SeqGraphQueries {
   val op215Assortativity: Q = (s, d) => {
     val und = supportPrunedUnd(s, d)
     val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
+    // one-shot |V|-sized degree attach — broadcast holds while vertices
+    // are dimension-sized; beyond that, the op176b/op226b co-partitioned
+    // attach applies unchanged
     val paired = und
       .join(broadcast(deg), "p1")
       .join(broadcast(deg.select(col("p1").as("p2"),
@@ -760,6 +858,60 @@ object SeqGraphQueries {
           .groupBy("p").agg(sum("h").as("a")), "a")
       h = renorm(
         edges.join(broadcast(a), "p")
+          .groupBy("c").agg(sum("a").as("h")), "h")
+    }
+    val deg = edges.groupBy("p").agg(big(count(lit(1))).as("deg"))
+    ordered(
+      a.join(deg, "p")
+        .select(col("p").as("p_partkey"), col("a").as("auth_ppb"),
+          col("deg")),
+      "p_partkey")
+  }
+
+  // --------------------------------------------------------------- op217b
+
+  /** op217b: HITS, the BEYOND-BROADCAST spelling — identical integer
+    * trajectory to op217 (same oracle proves it bit-for-bit), but the
+    * per-half-step score tables are NEVER broadcast: the edge list is
+    * pinned in TWO layouts once — hash-partitioned by c (for the
+    * hub-push half-step) and by p (for the authority-push) — and each
+    * half-step's score table meets its layout in a co-partitioned
+    * shuffle join, so only the |V|-sized score side moves per round
+    * while the O(|E|) side's two Exchanges are planned once and reused
+    * every iteration (ReuseExchange; HITS alternates join keys, hence
+    * two pinned layouts where op176b needs one).
+    *
+    * 100 TB shape: this is the billion-customer form — a hub table
+    * that no longer fits in a broadcast (|C| ≳ 10⁸) shuffles on the
+    * same key as the pre-partitioned edges. The 1-row renorm total
+    * stays a broadcast at any scale. op217's broadcast form remains
+    * optimal while scores are dimension-sized. */
+  val op217bHitsPartitioned: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    // the two pinned edge layouts, each reused by every iteration
+    val edgesByC = edges.repartition(col("c"))
+    val edgesByP = edges.repartition(col("p"))
+    val hubs = edges.select("c").distinct()
+    def renorm(df: DataFrame, valCol: String): DataFrame = {
+      val tot = df.agg(sum(valCol).as("__tot"))
+      df.crossJoin(broadcast(tot))
+        .select(df.columns.filter(_ != valCol).map(col) :+
+          expr(s"$valCol div greatest(__tot div $hitsScale, 1)")
+            .as(valCol): _*)
+    }
+    var h = hubs.select(col("c"), lit(hitsScale).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to hitsRounds) {
+      a = renorm(
+        edgesByC.join(h, "c")
+          .groupBy("p").agg(sum("h").as("a")), "a")
+      h = renorm(
+        edgesByP.join(a, "p")
           .groupBy("c").agg(sum("a").as("h")), "h")
     }
     val deg = edges.groupBy("p").agg(big(count(lit(1))).as("deg"))
@@ -869,6 +1021,67 @@ object SeqGraphQueries {
         .groupBy("dst").agg(sum("c").as("sc"))
       ranks = verts.crossJoin(broadcast(nSrc))
         .join(broadcast(contrib), col("pk") === col("dst"), "left")
+        .select(col("pk"), col("ns"),
+          coalesce(col("sc"), lit(0L)).as("sc"))
+        .select(col("pk"),
+          expr(s"CASE WHEN pk % 97 = 0 THEN 150000000 div ns " +
+            s"ELSE CAST(0 AS BIGINT) END + ($prDampNum * sc) div $prScale")
+            .as("r"))
+    }
+    ordered(
+      ranks.join(broadcast(deg), col("pk") === col("src"))
+        .select(col("pk").as("p_partkey"), col("r").as("rwr_ppb"),
+          col("deg")),
+      "p_partkey")
+  }
+
+  // --------------------------------------------------------------- op226b
+
+  /** op226b: random walk with restart, the BEYOND-BROADCAST spelling —
+    * op176b's co-partitioned iteration applied to op226's seeded base
+    * term, under op226's UNCHANGED oracle: edges are hash-partitioned
+    * by src ONCE, each round's rank table meets them in a
+    * co-partitioned shuffle join, and the contribution left-join is a
+    * plain vertex-keyed shuffle join — ranks and contributions are
+    * never broadcast. The 1-row seed count (nSrc) stays a broadcast
+    * at any scale.
+    *
+    * 100 TB shape: per-round traffic O(|V|) (the rank side) while the
+    * O(|E|) side's Exchange is planned once and reused; this is the
+    * spelling for billion-vertex personalization where the rank table
+    * outgrows broadcast memory. op226 stays the dimension-sized fast
+    * path. */
+  val op226bRwrPartitioned: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
+    val edges = pairs.union(
+        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+      .select(col("p1").as("src"), col("p2").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // pin the edge layout: hash by src, reused every iteration
+    val esd = edges.repartition(col("src")).join(deg, "src")
+    val verts = deg.select(col("src").as("pk"))
+    val nSrc = verts.where(col("pk") % 97 === 0)
+      .agg(count(lit(1)).as("ns"))
+    var ranks = verts.crossJoin(broadcast(nSrc))
+      .select(col("pk"),
+        expr(s"CASE WHEN pk % 97 = 0 THEN $prScale div ns " +
+          "ELSE CAST(0 AS BIGINT) END").as("r"))
+    for (_ <- 1 to prIters) {
+      // co-partitioned shuffle join: only the |V|-sized rank side moves
+      val contrib = esd.join(ranks, esd("src") === ranks("pk"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      ranks = verts.crossJoin(broadcast(nSrc))
+        .join(contrib, col("pk") === col("dst"), "left")
         .select(col("pk"), col("ns"),
           coalesce(col("sc"), lit(0L)).as("sc"))
         .select(col("pk"),
@@ -1232,15 +1445,18 @@ object SeqGraphQueries {
     "op194_triangles" -> op194Triangles,
     "op202_kcore" -> op202KCore,
     "op208_connected_components" -> op208ConnectedComponents,
+    "op208b_cc_star_contraction" -> op208bStarContraction,
     "op209_bfs_hops" -> op209BfsHops,
     "op213_jaccard_recommend" -> op213JaccardRecommend,
     "op215_assortativity" -> op215Assortativity,
     "op217_hits" -> op217Hits,
+    "op217b_hits_partitioned" -> op217bHitsPartitioned,
     "op218_weighted_sssp" -> op218WeightedSssp,
     "op221_modularity" -> op221Modularity,
     "op224_two_hop_features" -> op224TwoHopFeatures,
     "op225_clustering_coeff" -> op225ClusteringCoeff,
-    "op226_rwr" -> op226RandomWalkRestart)
+    "op226_rwr" -> op226RandomWalkRestart,
+    "op226b_rwr_partitioned" -> op226bRwrPartitioned)
 
   /** op226's oracle: op176's unroll with the source-restricted base. */
   private def rwrSql: String = {
@@ -1283,6 +1499,23 @@ object SeqGraphQueries {
        |FROM verts v JOIN r$prIters r USING (pk) JOIN deg d ON v.pk = d.src
        |ORDER BY p_partkey""".stripMargin
   }
+
+  /** op208/op208b's shared oracle: the same component partition by a
+    * THIRD algorithm — recursive transitive closure (vs Spark's
+    * iterative hash-min and large-star/small-star contraction). */
+  private def ccSql: String =
+    s"""WITH RECURSIVE
+       |$graphBaseSql,
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.p2, rr.r FROM reach rr JOIN und e ON e.p1 = rr.v),
+       |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
+       |SELECT CAST(comp AS BIGINT) AS comp,
+       |  CAST(count(*) AS BIGINT) AS n_vertices,
+       |  CAST(min(v) AS BIGINT) AS min_v,
+       |  CAST(max(v) AS BIGINT) AS max_v
+       |FROM comp GROUP BY comp ORDER BY comp""".stripMargin
 
   /** op217's oracle: the identical division-first-normalized integer
     * trajectory unrolled as chained CTEs (h0 → a1 → h1 → a2 …). */
@@ -1542,20 +1775,11 @@ object SeqGraphQueries {
     "op176b_pagerank_partitioned" -> pagerankSql,
     "op202_kcore" -> kcoreSql,
     // op208's oracle reaches the same partition by a DIFFERENT
-    // algorithm (recursive transitive closure vs iterative hash-min)
-    "op208_connected_components" ->
-      s"""WITH RECURSIVE
-         |$graphBaseSql,
-         |reach(v, r) AS (
-         |  SELECT v, v FROM verts
-         |  UNION
-         |  SELECT e.p2, rr.r FROM reach rr JOIN und e ON e.p1 = rr.v),
-         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
-         |SELECT CAST(comp AS BIGINT) AS comp,
-         |  CAST(count(*) AS BIGINT) AS n_vertices,
-         |  CAST(min(v) AS BIGINT) AS min_v,
-         |  CAST(max(v) AS BIGINT) AS max_v
-         |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+    // algorithm (recursive transitive closure vs iterative hash-min);
+    // op208b shares it — the partition is unique, so hash-min, star
+    // contraction, and transitive closure must emit identical rows
+    "op208_connected_components" -> ccSql,
+    "op208b_cc_star_contraction" -> ccSql,
     "op209_bfs_hops" ->
       s"""WITH RECURSIVE
          |$graphBaseSql,
@@ -1578,8 +1802,12 @@ object SeqGraphQueries {
          |HAVING count(*) > 0
          |ORDER BY dist""".stripMargin,
     "op217_hits" -> hitsSql,
+    // op217b/op226b are the co-partitioned (never-broadcast) spellings;
+    // the shared oracles prove the partitioning strategy changes no bit
+    "op217b_hits_partitioned" -> hitsSql,
     "op218_weighted_sssp" -> ssspSql,
     "op226_rwr" -> rwrSql,
+    "op226b_rwr_partitioned" -> rwrSql,
     "op224_two_hop_features" ->
       s"""WITH $graphBaseSql,
          |deg AS (SELECT p1, CAST(count(*) AS BIGINT) AS n_1hop

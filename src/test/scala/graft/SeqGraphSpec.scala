@@ -628,4 +628,35 @@ class SeqGraphSpec extends SparkSpec {
     assert(got.length < lab.size)
     assert(got.map(_._2).sum == lab.size, "labels must partition vertices")
   }
+
+  test("op208b: star contraction beats hash-min on a planted chain " +
+    "and emits the identical partition") {
+    import spark.implicits._
+    // a 40-link chain (diameter 40): hash-min needs ~|chain| barrier
+    // rounds (the min label travels one hop per round); large-star/
+    // small-star contracts it in O(log^2 n)
+    val n = 41L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("p1", "p2")
+    val und = chain.union(chain.select(col("p2").as("p1"),
+      col("p1").as("p2")))
+    val canon = chain.select(col("p2").as("u"), col("p1").as("v"))
+    val (hmLabels, hmRounds) = SeqGraphQueries.hashMinLabels(und, 100)
+    val (stars, starRounds) = SeqGraphQueries.starContract(canon, 100)
+    // the planted chain is one component rooted at vertex 1
+    val hm = hmLabels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(hm.length.toLong == n && hm.forall(_._2 == 1L),
+      s"hash-min must label all $n vertices with 1")
+    val st = stars.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(st.length.toLong == n - 1 && st.forall(_._2 == 1L),
+      "star forest must be one star rooted at 1")
+    assert(st.map(_._1).sorted.toSeq == (2L to n).toSeq,
+      "every non-root vertex points at the root exactly once")
+    // THE scale claim: round count O(log^2 n) vs O(diameter)
+    assert(starRounds < hmRounds,
+      s"star contraction ($starRounds rounds) must beat hash-min " +
+        s"($hmRounds rounds) on a diameter-${n - 1} chain")
+    assert(starRounds <= 8, s"expected O(log^2) rounds, got $starRounds")
+    assert(hmRounds >= 40, s"hash-min should need ~diameter rounds, " +
+      s"got $hmRounds")
+  }
 }
