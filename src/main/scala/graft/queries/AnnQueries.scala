@@ -286,26 +286,30 @@ object AnnQueries {
     * .pqAdcProbeStream]] drained the same way. The streaming PQ probe is
     * PURE asymmetric distance computation (the exact rerank is a join
     * after the aggregation — forbidden in a stream), so its oracle is
-    * op83's replay STOPPED at the approximate distances: top-5 by
-    * (d2, vec_id), score published as −d2. With this, ALL THREE online
-    * ANN probes hash-check under real streaming execution.
+    * op83's replay STOPPED at the approximate distances — top-5 by
+    * (d2, vec_id), score published as −d2 — RESTRICTED to each query's
+    * probed cells. With this, ALL THREE online ANN probes hash-check
+    * under real streaming execution.
     *
-    * Bench note: the measured time is dominated by per-INVOCATION
-    * stream construction — codegen of the inlined-codebook partial-
-    * distance projection (m×nCents dot-product literals) plus query
-    * start — which a real serving deployment pays once per stream, not
-    * per batch; the per-batch marginal cost is the packed-codes join
-    * (the codes_packed table is the persisted serving layout, so
-    * nothing re-packs). */
+    * PRUNED (r12): the leg serves the cent_id-partitioned IVF-PQ store
+    * at nProbe = 2 — the latency-biased serving point, vs op120's
+    * recall-biased nProbe = 4 over the SAME persisted index (one
+    * store, two serving configurations, both cell-pruned; the flat
+    * full-store ADC scan this replaces survives only as
+    * pqAdcProbeStream's documented cell-less baseline and in the batch
+    * op83 path, where the shortlist+rerank bounds the damage). Per
+    * micro-batch the code scan now reads 2/nCells of the store —
+    * the last unpruned online serving path is gone. */
   val op100StreamPqAdc: Q = (s, d) => {
     import graft.streaming.StreamingAnn
     val emb = Tables.embeddings(s, d)
-    val dir = IndexStore.indexRoot(d, "pq_m8_c16_l1")
+    val dir = IndexStore.indexRoot(d, "ivfpq_c16_l2_m8")
     IndexStore.buildIndexIfAbsent(dir, "vectors")(
-      Similarity.pqIndexWrite(emb, _, m = 8, nCents = 16, lloydIters = 1))
+      Similarity.ivfPqIndexWrite(emb, _, nCells = 16, ivfLloyd = 2,
+        m = 8, nCents = 16, pqLloyd = 1))
     ordered(StreamingAnn.explodeTopK(
         drainQueryVecStream(s, d, "op100",
-          StreamingAnn.pqAdcProbeStream(_, dir, 5)), "neg_d2"),
+          StreamingAnn.pqAdcProbeStream(_, dir, 5, nProbe = 2)), "neg_d2"),
       "q_id", "rank")
   }
 
@@ -655,14 +659,15 @@ object AnnQueries {
         .stripMargin
   }
 
-  /** op118/op119's DuckDB replay: the op69 IVF-cell CTEs compose with
-    * the op83 PQ-ADC chain (prefixed `p` — [[pqAdcCtesFromN]]) over the
-    * SHARED quantized table `n`; `pruned` restricts the approximate
-    * distances to each query's 4 probed cells. op118/op119 continue
-    * with the 50-wide shortlist + exact rerank; op120 (the streaming
-    * probe, which cannot rerank) stops at `pruned`, top-5 by
-    * (d2, vec_id), score published as −d2. */
-  private def ivfPqSql(rerank: Boolean): String = {
+  /** op118/op119/op100's DuckDB replay: the op69 IVF-cell CTEs compose
+    * with the op83 PQ-ADC chain (prefixed `p` — [[pqAdcCtesFromN]]) over
+    * the SHARED quantized table `n`; `pruned` restricts the approximate
+    * distances to each query's `nProbe` probed cells. op118/op119
+    * continue with the 50-wide shortlist + exact rerank; the streaming
+    * probes, which cannot rerank, stop at `pruned` — top-5 by
+    * (d2, vec_id), score published as −d2 — at nProbe = 4 (op120,
+    * recall-biased) and nProbe = 2 (op100, latency-biased). */
+  private def ivfPqSql(rerank: Boolean, nProbe: Int = 4): String = {
     val cosTo = ivfCosTo
     val pruned =
       s"""qc AS (
@@ -671,7 +676,7 @@ object AnnQueries {
         |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
         |             ${cosTo("nn.v", "nn.n2", "ct.cent_vec", "ct.cent_n2")} DESC,
         |             ct.cent_id) AS rn
-        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= 4),
+        |    FROM n nn, c2 ct WHERE nn.vec_id < 8) WHERE rn <= $nProbe),
         |pruned AS (
         |  SELECT a.q_id, a.vec_id, a.d2
         |  FROM papprox a JOIN cc ON a.vec_id = cc.n_id
@@ -926,17 +931,12 @@ object AnnQueries {
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
-    "op100_stream_pq_adc" ->
-      // the streaming PQ probe is PURE ADC (rerank is a join after the
-      // aggregation — forbidden in a stream), so its oracle is the same
-      // replay STOPPED at the approx distances: top-5 by (d2, vec_id),
-      // score published as −d2
-      s"""WITH $pqAdcCtes
-        |SELECT q_id, n_id, neg_d2, rank FROM (
-        |  SELECT q_id, vec_id AS n_id, CAST(-d2 AS BIGINT) AS neg_d2,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS BIGINT) AS rank
-        |  FROM approx)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // the streaming PQ probe is PURE ADC (rerank is a join after the
+    // aggregation — forbidden in a stream), so its oracle is the replay
+    // STOPPED at the approx distances, restricted to the query's
+    // nProbe = 2 probed cells (the latency-biased serving point over
+    // the same store op120 probes at nProbe = 4)
+    "op100_stream_pq_adc" -> ivfPqSql(rerank = false, nProbe = 2),
     "op69_ann_ivf" -> ivfProbeSql(None),
     "op109_hard_negatives" -> ivfProbeSql(Some((2500L, 9500L))),
     "op68_ann_lsh" -> {

@@ -174,9 +174,22 @@ object StreamingAnn {
     * aggregation, which a streaming plan forbids — the online answer is
     * the ADC ranking (score = −d2; spec'd equal to an independent ADC
     * replay), and a batch [[graft.functions.Similarity.pqProbe]]
-    * refines offline. Emits (q_id, top). */
-  def pqAdcProbeStream(queryStream: DataFrame, dir: String, k: Int): DataFrame = {
+    * refines offline. Emits (q_id, top).
+    *
+    * PRUNING: when the store carries an IVF coarse quantizer
+    * (`dir/centroids` + cent_id-partitioned codes — the
+    * [[graft.functions.Similarity.ivfPqIndexWrite]] layout), the probe
+    * delegates to [[ivfPqProbeStream]] and scans only `nProbe` cells
+    * per query instead of the whole code store — the 100 TB serving
+    * shape. The flat full-scan path below remains ONLY for the
+    * cell-less [[graft.functions.Similarity.pqIndexWrite]] layout —
+    * the exact-recall (recall = 1 over ADC) baseline, honest at ≲10⁶
+    * codes and deliberately not the default store for online serving. */
+  def pqAdcProbeStream(queryStream: DataFrame, dir: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
     val spark = queryStream.sparkSession
+    if (new java.io.File(s"$dir/centroids").isDirectory)
+      return ivfPqProbeStream(queryStream, dir, k, nProbe)
     val (m, nCents, subDim, lutOf) = adcLut(spark, dir)
 
     val q0 = queryStream.select(col("vec_id").as("q_id"),
@@ -279,7 +292,8 @@ object StreamingAnn {
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
+      .toIndexedSeq
     val (m, nCents, subDim, lutOf) = adcLut(spark, dir)
 
     // raw quantized vector drives the cell choice (the IVF metric);
@@ -296,17 +310,16 @@ object StreamingAnn {
       array((0 until m).map(j => col(s"sv_$j")): _*).as("svs"),
       array((0 until m).map(j =>
         Similarity.intDot(col(s"sv_$j"), col(s"sv_$j"))): _*).as("s2s"))
-    // nProbe best cells as a pure per-row projection (probeCellsInlined's
-    // exact tiebreak: struct(−cos, cent_id) sorts to cos desc, id asc)
-    val cellRank = array(cents.toIndexedSeq.map { case (id, vec, n2) =>
-      struct(
-        (-Similarity.cosBpFrom(
-          Similarity.intDot(col("q_vec"), typedlit(vec.toSeq)),
-          col("q_n2"), lit(n2))).as("neg_cos"),
-        lit(id).as("cent_id"))
-    }: _*)
-    val probes = transform(slice(array_sort(cellRank), 1, nProbe),
-      s => s.getField("cent_id"))
+    // nProbe best cells via the ~3-node IvfCellProbe expression (same
+    // (cos desc, cent_id asc) tiebreak as the former literal-struct
+    // ranking, bit-identical scores) — a streaming plan re-optimizes
+    // EVERY micro-batch, and the nCells-literal cosine tree this
+    // replaces was the same ~500-node per-batch planning tax the r11
+    // SQ8/IVF legs shed (see IvfCellProbe's scaladoc)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val probes = ColumnBridge.column(graft.expressions.IvfCellProbe(
+      ColumnBridge.expression(col("q_vec")),
+      ColumnBridge.expression(col("q_n2")), cents, nProbe))
     // LUT computed once per query row, THEN fanned out per probed cell
     val qq = withS2.select(col("q_id"),
       lutOf(col("svs"), col("s2s")).as("pd2"),

@@ -360,6 +360,61 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("streaming PQ ADC probe prunes to probed cells on a celled store " +
+    "(delegation = the ivfpq leg, bit-identical)") {
+    // r12: pqAdcProbeStream's full-store scan survives only for the
+    // cell-less legacy layout; on the IVF-PQ layout it MUST delegate to
+    // the pruned leg — identical rows, partition-pruned micro-batch plan
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqadc_prune_")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.ivfPqIndexWrite(emb, dir.toString, nCells = 16,
+        ivfLloyd = 2, m = 8, nCents = 16, pqLloyd = 1)
+      val queryRows = emb.filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      def drain(tag: String,
+          probe: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : (Seq[(Long, Long, Long, Long)], String) = {
+        val in = MemoryStream[(Long, Seq[Float])]
+        val q = probe(in.toDF().toDF("vec_id", "embedding"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(tag).start()
+        in.addData(queryRows)
+        q.processAllAvailable()
+        val sw = new java.io.StringWriter
+        Console.withOut(new java.io.PrintStream(new java.io.OutputStream {
+          def write(b: Int): Unit = sw.write(b)
+        })) { q.explain() }
+        q.stop()
+        val rows = StreamingAnn.explodeTopK(spark.table(tag), "neg_d2")
+          .orderBy("q_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        spark.sql(s"DROP VIEW IF EXISTS $tag")
+        (rows, sw.toString)
+      }
+      val (viaAdc, adcPlan) = drain("pqadc_celled",
+        df => StreamingAnn.pqAdcProbeStream(df, dir.toString, 5, nProbe = 2))
+      val (viaIvfPq, _) = drain("pqadc_ref",
+        df => StreamingAnn.ivfPqProbeStream(df, dir.toString, 5, nProbe = 2))
+      assert(viaAdc == viaIvfPq,
+        "celled pqAdcProbeStream must equal the ivfpq leg bit-for-bit")
+      assert(viaAdc.nonEmpty)
+      assert(
+        adcPlan.toLowerCase.contains("dynamicpruning") ||
+          "PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(adcPlan).isDefined,
+        s"celled pqAdcProbeStream micro-batch is not partition-pruned:\n$adcPlan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
   test("IVF index storage (cells partitioned by cent_id) prunes non-probed cells at scan time") {
     // SCALE.md's IVF claim ("cell id becomes a storage partition key"),
     // executed: ivfIndexWrite persists the cell-assigned corpus
