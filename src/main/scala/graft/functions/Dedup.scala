@@ -245,12 +245,18 @@ object Dedup {
   private[graft] def preferPrefix(index: DataFrame, ratio: Double): Boolean = {
     val row = index.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
-      .agg(sum(expr("df * (df - 1) div 2")).as("pairs"),
+      // df is unbounded here (the stat runs BEFORE any doc-frequency
+      // cap), so the quadratic term accumulates in DECIMAL(38,0): at
+      // df ≈ 10⁹ one shingle contributes ~5×10¹⁷ and a BIGINT sum
+      // over shingles wraps. Planning stat only — one scalar row.
+      .agg(sum(expr("CAST(df AS DECIMAL(19,0)) * (df - 1) / 2"))
+           .cast("decimal(38,0)").as("pairs"),
            sum(col("df")).as("rows"))
       .collect()(0)
-    val pairs = Option(row.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val pairs = Option(row.get(0))
+      .fold(BigDecimal(0))(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
     val rows = Option(row.get(1)).fold(0L)(_.asInstanceOf[Long])
-    pairs > ratio * rows
+    pairs > BigDecimal(ratio) * rows
   }
 
   /** Exact jaccard pairs with the spelling chosen from corpus statistics

@@ -132,6 +132,10 @@ object AnalyticsQueries {
       .join(vocab, Seq("lang"))
       .withColumn("qlp", expr(qlpUbpSql))
       .groupBy("doc_id")
+      // bounded: occ ≤ doc bigrams (≤ 10⁴ at the fixture's doc-length
+      // contract), |qlp| ≤ ln(10¹²)·10⁶ ≈ 2.8×10⁷ — the per-doc sum
+      // stays ≤ ~3×10¹¹, far inside BIGINT at any corpus size (the
+      // group key is the doc, so corpus growth adds GROUPS, not terms)
       .agg(sum(col("occ") * col("qlp")).as("sum_qlp"),
         sum("occ").as("n_bi"))
     ordered(
@@ -723,8 +727,13 @@ object AnalyticsQueries {
       cnt.groupBy("source")
         .agg(sum("c").as("n_tokens"),
           big(count(lit(1))).as("n_vocab"),
+          // c·⌊ln c·10⁶⌋ accumulates in DECIMAL(38,0) (the op268
+          // convention): a hot token at corpus scale (c ≈ 10¹¹) puts
+          // one term at ~2.5×10¹⁸ — a BIGINT sum over the vocabulary
+          // silently wraps; the quotient below returns to BIGINT
           sum(expr(
-            "c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+            "CAST(c AS DECIMAL(19,0)) * " +
+            "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS DECIMAL(19,0))"))
             .as("clnc"))
         .select(col("source"), col("n_tokens"), col("n_vocab"),
           expr("CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) " +

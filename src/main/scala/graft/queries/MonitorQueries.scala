@@ -838,6 +838,9 @@ object MonitorQueries {
     * beyond the one dailyGrid pass. */
   val op256ForecastBacktest: Q = (s, d) => {
     val grid = dailyGrid(s, d)
+    // op184's bound argument applies verbatim: day < 15 (the fit
+    // window) and y in cents keep every product ≤ ~2²⁰·2¹⁶ and the
+    // grid has ≤ 15 rows/group — nowhere near BIGINT at any volume
     val fit = grid.where(col("day") < 15)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("day").as("sx"),

@@ -1938,6 +1938,11 @@ object SeqGraphQueries {
          |  CAST(jaccard_bp AS BIGINT) AS jaccard_bp
          |FROM rk WHERE rank <= $recK
          |ORDER BY p_partkey, rank""".stripMargin,
+    // op194 oracle wedge terms: deg·(deg−1)/2 sums in DuckDB's HUGEINT
+    // (128-bit, exact at any degree) and only the ≤10¹⁹-bounded final
+    // scalars cast to BIGINT — overflow would fail loud in the cast,
+    // never silently wrap (the Spark side's bound note sits at the
+    // operator)
     "op194_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1979,6 +1984,8 @@ object SeqGraphQueries {
         |  CASE WHEN (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
         |             FROM deg) = 0
         |    THEN 0
+        |    -- wedge sum accumulates in HUGEINT (exact at any degree);
+        |    -- only the bounded ratio casts to BIGINT (fail-loud)
         |    ELSE CAST(3 * t.n_triangles * 10000 //
         |      (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS BIGINT) END
         |    AS transitivity_bp

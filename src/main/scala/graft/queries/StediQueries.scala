@@ -239,6 +239,69 @@ object StediQueries {
       "email", "birthYear", "n_events")
   }
 
+  /** op287: the snapshot-then-changelog STREAMING bootstrap — op125's
+    * RDB round-trip as the SEED of a live, change-maintained dimension
+    * ([[graft.streaming.RdbBootstrapStream]]): customer rows encode
+    * into a genuine RDB v9 binary snapshot, parse back, and become
+    * `transformWithState` INITIAL STATE; the events table then replays
+    * as the risk/change stream (real Update-mode streaming execution,
+    * AvailableNow file source, RocksDB state) — every event counts
+    * toward its email's tally, and events with event_id ≡ 0 (mod 3)
+    * carry a deterministic birth-year correction folded latest-wins by
+    * (ts_us, event_id). Emails with no update KEEP THE SNAPSHOT VALUE
+    * in the output — the hash gate therefore proves the seed path and
+    * the fold path at once. The change stream is restricted to
+    * snapshot-known emails by a stream-static broadcast semi-join
+    * (op125's inner-join semantics; an unknown key would otherwise
+    * bootstrap an empty record). Update rows compact to each key's
+    * final state by max n_events (strictly growing — op108's rule).
+    *
+    * 100 TB shape: state is one row per ACTIVE key sharded by the group
+    * key; the snapshot seeds executor-side through the initial-state
+    * channel (never a driver replay of history); the fold's unique
+    * total order makes the fixpoint independent of micro-batch
+    * boundaries, so checkpoint-restart mid-replay lands on the same
+    * rows (RecoverySpec). */
+  val op287StreamRdbBootstrap: Q = (s, d) => {
+    import s.implicits._
+    import graft.sources.RedisRdb
+    import graft.streaming.{RdbBootstrapStream, StateStores}
+    import RdbBootstrapStream.{ProfileEvent, SnapshotRow}
+    val members = Tables.customer(s, d)
+      .select(StediFixtures.customerRecordJson.as("member"),
+        col("c_custkey").cast("double").as("score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val path = java.nio.file.Files.createTempFile("graft_op287_", ".rdb")
+    val snap =
+      try {
+        RedisRdb.writeZSet2(path.toString, "Customer", members)
+        RedisRdb.customers(s, path.toString)
+          .select(col("email"), col("birthYear")).as[SnapshotRow]
+          .localCheckpoint()
+      } finally java.nio.file.Files.deleteIfExists(path)
+    val updates = StateStores.withRocksDb(s) {
+      TrainQueries.drainStream(s, d, "op287", "events", "update", "8") { st =>
+        val changes = st
+          .select(StediFixtures.emailFor(col("user_id")).as("email"),
+            col("event_id"), Tables.tsUsExpr(st).as("ts_us"),
+            when(col("event_id") % 3 === 0,
+              (lit(1900) + (col("user_id") + col("event_id")) % 90)
+                .cast("string")).as("birth_year_update"))
+          .join(broadcast(snap.select("email")), "email")
+          .as[ProfileEvent]
+        RdbBootstrapStream.bootstrappedProfiles(changes, snap).toDF()
+      }
+    }
+    ordered(
+      updates.groupBy(col("email"))
+        .agg(max_by(struct(col("birthYear"), col("n_updates")),
+          col("n_events")).as("f"), max(col("n_events")).as("n_events"))
+        .select(col("email"), col("f.birthYear").as("birthYear"),
+          big(col("n_events")).as("n_events"),
+          big(col("f.n_updates")).as("n_updates")),
+      "email")
+  }
+
   val defs: Map[String, Q] = Map(
     "op10_cast_project" -> op10Cast,
     "op11_from_json" -> op11FromJson,
@@ -254,6 +317,7 @@ object StediQueries {
     "op30_stedi_payload" -> op30StediPayload,
     "op123_stream_bounded_join" -> op123StreamBoundedJoin,
     "op125_rdb_bootstrap_join" -> op125RdbBootstrapJoin,
+    "op287_stream_rdb_bootstrap" -> op287StreamRdbBootstrap,
   )
 
   val oracle: Map[String, String] = Map(
@@ -363,5 +427,38 @@ object StediQueries {
         |FROM risk r JOIN cust c ON r.customer = c.email
         |GROUP BY c.email, c.birthYear
         |ORDER BY email, birthYear, n_events""".stripMargin,
+    // op287: the oracle recomputes the bootstrapped dimension from the
+    // raw tables — snapshot values where no update-bearing event
+    // arrived, otherwise the latest correction by (ts_us, event_id) —
+    // so the hash match proves the RDB seed path, the initial-state
+    // channel, and the streaming fold in one gate
+    "op287_stream_rdb_bootstrap" ->
+      """WITH cust AS (
+        |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
+        |         CAST(1930 + c_custkey % 70 AS VARCHAR) AS birthYear
+        |  FROM customer),
+        |ev AS (
+        |  SELECT 'customer' || CAST(user_id AS VARCHAR) || '@test.com' AS email,
+        |         event_id, epoch_us(ts) AS ts_us, user_id
+        |  FROM events),
+        |evk AS (SELECT ev.* FROM ev JOIN cust USING (email)),
+        |upd AS (
+        |  SELECT email, event_id, ts_us,
+        |         CAST(1900 + (user_id + event_id) % 90 AS VARCHAR) AS by
+        |  FROM evk WHERE event_id % 3 = 0),
+        |lat AS (
+        |  SELECT email, by FROM (
+        |    SELECT email, by, row_number() OVER (PARTITION BY email
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM upd)
+        |  WHERE rn = 1),
+        |cnt AS (
+        |  SELECT email, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT)
+        |           AS n_updates
+        |  FROM evk GROUP BY 1)
+        |SELECT n.email, coalesce(l.by, c.birthYear) AS birthYear,
+        |       n.n_events, n.n_updates
+        |FROM cnt n JOIN cust c USING (email) LEFT JOIN lat l USING (email)
+        |ORDER BY email""".stripMargin,
   )
 }

@@ -120,6 +120,72 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("op264 two-table co-located join keeps zero Exchange when ONE side " +
+    "has multi-file buckets; compaction restores zero-Sort") {
+    // the r11 leg proved the lifecycle on a SELF-join; op264's actual
+    // shape is fact ⋈ fact across TWO bucketed tables — after a
+    // bucket-aligned append to one side the bucket spec still matches,
+    // so Exchange elimination must survive (only the appended side's
+    // per-bucket Sort reappears), and compact-first restores the
+    // all-sorted plan. This pins the contract: appends never cost the
+    // shuffle, only the sorted run — compaction is a Sort optimization,
+    // not a correctness requirement.
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      val nonce = s"graft_b2t_${System.nanoTime()}"
+      val dir = java.nio.file.Files.createTempDirectory("graft_b2t_")
+      try {
+        val l = graft.sources.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val o = graft.sources.Tables.orders(spark, sfDir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        def writeBucketed(df: org.apache.spark.sql.DataFrame, path: String,
+            table: String, mode: String): Unit =
+          df.repartition(4, col("l_orderkey"))
+            .write.mode(mode).bucketBy(4, "l_orderkey")
+            .sortBy("l_orderkey").option("path", path).saveAsTable(table)
+        writeBucketed(l.where(col("l_orderkey") % 2 === 0),
+          s"$dir/l", s"${nonce}_l", "errorifexists")
+        writeBucketed(o, s"$dir/o", s"${nonce}_o", "errorifexists")
+        def joined = spark.table(s"${nonce}_l")
+          .join(spark.table(s"${nonce}_o"), "l_orderkey")
+        def planOf = joined.queryExecution.executedPlan.toString
+        val before = planOf
+        assert(!before.contains("Exchange") && !before.contains("Sort "),
+          s"fresh two-table bucketed join must be exchange- and " +
+            s"sort-free:\n$before")
+        val wantRows = joined.count()
+        // append to ONE side only — bucket counts now differ in files,
+        // not in spec: the co-located join must keep Exchange
+        // elimination, paying only the appended side's Sort
+        writeBucketed(l.where(col("l_orderkey") % 2 === 1),
+          s"$dir/l", s"${nonce}_l", "append")
+        val after = planOf
+        assert(!after.contains("Exchange"),
+          s"multi-file buckets on one side must not reintroduce a " +
+            s"shuffle:\n$after")
+        assert(after.contains("Sort "),
+          s"expected the appended side's per-bucket Sort:\n$after")
+        val fullRows = joined.count()
+        assert(fullRows > wantRows, "append must add joinable rows")
+        // compact-first restores the all-sorted zero-Exchange plan
+        graft.queries.EngineQueries.compactBucketed(spark, s"${nonce}_l",
+          4, "l_orderkey", s"$dir/l2", s"${nonce}_l2")
+        val compactJoin = spark.table(s"${nonce}_l2")
+          .join(spark.table(s"${nonce}_o"), "l_orderkey")
+        val cPlan = compactJoin.queryExecution.executedPlan.toString
+        assert(!cPlan.contains("Exchange") && !cPlan.contains("Sort "),
+          s"compacted two-table join should be exchange- and " +
+            s"sort-free:\n$cPlan")
+        assert(compactJoin.count() == fullRows, "compaction is lossless")
+      } finally {
+        Seq("_l", "_o", "_l2").foreach(sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS $nonce$sfx"))
+        new scala.reflect.io.Directory(dir.toFile).deleteRecursively(): Unit
+      }
+    }
+  }
+
   test("op264 matches the raw unbucketed join exactly") {
     val got = graft.queries.EngineQueries.op264BucketedJoin(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq

@@ -532,4 +532,56 @@ class RecoverySpec extends SparkSpec {
       Transition(2, "view", "error")),
       s"restart lost the carried last event: $r2")
   }
+
+  test("RDB-seeded bootstrap state survives a checkpointed restart " +
+    "(seed persists, straggler no-regress, counters continue)") {
+    // op287's recovery contract: initial state is applied ONLY on the
+    // first run, so after a restart the restored RocksDB rows must
+    // still carry the snapshot seed for never-updated keys, and the
+    // latest-wins stamp for updated ones
+    import graft.streaming.{RdbBootstrapStream, StateStores}
+    import RdbBootstrapStream.{ProfileEvent, ProfileRow, SnapshotRow}
+    val srcDir = Files.createTempDirectory("graft_rdbboot_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_rdbboot_ckpt_").toString
+    val snap = Seq(SnapshotRow("a@x", "1950"), SnapshotRow("b@x", "1960"),
+      SnapshotRow("c@x", "1970")).toDS()
+    def write(rows: Seq[ProfileEvent]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[(String, String, Long, Long)] = {
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[ProfileEvent].schema)
+          .parquet(srcDir.getAbsolutePath).as[ProfileEvent]
+        val q = RdbBootstrapStream.bootstrappedProfiles(in, snap)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[ProfileRow], _: Long) =>
+            buf ++= batch.collect().map(r =>
+              (r.email, r.birthYear, r.n_events, r.n_updates))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq.sortBy(_._1)
+    }
+    write(Seq(ProfileEvent("a@x", 10L, 100L, "1999"),
+      ProfileEvent("b@x", 11L, 100L, null)))
+    assert(runOnce() == Seq(("a@x", "1999", 1L, 1L),
+      ("b@x", "1960", 1L, 0L)),
+      "first run must fold the update and keep b's snapshot seed")
+    // restart mid-replay: a straggler update (older than a's held
+    // stamp) and a plain event for b — the restored state must keep
+    // a's 1999, keep b's SNAPSHOT value, and continue both counters
+    write(Seq(ProfileEvent("a@x", 9L, 50L, "1888"),
+      ProfileEvent("b@x", 12L, 200L, null)))
+    val r2 = runOnce()
+    assert(r2 == Seq(("a@x", "1999", 2L, 2L), ("b@x", "1960", 2L, 0L)),
+      s"restart lost the seed or regressed the fold: $r2")
+    // c@x never received an event: seeded state only, never emitted
+    assert(!r2.exists(_._1 == "c@x"))
+  }
 }
