@@ -33,6 +33,10 @@ object BenchStreaming {
       "stedi_join_rows_per_sec" -> guard(stediJoinRowsPerSec(spark, sfDir)),
       "incremental_dedup_rows_per_sec" -> guard(incDedupRowsPerSec(spark, sfDir)),
       "ann_probe_rows_per_sec" -> guard(annProbeRowsPerSec(spark, sfDir)),
+      "pq_probe_rows_per_sec" ->
+        guard(pqProbeRowsPerSec(spark, sfDir, pruned = true)),
+      "pq_flat_probe_rows_per_sec" ->
+        guard(pqProbeRowsPerSec(spark, sfDir, pruned = false)),
       "clustered_ingest_rows_per_sec" ->
         guard(clusteredIngestRowsPerSec(spark, sfDir)))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -130,6 +134,61 @@ object BenchStreaming {
       // swings 2x+ with scheduling — serve the budget as four drains
       // and report the MEDIAN per-drain rate (one contended drain
       // can't move it)
+      val rates = servedVecs.grouped(math.max(1, servedVecs.size / 4))
+        .map { chunk =>
+          in.addData(chunk)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          chunk.size / ((System.nanoTime() - t0) / 1e9)
+        }.toSeq
+      q.stop()
+      spark.catalog.dropTempView(name)
+      Bench.median(rates)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
+  /** Online PQ-ADC serving (the op100 leg), measured on BOTH store
+    * layouts so the r11-verdict-item-3 pruning A/B is a standing bench
+    * fact rather than a one-off: `pruned = true` probes the IVF-PQ
+    * store (coarse quantizer present → [[StreamingAnn.pqAdcProbeStream]]
+    * delegates to the cell-pruned leg, scanning nProbe cells per query);
+    * `pruned = false` probes the flat `pqIndexWrite` store (the
+    * exact-recall-over-ADC baseline — a full packed-code scan per
+    * micro-batch, which is what PQ-flat IS). Same query vectors, same
+    * warm-up-then-timed-drains methodology as [[annProbeRowsPerSec]],
+    * so pq/pq_flat is a clean pruning-speedup ratio. The flat leg gets
+    * a smaller timed budget — it exists to anchor the ratio, not to
+    * burn bench time scanning the whole store 2500 times. */
+  private def pqProbeRowsPerSec(spark: SparkSession, sfDir: String,
+      pruned: Boolean): Double = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_pq_")
+    try {
+      if (pruned)
+        Similarity.ivfPqIndexWrite(emb, s"$dir/pq", nCells = 16)
+      else Similarity.pqIndexWrite(emb, s"$dir/pq")
+      val budget = if (pruned) 2500 else 600
+      val queryVecs = emb.orderBy("vec_id").limit(budget)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val (warmVecs, servedVecs) =
+        queryVecs.splitAt(math.min(if (pruned) 500 else 120,
+          queryVecs.size / 5))
+      val in = MemoryStream[(Long, Seq[Float])]
+      in.addData(warmVecs)
+      val name = s"bench_pqprobe_${System.nanoTime()}"
+      val q = StreamingAnn.pqAdcProbeStream(
+          in.toDF().toDF("vec_id", "embedding"), s"$dir/pq", 5, nProbe = 2)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable() // warm-up drain: start-up cost lands here
       val rates = servedVecs.grouped(math.max(1, servedVecs.size / 4))
         .map { chunk =>
           in.addData(chunk)

