@@ -1355,4 +1355,75 @@ object Similarity {
         .cast("bigint"))
       .select(col("u_id"), col("rank"), col("n_id"), col("cos_bp"))
   }
+
+  /** Graph-based ANN serving: beam search over a prebuilt kNN graph
+    * (the NSW idea — Malkov et al. 2014; HNSW adds a layer hierarchy on
+    * top of exactly this search step). Start each query from a fixed
+    * entry set, then repeat `hops` times: expand the beam through the
+    * graph's out-edges, rescore every candidate against the query with
+    * the exact integer cosine, keep the best `beam`. Emits the final
+    * beam's top `kOut` as (q_id, rank, n_id, cos_bp).
+    *
+    * Deterministic end-to-end, so DuckDB replays it exactly: entries
+    * are the same LCG permutation as [[nnDescent]]'s init (slot j of
+    * query q → (q·48271 + j·1299721) mod N — the reproducible spelling
+    * of NSW's random entry point), scores are the exact integer cosine,
+    * ties break by ascending candidate id, self hits are dropped at
+    * scoring time.
+    *
+    * Shape at 100 TB: the graph is the N·k-edge artifact of [[nnDescent]]
+    * (at scale: persisted bucketed by u_id — expansion is |Q|·beam point
+    * lookups per hop, the op286 bucket-pruned access path); one hop
+    * scores ≤ |Q|·beam·(k+1) candidates — every per-hop structure is
+    * query-sample-bounded, the corpus is touched only at the looked-up
+    * ids. Brute force is never consulted. The latency escalation is
+    * HNSW's coarse-to-fine layer stack; recall rises with `beam` (the
+    * ef parameter) and `hops`. */
+  def graphSearch(emb: DataFrame, graph: DataFrame, nQueries: Int,
+      beam: Int = 12, hops: Int = 3, kOut: Int = 8): DataFrame = {
+    val n = emb.select(col("vec_id").as("id"),
+        quantize(col("embedding")).as("vec"))
+      .withColumn("n2", intDot(col("vec"), col("vec")))
+      .localCheckpoint()
+    val nTotal = n.count()
+    val q = n.filter(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"),
+        col("n2").as("q_n2"))
+    val edges = graph.select(col("u_id").as("cand"), col("n_id").as("w"))
+    val nc = n.select(col("id").as("cand"), col("vec").as("c_vec"),
+      col("n2").as("c_n2"))
+    val byQ = Window.partitionBy("q_id")
+    // rescore + keep-beam: the one shape shared by init and every hop
+    def topBeam(cands: DataFrame): DataFrame =
+      cands.distinct()
+        .join(q, "q_id").join(nc, "cand")
+        .filter(col("cand") =!= col("q_id"))
+        .withColumn("rk", row_number().over(byQ.orderBy(
+          cosBpFrom(intDot(col("q_vec"), col("c_vec")),
+            col("q_n2"), col("c_n2")).desc, col("cand"))))
+        .filter(col("rk") <= beam)
+        .select(col("q_id"), col("cand"))
+    var b = topBeam(
+      q.select(col("q_id"))
+        .withColumn("j", explode(sequence(lit(1), lit(beam))))
+        .select(col("q_id"),
+          pmod(col("q_id") * lit(48271L) + col("j") * lit(1299721L),
+            lit(nTotal)).as("cand")))
+      .localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val expand = b.join(edges, "cand")
+        .select(col("q_id"), col("w").as("cand"))
+      b = topBeam(b.union(expand)).localCheckpoint()
+    }
+    b.join(q, "q_id").join(nc, "cand")
+      .select(col("q_id"), col("cand").as("n_id"),
+        cosBpFrom(intDot(col("q_vec"), col("c_vec")),
+          col("q_n2"), col("c_n2")).as("cos_bp"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy("q_id")
+          .orderBy(col("cos_bp").desc, col("n_id")))
+        .cast("bigint"))
+      .filter(col("rank") <= kOut)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_bp"))
+  }
 }

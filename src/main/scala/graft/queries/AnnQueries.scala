@@ -392,6 +392,23 @@ object AnnQueries {
       "q_id")
   }
 
+  /** op290: graph-based ANN serving — beam search over the op288
+    * NN-Descent graph ([[graft.functions.Similarity.graphSearch]]),
+    * the NSW-style query path that completes the graph-ANN story:
+    * op288 builds the artifact, op289 gates its quality, op290 serves
+    * from it without ever consulting brute force. Deterministic end to
+    * end (LCG entry set — the reproducible spelling of NSW's random
+    * entry — exact integer cosine, id tiebreaks), so the oracle
+    * replays the graph build AND the search hop by hop: the served
+    * top-k is hash-gated, not just recall-gated. */
+  val op290GraphAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    ordered(Similarity.graphSearch(emb,
+        Similarity.nnDescent(emb, k = 16, rounds = 3, capR = 16),
+        nQueries = 8, beam = 12, hops = 3, kOut = 8),
+      "q_id", "rank")
+  }
+
   /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
     * of brute-force search over the FIRST 16 of 64 dims against the
     * full-dim exact top-5. MRL-style nested embeddings are trained so
@@ -753,6 +770,48 @@ object AnnQueries {
       |WHERE q.vec_id < 8 ORDER BY q_id""".stripMargin
   }
 
+  /** op290's DuckDB replay: the [[nndCtes]] graph + beam search
+    * unrolled `hops` times. Each hop is UNION(beam, beam⋈graph) →
+    * distinct → exact-integer rescore vs the query → keep-`beam` by
+    * (cos_bp DESC, id) — clause for clause the loop body of
+    * [[graft.functions.Similarity.graphSearch]]. */
+  private def graphAnnSql(k: Int, rounds: Int, capR: Int,
+      beam: Int, hops: Int, kOut: Int): String = {
+    val cosTo = ivfCosTo
+    def topBeam(src: String, cur: String): String =
+      s"""$cur AS (
+        |  SELECT q_id, cand FROM (
+        |    SELECT d.q_id, d.cand,
+        |           row_number() OVER (PARTITION BY d.q_id ORDER BY
+        |             ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} DESC, d.cand) AS rk
+        |    FROM (SELECT DISTINCT q_id, cand FROM $src) d
+        |    JOIN qs q ON q.q_id = d.q_id
+        |    JOIN n c ON c.vec_id = d.cand
+        |    WHERE d.cand <> d.q_id)
+        |  WHERE rk <= $beam)""".stripMargin
+    val hopCtes = (1 to hops).map { r =>
+      s"""h$r AS (
+        |  SELECT b.q_id, g.w AS cand FROM b${r - 1} b JOIN g$rounds g ON g.u = b.cand
+        |  UNION SELECT q_id, cand FROM b${r - 1}),
+        |${topBeam(s"h$r", s"b$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${nndCtes(k, rounds, capR)},
+      |qs AS (SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2 FROM n WHERE vec_id < 8),
+      |e0 AS (
+      |  SELECT q.q_id,
+      |         (q.q_id * 48271 + t.j * 1299721) % (SELECT count(*) FROM n) AS cand
+      |  FROM qs q, range(1, ${beam + 1}) t(j)),
+      |${topBeam("e0", "b0")},
+      |$hopCtes
+      |SELECT q_id, rank, n_id, cos_bp FROM (
+      |  SELECT b.q_id, b.cand AS n_id,
+      |         ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} AS cos_bp,
+      |         CAST(row_number() OVER (PARTITION BY b.q_id ORDER BY
+      |           ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} DESC, b.cand) AS BIGINT) AS rank
+      |  FROM b$hops b JOIN qs q ON q.q_id = b.q_id JOIN n c ON c.vec_id = b.cand)
+      |WHERE rank <= $kOut ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Shared SQ8 replay through the approximate scores: probed cells,
     * int8 codes, code norms, per-candidate sq_bp. op112/op115 continue
     * with shortlist + exact rerank; op116 (the streaming probe, which
@@ -1034,7 +1093,8 @@ object AnnQueries {
     "op120_stream_ivfpq_probe" -> op120StreamIvfPqProbe,
     "op121_recall_matrix" -> op121RecallMatrix,
     "op288_nn_descent" -> op288NnDescent,
-    "op289_nnd_recall" -> op289NndRecall)
+    "op289_nnd_recall" -> op289NndRecall,
+    "op290_graph_ann" -> op290GraphAnn)
 
   private val baseOracle: Map[String, String] = Map(
     "op83_pq_ann" -> {
@@ -1165,5 +1225,9 @@ object AnnQueries {
     // exact integer cosine, id tiebreaks, lowest-id reverse cap) — the
     // oracle replays all three rounds and hash-gates the GRAPH itself
     "op288_nn_descent" -> nndGraphSql(k = 16, rounds = 3, capR = 16),
-    "op289_nnd_recall" -> nndRecallSql(k = 16, rounds = 3, capR = 16))
+    "op289_nnd_recall" -> nndRecallSql(k = 16, rounds = 3, capR = 16),
+    // beam search is deterministic too (LCG entry set, exact integer
+    // cosine, id tiebreaks) — the oracle replays build + search
+    "op290_graph_ann" -> graphAnnSql(k = 16, rounds = 3, capR = 16,
+      beam = 12, hops = 3, kOut = 8))
 }

@@ -563,4 +563,30 @@ class SimilaritySpec extends SparkSpec {
     // (init diversity, cap, tiebreaks) lands far below it
     assert(converged >= 0.9, s"NND recall@16 too low: $converged")
   }
+
+  test("graph ANN beam search: kOut ranked hits per query, hops add recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val g = Similarity.nnDescent(emb, k = 16, rounds = 3, capR = 16)
+      .localCheckpoint()
+    val truth = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 8)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(hops: Int): Double = {
+      val served = Similarity.graphSearch(emb, g, nQueries = 8,
+        beam = 12, hops = hops, kOut = 8)
+      assert(served.count() == 8 * 8, "must serve exactly kOut per query")
+      assert(served.filter(col("q_id") === col("n_id")).isEmpty, "self hit")
+      val got = served.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val entryOnly = recallOf(0)
+    val walked = recallOf(3)
+    assert(walked > entryOnly,
+      s"beam search did not improve on the entry set: $entryOnly -> $walked")
+    // uniform-random fixture, the hardest case for graph search (no
+    // cluster structure to ride); floor set well under the measured
+    // value so only a real search regression trips it
+    assert(walked >= 0.6, s"graph-ANN recall@8 too low: $walked")
+  }
 }
