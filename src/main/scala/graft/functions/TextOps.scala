@@ -44,6 +44,14 @@ object TextOps {
         i => struct(element_at(t, i + 1).as("w1"),
           element_at(t, i + 2).as("w2"))))
 
+  /** Space-joined token n-grams from a pre-split token array column,
+    * for any fixed n. Same descending-sequence guard as
+    * [[trigramsOfTokens]]: docs under n tokens yield an empty array. */
+  def ngramsOfTokens(t: Column, n: Int): Column =
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text)).cast("bigint")
 

@@ -163,6 +163,86 @@ object TextQueries {
     ordered(tri.join(tok, "doc_id"), "doc_id")
   }
 
+  /** The n values of the Gopher repetition-rule family (Rae et al.
+    * 2021, Table A1): top-n-gram character fraction for n ∈ {2,3,4},
+    * duplicated-n-gram character fraction for n ∈ {5..10}. */
+  private val gopherTopNs = Seq(2, 3, 4)
+  private val gopherDupNs = Seq(5, 6, 7, 8, 9, 10)
+
+  /** Published Gopher thresholds, in basis points: a document passes
+    * when every metric is at or under its bound (0.20/0.18/0.16 for
+    * the top fractions, 0.15 down to 0.10 for the duplicate ones). */
+  private val gopherMaxBp: Map[Int, Long] = Map(
+    2 -> 2000L, 3 -> 1800L, 4 -> 1600L,
+    5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L, 9 -> 1100L,
+    10 -> 1000L)
+
+  /** op291: Gopher-style repetition quality rules — for each document,
+    * the fraction of characters covered by the single most frequent
+    * n-gram (n ∈ {2,3,4}, tie-break most-frequent-then-lexicographic)
+    * and by all duplicated n-grams (n ∈ {5..10}, each occurrence's
+    * characters counted, the standard overlapping-span approximation),
+    * both in basis points of the document's character length and capped
+    * at 10000, plus `gopher_ok` = 1 iff every metric passes the
+    * published threshold. Complements op76 (distinct-trigram and
+    * top-token COUNT ratios) with the character-mass spelling the
+    * public corpus-curation recipes actually gate on.
+    *
+    * Shape: all nine n values explode from ONE projection of the token
+    * array (per-row higher-order functions, no UDFs), so the whole op
+    * is a single shuffle keyed by (doc_id, n, gram) followed by
+    * doc-keyed aggregates — embarrassingly parallel at any corpus size,
+    * and the n-gram key space is corpus-sized, never cross-doc joined. */
+  val op291GopherRep: Q = (s, d) => {
+    val ns = gopherTopNs ++ gopherDupNs
+    val doc = Tables.documents(s, d).select(col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      TextOps.tokens(col("text")).as("toks"))
+    val grams = doc.select(col("doc_id"), explode(array(ns.map(n =>
+        struct(lit(n).as("n"),
+          TextOps.ngramsOfTokens(col("toks"), n).as("gs"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"),
+        explode(col("x.gs")).as("gram"))
+    val cnts = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    // argmax(cnt desc, gram asc) via struct-min: (-cnt, gram) ascending
+    val perN = cnts.groupBy("doc_id", "n")
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g")))
+          .as("top"),
+        sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+          .otherwise(lit(0L))).as("dup_chars"))
+      .select(col("doc_id"), col("n"),
+        (-col("top.nc") * length(col("top.g"))).cast("bigint")
+          .as("top_chars"),
+        col("dup_chars").cast("bigint").as("dup_chars"))
+    def bpOf(chars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(when(col("n_chars") === 0, lit(0L))
+        .otherwise(chars * 10000L / col("n_chars")), lit(10000L))
+        .cast("bigint")
+    val metricCols =
+      gopherTopNs.map(n => max(when(col("n") === n, col("top_bp")))
+        .as(s"top${n}_bp")) ++
+      gopherDupNs.map(n => max(when(col("n") === n, col("dup_bp")))
+        .as(s"dup${n}_bp"))
+    val wide = perN.join(doc.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("n"),
+        bpOf(col("top_chars")).as("top_bp"),
+        bpOf(col("dup_chars")).as("dup_bp"))
+      .groupBy("doc_id")
+      .agg(metricCols.head, metricCols.tail: _*)
+    val named = (gopherTopNs.map(n => s"top${n}_bp") ++
+      gopherDupNs.map(n => s"dup${n}_bp"))
+    val filled = named.foldLeft(
+        doc.select(col("doc_id")).join(wide, Seq("doc_id"), "left")) {
+      (df, c) => df.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+    val okCond = (gopherTopNs.map(n => col(s"top${n}_bp") <= gopherMaxBp(n))
+      ++ gopherDupNs.map(n => col(s"dup${n}_bp") <= gopherMaxBp(n)))
+      .reduce(_ && _)
+    ordered(filled.withColumn("gopher_ok",
+      when(okCond, lit(1L)).otherwise(lit(0L))), "doc_id")
+  }
+
   /** Bigram language-model scoring (perplexity-style quality filter):
     * score each document by its average add-one-smoothed bigram
     * log-probability under a model trained on the corpus itself —
@@ -387,6 +467,7 @@ object TextQueries {
     "op74_scrub" -> op74Scrub,
     "op75_chunks" -> op75Chunks,
     "op76_repetition" -> op76Repetition,
+    "op291_gopher_rep" -> op291GopherRep,
     "op78_lm_score" -> op78LmScore,
     "op282_heldout_ppl" -> op282HeldoutPpl,
     "op117_ngram_novelty" -> op117NgramNovelty,
@@ -572,6 +653,50 @@ object TextQueries {
         |  CAST(n_unique AS BIGINT) AS n_unique,
         |  CAST(n_unique * 10000 // n_sh AS BIGINT) AS novelty_bp
         |FROM d ORDER BY doc_id""".stripMargin,
+    // op291's replay: same nine explodes (list_transform over the
+    // token list), same (cnt DESC, gram ASC) argmax, same integer bp
+    // caps; thresholds come from the SAME gopherMaxBp map as the
+    // Spark side so the flag can't drift
+    "op291_gopher_rep" -> {
+      val ns = gopherTopNs ++ gopherDupNs
+      val nVals = ns.map(n => s"($n)").mkString(",")
+      val metricSel = (gopherTopNs.map(n =>
+          s"CAST(max(CASE WHEN n = $n THEN top_bp END) AS BIGINT) AS top${n}_bp") ++
+        gopherDupNs.map(n =>
+          s"CAST(max(CASE WHEN n = $n THEN dup_bp END) AS BIGINT) AS dup${n}_bp"))
+        .mkString(",\n  ")
+      val okCond = (gopherTopNs.map(n =>
+          s"max(CASE WHEN n = $n THEN top_bp END) <= ${gopherMaxBp(n)}") ++
+        gopherDupNs.map(n =>
+          s"max(CASE WHEN n = $n THEN dup_bp END) <= ${gopherMaxBp(n)}"))
+        .mkString(" AND ")
+      s"""WITH d AS (SELECT doc_id, length(text) AS n_chars,
+        |            string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id, n,
+        |        unnest(list_transform(range(1, greatest(len(l) - n + 2, 1)),
+        |          i -> array_to_string(l[i:i+n-1], ' '))) AS gram
+        |      FROM d CROSS JOIN (VALUES $nVals) t(n)),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, n, cnt * length(gram) AS top_chars
+        |      FROM (SELECT doc_id, n, gram, cnt, row_number() OVER
+        |              (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rk
+        |            FROM c) WHERE rk = 1),
+        |q AS (SELECT doc_id, n,
+        |        sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+        |      FROM c GROUP BY 1, 2),
+        |m AS (SELECT d.doc_id, t.n,
+        |        least(CASE WHEN d.n_chars = 0 THEN 0
+        |          ELSE coalesce(p.top_chars, 0) * 10000 // d.n_chars END, 10000) AS top_bp,
+        |        least(CASE WHEN d.n_chars = 0 THEN 0
+        |          ELSE coalesce(q.dup_chars, 0) * 10000 // d.n_chars END, 10000) AS dup_bp
+        |      FROM d CROSS JOIN (VALUES $nVals) t(n)
+        |      LEFT JOIN p ON p.doc_id = d.doc_id AND p.n = t.n
+        |      LEFT JOIN q ON q.doc_id = d.doc_id AND q.n = t.n)
+        |SELECT doc_id,
+        |  $metricSel,
+        |  CAST(CASE WHEN $okCond THEN 1 ELSE 0 END AS BIGINT) AS gopher_ok
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "op76_repetition" ->
       s"""WITH tri AS (
         |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT shingle) AS n_d

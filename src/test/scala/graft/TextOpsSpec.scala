@@ -661,4 +661,44 @@ class TextOpsSpec extends SparkSpec {
     // a BPE token never spans words: every word is >= 1 token
     assert(got.values.forall(v => v._3 >= 10000))
   }
+
+  test("gopher repetition rules (op291) equal a driver-side fold, whole fixture") {
+    def grams(toks: Array[String], n: Int): Array[String] =
+      if (toks.length < n) Array.empty
+      else toks.sliding(n).map(_.mkString(" ")).toArray
+    val topNs = Seq(2, 3, 4); val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val maxBp = Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L, 5 -> 1500L,
+      6 -> 1400L, 7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
+    val want = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val toks = text.split(" "); val nChars = text.length.toLong
+        def bp(chars: Long): Long =
+          math.min(if (nChars == 0) 0L else chars * 10000L / nChars, 10000L)
+        val m = (topNs ++ dupNs).map { n =>
+          val c = grams(toks, n).groupBy(identity)
+            .map { case (g, o) => (g, o.length.toLong) }
+          val top = if (c.isEmpty) 0L else {
+            val (g, cnt) = c.minBy { case (g, cnt) => (-cnt, g) }
+            cnt * g.length
+          }
+          val dup = c.collect { case (g, cnt) if cnt > 1 => cnt * g.length }
+            .sum
+          n -> ((bp(top), bp(dup)))
+        }.toMap
+        val ok = topNs.forall(n => m(n)._1 <= maxBp(n)) &&
+          dupNs.forall(n => m(n)._2 <= maxBp(n))
+        id -> ((topNs.map(m(_)._1), dupNs.map(m(_)._2), if (ok) 1L else 0L))
+      }.toMap
+    val got = graft.queries.TextQueries.defs("op291_gopher_rep")(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> (((1 to 3).map(r.getLong), (4 to 9).map(r.getLong),
+          r.getLong(10)))
+      }.toMap
+    assert(got == want)
+    // the fixture has both keepers and flagged docs — the gate is live
+    val flags = got.values.map(_._3).toSet
+    assert(flags == Set(0L, 1L) || flags == Set(1L),
+      s"gopher flag degenerate: $flags")
+  }
 }
