@@ -1356,6 +1356,24 @@ object Similarity {
       .select(col("u_id"), col("rank"), col("n_id"), col("cos_bp"))
   }
 
+  /** Persist an NN-Descent kNN graph as a serving index: `vectors`
+    * (id, vec, n2 — the quantized corpus, the walk's rescore source)
+    * and `graph` (u_id, n_id — [[nnDescent]]'s directed edges). The
+    * layout [[graft.streaming.StreamingAnn.graphProbeStream]] loads
+    * into its broadcast shard; at 100 TB each serving node loads the
+    * id range of ITS shard (both tables are id-keyed, so the split is
+    * a range predicate the parquet scan prunes). */
+  def nndIndexWrite(emb: DataFrame, dir: String, k: Int = 16,
+      rounds: Int = 3, capR: Int = 16): Unit = {
+    emb.select(col("vec_id").as("id"),
+        quantize(col("embedding")).as("vec"))
+      .withColumn("n2", intDot(col("vec"), col("vec")))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    nnDescent(emb, k, rounds, capR)
+      .select(col("u_id"), col("n_id"))
+      .write.mode("overwrite").parquet(s"$dir/graph")
+  }
+
   /** Graph-based ANN serving: beam search over a prebuilt kNN graph
     * (the NSW idea — Malkov et al. 2014; HNSW adds a layer hierarchy on
     * top of exactly this search step). Start each query from a fixed

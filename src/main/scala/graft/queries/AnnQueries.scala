@@ -409,6 +409,26 @@ object AnnQueries {
       "q_id", "rank")
   }
 
+  /** op292: STREAMING graph-ANN serving — [[graft.streaming
+    * .StreamingAnn.graphProbeStream]] over the persisted NN-Descent
+    * index, drained the standard way. The whole NSW beam walk is one
+    * map-side expression per query row (GraphBeamTopK, bit-identical
+    * to op290's batch search), so the serving plan is
+    * project + explode + the one stateful TopKAgg — same collapse that
+    * bought the SQ8 leg its 2×. Stream ≡ batch: shares op290's oracle
+    * verbatim (build replayed edge by edge, search hop by hop). */
+  val op292StreamGraphAnn: Q = (s, d) => {
+    import graft.streaming.StreamingAnn
+    val emb = Tables.embeddings(s, d)
+    val dir = IndexStore.indexRoot(d, "nnd_k16_r3")
+    IndexStore.buildIndexIfAbsent(dir, "graph")(
+      Similarity.nndIndexWrite(emb, _, k = 16, rounds = 3, capR = 16))
+    ordered(StreamingAnn.explodeTopK(
+        drainQueryVecStream(s, d, "op292",
+          StreamingAnn.graphProbeStream(_, dir, 8, beam = 12, hops = 3))),
+      "q_id", "rank")
+  }
+
   /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
     * of brute-force search over the FIRST 16 of 64 dims against the
     * full-dim exact top-5. MRL-style nested embeddings are trained so
@@ -1094,7 +1114,8 @@ object AnnQueries {
     "op121_recall_matrix" -> op121RecallMatrix,
     "op288_nn_descent" -> op288NnDescent,
     "op289_nnd_recall" -> op289NndRecall,
-    "op290_graph_ann" -> op290GraphAnn)
+    "op290_graph_ann" -> op290GraphAnn,
+    "op292_stream_graph_ann" -> op292StreamGraphAnn)
 
   private val baseOracle: Map[String, String] = Map(
     "op83_pq_ann" -> {
@@ -1229,5 +1250,9 @@ object AnnQueries {
     // beam search is deterministic too (LCG entry set, exact integer
     // cosine, id tiebreaks) — the oracle replays build + search
     "op290_graph_ann" -> graphAnnSql(k = 16, rounds = 3, capR = 16,
+      beam = 12, hops = 3, kOut = 8),
+    // the streaming leg is bit-identical to the batch walk, so it
+    // shares op290's replay verbatim — the stream ≡ batch gate
+    "op292_stream_graph_ann" -> graphAnnSql(k = 16, rounds = 3, capR = 16,
       beam = 12, hops = 3, kOut = 8))
 }

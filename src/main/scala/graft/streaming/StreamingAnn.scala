@@ -376,6 +376,55 @@ object StreamingAnn {
     (m, nCents, subDim, lutOf)
   }
 
+  /** Probe the persisted NN-Descent graph index at `dir`
+    * ([[graft.functions.Similarity.nndIndexWrite]]) with a STREAMING
+    * frame of (vec_id, embedding) query vectors — the graph-ANN
+    * serving leg: the whole NSW beam walk is ONE map-side expression
+    * ([[graft.expressions.GraphBeamTopK]], bit-identical to the batch
+    * [[graft.functions.Similarity.graphSearch]] hop for hop), feeding
+    * the bounded [[TopKAgg]] as the single streaming aggregation.
+    * Graph + vectors ride in one broadcast shard, loaded ONCE at
+    * stream build — the deployment shape of every graph-ANN server
+    * (the structure lives in serving RAM; a query touches beam·(k+1)
+    * nodes per hop regardless of corpus size). Emits (q_id, top). */
+  def graphProbeStream(queryStream: DataFrame, dir: String, kOut: Int,
+      beam: Int = 12, hops: Int = 3): DataFrame = {
+    val spark = queryStream.sparkSession
+    val vecRows = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("vec"), col("n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    vecRows.iterator.zipWithIndex.foreach { case ((id, _, _), i) =>
+      require(id == i, s"graph shard needs dense ids 0..N-1, hole at $i")
+    }
+    val adjOf = spark.read.parquet(s"$dir/graph")
+      .select(col("u_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    val shard = spark.sparkContext.broadcast(
+      graft.expressions.GraphShard(
+        vecRows.map(_._2),
+        vecRows.map(_._3),
+        // neighbor order is irrelevant (expansion is a set union) but
+        // keep the shard byte-reproducible
+        vecRows.map { case (id, _, _) =>
+          adjOf.getOrElse(id, Array.empty).map(_._2).sorted }))
+    val q0 = queryStream.select(col("vec_id").as("q_id"),
+        Similarity.quantize(col("embedding")).as("q_vec"))
+      .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val topExpr = ColumnBridge.column(graft.expressions.GraphBeamTopK(
+      ColumnBridge.expression(col("q_id")),
+      ColumnBridge.expression(col("q_vec")),
+      ColumnBridge.expression(col("q_n2")), shard, beam, hops, kOut))
+    q0.select(col("q_id"), explode(topExpr).as("t"))
+      .select(col("q_id"), col("t.cos_bp").as("cos_bp"),
+        col("t.n_id").as("n_id"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(kOut)(col("cos_bp"), col("n_id")).as("top"))
+  }
+
   /** Explode a (q_id, top) frame from [[ivfProbeStream]] /
     * [[pqAdcProbeStream]] into the batch probe's row shape:
     * (q_id, n_id, <score>, rank). */

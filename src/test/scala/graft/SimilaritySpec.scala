@@ -589,4 +589,23 @@ class SimilaritySpec extends SparkSpec {
     // value so only a real search regression trips it
     assert(walked >= 0.6, s"graph-ANN recall@8 too low: $walked")
   }
+
+  test("streaming graph-ANN walk is bit-identical to the batch search") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nnd_spec_").toString
+    Similarity.nndIndexWrite(emb, dir, k = 16, rounds = 3, capR = 16)
+    val batch = Similarity.graphSearch(emb,
+        spark.read.parquet(s"$dir/graph"), nQueries = 8,
+        beam = 12, hops = 3, kOut = 8)
+      .orderBy("q_id", "rank").collect().toSeq
+    // same walk through the broadcast-shard expression, batch-driven
+    // (the expression doesn't care; op292 drives it from a stream)
+    val served = graft.streaming.StreamingAnn.explodeTopK(
+        graft.streaming.StreamingAnn.graphProbeStream(
+          emb.filter(col("vec_id") < 8), dir, 8, beam = 12, hops = 3))
+      .select("q_id", "rank", "n_id", "cos_bp")
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(served == batch)
+  }
 }
