@@ -37,6 +37,7 @@ object BenchStreaming {
         guard(pqProbeRowsPerSec(spark, sfDir, pruned = true)),
       "pq_flat_probe_rows_per_sec" ->
         guard(pqProbeRowsPerSec(spark, sfDir, pruned = false)),
+      "graph_probe_rows_per_sec" -> guard(graphProbeRowsPerSec(spark, sfDir)),
       "clustered_ingest_rows_per_sec" ->
         guard(clusteredIngestRowsPerSec(spark, sfDir)))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -134,6 +135,52 @@ object BenchStreaming {
       // swings 2x+ with scheduling — serve the budget as four drains
       // and report the MEDIAN per-drain rate (one contended drain
       // can't move it)
+      val rates = servedVecs.grouped(math.max(1, servedVecs.size / 4))
+        .map { chunk =>
+          in.addData(chunk)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          chunk.size / ((System.nanoTime() - t0) / 1e9)
+        }.toSeq
+      q.stop()
+      spark.catalog.dropTempView(name)
+      Bench.median(rates)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }
+  }
+
+  /** Graph-ANN serving (the op292 leg): one GraphBeamTopK walk per
+    * query row over the broadcast NN-Descent shard. Same protocol as
+    * [[annProbeRowsPerSec]] — index build and warm-up drain outside the
+    * timed region, budget served as four drains, median per-drain
+    * rate. */
+  private def graphProbeRowsPerSec(spark: SparkSession,
+      sfDir: String): Double = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Similarity
+    import graft.streaming.StreamingAnn
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_gra_")
+    try {
+      Similarity.nndIndexWrite(emb, s"$dir/nnd", k = 16, rounds = 3,
+        capR = 16)
+      val queryVecs = emb.orderBy("vec_id").limit(2500)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val (warmVecs, servedVecs) =
+        queryVecs.splitAt(math.min(500, queryVecs.size / 5))
+      val in = MemoryStream[(Long, Seq[Float])]
+      in.addData(warmVecs)
+      val name = s"bench_graphprobe_${System.nanoTime()}"
+      val q = StreamingAnn.graphProbeStream(
+          in.toDF().toDF("vec_id", "embedding"), s"$dir/nnd", 5,
+          beam = 12, hops = 3)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
       val rates = servedVecs.grouped(math.max(1, servedVecs.size / 4))
         .map { chunk =>
           in.addData(chunk)
