@@ -189,10 +189,16 @@ object TextQueries {
     * public corpus-curation recipes actually gate on.
     *
     * Shape: all nine n values explode from ONE projection of the token
-    * array (per-row higher-order functions, no UDFs), so the whole op
-    * is a single shuffle keyed by (doc_id, n, gram) followed by
-    * doc-keyed aggregates — embarrassingly parallel at any corpus size,
-    * and the n-gram key space is corpus-sized, never cross-doc joined. */
+    * array (per-row higher-order functions, no UDFs), and each n-gram
+    * crosses the ONE shuffle as (md5Hash60, char_len) — a fixed-width
+    * ~24-byte row instead of the up-to-10-token gram string (at 100 TB
+    * the string spelling ships ≈Σn ≈ 50× the corpus bytes through the
+    * exchange; the hash spelling ships ~2×). Everything downstream is
+    * doc-keyed aggregation — embarrassingly parallel at any corpus
+    * size, never cross-doc joined. The top-gram tie-break is therefore
+    * (count desc, HASH asc) in both engines; a 60-bit collision inside
+    * one (doc, n) group (a few hundred keys) is ~impossible and would
+    * merge identically on both sides anyway. */
   val op291GopherRep: Q = (s, d) => {
     val ns = gopherTopNs ++ gopherDupNs
     val doc = Tables.documents(s, d).select(col("doc_id"),
@@ -203,17 +209,22 @@ object TextQueries {
           TextOps.ngramsOfTokens(col("toks"), n).as("gs"))): _*)).as("x"))
       .select(col("doc_id"), col("x.n").as("n"),
         explode(col("x.gs")).as("gram"))
-    val cnts = grams.groupBy("doc_id", "n", "gram")
-      .agg(count(lit(1)).as("cnt"))
-    // argmax(cnt desc, gram asc) via struct-min: (-cnt, gram) ascending
+      .select(col("doc_id"), col("n"),
+        TextOps.md5Hash60(col("gram")).as("gh"),
+        length(col("gram")).cast("bigint").as("glen"))
+    val cnts = grams.groupBy("doc_id", "n", "gh")
+      .agg(count(lit(1)).as("cnt"), max(col("glen")).as("glen"))
+    // argmax(cnt desc, hash asc) via struct-min: (-cnt, gh) ascending
     val perN = cnts.groupBy("doc_id", "n")
-      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g")))
-          .as("top"),
-        sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+      .agg(min(struct((-col("cnt")).as("nc"), col("gh").as("gh"),
+          col("glen").as("gl"))).as("top"),
+        // per-doc char-mass: Σ cnt·glen ≤ n_grams·max_gram_len ≤
+        // n_chars·(10·max_token+9) — fits BIGINT with ~10⁶× margin
+        // for any document that fits in memory at all
+        sum(when(col("cnt") > 1, col("cnt") * col("glen"))
           .otherwise(lit(0L))).as("dup_chars"))
       .select(col("doc_id"), col("n"),
-        (-col("top.nc") * length(col("top.g"))).cast("bigint")
-          .as("top_chars"),
+        (-col("top.nc") * col("top.gl")).cast("bigint").as("top_chars"),
         col("dup_chars").cast("bigint").as("dup_chars"))
     def bpOf(chars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       least(when(col("n_chars") === 0, lit(0L))
@@ -654,9 +665,9 @@ object TextQueries {
         |  CAST(n_unique * 10000 // n_sh AS BIGINT) AS novelty_bp
         |FROM d ORDER BY doc_id""".stripMargin,
     // op291's replay: same nine explodes (list_transform over the
-    // token list), same (cnt DESC, gram ASC) argmax, same integer bp
-    // caps; thresholds come from the SAME gopherMaxBp map as the
-    // Spark side so the flag can't drift
+    // token list), same (gh, glen) hash bridge and (cnt DESC, gh ASC)
+    // argmax, same integer bp caps; thresholds come from the SAME
+    // gopherMaxBp map as the Spark side so the flag can't drift
     "op291_gopher_rep" -> {
       val ns = gopherTopNs ++ gopherDupNs
       val nVals = ns.map(n => s"($n)").mkString(",")
@@ -673,16 +684,22 @@ object TextQueries {
       s"""WITH d AS (SELECT doc_id, length(text) AS n_chars,
         |            string_split(text, ' ') AS l FROM documents),
         |g AS (SELECT doc_id, n,
+        |        ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh,
+        |        length(gram) AS glen
+        |      FROM (SELECT doc_id, n,
         |        unnest(list_transform(range(1, greatest(len(l) - n + 2, 1)),
         |          i -> array_to_string(l[i:i+n-1], ' '))) AS gram
-        |      FROM d CROSS JOIN (VALUES $nVals) t(n)),
-        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
-        |p AS (SELECT doc_id, n, cnt * length(gram) AS top_chars
-        |      FROM (SELECT doc_id, n, gram, cnt, row_number() OVER
-        |              (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rk
+        |      FROM d CROSS JOIN (VALUES $nVals) t(n))),
+        |c AS (SELECT doc_id, n, gh, count(*) AS cnt, max(glen) AS glen
+        |      FROM g GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, n, cnt * glen AS top_chars
+        |      FROM (SELECT doc_id, n, cnt, glen, row_number() OVER
+        |              (PARTITION BY doc_id, n ORDER BY cnt DESC, gh) AS rk
         |            FROM c) WHERE rk = 1),
         |q AS (SELECT doc_id, n,
-        |        sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+        |        -- per-doc char-mass sum fits BIGINT (bounds: see the
+        |        -- Spark-side dup_chars margin note)
+        |        sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup_chars
         |      FROM c GROUP BY 1, 2),
         |m AS (SELECT d.doc_id, t.n,
         |        least(CASE WHEN d.n_chars = 0 THEN 0

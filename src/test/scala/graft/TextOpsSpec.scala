@@ -676,10 +676,16 @@ class TextOpsSpec extends SparkSpec {
         def bp(chars: Long): Long =
           math.min(if (nChars == 0) 0L else chars * 10000L / nChars, 10000L)
         val m = (topNs ++ dupNs).map { n =>
+          // the shuffle carries md5Hash60(gram) instead of the string,
+          // so the top tie-break is (count desc, HASH asc) — replicate
+          def h60(g: String): Long = java.lang.Long.parseLong(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(g.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(15), 16)
           val c = grams(toks, n).groupBy(identity)
             .map { case (g, o) => (g, o.length.toLong) }
           val top = if (c.isEmpty) 0L else {
-            val (g, cnt) = c.minBy { case (g, cnt) => (-cnt, g) }
+            val (g, cnt) = c.minBy { case (g, cnt) => (-cnt, h60(g)) }
             cnt * g.length
           }
           val dup = c.collect { case (g, cnt) if cnt > 1 => cnt * g.length }
