@@ -362,8 +362,10 @@ object SeqGraphQueries {
       .where(col("supp") >= 2).select("p1", "p2")
   }
 
-  /** Symmetric (both-direction) edge list over [[supportPrunedPairs]]. */
-  private def supportPrunedUnd(s: SparkSession, d: String): DataFrame = {
+  /** Symmetric (both-direction) edge list over [[supportPrunedPairs]]
+    * (package-private so the k-core spec can replay the peel on the
+    * same graph). */
+  private[graft] def supportPrunedUnd(s: SparkSession, d: String): DataFrame = {
     val pairs = supportPrunedPairs(s, d)
     pairs.union(pairs.select(col("p2").as("p1"), col("p1").as("p2")))
   }
@@ -658,6 +660,61 @@ object SeqGraphQueries {
         .select(col("lbl").as("comp"), col("n_vertices"),
           col("min_v"), col("max_v")),
       "comp")
+  }
+
+  // ---------------------------------------------------------------- op293
+
+  /** op293 contract: the core order and the peel-round bound. The
+    * bound is part of the operator's semantics (both engines run
+    * EXACTLY this many peel rounds; rounds past the fixpoint are
+    * identical no-ops on both sides, so the hash holds whether or not
+    * the fixture converges — the spec separately asserts it DOES, with
+    * room to spare: sf0.001/sf0.01 reach fixpoint in ≤ 5 rounds). */
+  private[graft] val kCoreK = 2
+  private[graft] val kCoreMaxRounds = 10
+
+  /** op293: k-core extraction (k = [[kCoreK]]) over the support-pruned
+    * co-purchase graph — iterative peeling: drop every vertex of
+    * degree < k, recompute degrees, repeat; the fixpoint is the
+    * maximal subgraph where every vertex keeps ≥ k neighbors (the
+    * standard density filter before community/influence analysis, and
+    * the classic missing piece between op208's components and op225's
+    * clustering coefficients). Emits each core vertex with its
+    * in-core degree.
+    *
+    * 100 TB shape: one peel round is ONE map-combinable degree
+    * aggregate + a self-semi-join of the edge list against the
+    * survivor set — all keyed by vertex id, hash-partitioned, no
+    * broadcast of anything vertex-sized, localCheckpoint between
+    * rounds (the op202 rule); rounds are bounded by the peel depth
+    * (typically ≪ diameter — degree constraints bite everywhere at
+    * once) with [[kCoreMaxRounds]] as the contract bound. The
+    * convergence probe is one O(1) count per round, piggybacked on
+    * the checkpoint job like op208's. The oracle unrolls the same
+    * peel round for round. */
+  val op293KCore: Q = (s, d) => {
+    var und = supportPrunedUnd(s, d).localCheckpoint()
+    var prevV = -1L
+    var round = 0
+    var stable = false
+    while (!stable && round < kCoreMaxRounds) {
+      val keep = und.groupBy(col("p1"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kCoreK)
+        .select(col("p1").as("kv"))
+      und = und
+        .join(keep.select(col("kv").as("p1")), "p1")
+        .join(keep.select(col("kv").as("p2")), "p2")
+        .select(col("p1"), col("p2")).localCheckpoint()
+      val nv = und.select(col("p1")).distinct().count()
+      stable = nv == prevV
+      prevV = nv
+      round += 1
+    }
+    ordered(
+      und.groupBy(col("p1")).agg(big(count(lit(1))).as("core_deg"))
+        .select(col("p1").as("v"), col("core_deg")),
+      "v")
   }
 
   // ---------------------------------------------------------------- op209
@@ -1456,7 +1513,8 @@ object SeqGraphQueries {
     "op224_two_hop_features" -> op224TwoHopFeatures,
     "op225_clustering_coeff" -> op225ClusteringCoeff,
     "op226_rwr" -> op226RandomWalkRestart,
-    "op226b_rwr_partitioned" -> op226bRwrPartitioned)
+    "op226b_rwr_partitioned" -> op226bRwrPartitioned,
+    "op293_kcore" -> op293KCore)
 
   /** op226's oracle: op176's unroll with the source-restricted base. */
   private def rwrSql: String = {
@@ -1516,6 +1574,28 @@ object SeqGraphQueries {
        |  CAST(min(v) AS BIGINT) AS min_v,
        |  CAST(max(v) AS BIGINT) AS max_v
        |FROM comp GROUP BY comp ORDER BY comp""".stripMargin
+
+  /** op293's oracle: the identical peel unrolled [[kCoreMaxRounds]]
+    * times — each round one HAVING-degree filter + the survivor
+    * semi-joins, clause for clause the Spark loop body (rounds past
+    * the fixpoint are no-ops on both sides). */
+  private def kCoreSql: String = {
+    // every e_{r-1} is read TWICE (degree filter + survivor join) —
+    // MATERIALIZED, or the inlined chain blows up 2^rounds (the op202
+    // postmortem rule)
+    val rounds = (1 to kCoreMaxRounds).map { r =>
+      s"""kc$r AS MATERIALIZED (SELECT p1 AS v FROM e${r - 1} GROUP BY 1
+         |  HAVING count(*) >= $kCoreK),
+         |e$r AS MATERIALIZED (SELECT e.p1, e.p2 FROM e${r - 1} e
+         |  JOIN kc$r a ON e.p1 = a.v JOIN kc$r b ON e.p2 = b.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphBaseSql,
+       |e0 AS MATERIALIZED (SELECT p1, p2 FROM und),
+       |$rounds
+       |SELECT CAST(p1 AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$kCoreMaxRounds GROUP BY p1 ORDER BY v""".stripMargin
+  }
 
   /** op217's oracle: the identical division-first-normalized integer
     * trajectory unrolled as chained CTEs (h0 → a1 → h1 → a2 …). */
@@ -1780,6 +1860,7 @@ object SeqGraphQueries {
     // contraction, and transitive closure must emit identical rows
     "op208_connected_components" -> ccSql,
     "op208b_cc_star_contraction" -> ccSql,
+    "op293_kcore" -> kCoreSql,
     "op209_bfs_hops" ->
       s"""WITH RECURSIVE
          |$graphBaseSql,

@@ -659,4 +659,34 @@ class SeqGraphSpec extends SparkSpec {
     assert(hmRounds >= 40, s"hash-min should need ~diameter rounds, " +
       s"got $hmRounds")
   }
+
+  test("op293: k-core equals a driver-side peel and reaches fixpoint in bound") {
+    val got = SeqGraphQueries.op293KCore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay: peel the collected edge list to ITS fixpoint
+    // (no round cap) — the op's bounded unroll must land on the same set
+    val k = SeqGraphQueries.kCoreK
+    var edges = SeqGraphQueries.supportPrunedUnd(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = edges.toSeq.groupBy(_._1).map { case (v, e) =>
+        v -> e.size
+      }
+      val keep = deg.collect { case (v, c) if c >= k => v }.toSet
+      val next = edges.filter { case (a, b) => keep(a) && keep(b) }
+      done = next == edges
+      edges = next
+      rounds += 1
+    }
+    val want = edges.toSeq.groupBy(_._1)
+      .map { case (v, e) => v -> e.size.toLong }
+    assert(got == want)
+    assert(got.values.forall(_ >= k), "a core vertex below degree k")
+    // the contract bound must cover the fixture's true peel depth
+    assert(rounds <= SeqGraphQueries.kCoreMaxRounds,
+      s"fixture needs $rounds peel rounds > bound")
+    assert(got.nonEmpty, "degenerate fixture: empty k-core")
+  }
 }
