@@ -601,9 +601,18 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("q_id", "rank").collect().toSeq
     // same walk through the broadcast-shard expression, batch-driven
     // (the expression doesn't care; op292 drives it from a stream)
-    val served = graft.streaming.StreamingAnn.explodeTopK(
-        graft.streaming.StreamingAnn.graphProbeStream(
-          emb.filter(col("vec_id") < 8), dir, 8, beam = 12, hops = 3))
+    val probe = graft.streaming.StreamingAnn.graphProbeStream(
+      emb.filter(col("vec_id") < 8), dir, 8, beam = 12, hops = 3)
+    // the collapse claim, pinned: the serving plan carries NO join —
+    // the whole walk is the one GraphBeamTopK projection
+    val joins = probe.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "graph serving plan must be join-free")
+    assert(probe.queryExecution.analyzed.toString
+        .toLowerCase.contains("graphbeamtopk"),
+      "expected the GraphBeamTopK expression in the serving plan")
+    val served = graft.streaming.StreamingAnn.explodeTopK(probe)
       .select("q_id", "rank", "n_id", "cos_bp")
       .orderBy("q_id", "rank").collect().toSeq
     assert(served == batch)

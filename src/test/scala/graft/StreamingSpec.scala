@@ -627,7 +627,7 @@ class StreamingSpec extends SparkSpec {
   test("RocksDB matrix: every streaming state shape runs on the 100TB provider") {
     // StateStores.withRocksDb is spec'd on the dedup path above; this
     // matrix runs EVERY other stateful streaming shape the library
-    // ships under the RocksDB provider — the five online ANN serving
+    // ships under the RocksDB provider — the six online ANN serving
     // legs (TopKAgg / topKDistinct aggregation state) and the
     // changelog's flatMapGroupsWithState single-row-per-key state —
     // asserting per query that the state-operator metrics carry
@@ -653,9 +653,12 @@ class StreamingSpec extends SparkSpec {
       Similarity.pqIndexWrite(emb, s"$dir/pq")
       Similarity.sq8IndexWrite(emb, s"$dir/sq8", nCells = 16)
       Similarity.ivfPqIndexWrite(emb, s"$dir/ivfpq", nCells = 16)
+      Similarity.nndIndexWrite(emb, s"$dir/nnd", k = 16, rounds = 3)
       val annLegs: Seq[(String, DataFrame => DataFrame)] = Seq(
         "op96_ivf" ->
           (df => StreamingAnn.ivfProbeStream(df, s"$dir/ivf", 5)),
+        "op292_graph" ->
+          (df => StreamingAnn.graphProbeStream(df, s"$dir/nnd", 5)),
         "op97_lsh" ->
           (df => StreamingAnn.lshProbeStream(df, s"$dir/lsh", 5)),
         "op100_pq_adc" ->
