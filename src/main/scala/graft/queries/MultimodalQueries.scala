@@ -179,6 +179,46 @@ object MultimodalQueries {
       "doc_a", "doc_b")
   }
 
+  /** op294: STREAMING audio near-dup gate — op283 maintained online
+    * through [[graft.streaming.FpDedupStream]] (the op231 protocol
+    * generalized over the banding spec): arrivals are WAV-decoded and
+    * fingerprinted per micro-batch, 6×5-bit-band-joined against the
+    * persisted accepted-fingerprint store AND within their own batch,
+    * flagged at Hamming ≤ 5, then appended to the store. Flag union
+    * over any batch split equals the batch pair set — op283's
+    * UNCHANGED oracle. */
+  val op294StreamAudioNeardup: Q = (s, d) => {
+    import s.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_audiodedup_state").toString
+    val recs = Multimodal.synthesizeFpAudio(s, d).collect()
+      .map(r => (r.doc_id, r.payload)).toSeq
+    ordered(graft.streaming.FpDedupStream.maintainedFlags(s, recs,
+        df => Multimodal.audioFingerprint(
+          df.as[Multimodal.AudioRecord]).toDF(),
+        nBands = 6, bandBits = 5, maxHamming = 5, stateDir),
+      "doc_a", "doc_b")
+  }
+
+  /** op295: STREAMING video near-dup gate — op284 maintained online
+    * through the same [[graft.streaming.FpDedupStream]] engine with
+    * the video banding spec (4×4-bit bands, Hamming ≤ 2) and the real
+    * GIF decode in the per-batch fingerprint step. op284's UNCHANGED
+    * oracle; with op231/op294 this makes the streaming near-dup gate
+    * total across all non-text modalities. */
+  val op295StreamVideoNeardup: Q = (s, d) => {
+    import s.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_videodedup_state").toString
+    val recs = Multimodal.synthesizeNdVideos(s, d).collect()
+      .map(r => (r.doc_id, r.payload)).toSeq
+    ordered(graft.streaming.FpDedupStream.maintainedFlags(s, recs,
+        df => Multimodal.videoFingerprint(
+          df.as[Multimodal.VideoRecord]).toDF(),
+        nBands = 4, bandBits = 4, maxHamming = 2, stateDir),
+      "doc_a", "doc_b")
+  }
+
   /** op230: cross-modal consistency audit — every TEXT near-dup pair
     * (op61's jaccard ≥ 70% candidates, verbatim machinery) gets the
     * image-side verdict: aHash Hamming distance between the two docs'
@@ -268,6 +308,8 @@ object MultimodalQueries {
     "op229_image_neardup" -> op229ImageNeardup,
     "op283_audio_neardup" -> op283AudioNeardup,
     "op284_video_neardup" -> op284VideoNeardup,
+    "op294_stream_audio_neardup" -> op294StreamAudioNeardup,
+    "op295_stream_video_neardup" -> op295StreamVideoNeardup,
     "op230_modal_consistency" -> op230ModalConsistency,
     "op231_stream_image_neardup" -> op231StreamImageNeardup,
     "op80_media_decode" -> op80Features,
@@ -436,6 +478,10 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     "op283_audio_neardup" -> audioNeardupSql,
     "op284_video_neardup" -> videoNeardupSql,
+    // the streaming twins flag exactly the batch pair sets (flag-once
+    // protocol over any batch split) — stream ≡ batch, shared oracles
+    "op294_stream_audio_neardup" -> audioNeardupSql,
+    "op295_stream_video_neardup" -> videoNeardupSql,
     // the VAD twin: DuckDB evaluates the PCM formula; Spark's energies
     // went through the real WAV encode+decode
     "op248_audio_vad" ->

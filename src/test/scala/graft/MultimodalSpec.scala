@@ -329,6 +329,23 @@ class MultimodalSpec extends SparkSpec {
     assert(spans.exists(p => p._1 != p._2), "cross-batch leg inert")
   }
 
+  test("op294/op295: streamed audio/video near-dup flags equal their batch ops") {
+    for ((batchOp, streamOp) <- Seq(
+        "op283_audio_neardup" -> "op294_stream_audio_neardup",
+        "op284_video_neardup" -> "op295_stream_video_neardup")) {
+      val batch = graft.queries.MultimodalQueries.defs(batchOp)(
+        spark, sfDir).collect().map(_.toSeq).toSeq
+      val stream = graft.queries.MultimodalQueries.defs(streamOp)(
+        spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(stream == batch, s"$streamOp diverged from $batchOp")
+      // both the same-batch and cross-batch legs genuinely exercised
+      val spans = batch.map(r => (r(0).asInstanceOf[Long] % 4,
+        r(1).asInstanceOf[Long] % 4))
+      assert(spans.exists(p => p._1 == p._2), s"$streamOp same-batch inert")
+      assert(spans.exists(p => p._1 != p._2), s"$streamOp cross-batch inert")
+    }
+  }
+
   test("op248: VAD segments replay the formula; islands genuinely split") {
     val got = graft.queries.MultimodalQueries.op248AudioVad(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
