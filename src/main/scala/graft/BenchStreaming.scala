@@ -37,7 +37,10 @@ object BenchStreaming {
         guard(pqProbeRowsPerSec(spark, sfDir, pruned = true)),
       "pq_flat_probe_rows_per_sec" ->
         guard(pqProbeRowsPerSec(spark, sfDir, pruned = false)),
-      "graph_probe_rows_per_sec" -> guard(graphProbeRowsPerSec(spark, sfDir)),
+      "graph_probe_rows_per_sec" ->
+        guard(graphProbeRowsPerSec(spark, sfDir, hnsw = false)),
+      "hnsw_probe_rows_per_sec" ->
+        guard(graphProbeRowsPerSec(spark, sfDir, hnsw = true)),
       "clustered_ingest_rows_per_sec" ->
         guard(clusteredIngestRowsPerSec(spark, sfDir)))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -151,13 +154,15 @@ object BenchStreaming {
     }
   }
 
-  /** Graph-ANN serving (the op292 leg): one GraphBeamTopK walk per
-    * query row over the broadcast NN-Descent shard. Same protocol as
-    * [[annProbeRowsPerSec]] — index build and warm-up drain outside the
-    * timed region, budget served as four drains, median per-drain
+  /** Graph-ANN serving (the op292 leg, and with `hnsw` the op297 leg):
+    * one GraphBeamTopK walk per query row over the broadcast NN-Descent
+    * shard — flat NSW at 3 level-0 hops vs the two-layer HNSW walk at
+    * 2 (the hierarchy's latency claim as a standing A/B). Same protocol
+    * as [[annProbeRowsPerSec]] — index build and warm-up drain outside
+    * the timed region, budget served as four drains, median per-drain
     * rate. */
   private def graphProbeRowsPerSec(spark: SparkSession,
-      sfDir: String): Double = {
+      sfDir: String, hnsw: Boolean): Double = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.functions.Similarity
@@ -167,6 +172,9 @@ object BenchStreaming {
     try {
       Similarity.nndIndexWrite(emb, s"$dir/nnd", k = 16, rounds = 3,
         capR = 16)
+      if (hnsw)
+        Similarity.hnswUpperWrite(emb, s"$dir/nnd/up", mod = 8, k = 8,
+          rounds = 2, capR = 8)
       val queryVecs = emb.orderBy("vec_id").limit(2500)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -175,9 +183,14 @@ object BenchStreaming {
       val in = MemoryStream[(Long, Seq[Float])]
       in.addData(warmVecs)
       val name = s"bench_graphprobe_${System.nanoTime()}"
-      val q = StreamingAnn.graphProbeStream(
-          in.toDF().toDF("vec_id", "embedding"), s"$dir/nnd", 5,
+      val frame = in.toDF().toDF("vec_id", "embedding")
+      val probe =
+        if (hnsw) StreamingAnn.hnswProbeStream(frame, s"$dir/nnd",
+          s"$dir/nnd/up", 5, upperBeam = 8, upperHops = 2,
+          beam = 12, hops = 2)
+        else StreamingAnn.graphProbeStream(frame, s"$dir/nnd", 5,
           beam = 12, hops = 3)
+      val q = probe
         .writeStream.outputMode("update").format("memory")
         .queryName(name).start()
       q.processAllAvailable()

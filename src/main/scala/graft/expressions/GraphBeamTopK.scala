@@ -11,11 +11,19 @@ import org.apache.spark.sql.types._
   * position i holds node i's quantized vector, squared norm, and
   * out-neighbor ids (node ids MUST be dense 0..N-1 — asserted at
   * load). Built once at stream construction from the persisted
-  * NN-Descent index, shipped to executors as ONE broadcast value. */
+  * NN-Descent index, shipped to executors as ONE broadcast value.
+  *
+  * The optional HNSW upper layer rides in the same shard: `upperOrig`
+  * maps dense upper rank l_id → original node id (the persisted
+  * `level1_map`) and `upperAdj(l_id)` holds the upper graph's
+  * out-neighbors as dense l_ids. Empty arrays = no upper layer (the
+  * flat-NSW serving shape). */
 case class GraphShard(
     vecs: Array[Array[Long]],
     n2s: Array[Long],
-    adj: Array[Array[Long]])
+    adj: Array[Array[Long]],
+    upperOrig: Array[Long] = Array.empty,
+    upperAdj: Array[Array[Long]] = Array.empty)
 
 /** Whole-walk beam search for the streaming graph-ANN serving leg
   * (the NSW query path): ONE evaluation seeds the beam from the LCG
@@ -43,7 +51,8 @@ case class GraphShard(
   * corpus size, which is the entire point of graph ANN). */
 case class GraphBeamTopK(qId: Expression, qVec: Expression,
     qN2: Expression, shard: Broadcast[GraphShard], beam: Int, hops: Int,
-    kOut: Int) extends TernaryExpression with CodegenFallback {
+    kOut: Int, upperBeam: Int = 0, upperHops: Int = 0)
+    extends TernaryExpression with CodegenFallback {
 
   override def first: Expression = qId
   override def second: Expression = qVec
@@ -104,8 +113,37 @@ case class GraphBeamTopK(qId: Expression, qVec: Expression,
       val kept = cands.filter(c => c != qid && seen.add(c))
       kept.sortBy(c => (-score(c), c)).take(beam)
     }
-    var b = topBeam(Array.tabulate(beam)(j =>
-      Math.floorMod(qid * 48271L + (j + 1) * 1299721L, n.toLong)))
+    // entry set: the LCG permutation (flat NSW), or — when the shard
+    // carries an HNSW upper layer — a short beam walk over it, seeded
+    // by the LCG permutation over the DENSE upper ranks; both are
+    // bit-identical to the batch spelling (Similarity.graphSearch /
+    // hnswSearch). The upper walk's state is dense l_ids; scoring and
+    // self-drop go through upperOrig, and the (cos_bp desc, id asc)
+    // tiebreak is the same in either space because the dense re-rank
+    // is monotone in original id.
+    val entries: Array[Long] =
+      if (upperHops <= 0 || s.upperOrig.isEmpty)
+        Array.tabulate(beam)(j =>
+          Math.floorMod(qid * 48271L + (j + 1) * 1299721L, n.toLong))
+      else {
+        val nU = s.upperOrig.length
+        def topBeamUpper(cands: Array[Long]): Array[Long] = {
+          val seen = new java.util.HashSet[Long]()
+          val kept = cands.filter(c =>
+            s.upperOrig(c.toInt) != qid && seen.add(c))
+          kept.sortBy(c => (-score(s.upperOrig(c.toInt)),
+            s.upperOrig(c.toInt))).take(upperBeam)
+        }
+        var ub = topBeamUpper(Array.tabulate(upperBeam)(j =>
+          Math.floorMod(qid * 48271L + (j + 1) * 1299721L, nU.toLong)))
+        var uh = 0
+        while (uh < upperHops) {
+          ub = topBeamUpper(ub ++ ub.flatMap(c => s.upperAdj(c.toInt)))
+          uh += 1
+        }
+        ub.map(c => s.upperOrig(c.toInt))
+      }
+    var b = topBeam(entries)
     var h = 0
     while (h < hops) {
       b = topBeam(b ++ b.flatMap(c => s.adj(c.toInt)))

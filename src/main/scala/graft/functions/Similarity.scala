@@ -1410,6 +1410,24 @@ object Similarity {
     val edges = graph.select(col("u_id").as("cand"), col("n_id").as("w"))
     val nc = n.select(col("id").as("cand"), col("vec").as("c_vec"),
       col("n2").as("c_n2"))
+    val entries = q.select(col("q_id"))
+      .withColumn("j", explode(sequence(lit(1), lit(beam))))
+      .select(col("q_id"),
+        pmod(col("q_id") * lit(48271L) + col("j") * lit(1299721L),
+          lit(nTotal)).as("cand"))
+    beamTopKOut(beamWalk(q, nc, edges, entries, beam, hops), q, nc, kOut)
+  }
+
+  /** One beam walk — init = rescore + keep-`beam` over `entries`, then
+    * `hops` rounds of expand-through-`edges` ∪ current beam →
+    * keep-`beam`. The shape shared by the flat NSW search
+    * ([[graphSearch]]) and BOTH layers of [[hnswSearch]]: queries
+    * (q_id, q_vec, q_n2), corpus (cand, c_vec, c_n2), edges (cand, w),
+    * entries (q_id, cand). Returns the final beam (q_id, cand).
+    * Per-hop structures are |Q|·beam·(k+1)-bounded — the corpus is
+    * touched only at looked-up ids, never scanned. */
+  private def beamWalk(q: DataFrame, nc: DataFrame, edges: DataFrame,
+      entries: DataFrame, beam: Int, hops: Int): DataFrame = {
     val byQ = Window.partitionBy("q_id")
     // rescore + keep-beam: the one shape shared by init and every hop
     def topBeam(cands: DataFrame): DataFrame =
@@ -1421,18 +1439,19 @@ object Similarity {
             col("q_n2"), col("c_n2")).desc, col("cand"))))
         .filter(col("rk") <= beam)
         .select(col("q_id"), col("cand"))
-    var b = topBeam(
-      q.select(col("q_id"))
-        .withColumn("j", explode(sequence(lit(1), lit(beam))))
-        .select(col("q_id"),
-          pmod(col("q_id") * lit(48271L) + col("j") * lit(1299721L),
-            lit(nTotal)).as("cand")))
-      .localCheckpoint()
+    var b = topBeam(entries).localCheckpoint()
     (1 to hops).foreach { _ =>
       val expand = b.join(edges, "cand")
         .select(col("q_id"), col("w").as("cand"))
       b = topBeam(b.union(expand)).localCheckpoint()
     }
+    b
+  }
+
+  /** Final-beam rescore: (q_id, cand) → the served
+    * (q_id, rank, n_id, cos_bp) rows, top `kOut` per query. */
+  private def beamTopKOut(b: DataFrame, q: DataFrame, nc: DataFrame,
+      kOut: Int): DataFrame =
     b.join(q, "q_id").join(nc, "cand")
       .select(col("q_id"), col("cand").as("n_id"),
         cosBpFrom(intDot(col("q_vec"), col("c_vec")),
@@ -1443,5 +1462,81 @@ object Similarity {
         .cast("bigint"))
       .filter(col("rank") <= kOut)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos_bp"))
+
+  /** Persist the HNSW upper layer over `emb` next to an [[nndIndexWrite]]
+    * base index: `level1_map` (l_id ↔ orig_id — the dense re-rank of the
+    * deterministic 1-in-`mod` member subset, HNSW's geometric level
+    * assignment spelled reproducibly) and `upper_graph` ([[nnDescent]]
+    * over the members in dense l_id space, satisfying its dense-id
+    * contract). The local dense re-rank is one global row_number over a
+    * metadata-sized subset; at 100 TB it is the standard two-pass
+    * zipWithIndex (per-partition counts, then offsets) — both passes
+    * shuffle-free. */
+  def hnswUpperWrite(emb: DataFrame, dir: String, mod: Int = 8,
+      k: Int = 8, rounds: Int = 2, capR: Int = 8): Unit = {
+    val members = emb.filter(
+      pmod(col("vec_id") * lit(48271L) + lit(7L), lit(mod.toLong)) === 0L)
+    val mapped = members
+      .withColumn("l_id",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("bigint"))
+      .localCheckpoint()
+    mapped.select(col("l_id"), col("vec_id").as("orig_id"))
+      .write.mode("overwrite").parquet(s"$dir/level1_map")
+    nnDescent(mapped.select(col("l_id").as("vec_id"), col("embedding")),
+        k, rounds, capR)
+      .select(col("u_id"), col("n_id"))
+      .write.mode("overwrite").parquet(s"$dir/upper_graph")
+  }
+
+  /** HNSW-style two-layer ANN search (Malkov & Yashunin 2018, the
+    * layer-stack escalation [[graphSearch]]'s scaladoc names): a short
+    * beam walk over the SPARSE upper layer finds query-adjacent entry
+    * points, which seed the level-0 walk in place of the LCG entry
+    * permutation — the hierarchy buys a good neighborhood BEFORE the
+    * expensive wide-beam level-0 hops spend their budget. Deterministic
+    * end to end (LCG upper entries over the dense member ranks, exact
+    * integer cosine, id tiebreaks), so DuckDB replays both graph builds
+    * and both walks and the served top-k is hash-gated.
+    *
+    * Shape at 100 TB: the upper layer holds N/`mod` nodes (its graph
+    * N·k/`mod` edges — at mod 8 a 12.5% overlay); per query the upper
+    * walk touches upperBeam·(k+1) nodes per hop and the level-0 walk
+    * beam·(k+1), both independent of corpus size. Both layers persist
+    * id-keyed ([[nndIndexWrite]] / [[hnswUpperWrite]]) and serve through
+    * the same bucket-pruned point lookups as the flat walk. */
+  def hnswSearch(emb: DataFrame, baseGraph: DataFrame, upperMap: DataFrame,
+      upperGraph: DataFrame, nQueries: Int, upperBeam: Int = 8,
+      upperHops: Int = 2, beam: Int = 12, hops: Int = 2,
+      kOut: Int = 8): DataFrame = {
+    val n = emb.select(col("vec_id").as("id"),
+        quantize(col("embedding")).as("vec"))
+      .withColumn("n2", intDot(col("vec"), col("vec")))
+      .localCheckpoint()
+    val q = n.filter(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"),
+        col("n2").as("q_n2"))
+    val nc = n.select(col("id").as("cand"), col("vec").as("c_vec"),
+      col("n2").as("c_n2"))
+    val um = upperMap.select(col("l_id"), col("orig_id")).localCheckpoint()
+    val nUpper = um.count()
+    // the upper walk runs in ORIGINAL id space (self-drop and tiebreaks
+    // line up with level 0): edges and entries map through level1_map,
+    // which is metadata-sized (N/mod rows) — broadcast
+    val upperEdges = upperGraph
+      .join(broadcast(um.select(col("l_id").as("u_id"),
+        col("orig_id").as("cand"))), "u_id")
+      .join(broadcast(um.select(col("l_id").as("n_id"),
+        col("orig_id").as("w"))), "n_id")
+      .select(col("cand"), col("w"))
+    val upperEntries = q.select(col("q_id"))
+      .withColumn("j", explode(sequence(lit(1), lit(upperBeam))))
+      .select(col("q_id"),
+        pmod(col("q_id") * lit(48271L) + col("j") * lit(1299721L),
+          lit(nUpper)).as("l_id"))
+      .join(broadcast(um), "l_id")
+      .select(col("q_id"), col("orig_id").as("cand"))
+    val bUp = beamWalk(q, nc, upperEdges, upperEntries, upperBeam, upperHops)
+    val edges = baseGraph.select(col("u_id").as("cand"), col("n_id").as("w"))
+    beamTopKOut(beamWalk(q, nc, edges, bUp, beam, hops), q, nc, kOut)
   }
 }

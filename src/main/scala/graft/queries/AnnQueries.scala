@@ -429,6 +429,60 @@ object AnnQueries {
       "q_id", "rank")
   }
 
+  /** Build-if-absent both layers of the HNSW index: the op290/op292
+    * NND base graph (shared store — op296/op297 reuse it, the
+    * amortization EVERY graph-ANN leg rides) plus the
+    * [[graft.functions.Similarity.hnswUpperWrite]] upper layer. */
+  private def hnswStores(s: SparkSession, d: String): (String, String) = {
+    val emb = Tables.embeddings(s, d)
+    val baseDir = IndexStore.indexRoot(d, "nnd_k16_r3")
+    IndexStore.buildIndexIfAbsent(baseDir, "graph")(
+      Similarity.nndIndexWrite(emb, _, k = 16, rounds = 3, capR = 16))
+    val upDir = IndexStore.indexRoot(d, "hnsw_up_m8_k8_r2")
+    IndexStore.buildIndexIfAbsent(upDir, "upper_graph")(
+      Similarity.hnswUpperWrite(emb, _, mod = 8, k = 8, rounds = 2,
+        capR = 8))
+    (baseDir, upDir)
+  }
+
+  /** op296: HNSW-style two-layer ANN search
+    * ([[graft.functions.Similarity.hnswSearch]]) — the layer-stack
+    * escalation op290's scaladoc names, made executable: a 2-hop walk
+    * over the SPARSE 1-in-8 upper layer finds query-adjacent entries,
+    * then the level-0 walk runs with ONE FEWER hop than op290 (2 vs 3)
+    * from those entries instead of the LCG permutation. Both layers
+    * serve from the persisted store (the base graph is op292's,
+    * shared); fully deterministic, so the oracle replays both builds
+    * and both walks and the served top-k is hash-gated. HnswSpec pins
+    * the recall story (upper entries ≥ LCG entries at the same level-0
+    * hop budget). */
+  val op296HnswAnn: Q = (s, d) => {
+    val (baseDir, upDir) = hnswStores(s, d)
+    ordered(Similarity.hnswSearch(Tables.embeddings(s, d),
+        s.read.parquet(s"$baseDir/graph"),
+        s.read.parquet(s"$upDir/level1_map"),
+        s.read.parquet(s"$upDir/upper_graph"),
+        nQueries = 8, upperBeam = 8, upperHops = 2,
+        beam = 12, hops = 2, kOut = 8),
+      "q_id", "rank")
+  }
+
+  /** op297: STREAMING HNSW serving — [[graft.streaming.StreamingAnn
+    * .hnswProbeStream]]: the upper walk AND the level-0 walk run inside
+    * the one map-side GraphBeamTopK evaluation (the upper layer rides
+    * in the same broadcast shard — +12.5% ids/edges, zero extra
+    * vectors). Stream ≡ batch bit-identical: shares op296's oracle
+    * verbatim. */
+  val op297StreamHnsw: Q = (s, d) => {
+    import graft.streaming.StreamingAnn
+    val (baseDir, upDir) = hnswStores(s, d)
+    ordered(StreamingAnn.explodeTopK(
+        drainQueryVecStream(s, d, "op297",
+          StreamingAnn.hnswProbeStream(_, baseDir, upDir, 8,
+            upperBeam = 8, upperHops = 2, beam = 12, hops = 2))),
+      "q_id", "rank")
+  }
+
   /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
     * of brute-force search over the FIRST 16 of 64 dims against the
     * full-dim exact top-5. MRL-style nested embeddings are trained so
@@ -703,13 +757,14 @@ object AnnQueries {
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** One NN-Descent round as CTEs (`prev` → `cur`): reverse edges
-    * capped at the capR LOWEST source ids, undirected union, neighbor-
-    * of-neighbor candidates ∪ the current graph, exact-integer rescore,
-    * keep-k by (cos_bp DESC, id). Mirrors one loop body of
+  /** One NN-Descent round as CTEs (`prev` → `cur`) over corpus table
+    * `src` (vec_id, v, n2): reverse edges capped at the capR LOWEST
+    * source ids, undirected union, neighbor-of-neighbor candidates ∪
+    * the current graph, exact-integer rescore, keep-k by
+    * (cos_bp DESC, id). Mirrors one loop body of
     * [[graft.functions.Similarity.nnDescent]] clause for clause. */
   private def nndRoundCte(prev: String, cur: String, k: Int,
-      capR: Int): String = {
+      capR: Int, src: String): String = {
     val cosTo = ivfCosTo
     s"""${cur}_rev AS (
       |  SELECT u, w FROM (
@@ -726,35 +781,48 @@ object AnnQueries {
       |    SELECT c.u, c.w,
       |           row_number() OVER (PARTITION BY c.u ORDER BY
       |             ${cosTo("a.v", "a.n2", "b.v", "b.n2")} DESC, c.w) AS rk
-      |    FROM ${cur}_cand c JOIN n a ON a.vec_id = c.u
-      |                       JOIN n b ON b.vec_id = c.w)
+      |    FROM ${cur}_cand c JOIN $src a ON a.vec_id = c.u
+      |                       JOIN $src b ON b.vec_id = c.w)
       |  WHERE rk <= $k)""".stripMargin
   }
 
-  /** Full NN-Descent replay: quantized corpus + LCG-permutation init
-    * (pure arithmetic on the dense-id contract, exactly Spark's
-    * `pmod(vec_id*48271 + j*1299721, N)` with the self hit dropped)
-    * + `rounds` unrolled [[nndRoundCte]] rounds.
-    * Ends at CTE `g<rounds>` = the final (u, w) graph. */
-  private def nndCtes(k: Int, rounds: Int, capR: Int): String = {
-    val base = s"""q0 AS (
+  /** The quantized-corpus CTEs every NND replay shares: `q0` (vectors
+    * as floor(x·10⁶) BIGINT lists) and `n` (vec_id, v, n2). */
+  private val nndCorpusCtes: String =
+    s"""q0 AS (
       |  SELECT vec_id,
       |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
       |          FOR i IN range(64)] AS v
       |  FROM embeddings),
       |n AS (SELECT vec_id, v,
       |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS BIGINT) AS n2
-      |      FROM q0),
-      |g0 AS (
+      |      FROM q0)""".stripMargin
+
+  /** One full NN-Descent chain over corpus table `src` (vec_id must be
+    * dense 0..N-1): LCG-permutation init (pure arithmetic on the
+    * dense-id contract, exactly Spark's `pmod(vec_id*48271 + j*1299721,
+    * N)` with the self hit dropped) + `rounds` unrolled
+    * [[nndRoundCte]] rounds. Ends at CTE `<pfx><rounds>` = the final
+    * (u, w) graph. The prefix keeps TWO chains composable in one
+    * replay — [[hnswAnnSql]] runs a base chain and an upper-layer
+    * chain side by side. */
+  private def nndChain(pfx: String, src: String, k: Int, rounds: Int,
+      capR: Int): String = {
+    val init = s"""${pfx}0 AS (
       |  SELECT u, w FROM (
-      |    SELECT n.vec_id AS u,
-      |           (n.vec_id * 48271 + t.j * 1299721)
-      |             % (SELECT count(*) FROM n) AS w
-      |    FROM n, range(1, ${k + 1}) t(j)) WHERE w <> u)""".stripMargin
-    base + ",\n" + (1 to rounds)
-      .map(r => nndRoundCte(s"g${r - 1}", s"g$r", k, capR))
+      |    SELECT s.vec_id AS u,
+      |           (s.vec_id * 48271 + t.j * 1299721)
+      |             % (SELECT count(*) FROM $src) AS w
+      |    FROM $src s, range(1, ${k + 1}) t(j)) WHERE w <> u)""".stripMargin
+    init + ",\n" + (1 to rounds)
+      .map(r => nndRoundCte(s"$pfx${r - 1}", s"$pfx$r", k, capR, src))
       .mkString(",\n")
   }
+
+  /** Full NN-Descent replay over the embeddings table: corpus CTEs +
+    * the `g`-prefixed [[nndChain]]. Ends at `g<rounds>`. */
+  private def nndCtes(k: Int, rounds: Int, capR: Int): String =
+    nndCorpusCtes + ",\n" + nndChain("g", "n", k, rounds, capR)
 
   private def nndGraphSql(k: Int, rounds: Int, capR: Int): String = {
     val cosTo = ivfCosTo
@@ -790,47 +858,100 @@ object AnnQueries {
       |WHERE q.vec_id < 8 ORDER BY q_id""".stripMargin
   }
 
-  /** op290's DuckDB replay: the [[nndCtes]] graph + beam search
-    * unrolled `hops` times. Each hop is UNION(beam, beam⋈graph) →
-    * distinct → exact-integer rescore vs the query → keep-`beam` by
-    * (cos_bp DESC, id) — clause for clause the loop body of
-    * [[graft.functions.Similarity.graphSearch]]. */
-  private def graphAnnSql(k: Int, rounds: Int, capR: Int,
-      beam: Int, hops: Int, kOut: Int): String = {
+  /** Rescore + keep-`width` as a CTE: deduplicate `src` (q_id, cand),
+    * drop self hits, exact-integer rescore vs the query, keep the best
+    * `width` by (cos_bp DESC, id) — one beamWalk topBeam step.
+    * Candidate vectors always resolve through the FULL corpus `n`
+    * (upper-layer candidates are corpus members too). */
+  private def beamTopCte(src: String, cur: String, width: Int): String = {
     val cosTo = ivfCosTo
-    def topBeam(src: String, cur: String): String =
-      s"""$cur AS (
-        |  SELECT q_id, cand FROM (
-        |    SELECT d.q_id, d.cand,
-        |           row_number() OVER (PARTITION BY d.q_id ORDER BY
-        |             ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} DESC, d.cand) AS rk
-        |    FROM (SELECT DISTINCT q_id, cand FROM $src) d
-        |    JOIN qs q ON q.q_id = d.q_id
-        |    JOIN n c ON c.vec_id = d.cand
-        |    WHERE d.cand <> d.q_id)
-        |  WHERE rk <= $beam)""".stripMargin
-    val hopCtes = (1 to hops).map { r =>
-      s"""h$r AS (
-        |  SELECT b.q_id, g.w AS cand FROM b${r - 1} b JOIN g$rounds g ON g.u = b.cand
-        |  UNION SELECT q_id, cand FROM b${r - 1}),
-        |${topBeam(s"h$r", s"b$r")}""".stripMargin
+    s"""$cur AS (
+      |  SELECT q_id, cand FROM (
+      |    SELECT d.q_id, d.cand,
+      |           row_number() OVER (PARTITION BY d.q_id ORDER BY
+      |             ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} DESC, d.cand) AS rk
+      |    FROM (SELECT DISTINCT q_id, cand FROM $src) d
+      |    JOIN qs q ON q.q_id = d.q_id
+      |    JOIN n c ON c.vec_id = d.cand
+      |    WHERE d.cand <> d.q_id)
+      |  WHERE rk <= $width)""".stripMargin
+  }
+
+  /** `hops` beam-walk rounds over edge table `graph` (u, w), starting
+    * from beam CTE `<pfx>0`: each hop is UNION(beam, beam⋈graph) →
+    * [[beamTopCte]] — clause for clause the loop body of
+    * [[graft.functions.Similarity.graphSearch]]'s beamWalk. Ends at
+    * `<pfx><hops>`. */
+  private def beamHopCtes(pfx: String, graph: String, beam: Int,
+      hops: Int): String =
+    (1 to hops).map { r =>
+      s"""${pfx}h$r AS (
+        |  SELECT b.q_id, g.w AS cand FROM $pfx${r - 1} b JOIN $graph g ON g.u = b.cand
+        |  UNION SELECT q_id, cand FROM $pfx${r - 1}),
+        |${beamTopCte(s"${pfx}h$r", s"$pfx$r", beam)}""".stripMargin
     }.mkString(",\n")
+
+  /** Final-beam rescore: the served (q_id, rank, n_id, cos_bp) top-kOut
+    * rows from beam CTE `lastBeam`. */
+  private def beamOutSql(lastBeam: String, kOut: Int): String = {
+    val cosTo = ivfCosTo
+    s"""SELECT q_id, rank, n_id, cos_bp FROM (
+      |  SELECT b.q_id, b.cand AS n_id,
+      |         ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} AS cos_bp,
+      |         CAST(row_number() OVER (PARTITION BY b.q_id ORDER BY
+      |           ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} DESC, b.cand) AS BIGINT) AS rank
+      |  FROM $lastBeam b JOIN qs q ON q.q_id = b.q_id JOIN n c ON c.vec_id = b.cand)
+      |WHERE rank <= $kOut ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** op290's DuckDB replay: the [[nndCtes]] graph + beam search
+    * unrolled `hops` times ([[beamHopCtes]]). */
+  private def graphAnnSql(k: Int, rounds: Int, capR: Int,
+      beam: Int, hops: Int, kOut: Int): String =
     s"""WITH ${nndCtes(k, rounds, capR)},
       |qs AS (SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2 FROM n WHERE vec_id < 8),
       |e0 AS (
       |  SELECT q.q_id,
       |         (q.q_id * 48271 + t.j * 1299721) % (SELECT count(*) FROM n) AS cand
       |  FROM qs q, range(1, ${beam + 1}) t(j)),
-      |${topBeam("e0", "b0")},
-      |$hopCtes
-      |SELECT q_id, rank, n_id, cos_bp FROM (
-      |  SELECT b.q_id, b.cand AS n_id,
-      |         ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} AS cos_bp,
-      |         CAST(row_number() OVER (PARTITION BY b.q_id ORDER BY
-      |           ${cosTo("q.q_vec", "q.q_n2", "c.v", "c.n2")} DESC, b.cand) AS BIGINT) AS rank
-      |  FROM b$hops b JOIN qs q ON q.q_id = b.q_id JOIN n c ON c.vec_id = b.cand)
-      |WHERE rank <= $kOut ORDER BY q_id, rank""".stripMargin
-  }
+      |${beamTopCte("e0", "b0", beam)},
+      |${beamHopCtes("b", s"g$rounds", beam, hops)}
+      |${beamOutSql(s"b$hops", kOut)}""".stripMargin
+
+  /** op296/op297's DuckDB replay — the full two-layer HNSW search:
+    * base NND chain (`g`), the deterministic 1-in-`mod` member subset
+    * dense-re-ranked (`um`/`un`), the upper NND chain (`u`) in dense
+    * l_id space, upper edges mapped back to original ids (`ue`), the
+    * short upper walk (LCG entries over the dense ranks → `ub*`), and
+    * the level-0 walk seeded by the upper walk's final beam (`b*`) —
+    * clause for clause [[graft.functions.Similarity.hnswSearch]]. */
+  private def hnswAnnSql(k: Int, rounds: Int, capR: Int, mod: Int,
+      upK: Int, upRounds: Int, upCapR: Int, upBeam: Int, upHops: Int,
+      beam: Int, hops: Int, kOut: Int): String =
+    s"""WITH ${nndCtes(k, rounds, capR)},
+      |um AS (
+      |  SELECT vec_id AS orig_id,
+      |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS l_id
+      |  FROM n WHERE (vec_id * 48271 + 7) % $mod = 0),
+      |un AS (SELECT um.l_id AS vec_id, nn.v, nn.n2
+      |       FROM um JOIN n nn ON nn.vec_id = um.orig_id),
+      |${nndChain("u", "un", upK, upRounds, upCapR)},
+      |ue AS (SELECT a.orig_id AS u, b.orig_id AS w
+      |       FROM u$upRounds g JOIN um a ON a.l_id = g.u
+      |                         JOIN um b ON b.l_id = g.w),
+      |qs AS (SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2 FROM n WHERE vec_id < 8),
+      |ue0 AS (
+      |  SELECT e.q_id, um.orig_id AS cand FROM (
+      |    SELECT q.q_id,
+      |           (q.q_id * 48271 + t.j * 1299721)
+      |             % (SELECT count(*) FROM un) AS l_id
+      |    FROM qs q, range(1, ${upBeam + 1}) t(j)) e
+      |  JOIN um ON um.l_id = e.l_id),
+      |${beamTopCte("ue0", "ub0", upBeam)},
+      |${beamHopCtes("ub", "ue", upBeam, upHops)},
+      |${beamTopCte(s"ub$upHops", "b0", beam)},
+      |${beamHopCtes("b", s"g$rounds", beam, hops)}
+      |${beamOutSql(s"b$hops", kOut)}""".stripMargin
 
   /** Shared SQ8 replay through the approximate scores: probed cells,
     * int8 codes, code norms, per-candidate sq_bp. op112/op115 continue
@@ -1115,7 +1236,9 @@ object AnnQueries {
     "op288_nn_descent" -> op288NnDescent,
     "op289_nnd_recall" -> op289NndRecall,
     "op290_graph_ann" -> op290GraphAnn,
-    "op292_stream_graph_ann" -> op292StreamGraphAnn)
+    "op292_stream_graph_ann" -> op292StreamGraphAnn,
+    "op296_hnsw_ann" -> op296HnswAnn,
+    "op297_stream_hnsw" -> op297StreamHnsw)
 
   private val baseOracle: Map[String, String] = Map(
     "op83_pq_ann" -> {
@@ -1254,5 +1377,14 @@ object AnnQueries {
     // the streaming leg is bit-identical to the batch walk, so it
     // shares op290's replay verbatim — the stream ≡ batch gate
     "op292_stream_graph_ann" -> graphAnnSql(k = 16, rounds = 3, capR = 16,
-      beam = 12, hops = 3, kOut = 8))
+      beam = 12, hops = 3, kOut = 8),
+    // the two-layer HNSW search is deterministic like the flat walk —
+    // the oracle replays BOTH graph builds and BOTH walks; the
+    // streaming twin is bit-identical and shares the replay verbatim
+    "op296_hnsw_ann" -> hnswAnnSql(k = 16, rounds = 3, capR = 16,
+      mod = 8, upK = 8, upRounds = 2, upCapR = 8, upBeam = 8, upHops = 2,
+      beam = 12, hops = 2, kOut = 8),
+    "op297_stream_hnsw" -> hnswAnnSql(k = 16, rounds = 3, capR = 16,
+      mod = 8, upK = 8, upRounds = 2, upCapR = 8, upBeam = 8, upHops = 2,
+      beam = 12, hops = 2, kOut = 8))
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Similarity, TopKAgg}
@@ -388,8 +388,32 @@ object StreamingAnn {
     * (the structure lives in serving RAM; a query touches beam·(k+1)
     * nodes per hop regardless of corpus size). Emits (q_id, top). */
   def graphProbeStream(queryStream: DataFrame, dir: String, kOut: Int,
-      beam: Int = 12, hops: Int = 3): DataFrame = {
-    val spark = queryStream.sparkSession
+      beam: Int = 12, hops: Int = 3): DataFrame =
+    beamProbeStream(queryStream, loadGraphShard(queryStream.sparkSession,
+      dir, upperDir = None), kOut, beam, hops, 0, 0)
+
+  /** Probe an [[graft.functions.Similarity.nndIndexWrite]] base index
+    * PLUS its [[graft.functions.Similarity.hnswUpperWrite]] upper layer
+    * with a streaming frame of query vectors — the HNSW serving twin:
+    * the upper walk AND the level-0 walk both run inside the one
+    * map-side [[graft.expressions.GraphBeamTopK]] evaluation (the upper
+    * layer rides in the same broadcast shard; at `mod` 8 it adds 12.5%
+    * to the shard's id map and graph, nothing to its vectors — they are
+    * shared). Bit-identical to the batch
+    * [[graft.functions.Similarity.hnswSearch]], so it shares its oracle
+    * verbatim. Emits (q_id, top). */
+  def hnswProbeStream(queryStream: DataFrame, dir: String,
+      upperDir: String, kOut: Int, upperBeam: Int = 8, upperHops: Int = 2,
+      beam: Int = 12, hops: Int = 2): DataFrame =
+    beamProbeStream(queryStream, loadGraphShard(queryStream.sparkSession,
+      dir, Some(upperDir)), kOut, beam, hops, upperBeam, upperHops)
+
+  /** Load a persisted NN-Descent index (and optionally its HNSW upper
+    * layer) into the flat [[graft.expressions.GraphShard]] layout — the
+    * once-at-stream-build read every serving leg amortizes. */
+  private def loadGraphShard(spark: SparkSession, dir: String,
+      upperDir: Option[String]): org.apache.spark.broadcast.Broadcast[
+      graft.expressions.GraphShard] = {
     val vecRows = spark.read.parquet(s"$dir/vectors")
       .select(col("id"), col("vec"), col("n2"))
       .collect()
@@ -402,14 +426,40 @@ object StreamingAnn {
       .select(col("u_id"), col("n_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1)
-    val shard = spark.sparkContext.broadcast(
+    val (upperOrig, upperAdj) = upperDir match {
+      case None => (Array.empty[Long], Array.empty[Array[Long]])
+      case Some(ud) =>
+        val um = spark.read.parquet(s"$ud/level1_map")
+          .select(col("l_id"), col("orig_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)
+        um.iterator.zipWithIndex.foreach { case ((l, _), i) =>
+          require(l == i, s"upper layer needs dense l_ids 0..M-1, hole at $i")
+        }
+        val uAdjOf = spark.read.parquet(s"$ud/upper_graph")
+          .select(col("u_id"), col("n_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1)
+        (um.map(_._2),
+          um.map { case (l, _) =>
+            uAdjOf.getOrElse(l, Array.empty).map(_._2).sorted })
+    }
+    spark.sparkContext.broadcast(
       graft.expressions.GraphShard(
         vecRows.map(_._2),
         vecRows.map(_._3),
         // neighbor order is irrelevant (expansion is a set union) but
         // keep the shard byte-reproducible
         vecRows.map { case (id, _, _) =>
-          adjOf.getOrElse(id, Array.empty).map(_._2).sorted }))
+          adjOf.getOrElse(id, Array.empty).map(_._2).sorted },
+        upperOrig, upperAdj))
+  }
+
+  private def beamProbeStream(queryStream: DataFrame,
+      shard: org.apache.spark.broadcast.Broadcast[
+        graft.expressions.GraphShard],
+      kOut: Int, beam: Int, hops: Int, upperBeam: Int,
+      upperHops: Int): DataFrame = {
     val q0 = queryStream.select(col("vec_id").as("q_id"),
         Similarity.quantize(col("embedding")).as("q_vec"))
       .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
@@ -417,7 +467,8 @@ object StreamingAnn {
     val topExpr = ColumnBridge.column(graft.expressions.GraphBeamTopK(
       ColumnBridge.expression(col("q_id")),
       ColumnBridge.expression(col("q_vec")),
-      ColumnBridge.expression(col("q_n2")), shard, beam, hops, kOut))
+      ColumnBridge.expression(col("q_n2")), shard, beam, hops, kOut,
+      upperBeam, upperHops))
     q0.select(col("q_id"), explode(topExpr).as("t"))
       .select(col("q_id"), col("t.cos_bp").as("cos_bp"),
         col("t.n_id").as("n_id"))

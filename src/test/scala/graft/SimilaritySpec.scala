@@ -617,4 +617,81 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("q_id", "rank").collect().toSeq
     assert(served == batch)
   }
+
+  test("HNSW upper layer: dense 1-in-8 overlay, better entries at the same hop budget") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val g = Similarity.nnDescent(emb, k = 16, rounds = 3, capR = 16)
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_spec_").toString
+    Similarity.hnswUpperWrite(emb, dir, mod = 8, k = 8, rounds = 2, capR = 8)
+    val um = spark.read.parquet(s"$dir/level1_map")
+    val ug = spark.read.parquet(s"$dir/upper_graph")
+    // structural: the overlay holds every 1-in-8 member exactly once,
+    // densely re-ranked, with k upper edges per member
+    assert(um.count() == n / 8, "upper layer must hold N/8 members")
+    assert(um.select(max(col("l_id"))).first().getLong(0) == n / 8 - 1 &&
+      um.select(countDistinct(col("l_id"))).first().getLong(0) == n / 8,
+      "l_ids must be dense 0..M-1")
+    assert(ug.count() == (n / 8) * 8, "upper graph must hold M*k edges")
+    val truth = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 8)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(served: org.apache.spark.sql.DataFrame): Double = {
+      assert(served.count() == 8 * 8, "must serve exactly kOut per query")
+      assert(served.filter(col("q_id") === col("n_id")).isEmpty, "self hit")
+      val got = served.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    // the hierarchy's claim, in two halves (all arithmetic is exact
+    // integers, so these figures are deterministic — measured grid on
+    // this fixture: flat 0.4219/0.75/0.8125 at 1/2/3 hops; hnsw(ub=8,
+    // uh=2) 0.5625/0.8125/0.875):
+    //  (a) at the SAME level-0 budget (2 hops), upper-walk entries
+    //      serve recall at least as high as the LCG entry set;
+    //  (b) HNSW at 2 level-0 hops matches flat NSW at 3 — the layer
+    //      stack trades one wide level-0 hop for a cheap sparse walk
+    val flat2 = recallOf(Similarity.graphSearch(emb, g, nQueries = 8,
+      beam = 12, hops = 2, kOut = 8))
+    val flat3 = recallOf(Similarity.graphSearch(emb, g, nQueries = 8,
+      beam = 12, hops = 3, kOut = 8))
+    val hnsw2 = recallOf(Similarity.hnswSearch(emb, g, um, ug, nQueries = 8,
+      upperBeam = 8, upperHops = 2, beam = 12, hops = 2, kOut = 8))
+    info(s"recall@8: flat 2 hops $flat2, flat 3 hops $flat3, HNSW 2 hops $hnsw2")
+    assert(hnsw2 >= flat2,
+      s"HNSW entries must not lose to LCG entries: $flat2 -> $hnsw2")
+    assert(hnsw2 >= flat3,
+      s"HNSW at 2 hops must match flat NSW at 3: $flat3 -> $hnsw2")
+    assert(hnsw2 >= 0.6, s"HNSW recall@8 too low: $hnsw2")
+  }
+
+  test("streaming HNSW walk is bit-identical to the batch two-layer search") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_stream_spec_").toString
+    Similarity.nndIndexWrite(emb, dir, k = 16, rounds = 3, capR = 16)
+    Similarity.hnswUpperWrite(emb, s"$dir/up", mod = 8, k = 8, rounds = 2,
+      capR = 8)
+    val batch = Similarity.hnswSearch(emb,
+        spark.read.parquet(s"$dir/graph"),
+        spark.read.parquet(s"$dir/up/level1_map"),
+        spark.read.parquet(s"$dir/up/upper_graph"),
+        nQueries = 8, upperBeam = 8, upperHops = 2,
+        beam = 12, hops = 2, kOut = 8)
+      .orderBy("q_id", "rank").collect().toSeq
+    val probe = graft.streaming.StreamingAnn.hnswProbeStream(
+      emb.filter(col("vec_id") < 8), dir, s"$dir/up", 8,
+      upperBeam = 8, upperHops = 2, beam = 12, hops = 2)
+    // both walks ride the ONE GraphBeamTopK projection — still join-free
+    val joins = probe.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "HNSW serving plan must be join-free")
+    val served = graft.streaming.StreamingAnn.explodeTopK(probe)
+      .select("q_id", "rank", "n_id", "cos_bp")
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(served == batch)
+  }
 }
