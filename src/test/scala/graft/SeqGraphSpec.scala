@@ -689,4 +689,61 @@ class SeqGraphSpec extends SparkSpec {
       s"fixture needs $rounds peel rounds > bound")
     assert(got.nonEmpty, "degenerate fixture: empty k-core")
   }
+
+  test("op298: DBSCAN equals an uncapped driver-side reference") {
+    // the oracle gate's SF: sf0.001's ~200 purchase points are all
+    // noise at the contract (eps, minPts) — no roles to exercise there
+    val dbDir = "/root/testdata/sf0.01"
+    val got = SeqGraphQueries.op298Dbscan(spark, dbDir).collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getLong(3))))
+      .toMap
+    // independent replay from the raw events: exact neighbor counts,
+    // roles, and EXACT components (union-find — no round cap), so
+    // equality also proves the op's pointer-jumped rounds converged
+    // within the contract bound on this fixture
+    val eps = SeqGraphQueries.dbscanEps
+    val minPts = SeqGraphQueries.dbscanMinPts
+    val pts = graft.sources.Tables.events(spark, dbDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("bigint"),
+        floor(col("value")).cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def close(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean = {
+      val (dx, dy) = (a._2 - b._2, a._3 - b._3)
+      dx * dx + dy * dy <= eps * eps
+    }
+    val nbrs = pts.map(a => a._1 -> pts.filter(b => close(a, b))).toMap
+    val core = pts.filter(p => nbrs(p._1).size >= minPts).map(_._1).toSet
+    // union-find over core-core eps-edges
+    val parent = scala.collection.mutable.Map(core.map(v => v -> v).toSeq: _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    for (a <- pts if core(a._1); b <- nbrs(a._1)
+         if core(b._1) && b._1 != a._1) {
+      val (ra, rb) = (find(a._1), find(b._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = core.map(v => v -> find(v)).toMap
+    val want = pts.map { p =>
+      val n = nbrs(p._1).map(_._1)
+      val coreN = n.filter(v => core(v) && v != p._1)
+      val (role, cl) =
+        if (core(p._1)) ("core", comp(p._1))
+        else if (coreN.nonEmpty) ("border", coreN.map(comp).min)
+        else ("noise", -1L)
+      p._1 -> ((role, cl, n.size.toLong))
+    }.toMap
+    assert(got == want)
+    val roles = got.values.map(_._1).toSet
+    assert(roles == Set("core", "border", "noise"),
+      s"fixture should exercise all three roles, got $roles")
+    val nClusters = got.values.collect { case ("core", c, _) => c }.toSet.size
+    assert(nClusters >= 2, s"degenerate fixture: $nClusters cluster(s)")
+  }
 }
