@@ -757,6 +757,36 @@ object SeqGraphQueries {
     * rounds. The oracle unrolls the identical trajectory with
     * MATERIALIZED round CTEs. */
   val op298Dbscan: Q = (s, d) => {
+    val (p, pairs, nb, core, lab) = dbscanParts(s, d)
+    // border points: min cluster label over CORE neighbors (the label
+    // join doubles as the core semi-join — labels exist only for cores)
+    val coreNbrLab = pairs.filter(col("a_pid") =!= col("b_pid"))
+      .join(lab.select(col("pid").as("b_pid"), col("lab").as("b_lab")),
+        "b_pid")
+      .groupBy(col("a_pid")).agg(min(col("b_lab")).as("nbr_lab"))
+    val out = p.select(col("pid"))
+      .join(nb.select(col("a_pid").as("pid"), col("n_nbrs")), "pid")
+      .join(core.withColumn("is_core", lit(true)), Seq("pid"), "left")
+      .join(lab.select(col("pid"), col("lab").as("own_lab")),
+        Seq("pid"), "left")
+      .join(coreNbrLab.select(col("a_pid").as("pid"), col("nbr_lab")),
+        Seq("pid"), "left")
+      .select(col("pid"),
+        when(col("is_core"), lit("core"))
+          .when(col("nbr_lab").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("own_lab"))
+          .otherwise(col("nbr_lab")).cast("bigint").as("cluster_id"),
+        col("n_nbrs"))
+    ordered(out, "pid")
+  }
+
+  /** The shared op298 trajectory through the converged core labels:
+    * (points, eps-pairs, neighbor counts, core set, labels) — op298
+    * finishes with the border/noise attach, the op299 model write
+    * persists (x, y, lab) for online classification. */
+  private def dbscanParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val eps2 = dbscanEps * dbscanEps
     val p = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
@@ -818,27 +848,72 @@ object SeqGraphQueries {
       lab = next
       round += 1
     }
-    // border points: min cluster label over CORE neighbors (the label
-    // join doubles as the core semi-join — labels exist only for cores)
-    val coreNbrLab = pairs.filter(col("a_pid") =!= col("b_pid"))
-      .join(lab.select(col("pid").as("b_pid"), col("lab").as("b_lab")),
-        "b_pid")
-      .groupBy(col("a_pid")).agg(min(col("b_lab")).as("nbr_lab"))
-    val out = p.select(col("pid"))
-      .join(nb.select(col("a_pid").as("pid"), col("n_nbrs")), "pid")
-      .join(core.withColumn("is_core", lit(true)), Seq("pid"), "left")
-      .join(lab.select(col("pid"), col("lab").as("own_lab")),
-        Seq("pid"), "left")
-      .join(coreNbrLab.select(col("a_pid").as("pid"), col("nbr_lab")),
-        Seq("pid"), "left")
-      .select(col("pid"),
-        when(col("is_core"), lit("core"))
-          .when(col("nbr_lab").isNotNull, lit("border"))
+    (p, pairs, nb, core, lab)
+  }
+
+  // ---------------------------------------------------------------- op299
+
+  /** Persist the op298 DBSCAN model for online serving: the core
+    * points with their converged cluster labels AND their grid cell
+    * key — the (cx, cy)-keyed layout the streaming classifier joins.
+    * At 100 TB the store partitions by cell (the op286 bucket-pruned
+    * access path applied to density serving): a query touches its 9
+    * neighbor cells, never the model. */
+  private[graft] def dbscanModelWrite(s: SparkSession, d: String,
+      dir: String): Unit = {
+    val (p, _, _, _, lab) = dbscanParts(s, d)
+    p.join(lab.select(col("pid"), col("lab")), "pid")
+      .select(col("x"), col("y"), col("lab"),
+        expr(s"x div $dbscanEps").as("cx"),
+        expr(s"y div $dbscanEps").as("cy"))
+      .write.mode("overwrite").parquet(s"$dir/core_pts")
+  }
+
+  /** op299: STREAMING DBSCAN classification — the serving half of
+    * op298 (train batch, classify online, the op292/op297 pattern
+    * applied to density clustering): arriving `view` events are
+    * assigned to the purchase-trained model's cluster whose core
+    * points lie within eps (min label — op298's exact tiebreak), or
+    * reported as noise. The arriving point explodes to its 3×3
+    * neighbor cells and joins the PERSISTED (cx, cy)-keyed core store
+    * (stream-static left-outer equi-join — the op96 shape), distance
+    * filters inside the aggregation, and the single streaming groupBy
+    * emits (min label, core-neighbor count) per point. Per-query work
+    * is 9 cell lookups regardless of model size. The oracle replays
+    * the full model build plus the classification, so the served
+    * assignment is hash-gated end to end. */
+  val op299StreamDbscan: Q = (s, d) => {
+    val dir = IndexStore.indexRoot(d, "dbscan_e12_m8", "events")
+    IndexStore.buildIndexIfAbsent(dir, "core_pts")(
+      dbscanModelWrite(s, d, _))
+    val core = s.read.parquet(s"$dir/core_pts")
+    val eps2 = dbscanEps * dbscanEps
+    val drained = TrainQueries.drainStream(s, d, "op299", "events",
+      "complete", "8") { st =>
+      val q = st.filter(col("event_type") === "view")
+        .select(col("event_id").as("pid"),
+          (hour(col("ts")) * 60 + minute(col("ts")))
+            .cast("bigint").as("qx"),
+          floor(col("value")).cast("bigint").as("qy"))
+        .withColumn("dcx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dcy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("pid"), col("qx"), col("qy"),
+          (expr(s"qx div $dbscanEps") + col("dcx")).as("cx"),
+          (expr(s"qy div $dbscanEps") + col("dcy")).as("cy"))
+      val near = (col("qx") - col("x")) * (col("qx") - col("x")) +
+        (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(eps2)
+      q.join(core, Seq("cx", "cy"), "left_outer")
+        .groupBy(col("pid"))
+        .agg(
+          min(when(near, col("lab"))).as("cluster_id"),
+          big(count(when(near, lit(1)))).as("n_core_nbrs"))
+    }
+    ordered(
+      drained.select(col("pid"),
+        when(col("cluster_id").isNotNull, lit("cluster"))
           .otherwise(lit("noise")).as("role"),
-        when(col("is_core"), col("own_lab"))
-          .otherwise(col("nbr_lab")).cast("bigint").as("cluster_id"),
-        col("n_nbrs"))
-    ordered(out, "pid")
+        col("cluster_id"), col("n_core_nbrs")),
+      "pid")
   }
 
   // ---------------------------------------------------------------- op209
@@ -1639,7 +1714,8 @@ object SeqGraphQueries {
     "op226_rwr" -> op226RandomWalkRestart,
     "op226b_rwr_partitioned" -> op226bRwrPartitioned,
     "op293_kcore" -> op293KCore,
-    "op298_dbscan" -> op298Dbscan)
+    "op298_dbscan" -> op298Dbscan,
+    "op299_stream_dbscan" -> op299StreamDbscan)
 
   /** op226's oracle: op176's unroll with the source-restricted base. */
   private def rwrSql: String = {
@@ -1728,7 +1804,7 @@ object SeqGraphQueries {
     * [[dbscanMaxRounds]] unrolled hash-min + double-pointer-jump
     * rounds over the core graph (each round CTE is read twice by the
     * composition join — MATERIALIZED, the op202 rule). */
-  private def dbscanSql: String = {
+  private def dbscanModelCtes: String = {
     val eps = dbscanEps
     val eps2 = eps * eps
     val rounds = (1 to dbscanMaxRounds).map { r =>
@@ -1743,7 +1819,7 @@ object SeqGraphQueries {
          |  SELECT x.pid, y.lab FROM m${r}b x JOIN m${r}b y ON y.pid = x.lab)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH p AS MATERIALIZED (
+    s"""p AS MATERIALIZED (
        |  SELECT event_id AS pid,
        |         CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts) AS BIGINT) AS x,
        |         CAST(floor(value) AS BIGINT) AS y
@@ -1763,7 +1839,11 @@ object SeqGraphQueries {
        |  JOIN core cb ON cb.pid = pr.b_pid
        |  WHERE pr.a_pid <> pr.b_pid),
        |l0 AS (SELECT pid, pid AS lab FROM core),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def dbscanSql: String =
+    s"""WITH $dbscanModelCtes,
        |cnl AS (
        |  SELECT pr.a_pid AS pid, min(l.lab) AS nbr_lab
        |  FROM pr JOIN l$dbscanMaxRounds l ON l.pid = pr.b_pid
@@ -1781,6 +1861,34 @@ object SeqGraphQueries {
        |LEFT JOIN l$dbscanMaxRounds lf ON lf.pid = p.pid
        |LEFT JOIN cnl ON cnl.pid = p.pid
        |ORDER BY p.pid""".stripMargin
+
+  /** op299's oracle: the full model build ([[dbscanModelCtes]]) plus
+    * the online classification — every `view` event against the core
+    * points within eps (band IEJoin again; LEFT so no-neighbor points
+    * surface as noise with count 0, exactly the stream's left-outer
+    * cell join). */
+  private def dbscanClassifySql: String = {
+    val eps = dbscanEps
+    val eps2 = eps * eps
+    s"""WITH $dbscanModelCtes,
+       |cp AS MATERIALIZED (
+       |  SELECT p.x, p.y, l.lab FROM p JOIN l$dbscanMaxRounds l ON l.pid = p.pid),
+       |q AS (
+       |  SELECT event_id AS pid,
+       |         CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts) AS BIGINT) AS qx,
+       |         CAST(floor(value) AS BIGINT) AS qy
+       |  FROM events WHERE event_type = 'view'),
+       |cls AS (
+       |  SELECT q.pid, min(cp.lab) AS cluster_id,
+       |         CAST(count(cp.lab) AS BIGINT) AS n_core_nbrs
+       |  FROM q LEFT JOIN cp
+       |    ON abs(q.qx - cp.x) <= $eps AND abs(q.qy - cp.y) <= $eps
+       |   AND (q.qx - cp.x) * (q.qx - cp.x) + (q.qy - cp.y) * (q.qy - cp.y) <= $eps2
+       |  GROUP BY q.pid)
+       |SELECT pid,
+       |  CASE WHEN cluster_id IS NOT NULL THEN 'cluster' ELSE 'noise' END AS role,
+       |  CAST(cluster_id AS BIGINT) AS cluster_id, n_core_nbrs
+       |FROM cls ORDER BY pid""".stripMargin
   }
 
   /** op217's oracle: the identical division-first-normalized integer
@@ -2048,6 +2156,7 @@ object SeqGraphQueries {
     "op208b_cc_star_contraction" -> ccSql,
     "op293_kcore" -> kCoreSql,
     "op298_dbscan" -> dbscanSql,
+    "op299_stream_dbscan" -> dbscanClassifySql,
     "op209_bfs_hops" ->
       s"""WITH RECURSIVE
          |$graphBaseSql,

@@ -10,7 +10,8 @@ class BenchStreamingSpec extends SparkSpec {
     assert(rates.keySet == Set("stedi_join_rows_per_sec",
       "incremental_dedup_rows_per_sec", "ann_probe_rows_per_sec",
       "pq_probe_rows_per_sec", "pq_flat_probe_rows_per_sec",
-      "graph_probe_rows_per_sec", "clustered_ingest_rows_per_sec"))
+      "graph_probe_rows_per_sec", "hnsw_probe_rows_per_sec",
+      "clustered_ingest_rows_per_sec"))
     rates.foreach { case (k, v) =>
       assert(v > 0, s"$k reported a non-positive rate: $v")
     }

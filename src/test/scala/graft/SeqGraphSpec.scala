@@ -746,4 +746,44 @@ class SeqGraphSpec extends SparkSpec {
     val nClusters = got.values.collect { case ("core", c, _) => c }.toSet.size
     assert(nClusters >= 2, s"degenerate fixture: $nClusters cluster(s)")
   }
+
+  test("op299: streamed DBSCAN classification agrees with the op298 model") {
+    val dbDir = "/root/testdata/sf0.01"
+    val eps = SeqGraphQueries.dbscanEps
+    // the model as op298 publishes it: core points with labels, plus
+    // their coordinates from the raw events
+    val coords = graft.sources.Tables.events(spark, dbDir)
+      .select(col("event_id"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("bigint"),
+        floor(col("value")).cast("bigint"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val model = SeqGraphQueries.op298Dbscan(spark, dbDir).collect()
+      .filter(_.getString(1) == "core")
+      .map(r => (coords(r.getLong(0)), r.getLong(2)))
+    val got = SeqGraphQueries.op299StreamDbscan(spark, dbDir).collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getLong(3))))
+      .toMap
+    // driver-side classification of every view event against that model
+    val want = graft.sources.Tables.events(spark, dbDir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("bigint"),
+        floor(col("value")).cast("bigint"))
+      .collect().map { r =>
+        val (pid, qx, qy) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val close = model.filter { case ((x, y), _) =>
+          (qx - x) * (qx - x) + (qy - y) * (qy - y) <= eps * eps
+        }
+        val (role, cl) =
+          if (close.nonEmpty) ("cluster", close.map(_._2).min)
+          else ("noise", -1L)
+        pid -> ((role, cl, close.size.toLong))
+      }.toMap
+    assert(got == want)
+    assert(got.values.exists(_._1 == "cluster") &&
+      got.values.exists(_._1 == "noise"),
+      "fixture should yield both assigned and noise arrivals")
+  }
 }
