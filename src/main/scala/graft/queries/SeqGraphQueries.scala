@@ -235,18 +235,7 @@ object SeqGraphQueries {
     * edge). Fixed iteration count (the production form checkpoints
     * ranks between rounds — the op126 BPE-checkpoint convention). */
   val op176Pagerank: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
-    val edges = pairs.union(
-        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+    val edges = basketCliqueUnd(s, d)
       .select(col("p1").as("src"), col("p2").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // NOT materialized: the per-iteration re-reads of the edge chain
@@ -300,18 +289,7 @@ object SeqGraphQueries {
     * sit under ONE oracle — the hash gate proves the partitioning
     * strategy does not change a single emitted integer. */
   val op176bPagerankPartitioned: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
-    val edges = pairs.union(
-        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+    val edges = basketCliqueUnd(s, d)
       .select(col("p1").as("src"), col("p2").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // pin the edge list's layout: hash by src, reused every iteration
@@ -367,6 +345,25 @@ object SeqGraphQueries {
     * same graph). */
   private[graft] def supportPrunedUnd(s: SparkSession, d: String): DataFrame = {
     val pairs = supportPrunedPairs(s, d)
+    pairs.union(pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+  }
+
+  /** UNPRUNED basket-clique co-purchase edge list, both directions —
+    * op176's denser graph (distinct pairs within capped baskets, no
+    * support floor): the right substrate for PageRank and community
+    * detection, where the support-pruned fragments (avg degree ≈ 1.2)
+    * carry no structure to find. */
+  private[graft] def basketCliqueUnd(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val small = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
+      .select("l_orderkey")
+    val it2 = items.join(small, "l_orderkey")
+    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, "l_orderkey")
+      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
     pairs.union(pairs.select(col("p2").as("p1"), col("p1").as("p2")))
   }
 
@@ -914,6 +911,99 @@ object SeqGraphQueries {
           .otherwise(lit("noise")).as("role"),
         col("cluster_id"), col("n_core_nbrs")),
       "pid")
+  }
+
+  // ---------------------------------------------------------------- op300
+
+  /** op300 contract: the sweep count. Synchronous sweeps are the
+    * operator's semantics (all vertices decide from the SAME previous
+    * assignment — deterministic and replayable, unlike sequential
+    * Louvain whose result depends on visit order); modularity rises
+    * monotonically through all four sweeps on both fixture SFs
+    * (measured −0.0005 → 0.031 at sf0.01), gated by the spec. */
+  private[graft] val louvainSweeps = 4
+
+  /** op300: one-level Louvain-style community detection (Blondel et
+    * al. 2008, phase 1 in deterministic SYNCHRONOUS form) over the
+    * unpruned basket-clique co-purchase graph — completes the
+    * community trio: op221 SCORES a given partition's modularity,
+    * op267 finds communities by label frequency (LPA), op300 finds
+    * them by MODULARITY ASCENT: each sweep, every vertex moves to the
+    * candidate community (its neighbors' ∪ its own) maximizing the
+    * modularity gain, ties to the smallest community id. The gain
+    * comparison is exact integer arithmetic: ΔQ ∝ k_{v,C}/m −
+    * k_v·Σtot(C∖v)/(2m²), and multiplying by the positive constant 2m²
+    * gives score = 2m·k_{v,C} − k_v·Σtot(C∖v) — BIGINT throughout
+    * (|score| ≤ 2m·k_max ≈ 4·10⁹ here; at 10⁹-edge scale the product
+    * approaches BIGINT range and the DECIMAL(38) spelling applies —
+    * the op268 rule).
+    *
+    * 100 TB shape: one sweep is three vertex-keyed hash aggregates
+    * (community degree sums, per-vertex neighbor-community counts,
+    * candidate max) plus one community-keyed join and a per-vertex
+    * top-1 window — no vertex- or community-sized broadcast anywhere
+    * (the op217b/op226b rule: community tables are |V|-sized at init
+    * by construction); sweeps localCheckpoint (the op202 rule). 2m
+    * rides a 1-row cross join (plan-time scalar, no collect). The
+    * full Louvain stack iterates phase 2 (graph contraction by
+    * community) on top of exactly this sweep; contraction is a
+    * groupBy on (community(u), community(v)) — the documented
+    * escalation, not needed for one level. */
+  val op300Louvain: Q = (s, d) => {
+    val edges = basketCliqueUnd(s, d)
+      .select(col("p1").as("v"), col("p2").as("w")).localCheckpoint()
+    val deg = edges.groupBy(col("v")).agg(big(count(lit(1))).as("k"))
+      .localCheckpoint()
+    val m2df = deg.agg(sum(col("k")).as("m2"))
+    var c = deg.select(col("v"), col("v").as("lab")).localCheckpoint()
+    (1 to louvainSweeps).foreach { _ =>
+      val stot = c.join(deg, "v").groupBy(col("lab"))
+        .agg(sum(col("k")).as("stot"))
+      val kuc = edges
+        .join(c.select(col("v").as("w"), col("lab")), "w")
+        .groupBy(col("v"), col("lab"))
+        .agg(big(count(lit(1))).as("kuc"))
+      val cur = c.select(col("v"), col("lab").as("cur_lab"))
+      // best candidate per vertex as a map-combinable struct-max over
+      // (score, −lab) — (score desc, lab asc) without a sort window;
+      // the |E|-sized candidate table never crosses a second shuffle.
+      // Neighbor communities score here (own included when a neighbor
+      // shares it); the own community ALWAYS scores in `own` below
+      // (staying is legal with zero inside-neighbors), so max(best_nbr,
+      // own) ranges over exactly the candidate set — a shared lab just
+      // scores twice, identically.
+      val scoredNbr = kuc
+        .join(broadcast(deg), "v").join(broadcast(cur), "v")
+        .join(broadcast(stot), "lab")
+        .crossJoin(m2df)
+        .select(col("v"), struct(
+          (col("m2") * col("kuc") - col("k") *
+            (col("stot") -
+              when(col("lab") === col("cur_lab"), col("k"))
+                .otherwise(lit(0L)))).as("s"),
+          (-col("lab")).as("nl")).as("cand"))
+        .groupBy(col("v")).agg(max(col("cand")).as("best_nbr"))
+      val own = cur
+        .join(deg, "v")
+        .join(stot.select(col("lab").as("cur_lab"), col("stot")),
+          "cur_lab")
+        .join(kuc.select(col("v"), col("lab").as("cur_lab"), col("kuc")),
+          Seq("v", "cur_lab"), "left")
+        .crossJoin(m2df)
+        .select(col("v"), struct(
+          (col("m2") * coalesce(col("kuc"), lit(0L)) -
+            col("k") * (col("stot") - col("k"))).as("s"),
+          (-col("cur_lab")).as("nl")).as("own_cand"))
+      c = scoredNbr.join(own, "v")
+        .select(col("v"),
+          (-greatest(col("best_nbr"), col("own_cand"))
+            .getField("nl")).as("lab"))
+        .localCheckpoint()
+    }
+    ordered(
+      c.join(deg, "v")
+        .select(col("v"), col("lab").as("community"), col("k")),
+      "v")
   }
 
   // ---------------------------------------------------------------- op209
@@ -1715,7 +1805,8 @@ object SeqGraphQueries {
     "op226b_rwr_partitioned" -> op226bRwrPartitioned,
     "op293_kcore" -> op293KCore,
     "op298_dbscan" -> op298Dbscan,
-    "op299_stream_dbscan" -> op299StreamDbscan)
+    "op299_stream_dbscan" -> op299StreamDbscan,
+    "op300_louvain" -> op300Louvain)
 
   /** op226's oracle: op176's unroll with the source-restricted base. */
   private def rwrSql: String = {
@@ -1889,6 +1980,59 @@ object SeqGraphQueries {
        |  CASE WHEN cluster_id IS NOT NULL THEN 'cluster' ELSE 'noise' END AS role,
        |  CAST(cluster_id AS BIGINT) AS cluster_id, n_core_nbrs
        |FROM cls ORDER BY pid""".stripMargin
+  }
+
+  /** op300's oracle: the identical synchronous modularity-ascent
+    * trajectory unrolled [[louvainSweeps]] times — per sweep community
+    * degree sums, neighbor-community counts, the zero-row own-community
+    * candidate union, and the integer-score top-1 (2m²-scaled ΔQ, ties
+    * to the smallest community id). Round CTEs are MATERIALIZED (each
+    * is read by ≥ 2 consumers — the op202 rule). */
+  private def louvainSql: String = {
+    val sweeps = (1 to louvainSweeps).map { r =>
+      s"""s${r}t AS MATERIALIZED (
+         |  SELECT c.lab, CAST(sum(d.k) AS BIGINT) AS stot
+         |  FROM c${r - 1} c JOIN deg d ON d.v = c.v GROUP BY 1),
+         |s${r}k AS (
+         |  SELECT e.v, c.lab, CAST(count(*) AS BIGINT) AS kuc
+         |  FROM bce e JOIN c${r - 1} c ON c.v = e.w GROUP BY 1, 2),
+         |s${r}a AS MATERIALIZED (
+         |  SELECT v, lab, max(kuc) AS kuc FROM (
+         |    SELECT v, lab, kuc FROM s${r}k
+         |    UNION ALL SELECT v, lab, CAST(0 AS BIGINT) FROM c${r - 1})
+         |  GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT v, lab FROM (
+         |    SELECT a.v, a.lab,
+         |           row_number() OVER (PARTITION BY a.v ORDER BY
+         |             mm.m2 * a.kuc - d.k *
+         |               (t.stot - CASE WHEN cc.lab = a.lab THEN d.k ELSE 0 END) DESC,
+         |             a.lab) AS rk
+         |    FROM s${r}a a
+         |    JOIN deg d ON d.v = a.v
+         |    JOIN c${r - 1} cc ON cc.v = a.v
+         |    JOIN s${r}t t ON t.lab = a.lab
+         |    CROSS JOIN mm)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |small AS MATERIALIZED (SELECT l_orderkey FROM li GROUP BY 1
+       |          HAVING count(*) <= $prBasketCap),
+       |li2 AS MATERIALIZED (SELECT li.l_orderkey, li.l_partkey
+       |        FROM li JOIN small USING (l_orderkey)),
+       |bcp AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       |          FROM li2 a JOIN li2 b ON a.l_orderkey = b.l_orderkey
+       |            AND a.l_partkey < b.l_partkey),
+       |bce AS MATERIALIZED (SELECT p1 AS v, p2 AS w FROM bcp
+       |        UNION ALL SELECT p2 AS v, p1 AS w FROM bcp),
+       |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS k
+       |        FROM bce GROUP BY 1),
+       |mm AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM deg),
+       |c0 AS (SELECT v, v AS lab FROM deg),
+       |$sweeps
+       |SELECT c.v AS v, CAST(c.lab AS BIGINT) AS community, d.k
+       |FROM c$louvainSweeps c JOIN deg d ON d.v = c.v
+       |ORDER BY c.v""".stripMargin
   }
 
   /** op217's oracle: the identical division-first-normalized integer
@@ -2157,6 +2301,7 @@ object SeqGraphQueries {
     "op293_kcore" -> kCoreSql,
     "op298_dbscan" -> dbscanSql,
     "op299_stream_dbscan" -> dbscanClassifySql,
+    "op300_louvain" -> louvainSql,
     "op209_bfs_hops" ->
       s"""WITH RECURSIVE
          |$graphBaseSql,

@@ -786,4 +786,43 @@ class SeqGraphSpec extends SparkSpec {
       got.values.exists(_._1 == "noise"),
       "fixture should yield both assigned and noise arrivals")
   }
+
+  test("op300: Louvain sweeps match a driver replay and raise modularity") {
+    val got = SeqGraphQueries.op300Louvain(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = SeqGraphQueries.basketCliqueUnd(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (v, e) => v -> e.map(_._2) }
+    val k = adj.map { case (v, n) => v -> n.size.toLong }
+    val m2 = k.values.sum
+    // independent replay of the synchronous sweeps (exact integers)
+    var c: Map[Long, Long] = k.keys.map(v => v -> v).toMap
+    for (_ <- 1 to SeqGraphQueries.louvainSweeps) {
+      val stot = c.groupMapReduce(_._2)(p => k(p._1))(_ + _)
+      c = adj.map { case (v, nbrs) =>
+        val kuc = nbrs.groupBy(c).map { case (lb, e) => lb -> e.size.toLong }
+        val cands = (kuc.keySet + c(v)).toSeq.sorted
+        v -> cands.maxBy { lb =>
+          val st = stot(lb) - (if (c(v) == lb) k(v) else 0L)
+          // maxBy keeps the FIRST max over the sorted candidates =
+          // (score desc, lab asc), the op's exact tiebreak
+          (m2 * kuc.getOrElse(lb, 0L) - k(v) * st, -lb)
+        }
+      }
+    }
+    assert(got == c)
+    // modularity must RISE from the singleton partition (×(2m)² integer
+    // form: Σ_C [2m·in_C·2 − stot_C²] … singletons have in = 0)
+    def q2m2(part: Map[Long, Long]): Long = {
+      val inn = edges.filter { case (u, v) => part(u) == part(v) }.size.toLong
+      val stot = part.groupMapReduce(_._2)(p => k(p._1))(_ + _)
+      2L * m2 * inn - stot.values.map(s => s * s).sum
+    }
+    val q0 = q2m2(k.keys.map(v => v -> v).toMap)
+    val qF = q2m2(c)
+    info(s"2m^2-scaled modularity: init $q0 -> swept $qF")
+    assert(qF > q0, s"modularity did not rise: $q0 -> $qF")
+    assert(c.values.toSet.size < k.size,
+      "sweeps should merge at least some singleton communities")
+  }
 }
