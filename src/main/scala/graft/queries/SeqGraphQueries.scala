@@ -950,6 +950,38 @@ object SeqGraphQueries {
     * groupBy on (community(u), community(v)) — the documented
     * escalation, not needed for one level. */
   val op300Louvain: Q = (s, d) => {
+    val (_, deg, _, c) = louvainPhase1(s, d)
+    ordered(
+      c.join(deg, "v")
+        .select(col("v"), col("lab").as("community"), col("k")),
+      "v")
+  }
+
+  /** The shared phase-1 trajectory: (edges, deg, 2m frame, converged
+    * labels) — op300 emits the labels, op301 contracts and re-sweeps
+    * on top of them. Persisted through [[IndexStore]] (keyed on the
+    * lineitem fingerprint) so the two consumers pay the four full-|E|
+    * sweeps ONCE — the same amortization every ANN serving leg rides,
+    * and the honest deployment shape: community assignments are a
+    * published artifact, not a per-query recomputation. */
+  private def louvainPhase1(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dir = IndexStore.indexRoot(d, s"louvain_p1_s$louvainSweeps",
+      "lineitem")
+    IndexStore.buildIndexIfAbsent(dir, "labels") { tmp =>
+      val (edges, _, _, c) = louvainPhase1Compute(s, d)
+      edges.write.mode("overwrite").parquet(s"$tmp/edges")
+      c.write.mode("overwrite").parquet(s"$tmp/labels")
+    }
+    val edges = s.read.parquet(s"$dir/edges")
+    val deg = edges.groupBy(col("v")).agg(big(count(lit(1))).as("k"))
+      .localCheckpoint()
+    val m2df = deg.agg(sum(col("k")).as("m2"))
+    (edges, deg, m2df, s.read.parquet(s"$dir/labels"))
+  }
+
+  private def louvainPhase1Compute(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val edges = basketCliqueUnd(s, d)
       .select(col("p1").as("v"), col("p2").as("w")).localCheckpoint()
     val deg = edges.groupBy(col("v")).agg(big(count(lit(1))).as("k"))
@@ -1000,9 +1032,97 @@ object SeqGraphQueries {
             .getField("nl")).as("lab"))
         .localCheckpoint()
     }
+    (edges, deg, m2df, c)
+  }
+
+  // ---------------------------------------------------------------- op301
+
+  /** op301 contract: the contracted-level sweep count, and the
+    * DOWNWARD-ONLY move rule that replaces op300's free synchronous
+    * move at the contracted level: a super-vertex may only move to a
+    * community with a SMALLER id (strict-gain ties still break small).
+    * Free synchronous moves oscillate on the contracted graph —
+    * symmetric super-vertex pairs swap into each other and modularity
+    * DROPS (measured 0.0322 → 0.0314 at sf0.01); the id-ordered rule
+    * is the standard deterministic symmetry breaker in parallel
+    * Louvain practice (the same one hash-min CC rides), and with it
+    * modularity rises at every SF (0.0322 → 0.0359 at sf0.01,
+    * 0.0131 → 0.034 at sf0.001, 0.0344 → 0.0351 at sf0.1). */
+  private[graft] val louvainContractedSweeps = 3
+
+  /** op301: two-level Louvain — the phase-2 escalation op300's
+    * scaladoc names, made executable: contract the graph by op300's
+    * communities (one groupBy on (community(u), community(v)) —
+    * weighted super-edges, self-loops carrying intra-community mass so
+    * weighted degrees equal the underlying Σk exactly), re-run the
+    * modularity-ascent sweep on the contracted WEIGHTED graph
+    * (downward-only — see [[louvainContractedSweeps]]), and map every
+    * vertex through its super-vertex's final community. 2m is the
+    * SAME scalar at both levels — contraction preserves total edge
+    * mass, which is what makes the two levels' gains comparable.
+    *
+    * 100 TB shape: the contraction is ONE |E|-keyed aggregate; the
+    * contracted level then works on |C₁| super-vertices (here 5.7% of
+    * |V| at sf0.1), so its sweeps cost a fraction of phase 1's —
+    * the whole point of the Louvain hierarchy. Deeper levels repeat
+    * verbatim. */
+  val op301LouvainTwoLevel: Q = (s, d) => {
+    val (edges, deg, m2df, c1) = louvainPhase1(s, d)
+    val ce = edges
+      .join(c1.select(col("v"), col("lab").as("cu")), "v")
+      .join(c1.select(col("v").as("w"), col("lab").as("cv")), "w")
+      .groupBy(col("cu"), col("cv")).agg(big(count(lit(1))).as("wgt"))
+      .localCheckpoint()
+    val supK = ce.groupBy(col("cu")).agg(sum(col("wgt")).as("kk"))
+      .select(col("cu").as("sv"), col("kk")).localCheckpoint()
+    var c2 = supK.select(col("sv"), col("sv").as("lab")).localCheckpoint()
+    (1 to louvainContractedSweeps).foreach { _ =>
+      val stot = c2.join(supK, "sv").groupBy(col("lab"))
+        .agg(sum(col("kk")).as("stot"))
+      // neighbor-community weight EXCLUDING self-loops (a super-vertex's
+      // internal mass moves with it; it never counts as a link to a
+      // candidate community)
+      val kuc = ce.filter(col("cu") =!= col("cv"))
+        .join(c2.select(col("sv").as("cv"), col("lab")), "cv")
+        .groupBy(col("cu"), col("lab")).agg(sum(col("wgt")).as("kuc"))
+        .select(col("cu").as("sv"), col("lab"), col("kuc"))
+      val cur = c2.select(col("sv"), col("lab").as("cur_lab"))
+      val scoredNbr = kuc
+        .join(broadcast(supK), "sv").join(broadcast(cur), "sv")
+        .join(broadcast(stot), "lab")
+        .crossJoin(m2df)
+        .filter(col("lab") <= col("cur_lab"))
+        .select(col("sv"), struct(
+          (col("m2") * col("kuc") - col("kk") *
+            (col("stot") -
+              when(col("lab") === col("cur_lab"), col("kk"))
+                .otherwise(lit(0L)))).as("s"),
+          (-col("lab")).as("nl")).as("cand"))
+        .groupBy(col("sv")).agg(max(col("cand")).as("best_nbr"))
+      val own = cur
+        .join(supK, "sv")
+        .join(stot.select(col("lab").as("cur_lab"), col("stot")),
+          "cur_lab")
+        .join(kuc.select(col("sv"), col("lab").as("cur_lab"), col("kuc")),
+          Seq("sv", "cur_lab"), "left")
+        .crossJoin(m2df)
+        .select(col("sv"), struct(
+          (col("m2") * coalesce(col("kuc"), lit(0L)) -
+            col("kk") * (col("stot") - col("kk"))).as("s"),
+          (-col("cur_lab")).as("nl")).as("own_cand"))
+      // downward-filtered neighbors can be EMPTY for a super-vertex —
+      // left-join and fall back to staying
+      c2 = own.join(scoredNbr, Seq("sv"), "left")
+        .select(col("sv"),
+          (-greatest(coalesce(col("best_nbr"), col("own_cand")),
+            col("own_cand")).getField("nl")).as("lab"))
+        .localCheckpoint()
+    }
     ordered(
-      c.join(deg, "v")
-        .select(col("v"), col("lab").as("community"), col("k")),
+      c1.join(c2.select(col("sv").as("lab"), col("lab").as("community")),
+          "lab")
+        .join(deg, "v")
+        .select(col("v"), col("community"), col("k")),
       "v")
   }
 
@@ -1806,7 +1926,8 @@ object SeqGraphQueries {
     "op293_kcore" -> op293KCore,
     "op298_dbscan" -> op298Dbscan,
     "op299_stream_dbscan" -> op299StreamDbscan,
-    "op300_louvain" -> op300Louvain)
+    "op300_louvain" -> op300Louvain,
+    "op301_louvain_two_level" -> op301LouvainTwoLevel)
 
   /** op226's oracle: op176's unroll with the source-restricted base. */
   private def rwrSql: String = {
@@ -1982,13 +2103,14 @@ object SeqGraphQueries {
        |FROM cls ORDER BY pid""".stripMargin
   }
 
-  /** op300's oracle: the identical synchronous modularity-ascent
-    * trajectory unrolled [[louvainSweeps]] times — per sweep community
-    * degree sums, neighbor-community counts, the zero-row own-community
-    * candidate union, and the integer-score top-1 (2m²-scaled ΔQ, ties
-    * to the smallest community id). Round CTEs are MATERIALIZED (each
-    * is read by ≥ 2 consumers — the op202 rule). */
-  private def louvainSql: String = {
+  /** The op300/op301 phase-1 replay: graph-base CTEs + the identical
+    * synchronous modularity-ascent trajectory unrolled
+    * [[louvainSweeps]] times — per sweep community degree sums,
+    * neighbor-community counts, the zero-row own-community candidate
+    * union, and the integer-score top-1 (2m²-scaled ΔQ, ties to the
+    * smallest community id). Round CTEs are MATERIALIZED (each is read
+    * by ≥ 2 consumers — the op202 rule). Ends at `c<louvainSweeps>`. */
+  private def louvainPhase1Ctes: String = {
     val sweeps = (1 to louvainSweeps).map { r =>
       s"""s${r}t AS MATERIALIZED (
          |  SELECT c.lab, CAST(sum(d.k) AS BIGINT) AS stot
@@ -2015,7 +2137,7 @@ object SeqGraphQueries {
          |    CROSS JOIN mm)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |small AS MATERIALIZED (SELECT l_orderkey FROM li GROUP BY 1
        |          HAVING count(*) <= $prBasketCap),
        |li2 AS MATERIALIZED (SELECT li.l_orderkey, li.l_partkey
@@ -2029,9 +2151,76 @@ object SeqGraphQueries {
        |        FROM bce GROUP BY 1),
        |mm AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM deg),
        |c0 AS (SELECT v, v AS lab FROM deg),
-       |$sweeps
+       |$sweeps""".stripMargin
+  }
+
+  private def louvainSql: String =
+    s"""WITH $louvainPhase1Ctes
        |SELECT c.v AS v, CAST(c.lab AS BIGINT) AS community, d.k
        |FROM c$louvainSweeps c JOIN deg d ON d.v = c.v
+       |ORDER BY c.v""".stripMargin
+
+  /** op301's oracle: [[louvainPhase1Ctes]] + the contraction (weighted
+    * super-edges from the phase-1 labels) + [[louvainContractedSweeps]]
+    * unrolled DOWNWARD-ONLY weighted sweeps + the vertex → super-vertex
+    * community mapping. The per-round top-1 is spelled as a
+    * row_number over the downward-filtered candidates LEFT-joined
+    * against the always-present stay row — semantics identical to the
+    * Spark struct-max. */
+  private def louvain2Sql: String = {
+    val rounds = (1 to louvainContractedSweeps).map { r =>
+      s"""w${r}t AS MATERIALIZED (
+         |  SELECT c.lab, CAST(sum(s.kk) AS BIGINT) AS stot
+         |  FROM d${r - 1} c JOIN supk s ON s.sv = c.sv GROUP BY 1),
+         |w${r}k AS MATERIALIZED (
+         |  SELECT e.cu AS sv, c.lab, CAST(sum(e.wgt) AS BIGINT) AS kuc
+         |  FROM ce e JOIN d${r - 1} c ON c.sv = e.cv
+         |  WHERE e.cu <> e.cv GROUP BY 1, 2),
+         |w${r}n AS MATERIALIZED (
+         |  SELECT sv, lab, score FROM (
+         |    SELECT a.sv, a.lab,
+         |           mm.m2 * a.kuc - s.kk *
+         |             (t.stot - CASE WHEN cc.lab = a.lab THEN s.kk ELSE 0 END) AS score,
+         |           row_number() OVER (PARTITION BY a.sv ORDER BY
+         |             (mm.m2 * a.kuc - s.kk *
+         |               (t.stot - CASE WHEN cc.lab = a.lab THEN s.kk ELSE 0 END)) DESC,
+         |             a.lab) AS rk
+         |    FROM w${r}k a
+         |    JOIN supk s ON s.sv = a.sv
+         |    JOIN d${r - 1} cc ON cc.sv = a.sv
+         |    JOIN w${r}t t ON t.lab = a.lab
+         |    CROSS JOIN mm
+         |    WHERE a.lab <= cc.lab)
+         |  WHERE rk = 1),
+         |w${r}o AS MATERIALIZED (
+         |  SELECT cc.sv, cc.lab,
+         |         mm.m2 * coalesce(k2.kuc, 0) - s.kk * (t.stot - s.kk) AS score
+         |  FROM d${r - 1} cc
+         |  JOIN supk s ON s.sv = cc.sv
+         |  JOIN w${r}t t ON t.lab = cc.lab
+         |  LEFT JOIN w${r}k k2 ON k2.sv = cc.sv AND k2.lab = cc.lab
+         |  CROSS JOIN mm),
+         |d$r AS MATERIALIZED (
+         |  SELECT o.sv,
+         |         CASE WHEN n.sv IS NOT NULL AND (n.score > o.score
+         |                OR (n.score = o.score AND n.lab < o.lab))
+         |              THEN n.lab ELSE o.lab END AS lab
+         |  FROM w${r}o o LEFT JOIN w${r}n n ON n.sv = o.sv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $louvainPhase1Ctes,
+       |ce AS MATERIALIZED (
+       |  SELECT a.lab AS cu, b.lab AS cv, CAST(count(*) AS BIGINT) AS wgt
+       |  FROM bce e JOIN c$louvainSweeps a ON a.v = e.v
+       |             JOIN c$louvainSweeps b ON b.v = e.w
+       |  GROUP BY 1, 2),
+       |supk AS MATERIALIZED (
+       |  SELECT cu AS sv, CAST(sum(wgt) AS BIGINT) AS kk FROM ce GROUP BY 1),
+       |d0 AS (SELECT sv, sv AS lab FROM supk),
+       |$rounds
+       |SELECT c.v AS v, CAST(d.lab AS BIGINT) AS community, dg.k
+       |FROM c$louvainSweeps c
+       |JOIN d$louvainContractedSweeps d ON d.sv = c.lab
+       |JOIN deg dg ON dg.v = c.v
        |ORDER BY c.v""".stripMargin
   }
 
@@ -2302,6 +2491,7 @@ object SeqGraphQueries {
     "op298_dbscan" -> dbscanSql,
     "op299_stream_dbscan" -> dbscanClassifySql,
     "op300_louvain" -> louvainSql,
+    "op301_louvain_two_level" -> louvain2Sql,
     "op209_bfs_hops" ->
       s"""WITH RECURSIVE
          |$graphBaseSql,

@@ -824,5 +824,31 @@ class SeqGraphSpec extends SparkSpec {
     assert(qF > q0, s"modularity did not rise: $q0 -> $qF")
     assert(c.values.toSet.size < k.size,
       "sweeps should merge at least some singleton communities")
+
+    // ---- op301: contraction + downward weighted sweeps on top of c ----
+    val gotL2 = SeqGraphQueries.op301LouvainTwoLevel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = edges.groupMapReduce(e => (c(e._1), c(e._2)))(_ => 1L)(_ + _)
+    val kk = w.groupMapReduce(_._1._1)(_._2)(_ + _)
+    var c2: Map[Long, Long] = kk.keys.map(s => s -> s).toMap
+    for (_ <- 1 to SeqGraphQueries.louvainContractedSweeps) {
+      val stot = c2.groupMapReduce(_._2)(p => kk(p._1))(_ + _)
+      val nbrW = w.toSeq.collect { case ((a, b), wt) if a != b =>
+        (a, c2(b), wt)
+      }.groupMapReduce(t => (t._1, t._2))(_._3)(_ + _)
+      c2 = kk.keys.map { sv =>
+        def score(g: Long): Long =
+          m2 * nbrW.getOrElse((sv, g), 0L) -
+            kk(sv) * (stot(g) - (if (c2(sv) == g) kk(sv) else 0L))
+        val cands = (nbrW.keySet.collect { case (s2, g) if s2 == sv => g } +
+          c2(sv)).filter(_ <= c2(sv))
+        sv -> cands.toSeq.sorted.maxBy(g => (score(g), -g))
+      }.toMap
+    }
+    val wantL2 = c.map { case (v, c1) => v -> c2(c1) }
+    assert(gotL2 == wantL2)
+    val qL2 = q2m2(wantL2)
+    info(s"2m^2-scaled modularity: one-level $qF -> two-level $qL2")
+    assert(qL2 > qF, s"contracted sweeps did not raise modularity: $qF -> $qL2")
   }
 }
