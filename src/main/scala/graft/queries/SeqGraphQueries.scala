@@ -1093,7 +1093,14 @@ object SeqGraphQueries {
     * |V| at sf0.1), so its sweeps cost a fraction of phase 1's —
     * the whole point of the Louvain hierarchy. Deeper levels repeat
     * verbatim. */
-  val op301LouvainTwoLevel: Q = (s, d) => {
+  val op301LouvainTwoLevel: Q = (s, d) =>
+    ordered(louvainTwoLevel(s, d), "v")
+
+  /** The full two-level trajectory: phase 1 (store-amortized) +
+    * contraction + the downward weighted sweeps, as (v, community, k)
+    * — op301 emits it, op302 persists (v, community) as the serving
+    * model. */
+  private def louvainTwoLevel(s: SparkSession, d: String): DataFrame = {
     val (edges, deg, m2df, c1) = louvainPhase1(s, d)
     val ce = edges
       .join(c1.select(col("v"), col("lab").as("cu")), "v")
@@ -1145,12 +1152,46 @@ object SeqGraphQueries {
             col("own_cand")).getField("nl")).as("lab"))
         .localCheckpoint()
     }
+    c1.join(c2.select(col("sv").as("lab"), col("lab").as("community")),
+        "lab")
+      .join(deg, "v")
+      .select(col("v"), col("community"), col("k"))
+  }
+
+  // ---------------------------------------------------------------- op302
+
+  /** op302: STREAMING basket → community assignment — the serving half
+    * of the Louvain pair (the op299 pattern applied to communities):
+    * the two-level part → community map persists as the classification
+    * model, and arriving lineitem rows join it (stream-static
+    * equi-join) and vote per order through ONE [[graft.functions
+    * .ModeAgg]] aggregation — most-voted community wins, ties to the
+    * smallest id. Votes are line-weighted (a part bought twice votes
+    * twice — the raw stream is the evidence); orders whose parts all
+    * fall outside the model (big-basket-only parts never enter the
+    * graph) carry no vote and are not assigned. The window spelling
+    * would need two aggregations — one more than a streaming plan may
+    * carry; ModeAgg folds the vote map map-side in one. Oracle replays
+    * the full two-level build plus the vote. */
+  val op302StreamBasketCommunity: Q = (s, d) => {
+    val dir = IndexStore.indexRoot(d, "louvain_comm_v1", "lineitem")
+    IndexStore.buildIndexIfAbsent(dir, "part_comm") { tmp =>
+      louvainTwoLevel(s, d).select(col("v"), col("community"))
+        .write.mode("overwrite").parquet(s"$tmp/part_comm")
+    }
+    val pc = s.read.parquet(s"$dir/part_comm")
     ordered(
-      c1.join(c2.select(col("sv").as("lab"), col("lab").as("community")),
-          "lab")
-        .join(deg, "v")
-        .select(col("v"), col("community"), col("k")),
-      "v")
+      TrainQueries.drainStream(s, d, "op302", "lineitem",
+        "complete", "8") { st =>
+        st.select(col("l_orderkey"), col("l_partkey").as("v"))
+          .join(pc, Seq("v"))
+          .groupBy(col("l_orderkey"))
+          .agg(graft.functions.ModeAgg.mode(col("community")).as("m"))
+      }.select(col("l_orderkey"),
+        col("m.value").as("community"),
+        col("m.votes").as("votes"),
+        col("m.total").as("n_lines")),
+      "l_orderkey")
   }
 
   // ---------------------------------------------------------------- op209
@@ -1954,7 +1995,8 @@ object SeqGraphQueries {
     "op298_dbscan" -> op298Dbscan,
     "op299_stream_dbscan" -> op299StreamDbscan,
     "op300_louvain" -> op300Louvain,
-    "op301_louvain_two_level" -> op301LouvainTwoLevel)
+    "op301_louvain_two_level" -> op301LouvainTwoLevel,
+    "op302_stream_basket_community" -> op302StreamBasketCommunity)
 
   /** op226's oracle: op176's unroll with the source-restricted base. */
   private def rwrSql: String = {
@@ -2187,14 +2229,15 @@ object SeqGraphQueries {
        |FROM c$louvainSweeps c JOIN deg d ON d.v = c.v
        |ORDER BY c.v""".stripMargin
 
-  /** op301's oracle: [[louvainPhase1Ctes]] + the contraction (weighted
-    * super-edges from the phase-1 labels) + [[louvainContractedSweeps]]
-    * unrolled DOWNWARD-ONLY weighted sweeps + the vertex → super-vertex
-    * community mapping. The per-round top-1 is spelled as a
-    * row_number over the downward-filtered candidates LEFT-joined
-    * against the always-present stay row — semantics identical to the
-    * Spark struct-max. */
-  private def louvain2Sql: String = {
+  /** The op301/op302 two-level replay: [[louvainPhase1Ctes]] + the
+    * contraction (weighted super-edges from the phase-1 labels) +
+    * [[louvainContractedSweeps]] unrolled DOWNWARD-ONLY weighted sweeps
+    * + the vertex → super-vertex community mapping (`vcomm`). The
+    * per-round top-1 is spelled as a row_number over the
+    * downward-filtered candidates LEFT-joined against the
+    * always-present stay row — semantics identical to the Spark
+    * struct-max. */
+  private def louvainTwoLevelCtes: String = {
     val rounds = (1 to louvainContractedSweeps).map { r =>
       s"""w${r}t AS MATERIALIZED (
          |  SELECT c.lab, CAST(sum(s.kk) AS BIGINT) AS stot
@@ -2234,7 +2277,7 @@ object SeqGraphQueries {
          |              THEN n.lab ELSE o.lab END AS lab
          |  FROM w${r}o o LEFT JOIN w${r}n n ON n.sv = o.sv)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $louvainPhase1Ctes,
+    s"""$louvainPhase1Ctes,
        |ce AS MATERIALIZED (
        |  SELECT a.lab AS cu, b.lab AS cv, CAST(count(*) AS BIGINT) AS wgt
        |  FROM bce e JOIN c$louvainSweeps a ON a.v = e.v
@@ -2243,13 +2286,41 @@ object SeqGraphQueries {
        |supk AS MATERIALIZED (
        |  SELECT cu AS sv, CAST(sum(wgt) AS BIGINT) AS kk FROM ce GROUP BY 1),
        |d0 AS (SELECT sv, sv AS lab FROM supk),
-       |$rounds
-       |SELECT c.v AS v, CAST(d.lab AS BIGINT) AS community, dg.k
-       |FROM c$louvainSweeps c
-       |JOIN d$louvainContractedSweeps d ON d.sv = c.lab
-       |JOIN deg dg ON dg.v = c.v
-       |ORDER BY c.v""".stripMargin
+       |$rounds,
+       |vcomm AS MATERIALIZED (
+       |  SELECT c.v, d.lab AS community
+       |  FROM c$louvainSweeps c
+       |  JOIN d$louvainContractedSweeps d ON d.sv = c.lab)""".stripMargin
   }
+
+  private def louvain2Sql: String =
+    s"""WITH $louvainTwoLevelCtes
+       |SELECT vc.v AS v, CAST(vc.community AS BIGINT) AS community, dg.k
+       |FROM vcomm vc JOIN deg dg ON dg.v = vc.v
+       |ORDER BY vc.v""".stripMargin
+
+  /** op302's oracle: the full two-level replay + the line-weighted
+    * vote — per (order, community) counts over raw lineitem rows
+    * joined to the vertex → community map, winner by
+    * (votes DESC, community ASC). */
+  private def basketCommunitySql: String =
+    s"""WITH $louvainTwoLevelCtes,
+       |vote AS MATERIALIZED (
+       |  SELECT l.l_orderkey, vc.community,
+       |         CAST(count(*) AS BIGINT) AS votes
+       |  FROM lineitem l JOIN vcomm vc ON vc.v = l.l_partkey
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT l_orderkey, CAST(sum(votes) AS BIGINT) AS n_lines
+       |        FROM vote GROUP BY 1)
+       |SELECT w.l_orderkey, CAST(w.community AS BIGINT) AS community,
+       |       w.votes, t.n_lines
+       |FROM (SELECT l_orderkey, community, votes,
+       |             row_number() OVER (PARTITION BY l_orderkey
+       |               ORDER BY votes DESC, community) AS rk
+       |      FROM vote) w
+       |JOIN tot t ON t.l_orderkey = w.l_orderkey
+       |WHERE w.rk = 1
+       |ORDER BY w.l_orderkey""".stripMargin
 
   /** op217's oracle: the identical division-first-normalized integer
     * trajectory unrolled as chained CTEs (h0 → a1 → h1 → a2 …). */
@@ -2519,6 +2590,7 @@ object SeqGraphQueries {
     "op299_stream_dbscan" -> dbscanClassifySql,
     "op300_louvain" -> louvainSql,
     "op301_louvain_two_level" -> louvain2Sql,
+    "op302_stream_basket_community" -> basketCommunitySql,
     "op209_bfs_hops" ->
       s"""WITH RECURSIVE
          |$graphBaseSql,

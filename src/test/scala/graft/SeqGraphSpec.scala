@@ -851,4 +851,29 @@ class SeqGraphSpec extends SparkSpec {
     info(s"2m^2-scaled modularity: one-level $qF -> two-level $qL2")
     assert(qL2 > qF, s"contracted sweeps did not raise modularity: $qF -> $qL2")
   }
+
+  test("op302: streamed basket vote agrees with a driver-side vote") {
+    val got = SeqGraphQueries.op302StreamBasketCommunity(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val pc = SeqGraphQueries.op301LouvainTwoLevel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lines = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // line-weighted vote over modeled parts only; winner by
+    // (votes desc, community asc); unmodeled-only orders unassigned
+    val want = lines.filter(l => pc.contains(l._2)).groupBy(_._1)
+      .map { case (o, ls) =>
+        val votes = ls.groupBy(l => pc(l._2))
+          .map { case (cm, g) => cm -> g.size.toLong }
+        val (cm, v) = votes.minBy { case (c2, n) => (-n, c2) }
+        o -> ((cm, v, votes.values.sum))
+      }
+    assert(got == want)
+    assert(got.nonEmpty, "degenerate fixture: no basket got a community")
+    assert(got.values.exists(t => t._2 < t._3),
+      "fixture should include at least one non-unanimous vote")
+  }
 }
