@@ -483,6 +483,67 @@ object AnnQueries {
       "q_id", "rank")
   }
 
+  /** op303: leading principal direction of the embedding corpus —
+    * distributed Gram-matrix accumulation + deterministic integer
+    * power iteration, the PCA-lite an embedding-quality dashboard runs
+    * (a dominant direction with outsized mass = anisotropic embeddings,
+    * the classic representation-collapse smell). Everything is exact
+    * integers, so the oracle replays it bit for bit:
+    *   - components quantize at floor(x·10³) (coarser than the cosine
+    *     scorers' 10⁶ ON PURPOSE — the overflow headroom below);
+    *   - gram(i,j) = Σ_v q(v,i)·q(v,j), ONE self-join-by-vector +
+    *     hash aggregate: N·d² products folding into d² = 4096 cells
+    *     (map-side partial — the standard distributed PCA step; at
+    *     100 TB this is the only corpus-sized stage, and its output is
+    *     metadata);
+    *   - 3 power-iteration steps over the 4096-cell gram table, each a
+    *     d²-row join + per-row rescale: y = G·x, then x' = y scaled
+    *     back to ~10⁶ by s = max(max|y| div 10⁶, 1). The rescale
+    *     divides MAGNITUDES and reapplies the sign, so truncation
+    *     direction is engine-independent.
+    *
+    * Overflow bounds (the BIGINT-safety argument, and why 10³): |q| ≤
+    * 10³ ⇒ |gram| ≤ N·10⁶ (2·10⁹ at sf0.1 — fits), |y| ≤ d·|gram|·|x|
+    * ≤ 64·2·10⁹·2·10⁶ ≈ 2.6·10¹⁷ — inside BIGINT with 35× margin, and
+    * the rescale pins |x| ≈ 10⁶ every step so the bound is per-step,
+    * not compounding. Emits (dim, pc1, second_moment): the dominant
+    * direction in the final x scale plus the per-dimension diagonal
+    * mass. */
+  val op303PcaPower: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("i"),
+        floor(col("col").cast("double") * lit(1000d))
+          .cast("bigint").as("qv"))
+    val gram = q
+      .join(q.select(col("vec_id"), col("i").as("j"),
+        col("qv").as("qw")), "vec_id")
+      // bounds: |qv·qw| ≤ 10⁶, N ≤ 10⁵ fixture rows ⇒ the sum fits
+      // BIGINT with 10⁷ margin (full argument in the scaladoc above)
+      .groupBy(col("i"), col("j")).agg(sum(col("qv") * col("qw")).as("c"))
+      .localCheckpoint()
+    var x = s.range(64).select(col("id").as("i"), lit(1000000L).as("x"))
+    (1 to 3).foreach { _ =>
+      // bounds: |c·x| ≤ 2·10⁹ · 2·10⁶, d = 64 terms ⇒ ≤ 2.6·10¹⁷,
+      // fits BIGINT (see the scaladoc's overflow argument)
+      val y = gram.join(x.select(col("i").as("j"), col("x")), "j")
+        .groupBy(col("i")).agg(sum(col("c") * col("x")).as("y"))
+      val sc = y.agg(greatest(expr("max(abs(y)) div 1000000"), lit(1L))
+        .as("s"))
+      x = y.crossJoin(sc)
+        .select(col("i"),
+          when(col("y") < 0, -expr("(-y) div s"))
+            .otherwise(expr("y div s")).as("x"))
+        .localCheckpoint()
+    }
+    ordered(
+      x.join(gram.filter(col("i") === col("j"))
+          .select(col("i"), col("c").as("second_moment")), "i")
+        .select(col("i").as("dim"), col("x").as("pc1"),
+          col("second_moment")),
+      "dim")
+  }
+
   /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
     * of brute-force search over the FIRST 16 of 64 dims against the
     * full-dim exact top-5. MRL-style nested embeddings are trained so
@@ -904,6 +965,38 @@ object AnnQueries {
       |WHERE rank <= $kOut ORDER BY q_id, rank""".stripMargin
   }
 
+  /** op303's DuckDB replay: quantize at 10³, the same N·d² gram
+    * aggregation, and the 3 power-iteration steps unrolled — the
+    * magnitude-division-plus-sign spelling keeps truncation direction
+    * engine-independent. Overflow bounds as on the query: |gram| ≤
+    * N·10⁶ and |y| ≤ 64·|gram|·2·10⁶ ≈ 2.6·10¹⁷ — fits BIGINT (DuckDB
+    * sums in HUGEINT and the CAST back would catch any wrap). */
+  private def pcaPowerSql: String = {
+    val iters = (1 to 3).map { r =>
+      s"""y$r AS (SELECT g.i, CAST(sum(g.c * x.x) AS BIGINT) AS y
+         |  FROM gram g JOIN x${r - 1} x ON x.i = g.j GROUP BY 1),
+         |s$r AS (SELECT CAST(greatest(max(abs(y)) // 1000000, 1) AS BIGINT) AS s
+         |  FROM y$r),
+         |x$r AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN y < 0 THEN -((-y) // s) ELSE y // s END
+         |    AS BIGINT) AS x
+         |  FROM y$r CROSS JOIN s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+      |  SELECT vec_id, t.i,
+      |         CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+      |  FROM embeddings, range(64) t(i)),
+      |gram AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS c
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |x0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS x
+      |       FROM range(64) t(i)),
+      |$iters
+      |SELECT x.i AS dim, CAST(x.x AS BIGINT) AS pc1, g.c AS second_moment
+      |FROM x3 x JOIN gram g ON g.i = x.i AND g.j = x.i
+      |ORDER BY dim""".stripMargin
+  }
+
   /** op290's DuckDB replay: the [[nndCtes]] graph + beam search
     * unrolled `hops` times ([[beamHopCtes]]). */
   private def graphAnnSql(k: Int, rounds: Int, capR: Int,
@@ -1238,7 +1331,8 @@ object AnnQueries {
     "op290_graph_ann" -> op290GraphAnn,
     "op292_stream_graph_ann" -> op292StreamGraphAnn,
     "op296_hnsw_ann" -> op296HnswAnn,
-    "op297_stream_hnsw" -> op297StreamHnsw)
+    "op297_stream_hnsw" -> op297StreamHnsw,
+    "op303_pca_power" -> op303PcaPower)
 
   private val baseOracle: Map[String, String] = Map(
     "op83_pq_ann" -> {
@@ -1386,5 +1480,6 @@ object AnnQueries {
       beam = 12, hops = 2, kOut = 8),
     "op297_stream_hnsw" -> hnswAnnSql(k = 16, rounds = 3, capR = 16,
       mod = 8, upK = 8, upRounds = 2, upCapR = 8, upBeam = 8, upHops = 2,
-      beam = 12, hops = 2, kOut = 8))
+      beam = 12, hops = 2, kOut = 8),
+    "op303_pca_power" -> pcaPowerSql)
 }

@@ -876,4 +876,27 @@ class SeqGraphSpec extends SparkSpec {
     assert(got.values.exists(t => t._2 < t._3),
       "fixture should include at least one non-unanimous vote")
   }
+
+  test("ModeAgg: partition-order independent, ties break to the smallest value") {
+    import graft.functions.ModeAgg
+    import spark.implicits._
+    // group 1: clear winner; group 2: 2-2 tie -> smaller value wins;
+    // group 3: all singletons -> smallest value
+    val rows = Seq((1L, 7L), (1L, 7L), (1L, 3L),
+      (2L, 9L), (2L, 4L), (2L, 9L), (2L, 4L),
+      (3L, 8L), (3L, 5L), (3L, 6L))
+    val expected = Map(1L -> (7L, 2L, 3L), 2L -> (4L, 2L, 4L),
+      3L -> (5L, 1L, 3L))
+    // the fold must not depend on row order or partitioning: run the
+    // same aggregation over several shuffled/partitioned layouts
+    Seq(1, 3, 7).foreach { parts =>
+      val got = rows.reverse.toDF("g", "v").repartition(parts)
+        .groupBy(col("g")).agg(ModeAgg.mode(col("v")).as("m"))
+        .select(col("g"), col("m.value"), col("m.votes"), col("m.total"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }

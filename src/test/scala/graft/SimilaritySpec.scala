@@ -667,6 +667,41 @@ class SimilaritySpec extends SparkSpec {
     assert(hnsw2 >= 0.6, s"HNSW recall@8 too low: $hnsw2")
   }
 
+  test("op303: integer power iteration matches a driver replay, Rayleigh climbs") {
+    val got = graft.queries.AnnQueries.op303PcaPower(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(v => math.floor(v.toDouble * 1000d).toLong))
+    val d = 64
+    val gram = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum)
+    def step(x: Array[Long]): Array[Long] = {
+      val y = Array.tabulate(d)(i =>
+        (0 until d).map(j => gram(i)(j) * x(j)).sum)
+      val s = math.max(y.map(math.abs).max / 1000000L, 1L)
+      y.map(v => if (v < 0) -((-v) / s) else v / s)
+    }
+    var x = Array.fill(d)(1000000L)
+    val x0 = x.clone()
+    (1 to 3).foreach(_ => x = step(x))
+    val want = (0 until d).map(i => i.toLong -> ((x(i), gram(i)(i)))).toMap
+    assert(got == want)
+    // each power step climbs the Rayleigh quotient of a PSD matrix —
+    // BigInt spec-side arithmetic (the quotient itself would overflow)
+    def rayleigh(v: Array[Long]): BigDecimal = {
+      val bv = v.map(BigInt(_))
+      val num = (0 until d).map(i => (0 until d)
+        .map(j => bv(i) * BigInt(gram(i)(j)) * bv(j)).sum).sum
+      val den = bv.map(b => b * b).sum
+      BigDecimal(num) / BigDecimal(den)
+    }
+    val (r0, r3) = (rayleigh(x0), rayleigh(x))
+    info(s"Rayleigh quotient: init $r0 -> 3 steps $r3")
+    assert(r3 > r0, s"power iteration did not climb: $r0 -> $r3")
+  }
+
   test("streaming HNSW walk is bit-identical to the batch two-layer search") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files
