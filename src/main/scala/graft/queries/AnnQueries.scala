@@ -544,6 +544,39 @@ object AnnQueries {
       "dim")
   }
 
+  /** op304: STREAMING second-moment (Gram) maintenance — the online
+    * half of op303 (the op169/op193 stream ≡ batch pattern applied to
+    * the spectral probe): arriving embeddings fold into the d² = 4096
+    * Gram cells through ONE streaming aggregation; the offline power
+    * iteration (op303) reads the maintained state. Per arriving vector
+    * the stateless stage emits its d² quantized products via two
+    * chained posexplodes (no self-join — a stream cannot join itself),
+    * then groupBy(i, j) sums them: integer addition is associative, so
+    * cross-trigger folding is exact and the maintained matrix equals
+    * the batch gram bit for bit — the oracle is op303's gram CTE
+    * emitted as cells. State is d² counters regardless of corpus size.
+    * Overflow bounds: same as op303 — |qv·qw| ≤ 10⁶ per element and
+    * the sum fits BIGINT with ≥10⁷ margin at fixture scale (the 10³
+    * quantization bought the headroom). */
+  val op304StreamGram: Q = (s, d) => {
+    val drained = TrainQueries.drainStream(s, d, "op304", "embeddings",
+      "complete", "8") { st =>
+      val q3 = st.select(
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * lit(1000d)).cast("bigint")).as("q3"))
+      q3.select(col("q3"), posexplode(col("q3")))
+        .select(col("q3"), col("pos").cast("bigint").as("i"),
+          col("col").as("qi"))
+        .select(col("i"), col("qi"), posexplode(col("q3")))
+        .select(col("i"), col("pos").cast("bigint").as("j"),
+          // bounds: |qi·qj| ≤ 10⁶, ≤ 10⁵ fixture vectors — the sum
+          // fits BIGINT with wide margin (op303's scaladoc argument)
+          (col("qi") * col("col")).as("p"))
+        .groupBy(col("i"), col("j")).agg(sum(col("p")).as("c"))
+    }
+    ordered(drained.select(col("i"), col("j"), col("c")), "i", "j")
+  }
+
   /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
     * of brute-force search over the FIRST 16 of 64 dims against the
     * full-dim exact top-5. MRL-style nested embeddings are trained so
@@ -982,13 +1015,7 @@ object AnnQueries {
          |    AS BIGINT) AS x
          |  FROM y$r CROSS JOIN s$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS MATERIALIZED (
-      |  SELECT vec_id, t.i,
-      |         CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
-      |  FROM embeddings, range(64) t(i)),
-      |gram AS MATERIALIZED (
-      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS c
-      |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+    s"""WITH $gramCtes,
       |x0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS x
       |       FROM range(64) t(i)),
       |$iters
@@ -996,6 +1023,24 @@ object AnnQueries {
       |FROM x3 x JOIN gram g ON g.i = x.i AND g.j = x.i
       |ORDER BY dim""".stripMargin
   }
+
+  /** The quantize-at-10³ + Gram CTEs op303 and op304 share (bounds:
+    * |qv·qw| ≤ 10⁶ per element, so the sum fits BIGINT at fixture
+    * scale — op303's scaladoc carries the full argument). */
+  private val gramCtes: String =
+    s"""q AS MATERIALIZED (
+      |  SELECT vec_id, t.i,
+      |         CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+      |  FROM embeddings, range(64) t(i)),
+      |gram AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS c
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2)""".stripMargin
+
+  /** op304's oracle: the maintained stream state must equal the batch
+    * gram bit for bit — [[gramCtes]] emitted as cells. */
+  private def streamGramSql: String =
+    s"""WITH $gramCtes
+      |SELECT i, j, c FROM gram ORDER BY i, j""".stripMargin
 
   /** op290's DuckDB replay: the [[nndCtes]] graph + beam search
     * unrolled `hops` times ([[beamHopCtes]]). */
@@ -1332,7 +1377,8 @@ object AnnQueries {
     "op292_stream_graph_ann" -> op292StreamGraphAnn,
     "op296_hnsw_ann" -> op296HnswAnn,
     "op297_stream_hnsw" -> op297StreamHnsw,
-    "op303_pca_power" -> op303PcaPower)
+    "op303_pca_power" -> op303PcaPower,
+    "op304_stream_gram" -> op304StreamGram)
 
   private val baseOracle: Map[String, String] = Map(
     "op83_pq_ann" -> {
@@ -1481,5 +1527,6 @@ object AnnQueries {
     "op297_stream_hnsw" -> hnswAnnSql(k = 16, rounds = 3, capR = 16,
       mod = 8, upK = 8, upRounds = 2, upCapR = 8, upBeam = 8, upHops = 2,
       beam = 12, hops = 2, kOut = 8),
-    "op303_pca_power" -> pcaPowerSql)
+    "op303_pca_power" -> pcaPowerSql,
+    "op304_stream_gram" -> streamGramSql)
 }

@@ -702,6 +702,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r3 > r0, s"power iteration did not climb: $r0 -> $r3")
   }
 
+  test("op304: streamed gram is symmetric, diagonal equals op303's second moment") {
+    val g = graft.queries.AnnQueries.op304StreamGram(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(g.size == 64 * 64, s"expected 4096 cells, got ${g.size}")
+    assert(g.forall { case ((i, j), c) => g((j, i)) == c },
+      "gram must be symmetric")
+    val diag = graft.queries.AnnQueries.op303PcaPower(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(diag.forall { case (i, m) => g((i, i)) == m },
+      "streamed diagonal must equal the batch second moment")
+  }
+
   test("streaming HNSW walk is bit-identical to the batch two-layer search") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files
