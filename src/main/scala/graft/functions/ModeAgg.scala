@@ -21,7 +21,7 @@ case class ModeOut(value: Long, votes: Long, total: Long)
   * DISTINCT-value count — the right tool for low-cardinality votes
   * (a basket's ≤ cap communities), the wrong one for groups with
   * millions of distinct values. */
-class ModeAgg extends Aggregator[Long, Map[Long, Long], ModeOut] {
+class ModeAgg extends Aggregator[Long, Map[Long, Long], Option[ModeOut]] {
   override def zero: Map[Long, Long] = Map.empty
 
   override def reduce(m: Map[Long, Long], x: Long): Map[Long, Long] =
@@ -30,14 +30,22 @@ class ModeAgg extends Aggregator[Long, Map[Long, Long], ModeOut] {
   override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
     b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
 
-  override def finish(m: Map[Long, Long]): ModeOut = {
-    val (value, votes) = m.minBy { case (k, v) => (-v, k) }
-    ModeOut(value, votes, m.values.sum)
-  }
+  override def finish(m: Map[Long, Long]): Option[ModeOut] =
+    // the zero buffer CAN reach finish (a global aggregation over an
+    // empty frame, or an engine path that finalizes an untouched
+    // buffer) — emit SQL NULL (None under the nullable-struct
+    // encoder) rather than crash the job; groupBy paths (≥1 row per
+    // group) never see it
+    if (m.isEmpty) None
+    else {
+      val (value, votes) = m.minBy { case (k, v) => (-v, k) }
+      Some(ModeOut(value, votes, m.values.sum))
+    }
 
   override def bufferEncoder: Encoder[Map[Long, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
-  override def outputEncoder: Encoder[ModeOut] = Encoders.product[ModeOut]
+  override def outputEncoder: Encoder[Option[ModeOut]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[ModeOut]]()
 }
 
 object ModeAgg {

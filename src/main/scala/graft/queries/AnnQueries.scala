@@ -503,12 +503,18 @@ object AnnQueries {
     *     direction is engine-independent.
     *
     * Overflow bounds (the BIGINT-safety argument, and why 10³): |q| ≤
-    * 10³ ⇒ |gram| ≤ N·10⁶ (2·10⁹ at sf0.1 — fits), |y| ≤ d·|gram|·|x|
-    * ≤ 64·2·10⁹·2·10⁶ ≈ 2.6·10¹⁷ — inside BIGINT with 35× margin, and
-    * the rescale pins |x| ≈ 10⁶ every step so the bound is per-step,
-    * not compounding. Emits (dim, pc1, second_moment): the dominant
-    * direction in the final x scale plus the per-dimension diagonal
-    * mass. */
+    * 10³ ⇒ |gram| ≤ N·10⁶, and the rescale pins |x| < 2·10⁶ every
+    * step so the power-step bound |y| ≤ d·max|gram|·max|x| ≤
+    * 64·(N·10⁶)·(2·10⁶) is per-step, not compounding. That worst case
+    * crosses Long.MaxValue (9.2·10¹⁸) near N ≈ 7.2·10⁴ — the margin
+    * is a CORPUS property, not a constant (at sf0.1's N = 2·10³ it is
+    * 35×; a 10⁵-row corpus has none). Spark's non-ANSI sum wraps
+    * silently, so the query GUARDS the step at runtime: the tight
+    * row-mass bound max_i Σ_j |gram(i,j)| must stay ≤ Long.Max/2·10⁶,
+    * else raise_error — past the gate, re-quantize coarser (10²) or
+    * escalate the step to DECIMAL(38) (the op268 rule). Emits (dim,
+    * pc1, second_moment): the dominant direction in the final x scale
+    * plus the per-dimension diagonal mass. */
   val op303PcaPower: Q = (s, d) => {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")))
@@ -518,14 +524,28 @@ object AnnQueries {
     val gram = q
       .join(q.select(col("vec_id"), col("i").as("j"),
         col("qv").as("qw")), "vec_id")
-      // bounds: |qv·qw| ≤ 10⁶, N ≤ 10⁵ fixture rows ⇒ the sum fits
-      // BIGINT with 10⁷ margin (full argument in the scaladoc above)
+      // bounds: |qv·qw| ≤ 10⁶ per element ⇒ the gram sum stays inside
+      // BIGINT until N ≈ 9·10¹² — never the binding constraint; the
+      // power step below binds first (scaladoc argument)
       .groupBy(col("i"), col("j")).agg(sum(col("qv") * col("qw")).as("c"))
       .localCheckpoint()
-    var x = s.range(64).select(col("id").as("i"), lit(1000000L).as("x"))
+    // runtime overflow gate (see scaladoc): the power step is safe iff
+    // max_i Σ_j |gram(i,j)| ≤ Long.Max / max|x|; the naive worst case
+    // 64·N·10⁶·2·10⁶ crosses BIGINT near N ≈ 7.2·10⁴, so the check is
+    // a 1-row scalar folded into the first step's lineage, not a
+    // comment. g = 0 on the safe path — values untouched.
+    val guard = gram.groupBy(col("i")).agg(sum(abs(col("c"))).as("rs"))
+      .agg(max(col("rs")).as("mrs"))
+      .select(when(col("mrs") > lit(Long.MaxValue / 2000000L),
+        raise_error(concat(lit("op303: gram row mass "), col("mrs"),
+          lit(" overflows the BIGINT power step — re-quantize coarser " +
+            "or escalate to DECIMAL(38)"))).cast("bigint"))
+        .otherwise(lit(0L)).as("g"))
+    var x = s.range(64).crossJoin(guard)
+      .select(col("id").as("i"), (lit(1000000L) + col("g")).as("x"))
     (1 to 3).foreach { _ =>
-      // bounds: |c·x| ≤ 2·10⁹ · 2·10⁶, d = 64 terms ⇒ ≤ 2.6·10¹⁷,
-      // fits BIGINT (see the scaladoc's overflow argument)
+      // bounds: |c·x| ≤ rowmass·max|x|, runtime-gated above to fit
+      // BIGINT (at sf0.1: 64·2·10⁹·2·10⁶ ≈ 2.6·10¹⁷, 35× margin)
       val y = gram.join(x.select(col("i").as("j"), col("x")), "j")
         .groupBy(col("i")).agg(sum(col("c") * col("x")).as("y"))
       val sc = y.agg(greatest(expr("max(abs(y)) div 1000000"), lit(1L))
@@ -555,9 +575,11 @@ object AnnQueries {
     * cross-trigger folding is exact and the maintained matrix equals
     * the batch gram bit for bit — the oracle is op303's gram CTE
     * emitted as cells. State is d² counters regardless of corpus size.
-    * Overflow bounds: same as op303 — |qv·qw| ≤ 10⁶ per element and
-    * the sum fits BIGINT with ≥10⁷ margin at fixture scale (the 10³
-    * quantization bought the headroom). */
+    * Overflow bounds: the maintained cell is op303's gram sum —
+    * |qv·qw| ≤ 10⁶ per element, BIGINT-safe until N ≈ 9·10¹² vectors
+    * (the gram ACCUMULATION is never the binding constraint; op303's
+    * POWER STEP binds first at N ≈ 7.2·10⁴ and is runtime-gated
+    * there). */
   val op304StreamGram: Q = (s, d) => {
     val drained = TrainQueries.drainStream(s, d, "op304", "embeddings",
       "complete", "8") { st =>
@@ -569,8 +591,8 @@ object AnnQueries {
           col("col").as("qi"))
         .select(col("i"), col("qi"), posexplode(col("q3")))
         .select(col("i"), col("pos").cast("bigint").as("j"),
-          // bounds: |qi·qj| ≤ 10⁶, ≤ 10⁵ fixture vectors — the sum
-          // fits BIGINT with wide margin (op303's scaladoc argument)
+          // bounds: |qi·qj| ≤ 10⁶ ⇒ the cell sum is BIGINT-safe to
+          // N ≈ 9·10¹² vectors (op303's scaladoc argument)
           (col("qi") * col("col")).as("p"))
         .groupBy(col("i"), col("j")).agg(sum(col("p")).as("c"))
     }
@@ -1001,9 +1023,10 @@ object AnnQueries {
   /** op303's DuckDB replay: quantize at 10³, the same N·d² gram
     * aggregation, and the 3 power-iteration steps unrolled — the
     * magnitude-division-plus-sign spelling keeps truncation direction
-    * engine-independent. Overflow bounds as on the query: |gram| ≤
-    * N·10⁶ and |y| ≤ 64·|gram|·2·10⁶ ≈ 2.6·10¹⁷ — fits BIGINT (DuckDB
-    * sums in HUGEINT and the CAST back would catch any wrap). */
+    * engine-independent. Overflow bounds as on the query: safe while
+    * N ≲ 7.2·10⁴ (the power step's binding constraint — the Spark
+    * side gates it at runtime; DuckDB sums in HUGEINT and the CAST
+    * back errors on any wrap, so the oracle side self-checks). */
   private def pcaPowerSql: String = {
     val iters = (1 to 3).map { r =>
       s"""y$r AS (SELECT g.i, CAST(sum(g.c * x.x) AS BIGINT) AS y

@@ -967,17 +967,42 @@ object SeqGraphQueries {
     *
     * 100 TB shape: one sweep is three vertex-keyed hash aggregates
     * (community degree sums, per-vertex neighbor-community counts,
-    * candidate max) plus one community-keyed join and a per-vertex
-    * top-1 window — no vertex- or community-sized broadcast anywhere
-    * (the op217b/op226b rule: community tables are |V|-sized at init
-    * by construction); sweeps localCheckpoint (the op202 rule). 2m
-    * rides a 1-row cross join (plan-time scalar, no collect). The
-    * full Louvain stack iterates phase 2 (graph contraction by
-    * community) on top of exactly this sweep; contraction is a
-    * groupBy on (community(u), community(v)) — the documented
-    * escalation, not needed for one level. */
+    * candidate max) plus one community-keyed join; sweeps
+    * localCheckpoint (the op202 rule). 2m rides a 1-row cross join
+    * (plan-time scalar, no collect). THIS spelling attaches the
+    * |V|-sized deg/cur/stot tables to the |E|-sized candidate list by
+    * BROADCAST — valid exactly while a vertex table fits in a
+    * broadcast (dimension-sized |V|, the op176/op217 regime); past
+    * |V| ≳ 10⁸ the hints force driver-sized collections, and the
+    * co-partitioned spelling [[op300bLouvainPartitioned]] (no
+    * broadcasts, edge layout pinned on the sweep's join key) is the
+    * billion-vertex form — both under ONE oracle. The full Louvain
+    * stack iterates phase 2 (graph contraction by community) on top
+    * of exactly this sweep; contraction is a groupBy on
+    * (community(u), community(v)) — op301's escalation, not needed
+    * for one level. */
   val op300Louvain: Q = (s, d) => {
     val (_, deg, _, c) = louvainPhase1(s, d)
+    ordered(
+      c.join(deg, "v")
+        .select(col("v"), col("lab").as("community"), col("k")),
+      "v")
+  }
+
+  /** op300b: phase-1 Louvain, the BEYOND-BROADCAST spelling — the
+    * identical four synchronous sweeps (same integer gains, same
+    * tie-break) with ZERO broadcast hints: the edge list is
+    * hash-partitioned once on the sweep's join key and each sweep's
+    * deg/cur/stot attaches arrive by co-partitioned shuffle join, so
+    * only the |V|-sized side moves per sweep while the |E| side stays
+    * put — the op176b/op217b/op226b recipe, closing the last
+    * per-iteration vertex-sized broadcast in the suite. Shares
+    * op300's oracle: the hash gate proves the partitioning strategy
+    * changes no emitted bit. Store-amortized under its own key (the
+    * strategies are separate published artifacts; head-to-head fresh
+    * build times in SCALE.md). */
+  val op300bLouvainPartitioned: Q = (s, d) => {
+    val (_, deg, _, c) = louvainPhase1(s, d, coPart = true)
     ordered(
       c.join(deg, "v")
         .select(col("v"), col("lab").as("community"), col("k")),
@@ -991,12 +1016,13 @@ object SeqGraphQueries {
     * sweeps ONCE — the same amortization every ANN serving leg rides,
     * and the honest deployment shape: community assignments are a
     * published artifact, not a per-query recomputation. */
-  private def louvainPhase1(s: SparkSession, d: String)
+  private def louvainPhase1(s: SparkSession, d: String,
+      coPart: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val dir = IndexStore.indexRoot(d, s"louvain_p1_s$louvainSweeps",
-      "lineitem")
+    val dir = IndexStore.indexRoot(d,
+      s"louvain_p1${if (coPart) "c" else ""}_s$louvainSweeps", "lineitem")
     IndexStore.buildIndexIfAbsent(dir, "labels") { tmp =>
-      val (edges, _, _, c) = louvainPhase1Compute(s, d)
+      val (edges, _, _, c) = louvainPhase1Compute(s, d, coPart)
       edges.write.mode("overwrite").parquet(s"$tmp/edges")
       c.write.mode("overwrite").parquet(s"$tmp/labels")
     }
@@ -1007,10 +1033,24 @@ object SeqGraphQueries {
     (edges, deg, m2df, s.read.parquet(s"$dir/labels"))
   }
 
-  private def louvainPhase1Compute(s: SparkSession, d: String)
+  /** coPart=false: |V|-sized deg/cur/stot ride broadcast hints (the
+    * dimension-sized regime). coPart=true: NO broadcasts — the edge
+    * list is hash-partitioned ONCE on the sweep's join key (`w`) and
+    * every per-sweep join is a co-partitioned shuffle join in which
+    * only vertex-sized tables move (the op176b/op217b/op226b recipe);
+    * identical integer trajectory, so both spellings share one
+    * oracle. */
+  private def louvainPhase1Compute(s: SparkSession, d: String,
+      coPart: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val edges = basketCliqueUnd(s, d)
-      .select(col("p1").as("v"), col("p2").as("w")).localCheckpoint()
+    val ebase = basketCliqueUnd(s, d)
+      .select(col("p1").as("v"), col("p2").as("w"))
+    // pin the |E| layout on the per-sweep join key so each sweep's
+    // edge-side Exchange is reused, never re-planned
+    val edges = (if (coPart) ebase.repartition(col("w")) else ebase)
+      .localCheckpoint()
+    val attach: DataFrame => DataFrame =
+      if (coPart) identity else (df => broadcast(df))
     val deg = edges.groupBy(col("v")).agg(big(count(lit(1))).as("k"))
       .localCheckpoint()
     val m2df = deg.agg(sum(col("k")).as("m2"))
@@ -1032,8 +1072,8 @@ object SeqGraphQueries {
       // own) ranges over exactly the candidate set — a shared lab just
       // scores twice, identically.
       val scoredNbr = kuc
-        .join(broadcast(deg), "v").join(broadcast(cur), "v")
-        .join(broadcast(stot), "lab")
+        .join(attach(deg), "v").join(attach(cur), "v")
+        .join(attach(stot), "lab")
         .crossJoin(m2df)
         .select(col("v"), struct(
           (col("m2") * col("kuc") - col("k") *
@@ -1096,16 +1136,33 @@ object SeqGraphQueries {
   val op301LouvainTwoLevel: Q = (s, d) =>
     ordered(louvainTwoLevel(s, d), "v")
 
+  /** op301b: two-level Louvain, the BEYOND-BROADCAST spelling — both
+    * levels run the co-partitioned sweep (phase 1 via op300b's store;
+    * the contracted level pins the super-edge list on its join key
+    * and drops the supK/cur/stot broadcast hints). Same downward-only
+    * move rule, same integers, op301's UNCHANGED oracle. At the
+    * contracted level the broadcast form is usually safe (|C₁| ≈ 5%
+    * of |V| here) — this spelling is for graphs where even the
+    * community table outgrows a broadcast, and it completes the
+    * no-vertex-sized-broadcast guarantee end to end. */
+  val op301bLouvainTwoLevelPartitioned: Q = (s, d) =>
+    ordered(louvainTwoLevel(s, d, coPart = true), "v")
+
   /** The full two-level trajectory: phase 1 (store-amortized) +
     * contraction + the downward weighted sweeps, as (v, community, k)
     * — op301 emits it, op302 persists (v, community) as the serving
     * model. */
-  private def louvainTwoLevel(s: SparkSession, d: String): DataFrame = {
-    val (edges, deg, m2df, c1) = louvainPhase1(s, d)
-    val ce = edges
+  private def louvainTwoLevel(s: SparkSession, d: String,
+      coPart: Boolean = false): DataFrame = {
+    val (edges, deg, m2df, c1) = louvainPhase1(s, d, coPart)
+    val attach: DataFrame => DataFrame =
+      if (coPart) identity else (df => broadcast(df))
+    val ceAgg = edges
       .join(c1.select(col("v"), col("lab").as("cu")), "v")
       .join(c1.select(col("v").as("w"), col("lab").as("cv")), "w")
       .groupBy(col("cu"), col("cv")).agg(big(count(lit(1))).as("wgt"))
+    // coPart: pin the super-edge layout on the per-sweep join key
+    val ce = (if (coPart) ceAgg.repartition(col("cv")) else ceAgg)
       .localCheckpoint()
     val supK = ce.groupBy(col("cu")).agg(sum(col("wgt")).as("kk"))
       .select(col("cu").as("sv"), col("kk")).localCheckpoint()
@@ -1122,8 +1179,8 @@ object SeqGraphQueries {
         .select(col("cu").as("sv"), col("lab"), col("kuc"))
       val cur = c2.select(col("sv"), col("lab").as("cur_lab"))
       val scoredNbr = kuc
-        .join(broadcast(supK), "sv").join(broadcast(cur), "sv")
-        .join(broadcast(stot), "lab")
+        .join(attach(supK), "sv").join(attach(cur), "sv")
+        .join(attach(stot), "lab")
         .crossJoin(m2df)
         .filter(col("lab") <= col("cur_lab"))
         .select(col("sv"), struct(
@@ -1995,7 +2052,10 @@ object SeqGraphQueries {
     "op298_dbscan" -> op298Dbscan,
     "op299_stream_dbscan" -> op299StreamDbscan,
     "op300_louvain" -> op300Louvain,
+    "op300b_louvain_partitioned" -> op300bLouvainPartitioned,
     "op301_louvain_two_level" -> op301LouvainTwoLevel,
+    "op301b_louvain_two_level_partitioned" ->
+      op301bLouvainTwoLevelPartitioned,
     "op302_stream_basket_community" -> op302StreamBasketCommunity)
 
   /** op226's oracle: op176's unroll with the source-restricted base. */
@@ -2589,7 +2649,11 @@ object SeqGraphQueries {
     "op298_dbscan" -> dbscanSql,
     "op299_stream_dbscan" -> dbscanClassifySql,
     "op300_louvain" -> louvainSql,
+    // op300b/op301b are the co-partitioned (never-broadcast) spellings;
+    // the shared oracles prove the partitioning strategy changes no bit
+    "op300b_louvain_partitioned" -> louvainSql,
     "op301_louvain_two_level" -> louvain2Sql,
+    "op301b_louvain_two_level_partitioned" -> louvain2Sql,
     "op302_stream_basket_community" -> basketCommunitySql,
     "op209_bfs_hops" ->
       s"""WITH RECURSIVE

@@ -899,4 +899,16 @@ class SeqGraphSpec extends SparkSpec {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("ModeAgg: global aggregation over an empty frame yields null, not a crash") {
+    import graft.functions.ModeAgg
+    import spark.implicits._
+    // the zero buffer reaches finish() only on this path (grouped
+    // aggregations always have >= 1 row per group) — it must produce
+    // a null ModeOut rather than minBy-throw inside the executor
+    val got = Seq.empty[Long].toDF("v")
+      .agg(ModeAgg.mode(col("v")).as("m")).collect()
+    assert(got.length == 1 && got(0).isNullAt(0),
+      s"empty global mode should be a single null row, got ${got.toSeq}")
+  }
 }
