@@ -468,20 +468,41 @@ object SeqGraphQueries {
     * rows; the support prune bounds the edge list before any join
     * (the op170 A-priori argument). Emits the one-row graph summary:
     * vertices, edges, wedges, triangles, transitivity bp. */
-  val op194Triangles: Q = (s, d) => {
+  val op194Triangles: Q = (s, d) => trianglesSummary(s, d, coPart = true)
+
+  /** op194b: triangle count, the BROADCAST degree attach — the A/B
+    * twin that adjudicated op194's strategy (the op176/op176b
+    * protocol): at sf0.1 the co-partitioned attach measured 4.0s vs
+    * this spelling's 5.2s (3-rep medians, SCALE.md), because the
+    * wedge join downstream wants the edge list hash-partitioned
+    * anyway — the broadcast buys nothing and costs two
+    * BroadcastExchanges. Broadcast remains the right call when the
+    * consumer does NOT reshuffle afterwards (op215). Shares op194's
+    * oracle. */
+  val op194bTrianglesBroadcast: Q = (s, d) =>
+    trianglesSummary(s, d, coPart = false)
+
+  /** Attach both endpoints' degrees to the undirected edge list —
+    * coPart=false: the |V|-sized deg table rides broadcast hints
+    * (valid while vertices are dimension-sized); coPart=true: two
+    * shuffle joins, no hints — only correct-at-any-|V| exchanges. */
+  private def attachDegrees(und: DataFrame, deg: DataFrame,
+      coPart: Boolean): DataFrame = {
+    val d2 = deg.select(col("p1").as("p2"), col("deg").as("deg2"))
+    if (coPart) und.join(deg, "p1").join(d2, "p2")
+    else und.join(broadcast(deg), "p1").join(broadcast(d2), "p2")
+  }
+
+  private def trianglesSummary(s: SparkSession, d: String,
+      coPart: Boolean): DataFrame = {
     val pairs = supportPrunedPairs(s, d)
     val und = pairs.union(
         pairs.select(col("p2").as("p1"), col("p1").as("p2")))
     val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
     // total order (deg, id) as one key; ids < 10^9 by fixture contract.
-    // deg is |V|-sized and attached ONCE (not per-iteration): broadcast
-    // holds while vertices are dimension-sized; past broadcast range the
-    // op176b/op226b co-partitioned attach (repartition both sides on the
-    // vertex key) applies unchanged
-    val keyed = und
-      .join(broadcast(deg), "p1")
-      .join(broadcast(deg.select(col("p1").as("p2"),
-        col("deg").as("deg2"))), "p2")
+    // deg is |V|-sized and attached ONCE (not per-iteration) — strategy
+    // adjudicated by the op194/op194b A/B in SCALE.md
+    val keyed = attachDegrees(und, deg, coPart)
       .select(col("p1"), col("p2"),
         expr("deg * 1000000000 + p1").as("k1"),
         expr("deg2 * 1000000000 + p2").as("k2"))
@@ -1376,16 +1397,26 @@ object SeqGraphQueries {
     * vertex-count column comes from a second grid-sized aggregate of
     * the degree table itself. No edge self-joins, no sorts — this is
     * strictly cheaper than anything else in the graph family. */
-  val op215Assortativity: Q = (s, d) => {
+  val op215Assortativity: Q = (s, d) => assortCurve(s, d, coPart = false)
+
+  /** op215b: assortativity curve, the BEYOND-BROADCAST spelling — the
+    * one-shot degree attach via two shuffle joins (the op176b recipe),
+    * no |V|-sized broadcast hints. Measured A/B (SCALE.md): broadcast
+    * wins here (2.9s vs 3.5s at sf0.1, 3-rep medians) because op215's
+    * consumer is a plain groupBy — no downstream reshuffle to
+    * amortize the exchange against (the opposite of op194). This
+    * spelling is for |V| past broadcast range; op215's unchanged
+    * oracle. */
+  val op215bAssortativityPartitioned: Q = (s, d) =>
+    assortCurve(s, d, coPart = true)
+
+  private def assortCurve(s: SparkSession, d: String,
+      coPart: Boolean): DataFrame = {
     val und = supportPrunedUnd(s, d)
     val deg = und.groupBy("p1").agg(count(lit(1)).as("deg"))
-    // one-shot |V|-sized degree attach — broadcast holds while vertices
-    // are dimension-sized; beyond that, the op176b/op226b co-partitioned
-    // attach applies unchanged
-    val paired = und
-      .join(broadcast(deg), "p1")
-      .join(broadcast(deg.select(col("p1").as("p2"),
-        col("deg").as("deg2"))), "p2")
+    // one-shot |V|-sized degree attach — strategy adjudicated by the
+    // op215/op215b A/B in SCALE.md
+    val paired = attachDegrees(und, deg, coPart)
     val curve = paired.groupBy(col("deg"))
       .agg(big(count(lit(1))).as("n_endpoints"),
         sum("deg2").as("sum_nbr_deg"))
@@ -2022,6 +2053,78 @@ object SeqGraphQueries {
        |FROM l$lpaRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** op215/op215b's shared oracle. */
+  private def assortSql: String =
+    s"""WITH $graphBaseSql,
+       |deg AS MATERIALIZED (SELECT p1, count(*) AS deg FROM und
+       |       GROUP BY 1),
+       |paired AS (
+       |  SELECT d1.deg AS deg, d2.deg AS deg2
+       |  FROM und u JOIN deg d1 ON u.p1 = d1.p1
+       |    JOIN deg d2 ON u.p2 = d2.p1),
+       |curve AS (
+       |  SELECT deg, CAST(count(*) AS BIGINT) AS n_endpoints,
+       |    CAST(sum(deg2) AS BIGINT) AS sum_nbr_deg
+       |  FROM paired GROUP BY 1),
+       |npd AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+       |        FROM deg GROUP BY 1)
+       |SELECT CAST(c.deg AS BIGINT) AS deg, n.n_vertices,
+       |  c.n_endpoints, c.sum_nbr_deg,
+       |  c.sum_nbr_deg * 10000 // c.n_endpoints AS avg_nbr_deg_bp
+       |FROM curve c JOIN npd n ON c.deg = n.deg
+       |ORDER BY deg""".stripMargin
+
+  /** op194/op194b's shared oracle (wedge terms sum in HUGEINT —
+    * exact at any degree — and only bounded finals cast to BIGINT). */
+  private def trianglesSql: String =
+    """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |small AS (SELECT l_orderkey FROM items GROUP BY 1
+        |          HAVING count(*) <= 7),
+        |it2 AS (SELECT i.* FROM items i JOIN small USING (l_orderkey)),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM it2 a JOIN it2 b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT p1, p2 FROM pairs
+        |        UNION ALL SELECT p2, p1 FROM pairs),
+        |deg AS (SELECT p1, CAST(count(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY 1),
+        |keyed AS (
+        |  SELECT u.p1, u.p2,
+        |    d1.deg * 1000000000 + u.p1 AS k1,
+        |    d2.deg * 1000000000 + u.p2 AS k2
+        |  FROM und u JOIN deg d1 ON u.p1 = d1.p1
+        |  JOIN deg d2 ON u.p2 = d2.p1),
+        |oriented AS (
+        |  SELECT p1 AS src, p2 AS dst, k2 AS dk
+        |  FROM keyed WHERE k1 < k2),
+        |wedges AS (
+        |  SELECT e1.src, e1.dst AS v, e2.dst AS w
+        |  FROM oriented e1 JOIN oriented e2 USING (src)
+        |  WHERE e1.dk < e2.dk),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM wedges t JOIN oriented o
+        |    ON t.v = o.src AND t.w = o.dst)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+        |  (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
+        |  CASE WHEN (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+        |             FROM deg) = 0
+        |    THEN 0
+        |    -- wedge sum accumulates in HUGEINT (exact at any degree);
+        |    -- only the bounded ratio casts to BIGINT (fail-loud)
+        |    ELSE CAST(3 * t.n_triangles * 10000 //
+        |      (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS BIGINT) END
+        |    AS transitivity_bp
+        |FROM tri t
+        |ORDER BY n_vertices""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "op267_label_prop" -> op267LabelProp,
     "op263_negative_sampling" -> op263NegativeSampling,
@@ -2034,12 +2137,14 @@ object SeqGraphQueries {
     "op178_null_aware_not_in" -> op178NullAwareNotIn,
     "op191_interval_coverage" -> op191IntervalCoverage,
     "op194_triangles" -> op194Triangles,
+    "op194b_triangles_broadcast" -> op194bTrianglesBroadcast,
     "op202_kcore" -> op202KCore,
     "op208_connected_components" -> op208ConnectedComponents,
     "op208b_cc_star_contraction" -> op208bStarContraction,
     "op209_bfs_hops" -> op209BfsHops,
     "op213_jaccard_recommend" -> op213JaccardRecommend,
     "op215_assortativity" -> op215Assortativity,
+    "op215b_assortativity_partitioned" -> op215bAssortativityPartitioned,
     "op217_hits" -> op217Hits,
     "op217b_hits_partitioned" -> op217bHitsPartitioned,
     "op218_weighted_sssp" -> op218WeightedSssp,
@@ -2767,25 +2872,10 @@ object SeqGraphQueries {
          |    AS contrib_ppb
          |FROM dcs d LEFT JOIN ein e USING (p_brand) CROSS JOIN etot t
          |ORDER BY p_brand""".stripMargin,
-    "op215_assortativity" ->
-      s"""WITH $graphBaseSql,
-         |deg AS MATERIALIZED (SELECT p1, count(*) AS deg FROM und
-         |       GROUP BY 1),
-         |paired AS (
-         |  SELECT d1.deg AS deg, d2.deg AS deg2
-         |  FROM und u JOIN deg d1 ON u.p1 = d1.p1
-         |    JOIN deg d2 ON u.p2 = d2.p1),
-         |curve AS (
-         |  SELECT deg, CAST(count(*) AS BIGINT) AS n_endpoints,
-         |    CAST(sum(deg2) AS BIGINT) AS sum_nbr_deg
-         |  FROM paired GROUP BY 1),
-         |npd AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
-         |        FROM deg GROUP BY 1)
-         |SELECT CAST(c.deg AS BIGINT) AS deg, n.n_vertices,
-         |  c.n_endpoints, c.sum_nbr_deg,
-         |  c.sum_nbr_deg * 10000 // c.n_endpoints AS avg_nbr_deg_bp
-         |FROM curve c JOIN npd n ON c.deg = n.deg
-         |ORDER BY deg""".stripMargin,
+    // op215b/op194b are the co-partitioned degree-attach spellings —
+    // shared oracles (the op176b rule)
+    "op215_assortativity" -> assortSql,
+    "op215b_assortativity_partitioned" -> assortSql,
     "op213_jaccard_recommend" ->
       s"""WITH li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -2818,54 +2908,8 @@ object SeqGraphQueries {
     // scalars cast to BIGINT — overflow would fail loud in the cast,
     // never silently wrap (the Spark side's bound note sits at the
     // operator)
-    "op194_triangles" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |small AS (SELECT l_orderkey FROM items GROUP BY 1
-        |          HAVING count(*) <= 7),
-        |it2 AS (SELECT i.* FROM items i JOIN small USING (l_orderkey)),
-        |pairs AS (
-        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
-        |  FROM it2 a JOIN it2 b USING (l_orderkey)
-        |  WHERE a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |und AS (SELECT p1, p2 FROM pairs
-        |        UNION ALL SELECT p2, p1 FROM pairs),
-        |deg AS (SELECT p1, CAST(count(*) AS BIGINT) AS deg
-        |        FROM und GROUP BY 1),
-        |keyed AS (
-        |  SELECT u.p1, u.p2,
-        |    d1.deg * 1000000000 + u.p1 AS k1,
-        |    d2.deg * 1000000000 + u.p2 AS k2
-        |  FROM und u JOIN deg d1 ON u.p1 = d1.p1
-        |  JOIN deg d2 ON u.p2 = d2.p1),
-        |oriented AS (
-        |  SELECT p1 AS src, p2 AS dst, k2 AS dk
-        |  FROM keyed WHERE k1 < k2),
-        |wedges AS (
-        |  SELECT e1.src, e1.dst AS v, e2.dst AS w
-        |  FROM oriented e1 JOIN oriented e2 USING (src)
-        |  WHERE e1.dk < e2.dk),
-        |tri AS (
-        |  SELECT count(*) AS n_triangles
-        |  FROM wedges t JOIN oriented o
-        |    ON t.v = o.src AND t.w = o.dst)
-        |SELECT
-        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
-        |  (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
-        |    AS n_wedges,
-        |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
-        |  CASE WHEN (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
-        |             FROM deg) = 0
-        |    THEN 0
-        |    -- wedge sum accumulates in HUGEINT (exact at any degree);
-        |    -- only the bounded ratio casts to BIGINT (fail-loud)
-        |    ELSE CAST(3 * t.n_triangles * 10000 //
-        |      (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS BIGINT) END
-        |    AS transitivity_bp
-        |FROM tri t
-        |ORDER BY n_vertices""".stripMargin,
+    "op194_triangles" -> trianglesSql,
+    "op194b_triangles_broadcast" -> trianglesSql,
     "op191_interval_coverage" ->
       """WITH iv AS (
         |  SELECT l_suppkey,
