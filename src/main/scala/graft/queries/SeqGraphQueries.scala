@@ -618,7 +618,8 @@ object SeqGraphQueries {
     * O(diameter). Returns (starEdges(u,v), rounds). Per-round cost is
     * two groupBy-min + two equi-joins on the vertex key (the op208
     * round shape, twice), localCheckpointed (op202 rule); the fixpoint
-    * test is one anti-join count per direction — O(1) driver data. */
+    * test is ONE tagged symmetric-difference count per round (O(1)
+    * driver data, one action — the op208/op293 probe rule). */
   private[graft] def starContract(
       canon0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     var edges = canon0.localCheckpoint()
@@ -637,9 +638,16 @@ object SeqGraphQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct().localCheckpoint()
-      val grew = ss.join(edges, Seq("u", "v"), "left_anti").count()
-      val shrunk = edges.join(ss, Seq("u", "v"), "left_anti").count()
-      done = grew == 0 && shrunk == 0
+      // fixpoint probe: ONE O(1)-result action per round (the
+      // op208/op293 rule — r12 ran two anti-join counts here). Both
+      // sides are canonical-distinct, so the symmetric difference is
+      // exactly the keys whose +1/−1 tags don't cancel: one union +
+      // one (u,v)-keyed aggregate + one count, vs two anti-join scans.
+      val diff = ss.select(col("u"), col("v"), lit(1L).as("t"))
+        .union(edges.select(col("u"), col("v"), lit(-1L).as("t")))
+        .groupBy(col("u"), col("v")).agg(sum("t").as("s"))
+        .where(col("s") =!= 0).count()
+      done = diff == 0
       edges = ss
       rounds += 1
     }
@@ -1581,8 +1589,13 @@ object SeqGraphQueries {
       .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
       .where(col("supp") >= 2)
       .select(col("p1"), col("p2"), expr("10000 div supp").as("w"))
+    // pin the |E| layout on the relax join's key: the groupBy above
+    // leaves hash(p1,p2), which does NOT satisfy the per-round join's
+    // hash(p1) — without this, all sspRounds re-shuffle the edge side
+    // (r12's +20% audit; with it, only the |V|-sized dist moves)
     val wund = wpairs.union(
         wpairs.select(col("p2"), col("p1"), col("w")))
+      .repartition(col("p1"))
       .localCheckpoint()
     var dist = wund.select(col("p1").as("v")).distinct()
       .where(col("v") % 97 === 0)
