@@ -161,7 +161,7 @@ object BenchStreaming {
     * as [[annProbeRowsPerSec]] — index build and warm-up drain outside
     * the timed region, budget served as four drains, median per-drain
     * rate. */
-  private def graphProbeRowsPerSec(spark: SparkSession,
+  private[graft] def graphProbeRowsPerSec(spark: SparkSession,
       sfDir: String, hnsw: Boolean): Double = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

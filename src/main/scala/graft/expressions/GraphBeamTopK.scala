@@ -58,6 +58,9 @@ case class GraphBeamTopK(qId: Expression, qVec: Expression,
   override def second: Expression = qVec
   override def third: Expression = qN2
 
+  // Fibonacci-hash multiplier (2³²/φ as a signed int) for the memo probe
+  private val GOLD: Int = 0x9E3779B9L.toInt
+
   private val entryType = StructType(Seq(
     StructField("cos_bp", LongType, nullable = false),
     StructField("n_id", LongType, nullable = false)))
@@ -87,32 +90,101 @@ case class GraphBeamTopK(qId: Expression, qVec: Expression,
     var i = 0
     while (i < dim) { q(i) = qv.getLong(i); i += 1 }
     val qSqrt = math.sqrt(qn2.toDouble)
-    val memo = new java.util.HashMap[Long, Long]()
-    def score(id: Long): Long = {
-      if (memo.containsKey(id)) return memo.get(id)
-      val v = s.vecs(id.toInt)
-      if (v.length != dim)
-        throw new IllegalArgumentException(
-          s"graft_graph_beam: dimension mismatch ($dim vs ${v.length})")
-      val n2 = s.n2s(id.toInt)
-      val bp =
-        if (qn2 == 0L || n2 == 0L) 0L
-        else {
-          var dot = 0L
-          var d = 0
-          while (d < dim) { dot += q(d) * v(d); d += 1 }
-          math.floor(
-            dot.toDouble / (qSqrt * math.sqrt(n2.toDouble)) * 10000d).toLong
+    // per-walk score memo: open-addressing int→long (dense ids < 2³¹,
+    // asserted at shard load), no boxing — this eval runs once per
+    // QUERY ROW every micro-batch, so the constant factor is the
+    // serving leg's throughput (r12 verdict item 7: 846 rows/s with the
+    // boxed HashMap/sortBy spelling, the gap to IVF's 1346 was pure
+    // allocation). Capacity covers beam·(maxDeg+1)·(hops+1) candidates
+    // at load ≤ ½; grows by rehash if a fat walk exceeds it.
+    var mcap = 2048
+    var mmask = mcap - 1
+    var mkeys = new Array[Int](mcap)
+    var mvals = new Array[Long](mcap)
+    java.util.Arrays.fill(mkeys, -1)
+    var msize = 0
+    def rehash(): Unit = {
+      val ok = mkeys; val ov = mvals
+      mcap <<= 1; mmask = mcap - 1
+      mkeys = new Array[Int](mcap); mvals = new Array[Long](mcap)
+      java.util.Arrays.fill(mkeys, -1)
+      var j = 0
+      while (j < ok.length) {
+        val k = ok(j)
+        if (k >= 0) {
+          var h = (k * GOLD) & mmask
+          while (mkeys(h) >= 0) h = (h + 1) & mmask
+          mkeys(h) = k; mvals(h) = ov(j)
         }
-      memo.put(id, bp)
-      bp
+        j += 1
+      }
     }
-    // (cos_bp desc, id asc) keep-beam over a deduplicated candidate set
-    def topBeam(cands: Array[Long]): Array[Long] = {
-      val seen = new java.util.HashSet[Long]()
-      val kept = cands.filter(c => c != qid && seen.add(c))
-      kept.sortBy(c => (-score(c), c)).take(beam)
+    def score(id: Int): Long = {
+      var h = (id * GOLD) & mmask
+      while (true) {
+        val k = mkeys(h)
+        if (k == id) return mvals(h)
+        if (k < 0) {
+          val v = s.vecs(id)
+          if (v.length != dim)
+            throw new IllegalArgumentException(
+              s"graft_graph_beam: dimension mismatch ($dim vs ${v.length})")
+          val n2 = s.n2s(id)
+          val bp =
+            if (qn2 == 0L || n2 == 0L) 0L
+            else {
+              var dot = 0L
+              var d = 0
+              while (d < dim) { dot += q(d) * v(d); d += 1 }
+              math.floor(
+                dot.toDouble / (qSqrt * math.sqrt(n2.toDouble)) * 10000d).toLong
+            }
+          mkeys(h) = id; mvals(h) = bp; msize += 1
+          if (msize * 2 > mcap) rehash()
+          return bp
+        }
+        h = (h + 1) & mmask
+      }
+      0L // unreachable
     }
+    // (cos_bp desc, id asc) keep-beam over a deduplicated candidate set,
+    // spelled as ONE primitive sort: pack (10000 − cos_bp) ≤ 20000 into
+    // the high 32 bits and the id into the low 32, so ascending packed
+    // order IS (cos_bp desc, id asc); duplicate ids pack identically
+    // (the score memo is pure) and collapse on the adjacent-skip. Same
+    // total order as the old sortBy-tuples spelling — scores are
+    // bit-identical, only allocation changes.
+    def keepTop(cands: Array[Int], cnt: Int, keep: Int, out: Array[Int],
+        scoreOf: Int => Long, dropId: Int => Boolean): Int = {
+      val packed = new Array[Long](cnt)
+      var m = 0
+      var j = 0
+      while (j < cnt) {
+        val c = cands(j)
+        if (!dropId(c))
+          { packed(m) = ((10000L - scoreOf(c)) << 32) | c.toLong; m += 1 }
+        j += 1
+      }
+      java.util.Arrays.sort(packed, 0, m)
+      var k = 0; var prev = Long.MinValue
+      j = 0
+      while (j < m && k < keep) {
+        val p = packed(j)
+        if (p != prev) { out(k) = (p & 0xffffffffL).toInt; k += 1; prev = p }
+        j += 1
+      }
+      k
+    }
+    // reusable candidate buffer: current beam ∪ its out-neighbors
+    var cand = new Array[Int](256)
+    var candLen = 0
+    def candAdd(v: Int): Unit = {
+      if (candLen == cand.length)
+        cand = java.util.Arrays.copyOf(cand, candLen << 1)
+      cand(candLen) = v; candLen += 1
+    }
+    val beamArr = new Array[Int](beam)
+    var beamLen = 0
     // entry set: the LCG permutation (flat NSW), or — when the shard
     // carries an HNSW upper layer — a short beam walk over it, seeded
     // by the LCG permutation over the DENSE upper ranks; both are
@@ -120,40 +192,72 @@ case class GraphBeamTopK(qId: Expression, qVec: Expression,
     // hnswSearch). The upper walk's state is dense l_ids; scoring and
     // self-drop go through upperOrig, and the (cos_bp desc, id asc)
     // tiebreak is the same in either space because the dense re-rank
-    // is monotone in original id.
-    val entries: Array[Long] =
-      if (upperHops <= 0 || s.upperOrig.isEmpty)
-        Array.tabulate(beam)(j =>
-          Math.floorMod(qid * 48271L + (j + 1) * 1299721L, n.toLong))
-      else {
-        val nU = s.upperOrig.length
-        def topBeamUpper(cands: Array[Long]): Array[Long] = {
-          val seen = new java.util.HashSet[Long]()
-          val kept = cands.filter(c =>
-            s.upperOrig(c.toInt) != qid && seen.add(c))
-          kept.sortBy(c => (-score(s.upperOrig(c.toInt)),
-            s.upperOrig(c.toInt))).take(upperBeam)
-        }
-        var ub = topBeamUpper(Array.tabulate(upperBeam)(j =>
-          Math.floorMod(qid * 48271L + (j + 1) * 1299721L, nU.toLong)))
-        var uh = 0
-        while (uh < upperHops) {
-          ub = topBeamUpper(ub ++ ub.flatMap(c => s.upperAdj(c.toInt)))
-          uh += 1
-        }
-        ub.map(c => s.upperOrig(c.toInt))
+    // is monotone in original id (so packing the l_id gives the same
+    // order the original-id tiebreak did).
+    if (upperHops <= 0 || s.upperOrig.isEmpty) {
+      candLen = 0
+      var j = 0
+      while (j < beam) {
+        candAdd(Math.floorMod(qid * 48271L + (j + 1) * 1299721L, n.toLong).toInt)
+        j += 1
       }
-    var b = topBeam(entries)
+      beamLen = keepTop(cand, candLen, beam, beamArr,
+        score, c => c.toLong == qid)
+    } else {
+      val nU = s.upperOrig.length
+      val upArr = new Array[Int](upperBeam)
+      var upLen = 0
+      val upScore: Int => Long = l => score(s.upperOrig(l).toInt)
+      val upDrop: Int => Boolean = l => s.upperOrig(l) == qid
+      candLen = 0
+      var j = 0
+      while (j < upperBeam) {
+        candAdd(Math.floorMod(qid * 48271L + (j + 1) * 1299721L, nU.toLong).toInt)
+        j += 1
+      }
+      upLen = keepTop(cand, candLen, upperBeam, upArr, upScore, upDrop)
+      var uh = 0
+      while (uh < upperHops) {
+        candLen = 0
+        var a = 0
+        while (a < upLen) { candAdd(upArr(a)); a += 1 }
+        a = 0
+        while (a < upLen) {
+          val nb = s.upperAdj(upArr(a))
+          var x = 0
+          while (x < nb.length) { candAdd(nb(x).toInt); x += 1 }
+          a += 1
+        }
+        upLen = keepTop(cand, candLen, upperBeam, upArr, upScore, upDrop)
+        uh += 1
+      }
+      candLen = 0
+      j = 0
+      while (j < upLen) { candAdd(s.upperOrig(upArr(j)).toInt); j += 1 }
+      beamLen = keepTop(cand, candLen, beam, beamArr,
+        score, c => c.toLong == qid)
+    }
     var h = 0
     while (h < hops) {
-      b = topBeam(b ++ b.flatMap(c => s.adj(c.toInt)))
+      candLen = 0
+      var a = 0
+      while (a < beamLen) { candAdd(beamArr(a)); a += 1 }
+      a = 0
+      while (a < beamLen) {
+        val nb = s.adj(beamArr(a))
+        var x = 0
+        while (x < nb.length) { candAdd(nb(x).toInt); x += 1 }
+        a += 1
+      }
+      beamLen = keepTop(cand, candLen, beam, beamArr,
+        score, c => c.toLong == qid)
       h += 1
     }
-    val kept = math.min(kOut, b.length)
+    val kept = math.min(kOut, beamLen)
     val out = new Array[Any](kept)
     i = 0
     while (i < kept) {
-      out(i) = InternalRow(score(b(i)), b(i))
+      out(i) = InternalRow(score(beamArr(i)), beamArr(i).toLong)
       i += 1
     }
     new GenericArrayData(out)
