@@ -515,29 +515,37 @@ object AnnQueries {
     * escalate the step to DECIMAL(38) (the op268 rule). Emits (dim,
     * pc1, second_moment): the dominant direction in the final x scale
     * plus the per-dimension diagonal mass. */
-  val op303PcaPower: Q = (s, d) => {
-    val q = Tables.embeddings(s, d)
+  /** The quantize-at-10³ Gram of an embedding frame: (i, j, c) with
+    * c = Σ_v q(v,i)·q(v,j) — op303's corpus-sized stage, factored so
+    * op305 builds it for the pinned reference slice too. Bounds:
+    * |qv·qw| ≤ 10⁶ per element ⇒ the gram sum stays inside BIGINT
+    * until N ≈ 9·10¹² — never the binding constraint; the power step
+    * binds first (op303's scaladoc argument). */
+  private def pcaGram(emb: DataFrame): DataFrame = {
+    val q = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast("bigint").as("i"),
         floor(col("col").cast("double") * lit(1000d))
           .cast("bigint").as("qv"))
-    val gram = q
-      .join(q.select(col("vec_id"), col("i").as("j"),
+    q.join(q.select(col("vec_id"), col("i").as("j"),
         col("qv").as("qw")), "vec_id")
-      // bounds: |qv·qw| ≤ 10⁶ per element ⇒ the gram sum stays inside
-      // BIGINT until N ≈ 9·10¹² — never the binding constraint; the
-      // power step below binds first (scaladoc argument)
       .groupBy(col("i"), col("j")).agg(sum(col("qv") * col("qw")).as("c"))
-      .localCheckpoint()
-    // runtime overflow gate (see scaladoc): the power step is safe iff
-    // max_i Σ_j |gram(i,j)| ≤ Long.Max / max|x|; the naive worst case
-    // 64·N·10⁶·2·10⁶ crosses BIGINT near N ≈ 7.2·10⁴, so the check is
-    // a 1-row scalar folded into the first step's lineage, not a
-    // comment. g = 0 on the safe path — values untouched.
+  }
+
+  /** op303's guarded 3-step integer power iteration over a
+    * (i, j, c) gram table (pass it checkpointed — each step re-reads
+    * it). Returns (i, x), the dominant direction in the final ~10⁶
+    * scale. The runtime overflow gate: the power step is safe iff
+    * max_i Σ_j |gram(i,j)| ≤ Long.Max / max|x|; the naive worst case
+    * 64·N·10⁶·2·10⁶ crosses BIGINT near N ≈ 7.2·10⁴, so the check is
+    * a 1-row scalar folded into the first step's lineage, not a
+    * comment. g = 0 on the safe path — values untouched. */
+  private def powerIterate(s: SparkSession, gram: DataFrame,
+      tag: String): DataFrame = {
     val guard = gram.groupBy(col("i")).agg(sum(abs(col("c"))).as("rs"))
       .agg(max(col("rs")).as("mrs"))
       .select(when(col("mrs") > lit(Long.MaxValue / 2000000L),
-        raise_error(concat(lit("op303: gram row mass "), col("mrs"),
+        raise_error(concat(lit(s"$tag: gram row mass "), col("mrs"),
           lit(" overflows the BIGINT power step — re-quantize coarser " +
             "or escalate to DECIMAL(38)"))).cast("bigint"))
         .otherwise(lit(0L)).as("g"))
@@ -556,6 +564,12 @@ object AnnQueries {
             .otherwise(expr("y div s")).as("x"))
         .localCheckpoint()
     }
+    x
+  }
+
+  val op303PcaPower: Q = (s, d) => {
+    val gram = pcaGram(Tables.embeddings(s, d)).localCheckpoint()
+    val x = powerIterate(s, gram, "op303")
     ordered(
       x.join(gram.filter(col("i") === col("j"))
           .select(col("i"), col("c").as("second_moment")), "i")
@@ -580,23 +594,80 @@ object AnnQueries {
     * (the gram ACCUMULATION is never the binding constraint; op303's
     * POWER STEP binds first at N ≈ 7.2·10⁴ and is runtime-gated
     * there). */
+  /** op304's stateless-then-stateful pipe: per arriving vector emit
+    * its d² quantized products via two chained posexplodes (no
+    * self-join — a stream cannot join itself), then groupBy(i, j)
+    * sums them (factored so op305 runs it on its filtered arrivals). */
+  private def streamedGram(st: DataFrame): DataFrame = {
+    val q3 = st.select(
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(1000d)).cast("bigint")).as("q3"))
+    q3.select(col("q3"), posexplode(col("q3")))
+      .select(col("q3"), col("pos").cast("bigint").as("i"),
+        col("col").as("qi"))
+      .select(col("i"), col("qi"), posexplode(col("q3")))
+      .select(col("i"), col("pos").cast("bigint").as("j"),
+        // bounds: |qi·qj| ≤ 10⁶ ⇒ the cell sum is BIGINT-safe to
+        // N ≈ 9·10¹² vectors (op303's scaladoc argument)
+        (col("qi") * col("col")).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("c"))
+  }
+
   val op304StreamGram: Q = (s, d) => {
     val drained = TrainQueries.drainStream(s, d, "op304", "embeddings",
-      "complete", "8") { st =>
-      val q3 = st.select(
-        transform(col("embedding"), x =>
-          floor(x.cast("double") * lit(1000d)).cast("bigint")).as("q3"))
-      q3.select(col("q3"), posexplode(col("q3")))
-        .select(col("q3"), col("pos").cast("bigint").as("i"),
-          col("col").as("qi"))
-        .select(col("i"), col("qi"), posexplode(col("q3")))
-        .select(col("i"), col("pos").cast("bigint").as("j"),
-          // bounds: |qi·qj| ≤ 10⁶ ⇒ the cell sum is BIGINT-safe to
-          // N ≈ 9·10¹² vectors (op303's scaladoc argument)
-          (col("qi") * col("col")).as("p"))
-        .groupBy(col("i"), col("j")).agg(sum(col("p")).as("c"))
-    }
+      "complete", "8")(streamedGram)
     ordered(drained.select(col("i"), col("j"), col("c")), "i", "j")
+  }
+
+  /** op305: STREAMING spectral drift — the serving half of the
+    * op303/op304 pair, the op193/op247 drift-gate shape applied to
+    * representation collapse: a PINNED reference slice (even vec_ids —
+    * by snapshot date in production) yields pc1_ref offline via
+    * op303's guarded power iteration; the CURRENT slice (odd vec_ids)
+    * ARRIVES online and folds into op304's maintained d²-cell Gram;
+    * per trigger the power step re-runs on the maintained state and
+    * the gate compares the two directions with the deterministic bp
+    * cosine, alerting when pc1 has rotated past the threshold
+    * (cos_bp < 9000 ⇒ drifted — an encoder upgrade or collapse moves
+    * the dominant direction long before scalar metrics react; the
+    * diagonal traces ride along for the dashboards). Integer Gram
+    * maintenance is exact (op304's argument), so the drained state
+    * equals the batch gram of the same slice bit for bit and the
+    * whole gate replays in the oracle. Dot bounds: |x| < 2·10⁶ per
+    * component ⇒ Σ₆₄ x_r·x_c ≤ 2.6·10¹⁴ — BIGINT-safe
+    * unconditionally.
+    *
+    * 100 TB shape: the reference leg is one offline gram (paid once
+    * per snapshot pin); the online leg's state is d² counters
+    * regardless of arrival volume; the power step + cosine run on
+    * d²-row metadata. Nothing downstream of the two grams is
+    * corpus-sized. */
+  val op305StreamSpectralDrift: Q = (s, d) => {
+    val ref = pcaGram(Tables.embeddings(s, d)
+      .where(col("vec_id") % 2 === 0)).localCheckpoint()
+    val cur = TrainQueries.drainStream(s, d, "op305", "embeddings",
+        "complete", "8") { st =>
+        streamedGram(st.where(col("vec_id") % 2 === 1))
+      }.localCheckpoint()
+    val xr = powerIterate(s, ref, "op305").select(col("i"), col("x").as("xr"))
+    val xc = powerIterate(s, cur, "op305").select(col("i"), col("x").as("xc"))
+    val tr = ref.filter(col("i") === col("j")).agg(sum("c").as("trace_ref"))
+    val tc = cur.filter(col("i") === col("j")).agg(sum("c").as("trace_cur"))
+    ordered(
+      xr.join(xc, "i")
+        .agg(sum(expr("xr * xc")).as("dot"),
+          sum(expr("xr * xr")).as("n2r"),
+          sum(expr("xc * xc")).as("n2c"))
+        .crossJoin(tr).crossJoin(tc)
+        .select(
+          Similarity.cosBpFrom(col("dot"), col("n2r"), col("n2c"))
+            .as("cos_bp"),
+          col("trace_ref"), col("trace_cur"))
+        .select(col("cos_bp"),
+          when(col("cos_bp") < 9000L, 1L).otherwise(0L).as("drifted"),
+          big(col("trace_ref")).as("trace_ref"),
+          big(col("trace_cur")).as("trace_cur")),
+      "cos_bp")
   }
 
   /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
@@ -1027,37 +1098,73 @@ object AnnQueries {
     * N ≲ 7.2·10⁴ (the power step's binding constraint — the Spark
     * side gates it at runtime; DuckDB sums in HUGEINT and the CAST
     * back errors on any wrap, so the oracle side self-checks). */
-  private def pcaPowerSql: String = {
+  /** The 3 unrolled power-iteration steps over `<pfx>gram` → `<pfx>x3`
+    * — the magnitude-division-plus-sign spelling keeps truncation
+    * direction engine-independent. Prefixed so op305 runs two
+    * independent chains (reference/current) in one statement. */
+  private def powerCtes(pfx: String): String = {
     val iters = (1 to 3).map { r =>
-      s"""y$r AS (SELECT g.i, CAST(sum(g.c * x.x) AS BIGINT) AS y
-         |  FROM gram g JOIN x${r - 1} x ON x.i = g.j GROUP BY 1),
-         |s$r AS (SELECT CAST(greatest(max(abs(y)) // 1000000, 1) AS BIGINT) AS s
-         |  FROM y$r),
-         |x$r AS MATERIALIZED (
+      s"""${pfx}y$r AS (SELECT g.i, CAST(sum(g.c * x.x) AS BIGINT) AS y
+         |  FROM ${pfx}gram g JOIN ${pfx}x${r - 1} x ON x.i = g.j GROUP BY 1),
+         |${pfx}s$r AS (SELECT CAST(greatest(max(abs(y)) // 1000000, 1) AS BIGINT) AS s
+         |  FROM ${pfx}y$r),
+         |${pfx}x$r AS MATERIALIZED (
          |  SELECT i, CAST(CASE WHEN y < 0 THEN -((-y) // s) ELSE y // s END
          |    AS BIGINT) AS x
-         |  FROM y$r CROSS JOIN s$r)""".stripMargin
+         |  FROM ${pfx}y$r CROSS JOIN ${pfx}s$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $gramCtes,
-      |x0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS x
+    s"""${pfx}x0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS x
       |       FROM range(64) t(i)),
-      |$iters
+      |$iters""".stripMargin
+  }
+
+  /** op303's DuckDB replay body (see [[powerCtes]]/[[gramCtesFor]]). */
+  private def pcaPowerSql: String =
+    s"""WITH $gramCtes,
+      |${powerCtes("")}
       |SELECT x.i AS dim, CAST(x.x AS BIGINT) AS pc1, g.c AS second_moment
       |FROM x3 x JOIN gram g ON g.i = x.i AND g.j = x.i
       |ORDER BY dim""".stripMargin
-  }
 
-  /** The quantize-at-10³ + Gram CTEs op303 and op304 share (bounds:
+  /** The quantize-at-10³ + Gram CTEs op303/op304/op305 share, emitted
+    * as `<pfx>q`/`<pfx>gram` over the `whereSql` slice (bounds:
     * |qv·qw| ≤ 10⁶ per element, so the sum fits BIGINT at fixture
     * scale — op303's scaladoc carries the full argument). */
-  private val gramCtes: String =
-    s"""q AS MATERIALIZED (
+  private def gramCtesFor(pfx: String, whereSql: String): String =
+    s"""${pfx}q AS MATERIALIZED (
       |  SELECT vec_id, t.i,
       |         CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
-      |  FROM embeddings, range(64) t(i)),
-      |gram AS MATERIALIZED (
+      |  FROM embeddings, range(64) t(i) WHERE $whereSql),
+      |${pfx}gram AS MATERIALIZED (
       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS c
-      |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2)""".stripMargin
+      |  FROM ${pfx}q a JOIN ${pfx}q b ON a.vec_id = b.vec_id GROUP BY 1, 2)""".stripMargin
+
+  private def gramCtes: String = gramCtesFor("", "TRUE")
+
+  /** op305's oracle: both grams replayed over their slices, both
+    * power chains unrolled, then the bp cosine + threshold gate —
+    * clause for clause the Spark query (the streamed gram ≡ the batch
+    * gram of the odd slice is op304's exactness argument). */
+  private def spectralDriftSql: String =
+    s"""WITH ${gramCtesFor("r", "vec_id % 2 = 0")},
+      |${powerCtes("r")},
+      |${gramCtesFor("c", "vec_id % 2 = 1")},
+      |${powerCtes("c")},
+      |dt AS (SELECT CAST(sum(a.x * b.x) AS BIGINT) AS dot,
+      |              CAST(sum(a.x * a.x) AS BIGINT) AS n2r,
+      |              CAST(sum(b.x * b.x) AS BIGINT) AS n2c
+      |       FROM rx3 a JOIN cx3 b ON b.i = a.i),
+      |cs AS (SELECT CASE WHEN n2r = 0 OR n2c = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(floor(CAST(dot AS DOUBLE)
+      |           / (sqrt(CAST(n2r AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+      |           * 10000) AS BIGINT) END AS cos_bp FROM dt),
+      |tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace_ref FROM rgram WHERE i = j),
+      |tc AS (SELECT CAST(sum(c) AS BIGINT) AS trace_cur FROM cgram WHERE i = j)
+      |SELECT cos_bp,
+      |       CAST(CASE WHEN cos_bp < 9000 THEN 1 ELSE 0 END AS BIGINT) AS drifted,
+      |       trace_ref, trace_cur
+      |FROM cs CROSS JOIN tr CROSS JOIN tc
+      |ORDER BY cos_bp""".stripMargin
 
   /** op304's oracle: the maintained stream state must equal the batch
     * gram bit for bit — [[gramCtes]] emitted as cells. */
@@ -1401,7 +1508,8 @@ object AnnQueries {
     "op296_hnsw_ann" -> op296HnswAnn,
     "op297_stream_hnsw" -> op297StreamHnsw,
     "op303_pca_power" -> op303PcaPower,
-    "op304_stream_gram" -> op304StreamGram)
+    "op304_stream_gram" -> op304StreamGram,
+    "op305_stream_spectral_drift" -> op305StreamSpectralDrift)
 
   private val baseOracle: Map[String, String] = Map(
     "op83_pq_ann" -> {
@@ -1551,5 +1659,6 @@ object AnnQueries {
       mod = 8, upK = 8, upRounds = 2, upCapR = 8, upBeam = 8, upHops = 2,
       beam = 12, hops = 2, kOut = 8),
     "op303_pca_power" -> pcaPowerSql,
-    "op304_stream_gram" -> streamGramSql)
+    "op304_stream_gram" -> streamGramSql,
+    "op305_stream_spectral_drift" -> spectralDriftSql)
 }

@@ -715,6 +715,44 @@ class SimilaritySpec extends SparkSpec {
       "streamed diagonal must equal the batch second moment")
   }
 
+  test("op305: spectral drift gate fires on a rotated slice, stays quiet on none") {
+    import spark.implicits._
+    // synthetic corpus with a CONTROLLED dominant direction per parity:
+    // the gate must alert when the arriving (odd) slice's pc1 has
+    // rotated away from the pinned (even) reference, and must stay
+    // quiet when both halves share the direction exactly (cos = 10⁴)
+    def vec(main: Int, leak: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == main) 1.0f
+        else if (i == leak) 0.1f else 0.0f)
+    def writeFixture(odd: Seq[Float]): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_op305_spec_").toString
+      // the real fixtures are single parquet FILES (the streaming file
+      // source in drainStream lists a symlink to them) — reduce the
+      // Spark output dir to one and move it into place
+      (0L until 16L).map(id =>
+          (id, if (id % 2 == 0) vec(0, 1) else odd))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$dir/stage")
+      val part = new java.io.File(s"$dir/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+      dir
+    }
+    val rotated = graft.queries.AnnQueries
+      .op305StreamSpectralDrift(spark, writeFixture(vec(1, 0))).collect()
+    assert(rotated.length == 1)
+    assert(rotated(0).getLong(1) == 1L,
+      s"orthogonal-ish pc1 must flag drifted: ${rotated(0)}")
+    assert(rotated(0).getLong(0) < 9000L,
+      s"rotated cos_bp must sit under the threshold: ${rotated(0)}")
+    val same = graft.queries.AnnQueries
+      .op305StreamSpectralDrift(spark, writeFixture(vec(0, 1))).collect()
+    assert(same(0).getLong(0) == 10000L && same(0).getLong(1) == 0L,
+      s"identical halves must score cos_bp 10000, undrifted: ${same(0)}")
+  }
+
   test("streaming HNSW walk is bit-identical to the batch two-layer search") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files
