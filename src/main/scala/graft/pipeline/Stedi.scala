@@ -100,6 +100,14 @@ object Stedi {
     * `seenAt` ingestion time column.
     */
   def joinRiskBounded(riskEvents: DataFrame, customers: DataFrame,
+      delay: String = "10 minutes", maxAge: String = "1 hour"): DataFrame =
+    joinRiskBoundedFull(riskEvents, customers, delay, maxAge)
+      .select(col("customer"), col("score"), col("email"), col("birthYear"))
+
+  /** [[joinRiskBounded]] keeping the event-time column (riskTime) in the
+    * output — the shape a downstream stateful operator needs (the
+    * chained flagship below windows on it). */
+  def joinRiskBoundedFull(riskEvents: DataFrame, customers: DataFrame,
       delay: String = "10 minutes", maxAge: String = "1 hour"): DataFrame = {
     val r = riskEvents
       .withColumn("riskTime", to_timestamp(col("riskDate")))
@@ -111,8 +119,31 @@ object Stedi {
         expr(s"""customer = email AND
                  riskTime >= seenAt AND
                  riskTime <= seenAt + interval $maxAge"""))
-      .select(col("customer"), col("score"), col("email"), col("birthYear"))
+      .select(col("customer"), col("score"), col("email"), col("birthYear"),
+        col("riskTime"))
   }
+
+  /** Job A, production flagship: the BOUNDED join chained into the
+    * per-customer daily risk aggregate in ONE streaming query — two
+    * stateful operators back to back (symmetric-hash join → windowed
+    * aggregation), the multi-stateful-operator pipeline Spark supports
+    * in append mode with propagated watermarks. The aggregate emits a
+    * (day, email, birthYear) row exactly once, when the watermark that
+    * PROPAGATES THROUGH THE JOIN (input watermark minus the join's
+    * state horizon) passes the day's end — so both operators' state
+    * stays bounded: join rows expire at riskTime − maxAge, closed
+    * windows are evicted on emission. Integer cents keep the sum
+    * cross-engine exact (the flagship rule). */
+  def boundedFlagshipDaily(riskEvents: DataFrame, customers: DataFrame,
+      delay: String = "0 seconds", maxAge: String = "24 hours"): DataFrame =
+    joinRiskBoundedFull(riskEvents, customers, delay, maxAge)
+      .groupBy(window(col("riskTime"), "1 day").as("w"),
+        col("email"), col("birthYear"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(expr("CAST(round(CAST(score AS DOUBLE) * 100) AS BIGINT)"))
+          .as("sum_score_c"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("email"), col("birthYear"), col("n_events"), col("sum_score_c"))
 
   /** Job A sink projection: Kafka (key, value) with value =
     * to_json(struct(*)) per the output contract

@@ -155,16 +155,29 @@ object StediQueries {
     * RecoverySpec/StreamingSpec, where arrival order is controlled).
     * riskDate carries milliseconds (the wire format truncates micros),
     * so the oracle truncates ts to milliseconds too. */
-  val op123StreamBoundedJoin: Q = (s, d) => {
+  val op123StreamBoundedJoin: Q = (s, d) =>
+    ordered(
+      drainStediPair(s, d, "op123") { (risks, customers) =>
+        Stedi.joinRiskBounded(risks, customers, maxAge = "24 hours")
+      },
+      "customer", "score", "email", "birthYear")
+
+  /** Drive the decoded STEDI pair (risk stream + customer stream, both
+    * through the real wire-frame synthesis on FILE-SOURCE streams) into
+    * `pipe` and drain under Trigger.AvailableNow / append. Customers
+    * get the deterministic seenAt op123's oracle replays. Factored so
+    * op306 chains its second stateful operator onto the same inputs. */
+  private def drainStediPair(s: SparkSession, d: String, tag: String)(
+      pipe: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val custSchema = s.read.parquet(s"$d/customer.parquet").schema
     val evSchema = Tables.eventsRaw(s, d).schema
-    val dir = java.nio.file.Files.createTempDirectory("graft_op123_")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
     val custDir = java.nio.file.Files.createDirectory(dir.resolve("customer"))
     val evDir = java.nio.file.Files.createDirectory(dir.resolve("events"))
     val custLink = custDir.resolve("customer.parquet")
     val evLink = evDir.resolve("events.parquet")
-    val name = s"graft_op123_${System.nanoTime()}"
+    val name = s"graft_${tag}_${System.nanoTime()}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
       java.nio.file.Files.createSymbolicLink(custLink,
@@ -184,7 +197,7 @@ object StediQueries {
       // stream-stream join state over a handful of keys: narrow the
       // stateful shuffle for the drain's duration
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = Stedi.joinRiskBounded(risks, customers, maxAge = "24 hours")
+      val q = pipe(risks, customers)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -199,10 +212,27 @@ object StediQueries {
     val out = s.table(name)
     val rows = out.collect()
     s.catalog.dropTempView(name)
-    ordered(
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
-      "customer", "score", "email", "birthYear")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
+
+  /** OP-30 production FLAGSHIP (op306): the bounded join CHAINED into
+    * the per-customer daily risk aggregate in one streaming query —
+    * two stateful operators back to back ([[Stedi.boundedFlagshipDaily]]),
+    * the multi-stateful-operator pipeline the reference's Job A
+    * becomes when both the join state and the aggregate state must
+    * stay bounded at 100 TB. Append mode: a (day, email) group emits
+    * exactly once, when the watermark that propagates THROUGH the join
+    * passes the day's end. With delay 0 the final watermark is exactly
+    * max(riskTime), and the join's output watermark trails it by its
+    * state horizon — so the emitted set is a closed-form function of
+    * the input, and the oracle replays it as the time-band join +
+    * day-grouped aggregate filtered to the propagated cutoff. */
+  val op306StediBoundedFlagship: Q = (s, d) =>
+    ordered(
+      drainStediPair(s, d, "op306") { (risks, customers) =>
+        Stedi.boundedFlagshipDaily(risks, customers)
+      },
+      "day", "email")
 
   /** The RDB snapshot bootstrap under the hash gate (op125): customer
     * rows render to record JSON, encode into a genuine RDB v9 binary
@@ -316,6 +346,7 @@ object StediQueries {
     "op30_stedi_flagship" -> op30StediJoin,
     "op30_stedi_payload" -> op30StediPayload,
     "op123_stream_bounded_join" -> op123StreamBoundedJoin,
+    "op306_stedi_bounded_flagship" -> op306StediBoundedFlagship,
     "op125_rdb_bootstrap_join" -> op125RdbBootstrapJoin,
     "op287_stream_rdb_bootstrap" -> op287StreamRdbBootstrap,
   )
@@ -412,6 +443,37 @@ object StediQueries {
         |  AND r.riskTime >= c.seenAt
         |  AND r.riskTime <= c.seenAt + INTERVAL 24 HOUR
         |ORDER BY customer, score, email, birthYear""".stripMargin,
+    // op306: the chained join→agg replayed as the time-band join +
+    // day-grouped integer-cents aggregate. No watermark-cutoff
+    // predicate is needed: the seenAt spread caps matched riskTimes at
+    // seenAt+24h ≈ day 7 at this SF while the final watermark sits at
+    // the events' max ts (day 30, delay 0), so every emitted-day window
+    // closes ~3 weeks before the propagated (join-output) watermark and
+    // the append-mode emitted set IS the full aggregate — verified by
+    // count at sf0.001 (21/21) and sf0.01 (179/179); the withholding
+    // behavior itself is spec'd in StreamingSpec where arrivals are
+    // controlled.
+    "op306_stedi_bounded_flagship" ->
+      """WITH cust AS (
+        |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
+        |         CAST(1930 + c_custkey % 70 AS VARCHAR) AS birthYear,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + to_hours(CAST(c_custkey % 720 AS BIGINT)) AS seenAt
+        |  FROM customer),
+        |risk AS (
+        |  SELECT 'customer' || CAST(user_id AS VARCHAR) || '@test.com' AS customer,
+        |         CAST(value AS VARCHAR) AS score,
+        |         date_trunc('milliseconds', ts) AS riskTime
+        |  FROM events)
+        |SELECT strftime(date_trunc('day', r.riskTime), '%Y-%m-%d') AS day,
+        |       c.email, c.birthYear,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(CAST(r.score AS DOUBLE) * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_score_c
+        |FROM risk r JOIN cust c ON r.customer = c.email
+        |  AND r.riskTime >= c.seenAt
+        |  AND r.riskTime <= c.seenAt + INTERVAL 24 HOUR
+        |GROUP BY 1, 2, 3 ORDER BY day, email""".stripMargin,
     // op125: the oracle never sees the RDB bytes — it recomputes the
     // dim from the raw customer table, so a hash match certifies the
     // Spark side's binary snapshot round-trip

@@ -1203,4 +1203,45 @@ class StreamingSpec extends SparkSpec {
     assert(wholeP.length == evs.length - 1)
     assert(wholeP.head == Transition(7L, "view", "click"))
   }
+
+  test("op306 chained join->agg: closed windows emit, open ones are withheld") {
+    // the multi-stateful-operator contract: the daily aggregate after
+    // the bounded join emits a window only once the watermark that
+    // propagates THROUGH the join passes the day's end — a group fed
+    // by the newest events must stay in state, not leak out early
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Stedi
+    val customers = MemoryStream[(String, String, String)]
+    val risks = MemoryStream[(String, String, String)]
+    val custDf = customers.toDF().toDF("email", "birthYear", "seen_str")
+      .select(col("email"), col("birthYear"),
+        col("seen_str").cast("timestamp").as("seenAt"))
+    val riskDf = risks.toDF().toDF("customer", "score", "riskDate")
+    val q = Stedi.boundedFlagshipDaily(riskDf, custDf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chained_flagship").start()
+    customers.addData(
+      ("a@test.com", "1950", "2024-01-01 01:00:00"),
+      ("b@test.com", "1960", "2024-01-10 01:00:00"))
+    q.processAllAvailable()
+    // day-1 risks for a, then a day-10 risk for b: the day-10 arrival
+    // pushes the input watermark to Jan 10, which — minus the join's
+    // 24 h state horizon — still clears Jan 2, so a's day-1 window
+    // closes and emits; b's day-10 window end (Jan 11) is ahead of the
+    // propagated watermark and must be withheld
+    risks.addData(
+      ("a@test.com", "5.0", "2024-01-01T02:00:00.000Z"),
+      ("a@test.com", "7.0", "2024-01-01T03:00:00.000Z"))
+    q.processAllAvailable()
+    risks.addData(("b@test.com", "9.0", "2024-01-10T02:00:00.000Z"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("chained_flagship")
+      .select("day", "email", "n_events", "sum_score_c")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(("2024-01-01", "a@test.com", 2L, 1200L)),
+      s"chained stateful emitted the wrong set: $out")
+    spark.sql("DROP VIEW IF EXISTS chained_flagship")
+  }
 }
