@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.SeqGraphQueries.defs ++
     graft.queries.WarehouseQueries.defs ++
     graft.queries.MonitorQueries.defs ++
-    graft.queries.EngineQueries.defs
+    graft.queries.EngineQueries.defs ++
+    graft.queries.WebQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -42,5 +43,6 @@ object SparkEntry {
     graft.queries.SeqGraphQueries.oracle ++
     graft.queries.WarehouseQueries.oracle ++
     graft.queries.MonitorQueries.oracle ++
-    graft.queries.EngineQueries.oracle
+    graft.queries.EngineQueries.oracle ++
+    graft.queries.WebQueries.oracle
 }

@@ -519,7 +519,10 @@ object SeqGraphQueries {
       col("v") === col("v2") && col("w") === col("w2"))
     val nV = deg.agg(count(lit(1)).as("n_vertices"))
     val nE = pairs.agg(count(lit(1)).as("n_edges"))
-    // open+closed wedge total Σ deg·(deg−1)/2 for global transitivity
+    // open+closed wedge total Σ deg·(deg−1)/2 for global transitivity.
+    // bounds: the sum is ≤ |E|·d_max — fits BIGINT while |E|·d_max
+    // < 9·10¹⁸ (any fixture by orders of magnitude); a 10¹²-edge web
+    // graph escalates THIS aggregate to DECIMAL(38) (the op268 rule)
     val nW = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     val nT = triangles.agg(count(lit(1)).as("n_triangles"))
     ordered(

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKAgg, Urls}
+import graft.sources.Tables
+import Det.{big, ordered}
+
+/** Web-curation pack — the crawl-side stage of a pretraining pipeline
+  * (the RefinedWeb/CCNet steps that run BEFORE any text model sees a
+  * byte): URL canonicalization + URL-level exact dedup (op307),
+  * per-registered-domain document caps (op308), and the streaming
+  * per-domain admission quota at the ingest edge (op309).
+  *
+  * The fixtures carry no URL column, so each query synthesizes one
+  * deterministically from doc_id — deliberately collision-rich
+  * (www/port/tracking-param/case variants of the same logical page)
+  * and identically spelled in the DuckDB oracles, the email-synthesis
+  * pattern the STEDI pack uses.
+  */
+object WebQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The synthesized raw URL: scheme-default port on even ids, `www.`
+    * on multiples of 3, an uppercase host label on multiples of 7,
+    * and tracking parameters whose spelling and position vary by
+    * parity — so canonicalization has real work to do, and distinct
+    * raw URLs collapse onto (host mod 13/5, path mod 7, id mod 5)
+    * canonical groups. */
+  private def urlOf: Column = concat(
+    lit("https://"),
+    when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("Site")).otherwise(lit("site")),
+    (col("doc_id") % 13).cast("string"),
+    lit(".example"), (col("doc_id") % 5).cast("string"), lit(".com"),
+    when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+    lit("/p/"), (col("doc_id") % 7).cast("string"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("?utm_source=feed"), (col("doc_id") % 9).cast("string"),
+        lit("&id="), (col("doc_id") % 5).cast("string"), lit("&ref=rss")))
+      .otherwise(
+        concat(lit("?id="), (col("doc_id") % 5).cast("string"),
+          lit("&utm_campaign=c"), (col("doc_id") % 4).cast("string"))))
+
+  /** The same synthesis as a DuckDB CTE (`u(doc_id, url)`). NOTE: no
+    * continuation line in these CTE strings may START with "||" — the
+    * outer oracle strings re-run stripMargin over the interpolated
+    * text, which would eat one pipe of the operator. */
+  private val urlCte: String =
+    """u AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN 'Site' ELSE 'site' END ||
+      |    CAST(doc_id % 13 AS VARCHAR) ||
+      |    '.example' || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      |    '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '?utm_source=feed' || CAST(doc_id % 9 AS VARCHAR) ||
+      |           '&id=' || CAST(doc_id % 5 AS VARCHAR) || '&ref=rss'
+      |      ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR) ||
+      |           '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR)
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
+  /** [[Urls.canonicalize]]'s DuckDB twin over CTE `u` →
+    * `c(doc_id, url_canon)`. */
+  private val canonCte: String =
+    """c AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+      |      ':(443|80)$', ''), '^www\.', '') ||
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) ||
+      |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+      |  FROM (
+      |    SELECT doc_id, url,
+      |      array_to_string(list_sort(list_filter(
+      |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |        p -> NOT (p LIKE 'utm\_%' ESCAPE '\' OR p LIKE 'ref=%'
+      |                  OR p LIKE 'fbclid=%' OR p = ''))), '&') AS q
+      |    FROM u))""".stripMargin
+
+  /** Registered-domain CTE over `u` → `h(doc_id, domain)`. */
+  private val domainCte: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    regexp_extract(
+      |      regexp_replace(regexp_replace(
+      |        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+      |        ':(443|80)$', ''), '^www\.', ''),
+      |      '([^.]+\.[^.]+)$', 1) AS domain
+      |  FROM u)""".stripMargin
+
+  /** op307: URL canonicalization + URL-level exact dedup — every
+    * document keyed by its canonical URL, clustered to the minimum
+    * doc_id (the crawl-dedup convention: the first fetch of a page is
+    * the survivor). The dedup join is keyed by the canonical string —
+    * at 100 TB this is THE url-dedup shuffle (one hash partitioning of
+    * (canon → min doc_id) with map-side combine on min, then one
+    * co-keyed attach); nothing touches the text column. */
+  val op307UrlCanonical: Q = (s, d) => {
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), urlOf.as("url"))
+      .select(col("doc_id"), Urls.canonicalize(col("url")).as("url_canon"))
+    val canon = c.groupBy("url_canon").agg(min("doc_id").as("canon_id"))
+    ordered(
+      c.join(canon, "url_canon")
+        .select(col("doc_id"), col("url_canon"),
+          big(col("canon_id")).as("canon_id"),
+          when(col("doc_id") =!= col("canon_id"), 1L).otherwise(0L)
+            .as("is_dup")),
+      "doc_id")
+  }
+
+  /** op308: per-registered-domain document cap — keep at most 40
+    * documents per domain, selected by a deterministic hash priority
+    * (a uniform within-domain sample, the RefinedWeb head-domain
+    * guard: no single site may dominate the corpus). Selection runs
+    * through the bounded [[TopKAgg]], so at most k rows per (domain,
+    * input partition) cross the shuffle — the window-rank spelling the
+    * oracle uses would per-domain-sort the whole corpus and put each
+    * mega-domain on one reducer (the op158/op186/op250 argument); the
+    * declared equivalence is TopKAgg's exact (score desc, id asc) =
+    * (priority asc, doc_id asc) order. Priority: doc_id·48271 mod
+    * 104729 (prime > any fixture doc count ⇒ collision-free here;
+    * the doc_id tiebreak covers larger corpora). */
+  val op308DomainCaps: Q = (s, d) => {
+    val dom = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("domain"),
+        ((col("doc_id") * 48271L) % 104729L).as("pr"))
+    ordered(
+      dom.groupBy("domain")
+        .agg(TopKAgg.topK(40)(-col("pr"), col("doc_id")).as("top"))
+        .select(col("domain"), posexplode(col("top")))
+        .select(col("domain"), big(col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id")),
+      "domain", "rank")
+  }
+
+  /** op309: STREAMING per-domain admission quota — documents arrive at
+    * the ingest edge and at most 25 per registered domain are admitted
+    * across the run ([[graft.streaming.DomainQuota]]: one Long counter
+    * per domain as the whole state, RocksDB-backed). The fixture
+    * drains in one batch where admission order is the deterministic
+    * doc_id rule, so the oracle replays it as a per-domain doc_id
+    * rank; cross-trigger quota depletion (the part a single-batch
+    * drain can't show) is pinned in StreamingSpec with controlled
+    * arrivals. */
+  val op309StreamDomainQuota: Q = (s, d) => {
+    import graft.streaming.{DomainQuota, StateStores}
+    val admitted = StateStores.withRocksDb(s) {
+      TrainQueries.drainStream(s, d, "op309", "documents", "append", "8") {
+        st =>
+          import st.sparkSession.implicits._
+          DomainQuota.admitted(
+            st.select(col("doc_id"),
+                Urls.registeredDomain(Urls.canonicalHost(urlOf))
+                  .as("domain"))
+              .as[DomainQuota.DocArrival],
+            k = 25L).toDF()
+      }
+    }
+    ordered(
+      admitted.select(col("doc_id"), col("domain"),
+        big(col("admit_seq")).as("admit_seq")),
+      "doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "op307_url_canonical" -> op307UrlCanonical,
+    "op308_domain_caps" -> op308DomainCaps,
+    "op309_stream_domain_quota" -> op309StreamDomainQuota)
+
+  val oracle: Map[String, String] = Map(
+    "op307_url_canonical" ->
+      s"""WITH $urlCte,
+        |$canonCte
+        |SELECT a.doc_id, a.url_canon,
+        |       CAST(m.canon_id AS BIGINT) AS canon_id,
+        |       CAST(CASE WHEN a.doc_id <> m.canon_id THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_dup
+        |FROM c a JOIN (SELECT url_canon, min(doc_id) AS canon_id
+        |               FROM c GROUP BY 1) m USING (url_canon)
+        |ORDER BY doc_id""".stripMargin,
+    "op308_domain_caps" ->
+      s"""WITH $urlCte,
+        |$domainCte
+        |SELECT domain, rank, doc_id FROM (
+        |  SELECT domain, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY domain
+        |           ORDER BY (doc_id * 48271) % 104729, doc_id) AS BIGINT)
+        |           AS rank
+        |  FROM h)
+        |WHERE rank <= 40 ORDER BY domain, rank""".stripMargin,
+    "op309_stream_domain_quota" ->
+      s"""WITH $urlCte,
+        |$domainCte
+        |SELECT doc_id, domain, rn AS admit_seq FROM (
+        |  SELECT doc_id, domain,
+        |         CAST(row_number() OVER (PARTITION BY domain
+        |           ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM h)
+        |WHERE rn <= 25 ORDER BY doc_id""".stripMargin)
+}

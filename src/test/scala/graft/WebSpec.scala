@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.functions.Urls
+import graft.streaming.{DomainQuota, StateStores}
+
+/** Web-curation primitives: URL canonicalization semantics and the
+  * streaming domain-quota's cross-trigger state contract. */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("url canonicalization: ports, www, case, tracking params, param order") {
+    val cases = Seq(
+      // default port + www + tracking params stripped, params sorted
+      ("https://www.Site3.Example.COM:443/a/b?utm_source=x&b=2&a=1#frag",
+        "https://site3.example.com/a/b?a=1&b=2"),
+      // non-default port KEPT (only 443/80 are scheme defaults)
+      ("https://host.example.com:8443/p?id=1",
+        "https://host.example.com:8443/p?id=1"),
+      // ref/fbclid dropped; empty query after filtering -> no '?'
+      ("https://h.example.com/p?ref=rss&fbclid=abc&utm_campaign=c",
+        "https://h.example.com/p"),
+      // no query at all
+      ("https://h.example.com/p", "https://h.example.com/p"),
+      // www only stripped as a PREFIX label
+      ("https://notwww.example.com/", "https://notwww.example.com/"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Urls.canonicalize(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      s"canonicalization mismatch:\n${got.zip(cases.map(_._2)).mkString("\n")}")
+  }
+
+  test("registered domain: last two labels of the canonical host") {
+    val got = Seq("https://a.b.news.example.com/x", "https://example.com/")
+      .toDF("url")
+      .select(Urls.registeredDomain(Urls.canonicalHost(col("url"))))
+      .as[String].collect().toSeq
+    assert(got == Seq("example.com", "example.com"))
+  }
+
+  test("op309 domain quota depletes ACROSS triggers (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    StateStores.withRocksDb(spark) {
+      val arrivals = in.toDF().toDF("doc_id", "domain")
+        .as[DomainQuota.DocArrival]
+      val q = DomainQuota.admitted(arrivals, k = 2L)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("quota_out").start()
+      // trigger 1: three a.com docs -> quota 2 admits the two smallest
+      // doc_ids (the deterministic within-trigger rule)
+      in.addData((5L, "a.com"), (3L, "a.com"), (9L, "a.com"))
+      q.processAllAvailable()
+      // trigger 2: a.com is EXHAUSTED (state must persist across the
+      // trigger), b.com starts fresh
+      in.addData((1L, "a.com"), (7L, "b.com"))
+      q.processAllAvailable()
+      q.stop()
+    }
+    val out = spark.table("quota_out")
+      .select("doc_id", "domain", "admit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(out == Seq((3L, "a.com", 1L), (5L, "a.com", 2L),
+      (7L, "b.com", 1L)),
+      s"quota state leaked or reset across triggers: $out")
+    spark.sql("DROP VIEW IF EXISTS quota_out")
+  }
+}
