@@ -699,7 +699,62 @@ object TrainQueries {
       "rank")
   }
 
+  /** op312: fill-in-the-middle transform (Bavarian et al.'s FIM, the
+    * PSM spelling) — the code/infilling pretraining transform: for a
+    * content-hash-gated ~50% of documents with ≥ 3 tokens, split the
+    * token stream into equal thirds and re-emit
+    * `<PRE>prefix<SUF>suffix<MID>middle`; everything else passes
+    * through unchanged. The gate hashes CONTENT (the op79/op88 rule:
+    * resilient to re-partitioning and doc_id reassignment), and the
+    * split point is a pure function of the token count — so the whole
+    * transform is one map-only projection, replayed exactly by the
+    * oracle. 100 TB shape: no shuffle, no state; cost ∝ corpus bytes. */
+  val op312FimTransform: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("bigint")
+    val gate = (TextOps.md5Hash60(concat(lit("fim:"), col("text"))) % 10 < 5)
+      .and(n >= 3)
+    val p = (n / 3).cast("int")
+    val fim = concat(
+      lit("<PRE>"), array_join(slice(toks, lit(1), p), " "),
+      lit("<SUF>"), array_join(slice(toks, (p * 2 + 1), (n - p * 2).cast("int")), " "),
+      lit("<MID>"), array_join(slice(toks, p + 1, p), " "))
+    ordered(
+      Tables.documents(s, d).select(col("doc_id"),
+        when(gate, 1L).otherwise(0L).as("fim_applied"),
+        n.as("n_tokens"),
+        when(gate, fim).otherwise(col("text")).as("out_text")),
+      "doc_id")
+  }
+
+  /** op313: chat-template rendering + loss-mask span — the SFT-side
+    * formatting step: each document becomes a (system, user,
+    * assistant) exchange (first 10 tokens as the user turn, remainder
+    * as the assistant turn), rendered through a fixed chat template,
+    * with the (start, length) character span of the assistant content
+    * emitted alongside — the span a trainer masks everything OUTSIDE
+    * of (assistant-only loss). Pure string arithmetic on both
+    * engines; map-only, no shuffle. */
+  val op313ChatTemplate: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val usr = array_join(slice(toks, lit(1), least(n, lit(10))), " ")
+    val asst = when(n > 10,
+      array_join(slice(toks, lit(11), n - 10), " ")).otherwise(lit(""))
+    val rendered = concat(
+      lit("<|system|>\nYou are a helpful assistant.\n<|user|>\n"), usr,
+      lit("\n<|assistant|>\n"), asst)
+    ordered(
+      Tables.documents(s, d).select(col("doc_id"),
+        rendered.as("rendered"),
+        big(length(rendered) - length(asst) + 1).as("mask_start"),
+        big(length(asst)).as("mask_len")),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "op312_fim_transform" -> op312FimTransform,
+    "op313_chat_template" -> op313ChatTemplate,
     "op87_pack_sequences" -> op87PackSequences,
     "op88_mixture" -> op88Mixture,
     "op89_mixture_cutoff" -> op89MixtureCutoff,
@@ -1057,6 +1112,46 @@ object TrainQueries {
     * results, and therefore the oracles, identical to their end-to-end
     * build-per-run twins. */
   val oracle: Map[String, String] = baseOracle ++ Map(
+    "op312_fim_transform" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tk,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |         CASE WHEN CAST(('0x' || substring(md5('fim:' || text), 1, 15))
+        |                    AS BIGINT) % 10 < 5
+        |               AND len(string_split(text, ' ')) >= 3
+        |              THEN 1 ELSE 0 END AS fim_applied
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, tk, n, fim_applied, n // 3 AS p FROM t)
+        |SELECT doc_id, CAST(fim_applied AS BIGINT) AS fim_applied,
+        |       n AS n_tokens,
+        |       CASE WHEN fim_applied = 1 THEN
+        |         '<PRE>' || array_to_string(tk[1:p], ' ') ||
+        |         '<SUF>' || array_to_string(tk[2*p+1:n], ' ') ||
+        |         '<MID>' || array_to_string(tk[p+1:2*p], ' ')
+        |       ELSE text END AS out_text
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "op313_chat_template" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         array_to_string(tk[1:least(n, 10)], ' ') AS usr,
+        |         CASE WHEN n > 10 THEN array_to_string(tk[11:n], ' ')
+        |              ELSE '' END AS asst
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id,
+        |         '<|system|>' || chr(10) || 'You are a helpful assistant.' ||
+        |         chr(10) || '<|user|>' || chr(10) || usr || chr(10) ||
+        |         '<|assistant|>' || chr(10) || asst AS rendered,
+        |         asst
+        |  FROM s)
+        |SELECT doc_id, rendered,
+        |       CAST(length(rendered) - length(asst) + 1 AS BIGINT) AS mask_start,
+        |       CAST(length(asst) AS BIGINT) AS mask_len
+        |FROM r ORDER BY doc_id""".stripMargin,
     "op239_dsir_importance" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -84,7 +84,7 @@ object WebQueries {
       |                  OR p LIKE 'fbclid=%' OR p = ''))), '&') AS q
       |    FROM u))""".stripMargin
 
-  /** Registered-domain CTE over `u` → `h(doc_id, domain)`. */
+  /** Registered-domain + path CTE over `u` → `h(doc_id, domain, path)`. */
   private val domainCte: String =
     """h AS (
       |  SELECT doc_id,
@@ -92,7 +92,9 @@ object WebQueries {
       |      regexp_replace(regexp_replace(
       |        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
       |        ':(443|80)$', ''), '^www\.', ''),
-      |      '([^.]+\.[^.]+)$', 1) AS domain
+      |      '([^.]+\.[^.]+)$', 1) AS domain,
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+      |      AS path
       |  FROM u)""".stripMargin
 
   /** op307: URL canonicalization + URL-level exact dedup — every
@@ -171,10 +173,76 @@ object WebQueries {
       "doc_id")
   }
 
+  /** op310: HTML → text extraction ([[graft.functions.Html]]) — the
+    * crawl stage between WARC bytes and every text op in the engine:
+    * script/style subtrees removed wholesale, tags stripped, entities
+    * decoded (&amp; last), whitespace collapsed. The fixture wraps each
+    * document's text in a deterministic page (title/style/script head,
+    * entity-bearing headline and footer, a tag-wrapped body token) so
+    * the extractor has every rule to exercise; the oracle replays the
+    * same wrap + extraction. 100 TB shape: one map-only projection —
+    * no shuffle, no UDF; extraction cost scales with page bytes and
+    * nothing else. */
+  val op310HtmlExtract: Q = (s, d) => {
+    import graft.functions.Html
+    val html = concat(
+      lit("<html><head><title>t"), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style><script>var x="),
+      col("doc_id").cast("string"), lit(";</script></head><body><h1>Doc &amp; "),
+      col("doc_id").cast("string"), lit("</h1><p>"),
+      call_function("replace", col("text"), lit("the"), lit("<b>the</b>")),
+      lit("</p><div>tail &lt;"), col("doc_id").cast("string"),
+      lit("&gt;&nbsp;end</div></body></html>"))
+    ordered(
+      Tables.documents(s, d)
+        .select(col("doc_id"), Html.extract(html).as("body_text"))
+        .select(col("doc_id"), col("body_text"),
+          big(length(col("body_text"))).as("n_chars")),
+      "doc_id")
+  }
+
+  /** op311: robots-rules gate — Google-style longest-match evaluation
+    * of per-domain allow/disallow path prefixes (the crawl-side access
+    * gate that decides which URLs exist for the pipeline at all). The
+    * synthesized ruleset disallows `/p/` per domain and re-allows one
+    * subtree (`/p/K` for domain K), so the longest-match + allow-wins
+    * tiebreak both carry weight. Decision = ONE lexicographic max over
+    * (prefix length, is_allow) per URL; unmatched URLs default to
+    * allowed. 100 TB shape: rules are per-domain metadata — the join
+    * is domain-keyed (co-partitioned with the URL table's natural
+    * bucketing; broadcast only while the ruleset is dimension-sized),
+    * and the aggregate is map-combinable. */
+  val op311RobotsGate: Q = (s, d) => {
+    val base = s.range(5).select(
+      concat(lit("example"), col("id").cast("string"), lit(".com"))
+        .as("r_domain"),
+      col("id").cast("string").as("k"))
+    val rules = base
+      .select(col("r_domain"), lit("disallow").as("rule"),
+        lit("/p/").as("prefix"))
+      .union(base.select(col("r_domain"), lit("allow").as("rule"),
+        concat(lit("/p/"), col("k")).as("prefix")))
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("domain"),
+      Urls.pathOf(urlOf).as("path"))
+    ordered(
+      docs.join(rules,
+          col("domain") === col("r_domain") &&
+            col("path").startsWith(col("prefix")), "left")
+        .groupBy(col("doc_id"), col("domain"), col("path"))
+        .agg(max(struct(length(col("prefix")).as("l"),
+          when(col("rule") === "allow", 1L).otherwise(0L).as("a"))).as("m"))
+        .select(col("doc_id"), col("domain"), col("path"),
+          big(coalesce(col("m.a"), lit(1L))).as("allowed")),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
-    "op309_stream_domain_quota" -> op309StreamDomainQuota)
+    "op309_stream_domain_quota" -> op309StreamDomainQuota,
+    "op310_html_extract" -> op310HtmlExtract,
+    "op311_robots_gate" -> op311RobotsGate)
 
   val oracle: Map[String, String] = Map(
     "op307_url_canonical" ->
@@ -205,5 +273,56 @@ object WebQueries {
         |         CAST(row_number() OVER (PARTITION BY domain
         |           ORDER BY doc_id) AS BIGINT) AS rn
         |  FROM h)
-        |WHERE rn <= 25 ORDER BY doc_id""".stripMargin)
+        |WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
+    // op310: the same page wrap + extraction chain, RE2-spelled
+    // (script/style removed as two separate non-greedy patterns — RE2
+    // has no backreferences; 'g' flag — DuckDB replaces first-only by
+    // default where Spark replaces all)
+    "op310_html_extract" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p{color:red}</style><script>var x=' ||
+        |    CAST(doc_id AS VARCHAR) || ';</script></head><body><h1>Doc &amp; ' ||
+        |    CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+        |    replace(text, 'the', '<b>the</b>') ||
+        |    '</p><div>tail &lt;' || CAST(doc_id AS VARCHAR) ||
+        |    '&gt;&nbsp;end</div></body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(html,
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS body_text
+        |  FROM pg)
+        |SELECT doc_id, body_text,
+        |       CAST(length(body_text) AS BIGINT) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "op311_robots_gate" ->
+      s"""WITH $urlCte,
+        |$domainCte,
+        |r AS (
+        |  SELECT 'example' || CAST(t.i AS VARCHAR) || '.com' AS r_domain,
+        |         'disallow' AS rule, '/p/' AS prefix
+        |  FROM range(5) t(i)
+        |  UNION ALL
+        |  SELECT 'example' || CAST(t.i AS VARCHAR) || '.com',
+        |         'allow', '/p/' || CAST(t.i AS VARCHAR)
+        |  FROM range(5) t(i))
+        |SELECT doc_id, domain, path,
+        |       CAST(coalesce(m.a, 1) AS BIGINT) AS allowed
+        |FROM (
+        |  SELECT d.doc_id, d.domain, d.path,
+        |         max(struct_pack(l := length(r.prefix),
+        |           a := CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END)) AS m
+        |  FROM h d LEFT JOIN r ON r.r_domain = d.domain
+        |    AND d.path LIKE r.prefix || '%'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -40,6 +40,50 @@ class WebSpec extends SparkSpec {
     assert(got == Seq("example.com", "example.com"))
   }
 
+  test("html extraction: script/style content never leaks, entities decode in order") {
+    import graft.functions.Html
+    val got = Seq(
+      "<body><script>var SECRET=1;</script><p>a&amp;lt;b</p><style>.x{}</style>c</body>")
+      .toDF("h").select(Html.extract(col("h"))).as[String].collect()(0)
+    // &amp;lt; decodes to the LITERAL '&lt;' (amp last), never to '<'
+    assert(got == "a&lt;b c", s"got '$got'")
+    assert(!got.contains("SECRET") && !got.contains(".x{}"))
+  }
+
+  test("op312 FIM: applied rows reassemble to the original token stream") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.TrainQueries.op312FimTransform(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val orig = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L),
+      "the hash gate must split the fixture both ways")
+    rows.foreach { case (id, applied, _, out) =>
+      if (applied == 1L) {
+        val m = "<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+        out match {
+          case m(pre, suf, mid) =>
+            assert(s"$pre $mid $suf" == orig(id),
+              s"doc $id does not reassemble")
+          case _ => fail(s"doc $id: malformed FIM output '$out'")
+        }
+      } else assert(out == orig(id), s"doc $id modified without gate")
+    }
+  }
+
+  test("op313 mask span extracts exactly the assistant content") {
+    val rows = graft.queries.TrainQueries
+      .op313ChatTemplate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (rendered, start, len) =>
+      val span = rendered.substring((start - 1).toInt, (start - 1 + len).toInt)
+      val after = rendered.substring(rendered.indexOf("<|assistant|>\n") + 14)
+      assert(span == after, s"mask span '$span' != assistant '$after'")
+    }
+  }
+
   test("op309 domain quota depletes ACROSS triggers (RocksDB state)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
