@@ -670,6 +670,40 @@ object AnnQueries {
       "cos_bp")
   }
 
+  /** op314: embedding kNN-classifier eval — leave-one-out majority
+    * vote over the exact top-5 neighbors for a 64-query sample: the
+    * standard probe of whether an embedding space SEPARATES its
+    * labels (linear-probe-lite; the eval that catches an encoder
+    * regression before any downstream model does). Neighbors come
+    * from the op67 brute scorer (quantized integer cosine — the
+    * hash-exact ground truth), the vote through [[ModeAgg]] (most
+    * frequent label, ties to the smallest — exactly the oracle's
+    * (count desc, label asc) pick).
+    *
+    * 100 TB shape: the op110 recall protocol — ground truth over a
+    * SMALL query sample × corpus; a deployment swaps the brute leg
+    * for any served ANN leg (op69/op83/op290…) and keeps the same
+    * k-bounded vote + join, which never touch corpus-sized state. */
+  val op314KnnClassify: Q = (s, d) => {
+    import graft.functions.ModeAgg
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 64)
+    val voted = Similarity.bruteForceTopK(queries, emb, 5)
+      .join(emb.select(col("vec_id").as("n_id"),
+        col("label").cast("bigint").as("n_label")), "n_id")
+      .groupBy("q_id").agg(ModeAgg.mode(col("n_label")).as("m"))
+    ordered(
+      queries.select(col("vec_id").as("q_id"),
+          col("label").cast("bigint").as("true_label"))
+        .join(voted, "q_id")
+        .select(col("q_id"), col("true_label"),
+          big(col("m.value")).as("pred_label"),
+          big(col("m.votes")).as("votes"),
+          when(col("m.value") === col("true_label"), 1L).otherwise(0L)
+            .as("correct")),
+      "q_id")
+  }
+
   /** op237: Matryoshka (truncated-dimension) retrieval eval — recall@5
     * of brute-force search over the FIRST 16 of 64 dims against the
     * full-dim exact top-5. MRL-style nested embeddings are trained so
@@ -1509,7 +1543,8 @@ object AnnQueries {
     "op297_stream_hnsw" -> op297StreamHnsw,
     "op303_pca_power" -> op303PcaPower,
     "op304_stream_gram" -> op304StreamGram,
-    "op305_stream_spectral_drift" -> op305StreamSpectralDrift)
+    "op305_stream_spectral_drift" -> op305StreamSpectralDrift,
+    "op314_knn_classify" -> op314KnnClassify)
 
   private val baseOracle: Map[String, String] = Map(
     "op83_pq_ann" -> {
@@ -1660,5 +1695,42 @@ object AnnQueries {
       beam = 12, hops = 2, kOut = 8),
     "op303_pca_power" -> pcaPowerSql,
     "op304_stream_gram" -> streamGramSql,
-    "op305_stream_spectral_drift" -> spectralDriftSql)
+    "op305_stream_spectral_drift" -> spectralDriftSql,
+    // op314: the op67 brute CTEs widened to the 64-query sample, then
+    // the (count desc, label asc) vote — ModeAgg's exact tie rule
+    "op314_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         [CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |          FOR i IN range(64)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(list_sum([v[i+1] * v[i+1] FOR i IN range(64)]) AS DOUBLE) AS n2
+        |      FROM q),
+        |scored AS (
+        |  SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
+        |         CASE WHEN qs.n2 = 0 OR cs.n2 = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(floor(CAST(list_sum([qs.v[i+1] * cs.v[i+1] FOR i IN range(64)]) AS DOUBLE)
+        |                   / (sqrt(qs.n2) * sqrt(cs.n2)) * 10000) AS BIGINT) END AS cos_bp
+        |  FROM n qs, n cs WHERE qs.vec_id < 64 AND qs.vec_id <> cs.vec_id),
+        |top5 AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+        |    FROM scored) WHERE rank <= 5),
+        |votes AS (
+        |  SELECT t.q_id, CAST(e.label AS BIGINT) AS n_label, count(*) AS c
+        |  FROM top5 t JOIN embeddings e ON e.vec_id = t.n_id
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT q_id, n_label AS pred_label, c AS votes FROM (
+        |    SELECT q_id, n_label, c,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_label) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT e.vec_id AS q_id, CAST(e.label AS BIGINT) AS true_label,
+        |       CAST(p.pred_label AS BIGINT) AS pred_label,
+        |       CAST(p.votes AS BIGINT) AS votes,
+        |       CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id
+        |ORDER BY q_id""".stripMargin)
 }

@@ -715,6 +715,33 @@ class SimilaritySpec extends SparkSpec {
       "streamed diagonal must equal the batch second moment")
   }
 
+  test("op314: kNN vote classifies a cleanly clustered space perfectly") {
+    import spark.implicits._
+    // two well-separated label clusters: every leave-one-out top-5
+    // neighborhood is same-label, so the majority vote must score
+    // accuracy 1.0 — the eval's sanity floor
+    def v(axis: Int, wiggle: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == axis) 1.0f
+        else if (i == (axis + 1 + wiggle) % 64) 0.01f * (wiggle + 1) else 0.0f)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_op314_spec_").toString
+    (0L until 20L).map(id =>
+        (id, v(if (id % 2 == 0) 0 else 32, (id % 5).toInt),
+          (id % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val rows = graft.queries.AnnQueries.op314KnnClassify(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    assert(rows.length == 20)
+    assert(rows.forall { case (q, t, p, c) => p == t && c == 1L },
+      s"clustered space must classify perfectly: ${rows.filter(_._4 == 0L).toSeq}")
+  }
+
   test("op305: spectral drift gate fires on a rotated slice, stays quiet on none") {
     import spark.implicits._
     // synthetic corpus with a CONTROLLED dominant direction per parity:
