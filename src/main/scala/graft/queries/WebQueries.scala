@@ -237,12 +237,47 @@ object WebQueries {
       "doc_id")
   }
 
+  /** op315: the streaming URL ADMISSION CONTROLLER — op307's URL dedup
+    * and op309's domain quota composed into ONE stateful operator at
+    * the ingest edge: a document is admitted iff its canonical URL was
+    * never admitted before AND its domain's quota (25) has room. The
+    * state per domain is the admitted-canonical list — AT MOST k
+    * strings, because only admissions grow it (re-arrivals of admitted
+    * URLs hit the set; re-arrivals of rejected ones hit the full
+    * counter): the naive "seen URL" set grows with the crawl, this one
+    * is bounded by the quota by construction. Single-batch drain +
+    * the deterministic doc_id order make the sequential admission
+    * replayable as first-occurrence-per-canonical → per-domain rank;
+    * cross-trigger behavior (set persistence, no double-admit) is
+    * spec'd with controlled arrivals. */
+  val op315StreamUrlAdmission: Q = (s, d) => {
+    import graft.streaming.{DomainQuota, StateStores}
+    val admitted = StateStores.withRocksDb(s) {
+      TrainQueries.drainStream(s, d, "op315", "documents", "append", "8") {
+        st =>
+          import st.sparkSession.implicits._
+          DomainQuota.urlAdmitted(
+            st.select(col("doc_id"),
+                Urls.registeredDomain(Urls.canonicalHost(urlOf))
+                  .as("domain"),
+                Urls.canonicalize(urlOf).as("url_canon"))
+              .as[DomainQuota.UrlArrival],
+            k = 25L).toDF()
+      }
+    }
+    ordered(
+      admitted.select(col("doc_id"), col("domain"), col("url_canon"),
+        big(col("admit_seq")).as("admit_seq")),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
     "op309_stream_domain_quota" -> op309StreamDomainQuota,
     "op310_html_extract" -> op310HtmlExtract,
-    "op311_robots_gate" -> op311RobotsGate)
+    "op311_robots_gate" -> op311RobotsGate,
+    "op315_stream_url_admission" -> op315StreamUrlAdmission)
 
   val oracle: Map[String, String] = Map(
     "op307_url_canonical" ->
@@ -304,6 +339,23 @@ object WebQueries {
         |SELECT doc_id, body_text,
         |       CAST(length(body_text) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,
+    // op315: sequential admission ≡ first-occurrence-per-canonical
+    // (min doc_id) then per-domain doc_id rank ≤ k — the equivalence
+    // holds because non-first rows never consume quota
+    "op315_stream_url_admission" ->
+      s"""WITH $urlCte,
+        |$domainCte,
+        |$canonCte,
+        |f AS (
+        |  SELECT h.doc_id, h.domain, c.url_canon FROM h JOIN c USING (doc_id)
+        |  QUALIFY row_number() OVER (PARTITION BY h.domain, c.url_canon
+        |    ORDER BY h.doc_id) = 1)
+        |SELECT doc_id, domain, url_canon, rn AS admit_seq FROM (
+        |  SELECT doc_id, domain, url_canon,
+        |         CAST(row_number() OVER (PARTITION BY domain
+        |           ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM f)
+        |WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     "op311_robots_gate" ->
       s"""WITH $urlCte,
         |$domainCte,

@@ -58,4 +58,50 @@ object DomainQuota {
       .transformWithState(new QuotaProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class UrlArrival(doc_id: Long, domain: String, url_canon: String)
+  case class UrlAdmitted(doc_id: Long, domain: String, url_canon: String,
+    admit_seq: Long)
+
+  /** URL-dedup + quota as ONE admission state (op315): a document is
+    * admitted iff its canonical URL has not been admitted before AND
+    * the domain's quota has room. The state is the ADMITTED canonical
+    * list per domain — at most k strings, because only admissions
+    * grow it: re-arrivals of admitted URLs hit the set, re-arrivals
+    * of quota-rejected URLs hit the full counter. Bounded state is
+    * the point — a naive "seen URL" dedup set grows with the crawl;
+    * this one stops at the quota by construction. */
+  class UrlQuotaProcessor(k: Long)
+      extends StatefulProcessor[String, UrlArrival, UrlAdmitted] {
+    @transient private var admittedUrls:
+      org.apache.spark.sql.streaming.ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admittedUrls = getHandle.getListState[String]("admitted_urls",
+        Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(domain: String, rows: Iterator[UrlArrival],
+        timerValues: TimerValues): Iterator[UrlAdmitted] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      if (admittedUrls.exists()) admittedUrls.get().foreach(seen += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[UrlAdmitted]
+      rows.toSeq.sortBy(_.doc_id).foreach { a =>
+        if (seen.size < k && !seen.contains(a.url_canon)) {
+          seen += a.url_canon
+          admittedUrls.appendValue(a.url_canon)
+          out += UrlAdmitted(a.doc_id, domain, a.url_canon, seen.size.toLong)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Append-mode stream of URL-level admissions (dedup + quota). */
+  def urlAdmitted(arrivals: Dataset[UrlArrival],
+      k: Long): Dataset[UrlAdmitted] = {
+    implicit val outEnc = Encoders.product[UrlAdmitted]
+    arrivals.groupByKey(_.domain)(Encoders.STRING)
+      .transformWithState(new UrlQuotaProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -84,6 +84,35 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("op315 URL admission: dedup + quota share one bounded state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    StateStores.withRocksDb(spark) {
+      val arrivals = in.toDF().toDF("doc_id", "domain", "url_canon")
+        .as[DomainQuota.UrlArrival]
+      val q = DomainQuota.urlAdmitted(arrivals, k = 2L)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("url_admit_out").start()
+      // trigger 1: X admitted (doc 1), X's dup (doc 2) dropped by the
+      // DEDUP half, Y admitted (doc 3) — quota now full
+      in.addData((1L, "a.com", "X"), (2L, "a.com", "X"), (3L, "a.com", "Y"))
+      q.processAllAvailable()
+      // trigger 2: X re-arrival must stay dropped (admitted set
+      // persisted), Z must be dropped by the QUOTA half, b.com fresh
+      in.addData((4L, "a.com", "X"), (5L, "a.com", "Z"), (6L, "b.com", "W"))
+      q.processAllAvailable()
+      q.stop()
+    }
+    val out = spark.table("url_admit_out")
+      .select("doc_id", "domain", "url_canon", "admit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sorted
+    assert(out == Seq((1L, "a.com", "X", 1L), (3L, "a.com", "Y", 2L),
+      (6L, "b.com", "W", 1L)),
+      s"admission state leaked, reset, or double-admitted: $out")
+    spark.sql("DROP VIEW IF EXISTS url_admit_out")
+  }
+
   test("op309 domain quota depletes ACROSS triggers (RocksDB state)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
