@@ -222,7 +222,7 @@ object BenchStreaming {
     * so pq/pq_flat is a clean pruning-speedup ratio. The flat leg gets
     * a smaller timed budget — it exists to anchor the ratio, not to
     * burn bench time scanning the whole store 2500 times. */
-  private def pqProbeRowsPerSec(spark: SparkSession, sfDir: String,
+  private[graft] def pqProbeRowsPerSec(spark: SparkSession, sfDir: String,
       pruned: Boolean): Double = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -21,9 +21,8 @@ object ScratchGraphBench {
     try {
       val reps = sys.env.getOrElse("SCRATCH_REPS", "2").toInt
       for (r <- 1 to reps) {
-        val g = BenchStreaming.graphProbeRowsPerSec(spark, sfDir, hnsw = false)
-        val h = BenchStreaming.graphProbeRowsPerSec(spark, sfDir, hnsw = true)
-        println(f"[scratch] rep $r graph_probe_rows_per_sec=$g%.1f hnsw_probe_rows_per_sec=$h%.1f")
+        val p = BenchStreaming.pqProbeRowsPerSec(spark, sfDir, pruned = true)
+        println(f"[scratch] rep $r pq_probe_rows_per_sec=$p%.1f")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.stop()

@@ -277,25 +277,22 @@ object StreamingAnn {
     * frame of (vec_id, embedding) query vectors — the composition that
     * closes the serving matrix's last unpruned path: [[pqAdcProbeStream]]
     * scans the ENTIRE packed-code store per micro-batch (that is what
-    * PQ-flat ADC is); here the per-row probe-cell choice from the
-    * inlined IVF centroid literals turns the candidate scan into a
-    * stream-static equi-join on cent_id against the PARTITIONED packed
-    * codes (nProbe/nCells of the store, pruned at scan time), and each
-    * candidate still costs only m LUT lookups. Both literal tables are
-    * bytes (nCells centroids + m×nCents codebook cells), collected once
-    * at stream build. No exact rerank in a stream: the online answer is
-    * the ADC ranking over the probed cells (score = −d2), and the batch
+    * PQ-flat ADC is); here the whole probe — per-row ADC LUT, the
+    * IvfCellProbe-identical cell choice, and the nProbe code-block
+    * scan at m LUT lookups per candidate — runs inside ONE map-side
+    * [[graft.expressions.PqShardTopK]] evaluation over the broadcast
+    * shard, feeding the single stateful TopKAgg (the r13 collapse of
+    * the former LUT-project → explode(cells) → stream-static
+    * join(codes_packed) pipeline, whose static join side re-executed
+    * every trigger — the [[graft.expressions.SqShardTopK]] recipe
+    * applied to the last join-based pruned leg). No exact rerank in a
+    * stream: the online answer is the ADC ranking over the probed
+    * cells (score = −d2), and the batch
     * [[graft.functions.Similarity.ivfPqProbe]] refines offline. */
   def ivfPqProbeStream(queryStream: DataFrame, dir: String, k: Int,
       nProbe: Int = 4): DataFrame = {
     val spark = queryStream.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
-      .toIndexedSeq
-    val (m, nCents, subDim, lutOf) = adcLut(spark, dir)
-
+    val shard = loadPqShard(spark, dir)
     // raw quantized vector drives the cell choice (the IVF metric);
     // the normalized vector drives the ADC LUT (the PQ metric) — both
     // are per-row projections over the same embedding
@@ -303,39 +300,62 @@ object StreamingAnn {
         Similarity.quantize(col("embedding")).as("q_vec"),
         Similarity.normalizedEmbedding(col("embedding")).as("nq_vec"))
       .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
-    val slices = q0.select(col("q_id") +: col("q_vec") +: col("q_n2") +:
-      (0 until m).map(j =>
-        slice(col("nq_vec"), j * subDim + 1, subDim).as(s"sv_$j")): _*)
-    val withS2 = slices.select(col("q_id"), col("q_vec"), col("q_n2"),
-      array((0 until m).map(j => col(s"sv_$j")): _*).as("svs"),
-      array((0 until m).map(j =>
-        Similarity.intDot(col(s"sv_$j"), col(s"sv_$j"))): _*).as("s2s"))
-    // nProbe best cells via the ~3-node IvfCellProbe expression (same
-    // (cos desc, cent_id asc) tiebreak as the former literal-struct
-    // ranking, bit-identical scores) — a streaming plan re-optimizes
-    // EVERY micro-batch, and the nCells-literal cosine tree this
-    // replaces was the same ~500-node per-batch planning tax the r11
-    // SQ8/IVF legs shed (see IvfCellProbe's scaladoc)
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val probes = ColumnBridge.column(graft.expressions.IvfCellProbe(
+    val topExpr = ColumnBridge.column(graft.expressions.PqShardTopK(
+      ColumnBridge.expression(col("q_id")),
       ColumnBridge.expression(col("q_vec")),
-      ColumnBridge.expression(col("q_n2")), cents, nProbe))
-    // LUT computed once per query row, THEN fanned out per probed cell
-    val qq = withS2.select(col("q_id"),
-      lutOf(col("svs"), col("s2s")).as("pd2"),
-      explode(probes).as("cent_id"))
-
-    val codes = spark.read.parquet(s"$dir/codes_packed")
-      .withColumn("cent_id", col("cent_id").cast("bigint"))
-    val d2 = (0 until m).map(j =>
-      element_at(col("pd2"),
-        lit(j * nCents) + element_at(col("codes"), j + 1).cast("int") + 1))
-      .reduce(_ + _)
-    qq.join(codes, "cent_id")
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), (-d2).as("neg_d2"))
+      ColumnBridge.expression(col("q_n2")),
+      ColumnBridge.expression(col("nq_vec")), shard, k, nProbe))
+    q0.select(col("q_id"), explode(topExpr).as("t"))
+      .select(col("q_id"), col("t.neg_d2").as("neg_d2"),
+        col("t.n_id").as("n_id"))
       .groupBy(col("q_id"))
       .agg(TopKAgg.topK(k)(col("neg_d2"), col("n_id")).as("top"))
+  }
+
+  /** Flatten the persisted IVF-PQ index (centroids + codebook +
+    * packed codes grouped by cell) into the [[graft.expressions.PqShard]]
+    * layout — the one-time stream-build load. */
+  private def loadPqShard(spark: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[graft.expressions.PqShard] = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    val cb = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub_j")),
+        r.getLong(r.fieldIndex("code"))) ->
+        ((r.getSeq[Long](r.fieldIndex("cent_vec")).toArray,
+          r.getLong(r.fieldIndex("cent_n2")))))
+      .toMap
+    val m = cb.keys.map(_._1).max + 1
+    val nCents = cb.keys.map(_._2).max.toInt + 1
+    val subDim = cb.values.head._1.length
+    val cbVecs = new Array[Array[Long]](m * nCents)
+    val cbN2s = new Array[Long](m * nCents)
+    for (j <- 0 until m; c <- 0 until nCents) {
+      val (v, n2) = cb((j, c.toLong))
+      cbVecs(j * nCents + c) = v
+      cbN2s(j * nCents + c) = n2
+    }
+    val blocks = spark.read.parquet(s"$dir/codes_packed")
+      .select(col("cent_id").cast("bigint"), col("n_id"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1)
+    val shard = graft.expressions.PqShard(
+      cents.map(_._1),
+      cents.map(_._2),
+      cents.map(_._3),
+      // block row order is irrelevant (every probed candidate is
+      // scored; the rank is (neg_d2, id)) but keep it byte-reproducible
+      cents.map(c => blocks.getOrElse(c._1, Array.empty).sortBy(_._2)
+        .map(_._2)),
+      cents.map(c => blocks.getOrElse(c._1, Array.empty).sortBy(_._2)
+        .map(_._3)),
+      cbVecs, cbN2s, m, nCents, subDim)
+    spark.sparkContext.broadcast(shard)
   }
 
   /** Shared ADC LUT for the PQ-scoring streaming legs: collects

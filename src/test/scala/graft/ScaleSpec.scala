@@ -331,28 +331,28 @@ class ScaleSpec extends SparkSpec {
       assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
         s"probed-cell set did not become a partition filter:\n$plan")
       assert(probe.collect().nonEmpty)
-      // streaming leg: drain one AvailableNow pass and inspect the last
-      // micro-batch's executed plan — the stream-static join on cent_id
-      // must prune the packed-code scan (runtime DPP or partition
-      // filter), not read all 16 partitions
+      // streaming leg (r13 shape): the whole probe is ONE PqShardTopK
+      // projection over the broadcast shard — the micro-batch plan must
+      // carry NO join and NO static file scan (the former stream-static
+      // join re-read the code store every trigger; the shard loads once
+      // at stream build, which is the SqShardTopK/GraphBeamTopK recipe)
       val in = MemoryStream[(Long, Seq[Float])]
       val stream = StreamingAnn.ivfPqProbeStream(
         in.toDF().toDF("vec_id", "embedding"), dir.toString, 5, nProbe = 4)
+      val joins = stream.queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.isEmpty, "IVF-PQ serving plan must be join-free")
+      assert(stream.queryExecution.analyzed.toString
+          .toLowerCase.contains("pqshardtopk"),
+        "expected the PqShardTopK expression in the serving plan")
       val q = stream.writeStream.outputMode("complete").format("memory")
         .queryName("ivfpq_probe_out").start()
       in.addData(queries.select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
       q.processAllAvailable()
-      val sw = new java.io.StringWriter
-      Console.withOut(new java.io.PrintStream(new java.io.OutputStream {
-        def write(b: Int): Unit = sw.write(b)
-      })) { q.explain() }
       q.stop()
-      val mbPlan = sw.toString
-      assert(
-        mbPlan.toLowerCase.contains("dynamicpruning") ||
-          "PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(mbPlan).isDefined,
-        s"streaming packed-code scan is not partition-pruned:\n$mbPlan")
+      assert(spark.table("ivfpq_probe_out").count() > 0)
       spark.sql("DROP VIEW IF EXISTS ivfpq_probe_out")
     } finally {
       import scala.reflect.io.Directory
@@ -405,10 +405,15 @@ class ScaleSpec extends SparkSpec {
       assert(viaAdc == viaIvfPq,
         "celled pqAdcProbeStream must equal the ivfpq leg bit-for-bit")
       assert(viaAdc.nonEmpty)
-      assert(
-        adcPlan.toLowerCase.contains("dynamicpruning") ||
-          "PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(adcPlan).isDefined,
-        s"celled pqAdcProbeStream micro-batch is not partition-pruned:\n$adcPlan")
+      // r13: the delegated leg is the join-free PqShardTopK projection
+      // (probed cells selected INSIDE the expression) — no join, no
+      // static scan in the micro-batch plan
+      assert(adcPlan.toLowerCase.contains("pqshardtopk"),
+        s"celled pqAdcProbeStream must delegate to the shard leg:\n$adcPlan")
+      assert(!adcPlan.toLowerCase.contains("sortmergejoin") &&
+          !adcPlan.toLowerCase.contains("broadcasthashjoin") &&
+          !adcPlan.toLowerCase.contains("shuffledhashjoin"),
+        s"celled pqAdcProbeStream micro-batch must be join-free:\n$adcPlan")
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit
