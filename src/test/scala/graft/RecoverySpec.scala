@@ -584,4 +584,47 @@ class RecoverySpec extends SparkSpec {
     // c@x never received an event: seeded state only, never emitted
     assert(!r2.exists(_._1 == "c@x"))
   }
+
+  test("op315 URL-admission ListState survives a checkpointed restart (RocksDB)") {
+    // the admitted-canonical LIST must restore from the RocksDB
+    // checkpoint: a restarted query may neither re-admit a URL admitted
+    // pre-restart (dedup half) nor admit past the restored count
+    // (quota half)
+    import graft.streaming.{DomainQuota, StateStores}
+    import graft.streaming.DomainQuota.{UrlArrival, UrlAdmitted}
+    val srcDir = Files.createTempDirectory("graft_urladm_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_urladm_ckpt_").toString
+    def write(rows: Seq[UrlArrival]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[(Long, String, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[UrlArrival].schema)
+          .parquet(srcDir.getAbsolutePath).as[UrlArrival]
+        val q = DomainQuota.urlAdmitted(in, k = 2L).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[UrlAdmitted], _: Long) =>
+              buf ++= batch.collect().map(a =>
+                (a.doc_id, a.url_canon, a.admit_seq)); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq.sorted
+    }
+    write(Seq(UrlArrival(1L, "a.com", "X")))
+    assert(runOnce() == Seq((1L, "X", 1L)))
+    // restart: X re-arrival must stay suppressed against the RESTORED
+    // list; Y fills the last quota slot; Z must be quota-rejected
+    // against the restored count, not a reset one
+    write(Seq(UrlArrival(2L, "a.com", "X"), UrlArrival(3L, "a.com", "Y"),
+      UrlArrival(4L, "a.com", "Z")))
+    val r2 = runOnce()
+    assert(r2 == Seq((3L, "Y", 2L)),
+      s"restart lost or reset the admission ListState: $r2")
+  }
 }
