@@ -444,4 +444,38 @@ class PropertySpec extends SparkSpec {
         (ppm(-1L) == 0L) :| "absent leg must contribute 0"
     })
   }
+
+  test("property: URL canonicalization is idempotent (sampled batch)") {
+    // canonicalize(canonicalize(u)) == canonicalize(u): every rule
+    // (port strip, www strip, lowercase, tracking-param drop, param
+    // sort) must leave an already-canonical URL untouched — the
+    // invariant that makes a canonical-URL store safe to re-ingest
+    import graft.functions.Urls
+    val seed = org.scalacheck.rng.Seed(1313L)
+    val hostGen = for {
+      www <- Gen.oneOf("", "www.", "WWW.")
+      name <- Gen.oneOf("site", "Site", "a-b", "x9")
+      n <- Gen.chooseNum(0, 99)
+      tld <- Gen.oneOf("com", "org")
+      port <- Gen.oneOf("", ":443", ":80", ":8443")
+    } yield s"$www$name$n.example.$tld$port"
+    val urlGen = for {
+      host <- hostGen
+      path <- Gen.oneOf("", "/", "/p/1", "/a/b-c")
+      q <- Gen.oneOf("", "?id=3", "?utm_source=x&id=2&b=1",
+        "?ref=rss&fbclid=z", "?b=2&a=1&utm_campaign=c", "?z=1#frag")
+    } yield s"https://$host$path$q"
+    val samples = Iterator.iterate(seed)(_.next).take(150)
+      .flatMap(s => urlGen.apply(Gen.Parameters.default, s))
+      .toSeq.distinct
+    val got = samples.toDF("u")
+      .select(col("u"), Urls.canonicalize(col("u")).as("c1"))
+      .select(col("u"), col("c1"), Urls.canonicalize(col("c1")).as("c2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(1)} -> " +
+          s"${r.getString(2)}")
+    }
+  }
 }
