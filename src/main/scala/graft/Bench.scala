@@ -319,19 +319,49 @@ object Bench {
           s"""{"query":"$n","prev":${num(p)},"now":${num(t)},"delta":${num(t - p)},"ratio":${num(t / p)}}"""
         }.mkString("[", ",", "]")
     }
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"round_over_round":$rorJson,"top_increases":$deltaJson,"noise":$noiseJson,"sf":"$sfDir"}"""
-    println(line)
-    // the driver wrapper truncates long stdout ("tail") — persist the
-    // complete per-query map so every round artifact carries all
-    // entries. Full-suite runs only: a restricted local run would
-    // overwrite the complete map with a partial one
+    // the driver wrapper captures only a ~2000-char stdout TAIL and
+    // parses a JSON line out of it: r13's 10 KB full line was
+    // decapitated mid-map and the round artifact recorded
+    // "parsed": null (BENCH_r13.json — head of the line missing, the
+    // regression radar had to regex-salvage it). So the complete
+    // per-query map goes ONLY to BENCH_FULL.json, and stdout gets a
+    // compact line (headline queries + streaming + the adjudication
+    // summaries, ≤ ~1.3 KB) that always fits the tail window whole.
+    // Full-suite runs only: a restricted local run would overwrite the
+    // complete map with a partial one.
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] BENCH_FULL.json write skipped: $e")
       }
+    val headline = Seq("op10_cast_project", "op30_stedi_flagship", "op40_agg",
+      "op62_minhash_sig", "op67_knn_brute", "op69_ann_ivf",
+      "op104_stream_incr_dedup", "op208_connected_components",
+      "op296_hnsw_ann", "op301_louvain_two_level",
+      "op306_stedi_bounded_flagship", "op307_url_canonical")
+    val headlineSet = headline.toSet
+    val headlineJson = results
+      .filter { case (n, _) => headlineSet(n) }
+      .map { case (k, v) =>
+        val t = if (errors.contains(k)) -v else v
+        "\"" + k + "\":" + num(t)
+      }.mkString("{", ",", "}")
+    // errors/regressions are usually empty; cap them so a pathological
+    // round can't push the compact line past the tail window
+    val errCompact = errors.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val nRegressions = "\\{".r.findAllIn(regJson).size
+    val noiseCompact = {
+      val canarySpread = Bench.spread(canaryTimes.drop(1).toSeq)
+      val midSpread = Bench.spread(midCanaryTimes.drop(1).toSeq)
+      val passSpread = Bench.spread(passTotals.drop(1).toSeq)
+      s"""{"canary_spread":${num(canarySpread)},"mid_canary_spread":${num(midSpread)},"pass_total_spread":${num(passSpread)},"assessment":"${Bench.noiseAssessment(canarySpread, midSpread, passSpread)}"}"""
+    }
+    val compactLine =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headlineJson,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"n_regressions":$nRegressions,"streaming":$streamingJson,"round_over_round":$rorJson,"noise":$noiseCompact,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    println(compactLine)
     spark.stop()
   }
 

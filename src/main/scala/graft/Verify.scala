@@ -56,6 +56,67 @@ object Verify {
     errors.toMap
   }
 
+  /** Per-query facts read back from an already-written dump: row count,
+    * column names sorted (the oracle compare's column order), and a
+    * deterministic value fingerprint — the DECIMAL(38) sum of xxhash64
+    * over each row's JSON rendering of the name-sorted columns
+    * (order-insensitive so the coalesced file's row layout doesn't
+    * matter; decimal so ANSI mode can't overflow the sum — a Long sum
+    * of 64-bit hashes overflows at two rows; duplicate rows shift the
+    * sum, unlike an XOR). */
+  private[graft] case class DumpFacts(rows: Long, cols: Seq[String],
+    hash: String)
+
+  private[graft] def dumpFacts(spark: SparkSession, dir: String): DumpFacts = {
+    import org.apache.spark.sql.functions.{col, count, struct, sum, to_json, xxhash64}
+    val df = spark.read.parquet(dir)
+    val cols = df.columns.sorted.toSeq
+    val h = df
+      .select(xxhash64(to_json(struct(cols.map(col): _*)))
+        .cast("decimal(38,0)").as("h"))
+      .agg(sum("h").as("s"), count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()(0)
+    val rows = h.getLong(1)
+    val hash = if (h.isNullAt(0)) "0" else h.getDecimal(0).toBigInteger.toString
+    DumpFacts(rows, cols, hash)
+  }
+
+  /** Compact machine-readable round summary, written as
+    * `outDir/_summary.json` AND returned (the caller prints it as the
+    * process's FINAL stdout line). Two consecutive rounds lost their
+    * CORRECTNESS artifact to a driver-side capture/compare fault while
+    * the dumps themselves were perfect — this file is the un-losable
+    * repo-side record: per query either its dump facts (rows, sorted
+    * columns, value fingerprint) or its error, so any reader can
+    * reconstruct pass/fail against the DuckDB oracle without re-running
+    * Spark. */
+  private[graft] def writeSummary(spark: SparkSession, outDir: String,
+      names: Seq[String], errors: Map[String, String]): String = {
+    var nFailed = 0
+    val perQuery = names.map { name =>
+      val entry = errors.get(name).map(Left(_)).getOrElse {
+        // a readback hiccup marks THIS query only; siblings keep facts
+        try Right(dumpFacts(spark, s"$outDir/$name"))
+        catch { case e: Throwable =>
+          Left(s"summary readback failed: ${e.getMessage}")
+        }
+      }
+      entry match {
+        case Left(err) =>
+          nFailed += 1
+          s"${q(name)}: {\"err\": ${q(err)}}"
+        case Right(f) =>
+          val colsJson = f.cols.map(q).mkString("[", ",", "]")
+          s"${q(name)}: {\"rows\": ${f.rows}, \"cols\": $colsJson, " +
+            s"\"hash\": ${q(f.hash)}, \"err\": null}"
+      }
+    }
+    val json =
+      s"""{"n_queries": ${names.size}, "n_dumped": ${names.size - nFailed}, "n_failed": $nFailed, "queries": {${perQuery.mkString(", ")}}}"""
+    Files.writeString(Paths.get(s"$outDir/_summary.json"), json)
+    json
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -87,6 +148,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query dump facts (rows / sorted cols / value fingerprint) —
+    // the un-losable artifact; best-effort so a readback hiccup can
+    // never fail an otherwise-green dump run
+    try writeSummary(spark, outDir, selected.map(_._1), errors): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] _summary.json skipped: ${e.getMessage}")
+    }
+    // FINAL stdout line: one compact JSON object (≤ a few hundred bytes)
+    // a capture-limited driver can always parse — never the big maps
+    val failedJson = errors.keys.map(q).mkString("[", ",", "]")
+    println(
+      s"""{"verify": "complete", "n_queries": ${selected.size}, "n_dumped": ${selected.size - errors.size}, "n_failed": ${errors.size}, "failed": $failedJson, "summary": "$outDir/_summary.json"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,29 @@ class VerifySpec extends SparkSpec {
     assert(!new java.io.File(s"$out/broken_query").exists())
   }
 
+  test("_summary.json carries per-query dump facts; errors carry err") {
+    val boom: (SparkSession, String) => DataFrame =
+      (_, _) => throw new IllegalStateException("kaput")
+    val (out, errs) = run(Seq("ok_query" -> good, "broken_query" -> boom))
+    val json = Verify.writeSummary(spark, out,
+      Seq("ok_query", "broken_query"), errs)
+    assert(Files.readString(Paths.get(s"$out/_summary.json")) == json)
+    assert(json.contains("\"n_queries\": 2"))
+    assert(json.contains("\"n_dumped\": 1"))
+    assert(json.contains("\"n_failed\": 1"))
+    // dumped query: row count, sorted column list, a value fingerprint
+    val facts = Verify.dumpFacts(spark, s"$out/ok_query")
+    assert(facts.rows == spark.read.parquet(s"$sfDir/region.parquet").count())
+    assert(facts.cols == facts.cols.sorted)
+    assert(json.contains(s"""\"rows\": ${facts.rows}"""))
+    assert(json.contains(s"""\"hash\": \"${facts.hash}\""""))
+    // the fingerprint is deterministic across readbacks
+    assert(Verify.dumpFacts(spark, s"$out/ok_query").hash == facts.hash)
+    // failed query: err recorded, no facts
+    assert(json.contains("\"broken_query\": {\"err\": "))
+    assert(json.contains("kaput"))
+  }
+
   test("a query that breaks on rerun REPLACES its stale passing dump") {
     val out = Files.createTempDirectory("graft_verify_spec").toString
     assert(Verify.dumpQueries(spark, sfDir, out, Seq("q" -> good)).isEmpty)

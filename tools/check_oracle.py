@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [<summaryJson>]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over views of <sfDir>'s tables,
 and compares: columns sorted by name, rows in produced order, values exact
 (floats: exact after both sides' rounding; report max abs diff when unequal).
+
+With a third argument, also writes a machine-readable per-query summary in
+the driver's CORRECTNESS shape — {"<name>": {"rows_match": bool,
+"schema_match": bool, "hash_match": bool, "err": str|null}} — so the round's
+gate survives as a committed artifact even when the driver's own
+compare/capture step fails (r12/r13 both produced empty CORRECTNESS files
+from perfect dumps).
 
 Developer-side tool only — the shipped Scala library has no Python deps.
 """
@@ -38,7 +45,7 @@ def eq(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, summary_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -46,6 +53,13 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    summary = {}
+
+    def record(name, rows_match, schema_match, hash_match, err=None):
+        summary[name] = {"rows_match": rows_match,
+                         "schema_match": schema_match,
+                         "hash_match": hash_match, "err": err}
+
     for name in sorted(oracle):
         sql = oracle[name]
         try:
@@ -54,15 +68,20 @@ def main(sf_dir, out_dir):
             want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            record(name, False, False, False, f"exec error: {e}")
             n_fail += 1
             continue
         gcols, wcols = sorted(got.column_names), sorted(want.column_names)
         if gcols != wcols:
             print(f"FAIL {name}: columns spark={gcols} oracle={wcols}")
+            record(name, False, False, False,
+                   f"columns spark={gcols} oracle={wcols}")
             n_fail += 1
             continue
         if got.num_rows != want.num_rows:
             print(f"FAIL {name}: rows spark={got.num_rows} oracle={want.num_rows}")
+            record(name, False, True, False,
+                   f"rows spark={got.num_rows} oracle={want.num_rows}")
             n_fail += 1
             continue
         g = [[norm(v) for v in got.column(c).to_pylist()] for c in gcols]
@@ -87,13 +106,23 @@ def main(sf_dir, out_dir):
                     extra = f" max_abs_diff={max(diffs):.6g}"
             print(f"FAIL {name}: first diff col={c} row={ri} "
                   f"spark={a!r} oracle={b!r}{extra}")
+            record(name, True, True, False,
+                   f"first diff col={c} row={ri} spark={a!r} oracle={b!r}{extra}")
             n_fail += 1
         else:
             print(f"PASS {name} ({got.num_rows} rows, {len(gcols)} cols)")
+            record(name, True, True, True)
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail / {len(oracle)} total")
+    if summary_path:
+        with open(summary_path, "w") as f:
+            json.dump({"n_pass": n_pass, "n_fail": n_fail,
+                       "n_total": len(oracle), "queries": summary}, f,
+                      indent=None, separators=(",", ":"))
+        print(f"== summary written to {summary_path}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
