@@ -204,16 +204,22 @@ object WebQueries {
   /** op311: robots-rules gate — Google-style longest-match evaluation
     * of per-domain allow/disallow path prefixes (the crawl-side access
     * gate that decides which URLs exist for the pipeline at all). The
-    * synthesized ruleset disallows `/p/` per domain and re-allows one
-    * subtree (`/p/K` for domain K), so the longest-match + allow-wins
-    * tiebreak both carry weight. Decision = ONE lexicographic max over
-    * (prefix length, is_allow) per URL; unmatched URLs default to
-    * allowed. 100 TB shape: rules are per-domain metadata — the join
-    * is domain-keyed (co-partitioned with the URL table's natural
-    * bucketing; broadcast only while the ruleset is dimension-sized),
-    * and the aggregate is map-combinable. */
+    * synthesized ruleset covers domains 0-3 ONLY — example4.com has no
+    * rules at all, so the fixture exercises the default-allow path
+    * under the oracle — disallowing `/p/` per covered domain and
+    * re-allowing one subtree (`/p/K` for domain K), so the
+    * longest-match + allow-wins tiebreak both carry weight. Decision =
+    * ONE lexicographic max over (prefix length, is_allow) per URL;
+    * the struct is built ONLY when a rule matched (left-join rule
+    * NULL ⇒ struct NULL ⇒ max NULL ⇒ the coalesce default fires) —
+    * max over struct(l=null, a=0) would be non-null and silently read
+    * "disallow" for rule-less domains. 100 TB shape: rules are
+    * per-domain metadata — the join is domain-keyed (co-partitioned
+    * with the URL table's natural bucketing; broadcast only while the
+    * ruleset is dimension-sized), and the aggregate is
+    * map-combinable. */
   val op311RobotsGate: Q = (s, d) => {
-    val base = s.range(5).select(
+    val base = s.range(4).select(
       concat(lit("example"), col("id").cast("string"), lit(".com"))
         .as("r_domain"),
       col("id").cast("string").as("k"))
@@ -230,8 +236,10 @@ object WebQueries {
           col("domain") === col("r_domain") &&
             col("path").startsWith(col("prefix")), "left")
         .groupBy(col("doc_id"), col("domain"), col("path"))
-        .agg(max(struct(length(col("prefix")).as("l"),
-          when(col("rule") === "allow", 1L).otherwise(0L).as("a"))).as("m"))
+        .agg(max(when(col("rule").isNotNull,
+          struct(length(col("prefix")).as("l"),
+            when(col("rule") === "allow", 1L).otherwise(0L).as("a"))))
+          .as("m"))
         .select(col("doc_id"), col("domain"), col("path"),
           big(coalesce(col("m.a"), lit(1L))).as("allowed")),
       "doc_id")
@@ -356,23 +364,29 @@ object WebQueries {
         |           ORDER BY doc_id) AS BIGINT) AS rn
         |  FROM f)
         |WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
+    // rule-less domains (example4.com — rules cover 0-3 only) must
+    // aggregate to a NULL struct so the coalesce default-allow fires:
+    // the struct is built only when a rule matched, mirroring the
+    // Spark side's when(isNotNull) guard
     "op311_robots_gate" ->
       s"""WITH $urlCte,
         |$domainCte,
         |r AS (
         |  SELECT 'example' || CAST(t.i AS VARCHAR) || '.com' AS r_domain,
         |         'disallow' AS rule, '/p/' AS prefix
-        |  FROM range(5) t(i)
+        |  FROM range(4) t(i)
         |  UNION ALL
         |  SELECT 'example' || CAST(t.i AS VARCHAR) || '.com',
         |         'allow', '/p/' || CAST(t.i AS VARCHAR)
-        |  FROM range(5) t(i))
+        |  FROM range(4) t(i))
         |SELECT doc_id, domain, path,
         |       CAST(coalesce(m.a, 1) AS BIGINT) AS allowed
         |FROM (
         |  SELECT d.doc_id, d.domain, d.path,
-        |         max(struct_pack(l := length(r.prefix),
-        |           a := CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END)) AS m
+        |         max(CASE WHEN r.rule IS NULL THEN NULL
+        |             ELSE struct_pack(l := length(r.prefix),
+        |               a := CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END)
+        |             END) AS m
         |  FROM h d LEFT JOIN r ON r.r_domain = d.domain
         |    AND d.path LIKE r.prefix || '%'
         |  GROUP BY 1, 2, 3)

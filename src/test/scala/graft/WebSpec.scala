@@ -50,6 +50,29 @@ class WebSpec extends SparkSpec {
     assert(!got.contains("SECRET") && !got.contains(".x{}"))
   }
 
+  test("op311 robots gate: rule-less domains default to ALLOWED") {
+    // example4.com has no rules in the synthesized set (rules cover
+    // domains 0-3) — the left join yields rule=NULL and the decision
+    // must fall through to the default-allow, not read struct(null, 0)
+    // as a disallow (the r13 advice finding: max over a non-null
+    // struct with a=0 silently disallowed every rule-less URL)
+    val rows = graft.queries.WebQueries.op311RobotsGate(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    val noRules = rows.filter(_._1 == "example4.com")
+    assert(noRules.nonEmpty, "fixture must produce rule-less domains")
+    assert(noRules.forall(_._3 == 1L),
+      s"rule-less domain disallowed: ${noRules.filter(_._3 != 1L).take(3).toSeq}")
+    // covered domains still evaluate longest-match + allow-wins: /p/K
+    // is re-allowed for domain K, /p/J (J != K) stays disallowed
+    val covered = rows.filter { case (dom, _, _) => dom != "example4.com" }
+    covered.foreach { case (dom, path, allowed) =>
+      val k = dom.stripPrefix("example").stripSuffix(".com")
+      val expect = if (path.startsWith(s"/p/$k")) 1L else 0L
+      assert(allowed == expect, s"($dom, $path) -> $allowed, want $expect")
+    }
+  }
+
   test("op312 FIM: applied rows reassemble to the original token stream") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.queries.TrainQueries.op312FimTransform(spark, d)
