@@ -40,9 +40,24 @@ object DomainQuota {
     override def handleInputRows(domain: String, rows: Iterator[DocArrival],
         timerValues: TimerValues): Iterator[Admitted] = {
       val c0 = if (count.exists()) count.get() else 0L
-      val room = math.max(0L, k - c0)
-      val take = rows.toSeq.sortBy(_.doc_id)
-        .take(math.min(room, Int.MaxValue.toLong).toInt)
+      val room = math.min(math.max(0L, k - c0), Int.MaxValue.toLong).toInt
+      // bounded selection: the `room` smallest doc_ids via a size-room
+      // max-heap — O(room) memory however many rows the trigger
+      // delivers. The old spelling (sort the materialized batch) was
+      // O(arrivals-per-domain-per-trigger) transient memory: a hot
+      // domain in a crawl firehose — the exact skew this operator
+      // exists for — can put millions of rows in one trigger.
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[DocArrival](Ordering.by(_.doc_id))
+      rows.foreach { a =>
+        if (room > 0) {
+          if (heap.size < room) heap += a
+          else if (a.doc_id < heap.head.doc_id) {
+            heap.dequeue(); heap += a
+          }
+        }
+      }
+      val take = heap.dequeueAll.reverse // ascending doc_id
       count.update(c0 + take.size)
       take.iterator.zipWithIndex.map { case (a, i) =>
         Admitted(a.doc_id, domain, c0 + i + 1)
@@ -82,15 +97,54 @@ object DomainQuota {
 
     override def handleInputRows(domain: String, rows: Iterator[UrlArrival],
         timerValues: TimerValues): Iterator[UrlAdmitted] = {
-      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      val seen = scala.collection.mutable.HashSet.empty[String]
       if (admittedUrls.exists()) admittedUrls.get().foreach(seen += _)
-      val out = scala.collection.mutable.ArrayBuffer.empty[UrlAdmitted]
-      rows.toSeq.sortBy(_.doc_id).foreach { a =>
-        if (seen.size < k && !seen.contains(a.url_canon)) {
-          seen += a.url_canon
-          admittedUrls.appendValue(a.url_canon)
-          out += UrlAdmitted(a.doc_id, domain, a.url_canon, seen.size.toLong)
+      val room = math.min(math.max(0L, k - seen.size), Int.MaxValue.toLong)
+        .toInt
+      // Bounded first-per-URL selection, O(room) memory however many
+      // rows the trigger delivers (the old spelling materialized and
+      // sorted the whole per-domain batch). Sequential semantics —
+      // walk arrivals in doc_id order, admit each not-yet-admitted
+      // canonical URL until the quota fills — is equivalent to keeping
+      // the `room` smallest first-occurrence doc_ids over unseen URLs:
+      // candidates = TreeMap(doc_id → url) + HashMap(url → doc_id),
+      // both capped at `room` entries. An evicted URL can only win via
+      // a LATER, SMALLER arrival (its observed min): eviction happens
+      // only when `room` other URLs hold strictly smaller mins, and
+      // mins never increase — so re-entry through the normal path is
+      // exact, not an approximation.
+      val byId = new java.util.TreeMap[Long, String]()
+      val best = scala.collection.mutable.HashMap.empty[String, Long]
+      if (room > 0) rows.foreach { a =>
+        if (!seen.contains(a.url_canon)) {
+          best.get(a.url_canon) match {
+            case Some(old) =>
+              if (a.doc_id < old) {
+                byId.remove(old)
+                byId.put(a.doc_id, a.url_canon)
+                best(a.url_canon) = a.doc_id
+              }
+            case None =>
+              if (byId.size < room) {
+                byId.put(a.doc_id, a.url_canon)
+                best(a.url_canon) = a.doc_id
+              } else if (a.doc_id < byId.lastKey()) {
+                val evicted = byId.pollLastEntry()
+                best.remove(evicted.getValue): Unit
+                byId.put(a.doc_id, a.url_canon)
+                best(a.url_canon) = a.doc_id
+              }
+          }
         }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[UrlAdmitted]
+      var seq = seen.size.toLong
+      val it = byId.entrySet().iterator() // ascending doc_id
+      while (it.hasNext) {
+        val e = it.next()
+        seq += 1
+        admittedUrls.appendValue(e.getValue)
+        out += UrlAdmitted(e.getKey, domain, e.getValue, seq)
       }
       out.iterator
     }

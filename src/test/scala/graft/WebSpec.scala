@@ -136,6 +136,59 @@ class WebSpec extends SparkSpec {
     spark.sql("DROP VIEW IF EXISTS url_admit_out")
   }
 
+  test("hot-domain trigger: quota admits the k smallest of a huge batch") {
+    // the skew case the operator exists for — one domain delivering a
+    // large batch in ONE trigger (selection is a size-k heap, O(k)
+    // memory; this leg pins the selection's correctness under an
+    // adversarial descending arrival order where a naive bounded
+    // prefix-take would keep the k LARGEST)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    StateStores.withRocksDb(spark) {
+      val arrivals = in.toDF().toDF("doc_id", "domain")
+        .as[DomainQuota.DocArrival]
+      val q = DomainQuota.admitted(arrivals, k = 5L)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("hot_quota_out").start()
+      in.addData((20000L to 1L by -1L).map(i => (i, "hot.com")))
+      q.processAllAvailable()
+      q.stop()
+    }
+    val out = spark.table("hot_quota_out")
+      .select("doc_id", "admit_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(out == (1L to 5L).map(i => (i, i)),
+      s"heap selection wrong under descending arrivals: $out")
+    spark.sql("DROP VIEW IF EXISTS hot_quota_out")
+  }
+
+  test("url admission: bounded selection survives evict-then-improve ordering") {
+    // adversarial single-trigger order exercising every candidate-set
+    // path: insert (A@10), fill (B@4), evict A for C@6, re-enter A at a
+    // SMALLER doc_id (3) evicting C, reject D@5 against a full set.
+    // Sequential-in-doc_id-order semantics admit A@3 then B@4.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    StateStores.withRocksDb(spark) {
+      val arrivals = in.toDF().toDF("doc_id", "domain", "url_canon")
+        .as[DomainQuota.UrlArrival]
+      val q = DomainQuota.urlAdmitted(arrivals, k = 2L)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("evict_admit_out").start()
+      in.addData((10L, "a.com", "A"), (4L, "a.com", "B"), (6L, "a.com", "C"),
+        (3L, "a.com", "A"), (5L, "a.com", "D"))
+      q.processAllAvailable()
+      q.stop()
+    }
+    val out = spark.table("evict_admit_out")
+      .select("doc_id", "url_canon", "admit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(out == Seq((3L, "A", 1L), (4L, "B", 2L)),
+      s"bounded URL selection diverged from sequential semantics: $out")
+    spark.sql("DROP VIEW IF EXISTS evict_admit_out")
+  }
+
   test("op309 domain quota depletes ACROSS triggers (RocksDB state)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
