@@ -335,7 +335,12 @@ object StreamingAnn {
     val cbVecs = new Array[Array[Long]](m * nCents)
     val cbN2s = new Array[Long](m * nCents)
     for (j <- 0 until m; c <- 0 until nCents) {
-      val (v, n2) = cb((j, c.toLong))
+      // m/nCents are inferred from the observed maxima, so a gap in the
+      // codebook would otherwise surface as a bare NoSuchElementException
+      // at stream build — name the hole instead
+      val (v, n2) = cb.getOrElse((j, c.toLong), sys.error(
+        s"PQ codebook hole: no row for (sub_j=$j, code=$c) " +
+          s"(inferred m=$m, nCents=$nCents from the observed maxima)"))
       cbVecs(j * nCents + c) = v
       cbN2s(j * nCents + c) = n2
     }
@@ -455,6 +460,16 @@ object StreamingAnn {
           .sortBy(_._1)
         um.iterator.zipWithIndex.foreach { case ((l, _), i) =>
           require(l == i, s"upper layer needs dense l_ids 0..M-1, hole at $i")
+        }
+        // the keep-beam tiebreaks on the packed dense l_id, which is
+        // only oracle-equivalent while l_id order == orig_id order —
+        // true for hnswUpperWrite (row_number over vec_id) and now
+        // REQUIRED of any index writer, not silently assumed
+        um.iterator.sliding(2).withPartial(false).foreach { w =>
+          require(w(0)._2 < w(1)._2,
+            s"upper layer orig_ids must be strictly increasing in l_id " +
+              s"order (l_id tiebreak ≡ orig_id tiebreak): " +
+              s"orig ${w(0)._2} !< ${w(1)._2} at l_id ${w(1)._1}")
         }
         val uAdjOf = spark.read.parquet(s"$ud/upper_graph")
           .select(col("u_id"), col("n_id")).collect()
