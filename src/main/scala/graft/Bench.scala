@@ -343,8 +343,11 @@ object Bench {
       "op296_hnsw_ann", "op301_louvain_two_level",
       "op306_stedi_bounded_flagship", "op307_url_canonical")
     val headlineSet = headline.toSet
+    // a restricted local run is small — print every measured query (its
+    // BENCH_FULL.json is suppressed, and the caller asked for exactly
+    // these); the full suite prints the headline subset only
     val headlineJson = results
-      .filter { case (n, _) => headlineSet(n) }
+      .filter { case (n, _) => only.isDefined || headlineSet(n) }
       .map { case (k, v) =>
         val t = if (errors.contains(k)) -v else v
         "\"" + k + "\":" + num(t)

@@ -33,6 +33,8 @@ object BenchStreaming {
       "stedi_join_rows_per_sec" -> guard(stediJoinRowsPerSec(spark, sfDir)),
       "incremental_dedup_rows_per_sec" -> guard(incDedupRowsPerSec(spark, sfDir)),
       "ann_probe_rows_per_sec" -> guard(annProbeRowsPerSec(spark, sfDir)),
+      "ivf_probe_rows_per_sec" ->
+        guard(annProbeRowsPerSec(spark, sfDir, ivfFlat = true)),
       "pq_probe_rows_per_sec" ->
         guard(pqProbeRowsPerSec(spark, sfDir, pruned = true)),
       "pq_flat_probe_rows_per_sec" ->
@@ -97,20 +99,22 @@ object BenchStreaming {
     }
   }
 
-  /** Online ANN serving under streaming execution (the SQ8 leg:
-    * probe-cell choice from inlined centroid literals + stream-static
-    * join on the cent_id-partitioned int8 code store + bounded TopKAgg).
+  /** Online ANN serving under streaming execution — the SQ8 leg when
+    * `ivfFlat` is false (the long-standing `ann_probe` key), the
+    * IVF-flat full-vector leg when true (join-free since r14: one
+    * SqShardTopK evaluation over the broadcast shard per query row).
     * The index build sits OUTSIDE the timed region — a serving
     * deployment probes a prebuilt store. Unlike the flagship/dedup
     * probes (whose start-up cost IS their latency story), this metric
     * is SERVING THROUGHPUT: the r6 artifacts split 1391 vs 452 rows/s
     * on identical code because one drain's figure was dominated by
-    * stream start (plan analysis + codegen of the centroid literals +
-    * state init). So the query first drains a small warm-up batch
+    * stream start (plan analysis + codegen + state init). So the query
+    * first drains a small warm-up batch
     * UNTIMED, then the pinned query budget is timed over a second
     * drain of the already-running query — micro-batch execution cost
     * only, stable across contended/quiet runs. */
-  private def annProbeRowsPerSec(spark: SparkSession, sfDir: String): Double = {
+  private def annProbeRowsPerSec(spark: SparkSession, sfDir: String,
+      ivfFlat: Boolean = false): Double = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.functions.Similarity
@@ -118,7 +122,10 @@ object BenchStreaming {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_ann_")
     try {
-      Similarity.sq8IndexWrite(emb, s"$dir/sq8", nCells = 16, lloydIters = 2)
+      if (ivfFlat)
+        Similarity.ivfIndexWrite(emb, s"$dir/ix", nCells = 16, lloydIters = 2)
+      else
+        Similarity.sq8IndexWrite(emb, s"$dir/ix", nCells = 16, lloydIters = 2)
       val queryVecs = emb.orderBy("vec_id").limit(2500)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -129,8 +136,11 @@ object BenchStreaming {
       val in = MemoryStream[(Long, Seq[Float])]
       in.addData(warmVecs)
       val name = s"bench_annprobe_${System.nanoTime()}"
-      val q = StreamingAnn.sq8ProbeStream(
-          in.toDF().toDF("vec_id", "embedding"), s"$dir/sq8", 5, nProbe = 4)
+      val mkStream: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        if (ivfFlat) StreamingAnn.ivfProbeStream(_, s"$dir/ix", 5, nProbe = 4)
+        else StreamingAnn.sq8ProbeStream(_, s"$dir/ix", 5, nProbe = 4)
+      val q = mkStream(in.toDF().toDF("vec_id", "embedding"))
         .writeStream.outputMode("update").format("memory")
         .queryName(name).start()
       q.processAllAvailable() // warm-up drain: start-up cost lands here

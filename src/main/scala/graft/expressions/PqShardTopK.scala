@@ -1,30 +1,56 @@
 package graft.expressions
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.catalyst.InternalRow
+
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** An IVF-PQ index shard in the flat layout an ANN server scans: per
-  * cell c — IVF centroid (vec, n2) and its packed-code block (ids,
-  * m codes per id); plus the PQ codebook (m×nCents sub-centroids,
+  * cell c — IVF centroid (vec, n2) and its packed-code block (ids, and
+  * ONE contiguous code array of length |block|·m, stride m — flat so
+  * the hot block scan streams sequential memory instead of
+  * pointer-chasing a per-candidate array, the r14 layout change shared
+  * with [[SqShard]]); plus the PQ codebook (m×nCents sub-centroids,
   * slot j·nCents+c). Built once at stream construction from the
-  * persisted index, shipped to executors as ONE broadcast value. */
+  * persisted index, shipped to executors as ONE broadcast value.
+  * [[PqShard.fromRows]] validates stride consistency. */
 case class PqShard(
     cellIds: Array[Long],
     centVecs: Array[Array[Long]],
     centN2s: Array[Long],
     blockIds: Array[Array[Long]],
-    blockCodes: Array[Array[Array[Long]]],
+    blockCodes: Array[Array[Long]],
     cbVecs: Array[Array[Long]],
     cbN2s: Array[Long],
     m: Int, nCents: Int, subDim: Int)
 
+object PqShard {
+  /** Build from per-candidate code arrays, flattening each cell block. */
+  def fromRows(cellIds: Array[Long], centVecs: Array[Array[Long]],
+      centN2s: Array[Long], blockIds: Array[Array[Long]],
+      blockRows: Array[Array[Array[Long]]], cbVecs: Array[Array[Long]],
+      cbN2s: Array[Long], m: Int, nCents: Int, subDim: Int): PqShard = {
+    val flat = blockRows.map { rows =>
+      val out = new Array[Long](rows.length * m)
+      var j = 0
+      while (j < rows.length) {
+        require(rows(j).length == m,
+          s"packed code length ${rows(j).length} != m=$m")
+        System.arraycopy(rows(j), 0, out, j * m, m)
+        j += 1
+      }
+      out
+    }
+    PqShard(cellIds, centVecs, centN2s, blockIds, flat, cbVecs, cbN2s,
+      m, nCents, subDim)
+  }
+}
+
 /** Whole-probe ADC top-k for the streaming IVF-PQ serving leg: ONE
   * evaluation builds the query's ADC LUT (m·nCents exact-integer
-  * partial distances), ranks the shard's cells (IvfCellProbe's exact
+  * partial distances), ranks the shard's cells (the batch probe's exact
   * (cos_bp desc, cent_id asc) order), scans the nProbe best cells'
   * packed-code blocks at m LUT lookups per candidate, and returns the
   * merged top-k as array<struct<neg_d2 bigint, n_id bigint>> ordered
@@ -37,7 +63,7 @@ case class PqShard(
   *
   * Bit-identical to the join spelling: the LUT slot is
   * s2_j − 2·(sv_j·cb) + cb_n2 (adcLut's exact integer arithmetic),
-  * cell choice is [[IvfCellProbe]]'s scoring verbatim, a candidate's
+  * cell choice is [[SqShardTopK]]'s cell scoring verbatim, a candidate's
   * d2 is Σ_j pd2[j·nCents + code_j], and n_id == qId is excluded.
   * "Top-k of the per-row top-k" equals "top-k over all probed
   * candidates" because the downstream [[graft.functions.TopKAgg]]
@@ -114,7 +140,8 @@ case class PqShardTopK(qId: Expression, qVec: Expression,
       }
       j += 1
     }
-    // cell ranking — IvfCellProbe's scoring verbatim
+    // cell ranking — the batch probe's scoring verbatim
+    // (cosBpFrom∘intDot, (cos_bp desc, cent_id asc))
     val qSqrt = math.sqrt(qn2.toDouble)
     val nc = s.cellIds.length
     val bps = new Array[Long](nc)
@@ -137,47 +164,33 @@ case class PqShardTopK(qId: Expression, qVec: Expression,
     val cellOrder = Array.range(0, nc).sortWith { (a, b) =>
       bps(a) > bps(b) || (bps(a) == bps(b) && s.cellIds(a) < s.cellIds(b))
     }
-    // scan the nProbe best cells' blocks: m LUT lookups per candidate
+    // scan the nProbe best cells' blocks: m LUT lookups per candidate,
+    // k-kept through the bounded-insertion selector (no candidate-sized
+    // allocation, no boxed sort — see [[BoundedTopK]])
     val probes = math.min(nProbe, nc)
-    var cap = 0
-    i = 0
-    while (i < probes) { cap += s.blockIds(cellOrder(i)).length; i += 1 }
-    val scores = new Array[Long](cap)
-    val ids = new Array[Long](cap)
-    var m = 0
+    val sel = new BoundedTopK(k)
     i = 0
     while (i < probes) {
       val ci = cellOrder(i)
       val bIds = s.blockIds(ci)
-      val bCodes = s.blockCodes(ci)
+      val flat = s.blockCodes(ci) // stride-m contiguous code block
       var r = 0
+      var off = 0
       while (r < bIds.length) {
         if (bIds(r) != qid) {
-          val codes = bCodes(r)
           var d2 = 0L
           j = 0
           while (j < s.m) {
-            d2 += pd2(j * s.nCents + codes(j).toInt); j += 1
+            d2 += pd2(j * s.nCents + flat(off + j).toInt); j += 1
           }
-          scores(m) = -d2
-          ids(m) = bIds(r)
-          m += 1
+          sel.offer(-d2, bIds(r))
         }
         r += 1
+        off += s.m
       }
       i += 1
     }
-    val idx = Array.range(0, m).sortWith { (a, b) =>
-      scores(a) > scores(b) || (scores(a) == scores(b) && ids(a) < ids(b))
-    }
-    val kept = math.min(k, m)
-    val out = new Array[Any](kept)
-    i = 0
-    while (i < kept) {
-      out(i) = InternalRow(scores(idx(i)), ids(idx(i)))
-      i += 1
-    }
-    new GenericArrayData(out)
+    sel.toArrayData
   }
 
   override protected def withNewChildrenInternal(a: Expression,

@@ -1,23 +1,55 @@
 package graft.expressions
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** An SQ8 index shard in the flat array layout an ANN server scans:
-  * per cell c — centroid (vec, n2) and its code block (ids, codes,
-  * n2s). Built once at stream construction from the persisted index,
-  * shipped to executors as ONE broadcast value. */
+/** An SQ8 (or IVF-flat — same scan, full vectors for codes) index
+  * shard in the flat array layout an ANN server scans: per cell c —
+  * centroid (vec, n2) and its code block (ids, n2s, and ONE contiguous
+  * vector array of length |block|·dim, stride dim). Built once at
+  * stream construction from the persisted index, shipped to executors
+  * as ONE broadcast value. The per-cell vectors are FLAT, not
+  * Array[Array[Long]]: the block scan is the serving leg's hot loop,
+  * and a row-per-object layout pointer-chases the heap per candidate
+  * where the flat block streams sequentially (r14; same layout change
+  * every columnar scanner makes). [[apply]] validates stride
+  * consistency so a ragged input can't silently mis-stride. */
 case class SqShard(
     cellIds: Array[Long],
     centVecs: Array[Array[Long]],
     centN2s: Array[Long],
     blockIds: Array[Array[Long]],
-    blockCodes: Array[Array[Array[Long]]],
-    blockN2s: Array[Array[Long]])
+    blockVecs: Array[Array[Long]],
+    blockN2s: Array[Array[Long]],
+    dim: Int)
+
+object SqShard {
+  /** Build from per-candidate vectors, flattening each cell's block. */
+  def fromRows(cellIds: Array[Long], centVecs: Array[Array[Long]],
+      centN2s: Array[Long], blockIds: Array[Array[Long]],
+      blockRows: Array[Array[Array[Long]]],
+      blockN2s: Array[Array[Long]]): SqShard = {
+    require(centVecs.nonEmpty, "shard needs at least one cell")
+    val dim = centVecs(0).length
+    centVecs.foreach(v => require(v.length == dim,
+      s"centroid dim ${v.length} != $dim"))
+    val flat = blockRows.map { rows =>
+      val out = new Array[Long](rows.length * dim)
+      var j = 0
+      while (j < rows.length) {
+        require(rows(j).length == dim,
+          s"block vector dim ${rows(j).length} != $dim")
+        System.arraycopy(rows(j), 0, out, j * dim, dim)
+        j += 1
+      }
+      out
+    }
+    SqShard(cellIds, centVecs, centN2s, blockIds, flat, blockN2s, dim)
+  }
+}
 
 /** Whole-probe top-k for the streaming SQ8 serving leg: ONE evaluation
   * ranks the shard's cells against the query vector, scans the nProbe
@@ -42,7 +74,8 @@ case class SqShard(
   *
   * Scoring is bit-identical to Similarity.cosBpFrom∘intDot (same
   * operand order, Math.sqrt/floor, zero-norm guard); cell choice is
-  * bit-identical to [[IvfCellProbe]]; candidates with n_id == qId are
+  * bit-identical to the batch probe's (cos_bp desc, cent_id asc)
+  * ranking; candidates with n_id == qId are
   * excluded. Equality of "top-k of union of per-cell top-ks" and
   * "top-k over all candidates" holds because every global winner ranks
   * ≤ k within its own cell. */
@@ -86,7 +119,7 @@ case class SqShardTopK(qId: Expression, qVec: Expression,
       if (qn2 == 0L || n2 == 0L) 0L
       else math.floor(
         dot.toDouble / (qSqrt * math.sqrt(n2.toDouble)) * 10000d).toLong
-    // cell ranking (IvfCellProbe's exact order)
+    // cell ranking (the batch probe's exact (cos_bp desc, cent_id asc))
     val nc = s.cellIds.length
     val cellBps = new Array[Long](nc)
     var c = 0
@@ -105,50 +138,34 @@ case class SqShardTopK(qId: Expression, qVec: Expression,
       cellBps(a) > cellBps(b) ||
         (cellBps(a) == cellBps(b) && s.cellIds(a) < s.cellIds(b))
     }
-    // scan the nProbe best cells' blocks, keep everything, trim once
-    // (probed candidate volume is |corpus|·nProbe/nCells — block-sized)
+    // scan the nProbe best cells' blocks through the bounded-insertion
+    // selector (probed candidate volume is |corpus|·nProbe/nCells —
+    // thousands of rows where k is 5; the old collect-all-then-sortWith
+    // tail allocated three candidate-sized arrays and boxed the sort
+    // per QUERY ROW per micro-batch — see [[BoundedTopK]])
     val probes = math.min(nProbe, nc)
-    var cap = 0
-    i = 0
-    while (i < probes) { cap += s.blockIds(cellOrder(i)).length; i += 1 }
-    val scores = new Array[Long](cap)
-    val ids = new Array[Long](cap)
-    var m = 0
+    val sel = new BoundedTopK(k)
     i = 0
     while (i < probes) {
       val ci = cellOrder(i)
       val bIds = s.blockIds(ci)
-      val bCodes = s.blockCodes(ci)
+      val flat = s.blockVecs(ci) // stride-dim contiguous block
       val bN2s = s.blockN2s(ci)
       var j = 0
+      var off = 0
       while (j < bIds.length) {
         if (bIds(j) != qid) {
-          val codes = bCodes(j)
-          if (codes.length != dim)
-            throw new IllegalArgumentException(
-              s"graft_shard_topk: dimension mismatch ($dim vs ${codes.length})")
           var dot = 0L
           var d = 0
-          while (d < dim) { dot += q(d) * codes(d); d += 1 }
-          scores(m) = bp(dot, bN2s(j))
-          ids(m) = bIds(j)
-          m += 1
+          while (d < dim) { dot += q(d) * flat(off + d); d += 1 }
+          sel.offer(bp(dot, bN2s(j)), bIds(j))
         }
         j += 1
+        off += dim
       }
       i += 1
     }
-    val idx = Array.range(0, m).sortWith { (a, b) =>
-      scores(a) > scores(b) || (scores(a) == scores(b) && ids(a) < ids(b))
-    }
-    val kept = math.min(k, m)
-    val out = new Array[Any](kept)
-    i = 0
-    while (i < kept) {
-      out(i) = InternalRow(scores(idx(i)), ids(idx(i)))
-      i += 1
-    }
-    new GenericArrayData(out)
+    sel.toArrayData
   }
 
   override protected def withNewChildrenInternal(a: Expression,

@@ -202,8 +202,8 @@ object AnnQueries {
 
   /** The op84 probe executed as a REAL Structured Streaming query —
     * file source of query vectors → [[graft.streaming.StreamingAnn
-    * .ivfProbeStream]] (stream-static join on the prebuilt, partitioned
-    * index; bounded TopKAgg) → memory sink, Trigger.AvailableNow. One
+    * .ivfProbeStream]] (one shard-broadcast SqShardTopK evaluation per
+    * query row; bounded TopKAgg) → memory sink, Trigger.AvailableNow. One
     * replay carries all queries in a single trigger, so the emitted
     * top-k equals the batch [[Similarity.ivfProbe]] exactly and op84's
     * DuckDB oracle checks STREAMING execution under the same hash gate

@@ -6,86 +6,99 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Similarity, TopKAgg}
 
 /** Online ANN serving — the streaming half of the similarity story: a
-  * stream of query vectors probes a PREBUILT, persisted IVF index
-  * ([[graft.functions.Similarity.ivfIndexWrite]]) via a stream-static
-  * equi-join on the cell id.
+  * stream of query vectors probes a PREBUILT, persisted index
+  * ([[graft.functions.Similarity.ivfIndexWrite]] and friends).
   *
-  * Streaming constraints shape the plan (no window functions, at most
-  * one aggregation):
-  *   - per-query probe-cell selection can't be a window, so the tiny
-  *     static centroid table (nCells rows) is collected ONCE at stream
-  *     construction and inlined as literals — the nProbe best cells
-  *     become a pure per-row projection (sort an nCells-element array of
-  *     (−cos, cent_id) structs, slice nProbe), exactly the "broadcast
-  *     the index metadata" shape an online ANN server uses;
-  *   - candidate generation is a stream-static INNER join on cent_id
-  *     against the cells parquet (partition-pruned storage, ScaleSpec);
-  *   - the final per-query top-k is the bounded [[TopKAgg]] aggregate
-  *     (map-side k-trim — the one streaming aggregation), not a window.
+  * Every serving leg (IVF-flat, SQ8, IVF-PQ, graph, HNSW) is JOIN-FREE
+  * as of r14: the index is loaded ONCE at stream construction into a
+  * flat shard value, shipped to executors as one broadcast, and the
+  * whole probe runs inside a single map-side Catalyst expression
+  * ([[graft.expressions.SqShardTopK]] / [[graft.expressions
+  * .PqShardTopK]] / [[graft.expressions.GraphBeamTopK]]) — so every
+  * micro-batch is projection → explode → the one bounded stateful
+  * [[TopKAgg]]. This is the shape a streaming plan wants: a
+  * micro-batch pays per-stage planning/scheduling EVERY trigger, and a
+  * stream-static join also re-executes its static side every trigger;
+  * collapsing both bought ~2× per leg (r11-r13 anatomy), and the
+  * broadcast shard is the honest 100 TB layout — a serving node holds
+  * ITS SHARD of the index in RAM, and the per-query touch set is
+  * nProbe cells × block size (or beam·(k+1) per hop), never the
+  * corpus.
   *
-  * Scoring is the same quantized-integer cosine as the batch probe, so
-  * for queries arriving within one trigger the emitted top-k rows equal
-  * [[graft.functions.Similarity.ivfProbe]] exactly (spec'd); across
-  * triggers the aggregation keeps folding new candidates in update mode.
+  * Scoring is the same quantized-integer arithmetic as the batch
+  * probes, so for queries arriving within one trigger the emitted
+  * top-k rows equal the batch answers exactly (spec'd); across
+  * triggers the aggregation keeps folding new candidates in update
+  * mode.
   */
 object StreamingAnn {
 
   /** Probe the persisted IVF index at `dir` with a STREAMING frame of
     * (vec_id, embedding) query vectors; emits (q_id, top) where `top` is
     * the array<struct<score,id>> of the current k best — explode to rows
-    * with [[explodeTopK]]. Run in update or complete output mode. */
+    * with [[explodeTopK]]. Run in update or complete output mode.
+    *
+    * r14: the last join-based serving leg joins the shard club — the
+    * stream-static join on cent_id against the partitioned cells store
+    * (re-executed EVERY trigger) becomes one map-side [[graft
+    * .expressions.SqShardTopK]] evaluation over the broadcast shard.
+    * IVF-flat is structurally the SQ8 scan with the cell blocks holding
+    * the FULL quantized vectors instead of SQ8 codes — same cell
+    * ranking, same cosBpFrom∘intDot scoring, same self-exclusion — so
+    * the expression is shared, not cloned. Results are bit-identical to
+    * the join spelling (op96 hash-green; the per-query top-k over all
+    * probed candidates is what the join's global TopKAgg computed). */
   def ivfProbeStream(queryStream: DataFrame, dir: String, k: Int,
       nProbe: Int = 4): DataFrame = {
     val spark = queryStream.sparkSession
-    val q = probeCellsInlined(queryStream, dir, nProbe)
-    // cent_id is a partition directory on disk; restore its bigint type
-    val cells = spark.read.parquet(s"$dir/cells")
-      .withColumn("cent_id", col("cent_id").cast("bigint"))
-    q.join(cells, "cent_id")
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        Similarity.cosBpFrom(
-          Similarity.intDot(col("q_vec"), col("n_id_vec")),
-          col("q_n2"), col("n_id_n2")).as("cos_bp"))
-      .groupBy(col("q_id"))
-      .agg(TopKAgg.topK(k)(col("cos_bp"), col("n_id")).as("top"))
-  }
-
-  /** Shared per-row probe-cell choice over an index with a
-    * `dir/centroids` table: the static centroid metadata (nCells rows —
-    * bytes) is collected ONCE at stream build and inlined as literals,
-    * so the nProbe best cells become a pure per-row projection
-    * (struct(−cos, cent_id) sorts ascending to (cos desc, cent_id
-    * asc) — the batch probe's exact tiebreak). Returns
-    * (q_id, q_vec, q_n2, cent_id), one row per probed cell. */
-  private[graft] def probeCellsInlined(queryStream: DataFrame, dir: String,
-      nProbe: Int): DataFrame = {
-    val spark = queryStream.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val centRows = spark.read.parquet(s"$dir/centroids")
       .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
-      .toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    // cent_id is a partition directory on disk; restore its bigint type
+    val cellRows = spark.read.parquet(s"$dir/cells")
+      .select(col("cent_id").cast("bigint"), col("n_id"), col("n_id_vec"),
+        col("n_id_n2"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3))))
+      .groupBy(_._1)
+    val blocks = centRows.map { case (cid, _, _) =>
+      // deterministic block order (by n_id) — irrelevant to results
+      // (the scan keeps all candidates) but keeps the shard reproducible
+      cellRows.getOrElse(cid, Array.empty).map(_._2).sortBy(_._1)
+    }
+    val shard = spark.sparkContext.broadcast(
+      graft.expressions.SqShard.fromRows(
+        centRows.map(_._1),
+        centRows.map(_._2),
+        centRows.map(_._3),
+        blocks.map(_.map(_._1)),
+        blocks.map(_.map(_._2)),
+        blocks.map(_.map(_._3))))
     val qVec = Similarity.quantize(col("embedding"))
     val q0 = queryStream.select(col("vec_id").as("q_id"), qVec.as("q_vec"))
       .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
-    // one ~3-node expression instead of nCells struct literals + cosine
-    // trees: a streaming plan is re-optimized EVERY micro-batch, and at
-    // serving cadence that literal tree was ~30% of the per-batch floor
-    // (see IvfCellProbe's scaladoc); ordering and scores are unchanged
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val probes = ColumnBridge.column(graft.expressions.IvfCellProbe(
+    val topExpr = ColumnBridge.column(graft.expressions.SqShardTopK(
+      ColumnBridge.expression(col("q_id")),
       ColumnBridge.expression(col("q_vec")),
-      ColumnBridge.expression(col("q_n2")), cents, nProbe))
-    q0.withColumn("cent_id", explode(probes))
+      ColumnBridge.expression(col("q_n2")), shard, k, nProbe))
+    q0.select(col("q_id"), explode(topExpr).as("t"))
+      .select(col("q_id"), col("t.sq_bp").as("cos_bp"),
+        col("t.n_id").as("n_id"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(k)(col("cos_bp"), col("n_id")).as("top"))
   }
 
   /** Probe the persisted SQ8 index at `dir`
     * ([[graft.functions.Similarity.sq8IndexWrite]]) with a STREAMING
     * frame of (vec_id, embedding) query vectors — the fourth leg of the
     * online serving matrix (IVF cells, PQ ADC, LSH buckets, SQ8 codes):
-    * per-row probe-cell choice from the inlined centroid literals, a
-    * stream-static join on cent_id against per-cell CODE BLOCKS, and
+    * one [[graft.expressions.SqShardTopK]] evaluation per query row
+    * over the broadcast shard — cell choice, block scan and k-trim in a
+    * single map-side projection — and
     * the bounded [[TopKAgg]] as the one streaming aggregation. No
     * exact rerank (a join after the aggregation — forbidden in a
     * stream): the online answer is the SQ8-approx ranking (score =
@@ -134,7 +147,7 @@ object StreamingAnn {
       codeRows.getOrElse(cid, Array.empty).map(_._2).sortBy(_._1)
     }
     val shard = spark.sparkContext.broadcast(
-      graft.expressions.SqShard(
+      graft.expressions.SqShard.fromRows(
         centRows.map(_._1),
         centRows.map(_._2),
         centRows.map(_._3),
@@ -278,7 +291,7 @@ object StreamingAnn {
     * closes the serving matrix's last unpruned path: [[pqAdcProbeStream]]
     * scans the ENTIRE packed-code store per micro-batch (that is what
     * PQ-flat ADC is); here the whole probe — per-row ADC LUT, the
-    * IvfCellProbe-identical cell choice, and the nProbe code-block
+    * batch-identical cell choice, and the nProbe code-block
     * scan at m LUT lookups per candidate — runs inside ONE map-side
     * [[graft.expressions.PqShardTopK]] evaluation over the broadcast
     * shard, feeding the single stateful TopKAgg (the r13 collapse of
@@ -349,7 +362,7 @@ object StreamingAnn {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .groupBy(_._1)
-    val shard = graft.expressions.PqShard(
+    val shard = graft.expressions.PqShard.fromRows(
       cents.map(_._1),
       cents.map(_._2),
       cents.map(_._3),

@@ -9,6 +9,7 @@ class BenchStreamingSpec extends SparkSpec {
     val rates = BenchStreaming.run(spark, sfDir).toMap
     assert(rates.keySet == Set("stedi_join_rows_per_sec",
       "incremental_dedup_rows_per_sec", "ann_probe_rows_per_sec",
+      "ivf_probe_rows_per_sec",
       "pq_probe_rows_per_sec", "pq_flat_probe_rows_per_sec",
       "graph_probe_rows_per_sec", "hnsw_probe_rows_per_sec",
       "clustered_ingest_rows_per_sec"))
