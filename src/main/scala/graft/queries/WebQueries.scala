@@ -23,7 +23,9 @@ object WebQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** The synthesized raw URL: scheme-default port on even ids, `www.`
-    * on multiples of 3, an uppercase host label on multiples of 7,
+    * on multiples of 3, an uppercase host label on multiples of 7, a
+    * path tail whose `~` is spelled `%7E` on multiples of 11 (r14: the
+    * RFC 3986 unreserved-escape decode must MERGE the two spellings),
     * and tracking parameters whose spelling and position vary by
     * parity — so canonicalization has real work to do, and distinct
     * raw URLs collapse onto (host mod 13/5, path mod 7, id mod 5)
@@ -36,6 +38,7 @@ object WebQueries {
     lit(".example"), (col("doc_id") % 5).cast("string"), lit(".com"),
     when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
     lit("/p/"), (col("doc_id") % 7).cast("string"),
+    when(col("doc_id") % 11 === 0, lit("%7Ev")).otherwise(lit("~v")),
     when(col("doc_id") % 2 === 0,
       concat(lit("?utm_source=feed"), (col("doc_id") % 9).cast("string"),
         lit("&id="), (col("doc_id") % 5).cast("string"), lit("&ref=rss")))
@@ -57,6 +60,7 @@ object WebQueries {
       |    '.example' || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
       |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
       |    '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 11 = 0 THEN '%7Ev' ELSE '~v' END ||
       |    CASE WHEN doc_id % 2 = 0
       |      THEN '?utm_source=feed' || CAST(doc_id % 9 AS VARCHAR) ||
       |           '&id=' || CAST(doc_id % 5 AS VARCHAR) || '&ref=rss'
@@ -66,23 +70,27 @@ object WebQueries {
       |  FROM documents)""".stripMargin
 
   /** [[Urls.canonicalize]]'s DuckDB twin over CTE `u` →
-    * `c(doc_id, url_canon)`. */
+    * `c(doc_id, url_canon)`: unreserved percent-escapes decoded FIRST
+    * (the generated replace chain — [[Urls.pctDecodeSql]], the exact
+    * table the Spark single-pass expression implements), then the
+    * host/port/www/tracking-param normalization over the decoded
+    * url. */
   private val canonCte: String =
-    """c AS (
+    s"""c AS (
       |  SELECT doc_id,
       |    'https://' ||
       |    regexp_replace(regexp_replace(
       |      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-      |      ':(443|80)$', ''), '^www\.', '') ||
+      |      ':(443|80)$$', ''), '^www\\.', '') ||
       |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) ||
       |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
       |  FROM (
       |    SELECT doc_id, url,
       |      array_to_string(list_sort(list_filter(
-      |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-      |        p -> NOT (p LIKE 'utm\_%' ESCAPE '\' OR p LIKE 'ref=%'
+      |        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      |        p -> NOT (p LIKE 'utm\\_%' ESCAPE '\\' OR p LIKE 'ref=%'
       |                  OR p LIKE 'fbclid=%' OR p = ''))), '&') AS q
-      |    FROM u))""".stripMargin
+      |    FROM (SELECT doc_id, ${Urls.pctDecodeSql("url")} AS url FROM u)))""".stripMargin
 
   /** Registered-domain + path CTE over `u` → `h(doc_id, domain, path)`. */
   private val domainCte: String =

@@ -461,9 +461,15 @@ class PropertySpec extends SparkSpec {
     } yield s"$www$name$n.example.$tld$port"
     val urlGen = for {
       host <- hostGen
-      path <- Gen.oneOf("", "/", "/p/1", "/a/b-c")
+      // percent-escapes stay within the RFC grammar (every % starts a
+      // valid hex triple): unreserved escapes (%7E %41 %2d — decoded,
+      // upper and lower hex) and reserved ones (%2F %3F — kept) both
+      // appear, so idempotence covers the r14 decode rule
+      path <- Gen.oneOf("", "/", "/p/1", "/a/b-c", "/p/%7Ev", "/p/~v",
+        "/%41b%2Fc", "/x%2dy%3F")
       q <- Gen.oneOf("", "?id=3", "?utm_source=x&id=2&b=1",
-        "?ref=rss&fbclid=z", "?b=2&a=1&utm_campaign=c", "?z=1#frag")
+        "?ref=rss&fbclid=z", "?b=2&a=1&utm_campaign=c", "?z=1#frag",
+        "?id=%34&b=%7e", "?a=%2F2")
     } yield s"https://$host$path$q"
     val samples = Iterator.iterate(seed)(_.next).take(150)
       .flatMap(s => urlGen.apply(Gen.Parameters.default, s))

@@ -32,6 +32,49 @@ class WebSpec extends SparkSpec {
       s"canonicalization mismatch:\n${got.zip(cases.map(_._2)).mkString("\n")}")
   }
 
+  test("percent-decode: unreserved decoded, reserved kept, invalid verbatim") {
+    val cases = Seq(
+      // unreserved escapes decode, upper- and lower-hex spellings
+      ("https://h.example.com/%41b%7ec?x=%34", "https://h.example.com/Ab~c?x=4"),
+      // reserved escapes stay byte-for-byte (decoding %2F would turn
+      // data into a path separator)
+      ("https://h.example.com/a%2Fb?q=%3F", "https://h.example.com/a%2Fb?q=%3F"),
+      // invalid escapes copy through verbatim
+      ("https://h.example.com/a%4gb%", "https://h.example.com/a%4gb%"),
+      // canonicalize merges the two spellings of ~ into one page
+      ("https://h.example.com/p%7Ev", "https://h.example.com/p~v"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.Urls.canonicalize(col("url")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      s"decode mismatch:\n${got.zip(cases.map(_._2)).mkString("\n")}")
+  }
+
+  test("percent-decode single pass == the oracle's generated replace chain") {
+    // the DuckDB twin is a nested replace chain generated from
+    // Urls.pctDecodeTable; replay that exact chain in Spark and pin it
+    // equal to the single-pass expression on grammar-valid inputs
+    // (including every table entry, both hex cases, reserved escapes)
+    val inputs =
+      graft.functions.Urls.pctDecodeTable.map { case (esc, ch) =>
+        s"https://h.example.com/x${esc}y$ch"
+      } ++ Seq("https://h.example.com/%2F%3F%25", "plain-no-escapes",
+        "%41%42%43", "a%2541b" /* %25 kept, trailing 41 NOT re-decoded */)
+    val chain = graft.functions.Urls.pctDecodeTable
+      .foldLeft(col("u")) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+      }
+    val rows = inputs.toDF("u")
+      .select(col("u"), graft.functions.Urls.pctDecode(col("u")).as("single"),
+        chain.as("chained"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"spellings diverge on '${r.getString(0)}': " +
+          s"single='${r.getString(1)}' chained='${r.getString(2)}'")
+    }
+  }
+
   test("registered domain: last two labels of the canonical host") {
     val got = Seq("https://a.b.news.example.com/x", "https://example.com/")
       .toDF("url")
