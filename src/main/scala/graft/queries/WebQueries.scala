@@ -287,15 +287,89 @@ object WebQueries {
       "doc_id")
   }
 
+  /** op317: PSL registered-domain extraction through the BROADCAST-DIM
+    * join spelling — the 100 TB path for the full ~9k-rule Public
+    * Suffix List (the [[Urls.registeredDomainPsl]] when-chain is the
+    * literal-sized spelling the streaming keyers use; this op proves
+    * the table-driven one). Hosts synthesize multi-label suffixes
+    * (co.uk, org.uk, github.io) plus .com and an extra subdomain label
+    * on multiples of 5, so the longest-match rule carries real weight:
+    * "uk" and "co.uk" both match a co.uk host and the 2-label rule
+    * must win. Shape: suffix candidates per host = O(labels) (every
+    * dot-suffix, one explode), an equi-join against the broadcast PSL
+    * dim, and one map-combinable max per doc — no corpus-sized state,
+    * no regex scan of the list. The oracle replays the same slice as a
+    * generated longest-match CASE chain
+    * ([[Urls.registeredDomainPslSql]]); the declared equivalence is
+    * join-longest-match ≡ ordered CASE (both pick the matching suffix
+    * with the most labels, unique per host). */
+  val op317RegisteredDomainPsl: Q = (s, d) => {
+    val host = concat(
+      when(col("doc_id") % 5 === 0, lit("x.")).otherwise(lit("")),
+      lit("h"), (col("doc_id") % 6).cast("string"), lit("."),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("example"), (col("doc_id") % 3).cast("string"),
+          lit(".com")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("example"), (col("doc_id") % 3).cast("string"),
+            lit(".co.uk")))
+        .when(col("doc_id") % 4 === 2, lit("github.io"))
+        .otherwise(concat(lit("example"), (col("doc_id") % 3).cast("string"),
+          lit(".org.uk"))))
+    val docs = Tables.documents(s, d).select(col("doc_id"), host.as("host"))
+    import s.implicits._
+    val pslDf = Urls.publicSuffixSlice
+      .map(x => (x, x.count(_ == '.') + 1)).toDF("suffix", "s_labels")
+    val labs = split(col("host"), "\\.")
+    val cands = transform(sequence(lit(1), size(labs)),
+      i => array_join(slice(labs, i, size(labs) - i + 1), "."))
+    val matched = docs
+      .withColumn("cand", explode(cands))
+      .join(broadcast(pslDf), col("cand") === col("suffix"), "left")
+      .groupBy(col("doc_id"), col("host"))
+      // struct only when a rule matched (the op311 lesson: max over
+      // struct(null, …) is non-null and silently wins)
+      .agg(max(when(col("suffix").isNotNull,
+        struct(col("s_labels"), col("suffix")))).as("m"))
+    ordered(
+      matched.select(col("doc_id"), col("host"),
+        when(col("m").isNull,
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+          .otherwise(array_join(
+            slice(labs, size(labs) - col("m.s_labels"),
+              col("m.s_labels") + 1), "."))
+          .as("domain")),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
     "op309_stream_domain_quota" -> op309StreamDomainQuota,
     "op310_html_extract" -> op310HtmlExtract,
     "op311_robots_gate" -> op311RobotsGate,
-    "op315_stream_url_admission" -> op315StreamUrlAdmission)
+    "op315_stream_url_admission" -> op315StreamUrlAdmission,
+    "op317_registered_domain_psl" -> op317RegisteredDomainPsl)
 
   val oracle: Map[String, String] = Map(
+    // op317: the same host synthesis, registered domain via the
+    // generated longest-match CASE chain over the shared PSL slice
+    "op317_registered_domain_psl" ->
+      s"""WITH hh AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'x.' ELSE '' END) ||
+        |    'h' || CAST(doc_id % 6 AS VARCHAR) || '.' ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |       THEN 'example' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+        |     WHEN doc_id % 4 = 1
+        |       THEN 'example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
+        |     WHEN doc_id % 4 = 2 THEN 'github.io'
+        |     ELSE 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org.uk'
+        |     END) AS host
+        |  FROM documents)
+        |SELECT doc_id, host,
+        |       ${Urls.registeredDomainPslSql("host")} AS domain
+        |FROM hh ORDER BY doc_id""".stripMargin,
     "op307_url_canonical" ->
       s"""WITH $urlCte,
         |$canonCte

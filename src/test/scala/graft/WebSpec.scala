@@ -75,12 +75,39 @@ class WebSpec extends SparkSpec {
     }
   }
 
-  test("registered domain: last two labels of the canonical host") {
-    val got = Seq("https://a.b.news.example.com/x", "https://example.com/")
-      .toDF("url")
+  test("registered domain: PSL longest-match with two-label fallback") {
+    val cases = Seq(
+      // single-label suffix — equals the old two-label heuristic
+      ("https://a.b.news.example.com/x", "example.com"),
+      ("https://example.com/", "example.com"),
+      // multi-label rules must BEAT their single-label prefixes:
+      // "co.uk" over "uk", "github.io" over "io"
+      ("https://shop.example.co.uk/x", "example.co.uk"),
+      ("https://a.b.example.org.uk/", "example.org.uk"),
+      ("https://user.github.io/repo", "user.github.io"),
+      // bare "uk" rule still applies where no 2-label rule matches
+      ("https://site.ac.uk/", "ac.uk"),
+      // unknown TLD falls back to the last two labels
+      ("https://x.example.dev/", "example.dev"))
+    val got = cases.map(_._1).toDF("url")
       .select(Urls.registeredDomain(Urls.canonicalHost(col("url"))))
       .as[String].collect().toSeq
-    assert(got == Seq("example.com", "example.com"))
+    assert(got == cases.map(_._2),
+      s"PSL mismatch:\n${got.zip(cases.map(_._2)).mkString("\n")}")
+  }
+
+  test("op317 join spelling == the when-chain spelling on its fixture hosts") {
+    // the broadcast-dim join (op317) and the literal when-chain
+    // (registeredDomainPsl — what the streaming keyers run) must pick
+    // the same registered domain for every host the fixture produces
+    val d = "/root/testdata/sf0.001"
+    val joined = graft.queries.WebQueries.op317RegisteredDomainPsl(spark, d)
+      .select("doc_id", "host", "domain")
+    val viaChain = joined.select(col("doc_id"), col("host"),
+      Urls.registeredDomainPsl(col("host")).as("chain_domain"))
+    val diff = joined.join(viaChain, Seq("doc_id", "host"))
+      .filter(col("domain") =!= col("chain_domain"))
+    assert(diff.isEmpty, s"spellings diverge: ${diff.take(3).toSeq}")
   }
 
   test("html extraction: script/style content never leaks, entities decode in order") {
