@@ -287,6 +287,47 @@ object WebQueries {
       "doc_id")
   }
 
+  /** op316: the FULL crawl-edge ingest gate — op311's robots verdict
+    * composed in front of op315's URL-dedup + domain-quota admission
+    * as ONE streaming query ([[graft.streaming.AdmissionGate]]): a
+    * document is admitted iff its path is robots-allowed for its
+    * domain AND its canonical URL was never admitted before AND the
+    * domain's quota (25) has room. Gate-then-admit order is load-
+    * bearing: a disallowed URL must never consume a quota slot. The
+    * robots decision runs as a map-side scalar over the broadcast rule
+    * metadata (an aggregate upstream of transformWithState is
+    * append-mode-illegal — the batch join+max spelling cannot stream),
+    * bit-equal to op311's max(struct(l, a)) + default-allow. State is
+    * op315's quota-bounded admitted list, nothing more. The oracle
+    * composes the three stages' SQL: gate → first-occurrence-per-
+    * canonical → per-domain rank ≤ k; restart recovery is pinned in
+    * RecoverySpec. */
+  val op316IngestGate: Q = (s, d) => {
+    import graft.streaming.{AdmissionGate, StateStores}
+    // the op311 ruleset, compiled to the broadcast matcher shape:
+    // domains 0-3 disallow /p/ and re-allow /p/K; example4.com has no
+    // rules (default allow — its quota fills from ALL its paths)
+    val rules: Map[String, Seq[(String, Boolean)]] =
+      (0 to 3).map { k =>
+        s"example$k.com" -> Seq("/p/" -> false, s"/p/$k" -> true)
+      }.toMap
+    val admitted = StateStores.withRocksDb(s) {
+      TrainQueries.drainStream(s, d, "op316", "documents", "append", "8") {
+        st =>
+          AdmissionGate.robotsGatedAdmission(
+            st.select(col("doc_id"),
+              Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("domain"),
+              Urls.pathOf(urlOf).as("path"),
+              Urls.canonicalize(urlOf).as("url_canon")),
+            rules, k = 25L)
+      }
+    }
+    ordered(
+      admitted.select(col("doc_id"), col("domain"), col("url_canon"),
+        big(col("admit_seq")).as("admit_seq")),
+      "doc_id")
+  }
+
   /** op317: PSL registered-domain extraction through the BROADCAST-DIM
     * join spelling — the 100 TB path for the full ~9k-rule Public
     * Suffix List (the [[Urls.registeredDomainPsl]] when-chain is the
@@ -349,6 +390,7 @@ object WebQueries {
     "op310_html_extract" -> op310HtmlExtract,
     "op311_robots_gate" -> op311RobotsGate,
     "op315_stream_url_admission" -> op315StreamUrlAdmission,
+    "op316_stream_ingest_gate" -> op316IngestGate,
     "op317_registered_domain_psl" -> op317RegisteredDomainPsl)
 
   val oracle: Map[String, String] = Map(
@@ -429,6 +471,45 @@ object WebQueries {
         |SELECT doc_id, body_text,
         |       CAST(length(body_text) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,
+    // op316: the composed gate — op311's robots decision (g) filters
+    // BEFORE op315's admission replay, so disallowed URLs neither
+    // appear nor consume quota; the admission equivalence argument is
+    // op315's, applied to the gated subset
+    "op316_stream_ingest_gate" ->
+      s"""WITH $urlCte,
+        |$domainCte,
+        |$canonCte,
+        |r AS (
+        |  SELECT 'example' || CAST(t.i AS VARCHAR) || '.com' AS r_domain,
+        |         'disallow' AS rule, '/p/' AS prefix
+        |  FROM range(4) t(i)
+        |  UNION ALL
+        |  SELECT 'example' || CAST(t.i AS VARCHAR) || '.com',
+        |         'allow', '/p/' || CAST(t.i AS VARCHAR)
+        |  FROM range(4) t(i)),
+        |g AS (
+        |  SELECT doc_id, coalesce(m.a, 1) AS allowed
+        |  FROM (
+        |    SELECT d.doc_id,
+        |           max(CASE WHEN r.rule IS NULL THEN NULL
+        |               ELSE struct_pack(l := length(r.prefix),
+        |                 a := CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END)
+        |               END) AS m
+        |    FROM h d LEFT JOIN r ON r.r_domain = d.domain
+        |      AND d.path LIKE r.prefix || '%'
+        |    GROUP BY 1)),
+        |f AS (
+        |  SELECT h.doc_id, h.domain, c.url_canon
+        |  FROM h JOIN c USING (doc_id) JOIN g USING (doc_id)
+        |  WHERE g.allowed = 1
+        |  QUALIFY row_number() OVER (PARTITION BY h.domain, c.url_canon
+        |    ORDER BY h.doc_id) = 1)
+        |SELECT doc_id, domain, url_canon, rn AS admit_seq FROM (
+        |  SELECT doc_id, domain, url_canon,
+        |         CAST(row_number() OVER (PARTITION BY domain
+        |           ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM f)
+        |WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     // op315: sequential admission ≡ first-occurrence-per-canonical
     // (min doc_id) then per-domain doc_id rank ≤ k — the equivalence
     // holds because non-first rows never consume quota

@@ -627,4 +627,54 @@ class RecoverySpec extends SparkSpec {
     assert(r2 == Seq((3L, "Y", 2L)),
       s"restart lost or reset the admission ListState: $r2")
   }
+
+  test("op316 robots-gated admission survives a checkpointed restart") {
+    // the composed ingest gate: the stateless robots filter must keep
+    // gating replayed AND fresh offsets after restart, and the
+    // admission ListState behind it must restore — a disallowed URL
+    // may never be admitted OR consume a quota slot, in either life
+    import graft.streaming.{AdmissionGate, StateStores}
+    val rules = Map("a.com" -> Seq("/p/" -> false, "/p/ok" -> true))
+    val srcDir = Files.createTempDirectory("graft_gate316_src_").toFile
+    val ckpt = Files.createTempDirectory("graft_gate316_ckpt_").toString
+    def write(rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("doc_id", "domain", "path", "url_canon").coalesce(1)
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+    def runOnce(): Seq[(Long, String, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      StateStores.withRocksDb(spark) {
+        val in = spark.readStream
+          .schema(spark.read.parquet(srcDir.getAbsolutePath).schema)
+          .parquet(srcDir.getAbsolutePath)
+        val q = AdmissionGate.robotsGatedAdmission(in, rules, k = 2L)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              buf ++= batch.collect().map(r =>
+                (r.getLong(0), r.getString(2), r.getLong(3))); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      buf.toSeq.sorted
+    }
+    // run 1: X admitted through the re-allowed subtree; B disallowed
+    // (and must not occupy a quota slot)
+    write(Seq((1L, "a.com", "/p/ok/x", "X"),
+      (2L, "a.com", "/p/bad", "B")))
+    assert(runOnce() == Seq((1L, "X", 1L)))
+    // restart: X re-arrival suppressed against the RESTORED list, the
+    // disallowed path still gated, Y takes the LAST slot (proving B
+    // never consumed one), Z quota-rejected against the restored count
+    write(Seq((3L, "a.com", "/p/ok/x", "X"),
+      (4L, "a.com", "/p/bad", "B2"),
+      (5L, "a.com", "/q/z", "Y"),
+      (6L, "a.com", "/q/w", "Z")))
+    val r2 = runOnce()
+    assert(r2 == Seq((5L, "Y", 2L)),
+      s"gate or admission state broke across restart: $r2")
+  }
 }
