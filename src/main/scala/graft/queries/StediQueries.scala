@@ -224,15 +224,47 @@ object StediQueries {
     * exactly once, when the watermark that propagates THROUGH the join
     * passes the day's end. With delay 0 the final watermark is exactly
     * max(riskTime), and the join's output watermark trails it by its
-    * state horizon — so the emitted set is a closed-form function of
-    * the input, and the oracle replays it as the time-band join +
-    * day-grouped aggregate filtered to the propagated cutoff. */
-  val op306StediBoundedFlagship: Q = (s, d) =>
+    * state horizon — so the oracle may replay the emitted set as the
+    * FULL batch aggregate only while every emitted day window closes
+    * before that propagated watermark. That fixture invariant is
+    * ASSERTED here (r14, advice item), not assumed: a cheap batch
+    * replay of the band join checks
+    * dayCeil(max matched riskTime) ≤ max(ts) − 24 h, so a future
+    * fixture whose late-day windows stay open fails LOUDLY instead of
+    * silently diverging from the oracle by SF. */
+  val op306StediBoundedFlagship: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cust = Tables.customer(s, d).select(
+      StediFixtures.emailFor(col("c_custkey")).as("email"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, " +
+        "CAST(c_custkey % 720 AS INT), 0, 0)").as("seenAt"))
+    val gate = ev
+      .select(StediFixtures.emailFor(col("user_id")).as("customer"),
+        col("ts"))
+      .join(cust, col("customer") === col("email") &&
+        col("ts") >= col("seenAt") &&
+        col("ts") <= col("seenAt") + expr("interval 24 hours"))
+      .agg(max(col("ts")).as("max_matched"))
+      .crossJoin(ev.agg(max(col("ts")).as("max_ts")))
+      .select(
+        (date_trunc("day", col("max_matched")) + expr("interval 1 day"))
+          .cast("string").as("last_window_end"),
+        (col("max_ts") - expr("interval 24 hours")).cast("string")
+          .as("propagated_wm"),
+        ((date_trunc("day", col("max_matched")) + expr("interval 1 day"))
+          <= (col("max_ts") - expr("interval 24 hours"))).as("ok"))
+      .collect()(0)
+    require(gate.isNullAt(2) || gate.getBoolean(2), // null: nothing matched
+      s"op306 fixture invariant broken: last emitted day window ends " +
+        s"${gate.getString(0)} but the join-propagated watermark is " +
+        s"only ${gate.getString(1)} — append mode would withhold " +
+        "open windows the full-aggregate oracle emits")
     ordered(
       drainStediPair(s, d, "op306") { (risks, customers) =>
         Stedi.boundedFlagshipDaily(risks, customers)
       },
       "day", "email")
+  }
 
   /** The RDB snapshot bootstrap under the hash gate (op125): customer
     * rows render to record JSON, encode into a genuine RDB v9 binary
@@ -450,9 +482,11 @@ object StediQueries {
     // the events' max ts (day 30, delay 0), so every emitted-day window
     // closes ~3 weeks before the propagated (join-output) watermark and
     // the append-mode emitted set IS the full aggregate — verified by
-    // count at sf0.001 (21/21) and sf0.01 (179/179); the withholding
-    // behavior itself is spec'd in StreamingSpec where arrivals are
-    // controlled.
+    // count at sf0.001 (21/21) and sf0.01 (179/179), and as of r14
+    // ASSERTED inside the query itself (the op306 fixture-invariant
+    // gate fails loudly on any fixture where a late-day window would
+    // stay open); the withholding behavior itself is spec'd in
+    // StreamingSpec where arrivals are controlled.
     "op306_stedi_bounded_flagship" ->
       """WITH cust AS (
         |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
