@@ -46,4 +46,53 @@ object Html {
     * one space → trim. */
   def extract(html: Column): Column =
     trim(regexp_replace(decodeEntities(stripTags(html)), "\\s+", " "))
+
+  /** Block boundary for [[mainContent]]: the closing tags of the
+    * block-level elements (p, div, li, h1-h6). Shared with the oracle
+    * twin so the two engines split identically. */
+  val blockBoundary: String = "(?i)</(?:p|div|li|h[1-6])>"
+
+  /** Anchor-content pattern for the link-density score. */
+  val anchorPattern: String = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** Text INSIDE the block's anchors, extracted like [[extract]] — the
+    * numerator of the link-density score. */
+  def linkText(block: Column): Column =
+    extract(array_join(
+      regexp_extract_all(block, lit(anchorPattern), lit(1)), " "))
+
+  /** Main-content extraction (r14 — the deterministic boilerplate
+    * floor the r13 Html hook named): split the page into block-level
+    * units, score each by length and LINK DENSITY (jusText/Readability
+    * core heuristic: navigation, footers and "read more" boilerplate
+    * are short or link-dominated; body prose is neither), and re-join
+    * the survivors in document order. A block survives iff its
+    * extracted text is ≥ `minChars` AND its anchor-text share is
+    * ≤ `maxLinkPct` percent. Everything is array HOFs over ONE row —
+    * no explode, no shuffle; at 100 TB this is a map-only projection
+    * whose cost scales with page bytes, exactly like [[extract]].
+    * DOM-aware classifiers (tag trees, class-name priors) remain a
+    * parser's job; this is the regex-able floor every such extractor
+    * also needs, and it is exactly replayable in the DuckDB oracle
+    * (op318). */
+  def mainContent(html: Column, minChars: Int = 20,
+      maxLinkPct: Int = 33): Column = {
+    val blocks = split(html, blockBoundary)
+    val kept = filter(blocks, b =>
+      length(extract(b)) >= minChars &&
+        length(linkText(b)) * 100 <= length(extract(b)) * maxLinkPct)
+    array_join(transform(kept, b => extract(b)), " ")
+  }
+
+  /** Number of blocks [[mainContent]] keeps / sees — the audit columns
+    * op318 publishes beside the text. */
+  def mainContentKept(html: Column, minChars: Int = 20,
+      maxLinkPct: Int = 33): Column = {
+    val blocks = split(html, blockBoundary)
+    size(filter(blocks, b =>
+      length(extract(b)) >= minChars &&
+        length(linkText(b)) * 100 <= length(extract(b)) * maxLinkPct))
+  }
+
+  def blockCount(html: Column): Column = size(split(html, blockBoundary))
 }

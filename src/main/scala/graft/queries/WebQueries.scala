@@ -383,6 +383,66 @@ object WebQueries {
       "doc_id")
   }
 
+  /** [[graft.functions.Html.extract]]'s DuckDB chain over a SQL
+    * expression string — ONE generator shared by the op310 oracle and
+    * every place op318 needs per-block extraction, so the engines
+    * cannot drift. RE2-spelled (two non-greedy patterns instead of a
+    * backreference; explicit 'g'). */
+  private def htmlExtractSql(e: String): String =
+    "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+      "'<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), " +
+      "'\\s+', ' ', 'g'))"
+
+  /** [[graft.functions.Html.linkText]]'s DuckDB twin. NOTE the
+    * coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    * array_join gives '' — without it an anchor-free block's predicate
+    * evaluates NULL and list_filter silently drops EVERY such block. */
+  private def linkTextSql(e: String): String =
+    htmlExtractSql("coalesce(array_to_string(regexp_extract_all(" +
+      s"$e, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
+
+  /** The op318 keep predicate over a block expression. */
+  private def keepBlockSql(e: String): String =
+    s"length(${htmlExtractSql(e)}) >= 20 AND " +
+      s"length(${linkTextSql(e)}) * 100 <= length(${htmlExtractSql(e)}) * 33"
+
+  /** op318: MAIN-CONTENT extraction — the deterministic boilerplate-
+    * removal floor (jusText/Readability core): split the page into
+    * block-level units, drop short and link-dominated blocks (nav,
+    * footer, "read more" boilerplate), keep body prose in document
+    * order ([[graft.functions.Html.mainContent]]). The fixture wraps
+    * each document's text in a page with a link-dense nav, a short
+    * heading, a link-heavy read-more block and a link-heavy footer —
+    * every drop rule carries weight, and the body paragraph must
+    * survive. 100 TB shape: array HOFs over one row — map-only, no
+    * explode, no shuffle; cost ∝ page bytes. */
+  val op318MainContent: Q = (s, d) => {
+    import graft.functions.Html
+    val page = concat(
+      lit("<html><body><div><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a>" +
+        "</div><p>"),
+      col("text"),
+      lit("</p><h2>Doc "), col("doc_id").cast("string"),
+      lit("</h2><div>Read <a href=\"/more\">much more about this " +
+        "document over here</a></div><div>&copy; 2024 " +
+        "<a href=\"/privacy\">Privacy policy</a> " +
+        "<a href=\"/terms\">Terms of service</a> " +
+        "<a href=\"/cookies\">Cookie settings</a></div></body></html>"))
+    ordered(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Html.mainContent(page).as("main_text"),
+          big(Html.mainContentKept(page)).as("n_kept"),
+          big(Html.blockCount(page)).as("n_blocks")),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
@@ -391,9 +451,33 @@ object WebQueries {
     "op311_robots_gate" -> op311RobotsGate,
     "op315_stream_url_admission" -> op315StreamUrlAdmission,
     "op316_stream_ingest_gate" -> op316IngestGate,
-    "op317_registered_domain_psl" -> op317RegisteredDomainPsl)
+    "op317_registered_domain_psl" -> op317RegisteredDomainPsl,
+    "op318_main_content" -> op318MainContent)
 
   val oracle: Map[String, String] = Map(
+    // op318: the same page wrap; blocks split on the shared boundary,
+    // the keep predicate and per-block extraction generated from ONE
+    // SQL builder (htmlExtractSql — also op310's chain)
+    "op318_main_content" ->
+      s"""WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><body><div><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></div><p>'
+        |    || text || '</p><h2>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</h2><div>Read <a href="/more">much more about this document over here</a></div><div>&copy; 2024 <a href="/privacy">Privacy policy</a> <a href="/terms">Terms of service</a> <a href="/cookies">Cookie settings</a></div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    string_split_regex(html, '(?i)</(?:p|div|li|h[1-6])>') AS blocks
+        |  FROM pg)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(list_filter(blocks,
+        |    x -> ${keepBlockSql("x")}),
+        |    x -> ${htmlExtractSql("x")}), ' '), '') AS main_text,
+        |  CAST(len(list_filter(blocks, x -> ${keepBlockSql("x")}))
+        |       AS BIGINT) AS n_kept,
+        |  CAST(len(blocks) AS BIGINT) AS n_blocks
+        |FROM b ORDER BY doc_id""".stripMargin,
     // op317: the same host synthesis, registered domain via the
     // generated longest-match CASE chain over the shared PSL slice
     "op317_registered_domain_psl" ->
@@ -444,9 +528,10 @@ object WebQueries {
     // op310: the same page wrap + extraction chain, RE2-spelled
     // (script/style removed as two separate non-greedy patterns — RE2
     // has no backreferences; 'g' flag — DuckDB replaces first-only by
-    // default where Spark replaces all)
+    // default where Spark replaces all); chain generated by the shared
+    // htmlExtractSql builder (also op318's per-block extractor)
     "op310_html_extract" ->
-      """WITH pg AS (
+      s"""WITH pg AS (
         |  SELECT doc_id,
         |    '<html><head><title>t' || CAST(doc_id AS VARCHAR) ||
         |    '</title><style>p{color:red}</style><script>var x=' ||
@@ -457,16 +542,7 @@ object WebQueries {
         |    '&gt;&nbsp;end</div></body></html>' AS html
         |  FROM documents),
         |x AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(replace(
-        |        regexp_replace(regexp_replace(regexp_replace(html,
-        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |          '<[^>]*>', ' ', 'g'),
-        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |      '\s+', ' ', 'g')) AS body_text
+        |  SELECT doc_id, ${htmlExtractSql("html")} AS body_text
         |  FROM pg)
         |SELECT doc_id, body_text,
         |       CAST(length(body_text) AS BIGINT) AS n_chars

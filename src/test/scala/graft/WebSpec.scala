@@ -143,6 +143,29 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("main content: link-dense and short blocks drop, prose survives") {
+    import graft.functions.Html
+    val page = "<body>" +
+      "<div><a href=\"/\">Home</a> <a href=\"/a\">About us page</a></div>" + // nav: all links
+      "<p>This paragraph carries the actual article prose of the page.</p>" +
+      "<h2>Short</h2>" + // < 20 chars
+      "<div>Read <a href=\"/m\">much more about this topic right here</a></div>" + // link-heavy
+      "<div>Fine print with one <a href=\"/l\">link</a> inside a mostly " +
+      "textual closing paragraph that should survive.</div>" + // low density
+      "</body>"
+    val r = Seq(page).toDF("h")
+      .select(Html.mainContent(col("h")).as("t"),
+        Html.mainContentKept(col("h")).as("k"),
+        Html.blockCount(col("h")).as("n"))
+      .collect()(0)
+    assert(r.getString(0) ==
+      "This paragraph carries the actual article prose of the page. " +
+        "Fine print with one link inside a mostly textual closing " +
+        "paragraph that should survive.", s"got '${r.getString(0)}'")
+    assert(r.getInt(1) == 2 && r.getInt(2) == 6,
+      s"kept=${r.getInt(1)} blocks=${r.getInt(2)}")
+  }
+
   test("op312 FIM: applied rows reassemble to the original token stream") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.queries.TrainQueries.op312FimTransform(spark, d)
