@@ -30,43 +30,59 @@ object WebQueries {
     * parity — so canonicalization has real work to do, and distinct
     * raw URLs collapse onto (host mod 13/5, path mod 7, id mod 5)
     * canonical groups. */
-  private def urlOf: Column = concat(
+  private def urlFor(id: Column): Column = concat(
     lit("https://"),
-    when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
-    when(col("doc_id") % 7 === 0, lit("Site")).otherwise(lit("site")),
-    (col("doc_id") % 13).cast("string"),
-    lit(".example"), (col("doc_id") % 5).cast("string"), lit(".com"),
-    when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
-    lit("/p/"), (col("doc_id") % 7).cast("string"),
-    when(col("doc_id") % 11 === 0, lit("%7Ev")).otherwise(lit("~v")),
-    when(col("doc_id") % 2 === 0,
-      concat(lit("?utm_source=feed"), (col("doc_id") % 9).cast("string"),
-        lit("&id="), (col("doc_id") % 5).cast("string"), lit("&ref=rss")))
+    when(id % 3 === 0, lit("www.")).otherwise(lit("")),
+    when(id % 7 === 0, lit("Site")).otherwise(lit("site")),
+    (id % 13).cast("string"),
+    lit(".example"), (id % 5).cast("string"), lit(".com"),
+    when(id % 2 === 0, lit(":443")).otherwise(lit("")),
+    lit("/p/"), (id % 7).cast("string"),
+    when(id % 11 === 0, lit("%7Ev")).otherwise(lit("~v")),
+    when(id % 2 === 0,
+      concat(lit("?utm_source=feed"), (id % 9).cast("string"),
+        lit("&id="), (id % 5).cast("string"), lit("&ref=rss")))
       .otherwise(
-        concat(lit("?id="), (col("doc_id") % 5).cast("string"),
-          lit("&utm_campaign=c"), (col("doc_id") % 4).cast("string"))))
+        concat(lit("?id="), (id % 5).cast("string"),
+          lit("&utm_campaign=c"), (id % 4).cast("string"))))
 
-  /** The same synthesis as a DuckDB CTE (`u(doc_id, url)`). NOTE: no
-    * continuation line in these CTE strings may START with "||" — the
-    * outer oracle strings re-run stripMargin over the interpolated
-    * text, which would eat one pipe of the operator. */
+  private def urlOf: Column = urlFor(col("doc_id"))
+
+  /** [[urlFor]]'s DuckDB twin over an id expression — ONE generator so
+    * every oracle that synthesizes a URL (for doc_id or any derived
+    * id, as op319's link targets do) cannot drift from the Spark
+    * synthesis. Emitted as a single line: these fragments interpolate
+    * into stripMargin oracle strings. */
+  private def urlSql(e: String): String =
+    s"'https://' || " +
+      s"CASE WHEN ($e) % 3 = 0 THEN 'www.' ELSE '' END || " +
+      s"CASE WHEN ($e) % 7 = 0 THEN 'Site' ELSE 'site' END || " +
+      s"CAST(($e) % 13 AS VARCHAR) || '.example' || " +
+      s"CAST(($e) % 5 AS VARCHAR) || '.com' || " +
+      s"CASE WHEN ($e) % 2 = 0 THEN ':443' ELSE '' END || " +
+      s"'/p/' || CAST(($e) % 7 AS VARCHAR) || " +
+      s"CASE WHEN ($e) % 11 = 0 THEN '%7Ev' ELSE '~v' END || " +
+      s"CASE WHEN ($e) % 2 = 0 " +
+      s"THEN '?utm_source=feed' || CAST(($e) % 9 AS VARCHAR) || " +
+      s"'&id=' || CAST(($e) % 5 AS VARCHAR) || '&ref=rss' " +
+      s"ELSE '?id=' || CAST(($e) % 5 AS VARCHAR) || " +
+      s"'&utm_campaign=c' || CAST(($e) % 4 AS VARCHAR) END"
+
+  /** Canonical-host chain ([[Urls.canonicalHost]]'s twin) over a SQL
+    * expression string. */
+  private def canonicalHostSql(e: String): String =
+    s"regexp_replace(regexp_replace(lower(regexp_extract($e, " +
+      "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), " +
+      "':(443|80)$', ''), '^www\\.', '')"
+
+  /** The same synthesis as a DuckDB CTE (`u(doc_id, url)`), generated
+    * from [[urlSql]]. NOTE: no continuation line in these CTE strings
+    * may START with "||" — the outer oracle strings re-run stripMargin
+    * over the interpolated text, which would eat one pipe of the
+    * operator (the generators emit single lines for this reason). */
   private val urlCte: String =
-    """u AS (
-      |  SELECT doc_id,
-      |    'https://' ||
-      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
-      |    CASE WHEN doc_id % 7 = 0 THEN 'Site' ELSE 'site' END ||
-      |    CAST(doc_id % 13 AS VARCHAR) ||
-      |    '.example' || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
-      |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
-      |    '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
-      |    CASE WHEN doc_id % 11 = 0 THEN '%7Ev' ELSE '~v' END ||
-      |    CASE WHEN doc_id % 2 = 0
-      |      THEN '?utm_source=feed' || CAST(doc_id % 9 AS VARCHAR) ||
-      |           '&id=' || CAST(doc_id % 5 AS VARCHAR) || '&ref=rss'
-      |      ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR) ||
-      |           '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR)
-      |    END AS url
+    s"""u AS (
+      |  SELECT doc_id, ${urlSql("doc_id")} AS url
       |  FROM documents)""".stripMargin
 
   /** [[Urls.canonicalize]]'s DuckDB twin over CTE `u` →
@@ -443,6 +459,39 @@ object WebQueries {
       "doc_id")
   }
 
+  /** op319: LINK-GRAPH extraction — the crawl stage that turns pages
+    * into the domain-level web graph every ranking/frontier component
+    * consumes (and the edge list ops 176/208/217 then run on): extract
+    * anchor hrefs, canonicalize each target's host, key both ends by
+    * PSL registered domain, and aggregate to (src_domain, dst_domain,
+    * n_links) with self-edges dropped. Each document links to three
+    * deterministically-derived pages (ids 7·d+3, 5·d+1, d+13 through
+    * the SAME collision-rich URL synthesis — www/port/case variants
+    * must collapse before edges can aggregate). 100 TB shape: href
+    * extraction and both domain keys are map-only; the only shuffle is
+    * the final (src, dst) count with map-side combine — edge-list
+    * construction at corpus scale is exactly this one aggregation. */
+  val op319LinkGraph: Q = (s, d) => {
+    val page = concat(
+      lit("<html><body><p>See <a href=\""), urlFor(col("doc_id") * 7 + 3),
+      lit("\">first</a> and <a href=\""), urlFor(col("doc_id") * 5 + 1),
+      lit("\">second</a>; archive at <a href=\""), urlFor(col("doc_id") + 13),
+      lit("\">third</a>.</p></body></html>"))
+    ordered(
+      Tables.documents(s, d)
+        .select(
+          Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("src_domain"),
+          explode(regexp_extract_all(page,
+            lit("(?is)<a[^>]+href=\"([^\"]+)\""), lit(1))).as("href"))
+        .select(col("src_domain"),
+          Urls.registeredDomain(Urls.canonicalHost(col("href")))
+            .as("dst_domain"))
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(big(count(lit(1))).as("n_links")),
+      "src_domain", "dst_domain")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
@@ -452,9 +501,33 @@ object WebQueries {
     "op315_stream_url_admission" -> op315StreamUrlAdmission,
     "op316_stream_ingest_gate" -> op316IngestGate,
     "op317_registered_domain_psl" -> op317RegisteredDomainPsl,
-    "op318_main_content" -> op318MainContent)
+    "op318_main_content" -> op318MainContent,
+    "op319_link_graph" -> op319LinkGraph)
 
   val oracle: Map[String, String] = Map(
+    // op319: same page + target synthesis (urlSql generator over the
+    // derived ids), host chain + PSL longest-match per end, self-edges
+    // dropped, one grouped count
+    "op319_link_graph" ->
+      s"""WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>See <a href="' || ${urlSql("doc_id * 7 + 3")} ||
+        |    '">first</a> and <a href="' || ${urlSql("doc_id * 5 + 1")} ||
+        |    '">second</a>; archive at <a href="' || ${urlSql("doc_id + 13")} ||
+        |    '">third</a>.</p></body></html>' AS html,
+        |    ${canonicalHostSql(urlSql("doc_id"))} AS src_host
+        |  FROM documents),
+        |e AS (
+        |  SELECT ${Urls.registeredDomainPslSql("src_host")} AS src_domain,
+        |         ${Urls.registeredDomainPslSql("dst_host")} AS dst_domain
+        |  FROM (
+        |    SELECT src_host, ${canonicalHostSql("u.href")} AS dst_host
+        |    FROM pg, UNNEST(regexp_extract_all(html,
+        |      '(?is)<a[^>]+href="([^"]+)"', 1)) AS u(href)))
+        |SELECT src_domain, dst_domain,
+        |       CAST(count(*) AS BIGINT) AS n_links
+        |FROM e WHERE src_domain <> dst_domain
+        |GROUP BY 1, 2 ORDER BY src_domain, dst_domain""".stripMargin,
     // op318: the same page wrap; blocks split on the shared boundary,
     // the keep predicate and per-block extraction generated from ONE
     // SQL builder (htmlExtractSql — also op310's chain)
