@@ -27,9 +27,9 @@ object SeqGraphQueries {
   /** op176's fixed-point scale: ranks held as parts-per-billion BIGINTs;
     * damping 0.85 applied as (ppb·850000000) div 10⁹ — the product stays
     * ≤ 8.5×10¹⁷, inside BIGINT. */
-  private val prScale = 1000000000L
-  private val prDampNum = 850000000L
-  private val prIters = 5
+  private[queries] val prScale = 1000000000L
+  private[queries] val prDampNum = 850000000L
+  private[queries] val prIters = 5
   /** op176 basket cap — orders with more distinct parts than this are
     * excluded from the co-purchase graph (the op170 doc-frequency-cap
     * convention: at 100 TB one mega-basket would emit O(n²) pairs). */
@@ -2603,8 +2603,12 @@ object SeqGraphQueries {
 
   /** op176's oracle: the identical integer iteration unrolled as
     * chained CTEs (r0 → r5). */
-  private def pagerankSql: String = {
-    val iters = (1 to prIters).map { i =>
+  /** The integer-PageRank iteration chain (r1..rN over CTEs named
+    * esd/verts/nverts/r0) — factored so op176's oracle and op320's
+    * page-rank-over-the-crawl-graph oracle (WebQueries) share the
+    * exact arithmetic. */
+  private[queries] def prIterChainSql: String =
+    (1 to prIters).map { i =>
       s"""r$i AS (
          |  SELECT v.pk,
          |    150000000 // nv.nv + ($prDampNum * coalesce(c.sc, 0)) // $prScale
@@ -2615,6 +2619,14 @@ object SeqGraphQueries {
          |    FROM esd e JOIN r${i - 1} rr ON e.src = rr.pk
          |    GROUP BY 1) c ON v.pk = c.dst)""".stripMargin
     }.mkString(",\n")
+
+  /** The iteration chain's prelude contract, shared with op320: the
+    * caller provides edges → deg/esd/verts/nverts/r0 in these exact
+    * names, appends [[prIterChainSql]], and reads r$prIters. */
+  private[queries] def prFinalCte: String = s"r$prIters"
+
+  private def pagerankSql: String = {
+    val iters = prIterChainSql
     s"""WITH items AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |small AS (

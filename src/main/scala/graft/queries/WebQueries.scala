@@ -75,6 +75,21 @@ object WebQueries {
       "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), " +
       "':(443|80)$', ''), '^www\\.', '')"
 
+  /** Path component ([[Urls.pathOf]]'s twin) over a SQL expression. */
+  private def pathSql(e: String): String =
+    s"regexp_extract($e, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+
+  /** Canonical-query chain ([[Urls.canonicalQuery]]'s twin): tracking
+    * params dropped, survivors sorted. Coalesced because DuckDB's
+    * array_to_string([]) is NULL where Spark's array_join gives ''
+    * (the op318 lesson — here it would NULL the whole canonical URL
+    * for a query that filters to nothing). */
+  private def querySql(e: String): String =
+    "coalesce(array_to_string(list_sort(list_filter(string_split(" +
+      s"regexp_extract($e, '\\?([^#]*)', 1), '&'), " +
+      "p -> NOT (p LIKE 'utm\\_%' ESCAPE '\\' OR p LIKE 'ref=%' " +
+      "OR p LIKE 'fbclid=%' OR p = ''))), '&'), '')"
+
   /** The same synthesis as a DuckDB CTE (`u(doc_id, url)`), generated
     * from [[urlSql]]. NOTE: no continuation line in these CTE strings
     * may START with "||" — the outer oracle strings re-run stripMargin
@@ -94,18 +109,10 @@ object WebQueries {
   private val canonCte: String =
     s"""c AS (
       |  SELECT doc_id,
-      |    'https://' ||
-      |    regexp_replace(regexp_replace(
-      |      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-      |      ':(443|80)$$', ''), '^www\\.', '') ||
-      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) ||
+      |    'https://' || ${canonicalHostSql("url")} || ${pathSql("url")} ||
       |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
       |  FROM (
-      |    SELECT doc_id, url,
-      |      array_to_string(list_sort(list_filter(
-      |        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-      |        p -> NOT (p LIKE 'utm\\_%' ESCAPE '\\' OR p LIKE 'ref=%'
-      |                  OR p LIKE 'fbclid=%' OR p = ''))), '&') AS q
+      |    SELECT doc_id, url, ${querySql("url")} AS q
       |    FROM (SELECT doc_id, ${Urls.pctDecodeSql("url")} AS url FROM u)))""".stripMargin
 
   /** Registered-domain + path CTE over `u` → `h(doc_id, domain, path)`. */
@@ -492,6 +499,53 @@ object WebQueries {
       "src_domain", "dst_domain")
   }
 
+  /** op320: PageRank over the crawl's PAGE-LEVEL link graph — the
+    * end-to-end composition a search/frontier stack runs: op319's
+    * extraction at canonical-URL grain (www/port/escape variants must
+    * collapse into one node before ranking), symmetrized and
+    * deduplicated, then op176's exact integer PageRank (same ppb
+    * scale, damping and iteration count — the oracle literally appends
+    * [[SeqGraphQueries.prIterChainSql]], so the two ops cannot drift).
+    * The Spark loop mirrors op176's broadcast spelling: ranks and
+    * degrees are |V|-sized (pages with out-links — a dimension
+    * relative to the corpus), so the edge list never re-shuffles per
+    * iteration; past broadcast scale the op176b co-partitioned
+    * spelling applies unchanged. */
+  val op320PageRank: Q = (s, d) => {
+    import SeqGraphQueries.{prDampNum, prIters, prScale}
+    val pairs = Tables.documents(s, d)
+      .select(Urls.canonicalize(urlOf).as("a"),
+        explode(array(
+          Urls.canonicalize(urlFor(col("doc_id") * 7 + 3)),
+          Urls.canonicalize(urlFor(col("doc_id") * 5 + 1)),
+          Urls.canonicalize(urlFor(col("doc_id") + 13)))).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).distinct()
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val esd = edges.join(broadcast(deg), "src")
+    val verts = deg.select(col("src").as("pk"))
+    val nVerts = verts.agg(count(lit(1)).as("nv"))
+    var ranks = verts.crossJoin(nVerts)
+      .select(col("pk"), expr(s"$prScale div nv").as("r"))
+    for (_ <- 1 to prIters) {
+      val contrib = esd.join(broadcast(ranks), esd("src") === ranks("pk"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      ranks = verts.crossJoin(nVerts)
+        .join(broadcast(contrib), col("pk") === col("dst"), "left")
+        .select(col("pk"), col("nv"), coalesce(col("sc"), lit(0L)).as("sc"))
+        .select(col("pk"),
+          expr(s"150000000 div nv + ($prDampNum * sc) div $prScale")
+            .as("r"))
+    }
+    ordered(
+      ranks.join(deg, ranks("pk") === deg("src"))
+        .select(col("pk").as("url_canon"), big(col("r")).as("rank_ppb"),
+          big(col("deg")).as("deg")),
+      "url_canon")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
@@ -502,9 +556,51 @@ object WebQueries {
     "op316_stream_ingest_gate" -> op316IngestGate,
     "op317_registered_domain_psl" -> op317RegisteredDomainPsl,
     "op318_main_content" -> op318MainContent,
-    "op319_link_graph" -> op319LinkGraph)
+    "op319_link_graph" -> op319LinkGraph,
+    "op320_page_rank" -> op320PageRank)
 
   val oracle: Map[String, String] = Map(
+    // op320: canonical-URL edges (decode once per url in `base`, then
+    // host/path/query chains per end), symmetrize + dedup, and the
+    // SHARED op176 iteration chain (prIterChainSql) — identical
+    // integer arithmetic by construction
+    "op320_page_rank" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    ${Urls.pctDecodeSql(urlSql("doc_id"))} AS src_d,
+        |    [${Urls.pctDecodeSql(urlSql("doc_id * 7 + 3"))},
+        |     ${Urls.pctDecodeSql(urlSql("doc_id * 5 + 1"))},
+        |     ${Urls.pctDecodeSql(urlSql("doc_id + 13"))}] AS dst_ds
+        |  FROM documents),
+        |q1 AS (
+        |  SELECT src_d, u.d AS dst_d,
+        |         ${querySql("src_d")} AS qs,
+        |         ${querySql("u.d")} AS qd
+        |  FROM base, UNNEST(dst_ds) AS u(d)),
+        |pairs AS (
+        |  SELECT DISTINCT
+        |    'https://' || ${canonicalHostSql("src_d")} || ${pathSql("src_d")} ||
+        |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS a,
+        |    'https://' || ${canonicalHostSql("dst_d")} || ${pathSql("dst_d")} ||
+        |      CASE WHEN qd = '' THEN '' ELSE '?' || qd END AS b
+        |  FROM q1),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT a AS src, b AS dst FROM pairs WHERE a <> b
+        |    UNION ALL SELECT b, a FROM pairs WHERE a <> b)),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |esd AS (SELECT e.src, e.dst, d.deg FROM edges e
+        |        JOIN deg d USING (src)),
+        |verts AS (SELECT src AS pk FROM deg),
+        |nverts AS (SELECT count(*) AS nv FROM verts),
+        |r0 AS (SELECT pk, ${SeqGraphQueries.prScale} // nv AS r
+        |       FROM verts CROSS JOIN nverts),
+        |${SeqGraphQueries.prIterChainSql}
+        |SELECT v.pk AS url_canon, CAST(r.r AS BIGINT) AS rank_ppb,
+        |  CAST(d.deg AS BIGINT) AS deg
+        |FROM verts v JOIN ${SeqGraphQueries.prFinalCte} r USING (pk)
+        |JOIN deg d ON v.pk = d.src
+        |ORDER BY url_canon""".stripMargin,
     // op319: same page + target synthesis (urlSql generator over the
     // derived ids), host chain + PSL longest-match per end, self-edges
     // dropped, one grouped count
