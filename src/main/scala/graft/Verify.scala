@@ -158,8 +158,10 @@ object Verify {
     // FINAL stdout line: one compact JSON object (≤ a few hundred bytes)
     // a capture-limited driver can always parse — never the big maps
     val failedJson = errors.keys.map(q).mkString("[", ",", "]")
+    // q() on the path too: an outDir with a quote/backslash/control
+    // char would otherwise invalidate the very line this exists for
     println(
-      s"""{"verify": "complete", "n_queries": ${selected.size}, "n_dumped": ${selected.size - errors.size}, "n_failed": ${errors.size}, "failed": $failedJson, "summary": "$outDir/_summary.json"}""")
+      s"""{"verify": "complete", "n_queries": ${selected.size}, "n_dumped": ${selected.size - errors.size}, "n_failed": ${errors.size}, "failed": $failedJson, "summary": ${q(s"$outDir/_summary.json")}}""")
     spark.stop()
   }
 }

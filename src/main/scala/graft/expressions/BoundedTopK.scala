@@ -24,6 +24,7 @@ private[expressions] final class BoundedTopK(k: Int) {
       : Boolean = s1 > s2 || (s1 == s2 && i1 < i2)
 
   def offer(score: Long, id: Long): Unit = {
+    if (k <= 0) return // k=0 is "no results wanted", not a crash
     if (n == k && !better(score, id, scores(k - 1), ids(k - 1))) return
     var pos = if (n < k) n else k - 1
     while (pos > 0 && better(score, id, scores(pos - 1), ids(pos - 1))) {

@@ -1,0 +1,83 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+
+/** PSL registered-domain (eTLD+1) extraction as ONE plan node: the
+  * longest suffix in `suffixes` that the host ends with (the PSL
+  * longest-match rule) plus one preceding label; hosts matching no
+  * rule fall back to the last two labels (the PSL's implicit "*" rule
+  * for unknown TLDs).
+  *
+  * Why an expression and not the [[graft.functions.Urls
+  * .registeredDomainPsl]] when-chain: the streaming admission keyers
+  * (op309/op315/op316) re-analyze their plan EVERY micro-batch, and a
+  * per-rule when-chain is per-rule PLAN SIZE — at the full ~9k-rule
+  * PSL that is thousands of nodes in a plan that must stay ~tens (the
+  * r11 lesson that motivated IvfCellProbe). Here the rule table rides
+  * in the JVM object as a hash set (kilobytes — the compiled matcher
+  * every crawl stack holds in RAM), the match is O(labels) set probes
+  * per row, and the batch spellings (when-chain for literal-sized
+  * slices, the op317 broadcast-dim join for the full list) remain the
+  * relational twins — WebSpec pins all three equal.
+  *
+  * Equality with the when-chain is exact including the regex edge
+  * cases: a matched suffix whose preceding label is EMPTY ("x..com")
+  * yields '' (the chain's `([^.]+\.suffix)$` fails its [^.]+), and the
+  * fallback yields '' unless the last two labels are both non-empty
+  * (`([^.]+\.[^.]+)$`). */
+case class RegisteredDomainPsl(host: Expression, suffixes: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = host
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_registered_domain"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    host.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"requires string, got ${other.simpleString}")
+    }
+
+  @transient private lazy val suffixSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    suffixes.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(hostV: Any): Any = {
+    val h = hostV.toString
+    // -1 = keep trailing empty labels ("a." splits to ["a", ""]) so
+    // malformed hosts take the same '' path the regex spellings take
+    val labels = h.split("\\.", -1)
+    val n = labels.length
+    // longest matching suffix = the SMALLEST i (1..n-1) whose tail is
+    // a rule; suffixes of one host at different lengths are distinct,
+    // so the first hit is the unique longest match
+    var i = 1
+    while (i < n) {
+      val tail = labels.slice(i, n).mkString(".")
+      if (suffixSet.contains(tail)) {
+        val prev = labels(i - 1)
+        val out = if (prev.isEmpty) "" else s"$prev.$tail"
+        return org.apache.spark.unsafe.types.UTF8String.fromString(out)
+      }
+      i += 1
+    }
+    // fallback: last two labels, both non-empty, else ''
+    val out =
+      if (n >= 2 && labels(n - 1).nonEmpty && labels(n - 2).nonEmpty)
+        s"${labels(n - 2)}.${labels(n - 1)}"
+      else ""
+    org.apache.spark.unsafe.types.UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : RegisteredDomainPsl = copy(host = newChild)
+}

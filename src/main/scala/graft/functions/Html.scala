@@ -76,23 +76,29 @@ object Html {
     * also needs, and it is exactly replayable in the DuckDB oracle
     * (op318). */
   def mainContent(html: Column, minChars: Int = 20,
+      maxLinkPct: Int = 33): Column =
+    array_join(transform(keptBlocks(html, minChars, maxLinkPct),
+      s => s.getField("txt")), " ")
+
+  /** The surviving blocks as array<struct<txt, lk>> — extract() runs
+    * ONCE per block (Catalyst doesn't CSE across HOF lambda
+    * boundaries; the predicate-re-extracts spelling paid the ~10-stage
+    * chain three times per block). op318 binds this to one column and
+    * derives text + counts from it, so the page is traversed once. */
+  def keptBlocks(html: Column, minChars: Int = 20,
       maxLinkPct: Int = 33): Column = {
-    val blocks = split(html, blockBoundary)
-    val kept = filter(blocks, b =>
-      length(extract(b)) >= minChars &&
-        length(linkText(b)) * 100 <= length(extract(b)) * maxLinkPct)
-    array_join(transform(kept, b => extract(b)), " ")
+    val stats = transform(split(html, blockBoundary), b =>
+      struct(extract(b).as("txt"), length(linkText(b)).as("lk")))
+    filter(stats, s =>
+      length(s.getField("txt")) >= minChars &&
+        s.getField("lk") * 100 <= length(s.getField("txt")) * maxLinkPct)
   }
 
   /** Number of blocks [[mainContent]] keeps / sees — the audit columns
     * op318 publishes beside the text. */
   def mainContentKept(html: Column, minChars: Int = 20,
-      maxLinkPct: Int = 33): Column = {
-    val blocks = split(html, blockBoundary)
-    size(filter(blocks, b =>
-      length(extract(b)) >= minChars &&
-        length(linkText(b)) * 100 <= length(extract(b)) * maxLinkPct))
-  }
+      maxLinkPct: Int = 33): Column =
+    size(keptBlocks(html, minChars, maxLinkPct))
 
   def blockCount(html: Column): Column = size(split(html, blockBoundary))
 }

@@ -125,14 +125,23 @@ object Urls {
   }
 
   /** Registered domain of a canonical host — the per-site key domain
-    * caps and crawl politeness use. PSL-driven as of r14
-    * ([[registeredDomainPsl]] over [[publicSuffixSlice]]); on
-    * single-label-suffix hosts (the synthetic fixture's .com world)
-    * this equals the old last-two-labels heuristic, which is why the
-    * op308/op309/op311/op315 oracles keep their two-label regex twin —
-    * the multi-label path is oracle-gated by op317. */
-  def registeredDomain(host: Column): Column =
-    registeredDomainPsl(host)
+    * caps and crawl politeness use. PSL-driven as of r14, evaluated as
+    * ONE plan node ([[graft.expressions.RegisteredDomainPsl]] over
+    * [[publicSuffixSlice]] — the streaming admission keyers re-analyze
+    * their plan every micro-batch, so a per-rule when-chain is the
+    * wrong shape there, and at the full ~9k-rule PSL it would be
+    * thousands of nodes; WebSpec pins the expression equal to the
+    * [[registeredDomainPsl]] when-chain including the malformed-host
+    * edge cases). On single-label-suffix hosts (the synthetic
+    * fixture's .com world) this equals the old last-two-labels
+    * heuristic, which is why the op308/op309/op311/op315 oracles keep
+    * their two-label regex twin — the multi-label path is oracle-gated
+    * by op317. */
+  def registeredDomain(host: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.RegisteredDomainPsl(
+      ColumnBridge.expression(host), publicSuffixSlice))
+  }
 
   /** Path component (no query/fragment), empty string when absent. */
   def pathOf(url: Column): Column =

@@ -187,10 +187,9 @@ object StediQueries {
       val customers = Stedi.decodeCustomers(
           StediFixtures.redisFramesFrom(
             s.readStream.schema(custSchema).parquet(custDir.toString)))
-        .withColumn("__k",
-          regexp_extract(col("email"), "customer(\\d+)@", 1).cast("long") % 720)
         .withColumn("seenAt",
-          expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, __k, 0, 0)"))
+          seenAtFor(regexp_extract(col("email"), "customer(\\d+)@", 1)
+            .cast("long")))
       val risks = Stedi.parseRiskEventsFull(
         StediFixtures.riskFramesFrom(Tables.eventsColumns(
           s.readStream.schema(evSchema).parquet(evDir.toString))))
@@ -232,12 +231,29 @@ object StediQueries {
     * dayCeil(max matched riskTime) ≤ max(ts) − 24 h, so a future
     * fixture whose late-day windows stay open fails LOUDLY instead of
     * silently diverging from the oracle by SF. */
-  val op306StediBoundedFlagship: Q = (s, d) => {
+  /** The deterministic customer ingestion time the op123/op306 oracles
+    * replay: 2024-01-01 + (custkey % 720) hours — ONE spelling shared
+    * by the streaming synthesis (drainStediPair) and the op306
+    * invariant gate. */
+  private def seenAtFor(custkey: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    expr("timestamp'2024-01-01 00:00:00'") +
+      make_interval(lit(0), lit(0), lit(0), lit(0),
+        custkey.cast("int") % 720, lit(0), lit(0))
+
+  // the invariant is a property of the FIXTURE, not of a run — check
+  // it once per dataset dir per JVM, so bench repetitions of op306
+  // don't re-pay the batch band join inside the timed region
+  private val op306GateChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertOp306FixtureInvariant(s: SparkSession,
+      d: String): Unit = {
+    if (op306GateChecked.contains(d)) return
     val ev = Tables.events(s, d)
     val cust = Tables.customer(s, d).select(
       StediFixtures.emailFor(col("c_custkey")).as("email"),
-      expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, " +
-        "CAST(c_custkey % 720 AS INT), 0, 0)").as("seenAt"))
+      seenAtFor(col("c_custkey")).as("seenAt"))
     val gate = ev
       .select(StediFixtures.emailFor(col("user_id")).as("customer"),
         col("ts"))
@@ -259,6 +275,11 @@ object StediQueries {
         s"${gate.getString(0)} but the join-propagated watermark is " +
         s"only ${gate.getString(1)} — append mode would withhold " +
         "open windows the full-aggregate oracle emits")
+    op306GateChecked.add(d): Unit
+  }
+
+  val op306StediBoundedFlagship: Q = (s, d) => {
+    assertOp306FixtureInvariant(s, d)
     ordered(
       drainStediPair(s, d, "op306") { (risks, customers) =>
         Stedi.boundedFlagshipDaily(risks, customers)

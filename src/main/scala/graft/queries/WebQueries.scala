@@ -459,9 +459,13 @@ object WebQueries {
         "<a href=\"/cookies\">Cookie settings</a></div></body></html>"))
     ordered(
       Tables.documents(s, d)
+        // bind the survivors once — text and count derive from ONE
+        // pass over the page (see Html.keptBlocks)
+        .withColumn("__kept", Html.keptBlocks(page))
         .select(col("doc_id"),
-          Html.mainContent(page).as("main_text"),
-          big(Html.mainContentKept(page)).as("n_kept"),
+          array_join(transform(col("__kept"), s => s.getField("txt")), " ")
+            .as("main_text"),
+          big(size(col("__kept"))).as("n_kept"),
           big(Html.blockCount(page)).as("n_blocks")),
       "doc_id")
   }

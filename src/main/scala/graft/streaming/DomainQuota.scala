@@ -104,34 +104,40 @@ object DomainQuota {
       // Bounded first-per-URL selection, O(room) memory however many
       // rows the trigger delivers (the old spelling materialized and
       // sorted the whole per-domain batch). Sequential semantics —
-      // walk arrivals in doc_id order, admit each not-yet-admitted
-      // canonical URL until the quota fills — is equivalent to keeping
-      // the `room` smallest first-occurrence doc_ids over unseen URLs:
-      // candidates = TreeMap(doc_id → url) + HashMap(url → doc_id),
-      // both capped at `room` entries. An evicted URL can only win via
-      // a LATER, SMALLER arrival (its observed min): eviction happens
-      // only when `room` other URLs hold strictly smaller mins, and
-      // mins never increase — so re-entry through the normal path is
-      // exact, not an approximation.
-      val byId = new java.util.TreeMap[Long, String]()
+      // walk arrivals in (doc_id, url_canon) order, admit each
+      // not-yet-admitted canonical URL until the quota fills — is
+      // equivalent to keeping the `room` smallest first-occurrence
+      // keys over unseen URLs: candidates = TreeMap((doc_id, url) →
+      // ()) + HashMap(url → its best key), both capped at `room`
+      // entries. Keys are (doc_id, url) PAIRS, not bare doc_ids: two
+      // distinct URLs sharing one doc_id (an upstream replay shape)
+      // must occupy two slots, and the pair is also the deterministic
+      // tie order. An evicted URL can only win via a later, strictly
+      // smaller arrival (its observed min): eviction happens only when
+      // `room` other URLs hold strictly smaller keys, and keys never
+      // increase — so re-entry through the normal path is exact, not
+      // an approximation.
+      val byKey = new java.util.TreeMap[(Long, String), Unit](
+        Ordering.Tuple2[Long, String])
       val best = scala.collection.mutable.HashMap.empty[String, Long]
       if (room > 0) rows.foreach { a =>
         if (!seen.contains(a.url_canon)) {
           best.get(a.url_canon) match {
             case Some(old) =>
               if (a.doc_id < old) {
-                byId.remove(old)
-                byId.put(a.doc_id, a.url_canon)
+                byKey.remove((old, a.url_canon))
+                byKey.put((a.doc_id, a.url_canon), ())
                 best(a.url_canon) = a.doc_id
               }
             case None =>
-              if (byId.size < room) {
-                byId.put(a.doc_id, a.url_canon)
+              if (byKey.size < room) {
+                byKey.put((a.doc_id, a.url_canon), ())
                 best(a.url_canon) = a.doc_id
-              } else if (a.doc_id < byId.lastKey()) {
-                val evicted = byId.pollLastEntry()
-                best.remove(evicted.getValue): Unit
-                byId.put(a.doc_id, a.url_canon)
+              } else if (Ordering.Tuple2[Long, String]
+                  .lt((a.doc_id, a.url_canon), byKey.lastKey())) {
+                val evicted = byKey.pollLastEntry().getKey
+                best.remove(evicted._2): Unit
+                byKey.put((a.doc_id, a.url_canon), ())
                 best(a.url_canon) = a.doc_id
               }
           }
@@ -139,12 +145,12 @@ object DomainQuota {
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[UrlAdmitted]
       var seq = seen.size.toLong
-      val it = byId.entrySet().iterator() // ascending doc_id
+      val it = byKey.keySet().iterator() // ascending (doc_id, url)
       while (it.hasNext) {
-        val e = it.next()
+        val (docId, url) = it.next()
         seq += 1
-        admittedUrls.appendValue(e.getValue)
-        out += UrlAdmitted(e.getKey, domain, e.getValue, seq)
+        admittedUrls.appendValue(url)
+        out += UrlAdmitted(docId, domain, url, seq)
       }
       out.iterator
     }

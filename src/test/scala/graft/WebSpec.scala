@@ -282,6 +282,54 @@ class WebSpec extends SparkSpec {
     spark.sql("DROP VIEW IF EXISTS evict_admit_out")
   }
 
+  test("url admission: two URLs sharing one doc_id occupy two slots") {
+    // upstream replays can stamp distinct URLs with the same doc_id in
+    // one trigger; the bounded candidate set keys by (doc_id, url) so
+    // neither admission is lost (a bare-doc_id key silently overwrote
+    // one and then corrupted the other's eviction — r14 review find)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    StateStores.withRocksDb(spark) {
+      val arrivals = in.toDF().toDF("doc_id", "domain", "url_canon")
+        .as[DomainQuota.UrlArrival]
+      val q = DomainQuota.urlAdmitted(arrivals, k = 2L)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("dup_doc_admit_out").start()
+      in.addData((7L, "a.com", "U1"), (7L, "a.com", "U2"),
+        (3L, "a.com", "U1"))
+      q.processAllAvailable()
+      q.stop()
+    }
+    val out = spark.table("dup_doc_admit_out")
+      .select("doc_id", "url_canon", "admit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(out == Seq((3L, "U1", 1L), (7L, "U2", 2L)),
+      s"duplicate doc_id lost or corrupted an admission: $out")
+    spark.sql("DROP VIEW IF EXISTS dup_doc_admit_out")
+  }
+
+  test("registered domain: the one-node expression equals the when-chain") {
+    // the streaming keyers run the RegisteredDomainPsl expression (one
+    // plan node); batch code may use the when-chain — pin them equal,
+    // including the malformed-host edge cases where the chain's
+    // regexes fail to ([^.]+...) and return ''
+    val hosts = Seq("a.b.news.example.com", "example.com",
+      "shop.example.co.uk", "a.b.example.org.uk", "user.github.io",
+      "github.io", "site.ac.uk", "x.example.dev", "xco.uk",
+      "x..com", "..com", "a.", "", "com", "single")
+    val rows = hosts.toDF("h")
+      .select(col("h"),
+        Urls.registeredDomain(col("h")).as("expr_d"),
+        Urls.registeredDomainPsl(col("h")).as("chain_d"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"spellings diverge on host '${r.getString(0)}': " +
+          s"expr='${r.getString(1)}' chain='${r.getString(2)}'")
+    }
+  }
+
   test("op309 domain quota depletes ACROSS triggers (RocksDB state)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
