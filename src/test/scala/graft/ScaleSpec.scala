@@ -734,4 +734,39 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Exchange SinglePartition"),
       s"grid walk missing its declared single-partition stage:\n$plan")
   }
+
+  // ------------------------------------------------ r14 web-pack plan shapes
+
+  test("op318: main-content extraction is map-only (no join, no hash shuffle)") {
+    // the scaladoc's 100 TB claim: cost ∝ page bytes, nothing else —
+    // the only exchange allowed is ordered()'s output range sort
+    val plan = graft.queries.WebQueries.defs("op318_main_content")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hash shuffle in a map-only op:\n$plan")
+  }
+
+  test("op319: link-graph build is map-only until the single edge-count shuffle") {
+    val plan = graft.queries.WebQueries.defs("op319_link_graph")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in plan:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, saw $hashEx:\n$plan")
+  }
+
+  test("op320: every rank-side join is a broadcast (page edges never re-shuffled per iteration)") {
+    // op176's contract carried onto the crawl graph
+    val plan = graft.queries.WebQueries.defs("op320_page_rank")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"SMJ in plan:\n$plan")
+  }
+
+  test("op317: PSL attach is a broadcast join over the suffix dim") {
+    val plan = graft.queries.WebQueries.defs("op317_registered_domain_psl")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"SMJ in plan:\n$plan")
+  }
 }
