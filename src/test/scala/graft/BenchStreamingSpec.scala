@@ -12,7 +12,7 @@ class BenchStreamingSpec extends SparkSpec {
       "ivf_probe_rows_per_sec",
       "pq_probe_rows_per_sec", "pq_flat_probe_rows_per_sec",
       "graph_probe_rows_per_sec", "hnsw_probe_rows_per_sec",
-      "clustered_ingest_rows_per_sec"))
+      "clustered_ingest_rows_per_sec", "ingest_gate_rows_per_sec"))
     rates.foreach { case (k, v) =>
       assert(v > 0, s"$k reported a non-positive rate: $v")
     }
