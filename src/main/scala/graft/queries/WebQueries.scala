@@ -550,6 +550,46 @@ object WebQueries {
       "url_canon")
   }
 
+  /** op321: ANCHOR-TEXT aggregation per target page — the third classic
+    * signal a crawl derives beside the link graph (op319) and rank
+    * (op320): the text other pages use when linking to a page
+    * describes that page better than the page itself (the
+    * anchor-text-index idea search engines and pretraining query-doc
+    * mining both use). Anchor (href, text) pairs come out of the page
+    * in one regex pass over full matches, each target is keyed by its
+    * CANONICAL url (spelling variants must merge their anchor
+    * evidence), and the aggregate per target is (n_refs, n distinct
+    * source domains, the sorted distinct anchor texts). 100 TB shape:
+    * extraction map-only; one shuffle on the canonical target with
+    * map-side partial aggregation; anchor sets are bounded by distinct
+    * anchor spellings per target (tiny), never by reference count. */
+  val op321AnchorText: Q = (s, d) => {
+    val anchorPat = "(?is)<a href=\"([^\"]+)\">([^<]*)</a>"
+    val page = concat(
+      lit("<html><body><p>See <a href=\""), urlFor(col("doc_id") * 7 + 3),
+      lit("\">guide "), (col("doc_id") % 17).cast("string"),
+      lit("</a> and <a href=\""), urlFor(col("doc_id") * 5 + 1),
+      lit("\">review "), (col("doc_id") % 13).cast("string"),
+      lit("</a>; archive at <a href=\""), urlFor(col("doc_id") + 13),
+      lit("\">mirror "), (col("doc_id") % 7).cast("string"),
+      lit("</a>.</p></body></html>"))
+    ordered(
+      Tables.documents(s, d)
+        .select(
+          Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("src_domain"),
+          explode(regexp_extract_all(page, lit(anchorPat), lit(0))).as("m"))
+        .select(col("src_domain"),
+          Urls.canonicalize(
+            regexp_extract(col("m"), anchorPat, 1)).as("dst_canon"),
+          regexp_extract(col("m"), anchorPat, 2).as("anchor"))
+        .groupBy("dst_canon")
+        .agg(big(count(lit(1))).as("n_refs"),
+          big(countDistinct(col("src_domain"))).as("n_src_domains"),
+          array_join(array_sort(collect_set(col("anchor"))), "|")
+            .as("anchors")),
+      "dst_canon")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
@@ -561,9 +601,49 @@ object WebQueries {
     "op317_registered_domain_psl" -> op317RegisteredDomainPsl,
     "op318_main_content" -> op318MainContent,
     "op319_link_graph" -> op319LinkGraph,
-    "op320_page_rank" -> op320PageRank)
+    "op320_page_rank" -> op320PageRank,
+    "op321_anchor_text" -> op321AnchorText)
 
   val oracle: Map[String, String] = Map(
+    // op321: one full-match regex pass per page, then per-match
+    // href/anchor re-extraction; target canonicalization through the
+    // same layered decode/host/path/query builders as op320
+    "op321_anchor_text" ->
+      s"""WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>See <a href="' || ${urlSql("doc_id * 7 + 3")} ||
+        |    '">guide ' || CAST(doc_id % 17 AS VARCHAR) ||
+        |    '</a> and <a href="' || ${urlSql("doc_id * 5 + 1")} ||
+        |    '">review ' || CAST(doc_id % 13 AS VARCHAR) ||
+        |    '</a>; archive at <a href="' || ${urlSql("doc_id + 13")} ||
+        |    '">mirror ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '</a>.</p></body></html>' AS html,
+        |    ${canonicalHostSql(urlSql("doc_id"))} AS src_host
+        |  FROM documents),
+        |mm AS (
+        |  SELECT ${Urls.registeredDomainPslSql("src_host")} AS src_domain,
+        |         u.m AS m
+        |  FROM pg, UNNEST(regexp_extract_all(html,
+        |    '(?is)<a href="([^"]+)">([^<]*)</a>', 0)) AS u(m)),
+        |a0 AS (
+        |  SELECT src_domain,
+        |    ${Urls.pctDecodeSql(
+             "regexp_extract(m, '(?is)<a href=\"([^\"]+)\">([^<]*)</a>', 1)")} AS href_d,
+        |    regexp_extract(m, '(?is)<a href="([^"]+)">([^<]*)</a>', 2)
+        |      AS anchor
+        |  FROM mm),
+        |a1 AS (
+        |  SELECT src_domain, anchor, href_d, ${querySql("href_d")} AS qd
+        |  FROM a0),
+        |a AS (
+        |  SELECT src_domain, anchor,
+        |    'https://' || ${canonicalHostSql("href_d")} || ${pathSql("href_d")} ||
+        |    CASE WHEN qd = '' THEN '' ELSE '?' || qd END AS dst_canon
+        |  FROM a1)
+        |SELECT dst_canon, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT src_domain) AS BIGINT) AS n_src_domains,
+        |  string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+        |FROM a GROUP BY 1 ORDER BY dst_canon""".stripMargin,
     // op320: canonical-URL edges (decode once per url in `base`, then
     // host/path/query chains per end), symmetrize + dedup, and the
     // SHARED op176 iteration chain (prIterChainSql) — identical
