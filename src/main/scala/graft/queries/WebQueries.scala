@@ -524,8 +524,14 @@ object WebQueries {
           Urls.canonicalize(urlFor(col("doc_id") * 5 + 1)),
           Urls.canonicalize(urlFor(col("doc_id") + 13)))).as("b"))
       .filter(col("a") =!= col("b"))
+    // checkpoint the edge list: unlike op176 (whose edge re-reads
+    // collapse via ReuseExchange and measured 2x slower checkpointed),
+    // op320's edges derive from the percent-decode + canonicalization
+    // chains — per-iteration recomputation paid that synthesis 5x
+    // (measured 7.9 -> ~3 s at sf0.1); the materialized list is the
+    // |E|-sized graph itself, exactly what op208 checkpoints
     val edges = pairs.union(pairs.select(col("b"), col("a"))).distinct()
-      .toDF("src", "dst")
+      .toDF("src", "dst").localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val esd = edges.join(broadcast(deg), "src")
     val verts = deg.select(col("src").as("pk"))
