@@ -596,6 +596,32 @@ object WebQueries {
       "dst_canon")
   }
 
+  /** op322: dot-segment path normalization (RFC 3986 §5.2.4) — the
+    * LAST Urls hook closed: three spellings of the same page
+    * ("/p/K/v", "/p/K/./v", "/p/K/extra/../v") must normalize to one
+    * path and dedup together, the op307 keep-min convention at path
+    * grain. Normalization is the bounded [[Urls.removeDotSegments]]
+    * fold, exactly mirrored in the oracle from the same rule table at
+    * the same bound. Map-only until the one canonical-path dedup
+    * shuffle. */
+  val op322DotSegments: Q = (s, d) => {
+    val rawPath = concat(lit("/p/"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/extra/../v"))
+        .when(col("doc_id") % 3 === 1, lit("/./v"))
+        .otherwise(lit("/v")))
+    val p = Tables.documents(s, d).select(col("doc_id"),
+      rawPath.as("raw_path"),
+      Urls.removeDotSegments(rawPath).as("norm_path"))
+    val canon = p.groupBy("norm_path").agg(min("doc_id").as("canon_id"))
+    ordered(
+      p.join(canon, "norm_path")
+        .select(col("doc_id"), col("raw_path"), col("norm_path"),
+          big(col("canon_id")).as("canon_id"),
+          when(col("doc_id") =!= col("canon_id"), 1L).otherwise(0L)
+            .as("is_dup")),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
@@ -608,9 +634,31 @@ object WebQueries {
     "op318_main_content" -> op318MainContent,
     "op319_link_graph" -> op319LinkGraph,
     "op320_page_rank" -> op320PageRank,
-    "op321_anchor_text" -> op321AnchorText)
+    "op321_anchor_text" -> op321AnchorText,
+    "op322_dot_segments" -> op322DotSegments)
 
   val oracle: Map[String, String] = Map(
+    // op322: same synthesis; normalization chain generated from the
+    // SAME rule table and bound as the Spark fold
+    "op322_dot_segments" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/extra/../v'
+        |          WHEN doc_id % 3 = 1 THEN '/./v'
+        |          ELSE '/v' END) AS raw_path
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, raw_path,
+        |    ${Urls.removeDotSegmentsSql("raw_path")} AS norm_path
+        |  FROM p)
+        |SELECT a.doc_id, a.raw_path, a.norm_path,
+        |       CAST(m.canon_id AS BIGINT) AS canon_id,
+        |       CAST(CASE WHEN a.doc_id <> m.canon_id THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_dup
+        |FROM n a JOIN (SELECT norm_path, min(doc_id) AS canon_id
+        |               FROM n GROUP BY 1) m USING (norm_path)
+        |ORDER BY doc_id""".stripMargin,
     // op321: one full-match regex pass per page, then per-match
     // href/anchor re-extraction; target canonicalization through the
     // same layered decode/host/path/query builders as op320

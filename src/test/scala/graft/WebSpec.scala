@@ -143,6 +143,24 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("dot-segment removal: RFC 3986 5.2.4 shapes within the bound") {
+    val cases = Seq(
+      ("/p/1/v", "/p/1/v"), // clean path untouched
+      ("/p/1/./v", "/p/1/v"),
+      ("/p/1/extra/../v", "/p/1/v"),
+      ("/a/b/../../x", "/x"), // two nesting levels
+      ("/../x", "/x"), // leading ../ drops at root
+      ("/a/..", "/"), // trailing /..
+      ("/a/.", "/a/"), // trailing /.
+      ("/a/../../../x", "/x"), // root keeps absorbing
+      ("/..foo/v", "/..foo/v"), // dots inside a segment name survive
+      ("/a/b/c/../../../../x", "/x")) // depth 4 = the default bound
+    val got = cases.map(_._1).toDF("p")
+      .select(Urls.removeDotSegments(col("p"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      s"dot-segment mismatch:\n${got.zip(cases).mkString("\n")}")
+  }
+
   test("main content: link-dense and short blocks drop, prose survives") {
     import graft.functions.Html
     val page = "<body>" +
