@@ -341,7 +341,8 @@ object Bench {
       "op62_minhash_sig", "op67_knn_brute", "op69_ann_ivf",
       "op104_stream_incr_dedup", "op208_connected_components",
       "op296_hnsw_ann", "op301_louvain_two_level",
-      "op306_stedi_bounded_flagship", "op307_url_canonical")
+      "op306_stedi_bounded_flagship", "op307_url_canonical",
+      "op316_stream_ingest_gate", "op320_page_rank")
     val headlineSet = headline.toSet
     // a restricted local run is small — print every measured query (its
     // BENCH_FULL.json is suppressed, and the caller asked for exactly
