@@ -306,44 +306,6 @@ object BenchStreaming {
 
   /** Incremental dedup under streaming execution: fingerprint + anti-join
     * against a persisted store + in-stream dropDuplicates state. */
-  /** The op316 crawl-edge admission controller end to end: robots gate
-    * (map-side scalar) + URL-dedup/quota transformWithState. Arrivals
-    * synthesize a 200-domain crawl slice with duplicate canonicals and
-    * a robots-disallowed share, so all three admission rules do real
-    * work; the figure includes query start-up like the flagship/dedup
-    * probes (ingest latency owns it). */
-  private def ingestGateRowsPerSec(spark: SparkSession,
-      sfDir: String): Double = {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    import graft.streaming.{AdmissionGate, StateStores}
-    val n = 20000
-    val arrivals = (0 until n).map { i =>
-      val dom = s"site${i % 200}.com"
-      val path = if (i % 5 == 0) s"/blocked/${i % 7}" else s"/p/${i % 11}"
-      (i.toLong, dom, path, s"https://$dom$path?id=${i % 400}")
-    }
-    val rules: Map[String, Seq[(String, Boolean)]] =
-      (0 until 200).map(k => s"site$k.com" ->
-        Seq("/blocked/" -> false)).toMap
-    val name = s"bench_gate_${System.nanoTime()}"
-    val in = MemoryStream[(Long, String, String, String)]
-    in.addData(arrivals)
-    val t0 = System.nanoTime()
-    StateStores.withRocksDb(spark) {
-      val q = AdmissionGate.robotsGatedAdmission(
-          in.toDF().toDF("doc_id", "domain", "path", "url_canon"),
-          rules, k = 40L)
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
-    }
-    val secs = (System.nanoTime() - t0) / 1e9
-    spark.catalog.dropTempView(name)
-    n / secs
-  }
-
   private def incDedupRowsPerSec(spark: SparkSession, sfDir: String): Double = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -374,5 +336,45 @@ object BenchStreaming {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively(): Unit
     }
+  }
+
+  /** The op316 crawl-edge admission controller end to end: robots gate
+    * (map-side scalar) + URL-dedup/quota transformWithState. Arrivals
+    * synthesize a 200-domain crawl slice with duplicate canonicals and
+    * a robots-disallowed share, and the quota (k=10, below each
+    * domain's ~17 distinct allowed canonicals) REJECTS — all three
+    * admission rules do real work, so a regression in any of them
+    * moves the figure; includes query start-up like the flagship/dedup
+    * probes (ingest latency owns it). */
+  private def ingestGateRowsPerSec(spark: SparkSession,
+      sfDir: String): Double = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{AdmissionGate, StateStores}
+    val n = 20000
+    val arrivals = (0 until n).map { i =>
+      val dom = s"site${i % 200}.com"
+      val path = if (i % 5 == 0) s"/blocked/${i % 7}" else s"/p/${i % 11}"
+      (i.toLong, dom, path, s"https://$dom$path?id=${i % 400}")
+    }
+    val rules: Map[String, Seq[(String, Boolean)]] =
+      (0 until 200).map(k => s"site$k.com" ->
+        Seq("/blocked/" -> false)).toMap
+    val name = s"bench_gate_${System.nanoTime()}"
+    val in = MemoryStream[(Long, String, String, String)]
+    in.addData(arrivals)
+    val t0 = System.nanoTime()
+    StateStores.withRocksDb(spark) {
+      val q = AdmissionGate.robotsGatedAdmission(
+          in.toDF().toDF("doc_id", "domain", "path", "url_canon"),
+          rules, k = 10L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    spark.catalog.dropTempView(name)
+    n / secs
   }
 }

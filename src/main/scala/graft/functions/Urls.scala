@@ -165,6 +165,11 @@ object Urls {
     "/\\.$" -> "/",
     "^/\\.\\./" -> "/",
     "^/\\.\\.$" -> "/",
+    // an EMPTY segment pops like any other (RFC's stack treats "" as a
+    // segment: "/a//../x" → "/a/x") — spelled separately because `seg`
+    // requires a non-empty, non-dot segment
+    "//\\.\\./" -> "/",
+    "//\\.\\.$" -> "/",
     s"/$seg/\\.\\./" -> "/",
     s"/$seg/\\.\\.$$" -> "/")
 

@@ -531,7 +531,8 @@ object WebQueries {
     // (measured 7.9 -> ~3 s at sf0.1); the materialized list is the
     // |E|-sized graph itself, exactly what op208 checkpoints
     val edges = pairs.union(pairs.select(col("b"), col("a"))).distinct()
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").localCheckpoint(false) // lazy: plan inspection
+      // and query CONSTRUCTION stay job-free; first action materializes
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val esd = edges.join(broadcast(deg), "src")
     val verts = deg.select(col("src").as("pk"))

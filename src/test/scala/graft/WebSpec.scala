@@ -154,6 +154,7 @@ class WebSpec extends SparkSpec {
       ("/a/.", "/a/"), // trailing /.
       ("/a/../../../x", "/x"), // root keeps absorbing
       ("/..foo/v", "/..foo/v"), // dots inside a segment name survive
+      ("/a//../x", "/a/x"), // an empty segment pops like any other
       ("/a/b/c/../../../../x", "/x")) // depth 4 = the default bound
     val got = cases.map(_._1).toDF("p")
       .select(Urls.removeDotSegments(col("p"))).as[String].collect().toSeq
