@@ -214,6 +214,43 @@ object StediQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** The deterministic customer ingestion time the op123/op306 oracles
+    * replay: 2024-01-01 + (custkey % 720) hours — ONE spelling shared
+    * by the streaming synthesis (drainStediPair) and the op306
+    * closed-window cutoff. */
+  private def seenAtFor(custkey: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    expr("timestamp'2024-01-01 00:00:00'") +
+      make_interval(lit(0), lit(0), lit(0), lit(0),
+        custkey.cast("int") % 720, lit(0), lit(0))
+
+  /** op306's CLOSED-WINDOW cutoff — the final propagated watermark,
+    * batch-computable from the fixture:
+    * min(max(riskTime), max(seenAt)) − 24 h. Spark's global watermark
+    * is the MIN across both event-time columns' (max − delay), and the
+    * chained aggregate's eviction watermark trails it by the join's
+    * 24 h state horizon — pinned empirically (r15) by a 4-point probe:
+    * sf0.1 emits exactly window_end ≤ 2024-01-29 23:00 (days ..01-28;
+    * max ts 01-30 23:59:25, max seenAt 01-30 23:00), and a synthetic
+    * fixture with max ts Jan-04 06:30 / max seenAt Jan-03 12:00 emits
+    * ONLY the Jan-01 window (end Jan-02 ≤ Jan-02 12:00) while
+    * withholding Jan-02 (end Jan-03) — discriminating the min(A,B)
+    * spelling from both single-column candidates. Millisecond
+    * truncation matches riskTime's wire precision; seenAt is whole
+    * hours, exact. The oracle computes the identical scalar, so BOTH
+    * engines filter to the same closed-window set at ANY scale factor.
+    * (A window end landing EXACTLY on the cutoff could expose the
+    * eviction boundary's strictness — day windows end at midnight, so
+    * this needs min(maxTs, maxSeenAt) − 24 h to hit a midnight;
+    * fixtures and the StreamingSpec synthetic keep it off.) */
+  private def op306Cutoff(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(max(date_trunc("millisecond", col("ts"))).as("__a"))
+      .crossJoin(Tables.customer(s, d)
+        .agg(max(seenAtFor(col("c_custkey"))).as("__b")))
+      .select((least(col("__a"), col("__b"))
+        - expr("interval 24 hours")).as("__wm"))
+
   /** OP-30 production FLAGSHIP (op306): the bounded join CHAINED into
     * the per-customer daily risk aggregate in one streaming query —
     * two stateful operators back to back ([[Stedi.boundedFlagshipDaily]]),
@@ -221,71 +258,27 @@ object StediQueries {
     * becomes when both the join state and the aggregate state must
     * stay bounded at 100 TB. Append mode: a (day, email) group emits
     * exactly once, when the watermark that propagates THROUGH the join
-    * passes the day's end. With delay 0 the final watermark is exactly
-    * max(riskTime), and the join's output watermark trails it by its
-    * state horizon — so the oracle may replay the emitted set as the
-    * FULL batch aggregate only while every emitted day window closes
-    * before that propagated watermark. That fixture invariant is
-    * ASSERTED here (r14, advice item), not assumed: a cheap batch
-    * replay of the band join checks
-    * dayCeil(max matched riskTime) ≤ max(ts) − 24 h, so a future
-    * fixture whose late-day windows stay open fails LOUDLY instead of
-    * silently diverging from the oracle by SF. */
-  /** The deterministic customer ingestion time the op123/op306 oracles
-    * replay: 2024-01-01 + (custkey % 720) hours — ONE spelling shared
-    * by the streaming synthesis (drainStediPair) and the op306
-    * invariant gate. */
-  private def seenAtFor(custkey: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    expr("timestamp'2024-01-01 00:00:00'") +
-      make_interval(lit(0), lit(0), lit(0), lit(0),
-        custkey.cast("int") % 720, lit(0), lit(0))
-
-  // the invariant is a property of the FIXTURE, not of a run — check
-  // it once per dataset dir per JVM, so bench repetitions of op306
-  // don't re-pay the batch band join inside the timed region
-  private val op306GateChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def assertOp306FixtureInvariant(s: SparkSession,
-      d: String): Unit = {
-    if (op306GateChecked.contains(d)) return
-    val ev = Tables.events(s, d)
-    val cust = Tables.customer(s, d).select(
-      StediFixtures.emailFor(col("c_custkey")).as("email"),
-      seenAtFor(col("c_custkey")).as("seenAt"))
-    val gate = ev
-      .select(StediFixtures.emailFor(col("user_id")).as("customer"),
-        col("ts"))
-      .join(cust, col("customer") === col("email") &&
-        col("ts") >= col("seenAt") &&
-        col("ts") <= col("seenAt") + expr("interval 24 hours"))
-      .agg(max(col("ts")).as("max_matched"))
-      .crossJoin(ev.agg(max(col("ts")).as("max_ts")))
-      .select(
-        (date_trunc("day", col("max_matched")) + expr("interval 1 day"))
-          .cast("string").as("last_window_end"),
-        (col("max_ts") - expr("interval 24 hours")).cast("string")
-          .as("propagated_wm"),
-        ((date_trunc("day", col("max_matched")) + expr("interval 1 day"))
-          <= (col("max_ts") - expr("interval 24 hours"))).as("ok"))
-      .collect()(0)
-    require(gate.isNullAt(2) || gate.getBoolean(2), // null: nothing matched
-      s"op306 fixture invariant broken: last emitted day window ends " +
-        s"${gate.getString(0)} but the join-propagated watermark is " +
-        s"only ${gate.getString(1)} — append mode would withhold " +
-        "open windows the full-aggregate oracle emits")
-    op306GateChecked.add(d): Unit
-  }
-
-  val op306StediBoundedFlagship: Q = (s, d) => {
-    assertOp306FixtureInvariant(s, d)
+    * passes the day's end — so the emitted set is the full aggregate
+    * RESTRICTED to closed windows. r15 (verdict item 1): that
+    * restriction is now the explicit cross-engine contract — the
+    * drained output and the oracle both filter to
+    * window_end ≤ [[op306Cutoff]], making op306 correct at ANY scale
+    * factor (r14's fixture-invariant gate, which errored at sf0.1
+    * where late-day windows stay open, is demoted to StreamingSpec's
+    * invariant-violating synthetic fixture). The explicit Spark-side
+    * filter is belt-and-braces over the stream's own withholding: on
+    * fixtures where the stream emits MORE than the cutoff set (small
+    * SFs close every window early) it trims to the contract; the
+    * probe above shows the stream never emits LESS. */
+  val op306StediBoundedFlagship: Q = (s, d) =>
     ordered(
       drainStediPair(s, d, "op306") { (risks, customers) =>
         Stedi.boundedFlagshipDaily(risks, customers)
-      },
+      }.crossJoin(op306Cutoff(s, d)) // scalar dim: broadcast, no shuffle
+        .filter(to_timestamp(col("day")) + expr("interval 1 day")
+          <= col("__wm"))
+        .drop("__wm"),
       "day", "email")
-  }
 
   /** The RDB snapshot bootstrap under the hash gate (op125): customer
     * rows render to record JSON, encode into a genuine RDB v9 binary
@@ -497,17 +490,16 @@ object StediQueries {
         |  AND r.riskTime <= c.seenAt + INTERVAL 24 HOUR
         |ORDER BY customer, score, email, birthYear""".stripMargin,
     // op306: the chained join→agg replayed as the time-band join +
-    // day-grouped integer-cents aggregate. No watermark-cutoff
-    // predicate is needed: the seenAt spread caps matched riskTimes at
-    // seenAt+24h ≈ day 7 at this SF while the final watermark sits at
-    // the events' max ts (day 30, delay 0), so every emitted-day window
-    // closes ~3 weeks before the propagated (join-output) watermark and
-    // the append-mode emitted set IS the full aggregate — verified by
-    // count at sf0.001 (21/21) and sf0.01 (179/179), and as of r14
-    // ASSERTED inside the query itself (the op306 fixture-invariant
-    // gate fails loudly on any fixture where a late-day window would
-    // stay open); the withholding behavior itself is spec'd in
-    // StreamingSpec where arrivals are controlled.
+    // day-grouped integer-cents aggregate, RESTRICTED to closed
+    // windows (r15): append mode emits a day window only once the
+    // propagated watermark — min(max riskTime, max seenAt) minus the
+    // join's 24 h state horizon, pinned by the 4-point empirical probe
+    // in op306Cutoff's scaladoc — passes the window end, so both
+    // engines filter to window_end ≤ that cutoff (the Spark side
+    // applies the same scalar filter to its drained output). Correct
+    // at ANY scale factor; the withholding behavior itself is spec'd
+    // in StreamingSpec over a synthetic fixture whose late-day windows
+    // stay open.
     "op306_stedi_bounded_flagship" ->
       """WITH cust AS (
         |  SELECT 'customer' || CAST(c_custkey AS VARCHAR) || '@test.com' AS email,
@@ -528,6 +520,13 @@ object StediQueries {
         |FROM risk r JOIN cust c ON r.customer = c.email
         |  AND r.riskTime >= c.seenAt
         |  AND r.riskTime <= c.seenAt + INTERVAL 24 HOUR
+        |WHERE date_trunc('day', r.riskTime) + INTERVAL 1 DAY
+        |  <= least(
+        |       (SELECT max(date_trunc('milliseconds', ts)) FROM events),
+        |       (SELECT TIMESTAMP '2024-01-01 00:00:00'
+        |          + to_hours(max(CAST(c_custkey % 720 AS BIGINT)))
+        |        FROM customer))
+        |     - INTERVAL 24 HOUR
         |GROUP BY 1, 2, 3 ORDER BY day, email""".stripMargin,
     // op125: the oracle never sees the RDB bytes — it recomputes the
     // dim from the raw customer table, so a hash match certifies the

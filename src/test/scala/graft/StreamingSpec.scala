@@ -1244,4 +1244,91 @@ class StreamingSpec extends SparkSpec {
       s"chained stateful emitted the wrong set: $out")
     spark.sql("DROP VIEW IF EXISTS chained_flagship")
   }
+
+  test("op306 on a fixture whose late-day windows stay OPEN: both engines " +
+      "agree under the closed-window cutoff") {
+    // r15 (verdict item 1): the r14 fixture-invariant gate errored at
+    // sf0.1 precisely because late-day windows stayed open there. This
+    // fixture VIOLATES that old invariant by construction — the last
+    // matched day window ends 2024-01-05, way past the propagated
+    // watermark min(max ts, max seenAt) − 24 h = min(Jan-04 06:30,
+    // Jan-03 12:00) − 24 h = 2024-01-02 12:00 — and the full op306
+    // query path (file-source streams, chained join→agg drain, explicit
+    // cutoff filter) must still equal the batch replay under the SAME
+    // cutoff, with the withheld days proving the cutoff actually bit.
+    // This fixture is also the one that DISCRIMINATED the cutoff
+    // formula (op306Cutoff scaladoc): only the Jan-01 window closes
+    // (end Jan-02 ≤ Jan-02 12:00); a max(ts)−24h cutoff would wrongly
+    // keep Jan-02 too.
+    val dir = java.nio.file.Files.createTempDirectory("graft_op306_open_")
+    // the sf layout is a single FILE per table (the streaming drain
+    // symlinks it as one file) — write the dir, then move the part out
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/_tmp_$name")
+      val part = new java.io.File(s"$dir/_tmp_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      val rest = new java.io.File(s"$dir/_tmp_$name")
+      Option(rest.listFiles()).foreach(_.foreach(_.delete()))
+      rest.delete(): Unit
+    }
+    try {
+      // custkey % 720 hours: 1 → Jan-01 01:00, 30 → Jan-02 06:00,
+      // 60 → Jan-03 12:00 (the op306 seenAt synthesis)
+      writeOne(Seq((1L, "Customer#1", 0, 0.0, "BUILDING"),
+        (30L, "Customer#30", 1, 0.0, "MACHINERY"),
+        (60L, "Customer#60", 2, 0.0, "AUTOMOBILE"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment"), "customer")
+      val evs = Seq(
+        (1L, "2024-01-01 02:00:00", 1L, "view", 5.0),   // day 1 (closed)
+        (2L, "2024-01-01 23:00:00", 1L, "view", 7.0),   // day 1 (closed)
+        (3L, "2024-01-02 00:30:00", 1L, "view", 3.0),   // day 2 (OPEN)
+        (4L, "2024-01-02 07:00:00", 30L, "view", 2.0),  // day 2 (OPEN)
+        (5L, "2024-01-03 05:00:00", 30L, "view", 4.0),  // day 3 (OPEN)
+        (6L, "2024-01-03 13:00:00", 60L, "view", 6.0),  // day 3 (OPEN)
+        (7L, "2024-01-04 06:30:00", 60L, "view", 8.0))  // day 4 (OPEN, max)
+      writeOne(evs.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+        .select(col("event_id"),
+          col("ts_str").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"),
+          lit("{}").as("props")), "events")
+      val out = SparkEntry.queries("op306_stedi_bounded_flagship")(
+        spark, dir.toString)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3),
+          r.getLong(4))).toSeq
+      // only day 1 closes under the cutoff; days 2-4 are open/withheld
+      assert(out == Seq(("2024-01-01", "customer1@test.com", 2L, 1200L)),
+        s"closed-window set mismatch: $out")
+      // and the cutoff genuinely bit: the UNfiltered batch replay of
+      // the band join carries the open days 3 and 4 this fixture was
+      // built to leave open — exactly the shape the old invariant gate
+      // rejected — yet they are absent from both engines' gated output
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(concat(lit("customer"), col("c_custkey").cast("string"),
+          lit("@test.com")).as("email"),
+          (expr("timestamp'2024-01-01 00:00:00'")
+            + make_interval(lit(0), lit(0), lit(0), lit(0),
+              col("c_custkey").cast("int") % 720, lit(0), lit(0)))
+            .as("seenAt"))
+      val unfilteredDays = spark.read.parquet(s"$dir/events.parquet")
+        .select(concat(lit("customer"), col("user_id").cast("string"),
+          lit("@test.com")).as("customer"), col("ts"))
+        .join(cust, col("customer") === col("email")
+          && col("ts") >= col("seenAt")
+          && col("ts") <= col("seenAt") + expr("interval 24 hours"))
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val openDays = Set("2024-01-02", "2024-01-03", "2024-01-04")
+      assert(openDays.subsetOf(unfilteredDays),
+        s"fixture no longer violates the old invariant: $unfilteredDays")
+      assert(!out.exists(r => openDays.contains(r._1)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
 }
