@@ -55,7 +55,10 @@ object Bench {
     // median discards it.
     val reps =
       math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3))
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // query -> FIRST error message (r15, verdict item 3: the message
+    // used to exist only in stderr the driver's 2000-char stdout tail
+    // had scrolled past, so a failed round couldn't self-diagnose)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // recordError=false is the radar's final re-time: a transient
@@ -69,7 +72,9 @@ object Bench {
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           // a broken query must not hide inside a normal-looking time
-          if (recordError && !errors.contains(name)) errors += name
+          if (recordError && !errors.contains(name))
+            errors(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("(no message)")
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
@@ -169,6 +174,20 @@ object Bench {
       timeCanary()
     }
     import Bench.{median, flagged}
+    // end-of-suite retry (r15, verdict item 3): a query that errored in
+    // pass 1 was dropped from all later passes, so ONE transient
+    // streaming failure cost the round all three of its measurements.
+    // Re-attempt each errored query once, minutes after its failure; a
+    // success rejoins the healthy set with that single (clean)
+    // measurement — its recorded failure durations are discarded — and
+    // is reported in retried_ok so the artifact shows what happened.
+    // A deterministic failure fails again and stays in errors.
+    val fnMap = queryList.toMap
+    val retriedOk = Bench.applyRetry(errors,
+      name => fnMap.get(name).flatMap(timeOnce(name, _, recordError = false)),
+      (name, t) => {
+        timesByQuery(name) = scala.collection.mutable.ArrayBuffer(t)
+      })
     var results = queryList.map { case (name, _) =>
       name -> timesByQuery.get(name).filter(_.nonEmpty).map(t => median(t.toSeq))
         .getOrElse(0.0)
@@ -208,7 +227,7 @@ object Bench {
     // 1.5× and a raw 2× gate flags half the suite as noise — so gate on
     // the ratio RELATIVE to the suite's median ratio (a real regression
     // is a query that got slower relative to its peers)
-    val regJson = {
+    val regList = {
       // failed queries carry failure durations, not measurements — they
       // belong in `errors`, never in the radar's normalizer or flags
       val healthy = results.filter { case (name, _) => !errors.contains(name) }
@@ -247,15 +266,24 @@ object Bench {
       flagged(results.filter { case (n, _) => !errors.contains(n) },
           prev, medRatio).map { case (name, p, t) =>
         s"""{"query":"$name","prev":${num(p)},"now":${num(t)},"ratio":${num(t / p)},"suite_median_ratio":${num(medRatio)}}"""
-      }.mkString("[", ",", "]")
+      }
     }
+    // the entry COUNT comes from the list, never from scanning the
+    // serialized JSON for '{' (r15 advice: a brace inside a query name
+    // or value would silently inflate the compact line's count)
+    val nRegressions = regList.size
+    val regJson = regList.mkString("[", ",", "]")
     // emit the per-query map AFTER the radar's re-time pass so a
     // contention-echo query reports its clean re-measured time
     val qs = results.map { case (k, v) =>
       val t = if (errors.contains(k)) -v else v // negative = failed
       s"\"" + k + "\":" + num(t)
     }.mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // full artifact carries generous messages; the compact line below
+    // truncates harder to protect the tail window
+    val errJson = Bench.errorsJson(errors.toSeq, cap = Int.MaxValue,
+      msgLen = 500)
+    val retriedJson = retriedOk.map(Bench.jsonStr).mkString("[", ",", "]")
     // streaming end-to-end probes (rows/s): run only in full-suite mode —
     // a failed probe reports as rate -1, never kills the batch numbers
     val streamingJson =
@@ -267,7 +295,8 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // pass totals only compare structurally when every pass timed the
     // same queries — a mid-suite failure shrinks later passes, so the
-    // spread is only meaningful alongside an empty `errors` array
+    // spread is only meaningful alongside an empty `errors` array AND
+    // an empty `retried_ok` (a recovered query still missed passes)
     val noiseJson = {
       // the spread compares the samples bracketing the WARM passes only
       // (drop the pre-pass-1 sample), consistent with the pass-total
@@ -320,7 +349,7 @@ object Bench {
         }.mkString("[", ",", "]")
     }
     val fullLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"regressions":$regJson,"round_over_round":$rorJson,"top_increases":$deltaJson,"noise":$noiseJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"retried_ok":$retriedJson,"regressions":$regJson,"round_over_round":$rorJson,"top_increases":$deltaJson,"noise":$noiseJson,"sf":"$sfDir"}"""
     // the driver wrapper captures only a ~2000-char stdout TAIL and
     // parses a JSON line out of it: r13's 10 KB full line was
     // decapitated mid-map and the round artifact recorded
@@ -354,9 +383,10 @@ object Bench {
         "\"" + k + "\":" + num(t)
       }.mkString("{", ",", "}")
     // errors/regressions are usually empty; cap them so a pathological
-    // round can't push the compact line past the tail window
-    val errCompact = errors.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val nRegressions = "\\{".r.findAllIn(regJson).size
+    // round can't push the compact line past the tail window. Each
+    // entry carries the first error MESSAGE (truncated) so a failed
+    // round self-diagnoses from the artifact alone (r15).
+    val errCompact = Bench.errorsJson(errors.toSeq, cap = 4, msgLen = 120)
     val noiseCompact = {
       val canarySpread = Bench.spread(canaryTimes.drop(1).toSeq)
       val midSpread = Bench.spread(midCanaryTimes.drop(1).toSeq)
@@ -364,7 +394,7 @@ object Bench {
       s"""{"canary_spread":${num(canarySpread)},"mid_canary_spread":${num(midSpread)},"pass_total_spread":${num(passSpread)},"assessment":"${Bench.noiseAssessment(canarySpread, midSpread, passSpread)}"}"""
     }
     val compactLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headlineJson,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"n_regressions":$nRegressions,"streaming":$streamingJson,"round_over_round":$rorJson,"noise":$noiseCompact,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headlineJson,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"n_retried_ok":${retriedOk.size},"n_regressions":$nRegressions,"streaming":$streamingJson,"round_over_round":$rorJson,"noise":$noiseCompact,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     println(compactLine)
     spark.stop()
   }
@@ -373,6 +403,44 @@ object Bench {
 
   private[graft] def median(ts: Seq[Double]): Double = {
     val s = ts.sorted; s(s.size / 2)
+  }
+
+  /** JSON string literal: backslash, quote, and all control chars
+    * escaped — an error message with a newline or quote (Spark
+    * exceptions have both) must not break the artifact's JSON. */
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Error entries as JSON objects carrying the first error message
+    * (truncated to `msgLen`, at most `cap` entries) — the compact
+    * line's self-diagnosis payload (r15, verdict item 3). */
+  private[graft] def errorsJson(errs: Seq[(String, String)], cap: Int,
+      msgLen: Int): String =
+    errs.take(cap).map { case (n, m) =>
+      s"""{"q":${jsonStr(n)},"msg":${jsonStr(m.take(msgLen))}}"""
+    }.mkString("[", ",", "]")
+
+  /** End-of-suite retry merge (r15, verdict item 3): re-attempt each
+    * errored query once via `retry`; a success calls `record` with the
+    * clean measurement and REMOVES the query from `errors` (mutated in
+    * place), a repeat failure leaves it errored. Returns the names
+    * that recovered, in their original error order. */
+  private[graft] def applyRetry(
+      errors: scala.collection.mutable.LinkedHashMap[String, String],
+      retry: String => Option[Double],
+      record: (String, Double) => Unit): Seq[String] = {
+    val ok = errors.keys.toSeq.flatMap { name =>
+      retry(name).map { t => record(name, t); name }
+    }
+    ok.foreach(errors.remove)
+    ok
   }
 
   /** The suite-wide median of now/prev ratios — the machine-speed

@@ -77,4 +77,46 @@ class BenchRadarSpec extends AnyFunSuite {
     assert(Bench.noiseAssessment(1.0, 1.0, 1.5) == "contended") // pass hit
     assert(Bench.noiseAssessment(2.0, 1.6, 1.3) == "quiet")     // at the edge
   }
+
+  test("end-of-suite retry: a transient failure recovers, a deterministic " +
+      "one stays errored (r15, verdict item 3)") {
+    val errors = scala.collection.mutable.LinkedHashMap(
+      "op_transient" -> "SparkException: shuffle fetch failed",
+      "op_broken" -> "IllegalStateException: invariant broken")
+    val recorded = scala.collection.mutable.Map.empty[String, Double]
+    val ok = Bench.applyRetry(errors,
+      retry = n => if (n == "op_transient") Some(1.25) else None,
+      record = (n, t) => { recorded(n) = t; () })
+    // the transient query rejoined the healthy set with its clean
+    // single measurement; the deterministic one kept its message
+    assert(ok == Seq("op_transient"))
+    assert(recorded == Map("op_transient" -> 1.25))
+    assert(errors.keySet == Set("op_broken"))
+    assert(errors("op_broken").contains("invariant broken"))
+    // nothing errored: no retries attempted, nothing recorded
+    val none = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    assert(Bench.applyRetry(none, _ => Some(9.9),
+      (_, _) => fail("record on empty errors")).isEmpty)
+  }
+
+  test("compact error entries carry the truncated first message, capped, " +
+      "JSON-escaped") {
+    val errs = Seq(
+      "op_a" -> ("boom \"quoted\"\nline2\t" + "x" * 300),
+      "op_b" -> "plain",
+      "op_c" -> "third",
+      "op_d" -> "fourth",
+      "op_e" -> "fifth (past the cap)")
+    val json = Bench.errorsJson(errs, cap = 4, msgLen = 120)
+    // parses as JSON: balanced quoting/escaping even with ", \n, \t
+    assert(json.startsWith("""[{"q":"op_a","msg":"boom \"quoted\"\nline2\t"""))
+    assert(!json.contains("op_e"), "cap not applied")
+    assert(json.contains("op_d"))
+    // truncation: the 300-char tail is cut at msgLen characters
+    val msg = json.split("\"msg\":\"")(1).split("\"}")(0)
+    assert(msg.length <= 120 + 10, s"message not truncated: ${msg.length}")
+    // control chars below 0x20 escape as \u00XX
+    assert(Bench.jsonStr("ab") == "\"a\\u0001b\"")
+    assert(Bench.errorsJson(Seq.empty, 4, 120) == "[]")
+  }
 }
