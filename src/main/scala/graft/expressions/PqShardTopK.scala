@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * with [[SqShard]]); plus the PQ codebook (m×nCents sub-centroids,
   * slot j·nCents+c). Built once at stream construction from the
   * persisted index, shipped to executors as ONE broadcast value.
-  * [[PqShard.fromRows]] validates stride consistency. */
+  * Stride consistency is validated in the CONSTRUCTOR (r15 advice,
+  * same as [[SqShard]]: a hand-built shard with ragged blockCodes or a
+  * mis-sized codebook must fail loudly, not mis-stride the scan). */
 case class PqShard(
     cellIds: Array[Long],
     centVecs: Array[Array[Long]],
@@ -24,7 +26,28 @@ case class PqShard(
     blockCodes: Array[Array[Long]],
     cbVecs: Array[Array[Long]],
     cbN2s: Array[Long],
-    m: Int, nCents: Int, subDim: Int)
+    m: Int, nCents: Int, subDim: Int) {
+  require(m > 0 && nCents > 0 && subDim > 0,
+    s"PQ geometry must be positive: m=$m nCents=$nCents subDim=$subDim")
+  require(centVecs.length == cellIds.length && centN2s.length == cellIds.length
+      && blockIds.length == cellIds.length
+      && blockCodes.length == cellIds.length,
+    s"per-cell arrays disagree on cell count: cellIds=${cellIds.length} " +
+      s"centVecs=${centVecs.length} centN2s=${centN2s.length} " +
+      s"blockIds=${blockIds.length} blockCodes=${blockCodes.length}")
+  require(cbVecs.length == m * nCents && cbN2s.length == m * nCents,
+    s"codebook has ${cbVecs.length} vecs / ${cbN2s.length} norms for " +
+      s"m*nCents=${m * nCents} slots")
+  cbVecs.zipWithIndex.foreach { case (v, i) =>
+    require(v.length == subDim,
+      s"codebook slot $i has dim ${v.length} != subDim=$subDim")
+  }
+  cellIds.indices.foreach { c =>
+    require(blockCodes(c).length == blockIds(c).length * m,
+      s"cell $c flat code block has ${blockCodes(c).length} codes for " +
+        s"${blockIds(c).length} ids at stride $m")
+  }
+}
 
 object PqShard {
   /** Build from per-candidate code arrays, flattening each cell block. */

@@ -45,9 +45,23 @@ case class RegisteredDomainPsl(host: Expression, suffixes: Seq[String])
           s"requires string, got ${other.simpleString}")
     }
 
-  @transient private lazy val suffixSet: java.util.HashSet[String] = {
+  // the three PSL rule forms as three hash sets (r15: wildcard `*.t`
+  // and exception `!b` join the plain rules — the real PSL grammar, so
+  // a production swap to the full list carries no silent semantic gap)
+  @transient private lazy val plainSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    suffixes.foreach(s.add)
+    suffixes.filterNot(r => r.startsWith("!") || r.startsWith("*."))
+      .foreach(s.add)
+    s
+  }
+  @transient private lazy val wildTailSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    suffixes.filter(_.startsWith("*.")).map(_.substring(2)).foreach(s.add)
+    s
+  }
+  @transient private lazy val excBodySet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    suffixes.filter(_.startsWith("!")).map(_.substring(1)).foreach(s.add)
     s
   }
 
@@ -57,13 +71,27 @@ case class RegisteredDomainPsl(host: Expression, suffixes: Seq[String])
     // malformed hosts take the same '' path the regex spellings take
     val labels = h.split("\\.", -1)
     val n = labels.length
-    // longest matching suffix = the SMALLEST i (1..n-1) whose tail is
-    // a rule; suffixes of one host at different lengths are distinct,
-    // so the first hit is the unique longest match
+    // exception rules beat everything (PSL): a host equal to or ending
+    // in the rule body has registered domain = the body itself. Scan
+    // from i = 0 (the whole host may BE the body)
+    var e = 0
+    while (e < n) {
+      val tail = labels.slice(e, n).mkString(".")
+      if (excBodySet.contains(tail))
+        return org.apache.spark.unsafe.types.UTF8String.fromString(tail)
+      e += 1
+    }
+    // longest matching public suffix = the SMALLEST i (1..n-1) whose
+    // tail is a plain rule OR whose tail's first label is covered by a
+    // wildcard rule on the remaining labels (the `*` label must be
+    // non-empty — PSL labels are); suffixes of one host at different
+    // lengths are distinct, so the first hit is the unique longest match
     var i = 1
     while (i < n) {
       val tail = labels.slice(i, n).mkString(".")
-      if (suffixSet.contains(tail)) {
+      val wildHit = i + 1 < n && labels(i).nonEmpty &&
+        wildTailSet.contains(labels.slice(i + 1, n).mkString("."))
+      if (plainSet.contains(tail) || wildHit) {
         val prev = labels(i - 1)
         val out = if (prev.isEmpty) "" else s"$prev.$tail"
         return org.apache.spark.unsafe.types.UTF8String.fromString(out)

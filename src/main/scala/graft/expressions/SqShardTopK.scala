@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * Array[Array[Long]]: the block scan is the serving leg's hot loop,
   * and a row-per-object layout pointer-chases the heap per candidate
   * where the flat block streams sequentially (r14; same layout change
-  * every columnar scanner makes). [[apply]] validates stride
-  * consistency so a ragged input can't silently mis-stride. */
+  * every columnar scanner makes). Stride consistency is validated in
+  * the CONSTRUCTOR (r15 advice: it used to live only in
+  * [[SqShard.fromRows]], so a hand-built shard with ragged blockVecs
+  * would silently mis-stride the hot scan, reading wrong candidates
+  * instead of failing). */
 case class SqShard(
     cellIds: Array[Long],
     centVecs: Array[Array[Long]],
@@ -24,7 +27,26 @@ case class SqShard(
     blockIds: Array[Array[Long]],
     blockVecs: Array[Array[Long]],
     blockN2s: Array[Array[Long]],
-    dim: Int)
+    dim: Int) {
+  require(dim > 0, s"vector dim must be positive, got $dim")
+  require(centVecs.length == cellIds.length && centN2s.length == cellIds.length
+      && blockIds.length == cellIds.length && blockVecs.length == cellIds.length
+      && blockN2s.length == cellIds.length,
+    s"per-cell arrays disagree on cell count: cellIds=${cellIds.length} " +
+      s"centVecs=${centVecs.length} centN2s=${centN2s.length} " +
+      s"blockIds=${blockIds.length} blockVecs=${blockVecs.length} " +
+      s"blockN2s=${blockN2s.length}")
+  centVecs.zipWithIndex.foreach { case (v, c) =>
+    require(v.length == dim, s"centroid $c dim ${v.length} != $dim")
+  }
+  cellIds.indices.foreach { c =>
+    require(blockVecs(c).length == blockIds(c).length * dim,
+      s"cell $c flat block has ${blockVecs(c).length} values for " +
+        s"${blockIds(c).length} ids at stride $dim")
+    require(blockN2s(c).length == blockIds(c).length,
+      s"cell $c has ${blockN2s(c).length} norms for ${blockIds(c).length} ids")
+  }
+}
 
 object SqShard {
   /** Build from per-candidate vectors, flattening each cell's block. */

@@ -76,49 +76,95 @@ object Urls {
     * table (r14 — replacing the last-two-labels heuristic, which a
     * real crawl user hits immediately: example.co.uk grouped as
     * "co.uk" merges every UK site into one cap bucket). Real PSL
-    * entries, including the multi-label rules that carry the weight;
-    * a production deployment swaps in the full ~9k-rule list through
-    * the same two spellings — the [[registeredDomainPsl]] when-chain
-    * while the list is literal-sized, the op317 broadcast-dim join
+    * entries, including the multi-label rules that carry the weight —
+    * and, as of r15, the two non-plain rule FORMS the real PSL grammar
+    * has: a wildcard rule (`*.ck` — every label directly under .ck is
+    * itself a public suffix) and its exception (`!www.ck` — www.ck is
+    * registrable despite the wildcard), so a production swap to the
+    * full ~9k-rule list carries no silent semantic gap. All three
+    * spellings implement all three rule forms — the
+    * [[registeredDomainPsl]] when-chain while the list is
+    * literal-sized, the [[graft.expressions.RegisteredDomainPsl]]
+    * plan-node for the streaming keyers, the op317 broadcast-dim join
     * always. */
   val publicSuffixSlice: Seq[String] = Seq(
     "com", "org", "net", "io", "uk",
-    "co.uk", "org.uk", "com.au", "co.jp", "github.io")
+    "co.uk", "org.uk", "com.au", "co.jp", "github.io",
+    "*.ck", "!www.ck")
 
-  /** Longest-match ordering the PSL defines: more labels win, then
-    * longer, then lexicographic (a total order so both engines and
-    * both spellings agree). */
+  /** Rule-form accessors shared by every spelling (ONE definition so
+    * the engines cannot disagree on what a rule means). */
+  private[graft] def isException(rule: String): Boolean =
+    rule.startsWith("!")
+  private[graft] def isWildcard(rule: String): Boolean =
+    rule.startsWith("*.")
+
+  /** Match ordering the PSL defines: exception rules beat everything,
+    * then more labels win (a wildcard's `*` counts as a label), then
+    * longer, then lexicographic (a total order so both engines and all
+    * three spellings agree). */
   private[graft] def pslOrdered(suffixes: Seq[String]): Seq[String] =
-    suffixes.sortBy(s => (-s.count(_ == '.'), -s.length, s))
+    suffixes.sortBy(s =>
+      (if (isException(s)) 0 else 1, -s.count(_ == '.'), -s.length, s))
 
   private def escRegex(s: String): String = s.replace(".", "\\.")
 
-  /** Registered domain (eTLD+1) under a public-suffix table: the
-    * longest suffix in `suffixes` that the host ends with (PSL
-    * longest-match rule), plus one preceding label. Hosts matching no
-    * rule fall back to the last two labels (the PSL's implicit "*"
-    * rule for unknown TLDs). A host that IS a public suffix has no
-    * registered domain under the PSL; this spelling returns its
-    * shortest matching cover (suffix + 0 labels is inexpressible in
-    * one extract) — the crawl-side callers never group by a bare
-    * suffix because no document URL lives there. */
+  /** Registered domain (eTLD+1) under a public-suffix table, all three
+    * PSL rule forms:
+    *  - plain rule `s`: hosts ending `.s` → one preceding label + `s`;
+    *  - wildcard rule `*.t`: any single non-empty label directly under
+    *    `t` is a public suffix, so hosts ending `.<label>.t` → one
+    *    further preceding label + `<label>.t`;
+    *  - exception rule `!b`: overrides any wildcard/plain match — a
+    *    host equal to or ending in `.b` has registered domain `b`
+    *    itself (the rule body minus nothing: PSL defines the public
+    *    suffix as `b` minus its leftmost label, so registered = `b`).
+    * Hosts matching no rule fall back to the last two labels (the
+    * PSL's implicit "*" rule for unknown TLDs). A host that IS a
+    * public suffix has no registered domain under the PSL; this
+    * spelling returns its shortest matching cover (suffix + 0 labels
+    * is inexpressible in one extract) — the crawl-side callers never
+    * group by a bare suffix because no document URL lives there. */
   def registeredDomainPsl(host: Column,
       suffixes: Seq[String] = publicSuffixSlice): Column = {
-    val matches = pslOrdered(suffixes).map { s =>
-      when(host.endsWith("." + s),
-        regexp_extract(host, "([^.]+\\." + escRegex(s) + ")$", 1))
+    val matches = pslOrdered(suffixes).map {
+      case r if isException(r) =>
+        val b = r.substring(1)
+        when(host === b || host.endsWith("." + b), lit(b))
+      case r if isWildcard(r) =>
+        val t = r.substring(2)
+        // the `*` label must be non-empty (PSL labels are), mirrored by
+        // the procedural spelling; the extract's [^.]+ additionally
+        // yields '' when the REGISTRABLE label is empty/missing — the
+        // same '' convention as the plain-rule branch
+        when(host.rlike("\\.[^.]+\\." + escRegex(t) + "$"),
+          regexp_extract(host,
+            "([^.]+\\.[^.]+\\." + escRegex(t) + ")$", 1))
+      case s =>
+        when(host.endsWith("." + s),
+          regexp_extract(host, "([^.]+\\." + escRegex(s) + ")$", 1))
     }
     coalesce(matches :+ regexp_extract(host, "([^.]+\\.[^.]+)$", 1): _*)
   }
 
   /** [[registeredDomainPsl]]'s DuckDB twin over a SQL expression
-    * string — the same slice, same longest-match order, same two-label
-    * fallback, generated from one table so the engines cannot drift. */
+    * string — the same slice, same match order, same rule forms, same
+    * two-label fallback, generated from one table so the engines
+    * cannot drift. */
   def registeredDomainPslSql(hostExpr: String,
       suffixes: Seq[String] = publicSuffixSlice): String = {
-    val whens = pslOrdered(suffixes).map { s =>
-      s"WHEN $hostExpr LIKE '%.$s' THEN " +
-        s"regexp_extract($hostExpr, '([^.]+\\.${escRegex(s)})$$', 1)"
+    val whens = pslOrdered(suffixes).map {
+      case r if isException(r) =>
+        val b = r.substring(1)
+        s"WHEN ($hostExpr = '$b' OR $hostExpr LIKE '%.$b') THEN '$b'"
+      case r if isWildcard(r) =>
+        val t = r.substring(2)
+        s"WHEN regexp_matches($hostExpr, '\\.[^.]+\\.${escRegex(t)}$$') " +
+          s"THEN regexp_extract($hostExpr, " +
+          s"'([^.]+\\.[^.]+\\.${escRegex(t)})$$', 1)"
+      case s =>
+        s"WHEN $hostExpr LIKE '%.$s' THEN " +
+          s"regexp_extract($hostExpr, '([^.]+\\.${escRegex(s)})$$', 1)"
     }
     s"(CASE ${whens.mkString(" ")} ELSE " +
       s"regexp_extract($hostExpr, '([^.]+\\.[^.]+)$$', 1) END)"

@@ -355,50 +355,85 @@ object WebQueries {
     * join spelling — the 100 TB path for the full ~9k-rule Public
     * Suffix List (the [[Urls.registeredDomainPsl]] when-chain is the
     * literal-sized spelling the streaming keyers use; this op proves
-    * the table-driven one). Hosts synthesize multi-label suffixes
-    * (co.uk, org.uk, github.io) plus .com and an extra subdomain label
-    * on multiples of 5, so the longest-match rule carries real weight:
-    * "uk" and "co.uk" both match a co.uk host and the 2-label rule
-    * must win. Shape: suffix candidates per host = O(labels) (every
-    * dot-suffix, one explode), an equi-join against the broadcast PSL
-    * dim, and one map-combinable max per doc — no corpus-sized state,
-    * no regex scan of the list. The oracle replays the same slice as a
-    * generated longest-match CASE chain
-    * ([[Urls.registeredDomainPslSql]]); the declared equivalence is
-    * join-longest-match ≡ ordered CASE (both pick the matching suffix
-    * with the most labels, unique per host). */
+    * the table-driven one), covering ALL THREE PSL rule forms as of
+    * r15: plain suffixes, the wildcard rule (`*.ck` hosts must group
+    * one label deeper) and its exception (`!www.ck` hosts must beat
+    * the wildcard). Hosts synthesize multi-label suffixes (co.uk,
+    * org.uk, github.io), wildcard-covered `w<j>.ck` hosts, exception
+    * `www.ck` hosts, plus .com; an extra subdomain label on multiples
+    * of 5 and — new in r15 — a BARE-suffix host on multiples of 9
+    * (h-label dropped), the edge the r15 advice flagged: a host
+    * exactly equal to a rule must fall to the fallback, not slice past
+    * the label array. Shape: ≤3 join keys per label position (plain
+    * tail, `*.`-form, `!`-form — null keys never match), an equi-join
+    * against the broadcast PSL dim carrying (rule, is_exc, s_labels),
+    * and one map-combinable max per doc whose struct order
+    * (is_exc, s_labels) IS the PSL precedence — no corpus-sized state,
+    * no regex scan of the list. Plain/wildcard keys start at label
+    * position 2 (a bare-suffix host has no registrable label);
+    * exception keys start at 1 (a host may BE the exception body —
+    * that host is registrable). The oracle replays the same slice as a
+    * generated CASE chain ([[Urls.registeredDomainPslSql]]); the
+    * declared equivalence is join-max ≡ ordered CASE on the fixture's
+    * host grammar (non-empty labels). */
   val op317RegisteredDomainPsl: Q = (s, d) => {
     val host = concat(
       when(col("doc_id") % 5 === 0, lit("x.")).otherwise(lit("")),
-      lit("h"), (col("doc_id") % 6).cast("string"), lit("."),
-      when(col("doc_id") % 4 === 0,
+      when(col("doc_id") % 7 === 0, lit(""))
+        .otherwise(concat(lit("h"), (col("doc_id") % 6).cast("string"),
+          lit("."))),
+      when(col("doc_id") % 6 === 0,
         concat(lit("example"), (col("doc_id") % 3).cast("string"),
           lit(".com")))
-        .when(col("doc_id") % 4 === 1,
+        .when(col("doc_id") % 6 === 1,
           concat(lit("example"), (col("doc_id") % 3).cast("string"),
             lit(".co.uk")))
-        .when(col("doc_id") % 4 === 2, lit("github.io"))
-        .otherwise(concat(lit("example"), (col("doc_id") % 3).cast("string"),
-          lit(".org.uk"))))
+        .when(col("doc_id") % 6 === 2, lit("github.io"))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("example"), (col("doc_id") % 3).cast("string"),
+            lit(".org.uk")))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("w"), (col("doc_id") % 3).cast("string"), lit(".ck")))
+        .otherwise(lit("www.ck")))
     val docs = Tables.documents(s, d).select(col("doc_id"), host.as("host"))
     import s.implicits._
-    val pslDf = Urls.publicSuffixSlice
-      .map(x => (x, x.count(_ == '.') + 1)).toDF("suffix", "s_labels")
+    val pslDf = Urls.publicSuffixSlice.map { r =>
+      val exc = r.startsWith("!")
+      val body = if (exc) r.substring(1) else r
+      (r, if (exc) 1 else 0, body.count(_ == '.') + 1)
+    }.toDF("rule", "is_exc", "s_labels")
     val labs = split(col("host"), "\\.")
-    val cands = transform(sequence(lit(1), size(labs)),
-      i => array_join(slice(labs, i, size(labs) - i + 1), "."))
+    val nl = size(labs)
+    // per label position i, up to three join keys; a key spelled null
+    // (guard not met) simply never equi-joins
+    val keys = flatten(transform(sequence(lit(1), nl), i => array(
+      // plain: the tail itself, only with a registrable label before it
+      when(i >= 2, array_join(slice(labs, i, nl - i + 1), ".")),
+      // wildcard form: `*.` + the tail one deeper; the `*` label
+      // (position i) must exist, be non-empty, and leave a tail
+      when(i >= 2 && i < nl && element_at(labs, i) =!= "",
+        concat(lit("*."), array_join(slice(labs, i + 1, nl - i), "."))),
+      // exception form: `!` + tail from ANY position incl. the whole
+      // host (the body itself is registrable)
+      concat(lit("!"), array_join(slice(labs, i, nl - i + 1), ".")))))
     val matched = docs
-      .withColumn("cand", explode(cands))
-      .join(broadcast(pslDf), col("cand") === col("suffix"), "left")
+      .withColumn("cand", explode(keys))
+      .join(broadcast(pslDf), col("cand") === col("rule"), "left")
       .groupBy(col("doc_id"), col("host"))
       // struct only when a rule matched (the op311 lesson: max over
-      // struct(null, …) is non-null and silently wins)
-      .agg(max(when(col("suffix").isNotNull,
-        struct(col("s_labels"), col("suffix")))).as("m"))
+      // struct(null, …) is non-null and silently wins); field order
+      // (is_exc, s_labels) makes max() the PSL precedence
+      .agg(max(when(col("rule").isNotNull,
+        struct(col("is_exc"), col("s_labels")))).as("m"))
     ordered(
       matched.select(col("doc_id"), col("host"),
         when(col("m").isNull,
           regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+          // exception: the registered domain IS the rule body
+          .when(col("m.is_exc") === 1,
+            array_join(slice(labs, size(labs) - col("m.s_labels") + 1,
+              col("m.s_labels")), "."))
+          // plain/wildcard: matched labels + one registrable label
           .otherwise(array_join(
             slice(labs, size(labs) - col("m.s_labels"),
               col("m.s_labels") + 1), "."))
@@ -787,18 +822,25 @@ object WebQueries {
         |  CAST(len(blocks) AS BIGINT) AS n_blocks
         |FROM b ORDER BY doc_id""".stripMargin,
     // op317: the same host synthesis, registered domain via the
-    // generated longest-match CASE chain over the shared PSL slice
+    // generated CASE chain over the shared PSL slice — all three rule
+    // forms (plain / wildcard *.ck / exception !www.ck), bare-suffix
+    // hosts on multiples of 9
     "op317_registered_domain_psl" ->
       s"""WITH hh AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 5 = 0 THEN 'x.' ELSE '' END) ||
-        |    'h' || CAST(doc_id % 6 AS VARCHAR) || '.' ||
-        |    (CASE WHEN doc_id % 4 = 0
+        |    (CASE WHEN doc_id % 7 = 0 THEN ''
+        |     ELSE 'h' || CAST(doc_id % 6 AS VARCHAR) || '.' END) ||
+        |    (CASE WHEN doc_id % 6 = 0
         |       THEN 'example' || CAST(doc_id % 3 AS VARCHAR) || '.com'
-        |     WHEN doc_id % 4 = 1
+        |     WHEN doc_id % 6 = 1
         |       THEN 'example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
-        |     WHEN doc_id % 4 = 2 THEN 'github.io'
-        |     ELSE 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org.uk'
+        |     WHEN doc_id % 6 = 2 THEN 'github.io'
+        |     WHEN doc_id % 6 = 3
+        |       THEN 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org.uk'
+        |     WHEN doc_id % 6 = 4
+        |       THEN 'w' || CAST(doc_id % 3 AS VARCHAR) || '.ck'
+        |     ELSE 'www.ck'
         |     END) AS host
         |  FROM documents)
         |SELECT doc_id, host,

@@ -69,22 +69,33 @@ object StreamingAnn {
       // (the scan keeps all candidates) but keeps the shard reproducible
       cellRows.getOrElse(cid, Array.empty).map(_._2).sortBy(_._1)
     }
-    val shard = spark.sparkContext.broadcast(
-      graft.expressions.SqShard.fromRows(
-        centRows.map(_._1),
-        centRows.map(_._2),
-        centRows.map(_._3),
-        blocks.map(_.map(_._1)),
-        blocks.map(_.map(_._2)),
-        blocks.map(_.map(_._3))))
     val qVec = Similarity.quantize(col("embedding"))
     val q0 = queryStream.select(col("vec_id").as("q_id"), qVec.as("q_vec"))
       .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val topExpr = ColumnBridge.column(graft.expressions.SqShardTopK(
-      ColumnBridge.expression(col("q_id")),
-      ColumnBridge.expression(col("q_vec")),
-      ColumnBridge.expression(col("q_n2")), shard, k, nProbe))
+    // cold-bootstrap EMPTY index (r15 advice): the legacy stream-static
+    // join spelling answered every query with no matches; the shard
+    // spelling must do the same, not require-fail at stream build — so
+    // an empty centroids store short-circuits to zero candidates while
+    // KEEPING the explode → TopKAgg plan shape (output-mode semantics
+    // and schema unchanged; queries simply produce no groups)
+    val topExpr =
+      if (centRows.isEmpty)
+        expr("CAST(array() AS array<struct<sq_bp: bigint, n_id: bigint>>)")
+      else {
+        val shard = spark.sparkContext.broadcast(
+          graft.expressions.SqShard.fromRows(
+            centRows.map(_._1),
+            centRows.map(_._2),
+            centRows.map(_._3),
+            blocks.map(_.map(_._1)),
+            blocks.map(_.map(_._2)),
+            blocks.map(_.map(_._3))))
+        ColumnBridge.column(graft.expressions.SqShardTopK(
+          ColumnBridge.expression(col("q_id")),
+          ColumnBridge.expression(col("q_vec")),
+          ColumnBridge.expression(col("q_n2")), shard, k, nProbe))
+      }
     q0.select(col("q_id"), explode(topExpr).as("t"))
       .select(col("q_id"), col("t.sq_bp").as("cos_bp"),
         col("t.n_id").as("n_id"))
@@ -146,22 +157,29 @@ object StreamingAnn {
       // (the scan keeps all candidates) but keeps the shard reproducible
       codeRows.getOrElse(cid, Array.empty).map(_._2).sortBy(_._1)
     }
-    val shard = spark.sparkContext.broadcast(
-      graft.expressions.SqShard.fromRows(
-        centRows.map(_._1),
-        centRows.map(_._2),
-        centRows.map(_._3),
-        blocks.map(_.map(_._1)),
-        blocks.map(_.map(_._2)),
-        blocks.map(_.map(_._3))))
     val qVec = Similarity.quantize(col("embedding"))
     val q0 = queryStream.select(col("vec_id").as("q_id"), qVec.as("q_vec"))
       .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val topExpr = ColumnBridge.column(graft.expressions.SqShardTopK(
-      ColumnBridge.expression(col("q_id")),
-      ColumnBridge.expression(col("q_vec")),
-      ColumnBridge.expression(col("q_n2")), shard, k, nProbe))
+    // empty-index short-circuit — same cold-bootstrap contract as
+    // ivfProbeStream above
+    val topExpr =
+      if (centRows.isEmpty)
+        expr("CAST(array() AS array<struct<sq_bp: bigint, n_id: bigint>>)")
+      else {
+        val shard = spark.sparkContext.broadcast(
+          graft.expressions.SqShard.fromRows(
+            centRows.map(_._1),
+            centRows.map(_._2),
+            centRows.map(_._3),
+            blocks.map(_.map(_._1)),
+            blocks.map(_.map(_._2)),
+            blocks.map(_.map(_._3))))
+        ColumnBridge.column(graft.expressions.SqShardTopK(
+          ColumnBridge.expression(col("q_id")),
+          ColumnBridge.expression(col("q_vec")),
+          ColumnBridge.expression(col("q_n2")), shard, k, nProbe))
+      }
     q0.select(col("q_id"), explode(topExpr).as("t"))
       .select(col("q_id"), col("t.sq_bp").as("sq_bp"),
         col("t.n_id").as("n_id"))

@@ -88,7 +88,16 @@ class WebSpec extends SparkSpec {
       // bare "uk" rule still applies where no 2-label rule matches
       ("https://site.ac.uk/", "ac.uk"),
       // unknown TLD falls back to the last two labels
-      ("https://x.example.dev/", "example.dev"))
+      ("https://x.example.dev/", "example.dev"),
+      // wildcard rule *.ck (r15): every label under .ck is itself a
+      // public suffix, so the registered domain sits one label deeper
+      ("https://a.shop.biz.ck/x", "shop.biz.ck"),
+      ("https://biz.ck/", "biz.ck"), // host IS a wildcard suffix: fallback
+      // exception rule !www.ck beats the wildcard: www.ck is registrable
+      // (the bare www.ck host can't ride a URL here — canonicalHost
+      // strips the leading "www." — so it's pinned in the host-level
+      // expression test below; subdomain spellings survive intact)
+      ("https://sub.www.ck/", "www.ck"))
     val got = cases.map(_._1).toDF("url")
       .select(Urls.registeredDomain(Urls.canonicalHost(col("url"))))
       .as[String].collect().toSeq
@@ -336,7 +345,13 @@ class WebSpec extends SparkSpec {
     val hosts = Seq("a.b.news.example.com", "example.com",
       "shop.example.co.uk", "a.b.example.org.uk", "user.github.io",
       "github.io", "site.ac.uk", "x.example.dev", "xco.uk",
-      "x..com", "..com", "a.", "", "com", "single")
+      "x..com", "..com", "a.", "", "com", "single",
+      // r15 wildcard/exception rule forms, including the edges: a host
+      // that IS a wildcard-covered suffix (fallback), an empty `*`
+      // label (no match → fallback path), deep subdomains, and the
+      // exception body bare / nested / dotted-prefix
+      "a.shop.biz.ck", "shop.biz.ck", "biz.ck", "ck", "x..ck", "a.b..w.ck",
+      "www.ck", "sub.www.ck", "a.sub.www.ck", ".www.ck", "wwwx.ck")
     val rows = hosts.toDF("h")
       .select(col("h"),
         Urls.registeredDomain(col("h")).as("expr_d"),
