@@ -242,6 +242,85 @@ object Urls {
       }
     }
 
+  /** Relative-reference resolution (RFC 3986 §5.2) — the crawl-stack
+    * hook between anchor extraction and canonicalization: real pages
+    * link with relative hrefs ("x/../y", "./z", "/p/k/v", "//host/p",
+    * "?id=3", ""), and every downstream stage (link graph, rank,
+    * anchor index, URL dedup) needs them resolved against the page's
+    * own URL first. Pure Column composition of the existing pieces —
+    * merge-paths (§5.2.3) + [[removeDotSegments]] (§5.2.4) over the
+    * base components [[pathOf]]/[[rawHost]] already extract — with the
+    * exact generated twin [[resolveSql]], so both engines resolve
+    * identically (WebSpec pins the RFC §5.4 reference-resolution
+    * examples). Grammar bounds, both engines: base is absolute with an
+    * authority (`scheme://host...`, the only shape the corpus stores),
+    * absolute refs use `scheme://` (no opaque `scheme:` forms), and
+    * fragments never survive (the corpus convention canonicalize
+    * already applies — §5.4's fragment-carrying examples resolve to
+    * their fragment-less target). Dot segments are removed in EVERY
+    * branch, including an already-absolute ref (§5.2.2 does, and
+    * that's what makes resolution idempotent). */
+  def resolve(base: Column, ref: Column): Column = {
+    val r = regexp_replace(ref, "#.*$", "")
+    val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val schemeAuth =
+      regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    val basePath = pathOf(base)
+    val baseQ = regexp_extract(base, "(\\?[^#]*)", 1)
+    val refPath = regexp_extract(r, "^([^?]*)", 1)
+    val refQ = regexp_extract(r, "(\\?.*)$", 1)
+    // merge (§5.2.3): base path up to its last '/', or '/' when the
+    // base path is empty (an authority is always present here)
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val dir = when(baseDir === "", lit("/")).otherwise(baseDir)
+    when(r.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+      concat(regexp_extract(r, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1),
+        removeDotSegments(pathOf(r)), refQ))
+      .when(r.startsWith("//"),
+        concat(scheme, lit(":"), regexp_extract(r, "^(//[^/?#]+)", 1),
+          removeDotSegments(regexp_extract(r, "^//[^/?#]+([^?#]*)", 1)),
+          refQ))
+      .when(r.startsWith("/"),
+        concat(schemeAuth, removeDotSegments(refPath), refQ))
+      .when(r.startsWith("?"), concat(schemeAuth, basePath, r))
+      .when(r === "", concat(schemeAuth, basePath, baseQ))
+      .otherwise(
+        concat(schemeAuth, removeDotSegments(concat(dir, refPath)), refQ))
+  }
+
+  /** [[resolve]]'s DuckDB twin over two SQL expression strings — the
+    * same branch structure, regexes and dot-segment chain, generated
+    * so the engines cannot drift. `baseE`/`refE` are interpolated
+    * several times: pass simple column references (or pre-bind a CTE
+    * column), not expensive subexpressions. */
+  def resolveSql(baseE: String, refE: String): String = {
+    val r = s"regexp_replace($refE, '#.*$$', '')"
+    val scheme = s"regexp_extract($baseE, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)"
+    val schemeAuth =
+      s"regexp_extract($baseE, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)"
+    val basePath =
+      s"regexp_extract($baseE, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    val baseQ = s"regexp_extract($baseE, '(\\?[^#]*)', 1)"
+    val refPath = s"regexp_extract($r, '^([^?]*)', 1)"
+    val refQ = s"regexp_extract($r, '(\\?.*)$$', 1)"
+    val dir = s"(CASE WHEN regexp_replace($basePath, '[^/]*$$', '') = '' " +
+      s"THEN '/' ELSE regexp_replace($basePath, '[^/]*$$', '') END)"
+    s"(CASE WHEN regexp_matches($r, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN " +
+      s"regexp_extract($r, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || " +
+      s"${removeDotSegmentsSql(
+        s"regexp_extract($r, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)")} || $refQ " +
+      s"WHEN left($r, 2) = '//' THEN " +
+      s"$scheme || ':' || regexp_extract($r, '^(//[^/?#]+)', 1) || " +
+      s"${removeDotSegmentsSql(
+        s"regexp_extract($r, '^//[^/?#]+([^?#]*)', 1)")} || $refQ " +
+      s"WHEN left($r, 1) = '/' THEN " +
+      s"$schemeAuth || ${removeDotSegmentsSql(refPath)} || $refQ " +
+      s"WHEN left($r, 1) = '?' THEN $schemeAuth || $basePath || $r " +
+      s"WHEN $r = '' THEN $schemeAuth || $basePath || $baseQ " +
+      s"ELSE $schemeAuth || " +
+      s"${removeDotSegmentsSql(s"($dir || $refPath)")} || $refQ END)"
+  }
+
   /** Canonical query: fragment dropped, `utm_*`/`ref`/`fbclid`
     * tracking parameters removed, survivors sorted and re-joined —
     * empty string when nothing survives. */

@@ -518,20 +518,34 @@ object WebQueries {
     * the final (src, dst) count with map-side combine — edge-list
     * construction at corpus scale is exactly this one aggregation. */
   val op319LinkGraph: Q = (s, d) => {
+    // r15: real crawl anchors are mostly RELATIVE — the page now links
+    // with one form of each kind and the extractor must RESOLVE against
+    // the page's own URL ([[Urls.resolve]]) before domain-keying:
+    //  - a same-site relative href with a dot segment (resolves to the
+    //    page's own domain → dropped as a self-edge; a resolver bug
+    //    that mangled the host would surface it as a spurious edge),
+    //  - a protocol-relative spelling of the 5d+1 target (the scheme
+    //    rides in from the base — same target URL as before),
+    //  - the absolute d+13 target.
+    val t1 = col("doc_id") * 7 + 3
+    val relHref = concat(lit("a/../p"), (t1 % 7).cast("string"),
+      lit("?id="), (t1 % 5).cast("string"))
+    val protoHref =
+      regexp_replace(urlFor(col("doc_id") * 5 + 1), "^https:", "")
     val page = concat(
-      lit("<html><body><p>See <a href=\""), urlFor(col("doc_id") * 7 + 3),
-      lit("\">first</a> and <a href=\""), urlFor(col("doc_id") * 5 + 1),
+      lit("<html><body><p>See <a href=\""), relHref,
+      lit("\">first</a> and <a href=\""), protoHref,
       lit("\">second</a>; archive at <a href=\""), urlFor(col("doc_id") + 13),
       lit("\">third</a>.</p></body></html>"))
     ordered(
       Tables.documents(s, d)
-        .select(
+        .select(urlOf.as("url"),
           Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("src_domain"),
           explode(regexp_extract_all(page,
             lit("(?is)<a[^>]+href=\"([^\"]+)\""), lit(1))).as("href"))
         .select(col("src_domain"),
-          Urls.registeredDomain(Urls.canonicalHost(col("href")))
-            .as("dst_domain"))
+          Urls.registeredDomain(Urls.canonicalHost(
+            Urls.resolve(col("url"), col("href")))).as("dst_domain"))
         .filter(col("src_domain") =!= col("dst_domain"))
         .groupBy("src_domain", "dst_domain")
         .agg(big(count(lit(1))).as("n_links")),
@@ -607,22 +621,32 @@ object WebQueries {
     * anchor spellings per target (tiny), never by reference count. */
   val op321AnchorText: Q = (s, d) => {
     val anchorPat = "(?is)<a href=\"([^\"]+)\">([^<]*)</a>"
+    // r15: anchors link RELATIVELY where real pages do — a same-site
+    // relative href with a dot segment (its resolved target keys real
+    // same-host pages into the index, gating merge + dot-segment +
+    // query resolution inside the aggregate), a protocol-relative
+    // spelling, and an absolute one (see op319's synthesis notes)
+    val t1 = col("doc_id") * 7 + 3
+    val relHref = concat(lit("a/../p"), (t1 % 7).cast("string"),
+      lit("?id="), (t1 % 5).cast("string"))
+    val protoHref =
+      regexp_replace(urlFor(col("doc_id") * 5 + 1), "^https:", "")
     val page = concat(
-      lit("<html><body><p>See <a href=\""), urlFor(col("doc_id") * 7 + 3),
+      lit("<html><body><p>See <a href=\""), relHref,
       lit("\">guide "), (col("doc_id") % 17).cast("string"),
-      lit("</a> and <a href=\""), urlFor(col("doc_id") * 5 + 1),
+      lit("</a> and <a href=\""), protoHref,
       lit("\">review "), (col("doc_id") % 13).cast("string"),
       lit("</a>; archive at <a href=\""), urlFor(col("doc_id") + 13),
       lit("\">mirror "), (col("doc_id") % 7).cast("string"),
       lit("</a>.</p></body></html>"))
     ordered(
       Tables.documents(s, d)
-        .select(
+        .select(urlOf.as("url"),
           Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("src_domain"),
           explode(regexp_extract_all(page, lit(anchorPat), lit(0))).as("m"))
         .select(col("src_domain"),
-          Urls.canonicalize(
-            regexp_extract(col("m"), anchorPat, 1)).as("dst_canon"),
+          Urls.canonicalize(Urls.resolve(col("url"),
+            regexp_extract(col("m"), anchorPat, 1))).as("dst_canon"),
           regexp_extract(col("m"), anchorPat, 2).as("anchor"))
         .groupBy("dst_canon")
         .agg(big(count(lit(1))).as("n_refs"),
@@ -658,6 +682,44 @@ object WebQueries {
       "doc_id")
   }
 
+  /** op323: RELATIVE-URL resolution (RFC 3986 §5.2) on the oracle
+    * path — the crawl hook between anchor extraction and
+    * canonicalization ([[Urls.resolve]], r15 verdict item: real crawl
+    * anchors are mostly relative). Each document's page URL is the
+    * base; the synthesized href cycles through every reference form a
+    * page emits — absolute, protocol-relative, absolute-path with dot
+    * segments, `../` and `./` relatives, query-only, empty — and the
+    * op emits the resolved absolute URL plus its canonical form, so
+    * the gate covers resolve ∘ canonicalize exactly as op319/op321
+    * consume it. Map-only (resolution is one row-local expression
+    * chain); the ORDER BY is the only shuffle — at 100 TB the resolver
+    * adds zero exchanges to the extraction stage. */
+  val op323UrlResolve: Q = (s, d) => {
+    val id = col("doc_id")
+    val href =
+      when(id % 7 === 0, urlFor(id + 5))
+        .when(id % 7 === 1,
+          concat(lit("//m"), (id % 4).cast("string"), lit(".example"),
+            (id % 5).cast("string"), lit(".com/mirror/"),
+            (id % 3).cast("string")))
+        .when(id % 7 === 2,
+          concat(lit("/p/"), (id % 7).cast("string"), lit("/x/../v?id="),
+            (id % 5).cast("string")))
+        .when(id % 7 === 3, concat(lit("../up"), (id % 5).cast("string")))
+        .when(id % 7 === 4,
+          concat(lit("./a"), (id % 3).cast("string"), lit("/b/../c")))
+        .when(id % 7 === 5,
+          concat(lit("?id="), (id % 5).cast("string"),
+            lit("&utm_campaign=c"), (id % 4).cast("string")))
+        .otherwise(lit(""))
+    val resolved = Urls.resolve(urlOf, href)
+    ordered(
+      Tables.documents(s, d).select(col("doc_id"), href.as("href"),
+        resolved.as("resolved"),
+        Urls.canonicalize(resolved).as("url_canon")),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
@@ -671,9 +733,45 @@ object WebQueries {
     "op319_link_graph" -> op319LinkGraph,
     "op320_page_rank" -> op320PageRank,
     "op321_anchor_text" -> op321AnchorText,
-    "op322_dot_segments" -> op322DotSegments)
+    "op322_dot_segments" -> op322DotSegments,
+    "op323_url_resolve" -> op323UrlResolve)
 
   val oracle: Map[String, String] = Map(
+    // op323: same href synthesis; resolution is the GENERATED
+    // resolveSql twin (same branch structure, regexes and dot-segment
+    // chain as Urls.resolve), then the layered canonicalization
+    // builders over the resolved URL
+    "op323_url_resolve" ->
+      s"""WITH $urlCte,
+        |rr AS (
+        |  SELECT doc_id, url,
+        |    (CASE WHEN doc_id % 7 = 0 THEN ${urlSql("doc_id + 5")}
+        |     WHEN doc_id % 7 = 1 THEN '//m' || CAST(doc_id % 4 AS VARCHAR)
+        |       || '.example' || CAST(doc_id % 5 AS VARCHAR)
+        |       || '.com/mirror/' || CAST(doc_id % 3 AS VARCHAR)
+        |     WHEN doc_id % 7 = 2 THEN '/p/' || CAST(doc_id % 7 AS VARCHAR)
+        |       || '/x/../v?id=' || CAST(doc_id % 5 AS VARCHAR)
+        |     WHEN doc_id % 7 = 3 THEN '../up' || CAST(doc_id % 5 AS VARCHAR)
+        |     WHEN doc_id % 7 = 4 THEN './a' || CAST(doc_id % 3 AS VARCHAR)
+        |       || '/b/../c'
+        |     WHEN doc_id % 7 = 5 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+        |       || '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR)
+        |     ELSE '' END) AS href
+        |  FROM u),
+        |rs AS (
+        |  SELECT doc_id, href, ${Urls.resolveSql("url", "href")} AS resolved
+        |  FROM rr),
+        |rd AS (
+        |  SELECT doc_id, href, resolved,
+        |    ${Urls.pctDecodeSql("resolved")} AS dec
+        |  FROM rs),
+        |rq AS (
+        |  SELECT doc_id, href, resolved, dec, ${querySql("dec")} AS qq
+        |  FROM rd)
+        |SELECT doc_id, href, resolved,
+        |  'https://' || ${canonicalHostSql("dec")} || ${pathSql("dec")} ||
+        |  CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_canon
+        |FROM rq ORDER BY doc_id""".stripMargin,
     // op322: same synthesis; normalization chain generated from the
     // SAME rule table and bound as the Spark fold
     "op322_dot_segments" ->
@@ -695,36 +793,44 @@ object WebQueries {
         |FROM n a JOIN (SELECT norm_path, min(doc_id) AS canon_id
         |               FROM n GROUP BY 1) m USING (norm_path)
         |ORDER BY doc_id""".stripMargin,
-    // op321: one full-match regex pass per page, then per-match
-    // href/anchor re-extraction; target canonicalization through the
+    // op321: one full-match regex pass per page, per-match href/anchor
+    // re-extraction, hrefs RESOLVED against the page URL (generated
+    // resolveSql twin — r15), then target canonicalization through the
     // same layered decode/host/path/query builders as op320
     "op321_anchor_text" ->
-      s"""WITH pg AS (
-        |  SELECT doc_id,
-        |    '<html><body><p>See <a href="' || ${urlSql("doc_id * 7 + 3")} ||
+      s"""WITH $urlCte,
+        |pg AS (
+        |  SELECT doc_id, url,
+        |    '<html><body><p>See <a href="' ||
+        |    'a/../p' || CAST((doc_id * 7 + 3) % 7 AS VARCHAR) ||
+        |    '?id=' || CAST((doc_id * 7 + 3) % 5 AS VARCHAR) ||
         |    '">guide ' || CAST(doc_id % 17 AS VARCHAR) ||
-        |    '</a> and <a href="' || ${urlSql("doc_id * 5 + 1")} ||
+        |    '</a> and <a href="' ||
+        |    regexp_replace(${urlSql("doc_id * 5 + 1")}, '^https:', '') ||
         |    '">review ' || CAST(doc_id % 13 AS VARCHAR) ||
         |    '</a>; archive at <a href="' || ${urlSql("doc_id + 13")} ||
         |    '">mirror ' || CAST(doc_id % 7 AS VARCHAR) ||
         |    '</a>.</p></body></html>' AS html,
-        |    ${canonicalHostSql(urlSql("doc_id"))} AS src_host
-        |  FROM documents),
+        |    ${canonicalHostSql("url")} AS src_host
+        |  FROM u),
         |mm AS (
-        |  SELECT ${Urls.registeredDomainPslSql("src_host")} AS src_domain,
-        |         u.m AS m
+        |  SELECT url, ${Urls.registeredDomainPslSql("src_host")} AS src_domain,
+        |         um.m AS m
         |  FROM pg, UNNEST(regexp_extract_all(html,
-        |    '(?is)<a href="([^"]+)">([^<]*)</a>', 0)) AS u(m)),
+        |    '(?is)<a href="([^"]+)">([^<]*)</a>', 0)) AS um(m)),
         |a0 AS (
         |  SELECT src_domain,
-        |    ${Urls.pctDecodeSql(
-             "regexp_extract(m, '(?is)<a href=\"([^\"]+)\">([^<]*)</a>', 1)")} AS href_d,
+        |    ${Urls.resolveSql("url",
+             "regexp_extract(m, '(?is)<a href=\"([^\"]+)\">([^<]*)</a>', 1)")} AS resolved,
         |    regexp_extract(m, '(?is)<a href="([^"]+)">([^<]*)</a>', 2)
         |      AS anchor
         |  FROM mm),
+        |ad AS (
+        |  SELECT src_domain, anchor, ${Urls.pctDecodeSql("resolved")} AS href_d
+        |  FROM a0),
         |a1 AS (
         |  SELECT src_domain, anchor, href_d, ${querySql("href_d")} AS qd
-        |  FROM a0),
+        |  FROM ad),
         |a AS (
         |  SELECT src_domain, anchor,
         |    'https://' || ${canonicalHostSql("href_d")} || ${pathSql("href_d")} ||
@@ -775,25 +881,32 @@ object WebQueries {
         |FROM verts v JOIN ${SeqGraphQueries.prFinalCte} r USING (pk)
         |JOIN deg d ON v.pk = d.src
         |ORDER BY url_canon""".stripMargin,
-    // op319: same page + target synthesis (urlSql generator over the
-    // derived ids), host chain + PSL longest-match per end, self-edges
-    // dropped, one grouped count
+    // op319: same page + href synthesis (relative / protocol-relative /
+    // absolute — r15), hrefs RESOLVED against the page URL through the
+    // generated resolveSql twin, then host chain + PSL longest-match
+    // per end, self-edges dropped, one grouped count
     "op319_link_graph" ->
-      s"""WITH pg AS (
-        |  SELECT doc_id,
-        |    '<html><body><p>See <a href="' || ${urlSql("doc_id * 7 + 3")} ||
-        |    '">first</a> and <a href="' || ${urlSql("doc_id * 5 + 1")} ||
+      s"""WITH $urlCte,
+        |pg AS (
+        |  SELECT doc_id, url,
+        |    '<html><body><p>See <a href="' ||
+        |    'a/../p' || CAST((doc_id * 7 + 3) % 7 AS VARCHAR) ||
+        |    '?id=' || CAST((doc_id * 7 + 3) % 5 AS VARCHAR) ||
+        |    '">first</a> and <a href="' ||
+        |    regexp_replace(${urlSql("doc_id * 5 + 1")}, '^https:', '') ||
         |    '">second</a>; archive at <a href="' || ${urlSql("doc_id + 13")} ||
         |    '">third</a>.</p></body></html>' AS html,
-        |    ${canonicalHostSql(urlSql("doc_id"))} AS src_host
-        |  FROM documents),
+        |    ${canonicalHostSql("url")} AS src_host
+        |  FROM u),
         |e AS (
         |  SELECT ${Urls.registeredDomainPslSql("src_host")} AS src_domain,
         |         ${Urls.registeredDomainPslSql("dst_host")} AS dst_domain
         |  FROM (
-        |    SELECT src_host, ${canonicalHostSql("u.href")} AS dst_host
-        |    FROM pg, UNNEST(regexp_extract_all(html,
-        |      '(?is)<a[^>]+href="([^"]+)"', 1)) AS u(href)))
+        |    SELECT src_host, ${canonicalHostSql("resolved")} AS dst_host
+        |    FROM (
+        |      SELECT src_host, ${Urls.resolveSql("url", "h.href")} AS resolved
+        |      FROM pg, UNNEST(regexp_extract_all(html,
+        |        '(?is)<a[^>]+href="([^"]+)"', 1)) AS h(href))))
         |SELECT src_domain, dst_domain,
         |       CAST(count(*) AS BIGINT) AS n_links
         |FROM e WHERE src_domain <> dst_domain

@@ -105,6 +105,79 @@ class WebSpec extends SparkSpec {
       s"PSL mismatch:\n${got.zip(cases.map(_._2)).mkString("\n")}")
   }
 
+  test("resolve: the RFC 3986 §5.4 reference-resolution examples") {
+    // the spec's own test vectors against base http://a/b/c/d;p?q —
+    // normal (§5.4.1) plus the abnormal (§5.4.2) dot-segment and
+    // prefix-mimic cases expressible in the engine's fragment-free
+    // grammar. Expected values are the RFC's, fragments dropped.
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // abnormal: extra ..s drop at root; dotted prefixes are segments
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      // fragments never survive (corpus convention)
+      "g#s" -> "http://a/b/c/g",
+      "#s" -> "http://a/b/c/d;p?q",
+      // absolute and protocol-relative refs replace wholesale
+      "http://x.example.com/p/q?z=1" -> "http://x.example.com/p/q?z=1",
+      "//h2/p/../v?i=2" -> "http://h2/v?i=2")
+    val got = cases.map(_._1).toDF("r")
+      .select(Urls.resolve(lit(base), col("r"))).as[String].collect().toSeq
+    cases.zip(got).foreach { case ((ref, want), g) =>
+      assert(g == want, s"resolve('$base', '$ref') = '$g', want '$want'")
+    }
+    // idempotence: resolving an already-resolved (absolute,
+    // dot-normalized) URL is the identity, for ANY base
+    val again = got.toDF("r")
+      .select(Urls.resolve(lit(base), col("r"))).as[String].collect().toSeq
+    assert(again == got, "resolution is not idempotent")
+    // absolute-ref property: resolve(base, abs) == abs with its path
+    // dot-normalized — over the op fixtures' URL grammar
+    val absUrls = Seq("https://site1.example2.com/p/3~v?id=3",
+      "https://www.Site0.example0.com:443/p/0%7Ev?utm_source=feed0",
+      "https://h.example.com/a/b/../c/./d?x=1")
+    val r2 = absUrls.toDF("u")
+      .select(col("u"), Urls.resolve(lit(base), col("u")).as("res"),
+        concat(regexp_extract(col("u"),
+          "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1),
+          Urls.removeDotSegments(Urls.pathOf(col("u"))),
+          regexp_extract(col("u"), "(\\?.*)$", 1)).as("want"))
+      .collect()
+    r2.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"abs-ref property fails on '${r.getString(0)}': " +
+          s"'${r.getString(1)}' != '${r.getString(2)}'")
+    }
+  }
+
   test("op317 join spelling == the when-chain spelling on its fixture hosts") {
     // the broadcast-dim join (op317) and the literal when-chain
     // (registeredDomainPsl — what the streaming keyers run) must pick
