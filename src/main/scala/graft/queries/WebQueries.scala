@@ -720,6 +720,41 @@ object WebQueries {
       "doc_id")
   }
 
+  /** op324: STREAMING crawl politeness — the robots `Crawl-delay`
+    * semantics ([[graft.streaming.Politeness]]): per registered
+    * domain, consecutive admitted fetches must sit ≥ 60 s apart in
+    * event time; closer ones drop. Fetch times are deterministic
+    * (doc_id·37 mod 1009 seconds — pseudo-random within a ~17-minute
+    * window, so each domain admits a nontrivial greedy subsequence).
+    * The fixture drains in one batch where the processor folds
+    * arrivals in (fetch_s, doc_id) order, so the oracle replays the
+    * greedy spacing walk as a per-domain RECURSIVE chain over the
+    * event-ordered sequence; cross-trigger spacing (state carrying
+    * the last admitted second between triggers, late arrivals
+    * rejected against it) is pinned in WebSpec with controlled
+    * arrivals. State: two longs per domain — [[DomainQuota]]'s class. */
+  val op324StreamPoliteness: Q = (s, d) => {
+    import graft.streaming.{Politeness, StateStores}
+    val admitted = StateStores.withRocksDb(s) {
+      TrainQueries.drainStream(s, d, "op324", "documents", "append", "8") {
+        st =>
+          import st.sparkSession.implicits._
+          Politeness.admitted(
+            st.select(col("doc_id"),
+                Urls.registeredDomain(Urls.canonicalHost(urlOf))
+                  .as("domain"),
+                ((col("doc_id") * 37L) % 1009L).as("fetch_s"))
+              .as[Politeness.Fetch],
+            delayS = 60L).toDF()
+      }
+    }
+    ordered(
+      admitted.select(col("doc_id"), col("domain"),
+        big(col("fetch_s")).as("fetch_s"),
+        big(col("admit_seq")).as("admit_seq")),
+      "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "op307_url_canonical" -> op307UrlCanonical,
     "op308_domain_caps" -> op308DomainCaps,
@@ -734,9 +769,36 @@ object WebQueries {
     "op320_page_rank" -> op320PageRank,
     "op321_anchor_text" -> op321AnchorText,
     "op322_dot_segments" -> op322DotSegments,
-    "op323_url_resolve" -> op323UrlResolve)
+    "op323_url_resolve" -> op323UrlResolve,
+    "op324_stream_politeness" -> op324StreamPoliteness)
 
   val oracle: Map[String, String] = Map(
+    // op324: the greedy spacing walk replayed as a per-domain
+    // RECURSIVE chain over the event-ordered arrival sequence (the
+    // fold the processor runs), admit_seq re-derived from the
+    // admitted subsequence
+    "op324_stream_politeness" ->
+      s"""WITH RECURSIVE $urlCte,
+        |$domainCte,
+        |arr AS (
+        |  SELECT doc_id, domain, (doc_id * 37) % 1009 AS fetch_s,
+        |         row_number() OVER (PARTITION BY domain
+        |           ORDER BY (doc_id * 37) % 1009, doc_id) AS rn
+        |  FROM h),
+        |walk AS (
+        |  SELECT domain, rn, doc_id, fetch_s, fetch_s AS last_adm,
+        |         TRUE AS admitted
+        |  FROM arr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT a.domain, a.rn, a.doc_id, a.fetch_s,
+        |         CASE WHEN a.fetch_s >= w.last_adm + 60 THEN a.fetch_s
+        |              ELSE w.last_adm END,
+        |         a.fetch_s >= w.last_adm + 60
+        |  FROM walk w JOIN arr a ON a.domain = w.domain AND a.rn = w.rn + 1)
+        |SELECT doc_id, domain, CAST(fetch_s AS BIGINT) AS fetch_s,
+        |       CAST(row_number() OVER (PARTITION BY domain ORDER BY rn)
+        |            AS BIGINT) AS admit_seq
+        |FROM walk WHERE admitted ORDER BY doc_id""".stripMargin,
     // op323: same href synthesis; resolution is the GENERATED
     // resolveSql twin (same branch structure, regexes and dot-segment
     // chain as Urls.resolve), then the layered canonicalization

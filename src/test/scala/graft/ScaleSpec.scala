@@ -769,4 +769,15 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), s"SMJ in plan:\n$plan")
   }
+
+  test("op323: URL resolution is map-only (no join, no hash shuffle)") {
+    // the resolver is one row-local expression chain — at 100 TB it
+    // adds ZERO exchanges to the extraction stage; the only exchange
+    // allowed is ordered()'s output range sort
+    val plan = graft.queries.WebQueries.defs("op323_url_resolve")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hash shuffle in a map-only op:\n$plan")
+  }
 }

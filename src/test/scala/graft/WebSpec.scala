@@ -465,4 +465,39 @@ class WebSpec extends SparkSpec {
       s"quota state leaked or reset across triggers: $out")
     spark.sql("DROP VIEW IF EXISTS quota_out")
   }
+
+  test("op324 politeness spacing holds ACROSS triggers; late arrivals " +
+      "reject against the persisted last-admitted time") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Politeness
+    val in = MemoryStream[(Long, String, Long)]
+    StateStores.withRocksDb(spark) {
+      val arrivals = in.toDF().toDF("doc_id", "domain", "fetch_s")
+        .as[Politeness.Fetch]
+      val q = Politeness.admitted(arrivals, delayS = 60L)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("polite_out").start()
+      // trigger 1, UNSORTED arrival: the processor must fold in
+      // (fetch_s, doc_id) order — 100 admits, 130 is 30 s after and
+      // drops (a wrong unordered fold would admit 130 then drop 100)
+      in.addData((2L, "a.com", 130L), (1L, "a.com", 100L))
+      q.processAllAvailable()
+      // trigger 2: state carries last=100 — 90 is LATE (before the
+      // admitted fetch, must reject, never rewind state), 150 < 160
+      // rejects, 161 admits; b.com's first arrival always admits
+      in.addData((3L, "a.com", 150L), (5L, "a.com", 90L),
+        (4L, "a.com", 161L), (6L, "b.com", 10L))
+      q.processAllAvailable()
+      q.stop()
+    }
+    val out = spark.table("polite_out")
+      .select("doc_id", "domain", "fetch_s", "admit_seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(out == Seq((1L, "a.com", 100L, 1L), (4L, "a.com", 161L, 2L),
+      (6L, "b.com", 10L, 1L)),
+      s"politeness state leaked, reset, or folded out of order: $out")
+    spark.sql("DROP VIEW IF EXISTS polite_out")
+  }
 }
