@@ -722,8 +722,12 @@ object WebQueries {
 
   /** op324: STREAMING crawl politeness — the robots `Crawl-delay`
     * semantics ([[graft.streaming.Politeness]]): per registered
-    * domain, consecutive admitted fetches must sit ≥ 60 s apart in
-    * event time; closer ones drop. Fetch times are deterministic
+    * domain, consecutive admitted fetches must sit ≥ the domain's
+    * Crawl-delay apart in event time; closer ones drop. The delay is
+    * PER-DOMAIN metadata (what robots.txt actually publishes):
+    * 30 + 30·(digit(domain) mod 3) seconds here — resolved map-side
+    * and riding the row, the op316 robots-verdict pattern, so the
+    * stateful stage stays join-free. Fetch times are deterministic
     * (doc_id·37 mod 1009 seconds — pseudo-random within a ~17-minute
     * window, so each domain admits a nontrivial greedy subsequence).
     * The fixture drains in one batch where the processor folds
@@ -739,13 +743,13 @@ object WebQueries {
       TrainQueries.drainStream(s, d, "op324", "documents", "append", "8") {
         st =>
           import st.sparkSession.implicits._
+          val domain = Urls.registeredDomain(Urls.canonicalHost(urlOf))
           Politeness.admitted(
-            st.select(col("doc_id"),
-                Urls.registeredDomain(Urls.canonicalHost(urlOf))
-                  .as("domain"),
-                ((col("doc_id") * 37L) % 1009L).as("fetch_s"))
-              .as[Politeness.Fetch],
-            delayS = 60L).toDF()
+            st.select(col("doc_id"), domain.as("domain"),
+                ((col("doc_id") * 37L) % 1009L).as("fetch_s"),
+                (lit(30L) + (ascii(substring(domain, 8, 1)) % 3)
+                  .cast("long") * 30L).as("delay_s"))
+              .as[Politeness.Fetch]).toDF()
       }
     }
     ordered(
@@ -775,13 +779,14 @@ object WebQueries {
   val oracle: Map[String, String] = Map(
     // op324: the greedy spacing walk replayed as a per-domain
     // RECURSIVE chain over the event-ordered arrival sequence (the
-    // fold the processor runs), admit_seq re-derived from the
-    // admitted subsequence
+    // fold the processor runs) with the domain's own Crawl-delay,
+    // admit_seq re-derived from the admitted subsequence
     "op324_stream_politeness" ->
       s"""WITH RECURSIVE $urlCte,
         |$domainCte,
         |arr AS (
         |  SELECT doc_id, domain, (doc_id * 37) % 1009 AS fetch_s,
+        |         30 + (ascii(substr(domain, 8, 1)) % 3) * 30 AS delay_s,
         |         row_number() OVER (PARTITION BY domain
         |           ORDER BY (doc_id * 37) % 1009, doc_id) AS rn
         |  FROM h),
@@ -791,9 +796,9 @@ object WebQueries {
         |  FROM arr WHERE rn = 1
         |  UNION ALL
         |  SELECT a.domain, a.rn, a.doc_id, a.fetch_s,
-        |         CASE WHEN a.fetch_s >= w.last_adm + 60 THEN a.fetch_s
-        |              ELSE w.last_adm END,
-        |         a.fetch_s >= w.last_adm + 60
+        |         CASE WHEN a.fetch_s >= w.last_adm + a.delay_s
+        |              THEN a.fetch_s ELSE w.last_adm END,
+        |         a.fetch_s >= w.last_adm + a.delay_s
         |  FROM walk w JOIN arr a ON a.domain = w.domain AND a.rn = w.rn + 1)
         |SELECT doc_id, domain, CAST(fetch_s AS BIGINT) AS fetch_s,
         |       CAST(row_number() OVER (PARTITION BY domain ORDER BY rn)

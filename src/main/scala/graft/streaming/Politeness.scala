@@ -35,7 +35,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   */
 object Politeness {
 
-  case class Fetch(doc_id: Long, domain: String, fetch_s: Long)
+  /** `delay_s` is the DOMAIN's Crawl-delay (robots metadata — constant
+    * per domain), riding the row the way the op316 gate ships robots
+    * verdicts: resolved map-side, no join in the stateful stage. */
+  case class Fetch(doc_id: Long, domain: String, fetch_s: Long,
+    delay_s: Long)
   case class Admitted(doc_id: Long, domain: String, fetch_s: Long,
     admit_seq: Long)
 
@@ -43,7 +47,7 @@ object Politeness {
     * count) per domain. Within a trigger, arrivals are folded in
     * (fetch_s, doc_id) order — the deterministic event-time rule the
     * oracle replays. */
-  class SpacingProcessor(delayS: Long)
+  class SpacingProcessor
       extends StatefulProcessor[String, Fetch, Admitted] {
     @transient private var lastAdm:
       org.apache.spark.sql.streaming.ValueState[Long] = _
@@ -67,7 +71,7 @@ object Politeness {
       var c = if (count.exists()) count.get() else 0L
       val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
       batch.foreach { f =>
-        if (!have || f.fetch_s >= last + delayS) {
+        if (!have || f.fetch_s >= last + f.delay_s) {
           have = true; last = f.fetch_s; c += 1
           out += Admitted(f.doc_id, domain, f.fetch_s, c)
         }
@@ -79,10 +83,10 @@ object Politeness {
 
   /** Append-mode admitted stream: one row per admitted fetch with its
     * per-domain admission sequence number. */
-  def admitted(arrivals: Dataset[Fetch], delayS: Long): Dataset[Admitted] = {
+  def admitted(arrivals: Dataset[Fetch]): Dataset[Admitted] = {
     implicit val outEnc = Encoders.product[Admitted]
     arrivals.groupByKey(_.domain)(Encoders.STRING)
-      .transformWithState(new SpacingProcessor(delayS),
+      .transformWithState(new SpacingProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -470,23 +470,25 @@ class WebSpec extends SparkSpec {
       "reject against the persisted last-admitted time") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Politeness
-    val in = MemoryStream[(Long, String, Long)]
+    val in = MemoryStream[(Long, String, Long, Long)]
     StateStores.withRocksDb(spark) {
-      val arrivals = in.toDF().toDF("doc_id", "domain", "fetch_s")
+      val arrivals = in.toDF().toDF("doc_id", "domain", "fetch_s", "delay_s")
         .as[Politeness.Fetch]
-      val q = Politeness.admitted(arrivals, delayS = 60L)
+      val q = Politeness.admitted(arrivals)
         .toDF().writeStream.outputMode("append").format("memory")
         .queryName("polite_out").start()
       // trigger 1, UNSORTED arrival: the processor must fold in
       // (fetch_s, doc_id) order — 100 admits, 130 is 30 s after and
-      // drops (a wrong unordered fold would admit 130 then drop 100)
-      in.addData((2L, "a.com", 130L), (1L, "a.com", 100L))
+      // drops under a.com's 60 s Crawl-delay (a wrong unordered fold
+      // would admit 130 then drop 100)
+      in.addData((2L, "a.com", 130L, 60L), (1L, "a.com", 100L, 60L))
       q.processAllAvailable()
       // trigger 2: state carries last=100 — 90 is LATE (before the
       // admitted fetch, must reject, never rewind state), 150 < 160
-      // rejects, 161 admits; b.com's first arrival always admits
-      in.addData((3L, "a.com", 150L), (5L, "a.com", 90L),
-        (4L, "a.com", 161L), (6L, "b.com", 10L))
+      // rejects, 161 admits; b.com's first arrival always admits and
+      // its own (shorter) Crawl-delay applies per domain
+      in.addData((3L, "a.com", 150L, 60L), (5L, "a.com", 90L, 60L),
+        (4L, "a.com", 161L, 60L), (6L, "b.com", 10L, 30L))
       q.processAllAvailable()
       q.stop()
     }
