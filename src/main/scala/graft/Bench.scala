@@ -386,7 +386,9 @@ object Bench {
     // round can't push the compact line past the tail window. Each
     // entry carries the first error MESSAGE (truncated) so a failed
     // round self-diagnoses from the artifact alone (r15).
-    val errCompact = Bench.errorsJson(errors.toSeq, cap = 4, msgLen = 120)
+    // cap 3 entries x 100 chars: worst case ~0.4 KB on top of the
+    // ~1.2 KB base line, safely inside the ~2000-char tail window
+    val errCompact = Bench.errorsJson(errors.toSeq, cap = 3, msgLen = 100)
     val noiseCompact = {
       val canarySpread = Bench.spread(canaryTimes.drop(1).toSeq)
       val midSpread = Bench.spread(midCanaryTimes.drop(1).toSeq)
