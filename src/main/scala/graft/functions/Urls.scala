@@ -260,6 +260,18 @@ object Urls {
     * their fragment-less target). Dot segments are removed in EVERY
     * branch, including an already-absolute ref (§5.2.2 does, and
     * that's what makes resolution idempotent). */
+  /** [[removeDotSegments]] behind a one-regex guard: the bounded fold
+    * is 32 regexp_replace scans per evaluation, and most crawl paths
+    * carry NO dot segments — skip the chain unless a "." or ".."
+    * SEGMENT exists (every path here starts with '/' or is empty, so
+    * a segment-initial dot always follows a '/'; the fold is the
+    * identity exactly when the guard is false). The SQL twin stays
+    * UNguarded on purpose: a guard bug on the Spark side would surface
+    * as an oracle hash mismatch instead of hiding behind a mirrored
+    * guard. */
+  private def normIfDotted(p: Column): Column =
+    when(p.rlike("/\\.\\.?(/|$)"), removeDotSegments(p)).otherwise(p)
+
   def resolve(base: Column, ref: Column): Column = {
     val r = regexp_replace(ref, "#.*$", "")
     val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
@@ -275,17 +287,17 @@ object Urls {
     val dir = when(baseDir === "", lit("/")).otherwise(baseDir)
     when(r.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
       concat(regexp_extract(r, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1),
-        removeDotSegments(pathOf(r)), refQ))
+        normIfDotted(pathOf(r)), refQ))
       .when(r.startsWith("//"),
         concat(scheme, lit(":"), regexp_extract(r, "^(//[^/?#]+)", 1),
-          removeDotSegments(regexp_extract(r, "^//[^/?#]+([^?#]*)", 1)),
+          normIfDotted(regexp_extract(r, "^//[^/?#]+([^?#]*)", 1)),
           refQ))
       .when(r.startsWith("/"),
-        concat(schemeAuth, removeDotSegments(refPath), refQ))
+        concat(schemeAuth, normIfDotted(refPath), refQ))
       .when(r.startsWith("?"), concat(schemeAuth, basePath, r))
       .when(r === "", concat(schemeAuth, basePath, baseQ))
       .otherwise(
-        concat(schemeAuth, removeDotSegments(concat(dir, refPath)), refQ))
+        concat(schemeAuth, normIfDotted(concat(dir, refPath)), refQ))
   }
 
   /** [[resolve]]'s DuckDB twin over two SQL expression strings — the
