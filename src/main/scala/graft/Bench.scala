@@ -407,10 +407,7 @@ object Bench {
     val s = ts.sorted; s(s.size / 2)
   }
 
-  /** JSON string literal: backslash, quote, and all control chars
-    * escaped — an error message with a newline or quote (Spark
-    * exceptions have both) must not break the artifact's JSON. */
-  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+  private def escChar(c: Char): String = c match {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -418,15 +415,40 @@ object Bench {
     case '\t' => "\\t"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
-  } + "\""
+  }
+
+  /** JSON string literal: backslash, quote, and all control chars
+    * escaped — an error message with a newline or quote (Spark
+    * exceptions have both) must not break the artifact's JSON. */
+  private[graft] def jsonStr(s: String): String =
+    "\"" + s.flatMap(escChar) + "\""
+
+  /** [[jsonStr]] bounded by ESCAPED length: the compact line's size
+    * budget is in output characters, and escaping expands (a control
+    * char becomes 6 chars) — truncating before escaping let a
+    * newline/quote-heavy message blow past the driver's ~2000-char
+    * tail window anyway (r15 review). Whole escape sequences only —
+    * a cut mid-`\\u00XX` would be invalid JSON. */
+  private[graft] def jsonStrBounded(s: String, maxEscaped: Int): String = {
+    val b = new StringBuilder("\"")
+    var i = 0
+    var used = 0
+    var full = false
+    while (i < s.length && !full) {
+      val e = escChar(s(i))
+      if (used + e.length > maxEscaped) full = true
+      else { b.append(e); used += e.length; i += 1 }
+    }
+    b.append("\"").toString
+  }
 
   /** Error entries as JSON objects carrying the first error message
-    * (truncated to `msgLen`, at most `cap` entries) — the compact
-    * line's self-diagnosis payload (r15, verdict item 3). */
+    * (at most `msgLen` ESCAPED chars, at most `cap` entries) — the
+    * compact line's self-diagnosis payload (r15, verdict item 3). */
   private[graft] def errorsJson(errs: Seq[(String, String)], cap: Int,
       msgLen: Int): String =
     errs.take(cap).map { case (n, m) =>
-      s"""{"q":${jsonStr(n)},"msg":${jsonStr(m.take(msgLen))}}"""
+      s"""{"q":${jsonStr(n)},"msg":${jsonStrBounded(m, msgLen)}}"""
     }.mkString("[", ",", "]")
 
   /** End-of-suite retry merge (r15, verdict item 3): re-attempt each

@@ -59,11 +59,16 @@ case class RegisteredDomainPsl(host: Expression, suffixes: Seq[String])
     suffixes.filter(_.startsWith("*.")).map(_.substring(2)).foreach(s.add)
     s
   }
-  @transient private lazy val excBodySet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    suffixes.filter(_.startsWith("!")).map(_.substring(1)).foreach(s.add)
-    s
-  }
+  // exception bodies as an ORDERED array, not a set: there are a
+  // handful at most (the full PSL has 8), so the scan is a few
+  // zero-allocation endsWith probes per host instead of building every
+  // tail string (r15 review — this expression keys the streaming
+  // admission gates' hot path); the order is the when-chain's
+  // precedence (most labels first), so multiple matching exceptions
+  // pick the same winner in both spellings
+  @transient private lazy val excBodies: Array[String] =
+    suffixes.filter(_.startsWith("!")).map(_.substring(1))
+      .sortBy(b => (-b.count(_ == '.'), -b.length, b)).toArray
 
   override def nullSafeEval(hostV: Any): Any = {
     val h = hostV.toString
@@ -72,13 +77,15 @@ case class RegisteredDomainPsl(host: Expression, suffixes: Seq[String])
     val labels = h.split("\\.", -1)
     val n = labels.length
     // exception rules beat everything (PSL): a host equal to or ending
-    // in the rule body has registered domain = the body itself. Scan
-    // from i = 0 (the whole host may BE the body)
+    // in ".body" has registered domain = the body itself (the dot
+    // prefix keeps the match label-aligned; equality covers the host
+    // BEING the body)
     var e = 0
-    while (e < n) {
-      val tail = labels.slice(e, n).mkString(".")
-      if (excBodySet.contains(tail))
-        return org.apache.spark.unsafe.types.UTF8String.fromString(tail)
+    while (e < excBodies.length) {
+      val body = excBodies(e)
+      if (h == body || (h.length > body.length &&
+          h.charAt(h.length - body.length - 1) == '.' && h.endsWith(body)))
+        return org.apache.spark.unsafe.types.UTF8String.fromString(body)
       e += 1
     }
     // longest matching public suffix = the SMALLEST i (1..n-1) whose

@@ -361,8 +361,9 @@ object WebQueries {
     * the wildcard). Hosts synthesize multi-label suffixes (co.uk,
     * org.uk, github.io), wildcard-covered `w<j>.ck` hosts, exception
     * `www.ck` hosts, plus .com; an extra subdomain label on multiples
-    * of 5 and — new in r15 — a BARE-suffix host on multiples of 9
-    * (h-label dropped), the edge the r15 advice flagged: a host
+    * of 5 and — new in r15 — a BARE-suffix host on multiples of 7
+    * (h-label dropped; 7 is coprime with the base selector's 6, so
+    * every base — github.io, w<j>.ck, www.ck — occurs bare), the edge the r15 advice flagged: a host
     * exactly equal to a rule must fall to the fallback, not slice past
     * the label array. Shape: ≤3 join keys per label position (plain
     * tail, `*.`-form, `!`-form — null keys never match), an equi-join
@@ -433,6 +434,12 @@ object WebQueries {
           .when(col("m.is_exc") === 1,
             array_join(slice(labs, size(labs) - col("m.s_labels") + 1,
               col("m.s_labels")), "."))
+          // plain/wildcard with an EMPTY registrable label: '' — the
+          // chain's `([^.]+...)` extract and the plan node's
+          // prev.isEmpty path both say so (r15 review: the slice
+          // spelling used to emit ".w.ck"-style junk here)
+          .when(element_at(labs, size(labs) - col("m.s_labels")) === "",
+            lit(""))
           // plain/wildcard: matched labels + one registrable label
           .otherwise(array_join(
             slice(labs, size(labs) - col("m.s_labels"),
@@ -885,13 +892,17 @@ object WebQueries {
         |         um.m AS m
         |  FROM pg, UNNEST(regexp_extract_all(html,
         |    '(?is)<a href="([^"]+)">([^<]*)</a>', 0)) AS um(m)),
-        |a0 AS (
-        |  SELECT src_domain,
-        |    ${Urls.resolveSql("url",
-             "regexp_extract(m, '(?is)<a href=\"([^\"]+)\">([^<]*)</a>', 1)")} AS resolved,
+        |h0 AS (
+        |  SELECT url, src_domain,
+        |    regexp_extract(m, '(?is)<a href="([^"]+)">([^<]*)</a>', 1)
+        |      AS href,
         |    regexp_extract(m, '(?is)<a href="([^"]+)">([^<]*)</a>', 2)
         |      AS anchor
         |  FROM mm),
+        |a0 AS (
+        |  SELECT src_domain, ${Urls.resolveSql("url", "href")} AS resolved,
+        |         anchor
+        |  FROM h0),
         |ad AS (
         |  SELECT src_domain, anchor, ${Urls.pctDecodeSql("resolved")} AS href_d
         |  FROM a0),
@@ -1004,7 +1015,7 @@ object WebQueries {
     // op317: the same host synthesis, registered domain via the
     // generated CASE chain over the shared PSL slice — all three rule
     // forms (plain / wildcard *.ck / exception !www.ck), bare-suffix
-    // hosts on multiples of 9
+    // hosts on multiples of 7
     "op317_registered_domain_psl" ->
       s"""WITH hh AS (
         |  SELECT doc_id,

@@ -33,6 +33,14 @@ import graft.functions.{Similarity, TopKAgg}
   */
 object StreamingAnn {
 
+  /** Shared cold-bootstrap contract for the broadcast-shard serving
+    * legs (r15 advice + review): an EMPTY persisted index answers
+    * every query with no matches — zero candidates through the same
+    * explode → TopKAgg shape, so output-mode semantics and schema are
+    * unchanged — instead of require-failing at stream build. */
+  private def emptyTopK(scoreField: String): org.apache.spark.sql.Column =
+    expr(s"CAST(array() AS array<struct<$scoreField: bigint, n_id: bigint>>)")
+
   /** Probe the persisted IVF index at `dir` with a STREAMING frame of
     * (vec_id, embedding) query vectors; emits (q_id, top) where `top` is
     * the array<struct<score,id>> of the current k best — explode to rows
@@ -75,13 +83,9 @@ object StreamingAnn {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // cold-bootstrap EMPTY index (r15 advice): the legacy stream-static
     // join spelling answered every query with no matches; the shard
-    // spelling must do the same, not require-fail at stream build — so
-    // an empty centroids store short-circuits to zero candidates while
-    // KEEPING the explode → TopKAgg plan shape (output-mode semantics
-    // and schema unchanged; queries simply produce no groups)
+    // spelling must do the same, not require-fail at stream build
     val topExpr =
-      if (centRows.isEmpty)
-        expr("CAST(array() AS array<struct<sq_bp: bigint, n_id: bigint>>)")
+      if (centRows.isEmpty) emptyTopK("sq_bp")
       else {
         val shard = spark.sparkContext.broadcast(
           graft.expressions.SqShard.fromRows(
@@ -164,8 +168,7 @@ object StreamingAnn {
     // empty-index short-circuit — same cold-bootstrap contract as
     // ivfProbeStream above
     val topExpr =
-      if (centRows.isEmpty)
-        expr("CAST(array() AS array<struct<sq_bp: bigint, n_id: bigint>>)")
+      if (centRows.isEmpty) emptyTopK("sq_bp")
       else {
         val shard = spark.sparkContext.broadcast(
           graft.expressions.SqShard.fromRows(
@@ -323,7 +326,7 @@ object StreamingAnn {
   def ivfPqProbeStream(queryStream: DataFrame, dir: String, k: Int,
       nProbe: Int = 4): DataFrame = {
     val spark = queryStream.sparkSession
-    val shard = loadPqShard(spark, dir)
+    val shardOpt = loadPqShard(spark, dir)
     // raw quantized vector drives the cell choice (the IVF metric);
     // the normalized vector drives the ADC LUT (the PQ metric) — both
     // are per-row projections over the same embedding
@@ -332,11 +335,16 @@ object StreamingAnn {
         Similarity.normalizedEmbedding(col("embedding")).as("nq_vec"))
       .withColumn("q_n2", Similarity.intDot(col("q_vec"), col("q_vec")))
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val topExpr = ColumnBridge.column(graft.expressions.PqShardTopK(
-      ColumnBridge.expression(col("q_id")),
-      ColumnBridge.expression(col("q_vec")),
-      ColumnBridge.expression(col("q_n2")),
-      ColumnBridge.expression(col("nq_vec")), shard, k, nProbe))
+    // empty-index short-circuit — the ivfProbeStream cold-bootstrap
+    // contract (r15 review: this leg used to crash on `empty.max` in
+    // the codebook geometry inference at stream build)
+    val topExpr = shardOpt.fold(emptyTopK("neg_d2")) { shard =>
+      ColumnBridge.column(graft.expressions.PqShardTopK(
+        ColumnBridge.expression(col("q_id")),
+        ColumnBridge.expression(col("q_vec")),
+        ColumnBridge.expression(col("q_n2")),
+        ColumnBridge.expression(col("nq_vec")), shard, k, nProbe))
+    }
     q0.select(col("q_id"), explode(topExpr).as("t"))
       .select(col("q_id"), col("t.neg_d2").as("neg_d2"),
         col("t.n_id").as("n_id"))
@@ -348,7 +356,7 @@ object StreamingAnn {
     * packed codes grouped by cell) into the [[graft.expressions.PqShard]]
     * layout — the one-time stream-build load. */
   private def loadPqShard(spark: SparkSession, dir: String)
-      : org.apache.spark.broadcast.Broadcast[graft.expressions.PqShard] = {
+      : Option[org.apache.spark.broadcast.Broadcast[graft.expressions.PqShard]] = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cent_id"), col("cent_vec"), col("cent_n2"))
       .collect()
@@ -360,6 +368,13 @@ object StreamingAnn {
         ((r.getSeq[Long](r.fieldIndex("cent_vec")).toArray,
           r.getLong(r.fieldIndex("cent_n2")))))
       .toMap
+    // cold bootstrap: a fully empty index short-circuits at the caller;
+    // a PARTIAL index (one store present, the other empty) is a build
+    // error — name it instead of crashing on `empty.max` below
+    if (cents.isEmpty && cb.isEmpty) return None
+    require(cents.nonEmpty && cb.nonEmpty,
+      s"partial IVF-PQ index at $dir: centroids=${cents.length} rows, " +
+        s"codebook=${cb.size} rows — an empty index must be empty in BOTH")
     val m = cb.keys.map(_._1).max + 1
     val nCents = cb.keys.map(_._2).max.toInt + 1
     val subDim = cb.values.head._1.length
@@ -391,7 +406,7 @@ object StreamingAnn {
       cents.map(c => blocks.getOrElse(c._1, Array.empty).sortBy(_._2)
         .map(_._3)),
       cbVecs, cbN2s, m, nCents, subDim)
-    spark.sparkContext.broadcast(shard)
+    Some(spark.sparkContext.broadcast(shard))
   }
 
   /** Shared ADC LUT for the PQ-scoring streaming legs: collects

@@ -118,5 +118,13 @@ class BenchRadarSpec extends AnyFunSuite {
     // control chars below 0x20 escape as \u00XX
     assert(Bench.jsonStr("ab") == "\"a\\u0001b\"")
     assert(Bench.errorsJson(Seq.empty, 4, 120) == "[]")
+    // the budget is in ESCAPED characters (r15 review: truncating
+    // before escaping let a control-char-heavy message expand 6x past
+    // the tail window): 50 control chars escape to 300 - bounded to
+    // <=120 on WHOLE escape sequences, still valid JSON
+    val heavy = Bench.jsonStrBounded("\u0001" * 50, 120)
+    assert(heavy.length - 2 <= 120 && (heavy.length - 2) % 6 == 0,
+      s"escaped budget violated or mid-escape cut: ${heavy.length}")
+    assert(heavy.drop(1).dropRight(1).matches("(\\\\u0001)+"))
   }
 }
