@@ -397,6 +397,59 @@ class StreamingSpec extends SparkSpec {
     assert(seen.keySet.size >= 2, s"expected multiple micro-batches: $seen")
   }
 
+  test("cold bootstrap: EMPTY ANN indexes answer with no matches, not a " +
+      "build failure (r15 advice)") {
+    // the legacy stream-static join spelling returned an empty result
+    // set over an empty cells store; the broadcast-shard spellings must
+    // keep that contract instead of require-failing (ivf/sq8) or
+    // crashing on empty.max in the codebook geometry (ivf-pq)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAnn
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_idx_")
+    try {
+      def cents(p: String): Unit =
+        Seq.empty[(Long, Seq[Long], Long)]
+          .toDF("cent_id", "cent_vec", "cent_n2").write.parquet(p)
+      cents(s"$dir/ivf/centroids")
+      Seq.empty[(Long, Long, Seq[Long], Long)]
+        .toDF("cent_id", "n_id", "n_id_vec", "n_id_n2")
+        .write.parquet(s"$dir/ivf/cells")
+      cents(s"$dir/sq8/centroids")
+      Seq.empty[(Long, Long, Seq[Long], Long)]
+        .toDF("cent_id", "n_id", "codes", "c_n2")
+        .write.parquet(s"$dir/sq8/codes")
+      cents(s"$dir/ivfpq/centroids")
+      Seq.empty[(Int, Long, Seq[Long], Long)]
+        .toDF("sub_j", "code", "cent_vec", "cent_n2")
+        .write.parquet(s"$dir/ivfpq/codebook")
+      Seq.empty[(Long, Long, Seq[Long])]
+        .toDF("cent_id", "n_id", "codes")
+        .write.parquet(s"$dir/ivfpq/codes_packed")
+      val legs = Seq[(String, org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame)](
+        "ivf" -> (q => StreamingAnn.ivfProbeStream(q, s"$dir/ivf", 5)),
+        "sq8" -> (q => StreamingAnn.sq8ProbeStream(q, s"$dir/sq8", 5)),
+        "ivfpq" -> (q => StreamingAnn.ivfPqProbeStream(q, s"$dir/ivfpq", 5)))
+      legs.foreach { case (name, leg) =>
+        val in = MemoryStream[(Long, Seq[Float])]
+        val q = leg(in.toDF().toDF("vec_id", "embedding"))
+          .writeStream.outputMode("update").format("memory")
+          .queryName(s"empty_idx_$name").start()
+        in.addData((1L, Seq.fill(8)(0.5f)))
+        q.processAllAvailable()
+        q.stop()
+        assert(spark.table(s"empty_idx_$name").count() == 0,
+          s"$name leg emitted rows from an empty index")
+        spark.sql(s"DROP VIEW IF EXISTS empty_idx_$name")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("streaming ANN probe over the prebuilt IVF index equals the batch probe") {
     // online-serving half of the similarity story: query vectors arrive
     // as a stream and probe the static persisted index (stream-static
