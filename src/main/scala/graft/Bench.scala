@@ -201,6 +201,14 @@ object Bench {
     // inside the wrapper's "tail" — the regex tolerates both spellings).
     // ≥2× slower AND ≥0.3 s absolute growth = a regression, surfaced
     // in-round instead of at judgment
+    val benchFiles = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+    // the round number the prev artifact measures — the expected-growth
+    // carry retires against it
+    val prevRound = benchFiles.lastOption
+      .map(_.getName.replaceAll("\\D", "").toInt).getOrElse(0)
     val prev: Map[String, Double] = {
       val re = """\\?"(op[a-z0-9_]+)\\?":(-?\d+(?:\.\d+)?)""".r
       def parse(f: java.io.File): Map[String, Double] = {
@@ -208,10 +216,7 @@ object Bench {
         val txt = try src.mkString finally src.close()
         re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
-      val files = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      val fromRound = files.lastOption.map(parse).getOrElse(Map.empty)
+      val fromRound = benchFiles.lastOption.map(parse).getOrElse(Map.empty)
       // the driver wrapper truncates its stdout capture, losing the head
       // of the per-query map — backfill those entries from the complete
       // BENCH_FULL.json (written by full-suite runs only), round entries
@@ -222,12 +227,30 @@ object Bench {
         else Map.empty[String, Double]
       fromFull ++ fromRound
     }
+    // expected-growth carry (r16, verdict item 6): structural growth a
+    // round pre-adjudicates (new work added to an op — r15's op321
+    // resolver) is declared in BENCH_EXPECTED.json as
+    // {"query":…,"round":R,"note":…}; while the prev artifact predates
+    // round R the radar reports the op under "expected_growth" instead
+    // of "regressions", and once the prev artifact itself includes the
+    // growth (prevRound ≥ R) the entry retires automatically — consumed
+    // once, never a standing mute.
+    val expectedGrowth: Map[String, (Int, String)] = {
+      val f = new java.io.File("BENCH_EXPECTED.json")
+      if (!f.isFile) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        Bench.parseExpectedGrowth(txt)
+      }
+    }
+    val activeExpected = Bench.activeExpectedGrowth(expectedGrowth, prevRound)
     // normalize out machine-speed drift: if THIS box is uniformly 1.5×
     // slower than the previous round's, every query's ratio shifts by
     // 1.5× and a raw 2× gate flags half the suite as noise — so gate on
     // the ratio RELATIVE to the suite's median ratio (a real regression
     // is a query that got slower relative to its peers)
-    val regList = {
+    val (regList, expList) = {
       // failed queries carry failure durations, not measurements — they
       // belong in `errors`, never in the radar's normalizer or flags
       val healthy = results.filter { case (name, _) => !errors.contains(name) }
@@ -263,16 +286,26 @@ object Bench {
             .fold(t)(math.min(t, _))
         else name -> t
       }
-      flagged(results.filter { case (n, _) => !errors.contains(n) },
-          prev, medRatio).map { case (name, p, t) =>
+      val allFlagged =
+        flagged(results.filter { case (n, _) => !errors.contains(n) },
+          prev, medRatio)
+      val (expectedFlags, genuineFlags) =
+        allFlagged.partition { case (name, _, _) =>
+          activeExpected.contains(name)
+        }
+      (genuineFlags.map { case (name, p, t) =>
         s"""{"query":"$name","prev":${num(p)},"now":${num(t)},"ratio":${num(t / p)},"suite_median_ratio":${num(medRatio)}}"""
-      }
+      },
+        expectedFlags.map { case (name, p, t) =>
+          s"""{"query":"$name","prev":${num(p)},"now":${num(t)},"ratio":${num(t / p)},"note":${jsonStr(activeExpected(name))}}"""
+        })
     }
     // the entry COUNT comes from the list, never from scanning the
     // serialized JSON for '{' (r15 advice: a brace inside a query name
     // or value would silently inflate the compact line's count)
     val nRegressions = regList.size
     val regJson = regList.mkString("[", ",", "]")
+    val expJson = expList.mkString("[", ",", "]")
     // emit the per-query map AFTER the radar's re-time pass so a
     // contention-echo query reports its clean re-measured time
     val qs = results.map { case (k, v) =>
@@ -349,7 +382,7 @@ object Bench {
         }.mkString("[", ",", "]")
     }
     val fullLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"retried_ok":$retriedJson,"regressions":$regJson,"round_over_round":$rorJson,"top_increases":$deltaJson,"noise":$noiseJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errJson,"retried_ok":$retriedJson,"regressions":$regJson,"expected_growth":$expJson,"round_over_round":$rorJson,"top_increases":$deltaJson,"noise":$noiseJson,"sf":"$sfDir"}"""
     // the driver wrapper captures only a ~2000-char stdout TAIL and
     // parses a JSON line out of it: r13's 10 KB full line was
     // decapitated mid-map and the round artifact recorded
@@ -396,7 +429,7 @@ object Bench {
       s"""{"canary_spread":${num(canarySpread)},"mid_canary_spread":${num(midSpread)},"pass_total_spread":${num(passSpread)},"assessment":"${Bench.noiseAssessment(canarySpread, midSpread, passSpread)}"}"""
     }
     val compactLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headlineJson,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"n_retried_ok":${retriedOk.size},"n_regressions":$nRegressions,"streaming":$streamingJson,"round_over_round":$rorJson,"noise":$noiseCompact,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headlineJson,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"n_retried_ok":${retriedOk.size},"n_regressions":$nRegressions,"n_expected_growth":${expList.size},"streaming":$streamingJson,"round_over_round":$rorJson,"noise":$noiseCompact,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     println(compactLine)
     spark.stop()
   }
@@ -428,7 +461,10 @@ object Bench {
     * char becomes 6 chars) — truncating before escaping let a
     * newline/quote-heavy message blow past the driver's ~2000-char
     * tail window anyway (r15 review). Whole escape sequences only —
-    * a cut mid-`\\u00XX` would be invalid JSON. */
+    * a cut mid-`\\u00XX` would be invalid JSON. A truncated message
+    * ends in a visible `…` marker (ONE char past the budget — r16
+    * advice: silent truncation made a 100-char-capped message
+    * indistinguishable from a complete one when self-diagnosing). */
   private[graft] def jsonStrBounded(s: String, maxEscaped: Int): String = {
     val b = new StringBuilder("\"")
     var i = 0
@@ -439,6 +475,7 @@ object Bench {
       if (used + e.length > maxEscaped) full = true
       else { b.append(e); used += e.length; i += 1 }
     }
+    if (full) b.append('…')
     b.append("\"").toString
   }
 
@@ -500,6 +537,29 @@ object Bench {
       midCanarySpread: Double, passSpread: Double): String =
     if (canarySpread <= 2.0 && midCanarySpread <= 1.6 && passSpread <= 1.3)
       "quiet" else "contended"
+
+  /** BENCH_EXPECTED.json entries — `{"query":…,"round":R,"note":…}`
+    * objects in any JSON nesting (regex-parsed like the prev-round
+    * artifacts; no JSON dep). */
+  private[graft] def parseExpectedGrowth(txt: String)
+      : Map[String, (Int, String)] = {
+    val re =
+      """"query"\s*:\s*"([^"]+)"\s*,\s*"round"\s*:\s*(\d+)\s*,\s*"note"\s*:\s*"([^"]*)"""".r
+    re.findAllMatchIn(txt)
+      .map(m => m.group(1) -> (m.group(2).toInt, m.group(3))).toMap
+  }
+
+  /** The entries still ACTIVE against a prev artifact from `prevRound`:
+    * declared round > prevRound means the prev artifact predates the
+    * structural growth, so the radar should adjudicate rather than
+    * flag; once the prev artifact includes the growth the entry
+    * retires — consumed once, never a standing mute. */
+  private[graft] def activeExpectedGrowth(
+      entries: Map[String, (Int, String)], prevRound: Int)
+      : Map[String, String] =
+    entries.collect {
+      case (name, (round, note)) if round > prevRound => name -> note
+    }
 
   /** ≥2× the suite-median ratio AND ≥0.3 s absolute growth ⇒ flagged:
     * (name, prev, now). */

@@ -270,15 +270,48 @@ object StediQueries {
     * fixtures where the stream emits MORE than the cutoff set (small
     * SFs close every window early) it trims to the contract; the
     * probe above shows the stream never emits LESS. */
-  val op306StediBoundedFlagship: Q = (s, d) =>
-    ordered(
+  val op306StediBoundedFlagship: Q = (s, d) => {
+    val drained =
       drainStediPair(s, d, "op306") { (risks, customers) =>
         Stedi.boundedFlagshipDaily(risks, customers)
       }.crossJoin(op306Cutoff(s, d)) // scalar dim: broadcast, no shuffle
         .filter(to_timestamp(col("day")) + expr("interval 1 day")
           <= col("__wm"))
-        .drop("__wm"),
-      "day", "email")
+        .drop("__wm")
+    // Post-drain propagation gate (r16 advice): the Spark-side cutoff
+    // filter only TRIMS — it cannot restore windows a future Spark
+    // version's watermark propagation withholds, and such a change
+    // would otherwise surface only as an oracle hash mismatch at gate
+    // time. Windows are withheld WHOLE, so the cheap check at the right
+    // grain is day coverage: the batch twin of the time-band join
+    // (broadcast dim, one pass over events) yields the days that must
+    // appear among the closed windows; a drained set missing any of
+    // them names the propagation change at the query. Both day sets
+    // are ≤ the fixture's event span (~30 rows) — trivial collects.
+    val dim = broadcast(Tables.customer(s, d).select(
+      StediFixtures.emailFor(col("c_custkey")).as("b_email"),
+      seenAtFor(col("c_custkey")).as("b_seen")))
+    val expectDays = Tables.events(s, d)
+      .select(StediFixtures.emailFor(col("user_id")).as("b_cust"),
+        date_trunc("millisecond", col("ts")).as("b_rt"))
+      .join(dim, col("b_cust") === col("b_email") &&
+        col("b_rt") >= col("b_seen") &&
+        col("b_rt") <= col("b_seen") + expr("interval 24 hours"))
+      .crossJoin(op306Cutoff(s, d))
+      .filter(date_trunc("day", col("b_rt")) + expr("interval 1 day")
+        <= col("__wm"))
+      .select(date_format(date_trunc("day", col("b_rt")), "yyyy-MM-dd"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val gotDays = drained.select(col("day")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val withheld = expectDays -- gotDays
+    require(withheld.isEmpty,
+      s"op306: stream withheld ${withheld.size} closed window day(s) " +
+        s"the propagated-watermark cutoff expects " +
+        s"(${withheld.toSeq.sorted.mkString(", ")}) — Spark's watermark " +
+        "propagation semantics changed; re-pin op306Cutoff")
+    ordered(drained, "day", "email")
+  }
 
   /** The RDB snapshot bootstrap under the hash gate (op125): customer
     * rows render to record JSON, encode into a genuine RDB v9 binary

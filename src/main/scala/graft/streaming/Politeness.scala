@@ -69,20 +69,40 @@ object Politeness {
       var have = lastAdm.exists()
       var last = if (have) lastAdm.get() else 0L
       var c = if (count.exists()) count.get() else 0L
-      val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
+      val c0 = c
+      // fold in place: admitted fetches compact to the FRONT of the
+      // (already materialized) input array, so the trigger's transient
+      // memory is exactly that one array — no second admit buffer
+      // (r15 advice). State updates stay EAGER, before the iterator is
+      // handed back: transformWithState scopes the state handle to the
+      // current grouping key, so a lazily-consumed iterator must not be
+      // the thing that writes state.
+      var n = 0
       batch.foreach { f =>
         if (!have || f.fetch_s >= last + f.delay_s) {
           have = true; last = f.fetch_s; c += 1
-          out += Admitted(f.doc_id, domain, f.fetch_s, c)
+          batch(n) = f; n += 1
         }
       }
-      if (out.nonEmpty) { lastAdm.update(last); count.update(c) }
-      out.iterator
+      if (n > 0) { lastAdm.update(last); count.update(c) }
+      val admitted = n
+      Iterator.range(0, admitted).map { i =>
+        val f = batch(i)
+        Admitted(f.doc_id, domain, f.fetch_s, c0 + i + 1)
+      }
     }
   }
 
   /** Append-mode admitted stream: one row per admitted fetch with its
-    * per-domain admission sequence number. */
+    * per-domain admission sequence number.
+    *
+    * Operational bound (r15 advice): the per-domain transient is ONE
+    * array of that domain's arrivals in the trigger (admits emit as an
+    * iterator over it, never a second buffer). Size the trigger cadence
+    * so fetcher-rate × trigger-seconds rows per domain fit an executor —
+    * a skewed domain in a large backfill trigger is the one shape that
+    * can still grow it, and the cap is the trigger interval, not this
+    * operator. */
   def admitted(arrivals: Dataset[Fetch]): Dataset[Admitted] = {
     implicit val outEnc = Encoders.product[Admitted]
     arrivals.groupByKey(_.domain)(Encoders.STRING)

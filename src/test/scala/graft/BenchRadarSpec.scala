@@ -53,6 +53,29 @@ class BenchRadarSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
   }
 
+  test("expected-growth carry: active until the prev artifact includes " +
+      "the growth, then retired") {
+    // r16, verdict item 6: r15's op321 structural growth was correctly
+    // pre-adjudicated but only in prose — the radar needed a
+    // machine-readable carry so the flag lands under expected_growth
+    // exactly once and never becomes a standing mute.
+    val txt =
+      """[{"query":"op9_a","round":16,"note":"resolver added"},
+        | {"query":"op9_b", "round": 15, "note": "older growth"}]"""
+        .stripMargin
+    val parsed = Bench.parseExpectedGrowth(txt)
+    assert(parsed == Map("op9_a" -> (16, "resolver added"),
+      "op9_b" -> (15, "older growth")))
+    // prev artifact = r15: the r16 entry is active, the r15 one retired
+    // (BENCH_r15 already measured that growth)
+    assert(Bench.activeExpectedGrowth(parsed, 15) ==
+      Map("op9_a" -> "resolver added"))
+    // prev artifact = r16: both retired — the carry is consumed once
+    assert(Bench.activeExpectedGrowth(parsed, 16).isEmpty)
+    // no file / empty text: no entries, radar unchanged
+    assert(Bench.parseExpectedGrowth("").isEmpty)
+  }
+
   test("median is the upper-middle order statistic (matches the loop's pick)") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 3.0)
@@ -121,10 +144,15 @@ class BenchRadarSpec extends AnyFunSuite {
     // the budget is in ESCAPED characters (r15 review: truncating
     // before escaping let a control-char-heavy message expand 6x past
     // the tail window): 50 control chars escape to 300 - bounded to
-    // <=120 on WHOLE escape sequences, still valid JSON
+    // <=120 on WHOLE escape sequences + the 1-char truncation marker
+    // (r16 advice: a capped message must be visibly distinct from a
+    // complete one when self-diagnosing from the artifact), still
+    // valid JSON
     val heavy = Bench.jsonStrBounded("\u0001" * 50, 120)
-    assert(heavy.length - 2 <= 120 && (heavy.length - 2) % 6 == 0,
+    assert(heavy.length - 3 <= 120 && (heavy.length - 3) % 6 == 0,
       s"escaped budget violated or mid-escape cut: ${heavy.length}")
-    assert(heavy.drop(1).dropRight(1).matches("(\\\\u0001)+"))
+    assert(heavy.drop(1).dropRight(1).matches("(\\\\u0001)+…"))
+    // a message WITHIN the budget carries no marker
+    assert(Bench.jsonStrBounded("short", 120) == "\"short\"")
   }
 }
