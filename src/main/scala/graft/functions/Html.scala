@@ -47,6 +47,19 @@ object Html {
   def extract(html: Column): Column =
     trim(regexp_replace(decodeEntities(stripTags(html)), "\\s+", " "))
 
+  /** The page's `<base href>` override, or '' when the page has none —
+    * the resolution-base hook (r16, verdict item 3): anchors resolve
+    * against the base ELEMENT's target, not the page URL, on pages
+    * that carry one. HTML defines only the FIRST base element as
+    * effective; regexp_extract returns the first match, which is
+    * exactly that rule. Evaluated ONCE per page (never per href), and
+    * the empty-vs-present decision composes through
+    * [[graft.functions.Urls.effectiveBase]]. */
+  val baseHrefPattern: String = "(?is)<base[^>]*href=\"([^\"]*)\""
+
+  def baseHref(html: Column): Column =
+    regexp_extract(html, baseHrefPattern, 1)
+
   /** Block boundary for [[mainContent]]: the closing tags of the
     * block-level elements (p, div, li, h1-h6). Shared with the oracle
     * twin so the two engines split identically. */

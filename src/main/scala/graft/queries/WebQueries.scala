@@ -539,20 +539,37 @@ object WebQueries {
       lit("?id="), (t1 % 5).cast("string"))
     val protoHref =
       regexp_replace(urlFor(col("doc_id") * 5 + 1), "^https:", "")
+    // r16: ids %11=0 carry a <base href> override (a root-relative
+    // directory) — anchors on those pages resolve against the
+    // EFFECTIVE base ([[Urls.effectiveBase]]: the base href resolved
+    // against the page URL), computed ONCE per page before the href
+    // explode, so the per-href path pays nothing new
+    val basePart = when(col("doc_id") % 11 === 0,
+      concat(lit("<head><base href=\"/b"), (col("doc_id") % 3).cast("string"),
+        lit("/\"></head>"))).otherwise(lit(""))
     val page = concat(
-      lit("<html><body><p>See <a href=\""), relHref,
+      lit("<html>"), basePart,
+      lit("<body><p>See <a href=\""), relHref,
       lit("\">first</a> and <a href=\""), protoHref,
       lit("\">second</a>; archive at <a href=\""), urlFor(col("doc_id") + 13),
       lit("\">third</a>.</p></body></html>"))
+    // staged: page/url → base_href → eff, each a non-cheap alias so it
+    // is computed ONCE (an inline eff would re-expand the page regex at
+    // each of resolve's base references — see op323's staging note)
     ordered(
       Tables.documents(s, d)
-        .select(urlOf.as("url"),
-          Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("src_domain"),
-          explode(regexp_extract_all(page,
+        .select(urlOf.as("url"), page.as("page"))
+        .select(col("url"), col("page"),
+          graft.functions.Html.baseHref(col("page")).as("bh"))
+        .select(
+          Urls.effectiveBase(col("url"), col("bh")).as("eff"),
+          Urls.registeredDomain(Urls.canonicalHost(col("url")))
+            .as("src_domain"),
+          explode(regexp_extract_all(col("page"),
             lit("(?is)<a[^>]+href=\"([^\"]+)\""), lit(1))).as("href"))
         .select(col("src_domain"),
           Urls.registeredDomain(Urls.canonicalHost(
-            Urls.resolve(col("url"), col("href")))).as("dst_domain"))
+            Urls.resolve(col("eff"), col("href")))).as("dst_domain"))
         .filter(col("src_domain") =!= col("dst_domain"))
         .groupBy("src_domain", "dst_domain")
         .agg(big(count(lit(1))).as("n_links")),
@@ -638,23 +655,41 @@ object WebQueries {
       lit("?id="), (t1 % 5).cast("string"))
     val protoHref =
       regexp_replace(urlFor(col("doc_id") * 5 + 1), "^https:", "")
+    // r16: the same <base href> override as op319 — and HERE it gates
+    // hard: dst_canon is CANONICAL-URL grain, so a base-carrying page's
+    // relative anchor must index under /bK/... or the hash mismatches
+    val basePart = when(col("doc_id") % 11 === 0,
+      concat(lit("<head><base href=\"/b"), (col("doc_id") % 3).cast("string"),
+        lit("/\"></head>"))).otherwise(lit(""))
     val page = concat(
-      lit("<html><body><p>See <a href=\""), relHref,
+      lit("<html>"), basePart,
+      lit("<body><p>See <a href=\""), relHref,
       lit("\">guide "), (col("doc_id") % 17).cast("string"),
       lit("</a> and <a href=\""), protoHref,
       lit("\">review "), (col("doc_id") % 13).cast("string"),
       lit("</a>; archive at <a href=\""), urlFor(col("doc_id") + 13),
       lit("\">mirror "), (col("doc_id") % 7).cast("string"),
       lit("</a>.</p></body></html>"))
+    // staged like op319/op323: url/page → base_href → eff → per-match
+    // resolved, each expensive intermediate an attribute computed once
     ordered(
       Tables.documents(s, d)
-        .select(urlOf.as("url"),
-          Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("src_domain"),
-          explode(regexp_extract_all(page, lit(anchorPat), lit(0))).as("m"))
+        .select(urlOf.as("url"), page.as("page"))
+        .select(col("url"), col("page"),
+          graft.functions.Html.baseHref(col("page")).as("bh"))
+        .select(
+          Urls.effectiveBase(col("url"), col("bh")).as("eff"),
+          Urls.registeredDomain(Urls.canonicalHost(col("url")))
+            .as("src_domain"),
+          explode(regexp_extract_all(col("page"), lit(anchorPat), lit(0)))
+            .as("m"))
         .select(col("src_domain"),
-          Urls.canonicalize(Urls.resolve(col("url"),
-            regexp_extract(col("m"), anchorPat, 1))).as("dst_canon"),
+          Urls.resolve(col("eff"),
+            regexp_extract(col("m"), anchorPat, 1)).as("resolved"),
           regexp_extract(col("m"), anchorPat, 2).as("anchor"))
+        .select(col("src_domain"),
+          Urls.canonicalize(col("resolved")).as("dst_canon"),
+          col("anchor"))
         .groupBy("dst_canon")
         .agg(big(count(lit(1))).as("n_refs"),
           big(countDistinct(col("src_domain"))).as("n_src_domains"),
@@ -698,7 +733,13 @@ object WebQueries {
     * segments, `../` and `./` relatives, query-only, empty — and the
     * op emits the resolved absolute URL plus its canonical form, so
     * the gate covers resolve ∘ canonicalize exactly as op319/op321
-    * consume it. Map-only (resolution is one row-local expression
+    * consume it. r16 (verdict item 3): the fixture grows BASE-OVERRIDE
+    * rows — an HTML `<base href>` changes the resolution base, so the
+    * effective base is the base href resolved against the page URL
+    * (ids %5=3 carry a RELATIVE base href — itself a reference — and
+    * ids %5=4 an absolute one, cross-cutting all seven href forms),
+    * exactly the [[Urls.effectiveBase]] composition op319/op321 now
+    * apply per page. Map-only (resolution is one row-local expression
     * chain); the ORDER BY is the only shuffle — at 100 TB the resolver
     * adds zero exchanges to the extraction stage. */
   val op323UrlResolve: Q = (s, d) => {
@@ -719,11 +760,28 @@ object WebQueries {
           concat(lit("?id="), (id % 5).cast("string"),
             lit("&utm_campaign=c"), (id % 4).cast("string")))
         .otherwise(lit(""))
-    val resolved = Urls.resolve(urlOf, href)
+    val baseHref =
+      when(id % 5 === 3,
+        concat(lit("bdir"), (id % 3).cast("string"), lit("/")))
+        .when(id % 5 === 4,
+          concat(lit("https://base"), (id % 3).cast("string"),
+            lit(".example.com/zz/")))
+        .otherwise(lit(""))
+    // STAGED projections, one expensive intermediate per step: a Column
+    // is a TREE, so an inline `eff` would be re-expanded at each of
+    // resolve's ~6 base references (and `resolved` again inside
+    // canonicalize) — measured 5× slower spelled inline. As separate
+    // non-cheap aliases, CollapseProject keeps each computed once.
     ordered(
-      Tables.documents(s, d).select(col("doc_id"), href.as("href"),
-        resolved.as("resolved"),
-        Urls.canonicalize(resolved).as("url_canon")),
+      Tables.documents(s, d)
+        .select(col("doc_id"), baseHref.as("base_href"), href.as("href"),
+          urlOf.as("url"))
+        .select(col("doc_id"), col("base_href"), col("href"),
+          Urls.effectiveBase(col("url"), col("base_href")).as("eff"))
+        .select(col("doc_id"), col("base_href"), col("href"),
+          Urls.resolve(col("eff"), col("href")).as("resolved"))
+        .select(col("doc_id"), col("base_href"), col("href"),
+          col("resolved"), Urls.canonicalize(col("resolved")).as("url_canon")),
       "doc_id")
   }
 
@@ -813,8 +871,10 @@ object WebQueries {
         |FROM walk WHERE admitted ORDER BY doc_id""".stripMargin,
     // op323: same href synthesis; resolution is the GENERATED
     // resolveSql twin (same branch structure, regexes and dot-segment
-    // chain as Urls.resolve), then the layered canonicalization
-    // builders over the resolved URL
+    // chain as Urls.resolve) against the EFFECTIVE base — the base
+    // href resolved against the page URL when present (r16), the page
+    // URL otherwise — then the layered canonicalization builders over
+    // the resolved URL
     "op323_url_resolve" ->
       s"""WITH $urlCte,
         |rr AS (
@@ -830,19 +890,30 @@ object WebQueries {
         |       || '/b/../c'
         |     WHEN doc_id % 7 = 5 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
         |       || '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR)
-        |     ELSE '' END) AS href
+        |     ELSE '' END) AS href,
+        |    (CASE WHEN doc_id % 5 = 3
+        |       THEN 'bdir' || CAST(doc_id % 3 AS VARCHAR) || '/'
+        |     WHEN doc_id % 5 = 4 THEN 'https://base'
+        |       || CAST(doc_id % 3 AS VARCHAR) || '.example.com/zz/'
+        |     ELSE '' END) AS base_href
         |  FROM u),
-        |rs AS (
-        |  SELECT doc_id, href, ${Urls.resolveSql("url", "href")} AS resolved
+        |re AS (
+        |  SELECT doc_id, href, base_href,
+        |    ${Urls.effectiveBaseSql("url", "base_href")} AS eff
         |  FROM rr),
+        |rs AS (
+        |  SELECT doc_id, href, base_href,
+        |    ${Urls.resolveSql("eff", "href")} AS resolved
+        |  FROM re),
         |rd AS (
-        |  SELECT doc_id, href, resolved,
+        |  SELECT doc_id, href, base_href, resolved,
         |    ${Urls.pctDecodeSql("resolved")} AS dec
         |  FROM rs),
         |rq AS (
-        |  SELECT doc_id, href, resolved, dec, ${querySql("dec")} AS qq
+        |  SELECT doc_id, href, base_href, resolved, dec,
+        |    ${querySql("dec")} AS qq
         |  FROM rd)
-        |SELECT doc_id, href, resolved,
+        |SELECT doc_id, base_href, href, resolved,
         |  'https://' || ${canonicalHostSql("dec")} || ${pathSql("dec")} ||
         |  CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_canon
         |FROM rq ORDER BY doc_id""".stripMargin,
@@ -868,14 +939,20 @@ object WebQueries {
         |               FROM n GROUP BY 1) m USING (norm_path)
         |ORDER BY doc_id""".stripMargin,
     // op321: one full-match regex pass per page, per-match href/anchor
-    // re-extraction, hrefs RESOLVED against the page URL (generated
-    // resolveSql twin — r15), then target canonicalization through the
-    // same layered decode/host/path/query builders as op320
+    // re-extraction, hrefs RESOLVED against the EFFECTIVE base (r16:
+    // the base href resolved against the page URL on <base>-carrying
+    // pages, the page URL otherwise; generated resolveSql twin), then
+    // target canonicalization through the same layered
+    // decode/host/path/query builders as op320
     "op321_anchor_text" ->
       s"""WITH $urlCte,
         |pg AS (
         |  SELECT doc_id, url,
-        |    '<html><body><p>See <a href="' ||
+        |    '<html>' ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '<head><base href="/b'
+        |       || CAST(doc_id % 3 AS VARCHAR) || '/"></head>'
+        |     ELSE '' END) ||
+        |    '<body><p>See <a href="' ||
         |    'a/../p' || CAST((doc_id * 7 + 3) % 7 AS VARCHAR) ||
         |    '?id=' || CAST((doc_id * 7 + 3) % 5 AS VARCHAR) ||
         |    '">guide ' || CAST(doc_id % 17 AS VARCHAR) ||
@@ -887,20 +964,29 @@ object WebQueries {
         |    '</a>.</p></body></html>' AS html,
         |    ${canonicalHostSql("url")} AS src_host
         |  FROM u),
+        |pb AS (
+        |  SELECT doc_id, url, html, src_host,
+        |    regexp_extract(html, '(?is)<base[^>]*href="([^"]*)"', 1)
+        |      AS base_href
+        |  FROM pg),
+        |pe AS (
+        |  SELECT doc_id, html, src_host,
+        |    ${Urls.effectiveBaseSql("url", "base_href")} AS eff
+        |  FROM pb),
         |mm AS (
-        |  SELECT url, ${Urls.registeredDomainPslSql("src_host")} AS src_domain,
+        |  SELECT eff, ${Urls.registeredDomainPslSql("src_host")} AS src_domain,
         |         um.m AS m
-        |  FROM pg, UNNEST(regexp_extract_all(html,
+        |  FROM pe, UNNEST(regexp_extract_all(html,
         |    '(?is)<a href="([^"]+)">([^<]*)</a>', 0)) AS um(m)),
         |h0 AS (
-        |  SELECT url, src_domain,
+        |  SELECT eff, src_domain,
         |    regexp_extract(m, '(?is)<a href="([^"]+)">([^<]*)</a>', 1)
         |      AS href,
         |    regexp_extract(m, '(?is)<a href="([^"]+)">([^<]*)</a>', 2)
         |      AS anchor
         |  FROM mm),
         |a0 AS (
-        |  SELECT src_domain, ${Urls.resolveSql("url", "href")} AS resolved,
+        |  SELECT src_domain, ${Urls.resolveSql("eff", "href")} AS resolved,
         |         anchor
         |  FROM h0),
         |ad AS (
@@ -960,14 +1046,20 @@ object WebQueries {
         |JOIN deg d ON v.pk = d.src
         |ORDER BY url_canon""".stripMargin,
     // op319: same page + href synthesis (relative / protocol-relative /
-    // absolute — r15), hrefs RESOLVED against the page URL through the
-    // generated resolveSql twin, then host chain + PSL longest-match
-    // per end, self-edges dropped, one grouped count
+    // absolute — r15; <base href> on ids %11=0 — r16), hrefs RESOLVED
+    // against the EFFECTIVE base (base href resolved against the page
+    // URL, else the page URL) through the generated resolveSql twin,
+    // then host chain + PSL longest-match per end, self-edges dropped,
+    // one grouped count
     "op319_link_graph" ->
       s"""WITH $urlCte,
         |pg AS (
         |  SELECT doc_id, url,
-        |    '<html><body><p>See <a href="' ||
+        |    '<html>' ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '<head><base href="/b'
+        |       || CAST(doc_id % 3 AS VARCHAR) || '/"></head>'
+        |     ELSE '' END) ||
+        |    '<body><p>See <a href="' ||
         |    'a/../p' || CAST((doc_id * 7 + 3) % 7 AS VARCHAR) ||
         |    '?id=' || CAST((doc_id * 7 + 3) % 5 AS VARCHAR) ||
         |    '">first</a> and <a href="' ||
@@ -976,14 +1068,23 @@ object WebQueries {
         |    '">third</a>.</p></body></html>' AS html,
         |    ${canonicalHostSql("url")} AS src_host
         |  FROM u),
+        |pb AS (
+        |  SELECT doc_id, url, html, src_host,
+        |    regexp_extract(html, '(?is)<base[^>]*href="([^"]*)"', 1)
+        |      AS base_href
+        |  FROM pg),
+        |pe AS (
+        |  SELECT doc_id, html, src_host,
+        |    ${Urls.effectiveBaseSql("url", "base_href")} AS eff
+        |  FROM pb),
         |e AS (
         |  SELECT ${Urls.registeredDomainPslSql("src_host")} AS src_domain,
         |         ${Urls.registeredDomainPslSql("dst_host")} AS dst_domain
         |  FROM (
         |    SELECT src_host, ${canonicalHostSql("resolved")} AS dst_host
         |    FROM (
-        |      SELECT src_host, ${Urls.resolveSql("url", "h.href")} AS resolved
-        |      FROM pg, UNNEST(regexp_extract_all(html,
+        |      SELECT src_host, ${Urls.resolveSql("eff", "h.href")} AS resolved
+        |      FROM pe, UNNEST(regexp_extract_all(html,
         |        '(?is)<a[^>]+href="([^"]+)"', 1)) AS h(href))))
         |SELECT src_domain, dst_domain,
         |       CAST(count(*) AS BIGINT) AS n_links

@@ -178,6 +178,53 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("base href: extraction + effective-base resolution (r16)") {
+    import graft.functions.Html
+    val page = "https://h.example.com/p/3/doc?q=1"
+    // (html, href, want-resolved) — the effective base is the base
+    // element's href resolved against the page URL; anchors then
+    // resolve against THAT
+    val cases = Seq(
+      // no base element: page URL is the base
+      ("<html><body><a href=\"x/y\">t</a></body></html>",
+        "x/y", "https://h.example.com/p/3/x/y"),
+      // absolute base replaces wholesale
+      ("<html><head><base href=\"https://b.example.com/zz/\"></head></html>",
+        "x/y", "https://b.example.com/zz/x/y"),
+      // root-relative base: keeps the page host, replaces the path
+      ("<html><head><base href=\"/b2/\"></head></html>",
+        "a/../x?i=1", "https://h.example.com/b2/x?i=1"),
+      // RELATIVE base href resolves against the page URL first
+      ("<html><head><base href=\"sub/\"></head></html>",
+        "x", "https://h.example.com/p/3/sub/x"),
+      // base with dot segments normalizes before anchors use it
+      ("<html><head><base href=\"../up/\"></head></html>",
+        "x", "https://h.example.com/p/up/x"),
+      // only the FIRST base element is effective (HTML's rule)
+      ("<html><head><base href=\"/first/\"><base href=\"/second/\"></head></html>",
+        "x", "https://h.example.com/first/x"))
+    val got = cases.toDF("html", "href", "want")
+      .select(
+        Urls.resolve(
+          Urls.effectiveBase(lit(page), Html.baseHref(col("html"))),
+          col("href")).as("got"),
+        col("want"))
+      .collect()
+    cases.zip(got).foreach { case ((html, href, _), r) =>
+      assert(r.getString(0) == r.getString(1),
+        s"effective-base resolve failed for href '$href' in '$html': " +
+          s"'${r.getString(0)}' != '${r.getString(1)}'")
+    }
+    // extractor edge: '' when the page has no base element, attribute
+    // order tolerated, single-match semantics
+    val ext = Seq(
+      "<html><body>no base</body></html>" -> "",
+      "<html><head><base target=\"_top\" href=\"/t/\"></head></html>" -> "/t/")
+      .toDF("h", "w")
+      .select(Html.baseHref(col("h")).as("g"), col("w")).collect()
+    ext.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("op317 join spelling == the when-chain spelling on its fixture hosts") {
     // the broadcast-dim join (op317) and the literal when-chain
     // (registeredDomainPsl — what the streaming keyers run) must pick
