@@ -785,35 +785,101 @@ object WebQueries {
       "doc_id")
   }
 
+  /** Shared robots.txt synthesis per registered domain — ONE builder
+    * pair (Spark Column / DuckDB SQL) so op324 and op325 cannot drift
+    * from each other or across engines. Each `exampleK.com` publishes
+    * the op311 rule pair for its digit plus a Crawl-delay line cycling
+    * through the real-world edge shapes: present (90/60), ABSENT
+    * (k=1 — the parser's default fires), MALFORMED (`fast`, k=2 —
+    * digits-only parse falls to the default), and a case/spacing
+    * variant (`crawl-delay:45`, k=4). */
+  private def robotsTxtFor(domain: Column): Column = {
+    val k = ascii(substring(domain, 8, 1)) - lit(48)
+    concat(
+      lit("User-agent: *\nDisallow: /p/\nAllow: /p/"),
+      substring(domain, 8, 1), lit("\n"),
+      when(k === 0, lit("Crawl-delay: 90\n"))
+        .when(k === 1, lit(""))
+        .when(k === 2, lit("Crawl-delay: fast\n"))
+        .when(k === 3, lit("Crawl-delay: 60\n"))
+        .otherwise(lit("crawl-delay:45\n")))
+  }
+
+  /** [[robotsTxtFor]]'s DuckDB twin over a domain SQL expression. */
+  private def robotsTxtSql(e: String): String =
+    s"('User-agent: *' || chr(10) || 'Disallow: /p/' || chr(10) || " +
+      s"'Allow: /p/' || substr($e, 8, 1) || chr(10) || " +
+      s"(CASE (ascii(substr($e, 8, 1)) - 48) " +
+      s"WHEN 0 THEN 'Crawl-delay: 90' || chr(10) " +
+      s"WHEN 1 THEN '' " +
+      s"WHEN 2 THEN 'Crawl-delay: fast' || chr(10) " +
+      s"WHEN 3 THEN 'Crawl-delay: 60' || chr(10) " +
+      s"ELSE 'crawl-delay:45' || chr(10) END))"
+
+  /** op325: robots `Crawl-delay` PARSING on the oracle path (r16,
+    * verdict item 4) — the step between fetching a domain's robots.txt
+    * and feeding op324's politeness gate: the delay comes out of the
+    * robots TEXT ([[graft.functions.Robots.crawlDelay]], one codegen'd
+    * regexp pass), never a side-channel formula. The synthesized texts
+    * cover present / absent / malformed / case-and-spacing-variant
+    * delay lines, so the default-fallback path is oracle-gated, not
+    * just spec'd. Map-only; the ORDER BY is the only shuffle — robots
+    * metadata parsing adds zero exchanges at 100 TB (per-domain texts
+    * are parsed once and broadcast in a real frontier; here the parse
+    * rides per-row to gate the expression itself). */
+  val op325RobotsCrawlDelay: Q = (s, d) => {
+    import graft.functions.Robots
+    ordered(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("domain"))
+        .select(col("doc_id"), col("domain"),
+          robotsTxtFor(col("domain")).as("robots_txt"))
+        .select(col("doc_id"), col("domain"),
+          big(Robots.crawlDelay(col("robots_txt"))).as("crawl_delay_s"),
+          when(regexp_extract(col("robots_txt"),
+            Robots.crawlDelayPattern, 1) =!= "", 1L).otherwise(0L)
+            .as("has_delay")),
+      "doc_id")
+  }
+
   /** op324: STREAMING crawl politeness — the robots `Crawl-delay`
     * semantics ([[graft.streaming.Politeness]]): per registered
     * domain, consecutive admitted fetches must sit ≥ the domain's
     * Crawl-delay apart in event time; closer ones drop. The delay is
-    * PER-DOMAIN metadata (what robots.txt actually publishes):
-    * 30 + 30·(digit(domain) mod 3) seconds here — resolved map-side
-    * and riding the row, the op316 robots-verdict pattern, so the
-    * stateful stage stays join-free. Fetch times are deterministic
-    * (doc_id·37 mod 1009 seconds — pseudo-random within a ~17-minute
-    * window, so each domain admits a nontrivial greedy subsequence).
-    * The fixture drains in one batch where the processor folds
-    * arrivals in (fetch_s, doc_id) order, so the oracle replays the
-    * greedy spacing walk as a per-domain RECURSIVE chain over the
+    * PER-DOMAIN metadata PARSED from the domain's robots.txt (r16,
+    * verdict item 4 — [[graft.functions.Robots.crawlDelay]] over the
+    * shared [[robotsTxtFor]] synthesis, replacing r15's synthetic
+    * digit formula): resolved map-side and riding the row, the op316
+    * robots-verdict pattern, so the stateful stage stays join-free —
+    * a real frontier compiles the same delay once per domain
+    * ([[graft.functions.Robots.compile]]) and broadcasts it with the
+    * allow verdict. Absent/malformed delay lines fall to the 30 s
+    * default (oracle-gated here AND in op325). Fetch times are
+    * deterministic (doc_id·37 mod 1009 seconds — pseudo-random within
+    * a ~17-minute window, so each domain admits a nontrivial greedy
+    * subsequence). The fixture drains in one batch where the processor
+    * folds arrivals in (fetch_s, doc_id) order, so the oracle replays
+    * the greedy spacing walk as a per-domain RECURSIVE chain over the
     * event-ordered sequence; cross-trigger spacing (state carrying
     * the last admitted second between triggers, late arrivals
     * rejected against it) is pinned in WebSpec with controlled
     * arrivals. State: two longs per domain — [[DomainQuota]]'s class. */
   val op324StreamPoliteness: Q = (s, d) => {
+    import graft.functions.Robots
     import graft.streaming.{Politeness, StateStores}
     val admitted = StateStores.withRocksDb(s) {
       TrainQueries.drainStream(s, d, "op324", "documents", "append", "8") {
         st =>
           import st.sparkSession.implicits._
-          val domain = Urls.registeredDomain(Urls.canonicalHost(urlOf))
           Politeness.admitted(
-            st.select(col("doc_id"), domain.as("domain"),
-                ((col("doc_id") * 37L) % 1009L).as("fetch_s"),
-                (lit(30L) + (ascii(substring(domain, 8, 1)) % 3)
-                  .cast("long") * 30L).as("delay_s"))
+            st.select(col("doc_id"),
+                Urls.registeredDomain(Urls.canonicalHost(urlOf))
+                  .as("domain"),
+                ((col("doc_id") * 37L) % 1009L).as("fetch_s"))
+              .select(col("doc_id"), col("domain"), col("fetch_s"),
+                Robots.crawlDelay(robotsTxtFor(col("domain")))
+                  .as("delay_s"))
               .as[Politeness.Fetch]).toDF()
       }
     }
@@ -839,22 +905,45 @@ object WebQueries {
     "op321_anchor_text" -> op321AnchorText,
     "op322_dot_segments" -> op322DotSegments,
     "op323_url_resolve" -> op323UrlResolve,
-    "op324_stream_politeness" -> op324StreamPoliteness)
+    "op324_stream_politeness" -> op324StreamPoliteness,
+    "op325_robots_crawl_delay" -> op325RobotsCrawlDelay)
 
   val oracle: Map[String, String] = Map(
+    // op325: the same robots-text synthesis, delay parsed by the
+    // GENERATED crawlDelaySql twin (same regex, same digits-only
+    // malformed fallback, same 30 s default)
+    "op325_robots_crawl_delay" ->
+      s"""WITH $urlCte,
+        |$domainCte,
+        |rt AS (
+        |  SELECT doc_id, domain, ${robotsTxtSql("domain")} AS robots_txt
+        |  FROM h)
+        |SELECT doc_id, domain,
+        |  CAST(${graft.functions.Robots.crawlDelaySql("robots_txt")}
+        |       AS BIGINT) AS crawl_delay_s,
+        |  CAST(CASE WHEN regexp_extract(robots_txt,
+        |    '(?im)^[ \t]*crawl-delay[ \t]*:[ \t]*([0-9]+)[ \t]*$$', 1)
+        |    = '' THEN 0 ELSE 1 END AS BIGINT) AS has_delay
+        |FROM rt ORDER BY doc_id""".stripMargin,
     // op324: the greedy spacing walk replayed as a per-domain
     // RECURSIVE chain over the event-ordered arrival sequence (the
-    // fold the processor runs) with the domain's own Crawl-delay,
-    // admit_seq re-derived from the admitted subsequence
+    // fold the processor runs) with the domain's own Crawl-delay —
+    // r16: PARSED from the synthesized robots text through the
+    // generated crawlDelaySql twin — admit_seq re-derived from the
+    // admitted subsequence
     "op324_stream_politeness" ->
       s"""WITH RECURSIVE $urlCte,
         |$domainCte,
+        |rt AS (
+        |  SELECT doc_id, domain, ${robotsTxtSql("domain")} AS robots_txt
+        |  FROM h),
         |arr AS (
         |  SELECT doc_id, domain, (doc_id * 37) % 1009 AS fetch_s,
-        |         30 + (ascii(substr(domain, 8, 1)) % 3) * 30 AS delay_s,
+        |         ${graft.functions.Robots.crawlDelaySql("robots_txt")}
+        |           AS delay_s,
         |         row_number() OVER (PARTITION BY domain
         |           ORDER BY (doc_id * 37) % 1009, doc_id) AS rn
-        |  FROM h),
+        |  FROM rt),
         |walk AS (
         |  SELECT domain, rn, doc_id, fetch_s, fetch_s AS last_adm,
         |         TRUE AS admitted

@@ -178,6 +178,41 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("robots Crawl-delay parse: present, absent, malformed, variants " +
+      "(r16)") {
+    import graft.functions.Robots
+    // (text, want) — absent and MALFORMED values both fall to the
+    // default (the verdict-item-4 done criteria), field name and
+    // spacing tolerated, first valid line wins
+    val cases = Seq(
+      ("User-agent: *\nDisallow: /p/\nCrawl-delay: 90\n", 90L),
+      ("User-agent: *\nDisallow: /p/\n", 30L), // no delay line
+      ("User-agent: *\nCrawl-delay: fast\n", 30L), // malformed value
+      ("crawl-delay:45", 45L), // lowercase, no spaces, no newline
+      ("  Crawl-Delay  :  7  \n", 7L), // padded everywhere
+      ("Crawl-delay: 9\nCrawl-delay: 11\n", 9L), // first valid wins
+      ("Crawl-delay: nope\nCrawl-delay: 11\n", 11L), // skip malformed
+      ("", 30L))
+    val got = cases.toDF("t", "w")
+      .select(Robots.crawlDelay(col("t")).as("g"), col("w")).collect()
+    cases.zip(got).foreach { case ((t, _), r) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"crawlDelay(${t.replace("\n", "\\n")}) = ${r.getLong(0)}, " +
+          s"want ${r.getLong(1)}")
+    }
+    // the driver-side compiler (broadcast-matcher path) agrees with the
+    // Column parse on delay, and compiles the rule pairs RobotsAllowed
+    // takes
+    cases.foreach { case (t, w) =>
+      assert(Robots.compile(t).crawlDelay.getOrElse(30L) == w,
+        s"compile disagrees with Column parse on: $t")
+    }
+    val g = Robots.compile(
+      "User-agent: *\nDisallow: /p/\nAllow: /p/3\nCrawl-delay: 60\n")
+    assert(g.rules == Seq("/p/" -> false, "/p/3" -> true))
+    assert(g.crawlDelay.contains(60L))
+  }
+
   test("base href: extraction + effective-base resolution (r16)") {
     import graft.functions.Html
     val page = "https://h.example.com/p/3/doc?q=1"
