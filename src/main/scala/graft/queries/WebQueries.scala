@@ -397,8 +397,20 @@ object WebQueries {
           concat(lit("w"), (col("doc_id") % 3).cast("string"), lit(".ck")))
         .otherwise(lit("www.ck")))
     val docs = Tables.documents(s, d).select(col("doc_id"), host.as("host"))
+    ordered(
+      registeredDomainJoinSpelling(s, docs, Urls.publicSuffixSlice),
+      "doc_id")
+  }
+
+  /** The broadcast-dim JOIN spelling of PSL registered-domain
+    * extraction — op317's body, factored so the r16 PSL property suite
+    * (PslPropertySpec) can run it against RANDOM rule tables alongside
+    * the when-chain and plan-node spellings. `docs` must carry
+    * (doc_id, host); returns (doc_id, host, domain). */
+  private[graft] def registeredDomainJoinSpelling(s: SparkSession,
+      docs: DataFrame, suffixes: Seq[String]): DataFrame = {
     import s.implicits._
-    val pslDf = Urls.publicSuffixSlice.map { r =>
+    val pslDf = suffixes.map { r =>
       val exc = r.startsWith("!")
       val body = if (exc) r.substring(1) else r
       (r, if (exc) 1 else 0, body.count(_ == '.') + 1)
@@ -426,26 +438,24 @@ object WebQueries {
       // (is_exc, s_labels) makes max() the PSL precedence
       .agg(max(when(col("rule").isNotNull,
         struct(col("is_exc"), col("s_labels")))).as("m"))
-    ordered(
-      matched.select(col("doc_id"), col("host"),
-        when(col("m").isNull,
-          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
-          // exception: the registered domain IS the rule body
-          .when(col("m.is_exc") === 1,
-            array_join(slice(labs, size(labs) - col("m.s_labels") + 1,
-              col("m.s_labels")), "."))
-          // plain/wildcard with an EMPTY registrable label: '' — the
-          // chain's `([^.]+...)` extract and the plan node's
-          // prev.isEmpty path both say so (r15 review: the slice
-          // spelling used to emit ".w.ck"-style junk here)
-          .when(element_at(labs, size(labs) - col("m.s_labels")) === "",
-            lit(""))
-          // plain/wildcard: matched labels + one registrable label
-          .otherwise(array_join(
-            slice(labs, size(labs) - col("m.s_labels"),
-              col("m.s_labels") + 1), "."))
-          .as("domain")),
-      "doc_id")
+    matched.select(col("doc_id"), col("host"),
+      when(col("m").isNull,
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        // exception: the registered domain IS the rule body
+        .when(col("m.is_exc") === 1,
+          array_join(slice(labs, size(labs) - col("m.s_labels") + 1,
+            col("m.s_labels")), "."))
+        // plain/wildcard with an EMPTY registrable label: '' — the
+        // chain's `([^.]+...)` extract and the plan node's
+        // prev.isEmpty path both say so (r15 review: the slice
+        // spelling used to emit ".w.ck"-style junk here)
+        .when(element_at(labs, size(labs) - col("m.s_labels")) === "",
+          lit(""))
+        // plain/wildcard: matched labels + one registrable label
+        .otherwise(array_join(
+          slice(labs, size(labs) - col("m.s_labels"),
+            col("m.s_labels") + 1), "."))
+        .as("domain"))
   }
 
   /** [[graft.functions.Html.extract]]'s DuckDB chain over a SQL
