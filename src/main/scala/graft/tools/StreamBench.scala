@@ -19,8 +19,23 @@ object StreamBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.BenchStreaming.run(spark, sfDir).foreach { case (k, v) =>
-      println(f"[streambench] $k = $v%.1f")
+    // optional first arg: repetitions (r16 — the serving-matrix
+    // adjudication loop needs run-to-run spread, not one shot; each rep
+    // is a full probe pass, so reps are minutes apart like Bench's
+    // interleaved passes)
+    val reps = args.headOption.map(_.toInt).getOrElse(1)
+    val byKey = scala.collection.mutable.LinkedHashMap
+      .empty[String, List[Double]]
+    (1 to reps).foreach { pass =>
+      graft.BenchStreaming.run(spark, sfDir).foreach { case (k, v) =>
+        println(f"[streambench] pass $pass: $k = $v%.1f")
+        byKey(k) = byKey.getOrElse(k, Nil) :+ v
+      }
+    }
+    if (reps > 1) byKey.foreach { case (k, vs) =>
+      val spread = if (vs.min > 0) vs.max / vs.min else -1.0
+      println(f"[streambench] median $k = ${graft.Bench.median(vs)}%.1f " +
+        f"(spread ${spread}%.2f)")
     }
     spark.stop()
   }
