@@ -853,6 +853,126 @@ object WebQueries {
       "doc_id")
   }
 
+  /** op326: SITEMAP extraction (r16) — the third leg of the crawl's
+    * per-site metadata triangle beside robots rules (op311/op325) and
+    * the page-level anchor graph (op319/op321): each site's sitemap
+    * XML yields (loc, lastmod, priority) seed URLs for the frontier.
+    * The synthesized sitemap carries the real-world shapes: an
+    * absolute `<loc>` in a collision-rich spelling (www/port/case —
+    * canonicalization must collapse it), a RELATIVE loc (spec-illegal
+    * but common; resolves against the site root through the op323
+    * resolver), an entry with no lastmod and no priority (both emit ''
+    * — never NULL, so the grain stays string-typed cross-engine).
+    * Extraction is one full-match regex pass per sitemap + per-entry
+    * field re-extraction, exactly op321's anchor shape: map-only,
+    * explode, no shuffle but the ORDER BY. 100 TB: sitemaps are one
+    * small file per SITE (a dimension relative to the corpus) — this
+    * stage's cost is the page-fetch edge's, not the corpus scan's. */
+  val op326SitemapExtract: Q = (s, d) => {
+    val id = col("doc_id")
+    val root = concat(lit("https://"),
+      when(id % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), (id % 13).cast("string"),
+      lit(".example"), (id % 5).cast("string"), lit(".com/"))
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset><url><loc>https://"),
+      when(id % 7 === 0, lit("Site")).otherwise(lit("site")),
+      (id % 13).cast("string"), lit(".example"), (id % 5).cast("string"),
+      lit(".com:443/p/"), (id % 7).cast("string"),
+      lit("~v</loc><lastmod>2024-01-"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod><priority>0."), (id % 9).cast("string"),
+      lit("</priority></url><url><loc>rel/"), (id % 11).cast("string"),
+      lit("</loc><lastmod>2024-02-"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url><url><loc>/top/"), (id % 6).cast("string"),
+      lit("</loc></url></urlset>"))
+    val entryPat = "(?is)<url>(.*?)</url>"
+    ordered(
+      Tables.documents(s, d)
+        .select(id, root.as("root"), xml.as("xml"))
+        .select(id, col("root"),
+          explode(regexp_extract_all(col("xml"), lit(entryPat), lit(1)))
+            .as("entry"))
+        .select(id, col("root"),
+          regexp_extract(col("entry"), "(?is)<loc>(.*?)</loc>", 1)
+            .as("loc"),
+          regexp_extract(col("entry"), "(?is)<lastmod>(.*?)</lastmod>", 1)
+            .as("lastmod"),
+          regexp_extract(col("entry"), "(?is)<priority>(.*?)</priority>", 1)
+            .as("priority"))
+        .select(id, Urls.resolve(col("root"), col("loc")).as("resolved"),
+          col("lastmod"), col("priority"))
+        .select(id, Urls.canonicalize(col("resolved")).as("url_canon"),
+          col("lastmod"), col("priority")),
+      "doc_id", "url_canon")
+  }
+
+  /** op327: REDIRECT-CHAIN resolution (r16) — the crawl bookkeeping
+    * step between fetching and indexing: a URL that 301s must index
+    * under its FINAL target, with chains followed to a bound. The
+    * redirect map is synthesized at canonical-URL grain (multiples of
+    * 3 redirect; +1/+2 steps by residue so chains of length 0..4+
+    * arise, strictly increasing so the fixture is acyclic — a 2-cycle
+    * is spec'd in WebSpec where the bound proves it terminates).
+    * Resolution is POINTER DOUBLING, not per-hop iteration: 2
+    * composition joins cover 4 hops (log₂ of the bound), each a
+    * self-equi-join of the corpus-scale map — the 100 TB shape, since
+    * a per-hop loop would pay k shuffles for k hops where doubling
+    * pays log₂k. Emits (url_canon, final_url, n_hops, resolved flag:
+    * 0 when the bound was hit with redirects remaining). Oracle: the
+    * same map walked by a bounded recursive CTE. */
+  val op327RedirectChains: Q = (s, d) => {
+    val id = col("doc_id")
+    val canon = Urls.canonicalize(urlOf)
+    val urls = Tables.documents(s, d).select(id, canon.as("url"))
+    // redirect rule by residue: r0 -> +1, r3 -> +2, r6 -> +3 (mod 9);
+    // targets key the SAME canonical space, so chains compose
+    val dst =
+      when(id % 9 === 0, Urls.canonicalize(urlFor(id + 1)))
+        .when(id % 9 === 3, Urls.canonicalize(urlFor(id + 2)))
+        .when(id % 9 === 6, Urls.canonicalize(urlFor(id + 3)))
+    val redirects = Tables.documents(s, d)
+      .select(canon.as("src"), dst.as("dst"))
+      .filter(col("dst").isNotNull)
+      // one canonical URL can be synthesized by many doc_ids (the
+      // collision-rich spelling) — the map must be a FUNCTION: keep
+      // the minimum target per source (deterministic, both engines)
+      .groupBy("src").agg(min("dst").as("dst"))
+    ordered(redirectResolve(urls, redirects), "doc_id")
+  }
+
+  /** Pointer-doubling redirect resolution — op327's engine, factored
+    * so WebSpec can drive the edges the fixture's acyclic canonical
+    * space never produces (a 2-cycle, a chain past the bound):
+    * `doublings` compositions follow up to 2^doublings hops; a URL
+    * whose final target STILL has an outgoing edge (bound hit —
+    * longer chain or cycle) reports resolved=0. `urls`(doc_id, url),
+    * `redirects`(src, dst — a function: one dst per src) →
+    * (doc_id, url, final_url, n_hops, resolved). */
+  private[graft] def redirectResolve(urls: DataFrame,
+      redirects: DataFrame, doublings: Int = 2): DataFrame = {
+    var f = redirects.select(col("src"), col("dst").as("cur"),
+      lit(1L).as("hops"))
+    for (_ <- 1 to doublings) {
+      val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"),
+        col("hops").as("g_hops"))
+      f = f.join(g, f("cur") === col("g_src"), "left")
+        .select(f("src"),
+          coalesce(col("g_cur"), f("cur")).as("cur"),
+          (f("hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
+    }
+    val stillRedirects = redirects.select(col("src").as("open"))
+    urls.join(f, urls("url") === f("src"), "left")
+      .select(col("doc_id"), col("url"),
+        coalesce(col("cur"), col("url")).as("final_url"),
+        coalesce(col("hops"), lit(0L)).as("n_hops"))
+      .join(stillRedirects, col("final_url") === col("open"), "left")
+      .select(col("doc_id"), col("url"), col("final_url"),
+        big(col("n_hops")).as("n_hops"),
+        when(col("open").isNull, 1L).otherwise(0L).as("resolved"))
+  }
+
   /** op324: STREAMING crawl politeness — the robots `Crawl-delay`
     * semantics ([[graft.streaming.Politeness]]): per registered
     * domain, consecutive admitted fetches must sit ≥ the domain's
@@ -916,9 +1036,107 @@ object WebQueries {
     "op322_dot_segments" -> op322DotSegments,
     "op323_url_resolve" -> op323UrlResolve,
     "op324_stream_politeness" -> op324StreamPoliteness,
-    "op325_robots_crawl_delay" -> op325RobotsCrawlDelay)
+    "op325_robots_crawl_delay" -> op325RobotsCrawlDelay,
+    "op326_sitemap_extract" -> op326SitemapExtract,
+    "op327_redirect_chains" -> op327RedirectChains)
 
   val oracle: Map[String, String] = Map(
+    // op326: same sitemap synthesis; entries unnested from the same
+    // full-match regex, loc resolved against the site root through the
+    // generated resolveSql twin, then the layered canonicalization
+    "op326_sitemap_extract" ->
+      s"""WITH pg AS (
+        |  SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example'
+        |    || CAST(doc_id % 5 AS VARCHAR) || '.com/' AS root,
+        |    '<?xml version="1.0"?><urlset><url><loc>https://' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'Site' ELSE 'site' END) ||
+        |    CAST(doc_id % 13 AS VARCHAR) || '.example' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '.com:443/p/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '~v</loc><lastmod>2024-01-' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    '</lastmod><priority>0.' || CAST(doc_id % 9 AS VARCHAR) ||
+        |    '</priority></url><url><loc>rel/' ||
+        |    CAST(doc_id % 11 AS VARCHAR) || '</loc><lastmod>2024-02-' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    '</lastmod></url><url><loc>/top/' ||
+        |    CAST(doc_id % 6 AS VARCHAR) ||
+        |    '</loc></url></urlset>' AS xml
+        |  FROM documents),
+        |en AS (
+        |  SELECT doc_id, root,
+        |    regexp_extract(e.entry, '(?is)<loc>(.*?)</loc>', 1) AS loc,
+        |    regexp_extract(e.entry, '(?is)<lastmod>(.*?)</lastmod>', 1)
+        |      AS lastmod,
+        |    regexp_extract(e.entry, '(?is)<priority>(.*?)</priority>', 1)
+        |      AS priority
+        |  FROM pg, UNNEST(regexp_extract_all(xml,
+        |    '(?is)<url>(.*?)</url>', 1)) AS e(entry)),
+        |rs AS (
+        |  SELECT doc_id, lastmod, priority,
+        |    ${Urls.resolveSql("root", "loc")} AS resolved
+        |  FROM en),
+        |rd AS (
+        |  SELECT doc_id, lastmod, priority,
+        |    ${Urls.pctDecodeSql("resolved")} AS dec
+        |  FROM rs),
+        |rq AS (
+        |  SELECT doc_id, lastmod, priority, dec, ${querySql("dec")} AS qq
+        |  FROM rd)
+        |SELECT doc_id,
+        |  'https://' || ${canonicalHostSql("dec")} || ${pathSql("dec")} ||
+        |  CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_canon,
+        |  lastmod, priority
+        |FROM rq ORDER BY doc_id, url_canon""".stripMargin,
+    // op327: the same canonical-grain redirect map (min target per
+    // source), walked by a BOUNDED recursive CTE — follow-up-to-4-hops
+    // is exactly what two pointer-doubling compositions compute
+    "op327_redirect_chains" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    ${Urls.pctDecodeSql(urlSql("doc_id"))} AS src_d,
+        |    (CASE WHEN doc_id % 9 = 0
+        |       THEN ${Urls.pctDecodeSql(urlSql("doc_id + 1"))}
+        |     WHEN doc_id % 9 = 3
+        |       THEN ${Urls.pctDecodeSql(urlSql("doc_id + 2"))}
+        |     WHEN doc_id % 9 = 6
+        |       THEN ${Urls.pctDecodeSql(urlSql("doc_id + 3"))}
+        |     END) AS dst_d
+        |  FROM documents),
+        |cq AS (
+        |  SELECT doc_id, src_d, dst_d,
+        |    ${querySql("src_d")} AS qs, ${querySql("dst_d")} AS qd
+        |  FROM base),
+        |cc AS (
+        |  SELECT doc_id,
+        |    'https://' || ${canonicalHostSql("src_d")} || ${pathSql("src_d")} ||
+        |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url,
+        |    CASE WHEN dst_d IS NULL THEN NULL ELSE
+        |      'https://' || ${canonicalHostSql("dst_d")} || ${pathSql("dst_d")} ||
+        |      CASE WHEN qd = '' THEN '' ELSE '?' || qd END END AS dst
+        |  FROM cq),
+        |red AS (
+        |  SELECT url AS src, min(dst) AS dst FROM cc
+        |  WHERE dst IS NOT NULL GROUP BY 1),
+        |walk AS (
+        |  SELECT url AS start, url AS cur, 0 AS hops
+        |  FROM (SELECT DISTINCT url FROM cc)
+        |  UNION ALL
+        |  SELECT w.start, r.dst, w.hops + 1
+        |  FROM walk w JOIN red r ON r.src = w.cur WHERE w.hops < 4),
+        |fin AS (
+        |  SELECT start, cur AS final_url, hops,
+        |         row_number() OVER (PARTITION BY start ORDER BY hops DESC)
+        |           AS rn
+        |  FROM walk)
+        |SELECT c.doc_id, c.url, f.final_url,
+        |  CAST(f.hops AS BIGINT) AS n_hops,
+        |  CAST(CASE WHEN o.src IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS resolved
+        |FROM cc c JOIN fin f ON f.start = c.url AND f.rn = 1
+        |LEFT JOIN red o ON o.src = f.final_url
+        |ORDER BY doc_id""".stripMargin,
     // op325: the same robots-text synthesis, delay parsed by the
     // GENERATED crawlDelaySql twin (same regex, same digits-only
     // malformed fallback, same 30 s default)

@@ -178,6 +178,38 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("redirect chains: cycles and past-bound chains hit the hop bound " +
+      "and report resolved=0 (r16)") {
+    import graft.queries.WebQueries
+    // the op327 fixture's canonical space is acyclic with chains <=4,
+    // so the bound never binds there — drive the edges directly:
+    // a 2-cycle (a<->b), a 6-chain (c0->...->c6), and a clean 1-hop
+    val urls = Seq(
+      (0L, "a"), (1L, "b"), (2L, "c0"), (3L, "x"), (4L, "free"))
+      .toDF("doc_id", "url")
+    val redirects = (Seq(("a", "b"), ("b", "a"), ("x", "y")) ++
+      (0 to 5).map(i => (s"c$i", s"c${i + 1}"))).toDF("src", "dst")
+    val got = WebQueries.redirectResolve(urls, redirects)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // 2-cycle: 4 hops land back on the start side, final still
+    // redirects -> resolved=0
+    assert(got(0) == ("a", "a", 4L, 0L), s"cycle a: ${got(0)}")
+    assert(got(1) == ("b", "b", 4L, 0L), s"cycle b: ${got(1)}")
+    // 6-chain: bound stops at c4 which still has an edge
+    assert(got(2) == ("c0", "c4", 4L, 0L), s"long chain: ${got(2)}")
+    // 1-hop to a terminal target
+    assert(got(3) == ("x", "y", 1L, 1L), s"one hop: ${got(3)}")
+    // no redirect at all
+    assert(got(4) == ("free", "free", 0L, 1L), s"no edge: ${got(4)}")
+    // 3 doublings follow 8 hops: the 6-chain now terminates
+    val deep = WebQueries.redirectResolve(urls, redirects, doublings = 3)
+      .filter(col("url") === "c0").collect()(0)
+    assert(deep.getString(2) == "c6" && deep.getLong(3) == 6L &&
+      deep.getLong(4) == 1L, s"8-hop bound: $deep")
+  }
+
   test("robots Crawl-delay parse: present, absent, malformed, variants " +
       "(r16)") {
     import graft.functions.Robots
