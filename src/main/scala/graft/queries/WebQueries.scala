@@ -973,6 +973,160 @@ object WebQueries {
         when(col("open").isNull, 1L).otherwise(0L).as("resolved"))
   }
 
+  /** op328: WARC response-record parsing (r16) — the storage format a
+    * crawl actually lands in (and what a pretraining pipeline reads
+    * back out): WARC headers → HTTP status line → HTTP headers → body,
+    * each CRLF-framed. The synthesized records cycle the real shapes:
+    * 200 text/html with a charset parameter, 301 with a RELATIVE
+    * `Location:` header (which must resolve against the TARGET-URI —
+    * the op323 resolver again, at the HTTP layer this time), and 404
+    * text/plain. Emits the parsed envelope (canonical target, status,
+    * media type, charset with the header-absent default) plus the
+    * extracted body text length for 200s and the canonical redirect
+    * target for 301s. Pure-Column regex chain over one row — map-only
+    * like op310; at 100 TB this is the WARC-scan stage's per-record
+    * work, and the schema it lands is the corpus table every
+    * downstream op in this engine consumes. */
+  val op328WarcParse: Q = (s, d) => {
+    val id = col("doc_id")
+    val crlf = "\r\n"
+    val status =
+      when(id % 13 === 5, lit("301 Moved Permanently"))
+        .when(id % 13 === 9, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+    val httpHeaders =
+      when(id % 13 === 5,
+        concat(lit("Content-Type: text/html" + crlf + "Location: /moved/"),
+          (id % 7).cast("string")))
+        .when(id % 13 === 9, lit("Content-Type: text/plain"))
+        .otherwise(
+          when(id % 2 === 0,
+            lit("Content-Type: text/html; charset=iso-8859-1"))
+            .otherwise(lit("Content-Type: text/html")))
+    val body =
+      when(id % 13 === 9, lit("not found"))
+        .otherwise(concat(lit("<html><body><p>Doc "), id.cast("string"),
+          lit(" says "),
+          call_function("replace", col("text"), lit("the"), lit("<b>the</b>")),
+          lit("</p></body></html>")))
+    val record = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: "), urlOf,
+      lit(crlf + "WARC-Date: 2024-01-"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"),
+      lit("T"), lpad((id % 24).cast("string"), 2, "0"),
+      lit(":00:00Z" + crlf + crlf + "HTTP/1.1 "), status, lit(crlf),
+      httpHeaders, lit(crlf + crlf), body)
+    ordered(
+      Tables.documents(s, d)
+        .select(id, record.as("rec"))
+        .select(id, col("rec"),
+          regexp_extract(col("rec"),
+            "(?i)WARC-Target-URI: ([^\\r\\n]+)", 1).as("target"),
+          regexp_extract(col("rec"),
+            "(?i)WARC-Date: ([^\\r\\n]+)", 1).as("warc_date"),
+          regexp_extract(col("rec"), "HTTP/1\\.1 ([0-9]{3})", 1)
+            .cast("long").as("status"),
+          regexp_extract(col("rec"),
+            "(?im)^Content-Type:[ \\t]*([^;\\r\\n]+)", 1).as("media_type"),
+          regexp_extract(col("rec"),
+            "(?im)^Content-Type:[^\\r\\n]*charset=([^;\\r\\n ]+)", 1)
+            .as("cs_raw"),
+          regexp_extract(col("rec"),
+            "(?im)^Location:[ \\t]*([^\\r\\n]+)", 1).as("loc"),
+          // body = everything after the blank line that ends the HTTP
+          // headers (the SECOND CRLFCRLF — the first ends the WARC
+          // block); non-greedy head match takes the first two frames
+          regexp_extract(col("rec"),
+            "(?s)\\r\\n\\r\\n.*?\\r\\n\\r\\n(.*)$", 1).as("body"))
+        .select(id,
+          Urls.canonicalize(col("target")).as("url_canon"),
+          col("warc_date"), col("status"), col("media_type"),
+          when(col("cs_raw") === "", lit("utf-8")).otherwise(col("cs_raw"))
+            .as("charset"),
+          when(col("loc") === "", lit(""))
+            .otherwise(Urls.canonicalize(
+              Urls.resolve(col("target"), col("loc"))))
+            .as("redirect_canon"),
+          when(col("status") === 200,
+            big(length(graft.functions.Html.extract(col("body")))))
+            .otherwise(lit(0L)).as("n_body_chars")),
+      "doc_id")
+  }
+
+  /** op329: politeness-aware RE-FETCH schedule (r16) — the frontier
+    * composition the three per-site metadata legs exist FOR: op326's
+    * sitemap entries (what to fetch, how fresh, how important) ranked
+    * per registered domain by (priority desc, lastmod desc, url) and
+    * laid out on the domain's fetch timeline at one slot per
+    * Crawl-delay (op325's parsed robots value — absent/malformed
+    * default included). One window shuffle per domain partition;
+    * everything else is the map-only extraction/parse chains already
+    * oracle-gated piecewise — this op gates their COMPOSITION. 100 TB:
+    * the schedule is per-site metadata work (sitemap entries x
+    * domains), a dimension stage beside the corpus scan. */
+  val op329RefetchSchedule: Q = (s, d) => {
+    import graft.functions.Robots
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id")
+    val root = concat(lit("https://"),
+      when(id % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), (id % 13).cast("string"),
+      lit(".example"), (id % 5).cast("string"), lit(".com/"))
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset><url><loc>https://"),
+      when(id % 7 === 0, lit("Site")).otherwise(lit("site")),
+      (id % 13).cast("string"), lit(".example"), (id % 5).cast("string"),
+      lit(".com:443/p/"), (id % 7).cast("string"),
+      lit("~v</loc><lastmod>2024-01-"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod><priority>0."), (id % 9).cast("string"),
+      lit("</priority></url><url><loc>rel/"), (id % 11).cast("string"),
+      lit("</loc><lastmod>2024-02-"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url><url><loc>/top/"), (id % 6).cast("string"),
+      lit("</loc></url></urlset>"))
+    val entryPat = "(?is)<url>(.*?)</url>"
+    val entries = Tables.documents(s, d)
+      .select(id, root.as("root"), xml.as("xml"))
+      .select(id, col("root"),
+        explode(regexp_extract_all(col("xml"), lit(entryPat), lit(1)))
+          .as("entry"))
+      .select(id, col("root"),
+        regexp_extract(col("entry"), "(?is)<loc>(.*?)</loc>", 1).as("loc"),
+        regexp_extract(col("entry"), "(?is)<lastmod>(.*?)</lastmod>", 1)
+          .as("lastmod"),
+        regexp_extract(col("entry"), "(?is)<priority>(.*?)</priority>", 1)
+          .as("priority"))
+      .select(id, Urls.resolve(col("root"), col("loc")).as("resolved"),
+        col("lastmod"), col("priority"))
+      .select(Urls.canonicalize(col("resolved")).as("url_canon"),
+        col("lastmod"), col("priority"))
+      // one schedule slot per distinct URL: keep the best evidence per
+      // canonical (max priority, then freshest lastmod — both engines)
+      .groupBy("url_canon")
+      .agg(max(col("priority")).as("priority"),
+        max(col("lastmod")).as("lastmod"))
+    val keyed = entries
+      .select(col("url_canon"), col("lastmod"), col("priority"),
+        Urls.registeredDomain(Urls.canonicalHost(col("url_canon")))
+          .as("domain"))
+      .select(col("*"),
+        Robots.crawlDelay(robotsTxtFor(col("domain"))).as("delay_s"),
+        when(col("priority") === "", lit(-1L))
+          .otherwise(regexp_extract(col("priority"), "0\\.([0-9])", 1)
+            .cast("long")).as("p_num"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("p_num").desc, col("lastmod").desc, col("url_canon"))
+    ordered(
+      keyed.select(col("domain"), col("url_canon"), col("lastmod"),
+        col("p_num"),
+        row_number().over(w).cast("bigint").as("fetch_seq"),
+        ((row_number().over(w) - 1).cast("bigint") * col("delay_s"))
+          .as("sched_s")),
+      "domain", "fetch_seq")
+  }
+
   /** op324: STREAMING crawl politeness — the robots `Crawl-delay`
     * semantics ([[graft.streaming.Politeness]]): per registered
     * domain, consecutive admitted fetches must sit ≥ the domain's
@@ -1038,9 +1192,153 @@ object WebQueries {
     "op324_stream_politeness" -> op324StreamPoliteness,
     "op325_robots_crawl_delay" -> op325RobotsCrawlDelay,
     "op326_sitemap_extract" -> op326SitemapExtract,
-    "op327_redirect_chains" -> op327RedirectChains)
+    "op327_redirect_chains" -> op327RedirectChains,
+    "op328_warc_parse" -> op328WarcParse,
+    "op329_refetch_schedule" -> op329RefetchSchedule)
 
   val oracle: Map[String, String] = Map(
+    // op328: the same WARC synthesis (CRLF = chr(13)||chr(10)), parsed
+    // by the same header regexes; the relative Location resolves
+    // against the Target-URI through the generated resolveSql twin and
+    // the 200-body length runs the shared htmlExtractSql chain
+    "op328_warc_parse" ->
+      s"""WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+        |pg AS (
+        |  SELECT doc_id,
+        |    'WARC/1.0' || c || 'WARC-Type: response' || c ||
+        |    'WARC-Target-URI: ' || ${urlSql("doc_id")} || c ||
+        |    'WARC-Date: 2024-01-' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T' ||
+        |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00Z' ||
+        |    c || c || 'HTTP/1.1 ' ||
+        |    (CASE WHEN doc_id % 13 = 5 THEN '301 Moved Permanently'
+        |     WHEN doc_id % 13 = 9 THEN '404 Not Found'
+        |     ELSE '200 OK' END) || c ||
+        |    (CASE WHEN doc_id % 13 = 5 THEN 'Content-Type: text/html'
+        |       || c || 'Location: /moved/' || CAST(doc_id % 7 AS VARCHAR)
+        |     WHEN doc_id % 13 = 9 THEN 'Content-Type: text/plain'
+        |     WHEN doc_id % 2 = 0
+        |       THEN 'Content-Type: text/html; charset=iso-8859-1'
+        |     ELSE 'Content-Type: text/html' END) || c || c ||
+        |    (CASE WHEN doc_id % 13 = 9 THEN 'not found'
+        |     ELSE '<html><body><p>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |       ' says ' || replace(text, 'the', '<b>the</b>') ||
+        |       '</p></body></html>' END) AS rec
+        |  FROM documents, crlf),
+        |hx AS (
+        |  SELECT doc_id,
+        |    regexp_extract(rec, '(?i)WARC-Target-URI: ([^\r\n]+)', 1)
+        |      AS target,
+        |    regexp_extract(rec, '(?i)WARC-Date: ([^\r\n]+)', 1)
+        |      AS warc_date,
+        |    CAST(regexp_extract(rec, 'HTTP/1\\.1 ([0-9]{3})', 1)
+        |      AS BIGINT) AS status,
+        |    regexp_extract(rec, '(?im)^Content-Type:[ \t]*([^;\r\n]+)', 1)
+        |      AS media_type,
+        |    regexp_extract(rec,
+        |      '(?im)^Content-Type:[^\r\n]*charset=([^;\r\n ]+)', 1)
+        |      AS cs_raw,
+        |    regexp_extract(rec, '(?im)^Location:[ \t]*([^\r\n]+)', 1)
+        |      AS loc,
+        |    regexp_extract(rec, '(?s)\r\n\r\n.*?\r\n\r\n(.*)$$', 1)
+        |      AS body
+        |  FROM pg),
+        |rr AS (
+        |  SELECT doc_id, target, warc_date, status, media_type, cs_raw,
+        |    loc, body,
+        |    CASE WHEN loc = '' THEN ''
+        |      ELSE ${Urls.resolveSql("target", "loc")} END AS redirect
+        |  FROM hx),
+        |cd AS (
+        |  SELECT doc_id, warc_date, status, media_type, cs_raw, body,
+        |    ${Urls.pctDecodeSql("target")} AS t_d,
+        |    ${Urls.pctDecodeSql("redirect")} AS r_d
+        |  FROM rr),
+        |cq AS (
+        |  SELECT doc_id, warc_date, status, media_type, cs_raw, body,
+        |    t_d, r_d, ${querySql("t_d")} AS tq, ${querySql("r_d")} AS rq2
+        |  FROM cd)
+        |SELECT doc_id,
+        |  'https://' || ${canonicalHostSql("t_d")} || ${pathSql("t_d")} ||
+        |    CASE WHEN tq = '' THEN '' ELSE '?' || tq END AS url_canon,
+        |  warc_date, status, media_type,
+        |  CASE WHEN cs_raw = '' THEN 'utf-8' ELSE cs_raw END AS charset,
+        |  CASE WHEN r_d = '' THEN '' ELSE
+        |    'https://' || ${canonicalHostSql("r_d")} || ${pathSql("r_d")} ||
+        |    CASE WHEN rq2 = '' THEN '' ELSE '?' || rq2 END END
+        |    AS redirect_canon,
+        |  CAST(CASE WHEN status = 200
+        |    THEN length(${htmlExtractSql("body")}) ELSE 0 END AS BIGINT)
+        |    AS n_body_chars
+        |FROM cq ORDER BY doc_id""".stripMargin,
+    // op329: the op326 entry chain + best-evidence per canonical, then
+    // the per-domain (priority desc, lastmod desc) window laid out at
+    // one slot per parsed Crawl-delay — the composed frontier schedule
+    "op329_refetch_schedule" ->
+      s"""WITH pg AS (
+        |  SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example'
+        |    || CAST(doc_id % 5 AS VARCHAR) || '.com/' AS root,
+        |    '<?xml version="1.0"?><urlset><url><loc>https://' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'Site' ELSE 'site' END) ||
+        |    CAST(doc_id % 13 AS VARCHAR) || '.example' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '.com:443/p/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '~v</loc><lastmod>2024-01-' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    '</lastmod><priority>0.' || CAST(doc_id % 9 AS VARCHAR) ||
+        |    '</priority></url><url><loc>rel/' ||
+        |    CAST(doc_id % 11 AS VARCHAR) || '</loc><lastmod>2024-02-' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    '</lastmod></url><url><loc>/top/' ||
+        |    CAST(doc_id % 6 AS VARCHAR) ||
+        |    '</loc></url></urlset>' AS xml
+        |  FROM documents),
+        |en AS (
+        |  SELECT doc_id, root,
+        |    regexp_extract(e.entry, '(?is)<loc>(.*?)</loc>', 1) AS loc,
+        |    regexp_extract(e.entry, '(?is)<lastmod>(.*?)</lastmod>', 1)
+        |      AS lastmod,
+        |    regexp_extract(e.entry, '(?is)<priority>(.*?)</priority>', 1)
+        |      AS priority
+        |  FROM pg, UNNEST(regexp_extract_all(xml,
+        |    '(?is)<url>(.*?)</url>', 1)) AS e(entry)),
+        |rs AS (
+        |  SELECT lastmod, priority,
+        |    ${Urls.resolveSql("root", "loc")} AS resolved
+        |  FROM en),
+        |rd AS (
+        |  SELECT lastmod, priority, ${Urls.pctDecodeSql("resolved")} AS dec
+        |  FROM rs),
+        |rq AS (
+        |  SELECT lastmod, priority, dec, ${querySql("dec")} AS qq
+        |  FROM rd),
+        |cu AS (
+        |  SELECT
+        |    'https://' || ${canonicalHostSql("dec")} || ${pathSql("dec")} ||
+        |    CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_canon,
+        |    max(priority) AS priority, max(lastmod) AS lastmod
+        |  FROM rq GROUP BY 1),
+        |ky AS (
+        |  SELECT url_canon, lastmod,
+        |    ${Urls.registeredDomainPslSql(canonicalHostSql("url_canon"))}
+        |      AS domain,
+        |    CASE WHEN priority = '' THEN -1
+        |      ELSE CAST(regexp_extract(priority, '0\\.([0-9])', 1)
+        |        AS BIGINT) END AS p_num
+        |  FROM cu),
+        |kd AS (
+        |  SELECT ky.*, ${graft.functions.Robots.crawlDelaySql(
+            robotsTxtSql("domain"))} AS delay_s
+        |  FROM ky)
+        |SELECT domain, url_canon, lastmod, CAST(p_num AS BIGINT) AS p_num,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY p_num DESC, lastmod DESC, url_canon) AS BIGINT)
+        |    AS fetch_seq,
+        |  CAST((row_number() OVER (PARTITION BY domain
+        |    ORDER BY p_num DESC, lastmod DESC, url_canon) - 1) * delay_s
+        |    AS BIGINT) AS sched_s
+        |FROM kd ORDER BY domain, fetch_seq""".stripMargin,
     // op326: same sitemap synthesis; entries unnested from the same
     // full-match regex, loc resolved against the site root through the
     // generated resolveSql twin, then the layered canonicalization
