@@ -27,6 +27,28 @@ class PlanLintSpec extends SparkSpec {
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("crawl metadata stages are map-only up to their declared " +
+      "shuffles (r16)") {
+    // the scaladocs claim "the ORDER BY is the only shuffle" for the
+    // pure extraction/parse chains and exactly two keyed shuffles for
+    // the composed schedule — pin the physical plans so a refactor
+    // that grows an exchange (the staging regression's cousin) fails
+    // here instead of at the 100 TB design review
+    def hashEx(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString).length
+    for (n <- Seq("op323_url_resolve", "op325_robots_crawl_delay",
+        "op326_sitemap_extract", "op328_warc_parse")) {
+      val e = hashEx(n)
+      assert(e == 0, s"$n grew a hash shuffle: $e")
+    }
+    // op329: one per-canonical best-evidence aggregate + one
+    // per-domain schedule window
+    val e329 = hashEx("op329_refetch_schedule")
+    assert(e329 == 2, s"op329 expected 2 hash exchanges, saw $e329")
+  }
+
   test("op105 sessionizes on one shuffle and matches a driver-side fold") {
     // the window partitions by user_id and the (user_id, sess_id)
     // aggregate must REUSE that partitioning (superset-key clustered
