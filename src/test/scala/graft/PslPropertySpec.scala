@@ -69,6 +69,8 @@ class PslPropertySpec extends SparkSpec {
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     try {
       var cases = 0
+      val dumped = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[String], Seq[(String, String)])]
       val psls = samples(pslGen, Seed(20260816L), 30)
       psls.zipWithIndex.foreach { case (psl, i) =>
         val hosts =
@@ -93,6 +95,8 @@ class PslPropertySpec extends SparkSpec {
           assert(c == e && c == o,
             s"PSL=${psl.mkString(",")} host=$h: chain=$c expr=$e oracle=$o")
         }
+        dumped += psl ->
+          rows.map(r => (r.getString(1), r.getString(2))).toSeq
         // the broadcast-join spelling over the same table
         val viaJoin = WebQueries
           .registeredDomainJoinSpelling(spark, docs, psl)
@@ -107,6 +111,32 @@ class PslPropertySpec extends SparkSpec {
       }
       assert(cases >= 1000, s"only $cases generated cases — raise the draw")
       info(s"$cases (psl, host) cases across ${psls.size} random PSLs")
+      // side artifact for the ACTUAL-DuckDB leg: every (psl, host,
+      // expected) plus the generated CASE SQL, consumed by
+      // tools/check_psl_duckdb.py (the in-suite oracle-CASE leg runs
+      // through Spark SQL with regexp_like substituted; the dump lets
+      // real DuckDB replay the identical draws)
+      try {
+        val sb = new StringBuilder
+        def jq(s: String) =
+          "\"" + s.flatMap {
+            case '"' => "\\\""; case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+        dumped.foreach { case (psl, pairs) =>
+          val hostsJson = pairs.map(p => jq(p._1)).mkString("[", ",", "]")
+          val wantJson = pairs.map(p => jq(p._2)).mkString("[", ",", "]")
+          sb.append(s"""{"sql": ${jq(
+            Urls.registeredDomainPslSql("host", psl))}, """ +
+            s""""hosts": $hostsJson, "want": $wantJson}""").append('\n')
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/tmp/psl_property_cases.jsonl"),
+          sb.toString)
+      } catch { case e: Throwable =>
+        info(s"duckdb-leg dump skipped: ${e.getMessage}")
+      }
     } finally {
       prevEsc match {
         case Some(v) =>
