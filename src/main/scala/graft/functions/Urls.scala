@@ -370,8 +370,16 @@ object Urls {
     * one canonical page — then host/path/query normalize as before
     * (the decode can't create a delimiter, so parsing after it is
     * sound). */
-  def canonicalize(url: Column): Column = {
-    val u = pctDecode(url)
+  def canonicalize(url: Column): Column = canonicalizeDecoded(pctDecode(url))
+
+  /** [[canonicalize]] minus the decode — for call sites that STAGE the
+    * percent-decoded URL as its own projection column first (the r16
+    * staging lesson: a Column is a tree, and this function references
+    * its argument four times — host, path, query twice — so an inline
+    * decode+synthesis subtree evaluates 4x where a staged attribute
+    * evaluates once; the oracles' layered CTEs already spell it this
+    * way). */
+  def canonicalizeDecoded(u: Column): Column = {
     val q = canonicalQuery(u)
     concat(lit("https://"), canonicalHost(u), pathOf(u),
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))

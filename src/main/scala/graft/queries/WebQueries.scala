@@ -138,7 +138,10 @@ object WebQueries {
   val op307UrlCanonical: Q = (s, d) => {
     val c = Tables.documents(s, d)
       .select(col("doc_id"), urlOf.as("url"))
-      .select(col("doc_id"), Urls.canonicalize(col("url")).as("url_canon"))
+      // staged decode (r16): canonicalizeDecoded references its arg 4x
+      .select(col("doc_id"), Urls.pctDecode(col("url")).as("dec"))
+      .select(col("doc_id"),
+        Urls.canonicalizeDecoded(col("dec")).as("url_canon"))
     val canon = c.groupBy("url_canon").agg(min("doc_id").as("canon_id"))
     ordered(
       c.join(canon, "url_canon")
@@ -299,7 +302,9 @@ object WebQueries {
             st.select(col("doc_id"),
                 Urls.registeredDomain(Urls.canonicalHost(urlOf))
                   .as("domain"),
-                Urls.canonicalize(urlOf).as("url_canon"))
+                Urls.pctDecode(urlOf).as("dec"))
+              .select(col("doc_id"), col("domain"),
+                Urls.canonicalizeDecoded(col("dec")).as("url_canon"))
               .as[DomainQuota.UrlArrival],
             k = 25L).toDF()
       }
@@ -341,7 +346,9 @@ object WebQueries {
             st.select(col("doc_id"),
               Urls.registeredDomain(Urls.canonicalHost(urlOf)).as("domain"),
               Urls.pathOf(urlOf).as("path"),
-              Urls.canonicalize(urlOf).as("url_canon")),
+              Urls.pctDecode(urlOf).as("dec"))
+              .select(col("doc_id"), col("domain"), col("path"),
+                Urls.canonicalizeDecoded(col("dec")).as("url_canon")),
             rules, k = 25L)
       }
     }
@@ -600,12 +607,19 @@ object WebQueries {
     * spelling applies unchanged. */
   val op320PageRank: Q = (s, d) => {
     import SeqGraphQueries.{prDampNum, prIters, prScale}
+    // staged decode (r16): canonicalize references its argument 4x, so
+    // the decode+synthesis trees are bound as attributes first and each
+    // evaluates once (the oracle's `base` CTE already spells it so)
     val pairs = Tables.documents(s, d)
-      .select(Urls.canonicalize(urlOf).as("a"),
+      .select(Urls.pctDecode(urlOf).as("d0"),
+        Urls.pctDecode(urlFor(col("doc_id") * 7 + 3)).as("d1"),
+        Urls.pctDecode(urlFor(col("doc_id") * 5 + 1)).as("d2"),
+        Urls.pctDecode(urlFor(col("doc_id") + 13)).as("d3"))
+      .select(Urls.canonicalizeDecoded(col("d0")).as("a"),
         explode(array(
-          Urls.canonicalize(urlFor(col("doc_id") * 7 + 3)),
-          Urls.canonicalize(urlFor(col("doc_id") * 5 + 1)),
-          Urls.canonicalize(urlFor(col("doc_id") + 13)))).as("b"))
+          Urls.canonicalizeDecoded(col("d1")),
+          Urls.canonicalizeDecoded(col("d2")),
+          Urls.canonicalizeDecoded(col("d3")))).as("b"))
       .filter(col("a") =!= col("b"))
     // checkpoint the edge list: unlike op176 (whose edge re-reads
     // collapse via ReuseExchange and measured 2x slower checkpointed),
@@ -698,7 +712,9 @@ object WebQueries {
             regexp_extract(col("m"), anchorPat, 1)).as("resolved"),
           regexp_extract(col("m"), anchorPat, 2).as("anchor"))
         .select(col("src_domain"),
-          Urls.canonicalize(col("resolved")).as("dst_canon"),
+          Urls.pctDecode(col("resolved")).as("dec"), col("anchor"))
+        .select(col("src_domain"),
+          Urls.canonicalizeDecoded(col("dec")).as("dst_canon"),
           col("anchor"))
         .groupBy("dst_canon")
         .agg(big(count(lit(1))).as("n_refs"),
@@ -791,7 +807,10 @@ object WebQueries {
         .select(col("doc_id"), col("base_href"), col("href"),
           Urls.resolve(col("eff"), col("href")).as("resolved"))
         .select(col("doc_id"), col("base_href"), col("href"),
-          col("resolved"), Urls.canonicalize(col("resolved")).as("url_canon")),
+          col("resolved"), Urls.pctDecode(col("resolved")).as("dec"))
+        .select(col("doc_id"), col("base_href"), col("href"),
+          col("resolved"),
+          Urls.canonicalizeDecoded(col("dec")).as("url_canon")),
       "doc_id")
   }
 
@@ -903,7 +922,9 @@ object WebQueries {
             .as("priority"))
         .select(id, Urls.resolve(col("root"), col("loc")).as("resolved"),
           col("lastmod"), col("priority"))
-        .select(id, Urls.canonicalize(col("resolved")).as("url_canon"),
+        .select(id, Urls.pctDecode(col("resolved")).as("dec"),
+          col("lastmod"), col("priority"))
+        .select(id, Urls.canonicalizeDecoded(col("dec")).as("url_canon"),
           col("lastmod"), col("priority")),
       "doc_id", "url_canon")
   }
@@ -924,16 +945,22 @@ object WebQueries {
     * same map walked by a bounded recursive CTE. */
   val op327RedirectChains: Q = (s, d) => {
     val id = col("doc_id")
-    val canon = Urls.canonicalize(urlOf)
-    val urls = Tables.documents(s, d).select(id, canon.as("url"))
+    // staged decode (r16): the canonicalization references its decoded
+    // arg 4x — bind the decode trees as attributes first
+    val urls = Tables.documents(s, d)
+      .select(id, Urls.pctDecode(urlOf).as("dec"))
+      .select(id, Urls.canonicalizeDecoded(col("dec")).as("url"))
     // redirect rule by residue: r0 -> +1, r3 -> +2, r6 -> +3 (mod 9);
     // targets key the SAME canonical space, so chains compose
-    val dst =
-      when(id % 9 === 0, Urls.canonicalize(urlFor(id + 1)))
-        .when(id % 9 === 3, Urls.canonicalize(urlFor(id + 2)))
-        .when(id % 9 === 6, Urls.canonicalize(urlFor(id + 3)))
+    val dstDec =
+      when(id % 9 === 0, Urls.pctDecode(urlFor(id + 1)))
+        .when(id % 9 === 3, Urls.pctDecode(urlFor(id + 2)))
+        .when(id % 9 === 6, Urls.pctDecode(urlFor(id + 3)))
     val redirects = Tables.documents(s, d)
-      .select(canon.as("src"), dst.as("dst"))
+      .select(Urls.pctDecode(urlOf).as("s_dec"), dstDec.as("d_dec"))
+      .select(Urls.canonicalizeDecoded(col("s_dec")).as("src"),
+        when(col("d_dec").isNull, lit(null).cast("string"))
+          .otherwise(Urls.canonicalizeDecoded(col("d_dec"))).as("dst"))
       .filter(col("dst").isNotNull)
       // one canonical URL can be synthesized by many doc_ids (the
       // collision-rich spelling) — the map must be a FUNCTION: keep
@@ -1039,14 +1066,19 @@ object WebQueries {
           // block); non-greedy head match takes the first two frames
           regexp_extract(col("rec"),
             "(?s)\\r\\n\\r\\n.*?\\r\\n\\r\\n(.*)$", 1).as("body"))
+        .select(id, col("status"), col("media_type"), col("cs_raw"),
+          col("warc_date"), col("body"),
+          Urls.pctDecode(col("target")).as("t_dec"),
+          when(col("loc") === "", lit(""))
+            .otherwise(Urls.pctDecode(
+              Urls.resolve(col("target"), col("loc")))).as("r_dec"))
         .select(id,
-          Urls.canonicalize(col("target")).as("url_canon"),
+          Urls.canonicalizeDecoded(col("t_dec")).as("url_canon"),
           col("warc_date"), col("status"), col("media_type"),
           when(col("cs_raw") === "", lit("utf-8")).otherwise(col("cs_raw"))
             .as("charset"),
-          when(col("loc") === "", lit(""))
-            .otherwise(Urls.canonicalize(
-              Urls.resolve(col("target"), col("loc"))))
+          when(col("r_dec") === "", lit(""))
+            .otherwise(Urls.canonicalizeDecoded(col("r_dec")))
             .as("redirect_canon"),
           when(col("status") === 200,
             big(length(graft.functions.Html.extract(col("body")))))
@@ -1100,7 +1132,9 @@ object WebQueries {
           .as("priority"))
       .select(id, Urls.resolve(col("root"), col("loc")).as("resolved"),
         col("lastmod"), col("priority"))
-      .select(Urls.canonicalize(col("resolved")).as("url_canon"),
+      .select(Urls.pctDecode(col("resolved")).as("dec"),
+        col("lastmod"), col("priority"))
+      .select(Urls.canonicalizeDecoded(col("dec")).as("url_canon"),
         col("lastmod"), col("priority"))
       // one schedule slot per distinct URL: keep the best evidence per
       // canonical (max priority, then freshest lastmod — both engines)
