@@ -26,6 +26,82 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // imageio's default stream cache spools every encode/decode through a
+  // temp FILE (FileCacheImage{In,Out}putStream); with the codec passes
+  // now running 32-wide (codecDocIds), concurrent temp-file creation
+  // serializes the whole stage. These payloads are small in-memory
+  // byte arrays — the MemoryCache streams are strictly better here.
+  // JVM-global, set once at first touch of any codec path.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** The platform WAV codec, resolved ONCE through the public SPI
+    * instead of per call: AudioSystem.getAudioInputStream / .write walk
+    * a synchronized provider registry on EVERY invocation — measured
+    * ~80µs per decode single-threaded but ~2.0ms effective once the
+    * codec stages run 32-wide (the registry lock serializes them, 25×).
+    * Same provider classes, same bytes — only the lookup is hoisted
+    * (guide §4.5: construct heavyweight state once, amortize over
+    * rows). Selection is by CAPABILITY (probing a real 1-sample WAV /
+    * asking isFileTypeSupported), never by class name; if the SPI scan
+    * cannot serve WAVE on some exotic JVM the per-call registry walk
+    * remains as the fallback, so correctness never depends on the fast
+    * path. Reader/writer instances are stateless and shared exactly the
+    * way the global registry shares them. */
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](2)), fmt, 1L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val probe = bos.toByteArray
+    try
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.find { r =>
+          try {
+            r.getAudioInputStream(
+              new java.io.ByteArrayInputStream(probe)): Unit
+            true
+          } catch { case _: Exception => false }
+        }
+    catch { case _: Throwable => None }
+  }
+
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    try
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala.find(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE))
+    catch { case _: Throwable => None }
+  }
+
+  /** WAV decode through [[wavReader]] (same real codec, hoisted
+    * provider lookup). */
+  private def readWav(
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = new java.io.ByteArrayInputStream(payload)
+    wavReader match {
+      case Some(r) => r.getAudioInputStream(in)
+      case None => javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+    }
+  }
+
+  /** WAV encode through [[wavWriter]] (same real codec, hoisted
+    * provider lookup). */
+  private def writeWav(ais: javax.sound.sampled.AudioInputStream,
+      bos: java.io.OutputStream): Unit =
+    wavWriter match {
+      case Some(w) =>
+        w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      case None =>
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+    }
+
   case class MediaRecord(doc_id: Long, format: String, width: Int,
       height: Int, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
@@ -33,6 +109,25 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   val FeatureDim = 32
+
+  /** doc_id feed for the real-codec synthesizers, spread over the
+    * session's full parallelism. The documents fixture is one small
+    * parquet file, so the raw scan plans 1-2 input splits — and every
+    * downstream codec pass (imageio/WAV/GIF encode, then decode) ran
+    * nearly serially on a 32-core session (measured: op284 5 tasks,
+    * wall ≈ summed task time). Payload synthesis inflates 8 bytes of
+    * id into KBs of media, so this is guide §8's rule in miniature:
+    * repartition the LIGHT rows (ids) before the heavy per-row work,
+    * never after. Round-robin repartition is deterministic
+    * (sortBeforeRepartition) and the per-doc payloads are pure
+    * functions of doc_id, so results are partitioning-invariant. */
+  private def codecDocIds(spark: SparkSession,
+      dir: String): Dataset[Long] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
 
   /** Synthesize a deterministic media corpus from the documents fixture:
     * payload = UTF-8 bytes of the text (a stand-in for encoded media),
@@ -132,8 +227,7 @@ object Multimodal {
     * container" for images: javax.imageio ships with the JDK. */
   def synthesizeImages(spark: SparkSession, dir: String): Dataset[ImageRecord] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    codecDocIds(spark, dir)
       .mapPartitions { it =>
         it.map { d =>
           val w = imageWidth(d); val h = imageHeight(d)
@@ -180,8 +274,7 @@ object Multimodal {
     * genuinely aren't in the container — video remains there). */
   def synthesizeAudio(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    codecDocIds(spark, dir)
       .mapPartitions { it =>
         it.map { d =>
           val n = audioLen(d)
@@ -198,8 +291,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          writeWav(ais, bos)
           AudioRecord(d, bos.toByteArray)
         }
       }
@@ -217,8 +309,7 @@ object Multimodal {
     audio.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
+          val ais = readWav(r.payload)
           val f = ais.getFormat
           require(f.getSampleSizeInBits == 16 && f.getChannels == 1
             && !f.isBigEndian,
@@ -254,8 +345,7 @@ object Multimodal {
   def synthesizeVadAudio(spark: SparkSession,
       dir: String): Dataset[AudioRecord] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    codecDocIds(spark, dir)
       .mapPartitions { it =>
         it.map { d =>
           val n = audioLen(d)
@@ -272,8 +362,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          writeWav(ais, bos)
           AudioRecord(d, bos.toByteArray)
         }
       }
@@ -294,8 +383,7 @@ object Multimodal {
     audio.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
+          val ais = readWav(r.payload)
           val f = ais.getFormat
           require(f.getSampleSizeInBits == 16 && f.getChannels == 1
             && !f.isBigEndian,
@@ -347,8 +435,7 @@ object Multimodal {
   def synthesizeFpAudio(spark: SparkSession,
       dir: String): Dataset[AudioRecord] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    codecDocIds(spark, dir)
       .mapPartitions { it =>
         it.map { d =>
           val n = audioLen(d)
@@ -365,8 +452,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          writeWav(ais, bos)
           AudioRecord(d, bos.toByteArray)
         }
       }
@@ -397,8 +483,7 @@ object Multimodal {
     audio.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
+          val ais = readWav(r.payload)
           val f = ais.getFormat
           require(f.getSampleSizeInBits == 16 && f.getChannels == 1
             && !f.isBigEndian,
@@ -475,8 +560,7 @@ object Multimodal {
     * [[decodeFeatures]] stub. */
   def synthesizeVideos(spark: SparkSession, dir: String): Dataset[VideoRecord] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    codecDocIds(spark, dir)
       .mapPartitions { it =>
         val cm = grayPalette
         it.map { d =>
@@ -619,8 +703,7 @@ object Multimodal {
   def synthesizeNdVideos(spark: SparkSession,
       dir: String): Dataset[VideoRecord] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    codecDocIds(spark, dir)
       .mapPartitions { it =>
         val cm = grayPalette
         it.map { d =>

@@ -325,20 +325,41 @@ object SeqGraphQueries {
     * with support ≥ 2 co-occurring orders (the op170 A-priori prune —
     * at 100 TB the prune bounds the edge list BEFORE any self-join).
     * One row per undirected edge with p1 < p2. */
-  private def supportPrunedPairs(s: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2"))
+  /** Canonical (p1 < p2) co-purchase pairs, one row per (order, pair) —
+    * the shared prefix of [[supportPrunedPairs]] and [[basketCliqueUnd]].
+    *
+    * Optimization r16 (guide §2.3/§2.4, measured): the original spelling
+    * — distinct → basket-size groupBy → semi-join → self-equi-join on
+    * l_orderkey → pair groupBy — planned FIVE exchanges and evaluated
+    * the scan+distinct+size-filter subtree twice (once per self-join
+    * side; Catalyst does not share it). Since the basket cap bounds a
+    * basket at [[prBasketCap]] parts, the whole pair generation fits
+    * map-side after ONE order-keyed aggregate: collect the basket as a
+    * sorted distinct array (collect_set ⊇ the old distinct; array_sort
+    * restores determinism), filter on its size (= the old distinct
+    * count), and explode the ≤ C(cap,2) = 21 ordered pairs with
+    * higher-order array functions (codegen'd, no UDF). Two exchanges
+    * total — (l_orderkey) then the consumer's (p1,p2) — and lineitem is
+    * scanned once. Every graph query downstream inherits the saving;
+    * results are bit-identical (hash-gated at sf0.001/0.01/0.1). */
+  private def basketPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .where(size(col("ps")) <= prBasketCap)
+      // ps is sorted ascending + distinct, so pairing each element with
+      // its strict suffix yields exactly the p1 < p2 canonical pairs
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS p1, y AS p2))))")).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+
+  private def supportPrunedPairs(s: SparkSession, d: String): DataFrame =
+    basketPairs(s, d)
       .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
       .where(col("supp") >= 2).select("p1", "p2")
-  }
 
   /** Symmetric (both-direction) edge list over [[supportPrunedPairs]]
     * (package-private so the k-core spec can replay the peel on the
@@ -354,16 +375,7 @@ object SeqGraphQueries {
     * detection, where the support-pruned fragments (avg degree ≈ 1.2)
     * carry no structure to find. */
   private[graft] def basketCliqueUnd(s: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
+    val pairs = basketPairs(s, d).distinct()
     pairs.union(pairs.select(col("p2").as("p1"), col("p1").as("p2")))
   }
 

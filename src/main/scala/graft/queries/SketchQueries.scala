@@ -313,14 +313,31 @@ object SketchQueries {
     * argument: no pair below support survives to downstream work). The
     * per-part order counts broadcast. */
   val op170Copurchase: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val partOrders = li.groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_ord"))
-    val total = li.select("l_orderkey").distinct().count()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, Seq("l_orderkey")).where(col("p1") < col("p2"))
+    // Optimization r16 (guide §2.3/§2.4): the old spelling scanned +
+    // distinct'd lineitem once per consumer (partOrders, the total
+    // count, BOTH self-join sides — four subtree evaluations, five
+    // exchanges). One order-keyed collect_set aggregate now feeds all
+    // three consumers from a single checkpointed basket table: the
+    // distinct-order count is its row count, per-part order counts are
+    // an explode + map-combinable aggregate, and the pair fan-out is
+    // the same map-side suffix-pairing the SeqGraph family uses
+    // (baskets are per-order bounded, so the array is too). Results
+    // bit-identical (hash-gated).
+    val baskets = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint()
+    val total = baskets.count()
+    val partOrders = baskets
+      .select(explode(col("ps")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_ord"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS p1, y AS p2))))")).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
       .where(col("n") >= copurchaseMinSupport)
     ordered(
