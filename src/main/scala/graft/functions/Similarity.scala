@@ -1323,6 +1323,25 @@ object Similarity {
     val nw = n.select(col("id").as("w"), col("vec").as("w_vec"),
       col("n2").as("w_n2"))
     val byU = Window.partitionBy("u")
+    // the loop carries (u, w, cos_bp, rank) through each checkpoint —
+    // two extra longs per edge — so the emit below can reuse the last
+    // round's scores instead of re-joining both vector tables and
+    // re-sorting a window to recompute identical values (r16: the old
+    // final-rescore block cost two corpus-keyed joins + one window
+    // exchange in every consumer's plan; cosBpFrom is deterministic,
+    // so score and rank are bit-identical either way)
+    def score(edges: DataFrame): DataFrame =
+      edges.join(nu, "u").join(nw, "w")
+        .select(col("u"), col("w"),
+          cosBpFrom(intDot(col("u_vec"), col("w_vec")),
+            col("u_n2"), col("w_n2")).as("cos_bp"))
+        .withColumn("rank", row_number()
+          .over(byU.orderBy(col("cos_bp").desc, col("w")))
+          .cast("bigint"))
+    // rounds = 0 (the spec's init-graph recall floor) still scores the
+    // LCG init graph the old way; its ≤ k edges per u make the top-k
+    // filter a no-op there
+    var scored = if (rounds == 0) score(g) else null
     (1 to rounds).foreach { _ =>
       val rev = g.select(col("w").as("u"), col("u").as("w"))
         .withColumn("rn", row_number().over(byU.orderBy(col("w"))))
@@ -1334,26 +1353,11 @@ object Similarity {
         .select(col("u"), col("w"))
         .union(g)
         .distinct()
-      g = cand.join(nu, "u").join(nw, "w")
-        .select(col("u"), col("w"),
-          cosBpFrom(intDot(col("u_vec"), col("w_vec")),
-            col("u_n2"), col("w_n2")).as("cos_bp"))
-        .withColumn("rank", row_number()
-          .over(byU.orderBy(col("cos_bp").desc, col("w")))
-          .cast("bigint"))
-        .filter(col("rank") <= k)
-        .select(col("u"), col("w"))
-        .localCheckpoint()
+      scored = score(cand).filter(col("rank") <= k).localCheckpoint()
+      g = scored.select(col("u"), col("w"))
     }
-    g.join(nu, "u").join(nw, "w")
-      .select(col("u").as("u_id"), col("w").as("n_id"),
-        cosBpFrom(intDot(col("u_vec"), col("w_vec")),
-          col("u_n2"), col("w_n2")).as("cos_bp"))
-      .withColumn("rank", row_number()
-        .over(Window.partitionBy("u_id")
-          .orderBy(col("cos_bp").desc, col("n_id")))
-        .cast("bigint"))
-      .select(col("u_id"), col("rank"), col("n_id"), col("cos_bp"))
+    scored.select(col("u").as("u_id"), col("rank"), col("w").as("n_id"),
+      col("cos_bp"))
   }
 
   /** Persist an NN-Descent kNN graph as a serving index: `vectors`
@@ -1439,6 +1443,11 @@ object Similarity {
             col("q_n2"), col("c_n2")).desc, col("cand"))))
         .filter(col("rk") <= beam)
         .select(col("q_id"), col("cand"))
+    // r16 measured NOTE: chaining the hops lazily (no per-hop
+    // checkpoint, exchange reuse deduping the 2×/hop subtree copies)
+    // was TRIED and ran ~1.7× SLOWER (op290 5.0→8.7 s, op296 3.1→6.1 s
+    // at sf0.1) — the replicated window/codegen planning outweighs the
+    // saved driver barriers. The per-hop checkpoint stays.
     var b = topBeam(entries).localCheckpoint()
     (1 to hops).foreach { _ =>
       val expand = b.join(edges, "cand")

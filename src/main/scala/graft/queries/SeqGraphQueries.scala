@@ -645,25 +645,39 @@ object SeqGraphQueries {
         .union(edges.select(col("v").as("a"), col("u").as("b")))
       val minsL = both.groupBy("a").agg(min("b").as("mb"))
         .select(col("a"), least(col("a"), col("mb")).as("m"))
+      // r16: ls is NOT distinct'd — its two consumers are a min
+      // aggregate (duplicate-insensitive) and a join whose output lands
+      // in the dedup-ing tagged aggregate below, so the extra exchange
+      // bought nothing (measured; results hash-gated).
+      // no checkpoint either: the round's plan stays one-round deep
+      // (edges below is checkpointed), and ls's two consumers reuse
+      // one exchange at runtime, so materializing it separately just
+      // added a third action per round
       val ls = both.where(col("b") > col("a")).join(minsL, "a")
         .select(col("b").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+        .where(col("u") =!= col("v"))
       val minsS = ls.groupBy("u").agg(min("v").as("m"))
-      val ss = ls.join(minsS, "u")
+      val ssRaw = ls.join(minsS, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")).distinct().localCheckpoint()
-      // fixpoint probe: ONE O(1)-result action per round (the
-      // op208/op293 rule — r12 ran two anti-join counts here). Both
-      // sides are canonical-distinct, so the symmetric difference is
-      // exactly the keys whose +1/−1 tags don't cancel: one union +
-      // one (u,v)-keyed aggregate + one count, vs two anti-join scans.
-      val diff = ss.select(col("u"), col("v"), lit(1L).as("t"))
-        .union(edges.select(col("u"), col("v"), lit(-1L).as("t")))
-        .groupBy(col("u"), col("v")).agg(sum("t").as("s"))
-        .where(col("s") =!= 0).count()
+        .where(col("u") =!= col("v"))
+      // r16: the small-star dedup AND the fixpoint probe fold into ONE
+      // (u,v)-keyed aggregate over tagged rows (ssRaw tag 1, previous
+      // edges tag 0): max(t)=1 ⇔ the pair is in the new ss (the old
+      // `ss.distinct()`), and a pair is in the symmetric difference iff
+      // NOT (max=1 ∧ min=0) — so one checkpointed aggregate replaces
+      // the distinct exchange plus the separate union+aggregate probe
+      // job the old spelling ran per round (two fewer exchanges and
+      // one fewer full-plan action per round; the probe count now
+      // scans the checkpointed aggregate only).
+      val comb = ssRaw.select(col("u"), col("v"), lit(1L).as("t"))
+        .union(edges.select(col("u"), col("v"), lit(0L).as("t")))
+        .groupBy(col("u"), col("v"))
+        .agg(max("t").as("mx"), min("t").as("mn"))
+        .localCheckpoint()
+      val diff = comb.where(!(col("mx") === 1 && col("mn") === 0)).count()
       done = diff == 0
-      edges = ss
+      edges = comb.where(col("mx") === 1).select(col("u"), col("v"))
       rounds += 1
     }
     (edges, rounds)

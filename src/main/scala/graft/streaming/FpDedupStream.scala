@@ -72,12 +72,27 @@ object FpDedupStream {
     import spark.implicits._
     val in = MemoryStream[(Long, Array[Byte])]
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // flags are query OUTPUT (this function's return value), not
+    // maintained state — only the fingerprint store must persist across
+    // batches. Emitting flags through a per-batch parquet write + end
+    // read paid two extra commit rounds per micro-batch for rows that
+    // never outlive the call; the memory-sink-shaped buffer below is
+    // the streaming-correct replacement (r16, guide §1.2 per-task work
+    // after the shape is right). Store writes/reads are UNCHANGED.
+    val flagBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = in.toDF().toDF("doc_id", "payload")
         .writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val fps = fingerprint(batch).localCheckpoint()
+          // a MemoryStream batch arrives as ONE partition, which ran
+          // the caller's codec decode serially; spread the payloads
+          // before the heavy per-row work (r16 — the codecDocIds rule
+          // at the streaming edge; per-row decode is
+          // partitioning-invariant)
+          val fps = fingerprint(batch
+              .repartition(spark.sparkContext.defaultParallelism))
+            .localCheckpoint()
           val storePath = s"$stateDir/fps"
           val prior =
             if (new java.io.File(storePath).exists())
@@ -88,9 +103,7 @@ object FpDedupStream {
             flaggedPairs(fps, fps, nBands, bandBits, maxHamming)
           val crossBatch =
             flaggedPairs(fps, prior, nBands, bandBits, maxHamming)
-          sameBatch.unionByName(crossBatch)
-            .coalesce(1).write.mode("append")
-            .parquet(s"$stateDir/flags")
+          flagBatches += sameBatch.unionByName(crossBatch).localCheckpoint()
           fps.coalesce(1).write.mode("append").parquet(storePath)
           (): Unit
         }
@@ -101,7 +114,7 @@ object FpDedupStream {
       }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val flags = spark.read.parquet(s"$stateDir/flags").localCheckpoint()
+    val flags = flagBatches.reduce(_ unionByName _).localCheckpoint()
     new scala.reflect.io.Directory(new java.io.File(stateDir))
       .deleteRecursively()
     flags

@@ -70,13 +70,22 @@ object ImageDedupStream {
     val images = Multimodal.synthesizeImages(spark, dir).collect()
     val in = MemoryStream[(Long, String, Array[Byte])]
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // flags are query OUTPUT, not maintained state — buffer them as
+    // checkpointed frames instead of a per-batch parquet write + end
+    // read (r16, same change as FpDedupStream; the hash STORE keeps
+    // its per-batch persisted appends)
+    val flagBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = in.toDF().toDF("doc_id", "format", "payload")
         .writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // MemoryStream batches arrive as ONE partition — spread the
+          // payloads before the per-row decode (r16, the codecDocIds
+          // rule at the streaming edge)
           val hh = Multimodal.imageAHash(
               batch.select(col("doc_id"), col("format"), col("payload"))
+                .repartition(spark.sparkContext.defaultParallelism)
                 .as[Multimodal.ImageRecord])
             .toDF().localCheckpoint()
           val storePath = s"$stateDir/hashes"
@@ -88,9 +97,7 @@ object ImageDedupStream {
                 lit(0L).as("h_hi")).limit(0)
           val sameBatch = flaggedPairs(hh, hh)
           val crossBatch = flaggedPairs(hh, prior)
-          sameBatch.unionByName(crossBatch)
-            .coalesce(1).write.mode("append")
-            .parquet(s"$stateDir/flags")
+          flagBatches += sameBatch.unionByName(crossBatch).localCheckpoint()
           hh.coalesce(1).write.mode("append").parquet(storePath)
           (): Unit
         }
@@ -102,7 +109,7 @@ object ImageDedupStream {
       }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val flags = spark.read.parquet(s"$stateDir/flags").localCheckpoint()
+    val flags = flagBatches.reduce(_ unionByName _).localCheckpoint()
     new scala.reflect.io.Directory(new java.io.File(stateDir))
       .deleteRecursively()
     flags
