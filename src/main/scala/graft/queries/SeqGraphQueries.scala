@@ -424,18 +424,18 @@ object SeqGraphQueries {
     * hypothesized. Ten tiny materializations beat one exponential
     * plan. */
   val op202KCore: Q = (s, d) => {
-    // the support-pruned symmetric edge list is round-invariant and
-    // read every round — materialize it once (localCheckpoint), like
-    // the per-round vertex sets below
-    val und = supportPrunedUnd(s, d).localCheckpoint()
-    var alive = und.select(col("p1").as("v")).distinct().localCheckpoint()
-    // counts are driver-side by construction (the checkpoint already
-    // ran a job), which buys the convergence check every iterative
-    // graph job does: once |alive| stops shrinking the peel is AT the
-    // fixpoint (next ⊆ alive, so equal counts ⇒ equal sets) and the
-    // remaining unrolled rounds are emitted as literal no-op rows
-    // instead of re-aggregating a stable graph
-    var nAlive = alive.count()
+    // r16: the peel maintains the SHRINKING restricted edge list
+    // (op293's shape) instead of re-joining the static full list
+    // against the alive set twice per round — deg over (und restricted
+    // to alive×alive) ≡ deg over the maintained list by induction, so
+    // every emitted (n_before, n_core, n_removed) row is unchanged
+    // (hash-gated), while each round's three exchanges now run over a
+    // list the previous round already shrank (the scaladoc's "per-round
+    // cost falls", made literal; on the support-pruned fixture round 1
+    // removes most vertices). Counts stay driver-side O(1), piggybacked
+    // on the per-round checkpoints.
+    var und = supportPrunedUnd(s, d).localCheckpoint()
+    var nAlive = und.select(col("p1")).distinct().count()
     var converged = false
     val rounds = (1 to kcoreRounds).map { r =>
       if (converged)
@@ -443,18 +443,19 @@ object SeqGraphQueries {
           lit(nAlive).as("n_before"), lit(nAlive).as("n_core"),
           lit(0L).as("n_removed"))
       else {
-        val deg = und
-          .join(alive.select(col("v").as("p1")), "p1")
-          .join(alive.select(col("v").as("p2")), "p2")
-          .groupBy("p1").agg(count(lit(1)).as("deg"))
-        val next = deg.where(col("deg") >= kcoreK)
+        val keep = und.groupBy("p1").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= kcoreK)
           .select(col("p1").as("v")).localCheckpoint()
-        val nNext = next.count()
+        val nNext = keep.count()
         val row = s.range(1).select(lit(r.toLong).as("round"),
           lit(nAlive).as("n_before"), lit(nNext).as("n_core"),
           lit(nAlive - nNext).as("n_removed"))
         converged = nNext == nAlive
-        alive = next
+        if (!converged)
+          und = und
+            .join(keep.select(col("v").as("p1")), "p1")
+            .join(keep.select(col("v").as("p2")), "p2")
+            .select("p1", "p2").localCheckpoint()
         nAlive = nNext
         row
       }
@@ -1335,11 +1336,23 @@ object SeqGraphQueries {
     * silently dropped. Oracle: recursive CTE with the same cap, min()
     * over discovered depths. */
   val op209BfsHops: Q = (s, d) => {
-    val und = supportPrunedUnd(s, d).localCheckpoint()
+    // r16: the static edge list is hash-laid-out on the expansion key
+    // ONCE (checkpoint preserves the partitioning), so the per-hop
+    // frontier join stops re-exchanging the |E| side every hop — only
+    // the frontier moves, the op176b recipe applied to traversal
+    val und = supportPrunedUnd(s, d).repartition(col("p1"))
+      .localCheckpoint()
     val verts = und.select(col("p1").as("v")).distinct().localCheckpoint()
-    var assigned = verts.where(col("v") % 97 === 0)
-      .select(col("v"), lit(0L).as("dist")).localCheckpoint()
-    var frontier = assigned
+    // r16: assigned-so-far is a lazy union of the per-hop CHECKPOINTED
+    // frontiers — the old per-hop `assigned.union(next).localCheckpoint()`
+    // re-materialized every previously assigned row each hop (O(V·hops)
+    // copies); the anti-join consumes the union of cached frames
+    // directly, one action per hop instead of two
+    val frames = scala.collection.mutable.ArrayBuffer(
+      verts.where(col("v") % 97 === 0)
+        .select(col("v"), lit(0L).as("dist")).localCheckpoint())
+    def assignedNow: DataFrame = frames.reduce(_ union _)
+    var frontier = frames.head
     var hop = 0L
     var nFront = frontier.count()
     while (nFront > 0 && hop < bfsMaxHops) {
@@ -1347,12 +1360,13 @@ object SeqGraphQueries {
       val next = und
         .join(frontier.select(col("v").as("p1")), "p1")
         .select(col("p2").as("v")).distinct()
-        .join(assigned.select("v"), Seq("v"), "left_anti")
+        .join(assignedNow.select("v"), Seq("v"), "left_anti")
         .select(col("v"), lit(hop).as("dist")).localCheckpoint()
       nFront = next.count()
-      assigned = assigned.union(next).localCheckpoint()
+      if (nFront > 0) frames += next
       frontier = next
     }
+    val assigned = assignedNow
     val hist = assigned.groupBy("dist")
       .agg(big(count(lit(1))).as("n_vertices"),
         min("v").as("min_v"), max("v").as("max_v"))
