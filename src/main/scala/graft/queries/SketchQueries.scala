@@ -323,6 +323,14 @@ object SketchQueries {
     // the same map-side suffix-pairing the SeqGraph family uses
     // (baskets are per-order bounded, so the array is too). Results
     // bit-identical (hash-gated).
+    //
+    // Declared data-shape assumption (r16 verdict item 2): collect_set
+    // materializes the FULL per-order array in one aggregation buffer
+    // and the suffix pairing explodes O(basket²) rows — bounded here by
+    // the order line cap (TPC-H ≤ 7 items/order; retail ~tens). On a
+    // corpus where one key can hold thousands of members, pre-prune
+    // oversized keys with a count-based semi-join (or band the basket)
+    // BEFORE collecting — the op181 salting rule applied to aggregation.
     val baskets = Tables.lineitem(s, d)
       .select("l_orderkey", "l_partkey")
       .groupBy("l_orderkey")
